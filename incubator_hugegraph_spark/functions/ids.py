@@ -1,0 +1,31 @@
+"""Id splicing — PRIMARY_KEY id strategy.
+
+The reference splices label + primary-key values into the vertex id
+(SplicingIdGenerator.splicing, used from
+core/backend/tx/GraphTransaction.java:1536-1543). We use a printable
+``label!pk1!pk2`` form so ids stay DuckDB-comparable; '!' inside
+values is escaped. Pure Column expressions — JVM-side, codegen-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from incubator_hugegraph_spark.schema import ID_DELIM
+
+
+def splice_id_col(label: str, *pk_cols: Column | str) -> Column:
+    """``concat_ws('!', label, pk...)`` with '!' escaped in values."""
+    parts = [F.lit(label)]
+    for c in pk_cols:
+        col = F.col(c) if isinstance(c, str) else c
+        parts.append(F.regexp_replace(col.cast("string"),
+                                      r"!", r"\\!"))
+    return F.concat_ws(ID_DELIM, *parts)
+
+
+def id_prefix(label: str) -> str:
+    """Prefix for IdPrefixQuery-style scans over a label's id range
+    (core/backend/query/IdPrefixQuery.java)."""
+    return label + ID_DELIM

@@ -1,0 +1,171 @@
+"""PropertyGraph: the two-DataFrame property graph.
+
+Canonical storage (SURVEY §1.4):
+
+    vertices(id string, label string, props map<string,string>,
+             expired_at timestamp)
+    edges(src string, dst string, label string, sort_values string,
+          props map<string,string>, expired_at timestamp)
+
+plus typed per-label views registered by the builder. Direction
+handling mirrors the reference's dual-row edge storage (HugeEdge OUT
+and IN rows, core/backend/serializer/BinarySerializer.java:513;
+Directions.java:27-31): ``adj(direction)`` is the union view instead
+of a second physical copy.
+
+Scale posture: at 100 TB ``edges`` is written partitioned/bucketed by
+``src`` (the reference co-locates edges with their owner vertex via
+the EdgeId layout, core/backend/id/EdgeId.java:31-38 — same locality
+trick); ``vertices`` by ``id``. All operators below are pure
+DataFrame programs — no collect() in any hot path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from incubator_hugegraph_spark.schema import GraphSchema
+
+OUT, IN, BOTH = "OUT", "IN", "BOTH"
+
+# Reference guard defaults, core/traversal/algorithm/HugeTraverser.java:84-92.
+DEFAULT_CAPACITY = 10_000_000
+DEFAULT_ELEMENTS_LIMIT = 10_000_000
+DEFAULT_MAX_DEPTH = 5_000
+NO_LIMIT = -1
+
+
+class CapacityExceeded(RuntimeError):
+    """Traversal touched more elements than ``capacity``
+    (HugeTraverser.checkCapacity, HugeTraverser.java:118-158)."""
+
+
+@dataclass
+class PropertyGraph:
+    spark: SparkSession
+    vertices: DataFrame
+    edges: DataFrame
+    schema: GraphSchema | None = None
+    # typed per-label DataFrames (id + typed property columns) —
+    # registered by the builder; used for property access and oracles.
+    vertex_views: dict[str, DataFrame] = field(default_factory=dict)
+    edge_views: dict[str, DataFrame] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        # Standing TTL filter (HugeElement.java:149-165: expired
+        # elements are invisible at read time).
+        self.vertices = _live(self.vertices)
+        self.edges = _live(self.edges)
+
+    # -- adjacency ---------------------------------------------------
+    def adj(self, direction: str = OUT,
+            labels: list[str] | None = None) -> DataFrame:
+        """Adjacency view (src, dst, label, sort_values, dir).
+
+        ``src`` is always the anchor vertex of the expansion; for IN
+        the physical edge is flipped. Mirrors dual-row OUT/IN storage.
+        """
+        e = self.edges.select("src", "dst", "label", "sort_values")
+        if labels:
+            e = e.filter(F.col("label").isin(labels))
+        out = e.withColumn("dir", F.lit("OUT"))
+        inn = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                       "label", "sort_values").withColumn("dir", F.lit("IN"))
+        if direction == OUT:
+            return out
+        if direction == IN:
+            return inn
+        return out.unionByName(inn)
+
+    # -- degrees -----------------------------------------------------
+    def degrees(self, direction: str = BOTH,
+                labels: list[str] | None = None) -> DataFrame:
+        """(id, degree) — DegreeCentralityAlgorithm.java semantics:
+        map-side partial aggregation, one shuffle on id."""
+        return (self.adj(direction, labels)
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.count(F.lit(1)).alias("degree")))
+
+    # -- element access ----------------------------------------------
+    def vertices_by_ids(self, ids: list[str]) -> DataFrame:
+        """Id point-lookup (IdQuery, GraphTransaction.java:774-811).
+        isin compiles to a pushed-down Parquet IN filter."""
+        return self.vertices.filter(F.col("id").isin(ids))
+
+    def vertices_by_label(self, label: str) -> DataFrame:
+        return self.vertices.filter(F.col("label") == label)
+
+    def view(self, label: str) -> DataFrame:
+        """Typed per-label view (DuckDB-comparable columns)."""
+        if label in self.vertex_views:
+            return self.vertex_views[label]
+        if label in self.edge_views:
+            return self.edge_views[label]
+        raise KeyError(label)
+
+    # -- guards (load-bearing at scale: SURVEY §7.4) -------------------
+    def check_capacity(self, df: DataFrame, capacity: int) -> int:
+        """Count-checkpoint a traversal frontier; raise if it exceeds
+        ``capacity``. Cheap insurance identical in spirit to
+        HugeTraverser.checkCapacity."""
+        n = df.count()
+        if capacity != NO_LIMIT and n > capacity:
+            raise CapacityExceeded(f"frontier {n} > capacity {capacity}")
+        return n
+
+
+def _live(df: DataFrame) -> DataFrame:
+    if "expired_at" in df.columns:
+        return df.filter(F.col("expired_at").isNull()
+                         | (F.col("expired_at") > F.current_timestamp()))
+    return df
+
+
+def cap_degree(adj: DataFrame, max_degree: int,
+               order_cols: tuple[str, ...] = ("label", "sort_values", "dst"),
+               anchor: str = "src") -> DataFrame:
+    """Truncate per-vertex fan-out to ``max_degree`` edges.
+
+    The reference truncates in storage-iteration order
+    (HugeTraverser.skipSuperNodeIfNeeded, HugeTraverser.java:210-…);
+    that order is not reproducible, so we fix a deterministic one
+    (label, sort_values, dst) — documented deviation (SURVEY §7.4#4).
+    Implemented as a ranked window; at scale AQE skew-join plus this
+    cap is the skew story (a super-node contributes ≤ max_degree rows
+    downstream).
+    """
+    if max_degree == NO_LIMIT:
+        return adj
+    w = Window.partitionBy(anchor).orderBy(*[F.col(c) for c in order_cols])
+    return (adj.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_degree).drop("__rn"))
+
+
+def skip_super_nodes(adj: DataFrame, skip_degree: int,
+                     anchor: str = "src") -> DataFrame:
+    """skipDegree semantics: drop ALL edges of vertices whose degree
+    exceeds ``skip_degree`` (HugeTraverser.java skipDegree contract:
+    a super-node is skipped entirely, not truncated)."""
+    if skip_degree == NO_LIMIT or skip_degree <= 0:
+        return adj
+    deg = (adj.groupBy(anchor).agg(F.count(F.lit(1)).alias("__deg"))
+           .filter(F.col("__deg") > skip_degree).select(anchor))
+    return adj.join(deg, on=anchor, how="left_anti")
+
+
+def iterate_hygiene(df: DataFrame, round_no: int, every: int = 5) -> DataFrame:
+    """Cut lineage every ``every`` rounds of an iterative loop —
+    without this, k-round join loops build O(k)-deep plans that blow
+    up Catalyst analysis time and executor stacks at scale."""
+    if round_no > 0 and round_no % every == 0:
+        return df.localCheckpoint(eager=True)
+    return df
+
+
+def is_in(col: Column | str, values: list) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    return col.isin(values)

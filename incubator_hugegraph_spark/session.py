@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on ``local[N]``; the same config block is what we
+would ship on a 1000-executor cluster (AQE on, skew-join handling on,
+Arrow for the few pandas-UDF paths). Nothing here is test-only magic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "incubator-hugegraph-spark") -> SparkSession:
+    """Build (or fetch) the session.
+
+    At 100 TB the only knobs that change are shuffle partitions /
+    maxPartitionBytes (sized so a partition fits executor memory) and
+    the master URL; the adaptive + skew settings below are the
+    load-bearing ones and stay identical.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", os.environ.get(
+            "SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS))
+        # AQE: runtime re-plan — coalesce tiny shuffle partitions,
+        # convert to broadcast joins when a frontier turns out small,
+        # split skewed partitions (the reference handles skew with
+        # skipDegree; AQE skew-join is our structural equivalent).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for pandas UDF paths (tokenizers, embedding kernels).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # The driver-generated parquet stores TIMESTAMP(NANOS) which
+        # Spark's vectorized reader rejects; read as long and convert
+        # in sources (values are µs-precision, verified in tests).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_MASTER_OVERRIDE"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()

@@ -1,0 +1,97 @@
+"""M0: graph build, schema registry, adjacency view, degree, TTL."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from incubator_hugegraph_spark.graph import BOTH, IN, OUT, PropertyGraph, cap_degree
+from incubator_hugegraph_spark.schema import GraphSchema, IdStrategy, splice_id
+from incubator_hugegraph_spark.sources.tpch import fixture_schema
+
+
+def test_schema_registry_roundtrip():
+    s = fixture_schema()
+    assert "customer" in s.vertex_labels
+    assert s.edge_labels["contains"].sort_keys == ("linenumber",)
+    s2 = GraphSchema.from_json(s.to_json())
+    assert s2.vertex_labels["part"].primary_keys == ("name", "brand")
+    assert s2.edge_labels["placed"].source_label == "customer"
+    assert s2.vertex_labels["order"].id_strategy == IdStrategy.CUSTOMIZE_STRING
+
+
+def test_schema_link_pruning():
+    s = fixture_schema()
+    assert set(s.edge_labels_from("customer")) == {"in_nation", "placed",
+                                                   "interacted"}
+    assert set(s.edge_labels_to("part")) == {"contains", "supplies"}
+
+
+def test_splice_id_escaping():
+    assert splice_id("person", "ok") == "person!ok"
+    assert splice_id("person", "we!ird") == "person!we\\!ird"
+
+
+def test_vertex_edge_counts(graph, duck):
+    vc = {r["label"]: r["n"] for r in
+          graph.vertices.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    for tbl, label in [("region", "region"), ("nation", "nation"),
+                       ("customer", "customer"), ("supplier", "supplier"),
+                       ("part", "part"), ("orders", "order")]:
+        n = duck.execute(f"SELECT count(*) FROM {tbl}").fetchone()[0]
+        assert vc[label] == n, label
+
+    ec = {r["label"]: r["n"] for r in
+          graph.edges.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert ec["contains"] == duck.execute(
+        "SELECT count(*) FROM lineitem").fetchone()[0]
+    assert ec["placed"] == duck.execute(
+        "SELECT count(*) FROM orders").fetchone()[0]
+    assert ec["supplies"] == duck.execute(
+        "SELECT count(DISTINCT (l_suppkey, l_partkey)) FROM lineitem").fetchone()[0]
+    # interacted: one edge per consecutive same-type event pair with
+    # distinct users
+    n_inter = duck.execute("""
+        SELECT count(*) FROM (
+          SELECT lag(user_id) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id) AS pu, user_id
+          FROM events) WHERE pu IS NOT NULL AND pu <> user_id
+    """).fetchone()[0]
+    assert ec["interacted"] == n_inter
+
+
+def test_adjacency_directions(graph):
+    cust = "customer!1"
+    out_n = graph.adj(OUT).filter(F.col("src") == cust).count()
+    in_n = graph.adj(IN).filter(F.col("src") == cust).count()
+    both_n = graph.adj(BOTH).filter(F.col("src") == cust).count()
+    assert both_n == out_n + in_n
+    # label filter restricts expansion
+    placed = graph.adj(OUT, labels=["placed"]).filter(F.col("src") == cust)
+    assert placed.count() <= out_n
+    assert {r["label"] for r in placed.collect()} <= {"placed"}
+
+
+def test_degree_cap_deterministic(graph):
+    adj = graph.adj(OUT)
+    capped = cap_degree(adj, 3)
+    worst = (capped.groupBy("src").count().agg(F.max("count")).collect()[0][0])
+    assert worst <= 3
+    # deterministic: same result twice
+    a = sorted(map(tuple, capped.filter(F.col("src") == "order!1").collect()))
+    b = sorted(map(tuple, cap_degree(graph.adj(OUT), 3)
+                   .filter(F.col("src") == "order!1").collect()))
+    assert a == b
+
+
+def test_ttl_filter(spark, graph):
+    past = datetime.datetime(2000, 1, 1)
+    future = datetime.datetime(2100, 1, 1)
+    extra = spark.createDataFrame(
+        [("x!1", "x", {}, past), ("x!2", "x", {}, future), ("x!3", "x", {}, None)],
+        schema=graph.vertices.schema)
+    g2 = PropertyGraph(spark=spark, vertices=graph.vertices.unionByName(extra),
+                       edges=graph.edges, schema=graph.schema)
+    got = {r["id"] for r in g2.vertices.filter(F.col("label") == "x").collect()}
+    assert got == {"x!2", "x!3"}  # expired row invisible at read time
