@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001.
+``queries()[name](spark, sf_dir)`` → DataFrame, one per implemented
+operator from SURVEY.md §2. ``oracle_sql()[name]`` → equivalent
+DuckDB SQL over the raw parquet views.
+
+ORACLE CONVENTIONS
+- The property graph is derived from the raw tables exactly as in
+  incubator_hugegraph_spark/sources/tpch.py; the CTE constants below
+  (V_SQL / E_SQL) are the SQL mirror of that derivation. Any change
+  must be made in both places.
+- Every computed column is aliased identically on both sides.
+- Double aggregates are rounded (ROUND(x, N)) on both sides so
+  summation-order ulp noise can't flip the value hash.
+- The default text analyzer is lower + split on /[^a-z0-9]+/ —
+  declared here once, used by both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +22,290 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from incubator_hugegraph_spark.functions.conditions import P
+from incubator_hugegraph_spark.functions.text import tokenize
+from incubator_hugegraph_spark.graph import BOTH, IN, OUT, PropertyGraph
+from incubator_hugegraph_spark.sources.tpch import build_graph
+
+# --------------------------------------------------------------------
+# graph cache (driver calls each query separately; building the graph
+# is lazy but persisting the canonical tables across queries helps)
+# --------------------------------------------------------------------
+_GRAPHS: dict[str, PropertyGraph] = {}
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+    g = _GRAPHS.get(sf_dir)
+    if g is None:
+        g = build_graph(spark, sf_dir)
+        g.vertices = g.vertices.persist()
+        g.edges = g.edges.persist()
+        _GRAPHS[sf_dir] = g
+    return g
+
+
+# --------------------------------------------------------------------
+# SQL mirror of the graph derivation (sources/tpch.py) — reused by all
+# oracles. vertices(id,label); edges(src,dst,label,sort_values).
+# --------------------------------------------------------------------
+V_SQL = """
+vertices AS (
+  SELECT 'region!'   || r_regionkey AS id, 'region'   AS label FROM region
+  UNION ALL SELECT 'nation!'   || n_nationkey, 'nation'   FROM nation
+  UNION ALL SELECT 'customer!' || c_custkey,   'customer' FROM customer
+  UNION ALL SELECT 'supplier!' || s_suppkey,   'supplier' FROM supplier
+  UNION ALL SELECT 'part!'     || p_partkey,   'part'     FROM part
+  UNION ALL SELECT 'order!'    || o_orderkey,  'order'    FROM orders
+)
+"""
+
+E_SQL = """
+edges AS (
+  SELECT 'customer!' || c_custkey AS src, 'nation!' || c_nationkey AS dst,
+         'in_nation' AS label, '' AS sort_values FROM customer
+  UNION ALL SELECT 'nation!' || n_nationkey, 'region!' || n_regionkey,
+         'located_in', '' FROM nation
+  UNION ALL SELECT 'supplier!' || s_suppkey, 'nation!' || s_nationkey,
+         'supplier_nation', '' FROM supplier
+  UNION ALL SELECT 'customer!' || o_custkey, 'order!' || o_orderkey,
+         'placed', '' FROM orders
+  UNION ALL SELECT 'order!' || l_orderkey, 'part!' || l_partkey,
+         'contains', CAST(l_linenumber AS VARCHAR) FROM lineitem
+  UNION ALL SELECT DISTINCT 'supplier!' || l_suppkey, 'part!' || l_partkey,
+         'supplies', '' FROM lineitem
+  UNION ALL SELECT 'customer!' || pu, 'customer!' || user_id,
+         'interacted', CAST(event_id AS VARCHAR)
+    FROM (SELECT lag(user_id) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id) AS pu,
+                 user_id, event_id
+          FROM events)
+    WHERE pu IS NOT NULL AND pu <> user_id
+)
+"""
+
+# both-direction adjacency (the reference's dual-row edge storage)
+ADJ_SQL = E_SQL + """,
+adj AS (
+  SELECT src, dst, label, sort_values, 'OUT' AS dir FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst, label, sort_values, 'IN' AS dir FROM edges
+)
+"""
+
+# default analyzer, SQL side (functions/text.py mirror)
+TOKENIZE_SQL = ("list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), "
+                "x -> x <> '')")
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+    return deco
+
+
+# ====================================================================
+# §2.A scans / §2.F aggregations
+# ====================================================================
+
+@_q("count_vertex", f"""
+WITH {V_SQL.strip()}
+SELECT label, count(*) AS cnt FROM vertices GROUP BY label
+""")
+def count_vertex(spark, sf_dir):
+    """CountVertexAlgorithm.java — vertex count per label."""
+    g = _graph(spark, sf_dir)
+    return g.vertices.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@_q("count_edge", f"""
+WITH {E_SQL.strip()}
+SELECT label, count(*) AS cnt FROM edges GROUP BY label
+""")
+def count_edge(spark, sf_dir):
+    """CountEdgeAlgorithm.java — edge count per label."""
+    g = _graph(spark, sf_dir)
+    return g.edges.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@_q("vertex_filter_range", """
+SELECT 'customer!' || c_custkey AS id, c_name AS name,
+       ROUND(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 1000 AND c_acctbal < 5000
+""")
+def vertex_filter_range(spark, sf_dir):
+    """Condition-query scan: label eq + range relations (Condition.java
+    EQ/GTE/LT) pushed down to the Parquet scan by Catalyst."""
+    g = _graph(spark, sf_dir)
+    c = g.view("customer")
+    return (c.filter(P.eq("mktsegment", "BUILDING")
+                     & P.between("acctbal", 1000, 5000))
+            .select("id", "name", F.round("acctbal", 2).alias("acctbal")))
+
+
+@_q("vertex_id_lookup", f"""
+WITH {V_SQL.strip()}
+SELECT id, label FROM vertices
+WHERE id IN ('customer!1','order!7','part!3','nation!2','nope!0')
+""")
+def vertex_id_lookup(spark, sf_dir):
+    """IdQuery point-lookup (GraphTransaction.java:774-811)."""
+    g = _graph(spark, sf_dir)
+    return (g.vertices_by_ids(["customer!1", "order!7", "part!3",
+                               "nation!2", "nope!0"])
+            .select("id", "label"))
+
+
+@_q("vertex_id_prefix", f"""
+WITH {V_SQL.strip()}
+SELECT id FROM vertices WHERE id LIKE 'nation!%'
+""")
+def vertex_id_prefix(spark, sf_dir):
+    """IdPrefixQuery — prefix scan over the id space
+    (core/backend/query/IdPrefixQuery.java)."""
+    g = _graph(spark, sf_dir)
+    return g.vertices.filter(P.prefix("id", "nation!")).select("id")
+
+
+@_q("text_contains", """
+SELECT 'part!' || p_partkey AS id, p_name AS name
+FROM part
+WHERE list_contains(
+  list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> x <> ''),
+  'widget')
+""")
+def text_contains(spark, sf_dir):
+    """TEXT_CONTAINS — analyzer word match (SEARCH index semantics,
+    GraphIndexTransaction.doSearchIndex :529-548)."""
+    g = _graph(spark, sf_dir)
+    p = g.view("part")
+    return p.filter(P.text_contains("name", "widget")).select("id", "name")
+
+
+@_q("text_contains_any", """
+SELECT 'part!' || p_partkey AS id, p_name AS name
+FROM part
+WHERE len(list_intersect(
+  list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> x <> ''),
+  ['widget','gear'])) > 0
+""")
+def text_contains_any(spark, sf_dir):
+    """TEXT_CONTAINS_ANY (Condition.java:54-131)."""
+    g = _graph(spark, sf_dir)
+    p = g.view("part")
+    return (p.filter(P.text_contains_any("name", ["widget", "gear"]))
+            .select("id", "name"))
+
+
+@_q("agg_pushdown", """
+SELECT count(*) AS cnt,
+       ROUND(min(o_totalprice), 2) AS min_price,
+       ROUND(max(o_totalprice), 2) AS max_price,
+       ROUND(avg(o_totalprice), 4) AS avg_price,
+       ROUND(sum(o_totalprice), 2) AS sum_price
+FROM orders WHERE o_orderstatus = 'F'
+""")
+def agg_pushdown(spark, sf_dir):
+    """Backend aggregate pushdown COUNT/MIN/MAX/AVG/SUM
+    (core/backend/query/Aggregate.java:25-108) — Catalyst partial+final
+    aggregation replaces the store-side fast path."""
+    g = _graph(spark, sf_dir)
+    o = g.view("order")
+    return (o.filter(P.eq("orderstatus", "F"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.min("totalprice"), 2).alias("min_price"),
+                 F.round(F.max("totalprice"), 2).alias("max_price"),
+                 F.round(F.avg("totalprice"), 4).alias("avg_price"),
+                 F.round(F.sum("totalprice"), 2).alias("sum_price")))
+
+
+@_q("sort_limit_topk", """
+SELECT 'order!' || o_orderkey AS id, ROUND(o_totalprice, 2) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, id
+LIMIT 10
+""")
+def sort_limit_topk(spark, sf_dir):
+    """Order-by + range/limit extraction (Query.orders, Query.java:60;
+    TraversalUtil.extractRange :222-254). Deterministic tie-break on id
+    so the top-k SET is stable (SURVEY §7.4#4)."""
+    g = _graph(spark, sf_dir)
+    o = g.view("order")
+    return (o.orderBy(F.desc("totalprice"), F.asc("id"))
+            .select("id", F.round("totalprice", 2).alias("totalprice"))
+            .limit(10))
+
+
+@_q("edge_props_scan", """
+SELECT 'order!' || l_orderkey AS src, 'part!' || l_partkey AS dst,
+       CAST(l_linenumber AS VARCHAR) AS sort_values,
+       ROUND(l_quantity, 2) AS quantity,
+       ROUND(l_extendedprice, 2) AS extendedprice
+FROM lineitem
+WHERE l_orderkey = 7
+""")
+def edge_props_scan(spark, sf_dir):
+    """Edge query with sort-key multi-edges (frequency=MULTIPLE,
+    EdgeLabel.java:52): all `contains` edges of one order vertex."""
+    g = _graph(spark, sf_dir)
+    e = g.view("contains")
+    return (e.filter(P.eq("src", "order!7"))
+            .select("src", "dst", "sort_values",
+                    F.round("quantity", 2).alias("quantity"),
+                    F.round("extendedprice", 2).alias("extendedprice")))
+
+
+@_q("props_map_group", """
+SELECT c_mktsegment AS segment, count(*) AS cnt
+FROM customer GROUP BY c_mktsegment
+""")
+def props_map_group(spark, sf_dir):
+    """Generic props-map access (CONTAINS_KEY / map value read on the
+    canonical schemaless table, SURVEY §1.4) + group count."""
+    g = _graph(spark, sf_dir)
+    return (g.vertices_by_label("customer")
+            .select(F.col("props")["mktsegment"].alias("segment"))
+            .groupBy("segment").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+# ====================================================================
+# driver API
+# ====================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 2-hop neighborhood statistics of the BUILDING segment —
+    customers → orders → parts, revenue per part brand (adjacency
+    expansion + aggregation in one declarative plan)."""
+    g = _graph(spark, "/root/testdata/sf0.001")
+    cust = g.view("customer").filter(P.eq("mktsegment", "BUILDING"))
+    placed = g.view("placed")
+    contains = g.view("contains")
+    part = g.view("part")
+    return (cust.select("id")
+            .join(placed, cust.id == placed.src)
+            .select(F.col("dst").alias("order_id"))
+            .join(contains, F.col("order_id") == contains.src)
+            .join(part.select(F.col("id").alias("pid"), "brand"),
+                  contains.dst == F.col("pid"))
+            .groupBy("brand")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum(F.col("extendedprice")
+                               * (1 - F.col("discount"))), 2).alias("revenue"))
+            .orderBy(F.desc("revenue")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)
