@@ -278,6 +278,150 @@ def props_map_group(spark, sf_dir):
 
 
 # ====================================================================
+# §2.C/§2.D neighborhood traversers (BFS kernel)
+# ====================================================================
+
+@_q("kout_2", f"""
+WITH {E_SQL.strip()},
+l1 AS (SELECT DISTINCT e.dst AS id FROM edges e
+       WHERE e.src = 'customer!1' AND e.dst <> 'customer!1'),
+l2 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN l1 ON e.src = l1.id
+       WHERE e.dst NOT IN (SELECT id FROM l1) AND e.dst <> 'customer!1')
+SELECT id FROM l2
+""")
+def kout_2(spark, sf_dir):
+    """kout depth=2 OUT, nearest=true (KoutTraverser.java:43-111):
+    vertices exactly 2 steps from customer!1, not reachable sooner."""
+    from incubator_hugegraph_spark.operators.bfs import kout
+    return kout(_graph(spark, sf_dir), "customer!1", 2, direction=OUT)
+
+
+@_q("kneighbor_2", f"""
+WITH {ADJ_SQL.strip()},
+l1 AS (SELECT DISTINCT a.dst AS id FROM adj a
+       WHERE a.src = 'customer!1' AND a.dst <> 'customer!1'),
+l2 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN l1 ON a.src = l1.id
+       WHERE a.dst NOT IN (SELECT id FROM l1) AND a.dst <> 'customer!1')
+SELECT id, 1 AS dist FROM l1
+UNION ALL SELECT id, 2 AS dist FROM l2
+""")
+def kneighbor_2(spark, sf_dir):
+    """kneighbor depth=2 BOTH (KneighborTraverser.java:39-74): all
+    vertices within ≤2 steps of customer!1, source excluded."""
+    from incubator_hugegraph_spark.operators.bfs import kneighbor
+    return kneighbor(_graph(spark, sf_dir), "customer!1", 2, direction=BOTH)
+
+
+@_q("same_neighbors", f"""
+WITH {ADJ_SQL.strip()},
+na AS (SELECT DISTINCT dst FROM adj WHERE src = 'customer!1'),
+nb AS (SELECT DISTINCT dst FROM adj WHERE src = 'customer!2')
+SELECT dst AS id FROM na INTERSECT SELECT dst AS id FROM nb
+""")
+def same_neighbors_q(spark, sf_dir):
+    """sameneighbors (SameNeighborTraverser.java:38-68)."""
+    from incubator_hugegraph_spark.operators.neighbors import same_neighbors
+    return same_neighbors(_graph(spark, sf_dir), "customer!1", "customer!2",
+                          direction=BOTH)
+
+
+@_q("jaccard_pair", f"""
+WITH {ADJ_SQL.strip()},
+na AS (SELECT DISTINCT dst FROM adj WHERE src = 'customer!1'),
+nb AS (SELECT DISTINCT dst FROM adj WHERE src = 'customer!2')
+SELECT ROUND(
+  CAST((SELECT count(*) FROM (SELECT dst FROM na INTERSECT SELECT dst FROM nb))
+       AS DOUBLE)
+  / (SELECT count(*) FROM (SELECT dst FROM na UNION SELECT dst FROM nb)),
+  6) AS jaccard
+""")
+def jaccard_pair(spark, sf_dir):
+    """jaccardsimilarity pair mode (JaccardSimilarTraverser.java:48-79)."""
+    from incubator_hugegraph_spark.operators.neighbors import jaccard_similarity
+    return jaccard_similarity(_graph(spark, sf_dir), "customer!1",
+                              "customer!2", direction=BOTH)
+
+
+@_q("adamic_adar", f"""
+WITH {ADJ_SQL.strip()},
+na AS (SELECT DISTINCT dst FROM adj
+       WHERE src = 'customer!1' AND label = 'interacted'),
+nb AS (SELECT DISTINCT dst FROM adj
+       WHERE src = 'customer!2' AND label = 'interacted'),
+common AS (SELECT dst FROM na INTERSECT SELECT dst FROM nb),
+deg AS (SELECT src AS id, count(*) AS degree FROM adj
+        WHERE label = 'interacted' GROUP BY src)
+SELECT ROUND(sum(1.0 / ln(degree)), 6) AS score
+FROM common JOIN deg ON common.dst = deg.id
+""")
+def adamic_adar_q(spark, sf_dir):
+    """adamicadar link prediction (PredictionTraverser.java:36-52)."""
+    from incubator_hugegraph_spark.operators.neighbors import adamic_adar
+    return adamic_adar(_graph(spark, sf_dir), "customer!1", "customer!2",
+                       direction=BOTH, labels=["interacted"])
+
+
+@_q("resource_allocation", f"""
+WITH {ADJ_SQL.strip()},
+na AS (SELECT DISTINCT dst FROM adj
+       WHERE src = 'customer!1' AND label = 'interacted'),
+nb AS (SELECT DISTINCT dst FROM adj
+       WHERE src = 'customer!2' AND label = 'interacted'),
+common AS (SELECT dst FROM na INTERSECT SELECT dst FROM nb),
+deg AS (SELECT src AS id, count(*) AS degree FROM adj
+        WHERE label = 'interacted' GROUP BY src)
+SELECT ROUND(sum(1.0 / degree), 6) AS score
+FROM common JOIN deg ON common.dst = deg.id
+""")
+def resource_allocation_q(spark, sf_dir):
+    """resourceallocation (PredictionTraverser.java:53-…)."""
+    from incubator_hugegraph_spark.operators.neighbors import resource_allocation
+    return resource_allocation(_graph(spark, sf_dir), "customer!1",
+                               "customer!2", direction=BOTH,
+                               labels=["interacted"])
+
+
+@_q("edge_exist", """
+SELECT 'order!' || l_orderkey AS src, 'part!' || l_partkey AS dst,
+       'contains' AS label, CAST(l_linenumber AS VARCHAR) AS sort_values
+FROM lineitem WHERE l_orderkey = 7 AND l_partkey = 491
+""")
+def edge_exist(spark, sf_dir):
+    """edgeexist semi-join check (EdgeExistenceTraverser.java:38-…)."""
+    from incubator_hugegraph_spark.operators.neighbors import edge_exists
+    return edge_exists(_graph(spark, sf_dir), "order!7", "part!491",
+                       label="contains")
+
+
+@_q("count_steps", """
+SELECT count(*) AS cnt
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_custkey = 1
+""")
+def count_steps_q(spark, sf_dir):
+    """count traverser, 2 steps placed→contains, multiset semantics
+    (CountTraverser.java:47-…)."""
+    from incubator_hugegraph_spark.operators.neighbors import count_steps
+    return count_steps(_graph(spark, sf_dir), "customer!1",
+                       [{"direction": OUT, "labels": ["placed"]},
+                        {"direction": OUT, "labels": ["contains"]}])
+
+
+@_q("count_steps_dedup", """
+SELECT count(DISTINCT l_partkey) AS cnt
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_custkey = 1
+""")
+def count_steps_dedup(spark, sf_dir):
+    """count traverser with dedup (CountTraverser dedupSize)."""
+    from incubator_hugegraph_spark.operators.neighbors import count_steps
+    return count_steps(_graph(spark, sf_dir), "customer!1",
+                       [{"direction": OUT, "labels": ["placed"]},
+                        {"direction": OUT, "labels": ["contains"]}],
+                       dedup=True)
+
+
+# ====================================================================
 # driver API
 # ====================================================================
 

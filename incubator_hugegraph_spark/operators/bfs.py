@@ -1,0 +1,137 @@
+"""BFS frontier kernel + kout / kneighbor.
+
+The spine every neighborhood traverser reuses (SURVEY §7.1):
+the reference's per-request BFS with batched adjacency queries
+(OltpTraverser.traverseIdsByBfs, core/traversal/algorithm/
+OltpTraverser.java:93-157; KoutTraverser.java:43-111;
+KneighborTraverser.java:39-74) becomes an iterative
+``frontier ⋈ adj`` DataFrame loop:
+
+  frontier_{k+1} = distinct(adj[src ∈ frontier_k].dst) \\ visited
+
+Scale notes:
+- The join is set-oriented — the reference's batched multi-source
+  query (BatchConditionQuery.java) is the default here, not an
+  optimization.
+- Frontiers are usually tiny vs. edges: we hint broadcast on the
+  frontier side so each round is a broadcast-hash join against the
+  (bucketed) edge table — no edge shuffle per round. AQE upgrades or
+  demotes the hint at runtime if a frontier explodes.
+- ``localCheckpoint`` every few rounds cuts the O(depth) lineage.
+- degree / skip_degree / capacity guards are the reference's own
+  safety envelope (HugeTraverser.java:84-158) — load-bearing at scale
+  (super-node skew control).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_hugegraph_spark.graph import (
+    BOTH,
+    NO_LIMIT,
+    OUT,
+    PropertyGraph,
+    cap_degree,
+    iterate_hygiene,
+    skip_super_nodes,
+)
+
+
+def sources_df(graph: PropertyGraph, ids: list[str]) -> DataFrame:
+    return graph.spark.createDataFrame([(i,) for i in ids], "id string")
+
+
+def prepared_adj(graph: PropertyGraph, direction: str = OUT,
+                 labels: list[str] | None = None,
+                 max_degree: int = NO_LIMIT,
+                 skip_degree: int = NO_LIMIT) -> DataFrame:
+    """Adjacency with the reference's super-node guards applied.
+
+    skipDegree drops super-nodes entirely, max_degree truncates
+    deterministically (HugeTraverser.skipSuperNodeIfNeeded,
+    HugeTraverser.java:210-…).
+    """
+    adj = graph.adj(direction, labels).select("src", "dst")
+    adj = skip_super_nodes(adj, skip_degree)
+    adj = cap_degree(adj, max_degree, order_cols=("dst",))
+    return adj
+
+
+def expand(frontier: DataFrame, adj: DataFrame) -> DataFrame:
+    """One BFS layer: distinct out-neighbors of the frontier.
+    Broadcast the frontier — the edge side never shuffles."""
+    return (adj.join(F.broadcast(frontier), on=adj.src == frontier.id)
+            .select(F.col("dst").alias("id"))
+            .distinct())
+
+
+def bfs(graph: PropertyGraph, source_ids: list[str], depth: int,
+        direction: str = OUT, labels: list[str] | None = None,
+        max_degree: int = NO_LIMIT, skip_degree: int = NO_LIMIT,
+        capacity: int = NO_LIMIT) -> DataFrame:
+    """Multi-source BFS → (id, dist), dist = first-reach layer
+    (0 for sources). Global dedup ⇒ 'nearest' semantics."""
+    adj = prepared_adj(graph, direction, labels, max_degree, skip_degree)
+    frontier = sources_df(graph, source_ids)
+    visited = frontier.withColumn("dist", F.lit(0))
+    total = len(source_ids)
+    for k in range(1, depth + 1):
+        frontier = (expand(frontier, adj)
+                    .join(visited.select("id"), on="id", how="left_anti"))
+        frontier = iterate_hygiene(frontier, k, every=3)
+        n = graph.check_capacity(frontier, capacity) if capacity != NO_LIMIT \
+            else None
+        if n == 0:
+            break
+        visited = visited.unionByName(
+            frontier.withColumn("dist", F.lit(k)))
+        if capacity != NO_LIMIT:
+            total += n
+            if total > capacity:
+                raise RuntimeError(f"capacity {capacity} exceeded")
+    return visited
+
+
+def kout(graph: PropertyGraph, source: str, depth: int,
+         direction: str = OUT, labels: list[str] | None = None,
+         nearest: bool = True, max_degree: int = NO_LIMIT,
+         skip_degree: int = NO_LIMIT, capacity: int = NO_LIMIT,
+         limit: int = NO_LIMIT) -> DataFrame:
+    """kout: vertices exactly ``depth`` steps away.
+
+    nearest=True → not reachable by any shorter path (BFS layers with
+    global dedup, KoutTraverser.java:43-111); nearest=False → the raw
+    k-th expansion, deduped within the layer only (:114-147).
+    Returns (id).
+    """
+    if nearest:
+        out = (bfs(graph, [source], depth, direction, labels, max_degree,
+                   skip_degree, capacity)
+               .filter(F.col("dist") == depth).select("id"))
+    else:
+        adj = prepared_adj(graph, direction, labels, max_degree, skip_degree)
+        frontier = sources_df(graph, [source])
+        for k in range(1, depth + 1):
+            frontier = iterate_hygiene(expand(frontier, adj), k, every=3)
+        out = frontier.select("id")
+    if limit != NO_LIMIT:
+        out = out.orderBy("id").limit(limit)  # deterministic truncation
+    return out
+
+
+def kneighbor(graph: PropertyGraph, source: str, depth: int,
+              direction: str = BOTH, labels: list[str] | None = None,
+              max_degree: int = NO_LIMIT, skip_degree: int = NO_LIMIT,
+              limit: int = NO_LIMIT) -> DataFrame:
+    """kneighbor: all vertices within ≤ depth steps, source excluded
+    (KneighborTraverser.java:39-74). Returns (id, dist)."""
+    vis = (bfs(graph, [source], depth, direction, labels, max_degree,
+               skip_degree)
+           .filter(F.col("id") != source))
+    if limit != NO_LIMIT:
+        vis = vis.orderBy("dist", "id").limit(limit)
+    return vis
