@@ -98,6 +98,44 @@ adj AS (
 TOKENIZE_SQL = ("list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), "
                 "x -> x <> '')")
 
+# interacted edges, distinct vertex pairs (path semantics collapse
+# parallel multi-edges) and weighted multi-edge form
+IE_SQL = """
+ie AS (
+  SELECT DISTINCT 'customer!' || pu AS src, 'customer!' || user_id AS dst
+  FROM (SELECT lag(user_id) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS pu, user_id
+        FROM events)
+  WHERE pu IS NOT NULL AND pu <> user_id
+)
+"""
+
+IWE_SQL = """
+iwe AS (
+  SELECT 'customer!' || pu AS src, 'customer!' || user_id AS dst,
+         value AS weight
+  FROM (SELECT lag(user_id) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS pu,
+               user_id, value
+        FROM events)
+  WHERE pu IS NOT NULL AND pu <> user_id
+)
+"""
+
+
+def _bellman_ford_sql(source: str, rounds: int, final: str) -> str:
+    """Unrolled Bellman-Ford CTE chain over ``iwe`` (fixed-round oracle
+    parity with operators/weighted.py::sssp)."""
+    ctes = [f"d0 AS (SELECT '{source}' AS id, CAST(0.0 AS DOUBLE) AS dist)"]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"d{k} AS (SELECT id, min(dist) AS dist FROM ("
+            f"SELECT id, dist FROM d{k-1} "
+            f"UNION ALL SELECT e.dst AS id, d.dist + e.weight AS dist "
+            f"FROM d{k-1} d JOIN iwe e ON e.src = d.id) GROUP BY id)")
+    return (f"WITH {IWE_SQL.strip()},\n" + ",\n".join(ctes) + "\n" +
+            final.format(last=f"d{rounds}"))
+
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
@@ -419,6 +457,189 @@ def count_steps_dedup(spark, sf_dir):
                        [{"direction": OUT, "labels": ["placed"]},
                         {"direction": OUT, "labels": ["contains"]}],
                        dedup=True)
+
+
+# ====================================================================
+# §2.D path family
+# ====================================================================
+
+# all simple paths customer!1 → part!491, unrolled to depth 3
+_PATHS_UNROLLED = f"""
+WITH {E_SQL.strip()},
+e AS (SELECT DISTINCT src, dst FROM edges),
+p1 AS (SELECT src || '>' || dst AS path, 1 AS length FROM e
+       WHERE src = 'customer!1' AND dst = 'part!491'),
+p2 AS (SELECT e1.src || '>' || e1.dst || '>' || e2.dst AS path, 2 AS length
+       FROM e e1 JOIN e e2 ON e2.src = e1.dst
+       WHERE e1.src = 'customer!1' AND e2.dst = 'part!491'
+         AND e1.dst <> 'customer!1' AND e1.dst <> 'part!491'),
+p3 AS (SELECT e1.src || '>' || e1.dst || '>' || e2.dst || '>' || e3.dst AS path,
+              3 AS length
+       FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e2.dst
+       WHERE e1.src = 'customer!1' AND e3.dst = 'part!491'
+         AND e1.dst <> 'customer!1' AND e1.dst <> 'part!491'
+         AND e2.dst <> 'customer!1' AND e2.dst <> 'part!491'
+         AND e2.dst <> e1.dst),
+allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+"""
+
+
+@_q("shortest_path", _PATHS_UNROLLED + """
+SELECT path, length FROM allp ORDER BY length, path LIMIT 1
+""")
+def shortest_path_q(spark, sf_dir):
+    """shortestpath customer!1→part!491 OUT depth≤3
+    (ShortestPathTraverser.java:45-101); deterministic min-lex pick."""
+    from incubator_hugegraph_spark.operators.paths import shortest_path
+    return shortest_path(_graph(spark, sf_dir), "customer!1", "part!491", 3,
+                         direction=OUT)
+
+
+@_q("all_shortest_paths", _PATHS_UNROLLED + """
+SELECT path, length FROM allp
+WHERE length = (SELECT min(length) FROM allp)
+""")
+def all_shortest_paths_q(spark, sf_dir):
+    """allshortestpaths (ShortestPathTraverser.java:104-…)."""
+    from incubator_hugegraph_spark.operators.paths import all_shortest_paths
+    return all_shortest_paths(_graph(spark, sf_dir), "customer!1",
+                              "part!491", 3, direction=OUT)
+
+
+@_q("paths_depth3", _PATHS_UNROLLED + """
+SELECT path, length FROM allp
+""")
+def paths_depth3(spark, sf_dir):
+    """paths: all simple paths ≤ depth 3 (PathsTraverser.java:38-94)."""
+    from incubator_hugegraph_spark.operators.paths import paths
+    return paths(_graph(spark, sf_dir), "customer!1", "part!491", 3,
+                 direction=OUT)
+
+
+@_q("rays", """
+WITH pe AS (SELECT 'customer!' || o_custkey AS src,
+                   'order!' || o_orderkey AS dst FROM orders),
+ce AS (SELECT DISTINCT 'order!' || l_orderkey AS src,
+              'part!' || l_partkey AS dst FROM lineitem),
+leaf_orders AS (SELECT src || '>' || dst AS path, 1 AS length FROM pe
+                WHERE src = 'customer!1'
+                  AND dst NOT IN (SELECT src FROM ce)),
+full2 AS (SELECT pe.src || '>' || pe.dst || '>' || ce.dst AS path, 2 AS length
+          FROM pe JOIN ce ON ce.src = pe.dst WHERE pe.src = 'customer!1')
+SELECT path, length FROM leaf_orders UNION ALL SELECT path, length FROM full2
+""")
+def rays_q(spark, sf_dir):
+    """rays: paths until leaf/depth, no rings (SubGraphTraverser.java:59-63)."""
+    from incubator_hugegraph_spark.operators.paths import rays
+    return rays(_graph(spark, sf_dir), "customer!1", 3, direction=OUT,
+                labels=["placed", "contains"])
+
+
+@_q("rings", f"""
+WITH {IE_SQL.strip()},
+r2 AS (SELECT e1.src || '>' || e1.dst || '>' || e2.dst AS path, 2 AS length
+       FROM ie e1 JOIN ie e2 ON e2.src = e1.dst
+       WHERE e1.src = 'customer!1' AND e2.dst = 'customer!1'
+         AND e1.dst <> 'customer!1'),
+r3 AS (SELECT e1.src || '>' || e1.dst || '>' || e2.dst || '>' || e3.dst AS path,
+              3 AS length
+       FROM ie e1 JOIN ie e2 ON e2.src = e1.dst JOIN ie e3 ON e3.src = e2.dst
+       WHERE e1.src = 'customer!1' AND e3.dst = 'customer!1'
+         AND e1.dst <> 'customer!1' AND e2.dst <> 'customer!1'
+         AND e2.dst <> e1.dst)
+SELECT path, length FROM r2 UNION ALL SELECT path, length FROM r3
+""")
+def rings_q(spark, sf_dir):
+    """rings: cycles from source back to source ≤ depth 3 on the
+    interacted graph (SubGraphTraverser.rings :65-…)."""
+    from incubator_hugegraph_spark.operators.paths import rings
+    return rings(_graph(spark, sf_dir), "customer!1", 3, direction=OUT,
+                 labels=["interacted"])
+
+
+@_q("template_paths", f"""
+WITH {IE_SQL.strip()},
+cne AS (SELECT 'customer!' || c_custkey AS src,
+               'nation!' || c_nationkey AS dst FROM customer),
+t1 AS (SELECT ie.src || '>' || ie.dst || '>' || ce.dst AS path, 2 AS length
+       FROM ie JOIN cne ce ON ce.src = ie.dst
+       WHERE ie.src = 'customer!1' AND ie.dst <> 'customer!1'),
+t2 AS (SELECT e1.src || '>' || e1.dst || '>' || e2.dst || '>' || ce.dst AS path,
+              3 AS length
+       FROM ie e1 JOIN ie e2 ON e2.src = e1.dst
+       JOIN cne ce ON ce.src = e2.dst
+       WHERE e1.src = 'customer!1' AND e1.dst <> 'customer!1'
+         AND e2.dst <> 'customer!1' AND e2.dst <> e1.dst)
+SELECT DISTINCT path, length
+FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+""")
+def template_paths_q(spark, sf_dir):
+    """templatepaths: step template [interacted×≤2, in_nation] ending
+    in a nation (TemplatePathsTraverser.java:42-106)."""
+    from incubator_hugegraph_spark.operators.paths import template_paths
+    nations = [f"nation!{i}" for i in range(25)]
+    return template_paths(
+        _graph(spark, sf_dir), ["customer!1"], nations,
+        [{"direction": OUT, "labels": ["interacted"], "max_times": 2},
+         {"direction": OUT, "labels": ["in_nation"], "max_times": 1}])
+
+
+@_q("multi_node_shortest_path", f"""
+WITH {IE_SQL.strip()},
+ids(id) AS (VALUES ('customer!1'), ('customer!2'), ('customer!3')),
+p1 AS (SELECT a.id AS source, b.id AS target,
+              a.id || '>' || b.id AS path, 1 AS length
+       FROM ids a JOIN ids b ON a.id <> b.id
+       WHERE EXISTS (SELECT 1 FROM ie WHERE src = a.id AND dst = b.id)),
+p2 AS (SELECT a.id AS source, b.id AS target,
+              min(a.id || '>' || e1.dst || '>' || b.id) AS path, 2 AS length
+       FROM ids a JOIN ids b ON a.id <> b.id
+       JOIN ie e1 ON e1.src = a.id
+       JOIN ie e2 ON e2.src = e1.dst AND e2.dst = b.id
+       WHERE e1.dst <> a.id AND e1.dst <> b.id
+         AND NOT EXISTS (SELECT 1 FROM p1
+                         WHERE p1.source = a.id AND p1.target = b.id)
+       GROUP BY a.id, b.id)
+SELECT * FROM p1 UNION ALL SELECT * FROM p2
+""")
+def multi_node_sp(spark, sf_dir):
+    """multinodeshortestpath among 3 customers on interacted, OUT,
+    depth≤2 (MultiNodeShortestPathTraverser.java:68-113)."""
+    from incubator_hugegraph_spark.operators.paths import multi_node_shortest_path
+    return multi_node_shortest_path(
+        _graph(spark, sf_dir), ["customer!1", "customer!2", "customer!3"],
+        2, direction=OUT, labels=["interacted"])
+
+
+def _interacted_weighted(g: PropertyGraph):
+    return g.view("interacted").select(
+        "src", "dst", F.col("value").alias("weight"))
+
+
+@_q("sssp_weighted", _bellman_ford_sql("customer!1", 4, """
+SELECT id, ROUND(dist, 4) AS dist FROM {last}
+"""))
+def sssp_weighted(spark, sf_dir):
+    """singlesourceshortestpath: Bellman-Ford over interacted
+    (weight=value), fixed 4 relaxation rounds for oracle parity
+    (SingleSourceShortestPathTraverser.java:49-82)."""
+    from incubator_hugegraph_spark.operators.weighted import sssp
+    g = _graph(spark, sf_dir)
+    return (sssp(g, "customer!1", _interacted_weighted(g), rounds=4)
+            .select("id", F.round("dist", 4).alias("dist")))
+
+
+@_q("weighted_shortest_path", _bellman_ford_sql("customer!1", 4, """
+SELECT id, ROUND(dist, 4) AS dist FROM {last} WHERE id = 'customer!7'
+"""))
+def weighted_sp_pair(spark, sf_dir):
+    """weightedshortestpath pair mode
+    (SingleSourceShortestPathTraverser.java:83-…)."""
+    from incubator_hugegraph_spark.operators.weighted import weighted_shortest_path
+    g = _graph(spark, sf_dir)
+    return (weighted_shortest_path(g, "customer!1", "customer!7",
+                                   _interacted_weighted(g), rounds=4)
+            .select("id", F.round("dist", 4).alias("dist")))
 
 
 # ====================================================================

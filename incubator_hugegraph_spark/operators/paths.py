@@ -1,0 +1,256 @@
+"""Path-family traversers: shortestpath, allshortestpaths, paths,
+rays, rings, templatepaths, multinodeshortestpath.
+
+Reference: ShortestPathTraverser.java:45-101 (+bidirectional frontiers
+:179-257), PathsTraverser.java:38-94, SubGraphTraverser.java:59-…
+(rays/rings), TemplatePathsTraverser.java:42-106,
+MultiNodeShortestPathTraverser.java:68-113, records machinery
+core/traversal/algorithm/records/.
+
+Design: path-carrying BFS. A frontier row is (id, path array); one
+round joins the frontier to adjacency, drops row-revisits
+(simple-path predicate array_contains(path, dst) — the reference's
+cyclicPath check), and dedups on the vertex sequence (parallel
+multi-edges collapse to one vertex-path, as HugeGraph Path objects
+do). Paths are emitted as '>'-joined strings for stable comparison.
+
+Scale: path enumeration is combinatorial — the reference's
+degree/capacity/limit guards are enforced here for the same reason
+(SURVEY §7.4#1). Frontiers are broadcast; the edge side never
+reshuffles. For truly deep shortest-path-only workloads the
+parent-pointer BFS in bfs.py is the cheaper kernel; these operators
+exist for the path-materializing semantics.
+
+Determinism: where the reference returns an arbitrary path
+(insertion order), we return the lexicographically smallest —
+documented deviation (SURVEY §7.4#4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from incubator_hugegraph_spark.graph import (
+    BOTH,
+    NO_LIMIT,
+    OUT,
+    PropertyGraph,
+    iterate_hygiene,
+)
+from incubator_hugegraph_spark.operators.bfs import prepared_adj
+
+PATH_SEP = ">"
+
+
+def _seed(graph: PropertyGraph, ids: list[str]) -> DataFrame:
+    return (graph.spark.createDataFrame([(i,) for i in ids], "id string")
+            .select("id", F.array("id").alias("path")))
+
+
+def _extend(frontier: DataFrame, adj: DataFrame,
+            allow_dst: str | None = None) -> DataFrame:
+    """One path-extension round. Drops cyclic continuations (dst
+    already on the path) unless dst == allow_dst (ring closing)."""
+    ext = (adj.join(F.broadcast(frontier), on=adj.src == frontier.id)
+           .select(F.col("dst").alias("id"),
+                   F.concat("path", F.array("dst")).alias("path")))
+    no_cycle = ~F.array_contains(
+        F.slice("path", 1, F.size("path") - 1), F.col("id"))
+    if allow_dst is not None:
+        no_cycle = no_cycle | (F.col("id") == F.lit(allow_dst))
+    return ext.filter(no_cycle).distinct()
+
+
+def _emit(df: DataFrame) -> DataFrame:
+    return df.select(F.array_join("path", PATH_SEP).alias("path"),
+                     (F.size("path") - 1).alias("length"))
+
+
+def paths(graph: PropertyGraph, source: str, target: str, max_depth: int,
+          direction: str = OUT, labels: list[str] | None = None,
+          max_degree: int = NO_LIMIT, limit: int = NO_LIMIT,
+          shortest_only: bool = False, first_only: bool = False) -> DataFrame:
+    """All simple paths source→target with length ≤ max_depth
+    (PathsTraverser.java:38-94). shortest_only → stop at the first
+    depth that reaches target (allshortestpaths); first_only
+    additionally keeps just the lexicographically smallest
+    (shortestpath). Returns (path, length)."""
+    adj = prepared_adj(graph, direction, labels, max_degree) \
+        .select("src", "dst").distinct()
+    frontier = _seed(graph, [source])
+    found: DataFrame | None = None
+    for k in range(1, max_depth + 1):
+        frontier = iterate_hygiene(_extend(frontier, adj), k, every=3)
+        hits = frontier.filter(F.col("id") == target)
+        if shortest_only:
+            if hits.limit(1).count() > 0:
+                found = _emit(hits)
+                break
+        else:
+            found = _emit(hits) if found is None \
+                else found.unionByName(_emit(hits))
+        # target is a dead end for simple paths — stop extending at it
+        frontier = frontier.filter(F.col("id") != target)
+    if found is None:
+        found = graph.spark.createDataFrame([], "path string, length int")
+    if first_only:
+        found = found.orderBy("length", "path").limit(1)
+    elif limit != NO_LIMIT:
+        found = found.orderBy("length", "path").limit(limit)
+    return found
+
+
+def shortest_path(graph: PropertyGraph, source: str, target: str,
+                  max_depth: int, direction: str = OUT,
+                  labels: list[str] | None = None,
+                  max_degree: int = NO_LIMIT,
+                  skip_degree: int = NO_LIMIT) -> DataFrame:
+    """One shortest path (ShortestPathTraverser.java:45-101);
+    deterministic min-lexicographic pick. Returns (path, length)."""
+    return paths(graph, source, target, max_depth, direction, labels,
+                 max_degree, shortest_only=True, first_only=True)
+
+
+def all_shortest_paths(graph: PropertyGraph, source: str, target: str,
+                       max_depth: int, direction: str = OUT,
+                       labels: list[str] | None = None,
+                       max_degree: int = NO_LIMIT) -> DataFrame:
+    """All shortest paths (ShortestPathTraverser.java:104-…)."""
+    return paths(graph, source, target, max_depth, direction, labels,
+                 max_degree, shortest_only=True)
+
+
+def rays(graph: PropertyGraph, source: str, max_depth: int,
+         direction: str = OUT, labels: list[str] | None = None,
+         max_degree: int = NO_LIMIT, limit: int = NO_LIMIT) -> DataFrame:
+    """Paths from source until leaf or depth, no rings
+    (SubGraphTraverser.rays :59-63). A path is emitted when it has no
+    acyclic continuation, or when it reaches max_depth."""
+    adj = prepared_adj(graph, direction, labels, max_degree) \
+        .select("src", "dst").distinct()
+    frontier = _seed(graph, [source])
+    out: DataFrame | None = None
+    for k in range(1, max_depth + 1):
+        ext = iterate_hygiene(_extend(frontier, adj), k, every=3)
+        # paths with no continuation = leaves → emit
+        parents = ext.select(
+            F.slice("path", 1, F.size("path") - 1).alias("path")).distinct()
+        dead = frontier.join(parents, on="path", how="left_anti")
+        emitted = _emit(dead)
+        out = emitted if out is None else out.unionByName(emitted)
+        frontier = ext
+        if frontier.limit(1).count() == 0:
+            break
+    else:
+        out = out.unionByName(_emit(frontier))
+    if limit != NO_LIMIT:
+        out = out.orderBy("length", "path").limit(limit)
+    return out
+
+
+def rings(graph: PropertyGraph, source: str, max_depth: int,
+          direction: str = OUT, labels: list[str] | None = None,
+          max_degree: int = NO_LIMIT, limit: int = NO_LIMIT) -> DataFrame:
+    """Cyclic paths from source back to source (source-in-ring mode,
+    SubGraphTraverser.rings :65-…; RingsDetectAlgorithm.java for the
+    whole-graph job). Returns (path, length) with source at both ends."""
+    adj = prepared_adj(graph, direction, labels, max_degree) \
+        .select("src", "dst").distinct()
+    frontier = _seed(graph, [source])
+    out: DataFrame | None = None
+    for k in range(1, max_depth + 1):
+        ext = iterate_hygiene(_extend(frontier, adj, allow_dst=source),
+                              k, every=3)
+        closed = _emit(ext.filter(F.col("id") == source))
+        out = closed if out is None else out.unionByName(closed)
+        frontier = ext.filter(F.col("id") != source)
+    if out is None:
+        out = graph.spark.createDataFrame([], "path string, length int")
+    if limit != NO_LIMIT:
+        out = out.orderBy("length", "path").limit(limit)
+    return out
+
+
+def template_paths(graph: PropertyGraph, sources: list[str],
+                   targets: list[str], steps: list[dict],
+                   limit: int = NO_LIMIT) -> DataFrame:
+    """Paths matching a step template (TemplatePathsTraverser.java:42-106,
+    steps/RepeatEdgeStep.java). Each step: {direction, labels,
+    max_degree, max_times} — a step may repeat 1..max_times times; a
+    path matches if it consumes the whole template and ends in
+    ``targets``. Returns (path, length)."""
+    out: DataFrame | None = None
+    seqs = _unroll_templates(steps)
+    for seq in seqs:
+        frontier = _seed(graph, sources)
+        for i, st in enumerate(seq):
+            adj = prepared_adj(graph, st.get("direction", OUT),
+                               st.get("labels"),
+                               st.get("max_degree", NO_LIMIT)) \
+                .select("src", "dst").distinct()
+            frontier = iterate_hygiene(_extend(frontier, adj), i, every=4)
+        hits = _emit(frontier.filter(F.col("id").isin(targets)))
+        out = hits if out is None else out.unionByName(hits)
+    out = out.distinct() if out is not None else \
+        graph.spark.createDataFrame([], "path string, length int")
+    if limit != NO_LIMIT:
+        out = out.orderBy("length", "path").limit(limit)
+    return out
+
+
+def _unroll_templates(steps: list[dict]) -> list[list[dict]]:
+    seqs: list[list[dict]] = [[]]
+    for st in steps:
+        times = int(st.get("max_times", 1))
+        new: list[list[dict]] = []
+        for r in range(1, times + 1):
+            for s in seqs:
+                new.append(s + [st] * r)
+        seqs = new
+    return seqs
+
+
+def multi_node_shortest_path(graph: PropertyGraph, ids: list[str],
+                             max_depth: int, direction: str = BOTH,
+                             labels: list[str] | None = None,
+                             max_degree: int = NO_LIMIT) -> DataFrame:
+    """Pairwise shortest paths among a vertex set
+    (MultiNodeShortestPathTraverser.java:68-113): one BFS frontier
+    keyed by (origin, vertex). Returns (source, target, path, length)
+    — deterministic min-lexicographic path per ordered pair."""
+    spark = graph.spark
+    adj = prepared_adj(graph, direction, labels, max_degree) \
+        .select("src", "dst").distinct()
+    frontier = (spark.createDataFrame([(i,) for i in ids], "origin string")
+                .select("origin", F.col("origin").alias("id"),
+                        F.array("origin").alias("path")))
+    targets = spark.createDataFrame([(i,) for i in ids], "id string")
+    done = spark.createDataFrame([], "origin string, target string")
+    out: DataFrame | None = None
+    for k in range(1, max_depth + 1):
+        ext = (adj.join(F.broadcast(frontier), on=adj.src == frontier.id)
+               .select("origin", F.col("dst").alias("id"),
+                       F.concat("path", F.array("dst")).alias("path"))
+               .filter(~F.array_contains(
+                   F.slice("path", 1, F.size("path") - 1), F.col("id")))
+               .distinct())
+        ext = iterate_hygiene(ext, k, every=3)
+        done_r = done.select(F.col("origin").alias("d_origin"),
+                             F.col("target").alias("d_target"))
+        hits = (ext.join(F.broadcast(targets), on="id")
+                .filter(F.col("id") != F.col("origin"))
+                .join(F.broadcast(done_r),
+                      on=[F.col("origin") == F.col("d_origin"),
+                          F.col("id") == F.col("d_target")],
+                      how="left_anti")
+                .groupBy("origin", F.col("id").alias("target"))
+                .agg(F.min(F.array_join("path", PATH_SEP)).alias("path"))
+                .withColumn("length", F.lit(k)))
+        out = hits if out is None else out.unionByName(hits)
+        done = out.select(F.col("origin"), F.col("target"))
+        frontier = ext
+    if out is None:
+        return spark.createDataFrame(
+            [], "origin string, target string, path string, length int")
+    return out.withColumnRenamed("origin", "source")

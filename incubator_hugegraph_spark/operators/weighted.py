@@ -1,0 +1,83 @@
+"""Weighted shortest paths: singlesourceshortestpath /
+weightedshortestpath (SingleSourceShortestPathTraverser.java:49-…).
+
+The reference runs driver-side Dijkstra with a priority queue; at
+cluster scale the set-oriented equivalent is Bellman-Ford relaxation
+(SURVEY §2.D#5): iterate
+
+    dist_{k+1}(v) = min(dist_k(v), min over edges (u,v) of
+                        dist_k(u) + w(u,v))
+
+until fixpoint (or a fixed round count for oracle-parity runs). Each
+round is one join + one groupBy-min — no priority queue needed, and
+partial aggregation keeps the shuffle proportional to the reached
+frontier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from incubator_hugegraph_spark.graph import NO_LIMIT, PropertyGraph, iterate_hygiene
+
+
+def sssp(graph: PropertyGraph, source: str, weighted_edges: DataFrame,
+         rounds: int = NO_LIMIT, with_parent: bool = False) -> DataFrame:
+    """Bellman-Ford SSSP over ``weighted_edges(src, dst, weight)``.
+
+    rounds=NO_LIMIT → iterate to fixpoint (≤ |V|-1 rounds, checked via
+    an improvement count per round); fixed ``rounds`` → exactly that
+    many relaxations (deterministic partial result, used for
+    SQL-oracle parity). Returns (id, dist[, parent]) — parent is the
+    min-id predecessor on a best path.
+    """
+    spark = graph.spark
+    e = weighted_edges.select("src", "dst", F.col("weight").cast("double"))
+    dist = spark.createDataFrame([(source, 0.0)], "id string, dist double")
+    k = 0
+    while True:
+        k += 1
+        cand = (e.join(F.broadcast(dist), on=e.src == dist.id)
+                .select(F.col("dst").alias("id"),
+                        (F.col("dist") + F.col("weight")).alias("dist")))
+        new = (dist.unionByName(cand)
+               .groupBy("id").agg(F.min("dist").alias("dist")))
+        new = iterate_hygiene(new, k, every=4)
+        if rounds != NO_LIMIT:
+            dist = new
+            if k >= rounds:
+                break
+        else:
+            # fixpoint: stop when no vertex improved
+            improved = (new.alias("n")
+                        .join(dist.alias("o"), on="id", how="left")
+                        .filter(F.col("o.dist").isNull()
+                                | (F.col("n.dist") < F.col("o.dist")))
+                        .limit(1).count())
+            dist = new
+            if improved == 0:
+                break
+    if not with_parent:
+        return dist
+    # parent = min-id predecessor u with dist(u) + w(u,v) == dist(v)
+    par = (e.join(dist.withColumnRenamed("id", "u")
+                  .withColumnRenamed("dist", "du"), on=e.src == F.col("u"))
+           .join(dist, on=e.dst == dist.id)
+           .filter(F.col("du") + F.col("weight") == F.col("dist"))
+           .groupBy("id", "dist").agg(F.min("u").alias("parent")))
+    src_row = dist.filter(F.col("id") == source) \
+        .withColumn("parent", F.lit(None).cast("string"))
+    return par.unionByName(src_row).groupBy("id", "dist") \
+        .agg(F.min("parent").alias("parent"))
+
+
+def weighted_shortest_path(graph: PropertyGraph, source: str, target: str,
+                           weighted_edges: DataFrame,
+                           rounds: int = NO_LIMIT) -> DataFrame:
+    """weightedshortestpath pair mode
+    (SingleSourceShortestPathTraverser.java:83-…): Bellman-Ford with
+    the target row filtered at the end (early-exit when the target
+    settles is subsumed by the fixpoint check). Returns (id, dist)."""
+    return sssp(graph, source, weighted_edges, rounds) \
+        .filter(F.col("id") == target)
