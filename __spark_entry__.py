@@ -643,6 +643,129 @@ def weighted_sp_pair(spark, sf_dir):
 
 
 # ====================================================================
+# §2.D similarity & rank (M4)
+# ====================================================================
+
+@_q("jaccard_top", f"""
+WITH {IE_SQL.strip()},
+ib AS (SELECT src, dst FROM ie UNION SELECT dst AS src, src AS dst FROM ie),
+sn AS (SELECT dst AS n FROM ib WHERE src = 'customer!1'),
+deg AS (SELECT src, count(*) AS deg FROM ib GROUP BY src),
+inter AS (SELECT ib.src, count(*) AS inter FROM ib JOIN sn ON ib.dst = sn.n
+          WHERE ib.src <> 'customer!1' GROUP BY ib.src)
+SELECT i.src AS id,
+       ROUND(CAST(i.inter AS DOUBLE) / (d.deg + sd.deg - i.inter), 6)
+         AS jaccard
+FROM inter i JOIN deg d ON d.src = i.src
+CROSS JOIN (SELECT deg FROM deg WHERE src = 'customer!1') sd(deg)
+ORDER BY jaccard DESC, id LIMIT 10
+""")
+def jaccard_top_q(spark, sf_dir):
+    """jaccardsimilarity top-N mode
+    (JaccardSimilarTraverser.jaccardSimilars :80-101)."""
+    from incubator_hugegraph_spark.operators.similarity import jaccard_top
+    return jaccard_top(_graph(spark, sf_dir), "customer!1", 10,
+                       direction=BOTH, labels=["interacted"])
+
+
+@_q("fusiform_similarity", f"""
+WITH {IE_SQL.strip()},
+deg AS (SELECT src, count(*) AS deg FROM ie GROUP BY src),
+common AS (SELECT a.src AS s, b.src AS c, count(*) AS cmn
+           FROM ie a JOIN ie b ON a.dst = b.dst
+           WHERE b.src <> a.src AND b.src LIKE 'customer!%'
+           GROUP BY a.src, b.src),
+scored AS (SELECT s, c, CAST(cmn AS DOUBLE) / deg.deg AS score
+           FROM common JOIN deg ON deg.src = common.s
+           WHERE deg.deg >= 10 AND s LIKE 'customer!%'
+             AND CAST(cmn AS DOUBLE) / deg.deg >= 0.3),
+ok AS (SELECT s FROM scored GROUP BY s HAVING count(*) >= 1),
+ranked AS (SELECT s, c, score,
+                  row_number() OVER (PARTITION BY s
+                                     ORDER BY score DESC, c) AS rn
+           FROM scored JOIN ok USING (s))
+SELECT s AS source, c AS similar, ROUND(score, 6) AS score
+FROM ranked WHERE rn <= 5
+""")
+def fusiform_q(spark, sf_dir):
+    """fusiformsimilarity over all customer sources on interacted OUT
+    (FusiformSimilarityTraverser.java:68-81; job variant 2.E#16),
+    alpha=0.3, min_neighbors=10, top=5."""
+    from incubator_hugegraph_spark.operators.similarity import fusiform_similarity
+    return fusiform_similarity(_graph(spark, sf_dir), "customer",
+                               direction=OUT, labels=["interacted"],
+                               min_neighbors=10, alpha=0.3,
+                               min_similars=1, top=5)
+
+
+@_q("personal_rank", """
+WITH ce AS (SELECT 'order!' || l_orderkey AS src,
+                   'part!' || l_partkey AS dst FROM lineitem),
+dout AS (SELECT src, count(*) AS d FROM ce GROUP BY src),
+din AS (SELECT dst, count(*) AS d FROM ce GROUP BY dst),
+c1 AS (SELECT ce.dst AS id, 0.85 / dout.d AS rank
+       FROM ce JOIN dout ON dout.src = ce.src
+       WHERE ce.src = 'order!7'),
+n1 AS (SELECT id, sum(rank) AS rank FROM (
+         SELECT id, rank FROM c1
+         UNION ALL SELECT 'order!7' AS id, 0.15 AS rank)
+       GROUP BY id),
+c2o AS (SELECT ce.dst AS id, n1.rank * 0.85 / dout.d AS rank
+        FROM n1 JOIN ce ON ce.src = n1.id JOIN dout ON dout.src = n1.id
+        WHERE n1.id LIKE 'order!%'),
+c2i AS (SELECT ce.src AS id, n1.rank * 0.85 / din.d AS rank
+        FROM n1 JOIN ce ON ce.dst = n1.id JOIN din ON din.dst = n1.id
+        WHERE n1.id LIKE 'part!%'),
+n2 AS (SELECT id, sum(rank) AS rank FROM (
+         SELECT id, rank FROM c2o UNION ALL SELECT id, rank FROM c2i
+         UNION ALL SELECT 'order!7' AS id, 0.15 AS rank)
+       GROUP BY id)
+SELECT id, ROUND(rank, 6) AS rank FROM n2
+WHERE id NOT IN (SELECT id FROM n1)
+""")
+def personal_rank_q(spark, sf_dir):
+    """personalrank on the bipartite `contains` label from order!7,
+    alpha=0.85, 2 rounds (PersonalRankTraverser.java:49-134)."""
+    from incubator_hugegraph_spark.operators.rank import personal_rank
+    return personal_rank(_graph(spark, sf_dir), "order!7", "contains",
+                         alpha=0.85, max_depth=2)
+
+
+@_q("neighbor_rank", f"""
+WITH {IE_SQL.strip()},
+deg AS (SELECT src, count(*) AS d FROM ie GROUP BY src),
+l1 AS (SELECT ie.dst AS id, 0.85 / d.d AS rank
+       FROM ie JOIN deg d ON d.src = ie.src WHERE ie.src = 'customer!1'),
+ex2 AS (SELECT l1.id AS u, ie.dst AS w, l1.rank * 0.85 / d.d AS incr
+        FROM l1 JOIN ie ON ie.src = l1.id JOIN deg d ON d.src = l1.id),
+same2 AS (SELECT w AS id, sum(incr) AS inc FROM ex2
+          WHERE w IN (SELECT id FROM l1) GROUP BY w),
+prev2 AS (SELECT w AS id, sum(incr) AS inc FROM ex2
+          WHERE w = 'customer!1' GROUP BY w),
+new2 AS (SELECT w AS id, sum(incr) AS rank FROM ex2
+         WHERE w NOT IN (SELECT id FROM l1) AND w <> 'customer!1'
+         GROUP BY w),
+l0f AS (SELECT 'customer!1' AS id, 0 AS layer,
+               1.0 + COALESCE((SELECT inc FROM prev2), 0) AS rank),
+l1f AS (SELECT l1.id, 1 AS layer,
+               l1.rank + COALESCE(same2.inc, 0) AS rank
+        FROM l1 LEFT JOIN same2 ON same2.id = l1.id),
+l2f AS (SELECT id, 2 AS layer, rank FROM new2)
+SELECT id, layer, ROUND(rank, 6) AS rank FROM
+(SELECT * FROM l0f UNION ALL SELECT * FROM l1f UNION ALL SELECT * FROM l2f)
+""")
+def neighbor_rank_q(spark, sf_dir):
+    """neighborrank: 2 interacted steps from customer!1, alpha=0.85
+    (NeighborRankTraverser.java:50-…; distinct-neighbor semantics,
+    see operators/rank.py docstring)."""
+    from incubator_hugegraph_spark.operators.rank import neighbor_rank
+    return neighbor_rank(_graph(spark, sf_dir), "customer!1",
+                         [{"direction": OUT, "labels": ["interacted"]},
+                          {"direction": OUT, "labels": ["interacted"]}],
+                         alpha=0.85)
+
+
+# ====================================================================
 # driver API
 # ====================================================================
 

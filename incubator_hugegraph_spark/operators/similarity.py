@@ -1,0 +1,103 @@
+"""Similarity traversers: jaccard top-N and fusiform similarity.
+
+Reference: JaccardSimilarTraverser.jaccardSimilars (top-N mode,
+core/traversal/algorithm/JaccardSimilarTraverser.java:80-101),
+FusiformSimilarityTraverser.java:68-81 (+ job variant
+core/job/algorithm/similarity/FusiformSimilarityAlgorithm.java).
+
+Both are one-shot set algebra — no iteration:
+  neighbors:    nbr(v, n)           (distinct pairs)
+  intersection: nbr ⋈ nbr on n      (one shuffle on n)
+  sizes:        groupBy(v).count    (one shuffle on v)
+
+At scale the intersection join shuffles on the *neighbor* id — the
+natural key (common neighbors co-locate); skew on celebrity
+neighbors is bounded by max_degree (the reference's guard) and AQE
+skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from incubator_hugegraph_spark.graph import BOTH, NO_LIMIT, OUT, PropertyGraph
+from incubator_hugegraph_spark.operators.bfs import prepared_adj
+
+
+def _nbrs(graph: PropertyGraph, direction: str,
+          labels: list[str] | None, max_degree: int) -> DataFrame:
+    return (prepared_adj(graph, direction, labels, max_degree)
+            .select("src", "dst").distinct())
+
+
+def jaccard_top(graph: PropertyGraph, source: str, top: int,
+                direction: str = BOTH, labels: list[str] | None = None,
+                max_degree: int = NO_LIMIT) -> DataFrame:
+    """Top-N vertices most Jaccard-similar to ``source``
+    (JaccardSimilarTraverser.jaccardSimilars :80-101). Candidates are
+    the 2-hop neighborhood (any vertex sharing ≥1 neighbor). Returns
+    (id, jaccard) — ties broken by id asc (deterministic deviation
+    from the reference's insertion order)."""
+    nbr = _nbrs(graph, direction, labels, max_degree)
+    src_n = nbr.filter(F.col("src") == source) \
+        .select(F.col("dst").alias("n"))
+    sizes = nbr.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    s_size = sizes.filter(F.col("src") == source) \
+        .select(F.col("deg").alias("s_deg"))
+    inter = (nbr.join(F.broadcast(src_n), on=nbr.dst == F.col("n"))
+             .filter(F.col("src") != source)
+             .groupBy("src").agg(F.count(F.lit(1)).alias("inter")))
+    return (inter.join(sizes, on="src").crossJoin(F.broadcast(s_size))
+            .select(F.col("src").alias("id"),
+                    F.round(F.col("inter") /
+                            (F.col("deg") + F.col("s_deg") - F.col("inter")),
+                            6).alias("jaccard"))
+            .orderBy(F.desc("jaccard"), F.asc("id"))
+            .limit(top))
+
+
+def fusiform_similarity(graph: PropertyGraph,
+                        source_label: str,
+                        direction: str = OUT,
+                        labels: list[str] | None = None,
+                        min_neighbors: int = 1,
+                        alpha: float = 0.5,
+                        min_similars: int = 1,
+                        top: int = NO_LIMIT,
+                        max_degree: int = NO_LIMIT) -> DataFrame:
+    """Fusiform similarity over all sources of ``source_label``
+    (FusiformSimilarityTraverser.java:68-81; job variant
+    FusiformSimilarityAlgorithm.java): candidate c is similar to
+    source s if they share ≥ alpha·|N(s)| neighbors; sources need
+    ≥ min_neighbors neighbors and ≥ min_similars matches. Returns
+    (source, similar, score) with score = |N(s)∩N(c)| / |N(s)|,
+    top-N per source by (score desc, id asc)."""
+    nbr = _nbrs(graph, direction, labels, max_degree)
+    prefix = source_label + "!"
+    deg = (nbr.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+    src_deg = (deg.filter(F.col("src").startswith(prefix))
+               .filter(F.col("deg") >= min_neighbors))
+    # reverse join through shared neighbors: s -> n -> c
+    a = nbr.select(F.col("src").alias("s"), F.col("dst").alias("n"))
+    b = nbr.select(F.col("src").alias("c"), F.col("dst").alias("n"))
+    common = (a.join(b, on="n")
+              .filter((F.col("c") != F.col("s"))
+                      & F.col("c").startswith(prefix))
+              .groupBy("s", "c").agg(F.count(F.lit(1)).alias("common")))
+    scored = (common
+              .join(src_deg.withColumnRenamed("src", "s"), on="s")
+              .withColumn("score", F.col("common") / F.col("deg"))
+              .filter(F.col("score") >= alpha))
+    # min_similars per source
+    ok = (scored.groupBy("s").agg(F.count(F.lit(1)).alias("n_sim"))
+          .filter(F.col("n_sim") >= min_similars).select("s"))
+    scored = scored.join(ok, on="s")
+    if top != NO_LIMIT:
+        w = Window.partitionBy("s").orderBy(F.desc("score"), F.asc("c"))
+        scored = (scored.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= top).drop("__rn"))
+    return scored.select(F.col("s").alias("source"),
+                         F.col("c").alias("similar"),
+                         F.round("score", 6).alias("score"))
