@@ -766,6 +766,305 @@ def neighbor_rank_q(spark, sf_dir):
 
 
 # ====================================================================
+# §2.E OLAP whole-graph algorithms (M5)
+# ====================================================================
+
+_UND_IE = IE_SQL.strip() + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM ie WHERE src <> dst)
+"""
+
+
+def _pagerank_sql(rounds: int, alpha: float = 0.15) -> str:
+    ctes = [f"WITH {V_SQL.strip()}, {E_SQL.strip()}",
+            ", deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+            ", nv AS (SELECT count(*) AS n FROM vertices)",
+            ", r0 AS (SELECT id, 1.0/(SELECT n FROM nv) AS rank FROM vertices)"]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(f"""
+, inc{t} AS (SELECT e.dst AS id, sum(r.rank / deg.d) AS inc
+            FROM edges e JOIN r{p} r ON r.id = e.src
+            JOIN deg ON deg.src = e.src GROUP BY e.dst)
+, pre{t} AS (SELECT v.id,
+                    {alpha}/(SELECT n FROM nv)
+                    + {1.0 - alpha} * COALESCE(i.inc, 0) AS rank
+             FROM r{p} v LEFT JOIN inc{t} i ON i.id = v.id)
+, r{t} AS (SELECT id, rank + (1.0 - (SELECT sum(rank) FROM pre{t}))
+                              / (SELECT n FROM nv) AS rank
+           FROM pre{t})""")
+    ctes.append(f"""
+SELECT id, ROUND(rank, 9) AS rank FROM r{rounds}
+ORDER BY ROUND(rank, 9) DESC, id LIMIT 50""")
+    return "".join(ctes)
+
+
+@_q("page_rank", _pagerank_sql(3))
+def page_rank_q(spark, sf_dir):
+    """page_rank job (rank/PageRankAlgorithm.java:47-90), exact
+    reference formula (alpha = teleport, lost-mass compensation),
+    fixed 3 rounds for oracle parity; top-50 by (rounded rank, id)."""
+    from incubator_hugegraph_spark.algorithms.pagerank import page_rank
+    r = page_rank(_graph(spark, sf_dir), alpha=0.15, fixed_rounds=3)
+    return (r.select("id", F.round("rank", 9).alias("rank"))
+            .orderBy(F.desc("rank"), F.asc("id")).limit(50))
+
+
+def _wcc_sql(rounds: int) -> str:
+    ctes = [f"WITH {V_SQL.strip()}, {E_SQL.strip()}",
+            """, adj2 AS (SELECT DISTINCT src, dst FROM (
+                 SELECT src, dst FROM edges
+                 UNION ALL SELECT dst AS src, src AS dst FROM edges))""",
+            ", c0 AS (SELECT id, id AS component FROM vertices)"]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(f"""
+, c{t} AS (SELECT c.id,
+                  least(c.component, COALESCE(m.mc, c.component)) AS component
+           FROM c{p} c LEFT JOIN
+             (SELECT a.src AS id, min(cc.component) AS mc
+              FROM adj2 a JOIN c{p} cc ON cc.id = a.dst
+              GROUP BY a.src) m ON m.id = c.id)""")
+    ctes.append(f"\nSELECT id, component FROM c{rounds}")
+    return "".join(ctes)
+
+
+@_q("wcc", _wcc_sql(8))
+def wcc_q(spark, sf_dir):
+    """weak_connected_component (comm/WeakConnectedComponent.java),
+    min-id propagation, fixed 8 rounds for oracle parity."""
+    from incubator_hugegraph_spark.algorithms.wcc import wcc
+    return wcc(_graph(spark, sf_dir), fixed_rounds=8)
+
+
+def _lpa_sql(rounds: int) -> str:
+    ctes = [f"WITH {V_SQL.strip()}, {E_SQL.strip()}",
+            """, und AS (SELECT DISTINCT least(src, dst) AS a,
+                                greatest(src, dst) AS b
+                 FROM edges WHERE src <> dst)""",
+            """, nadj AS (SELECT a AS id, b AS nbr FROM und
+                 UNION ALL SELECT b AS id, a AS nbr FROM und)""",
+            ", l0 AS (SELECT id, id AS community FROM vertices)"]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(f"""
+, cnt{t} AS (SELECT n.id, l.community, count(*) AS cnt
+             FROM nadj n JOIN l{p} l ON l.id = n.nbr
+             GROUP BY n.id, l.community)
+, best{t} AS (SELECT id, community FROM (
+                SELECT id, community,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY cnt DESC, community) AS rn
+                FROM cnt{t}) WHERE rn = 1)
+, l{t} AS (SELECT l.id, COALESCE(b.community, l.community) AS community
+           FROM l{p} l LEFT JOIN best{t} b ON b.id = l.id)""")
+    ctes.append(f"\nSELECT id, community FROM l{rounds}")
+    return "".join(ctes)
+
+
+@_q("lpa", _lpa_sql(2))
+def lpa_q(spark, sf_dir):
+    """lpa communities (comm/LpaAlgorithm.java), synchronous, min-label
+    tie-break, fixed 2 rounds for oracle parity."""
+    from incubator_hugegraph_spark.algorithms.community import lpa
+    return lpa(_graph(spark, sf_dir), fixed_rounds=2)
+
+
+@_q("triangle_count", f"""
+WITH {_UND_IE}
+SELECT count(*) AS triangles
+FROM und e1 JOIN und e2 ON e2.a = e1.b
+JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+""")
+def triangle_count_q(spark, sf_dir):
+    """triangle_count on the interacted graph
+    (comm/TriangleCountAlgorithm.java): oriented wedge + closing edge."""
+    from incubator_hugegraph_spark.algorithms.community import triangle_count
+    return triangle_count(_graph(spark, sf_dir), labels=["interacted"])
+
+
+@_q("cluster_coefficient", f"""
+WITH {_UND_IE},
+corners AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1 JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+tri AS (SELECT id, count(*) AS t FROM (
+          SELECT x AS id FROM corners
+          UNION ALL SELECT y AS id FROM corners
+          UNION ALL SELECT z AS id FROM corners) GROUP BY id),
+degu AS (SELECT id, count(*) AS deg FROM (
+           SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+         GROUP BY id)
+SELECT d.id, ROUND(2.0 * COALESCE(tri.t, 0) / (d.deg * (d.deg - 1)), 6)
+         AS coeff
+FROM degu d LEFT JOIN tri ON tri.id = d.id
+WHERE d.deg >= 2
+""")
+def cluster_coefficient_q(spark, sf_dir):
+    """cluster_coefficient (comm/ClusterCoefficientAlgorithm.java):
+    2·tri/(deg·(deg-1)) per vertex on interacted."""
+    from incubator_hugegraph_spark.algorithms.community import cluster_coefficient
+    return cluster_coefficient(_graph(spark, sf_dir), labels=["interacted"])
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    head = """
+WITH supp AS (SELECT DISTINCT 'supplier!' || l_suppkey AS src,
+                     'part!' || l_partkey AS dst FROM lineitem),
+und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM supp),
+s0 AS (SELECT a AS id FROM und UNION SELECT b AS id FROM und)"""
+    ctes = [head]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(f"""
+, s{t} AS (SELECT id FROM (
+            SELECT n.id, count(*) AS c FROM (
+              SELECT a AS id, b AS nb FROM und
+              UNION ALL SELECT b AS id, a AS nb FROM und) n
+            WHERE n.id IN (SELECT id FROM s{p})
+              AND n.nb IN (SELECT id FROM s{p})
+            GROUP BY n.id) WHERE c >= {k})""")
+    ctes.append(f"\nSELECT id FROM s{rounds}")
+    return "".join(ctes)
+
+
+@_q("k_core", _kcore_sql(3, 5))
+def k_core_q(spark, sf_dir):
+    """k_core peeling, k=3 on the supplies bipartite graph, fixed 5
+    peel rounds for oracle parity (comm/KCoreAlgorithm.java:45)."""
+    from incubator_hugegraph_spark.algorithms.community import k_core
+    return k_core(_graph(spark, sf_dir), 3, labels=["supplies"],
+                  fixed_rounds=5)
+
+
+@_q("degree_centrality", f"""
+WITH {E_SQL.strip()},
+adj2 AS (SELECT src, dst FROM edges
+         UNION ALL SELECT dst AS src, src AS dst FROM edges)
+SELECT src AS id, count(*) AS degree FROM adj2 GROUP BY src
+ORDER BY degree DESC, id LIMIT 20
+""")
+def degree_centrality_q(spark, sf_dir):
+    """degree_centrality BOTH, top-20
+    (cent/DegreeCentralityAlgorithm.java)."""
+    from incubator_hugegraph_spark.algorithms.centrality import degree_centrality
+    return degree_centrality(_graph(spark, sf_dir), direction=BOTH, top=20)
+
+
+@_q("closeness_centrality", f"""
+WITH {IE_SQL.strip()},
+srcs(origin) AS (VALUES ('customer!1'), ('customer!2'), ('customer!3'),
+                        ('customer!4'), ('customer!5')),
+l1 AS (SELECT DISTINCT s.origin, ie.dst AS id
+       FROM srcs s JOIN ie ON ie.src = s.origin
+       WHERE ie.dst <> s.origin),
+l2 AS (SELECT DISTINCT l1.origin, ie.dst AS id
+       FROM l1 JOIN ie ON ie.src = l1.id
+       WHERE ie.dst <> l1.origin
+         AND NOT EXISTS (SELECT 1 FROM l1 v
+                         WHERE v.origin = l1.origin AND v.id = ie.dst)),
+l3 AS (SELECT DISTINCT l2.origin, ie.dst AS id
+       FROM l2 JOIN ie ON ie.src = l2.id
+       WHERE ie.dst <> l2.origin
+         AND NOT EXISTS (SELECT 1 FROM l1 v
+                         WHERE v.origin = l2.origin AND v.id = ie.dst)
+         AND NOT EXISTS (SELECT 1 FROM l2 v
+                         WHERE v.origin = l2.origin AND v.id = ie.dst))
+SELECT origin AS id, ROUND(sum(invd), 6) AS closeness FROM (
+  SELECT origin, 1.0 AS invd FROM l1
+  UNION ALL SELECT origin, 0.5 FROM l2
+  UNION ALL SELECT origin, 1.0/3 FROM l3)
+GROUP BY origin
+""")
+def closeness_q(spark, sf_dir):
+    """closeness_centrality for 5 sources over interacted OUT, depth 3
+    (cent/ClosenessCentralityAlgorithm.java — explicit source set in
+    place of the reference's sampling)."""
+    from incubator_hugegraph_spark.algorithms.centrality import closeness_centrality
+    return closeness_centrality(
+        _graph(spark, sf_dir),
+        [f"customer!{i}" for i in range(1, 6)], 3,
+        direction=OUT, labels=["interacted"])
+
+
+def _eigen_sql(rounds: int) -> str:
+    ctes = [f"WITH {V_SQL.strip()}, {E_SQL.strip()}",
+            ", nv AS (SELECT count(*) AS n FROM vertices)",
+            ", x0 AS (SELECT id, 1.0/(SELECT n FROM nv) AS score "
+            "FROM vertices)"]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(f"""
+, m{t} AS (SELECT e.dst AS id, sum(x.score) AS raw
+           FROM edges e JOIN x{p} x ON x.id = e.src GROUP BY e.dst)
+, x{t} AS (SELECT v.id,
+                  COALESCE(m.raw, 0) / (SELECT sum(raw) FROM m{t}) AS score
+           FROM x{p} v LEFT JOIN m{t} m ON m.id = v.id)""")
+    ctes.append(f"""
+SELECT id, ROUND(score, 8) AS score FROM x{rounds}""")
+    return "".join(ctes)
+
+
+@_q("eigenvector_centrality", _eigen_sql(3))
+def eigenvector_q(spark, sf_dir):
+    """eigenvector_centrality: deterministic power iteration, 3 rounds,
+    L1 normalization (cent/EigenvectorCentralityAlgorithm.java — the
+    reference samples gremlin walks; documented deviation)."""
+    from incubator_hugegraph_spark.algorithms.centrality import (
+        eigenvector_centrality,
+    )
+    return eigenvector_centrality(_graph(spark, sf_dir), rounds=3,
+                                  direction=OUT)
+
+
+@_q("subgraph_stat", f"""
+WITH {E_SQL.strip()},
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+verts AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+deg AS (SELECT id, count(*) AS d FROM (
+          SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)
+        GROUP BY id),
+tri AS (SELECT count(*) AS t
+        FROM und e1 JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT (SELECT count(*) FROM verts) AS n_vertices,
+       (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT max(d) FROM deg) AS max_degree,
+       (SELECT ROUND(avg(d), 4) FROM deg) AS avg_degree,
+       (SELECT t FROM tri) AS triangles
+""")
+def subgraph_stat_q(spark, sf_dir):
+    """subgraph_stat bundle (SubgraphStatAlgorithm.java)."""
+    from incubator_hugegraph_spark.algorithms.stats import subgraph_stat
+    return subgraph_stat(_graph(spark, sf_dir))
+
+
+@_q("betweenness_centrality")  # rows-only: Brandes accumulation order
+def betweenness_q(spark, sf_dir):
+    """betweenness_centrality via Brandes on 5 explicit sources
+    (cent/BetweennessCentralityAlgorithmV2.java, BfsTraverser.java) —
+    rows-only check (dependency accumulation is not reasonably
+    SQL-expressible)."""
+    from incubator_hugegraph_spark.algorithms.centrality import (
+        betweenness_centrality,
+    )
+    return betweenness_centrality(
+        _graph(spark, sf_dir), [f"customer!{i}" for i in range(1, 6)], 3,
+        direction=OUT, labels=["interacted"])
+
+
+@_q("louvain")  # rows-only: parallel approximation, validated by modularity
+def louvain_q(spark, sf_dir):
+    """louvain communities (comm/LouvainAlgorithm.java + 920-line
+    LouvainTraverser): synchronized parallel approximation — quality
+    asserted via modularity monotonicity in tests; rows-only here."""
+    from incubator_hugegraph_spark.algorithms.community import louvain
+    return louvain(_graph(spark, sf_dir), labels=["interacted"],
+                   passes=2, move_rounds=3)
+
+
+# ====================================================================
 # driver API
 # ====================================================================
 

@@ -1,0 +1,47 @@
+"""OLAP whole-graph algorithms (SURVEY §2.E): the reference's async
+job algorithms (core/job/algorithm/AlgorithmPool.java:46-75)
+re-expressed as native Spark jobs. Iterative ones use the
+DataFrame-Pregel pattern: join messages on edges → groupBy(dst).agg →
+update state, with checkpoint hygiene every few rounds.
+
+Registry mirrors AlgorithmPool: ALGORITHMS[name] -> callable.
+"""
+
+from incubator_hugegraph_spark.algorithms.centrality import (
+    betweenness_centrality,
+    closeness_centrality,
+    degree_centrality,
+    eigenvector_centrality,
+)
+from incubator_hugegraph_spark.algorithms.community import (
+    cluster_coefficient,
+    k_core,
+    louvain,
+    lpa,
+    triangle_count,
+)
+from incubator_hugegraph_spark.algorithms.pagerank import page_rank
+from incubator_hugegraph_spark.algorithms.stats import (
+    count_edge,
+    count_vertex,
+    subgraph_stat,
+)
+from incubator_hugegraph_spark.algorithms.wcc import wcc
+
+# AlgorithmPool.java:46-75 registry equivalent
+ALGORITHMS = {
+    "count_vertex": count_vertex,
+    "count_edge": count_edge,
+    "degree_centrality": degree_centrality,
+    "closeness_centrality": closeness_centrality,
+    "betweenness_centrality": betweenness_centrality,
+    "eigenvector_centrality": eigenvector_centrality,
+    "triangle_count": triangle_count,
+    "cluster_coefficient": cluster_coefficient,
+    "k_core": k_core,
+    "lpa": lpa,
+    "louvain": louvain,
+    "page_rank": page_rank,
+    "weak_connected_component": wcc,
+    "subgraph_stat": subgraph_stat,
+}

@@ -1,0 +1,156 @@
+"""Centrality algorithms: degree, closeness, eigenvector (+ Brandes
+betweenness/stress, sampled).
+
+Reference: cent/DegreeCentralityAlgorithm.java (161),
+ClosenessCentralityAlgorithm(V2).java, EigenvectorCentralityAlgorithm
+.java (99), BetweennessCentralityAlgorithmV2.java (BfsTraverser.java
+Brandes machinery), StressCentralityAlgorithm(V2).java.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from incubator_hugegraph_spark.graph import (
+    BOTH,
+    NO_LIMIT,
+    OUT,
+    PropertyGraph,
+    iterate_hygiene,
+)
+
+
+def degree_centrality(graph: PropertyGraph, direction: str = BOTH,
+                      labels: list[str] | None = None,
+                      top: int = NO_LIMIT) -> DataFrame:
+    """(id, degree) with optional top-N (DegreeCentralityAlgorithm):
+    one partial-aggregated groupBy; top-N ties broken by id."""
+    deg = graph.degrees(direction, labels)
+    if top != NO_LIMIT:
+        deg = deg.orderBy(F.desc("degree"), F.asc("id")).limit(top)
+    return deg
+
+
+def closeness_centrality(graph: PropertyGraph, sources: list[str],
+                         max_depth: int, direction: str = OUT,
+                         labels: list[str] | None = None) -> DataFrame:
+    """closeness(s) = Σ_{v reached, v≠s} 1/dist(s,v) within max_depth
+    (ClosenessCentralityAlgorithm: sampled shortest paths — we take an
+    explicit source set; the reference samples). Multi-source BFS in
+    one frontier keyed by (origin, vertex). Returns (id, closeness)."""
+    spark = graph.spark
+    adj = graph.adj(direction, labels).select("src", "dst").distinct()
+    frontier = (spark.createDataFrame([(s,) for s in sources],
+                                      "origin string")
+                .select("origin", F.col("origin").alias("id")))
+    visited = frontier.withColumn("dist", F.lit(0))
+    for k in range(1, max_depth + 1):
+        frontier = (adj.join(F.broadcast(frontier),
+                             on=adj.src == frontier.id)
+                    .select("origin", F.col("dst").alias("id"))
+                    .distinct()
+                    .join(visited.select("origin", "id"),
+                          on=["origin", "id"], how="left_anti"))
+        frontier = iterate_hygiene(frontier, k, every=3)
+        visited = visited.unionByName(frontier.withColumn("dist", F.lit(k)))
+    return (visited.filter(F.col("dist") > 0)
+            .groupBy(F.col("origin").alias("id"))
+            .agg(F.round(F.sum(1.0 / F.col("dist")), 6).alias("closeness")))
+
+
+def eigenvector_centrality(graph: PropertyGraph, rounds: int = 5,
+                           direction: str = OUT,
+                           labels: list[str] | None = None,
+                           top: int = NO_LIMIT) -> DataFrame:
+    """Power iteration x ← normalize_L1(Aᵀx), x₀ = 1/N
+    (EigenvectorCentralityAlgorithm.java — the reference estimates via
+    sampled gremlin walk visit counts; we use the standard
+    deterministic power iteration, documented deviation). Returns
+    (id, score)."""
+    e = graph.adj(direction, labels).select("src", "dst")
+    n = graph.vertices.count()
+    x = graph.vertices.select("id").withColumn("score", F.lit(1.0 / n))
+    for t in range(rounds):
+        msg = (e.join(x, on=e.src == x.id)
+               .groupBy(F.col("dst").alias("id"))
+               .agg(F.sum("score").alias("raw")))
+        total = msg.agg(F.sum("raw")).collect()[0][0] or 1.0
+        x = (graph.vertices.select("id")
+             .join(msg, on="id", how="left")
+             .select("id", (F.coalesce(F.col("raw"), F.lit(0.0))
+                            / F.lit(total)).alias("score")))
+        x = iterate_hygiene(x, t + 1, every=3)
+    out = x.select("id", F.round("score", 8).alias("score"))
+    if top != NO_LIMIT:
+        out = out.orderBy(F.desc("score"), F.asc("id")).limit(top)
+    return out
+
+
+def betweenness_centrality(graph: PropertyGraph, sources: list[str],
+                           max_depth: int, direction: str = BOTH,
+                           labels: list[str] | None = None) -> DataFrame:
+    """Brandes betweenness restricted to an explicit source sample
+    (BetweennessCentralityAlgorithmV2.java + BfsTraverser.java:1-151):
+    forward BFS accumulates path counts σ, backward sweep accumulates
+    dependencies δ(v) = Σ_w σ(v)/σ(w)·(1+δ(w)). All joins, keyed by
+    (origin, vertex). Returns (id, betweenness) over non-source
+    vertices reached."""
+    spark = graph.spark
+    adj = graph.adj(direction, labels).select("src", "dst").distinct()
+    frontier = (spark.createDataFrame([(s,) for s in sources],
+                                      "origin string")
+                .select("origin", F.col("origin").alias("id"),
+                        F.lit(0).alias("dist"),
+                        F.lit(1.0).alias("sigma")))
+    levels = [frontier]
+    visited = frontier.select("origin", "id")
+    for k in range(1, max_depth + 1):
+        prev = levels[-1]
+        ext = (adj.join(F.broadcast(prev), on=adj.src == prev.id)
+               .select("origin", F.col("dst").alias("id"), "sigma")
+               .join(visited, on=["origin", "id"], how="left_anti"))
+        nxt = (ext.groupBy("origin", "id")
+               .agg(F.sum("sigma").alias("sigma"))
+               .withColumn("dist", F.lit(k))
+               .select("origin", "id", "dist", "sigma"))
+        nxt = iterate_hygiene(nxt, k, every=3).localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("origin", "id"))
+    # backward dependency accumulation (δ starts at 0 everywhere)
+    delta = None  # rows only for vertices with non-zero δ
+    for d in range(len(levels) - 1, 0, -1):
+        w_lv = levels[d].select(F.col("origin").alias("w_origin"),
+                                F.col("id").alias("w_id"),
+                                F.col("sigma").alias("sw"))
+        if delta is not None:
+            dprev = delta.select(F.col("origin").alias("w_origin"),
+                                 F.col("id").alias("w_id"),
+                                 F.col("delta").alias("dw"))
+            w_lv = (w_lv.join(dprev, on=["w_origin", "w_id"], how="left")
+                    .withColumn("dw", F.coalesce("dw", F.lit(0.0))))
+        else:
+            w_lv = w_lv.withColumn("dw", F.lit(0.0))
+        preds = levels[d - 1].select(F.col("origin").alias("p_origin"),
+                                     F.col("id").alias("v"),
+                                     F.col("sigma").alias("sv"))
+        contrib = (adj.join(w_lv, on=adj.dst == F.col("w_id"))
+                   .join(preds, on=[adj.src == F.col("v"),
+                                    F.col("w_origin") == F.col("p_origin")])
+                   .select(F.col("p_origin").alias("origin"),
+                           F.col("v").alias("id"),
+                           (F.col("sv") / F.col("sw")
+                            * (1.0 + F.col("dw"))).alias("inc"))
+                   .groupBy("origin", "id").agg(F.sum("inc").alias("delta")))
+        delta = contrib if delta is None else \
+            (delta.unionByName(contrib)
+             .groupBy("origin", "id").agg(F.sum("delta").alias("delta")))
+        delta = delta.localCheckpoint(eager=True)
+    if delta is None:
+        return spark.createDataFrame([], "id string, betweenness double")
+    srcs = spark.createDataFrame([(s,) for s in sources], "sid string")
+    return (delta.join(srcs, on=delta.id == srcs.sid, how="left_anti")
+            .groupBy("id")
+            .agg(F.round(F.sum("delta"), 6).alias("betweenness")))

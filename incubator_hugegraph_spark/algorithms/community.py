@@ -1,0 +1,237 @@
+"""Community algorithms: triangle_count, cluster_coefficient, k_core,
+lpa, louvain.
+
+Reference: comm/TriangleCountAlgorithm.java (239 LoC),
+ClusterCoefficientAlgorithm.java (83), KCoreAlgorithm.java:45 (292),
+LpaAlgorithm.java (271), LouvainAlgorithm.java + LouvainTraverser.java.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from incubator_hugegraph_spark.graph import BOTH, PropertyGraph, iterate_hygiene
+
+
+def undirected_edges(graph: PropertyGraph,
+                     labels: list[str] | None = None) -> DataFrame:
+    """Canonical undirected simple edges (a < b): the reference's
+    edge-orientation trick for triangle counting
+    (TriangleCountAlgorithm: count each triangle once via ordering)."""
+    e = graph.edges if labels is None else \
+        graph.edges.filter(F.col("label").isin(labels))
+    return (e.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def triangle_count(graph: PropertyGraph,
+                   labels: list[str] | None = None) -> DataFrame:
+    """Total triangle count (TriangleCountAlgorithm.java): oriented
+    wedge join (a<b<c) + closing-edge semi-join. Two shuffles; the
+    wedge join keys on the shared middle vertex. Returns (triangles)."""
+    und = undirected_edges(graph, labels)
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, on="y")
+    closing = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = wedges.join(closing, on=["x", "z"], how="left_semi")
+    return tri.agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def triangles_per_vertex(graph: PropertyGraph,
+                         labels: list[str] | None = None) -> DataFrame:
+    """(id, tri): triangles incident to each vertex."""
+    und = undirected_edges(graph, labels)
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, on="y")
+    closing = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = wedges.join(closing, on=["x", "z"], how="left_semi")
+    corners = (tri.select(F.col("x").alias("id"))
+               .unionAll(tri.select(F.col("y").alias("id")))
+               .unionAll(tri.select(F.col("z").alias("id"))))
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("tri"))
+
+
+def cluster_coefficient(graph: PropertyGraph,
+                        labels: list[str] | None = None) -> DataFrame:
+    """Local clustering coefficient 2·tri/(deg·(deg-1)) per vertex with
+    deg ≥ 2 (ClusterCoefficientAlgorithm.java). Returns (id, coeff)."""
+    und = undirected_edges(graph, labels)
+    deg = (und.select(F.col("a").alias("id"))
+           .unionAll(und.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
+    tri = triangles_per_vertex(graph, labels)
+    return (deg.filter(F.col("deg") >= 2)
+            .join(tri, on="id", how="left")
+            .select("id", F.round(
+                2.0 * F.coalesce(F.col("tri"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)), 6).alias("coeff")))
+
+
+def k_core(graph: PropertyGraph, k: int,
+           labels: list[str] | None = None,
+           fixed_rounds: int | None = None,
+           max_rounds: int = 100) -> DataFrame:
+    """k-core decomposition by iterative peeling
+    (KCoreAlgorithm.java:45): drop vertices with degree < k over the
+    surviving subgraph until fixpoint (or fixed_rounds). Returns (id)."""
+    und = undirected_edges(graph, labels).localCheckpoint(eager=True)
+    survivors = (und.select(F.col("a").alias("id"))
+                 .union(und.select(F.col("b").alias("id")))
+                 .distinct())
+    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    for t in range(rounds):
+        live = (und.join(survivors, on=und.a == survivors.id, how="left_semi")
+                .join(survivors, on=und.b == survivors.id, how="left_semi"))
+        deg = (live.select(F.col("a").alias("id"))
+               .unionAll(live.select(F.col("b").alias("id")))
+               .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
+        new = deg.filter(F.col("deg") >= k).select("id")
+        new = iterate_hygiene(new, t + 1, every=3)
+        if fixed_rounds is None:
+            before = survivors.count()
+            after = new.count()
+            survivors = new
+            if after == before:
+                break
+        else:
+            survivors = new
+    return survivors
+
+
+def lpa(graph: PropertyGraph, labels: list[str] | None = None,
+        rounds: int = 10, fixed_rounds: int | None = None) -> DataFrame:
+    """Synchronous label propagation (LpaAlgorithm.java): every round
+    each vertex adopts the most frequent label among its undirected
+    neighbors, ties broken by MIN label (deterministic deviation from
+    the reference's random tie-break — SURVEY §7.4#4). Isolated
+    vertices keep their label. Returns (id, community)."""
+    und = undirected_edges(graph, labels)
+    adj = (und.select(F.col("a").alias("id"), F.col("b").alias("nbr"))
+           .unionAll(und.select(F.col("b").alias("id"),
+                                F.col("a").alias("nbr")))
+           .localCheckpoint(eager=True))
+    lab = graph.vertices.select("id", F.col("id").alias("community"))
+    n_rounds = fixed_rounds if fixed_rounds is not None else rounds
+    for t in range(n_rounds):
+        nbr_lab = (adj.join(lab, on=adj.nbr == lab.id)
+                   .select(adj.id.alias("v"), "community"))
+        counts = nbr_lab.groupBy("v", "community") \
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("community"))
+        best = (counts.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(F.col("v").alias("id"),
+                        F.col("community").alias("new_comm")))
+        lab = (lab.join(best, on="id", how="left")
+               .select("id", F.coalesce("new_comm", "community")
+                       .alias("community")))
+        lab = iterate_hygiene(lab, t + 1, every=3)
+    return lab
+
+
+def louvain(graph: PropertyGraph, labels: list[str] | None = None,
+            passes: int = 2, move_rounds: int = 3) -> DataFrame:
+    """Parallel Louvain approximation (LouvainAlgorithm.java +
+    LouvainTraverser.java:920 — the reference's sequential
+    modularity-gain moves are inherently serial, so we implement the
+    standard synchronized parallel variant, SURVEY §7.4#3):
+
+    per pass: ``move_rounds`` rounds where every vertex jointly moves
+    to the neighboring community with max modularity gain (ties → min
+    community id), then the graph is contracted by community. Quality
+    is validated by modularity monotonicity, not exact community
+    equality. Returns (id, community) on the ORIGINAL vertex ids."""
+    und = undirected_edges(graph, labels)
+    # weights: parallel edges already collapsed; weight 1 per edge
+    edges = und.select("a", "b", F.lit(1.0).alias("w")) \
+        .localCheckpoint(eager=True)
+    mapping = None  # original id -> community
+    for p in range(passes):
+        comm = _one_louvain_pass(graph, edges, move_rounds)
+        if mapping is None:
+            mapping = comm.select("id", F.col("comm2").alias("community"))
+        else:
+            # comm maps the CONTRACTED nodes (previous communities);
+            # communities absent from the contracted edge set (fully
+            # internal/isolated) keep their id
+            mapping = (mapping
+                       .join(comm.withColumnRenamed("id", "community"),
+                             on="community", how="left")
+                       .select("id", F.coalesce("comm2", "community")
+                               .alias("community")))
+        mapping = mapping.localCheckpoint(eager=True)
+        # contract the graph by community for the next pass
+        cmap = mapping
+        edges = (edges
+                 .join(cmap.select(F.col("id").alias("a"),
+                                   F.col("community").alias("ca")), on="a")
+                 .join(cmap.select(F.col("id").alias("b"),
+                                   F.col("community").alias("cb")), on="b")
+                 .filter(F.col("ca") != F.col("cb"))
+                 .groupBy(F.least("ca", "cb").alias("a"),
+                          F.greatest("ca", "cb").alias("b"))
+                 .agg(F.sum("w").alias("w"))
+                 .localCheckpoint(eager=True))
+    return mapping
+
+
+def _one_louvain_pass(graph: PropertyGraph, edges: DataFrame,
+                      move_rounds: int) -> DataFrame:
+    """One pass of synchronized greedy moves. edges: (a, b, w),
+    undirected a<b. Returns (id, comm2) for the pass's node set."""
+    adj = (edges.select(F.col("a").alias("id"), F.col("b").alias("nbr"), "w")
+           .unionAll(edges.select(F.col("b").alias("id"),
+                                  F.col("a").alias("nbr"), "w")))
+    two_m = edges.agg(F.sum("w") * 2).collect()[0][0] or 1.0
+    k = adj.groupBy("id").agg(F.sum("w").alias("k"))  # weighted degree
+    comm = adj.select("id").distinct() \
+        .select("id", F.col("id").alias("comm2"))
+    for t in range(move_rounds):
+        # community weighted degree = sum of member degrees
+        ctot = (comm.join(k, on="id")
+                .groupBy("comm2").agg(F.sum("k").alias("sigma_tot")))
+        # k_{i,in}: weight from vertex to each neighbor community
+        nbr_comm = (adj.join(comm.withColumnRenamed("id", "nbr"), on="nbr")
+                    .groupBy("id", "comm2")
+                    .agg(F.sum("w").alias("k_in")))
+        cand = (nbr_comm
+                .join(ctot, on="comm2")
+                .join(k, on="id")
+                .withColumn("gain", F.col("k_in")
+                            - F.col("sigma_tot") * F.col("k") / F.lit(two_m)))
+        w_best = Window.partitionBy("id").orderBy(
+            F.desc("gain"), F.asc("comm2"))
+        best = (cand.withColumn("__rn", F.row_number().over(w_best))
+                .filter((F.col("__rn") == 1) & (F.col("gain") > 0))
+                .select("id", F.col("comm2").alias("new_comm")))
+        comm = (comm.join(best, on="id", how="left")
+                .select("id", F.coalesce("new_comm", "comm2").alias("comm2"))
+                .localCheckpoint(eager=True))
+    return comm
+
+
+def modularity(edges: DataFrame, comm: DataFrame) -> float:
+    """Q = Σ_c [ in_c/2m - (tot_c/2m)^2 ] over undirected (a,b,w)."""
+    adj = (edges.select(F.col("a").alias("id"), F.col("b").alias("nbr"), "w")
+           .unionAll(edges.select(F.col("b").alias("id"),
+                                  F.col("a").alias("nbr"), "w")))
+    two_m = edges.agg(F.sum("w") * 2).collect()[0][0] or 1.0
+    k = adj.groupBy("id").agg(F.sum("w").alias("k"))
+    cm = comm.withColumnRenamed("community", "c") if \
+        "community" in comm.columns else comm.withColumnRenamed("comm2", "c")
+    inside = (edges
+              .join(cm.withColumnRenamed("id", "a")
+                    .withColumnRenamed("c", "ca"), on="a")
+              .join(cm.withColumnRenamed("id", "b")
+                    .withColumnRenamed("c", "cb"), on="b")
+              .filter(F.col("ca") == F.col("cb"))
+              .agg(F.sum("w")).collect()[0][0] or 0.0)
+    sq = (cm.join(k, on="id").groupBy("c").agg(F.sum("k").alias("tot"))
+          .agg(F.sum((F.col("tot") / two_m) ** 2)).collect()[0][0] or 0.0)
+    return 2.0 * inside / two_m - sq

@@ -1,0 +1,72 @@
+"""PageRank — rank/PageRankAlgorithm.java:47-90.
+
+Exact reference semantics (computeRank :254-264, compensateRank
+:220-231): ``alpha`` is the TELEPORT fraction (not damping):
+
+    incoming(v) = Σ_{edge u→v} rank(u) / outdeg(u)      (multi-edges count)
+    rank'(v)    = alpha/N + (1-alpha) · incoming(v)
+    rank''(v)   = rank'(v) + (1 - Σ rank') / N          (lost-mass comp.)
+
+convergence: Σ|rank'' - rank| < precision, or max_times rounds.
+
+Spark shape per round: one broadcast-eligible join of the rank vector
+onto edges + one groupBy(dst) partial-aggregated sum — the classic DF
+PageRank. Rank vector is O(|V|) and localCheckpoint'ed; the edge table
+(with precomputed outdeg) is computed once and cached by the caller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from incubator_hugegraph_spark.graph import (
+    NO_LIMIT,
+    OUT,
+    PropertyGraph,
+    cap_degree,
+    iterate_hygiene,
+)
+
+
+def page_rank(graph: PropertyGraph, alpha: float = 0.15,
+              max_times: int = 20, precision: float = 1e-7,
+              direction: str = OUT, labels: list[str] | None = None,
+              max_degree: int = NO_LIMIT,
+              fixed_rounds: int | None = None) -> DataFrame:
+    """Returns (id, rank). fixed_rounds forces exactly N rounds with no
+    convergence check (deterministic partial result for oracle parity)."""
+    e = graph.adj(direction, labels).select("src", "dst")
+    e = cap_degree(e, max_degree, order_cols=("dst",))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # (src, dst, deg) computed + checkpointed once — every round joins
+    # against this table, it must not be recomputed per iteration
+    e = e.join(deg, on="src").localCheckpoint(eager=True)
+
+    n = graph.vertices.count()
+    ranks = graph.vertices.select("id").withColumn("rank", F.lit(1.0 / n))
+    rounds = fixed_rounds if fixed_rounds is not None else max_times
+    for t in range(rounds):
+        contrib = (e.join(ranks, on=e.src == ranks.id)
+                   .select(F.col("dst").alias("id"),
+                           (F.col("rank") / F.col("deg")).alias("msg")))
+        incoming = contrib.groupBy("id").agg(F.sum("msg").alias("inc"))
+        new = (graph.vertices.select("id")
+               .join(incoming, on="id", how="left")
+               .select("id", (F.lit(alpha / n) + F.lit(1.0 - alpha)
+                              * F.coalesce(F.col("inc"), F.lit(0.0)))
+                       .alias("rank")))
+        total = new.agg(F.sum("rank")).collect()[0][0]
+        comp = (1.0 - total) / n
+        new = new.withColumn("rank", F.col("rank") + F.lit(comp))
+        new = iterate_hygiene(new, t + 1, every=3)
+        if fixed_rounds is None:
+            changed = (new.alias("n").join(ranks.alias("o"), on="id")
+                       .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
+                       .collect()[0][0])
+            ranks = new
+            if changed is not None and changed < precision:
+                break
+        else:
+            ranks = new
+    return ranks

@@ -1,0 +1,50 @@
+"""Weakly connected components — comm/WeakConnectedComponent.java:45-220.
+
+Min-id label propagation over the undirected adjacency:
+
+    comp_0(v) = v
+    comp_{k+1}(v) = min(comp_k(v), min_{u ~ v} comp_k(u))
+
+until fixpoint (delta count == 0) or ``fixed_rounds``. Each round is
+one join + one groupBy-min; labels are strings so min = lexicographic
+min (deterministic). At 100 TB the large-star/small-star variant
+halves round count; plain propagation keeps oracle-parity simple and
+the round count is bounded by graph diameter (small for this schema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from incubator_hugegraph_spark.graph import BOTH, PropertyGraph, iterate_hygiene
+
+
+def wcc(graph: PropertyGraph, labels: list[str] | None = None,
+        fixed_rounds: int | None = None, max_rounds: int = 50) -> DataFrame:
+    """Returns (id, component) — component = min reachable vertex id."""
+    # the adjacency is reused every round — checkpoint once so rounds
+    # don't re-scan + re-dedup the parquet union
+    adj = (graph.adj(BOTH, labels).select("src", "dst").distinct()
+           .localCheckpoint(eager=True))
+    comp = graph.vertices.select("id", F.col("id").alias("component"))
+    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    for k in range(rounds):
+        nbr_min = (adj.join(comp, on=adj.dst == comp.id)
+                   .groupBy("src").agg(F.min("component").alias("nbr_comp"))
+                   .withColumnRenamed("src", "id"))
+        new = (comp.join(nbr_min, on="id", how="left")
+               .select("id", F.least("component",
+                                     F.coalesce("nbr_comp", "component"))
+                       .alias("component")))
+        new = iterate_hygiene(new, k + 1, every=3)
+        if fixed_rounds is None:
+            delta = (new.alias("n").join(comp.alias("o"), on="id")
+                     .filter(F.col("n.component") != F.col("o.component"))
+                     .limit(1).count())
+            comp = new
+            if delta == 0:
+                break
+        else:
+            comp = new
+    return comp

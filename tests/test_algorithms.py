@@ -1,0 +1,105 @@
+"""M5: OLAP algorithm semantics (value parity is the oracle gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incubator_hugegraph_spark.algorithms.centrality import (
+    betweenness_centrality,
+    degree_centrality,
+)
+from incubator_hugegraph_spark.algorithms.community import (
+    k_core,
+    louvain,
+    lpa,
+    modularity,
+    triangle_count,
+    undirected_edges,
+)
+from incubator_hugegraph_spark.algorithms.pagerank import page_rank
+from incubator_hugegraph_spark.algorithms.wcc import wcc
+
+
+def test_pagerank_sums_to_one(graph):
+    r = page_rank(graph, alpha=0.15, fixed_rounds=3)
+    total = r.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
+    assert r.agg(F.min("rank")).collect()[0][0] > 0
+
+
+def test_pagerank_converges(graph):
+    r = page_rank(graph, alpha=0.15, max_times=30, precision=1e-6)
+    total = r.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_wcc_fixpoint_is_stable(graph):
+    c1 = wcc(graph)
+    # one connected component expected to dominate; components are
+    # closed under adjacency: every edge connects same-component nodes
+    adj = graph.adj("BOTH").select("src", "dst")
+    joined = (adj.join(c1.withColumnRenamed("id", "src")
+                       .withColumnRenamed("component", "cs"), on="src")
+              .join(c1.withColumnRenamed("id", "dst")
+                    .withColumnRenamed("component", "cd"), on="dst"))
+    assert joined.filter(F.col("cs") != F.col("cd")).count() == 0
+
+
+def test_triangle_count_nonnegative(graph):
+    t = triangle_count(graph, labels=["interacted"]).collect()[0][0]
+    assert t >= 0
+
+
+def test_kcore_fixpoint_subset_and_valid(graph):
+    core = k_core(graph, 3, labels=["supplies"])
+    und = undirected_edges(graph, ["supplies"])
+    live = (und.join(core, on=und.a == core.id, how="left_semi")
+            .join(core, on=und.b == core.id, how="left_semi"))
+    deg = (live.select(F.col("a").alias("id"))
+           .unionAll(live.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("d")))
+    assert deg.filter(F.col("d") < 3).count() == 0  # true 3-core
+
+
+def test_lpa_labels_from_vertex_set(graph):
+    lab = lpa(graph, labels=["interacted"], fixed_rounds=2)
+    ids = {r["id"] for r in graph.vertices.select("id").collect()}
+    assert {r["community"] for r in lab.collect()} <= ids
+
+
+def test_louvain_improves_modularity(graph):
+    und = undirected_edges(graph, ["interacted"])
+    edges = und.select("a", "b", F.lit(1.0).alias("w"))
+    comm = louvain(graph, labels=["interacted"], passes=1, move_rounds=3)
+    # baseline: every vertex its own community → Q ≈ -Σ(k/2m)² < 0
+    base = edges.select(F.col("a").alias("id")) \
+        .union(edges.select("b")).distinct() \
+        .select("id", F.col("id").alias("community"))
+    q0 = modularity(edges, base)
+    q1 = modularity(edges, comm)
+    assert q1 >= q0  # monotone improvement (SURVEY §7.4#3)
+
+
+def test_betweenness_star_center(spark, graph):
+    # star: all shortest paths between leaves pass through the hub
+    from incubator_hugegraph_spark.graph import PropertyGraph
+    rows = [(f"v!{i}", "v", {}, None) for i in range(5)]
+    erows = [(f"v!{i}", "v!0", "e", "", {}, None) for i in range(1, 5)]
+    g = PropertyGraph(
+        spark=spark,
+        vertices=spark.createDataFrame(rows, graph.vertices.schema),
+        edges=spark.createDataFrame(erows, graph.edges.schema),
+        schema=graph.schema)
+    b = {r["id"]: r["betweenness"]
+         for r in betweenness_centrality(
+             g, [f"v!{i}" for i in range(1, 5)], 3, direction="BOTH")
+         .collect()}
+    # hub lies on all 4·3 = 12 leaf-pair paths (σ ratio 1 each);
+    # each source contributes δ(hub) = 3
+    assert b["v!0"] == 12.0
+
+
+def test_degree_top_deterministic(graph):
+    a = [tuple(r) for r in degree_centrality(graph, top=10).collect()]
+    b = [tuple(r) for r in degree_centrality(graph, top=10).collect()]
+    assert a == b
