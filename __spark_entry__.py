@@ -1065,6 +1065,274 @@ def louvain_q(spark, sf_dir):
 
 
 # ====================================================================
+# M6: training-data pipeline operators (documents/embeddings/events)
+# ====================================================================
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark, sf_dir):
+    from incubator_hugegraph_spark.sources.tpch import read_table
+    return read_table(spark, sf_dir, "events")
+
+
+@_q("doc_exact_dedup", """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper,
+       count(*) AS n_docs
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+""")
+def doc_exact_dedup(spark, sf_dir):
+    """Exact dedup groups (hash-groupBy)."""
+    from incubator_hugegraph_spark.data.dedup import exact_dedup
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+@_q("doc_normalized_dedup", """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+         AS norm_hash,
+       min(doc_id) AS keeper, count(*) AS n_docs
+FROM documents GROUP BY 1
+""")
+def doc_normalized_dedup(spark, sf_dir):
+    """Near-exact dedup on normalized text."""
+    from incubator_hugegraph_spark.data.dedup import normalized_dedup
+    return normalized_dedup(_docs(spark, sf_dir))
+
+
+_SHINGLE_SQL = """
+toks AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '') AS t
+         FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                     i -> array_to_string(t[i:i+2], ' '))) AS s
+       FROM toks),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+@_q("doc_ngram_jaccard", f"""
+WITH {_SHINGLE_SQL.strip()},
+pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT d1, d2,
+       ROUND(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) AS jaccard
+FROM pairs JOIN cnt c1 ON c1.doc_id = pairs.d1
+JOIN cnt c2 ON c2.doc_id = pairs.d2
+WHERE CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) >= 0.3
+""")
+def doc_ngram_jaccard(spark, sf_dir):
+    """Exact near-dup pairs: word-3-gram Jaccard ≥ 0.3 via
+    inverted-index join (the verify kernel; MinHash-LSH is the scale
+    path)."""
+    from incubator_hugegraph_spark.data.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
+
+
+@_q("doc_minhash_lsh")  # rows-only: murmur3 minhash not DuckDB-expressible
+def doc_minhash_lsh(spark, sf_dir):
+    """MinHash(64)+LSH(16×4) near-dup candidates, exact-verified at
+    jaccard ≥ 0.3. Recall vs the exact kernel is asserted in tests."""
+    from incubator_hugegraph_spark.data.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
+
+
+@_q("doc_simhash")  # rows-only: xxhash64 simhash not DuckDB-expressible
+def doc_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs at hamming ≤ 3 via 4×16-bit chunk
+    banding."""
+    from incubator_hugegraph_spark.data.dedup import simhash_near_pairs
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+@_q("doc_token_stats", """
+SELECT doc_id AS id,
+       len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS n_tokens,
+       len(list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> x <> ''))) AS n_distinct,
+       length(text) AS n_chars
+FROM documents
+""")
+def doc_token_stats(spark, sf_dir):
+    """Token counting (whitespace/punct analyzer)."""
+    from incubator_hugegraph_spark.data.text import token_stats
+    return token_stats(_docs(spark, sf_dir))
+
+
+@_q("doc_lang_id", None)  # SQL attached below (generated)
+def doc_lang_id(spark, sf_dir):
+    """Heuristic language ID (stopword hit counts + CJK detection)."""
+    from incubator_hugegraph_spark.data.text import lang_id
+    return lang_id(_docs(spark, sf_dir))
+
+
+@_q("doc_quality", """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / length(text) AS alpha_ratio,
+         CAST(len(list_filter(toks, x -> list_contains(
+             ['the','of','and','a','to','in','is'], x))) AS DOUBLE)
+           / len(toks) AS stop_ratio,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           / len(toks) AS mean_tok
+  FROM t)
+SELECT doc_id AS id, n_tokens,
+       ROUND(alpha_ratio, 6) AS alpha_ratio,
+       ROUND(stop_ratio, 6) AS stopword_ratio,
+       ROUND(mean_tok, 6) AS mean_token_len,
+       ROUND(0.4 * least(n_tokens / 50.0, 1.0) + 0.3 * alpha_ratio
+             + 0.3 * least(stop_ratio * 5, 1.0), 6) AS quality
+FROM s
+""")
+def doc_quality(spark, sf_dir):
+    """Quality scoring (length/punct/stopword heuristics)."""
+    from incubator_hugegraph_spark.data.text import quality_score
+    return quality_score(_docs(spark, sf_dir))
+
+
+@_q("doc_fingerprint", """
+SELECT doc_id AS id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+FROM documents
+""")
+def doc_fingerprint(spark, sf_dir):
+    """Normalized-stream document fingerprint."""
+    from incubator_hugegraph_spark.data.text import fingerprint
+    return fingerprint(_docs(spark, sf_dir))
+
+
+@_q("emb_cosine_topk", """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  ROUND(list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored)
+SELECT query_id, neighbor_id, sim FROM r WHERE rn <= 10
+""")
+def emb_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-10 for 5 query vectors (the ANN
+    correctness baseline)."""
+    from incubator_hugegraph_spark.data.similarity import cosine_topk
+    return cosine_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], 10)
+
+
+@_q("emb_lsh_ann")  # rows-only: hyperplane signatures not in DuckDB
+def emb_lsh_ann(spark, sf_dir):
+    """Random-hyperplane LSH ANN top-10 (bucketed candidates, exact
+    re-rank). Recall vs brute force asserted in tests."""
+    from incubator_hugegraph_spark.data.similarity import lsh_ann_topk
+    return lsh_ann_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], 10, dim=64)
+
+
+@_q("emb_ivf_ann")  # rows-only
+def emb_ivf_ann(spark, sf_dir):
+    """IVF-lite ANN top-10 (centroid cells + n_probe re-rank)."""
+    from incubator_hugegraph_spark.data.similarity import ivf_topk
+    return ivf_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], 10)
+
+
+@_q("multimodal_features", """
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CASE WHEN doc_id % 3 = 0
+            THEN greatest(CAST(floor(sqrt(octet_length(encode(text))))
+                          AS INT), 1)
+            ELSE NULL END AS width,
+       CASE WHEN doc_id % 3 = 0
+            THEN greatest(CAST(floor(sqrt(octet_length(encode(text))))
+                          AS INT), 1)
+            ELSE NULL END AS height,
+       CASE WHEN doc_id % 3 <> 0
+            THEN CAST(octet_length(encode(text)) * 8 AS BIGINT)
+            ELSE NULL END AS duration_ms
+FROM documents
+""")
+def multimodal_features(spark, sf_dir):
+    """Binary-column feature extraction via Arrow mapInPandas (decode
+    stubbed deterministically — no codecs in this container; schema,
+    batching and partition plumbing are real)."""
+    from incubator_hugegraph_spark.data.multimodal import (
+        docs_as_assets,
+        extract_features,
+    )
+    feats = extract_features(docs_as_assets(_docs(spark, sf_dir)))
+    return feats.select("asset_id", "modality", "n_bytes", "width",
+                        "height", "duration_ms")
+
+
+@_q("events_sessionize", """
+WITH flags AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flags)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+""")
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min), batch form of the streaming
+    operator."""
+    from incubator_hugegraph_spark.streaming.events import sessionize
+    return sessionize(_events(spark, sf_dir))
+
+
+@_q("events_window_agg", """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       ROUND(sum(value), 2) AS sum_value,
+       ROUND(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+""")
+def events_window_agg(spark, sf_dir):
+    """Tumbling 1-hour window aggregation per event_type (batch form
+    of the streaming windowed agg)."""
+    from incubator_hugegraph_spark.streaming.events import window_agg
+    return window_agg(_events(spark, sf_dir))
+
+
+# attach generated lang_id oracle
+def _attach_generated_oracles():
+    from incubator_hugegraph_spark.data.text import lang_id_sql
+    _ORACLES["doc_lang_id"] = lang_id_sql()
+
+
+_attach_generated_oracles()
+
+
+# ====================================================================
 # driver API
 # ====================================================================
 

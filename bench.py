@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the B1-B10 query set from
+BASELINE.md §2 at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a cheap terminal action (count) — results
+stay distributed; nothing wide is collected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf(sf_dir: str) -> float:
+    import re
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    from incubator_hugegraph_spark.session import get_spark
+    from incubator_hugegraph_spark.sources.tpch import build_graph
+    from incubator_hugegraph_spark.functions.conditions import P
+    from incubator_hugegraph_spark.operators.bfs import bfs
+    from incubator_hugegraph_spark.operators.paths import (
+        multi_node_shortest_path)
+    from incubator_hugegraph_spark.operators.similarity import (
+        fusiform_similarity, jaccard_top_batch)
+    from incubator_hugegraph_spark.algorithms.pagerank import page_rank
+    from incubator_hugegraph_spark.algorithms.wcc import wcc
+    from incubator_hugegraph_spark.algorithms.community import triangle_count
+    from incubator_hugegraph_spark.algorithms.centrality import (
+        degree_centrality)
+    from incubator_hugegraph_spark.algorithms.stats import (
+        count_edge, count_vertex)
+    from pyspark.sql import functions as F
+
+    spark = get_spark("bench")
+    graph = build_graph(spark, SF_DIR)
+    graph.vertices = graph.vertices.persist()
+    graph.edges = graph.edges.persist()
+    graph.vertices.count()
+    graph.edges.count()
+
+    cust100 = [f"customer!{i}" for i in range(100)]
+    # 10 customers × 10 parts → 100 customer→part shortest paths over
+    # the OUT-directed customer→order→part chain (BASELINE.md B4)
+    mnsp_ids = ([f"customer!{i}" for i in range(10)]
+                + [f"part!{i}" for i in range(10)])
+
+    def b1():
+        return count_vertex(graph).count() + count_edge(graph).count()
+
+    def b2():
+        return (graph.view("part")
+                .filter(P.gte("size", 20) & P.text_contains("name", "green"))
+                .count())
+
+    def b3():
+        return bfs(graph, cust100, depth=3, direction="OUT").count()
+
+    def b4():
+        return multi_node_shortest_path(graph, mnsp_ids, max_depth=3,
+                                        direction="OUT").count()
+
+    def b5():
+        return jaccard_top_batch(graph, cust100, top=20).count()
+
+    def b6():
+        return page_rank(graph, alpha=0.15, max_times=20,
+                         precision=1e-4).count()
+
+    def b7():
+        return wcc(graph).count()
+
+    def b8():
+        return triangle_count(graph).count()
+
+    def b9():
+        return fusiform_similarity(graph, "customer", direction="OUT",
+                                   min_neighbors=2, alpha=0.8,
+                                   min_similars=1, top=20).count()
+
+    def b10():
+        return degree_centrality(graph, direction="BOTH", top=100).count()
+
+    queries = {"b1": b1, "b2": b2, "b3": b3, "b4": b4, "b5": b5,
+               "b6": b6, "b7": b7, "b8": b8, "b9": b9, "b10": b10}
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({"metric": "bench_total_wall", "value": total,
+                      "unit": "sec", "queries": timings, "sf": _sf(SF_DIR)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,10 +56,15 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
                .select("id", (F.lit(alpha / n) + F.lit(1.0 - alpha)
                               * F.coalesce(F.col("inc"), F.lit(0.0)))
                        .alias("rank")))
+        # checkpoint the O(|V|) rank vector each round: the round's
+        # join+agg computes exactly ONCE, and the two driver-side
+        # scalars below (mass total, L1 delta) read the materialized
+        # vector instead of replaying the loop lineage — without this
+        # every convergence check recomputes prior rounds (quadratic)
+        new = new.localCheckpoint(eager=True)
         total = new.agg(F.sum("rank")).collect()[0][0]
         comp = (1.0 - total) / n
         new = new.withColumn("rank", F.col("rank") + F.lit(comp))
-        new = iterate_hygiene(new, t + 1, every=3)
         if fixed_rounds is None:
             changed = (new.alias("n").join(ranks.alias("o"), on="id")
                        .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))

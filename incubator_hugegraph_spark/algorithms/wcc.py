@@ -37,8 +37,10 @@ def wcc(graph: PropertyGraph, labels: list[str] | None = None,
                .select("id", F.least("component",
                                      F.coalesce("nbr_comp", "component"))
                        .alias("component")))
-        new = iterate_hygiene(new, k + 1, every=3)
         if fixed_rounds is None:
+            # materialize the O(|V|) component vector once per round so
+            # the fixpoint probe below doesn't replay the loop lineage
+            new = new.localCheckpoint(eager=True)
             delta = (new.alias("n").join(comp.alias("o"), on="id")
                      .filter(F.col("n.component") != F.col("o.component"))
                      .limit(1).count())
@@ -46,5 +48,6 @@ def wcc(graph: PropertyGraph, labels: list[str] | None = None,
             if delta == 0:
                 break
         else:
+            new = iterate_hygiene(new, k + 1, every=3)
             comp = new
     return comp

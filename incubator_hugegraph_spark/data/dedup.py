@@ -1,0 +1,207 @@
+"""Document deduplication: exact, normalized, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+- exact/normalized: one hash-groupBy shuffle — works at any scale.
+- ngram_jaccard_pairs: exact pairwise verification through a
+  shingle-inverted-index join — the join key is the shingle, so only
+  docs sharing a shingle ever meet. Correct but worst-case quadratic
+  on hot shingles → this is the ORACLE/verify kernel, not the scale
+  path.
+- minhash_lsh: the 100 TB path. shingles → 64 minhashes → 16 bands of
+  4 → band-bucket join → candidate pairs (near-linear), then exact
+  verification with ngram jaccard on candidates only.
+- simhash: 64-bit fingerprint; near-dup = hamming ≤ k via 4×16-bit
+  chunk banding (a pair within hamming ≤ 3 shares ≥1 exact chunk).
+
+All hash functions are Spark-deterministic (murmur3 `hash`,
+`xxhash64`) with fixed seeds; LSH results are reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from incubator_hugegraph_spark.functions.text import tokenize
+
+# 64 minhash permutations h_i(x) = (a_i·x + b_i) mod P (Carter-Wegman).
+# P = 2^31-1 (Mersenne) keeps a·h+b < 2^63 — no int64 overflow under
+# ANSI mode: h,a < 2^31 → a·h < 2^62.
+_P = (1 << 31) - 1
+_N_HASHES = 64
+_BANDS = 16
+_ROWS = _N_HASHES // _BANDS
+
+
+def _det_coeffs(n: int) -> list[tuple[int, int]]:
+    # deterministic LCG-derived coefficients (no RNG state)
+    coeffs, x = [], 0x9E3779B97F4A7C15
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (x % (_P - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = x % _P
+        coeffs.append((a, b))
+    return coeffs
+
+
+_COEFFS = _det_coeffs(_N_HASHES)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: (hash, keeper, n_dups) per duplicated text;
+    keeper = min id. One groupBy shuffle."""
+    return (docs.select(F.md5(F.col(text_col)).alias("text_hash"), id_col)
+            .groupBy("text_hash")
+            .agg(F.min(id_col).alias("keeper"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > 1))
+
+
+def normalize_text(col) -> F.Column:
+    """lower → collapse non-alphanumeric runs to single space → trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+
+
+def normalized_dedup(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Near-exact dedup on normalized text (case/punct/whitespace
+    insensitive): (keeper, n_docs) per normalized group."""
+    return (docs.select(F.md5(normalize_text(text_col)).alias("norm_hash"),
+                        id_col)
+            .groupBy("norm_hash")
+            .agg(F.min(id_col).alias("keeper"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) distinct word n-grams. JVM-side only."""
+    toks = tokenize(F.col(text_col))
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    return (docs.select(F.col(id_col).alias("id"),
+                        F.explode(sh).alias("shingle"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """All doc pairs with word-n-gram Jaccard ≥ threshold
+    (d1 < d2, exact — inverted-index join). Returns
+    (d1, d2, jaccard)."""
+    sh = word_shingles(docs, n, text_col, id_col)
+    cnt = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("d1"), "shingle")
+    b = sh.select(F.col("id").alias("d2"), "shingle")
+    inter = (a.join(b, on="shingle")
+             .filter(F.col("d1") < F.col("d2"))
+             .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("inter")))
+    return (inter
+            .join(cnt.select(F.col("id").alias("d1"),
+                             F.col("n_sh").alias("n1")), on="d1")
+            .join(cnt.select(F.col("id").alias("d2"),
+                             F.col("n_sh").alias("n2")), on="d2")
+            .withColumn("jaccard", F.col("inter")
+                        / (F.col("n1") + F.col("n2") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("d1", "d2", F.round("jaccard", 6).alias("jaccard")))
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(id, sig array<long>[64]): minhash over murmur3 shingle hashes.
+    One shuffle (groupBy id); the 64 mins are one aggregation pass."""
+    sh = word_shingles(docs, n, text_col, id_col)
+    h = sh.withColumn("h", (F.hash("shingle").cast("long")
+                            .bitwiseAND(F.lit((1 << 32) - 1))) % _P)
+    mins = [F.min((F.col("h") * a + b) % _P).alias(f"m{i}")
+            for i, (a, b) in enumerate(_COEFFS)]
+    agg = h.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"m{i}" for i in range(_N_HASHES)])
+                      .alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified: shingle → minhash →
+    band buckets → bucket join (candidates) → exact jaccard filter.
+    Returns (d1, d2, jaccard) — a subset of ngram_jaccard_pairs with
+    high recall at a fraction of the comparisons."""
+    sig = minhash_signatures(docs, n, text_col, id_col)
+    bands = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.hash(*[F.col("sig")[bi * _ROWS + r]
+                              for r in range(_ROWS)]).alias("bucket"))
+            for bi in range(_BANDS)])).alias("bb")) \
+        .select("id", "bb.band", "bb.bucket")
+    l = bands.select(F.col("id").alias("d1"), "band", "bucket")
+    r = bands.select(F.col("id").alias("d2"), "band", "bucket")
+    cand = (l.join(r, on=["band", "bucket"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2").distinct())
+    # exact verification on candidates only
+    exact = ngram_jaccard_pairs(docs, n, 0.0, text_col, id_col) \
+        .withColumnRenamed("jaccard", "jaccard")
+    return (cand.join(exact, on=["d1", "d2"])
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash long): 64-bit SimHash over token xxhash64 bits —
+    per-bit weighted majority, all in Column expressions (the 64 bit
+    sums are one aggregation over exploded tokens)."""
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.explode(tokenize(F.col(text_col))).alias("tok"))
+            .withColumn("h", F.xxhash64("tok")))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"b{b}")
+        for b in range(64)]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        fp = fp + F.when(F.col(f"b{b}") > 0,
+                         F.lit(1).cast("long") * (1 << b) if b < 63
+                         else F.lit(-(1 << 63)).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming
+    (requires ≤ 3 for the 4-chunk pigeonhole to be exact): band on
+    4×16-bit chunks, verify hamming via bit_count(xor)."""
+    sh = simhash(docs, text_col, id_col)
+    chunks = sh.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftrightunsigned("simhash", c * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("val"))
+            for c in range(4)])).alias("cc")) \
+        .select("id", "simhash", "cc.chunk", "cc.val")
+    l = chunks.select(F.col("id").alias("d1"),
+                      F.col("simhash").alias("s1"), "chunk", "val")
+    r = chunks.select(F.col("id").alias("d2"),
+                      F.col("simhash").alias("s2"), "chunk", "val")
+    return (l.join(r, on=["chunk", "val"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2", "s1", "s2").distinct()
+            .withColumn("hamming", F.bit_count(
+                F.col("s1").bitwiseXOR(F.col("s2"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("d1", "d2", "hamming"))

@@ -1,0 +1,172 @@
+"""Embedding similarity search over an `array<float>` column.
+
+- cosine_topk: brute-force exact top-k for an explicit query set —
+  the correctness baseline. Cross join is (|Q| × |N|); fine when Q is
+  a bounded query batch (broadcast the queries, never the corpus).
+- lsh_ann_topk: the scale path — random-hyperplane LSH buckets
+  (deterministic planes derived from murmur3, no RNG state), candidate
+  = same-bucket vectors, exact cosine re-rank within candidates.
+  At 100 TB the corpus-side signature is computed once and bucketed on
+  write; a query touches one bucket per table instead of the corpus.
+- ivf_topk: IVF-style alternative — k-means-lite centroids picked
+  deterministically (first C ids), vectors assigned to nearest
+  centroid at build; queries probe the nearest `n_probe` cells.
+
+All vector math is `zip_with`/`aggregate` Column expressions in
+double precision (JVM codegen) — no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _to_double(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(emb: DataFrame, query_ids: list[int], k: int,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (self excluded).
+    Returns (query_id, neighbor_id, sim) — deterministic by
+    (rounded sim desc, neighbor id asc)."""
+    base = emb.select(F.col(id_col).alias("neighbor_id"),
+                      _to_double(vec_col).alias("v"))
+    q = (emb.filter(F.col(id_col).isin(query_ids))
+         .select(F.col(id_col).alias("query_id"),
+                 _to_double(vec_col).alias("qv")))
+    scored = (base.crossJoin(F.broadcast(q))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("sim", F.round(cosine(F.col("qv"), F.col("v")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("query_id", "neighbor_id", "sim"))
+
+
+# Multi-table random-hyperplane LSH: L independent tables of b planes.
+# A true near neighbor at angle θ shares a table's bucket with
+# probability (1-θ/π)^b; missing ALL L tables has probability
+# (1-(1-θ/π)^b)^L → recall rises with L at linear candidate cost.
+# One table with many planes (the naive layout) has near-zero recall
+# on any realistic corpus — buckets outnumber vectors.
+_N_PLANES = 4
+_N_TABLES = 24
+
+
+def _plane_component(p: int, j: int) -> Column:
+    """Deterministic pseudo-random plane component in [-1, 1):
+    murmur3(p, j) scaled. No RNG state — reproducible anywhere."""
+    return (F.hash(F.lit(p * 7919 + j)).cast("double")
+            / F.lit(float(1 << 31)))
+
+
+def lsh_signature(vec: Column, dim: int, n_planes: int = _N_PLANES,
+                  plane_offset: int = 0) -> Column:
+    """Bit-packed random-hyperplane signature (int). ``plane_offset``
+    selects an independent plane family (one per LSH table)."""
+    sig = F.lit(0)
+    for p in range(n_planes):
+        pg = plane_offset + p
+        d = F.aggregate(
+            F.zip_with(vec,
+                       F.array(*[_plane_component(pg, j) for j in range(dim)]),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        sig = sig + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_buckets(emb: DataFrame, dim: int, id_col: str = "vec_id",
+                vec_col: str = "embedding", n_planes: int = _N_PLANES,
+                n_tables: int = _N_TABLES) -> DataFrame:
+    """(id, v, table, bucket): one row per LSH table. At scale this is
+    the write-side index: persisted partitioned by (table, bucket) so a
+    query reads L buckets, never the corpus."""
+    base = emb.select(F.col(id_col).alias("id"),
+                      _to_double(vec_col).alias("v"))
+    tb = F.explode(F.array(*[
+        F.struct(F.lit(t).alias("table"),
+                 lsh_signature(F.col("v"), dim, n_planes,
+                               plane_offset=t * n_planes).alias("bucket"))
+        for t in range(n_tables)])).alias("tb")
+    return base.select("id", "v", tb).select("id", "v", "tb.table",
+                                             "tb.bucket")
+
+
+def lsh_ann_topk(emb: DataFrame, query_ids: list[int], k: int, dim: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_planes: int = _N_PLANES,
+                 n_tables: int = _N_TABLES) -> DataFrame:
+    """Approximate top-k: candidates = union over L tables of
+    same-bucket vectors; exact cosine re-rank on the deduped set.
+    Returns (query_id, neighbor_id, sim)."""
+    sig = lsh_buckets(emb, dim, id_col, vec_col, n_planes, n_tables)
+    q = (sig.filter(F.col("id").isin(query_ids))
+         .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
+                 "table", "bucket"))
+    cand = (sig.join(F.broadcast(q), on=["table", "bucket"])
+            .filter(F.col("id") != F.col("query_id"))
+            .select("query_id", "qv", "id", "v")
+            .dropDuplicates(["query_id", "id"]))
+    scored = cand.withColumn(
+        "sim", F.round(cosine(F.col("qv"), F.col("v")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("query_id", F.col("id").alias("neighbor_id"), "sim"))
+
+
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
+             n_cells: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-lite ANN: centroids = the first n_cells vectors by id
+    (deterministic seed centroids; a production build would run a few
+    k-means rounds — same plumbing). Vectors are assigned to their
+    nearest centroid; queries probe the n_probe nearest cells and
+    re-rank exactly. Returns (query_id, neighbor_id, sim)."""
+    base = emb.select(F.col(id_col).alias("id"),
+                      _to_double(vec_col).alias("v"))
+    cents = (base.orderBy("id").limit(n_cells)
+             .select(F.col("id").alias("cell"), F.col("v").alias("cv")))
+    assigned = (base.crossJoin(F.broadcast(cents))
+                .withColumn("d", cosine(F.col("v"), F.col("cv"))))
+    w_assign = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("cell"))
+    assigned = (assigned.withColumn("__rn", F.row_number().over(w_assign))
+                .filter(F.col("__rn") == 1).select("id", "v", "cell"))
+    q = (assigned.filter(F.col("id").isin(query_ids))
+         .select(F.col("id").alias("query_id"), F.col("v").alias("qv")))
+    qcells = (q.crossJoin(F.broadcast(cents))
+              .withColumn("d", cosine(F.col("qv"), F.col("cv"))))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("d"),
+                                                     F.asc("cell"))
+    qcells = (qcells.withColumn("__rn", F.row_number().over(w_probe))
+              .filter(F.col("__rn") <= n_probe)
+              .select("query_id", "qv", "cell"))
+    cand = (assigned.join(F.broadcast(qcells), on="cell")
+            .filter(F.col("id") != F.col("query_id")))
+    scored = cand.withColumn(
+        "sim", F.round(cosine(F.col("qv"), F.col("v")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("query_id", F.col("id").alias("neighbor_id"), "sim"))

@@ -1,0 +1,131 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, fingerprinting.
+
+Every function is a pure Column program (JVM codegen, zero Python in
+the row path) with an exact SQL mirror declared in the oracle — the
+heuristics are deliberately simple and specified, since parity (not
+model quality) is what a data pipeline needs to be reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from incubator_hugegraph_spark.data.dedup import normalize_text
+from incubator_hugegraph_spark.functions.text import tokenize
+
+# language-ID: stopword hit counts (with duplicates) + CJK detection;
+# winner = max count, ties → alphabetically first, no hits → 'und'
+STOPWORDS = {
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein"],
+    "en": ["the", "of", "and", "a", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "los"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une"],
+}
+CJK_RE = r"[一-鿿]"
+
+
+def _stop_hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(id, lang): heuristic n-gram/stopword language ID. 'zh' wins if
+    any CJK character is present."""
+    toks = tokenize(F.col(text_col))
+    scores = [(lang, _stop_hits(toks, ws)) for lang, ws in
+              sorted(STOPWORDS.items())]
+    # argmax with alphabetical tie-break: fold over sorted langs, strict >
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, sc in scores:
+        cond = sc > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, sc).otherwise(best_score)
+    out = F.when(F.col(text_col).rlike(CJK_RE), F.lit("zh")) \
+        .otherwise(best_lang)
+    return docs.select(F.col(id_col).alias("id"), out.alias("lang"))
+
+
+# SQL mirror of lang_id for the DuckDB oracle (same fold order)
+def lang_id_sql(text: str = "text", id_: str = "doc_id") -> str:
+    tok = (f"list_filter(string_split_regex(lower({text}), '[^a-z0-9]+'), "
+           "x -> x <> '')")
+    parts = []
+    for lang, ws in sorted(STOPWORDS.items()):
+        arr = "[" + ",".join(f"'{w}'" for w in ws) + "]"
+        parts.append(
+            f"len(list_filter({tok}, t -> list_contains({arr}, t))) "
+            f"AS s_{lang}")
+    score_sel = ", ".join(parts)
+    fold = "'und'"
+    prev = "0"
+    for lang in sorted(STOPWORDS):
+        fold = f"CASE WHEN s_{lang} > {prev_expr(prev)} THEN '{lang}' " \
+               f"ELSE {fold} END"
+        prev = f"greatest({prev_expr(prev)}, s_{lang})"
+    return f"""
+SELECT {id_} AS id,
+       CASE WHEN regexp_matches({text}, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+            ELSE {fold} END AS lang
+FROM (SELECT {id_}, {text}, {score_sel} FROM documents)
+"""
+
+
+def prev_expr(p: str) -> str:
+    return p
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, alpha_ratio, stopword_ratio, mean_token_len,
+    quality): length/stopword/character heuristics. quality =
+    0.4·min(n_tokens/50,1) + 0.3·alpha_ratio + 0.3·min(stop·5,1),
+    all rounded 6."""
+    toks = tokenize(F.col(text_col))
+    n_tok = F.size(toks)
+    total_len = F.length(F.col(text_col))
+    alpha_len = F.length(F.regexp_replace(F.col(text_col),
+                                          r"[^A-Za-z]", ""))
+    stops = _stop_hits(toks, STOPWORDS["en"])
+    alpha_ratio = alpha_len / total_len
+    stop_ratio = stops / n_tok
+    mean_tok = (F.aggregate(toks, F.lit(0),
+                            lambda acc, t: acc + F.length(t))
+                / n_tok)
+    quality = (0.4 * F.least(n_tok / F.lit(50.0), F.lit(1.0))
+               + 0.3 * alpha_ratio
+               + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_tok.alias("n_tokens"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(quality, 6).alias("quality"))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_distinct, n_chars): whitespace/punct-split
+    token counting (the BPE-ish regex analyzer default)."""
+    toks = tokenize(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(F.col(text_col)).alias("n_chars"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, fp): document fingerprint = md5 of the normalized token
+    stream (whitespace/case/punct-insensitive identity). A
+    rolling-hash winnowing variant would pick min-hashes of shingle
+    windows — that selection lives in dedup.minhash_signatures."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalize_text(text_col)).alias("fp"))

@@ -58,6 +58,38 @@ def jaccard_top(graph: PropertyGraph, source: str, top: int,
             .limit(top))
 
 
+def jaccard_top_batch(graph: PropertyGraph, sources: list[str], top: int,
+                      direction: str = BOTH,
+                      labels: list[str] | None = None,
+                      max_degree: int = NO_LIMIT) -> DataFrame:
+    """Batched jaccard_top: top-N similar vertices for EVERY source in
+    one set-oriented job (the REST endpoint's batch form; a per-source
+    driver loop would serialize |sources| Spark jobs). Returns
+    (source, id, jaccard). Same semantics as jaccard_top per source."""
+    spark = graph.spark
+    nbr = _nbrs(graph, direction, labels, max_degree)
+    sdf = spark.createDataFrame([(s,) for s in sources], "source string")
+    sizes = nbr.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    src_n = (nbr.join(F.broadcast(sdf), on=nbr.src == sdf.source)
+             .select("source", F.col("dst").alias("n")))
+    inter = (nbr.join(src_n, on=nbr.dst == src_n.n)
+             .filter(F.col("src") != F.col("source"))
+             .groupBy("source", F.col("src").alias("id"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    s_deg = sizes.select(F.col("src").alias("source"),
+                         F.col("deg").alias("s_deg"))
+    scored = (inter
+              .join(sizes.withColumnRenamed("src", "id"), on="id")
+              .join(F.broadcast(s_deg), on="source")
+              .select("source", "id",
+                      F.round(F.col("inter")
+                              / (F.col("deg") + F.col("s_deg")
+                                 - F.col("inter")), 6).alias("jaccard")))
+    w = Window.partitionBy("source").orderBy(F.desc("jaccard"), F.asc("id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= top).drop("__rn"))
+
+
 def fusiform_similarity(graph: PropertyGraph,
                         source_label: str,
                         direction: str = OUT,

