@@ -1064,6 +1064,135 @@ def louvain_q(spark, sf_dir):
                    passes=2, move_rounds=3)
 
 
+@_q("stress_centrality")  # rows-only: same Brandes spine as betweenness
+def stress_q(spark, sf_dir):
+    """stress_centrality (cent/StressCentralityAlgorithmV2.java): raw
+    shortest-path counts through v over 5 explicit sources."""
+    from incubator_hugegraph_spark.algorithms.centrality import (
+        stress_centrality,
+    )
+    return stress_centrality(
+        _graph(spark, sf_dir), [f"customer!{i}" for i in range(1, 6)], 3,
+        direction=OUT, labels=["interacted"])
+
+
+@_q("crosspoints", f"""
+WITH {E_SQL.strip()},
+e AS (SELECT DISTINCT src, dst FROM edges),
+m10 AS (SELECT dst AS crosspoint, src || '>' || dst AS path, 1 AS length
+        FROM e WHERE src = 'customer!1' AND dst = 'customer!2'),
+m01 AS (SELECT 'customer!1' AS crosspoint,
+               'customer!1>customer!2' AS path, 1 AS length
+        FROM e WHERE src = 'customer!2' AND dst = 'customer!1'),
+m11 AS (SELECT e1.dst AS crosspoint,
+               'customer!1>' || e1.dst || '>customer!2' AS path, 2 AS length
+        FROM e e1 JOIN e e2 ON e1.dst = e2.dst
+        WHERE e1.src = 'customer!1' AND e2.src = 'customer!2'
+          AND e1.dst NOT IN ('customer!1', 'customer!2')),
+m20 AS (SELECT 'customer!2' AS crosspoint,
+               'customer!1>' || e1.dst || '>customer!2' AS path, 2 AS length
+        FROM e e1 JOIN e e2 ON e2.src = e1.dst
+        WHERE e1.src = 'customer!1' AND e2.dst = 'customer!2'
+          AND e1.dst NOT IN ('customer!1', 'customer!2')),
+m02 AS (SELECT 'customer!1' AS crosspoint,
+               'customer!1>' || e1.dst || '>customer!2' AS path, 2 AS length
+        FROM e e1 JOIN e e2 ON e2.src = e1.dst
+        WHERE e1.src = 'customer!2' AND e2.dst = 'customer!1'
+          AND e1.dst NOT IN ('customer!1', 'customer!2'))
+SELECT DISTINCT crosspoint, path, length
+FROM (SELECT * FROM m10 UNION ALL SELECT * FROM m01
+      UNION ALL SELECT * FROM m11 UNION ALL SELECT * FROM m20
+      UNION ALL SELECT * FROM m02)
+""")
+def crosspoints_q(spark, sf_dir):
+    """crosspoints customer!1 × customer!2, OUT, total depth ≤ 2
+    (CrosspointsAPI.java:58-93 → PathsTraverser bidirectional meet)."""
+    from incubator_hugegraph_spark.operators.paths import crosspoints
+    return crosspoints(_graph(spark, sf_dir), "customer!1", "customer!2",
+                       2, direction=OUT)
+
+
+@_q("customized_paths", """
+WITH iw AS (
+  SELECT 'customer!' || pu AS src, 'customer!' || user_id AS dst,
+         max(value) AS w
+  FROM (SELECT lag(user_id) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS pu,
+               user_id, value FROM events)
+  WHERE pu IS NOT NULL AND pu <> user_id GROUP BY 1, 2),
+pl AS (SELECT DISTINCT 'customer!' || o_custkey AS src,
+              'order!' || o_orderkey AS dst FROM orders)
+SELECT iw.src || '>' || iw.dst || '>' || pl.dst AS path,
+       ROUND(iw.w + 0.5, 6) AS weight
+FROM iw JOIN pl ON pl.src = iw.dst
+WHERE iw.src IN ('customer!1', 'customer!2')
+ORDER BY weight DESC, path LIMIT 20
+""")
+def customized_paths_q(spark, sf_dir):
+    """customizedpaths: 2 sources, step1 = interacted OUT weighted by
+    the event value, step2 = placed OUT default-weight 0.5; sorted by
+    total weight, top 20 (CustomizePathsTraverser.java:76-174;
+    deterministic min-id sample deviation documented)."""
+    from incubator_hugegraph_spark.operators.paths import customized_paths
+    return customized_paths(
+        _graph(spark, sf_dir), ["customer!1", "customer!2"],
+        steps=[{"direction": OUT, "labels": ["interacted"],
+                "weight_by": "value", "default_weight": 1.0},
+               {"direction": OUT, "labels": ["placed"],
+                "default_weight": 0.5}],
+        sorted_by_weight=True, limit=20)
+
+
+@_q("customized_crosspoints", f"""
+WITH {IE_SQL.strip()},
+cn AS (SELECT 'customer!' || c_custkey AS src,
+              'nation!' || c_nationkey AS dst FROM customer),
+p1 AS (SELECT src AS origin, dst AS id FROM cn
+       WHERE src IN ('customer!1', 'customer!2', 'customer!3')),
+p2 AS (SELECT ie.src AS origin, cn.dst AS id
+       FROM ie JOIN cn ON cn.src = ie.dst
+       WHERE ie.src IN ('customer!1', 'customer!2', 'customer!3')),
+ends AS (SELECT DISTINCT origin, id
+         FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2))
+SELECT id AS crosspoint FROM ends
+GROUP BY id HAVING count(DISTINCT origin) = 3
+""")
+def customized_crosspoints_q(spark, sf_dir):
+    """customizedcrosspoints: nations reached from all of customers
+    1-3 via [in_nation] or [interacted, in_nation]
+    (CustomizedCrosspointsTraverser.crosspointsPaths :105-160)."""
+    from incubator_hugegraph_spark.operators.paths import (
+        customized_crosspoints,
+    )
+    return customized_crosspoints(
+        _graph(spark, sf_dir),
+        ["customer!1", "customer!2", "customer!3"],
+        patterns=[[{"direction": OUT, "labels": ["in_nation"]}],
+                  [{"direction": OUT, "labels": ["interacted"]},
+                   {"direction": OUT, "labels": ["in_nation"]}]])
+
+
+@_q("kneighbor_paths", f"""
+WITH {E_SQL.strip()},
+e AS (SELECT DISTINCT src, dst FROM edges),
+l1 AS (SELECT dst AS id, min('customer!1>' || dst) AS path FROM e
+       WHERE src = 'customer!1' AND dst <> 'customer!1' GROUP BY dst),
+l2 AS (SELECT e.dst AS id, min(l1.path || '>' || e.dst) AS path
+       FROM e JOIN l1 ON e.src = l1.id
+       WHERE e.dst <> 'customer!1'
+         AND e.dst NOT IN (SELECT id FROM l1)
+       GROUP BY e.dst)
+SELECT id, path, 1 AS dist FROM l1
+UNION ALL SELECT id, path, 2 AS dist FROM l2
+""")
+def kneighbor_paths_q(spark, sf_dir):
+    """kneighbor with_path=true, depth 2 OUT (KneighborAPI.java POST
+    :198-222 + KneighborRecords): min-lex path per reached vertex."""
+    from incubator_hugegraph_spark.operators.bfs import kneighbor_paths
+    return kneighbor_paths(_graph(spark, sf_dir), "customer!1", 2,
+                           direction=OUT)
+
+
 # ====================================================================
 # M6: training-data pipeline operators (documents/embeddings/events)
 # ====================================================================

@@ -154,3 +154,71 @@ def betweenness_centrality(graph: PropertyGraph, sources: list[str],
     return (delta.join(srcs, on=delta.id == srcs.sid, how="left_anti")
             .groupBy("id")
             .agg(F.round(F.sum("delta"), 6).alias("betweenness")))
+
+
+def stress_centrality(graph: PropertyGraph, sources: list[str],
+                      max_depth: int, direction: str = BOTH,
+                      labels: list[str] | None = None) -> DataFrame:
+    """Stress centrality over a source sample
+    (cent/StressCentralityAlgorithmV2.java, same BfsTraverser spine as
+    betweenness): stress(v) = Σ_{s,t} σ_st(v) — RAW shortest-path
+    counts through v, not ratios. Backward recursion
+    δ(v) = Σ_{w ∈ succ(v)} σ_sv · (1 + δ(w)/σ_sw); stress = Σ_s δ.
+    Returns (id, stress) over non-source vertices reached."""
+    spark = graph.spark
+    adj = graph.adj(direction, labels).select("src", "dst").distinct()
+    frontier = (spark.createDataFrame([(s,) for s in sources],
+                                      "origin string")
+                .select("origin", F.col("origin").alias("id"),
+                        F.lit(0).alias("dist"),
+                        F.lit(1.0).alias("sigma")))
+    levels = [frontier]
+    visited = frontier.select("origin", "id")
+    for k in range(1, max_depth + 1):
+        prev = levels[-1]
+        ext = (adj.join(F.broadcast(prev), on=adj.src == prev.id)
+               .select("origin", F.col("dst").alias("id"), "sigma")
+               .join(visited, on=["origin", "id"], how="left_anti"))
+        nxt = (ext.groupBy("origin", "id")
+               .agg(F.sum("sigma").alias("sigma"))
+               .withColumn("dist", F.lit(k))
+               .select("origin", "id", "dist", "sigma"))
+        nxt = iterate_hygiene(nxt, k, every=3).localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("origin", "id"))
+    delta = None
+    for d in range(len(levels) - 1, 0, -1):
+        w_lv = levels[d].select(F.col("origin").alias("w_origin"),
+                                F.col("id").alias("w_id"),
+                                F.col("sigma").alias("sw"))
+        if delta is not None:
+            dprev = delta.select(F.col("origin").alias("w_origin"),
+                                 F.col("id").alias("w_id"),
+                                 F.col("delta").alias("dw"))
+            w_lv = (w_lv.join(dprev, on=["w_origin", "w_id"], how="left")
+                    .withColumn("dw", F.coalesce("dw", F.lit(0.0))))
+        else:
+            w_lv = w_lv.withColumn("dw", F.lit(0.0))
+        preds = levels[d - 1].select(F.col("origin").alias("p_origin"),
+                                     F.col("id").alias("v"),
+                                     F.col("sigma").alias("sv"))
+        contrib = (adj.join(w_lv, on=adj.dst == F.col("w_id"))
+                   .join(preds, on=[adj.src == F.col("v"),
+                                    F.col("w_origin") == F.col("p_origin")])
+                   .select(F.col("p_origin").alias("origin"),
+                           F.col("v").alias("id"),
+                           (F.col("sv")
+                            * (1.0 + F.col("dw") / F.col("sw"))).alias("inc"))
+                   .groupBy("origin", "id").agg(F.sum("inc").alias("delta")))
+        delta = contrib if delta is None else \
+            (delta.unionByName(contrib)
+             .groupBy("origin", "id").agg(F.sum("delta").alias("delta")))
+        delta = delta.localCheckpoint(eager=True)
+    if delta is None:
+        return spark.createDataFrame([], "id string, stress double")
+    srcs = spark.createDataFrame([(s,) for s in sources], "sid string")
+    return (delta.join(srcs, on=delta.id == srcs.sid, how="left_anti")
+            .groupBy("id")
+            .agg(F.round(F.sum("delta"), 6).alias("stress")))

@@ -135,3 +135,44 @@ def kneighbor(graph: PropertyGraph, source: str, depth: int,
     if limit != NO_LIMIT:
         vis = vis.orderBy("dist", "id").limit(limit)
     return vis
+
+
+def kneighbor_paths(graph: PropertyGraph, source: str, depth: int,
+                    direction: str = OUT,
+                    labels: list[str] | None = None,
+                    max_degree: int = NO_LIMIT,
+                    limit: int = NO_LIMIT) -> DataFrame:
+    """kneighbor POST with with_path=true (KneighborAPI.java:198-222;
+    records machinery core/traversal/algorithm/records/
+    KneighborRecords.java): every vertex within ≤ depth steps plus ONE
+    path from the source. The reference reconstructs an arbitrary
+    parent chain; we return the lexicographically smallest path per
+    vertex (deterministic deviation, SURVEY §7.4#4). Returns
+    (id, path, dist)."""
+    adj = prepared_adj(graph, direction, labels, max_degree) \
+        .select("src", "dst").distinct()
+    sep = ">"
+    frontier = (graph.spark.createDataFrame([(source,)], "id string")
+                .select("id", F.col("id").alias("path")))
+    visited = frontier.select("id")
+    out: DataFrame | None = None
+    for k in range(1, depth + 1):
+        ext = (adj.join(F.broadcast(frontier), on=adj.src == frontier.id)
+               .select(F.col("dst").alias("id"),
+                       F.concat_ws(sep, "path", "dst").alias("path"))
+               .join(visited, on="id", how="left_anti"))
+        # one (min-lex) path per newly reached vertex — this collapse is
+        # what keeps the frontier O(|V|) instead of O(#paths)
+        frontier = (ext.groupBy("id").agg(F.min("path").alias("path"))
+                    .localCheckpoint(eager=True))
+        if frontier.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(frontier.select("id"))
+        lvl = frontier.withColumn("dist", F.lit(k))
+        out = lvl if out is None else out.unionByName(lvl)
+    if out is None:
+        return graph.spark.createDataFrame(
+            [], "id string, path string, dist int")
+    if limit != NO_LIMIT:
+        out = out.orderBy("dist", "id").limit(limit)
+    return out

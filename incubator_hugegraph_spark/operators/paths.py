@@ -254,3 +254,173 @@ def multi_node_shortest_path(graph: PropertyGraph, ids: list[str],
         return spark.createDataFrame(
             [], "origin string, target string, path string, length int")
     return out.withColumnRenamed("origin", "source")
+
+
+def crosspoints(graph: PropertyGraph, source: str, target: str,
+                max_depth: int, direction: str = OUT,
+                labels: list[str] | None = None,
+                max_degree: int = NO_LIMIT,
+                limit: int = NO_LIMIT) -> DataFrame:
+    """Crosspoints of two vertices (CrosspointsAPI.java:58-93 →
+    PathsTraverser.paths with crosspoint annotation): BOTH endpoints
+    expand along ``direction``; a crosspoint X is where the two
+    expansions meet, and the path is source→…→X←…←target with total
+    length ≤ max_depth. Deviation (documented): combined paths must be
+    simple (the reference only checks each half). Returns
+    (crosspoint, path, length) ordered (length, path), limited."""
+    adj = prepared_adj(graph, direction, labels, max_degree) \
+        .select("src", "dst").distinct()
+
+    def levels(start: str) -> list[DataFrame]:
+        lv = [_seed(graph, [start])]
+        for k in range(1, max_depth + 1):
+            nxt = iterate_hygiene(_extend(lv[-1], adj), k, every=3)
+            lv.append(nxt)
+        return lv
+
+    fwd, bwd = levels(source), levels(target)
+    out: DataFrame | None = None
+    for lf in range(0, max_depth + 1):
+        for lb in range(0, max_depth + 1 - lf):
+            if lf + lb == 0:
+                continue
+            f = fwd[lf].select(F.col("id").alias("x"),
+                               F.col("path").alias("fp"))
+            b = bwd[lb].select(F.col("id").alias("x"),
+                               F.col("path").alias("bp"))
+            hit = (f.join(b, on="x")
+                   .select("x", F.concat(
+                       "fp", F.reverse(F.slice(
+                           "bp", 1, F.greatest(F.size("bp") - 1, F.lit(0))))
+                   ).alias("path")))
+            hit = hit.filter(F.size(F.array_distinct("path"))
+                             == F.size("path"))
+            emitted = hit.select(
+                F.col("x").alias("crosspoint"),
+                F.array_join("path", PATH_SEP).alias("path"),
+                (F.size("path") - 1).alias("length"))
+            out = emitted if out is None else out.unionByName(emitted)
+    if out is None:
+        return graph.spark.createDataFrame(
+            [], "crosspoint string, path string, length int")
+    out = out.distinct().orderBy("length", "path")
+    if limit != NO_LIMIT:
+        out = out.limit(limit)
+    return out
+
+
+def _weighted_adj(graph: PropertyGraph, direction: str,
+                  labels: list[str] | None, weight_by: str | None,
+                  default_weight: float) -> DataFrame:
+    """(src, dst, w) with w = props[weight_by] (cast double) or the
+    step's default weight; parallel edges keep max w per vertex pair
+    (deterministic collapse — the reference keeps one edge per
+    adjacency entry)."""
+    e = graph.edges
+    if labels:
+        e = e.filter(F.col("label").isin(labels))
+    if weight_by is not None:
+        w = F.coalesce(F.element_at("props", weight_by).cast("double"),
+                       F.lit(default_weight))
+    else:
+        w = F.lit(default_weight)
+    out = e.select("src", "dst", w.alias("w"))
+    inn = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                   w.alias("w"))
+    if direction == OUT:
+        d = out
+    elif direction == "IN":
+        d = inn
+    else:
+        d = out.unionByName(inn)
+    return d.groupBy("src", "dst").agg(F.max("w").alias("w"))
+
+
+def customized_paths(graph: PropertyGraph, sources: list[str],
+                     steps: list[dict], sorted_by_weight: bool = False,
+                     limit: int = NO_LIMIT) -> DataFrame:
+    """Weighted multi-step walk (CustomizePathsTraverser.java:76-174;
+    steps/WeightedEdgeStep.java): each step carries direction/labels/
+    weight_by/default_weight/sample. Paths follow every step exactly
+    once; per-anchor ``sample`` keeps s adjacent targets (deviation:
+    deterministic min-id sample instead of the reference's random
+    sample — required for oracle reproducibility). Returns
+    (path, weight); sorted mode orders by total weight desc.
+
+    Step dict keys: direction ('OUT'|'IN'|'BOTH'), labels (list),
+    weight_by (props key | None), default_weight (float), sample
+    (int, -1 = all)."""
+    from pyspark.sql.window import Window
+    frontier = (_seed(graph, sources)
+                .withColumn("weight", F.lit(0.0)))
+    for step in steps:
+        adj = _weighted_adj(graph, step.get("direction", OUT),
+                            step.get("labels"), step.get("weight_by"),
+                            float(step.get("default_weight", 1.0)))
+        sample = int(step.get("sample", NO_LIMIT))
+        if sample != NO_LIMIT:
+            wnd = Window.partitionBy("src").orderBy(F.asc("dst"))
+            adj = (adj.withColumn("__rn", F.row_number().over(wnd))
+                   .filter(F.col("__rn") <= sample).drop("__rn"))
+        ext = (adj.join(F.broadcast(frontier), on=adj.src == frontier.id)
+               .select(F.col("dst").alias("id"),
+                       F.concat("path", F.array("dst")).alias("path"),
+                       (F.col("weight") + F.col("w")).alias("weight")))
+        frontier = ext.filter(~F.array_contains(
+            F.slice("path", 1, F.size("path") - 1), F.col("id"))).distinct()
+    out = frontier.select(F.array_join("path", PATH_SEP).alias("path"),
+                          F.round("weight", 6).alias("weight"))
+    if sorted_by_weight:
+        out = out.orderBy(F.desc("weight"), F.asc("path"))
+    else:
+        out = out.orderBy("path")
+    if limit != NO_LIMIT:
+        out = out.limit(limit)
+    return out
+
+
+def customized_crosspoints(graph: PropertyGraph, sources: list[str],
+                           patterns: list[list[dict]],
+                           limit: int = NO_LIMIT) -> DataFrame:
+    """Common endpoints reached from EVERY source via any path pattern
+    (CustomizedCrosspointsTraverser.crosspointsPaths :105-160 +
+    intersectionPaths :55-99): walk each pattern's steps from all
+    sources (cycle-free paths); a crosspoint is an endpoint with
+    paths from all |sources| sources; if any source reaches nothing
+    the result is empty. Returns (crosspoint) ordered by id.
+
+    Pattern = list of step dicts (direction, labels, max_degree)."""
+    spark = graph.spark
+    ends: DataFrame | None = None
+    for pattern in patterns:
+        frontier = (spark.createDataFrame([(s,) for s in sources],
+                                          "origin string")
+                    .select("origin", F.col("origin").alias("id"),
+                            F.array("origin").alias("path")))
+        for step in pattern:
+            adj = prepared_adj(graph, step.get("direction", OUT),
+                               step.get("labels"),
+                               step.get("max_degree", NO_LIMIT)) \
+                .select("src", "dst").distinct()
+            ext = (adj.join(F.broadcast(frontier), on=adj.src == frontier.id)
+                   .select("origin", F.col("dst").alias("id"),
+                           F.concat("path", F.array("dst")).alias("path")))
+            frontier = ext.filter(~F.array_contains(
+                F.slice("path", 1, F.size("path") - 1),
+                F.col("id"))).distinct()
+        e = frontier.select("origin", "id").distinct()
+        ends = e if ends is None else ends.unionByName(e)
+    if ends is None:
+        return spark.createDataFrame([], "crosspoint string")
+    n_src = len(set(sources))
+    reached = ends.select("origin").distinct().count()
+    if reached != n_src:
+        return spark.createDataFrame([], "crosspoint string")
+    out = (ends.distinct().groupBy("id")
+           .agg(F.countDistinct("origin").alias("n"))
+           .filter(F.col("n") == n_src)
+           .select(F.col("id").alias("crosspoint"))
+           .orderBy("crosspoint"))
+    if limit != NO_LIMIT:
+        out = out.limit(limit)
+    return out

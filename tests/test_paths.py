@@ -60,3 +60,77 @@ def test_sssp_fixpoint_vs_fixed_rounds(graph):
     for k, v in d_4.items():
         assert d_fix[k] <= v + 1e-9
     assert d_fix["customer!1"] == 0.0
+
+
+def test_crosspoints_meet_semantics(graph):
+    from incubator_hugegraph_spark.operators.paths import crosspoints
+    rows = crosspoints(graph, "customer!1", "customer!2", 2,
+                       direction=OUT).collect()
+    for r in rows:
+        nodes = r["path"].split(">")
+        assert nodes[0] == "customer!1" and nodes[-1] == "customer!2"
+        assert r["crosspoint"] in nodes
+        assert len(nodes) == len(set(nodes))  # combined path simple
+        assert r["length"] == len(nodes) - 1 <= 2
+
+
+def test_customized_paths_weights(graph):
+    from incubator_hugegraph_spark.operators.paths import customized_paths
+    rows = customized_paths(
+        graph, ["customer!1"],
+        steps=[{"direction": OUT, "labels": ["interacted"],
+                "default_weight": 2.0},
+               {"direction": OUT, "labels": ["placed"],
+                "default_weight": 0.5}],
+        sorted_by_weight=True).collect()
+    for r in rows:
+        assert abs(r["weight"] - 2.5) < 1e-9  # both default weights
+        assert len(r["path"].split(">")) == 3
+    weights = [r["weight"] for r in rows]
+    assert weights == sorted(weights, reverse=True)
+
+
+def test_customized_paths_sample_caps_fanout(graph):
+    from incubator_hugegraph_spark.operators.paths import customized_paths
+    capped = customized_paths(
+        graph, ["customer!1"],
+        steps=[{"direction": OUT, "labels": ["interacted"], "sample": 2}])
+    assert capped.count() <= 2
+
+
+def test_customized_crosspoints_reaches_all(graph):
+    from incubator_hugegraph_spark.operators.paths import (
+        customized_crosspoints)
+    got = customized_crosspoints(
+        graph, ["customer!1", "customer!2"],
+        patterns=[[{"direction": OUT, "labels": ["in_nation"]}]]).collect()
+    # a crosspoint must be the nation of BOTH customers
+    nations = {r["crosspoint"] for r in got}
+    n1 = {r["dst"] for r in graph.edges
+          .filter("src = 'customer!1' and label = 'in_nation'").collect()}
+    n2 = {r["dst"] for r in graph.edges
+          .filter("src = 'customer!2' and label = 'in_nation'").collect()}
+    assert nations == (n1 & n2)
+
+
+def test_kneighbor_paths_are_consistent(graph):
+    from incubator_hugegraph_spark.operators.bfs import (
+        kneighbor, kneighbor_paths)
+    with_paths = kneighbor_paths(graph, "customer!1", 2,
+                                 direction=OUT).collect()
+    plain = kneighbor(graph, "customer!1", 2, direction=OUT).collect()
+    assert {r["id"] for r in with_paths} == {r["id"] for r in plain}
+    for r in with_paths:
+        nodes = r["path"].split(">")
+        assert nodes[0] == "customer!1" and nodes[-1] == r["id"]
+        assert len(nodes) - 1 == r["dist"]
+
+
+def test_stress_centrality_nonneg(graph):
+    from incubator_hugegraph_spark.algorithms.centrality import (
+        stress_centrality)
+    rows = stress_centrality(graph, ["customer!1", "customer!2"], 3,
+                             direction=OUT,
+                             labels=["interacted"]).collect()
+    assert all(r["stress"] >= 0 for r in rows)
+    assert all(r["id"] not in ("customer!1", "customer!2") for r in rows)
