@@ -1194,6 +1194,108 @@ def kneighbor_paths_q(spark, sf_dir):
 
 
 # ====================================================================
+# §2.A write path / TTL / unique index / shards / paging
+# ====================================================================
+
+@_q("vertex_upsert_merge", """
+SELECT 'customer!' || c_custkey AS id,
+       ROUND(c_acctbal * 2, 2) AS acctbal, c_name AS name
+FROM customer WHERE c_custkey <= 500
+""")
+def vertex_upsert_merge(spark, sf_dir):
+    """Batch upsert with AggregateType merges
+    (AggregateType.java:20-28): re-insert the first 500 customers with
+    the same acctbal under SUM (→ doubles) and a changed name under
+    OLD (→ keeps the original). Returns the merged rows."""
+    from incubator_hugegraph_spark.operators.mutate import upsert_vertices
+    g = _graph(spark, sf_dir)
+    cust = g.vertices.filter(
+        (F.col("label") == "customer")
+        & (F.split("id", "!")[1].cast("long") <= 500))
+    batch = cust.select(
+        "id", "label",
+        F.map_from_arrays(
+            F.array(F.lit("acctbal"), F.lit("name")),
+            F.array(F.element_at("props", "acctbal"),
+                    F.lit("overwritten"))).alias("props"),
+        F.col("expired_at"))
+    merged = upsert_vertices(cust, batch,
+                             aggregates={"acctbal": "SUM", "name": "OLD"})
+    return merged.select(
+        "id",
+        F.round(F.element_at("props", "acctbal").cast("double"), 2)
+        .alias("acctbal"),
+        F.element_at("props", "name").alias("name"))
+
+
+@_q("ttl_live_filter", """
+SELECT count(*) AS n_live FROM orders
+WHERE o_orderdate + INTERVAL 90 DAY > TIMESTAMP '1996-01-01'
+""")
+def ttl_live_filter(spark, sf_dir):
+    """TTL semantics (HugeElement.java:62,149-165): stamp orders with
+    expired_at = o_orderdate + 90d at write, count rows alive as of a
+    fixed instant at read."""
+    from incubator_hugegraph_spark.operators.mutate import apply_ttl, live
+    from incubator_hugegraph_spark.sources.tpch import read_table
+    orders = read_table(spark, sf_dir, "orders")
+    stamped = apply_ttl(orders, 90 * 24 * 3600 * 1000, "o_orderdate")
+    return live(stamped, "1996-01-01").agg(
+        F.count(F.lit(1)).alias("n_live"))
+
+
+@_q("unique_index_check", """
+SELECT c_mktsegment AS mktsegment, count(*) AS n_elements
+FROM customer GROUP BY c_mktsegment HAVING count(*) > 1
+""")
+def unique_index_check(spark, sf_dir):
+    """UNIQUE-index write check (IndexType.UNIQUE,
+    core/type/define/IndexType.java:37-41): violating key tuples on a
+    deliberately non-unique key."""
+    from incubator_hugegraph_spark.operators.mutate import unique_violations
+    g = _graph(spark, sf_dir)
+    return unique_violations(
+        g.view("customer").select(F.col("mktsegment")), ["mktsegment"])
+
+
+@_q("shard_scan_union", f"""
+WITH {E_SQL.strip()}
+SELECT count(*) AS n_edges FROM edges
+""")
+def shard_scan_union(spark, sf_dir):
+    """Shard split + scan (EdgesAPI.java:84-126): the per-shard scans
+    partition the edge table — their union must equal the full scan."""
+    from incubator_hugegraph_spark.operators.mutate import (
+        scan_shard, shards)
+    g = _graph(spark, sf_dir)
+    e = g.edges.repartition(8).localCheckpoint(eager=True)
+    n = shards(e)
+    parts = [scan_shard(e, k) for k in range(n)]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return union.agg(F.count(F.lit(1)).alias("n_edges"))
+
+
+@_q("paged_scan", """
+SELECT 'customer!' || c_custkey AS id, c_name AS name
+FROM (SELECT c_custkey, c_name,
+             row_number() OVER (ORDER BY 'customer!' || c_custkey) AS rn
+      FROM customer)
+WHERE rn > 50 AND rn <= 100
+""")
+def paged_scan(spark, sf_dir):
+    """Cursor pagination (core/backend/page/PageState): page 2 of 50
+    over customers ordered by id — cursor = last id of page 1."""
+    from incubator_hugegraph_spark.operators.mutate import page
+    g = _graph(spark, sf_dir)
+    cust = g.view("customer").select("id", "name")
+    p1 = page(cust, "id", 50)
+    cursor = p1.agg(F.max("id")).collect()[0][0]
+    return page(cust, "id", 50, cursor=cursor)
+
+
+# ====================================================================
 # M6: training-data pipeline operators (documents/embeddings/events)
 # ====================================================================
 

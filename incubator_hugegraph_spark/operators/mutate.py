@@ -1,0 +1,193 @@
+"""Write path: batch insert/upsert with per-property aggregate merge,
+TTL expiry, unique-index checks, shard scans, cursor pagination and
+graph export.
+
+Reference surface (SURVEY §2.A + §1.2/1.3):
+- batch insert:   api/graph/VertexAPI.java:103, EdgeAPI.java:123
+- single CRUD:    VertexAPI.java:74-285, EdgeAPI.java:75-365
+- write-aggregate merge (MAX/MIN/SUM/OLD/SET/LIST):
+                  core/type/define/AggregateType.java:20-28
+- TTL:            core/structure/HugeElement.java:62,149-165 (expiry
+                  stamped at write, filtered at read)
+- UNIQUE index:   core/type/define/IndexType.java:37-41 (checked at
+                  write time)
+- shard split/scan: api/traversers/{Vertices,Edges}API.java:84-126
+- paged iteration: core/backend/page/ (cursor-based)
+- export:         core/job/algorithm/AbstractAlgorithm.java:68
+
+Everything is batch-oriented (a Spark engine has no row-at-a-time
+transaction): single CRUD = a 1-row batch. Merge runs as one
+full-outer-shuffle-free MERGE shape: new batch joined to current
+state on id; at scale both sides are bucketed by id so the join is
+co-located.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# AggregateType.java:20-28
+MERGE_TYPES = ("NONE", "MAX", "MIN", "SUM", "OLD", "SET", "LIST")
+
+
+def _merge_value(agg: str, old: Column, new: Column) -> Column:
+    """Merge one property value (strings from the props map; numeric
+    merges cast through double and format back)."""
+    if agg == "OLD":
+        return F.coalesce(old, new)
+    if agg == "MAX":
+        return F.when(old.isNull(), new).when(new.isNull(), old).otherwise(
+            F.when(new.cast("double") > old.cast("double"), new)
+            .otherwise(old))
+    if agg == "MIN":
+        return F.when(old.isNull(), new).when(new.isNull(), old).otherwise(
+            F.when(new.cast("double") < old.cast("double"), new)
+            .otherwise(old))
+    if agg == "SUM":
+        return F.when(old.isNull(), new).when(new.isNull(), old).otherwise(
+            (old.cast("double") + new.cast("double")).cast("string"))
+    if agg == "SET":
+        # distinct union of ','-packed collections, sorted for
+        # determinism (Cardinality.SET dedup-on-write)
+        empty_arr = F.array().cast("array<string>")
+        merged = F.array_sort(F.array_distinct(F.concat(
+            F.coalesce(F.split(old, ","), empty_arr),
+            F.coalesce(F.split(new, ","), empty_arr))))
+        return F.array_join(merged, ",")
+    if agg == "LIST":
+        return F.when(old.isNull(), new).when(new.isNull(), old) \
+            .otherwise(F.concat_ws(",", old, new))
+    # NONE: last write wins
+    return F.coalesce(new, old)
+
+
+def upsert_vertices(current: DataFrame, batch: DataFrame,
+                    aggregates: dict[str, str] | None = None) -> DataFrame:
+    """MERGE a vertex batch into the current vertex table (both
+    (id, label, props, expired_at)-shaped). Per-props-key merge
+    behavior from ``aggregates`` (key → AggregateType name); keys not
+    listed follow NONE (new value wins). Unmatched batch rows insert;
+    unmatched current rows persist.
+
+    Scale: one shuffle on id (none at all when both sides are bucketed
+    by id at write time)."""
+    aggregates = aggregates or {}
+    for v in aggregates.values():
+        if v not in MERGE_TYPES:
+            raise ValueError(f"unknown AggregateType {v}")
+    cur = current.select(F.col("id"), F.col("label").alias("_l_old"),
+                         F.col("props").alias("_p_old"),
+                         F.col("expired_at").alias("_e_old"))
+    new = batch.select(F.col("id"), F.col("label").alias("_l_new"),
+                       F.col("props").alias("_p_new"),
+                       F.col("expired_at").alias("_e_new"))
+    j = cur.join(new, on="id", how="full_outer")
+
+    def per_key(k: Column, v_old: Column, v_new: Column) -> Column:
+        expr = F.coalesce(v_new, v_old)  # NONE default
+        for key, agg in aggregates.items():
+            expr = F.when(k == F.lit(key),
+                          _merge_value(agg, v_old, v_new)).otherwise(expr)
+        return expr
+
+    empty = F.create_map().cast("map<string,string>")
+    merged_props = F.map_filter(
+        F.map_zip_with(F.coalesce("_p_old", empty),
+                       F.coalesce("_p_new", empty), per_key),
+        lambda k, v: v.isNotNull())
+    return j.select(
+        "id",
+        F.coalesce("_l_new", "_l_old").alias("label"),
+        merged_props.alias("props"),
+        F.coalesce("_e_new", "_e_old").alias("expired_at"))
+
+
+def delete_vertices(vertices: DataFrame, edges: DataFrame,
+                    ids: list[str]) -> tuple[DataFrame, DataFrame]:
+    """Delete vertices by id, cascading to their incident edges (the
+    reference removes owner + both stored edge rows)."""
+    idf = vertices.sparkSession.createDataFrame([(i,) for i in ids],
+                                                "id string")
+    v = vertices.join(F.broadcast(idf), on="id", how="left_anti")
+    e = (edges.join(F.broadcast(idf), on=edges.src == idf.id,
+                    how="left_anti")
+         .join(F.broadcast(idf), on=edges.dst == idf.id, how="left_anti"))
+    return v, e
+
+
+def apply_ttl(df: DataFrame, ttl_ms: int, start_col: str) -> DataFrame:
+    """Stamp expired_at = start + ttl (write-side TTL,
+    HugeElement.java:62; ttl from the label schema)."""
+    start = F.col(start_col).cast("timestamp")  # NTZ-safe (UTC session)
+    return df.withColumn(
+        "expired_at",
+        F.timestamp_micros(F.unix_micros(start) + F.lit(ttl_ms * 1000)))
+
+
+def live(df: DataFrame, as_of=None) -> DataFrame:
+    """Read-side TTL filter (HugeElement.java:149-165): expired rows
+    are invisible. ``as_of`` (timestamp literal) fixes the evaluation
+    instant for reproducible queries; default = now."""
+    if "expired_at" not in df.columns:
+        return df
+    instant = F.lit(as_of).cast("timestamp") if as_of is not None \
+        else F.current_timestamp()
+    return df.filter(F.col("expired_at").isNull()
+                     | (F.col("expired_at") > instant))
+
+
+def unique_violations(df: DataFrame, keys: list[str]) -> DataFrame:
+    """UNIQUE-index write check (IndexType.UNIQUE): key tuples bound
+    to more than one element. Empty result = constraint holds."""
+    return (df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_elements"))
+            .filter(F.col("n_elements") > 1))
+
+
+def check_unique(df: DataFrame, keys: list[str]) -> None:
+    v = unique_violations(df, keys)
+    row = v.limit(1).collect()
+    if row:
+        raise ValueError(f"unique index violated on {keys}: {row[0]}")
+
+
+def shards(df: DataFrame) -> int:
+    """Shard split (EdgesAPI.java:84-97): Spark partitions ARE the
+    shards."""
+    return df.rdd.getNumPartitions()
+
+
+def scan_shard(df: DataFrame, shard: int) -> DataFrame:
+    """Scan one shard (EdgesAPI.java:101-126). The shards partition
+    the table: union over all shards == full scan (tested)."""
+    return df.withColumn("__pid", F.spark_partition_id()) \
+        .filter(F.col("__pid") == shard).drop("__pid")
+
+
+def page(df: DataFrame, order_col: str, page_size: int,
+         cursor: str | None = None) -> DataFrame:
+    """Cursor pagination (core/backend/page/PageState): rows with
+    order_col > cursor, first page_size by order_col. Unlike
+    OFFSET, the cursor form stays O(page) at any depth — the same
+    reason the reference uses backend cursors."""
+    out = df.orderBy(order_col)
+    if cursor is not None:
+        out = out.filter(F.col(order_col) > cursor)
+    return out.limit(page_size)
+
+
+def export_graph(vertices: DataFrame, edges: DataFrame, path: str,
+                 edge_buckets: int = 0) -> None:
+    """Export/persist (AbstractAlgorithm EXPORT_PATH; also our
+    canonical storage layout): label-partitioned parquet; edges
+    optionally repartitioned by src so adjacency expansion reads
+    co-located data (the EdgeId owner-vertex clustering,
+    core/backend/id/EdgeId.java:31-38, as a file layout)."""
+    vertices.write.mode("overwrite").partitionBy("label") \
+        .parquet(f"{path}/vertices")
+    e = edges
+    if edge_buckets:
+        e = e.repartition(edge_buckets, "src") \
+            .sortWithinPartitions("src", "label", "sort_values")
+    e.write.mode("overwrite").partitionBy("label").parquet(f"{path}/edges")

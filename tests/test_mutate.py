@@ -1,0 +1,100 @@
+"""Write-path operators: upsert merge semantics, TTL, unique checks,
+shard scans, pagination, delete cascade, export layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incubator_hugegraph_spark.operators.mutate import (
+    apply_ttl,
+    delete_vertices,
+    export_graph,
+    live,
+    page,
+    scan_shard,
+    shards,
+    unique_violations,
+    upsert_vertices,
+)
+
+
+def _v(spark, rows):
+    return spark.createDataFrame(
+        rows, "id string, label string, props map<string,string>, "
+              "expired_at timestamp")
+
+
+def test_upsert_aggregate_types(spark):
+    cur = _v(spark, [("v1", "l", {"a": "10", "b": "x", "c": "5",
+                                  "s": "p,q", "lst": "1"}, None)])
+    new = _v(spark, [("v1", "l", {"a": "3", "b": "y", "c": "7",
+                                  "s": "q,r", "lst": "2"}, None),
+                     ("v2", "l", {"a": "1"}, None)])
+    out = {r["id"]: r["props"] for r in upsert_vertices(
+        cur, new, aggregates={"a": "SUM", "b": "OLD", "c": "MAX",
+                              "s": "SET", "lst": "LIST"}).collect()}
+    assert float(out["v1"]["a"]) == 13.0          # SUM
+    assert out["v1"]["b"] == "x"                  # OLD
+    assert out["v1"]["c"] == "7"                  # MAX
+    assert out["v1"]["s"] == "p,q,r"              # SET: distinct sorted
+    assert out["v1"]["lst"] == "1,2"              # LIST: concat
+    assert out["v2"]["a"] == "1"                  # plain insert
+
+
+def test_upsert_none_overwrites(spark):
+    cur = _v(spark, [("v1", "l", {"k": "old"}, None)])
+    new = _v(spark, [("v1", "l", {"k": "new"}, None)])
+    out = upsert_vertices(cur, new).collect()[0]["props"]
+    assert out["k"] == "new"
+
+
+def test_ttl_stamp_and_live(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "id long, created string") \
+        .withColumn("created", F.to_timestamp("created"))
+    stamped = apply_ttl(df, 24 * 3600 * 1000, "created")  # 1 day
+    assert live(stamped, "2024-01-01 12:00:00").count() == 1
+    assert live(stamped, "2024-01-02 12:00:00").count() == 0
+
+
+def test_unique_violations(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    v = unique_violations(df, ["k"]).collect()
+    assert len(v) == 1 and v[0]["k"] == "a" and v[0]["n_elements"] == 2
+
+
+def test_shards_partition_the_table(graph):
+    e = graph.edges.repartition(4).localCheckpoint(eager=True)
+    n = shards(e)
+    total = sum(scan_shard(e, k).count() for k in range(n))
+    assert total == e.count()
+
+
+def test_cursor_pagination_covers_all(graph):
+    cust = graph.vertices_by_label("customer").select("id")
+    total = cust.count()
+    seen, cursor = [], None
+    while True:
+        rows = page(cust, "id", 40, cursor=cursor).collect()
+        if not rows:
+            break
+        seen.extend(r["id"] for r in rows)
+        cursor = rows[-1]["id"]
+    assert len(seen) == total == len(set(seen))
+    assert seen == sorted(seen)
+
+
+def test_delete_cascades_edges(graph):
+    v, e = delete_vertices(graph.vertices, graph.edges, ["customer!1"])
+    assert v.filter("id = 'customer!1'").count() == 0
+    assert e.filter("src = 'customer!1' or dst = 'customer!1'").count() == 0
+
+
+def test_export_roundtrip(graph, tmp_path, spark):
+    out = str(tmp_path / "export")
+    export_graph(graph.vertices.limit(100),
+                 graph.edges.limit(100), out, edge_buckets=4)
+    v = spark.read.parquet(f"{out}/vertices")
+    e = spark.read.parquet(f"{out}/edges")
+    assert v.count() == 100 and e.count() == 100
+    assert set(v.columns) == set(graph.vertices.columns)
