@@ -1193,6 +1193,56 @@ def kneighbor_paths_q(spark, sf_dir):
                            direction=OUT)
 
 
+@_q("collection_paths", f"""
+WITH {IE_SQL.strip()},
+p1 AS (SELECT src AS source, dst AS target,
+              src || '>' || dst AS path, 1 AS length
+       FROM ie
+       WHERE src IN ('customer!1', 'customer!2')
+         AND dst IN ('customer!3', 'customer!4')),
+p2 AS (SELECT e1.src AS source, e2.dst AS target,
+              e1.src || '>' || e1.dst || '>' || e2.dst AS path, 2 AS length
+       FROM ie e1 JOIN ie e2 ON e2.src = e1.dst
+       WHERE e1.src IN ('customer!1', 'customer!2')
+         AND e2.dst IN ('customer!3', 'customer!4')
+         AND e1.dst NOT IN ('customer!3', 'customer!4')
+         AND e2.dst <> e1.src AND e2.dst <> e1.dst)
+SELECT source, target, path, length
+FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+""")
+def collection_paths_q(spark, sf_dir):
+    """Advanced paths POST: {customer!1,2} → {customer!3,4} over
+    interacted OUT, depth ≤ 2
+    (CollectionPathsTraverser.java:43-102)."""
+    from incubator_hugegraph_spark.operators.paths import collection_paths
+    return collection_paths(
+        _graph(spark, sf_dir), ["customer!1", "customer!2"],
+        ["customer!3", "customer!4"], 2, direction=OUT,
+        labels=["interacted"])
+
+
+@_q("rings_detect_job", f"""
+WITH {IE_SQL.strip()},
+r2 AS (SELECT e1.src || '>' || e1.dst || '>' || e1.src AS path, 2 AS length
+       FROM ie e1 JOIN ie e2 ON e2.src = e1.dst AND e2.dst = e1.src
+       WHERE e1.src < e1.dst),
+r3 AS (SELECT e1.src || '>' || e1.dst || '>' || e2.dst || '>' || e1.src
+                AS path, 3 AS length
+       FROM ie e1 JOIN ie e2 ON e2.src = e1.dst
+       JOIN ie e3 ON e3.src = e2.dst AND e3.dst = e1.src
+       WHERE e1.src < e1.dst AND e1.src < e2.dst AND e2.dst <> e1.dst)
+SELECT DISTINCT path, length
+FROM (SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+""")
+def rings_detect_job_q(spark, sf_dir):
+    """Whole-graph ring detection ≤ 3 on interacted
+    (path/RingsDetectAlgorithm.java): each directed cycle once,
+    anchored at its min vertex."""
+    from incubator_hugegraph_spark.operators.paths import rings_detect
+    return rings_detect(_graph(spark, sf_dir), 3, direction=OUT,
+                        labels=["interacted"])
+
+
 # ====================================================================
 # §2.A write path / TTL / unique index / shards / paging
 # ====================================================================

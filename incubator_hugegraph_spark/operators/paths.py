@@ -424,3 +424,102 @@ def customized_crosspoints(graph: PropertyGraph, sources: list[str],
     if limit != NO_LIMIT:
         out = out.limit(limit)
     return out
+
+
+def collection_paths(graph: PropertyGraph, sources: list[str],
+                     targets: list[str], max_depth: int,
+                     direction: str = OUT,
+                     labels: list[str] | None = None,
+                     max_degree: int = NO_LIMIT, nearest: bool = False,
+                     limit: int = NO_LIMIT) -> DataFrame:
+    """Advanced paths POST (CollectionPathsTraverser.java:43-102):
+    simple paths from ANY source to ANY target with length ≤ max_depth
+    under one edge-step filter. nearest=True keeps only the
+    shortest (min-lex) path per (source, target) pair — the
+    set-oriented equivalent of the reference's NearestTraverser
+    first-reach dedup. Returns (source, target, path, length)."""
+    spark = graph.spark
+    adj = prepared_adj(graph, direction, labels, max_degree) \
+        .select("src", "dst").distinct()
+    tdf = spark.createDataFrame([(t,) for t in targets], "t string")
+    frontier = (spark.createDataFrame([(s,) for s in sources],
+                                      "origin string")
+                .select("origin", F.col("origin").alias("id"),
+                        F.array("origin").alias("path")))
+    out: DataFrame | None = None
+    for k in range(1, max_depth + 1):
+        ext = (adj.join(F.broadcast(frontier), on=adj.src == frontier.id)
+               .select("origin", F.col("dst").alias("id"),
+                       F.concat("path", F.array("dst")).alias("path")))
+        frontier = iterate_hygiene(
+            ext.filter(~F.array_contains(
+                F.slice("path", 1, F.size("path") - 1), F.col("id")))
+            .distinct(), k, every=3)
+        hits = (frontier.join(F.broadcast(tdf), on=frontier.id == tdf.t)
+                .filter(F.col("id") != F.col("origin"))
+                .select(F.col("origin").alias("source"),
+                        F.col("id").alias("target"),
+                        F.array_join("path", PATH_SEP).alias("path"),
+                        F.lit(k).alias("length")))
+        out = hits if out is None else out.unionByName(hits)
+        # targets are dead ends for further extension (reference stops
+        # a path at the first target hit)
+        frontier = frontier.join(F.broadcast(tdf),
+                                 on=frontier.id == tdf.t, how="left_anti")
+    if out is None:
+        return spark.createDataFrame(
+            [], "source string, target string, path string, length int")
+    if nearest:
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("source", "target") \
+            .orderBy("length", "path")
+        out = (out.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") == 1).drop("__rn"))
+    out = out.orderBy("length", "path")
+    if limit != NO_LIMIT:
+        out = out.limit(limit)
+    return out
+
+
+def rings_detect(graph: PropertyGraph, max_depth: int,
+                 direction: str = OUT,
+                 labels: list[str] | None = None,
+                 max_degree: int = NO_LIMIT,
+                 limit: int = NO_LIMIT) -> DataFrame:
+    """Whole-graph ring detection job (path/RingsDetectAlgorithm.java):
+    every directed cycle of length ≤ max_depth, canonicalized so each
+    cycle is reported once, anchored at its minimum vertex (the
+    reference dedups rings the same way via Path.ownedBy). One
+    multi-source path-join loop — all anchors advance together.
+    Returns (path, length) with path = min>…>min."""
+    adj = prepared_adj(graph, direction, labels, max_degree) \
+        .select("src", "dst").distinct()
+    # anchor at every vertex; prune continuations below the anchor so
+    # only the min-vertex anchor survives — this both canonicalizes
+    # and cuts the search space |V|-fold
+    frontier = (adj.select(F.col("src").alias("origin")).distinct()
+                .select("origin", F.col("origin").alias("id"),
+                        F.array("origin").alias("path")))
+    out: DataFrame | None = None
+    for k in range(1, max_depth + 1):
+        ext = (adj.join(frontier, on=adj.src == frontier.id)
+               .select("origin", F.col("dst").alias("id"),
+                       F.concat("path", F.array("dst")).alias("path"))
+               .filter(F.col("id") >= F.col("origin")))
+        rings_k = (ext.filter(F.col("id") == F.col("origin"))
+                   .filter(F.size("path") > 2)  # no self-loop echo of k=1
+                   .select(F.array_join("path", PATH_SEP).alias("path"),
+                           F.lit(k).alias("length")))
+        if k >= 2:
+            out = rings_k if out is None else out.unionByName(rings_k)
+        frontier = iterate_hygiene(
+            ext.filter(F.col("id") != F.col("origin"))
+            .filter(~F.array_contains(
+                F.slice("path", 1, F.size("path") - 1), F.col("id")))
+            .distinct(), k, every=3)
+    if out is None:
+        return graph.spark.createDataFrame([], "path string, length int")
+    out = out.distinct().orderBy("length", "path")
+    if limit != NO_LIMIT:
+        out = out.limit(limit)
+    return out

@@ -134,3 +134,29 @@ def test_stress_centrality_nonneg(graph):
                              labels=["interacted"]).collect()
     assert all(r["stress"] >= 0 for r in rows)
     assert all(r["id"] not in ("customer!1", "customer!2") for r in rows)
+
+
+def test_collection_paths_endpoints(graph):
+    from incubator_hugegraph_spark.operators.paths import collection_paths
+    rows = collection_paths(graph, ["customer!1"], ["customer!3"], 2,
+                            direction=OUT, labels=["interacted"]).collect()
+    for r in rows:
+        nodes = r["path"].split(">")
+        assert nodes[0] == r["source"] == "customer!1"
+        assert nodes[-1] == r["target"] == "customer!3"
+        assert len(nodes) == len(set(nodes))
+    near = collection_paths(graph, ["customer!1"], ["customer!3"], 2,
+                            direction=OUT, labels=["interacted"],
+                            nearest=True).collect()
+    assert len(near) <= 1  # one pair → at most one nearest path
+
+
+def test_rings_detect_canonical(graph):
+    from incubator_hugegraph_spark.operators.paths import rings_detect
+    rows = rings_detect(graph, 3, direction=OUT,
+                        labels=["interacted"]).limit(100).collect()
+    for r in rows:
+        nodes = r["path"].split(">")
+        assert nodes[0] == nodes[-1] == min(nodes)  # anchored at min
+        assert len(set(nodes[:-1])) == len(nodes) - 1
+        assert r["length"] == len(nodes) - 1 <= 3
