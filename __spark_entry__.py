@@ -1193,6 +1193,123 @@ def kneighbor_paths_q(spark, sf_dir):
                            direction=OUT)
 
 
+@_q("condition_dnf", """
+SELECT 'part!' || p_partkey AS id, 'part' AS label FROM part
+WHERE p_size >= 10 AND p_size < 20 AND p_brand <> 'Brand#11'
+UNION ALL
+SELECT 'customer!' || c_custkey, 'customer' FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal > 9000
+""")
+def condition_dnf(spark, sf_dir):
+    """AND/OR condition tree over two disjuncts — DNF planning
+    (Condition.java:54-131; ConditionQueryFlatten.java:46-195 is
+    subsumed by Catalyst BooleanSimplification)."""
+    from incubator_hugegraph_spark.functions.conditions import P, and_, or_
+    g = _graph(spark, sf_dir)
+    part = g.view("part")
+    cust = g.view("customer")
+    d1 = part.filter(and_(P.between("size", 10, 20),
+                          P.neq("brand", "Brand#11"))) \
+        .select("id", F.lit("part").alias("label"))
+    d2 = cust.filter(and_(P.within("mktsegment",
+                                   ["BUILDING", "MACHINERY"]),
+                          P.gt("acctbal", 9000))) \
+        .select("id", F.lit("customer").alias("label"))
+    return d1.unionByName(d2)
+
+
+@_q("gremlin_fold_unfold", """
+WITH folded AS (
+  SELECT 'customer!' || o_custkey AS id,
+         array_to_string(list_sort(list('order!' || o_orderkey)), ',')
+           AS orders_csv,
+         count(*) AS n
+  FROM orders GROUP BY o_custkey HAVING o_custkey <= 200)
+SELECT id, orders_csv, n FROM folded
+""")
+def gremlin_fold_unfold(spark, sf_dir):
+    """Gremlin fold (collect_list) with deterministic ordering —
+    §2.L map steps; unfold is the inverse explode (asserted in
+    tests)."""
+    g = _graph(spark, sf_dir)
+    placed = g.edges.filter(
+        (F.col("label") == "placed")
+        & (F.split(F.col("src"), "!")[1].cast("long") <= 200))
+    return (placed.groupBy(F.col("src").alias("id"))
+            .agg(F.array_join(F.array_sort(F.collect_list("dst")), ",")
+                 .alias("orders_csv"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@_q("gremlin_range_tail", """
+SELECT id, name FROM (
+  SELECT 'part!' || p_partkey AS id, p_name AS name,
+         row_number() OVER (ORDER BY 'part!' || p_partkey) AS rn
+  FROM part)
+WHERE rn > 10 AND rn <= 25
+""")
+def gremlin_range_tail(spark, sf_dir):
+    """Gremlin range(10, 25) — offset+limit pushdown
+    (TraversalUtil.extractRange :222-254 → Catalyst LimitPushDown)."""
+    g = _graph(spark, sf_dir)
+    return (g.view("part").select("id", "name")
+            .orderBy("id").offset(10).limit(15))
+
+
+@_q("gremlin_match_pattern", """
+SELECT DISTINCT 'customer!' || c.c_custkey AS customer,
+       'order!' || o.o_orderkey AS ord,
+       'part!' || l.l_partkey AS part
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE n.n_name = 'NATION_3' AND p.p_size > 45
+""")
+def gremlin_match_pattern(spark, sf_dir):
+    """Gremlin match() — multi-way join pattern: customers of
+    NATION_3 whose orders contain a part with size > 45 (§2.L map
+    steps → joins; the dimension sides broadcast)."""
+    g = _graph(spark, sf_dir)
+    cust_n = g.edges.filter(F.col("label") == "in_nation") \
+        .select(F.col("src").alias("customer"), F.col("dst").alias("nat"))
+    nat = g.view("nation").filter(F.col("name") == "NATION_3") \
+        .select(F.col("id").alias("nat"))
+    placed = g.edges.filter(F.col("label") == "placed") \
+        .select(F.col("src").alias("customer"), F.col("dst").alias("ord"))
+    contains = g.edges.filter(F.col("label") == "contains") \
+        .select(F.col("src").alias("ord"), F.col("dst").alias("part")) \
+        .distinct()
+    big_part = g.view("part").filter(F.col("size") > 45) \
+        .select(F.col("id").alias("part"))
+    return (cust_n.join(F.broadcast(nat), on="nat")
+            .join(placed, on="customer")
+            .join(contains, on="ord")
+            .join(F.broadcast(big_part), on="part")
+            .select("customer", "ord", "part"))
+
+
+@_q("element_json", """
+SELECT 'customer!' || c_custkey AS id,
+       '{"id":"customer!' || c_custkey
+         || '","label":"customer","mktsegment":"' || c_mktsegment
+         || '"}' AS json
+FROM customer WHERE c_custkey <= 100
+""")
+def element_json(spark, sf_dir):
+    """Element JSON serialization (core/util/JsonUtil.java,
+    api/serializer/): to_json over an ordered struct."""
+    g = _graph(spark, sf_dir)
+    cust = g.view("customer").filter(
+        F.split("id", "!")[1].cast("long") <= 100)
+    return cust.select(
+        "id",
+        F.to_json(F.struct(
+            F.col("id"), F.lit("customer").alias("label"),
+            F.col("mktsegment"))).alias("json"))
+
+
 @_q("collection_paths", f"""
 WITH {IE_SQL.strip()},
 p1 AS (SELECT src AS source, dst AS target,
