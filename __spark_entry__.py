@@ -1534,20 +1534,96 @@ def doc_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
 
 
-@_q("doc_minhash_lsh")  # rows-only: murmur3 minhash not DuckDB-expressible
+def _minhash_oracle() -> str:
+    """Generate the DuckDB SQL reproducing minhash_lsh_pairs(
+    portable=True) bit-for-bit: md5-prefix shingle hash, the same 64
+    Carter-Wegman (a,b) coefficients, 16 bands × 4 rows string keys,
+    exact-jaccard verification at 0.3."""
+    from incubator_hugegraph_spark.data.dedup import (
+        _BANDS, _COEFFS, _P, _ROWS)
+    mins = ",\n            ".join(
+        f"MIN((hv*{a}+{b})%{_P}) AS m{i}"
+        for i, (a, b) in enumerate(_COEFFS))
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, {key} AS key FROM m".format(
+            bi=bi, key="||'_'||".join(
+                f"m{bi * _ROWS + r}::VARCHAR" for r in range(_ROWS)))
+        for bi in range(_BANDS))
+    return f"""
+WITH {_SHINGLE_SQL.strip()},
+h AS (SELECT doc_id, ('0x'||substr(md5(s),1,7))::BIGINT AS hv FROM sh),
+m AS (SELECT doc_id,
+            {mins}
+      FROM h GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT c.d1, c.d2,
+       ROUND(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) AS jaccard
+FROM cand c
+JOIN inter ON inter.d1 = c.d1 AND inter.d2 = c.d2
+JOIN cnt c1 ON c1.doc_id = c.d1
+JOIN cnt c2 ON c2.doc_id = c.d2
+WHERE CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) >= 0.3
+"""
+
+
+@_q("doc_minhash_lsh", _minhash_oracle())
 def doc_minhash_lsh(spark, sf_dir):
     """MinHash(64)+LSH(16×4) near-dup candidates, exact-verified at
-    jaccard ≥ 0.3. Recall vs the exact kernel is asserted in tests."""
+    jaccard ≥ 0.3 — the 100 TB dedup path (near-linear band join vs
+    the quadratic inverted-index kernel). Portable md5-prefix hash so
+    the DuckDB oracle reproduces the exact candidate set; the xxhash64
+    default stays the cheaper production path."""
     from incubator_hugegraph_spark.data.dedup import minhash_lsh_pairs
-    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.3,
+                             portable=True)
 
 
-@_q("doc_simhash")  # rows-only: xxhash64 simhash not DuckDB-expressible
+def _simhash_oracle() -> str:
+    """DuckDB SQL reproducing simhash_near_pairs(portable=True):
+    60-bit md5-prefix token hash, per-bit weighted majority, 4×15-bit
+    chunk banding, hamming ≤ 3 via bit_count(xor)."""
+    bits = ",\n            ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60))
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(60))
+    return f"""
+WITH toks AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '') AS t
+         FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+h AS (SELECT doc_id, ('0x'||substr(md5(tk),1,15))::BIGINT AS hv FROM tok),
+bits AS (SELECT doc_id,
+            {bits}
+         FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, {fp} AS sh FROM bits),
+chunks AS (SELECT doc_id, sh, c.c AS chunk, (sh >> (c.c*15)) & 32767 AS val
+           FROM fp, (VALUES (0), (1), (2), (3)) AS c(c)),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                a.sh AS s1, b.sh AS s2
+         FROM chunks a JOIN chunks b
+           ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id)
+SELECT d1, d2, bit_count(xor(s1, s2)) AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+"""
+
+
+@_q("doc_simhash", _simhash_oracle())
 def doc_simhash(spark, sf_dir):
-    """SimHash-64 near-dup pairs at hamming ≤ 3 via 4×16-bit chunk
-    banding."""
+    """SimHash near-dup pairs at hamming ≤ 3 via 4-chunk banding
+    (pigeonhole-exact). Portable 60-bit md5-prefix hash for the
+    oracle; 64-bit xxhash64 is the default production path."""
     from incubator_hugegraph_spark.data.dedup import simhash_near_pairs
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3,
+                              portable=True)
 
 
 @_q("doc_token_stats", """
@@ -1636,15 +1712,116 @@ def emb_cosine_topk(spark, sf_dir):
     return cosine_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], 10)
 
 
-@_q("emb_lsh_ann")  # rows-only: hyperplane signatures not in DuckDB
+# DuckDB fragments reproducing the Spark vector kernels EXACTLY:
+# Spark F.aggregate is a left fold from 0.0 and ((0+x1)+x2)+… ==
+# (x1+x2)+… in IEEE, which is DuckDB's list_reduce order; products
+# and sqrt are correctly rounded on both sides → identical doubles.
+_DIM = 64
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"list_reduce(list_transform(range(1, {_DIM + 1}), "
+            f"i -> ({a})[i] * ({b})[i]), (x, y) -> x + y)")
+
+
+def _norm_sql(a: str) -> str:
+    return (f"sqrt(list_reduce(list_transform({a}, x -> x * x), "
+            f"(x, y) -> x + y))")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
+
+
+def _lsh_ann_oracle() -> str:
+    """DuckDB SQL reproducing lsh_ann_topk bit-for-bit: the same
+    driver-side plane constants (exact double literals), the same
+    left-fold dot products, 24 tables × 4 planes, exact cosine
+    re-rank top-10."""
+    from incubator_hugegraph_spark.data.similarity import (
+        _N_PLANES, _N_TABLES, plane)
+    sig_cols = []
+    for t in range(_N_TABLES):
+        bits = " + ".join(
+            "(CASE WHEN {d} >= 0 THEN {bit} ELSE 0 END)".format(
+                d=_dot_sql("v", "[" + ",".join(
+                    repr(c) for c in plane(t * _N_PLANES + p, _DIM)) + "]"),
+                bit=1 << p)
+            for p in range(_N_PLANES))
+        sig_cols.append(f"({bits}) AS b{t}")
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT id, v, {t} AS tbl, b{t} AS bucket FROM sig"
+        for t in range(_N_TABLES))
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+sig AS (SELECT id, v,
+        {",        ".join(sig_cols)}
+        FROM e),
+buckets AS ({band_selects}),
+q AS (SELECT id AS query_id, v AS qv, tbl, bucket FROM buckets
+      WHERE id IN (0, 1, 2, 3, 4)),
+cand AS (SELECT DISTINCT q.query_id, q.qv, b.id, b.v
+         FROM buckets b JOIN q
+           ON b.tbl = q.tbl AND b.bucket = q.bucket AND b.id <> q.query_id),
+scored AS (SELECT query_id, id, ROUND({_cos_sql("qv", "v")}, 6) AS sim
+           FROM cand),
+r AS (SELECT query_id, id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, id) AS rn
+      FROM scored)
+SELECT query_id, id AS neighbor_id, sim FROM r WHERE rn <= 10
+"""
+
+
+@_q("emb_lsh_ann", _lsh_ann_oracle())
 def emb_lsh_ann(spark, sf_dir):
     """Random-hyperplane LSH ANN top-10 (bucketed candidates, exact
-    re-rank). Recall vs brute force asserted in tests."""
+    re-rank). Recall vs brute force asserted in tests; the DuckDB
+    oracle reproduces the exact bucket structure from shared plane
+    constants."""
     from incubator_hugegraph_spark.data.similarity import lsh_ann_topk
     return lsh_ann_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], 10, dim=64)
 
 
-@_q("emb_ivf_ann")  # rows-only
+def _ivf_ann_oracle() -> str:
+    """DuckDB SQL reproducing ivf_topk: first-16-by-id seed centroids,
+    nearest-centroid assignment (exact fold cosine), probe the 4 best
+    cells, exact re-rank top-10."""
+    cos_vc = _cos_sql("v", "cv")
+    cos_qc = _cos_sql("qv", "cv")
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cents AS (SELECT id AS cell, v AS cv FROM e ORDER BY id LIMIT 16),
+ad AS (SELECT e.id, e.v, c.cell, {cos_vc} AS d
+       FROM e CROSS JOIN cents c),
+assigned AS (SELECT id, v, cell FROM (
+    SELECT id, v, cell,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY d DESC, cell) AS rn
+    FROM ad) WHERE rn = 1),
+q AS (SELECT id AS query_id, v AS qv FROM assigned
+      WHERE id IN (0, 1, 2, 3, 4)),
+qc AS (SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_qc} DESC, c.cell) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= 4),
+cand AS (SELECT qc.query_id, qc.qv, a.id, a.v
+         FROM assigned a JOIN qc ON a.cell = qc.cell
+         WHERE a.id <> qc.query_id),
+scored AS (SELECT query_id, id, ROUND({_cos_sql("qv", "v")}, 6) AS sim
+           FROM cand),
+r AS (SELECT query_id, id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, id) AS rn
+      FROM scored)
+SELECT query_id, id AS neighbor_id, sim FROM r WHERE rn <= 10
+"""
+
+
+@_q("emb_ivf_ann", _ivf_ann_oracle())
 def emb_ivf_ann(spark, sf_dir):
     """IVF-lite ANN top-10 (centroid cells + n_probe re-rank)."""
     from incubator_hugegraph_spark.data.similarity import ivf_topk

@@ -115,13 +115,35 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
             .select("d1", "d2", F.round("jaccard", 6).alias("jaccard")))
 
 
+def portable_hash28(col) -> F.Column:
+    """28-bit hash both Spark and DuckDB compute identically:
+    first 7 hex chars of md5 as an integer. Spark:
+    conv(substr(md5(x),1,7),16,10); DuckDB: ('0x'||substr(md5(x),1,7))
+    ::BIGINT. Used when a query must hash-match a SQL oracle;
+    murmur3/xxhash64 stay the default (cheaper) scale path."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+
+
+def portable_hash60(col) -> F.Column:
+    """60-bit md5-prefix hash (15 hex chars), portable to DuckDB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
-    """(id, sig array<long>[64]): minhash over murmur3 shingle hashes.
-    One shuffle (groupBy id); the 64 mins are one aggregation pass."""
+                       id_col: str = "doc_id",
+                       portable: bool = False) -> DataFrame:
+    """(id, sig array<long>[64]): minhash over shingle hashes.
+    One shuffle (groupBy id); the 64 mins are one aggregation pass.
+    ``portable=True`` swaps murmur3 for the md5-prefix hash so a
+    DuckDB oracle can reproduce the signature bit-for-bit."""
     sh = word_shingles(docs, n, text_col, id_col)
-    h = sh.withColumn("h", (F.hash("shingle").cast("long")
-                            .bitwiseAND(F.lit((1 << 32) - 1))) % _P)
+    if portable:
+        h = sh.withColumn("h", portable_hash28("shingle"))
+    else:
+        h = sh.withColumn("h", (F.hash("shingle").cast("long")
+                                .bitwiseAND(F.lit((1 << 32) - 1))) % _P)
     mins = [F.min((F.col("h") * a + b) % _P).alias(f"m{i}")
             for i, (a, b) in enumerate(_COEFFS)]
     agg = h.groupBy("id").agg(*mins)
@@ -131,18 +153,28 @@ def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
                       text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      portable: bool = False) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-verified: shingle → minhash →
     band buckets → bucket join (candidates) → exact jaccard filter.
     Returns (d1, d2, jaccard) — a subset of ngram_jaccard_pairs with
-    high recall at a fraction of the comparisons."""
-    sig = minhash_signatures(docs, n, text_col, id_col)
+    high recall at a fraction of the comparisons. ``portable=True``
+    uses the md5-prefix shingle hash + string band keys so the DuckDB
+    oracle reproduces the exact candidate set."""
+    sig = minhash_signatures(docs, n, text_col, id_col, portable=portable)
+    if portable:
+        bucket_of = lambda bi: F.concat_ws(  # noqa: E731
+            "_", *[F.col("sig")[bi * _ROWS + r].cast("string")
+                   for r in range(_ROWS)])
+    else:
+        bucket_of = lambda bi: F.hash(  # noqa: E731
+            *[F.col("sig")[bi * _ROWS + r] for r in range(_ROWS)]) \
+            .cast("string")
     bands = sig.select(
         "id",
         F.explode(F.array(*[
             F.struct(F.lit(bi).alias("band"),
-                     F.hash(*[F.col("sig")[bi * _ROWS + r]
-                              for r in range(_ROWS)]).alias("bucket"))
+                     bucket_of(bi).alias("bucket"))
             for bi in range(_BANDS)])).alias("bb")) \
         .select("id", "bb.band", "bb.bucket")
     l = bands.select(F.col("id").alias("d1"), "band", "bucket")
@@ -158,20 +190,25 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash long): 64-bit SimHash over token xxhash64 bits —
-    per-bit weighted majority, all in Column expressions (the 64 bit
-    sums are one aggregation over exploded tokens)."""
-    toks = (docs.select(F.col(id_col).alias("id"),
-                        F.explode(tokenize(F.col(text_col))).alias("tok"))
-            .withColumn("h", F.xxhash64("tok")))
+            id_col: str = "doc_id", portable: bool = False) -> DataFrame:
+    """(id, simhash long): SimHash over token hash bits — per-bit
+    weighted majority, all in Column expressions (the bit sums are one
+    aggregation over exploded tokens). Default: 64-bit xxhash64.
+    ``portable=True``: 60-bit md5-prefix hash (DuckDB-reproducible)."""
+    n_bits = 60 if portable else 64
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.explode(tokenize(F.col(text_col))).alias("tok"))
+    if portable:
+        toks = toks.withColumn("h", portable_hash60("tok"))
+    else:
+        toks = toks.withColumn("h", F.xxhash64("tok"))
     bit_sums = [
         F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
                      1).otherwise(-1)).alias(f"b{b}")
-        for b in range(64)]
+        for b in range(n_bits)]
     agg = toks.groupBy("id").agg(*bit_sums)
     fp = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         fp = fp + F.when(F.col(f"b{b}") > 0,
                          F.lit(1).cast("long") * (1 << b) if b < 63
                          else F.lit(-(1 << 63)).cast("long")) \
@@ -181,17 +218,21 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                        text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       portable: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming
     (requires ≤ 3 for the 4-chunk pigeonhole to be exact): band on
-    4×16-bit chunks, verify hamming via bit_count(xor)."""
-    sh = simhash(docs, text_col, id_col)
+    4 chunks (16-bit, or 15-bit for the 60-bit portable hash),
+    verify hamming via bit_count(xor)."""
+    sh = simhash(docs, text_col, id_col, portable=portable)
+    cw = 15 if portable else 16
+    mask = (1 << cw) - 1
     chunks = sh.select(
         "id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
-                     F.shiftrightunsigned("simhash", c * 16)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("val"))
+                     F.shiftrightunsigned("simhash", c * cw)
+                     .bitwiseAND(F.lit(mask)).alias("val"))
             for c in range(4)])).alias("cc")) \
         .select("id", "simhash", "cc.chunk", "cc.val")
     l = chunks.select(F.col("id").alias("d1"),

@@ -73,25 +73,35 @@ _N_PLANES = 4
 _N_TABLES = 24
 
 
-def _plane_component(p: int, j: int) -> Column:
-    """Deterministic pseudo-random plane component in [-1, 1):
-    murmur3(p, j) scaled. No RNG state — reproducible anywhere."""
-    return (F.hash(F.lit(p * 7919 + j)).cast("double")
-            / F.lit(float(1 << 31)))
+def plane_component(p: int, j: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1),
+    computed driver-side (xorshift-style integer mix → exact double).
+    Exactly reproducible anywhere — the DuckDB oracle embeds the same
+    decimal literals (x/2^31 is exact in double for x < 2^32, and
+    repr() round-trips)."""
+    x = (p * 2654435761 + j * 40503 + 12345) & 0xFFFFFFFF
+    x = (x * 2654435761 + 1) & 0xFFFFFFFF
+    x = ((x ^ (x >> 16)) * 2246822519) & 0xFFFFFFFF
+    x ^= x >> 13
+    return x / 2147483648.0 - 1.0
+
+
+def plane(p: int, dim: int) -> list[float]:
+    """One hyperplane's components as plain floats."""
+    return [plane_component(p, j) for j in range(dim)]
 
 
 def lsh_signature(vec: Column, dim: int, n_planes: int = _N_PLANES,
                   plane_offset: int = 0) -> Column:
     """Bit-packed random-hyperplane signature (int). ``plane_offset``
-    selects an independent plane family (one per LSH table)."""
+    selects an independent plane family (one per LSH table). Planes
+    are literal arrays — constant-folded, nothing recomputed per row
+    beyond the dot products."""
     sig = F.lit(0)
     for p in range(n_planes):
-        pg = plane_offset + p
-        d = F.aggregate(
-            F.zip_with(vec,
-                       F.array(*[_plane_component(pg, j) for j in range(dim)]),
-                       lambda x, y: x * y),
-            F.lit(0.0), lambda acc, x: acc + x)
+        w = F.lit(plane(plane_offset + p, dim))
+        d = F.aggregate(F.zip_with(vec, w, lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x)
         sig = sig + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return sig
 
