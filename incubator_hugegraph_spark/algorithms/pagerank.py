@@ -24,8 +24,8 @@ from incubator_hugegraph_spark.graph import (
     NO_LIMIT,
     OUT,
     PropertyGraph,
+    balanced,
     cap_degree,
-    iterate_hygiene,
 )
 
 
@@ -40,21 +40,40 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
     e = cap_degree(e, max_degree, order_cols=("dst",))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # (src, dst, deg) computed + checkpointed once — every round joins
-    # against this table, it must not be recomputed per iteration
-    e = e.join(deg, on="src").localCheckpoint(eager=True)
+    # against this table, it must not be recomputed per iteration.
+    # `balanced`: the deg join broadcasts, so without an explicit
+    # repartition the checkpoint would inherit the adj view's raw file
+    # splits (one fat fact-table partition) and every round would run
+    # against that straggler.
+    e = balanced(e.join(deg, on="src"), "src").localCheckpoint(eager=True)
 
     n = graph.vertices.count()
+    # The rank vector is O(|V|): at ≤ ~4M vertices it fits comfortably
+    # in a broadcast (≈ 100 MB), turning every round into a map-side
+    # join against the checkpointed edge table — no rank-side shuffle.
+    # Past that (billions of vertices at 100 TB) it falls back to the
+    # shuffle join Catalyst plans; the loop shape is identical.
+    bcast = n <= 4_000_000
+
+    def _r(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
+
     ranks = graph.vertices.select("id").withColumn("rank", F.lit(1.0 / n))
     rounds = fixed_rounds if fixed_rounds is not None else max_times
     for t in range(rounds):
-        contrib = (e.join(ranks, on=e.src == ranks.id)
+        contrib = (e.join(_r(ranks), on=e.src == ranks.id)
                    .select(F.col("dst").alias("id"),
                            (F.col("rank") / F.col("deg")).alias("msg")))
         incoming = contrib.groupBy("id").agg(F.sum("msg").alias("inc"))
+        # carry the previous rank as `old` so the convergence check is
+        # a column agg over the checkpointed vector, not another join
         new = (graph.vertices.select("id")
                .join(incoming, on="id", how="left")
-               .select("id", (F.lit(alpha / n) + F.lit(1.0 - alpha)
-                              * F.coalesce(F.col("inc"), F.lit(0.0)))
+               .join(_r(ranks.select("id", F.col("rank").alias("old"))),
+                     on="id", how="left")
+               .select("id", "old",
+                       (F.lit(alpha / n) + F.lit(1.0 - alpha)
+                        * F.coalesce(F.col("inc"), F.lit(0.0)))
                        .alias("rank")))
         # checkpoint the O(|V|) rank vector each round: the round's
         # join+agg computes exactly ONCE, and the two driver-side
@@ -64,14 +83,15 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
         new = new.localCheckpoint(eager=True)
         total = new.agg(F.sum("rank")).collect()[0][0]
         comp = (1.0 - total) / n
-        new = new.withColumn("rank", F.col("rank") + F.lit(comp))
         if fixed_rounds is None:
-            changed = (new.alias("n").join(ranks.alias("o"), on="id")
-                       .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
-                       .collect()[0][0])
-            ranks = new
+            changed = (new.agg(F.sum(F.abs(
+                F.col("rank") + F.lit(comp) - F.col("old"))))
+                .collect()[0][0])
+            ranks = new.select(
+                "id", (F.col("rank") + F.lit(comp)).alias("rank"))
             if changed is not None and changed < precision:
                 break
         else:
-            ranks = new
+            ranks = new.select(
+                "id", (F.col("rank") + F.lit(comp)).alias("rank"))
     return ranks

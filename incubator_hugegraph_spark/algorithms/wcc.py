@@ -27,27 +27,37 @@ def wcc(graph: PropertyGraph, labels: list[str] | None = None,
     # don't re-scan + re-dedup the parquet union
     adj = (graph.adj(BOTH, labels).select("src", "dst").distinct()
            .localCheckpoint(eager=True))
+    # component vector is O(|V|): broadcast it while it fits (same
+    # adaptive rule as page_rank) so each round's propagation is a
+    # map-side join; falls back to shuffle joins past ~4M vertices
+    bcast = graph.vertices.count() <= 4_000_000
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
+
     comp = graph.vertices.select("id", F.col("id").alias("component"))
     rounds = fixed_rounds if fixed_rounds is not None else max_rounds
     for k in range(rounds):
-        nbr_min = (adj.join(comp, on=adj.dst == comp.id)
+        nbr_min = (adj.join(_b(comp), on=adj.dst == comp.id)
                    .groupBy("src").agg(F.min("component").alias("nbr_comp"))
                    .withColumnRenamed("src", "id"))
-        new = (comp.join(nbr_min, on="id", how="left")
-               .select("id", F.least("component",
-                                     F.coalesce("nbr_comp", "component"))
+        # keep the previous component as `old` so the fixpoint probe is
+        # a filter over the checkpointed vector, not another join
+        new = (comp.withColumnRenamed("component", "old")
+               .join(nbr_min, on="id", how="left")
+               .select("id", F.col("old"),
+                       F.least("old", F.coalesce("nbr_comp", "old"))
                        .alias("component")))
         if fixed_rounds is None:
             # materialize the O(|V|) component vector once per round so
             # the fixpoint probe below doesn't replay the loop lineage
             new = new.localCheckpoint(eager=True)
-            delta = (new.alias("n").join(comp.alias("o"), on="id")
-                     .filter(F.col("n.component") != F.col("o.component"))
+            delta = (new.filter(F.col("component") != F.col("old"))
                      .limit(1).count())
-            comp = new
+            comp = new.select("id", "component")
             if delta == 0:
                 break
         else:
-            new = iterate_hygiene(new, k + 1, every=3)
-            comp = new
+            comp = iterate_hygiene(new.select("id", "component"),
+                                   k + 1, every=3)
     return comp

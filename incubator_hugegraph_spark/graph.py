@@ -166,6 +166,19 @@ def iterate_hygiene(df: DataFrame, round_no: int, every: int = 5) -> DataFrame:
     return df
 
 
+def balanced(df: DataFrame, *keys: str,
+             partitions: int | None = None) -> DataFrame:
+    """Hash-repartition by ``keys`` before checkpointing a table an
+    iterative loop will join against every round. A localCheckpoint
+    inherits upstream partitioning — for the adj union view that's the
+    raw file splits (one fat lineitem partition next to tiny dims),
+    and every round of the loop pays that straggler. One shuffle here
+    buys balanced map sides for all k rounds."""
+    n = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *keys) if keys else df.repartition(n)
+
+
 def is_in(col: Column | str, values: list) -> Column:
     col = F.col(col) if isinstance(col, str) else col
     return col.isin(values)

@@ -15,8 +15,12 @@ Scale notes:
   optimization.
 - Frontiers are usually tiny vs. edges: we hint broadcast on the
   frontier side so each round is a broadcast-hash join against the
-  (bucketed) edge table — no edge shuffle per round. AQE upgrades or
-  demotes the hint at runtime if a frontier explodes.
+  (bucketed) edge table — no edge shuffle per round. The hint is
+  unconditional (Spark honors explicit hints regardless of size), so
+  the reference's capacity/degree guards are what keep frontiers
+  broadcastable — at the default capacity (10M ids ≈ a few hundred
+  MB) a frontier still fits executor memory; beyond that the
+  traversal aborts by the same rule the reference uses.
 - ``localCheckpoint`` every few rounds cuts the O(depth) lineage.
 - degree / skip_degree / capacity guards are the reference's own
   safety envelope (HugeTraverser.java:84-158) — load-bearing at scale
