@@ -17,6 +17,7 @@ from incubator_hugegraph_spark.graph import (
     NO_LIMIT,
     OUT,
     PropertyGraph,
+    checkpointed,
     iterate_hygiene,
 )
 
@@ -114,7 +115,7 @@ def betweenness_centrality(graph: PropertyGraph, sources: list[str],
                .agg(F.sum("sigma").alias("sigma"))
                .withColumn("dist", F.lit(k))
                .select("origin", "id", "dist", "sigma"))
-        nxt = iterate_hygiene(nxt, k, every=3).localCheckpoint(eager=True)
+        nxt = checkpointed(nxt)
         if nxt.limit(1).count() == 0:
             break
         levels.append(nxt)
@@ -147,7 +148,7 @@ def betweenness_centrality(graph: PropertyGraph, sources: list[str],
         delta = contrib if delta is None else \
             (delta.unionByName(contrib)
              .groupBy("origin", "id").agg(F.sum("delta").alias("delta")))
-        delta = delta.localCheckpoint(eager=True)
+        delta = checkpointed(delta)
     if delta is None:
         return spark.createDataFrame([], "id string, betweenness double")
     srcs = spark.createDataFrame([(s,) for s in sources], "sid string")
@@ -183,7 +184,7 @@ def stress_centrality(graph: PropertyGraph, sources: list[str],
                .agg(F.sum("sigma").alias("sigma"))
                .withColumn("dist", F.lit(k))
                .select("origin", "id", "dist", "sigma"))
-        nxt = iterate_hygiene(nxt, k, every=3).localCheckpoint(eager=True)
+        nxt = checkpointed(nxt)
         if nxt.limit(1).count() == 0:
             break
         levels.append(nxt)
@@ -215,7 +216,7 @@ def stress_centrality(graph: PropertyGraph, sources: list[str],
         delta = contrib if delta is None else \
             (delta.unionByName(contrib)
              .groupBy("origin", "id").agg(F.sum("delta").alias("delta")))
-        delta = delta.localCheckpoint(eager=True)
+        delta = checkpointed(delta)
     if delta is None:
         return spark.createDataFrame([], "id string, stress double")
     srcs = spark.createDataFrame([(s,) for s in sources], "sid string")

@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from incubator_hugegraph_spark.graph import BOTH, PropertyGraph, iterate_hygiene
+from incubator_hugegraph_spark.graph import (
+    BOTH, PropertyGraph, checkpointed, iterate_hygiene)
 
 
 def undirected_edges(graph: PropertyGraph,
@@ -80,7 +81,7 @@ def k_core(graph: PropertyGraph, k: int,
     """k-core decomposition by iterative peeling
     (KCoreAlgorithm.java:45): drop vertices with degree < k over the
     surviving subgraph until fixpoint (or fixed_rounds). Returns (id)."""
-    und = undirected_edges(graph, labels).localCheckpoint(eager=True)
+    und = checkpointed(undirected_edges(graph, labels))
     survivors = (und.select(F.col("a").alias("id"))
                  .union(und.select(F.col("b").alias("id")))
                  .distinct())
@@ -112,10 +113,10 @@ def lpa(graph: PropertyGraph, labels: list[str] | None = None,
     the reference's random tie-break — SURVEY §7.4#4). Isolated
     vertices keep their label. Returns (id, community)."""
     und = undirected_edges(graph, labels)
-    adj = (und.select(F.col("a").alias("id"), F.col("b").alias("nbr"))
-           .unionAll(und.select(F.col("b").alias("id"),
-                                F.col("a").alias("nbr")))
-           .localCheckpoint(eager=True))
+    adj = checkpointed(
+        und.select(F.col("a").alias("id"), F.col("b").alias("nbr"))
+        .unionAll(und.select(F.col("b").alias("id"),
+                             F.col("a").alias("nbr"))))
     lab = graph.vertices.select("id", F.col("id").alias("community"))
     n_rounds = fixed_rounds if fixed_rounds is not None else rounds
     for t in range(n_rounds):
@@ -149,8 +150,7 @@ def louvain(graph: PropertyGraph, labels: list[str] | None = None,
     equality. Returns (id, community) on the ORIGINAL vertex ids."""
     und = undirected_edges(graph, labels)
     # weights: parallel edges already collapsed; weight 1 per edge
-    edges = und.select("a", "b", F.lit(1.0).alias("w")) \
-        .localCheckpoint(eager=True)
+    edges = checkpointed(und.select("a", "b", F.lit(1.0).alias("w")))
     mapping = None  # original id -> community
     for p in range(passes):
         comm = _one_louvain_pass(graph, edges, move_rounds)
@@ -165,7 +165,7 @@ def louvain(graph: PropertyGraph, labels: list[str] | None = None,
                              on="community", how="left")
                        .select("id", F.coalesce("comm2", "community")
                                .alias("community")))
-        mapping = mapping.localCheckpoint(eager=True)
+        mapping = checkpointed(mapping)
         # contract the graph by community for the next pass
         cmap = mapping
         edges = (edges
@@ -176,8 +176,8 @@ def louvain(graph: PropertyGraph, labels: list[str] | None = None,
                  .filter(F.col("ca") != F.col("cb"))
                  .groupBy(F.least("ca", "cb").alias("a"),
                           F.greatest("ca", "cb").alias("b"))
-                 .agg(F.sum("w").alias("w"))
-                 .localCheckpoint(eager=True))
+                 .agg(F.sum("w").alias("w")))
+        edges = checkpointed(edges)
     return mapping
 
 
@@ -210,9 +210,9 @@ def _one_louvain_pass(graph: PropertyGraph, edges: DataFrame,
         best = (cand.withColumn("__rn", F.row_number().over(w_best))
                 .filter((F.col("__rn") == 1) & (F.col("gain") > 0))
                 .select("id", F.col("comm2").alias("new_comm")))
-        comm = (comm.join(best, on="id", how="left")
-                .select("id", F.coalesce("new_comm", "comm2").alias("comm2"))
-                .localCheckpoint(eager=True))
+        comm = checkpointed(
+            comm.join(best, on="id", how="left")
+            .select("id", F.coalesce("new_comm", "comm2").alias("comm2")))
     return comm
 
 

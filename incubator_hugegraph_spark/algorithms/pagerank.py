@@ -26,7 +26,12 @@ from incubator_hugegraph_spark.graph import (
     PropertyGraph,
     balanced,
     cap_degree,
+    checkpointed,
 )
+
+# Broadcast the O(|V|) rank/component vector only while the per-round
+# driver collect stays ~25 MB against the default 1 GB driver heap.
+BROADCAST_VERTEX_LIMIT = 1_000_000
 
 
 def page_rank(graph: PropertyGraph, alpha: float = 0.15,
@@ -45,15 +50,18 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
     # repartition the checkpoint would inherit the adj view's raw file
     # splits (one fat fact-table partition) and every round would run
     # against that straggler.
-    e = balanced(e.join(deg, on="src"), "src").localCheckpoint(eager=True)
+    e = checkpointed(balanced(e.join(deg, on="src"), "src"))
 
     n = graph.vertices.count()
-    # The rank vector is O(|V|): at ≤ ~4M vertices it fits comfortably
-    # in a broadcast (≈ 100 MB), turning every round into a map-side
-    # join against the checkpointed edge table — no rank-side shuffle.
-    # Past that (billions of vertices at 100 TB) it falls back to the
+    # The rank vector is O(|V|): under BROADCAST_VERTEX_LIMIT vertices
+    # it fits in a broadcast (~25 MB at 1M rows), turning every round
+    # into a map-side join against the checkpointed edge table — no
+    # rank-side shuffle. The broadcast is also re-collected to the
+    # driver every round, so the limit is sized for the default 1 GB
+    # driver heap; raise it only with more driver memory. Past the
+    # limit (billions of vertices at 100 TB) it falls back to the
     # shuffle join Catalyst plans; the loop shape is identical.
-    bcast = n <= 4_000_000
+    bcast = n <= BROADCAST_VERTEX_LIMIT
 
     def _r(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast else df
@@ -80,7 +88,7 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
         # scalars below (mass total, L1 delta) read the materialized
         # vector instead of replaying the loop lineage — without this
         # every convergence check recomputes prior rounds (quadratic)
-        new = new.localCheckpoint(eager=True)
+        new = checkpointed(new)
         total = new.agg(F.sum("rank")).collect()[0][0]
         comp = (1.0 - total) / n
         if fixed_rounds is None:

@@ -17,7 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from incubator_hugegraph_spark.graph import BOTH, PropertyGraph, iterate_hygiene
+from incubator_hugegraph_spark.graph import (
+    BOTH, PropertyGraph, checkpointed, iterate_hygiene)
+from incubator_hugegraph_spark.algorithms.pagerank import BROADCAST_VERTEX_LIMIT
 
 
 def wcc(graph: PropertyGraph, labels: list[str] | None = None,
@@ -25,12 +27,13 @@ def wcc(graph: PropertyGraph, labels: list[str] | None = None,
     """Returns (id, component) — component = min reachable vertex id."""
     # the adjacency is reused every round — checkpoint once so rounds
     # don't re-scan + re-dedup the parquet union
-    adj = (graph.adj(BOTH, labels).select("src", "dst").distinct()
-           .localCheckpoint(eager=True))
+    adj = checkpointed(
+        graph.adj(BOTH, labels).select("src", "dst").distinct())
     # component vector is O(|V|): broadcast it while it fits (same
-    # adaptive rule as page_rank) so each round's propagation is a
-    # map-side join; falls back to shuffle joins past ~4M vertices
-    bcast = graph.vertices.count() <= 4_000_000
+    # adaptive rule as page_rank — see BROADCAST_VERTEX_LIMIT there
+    # for the driver-heap sizing rationale) so each round's
+    # propagation is a map-side join; shuffle joins past the limit
+    bcast = graph.vertices.count() <= BROADCAST_VERTEX_LIMIT
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast else df
@@ -51,7 +54,7 @@ def wcc(graph: PropertyGraph, labels: list[str] | None = None,
         if fixed_rounds is None:
             # materialize the O(|V|) component vector once per round so
             # the fixpoint probe below doesn't replay the loop lineage
-            new = new.localCheckpoint(eager=True)
+            new = checkpointed(new)
             delta = (new.filter(F.col("component") != F.col("old"))
                      .limit(1).count())
             comp = new.select("id", "component")

@@ -182,11 +182,13 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
     cand = (l.join(r, on=["band", "bucket"])
             .filter(F.col("d1") < F.col("d2"))
             .select("d1", "d2").distinct())
-    # exact verification on candidates only
-    exact = ngram_jaccard_pairs(docs, n, 0.0, text_col, id_col) \
-        .withColumnRenamed("jaccard", "jaccard")
-    return (cand.join(exact, on=["d1", "d2"])
-            .filter(F.col("jaccard") >= threshold))
+    # exact verification on candidates only; the threshold filter runs
+    # inside ngram_jaccard_pairs on the UNROUNDED ratio (it rounds only
+    # for output), matching the oracle's unrounded filter bit-exactly —
+    # filtering the rounded column here would diverge for ratios in
+    # [threshold - 5e-7, threshold).
+    exact = ngram_jaccard_pairs(docs, n, threshold, text_col, id_col)
+    return cand.join(exact, on=["d1", "d2"])
 
 
 def simhash(docs: DataFrame, text_col: str = "text",

@@ -157,12 +157,36 @@ def skip_super_nodes(adj: DataFrame, skip_degree: int,
     return adj.join(deg, on=anchor, how="left_anti")
 
 
+def checkpointed(df: DataFrame) -> DataFrame:
+    """localCheckpoint + STRIP the inherited size-in-bytes statistics.
+
+    Spark 4's ``Dataset.localCheckpoint`` copies the optimized plan's
+    stats onto the checkpoint's LogicalRDD. In an iterative loop whose
+    round joins the previous round's vector more than once, the
+    size-in-bytes estimate is a *product* of the children's estimates,
+    so the preserved stat roughly SQUARES every round — the BigInt's
+    digit count doubles per round and by round ~20 Catalyst spends
+    minutes per round in BigInteger Karatsuba multiplication inside
+    SizeInBytesOnlyStatsPlanVisitor, then overflows with an
+    ArithmeticException. Rebuilding the DataFrame from the
+    checkpointed InternalRow RDD (no row conversion, no copy) resets
+    the leaf to default stats and keeps every round's planning O(1).
+    Explicit ``F.broadcast`` hints are unaffected, and AQE keeps using
+    true runtime shuffle sizes."""
+    d = df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    jdf = d._jdf
+    jnew = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False)
+    return DataFrame(jnew, spark)
+
+
 def iterate_hygiene(df: DataFrame, round_no: int, every: int = 5) -> DataFrame:
     """Cut lineage every ``every`` rounds of an iterative loop —
     without this, k-round join loops build O(k)-deep plans that blow
     up Catalyst analysis time and executor stacks at scale."""
     if round_no > 0 and round_no % every == 0:
-        return df.localCheckpoint(eager=True)
+        return checkpointed(df)
     return df
 
 
@@ -174,8 +198,14 @@ def balanced(df: DataFrame, *keys: str,
     raw file splits (one fat lineitem partition next to tiny dims),
     and every round of the loop pays that straggler. One shuffle here
     buys balanced map sides for all k rounds."""
-    n = partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if partitions is None:
+        try:
+            partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            # vendor runtimes set this conf to "auto" under AQE
+            partitions = df.sparkSession.sparkContext.defaultParallelism
+    n = partitions
     return df.repartition(n, *keys) if keys else df.repartition(n)
 
 

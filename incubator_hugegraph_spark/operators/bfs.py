@@ -40,6 +40,7 @@ from incubator_hugegraph_spark.graph import (
     OUT,
     PropertyGraph,
     cap_degree,
+    checkpointed,
     iterate_hygiene,
     skip_super_nodes,
 )
@@ -167,8 +168,8 @@ def kneighbor_paths(graph: PropertyGraph, source: str, depth: int,
                .join(visited, on="id", how="left_anti"))
         # one (min-lex) path per newly reached vertex — this collapse is
         # what keeps the frontier O(|V|) instead of O(#paths)
-        frontier = (ext.groupBy("id").agg(F.min("path").alias("path"))
-                    .localCheckpoint(eager=True))
+        frontier = checkpointed(
+            ext.groupBy("id").agg(F.min("path").alias("path")))
         if frontier.limit(1).count() == 0:
             break
         visited = visited.unionByName(frontier.select("id"))

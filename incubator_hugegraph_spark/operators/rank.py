@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from incubator_hugegraph_spark.graph import NO_LIMIT, OUT, PropertyGraph
+from incubator_hugegraph_spark.graph import (
+    NO_LIMIT, OUT, PropertyGraph, checkpointed)
 from incubator_hugegraph_spark.operators.bfs import prepared_adj
 
 BOTH_LABEL, SAME_LABEL, OTHER_LABEL = "BOTH_LABEL", "SAME_LABEL", "OTHER_LABEL"
@@ -72,11 +73,11 @@ def personal_rank(graph: PropertyGraph, source: str, label: str,
                                on="id", how="left_anti")
         root_comp = spark.createDataFrame([(source, 1.0 - alpha)],
                                           "id string, rank double")
-        ranks = (contrib_out.unionByName(contrib_in)
-                 .unionByName(kept_out).unionByName(kept_in)
-                 .unionByName(root_comp)
-                 .groupBy("id").agg(F.sum("rank").alias("rank"))
-                 .localCheckpoint(eager=True))
+        ranks = checkpointed(
+            contrib_out.unionByName(contrib_in)
+            .unionByName(kept_out).unionByName(kept_in)
+            .unionByName(root_comp)
+            .groupBy("id").agg(F.sum("rank").alias("rank")))
         if i == 0:
             root_adj = ranks.select("id")
     out = ranks.join(root_adj, on="id", how="left_anti")
@@ -131,7 +132,7 @@ def neighbor_rank(graph: PropertyGraph, source: str, steps: list[dict],
                                    + F.coalesce(F.col("inc"), F.lit(0.0)))
                             .alias("rank")))
         layers = [_bump(ly, prev_inc) for ly in layers[:-1]] + \
-            [_bump(cur, same_inc), new_rank.localCheckpoint(eager=True)]
+            [_bump(cur, same_inc), checkpointed(new_rank)]
         top = st.get("top", NO_LIMIT)
         if top != NO_LIMIT:
             layers[-1] = (layers[-1]
