@@ -1040,12 +1040,52 @@ def subgraph_stat_q(spark, sf_dir):
     return subgraph_stat(_graph(spark, sf_dir))
 
 
-@_q("betweenness_centrality")  # rows-only: Brandes accumulation order
+# Brandes over the depth-3 shortest-path DAG from 5 sources, expressed
+# for DuckDB as explicit shortest-path enumeration: BFS min-dists, then
+# every layer-descending path, then per-target sigma counts; each
+# enumerated path credits its interior vertices 1/sigma (betweenness)
+# or 1 (stress). Equivalent to the backward dependency recursion.
+_BRANDES_SQL = """
+srcs AS (SELECT 'customer!' || CAST(i AS VARCHAR) AS s FROM range(1, 6) t(i)),
+bfs(s, v, dist) AS (
+  SELECT s, s, 0 FROM srcs
+  UNION
+  SELECT b.s, ie.dst, b.dist + 1 FROM bfs b JOIN ie ON ie.src = b.v
+  WHERE b.dist < 3
+),
+dist AS (SELECT s, v, MIN(dist) AS d FROM bfs GROUP BY s, v),
+paths(s, v, d, path) AS (
+  SELECT s, s, 0, [s] FROM srcs
+  UNION ALL
+  SELECT p.s, ie.dst, p.d + 1, list_append(p.path, ie.dst)
+  FROM paths p
+  JOIN ie ON ie.src = p.v
+  JOIN dist dd ON dd.s = p.s AND dd.v = ie.dst AND dd.d = p.d + 1
+  WHERE p.d < 3
+),
+sigma AS (SELECT s, v, COUNT(*) AS sg FROM paths WHERE d > 0 GROUP BY s, v)
+"""
+
+
+@_q("betweenness_centrality", f"""
+WITH RECURSIVE {IE_SQL.strip()},
+{_BRANDES_SQL.strip()},
+contrib AS (
+  SELECT p.s AS s, unnest(p.path[2:p.d]) AS v, 1.0 / sg.sg AS c
+  FROM paths p JOIN sigma sg ON sg.s = p.s AND sg.v = p.v
+  WHERE p.d >= 2
+)
+SELECT v AS id, ROUND(SUM(c), 6) AS betweenness
+FROM contrib
+WHERE v NOT IN (SELECT s FROM srcs)
+GROUP BY v
+""")
 def betweenness_q(spark, sf_dir):
     """betweenness_centrality via Brandes on 5 explicit sources
-    (cent/BetweennessCentralityAlgorithmV2.java, BfsTraverser.java) —
-    rows-only check (dependency accumulation is not reasonably
-    SQL-expressible)."""
+    (cent/BetweennessCentralityAlgorithmV2.java, BfsTraverser.java).
+    Oracle: the dependency recursion re-expressed as shortest-path
+    enumeration over the layer DAG (each path credits interior
+    vertices 1/sigma)."""
     from incubator_hugegraph_spark.algorithms.centrality import (
         betweenness_centrality,
     )
@@ -1064,7 +1104,18 @@ def louvain_q(spark, sf_dir):
                    passes=2, move_rounds=3)
 
 
-@_q("stress_centrality")  # rows-only: same Brandes spine as betweenness
+@_q("stress_centrality", f"""
+WITH RECURSIVE {IE_SQL.strip()},
+{_BRANDES_SQL.strip()},
+contrib AS (
+  SELECT p.s AS s, unnest(p.path[2:p.d]) AS v, CAST(1.0 AS DOUBLE) AS c
+  FROM paths p WHERE p.d >= 2
+)
+SELECT v AS id, ROUND(SUM(c), 6) AS stress
+FROM contrib
+WHERE v NOT IN (SELECT s FROM srcs)
+GROUP BY v
+""")
 def stress_q(spark, sf_dir):
     """stress_centrality (cent/StressCentralityAlgorithmV2.java): raw
     shortest-path counts through v over 5 explicit sources."""
