@@ -1949,6 +1949,27 @@ def events_window_agg(spark, sf_dir):
     return window_agg(_events(spark, sf_dir))
 
 
+@_q("events_stream_window", """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       ROUND(sum(value), 2) AS sum_value,
+       ROUND(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+""")
+def events_stream_window(spark, sf_dir):
+    """The REAL Structured Streaming path, end-to-end: file-source
+    readStream over events.parquet → watermark + tumbling window →
+    availableNow trigger → memory sink; returns the final batch of
+    the stream. Proves streaming/batch/oracle agreement (same SQL
+    oracle as events_window_agg)."""
+    import uuid
+    from incubator_hugegraph_spark.streaming.events import (
+        run_stream_window_agg)
+    return run_stream_window_agg(
+        spark, f"{sf_dir}/events.parquet",
+        name="swa_" + uuid.uuid4().hex[:8])
+
+
 # attach generated lang_id oracle
 def _attach_generated_oracles():
     from incubator_hugegraph_spark.data.text import lang_id_sql

@@ -44,13 +44,17 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
     e = graph.adj(direction, labels).select("src", "dst")
     e = cap_degree(e, max_degree, order_cols=("dst",))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # (src, dst, deg) computed + checkpointed once — every round joins
-    # against this table, it must not be recomputed per iteration.
-    # `balanced`: the deg join broadcasts, so without an explicit
-    # repartition the checkpoint would inherit the adj view's raw file
-    # splits (one fat fact-table partition) and every round would run
-    # against that straggler.
-    e = checkpointed(balanced(e.join(deg, on="src"), "src"))
+    # (src, dst, deg) computed once, hash-partitioned by DST and
+    # persisted (NOT checkpointed): keeping the repartition visible to
+    # Catalyst means every round's groupBy(dst) aggregation reuses the
+    # cached partitioning — the per-round O(|E|) message shuffle
+    # disappears entirely (HashAggregate directly on the cached
+    # partitions, no Exchange). A checkpoint would hide the
+    # partitioning (LogicalRDD reports unknown) and re-shuffle every
+    # round. `balanced` also evens out the raw file splits (one fat
+    # fact-table partition next to tiny dims) once, for all rounds.
+    e = balanced(e.join(deg, on="src"), "dst").persist()
+    e.count()
 
     n = graph.vertices.count()
     # The rank vector is O(|V|): under BROADCAST_VERTEX_LIMIT vertices
@@ -66,19 +70,22 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
     def _r(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast else df
 
-    ranks = graph.vertices.select("id").withColumn("rank", F.lit(1.0 / n))
+    ranks = checkpointed(
+        graph.vertices.select("id").withColumn("rank", F.lit(1.0 / n)))
     rounds = fixed_rounds if fixed_rounds is not None else max_times
     for t in range(rounds):
         contrib = (e.join(_r(ranks), on=e.src == ranks.id)
                    .select(F.col("dst").alias("id"),
                            (F.col("rank") / F.col("deg")).alias("msg")))
         incoming = contrib.groupBy("id").agg(F.sum("msg").alias("inc"))
-        # carry the previous rank as `old` so the convergence check is
-        # a column agg over the checkpointed vector, not another join
-        new = (graph.vertices.select("id")
-               .join(incoming, on="id", how="left")
-               .join(_r(ranks.select("id", F.col("rank").alias("old"))),
-                     on="id", how="left")
+        # build the new vector FROM the old one (it already holds every
+        # vertex id — the rank vector is total): a single left join
+        # against the aggregated messages, with the small aggregate on
+        # the broadcastable right side. Carrying the previous rank as
+        # `old` makes the convergence check a column agg over the
+        # checkpointed vector, not another join.
+        new = (ranks.select("id", F.col("rank").alias("old"))
+               .join(_r(incoming), on="id", how="left")
                .select("id", "old",
                        (F.lit(alpha / n) + F.lit(1.0 - alpha)
                         * F.coalesce(F.col("inc"), F.lit(0.0)))
@@ -102,4 +109,8 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
         else:
             ranks = new.select(
                 "id", (F.col("rank") + F.lit(comp)).alias("rank"))
+    # the returned vector derives from the last round's checkpoint,
+    # not from e — safe to release the cached edge table
+    ranks = checkpointed(ranks)
+    e.unpersist()
     return ranks

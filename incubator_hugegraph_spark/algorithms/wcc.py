@@ -18,17 +18,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from incubator_hugegraph_spark.graph import (
-    BOTH, PropertyGraph, checkpointed, iterate_hygiene)
+    BOTH, PropertyGraph, balanced, checkpointed, iterate_hygiene)
 from incubator_hugegraph_spark.algorithms.pagerank import BROADCAST_VERTEX_LIMIT
 
 
 def wcc(graph: PropertyGraph, labels: list[str] | None = None,
         fixed_rounds: int | None = None, max_rounds: int = 50) -> DataFrame:
     """Returns (id, component) — component = min reachable vertex id."""
-    # the adjacency is reused every round — checkpoint once so rounds
-    # don't re-scan + re-dedup the parquet union
-    adj = checkpointed(
-        graph.adj(BOTH, labels).select("src", "dst").distinct())
+    # the adjacency is reused every round: dedup once, hash-partition
+    # by SRC and persist with the repartition visible to Catalyst so
+    # each round's groupBy(src) min-aggregation runs directly on the
+    # cached partitions — no per-round O(|E|) shuffle (same pattern as
+    # page_rank's dst-partitioned edge cache)
+    adj = balanced(
+        graph.adj(BOTH, labels).select("src", "dst").distinct(),
+        "src").persist()
+    adj.count()
     # component vector is O(|V|): broadcast it while it fits (same
     # adaptive rule as page_rank — see BROADCAST_VERTEX_LIMIT there
     # for the driver-heap sizing rationale) so each round's
@@ -38,16 +43,20 @@ def wcc(graph: PropertyGraph, labels: list[str] | None = None,
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast else df
 
-    comp = graph.vertices.select("id", F.col("id").alias("component"))
+    comp = checkpointed(
+        graph.vertices.select("id", F.col("id").alias("component")))
     rounds = fixed_rounds if fixed_rounds is not None else max_rounds
     for k in range(rounds):
         nbr_min = (adj.join(_b(comp), on=adj.dst == comp.id)
                    .groupBy("src").agg(F.min("component").alias("nbr_comp"))
                    .withColumnRenamed("src", "id"))
-        # keep the previous component as `old` so the fixpoint probe is
-        # a filter over the checkpointed vector, not another join
+        # the component vector is total (every vertex id) — build the
+        # new vector from it with one left join; the aggregated
+        # neighbor-min table rides the broadcastable right side. The
+        # previous component is carried as `old` so the fixpoint probe
+        # is a filter over the checkpointed vector, not another join.
         new = (comp.withColumnRenamed("component", "old")
-               .join(nbr_min, on="id", how="left")
+               .join(_b(nbr_min), on="id", how="left")
                .select("id", F.col("old"),
                        F.least("old", F.coalesce("nbr_comp", "old"))
                        .alias("component")))
@@ -63,4 +72,6 @@ def wcc(graph: PropertyGraph, labels: list[str] | None = None,
         else:
             comp = iterate_hygiene(new.select("id", "component"),
                                    k + 1, every=3)
+    comp = checkpointed(comp)
+    adj.unpersist()
     return comp

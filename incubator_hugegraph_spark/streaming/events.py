@@ -85,7 +85,35 @@ def stream_window_agg(spark: SparkSession, events_path: str,
             .withWatermark("ts", watermark)
             .groupBy("event_type", F.window("ts", duration))
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum("value").alias("sum_value")))
+                 F.sum("value").alias("sum_value"),
+                 F.avg("value").alias("avg_value")))
+
+
+def run_stream_window_agg(spark: SparkSession, events_path: str,
+                          duration: str = "1 hour",
+                          name: str = "stream_window_agg") -> DataFrame:
+    """Execute the STREAMING windowed aggregation end-to-end and
+    return the final result as a batch DataFrame: file-source
+    readStream → watermarked tumbling window → memory sink, driven by
+    an availableNow trigger (process-everything-then-stop — the batch
+    parity mode). Output mode is ``complete`` so the trailing windows
+    the watermark has not closed yet are still emitted; on a live
+    unbounded stream the same query runs in ``append`` mode and emits
+    each window once its watermark passes.
+
+    This is the gate that proves the streaming plan computes the same
+    answer as the batch plan (and the DuckDB oracle)."""
+    agg = stream_window_agg(spark, events_path, duration)
+    q = (agg.select(F.col("event_type"),
+                    F.col("window").getField("start").alias("window_start"),
+                    "n_events", "sum_value", "avg_value")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select("event_type", "window_start", "n_events",
+                    F.round("sum_value", 2).alias("sum_value"),
+                    F.round("avg_value", 4).alias("avg_value")))
 
 
 def stream_events_to_edges(spark: SparkSession, events_path: str,
