@@ -1879,6 +1879,53 @@ def emb_ivf_ann(spark, sf_dir):
     return ivf_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], 10)
 
 
+def _emb_neardup_oracle() -> str:
+    """DuckDB SQL reproducing embedding_neardup_pairs: the same LSH
+    bucket structure as _lsh_ann_oracle (shared plane constants), all
+    bucket-sharing pairs d1<d2, exact fold-cosine filter at the
+    UNROUNDED threshold, round-6 output."""
+    from incubator_hugegraph_spark.data.similarity import (
+        _N_PLANES, _N_TABLES, plane)
+    sig_cols = []
+    for t in range(_N_TABLES):
+        bits = " + ".join(
+            "(CASE WHEN {d} >= 0 THEN {bit} ELSE 0 END)".format(
+                d=_dot_sql("v", "[" + ",".join(
+                    repr(c) for c in plane(t * _N_PLANES + p, _DIM)) + "]"),
+                bit=1 << p)
+            for p in range(_N_PLANES))
+        sig_cols.append(f"({bits}) AS b{t}")
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT id, {t} AS tbl, b{t} AS bucket FROM sig"
+        for t in range(_N_TABLES))
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+sig AS (SELECT id, v,
+        {",        ".join(sig_cols)}
+        FROM e),
+buckets AS ({band_selects}),
+cand AS (SELECT DISTINCT l.id AS d1, r.id AS d2
+         FROM buckets l JOIN buckets r
+           ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id),
+pairs AS (SELECT c.d1, c.d2, {_cos_sql("e1.v", "e2.v")} AS sim
+          FROM cand c JOIN e e1 ON e1.id = c.d1 JOIN e e2 ON e2.id = c.d2)
+SELECT d1, d2, ROUND(sim, 6) AS sim FROM pairs WHERE sim >= 0.4
+"""
+
+
+@_q("emb_neardup", _emb_neardup_oracle())
+def emb_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — the semantic-dedup leg:
+    LSH-bucketed candidate pairs, exact cosine verification. The 0.4
+    threshold is pinned to the synthetic corpus (random near-orthogonal
+    vectors top out at cos ~0.51); real corpora run 0.9+. Same plane
+    constants as emb_lsh_ann, so the oracle reproduces the exact
+    candidate set."""
+    from incubator_hugegraph_spark.data.dedup import embedding_neardup_pairs
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
 @_q("multimodal_features", """
 SELECT doc_id AS asset_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -1947,6 +1994,37 @@ def events_window_agg(spark, sf_dir):
     of the streaming windowed agg)."""
     from incubator_hugegraph_spark.streaming.events import window_agg
     return window_agg(_events(spark, sf_dir))
+
+
+@_q("events_stream_sessionize", """
+WITH flags AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flags)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+""")
+def events_stream_sessionize(spark, sf_dir):
+    """CUSTOM STATEFUL streaming operator end-to-end: cross-batch gap
+    sessionization via applyInPandasWithState (per-user ordinal state,
+    update output), driven availableNow into a memory sink. Same
+    oracle as the batch sessionize — proves the stateful streaming
+    path computes the batch answer."""
+    import uuid
+    from incubator_hugegraph_spark.streaming.events import (
+        run_stream_sessionize)
+    return run_stream_sessionize(
+        spark, f"{sf_dir}/events.parquet",
+        name="sss_" + uuid.uuid4().hex[:8])
 
 
 @_q("events_stream_window", """

@@ -248,3 +248,28 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                 F.col("s1").bitwiseXOR(F.col("s2"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("d1", "d2", "hamming"))
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
+                            dim: int = 64, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ ``threshold`` —
+    the semantic-dedup leg next to the lexical kernels above:
+    LSH-bucketed candidates (pairs sharing a bucket in ANY of the L
+    hyperplane tables, near-linear at corpus scale), then exact cosine
+    verification. The threshold filter runs on the UNROUNDED cosine;
+    rounding is output-only (same oracle-parity rule as
+    minhash_lsh_pairs). Returns (d1, d2, sim)."""
+    from incubator_hugegraph_spark.data.similarity import (
+        cosine, lsh_buckets)
+    sig = lsh_buckets(emb, dim, id_col, vec_col)
+    lhs = sig.select(F.col("id").alias("d1"), F.col("v").alias("v1"),
+                     "table", "bucket")
+    rhs = sig.select(F.col("id").alias("d2"), F.col("v").alias("v2"),
+                     "table", "bucket")
+    cand = (lhs.join(rhs, on=["table", "bucket"])
+            .filter(F.col("d1") < F.col("d2"))
+            .dropDuplicates(["d1", "d2"]))
+    return (cand.withColumn("sim", cosine(F.col("v1"), F.col("v2")))
+            .filter(F.col("sim") >= threshold)
+            .select("d1", "d2", F.round("sim", 6).alias("sim")))

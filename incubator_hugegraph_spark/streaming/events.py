@@ -116,6 +116,84 @@ def run_stream_window_agg(spark: SparkSession, events_path: str,
                     F.round("avg_value", 4).alias("avg_value")))
 
 
+def stream_sessionize(spark: SparkSession, events_path: str,
+                      gap_ms: int = GAP_MS):
+    """CUSTOM STATEFUL streaming operator: cross-batch gap
+    sessionization via ``applyInPandasWithState`` (the
+    applyInPandasWithState pattern SURVEY §7.2 M7 calls for — state
+    Spark's built-in session_window cannot express when the session id
+    must be a stable per-user ordinal).
+
+    Per user_id the state carries (session ordinal, last event µs,
+    session start µs, event count); each micro-batch folds its events
+    in (ts, event_id) order into that state and emits every session it
+    touched (update semantics — a session still open at the batch
+    boundary is re-emitted, finalized, by a later batch). On an
+    availableNow run over a static file the emitted set IS the batch
+    ``sessionize`` result. Returns the streaming DataFrame."""
+    import pandas as pd  # noqa: F401 (arrow batches)
+
+    stream = _read_stream(spark, events_path) \
+        .select("user_id", "ts", "event_id")
+    gap_us = gap_ms * 1000
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+        if state.exists:
+            sid, last, start, n = state.get
+        else:
+            sid, last, start, n = 0, None, None, 0
+        done = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                t = ts.value // 1000  # ns → µs (exact)
+                if last is None or t - last > gap_us:
+                    if last is not None:
+                        done.append((key[0], sid, n, start, last))
+                    sid, start, n = sid + 1, t, 1
+                else:
+                    n += 1
+                last = t
+        if last is not None:  # the open session, emitted as an update
+            done.append((key[0], sid, n, start, last))
+        state.update((sid, last, start, n))
+        yield pd.DataFrame(
+            done, columns=["user_id", "session_id", "n_events",
+                           "start_us", "end_us"])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=("user_id bigint, session_id bigint, "
+                          "n_events bigint, start_us bigint, end_us bigint"),
+        stateStructType=("sid bigint, last_ts bigint, start_ts bigint, "
+                         "n bigint"),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return out.select(
+        "user_id", "session_id", "n_events",
+        F.timestamp_micros(F.col("start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("end_us")).alias("session_end"))
+
+
+def run_stream_sessionize(spark: SparkSession, events_path: str,
+                          gap_ms: int = GAP_MS,
+                          name: str = "stream_sessionize") -> DataFrame:
+    """Drive stream_sessionize with an availableNow trigger into a
+    memory sink and return the batch result. Updates supersede earlier
+    emissions of the same (user, session): keep the last per key."""
+    q = (stream_sessionize(spark, events_path, gap_ms)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    t = spark.table(name)
+    w = Window.partitionBy("user_id", "session_id") \
+        .orderBy(F.desc("n_events"))
+    return (t.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
 def stream_events_to_edges(spark: SparkSession, events_path: str,
                            checkpoint_dir: str, out_dir: str):
     """Structured Streaming ingestion: events → `interacted`-shaped

@@ -220,3 +220,39 @@ def test_stream_events_to_edges(spark, tmp_path):
     assert edges.columns == ["src", "dst", "label", "sort_values"]
     assert edges.count() > 0
     assert edges.filter(~F.col("src").startswith("customer!")).count() == 0
+
+
+def test_stream_sessionize_matches_batch(spark):
+    """The applyInPandasWithState sessionizer (availableNow) must equal
+    the batch window-function sessionizer on the same input."""
+    from incubator_hugegraph_spark.streaming.events import (
+        run_stream_sessionize, sessionize)
+    from incubator_hugegraph_spark.sources.tpch import read_table
+    events = read_table(spark, SF_DIR, "events")
+    want = sessionize(events)
+    got = run_stream_sessionize(spark, f"{SF_DIR}/events.parquet",
+                                name="sss_test")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_embedding_neardup_subset_of_bruteforce(spark):
+    """Every LSH-verified near-dup pair must appear in the brute-force
+    pair set with the same cosine, and catch all pairs >= 0.45 (the
+    4-plane x 24-table structure has near-full recall there)."""
+    from incubator_hugegraph_spark.data.dedup import embedding_neardup_pairs
+    from incubator_hugegraph_spark.data.similarity import _to_double, cosine
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = embedding_neardup_pairs(emb, threshold=0.4)
+    e = emb.select(F.col("vec_id").alias("id"),
+                   _to_double("embedding").alias("v"))
+    a = e.select(F.col("id").alias("d1"), F.col("v").alias("v1"))
+    b = e.select(F.col("id").alias("d2"), F.col("v").alias("v2"))
+    brute = (a.crossJoin(b).filter(F.col("d1") < F.col("d2"))
+             .withColumn("sim", cosine(F.col("v1"), F.col("v2")))
+             .filter(F.col("sim") >= 0.4)
+             .select("d1", "d2", F.round("sim", 6).alias("sim")))
+    assert got.exceptAll(brute).count() == 0
+    missed = (brute.filter(F.col("sim") >= 0.45)
+              .join(got, on=["d1", "d2"], how="left_anti"))
+    assert missed.count() == 0
