@@ -51,7 +51,12 @@ def _seed(graph: PropertyGraph, ids: list[str]) -> DataFrame:
 def _extend(frontier: DataFrame, adj: DataFrame,
             allow_dst: str | None = None) -> DataFrame:
     """One path-extension round. Drops cyclic continuations (dst
-    already on the path) unless dst == allow_dst (ring closing)."""
+    already on the path) unless dst == allow_dst (ring closing).
+
+    No dedup needed: ``adj`` is pre-deduped (src,dst) pairs and the
+    frontier's rows are unique paths, so each extension row
+    (path + [dst]) is unique by induction — a distinct() here would
+    be a pure shuffle tax on the widest column in the loop."""
     ext = (adj.join(F.broadcast(frontier), on=adj.src == frontier.id)
            .select(F.col("dst").alias("id"),
                    F.concat("path", F.array("dst")).alias("path")))
@@ -59,7 +64,7 @@ def _extend(frontier: DataFrame, adj: DataFrame,
         F.slice("path", 1, F.size("path") - 1), F.col("id"))
     if allow_dst is not None:
         no_cycle = no_cycle | (F.col("id") == F.lit(allow_dst))
-    return ext.filter(no_cycle).distinct()
+    return ext.filter(no_cycle)
 
 
 def _emit(df: DataFrame) -> DataFrame:
@@ -229,12 +234,13 @@ def multi_node_shortest_path(graph: PropertyGraph, ids: list[str],
     done = spark.createDataFrame([], "origin string, target string")
     out: DataFrame | None = None
     for k in range(1, max_depth + 1):
+        # no distinct: adj is deduped and frontier paths are unique,
+        # so extensions are unique by induction (see _extend)
         ext = (adj.join(F.broadcast(frontier), on=adj.src == frontier.id)
                .select("origin", F.col("dst").alias("id"),
                        F.concat("path", F.array("dst")).alias("path"))
                .filter(~F.array_contains(
-                   F.slice("path", 1, F.size("path") - 1), F.col("id")))
-               .distinct())
+                   F.slice("path", 1, F.size("path") - 1), F.col("id"))))
         ext = iterate_hygiene(ext, k, every=3)
         done_r = done.select(F.col("origin").alias("d_origin"),
                              F.col("target").alias("d_target"))
