@@ -25,6 +25,13 @@ def splice_id_col(label: str, *pk_cols: Column | str) -> Column:
     return F.concat_ws(ID_DELIM, *parts)
 
 
+def splice_id(label: str, *pk_values) -> str:
+    """Driver/Python-side form of splice_id_col (same escaping) — for
+    code that builds ids inside pandas UDFs or fixtures."""
+    return ID_DELIM.join(
+        [label] + [str(v).replace("!", "\\!") for v in pk_values])
+
+
 def id_prefix(label: str) -> str:
     """Prefix for IdPrefixQuery-style scans over a label's id range
     (core/backend/query/IdPrefixQuery.java)."""

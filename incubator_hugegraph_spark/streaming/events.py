@@ -18,7 +18,8 @@ from pyspark.sql.window import Window
 GAP_MS = 30 * 60 * 1000
 
 
-def _read_stream(spark: SparkSession, events_path: str) -> DataFrame:
+def _read_stream(spark: SparkSession, events_path: str,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source readStream over the events parquet. The file source
     wants a directory basePath; a single-file path is read via its
     parent dir + exact-name glob. Nano timestamps (read as long via
@@ -33,7 +34,12 @@ def _read_stream(spark: SparkSession, events_path: str) -> DataFrame:
         # last character a one-element character class so the path
         # globs to exactly the same file.
         events_path = events_path[:-1] + f"[{events_path[-1]}]"
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # admission control — respected by availableNow: one file per
+        # micro-batch, which is how tests force cross-batch state
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_path)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -195,37 +201,54 @@ def run_stream_sessionize(spark: SparkSession, events_path: str,
 
 
 def stream_events_to_edges(spark: SparkSession, events_path: str,
-                           checkpoint_dir: str, out_dir: str):
+                           checkpoint_dir: str, out_dir: str,
+                           max_files_per_trigger: int | None = None):
     """Structured Streaming ingestion: events → `interacted`-shaped
-    edge rows, appended per micro-batch via foreachBatch (idempotent
-    by micro-batch id — the replacement for the reference's
-    transactional commit path). Returns the StreamingQuery.
+    edge rows (consecutive distinct users per event_type), written per
+    micro-batch via foreachBatch (idempotent by micro-batch id — the
+    replacement for the reference's transactional commit path,
+    GraphTransaction.commit). Returns the StreamingQuery.
 
-    Note: consecutive-pair derivation needs per-key ordering, which a
-    pure append stream cannot see across batches — the streaming form
-    emits (user → user) edges per micro-batch via the same lag window
-    WITHIN the batch; a production build would use
-    applyInPandasWithState to carry the last event per (event_type)
-    across batches.
-    """
-    from incubator_hugegraph_spark.functions.ids import splice_id_col
+    Consecutive-pair derivation needs per-key ordering ACROSS batches:
+    applyInPandasWithState carries the last-seen user per event_type,
+    so the first event of batch N pairs with the last event of batch
+    N-1 — the streamed edge set equals the batch lag-window derivation
+    regardless of how the input is chopped into micro-batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
-    stream = _read_stream(spark, events_path)
+    from incubator_hugegraph_spark.functions.ids import splice_id
+
+    stream = _read_stream(spark, events_path, max_files_per_trigger) \
+        .select("event_type", "ts", "event_id", "user_id")
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+        prev = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for uid, eid in zip(pdf["user_id"], pdf["event_id"]):
+                if prev is not None and prev != uid:
+                    out.append((splice_id("customer", prev),
+                                splice_id("customer", uid),
+                                "interacted", str(eid)))
+                prev = uid
+        state.update((int(prev),))
+        yield pd.DataFrame(
+            out, columns=["src", "dst", "label", "sort_values"])
+
+    edges = stream.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=("src string, dst string, label string, "
+                          "sort_values string"),
+        stateStructType="last_user bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df
-        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-        edges = (b.withColumn("prev_user", F.lag("user_id").over(w))
-                 .filter(F.col("prev_user").isNotNull()
-                         & (F.col("prev_user") != F.col("user_id")))
-                 .select(splice_id_col("customer", "prev_user").alias("src"),
-                         splice_id_col("customer", "user_id").alias("dst"),
-                         F.lit("interacted").alias("label"),
-                         F.col("event_id").cast("string")
-                         .alias("sort_values")))
-        edges.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("append").parquet(out_dir)
 
-    return (stream.writeStream
+    return (edges.writeStream
             .foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)

@@ -210,16 +210,40 @@ def test_stream_window_agg_matches_batch(spark, tmp_path):
 
 
 def test_stream_events_to_edges(spark, tmp_path):
+    """Cross-batch stateful ingestion: the input is split into two
+    files streamed one per micro-batch (maxFilesPerTrigger=1), so the
+    first event of batch 2 must pair with the last event of batch 1 —
+    the streamed edge set equals the batch lag-window derivation."""
     from incubator_hugegraph_spark.streaming.events import (
         stream_events_to_edges)
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src_dir = str(tmp_path / "events_split")
+    # two files, split by ts order so both batches hold every key
+    events.orderBy("ts", "event_id").coalesce(1).limit(5000) \
+        .write.parquet(src_dir)
+    events.orderBy("ts", "event_id").coalesce(1).offset(5000) \
+        .write.mode("append").parquet(src_dir)
     out = str(tmp_path / "edges_out")
     ckpt = str(tmp_path / "ckpt")
-    q = stream_events_to_edges(spark, f"{SF_DIR}/events.parquet", ckpt, out)
-    q.awaitTermination(120)
-    edges = spark.read.parquet(out)
-    assert edges.columns == ["src", "dst", "label", "sort_values"]
-    assert edges.count() > 0
-    assert edges.filter(~F.col("src").startswith("customer!")).count() == 0
+    q = stream_events_to_edges(spark, src_dir, ckpt, out,
+                               max_files_per_trigger=1)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert got.columns == ["src", "dst", "label", "sort_values"]
+    # batch derivation over the SAME (re-written) input
+    from incubator_hugegraph_spark.functions.ids import splice_id_col
+    from pyspark.sql.window import Window as W
+    ev = spark.read.parquet(src_dir)
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    want = (ev.withColumn("pu", F.lag("user_id").over(w))
+            .filter(F.col("pu").isNotNull()
+                    & (F.col("pu") != F.col("user_id")))
+            .select(splice_id_col("customer", "pu").alias("src"),
+                    splice_id_col("customer", "user_id").alias("dst"),
+                    F.lit("interacted").alias("label"),
+                    F.col("event_id").cast("string").alias("sort_values")))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
 
 
 def test_stream_sessionize_matches_batch(spark):
