@@ -96,17 +96,28 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
         # vector instead of replaying the loop lineage — without this
         # every convergence check recomputes prior rounds (quadratic)
         new = checkpointed(new)
-        total = new.agg(F.sum("rank")).collect()[0][0]
-        comp = (1.0 - total) / n
         if fixed_rounds is None:
-            changed = (new.agg(F.sum(F.abs(
-                F.col("rank") + F.lit(comp) - F.col("old"))))
-                .collect()[0][0])
+            # mass total and L1 delta in ONE action: the total rides a
+            # broadcast scalar subquery, and the JVM-side
+            # (1 - total)/n reproduces the Python comp bit-for-bit
+            # (same IEEE ops, same order)
+            tot = new.agg(F.sum("rank").alias("total"))
+            row = (new.crossJoin(F.broadcast(tot))
+                   .agg(F.first("total").alias("total"),
+                        F.sum(F.abs(
+                            F.col("rank")
+                            + (F.lit(1.0) - F.col("total")) / F.lit(float(n))
+                            - F.col("old"))).alias("changed"))
+                   .collect()[0])
+            total, changed = row["total"], row["changed"]
+            comp = (1.0 - total) / n
             ranks = new.select(
                 "id", (F.col("rank") + F.lit(comp)).alias("rank"))
             if changed is not None and changed < precision:
                 break
         else:
+            total = new.agg(F.sum("rank")).collect()[0][0]
+            comp = (1.0 - total) / n
             ranks = new.select(
                 "id", (F.col("rank") + F.lit(comp)).alias("rank"))
     # the returned vector derives from the last round's checkpoint,
