@@ -72,7 +72,7 @@ def jaccard_top_batch(graph: PropertyGraph, sources: list[str], top: int,
     sizes = nbr.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     src_n = (nbr.join(F.broadcast(sdf), on=nbr.src == sdf.source)
              .select("source", F.col("dst").alias("n")))
-    inter = (nbr.join(src_n, on=nbr.dst == src_n.n)
+    inter = (nbr.join(F.broadcast(src_n), on=nbr.dst == src_n.n)
              .filter(F.col("src") != F.col("source"))
              .groupBy("source", F.col("src").alias("id"))
              .agg(F.count(F.lit(1)).alias("inter")))
