@@ -1307,6 +1307,23 @@ def gremlin_range_tail(spark, sf_dir):
             .orderBy("id").offset(10).limit(15))
 
 
+@_q("gremlin_sample", """
+SELECT 'customer!' || c_custkey AS id
+FROM customer
+WHERE ('0x' || substr(md5('customer!' || c_custkey), 1, 7))::BIGINT % 20 = 0
+""")
+def gremlin_sample(spark, sf_dir):
+    """Gremlin sample()/coin() — DETERMINISTIC hash sampling (~1/20 of
+    customers). rand()-based sampling cannot be oracle-checked or
+    reproduced across retries at scale; the md5-bucket idiom is the
+    production form (stable under re-execution, speculative tasks, and
+    partition reshuffles — rand() is not)."""
+    from incubator_hugegraph_spark.data.dedup import portable_hash28
+    g = _graph(spark, sf_dir)
+    return (g.vertices.filter(F.col("label") == "customer").select("id")
+            .filter(portable_hash28("id") % 20 == 0))
+
+
 @_q("gremlin_match_pattern", """
 SELECT DISTINCT 'customer!' || c.c_custkey AS customer,
        'order!' || o.o_orderkey AS ord,

@@ -273,3 +273,16 @@ def write_graph(graph: PropertyGraph, out_dir: str,
      .bucketBy(buckets, "id").sortBy("id")
      .option("path", os.path.join(out_dir, "vertices"))
      .saveAsTable("hugegraph.vertices"))
+
+
+def read_bucketed_graph(spark: SparkSession,
+                        schema: GraphSchema | None = None) -> PropertyGraph:
+    """Reopen a write_graph() materialization. The bucket metadata
+    rides the table catalog, so src-keyed aggregations and co-bucketed
+    joins over the edge table plan WITHOUT an Exchange — the Spark
+    analogue of the reference reading edges clustered under their
+    owner vertex (EdgeId layout, core/backend/id/EdgeId.java:31-38)."""
+    return PropertyGraph(spark,
+                         vertices=spark.table("hugegraph.vertices"),
+                         edges=spark.table("hugegraph.edges"),
+                         schema=schema or fixture_schema())

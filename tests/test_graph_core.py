@@ -95,3 +95,18 @@ def test_ttl_filter(spark, graph):
                        edges=graph.edges, schema=graph.schema)
     got = {r["id"] for r in g2.vertices.filter(F.col("label") == "x").collect()}
     assert got == {"x!2", "x!3"}  # expired row invisible at read time
+
+
+def test_bucketed_graph_roundtrip_no_shuffle(spark, graph, tmp_path):
+    """write_graph materializes src-bucketed edges; reading back, a
+    src-keyed degree aggregation must plan WITHOUT a shuffle exchange
+    (the owner-vertex clustering analogue at 100 TB)."""
+    from incubator_hugegraph_spark.sources.tpch import (
+        read_bucketed_graph, write_graph)
+    write_graph(graph, str(tmp_path / "store"), buckets=8)
+    g2 = read_bucketed_graph(spark)
+    assert g2.edges.count() == graph.edges.count()
+    assert g2.vertices.count() == graph.vertices.count()
+    deg = g2.edges.groupBy("src").count()
+    plan = deg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
