@@ -43,18 +43,19 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
     convergence check (deterministic partial result for oracle parity)."""
     e = graph.adj(direction, labels).select("src", "dst")
     e = cap_degree(e, max_degree, order_cols=("dst",))
+    # (src, dst) hash-partitioned by DST and persisted (NOT
+    # checkpointed): keeping the repartition visible to Catalyst means
+    # every round's groupBy(dst) aggregation reuses the cached
+    # partitioning — the per-round O(|E|) message shuffle disappears
+    # entirely (HashAggregate directly on the cached partitions, no
+    # Exchange). A checkpoint would hide the partitioning (LogicalRDD
+    # reports unknown) and re-shuffle every round. `balanced` also
+    # evens out the raw file splits (one fat fact-table partition next
+    # to tiny dims) once, for all rounds. The out-degree rides the
+    # RANK VECTOR (O(|V|)) instead of widening the edge cache — one
+    # aggregation over the cached table at setup, zero extra E-scans.
+    e = balanced(e, "dst").persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # (src, dst, deg) computed once, hash-partitioned by DST and
-    # persisted (NOT checkpointed): keeping the repartition visible to
-    # Catalyst means every round's groupBy(dst) aggregation reuses the
-    # cached partitioning — the per-round O(|E|) message shuffle
-    # disappears entirely (HashAggregate directly on the cached
-    # partitions, no Exchange). A checkpoint would hide the
-    # partitioning (LogicalRDD reports unknown) and re-shuffle every
-    # round. `balanced` also evens out the raw file splits (one fat
-    # fact-table partition next to tiny dims) once, for all rounds.
-    e = balanced(e.join(deg, on="src"), "dst").persist()
-    e.count()
 
     n = graph.vertices.count()
     # The rank vector is O(|V|): under BROADCAST_VERTEX_LIMIT vertices
@@ -70,8 +71,14 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
     def _r(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast else df
 
+    # (id, deg, rank): the out-degree is a rider column on the rank
+    # vector, carried through every checkpoint — the per-round message
+    # join needs only ONE broadcast (vector ⊗ edges), and the division
+    # rank/deg is unchanged bit-for-bit.
     ranks = checkpointed(
-        graph.vertices.select("id").withColumn("rank", F.lit(1.0 / n)))
+        graph.vertices.select("id")
+        .join(deg.withColumnRenamed("src", "id"), on="id", how="left")
+        .withColumn("rank", F.lit(1.0 / n)))
     rounds = fixed_rounds if fixed_rounds is not None else max_times
     for t in range(rounds):
         contrib = (e.join(_r(ranks), on=e.src == ranks.id)
@@ -84,9 +91,9 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
         # the broadcastable right side. Carrying the previous rank as
         # `old` makes the convergence check a column agg over the
         # checkpointed vector, not another join.
-        new = (ranks.select("id", F.col("rank").alias("old"))
+        new = (ranks.select("id", "deg", F.col("rank").alias("old"))
                .join(_r(incoming), on="id", how="left")
-               .select("id", "old",
+               .select("id", "deg", "old",
                        (F.lit(alpha / n) + F.lit(1.0 - alpha)
                         * F.coalesce(F.col("inc"), F.lit(0.0)))
                        .alias("rank")))
@@ -112,16 +119,16 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
             total, changed = row["total"], row["changed"]
             comp = (1.0 - total) / n
             ranks = new.select(
-                "id", (F.col("rank") + F.lit(comp)).alias("rank"))
+                "id", "deg", (F.col("rank") + F.lit(comp)).alias("rank"))
             if changed is not None and changed < precision:
                 break
         else:
             total = new.agg(F.sum("rank")).collect()[0][0]
             comp = (1.0 - total) / n
             ranks = new.select(
-                "id", (F.col("rank") + F.lit(comp)).alias("rank"))
+                "id", "deg", (F.col("rank") + F.lit(comp)).alias("rank"))
     # the returned vector derives from the last round's checkpoint,
     # not from e — safe to release the cached edge table
-    ranks = checkpointed(ranks)
+    ranks = checkpointed(ranks.select("id", "rank"))
     e.unpersist()
     return ranks
