@@ -12,6 +12,7 @@ from incubator_hugegraph_spark.algorithms.centrality import (
     closeness_centrality,
     degree_centrality,
     eigenvector_centrality,
+    stress_centrality,
 )
 from incubator_hugegraph_spark.algorithms.community import (
     cluster_coefficient,
@@ -44,4 +45,24 @@ ALGORITHMS = {
     "page_rank": page_rank,
     "weak_connected_component": wcc,
     "subgraph_stat": subgraph_stat,
+    "stress_centrality": stress_centrality,
 }
+
+
+def _lazy(name: str):
+    # path-module algorithms imported lazily to avoid a cycle
+    # (operators.paths imports graph which algorithms also use)
+    def run(graph, *a, **kw):
+        if name == "rings":
+            from incubator_hugegraph_spark.operators.paths import (
+                rings_detect)
+            return rings_detect(graph, *a, **kw)
+        from incubator_hugegraph_spark.operators.similarity import (
+            fusiform_similarity)
+        return fusiform_similarity(graph, *a, **kw)
+    return run
+
+
+# remaining AlgorithmPool.java:46-75 names, implemented in operators/
+ALGORITHMS["rings"] = _lazy("rings")
+ALGORITHMS["fusiform_similarity"] = _lazy("fusiform_similarity")

@@ -110,3 +110,20 @@ def test_bucketed_graph_roundtrip_no_shuffle(spark, graph, tmp_path):
     deg = g2.edges.groupBy("src").count()
     plan = deg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_analyzer_registry_segment(spark):
+    """Analyzer plugin surface (AnalyzerFactory.java): named analyzers
+    behind one segment() signature; bigram = the CJK fallback."""
+    import pytest
+    from incubator_hugegraph_spark.functions.text import segment
+    df = spark.createDataFrame([("Hello, World",), ("ab",), ("x",)],
+                               "t string")
+    words = df.select(segment("t", "word").alias("s")).collect()
+    assert words[0].s == ["hello", "world"]
+    grams = df.select(segment("t", "bigram").alias("s")).collect()
+    assert grams[1].s == ["ab"]
+    assert grams[2].s == ["x"]
+    assert grams[0].s[:3] == ["he", "el", "ll"]
+    with pytest.raises(ValueError):
+        segment("t", "nope")
