@@ -334,6 +334,22 @@ def kout_2(spark, sf_dir):
     return kout(_graph(spark, sf_dir), "customer!1", 2, direction=OUT)
 
 
+@_q("kout_in_2", f"""
+WITH {E_SQL.strip()},
+l1 AS (SELECT DISTINCT e.src AS id FROM edges e
+       WHERE e.dst = 'part!1' AND e.src <> 'part!1'),
+l2 AS (SELECT DISTINCT e.src AS id FROM edges e JOIN l1 ON e.dst = l1.id
+       WHERE e.src NOT IN (SELECT id FROM l1) AND e.src <> 'part!1')
+SELECT id FROM l2
+""")
+def kout_in_2(spark, sf_dir):
+    """kout depth=2 with direction=IN (Directions.java:27-31 — the
+    reversed-adjacency view): vertices exactly 2 REVERSE steps from
+    part!1 (who supplied/ordered things that contain it)."""
+    from incubator_hugegraph_spark.operators.bfs import kout
+    return kout(_graph(spark, sf_dir), "part!1", 2, direction="IN")
+
+
 @_q("kneighbor_2", f"""
 WITH {ADJ_SQL.strip()},
 l1 AS (SELECT DISTINCT a.dst AS id FROM adj a
