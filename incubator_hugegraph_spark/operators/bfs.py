@@ -85,8 +85,14 @@ def bfs(graph: PropertyGraph, source_ids: list[str], depth: int,
     visited = frontier.withColumn("dist", F.lit(0))
     total = len(source_ids)
     for k in range(1, depth + 1):
+        # visited rides the broadcast side of the anti-join under the
+        # same contract that makes the frontier broadcastable: both
+        # are bounded by the traversal's capacity guard (the sum of
+        # all frontiers), so neither outgrows executor memory before
+        # the traversal aborts by the reference's own rule
         frontier = (expand(frontier, adj)
-                    .join(visited.select("id"), on="id", how="left_anti"))
+                    .join(F.broadcast(visited.select("id")),
+                          on="id", how="left_anti"))
         frontier = iterate_hygiene(frontier, k, every=3)
         n = graph.check_capacity(frontier, capacity) if capacity != NO_LIMIT \
             else None
