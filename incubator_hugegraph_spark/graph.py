@@ -175,10 +175,18 @@ def checkpointed(df: DataFrame) -> DataFrame:
     true runtime shuffle sizes."""
     d = df.localCheckpoint(eager=True)
     spark = df.sparkSession
-    jdf = d._jdf
-    jnew = spark._jsparkSession.internalCreateDataFrame(
-        jdf.queryExecution().toRdd(), jdf.schema(), False)
-    return DataFrame(jnew, spark)
+    try:
+        jdf = d._jdf
+        jnew = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+        return DataFrame(jnew, spark)
+    except Exception:
+        # internalCreateDataFrame is private[sql] (public in bytecode,
+        # reachable via py4j on every Spark 4.x we target) — if a
+        # future runtime hides it, fall back to the plain checkpoint:
+        # correct, just exposed to the stats-growth pathology on very
+        # deep loops.
+        return d
 
 
 def iterate_hygiene(df: DataFrame, round_no: int, every: int = 5) -> DataFrame:
