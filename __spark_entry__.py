@@ -334,6 +334,29 @@ def kout_2(spark, sf_dir):
     return kout(_graph(spark, sf_dir), "customer!1", 2, direction=OUT)
 
 
+@_q("kneighbor_edges", f"""
+WITH {E_SQL.strip()},
+adj AS (SELECT src, dst FROM edges
+        UNION SELECT dst, src FROM edges),
+l1 AS (SELECT DISTINCT a.dst AS id FROM adj a
+       WHERE a.src = 'customer!1' AND a.dst <> 'customer!1'),
+l2 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN l1 ON a.src = l1.id
+       WHERE a.dst NOT IN (SELECT id FROM l1) AND a.dst <> 'customer!1'),
+reached AS (SELECT 'customer!1' AS id
+            UNION ALL SELECT id FROM l1 UNION ALL SELECT id FROM l2)
+SELECT DISTINCT e.src, e.dst, e.label, e.sort_values
+FROM edges e
+WHERE e.src IN (SELECT id FROM reached)
+  AND e.dst IN (SELECT id FROM reached)
+""")
+def kneighbor_edges_q(spark, sf_dir):
+    """kneighbor POST with_edge=true (KneighborAPI.java:198-222): the
+    edge-induced subgraph of the ≤2-hop BOTH neighborhood of
+    customer!1 — semi-joins against the reached set."""
+    from incubator_hugegraph_spark.operators.bfs import kneighbor_edges
+    return kneighbor_edges(_graph(spark, sf_dir), "customer!1", 2).distinct()
+
+
 @_q("kout_in_2", f"""
 WITH {E_SQL.strip()},
 l1 AS (SELECT DISTINCT e.src AS id FROM edges e

@@ -148,6 +148,24 @@ def kneighbor(graph: PropertyGraph, source: str, depth: int,
     return vis
 
 
+def kneighbor_edges(graph: PropertyGraph, source: str, depth: int,
+                    direction: str = BOTH,
+                    labels: list[str] | None = None,
+                    max_degree: int = NO_LIMIT) -> DataFrame:
+    """kneighbor POST with with_edge=true (KneighborAPI.java:198-222):
+    the edges of the ≤depth neighborhood subgraph — both endpoints in
+    {source} ∪ kneighbor set. Two semi-joins against the reached-vertex
+    set; the edge table never shuffles. Returns (src, dst, label,
+    sort_values)."""
+    reached = bfs(graph, [source], depth, direction, labels,
+                  max_degree).select("id")
+    e = graph.adj(OUT, labels).select("src", "dst", "label", "sort_values")
+    return (e.join(F.broadcast(reached), on=e.src == reached.id,
+                   how="left_semi")
+            .join(F.broadcast(reached), on=e.dst == reached.id,
+                  how="left_semi"))
+
+
 def kneighbor_paths(graph: PropertyGraph, source: str, depth: int,
                     direction: str = OUT,
                     labels: list[str] | None = None,

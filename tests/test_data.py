@@ -280,3 +280,50 @@ def test_embedding_neardup_subset_of_bruteforce(spark):
     missed = (brute.filter(F.col("sim") >= 0.45)
               .join(got, on=["d1", "d2"], how="left_anti"))
     assert missed.count() == 0
+
+
+def test_stream_watermark_gates_emission_and_eviction(spark, tmp_path):
+    """The append-mode watermark contract: a window is emitted exactly
+    once, with its final count, once the watermark passes its end —
+    and windows the watermark has NOT passed are withheld (still in
+    state), with state evicted down to just those. Two micro-batches
+    (time-split files) drive the watermark from 0 to max_ts - 2h."""
+    from incubator_hugegraph_spark.sources.tpch import read_table
+    from incubator_hugegraph_spark.streaming.events import (
+        _read_stream, window_agg)
+    events = read_table(spark, SF_DIR, "events")
+    split = "2024-01-15"
+    src_dir = str(tmp_path / "ev")
+    # older half first (batch 1), newer half second (batch 2) — the
+    # watermark only advances after the first batch completes
+    events.filter(F.col("ts") < split).coalesce(1).write.parquet(src_dir)
+    import time
+    time.sleep(1.5)
+    events.filter(F.col("ts") >= split).coalesce(1) \
+        .write.mode("append").parquet(src_dir)
+    stream = _read_stream(spark, src_dir, max_files_per_trigger=1)
+    agg = (stream.withWatermark("ts", "2 hours")
+           .groupBy("event_type", F.window("ts", "1 hour"))
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    q = (agg.select("event_type",
+                    F.col("window").getField("start").alias("window_start"),
+                    "n_events")
+         .writeStream.format("memory").queryName("wm_gate")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.table("wm_gate")
+    want = window_agg(events).select("event_type", "window_start",
+                                     "n_events")
+    import datetime
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - datetime.timedelta(hours=2)
+    emitted_expected = want.filter(
+        (F.col("window_start") + F.expr("INTERVAL 1 HOUR")) <= F.lit(wm))
+    # every due window emitted exactly once with the final batch count
+    assert got.count() == emitted_expected.count()
+    assert got.exceptAll(emitted_expected).count() == 0
+    # windows not yet passed by the watermark are withheld
+    withheld = want.exceptAll(got)
+    assert withheld.filter(
+        (F.col("window_start") + F.expr("INTERVAL 1 HOUR"))
+        <= F.lit(wm)).count() == 0
