@@ -334,6 +334,26 @@ def kout_2(spark, sf_dir):
     return kout(_graph(spark, sf_dir), "customer!1", 2, direction=OUT)
 
 
+@_q("vertex_delete_cascade", f"""
+WITH {E_SQL.strip()},
+gone AS (SELECT 'nation!3' AS id UNION ALL SELECT 'customer!7'),
+live AS (SELECT * FROM edges e
+         WHERE e.src NOT IN (SELECT id FROM gone)
+           AND e.dst NOT IN (SELECT id FROM gone))
+SELECT label, count(*) AS n_edges FROM live GROUP BY label
+""")
+def vertex_delete_cascade(spark, sf_dir):
+    """Vertex delete with edge cascade (VertexAPI DELETE →
+    GraphTransaction.removeVertex removes the owner and BOTH stored
+    edge rows): remaining edge counts per label after deleting
+    nation!3 and customer!7."""
+    from incubator_hugegraph_spark.operators.mutate import delete_vertices
+    g = _graph(spark, sf_dir)
+    _, e = delete_vertices(g.vertices, g.edges,
+                           ["nation!3", "customer!7"])
+    return e.groupBy("label").agg(F.count(F.lit(1)).alias("n_edges"))
+
+
 @_q("kneighbor_edges", f"""
 WITH {E_SQL.strip()},
 adj AS (SELECT src, dst FROM edges
