@@ -53,7 +53,7 @@ def closeness_centrality(graph: PropertyGraph, sources: list[str],
                     .distinct()
                     .join(visited.select("origin", "id"),
                           on=["origin", "id"], how="left_anti"))
-        frontier = iterate_hygiene(frontier, k, every=3)
+        frontier = iterate_hygiene(frontier, k)
         visited = visited.unionByName(frontier.withColumn("dist", F.lit(k)))
     return (visited.filter(F.col("dist") > 0)
             .groupBy(F.col("origin").alias("id"))
@@ -81,7 +81,7 @@ def eigenvector_centrality(graph: PropertyGraph, rounds: int = 5,
              .join(msg, on="id", how="left")
              .select("id", (F.coalesce(F.col("raw"), F.lit(0.0))
                             / F.lit(total)).alias("score")))
-        x = iterate_hygiene(x, t + 1, every=3)
+        x = iterate_hygiene(x, t + 1)
     out = x.select("id", F.round("score", 8).alias("score"))
     if top != NO_LIMIT:
         out = out.orderBy(F.desc("score"), F.asc("id")).limit(top)

@@ -127,7 +127,7 @@ def k_core(graph: PropertyGraph, k: int,
                .unionAll(live.select(F.col("b").alias("id")))
                .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
         new = deg.filter(F.col("deg") >= k).select("id")
-        new = iterate_hygiene(new, t + 1, every=3)
+        new = iterate_hygiene(new, t + 1)
         if fixed_rounds is None:
             before = survivors.count()
             after = new.count()
@@ -166,7 +166,7 @@ def lpa(graph: PropertyGraph, labels: list[str] | None = None,
         lab = (lab.join(best, on="id", how="left")
                .select("id", F.coalesce("new_comm", "community")
                        .alias("community")))
-        lab = iterate_hygiene(lab, t + 1, every=3)
+        lab = iterate_hygiene(lab, t + 1)
     return lab
 
 

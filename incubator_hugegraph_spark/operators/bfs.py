@@ -93,7 +93,7 @@ def bfs(graph: PropertyGraph, source_ids: list[str], depth: int,
         frontier = (expand(frontier, adj)
                     .join(F.broadcast(visited.select("id")),
                           on="id", how="left_anti"))
-        frontier = iterate_hygiene(frontier, k, every=3)
+        frontier = iterate_hygiene(frontier, k)
         n = graph.check_capacity(frontier, capacity) if capacity != NO_LIMIT \
             else None
         if n == 0:
@@ -127,7 +127,7 @@ def kout(graph: PropertyGraph, source: str, depth: int,
         adj = prepared_adj(graph, direction, labels, max_degree, skip_degree)
         frontier = sources_df(graph, [source])
         for k in range(1, depth + 1):
-            frontier = iterate_hygiene(expand(frontier, adj), k, every=3)
+            frontier = iterate_hygiene(expand(frontier, adj), k)
         out = frontier.select("id")
     if limit != NO_LIMIT:
         out = out.orderBy("id").limit(limit)  # deterministic truncation

@@ -36,6 +36,7 @@ from incubator_hugegraph_spark.graph import (
     NO_LIMIT,
     OUT,
     PropertyGraph,
+    checkpointed,
     iterate_hygiene,
 )
 from incubator_hugegraph_spark.operators.bfs import prepared_adj
@@ -86,7 +87,7 @@ def paths(graph: PropertyGraph, source: str, target: str, max_depth: int,
     frontier = _seed(graph, [source])
     found: DataFrame | None = None
     for k in range(1, max_depth + 1):
-        frontier = iterate_hygiene(_extend(frontier, adj), k, every=3)
+        frontier = iterate_hygiene(_extend(frontier, adj), k)
         hits = frontier.filter(F.col("id") == target)
         if shortest_only:
             if hits.limit(1).count() > 0:
@@ -137,7 +138,7 @@ def rays(graph: PropertyGraph, source: str, max_depth: int,
     frontier = _seed(graph, [source])
     out: DataFrame | None = None
     for k in range(1, max_depth + 1):
-        ext = iterate_hygiene(_extend(frontier, adj), k, every=3)
+        ext = iterate_hygiene(_extend(frontier, adj), k)
         # paths with no continuation = leaves → emit
         parents = ext.select(
             F.slice("path", 1, F.size("path") - 1).alias("path")).distinct()
@@ -166,7 +167,7 @@ def rings(graph: PropertyGraph, source: str, max_depth: int,
     out: DataFrame | None = None
     for k in range(1, max_depth + 1):
         ext = iterate_hygiene(_extend(frontier, adj, allow_dst=source),
-                              k, every=3)
+                              k)
         closed = _emit(ext.filter(F.col("id") == source))
         out = closed if out is None else out.unionByName(closed)
         frontier = ext.filter(F.col("id") != source)
@@ -194,7 +195,7 @@ def template_paths(graph: PropertyGraph, sources: list[str],
                                st.get("labels"),
                                st.get("max_degree", NO_LIMIT)) \
                 .select("src", "dst").distinct()
-            frontier = iterate_hygiene(_extend(frontier, adj), i, every=4)
+            frontier = iterate_hygiene(_extend(frontier, adj), i)
         hits = _emit(frontier.filter(F.col("id").isin(targets)))
         out = hits if out is None else out.unionByName(hits)
     out = out.distinct() if out is not None else \
@@ -241,7 +242,7 @@ def multi_node_shortest_path(graph: PropertyGraph, ids: list[str],
                        F.concat("path", F.array("dst")).alias("path"))
                .filter(~F.array_contains(
                    F.slice("path", 1, F.size("path") - 1), F.col("id"))))
-        ext = iterate_hygiene(ext, k, every=3)
+        ext = iterate_hygiene(ext, k)
         done_r = done.select(F.col("origin").alias("d_origin"),
                              F.col("target").alias("d_target"))
         hits = (ext.join(F.broadcast(targets), on="id")
@@ -253,7 +254,11 @@ def multi_node_shortest_path(graph: PropertyGraph, ids: list[str],
                 .groupBy("origin", F.col("id").alias("target"))
                 .agg(F.min(F.array_join("path", PATH_SEP)).alias("path"))
                 .withColumn("length", F.lit(k)))
-        out = hits if out is None else out.unionByName(hits)
+        # materialize the pair accumulator each round: `done` is
+        # consumed by every later round's anti-join (broadcast), and
+        # without this the union-of-hits subplan replays all prior
+        # rounds per consumption
+        out = checkpointed(hits if out is None else out.unionByName(hits))
         done = out.select(F.col("origin"), F.col("target"))
         frontier = ext
     if out is None:
@@ -280,7 +285,7 @@ def crosspoints(graph: PropertyGraph, source: str, target: str,
     def levels(start: str) -> list[DataFrame]:
         lv = [_seed(graph, [start])]
         for k in range(1, max_depth + 1):
-            nxt = iterate_hygiene(_extend(lv[-1], adj), k, every=3)
+            nxt = iterate_hygiene(_extend(lv[-1], adj), k)
             lv.append(nxt)
         return lv
 
@@ -460,7 +465,7 @@ def collection_paths(graph: PropertyGraph, sources: list[str],
         frontier = iterate_hygiene(
             ext.filter(~F.array_contains(
                 F.slice("path", 1, F.size("path") - 1), F.col("id")))
-            .distinct(), k, every=3)
+            .distinct(), k)
         hits = (frontier.join(F.broadcast(tdf), on=frontier.id == tdf.t)
                 .filter(F.col("id") != F.col("origin"))
                 .select(F.col("origin").alias("source"),
@@ -522,7 +527,7 @@ def rings_detect(graph: PropertyGraph, max_depth: int,
             ext.filter(F.col("id") != F.col("origin"))
             .filter(~F.array_contains(
                 F.slice("path", 1, F.size("path") - 1), F.col("id")))
-            .distinct(), k, every=3)
+            .distinct(), k)
     if out is None:
         return graph.spark.createDataFrame([], "path string, length int")
     out = out.distinct().orderBy("length", "path")

@@ -28,8 +28,12 @@ from incubator_hugegraph_spark.operators.bfs import prepared_adj
 
 def _nbrs(graph: PropertyGraph, direction: str,
           labels: list[str] | None, max_degree: int) -> DataFrame:
+    """Distinct neighbor pairs, persisted: every similarity operator
+    consumes this table 2-3 times (degree table + both join sides),
+    and without the persist each consumption replays the full
+    edge-scan + distinct shuffle. Spark evicts LRU under pressure."""
     return (prepared_adj(graph, direction, labels, max_degree)
-            .select("src", "dst").distinct())
+            .select("src", "dst").distinct().persist())
 
 
 def jaccard_top(graph: PropertyGraph, source: str, top: int,
@@ -98,7 +102,8 @@ def fusiform_similarity(graph: PropertyGraph,
                         alpha: float = 0.5,
                         min_similars: int = 1,
                         top: int = NO_LIMIT,
-                        max_degree: int = NO_LIMIT) -> DataFrame:
+                        max_degree: int = NO_LIMIT,
+                        hub_degree: int = 256) -> DataFrame:
     """Fusiform similarity over all sources of ``source_label``
     (FusiformSimilarityTraverser.java:68-81; job variant
     FusiformSimilarityAlgorithm.java): candidate c is similar to
@@ -106,25 +111,75 @@ def fusiform_similarity(graph: PropertyGraph,
     ≥ min_neighbors neighbors and ≥ min_similars matches. Returns
     (source, similar, score) with score = |N(s)∩N(c)| / |N(s)|,
     top-N per source by (score desc, id asc)."""
-    nbr = _nbrs(graph, direction, labels, max_degree)
     prefix = source_label + "!"
-    deg = (nbr.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
-    src_deg = (deg.filter(F.col("src").startswith(prefix))
+    # Both ends of a fusiform match carry the source label, so the
+    # prefix filter is applied BEFORE the distinct (it reaches the
+    # parquet scan); source degree == |a per s|.
+    a = (prepared_adj(graph, direction, labels, max_degree)
+         .filter(F.col("src").startswith(prefix))
+         .select(F.col("src").alias("s"), F.col("dst").alias("n"))
+         .distinct()
+         .persist())
+    src_deg = (a.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
                .filter(F.col("deg") >= min_neighbors))
-    # reverse join through shared neighbors: s -> n -> c. Both ends of
-    # a fusiform match carry the source label, so the prefix filter is
-    # applied to BOTH join inputs up front (before the quadratic
-    # shared-neighbor join), not post-hoc on its output — at sf0.1
-    # this cuts the join's left input ~10x.
-    a = (nbr.filter(F.col("src").startswith(prefix))
-         .select(F.col("src").alias("s"), F.col("dst").alias("n")))
-    b = nbr.select(F.col("src").alias("c"), F.col("dst").alias("n"))
-    common = (a.join(b, on="n")
-              .filter((F.col("c") != F.col("s"))
-                      & F.col("c").startswith(prefix))
-              .groupBy("s", "c").agg(F.count(F.lit(1)).alias("common")))
+    # Hub-split exact common-neighbor counting (the A·Aᵀ step).
+    # Counting via a plain self-join on the shared neighbor n costs
+    # Σ_n d(n)² pairs — on power-law graphs the handful of heavy hubs
+    # dominate (at sf0.1 the 25 nation hubs alone emit 9.2M pairs,
+    # nearly all discarded by the alpha filter). Split on hub degree:
+    #   light hubs (d ≤ H): pair-expand + count (bounded by H·|E|)
+    #   heavy hubs (d > H): per-vertex sorted arrays (≤ #heavy hubs
+    #     each) intersected per CANDIDATE pair only
+    # A qualifying pair with no light common neighbor needs
+    # alpha·deg(s) ≤ overlap ≤ deg_heavy(s), so heavy-only pair
+    # expansion is restricted to the (rare) sources with
+    # deg_heavy ≥ alpha·deg — exact, never enumerates heavy-hub
+    # pairs for ordinary vertices. Join strategy is left to AQE: the
+    # hub/heavy tables are aggregates, broadcastable when small.
+    hub_cap = F.lit(int(hub_degree))
+    hub = a.groupBy("n").agg(F.count(F.lit(1)).alias("hd"))
+    heavy_hubs = hub.filter(F.col("hd") > hub_cap).select("n")
+    a_light = a.join(heavy_hubs, on="n", how="left_anti")
+    a_heavy = a.join(heavy_hubs, on="n", how="left_semi")
+    common_light = (a_light
+                    .join(a_light.select(F.col("s").alias("c"), "n"), on="n")
+                    .filter(F.col("c") != F.col("s"))
+                    .groupBy("s", "c").agg(F.count(F.lit(1)).alias("cl")))
+    hs = a_heavy.groupBy("s").agg(
+        F.sort_array(F.collect_list("n")).alias("hn"))
+    deg_heavy = a_heavy.groupBy("s").agg(F.count(F.lit(1)).alias("dh"))
+    q = (src_deg.join(deg_heavy, on="s")
+         .filter(F.col("dh") >= F.lit(alpha) * F.col("deg")).select("s"))
+    cand_heavy = (a_heavy.join(q, on="s", how="left_semi")
+                  .join(a_heavy.select(F.col("s").alias("c"), "n"), on="n")
+                  .filter(F.col("c") != F.col("s"))
+                  .select("s", "c").distinct())
+    empty_arr = F.array().cast("array<string>")
+
+    def _plus_heavy(pairs: DataFrame, base) -> DataFrame:
+        return (pairs
+                .join(hs.select("s", F.col("hn").alias("hn_s")),
+                      on="s", how="left")
+                .join(hs.select(F.col("s").alias("c"),
+                                F.col("hn").alias("hn_c")),
+                      on="c", how="left")
+                .withColumn(
+                    "common",
+                    base + F.size(F.array_intersect(
+                        F.coalesce("hn_s", empty_arr),
+                        F.coalesce("hn_c", empty_arr))))
+                .select("s", "c", "common"))
+
+    # pairs with ≥1 light common (one pass), plus heavy-only pairs
+    # not already counted — common_light is persisted because both
+    # branches consume it
+    common_light = common_light.persist()
+    common = _plus_heavy(common_light, F.col("cl")).unionByName(
+        _plus_heavy(cand_heavy.join(common_light.select("s", "c"),
+                                    on=["s", "c"], how="left_anti"),
+                    F.lit(0)))
     scored = (common
-              .join(src_deg.withColumnRenamed("src", "s"), on="s")
+              .join(src_deg, on="s")
               .withColumn("score", F.col("common") / F.col("deg"))
               .filter(F.col("score") >= alpha))
     # min_similars per source

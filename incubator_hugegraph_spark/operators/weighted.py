@@ -43,7 +43,7 @@ def sssp(graph: PropertyGraph, source: str, weighted_edges: DataFrame,
                         (F.col("dist") + F.col("weight")).alias("dist")))
         new = (dist.unionByName(cand)
                .groupBy("id").agg(F.min("dist").alias("dist")))
-        new = iterate_hygiene(new, k, every=4)
+        new = iterate_hygiene(new, k)
         if rounds != NO_LIMIT:
             dist = new
             if k >= rounds:
