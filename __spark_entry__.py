@@ -1818,6 +1818,86 @@ def doc_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _dedup_clusters_oracle() -> str:
+    """Recursive-CTE transitive closure over the exact portable
+    MinHash-LSH pair set (the pair SQL nests as a CTE body)."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+und AS (SELECT d1 AS x, d2 AS y FROM pairs
+        UNION SELECT d2, d1 FROM pairs),
+reach(x, r) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM und)
+  UNION
+  SELECT u.x, reach.r FROM und u JOIN reach ON u.y = reach.x
+),
+comp AS (SELECT x AS doc_id, min(r) AS keeper FROM reach GROUP BY x),
+sizes AS (SELECT keeper, count(*) AS cluster_size FROM comp GROUP BY keeper)
+SELECT comp.keeper, comp.doc_id, sizes.cluster_size
+FROM comp JOIN sizes ON sizes.keeper = comp.keeper
+"""
+
+
+@_q("doc_dedup_clusters", _dedup_clusters_oracle())
+def doc_dedup_clusters(spark, sf_dir):
+    """End-to-end dedup pipeline: MinHash-LSH near-dup pairs →
+    connected components (min-label propagation) → one keeper per
+    cluster. The transitive-closure step the pair kernels need before
+    KEEP/DROP decisions (A~B, B~C collapse to one keeper even though
+    A~C was never compared)."""
+    from incubator_hugegraph_spark.data.dedup import dedup_clusters
+    return dedup_clusters(_docs(spark, sf_dir), n=3, threshold=0.3,
+                          portable=True)
+
+
+_SEARCH_WORDS = ["spark", "vector", "window"]
+
+
+@_q("doc_search_rank", f"""
+SELECT id, matches FROM (
+  SELECT doc_id AS id,
+         len(list_intersect(
+             list_distinct(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> x <> '')),
+             [{", ".join(repr(w) for w in sorted(_SEARCH_WORDS))}]))
+         AS matches
+  FROM documents)
+WHERE matches > 0
+""")
+def doc_search_rank(spark, sf_dir):
+    """Ranked SEARCH-index lookup: distinct-query-word match count
+    per document (GraphIndexTransaction.doSearchIndex semantics with
+    a relevance count)."""
+    from incubator_hugegraph_spark.data.text import search_rank
+    return search_rank(_docs(spark, sf_dir), _SEARCH_WORDS)
+
+
+@_q("doc_tfidf_top", """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+      string_split_regex(lower(text), '[^a-z0-9]+'),
+      x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id AS id, term,
+         ROUND(tf * ln(CAST((SELECT count(DISTINCT doc_id)
+                             FROM documents) AS DOUBLE) / df), 6) AS score
+  FROM tf JOIN dfreq USING (term)),
+r AS (SELECT id, term, score,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY score DESC, term) AS rn
+      FROM scored)
+SELECT id, term, score FROM r WHERE rn <= 3
+""")
+def doc_tfidf_top(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (rounded-score ranking for
+    cross-engine order stability)."""
+    from incubator_hugegraph_spark.data.text import tfidf_top_terms
+    return tfidf_top_terms(_docs(spark, sf_dir), top=3)
+
+
 @_q("emb_cosine_topk", """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),

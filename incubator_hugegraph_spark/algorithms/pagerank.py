@@ -33,6 +33,19 @@ from incubator_hugegraph_spark.graph import (
 # driver collect stays ~25 MB against the default 1 GB driver heap.
 BROADCAST_VERTEX_LIMIT = 1_000_000
 
+# Rows of the O(|V|) state vector per partition: the vector is tiny
+# next to the edge table, but it is checkpointed + aggregated every
+# round — sizing its partition count to the VECTOR (instead of
+# inheriting spark.sql.shuffle.partitions) cuts per-round task count
+# ~10x with identical results. Scales back up automatically for
+# billion-vertex graphs.
+VECTOR_ROWS_PER_PARTITION = 250_000
+
+
+def vector_partitions(n: int, spark) -> int:
+    cap = int(spark.sparkContext.defaultParallelism)
+    return max(1, min(cap, n // VECTOR_ROWS_PER_PARTITION + 1))
+
 
 def page_rank(graph: PropertyGraph, alpha: float = 0.15,
               max_times: int = 20, precision: float = 1e-7,
@@ -78,7 +91,8 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
     ranks = checkpointed(
         graph.vertices.select("id")
         .join(deg.withColumnRenamed("src", "id"), on="id", how="left")
-        .withColumn("rank", F.lit(1.0 / n)))
+        .withColumn("rank", F.lit(1.0 / n))
+        .repartition(vector_partitions(n, graph.spark)))
     rounds = fixed_rounds if fixed_rounds is not None else max_times
     for t in range(rounds):
         contrib = (e.join(_r(ranks), on=e.src == ranks.id)

@@ -273,3 +273,61 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
     return (cand.withColumn("sim", cosine(F.col("v1"), F.col("v2")))
             .filter(F.col("sim") >= threshold)
             .select("d1", "d2", F.round("sim", 6).alias("sim")))
+
+
+def pair_components(pairs: DataFrame, a: str = "d1",
+                    b: str = "d2", max_rounds: int = 50) -> DataFrame:
+    """Connected components of an undirected pair set → (id, keeper)
+    with keeper = min member id. The grouping step of a dedup
+    pipeline: near-dup PAIRS (minhash_lsh_pairs / simhash_near_pairs /
+    embedding_neardup_pairs) become KEEP/DROP decisions only after
+    transitive closure — A~B, B~C must collapse to one keeper even
+    when A~C was never compared.
+
+    Min-label propagation over the pair graph (same loop shape as
+    algorithms/wcc.py): the node set is only the docs that appear in
+    ≥1 pair (a small fraction of the corpus at production thresholds),
+    so rounds are cheap; diameter of near-dup clusters is tiny in
+    practice (they are quasi-cliques), so this converges in a few
+    rounds. Deterministic: component representative is the min id."""
+    und = (pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+           .unionByName(pairs.select(F.col(b).alias("x"),
+                                     F.col(a).alias("y")))
+           .distinct().persist())
+    comp = (und.select(F.col("x").alias("id")).distinct()
+            .withColumn("keeper", F.col("id")))
+    from incubator_hugegraph_spark.graph import checkpointed
+    comp = checkpointed(comp)
+    for _ in range(max_rounds):
+        nbr_min = (und.join(comp, on=und.y == comp.id)
+                   .groupBy("x").agg(F.min("keeper").alias("nbr_keeper"))
+                   .withColumnRenamed("x", "id"))
+        new = (comp.withColumnRenamed("keeper", "old")
+               .join(nbr_min, on="id", how="left")
+               .select("id", "old",
+                       F.least("old", F.coalesce("nbr_keeper", "old"))
+                       .alias("keeper")))
+        new = checkpointed(new)
+        changed = (new.filter(F.col("keeper") != F.col("old"))
+                   .limit(1).count())
+        comp = new.select("id", "keeper")
+        if changed == 0:
+            break
+    und.unpersist()
+    return comp
+
+
+def dedup_clusters(docs: DataFrame, n: int = 3, threshold: float = 0.3,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   portable: bool = False) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH pairs → transitive
+    closure → (keeper, doc_id, cluster_size). One row per clustered
+    doc (docs with no near-dup are not listed — at 100 TB emitting
+    the untouched majority would dwarf the result)."""
+    prs = minhash_lsh_pairs(docs, n, threshold, text_col, id_col,
+                            portable=portable)
+    comp = pair_components(prs.select("d1", "d2"))
+    sizes = comp.groupBy("keeper").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (comp.join(sizes, on="keeper")
+            .select("keeper", F.col("id").alias(id_col), "cluster_size"))

@@ -129,3 +129,48 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     return docs.select(
         F.col(id_col).alias("id"),
         F.md5(normalize_text(text_col)).alias("fp"))
+
+
+def search_rank(docs: DataFrame, words: list[str],
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Analyzer-backed SEARCH-index match with relevance count —
+    the ranked form of the reference's full-text lookup
+    (GraphIndexTransaction.doSearchIndex, core/backend/tx/
+    GraphIndexTransaction.java:529-548: query words are analyzer
+    tokens, a document matches on any word; we additionally expose
+    HOW MANY distinct query words matched, the natural ordering the
+    index gives for free). Pure Column program — the token
+    set/intersect runs in codegen; no shuffle at all (scan → filter
+    → project)."""
+    qarr = F.array(*[F.lit(w) for w in sorted(set(words))])
+    toks = F.array_distinct(tokenize(F.col(text_col)))
+    matches = F.size(F.array_intersect(toks, qarr))
+    return (docs.select(F.col(id_col).alias("id"),
+                        matches.alias("matches"))
+            .filter(F.col("matches") > 0))
+
+
+def tfidf_top_terms(docs: DataFrame, top: int = 3,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-N TF-IDF terms per document: tokenize → per-(doc,term)
+    counts → document frequency → tf·ln(N/df) → window top-N by
+    (rounded score desc, term asc). Two shuffles (doc-term counts,
+    term df) + one window; df table is an aggregate, broadcastable.
+    Rounding-before-ranking keeps the ordering identical between
+    Spark and the DuckDB oracle under ulp noise."""
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.explode(tokenize(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    scored = (tf.join(dfreq, on="term")
+              .withColumn("score", F.round(
+                  F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+                  6)))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= top)
+            .select("id", "term", "score"))
