@@ -224,47 +224,50 @@ def multi_node_shortest_path(graph: PropertyGraph, ids: list[str],
     """Pairwise shortest paths among a vertex set
     (MultiNodeShortestPathTraverser.java:68-113): one BFS frontier
     keyed by (origin, vertex). Returns (source, target, path, length)
-    — deterministic min-lexicographic path per ordered pair."""
+    — deterministic min-lexicographic path per ordered pair.
+
+    NOT path-enumerating: every intermediate vertex of a shortest path
+    sits at exactly its BFS level (dist(p_i) = i — otherwise a shorter
+    path to the target exists), so the frontier collapses to ONE
+    min-lex path per (origin, vertex) with visited-set dedup. The
+    per-round state is O(|ids| · |V|) instead of O(#simple paths) —
+    on a dense neighborhood web that is the difference between ~10^5
+    and ~10^6.5 frontier rows by round 3. The min-lex collapse is
+    exact: within a (origin, vertex, level) group no path string is a
+    prefix of another (equal id-count, identical last id), so
+    min(path_{k-1}) + '>' + v = min over all level-k paths via any
+    predecessor."""
     spark = graph.spark
     adj = prepared_adj(graph, direction, labels, max_degree) \
         .select("src", "dst").distinct()
     frontier = (spark.createDataFrame([(i,) for i in ids], "origin string")
                 .select("origin", F.col("origin").alias("id"),
-                        F.array("origin").alias("path")))
+                        F.col("origin").alias("path")))
     targets = spark.createDataFrame([(i,) for i in ids], "id string")
-    done = spark.createDataFrame([], "origin string, target string")
+    visited = frontier.select("origin", "id")
     out: DataFrame | None = None
     for k in range(1, max_depth + 1):
-        # no distinct: adj is deduped and frontier paths are unique,
-        # so extensions are unique by induction (see _extend)
         ext = (adj.join(F.broadcast(frontier), on=adj.src == frontier.id)
                .select("origin", F.col("dst").alias("id"),
-                       F.concat("path", F.array("dst")).alias("path"))
-               .filter(~F.array_contains(
-                   F.slice("path", 1, F.size("path") - 1), F.col("id"))))
-        ext = iterate_hygiene(ext, k)
-        done_r = done.select(F.col("origin").alias("d_origin"),
-                             F.col("target").alias("d_target"))
+                       F.concat_ws(PATH_SEP, "path", "dst").alias("path"))
+               .groupBy("origin", "id")
+               .agg(F.min("path").alias("path"))
+               .join(F.broadcast(visited), on=["origin", "id"],
+                     how="left_anti"))
+        # the frontier feeds BOTH the pair emission and the next round —
+        # materialize once
+        ext = checkpointed(ext)
         hits = (ext.join(F.broadcast(targets), on="id")
-                .filter(F.col("id") != F.col("origin"))
-                .join(F.broadcast(done_r),
-                      on=[F.col("origin") == F.col("d_origin"),
-                          F.col("id") == F.col("d_target")],
-                      how="left_anti")
-                .groupBy("origin", F.col("id").alias("target"))
-                .agg(F.min(F.array_join("path", PATH_SEP)).alias("path"))
-                .withColumn("length", F.lit(k)))
-        # materialize the pair accumulator each round: `done` is
-        # consumed by every later round's anti-join (broadcast), and
-        # without this the union-of-hits subplan replays all prior
-        # rounds per consumption
-        out = checkpointed(hits if out is None else out.unionByName(hits))
-        done = out.select(F.col("origin"), F.col("target"))
+                .select(F.col("origin").alias("source"),
+                        F.col("id").alias("target"), "path",
+                        F.lit(k).alias("length")))
+        out = hits if out is None else out.unionByName(hits)
+        visited = visited.unionByName(ext.select("origin", "id"))
         frontier = ext
     if out is None:
         return spark.createDataFrame(
-            [], "origin string, target string, path string, length int")
-    return out.withColumnRenamed("origin", "source")
+            [], "source string, target string, path string, length int")
+    return out
 
 
 def crosspoints(graph: PropertyGraph, source: str, target: str,

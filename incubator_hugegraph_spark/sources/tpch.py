@@ -98,9 +98,15 @@ _NANO_TS_COLS = {"orders": ["o_orderdate"], "lineitem": ["l_shipdate"],
 
 def _fix_ts(name: str, df: DataFrame) -> DataFrame:
     for c in _NANO_TS_COLS.get(name, []):
-        if dict(df.dtypes).get(c) == "bigint":
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "timestamp_ntz":
+            # µs-precision parquet inferred as NTZ; session tz is UTC so
+            # the cast to TIMESTAMP is value-preserving, and watermarks
+            # (which reject NTZ event time) work on the result.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

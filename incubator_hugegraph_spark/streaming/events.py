@@ -40,9 +40,14 @@ def _read_stream(spark: SparkSession, events_path: str,
         # micro-batch, which is how tests force cross-batch state
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(events_path)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    dt = dict(stream.dtypes).get("ts")
+    if dt == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        # withWatermark rejects NTZ event time; session tz is UTC so the
+        # cast is value-preserving.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
