@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from contextlib import nullcontext
+
 from incubator_hugegraph_spark.graph import (
     NO_LIMIT,
     OUT,
@@ -27,6 +29,7 @@ from incubator_hugegraph_spark.graph import (
     balanced,
     cap_degree,
     checkpointed,
+    no_aqe,
 )
 
 # Broadcast the O(|V|) rank/component vector only while the per-round
@@ -94,53 +97,56 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
         .withColumn("rank", F.lit(1.0 / n))
         .repartition(vector_partitions(n, graph.spark)))
     rounds = fixed_rounds if fixed_rounds is not None else max_times
-    for t in range(rounds):
-        contrib = (e.join(_r(ranks), on=e.src == ranks.id)
-                   .select(F.col("dst").alias("id"),
-                           (F.col("rank") / F.col("deg")).alias("msg")))
-        incoming = contrib.groupBy("id").agg(F.sum("msg").alias("inc"))
-        # build the new vector FROM the old one (it already holds every
-        # vertex id — the rank vector is total): a single left join
-        # against the aggregated messages, with the small aggregate on
-        # the broadcastable right side. Carrying the previous rank as
-        # `old` makes the convergence check a column agg over the
-        # checkpointed vector, not another join.
-        new = (ranks.select("id", "deg", F.col("rank").alias("old"))
-               .join(_r(incoming), on="id", how="left")
-               .select("id", "deg", "old",
-                       (F.lit(alpha / n) + F.lit(1.0 - alpha)
-                        * F.coalesce(F.col("inc"), F.lit(0.0)))
-                       .alias("rank")))
-        # checkpoint the O(|V|) rank vector each round: the round's
-        # join+agg computes exactly ONCE, and the two driver-side
-        # scalars below (mass total, L1 delta) read the materialized
-        # vector instead of replaying the loop lineage — without this
-        # every convergence check recomputes prior rounds (quadratic)
-        new = checkpointed(new)
-        if fixed_rounds is None:
-            # mass total and L1 delta in ONE action: the total rides a
-            # broadcast scalar subquery, and the JVM-side
-            # (1 - total)/n reproduces the Python comp bit-for-bit
-            # (same IEEE ops, same order)
-            tot = new.agg(F.sum("rank").alias("total"))
-            row = (new.crossJoin(F.broadcast(tot))
-                   .agg(F.first("total").alias("total"),
-                        F.sum(F.abs(
-                            F.col("rank")
-                            + (F.lit(1.0) - F.col("total")) / F.lit(float(n))
-                            - F.col("old"))).alias("changed"))
-                   .collect()[0])
-            total, changed = row["total"], row["changed"]
-            comp = (1.0 - total) / n
-            ranks = new.select(
-                "id", "deg", (F.col("rank") + F.lit(comp)).alias("rank"))
-            if changed is not None and changed < precision:
-                break
-        else:
-            total = new.agg(F.sum("rank")).collect()[0][0]
-            comp = (1.0 - total) / n
-            ranks = new.select(
-                "id", "deg", (F.col("rank") + F.lit(comp)).alias("rank"))
+    # one JOB per round: the rank vector is LAZY-checkpointed and the
+    # convergence/mass agg below (a full-vector scan) is the action
+    # that materializes it — join+agg compute exactly ONCE and the
+    # driver-side scalars read the materialized vector. On the
+    # broadcast path the round plan's only exchanges are broadcasts,
+    # so AQE is suspended for the loop (see no_aqe).
+    with no_aqe(graph.spark) if bcast else nullcontext():
+        for t in range(rounds):
+            contrib = (e.join(_r(ranks), on=e.src == ranks.id)
+                       .select(F.col("dst").alias("id"),
+                               (F.col("rank") / F.col("deg")).alias("msg")))
+            incoming = contrib.groupBy("id").agg(F.sum("msg").alias("inc"))
+            # build the new vector FROM the old one (it already holds
+            # every vertex id — the rank vector is total): a single
+            # left join against the aggregated messages, with the small
+            # aggregate on the broadcastable right side. Carrying the
+            # previous rank as `old` makes the convergence check a
+            # column agg over the checkpointed vector, not another join.
+            new = (ranks.select("id", "deg", F.col("rank").alias("old"))
+                   .join(_r(incoming), on="id", how="left")
+                   .select("id", "deg", "old",
+                           (F.lit(alpha / n) + F.lit(1.0 - alpha)
+                            * F.coalesce(F.col("inc"), F.lit(0.0)))
+                           .alias("rank")))
+            new = checkpointed(new, eager=False)
+            if fixed_rounds is None:
+                # mass total and L1 delta in ONE action: the total
+                # rides a broadcast scalar subquery, and the JVM-side
+                # (1 - total)/n reproduces the Python comp bit-for-bit
+                # (same IEEE ops, same order)
+                tot = new.agg(F.sum("rank").alias("total"))
+                row = (new.crossJoin(F.broadcast(tot))
+                       .agg(F.first("total").alias("total"),
+                            F.sum(F.abs(
+                                F.col("rank")
+                                + (F.lit(1.0) - F.col("total"))
+                                / F.lit(float(n))
+                                - F.col("old"))).alias("changed"))
+                       .collect()[0])
+                total, changed = row["total"], row["changed"]
+                comp = (1.0 - total) / n
+                ranks = new.select(
+                    "id", "deg", (F.col("rank") + F.lit(comp)).alias("rank"))
+                if changed is not None and changed < precision:
+                    break
+            else:
+                total = new.agg(F.sum("rank")).collect()[0][0]
+                comp = (1.0 - total) / n
+                ranks = new.select(
+                    "id", "deg", (F.col("rank") + F.lit(comp)).alias("rank"))
     # the returned vector derives from the last round's checkpoint,
     # not from e — safe to release the cached edge table
     ranks = checkpointed(ranks.select("id", "rank"))

@@ -17,8 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from contextlib import nullcontext
+
 from incubator_hugegraph_spark.graph import (
-    BOTH, PropertyGraph, balanced, checkpointed, iterate_hygiene)
+    BOTH, PropertyGraph, balanced, checkpointed, iterate_hygiene, no_aqe)
 from incubator_hugegraph_spark.algorithms.pagerank import BROADCAST_VERTEX_LIMIT
 
 
@@ -46,32 +48,41 @@ def wcc(graph: PropertyGraph, labels: list[str] | None = None,
     comp = checkpointed(
         graph.vertices.select("id", F.col("id").alias("component")))
     rounds = fixed_rounds if fixed_rounds is not None else max_rounds
-    for k in range(rounds):
-        nbr_min = (adj.join(_b(comp), on=adj.dst == comp.id)
-                   .groupBy("src").agg(F.min("component").alias("nbr_comp"))
-                   .withColumnRenamed("src", "id"))
-        # the component vector is total (every vertex id) — build the
-        # new vector from it with one left join; the aggregated
-        # neighbor-min table rides the broadcastable right side. The
-        # previous component is carried as `old` so the fixpoint probe
-        # is a filter over the checkpointed vector, not another join.
-        new = (comp.withColumnRenamed("component", "old")
-               .join(_b(nbr_min), on="id", how="left")
-               .select("id", F.col("old"),
-                       F.least("old", F.coalesce("nbr_comp", "old"))
-                       .alias("component")))
-        if fixed_rounds is None:
-            # materialize the O(|V|) component vector once per round so
-            # the fixpoint probe below doesn't replay the loop lineage
-            new = checkpointed(new)
-            delta = (new.filter(F.col("component") != F.col("old"))
-                     .limit(1).count())
-            comp = new.select("id", "component")
-            if delta == 0:
-                break
-        else:
-            comp = iterate_hygiene(new.select("id", "component"),
-                                   k + 1, every=3)
+    # one JOB per round (broadcast path): lazy checkpoint + the
+    # full-vector fixpoint agg as the materializing action, AQE
+    # suspended since the round plan's only exchanges are broadcasts
+    # (see graph.no_aqe / page_rank for the measured rationale)
+    with no_aqe(graph.spark) if bcast else nullcontext():
+        for k in range(rounds):
+            nbr_min = (adj.join(_b(comp), on=adj.dst == comp.id)
+                       .groupBy("src")
+                       .agg(F.min("component").alias("nbr_comp"))
+                       .withColumnRenamed("src", "id"))
+            # the component vector is total (every vertex id) — build
+            # the new vector from it with one left join; the aggregated
+            # neighbor-min table rides the broadcastable right side.
+            # The previous component is carried as `old` so the
+            # fixpoint probe is a column agg over the checkpointed
+            # vector, not another join.
+            new = (comp.withColumnRenamed("component", "old")
+                   .join(_b(nbr_min), on="id", how="left")
+                   .select("id", F.col("old"),
+                           F.least("old", F.coalesce("nbr_comp", "old"))
+                           .alias("component")))
+            if fixed_rounds is None:
+                # lazy checkpoint: the delta agg scans EVERY partition
+                # (a limit-probe would materialize only some), so the
+                # round's compute runs exactly once, in this one job
+                new = checkpointed(new, eager=False)
+                delta = new.agg(F.sum(
+                    (F.col("component") != F.col("old")).cast("int"))
+                    .alias("d")).collect()[0]["d"]
+                comp = new.select("id", "component")
+                if not delta:
+                    break
+            else:
+                comp = iterate_hygiene(new.select("id", "component"),
+                                       k + 1, every=3)
     comp = checkpointed(comp)
     adj.unpersist()
     return comp

@@ -290,13 +290,17 @@ def pair_components(pairs: DataFrame, a: str = "d1",
     so rounds are cheap; diameter of near-dup clusters is tiny in
     practice (they are quasi-cliques), so this converges in a few
     rounds. Deterministic: component representative is the min id."""
-    und = (pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
-           .unionByName(pairs.select(F.col(b).alias("x"),
-                                     F.col(a).alias("y")))
-           .distinct().persist())
+    from incubator_hugegraph_spark.graph import checkpointed
+    # checkpointed, not persisted: consumed once per propagation
+    # round, and the pair plan (LSH join) must not be re-embedded in
+    # every round's plan
+    und = checkpointed(
+        pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .unionByName(pairs.select(F.col(b).alias("x"),
+                                  F.col(a).alias("y")))
+        .distinct())
     comp = (und.select(F.col("x").alias("id")).distinct()
             .withColumn("keeper", F.col("id")))
-    from incubator_hugegraph_spark.graph import checkpointed
     comp = checkpointed(comp)
     for _ in range(max_rounds):
         nbr_min = (und.join(comp, on=und.y == comp.id)

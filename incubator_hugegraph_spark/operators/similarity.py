@@ -22,18 +22,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from incubator_hugegraph_spark.graph import BOTH, NO_LIMIT, OUT, PropertyGraph
+from incubator_hugegraph_spark.graph import (
+    BOTH, NO_LIMIT, OUT, PropertyGraph, checkpointed)
 from incubator_hugegraph_spark.operators.bfs import prepared_adj
 
 
 def _nbrs(graph: PropertyGraph, direction: str,
           labels: list[str] | None, max_degree: int) -> DataFrame:
-    """Distinct neighbor pairs, persisted: every similarity operator
-    consumes this table 2-3 times (degree table + both join sides),
-    and without the persist each consumption replays the full
-    edge-scan + distinct shuffle. Spark evicts LRU under pressure."""
-    return (prepared_adj(graph, direction, labels, max_degree)
-            .select("src", "dst").distinct().persist())
+    """Distinct neighbor pairs, checkpointed: every similarity
+    operator consumes this table 2-3 times (degree table + both join
+    sides). A persist would re-embed the full adj subtree in the plan
+    at every consumption (AQE re-plans each copy — see
+    fusiform_similarity's `a` note); the checkpoint materializes once
+    and collapses each consumption to a shallow RDD leaf."""
+    return checkpointed(
+        prepared_adj(graph, direction, labels, max_degree)
+        .select("src", "dst").distinct())
 
 
 def jaccard_top(graph: PropertyGraph, source: str, top: int,
@@ -115,11 +119,17 @@ def fusiform_similarity(graph: PropertyGraph,
     # Both ends of a fusiform match carry the source label, so the
     # prefix filter is applied BEFORE the distinct (it reaches the
     # parquet scan); source degree == |a per s|.
-    a = (prepared_adj(graph, direction, labels, max_degree)
-         .filter(F.col("src").startswith(prefix))
-         .select(F.col("src").alias("s"), F.col("dst").alias("n"))
-         .distinct()
-         .persist())
+    # checkpointed, not persisted: `a` feeds ~6 sub-plans (hub table,
+    # light/heavy splits, degree aggregates) and a persist would embed
+    # the full adj subtree at every consumption — the assembled plan
+    # reaches ~1.4 MB of text / 400 Exchange nodes and AQE re-plans
+    # every copy, minutes of driver overhead at sf0.1. The checkpoint
+    # collapses each consumption to one shallow RDD leaf.
+    a = checkpointed(
+        prepared_adj(graph, direction, labels, max_degree)
+        .filter(F.col("src").startswith(prefix))
+        .select(F.col("src").alias("s"), F.col("dst").alias("n"))
+        .distinct())
     src_deg = (a.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
                .filter(F.col("deg") >= min_neighbors))
     # Hub-split exact common-neighbor counting (the A·Aᵀ step).
@@ -171,10 +181,31 @@ def fusiform_similarity(graph: PropertyGraph,
                 .select("s", "c", "common"))
 
     # pairs with ≥1 light common (one pass), plus heavy-only pairs
-    # not already counted — common_light is persisted because both
-    # branches consume it
-    common_light = common_light.persist()
-    common = _plus_heavy(common_light, F.col("cl")).unionByName(
+    # not already counted — common_light is checkpointed (not
+    # persisted) because both branches consume it and the plan must
+    # stay shallow (see `a` above)
+    common_light = checkpointed(common_light)
+    # Alpha-bound prune BEFORE the heavy-array intersection: the true
+    # overlap is common = cl + |H(s)∩H(c)| ≤ cl + min(dh(s), dh(c)),
+    # so any pair with (cl + min(dh_s, dh_c)) < alpha·deg(s) can never
+    # reach score ≥ alpha — drop it using only the tiny per-vertex
+    # heavy-degree aggregate (broadcast-sized) instead of running the
+    # sorted-array joins over every co-neighbor pair. At sf0.1 /
+    # alpha=0.8 this cuts the _plus_heavy input from ~2.1M pairs to
+    # ~none; the prune is exact, not a heuristic.
+    dh_s = deg_heavy.select("s", F.col("dh").alias("dh_s"))
+    dh_c = deg_heavy.select(F.col("s").alias("c"),
+                            F.col("dh").alias("dh_c"))
+    cand_light = (common_light
+                  .join(src_deg, on="s")
+                  .join(dh_s, on="s", how="left")
+                  .join(dh_c, on="c", how="left")
+                  .filter((F.col("cl")
+                           + F.least(F.coalesce(F.col("dh_s"), F.lit(0)),
+                                     F.coalesce(F.col("dh_c"), F.lit(0))))
+                          >= F.lit(alpha) * F.col("deg"))
+                  .select("s", "c", "cl"))
+    common = _plus_heavy(cand_light, F.col("cl")).unionByName(
         _plus_heavy(cand_heavy.join(common_light.select("s", "c"),
                                     on=["s", "c"], how="left_anti"),
                     F.lit(0)))
