@@ -66,6 +66,20 @@ def prepared_adj(graph: PropertyGraph, direction: str = OUT,
     return adj
 
 
+def loop_adj(graph: PropertyGraph, direction: str,
+             labels: list[str] | None, max_degree: int, rounds: int,
+             skip_degree: int = NO_LIMIT) -> DataFrame:
+    """Deduped adjacency for a multi-round join loop, MATERIALIZED
+    once when the loop has >1 round. Each round's join is a new plan
+    with new shuffle ids, so an unmaterialized adj re-executes its
+    scan + union + distinct shuffle every round — the checkpoint pays
+    one O(|E|) write and every round after the first reads the
+    materialized table instead."""
+    adj = prepared_adj(graph, direction, labels, max_degree,
+                       skip_degree).select("src", "dst").distinct()
+    return checkpointed(adj) if rounds > 1 else adj
+
+
 def expand(frontier: DataFrame, adj: DataFrame) -> DataFrame:
     """One BFS layer: distinct out-neighbors of the frontier.
     Broadcast the frontier — the edge side never shuffles."""
@@ -80,7 +94,8 @@ def bfs(graph: PropertyGraph, source_ids: list[str], depth: int,
         capacity: int = NO_LIMIT) -> DataFrame:
     """Multi-source BFS → (id, dist), dist = first-reach layer
     (0 for sources). Global dedup ⇒ 'nearest' semantics."""
-    adj = prepared_adj(graph, direction, labels, max_degree, skip_degree)
+    adj = loop_adj(graph, direction, labels, max_degree, depth,
+                   skip_degree)
     frontier = sources_df(graph, source_ids)
     visited = frontier.withColumn("dist", F.lit(0))
     total = len(source_ids)
@@ -124,7 +139,8 @@ def kout(graph: PropertyGraph, source: str, depth: int,
                    skip_degree, capacity)
                .filter(F.col("dist") == depth).select("id"))
     else:
-        adj = prepared_adj(graph, direction, labels, max_degree, skip_degree)
+        adj = loop_adj(graph, direction, labels, max_degree, depth,
+                       skip_degree)
         frontier = sources_df(graph, [source])
         for k in range(1, depth + 1):
             frontier = iterate_hygiene(expand(frontier, adj), k)
@@ -178,8 +194,7 @@ def kneighbor_paths(graph: PropertyGraph, source: str, depth: int,
     parent chain; we return the lexicographically smallest path per
     vertex (deterministic deviation, SURVEY §7.4#4). Returns
     (id, path, dist)."""
-    adj = prepared_adj(graph, direction, labels, max_degree) \
-        .select("src", "dst").distinct()
+    adj = loop_adj(graph, direction, labels, max_degree, depth)
     sep = ">"
     frontier = (graph.spark.createDataFrame([(source,)], "id string")
                 .select("id", F.col("id").alias("path")))

@@ -39,7 +39,7 @@ from incubator_hugegraph_spark.graph import (
     checkpointed,
     iterate_hygiene,
 )
-from incubator_hugegraph_spark.operators.bfs import prepared_adj
+from incubator_hugegraph_spark.operators.bfs import loop_adj, prepared_adj
 
 PATH_SEP = ">"
 
@@ -82,8 +82,7 @@ def paths(graph: PropertyGraph, source: str, target: str, max_depth: int,
     depth that reaches target (allshortestpaths); first_only
     additionally keeps just the lexicographically smallest
     (shortestpath). Returns (path, length)."""
-    adj = prepared_adj(graph, direction, labels, max_degree) \
-        .select("src", "dst").distinct()
+    adj = loop_adj(graph, direction, labels, max_degree, max_depth)
     frontier = _seed(graph, [source])
     found: DataFrame | None = None
     for k in range(1, max_depth + 1):
@@ -133,8 +132,7 @@ def rays(graph: PropertyGraph, source: str, max_depth: int,
     """Paths from source until leaf or depth, no rings
     (SubGraphTraverser.rays :59-63). A path is emitted when it has no
     acyclic continuation, or when it reaches max_depth."""
-    adj = prepared_adj(graph, direction, labels, max_degree) \
-        .select("src", "dst").distinct()
+    adj = loop_adj(graph, direction, labels, max_degree, max_depth)
     frontier = _seed(graph, [source])
     out: DataFrame | None = None
     for k in range(1, max_depth + 1):
@@ -161,8 +159,7 @@ def rings(graph: PropertyGraph, source: str, max_depth: int,
     """Cyclic paths from source back to source (source-in-ring mode,
     SubGraphTraverser.rings :65-…; RingsDetectAlgorithm.java for the
     whole-graph job). Returns (path, length) with source at both ends."""
-    adj = prepared_adj(graph, direction, labels, max_degree) \
-        .select("src", "dst").distinct()
+    adj = loop_adj(graph, direction, labels, max_degree, max_depth)
     frontier = _seed(graph, [source])
     out: DataFrame | None = None
     for k in range(1, max_depth + 1):
@@ -238,8 +235,7 @@ def multi_node_shortest_path(graph: PropertyGraph, ids: list[str],
     min(path_{k-1}) + '>' + v = min over all level-k paths via any
     predecessor."""
     spark = graph.spark
-    adj = prepared_adj(graph, direction, labels, max_degree) \
-        .select("src", "dst").distinct()
+    adj = loop_adj(graph, direction, labels, max_degree, max_depth)
     frontier = (spark.createDataFrame([(i,) for i in ids], "origin string")
                 .select("origin", F.col("origin").alias("id"),
                         F.col("origin").alias("path")))
@@ -282,8 +278,7 @@ def crosspoints(graph: PropertyGraph, source: str, target: str,
     length ≤ max_depth. Deviation (documented): combined paths must be
     simple (the reference only checks each half). Returns
     (crosspoint, path, length) ordered (length, path), limited."""
-    adj = prepared_adj(graph, direction, labels, max_degree) \
-        .select("src", "dst").distinct()
+    adj = loop_adj(graph, direction, labels, max_degree, max_depth)
 
     def levels(start: str) -> list[DataFrame]:
         lv = [_seed(graph, [start])]
@@ -453,8 +448,7 @@ def collection_paths(graph: PropertyGraph, sources: list[str],
     set-oriented equivalent of the reference's NearestTraverser
     first-reach dedup. Returns (source, target, path, length)."""
     spark = graph.spark
-    adj = prepared_adj(graph, direction, labels, max_degree) \
-        .select("src", "dst").distinct()
+    adj = loop_adj(graph, direction, labels, max_degree, max_depth)
     tdf = spark.createDataFrame([(t,) for t in targets], "t string")
     frontier = (spark.createDataFrame([(s,) for s in sources],
                                       "origin string")
@@ -506,8 +500,7 @@ def rings_detect(graph: PropertyGraph, max_depth: int,
     reference dedups rings the same way via Path.ownedBy). One
     multi-source path-join loop — all anchors advance together.
     Returns (path, length) with path = min>…>min."""
-    adj = prepared_adj(graph, direction, labels, max_degree) \
-        .select("src", "dst").distinct()
+    adj = loop_adj(graph, direction, labels, max_degree, max_depth)
     # anchor at every vertex; prune continuations below the anchor so
     # only the min-vertex anchor survives — this both canonicalizes
     # and cuts the search space |V|-fold
