@@ -1898,6 +1898,49 @@ def doc_tfidf_top(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), top=3)
 
 
+@_q("doc_decontaminate", f"""
+WITH {_SHINGLE_SQL.strip()},
+ts AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 20 <> 0),
+bs AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 20 = 0),
+bsz AS (SELECT bench_id, count(*) AS bench_ngrams FROM bs GROUP BY 1),
+pairs AS (SELECT train_id, bench_id, count(*) AS overlap
+          FROM ts JOIN bs USING (s) GROUP BY 1, 2
+          HAVING count(*) >= 2)
+SELECT train_id, bench_id, overlap,
+       ROUND(CAST(overlap AS DOUBLE) / bench_ngrams, 6) AS overlap_frac
+FROM pairs JOIN bsz USING (bench_id)
+""")
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: train docs sharing ≥2 word-3-grams
+    with any benchmark doc (benchmark split = doc_id % 20 == 0)."""
+    from incubator_hugegraph_spark.data.clean import decontaminate
+    d = _docs(spark, sf_dir)
+    return decontaminate(d.filter(F.col("doc_id") % 20 != 0),
+                         d.filter(F.col("doc_id") % 20 == 0),
+                         n=3, min_overlap=2)
+
+
+@_q("doc_dup_ngram_ratio", f"""
+WITH {_SHINGLE_SQL.strip()},
+freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+per_doc AS (SELECT doc_id AS id, count(*) AS n_ngrams,
+                   count(*) FILTER (WHERE df >= 2) AS n_dup
+            FROM sh JOIN freq USING (s) GROUP BY 1)
+SELECT d.doc_id AS id,
+       COALESCE(n_ngrams, 0) AS n_ngrams,
+       COALESCE(n_dup, 0) AS n_dup,
+       CASE WHEN COALESCE(n_ngrams, 0) = 0 THEN 0.0
+            ELSE ROUND(CAST(n_dup AS DOUBLE) / n_ngrams, 6)
+       END AS dup_ratio
+FROM documents d LEFT JOIN per_doc ON per_doc.id = d.doc_id
+""")
+def doc_dup_ngram_ratio(spark, sf_dir):
+    """Per-doc corpus-duplication metric: fraction of the doc's
+    distinct 3-grams appearing in ≥1 other doc."""
+    from incubator_hugegraph_spark.data.clean import dup_ngram_ratio
+    return dup_ngram_ratio(_docs(spark, sf_dir), n=3)
+
+
 @_q("emb_cosine_topk", """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),

@@ -1,0 +1,86 @@
+"""Corpus-hygiene operators for training-data pipelines:
+benchmark decontamination and duplication metrics.
+
+Beyond-reference scope (no HugeGraph analog): these are the standard
+pre-training corpus checks — "is any eval/benchmark text leaking into
+the train split?" and "how internally duplicated is the corpus?" —
+built on the same shingle-inverted-index kernel as
+`data/dedup.py` (`word_shingles`), so the scale story is identical:
+the join key is the shingle, only docs sharing a shingle ever meet,
+and the hot-shingle worst case is bounded by dropping
+ubiquitous shingles (`max_doc_frac`) before the pair join —
+boilerplate n-grams carry no decontamination signal and are exactly
+the quadratic-blowup keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from incubator_hugegraph_spark.data.dedup import word_shingles
+
+
+def decontaminate(train: DataFrame, bench: DataFrame, n: int = 3,
+                  min_overlap: int = 2, max_doc_frac: float = 1.0,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Train↔benchmark contamination pairs by shared word n-grams.
+
+    Returns (train_id, bench_id, overlap, overlap_frac):
+    overlap = |distinct shared n-grams|, overlap_frac = overlap /
+    |distinct benchmark-doc n-grams|, keeping pairs with
+    overlap ≥ min_overlap. ``max_doc_frac`` < 1 drops shingles
+    present in more than that fraction of train docs before the join
+    (boilerplate carries no signal and is the quadratic hot key).
+    """
+    ts = word_shingles(train, n, text_col, id_col) \
+        .select(F.col("id").alias("train_id"), "shingle")
+    bs = word_shingles(bench, n, text_col, id_col) \
+        .select(F.col("id").alias("bench_id"), "shingle")
+    if max_doc_frac < 1.0:
+        n_train = train.select(id_col).distinct().count()
+        hot = (ts.groupBy("shingle")
+               .agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > max_doc_frac * n_train)
+               .select("shingle"))
+        ts = ts.join(hot, on="shingle", how="left_anti")
+    bench_sz = bs.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("bench_ngrams"))
+    pairs = (ts.join(bs, on="shingle")
+             .groupBy("train_id", "bench_id")
+             .agg(F.count(F.lit(1)).alias("overlap"))
+             .filter(F.col("overlap") >= min_overlap))
+    return (pairs.join(bench_sz, on="bench_id")
+            .select("train_id", "bench_id", "overlap",
+                    F.round(F.col("overlap") / F.col("bench_ngrams"), 6)
+                    .alias("overlap_frac")))
+
+
+def dup_ngram_ratio(docs: DataFrame, n: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-doc corpus-duplication metric: the fraction of a doc's
+    distinct word n-grams that also appear in at least one OTHER doc.
+
+    Returns (id, n_ngrams, n_dup, dup_ratio); docs shorter than n
+    tokens report 0 n-grams and ratio 0. One explode + one
+    shingle-keyed aggregation + one per-doc aggregation — the same
+    shuffle shape (keyed by shingle) as MinHash signatures, so the
+    partitioning strategy that holds for dedup at scale holds here.
+    """
+    sh = word_shingles(docs, n, text_col, id_col)
+    freq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df"))  # rows are distinct per doc
+    per_doc = (sh.join(freq, on="shingle")
+               .groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                    F.count(F.when(F.col("df") >= 2, F.lit(1)))
+                    .alias("n_dup")))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(per_doc, on="id", how="left")
+            .select("id",
+                    F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+                    F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+                    F.round(F.coalesce(F.col("n_dup")
+                                       / F.col("n_ngrams"), F.lit(0.0)), 6)
+                    .alias("dup_ratio")))

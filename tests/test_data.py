@@ -327,3 +327,49 @@ def test_stream_watermark_gates_emission_and_eviction(spark, tmp_path):
     assert withheld.filter(
         (F.col("window_start") + F.expr("INTERVAL 1 HOUR"))
         <= F.lit(wm)).count() == 0
+
+
+# --------------------------------------------------------- corpus hygiene
+
+def test_decontaminate_overlap_semantics(spark):
+    from incubator_hugegraph_spark.data.clean import decontaminate
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five"),
+         (3, "alpha beta gamma zeta")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "x alpha beta gamma y"),      # 3 3-grams, 1 shared
+         (101, "six seven eight")],
+        "doc_id long, text string")
+    rows = {(r.train_id, r.bench_id): (r.overlap, r.overlap_frac)
+            for r in decontaminate(train, bench, n=3,
+                                   min_overlap=1).collect()}
+    # docs 1 and 3 both contain the 'alpha beta gamma' shingle of 100
+    assert rows == {(1, 100): (1, round(1 / 3, 6)),
+                    (3, 100): (1, round(1 / 3, 6))}
+
+
+def test_decontaminate_hot_shingle_drop(spark):
+    from incubator_hugegraph_spark.data.clean import decontaminate
+    # 'a b c' appears in every train doc -> dropped at max_doc_frac=0.5
+    train = spark.createDataFrame(
+        [(i, "a b c filler%d" % i) for i in range(4)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    assert decontaminate(train, bench, n=3, min_overlap=1,
+                         max_doc_frac=0.5).count() == 0
+    assert decontaminate(train, bench, n=3, min_overlap=1).count() == 4
+
+
+def test_dup_ngram_ratio_bounds_and_short_docs(spark, docs):
+    from incubator_hugegraph_spark.data.clean import dup_ngram_ratio
+    out = dup_ngram_ratio(docs, n=3)
+    assert out.count() == docs.count()
+    bad = out.filter((F.col("dup_ratio") < 0) | (F.col("dup_ratio") > 1)
+                     | (F.col("n_dup") > F.col("n_ngrams"))).count()
+    assert bad == 0
+    short = spark.createDataFrame([(1, "two words")],
+                                  "doc_id long, text string")
+    r = dup_ngram_ratio(short, n=3).collect()[0]
+    assert (r.n_ngrams, r.n_dup, r.dup_ratio) == (0, 0, 0.0)
