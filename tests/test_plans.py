@@ -1,0 +1,79 @@
+"""Physical-plan regression guards: the properties that make the
+engine scale are asserted on `.explain` output, not assumed.
+
+- predicate pushdown + column pruning reach the parquet scan
+- BFS expansion broadcasts the frontier (edge side never shuffles)
+- a pagerank round's message aggregation runs with no edge-side
+  shuffle exchange (the dst-partitioned cache is load-bearing)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = (spark.read.parquet(f"{SF_DIR}/part.parquet")
+          .filter(F.col("p_size") > 20).select("p_partkey", "p_size"))
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(p_size,20)" in plan, plan
+
+
+def test_column_pruning_reaches_parquet(spark):
+    df = (spark.read.parquet(f"{SF_DIR}/part.parquet")
+          .select("p_partkey", "p_size"))
+    plan = _plan(df)
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "p_partkey" in scan_line and "p_size" in scan_line
+    assert "p_brand" not in scan_line, scan_line
+
+
+def test_bfs_expand_broadcasts_frontier(graph):
+    from incubator_hugegraph_spark.operators.bfs import (
+        expand, prepared_adj, sources_df)
+    adj = prepared_adj(graph, "OUT", None, -1)
+    frontier = sources_df(graph, ["customer!0", "customer!1"])
+    plan = _plan(expand(frontier, adj))
+    assert "BroadcastHashJoin" in plan, plan
+    # the big (edge) side must not be exchanged for the join itself:
+    # the only exchange allowed below the join is the broadcast one
+    join_part = plan.split("BroadcastHashJoin", 1)[1]
+    assert "BroadcastExchange" in join_part or "BroadcastQueryStage" \
+        in plan, plan
+
+
+def test_pagerank_round_has_no_edge_shuffle(graph):
+    """One pagerank message round over the dst-partitioned cached edge
+    table: partial+final HashAggregate with NO shuffle exchange between
+    them (only broadcast exchanges appear in the round plan)."""
+    from incubator_hugegraph_spark.graph import balanced, checkpointed
+    e = balanced(graph.adj("OUT", None).select("src", "dst"),
+                 "dst").persist()
+    e.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = graph.vertices.count()
+    ranks = checkpointed(
+        graph.vertices.select("id")
+        .join(deg.withColumnRenamed("src", "id"), on="id", how="left")
+        .withColumn("rank", F.lit(1.0 / n)).repartition(1))
+    contrib = (e.join(F.broadcast(ranks), on=e.src == ranks.id)
+               .select(F.col("dst").alias("id"),
+                       (F.col("rank") / F.col("deg")).alias("msg")))
+    incoming = contrib.groupBy("id").agg(F.sum("msg").alias("inc"))
+    plan = _plan(incoming)
+    e.unpersist()
+    # the one-time REPARTITION exchange lives inside the cached
+    # table's child plan; the round itself must not add one — i.e. no
+    # shuffle exchange between the final and partial HashAggregate
+    lines = plan.splitlines()
+    aggs = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    assert len(aggs) >= 2, plan
+    between = lines[aggs[0] + 1:aggs[1]]
+    assert not any("Exchange hashpartitioning" in l for l in between), plan
