@@ -2226,6 +2226,30 @@ def events_stream_sessionize(spark, sf_dir):
         name="sss_" + uuid.uuid4().hex[:8])
 
 
+@_q("events_stream_dedup", """
+SELECT event_id, ts, user_id, event_type, ROUND(value, 6) AS value
+FROM events
+""")
+def events_stream_dedup(spark, sf_dir):
+    """Streaming ingestion dedup end-to-end: the events file is
+    delivered TWICE (at-least-once feed, one copy per micro-batch);
+    dropDuplicatesWithinWatermark keeps per-key state only inside the
+    watermark horizon. Oracle = the single-copy events table."""
+    import tempfile
+    import uuid
+    from incubator_hugegraph_spark.streaming.events import stream_dedup
+    base = tempfile.mkdtemp(prefix="sdedup_")
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.coalesce(1).write.parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)
+    q = stream_dedup(spark, src, ckpt, out, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    return got.select("event_id", "ts", "user_id", "event_type",
+                      F.round("value", 6).alias("value"))
+
+
 @_q("events_stream_window", """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,

@@ -373,3 +373,19 @@ def test_dup_ngram_ratio_bounds_and_short_docs(spark, docs):
                                   "doc_id long, text string")
     r = dup_ngram_ratio(short, n=3).collect()[0]
     assert (r.n_ngrams, r.n_dup, r.dup_ratio) == (0, 0, 0.0)
+
+
+def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
+    """At-least-once feed: the full event file is delivered twice in
+    separate micro-batches; the deduped stream equals one copy."""
+    from incubator_hugegraph_spark.streaming.events import stream_dedup
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src_dir = str(tmp_path / "events_dup")
+    events.coalesce(1).write.parquet(src_dir)
+    events.coalesce(1).write.mode("append").parquet(src_dir)
+    q = stream_dedup(spark, src_dir, str(tmp_path / "ckpt"),
+                     str(tmp_path / "out"), max_files_per_trigger=1)
+    q.awaitTermination(180)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
