@@ -334,6 +334,52 @@ def kout_2(spark, sf_dir):
     return kout(_graph(spark, sf_dir), "customer!1", 2, direction=OUT)
 
 
+@_q("kout_steps", """
+WITH l1 AS (SELECT DISTINCT 'order!' || o_orderkey AS id
+            FROM orders WHERE o_custkey = 1),
+l2 AS (SELECT DISTINCT 'part!' || l_partkey AS id
+       FROM lineitem JOIN l1 ON 'order!' || l_orderkey = l1.id
+       WHERE l_quantity >= 30)
+SELECT id FROM l2
+WHERE id NOT IN (SELECT id FROM l1) AND id <> 'customer!1'
+""")
+def kout_steps(spark, sf_dir):
+    """customizedKout (KoutAPI POST, KoutTraverser.java:114-147):
+    step 1 follows `placed`, step 2 follows `contains` edges filtered
+    on the edge property quantity ≥ 30 — per-step direction/labels/
+    edge-property conditions (EdgeStep.java:40-57)."""
+    from incubator_hugegraph_spark.operators.bfs import customized_kout
+    return customized_kout(
+        _graph(spark, sf_dir), "customer!1",
+        steps=[{"direction": "OUT", "labels": ["placed"]},
+               {"direction": "OUT", "labels": ["contains"],
+                "props": {"quantity": ("gte", 30)}}])
+
+
+@_q("kneighbor_steps", """
+WITH l1 AS (SELECT DISTINCT 'order!' || o_orderkey AS id
+            FROM orders WHERE o_custkey = 1),
+l2 AS (SELECT DISTINCT 'part!' || l_partkey AS id
+       FROM lineitem JOIN l1 ON 'order!' || l_orderkey = l1.id
+       WHERE l_quantity >= 30
+         AND 'part!' || l_partkey NOT IN (SELECT id FROM l1))
+SELECT id, 1 AS dist FROM l1 WHERE id <> 'customer!1'
+UNION ALL
+SELECT id, 2 AS dist FROM l2 WHERE id <> 'customer!1'
+""")
+def kneighbor_steps(spark, sf_dir):
+    """customizedKneighbor (KneighborAPI POST): all vertices reached
+    through the same property-filtered step sequence, with first-reach
+    step ordinal."""
+    from incubator_hugegraph_spark.operators.bfs import (
+        customized_kneighbor)
+    return customized_kneighbor(
+        _graph(spark, sf_dir), "customer!1",
+        steps=[{"direction": "OUT", "labels": ["placed"]},
+               {"direction": "OUT", "labels": ["contains"],
+                "props": {"quantity": ("gte", 30)}}])
+
+
 @_q("vertex_delete_cascade", f"""
 WITH {E_SQL.strip()},
 gone AS (SELECT 'nation!3' AS id UNION ALL SELECT 'customer!7'),

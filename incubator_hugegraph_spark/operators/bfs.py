@@ -150,6 +150,89 @@ def kout(graph: PropertyGraph, source: str, depth: int,
     return out
 
 
+#: edge-property comparison ops for Steps filters (the EdgeStep
+#: properties map, core/traversal/algorithm/steps/EdgeStep.java:40-57;
+#: conditions compiled like TraversalUtil conditions). Values in the
+#: props map are strings; numeric ops cast to double.
+_STEP_OPS = {
+    "eq": lambda c, v: c == v,
+    "gt": lambda c, v: c > v,
+    "gte": lambda c, v: c >= v,
+    "lt": lambda c, v: c < v,
+    "lte": lambda c, v: c <= v,
+}
+
+
+def _step_adj(graph: PropertyGraph, st: dict) -> DataFrame:
+    """Adjacency for ONE customized step: direction + labels +
+    edge-property filters {key: (op, value)}. Property filters apply
+    to the physical edge regardless of traversal direction (the
+    reference filters the HugeEdge, not the adjacency row)."""
+    e = graph.edges.select("src", "dst", "label", "props")
+    labels = st.get("labels")
+    if labels:
+        e = e.filter(F.col("label").isin(labels))
+    for key, (op, val) in (st.get("props") or {}).items():
+        c = F.element_at(F.col("props"), F.lit(key))
+        if isinstance(val, (int, float)) and not isinstance(val, bool):
+            c, val = c.cast("double"), float(val)
+        e = e.filter(_STEP_OPS[op](c, val))
+    e = e.select("src", "dst")
+    direction = st.get("direction", OUT)
+    inn = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if direction == OUT:
+        adj = e
+    elif direction == "IN":
+        adj = inn
+    else:
+        adj = e.unionByName(inn)
+    return cap_degree(adj, st.get("max_degree", NO_LIMIT),
+                      order_cols=("dst",))
+
+
+def customized_kout(graph: PropertyGraph, source: str,
+                    steps: list[dict], nearest: bool = True,
+                    limit: int = NO_LIMIT) -> DataFrame:
+    """customizedKout (KoutTraverser.java:114-147, KoutAPI POST):
+    per-step direction/labels/edge-property filters, depth =
+    len(steps). nearest=True subtracts everything reached earlier.
+    Returns (id)."""
+    frontier = sources_df(graph, [source])
+    visited = frontier
+    for i, st in enumerate(steps):
+        frontier = expand(frontier, _step_adj(graph, st))
+        if nearest:
+            frontier = frontier.join(F.broadcast(visited.select("id")),
+                                     on="id", how="left_anti")
+            visited = visited.unionByName(frontier)
+        frontier = iterate_hygiene(frontier, i + 1)
+    out = frontier.filter(F.col("id") != source)
+    if limit != NO_LIMIT:
+        out = out.orderBy("id").limit(limit)
+    return out
+
+
+def customized_kneighbor(graph: PropertyGraph, source: str,
+                         steps: list[dict],
+                         limit: int = NO_LIMIT) -> DataFrame:
+    """customizedKneighbor (KneighborTraverser.java:74-…, KneighborAPI
+    POST): every vertex reached within the step sequence, source
+    excluded. Returns (id, dist) — dist = first-reach step ordinal."""
+    frontier = sources_df(graph, [source])
+    visited = frontier.withColumn("dist", F.lit(0))
+    for i, st in enumerate(steps):
+        frontier = (expand(frontier, _step_adj(graph, st))
+                    .join(F.broadcast(visited.select("id")),
+                          on="id", how="left_anti"))
+        frontier = iterate_hygiene(frontier, i + 1)
+        visited = visited.unionByName(
+            frontier.withColumn("dist", F.lit(i + 1)))
+    out = visited.filter(F.col("id") != source)
+    if limit != NO_LIMIT:
+        out = out.orderBy("dist", "id").limit(limit)
+    return out
+
+
 def kneighbor(graph: PropertyGraph, source: str, depth: int,
               direction: str = BOTH, labels: list[str] | None = None,
               max_degree: int = NO_LIMIT, skip_degree: int = NO_LIMIT,

@@ -82,3 +82,34 @@ def test_count_steps_multiset_vs_dedup(graph):
                                      {"direction": OUT, "labels": ["contains"]}],
                         dedup=True).collect()[0][0]
     assert dedup <= multi
+
+
+def test_customized_kout_step_filters(graph):
+    """Per-step edge-property filters (EdgeStep properties): step 2
+    keeps only `contains` edges with quantity >= 30; loosening the
+    threshold can only grow the reached set."""
+    from incubator_hugegraph_spark.operators.bfs import customized_kout
+    steps = [{"direction": "OUT", "labels": ["placed"]},
+             {"direction": "OUT", "labels": ["contains"],
+              "props": {"quantity": ("gte", 30)}}]
+    strict = {r.id for r in
+              customized_kout(graph, "customer!1", steps).collect()}
+    steps_loose = [steps[0],
+                   {**steps[1], "props": {"quantity": ("gte", 1)}}]
+    loose = {r.id for r in
+             customized_kout(graph, "customer!1", steps_loose).collect()}
+    assert strict <= loose
+    assert all(i.startswith("part!") for i in strict)
+
+
+def test_customized_kneighbor_first_reach_dist(graph):
+    from incubator_hugegraph_spark.operators.bfs import (
+        customized_kneighbor, kneighbor)
+    # without property filters the 2-step OUT sequence equals plain
+    # kneighbor depth=2 OUT
+    steps = [{"direction": "OUT"}, {"direction": "OUT"}]
+    got = {(r.id, r.dist) for r in
+           customized_kneighbor(graph, "customer!1", steps).collect()}
+    want = {(r.id, r.dist) for r in
+            kneighbor(graph, "customer!1", 2, direction="OUT").collect()}
+    assert got == want
