@@ -942,6 +942,16 @@ def wcc_q(spark, sf_dir):
     return wcc(_graph(spark, sf_dir), fixed_rounds=8)
 
 
+@_q("wcc_star", _wcc_sql(8))
+def wcc_star_q(spark, sf_dir):
+    """Large-star/small-star connected components — the
+    diameter-independent 100 TB path, run to CONVERGENCE. Same oracle
+    as `wcc`: at sf0.01 propagation converges well before 8 rounds,
+    so the 8-round SQL equals the converged component map."""
+    from incubator_hugegraph_spark.algorithms.wcc import wcc_star
+    return wcc_star(_graph(spark, sf_dir))
+
+
 def _lpa_sql(rounds: int) -> str:
     ctes = [f"WITH {V_SQL.strip()}, {E_SQL.strip()}",
             """, und AS (SELECT DISTINCT least(src, dst) AS a,

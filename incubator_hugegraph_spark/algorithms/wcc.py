@@ -7,9 +7,10 @@ Min-id label propagation over the undirected adjacency:
 
 until fixpoint (delta count == 0) or ``fixed_rounds``. Each round is
 one join + one groupBy-min; labels are strings so min = lexicographic
-min (deterministic). At 100 TB the large-star/small-star variant
-halves round count; plain propagation keeps oracle-parity simple and
-the round count is bounded by graph diameter (small for this schema).
+min (deterministic), and the round count is bounded by graph diameter
+(small for this schema). `wcc_star` is the diameter-independent
+large-star/small-star variant for 100 TB graphs — identical result,
+O(log²) rounds.
 """
 
 from __future__ import annotations
@@ -86,3 +87,66 @@ def wcc(graph: PropertyGraph, labels: list[str] | None = None,
     comp = checkpointed(comp)
     adj.unpersist()
     return comp
+
+
+def wcc_star(graph: PropertyGraph, labels: list[str] | None = None,
+             max_rounds: int = 50) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — the 100 TB
+    path: O(log²) alternation rounds independent of graph DIAMETER,
+    where plain min-label propagation (`wcc`) needs diameter rounds.
+    Converges to the same answer — component = lexicographic min
+    reachable id — so the two are interchangeable and oracle-checked
+    against each other.
+
+    Each phase is one groupBy-min + one join over the current edge
+    set; the edge set shrinks toward a star forest centered at each
+    component's minimum. Returns (id, component).
+    """
+    und = checkpointed(
+        graph.adj(BOTH, labels).select(
+            F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v")).distinct())
+    edges = und
+
+    def _mins(adj: DataFrame) -> DataFrame:
+        # m(u) = min(N(u) ∪ {u})
+        return (adj.unionByName(adj.select(F.col("u"),
+                                           F.col("u").alias("v")))
+                .groupBy("u").agg(F.min("v").alias("m")))
+
+    for k in range(max_rounds):
+        # ---- large-star: (v, m(u)) for v ∈ N(u), v > u
+        adj = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = _mins(adj)
+        large = (adj.join(mins, on="u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct())
+        # ---- small-star: (v, m(u)) for v ∈ N(u), v ≤ u  ∪  (u, m(u))
+        adj2 = large.unionByName(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins2 = _mins(adj2)
+        small = (adj2.join(mins2, on="u")
+                 .filter(F.col("v") <= F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .unionByName(mins2.select("u", F.col("m").alias("v")))
+                 .filter(F.col("u") != F.col("v")).distinct())
+        small = checkpointed(small)
+        # fixpoint: the undirected edge multiset is stable
+        changed = (small.unionByName(edges)
+                   .groupBy("u", "v").agg(F.count(F.lit(1)).alias("c"))
+                   .filter(F.col("c") == 1).limit(1).count())
+        edges = small
+        if changed == 0:
+            break
+    # star forest: every non-root u has its component as neighbor min;
+    # roots (and isolated vertices) are their own component
+    comp = edges.groupBy("u").agg(F.min("v").alias("component")) \
+        .withColumnRenamed("u", "id")
+    out = (graph.vertices.select("id")
+           .join(comp, on="id", how="left")
+           .select("id", F.coalesce("component", F.col("id"))
+                   .alias("component")))
+    return checkpointed(out)

@@ -103,3 +103,26 @@ def test_degree_top_deterministic(graph):
     a = [tuple(r) for r in degree_centrality(graph, top=10).collect()]
     b = [tuple(r) for r in degree_centrality(graph, top=10).collect()]
     assert a == b
+
+
+def test_wcc_star_matches_propagation(spark, graph):
+    """Large-star/small-star converges to the same min-id component
+    map as plain propagation — on a multi-component graph with a
+    long chain (the diameter case star-WCC exists for)."""
+    from incubator_hugegraph_spark.graph import PropertyGraph
+    from incubator_hugegraph_spark.algorithms.wcc import wcc, wcc_star
+    n_chain = 20
+    rows = [(f"v!{i:02d}", "v", {}, None) for i in range(n_chain + 8)]
+    erows = ([(f"v!{i:02d}", f"v!{i + 1:02d}", "e", "", {}, None)
+              for i in range(n_chain - 1)]            # chain diam 19
+             + [(f"v!{n_chain + i:02d}", f"v!{n_chain + i + 1:02d}",
+                 "e", "", {}, None) for i in (0, 2, 4)])  # three pairs
+    g = PropertyGraph(
+        spark=spark,
+        vertices=spark.createDataFrame(rows, graph.vertices.schema),
+        edges=spark.createDataFrame(erows, graph.edges.schema),
+        schema=graph.schema)
+    a = {r["id"]: r["component"] for r in wcc(g).collect()}
+    b = {r["id"]: r["component"] for r in wcc_star(g).collect()}
+    assert a == b
+    assert len(set(a.values())) == 6  # chain + 3 pairs + 2 isolated
