@@ -146,18 +146,44 @@ def lsh_ann_topk(emb: DataFrame, query_ids: list[int], k: int, dim: int,
             .select("query_id", F.col("id").alias("neighbor_id"), "sim"))
 
 
+def kmeans_centroids(base: DataFrame, n_cells: int, dim: int,
+                     n_iters: int) -> DataFrame:
+    """Lloyd's k-means over (id, v) rows, entirely in Column programs:
+    assign = broadcast crossJoin + argmax cosine; update = per-cell
+    element-wise mean (one groupBy with ``dim`` avg aggregates —
+    JVM-side, no Python in the row path). Deterministic: seed
+    centroids are the first n_cells vectors by id, ties break on the
+    lower cell id, fixed ``n_iters`` rounds (no convergence RNG).
+    Returns (cell, cv). Empty cells keep their previous centroid."""
+    cents = (base.orderBy("id").limit(n_cells)
+             .select(F.col("id").alias("cell"), F.col("v").alias("cv")))
+    for _ in range(n_iters):
+        assigned = (base.crossJoin(F.broadcast(cents))
+                    .withColumn("d", cosine(F.col("v"), F.col("cv"))))
+        w = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("cell"))
+        assigned = (assigned.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1).select("cell", "v"))
+        means = assigned.groupBy("cell").agg(
+            F.array(*[F.avg(F.col("v")[i]) for i in range(dim)])
+            .alias("mv"))
+        cents = (cents.join(means, on="cell", how="left")
+                 .select("cell", F.coalesce("mv", "cv").alias("cv")))
+    return cents
+
+
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
              n_cells: int = 16, n_probe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF-lite ANN: centroids = the first n_cells vectors by id
-    (deterministic seed centroids; a production build would run a few
-    k-means rounds — same plumbing). Vectors are assigned to their
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_iters: int = 0) -> DataFrame:
+    """IVF ANN: centroids = deterministic seeds (first n_cells by id)
+    refined by ``n_iters`` Lloyd's rounds (0 = seeds only, the
+    oracle-mirrored configuration). Vectors are assigned to their
     nearest centroid; queries probe the n_probe nearest cells and
     re-rank exactly. Returns (query_id, neighbor_id, sim)."""
     base = emb.select(F.col(id_col).alias("id"),
                       _to_double(vec_col).alias("v"))
-    cents = (base.orderBy("id").limit(n_cells)
-             .select(F.col("id").alias("cell"), F.col("v").alias("cv")))
+    dim = len(emb.select(vec_col).first()[0])
+    cents = kmeans_centroids(base, n_cells, dim, n_iters)
     assigned = (base.crossJoin(F.broadcast(cents))
                 .withColumn("d", cosine(F.col("v"), F.col("cv"))))
     w_assign = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("cell"))

@@ -389,3 +389,23 @@ def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "out"))
     assert got.count() == events.count()
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_ivf_kmeans_refinement_recall(emb):
+    """Lloyd's-refined IVF must not lose recall vs seed centroids on
+    the same probe budget (same deterministic tie-breaks)."""
+    from incubator_hugegraph_spark.data.similarity import (
+        cosine_topk, ivf_topk)
+    qids = list(range(5))
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, qids, 10).collect()}
+
+    def recall(n_iters):
+        got = {(r.query_id, r.neighbor_id)
+               for r in ivf_topk(emb, qids, 10, n_cells=8, n_probe=4,
+                                 n_iters=n_iters).collect()}
+        return len(got & exact) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0 - 0.1  # refinement must not collapse recall
+    assert r2 >= 0.5
