@@ -97,6 +97,16 @@ class PropertyGraph:
         isin compiles to a pushed-down Parquet IN filter."""
         return self.vertices.filter(F.col("id").isin(ids))
 
+    def edges_by_ids(self, ids: list[tuple]) -> DataFrame:
+        """Bulk edge fetch by EdgeId quadruple (src, label,
+        sort_values, dst) — the reference's edge identity encoding
+        owner > label > sort-values > other
+        (core/backend/id/EdgeId.java:31-58; EdgesAPI GET ?ids=).
+        The concat key compiles to one pushed-down IN filter."""
+        key = F.concat_ws(">", F.col("src"), F.col("label"),
+                          F.col("sort_values"), F.col("dst"))
+        return self.edges.filter(key.isin([">".join(t) for t in ids]))
+
     def vertices_by_label(self, label: str) -> DataFrame:
         return self.vertices.filter(F.col("label") == label)
 

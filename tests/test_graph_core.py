@@ -127,3 +127,12 @@ def test_analyzer_registry_segment(spark):
     assert grams[0].s[:3] == ["he", "el", "ll"]
     with pytest.raises(ValueError):
         segment("t", "nope")
+
+
+def test_edges_by_ids_quadruple(graph):
+    rows = graph.edges.select("src", "label", "sort_values", "dst") \
+        .orderBy("src", "label", "sort_values", "dst").limit(3).collect()
+    ids = [(r.src, r.label, r.sort_values, r.dst) for r in rows]
+    got = graph.edges_by_ids(ids)
+    assert got.count() == 3
+    assert graph.edges_by_ids([("nope!0", "x", "", "nope!1")]).count() == 0

@@ -113,3 +113,24 @@ def test_customized_kneighbor_first_reach_dist(graph):
     want = {(r.id, r.dist) for r in
             kneighbor(graph, "customer!1", 2, direction="OUT").collect()}
     assert got == want
+
+
+def test_traverser_registry_total_over_survey_2d(graph):
+    """Every SURVEY §2.D REST endpoint resolves to a callable, and a
+    couple of spot-run entries execute through the registry."""
+    from incubator_hugegraph_spark import api
+    survey_2d = [
+        "kout", "kneighbor", "shortestpath", "allshortestpaths",
+        "singlesourceshortestpath", "weightedshortestpath",
+        "multinodeshortestpath", "paths", "templatepaths",
+        "customizedpaths", "customizedcrosspoints", "crosspoints",
+        "rays", "rings", "sameneighbors", "jaccardsimilarity",
+        "fusiformsimilarity", "adamicadar", "resourceallocation",
+        "neighborrank", "personalrank", "count", "edgeexist",
+        "vertices", "edges", "vertices/shards", "edges/scan"]
+    for name in survey_2d:
+        assert callable(api.traverser(name)), name
+    out = api.traverser("kout")(graph, "customer!1", 2, direction="OUT")
+    assert out.count() > 0
+    sn = api.traverser("sameneighbors")(graph, "customer!1", "customer!2")
+    assert sn.columns == ["id"]
