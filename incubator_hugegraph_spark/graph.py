@@ -206,6 +206,45 @@ def checkpointed(df: DataFrame, eager: bool = True) -> DataFrame:
         return d
 
 
+class GraphVariables:
+    """Graph-scoped key/value scratchpad
+    (core/variables/HugeVariables.java:60,242 — the `/graphs/{g}/
+    variables` REST surface). The reference stores these as hidden
+    vertices; here they are a JSON side file next to the graph tables
+    (driver-side state — variables are tiny metadata, never data).
+    In-memory when constructed without a path."""
+
+    def __init__(self, path: str | None = None):
+        self._path = path
+        self._data: dict = {}
+        if path is not None:
+            import json
+            import os
+            if os.path.exists(path):
+                with open(path) as f:
+                    self._data = json.load(f)
+
+    def _flush(self) -> None:
+        if self._path is not None:
+            import json
+            with open(self._path, "w") as f:
+                json.dump(self._data, f, indent=1, sort_keys=True)
+
+    def get(self, key: str, default=None):
+        return self._data.get(key, default)
+
+    def set(self, key: str, value) -> None:
+        self._data[key] = value
+        self._flush()
+
+    def remove(self, key: str) -> None:
+        self._data.pop(key, None)
+        self._flush()
+
+    def all(self) -> dict:
+        return dict(self._data)
+
+
 @contextmanager
 def no_aqe(spark):
     """Disable AQE inside a broadcast-only iterative loop (restored on

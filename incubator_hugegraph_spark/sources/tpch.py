@@ -279,15 +279,26 @@ def write_graph(graph: PropertyGraph, out_dir: str,
      .bucketBy(buckets, "id").sortBy("id")
      .option("path", os.path.join(out_dir, "vertices"))
      .saveAsTable("hugegraph.vertices"))
+    # schema registry rides the store as a JSON side file
+    # (SchemaTransaction persistence → SURVEY §1.3)
+    with open(os.path.join(out_dir, "schema.json"), "w") as f:
+        f.write(graph.schema.to_json())
 
 
 def read_bucketed_graph(spark: SparkSession,
-                        schema: GraphSchema | None = None) -> PropertyGraph:
+                        schema: GraphSchema | None = None,
+                        out_dir: str | None = None) -> PropertyGraph:
     """Reopen a write_graph() materialization. The bucket metadata
     rides the table catalog, so src-keyed aggregations and co-bucketed
     joins over the edge table plan WITHOUT an Exchange — the Spark
     analogue of the reference reading edges clustered under their
-    owner vertex (EdgeId layout, core/backend/id/EdgeId.java:31-38)."""
+    owner vertex (EdgeId layout, core/backend/id/EdgeId.java:31-38).
+    When ``out_dir`` is given, the persisted schema.json is loaded."""
+    if schema is None and out_dir is not None:
+        p = os.path.join(out_dir, "schema.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                schema = GraphSchema.from_json(f.read())
     return PropertyGraph(spark,
                          vertices=spark.table("hugegraph.vertices"),
                          edges=spark.table("hugegraph.edges"),

@@ -136,3 +136,25 @@ def test_edges_by_ids_quadruple(graph):
     got = graph.edges_by_ids(ids)
     assert got.count() == 3
     assert graph.edges_by_ids([("nope!0", "x", "", "nope!1")]).count() == 0
+
+
+def test_graph_variables_roundtrip(tmp_path):
+    from incubator_hugegraph_spark.graph import GraphVariables
+    p = str(tmp_path / "variables.json")
+    v = GraphVariables(p)
+    v.set("refreshed_at", "2026-08-13")
+    v.set("build", 7)
+    assert GraphVariables(p).all() == {"refreshed_at": "2026-08-13",
+                                       "build": 7}
+    v.remove("build")
+    assert GraphVariables(p).get("build") is None
+
+
+def test_schema_persists_with_store(spark, graph, tmp_path):
+    from incubator_hugegraph_spark.sources.tpch import (
+        read_bucketed_graph, write_graph)
+    out = str(tmp_path / "store2")
+    write_graph(graph, out, buckets=4)
+    g2 = read_bucketed_graph(spark, out_dir=out)
+    assert set(g2.schema.vertex_labels) == set(graph.schema.vertex_labels)
+    assert set(g2.schema.edge_labels) == set(graph.schema.edge_labels)
