@@ -334,6 +334,26 @@ def kout_2(spark, sf_dir):
     return kout(_graph(spark, sf_dir), "customer!1", 2, direction=OUT)
 
 
+@_q("sql_match_pattern", """
+SELECT 'customer!' || c.c_custkey AS id, count(*) AS n_orders
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1 ORDER BY n_orders DESC, id LIMIT 20
+""")
+def sql_match_pattern(spark, sf_dir):
+    """The declarative SQL entry point (SURVEY §3.3: the reference's
+    Cypher `MATCH (c:customer)-[:placed]->(o:order)` becomes Spark
+    SQL over `register_views()` typed views) — answered entirely via
+    spark.sql, no DataFrame API."""
+    g = _graph(spark, sf_dir)
+    g.register_views()
+    return spark.sql("""
+        SELECT c.id, count(*) AS n_orders
+        FROM g_customer c JOIN g_placed p ON p.src = c.id
+        WHERE c.mktsegment = 'BUILDING'
+        GROUP BY c.id ORDER BY n_orders DESC, id LIMIT 20""")
+
+
 @_q("kout_steps", """
 WITH l1 AS (SELECT DISTINCT 'order!' || o_orderkey AS id
             FROM orders WHERE o_custkey = 1),

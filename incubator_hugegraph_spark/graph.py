@@ -107,6 +107,23 @@ class PropertyGraph:
                           F.col("sort_values"), F.col("dst"))
         return self.edges.filter(key.isin([">".join(t) for t in ids]))
 
+    def register_views(self, prefix: str = "g_") -> list[str]:
+        """The declarative (SQL) entry point — SURVEY §3.3: the
+        reference's Cypher surface is a translation layer over its
+        graph; ours is Spark SQL over registered views. Creates temp
+        views `{prefix}vertices`, `{prefix}edges`, `{prefix}adj`
+        (both-direction adjacency) and one typed view per label, so a
+        Cypher pattern like (c:customer)-[:placed]->(o:order) is a
+        join over `{prefix}customer` / `{prefix}placed`. Returns the
+        view names."""
+        names = []
+        for name, df in {"vertices": self.vertices, "edges": self.edges,
+                         "adj": self.adj(BOTH),
+                         **self.vertex_views, **self.edge_views}.items():
+            df.createOrReplaceTempView(prefix + name)
+            names.append(prefix + name)
+        return names
+
     def vertices_by_label(self, label: str) -> DataFrame:
         return self.vertices.filter(F.col("label") == label)
 

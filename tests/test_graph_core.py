@@ -158,3 +158,11 @@ def test_schema_persists_with_store(spark, graph, tmp_path):
     g2 = read_bucketed_graph(spark, out_dir=out)
     assert set(g2.schema.vertex_labels) == set(graph.schema.vertex_labels)
     assert set(g2.schema.edge_labels) == set(graph.schema.edge_labels)
+
+
+def test_register_views_sql_entry(spark, graph):
+    names = graph.register_views()
+    assert {"g_vertices", "g_edges", "g_adj", "g_customer",
+            "g_placed"} <= set(names)
+    n = spark.sql("SELECT count(*) AS c FROM g_vertices").collect()[0].c
+    assert n == graph.vertices.count()
