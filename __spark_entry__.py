@@ -1974,6 +1974,50 @@ def doc_tfidf_top(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), top=3)
 
 
+@_q("doc_hash_split", """
+WITH u AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+           / 16777216.0 AS h
+  FROM documents)
+SELECT CASE WHEN h < 0.9 THEN 'train'
+            WHEN h < 0.95 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM u GROUP BY 1
+""")
+def doc_hash_split(spark, sf_dir):
+    """Deterministic id-hash train/val/test split (90/5/5): assignment
+    is a pure function of doc_id — reproducible across runs/engines,
+    no leakage migration on re-ingest. Grouped for a compact oracle."""
+    from incubator_hugegraph_spark.data.sample import hash_split
+    s = hash_split(_docs(spark, sf_dir),
+                   {"train": 0.9, "val": 0.05, "test": 0.05})
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id"))
+
+
+@_q("doc_stratified_sample", """
+WITH u AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+           / 16777216.0 AS h
+  FROM documents),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY h, doc_id) AS rn
+      FROM u)
+SELECT doc_id, lang FROM r WHERE rn <= 10
+""")
+def doc_stratified_sample(spark, sf_dir):
+    """Deterministic quota sample: 10 docs per language by id-hash
+    order — stable under re-partitioning."""
+    from incubator_hugegraph_spark.data.sample import stratified_sample
+    return stratified_sample(_docs(spark, sf_dir), "lang", 10) \
+        .select("doc_id", "lang")
+
+
 @_q("doc_decontaminate", f"""
 WITH {_SHINGLE_SQL.strip()},
 ts AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 20 <> 0),

@@ -1,0 +1,58 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Both primitives key on md5 of the id, NOT on `rand()` or row order:
+the assignment of a document is a pure function of its id, so splits
+are reproducible across runs, partitionings, and engines (the DuckDB
+oracle reproduces them bit-for-bit), and re-ingesting a document can
+never migrate it between train and test — the leakage property a
+training pipeline actually needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 6 hex chars → 24 bits of hash; plenty for split ratios while staying
+# exactly representable in a double (no rounding disagreement between
+# engines on the threshold compare)
+_HASH_DENOM = float(16 ** 6)
+
+
+def hash_unit(col: Column) -> Column:
+    """md5-derived uniform value in [0, 1) — deterministic per id."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 6), 16, 10)
+            .cast("double") / F.lit(_HASH_DENOM))
+
+
+def hash_split(df: DataFrame, ratios: dict[str, float],
+               id_col: str = "doc_id") -> DataFrame:
+    """Assign every row to a named split by cumulative hash ranges.
+
+    ratios e.g. {"train": 0.9, "val": 0.05, "test": 0.05} (must sum to
+    ~1; the last split absorbs the remainder). Pure projection — no
+    shuffle, scales to any size. Returns the input plus `split`."""
+    names = list(ratios)
+    u = hash_unit(F.col(id_col))
+    expr = F.lit(names[-1])
+    acc = 0.0
+    bounds = []
+    for nm in names[:-1]:
+        acc += ratios[nm]
+        bounds.append((nm, acc))
+    for nm, b in reversed(bounds):
+        expr = F.when(u < F.lit(b), F.lit(nm)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quota sample: the ``n_per_stratum`` rows with the
+    smallest id-hash per stratum (ties broken by id). One shuffle on
+    the stratum key; skewed strata cost what their size costs — the
+    hash order makes the sample stable under re-partitioning."""
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_unit(F.col(id_col)), F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_per_stratum).drop("__rn"))

@@ -409,3 +409,32 @@ def test_ivf_kmeans_refinement_recall(emb):
     r0, r2 = recall(0), recall(2)
     assert r2 >= r0 - 0.1  # refinement must not collapse recall
     assert r2 >= 0.5
+
+
+def test_hash_split_deterministic_and_total(spark, docs):
+    from incubator_hugegraph_spark.data.sample import hash_split
+    s = hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    a = {r.doc_id: r.split for r in s.collect()}
+    b = {r.doc_id: r.split
+         for r in hash_split(docs.repartition(7),
+                             {"train": 0.9, "val": 0.05,
+                              "test": 0.05}).collect()}
+    assert a == b  # partitioning-independent
+    assert set(a.values()) <= {"train", "val", "test"}
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.8 < frac < 0.97
+
+
+def test_stratified_sample_quota_and_stability(spark, docs):
+    from incubator_hugegraph_spark.data.sample import stratified_sample
+    s = stratified_sample(docs, "lang", 5)
+    per = {r.lang: r.n for r in
+           s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r.lang: r.n for r in
+             docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    for lang, n in per.items():
+        assert n == min(5, sizes[lang])
+    again = stratified_sample(docs.repartition(5), "lang", 5)
+    assert {(r.doc_id, r.lang) for r in s.collect()} == \
+        {(r.doc_id, r.lang) for r in again.collect()}
