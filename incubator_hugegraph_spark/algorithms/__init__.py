@@ -27,7 +27,7 @@ from incubator_hugegraph_spark.algorithms.stats import (
     count_vertex,
     subgraph_stat,
 )
-from incubator_hugegraph_spark.algorithms.wcc import wcc
+from incubator_hugegraph_spark.algorithms.wcc import wcc, wcc_star
 
 # AlgorithmPool.java:46-75 registry equivalent
 ALGORITHMS = {
@@ -44,6 +44,8 @@ ALGORITHMS = {
     "louvain": louvain,
     "page_rank": page_rank,
     "weak_connected_component": wcc,
+    # beyond-reference scale variant (same result, diameter-independent)
+    "weak_connected_component_star": wcc_star,
     "subgraph_stat": subgraph_stat,
     "stress_centrality": stress_centrality,
 }

@@ -144,7 +144,11 @@ def kout(graph: PropertyGraph, source: str, depth: int,
         frontier = sources_df(graph, [source])
         for k in range(1, depth + 1):
             frontier = iterate_hygiene(expand(frontier, adj), k)
-        out = frontier.select("id")
+        # the source itself is excluded even without nearest dedup
+        # (ConcurrentVerticesConsumer takes sourceV explicitly,
+        # KoutTraverser.java:89; KoutApiTest expects {peter, ripple,
+        # josh} — not marko — for depth-2 BOTH nearest=false)
+        out = frontier.select("id").filter(F.col("id") != source)
     if limit != NO_LIMIT:
         out = out.orderBy("id").limit(limit)  # deterministic truncation
     return out

@@ -134,3 +134,78 @@ def test_traverser_registry_total_over_survey_2d(graph):
     assert out.count() > 0
     sn = api.traverser("sameneighbors")(graph, "customer!1", "customer!2")
     assert sn.columns == ["id"]
+
+
+@pytest.fixture(scope="module")
+def marko_graph(spark, graph):
+    """The reference API-test fixture graph (BaseApiTest.initVertex/
+    initEdge): knows marko->peter->josh->vadas, created marko->ripple
+    and peter->ripple."""
+    from incubator_hugegraph_spark.graph import PropertyGraph
+    people = ["marko", "vadas", "josh", "peter"]
+    soft = ["lop", "ripple"]
+    vrows = [(f"person!{p}", "person", {}, None) for p in people] + \
+        [(f"software!{s}", "software", {}, None) for s in soft]
+    erows = [
+        ("person!marko", "person!peter", "knows", "2021-01-01",
+         {"weight": "0.5"}, None),
+        ("person!peter", "person!josh", "knows", "2021-01-01",
+         {"weight": "0.4"}, None),
+        ("person!josh", "person!vadas", "knows", "2021-01-01",
+         {"weight": "0.3"}, None),
+        ("person!marko", "software!ripple", "created", "",
+         {"weight": "0.2"}, None),
+        ("person!peter", "software!ripple", "created", "",
+         {"weight": "0.1"}, None)]
+    return PropertyGraph(
+        spark=spark,
+        vertices=spark.createDataFrame(vrows, graph.vertices.schema),
+        edges=spark.createDataFrame(erows, graph.edges.schema),
+        schema=graph.schema)
+
+
+def test_kout_api_scenario(marko_graph):
+    """Ported KoutApiTest.testGet: depth-2 BOTH from marko is {josh}
+    nearest=true and {peter, ripple, josh} nearest=false (source
+    excluded, revisits allowed)."""
+    from incubator_hugegraph_spark.operators.bfs import kout
+    near = {r.id for r in
+            kout(marko_graph, "person!marko", 2, direction="BOTH",
+                 nearest=True).collect()}
+    assert near == {"person!josh"}
+    raw = {r.id for r in
+           kout(marko_graph, "person!marko", 2, direction="BOTH",
+                nearest=False).collect()}
+    assert raw == {"person!peter", "software!ripple", "person!josh"}
+
+
+def test_kneighbor_api_scenario(marko_graph):
+    """Ported KneighborApiTest.testGet: depth-2 BOTH from marko
+    reaches exactly {peter, ripple, josh}."""
+    from incubator_hugegraph_spark.operators.bfs import kneighbor
+    got = {r.id for r in
+           kneighbor(marko_graph, "person!marko", 2,
+                     direction="BOTH").collect()}
+    assert got == {"person!peter", "software!ripple", "person!josh"}
+
+
+def test_same_neighbors_api_scenario(marko_graph):
+    """Ported SameNeighborsApiTest.testGet: marko and josh share
+    peter."""
+    from incubator_hugegraph_spark.operators.neighbors import (
+        same_neighbors)
+    got = {r.id for r in
+           same_neighbors(marko_graph, "person!marko",
+                          "person!josh").collect()}
+    assert got == {"person!peter"}
+
+
+def test_jaccard_api_scenario(marko_graph):
+    """Ported JaccardSimilarityApiTest.testGet:
+    jaccard(marko, peter) = |{ripple}| / |{marko,peter,josh,ripple}|
+    = 0.25."""
+    from incubator_hugegraph_spark.operators.neighbors import (
+        jaccard_similarity)
+    got = jaccard_similarity(marko_graph, "person!marko",
+                             "person!peter").collect()[0]
+    assert abs(got.jaccard - 0.25) < 1e-4
