@@ -157,11 +157,18 @@ def marko_graph(spark, graph):
          {"weight": "0.2"}, None),
         ("person!peter", "software!ripple", "created", "",
          {"weight": "0.1"}, None)]
+    from incubator_hugegraph_spark.schema import (
+        EdgeLabel, GraphSchema, VertexLabel)
+    sch = GraphSchema()
+    sch.vertex_labels["person"] = VertexLabel("person")
+    sch.vertex_labels["software"] = VertexLabel("software")
+    sch.edge_labels["knows"] = EdgeLabel("knows", "person", "person")
+    sch.edge_labels["created"] = EdgeLabel("created", "person", "software")
     return PropertyGraph(
         spark=spark,
         vertices=spark.createDataFrame(vrows, graph.vertices.schema),
         edges=spark.createDataFrame(erows, graph.edges.schema),
-        schema=graph.schema)
+        schema=sch)
 
 
 def test_kout_api_scenario(marko_graph):
@@ -209,3 +216,40 @@ def test_jaccard_api_scenario(marko_graph):
     got = jaccard_similarity(marko_graph, "person!marko",
                              "person!peter").collect()[0]
     assert abs(got.jaccard - 0.25) < 1e-4
+
+
+def test_shortest_path_api_scenario(marko_graph):
+    """Ported ShortestPathApiTest.testGet: marko→josh (BOTH) is
+    marko>peter>josh."""
+    from incubator_hugegraph_spark.operators.paths import shortest_path
+    got = shortest_path(marko_graph, "person!marko", "person!josh",
+                        max_depth=10, direction="BOTH").collect()
+    assert len(got) == 1
+    assert got[0].path == "person!marko>person!peter>person!josh"
+    assert got[0].length == 2
+
+
+def test_paths_api_scenario(marko_graph):
+    """Ported PathsApiTest.testGet: exactly one simple path
+    marko→vadas within depth 3 (BOTH)."""
+    from incubator_hugegraph_spark.operators.paths import paths
+    got = paths(marko_graph, "person!marko", "person!vadas", 3,
+                direction="BOTH").collect()
+    assert len(got) == 1
+    assert got[0].path == \
+        "person!marko>person!peter>person!josh>person!vadas"
+
+
+def test_personal_rank_api_scenario(marko_graph):
+    """Ported PersonalRankApiTest: source marko over the bipartite
+    `created` label, alpha=1, depth 3 — peter must appear (2-hop
+    co-creator of ripple); root and 1-hop items are removed."""
+    from incubator_hugegraph_spark.operators.rank import personal_rank
+    got = {r.id: r.rank for r in
+           personal_rank(marko_graph, "person!marko", "created",
+                         alpha=1.0, max_depth=3).collect()}
+    # the reference test asserts peter APPEARS in the rank map (with
+    # alpha=1 its round-3 rank is legitimately 0 — all mass moved on)
+    assert "person!peter" in got
+    assert "person!marko" not in got
+    assert "software!ripple" not in got
