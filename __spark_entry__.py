@@ -666,13 +666,17 @@ r2 AS (SELECT e1.src || '>' || e1.dst || '>' || e2.dst AS path, 2 AS length
        FROM ie e1 JOIN ie e2 ON e2.src = e1.dst
        WHERE e1.src = 'customer!1' AND e2.dst = 'customer!1'
          AND e1.dst <> 'customer!1'),
-r3 AS (SELECT e1.src || '>' || e1.dst || '>' || e2.dst || '>' || e3.dst AS path,
+r3 AS (SELECT least(
+           e1.src || '>' || e1.dst || '>' || e2.dst || '>' || e3.dst,
+           e1.src || '>' || e2.dst || '>' || e1.dst || '>' || e3.dst)
+              AS path,
               3 AS length
        FROM ie e1 JOIN ie e2 ON e2.src = e1.dst JOIN ie e3 ON e3.src = e2.dst
        WHERE e1.src = 'customer!1' AND e3.dst = 'customer!1'
          AND e1.dst <> 'customer!1' AND e2.dst <> 'customer!1'
          AND e2.dst <> e1.dst)
-SELECT path, length FROM r2 UNION ALL SELECT path, length FROM r3
+SELECT DISTINCT path, length
+FROM (SELECT path, length FROM r2 UNION ALL SELECT path, length FROM r3)
 """)
 def rings_q(spark, sf_dir):
     """rings: cycles from source back to source ≤ depth 3 on the
@@ -1546,7 +1550,9 @@ WITH {IE_SQL.strip()},
 r2 AS (SELECT e1.src || '>' || e1.dst || '>' || e1.src AS path, 2 AS length
        FROM ie e1 JOIN ie e2 ON e2.src = e1.dst AND e2.dst = e1.src
        WHERE e1.src < e1.dst),
-r3 AS (SELECT e1.src || '>' || e1.dst || '>' || e2.dst || '>' || e1.src
+r3 AS (SELECT least(
+           e1.src || '>' || e1.dst || '>' || e2.dst || '>' || e1.src,
+           e1.src || '>' || e2.dst || '>' || e1.dst || '>' || e1.src)
                 AS path, 3 AS length
        FROM ie e1 JOIN ie e2 ON e2.src = e1.dst
        JOIN ie e3 ON e3.src = e2.dst AND e3.dst = e1.src

@@ -130,24 +130,47 @@ def rays(graph: PropertyGraph, source: str, max_depth: int,
          direction: str = OUT, labels: list[str] | None = None,
          max_degree: int = NO_LIMIT, limit: int = NO_LIMIT) -> DataFrame:
     """Paths from source until leaf or depth, no rings
-    (SubGraphTraverser.rays :59-63). A path is emitted when it has no
-    acyclic continuation, or when it reaches max_depth."""
+    (SubGraphTraverser.rays :59-63, emission rules of forward()
+    :196-260): a path is emitted when its terminal vertex has NO
+    edges in the direction, when (BOTH mode) its single physical edge
+    leads back to the parent (the A->B<-A "fake ring" dead end), or
+    when the depth budget exhausts. A path whose continuations are
+    all on-path at a multi-edge vertex is dropped silently — the
+    reference's behavior, reproduced exactly."""
     adj = loop_adj(graph, direction, labels, max_degree, max_depth)
+    # physical edge count per vertex (pre-dedup — uniqueEdge counts
+    # edges, not distinct neighbors) + the single neighbor when deg=1
+    phys = prepared_adj(graph, direction, labels, max_degree) \
+        .select("src", "dst")
+    vstat = phys.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"),
+                                    F.max("dst").alias("__nbr"))
+    vstat = vstat.withColumnRenamed("src", "id")
     frontier = _seed(graph, [source])
     out: DataFrame | None = None
+
+    def _add(acc: DataFrame | None, part: DataFrame) -> DataFrame:
+        return part if acc is None else acc.unionByName(part)
+
     for k in range(1, max_depth + 1):
+        fs = frontier.join(F.broadcast(vstat), on="id", how="left")
+        # terminal has zero edges in this direction → ray
+        out = _add(out, _emit(fs.filter(F.col("__deg").isNull())
+                              .select("id", "path")))
+        if direction == BOTH and k >= 2:
+            back_only = fs.filter(
+                (F.col("__deg") == 1)
+                & (F.col("__nbr") == F.element_at("path", -2)))
+            out = _add(out, _emit(back_only.select("id", "path")))
         ext = iterate_hygiene(_extend(frontier, adj), k)
-        # paths with no continuation = leaves → emit
-        parents = ext.select(
-            F.slice("path", 1, F.size("path") - 1).alias("path")).distinct()
-        dead = frontier.join(parents, on="path", how="left_anti")
-        emitted = _emit(dead)
-        out = emitted if out is None else out.unionByName(emitted)
+        if k == max_depth:
+            # depth exhausted — every surviving extension is a ray
+            out = _add(out, _emit(ext))
+            break
         frontier = ext
         if frontier.limit(1).count() == 0:
             break
-    else:
-        out = out.unionByName(_emit(frontier))
+    if out is None:
+        out = graph.spark.createDataFrame([], "path string, length int")
     if limit != NO_LIMIT:
         out = out.orderBy("length", "path").limit(limit)
     return out
@@ -158,18 +181,46 @@ def rings(graph: PropertyGraph, source: str, max_depth: int,
           max_degree: int = NO_LIMIT, limit: int = NO_LIMIT) -> DataFrame:
     """Cyclic paths from source back to source (source-in-ring mode,
     SubGraphTraverser.rings :65-…; RingsDetectAlgorithm.java for the
-    whole-graph job). Returns (path, length) with source at both ends."""
+    whole-graph job). Returns (path, length) with source at both ends.
+
+    Reference ring identity (RingPath.equals/hashCode): a ring equals
+    its REVERSE, so each undirected cycle reports once — we emit the
+    deterministic representative least(path, reversed) (the reference
+    keeps insertion order, SURVEY §7.4#4 deviation). In BOTH mode an
+    immediate backtrack source>X>source over a single physical edge
+    is NOT a ring — it only counts when ≥2 physical edges connect the
+    pair (hasMultiEdges, SubGraphTraverser.java:253-260)."""
     adj = loop_adj(graph, direction, labels, max_degree, max_depth)
     frontier = _seed(graph, [source])
     out: DataFrame | None = None
     for k in range(1, max_depth + 1):
         ext = iterate_hygiene(_extend(frontier, adj, allow_dst=source),
                               k)
-        closed = _emit(ext.filter(F.col("id") == source))
+        closed = ext.filter(F.col("id") == source)
+        if k == 2 and direction == BOTH:
+            e = graph.edges if labels is None else \
+                graph.edges.filter(F.col("label").isin(labels))
+            multi = (e.select(F.least("src", "dst").alias("a"),
+                              F.greatest("src", "dst").alias("b"))
+                     .groupBy("a", "b")
+                     .agg(F.count(F.lit(1)).alias("n"))
+                     .filter(F.col("n") >= 2).select("a", "b"))
+            mid = F.col("path")[1]
+            closed = (closed
+                      .withColumn("a", F.least(mid, F.col("id")))
+                      .withColumn("b", F.greatest(mid, F.col("id")))
+                      .join(multi, on=["a", "b"], how="left_semi")
+                      .drop("a", "b"))
+        closed = closed.select(
+            F.least(F.array_join("path", PATH_SEP),
+                    F.array_join(F.reverse("path"), PATH_SEP))
+            .alias("path"),
+            (F.size("path") - 1).alias("length"))
         out = closed if out is None else out.unionByName(closed)
         frontier = ext.filter(F.col("id") != source)
     if out is None:
         out = graph.spark.createDataFrame([], "path string, length int")
+    out = out.distinct()
     if limit != NO_LIMIT:
         out = out.orderBy("length", "path").limit(limit)
     return out
@@ -515,8 +566,13 @@ def rings_detect(graph: PropertyGraph, max_depth: int,
                .filter(F.col("id") >= F.col("origin")))
         rings_k = (ext.filter(F.col("id") == F.col("origin"))
                    .filter(F.size("path") > 2)  # no self-loop echo of k=1
-                   .select(F.array_join("path", PATH_SEP).alias("path"),
-                           F.lit(k).alias("length")))
+                   # ring == its reverse (RingPath.equals) — keep the
+                   # lexicographic-min representative
+                   .select(F.least(
+                       F.array_join("path", PATH_SEP),
+                       F.array_join(F.reverse("path"), PATH_SEP))
+                       .alias("path"),
+                       F.lit(k).alias("length")))
         if k >= 2:
             out = rings_k if out is None else out.unionByName(rings_k)
         frontier = iterate_hygiene(

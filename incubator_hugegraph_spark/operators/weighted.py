@@ -22,6 +22,30 @@ from pyspark.sql import functions as F
 from incubator_hugegraph_spark.graph import NO_LIMIT, PropertyGraph, iterate_hygiene
 
 
+def weighted_adj(graph: PropertyGraph, weight_by: str,
+                 direction: str = "BOTH",
+                 labels: list[str] | None = None,
+                 default_weight: float = 1.0) -> DataFrame:
+    """(src, dst, weight) adjacency for the weighted traversers — the
+    REST surface's `weight=<property>` + `direction` parameters
+    (SingleSourceShortestPathAPI / WeightedShortestPathAPI). The
+    weight is read from the edge props map; missing values fall back
+    to ``default_weight`` (reference default_weight semantics)."""
+    e = graph.edges.select("src", "dst", "label", "props")
+    if labels:
+        e = e.filter(F.col("label").isin(labels))
+    w = F.coalesce(F.element_at(F.col("props"), F.lit(weight_by))
+                   .cast("double"), F.lit(float(default_weight)))
+    out = e.select("src", "dst", w.alias("weight"))
+    if direction == "OUT":
+        return out
+    inn = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                   w.alias("weight"))
+    if direction == "IN":
+        return inn
+    return out.unionByName(inn)
+
+
 def sssp(graph: PropertyGraph, source: str, weighted_edges: DataFrame,
          rounds: int = NO_LIMIT, with_parent: bool = False) -> DataFrame:
     """Bellman-Ford SSSP over ``weighted_edges(src, dst, weight)``.

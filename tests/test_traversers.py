@@ -253,3 +253,74 @@ def test_personal_rank_api_scenario(marko_graph):
     assert "person!peter" in got
     assert "person!marko" not in got
     assert "software!ripple" not in got
+
+
+def test_rings_rays_api_scenarios(marko_graph):
+    """Ported RingsApiTest (1 ring through marko, BOTH) and
+    RaysApiTest (2 OUT-rays, one reaching vadas)."""
+    from incubator_hugegraph_spark.operators.paths import rays, rings
+    rr = rings(marko_graph, "person!marko", 10,
+               direction="BOTH").collect()
+    assert len(rr) == 1  # marko ~ peter ~ ripple ~ marko
+    # BOTH (API default): exactly 2 rays, both ending at the
+    # single-edge dead end vadas; the marko>peter>ripple path dies at
+    # a multi-edge vertex and is dropped (reference forward() rules)
+    ry = {r.path for r in
+          rays(marko_graph, "person!marko", 10, direction="BOTH")
+          .collect()}
+    assert ry == {
+        "person!marko>person!peter>person!josh>person!vadas",
+        "person!marko>software!ripple>person!peter>person!josh"
+        ">person!vadas"}
+    # OUT: zero-out-degree leaves terminate rays
+    ry_out = {r.path for r in
+              rays(marko_graph, "person!marko", 10, direction="OUT")
+              .collect()}
+    assert ry_out == {
+        "person!marko>person!peter>person!josh>person!vadas",
+        "person!marko>person!peter>software!ripple",
+        "person!marko>software!ripple"}
+
+
+def test_all_shortest_paths_api_scenario(marko_graph):
+    """Ported AllShortestPathsApiTest: one shortest path
+    marko→vadas (BOTH)."""
+    from incubator_hugegraph_spark.operators.paths import (
+        all_shortest_paths)
+    got = all_shortest_paths(marko_graph, "person!marko",
+                             "person!vadas", 100, direction="BOTH") \
+        .collect()
+    assert len(got) == 1
+    assert got[0].path == \
+        "person!marko>person!peter>person!josh>person!vadas"
+
+
+def test_sssp_api_scenario(marko_graph):
+    """Ported SingleSourceShortestPathApiTest: 4 reachable targets
+    from marko (lop is isolated in this fixture)."""
+    from incubator_hugegraph_spark.operators.weighted import (
+        sssp, weighted_adj)
+    we = weighted_adj(marko_graph, "weight", direction="BOTH")
+    got = {r.id for r in sssp(marko_graph, "person!marko", we).collect()}
+    got.discard("person!marko")
+    assert got == {"person!peter", "person!josh", "person!vadas",
+                   "software!ripple"}
+
+
+def test_weighted_shortest_path_api_scenario(marko_graph):
+    """Ported WeightedShortestPathApiTest: marko→josh by `weight`
+    goes marko-ripple-peter-josh (0.2+0.1+0.4 = 0.7 beats the direct
+    0.5+0.4 = 0.9)."""
+    from incubator_hugegraph_spark.operators.weighted import (
+        sssp, weighted_adj)
+    we = weighted_adj(marko_graph, "weight", direction="BOTH")
+    d = sssp(marko_graph, "person!marko", we, with_parent=True)
+    rows = {r.id: (r.dist, r.parent) for r in d.collect()}
+    assert abs(rows["person!josh"][0] - 0.7) < 1e-9
+    # reconstruct the min path via parents
+    path, cur = [], "person!josh"
+    while cur is not None:
+        path.append(cur)
+        cur = rows[cur][1]
+    assert path[::-1] == ["person!marko", "software!ripple",
+                          "person!peter", "person!josh"]
