@@ -1271,28 +1271,13 @@ WITH {E_SQL.strip()},
 e AS (SELECT DISTINCT src, dst FROM edges),
 m10 AS (SELECT dst AS crosspoint, src || '>' || dst AS path, 1 AS length
         FROM e WHERE src = 'customer!1' AND dst = 'customer!2'),
-m01 AS (SELECT 'customer!1' AS crosspoint,
-               'customer!1>customer!2' AS path, 1 AS length
-        FROM e WHERE src = 'customer!2' AND dst = 'customer!1'),
 m11 AS (SELECT e1.dst AS crosspoint,
                'customer!1>' || e1.dst || '>customer!2' AS path, 2 AS length
         FROM e e1 JOIN e e2 ON e1.dst = e2.dst
         WHERE e1.src = 'customer!1' AND e2.src = 'customer!2'
-          AND e1.dst NOT IN ('customer!1', 'customer!2')),
-m20 AS (SELECT 'customer!2' AS crosspoint,
-               'customer!1>' || e1.dst || '>customer!2' AS path, 2 AS length
-        FROM e e1 JOIN e e2 ON e2.src = e1.dst
-        WHERE e1.src = 'customer!1' AND e2.dst = 'customer!2'
-          AND e1.dst NOT IN ('customer!1', 'customer!2')),
-m02 AS (SELECT 'customer!1' AS crosspoint,
-               'customer!1>' || e1.dst || '>customer!2' AS path, 2 AS length
-        FROM e e1 JOIN e e2 ON e2.src = e1.dst
-        WHERE e1.src = 'customer!2' AND e2.dst = 'customer!1'
           AND e1.dst NOT IN ('customer!1', 'customer!2'))
 SELECT DISTINCT crosspoint, path, length
-FROM (SELECT * FROM m10 UNION ALL SELECT * FROM m01
-      UNION ALL SELECT * FROM m11 UNION ALL SELECT * FROM m20
-      UNION ALL SELECT * FROM m02)
+FROM (SELECT * FROM m10 UNION ALL SELECT * FROM m11)
 """)
 def crosspoints_q(spark, sf_dir):
     """crosspoints customer!1 × customer!2, OUT, total depth ≤ 2

@@ -340,26 +340,29 @@ def crosspoints(graph: PropertyGraph, source: str, target: str,
 
     fwd, bwd = levels(source), levels(target)
     out: DataFrame | None = None
-    for lf in range(0, max_depth + 1):
-        for lb in range(0, max_depth + 1 - lf):
-            if lf + lb == 0:
-                continue
-            f = fwd[lf].select(F.col("id").alias("x"),
-                               F.col("path").alias("fp"))
-            b = bwd[lb].select(F.col("id").alias("x"),
-                               F.col("path").alias("bp"))
-            hit = (f.join(b, on="x")
-                   .select("x", F.concat(
-                       "fp", F.reverse(F.slice(
-                           "bp", 1, F.greatest(F.size("bp") - 1, F.lit(0))))
-                   ).alias("path")))
-            hit = hit.filter(F.size(F.array_distinct("path"))
-                             == F.size("path"))
-            emitted = hit.select(
-                F.col("x").alias("crosspoint"),
-                F.array_join("path", PATH_SEP).alias("path"),
-                (F.size("path") - 1).alias("length"))
-            out = emitted if out is None else out.unionByName(emitted)
+    # One entry per path, crosspoint = the meet vertex at the
+    # ALTERNATING split (PathsTraverser runs forward first, so a
+    # length-L path is discovered with f = ceil(L/2) forward steps
+    # and b = L - f backward steps; the crosspoint is path[f]).
+    for total in range(1, max_depth + 1):
+        lf = (total + 1) // 2
+        lb = total - lf
+        f = fwd[lf].select(F.col("id").alias("x"),
+                           F.col("path").alias("fp"))
+        b = bwd[lb].select(F.col("id").alias("x"),
+                           F.col("path").alias("bp"))
+        hit = (f.join(b, on="x")
+               .select("x", F.concat(
+                   "fp", F.reverse(F.slice(
+                       "bp", 1, F.greatest(F.size("bp") - 1, F.lit(0))))
+               ).alias("path")))
+        hit = hit.filter(F.size(F.array_distinct("path"))
+                         == F.size("path"))
+        emitted = hit.select(
+            F.col("x").alias("crosspoint"),
+            F.array_join("path", PATH_SEP).alias("path"),
+            (F.size("path") - 1).alias("length"))
+        out = emitted if out is None else out.unionByName(emitted)
     if out is None:
         return graph.spark.createDataFrame(
             [], "crosspoint string, path string, length int")

@@ -324,3 +324,19 @@ def test_weighted_shortest_path_api_scenario(marko_graph):
         cur = rows[cur][1]
     assert path[::-1] == ["person!marko", "software!ripple",
                           "person!peter", "person!josh"]
+
+
+def test_crosspoints_api_scenario(marko_graph):
+    """Ported CrosspointsApiTest: marko × vadas (BOTH, depth 10) has
+    exactly 2 crosspoint paths — the meet vertex sits at the
+    alternating bidirectional split (forward-first)."""
+    from incubator_hugegraph_spark.operators.paths import crosspoints
+    got = {(r.crosspoint, r.path) for r in
+           crosspoints(marko_graph, "person!marko", "person!vadas", 10,
+                       direction="BOTH").collect()}
+    assert got == {
+        ("person!josh",
+         "person!marko>person!peter>person!josh>person!vadas"),
+        ("person!peter",
+         "person!marko>software!ripple>person!peter>person!josh"
+         ">person!vadas")}
