@@ -715,14 +715,15 @@ def template_paths_q(spark, sf_dir):
 
 @_q("multi_node_shortest_path", f"""
 WITH {IE_SQL.strip()},
-ids(id) AS (VALUES ('customer!1'), ('customer!2'), ('customer!3')),
+ids(id, ord) AS (VALUES ('customer!1', 1), ('customer!2', 2),
+                 ('customer!3', 3)),
 p1 AS (SELECT a.id AS source, b.id AS target,
               a.id || '>' || b.id AS path, 1 AS length
-       FROM ids a JOIN ids b ON a.id <> b.id
+       FROM ids a JOIN ids b ON a.ord < b.ord
        WHERE EXISTS (SELECT 1 FROM ie WHERE src = a.id AND dst = b.id)),
 p2 AS (SELECT a.id AS source, b.id AS target,
               min(a.id || '>' || e1.dst || '>' || b.id) AS path, 2 AS length
-       FROM ids a JOIN ids b ON a.id <> b.id
+       FROM ids a JOIN ids b ON a.ord < b.ord
        JOIN ie e1 ON e1.src = a.id
        JOIN ie e2 ON e2.src = e1.dst AND e2.dst = b.id
        WHERE e1.dst <> a.id AND e1.dst <> b.id

@@ -314,7 +314,20 @@ def multi_node_shortest_path(graph: PropertyGraph, ids: list[str],
     if out is None:
         return spark.createDataFrame(
             [], "source string, target string, path string, length int")
-    return out
+    # UNORDERED pair semantics (MultiNodeShortestPathTraverser builds
+    # combinations `cmn(..., 2, ...)` in input-list order): keep only
+    # pairs whose source precedes target in ``ids`` — one search per
+    # pair, C(n,2) results, exactly the reference cardinality.
+    ords = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(ids)], "id string, ord int")
+    so = ords.select(F.col("id").alias("source"),
+                     F.col("ord").alias("__so"))
+    to = ords.select(F.col("id").alias("target"),
+                     F.col("ord").alias("__to"))
+    return (out.join(F.broadcast(so), on="source")
+            .join(F.broadcast(to), on="target")
+            .filter(F.col("__so") < F.col("__to"))
+            .select("source", "target", "path", "length"))
 
 
 def crosspoints(graph: PropertyGraph, source: str, target: str,

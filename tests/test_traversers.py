@@ -340,3 +340,29 @@ def test_crosspoints_api_scenario(marko_graph):
         ("person!peter",
          "person!marko>software!ripple>person!peter>person!josh"
          ">person!vadas")}
+
+
+def test_mnsp_api_scenario(marko_graph):
+    """Ported MultiNodeShortestPathApiTest: 4 person vertices, BOTH,
+    depth 10 — exactly C(4,2)=6 pair paths."""
+    from incubator_hugegraph_spark.operators.paths import (
+        multi_node_shortest_path)
+    got = multi_node_shortest_path(
+        marko_graph, ["person!marko", "person!peter", "person!josh",
+                      "person!vadas"], 10, direction="BOTH").collect()
+    assert len(got) == 6
+    pairs = {(r.source, r.target) for r in got}
+    assert len(pairs) == 6
+
+
+def test_template_paths_api_scenario(marko_graph):
+    """Ported TemplatePathsApiTest: vadas→ripple via IN-knows ×≤2
+    then OUT-created — exactly vadas<josh<peter>ripple."""
+    from incubator_hugegraph_spark.operators.paths import template_paths
+    got = template_paths(
+        marko_graph, ["person!vadas"], ["software!ripple"],
+        [{"direction": "IN", "labels": ["knows"], "max_times": 2},
+         {"direction": "OUT", "labels": ["created"]}]).collect()
+    assert len(got) == 1
+    assert got[0].path == ("person!vadas>person!josh>person!peter"
+                           ">software!ripple")
