@@ -107,7 +107,9 @@ def fusiform_similarity(graph: PropertyGraph,
                         min_similars: int = 1,
                         top: int = NO_LIMIT,
                         max_degree: int = NO_LIMIT,
-                        hub_degree: int = 256) -> DataFrame:
+                        hub_degree: int = 256,
+                        group_property: str | None = None,
+                        min_groups: int = 0) -> DataFrame:
     """Fusiform similarity over all sources of ``source_label``
     (FusiformSimilarityTraverser.java:68-81; job variant
     FusiformSimilarityAlgorithm.java): candidate c is similar to
@@ -221,6 +223,22 @@ def fusiform_similarity(graph: PropertyGraph,
         w = Window.partitionBy("s").orderBy(F.desc("score"), F.asc("c"))
         scored = (scored.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") <= top).drop("__rn"))
+    if group_property is not None:
+        # group-diversity gate AFTER top-N (FusiformSimilarityTraverser
+        # :186-197): distinct group_property values over {source} ∪
+        # top similars must reach min_groups, else the source is
+        # dropped entirely
+        gp = graph.vertices.select(
+            "id", F.element_at(F.col("props"),
+                               F.lit(group_property)).alias("__g"))
+        members = (scored.select("s", F.col("c").alias("id"))
+                   .unionByName(scored.select("s", F.col("s").alias("id"))
+                                .distinct()))
+        ok_groups = (members.join(gp, on="id")
+                     .groupBy("s")
+                     .agg(F.countDistinct("__g").alias("__ng"))
+                     .filter(F.col("__ng") >= min_groups).select("s"))
+        scored = scored.join(ok_groups, on="s")
     return scored.select(F.col("s").alias("source"),
                          F.col("c").alias("similar"),
                          F.round("score", 6).alias("score"))

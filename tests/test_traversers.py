@@ -144,7 +144,10 @@ def marko_graph(spark, graph):
     from incubator_hugegraph_spark.graph import PropertyGraph
     people = ["marko", "vadas", "josh", "peter"]
     soft = ["lop", "ripple"]
-    vrows = [(f"person!{p}", "person", {}, None) for p in people] + \
+    cities = {"marko": "Beijing", "vadas": "HongKong",
+              "josh": "Beijing", "peter": "Shanghai"}
+    vrows = [(f"person!{p}", "person", {"city": cities[p]}, None)
+             for p in people] + \
         [(f"software!{s}", "software", {}, None) for s in soft]
     erows = [
         ("person!marko", "person!peter", "knows", "2021-01-01",
@@ -366,3 +369,25 @@ def test_template_paths_api_scenario(marko_graph):
     assert len(got) == 1
     assert got[0].path == ("person!vadas>person!josh>person!peter"
                            ">software!ripple")
+
+
+def test_fusiform_api_scenario(marko_graph):
+    """Ported FusiformSimilarityApiTest: all persons over OUT
+    `created`, alpha=1, min_neighbors=1, group city with min_groups=2
+    — exactly marko and peter (co-creators of ripple, different
+    cities)."""
+    from incubator_hugegraph_spark.operators.similarity import (
+        fusiform_similarity)
+    got = fusiform_similarity(
+        marko_graph, "person", direction="OUT", labels=["created"],
+        min_neighbors=1, alpha=1.0, min_similars=1,
+        group_property="city", min_groups=2).collect()
+    sims = {(r.source, r.similar, r.score) for r in got}
+    assert sims == {("person!marko", "person!peter", 1.0),
+                    ("person!peter", "person!marko", 1.0)}
+    # min_groups=3 filters everything (only 2 cities in play)
+    none = fusiform_similarity(
+        marko_graph, "person", direction="OUT", labels=["created"],
+        min_neighbors=1, alpha=1.0, min_similars=1,
+        group_property="city", min_groups=3).count()
+    assert none == 0
