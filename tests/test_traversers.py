@@ -391,3 +391,17 @@ def test_fusiform_api_scenario(marko_graph):
         min_neighbors=1, alpha=1.0, min_similars=1,
         group_property="city", min_groups=3).count()
     assert none == 0
+
+
+def test_neighbor_rank_api_scenario(marko_graph):
+    """Ported NeighborRankApiTest: one BOTH step, alpha=1 — two
+    layers; the source keeps rank 1 and the neighbor layer splits the
+    propagated mass over {peter, ripple}."""
+    from incubator_hugegraph_spark.operators.rank import neighbor_rank
+    got = neighbor_rank(marko_graph, "person!marko",
+                        [{"direction": "BOTH"}], alpha=1.0).collect()
+    layers = {r.layer for r in got}
+    assert layers == {0, 1}
+    l1 = {r.id: r.rank for r in got if r.layer == 1}
+    assert set(l1) == {"person!peter", "software!ripple"}
+    assert abs(sum(l1.values()) - 1.0) < 1e-9
