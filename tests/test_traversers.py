@@ -405,3 +405,16 @@ def test_neighbor_rank_api_scenario(marko_graph):
     l1 = {r.id: r.rank for r in got if r.layer == 1}
     assert set(l1) == {"person!peter", "software!ripple"}
     assert abs(sum(l1.values()) - 1.0) < 1e-9
+
+
+def test_customized_crosspoints_api_scenario(marko_graph):
+    """Ported CustomizedCrosspointsApiTest: sources {marko, ripple},
+    one single-BOTH-step pattern — peter is the only crosspoint
+    (reached by both sources → 2 paths in the REST response)."""
+    from incubator_hugegraph_spark.operators.paths import (
+        customized_crosspoints)
+    got = [r.crosspoint for r in
+           customized_crosspoints(
+               marko_graph, ["person!marko", "software!ripple"],
+               [[{"direction": "BOTH"}]]).collect()]
+    assert got == ["person!peter"]
