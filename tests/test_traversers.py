@@ -418,3 +418,15 @@ def test_customized_crosspoints_api_scenario(marko_graph):
                marko_graph, ["person!marko", "software!ripple"],
                [[{"direction": "BOTH"}]]).collect()]
     assert got == ["person!peter"]
+
+
+def test_edges_api_scenario(marko_graph):
+    """Ported EdgesApiTest.testList: vadas's IN edges (exactly
+    josh→vadas), then the same edge fetched back by its EdgeId
+    quadruple."""
+    e = marko_graph.edges.filter(F.col("dst") == "person!vadas")
+    rows = e.collect()
+    assert len(rows) == 1 and rows[0].src == "person!josh"
+    again = marko_graph.edges_by_ids(
+        [(rows[0].src, rows[0].label, rows[0].sort_values, rows[0].dst)])
+    assert again.count() == 1
