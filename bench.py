@@ -97,11 +97,18 @@ def main() -> None:
     queries = {"b1": b1, "b2": b2, "b3": b3, "b4": b4, "b5": b5,
                "b6": b6, "b7": b7, "b8": b8, "b9": b9, "b10": b10}
 
+    from incubator_hugegraph_spark.graph import free_scratch
+
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         t0 = time.monotonic()
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
+        # the query's result is consumed (count above): drop its
+        # checkpointed intermediates so dead frontier/vector blocks
+        # don't pile up in storage memory across the suite (a real
+        # service would do the same between requests)
+        free_scratch(spark)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -30,6 +30,7 @@ from incubator_hugegraph_spark.graph import (
     cap_degree,
     checkpointed,
     no_aqe,
+    release_ckpt,
 )
 
 # Broadcast the O(|V|) rank/component vector only while the per-round
@@ -104,6 +105,7 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
     # broadcast path the round plan's only exchanges are broadcasts,
     # so AQE is suspended for the loop (see no_aqe).
     with no_aqe(graph.spark) if bcast else nullcontext():
+        prev = ranks
         for t in range(rounds):
             contrib = (e.join(_r(ranks), on=e.src == ranks.id)
                        .select(F.col("dst").alias("id"),
@@ -140,6 +142,12 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
                 comp = (1.0 - total) / n
                 ranks = new.select(
                     "id", "deg", (F.col("rank") + F.lit(comp)).alias("rank"))
+                # round t is materialized — round t-1's checkpoint
+                # blocks are dead; free them now instead of waiting
+                # for JVM GC to notice (keeps 20-round loops flat and
+                # leaves no residue for the next query)
+                release_ckpt(prev)
+                prev = new
                 if changed is not None and changed < precision:
                     break
             else:
@@ -147,8 +155,12 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
                 comp = (1.0 - total) / n
                 ranks = new.select(
                     "id", "deg", (F.col("rank") + F.lit(comp)).alias("rank"))
+                release_ckpt(prev)
+                prev = new
     # the returned vector derives from the last round's checkpoint,
-    # not from e — safe to release the cached edge table
+    # not from e — safe to release the cached edge table and the last
+    # round's (now re-materialized) vector
     ranks = checkpointed(ranks.select("id", "rank"))
+    release_ckpt(prev)
     e.unpersist()
     return ranks

@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 from contextlib import nullcontext
 
 from incubator_hugegraph_spark.graph import (
-    BOTH, PropertyGraph, balanced, checkpointed, iterate_hygiene, no_aqe)
+    BOTH, PropertyGraph, balanced, checkpointed, iterate_hygiene, no_aqe,
+    release_ckpt)
 from incubator_hugegraph_spark.algorithms.pagerank import BROADCAST_VERTEX_LIMIT
 
 
@@ -54,6 +55,7 @@ def wcc(graph: PropertyGraph, labels: list[str] | None = None,
     # suspended since the round plan's only exchanges are broadcasts
     # (see graph.no_aqe / page_rank for the measured rationale)
     with no_aqe(graph.spark) if bcast else nullcontext():
+        prev = comp
         for k in range(rounds):
             nbr_min = (adj.join(_b(comp), on=adj.dst == comp.id)
                        .groupBy("src")
@@ -79,12 +81,23 @@ def wcc(graph: PropertyGraph, labels: list[str] | None = None,
                     (F.col("component") != F.col("old")).cast("int"))
                     .alias("d")).collect()[0]["d"]
                 comp = new.select("id", "component")
+                # round k materialized — free round k-1's blocks now
+                # (see page_rank: keeps long loops flat, no residue)
+                release_ckpt(prev)
+                prev = new
                 if not delta:
                     break
             else:
                 comp = iterate_hygiene(new.select("id", "component"),
                                        k + 1, every=3)
+                # only when this round MATERIALIZED a new checkpoint is
+                # the previous one dead (non-checkpoint rounds still
+                # derive lazily from prev)
+                if getattr(comp, "_ckpt_jrdd", None) is not None:
+                    release_ckpt(prev)
+                    prev = comp
     comp = checkpointed(comp)
+    release_ckpt(prev)
     adj.unpersist()
     return comp
 

@@ -211,9 +211,20 @@ def checkpointed(df: DataFrame, eager: bool = True) -> DataFrame:
     spark = df.sparkSession
     try:
         jdf = d._jdf
+        jrdd = jdf.queryExecution().toRdd()
         jnew = spark._jsparkSession.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False)
-        return DataFrame(jnew, spark)
+            jrdd, jdf.schema(), False)
+        out = DataFrame(jnew, spark)
+        # Track the checkpoint's storage handle: a localCheckpoint RDD
+        # stays persisted until JVM GC notices the weak reference — in
+        # a long session (or a 10-query benchmark) that lag piles
+        # gigabytes of dead frontier/vector blocks into the executors
+        # and slows every later query. Loops release the previous
+        # round's vector via release_ckpt(); callers drop a finished
+        # query's scratch with free_scratch().
+        out._ckpt_jrdd = jrdd
+        _SCRATCH.append(jrdd)
+        return out
     except Exception:
         # internalCreateDataFrame is private[sql] (public in bytecode,
         # reachable via py4j on every Spark 4.x we target) — if a
@@ -221,6 +232,39 @@ def checkpointed(df: DataFrame, eager: bool = True) -> DataFrame:
         # correct, just exposed to the stats-growth pathology on very
         # deep loops.
         return d
+
+
+#: java RDD handles of live operator checkpoints (one local session
+#: per process — a plain list is the right registry).
+_SCRATCH: list = []
+
+
+def release_ckpt(df: DataFrame) -> None:
+    """Free ONE checkpoint's storage (non-blocking). Only call when
+    the data is provably dead: a localCheckpoint truncates lineage, so
+    an unpersisted checkpoint cannot be recomputed — any still-lazy
+    result that reads it would fail. Iterative loops call this on the
+    round-(t-1) vector right after round t materializes."""
+    jrdd = getattr(df, "_ckpt_jrdd", None)
+    if jrdd is not None:
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass
+
+
+def free_scratch(spark: SparkSession) -> None:
+    """Release EVERY tracked operator checkpoint of this session.
+
+    Call between queries (after the previous result is fully consumed
+    and discarded — bench.py does this between B-queries). NOT safe
+    while a lazily-derived result of an earlier operator call is still
+    pending: its checkpointed intermediates lose their only copy."""
+    while _SCRATCH:
+        try:
+            _SCRATCH.pop().unpersist(False)
+        except Exception:
+            pass
 
 
 class GraphVariables:
