@@ -933,9 +933,24 @@ ORDER BY ROUND(rank, 9) DESC, id LIMIT 50""")
 def page_rank_q(spark, sf_dir):
     """page_rank job (rank/PageRankAlgorithm.java:47-90), exact
     reference formula (alpha = teleport, lost-mass compensation),
-    fixed 3 rounds for oracle parity; top-50 by (rounded rank, id)."""
+    fixed 3 rounds for oracle parity; top-50 by (rounded rank, id).
+    Pinned to the DISTRIBUTED loop — the 100 TB path stays
+    oracle-gated; `page_rank_ram` gates the hot-graph kernel."""
     from incubator_hugegraph_spark.algorithms.pagerank import page_rank
-    r = page_rank(_graph(spark, sf_dir), alpha=0.15, fixed_rounds=3)
+    r = page_rank(_graph(spark, sf_dir), alpha=0.15, fixed_rounds=3,
+                  engine="dist")
+    return (r.select("id", F.round("rank", 9).alias("rank"))
+            .orderBy(F.desc("rank"), F.asc("id")).limit(50))
+
+
+@_q("page_rank_ram", _pagerank_sql(3))
+def page_rank_ram_q(spark, sf_dir):
+    """Same computation through the RamTable-style in-memory kernel
+    (ram.py — reference hot-graph mode, RamTable.java:63-73), same
+    oracle: both engines must hash-match the same SQL."""
+    from incubator_hugegraph_spark.algorithms.pagerank import page_rank
+    r = page_rank(_graph(spark, sf_dir), alpha=0.15, fixed_rounds=3,
+                  engine="ram")
     return (r.select("id", F.round("rank", 9).alias("rank"))
             .orderBy(F.desc("rank"), F.asc("id")).limit(50))
 
@@ -965,6 +980,15 @@ def wcc_q(spark, sf_dir):
     min-id propagation, fixed 8 rounds for oracle parity."""
     from incubator_hugegraph_spark.algorithms.wcc import wcc
     return wcc(_graph(spark, sf_dir), fixed_rounds=8)
+
+
+@_q("wcc_ram", _wcc_sql(8))
+def wcc_ram_q(spark, sf_dir):
+    """weak_connected_component through the RamTable-style kernel
+    (ram.py), run to FIXPOINT; the 8-round oracle equals the converged
+    map at sf0.01 (same argument as `wcc_star`)."""
+    from incubator_hugegraph_spark.algorithms.wcc import wcc
+    return wcc(_graph(spark, sf_dir), engine="ram")
 
 
 @_q("wcc_star", _wcc_sql(8))

@@ -55,9 +55,20 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
               max_times: int = 20, precision: float = 1e-7,
               direction: str = OUT, labels: list[str] | None = None,
               max_degree: int = NO_LIMIT,
-              fixed_rounds: int | None = None) -> DataFrame:
+              fixed_rounds: int | None = None,
+              engine: str = "auto") -> DataFrame:
     """Returns (id, rank). fixed_rounds forces exactly N rounds with no
-    convergence check (deterministic partial result for oracle parity)."""
+    convergence check (deterministic partial result for oracle parity).
+
+    ``engine``: 'auto' takes the RamTable-style in-memory kernel
+    (ram.py — the reference's hot-graph mode, RamTable.java) when the
+    edge count fits, else the distributed loop below; 'ram'/'dist'
+    force a path. Both paths are oracle-gated in the driver harness."""
+    if engine != "dist" and max_degree == NO_LIMIT:
+        from incubator_hugegraph_spark.ram import ram_fits, ram_page_rank
+        if engine == "ram" or ram_fits(graph):
+            return ram_page_rank(graph, alpha, max_times, precision,
+                                 direction, labels, fixed_rounds)
     e = graph.adj(direction, labels).select("src", "dst")
     e = cap_degree(e, max_degree, order_cols=("dst",))
     # (src, dst) hash-partitioned by DST and persisted (NOT

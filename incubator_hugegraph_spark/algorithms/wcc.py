@@ -27,8 +27,18 @@ from incubator_hugegraph_spark.algorithms.pagerank import BROADCAST_VERTEX_LIMIT
 
 
 def wcc(graph: PropertyGraph, labels: list[str] | None = None,
-        fixed_rounds: int | None = None, max_rounds: int = 50) -> DataFrame:
-    """Returns (id, component) — component = min reachable vertex id."""
+        fixed_rounds: int | None = None, max_rounds: int = 50,
+        engine: str = "auto") -> DataFrame:
+    """Returns (id, component) — component = min reachable vertex id.
+
+    ``engine``: 'auto' takes the RamTable-style in-memory kernel
+    (ram.py) when the edge count fits AND the caller wants the
+    fixpoint (fixed_rounds pins per-round semantics only the
+    distributed loop has); 'ram'/'dist' force a path."""
+    if engine != "dist" and fixed_rounds is None:
+        from incubator_hugegraph_spark.ram import ram_fits, ram_wcc
+        if engine == "ram" or ram_fits(graph):
+            return ram_wcc(graph, labels)
     # the adjacency is reused every round: dedup once, hash-partition
     # by SRC and persist with the repartition visible to Catalyst so
     # each round's groupBy(src) min-aggregation runs directly on the

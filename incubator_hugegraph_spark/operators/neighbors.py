@@ -100,19 +100,84 @@ def edge_exists(graph: PropertyGraph, src: str, dst: str,
     return e.filter(cond).select("src", "dst", "label", "sort_values")
 
 
+def _step_adj(graph: PropertyGraph, st: dict) -> DataFrame:
+    return prepared_adj(graph, st.get("direction", OUT),
+                        st.get("labels"), st.get("max_degree", NO_LIMIT),
+                        st.get("skip_degree", NO_LIMIT))
+
+
 def count_steps(graph: PropertyGraph, source: str,
-                steps: list[dict], dedup: bool = False) -> DataFrame:
+                steps: list[dict], dedup: bool = False,
+                dedup_size: int = 0,
+                contains_traversed: bool = False) -> DataFrame:
     """Multi-step count (CountTraverser.java:47-…): expand through
-    ``steps`` (each {direction, labels, max_degree}) and count the
-    elements reached at the final step. ``dedup`` → distinct vertices,
-    else multiset count of arrivals. Returns (cnt)."""
-    cur = graph.spark.createDataFrame([(source,)], "id string")
-    for i, st in enumerate(steps):
-        adj = prepared_adj(graph, st.get("direction", OUT),
-                           st.get("labels"), st.get("max_degree", NO_LIMIT))
-        cur = (adj.join(F.broadcast(cur), on=adj.src == cur.id)
-               .select(F.col("dst").alias("id")))
-        # multiset semantics between steps: every arrival continues
-    if dedup:
-        cur = cur.distinct()
-    return cur.agg(F.count(F.lit(1)).alias("cnt"))
+    ``steps`` (each {direction, labels, max_degree, skip_degree}) and
+    count the edges traversed at the final step. Returns (cnt).
+
+    ``dedup_size`` mirrors CountTraverser's global dedupSet (default
+    1000000 in the REST API; 0 = off, -1 = unbounded): a vertex is
+    expanded at most once across the whole traversal, and final-layer
+    targets are counted once. Documented deviation: the reference
+    applies the set during a LAZY depth-first interleave of the step
+    iterators, so whether a vertex is "expanded" or "counted" can
+    depend on backend edge order (CountApiTest's count=3 arises from
+    created-label edges sorting before knows ones); ours is
+    level-synchronous (each layer fully dedups against the previous
+    layers) which is deterministic and order-independent — the natural
+    set-oriented semantics at scale. A positive ``dedup_size`` caps
+    the visited set: once full, further vertices may be re-expanded
+    (we admit min-id first, deterministically).
+
+    ``contains_traversed`` adds the source and every intermediate edge
+    to the count (CountTraverser.java:56-60,100-108).
+
+    ``dedup`` → distinct final arrivals (legacy flag, kept for the
+    simple distinct-count form)."""
+    spark = graph.spark
+    n = len(steps)
+    cur = spark.createDataFrame([(source,)], "id string")
+    parts: list[DataFrame] = []
+    if contains_traversed:
+        parts.append(spark.createDataFrame([(1,)], "cnt bigint"))
+
+    def _cnt(df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+    if not dedup_size:
+        for i, st in enumerate(steps):
+            adj = _step_adj(graph, st)
+            cur = (adj.join(F.broadcast(cur), on=adj.src == cur.id)
+                   .select(F.col("dst").alias("id")))
+            # multiset semantics between steps: every arrival continues
+            if contains_traversed and i < n - 1:
+                parts.append(_cnt(cur))
+        parts.append(_cnt(cur.distinct() if dedup else cur))
+    else:
+        capped = dedup_size > 0 and dedup_size != NO_LIMIT
+        visited = cur
+        arrivals = cur  # level-0 "arrivals" = the source itself
+        for i, st in enumerate(steps[:-1]):
+            srcs = (arrivals if i == 0 else
+                    arrivals.distinct().join(visited, on="id",
+                                             how="left_anti"))
+            if i > 0:
+                add = srcs
+                if capped:
+                    room = max(dedup_size - visited.count(), 0)
+                    add = srcs.orderBy("id").limit(room)
+                visited = visited.unionByName(add).localCheckpoint()
+            arrivals = (_step_adj(graph, st)
+                        .join(F.broadcast(srcs), on=F.col("src") == srcs.id)
+                        .select(F.col("dst").alias("id")))
+            if contains_traversed:
+                parts.append(_cnt(arrivals))
+        last_src = (arrivals if n == 1 else
+                    arrivals.distinct().join(visited, on="id",
+                                             how="left_anti"))
+        parts.append(_cnt(
+            _step_adj(graph, steps[-1])
+            .join(F.broadcast(last_src), on=F.col("src") == last_src.id)))
+    total = parts[0]
+    for p in parts[1:]:
+        total = total.unionByName(p)
+    return total.agg(F.sum("cnt").cast("bigint").alias("cnt"))

@@ -126,3 +126,39 @@ def test_wcc_star_matches_propagation(spark, graph):
     b = {r["id"]: r["component"] for r in wcc_star(g).collect()}
     assert a == b
     assert len(set(a.values())) == 6  # chain + 3 pairs + 2 isolated
+
+
+def test_ram_kernels_match_distributed(graph):
+    """RamTable-style kernels (ram.py — RamTable.java precedent) must
+    equal the distributed loops at oracle precision: page_rank bitwise
+    at round-9, wcc exactly."""
+    from pyspark.sql import functions as F
+    from incubator_hugegraph_spark.algorithms.pagerank import page_rank
+    from incubator_hugegraph_spark.algorithms.wcc import wcc
+
+    a = page_rank(graph, alpha=0.15, fixed_rounds=3, engine="dist") \
+        .select("id", F.round("rank", 9).alias("r"))
+    b = page_rank(graph, alpha=0.15, fixed_rounds=3, engine="ram") \
+        .select("id", F.round("rank", 9).alias("r2"))
+    j = a.join(b, on="id")
+    assert j.count() == a.count()
+    assert j.filter(F.col("r") != F.col("r2")).count() == 0
+
+    c = wcc(graph, engine="dist")
+    d = wcc(graph, engine="ram")
+    j = c.join(d.withColumnRenamed("component", "c2"), on="id")
+    assert j.count() == c.count()
+    assert j.filter(F.col("component") != F.col("c2")).count() == 0
+
+
+def test_ram_page_rank_convergence_semantics(graph):
+    """The ram kernel honors precision/max_times the same way: with an
+    impossible precision it runs max_times rounds and equals the
+    distributed fixed-round result."""
+    from pyspark.sql import functions as F
+    from incubator_hugegraph_spark.algorithms.pagerank import page_rank
+    a = page_rank(graph, alpha=0.15, max_times=4, precision=0.0,
+                  engine="ram").select("id", F.round("rank", 9).alias("r"))
+    b = page_rank(graph, alpha=0.15, fixed_rounds=4, engine="dist") \
+        .select("id", F.round("rank", 9).alias("r2"))
+    assert a.join(b, on="id").filter(F.col("r") != F.col("r2")).count() == 0

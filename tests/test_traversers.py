@@ -430,3 +430,51 @@ def test_edges_api_scenario(marko_graph):
     again = marko_graph.edges_by_ids(
         [(rows[0].src, rows[0].label, rows[0].sort_values, rows[0].dst)])
     assert again.count() == 1
+
+
+def test_adamic_adar_api_scenario(marko_graph):
+    """Ported AdamicAdarAPITest.testGet (marko↔josh, BOTH): common
+    neighbor is peter only (marko: {peter, ripple}, josh: {peter,
+    vadas}); deg(peter)=3 so adamic_adar = 1/ln(3)
+    (PredictionTraverser.adamicAdar :36-52)."""
+    from incubator_hugegraph_spark.operators.neighbors import adamic_adar
+    row = adamic_adar(marko_graph, "person!marko", "person!josh").head()
+    assert row.score == pytest.approx(0.910239, abs=1e-6)
+
+
+def test_resource_allocation_api_scenario(marko_graph):
+    """Ported ResourceAllocationAPITest.testGet (marko↔josh, BOTH):
+    resource_allocation = 1/deg(peter) = 1/3
+    (PredictionTraverser.resourceAllocation :53-…)."""
+    from incubator_hugegraph_spark.operators.neighbors import (
+        resource_allocation)
+    row = resource_allocation(marko_graph, "person!marko",
+                              "person!josh").head()
+    assert row.score == pytest.approx(0.333333, abs=1e-6)
+
+
+def test_count_api_scenario(marko_graph):
+    """Ported CountApiTest.testCount (marko, 3 BOTH steps, default
+    dedup_size=1000000). DOCUMENTED DEVIATION: the reference returns 3
+    because its lazy DFS interleave (CountTraverser.java:82-93)
+    expands ripple's subtree first (created-label edges sort before
+    knows), counting peter at the last layer (3 edges) and blocking
+    its middle-step expansion; our level-synchronous dedup expands
+    peter AND ripple at the middle step, leaving josh as the only
+    un-visited last-layer target (2 edges). Both satisfy the
+    each-vertex-once contract; ours is order-independent."""
+    from incubator_hugegraph_spark.operators.neighbors import count_steps
+    steps = [{"direction": "BOTH", "max_degree": 100,
+              "skip_degree": 100}] * 3
+    got = count_steps(marko_graph, "person!marko", steps,
+                      dedup_size=1_000_000).head().cnt
+    assert got == 2
+    # dedup off: every arrival continues — deterministic 11 by direct
+    # enumeration of the fixture (and identical to the reference's
+    # dedup_size=0 trace)
+    raw = count_steps(marko_graph, "person!marko", steps).head().cnt
+    assert raw == 11
+    # contains_traversed adds source + intermediate edges: 1 + 2 + 5
+    both = count_steps(marko_graph, "person!marko", steps,
+                       contains_traversed=True).head().cnt
+    assert both == 11 + 1 + 2 + 5
