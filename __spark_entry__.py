@@ -1042,9 +1042,25 @@ JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
 """)
 def triangle_count_q(spark, sf_dir):
     """triangle_count on the interacted graph
-    (comm/TriangleCountAlgorithm.java): oriented wedge + closing edge."""
+    (comm/TriangleCountAlgorithm.java): oriented wedge + closing edge.
+    Pinned to the DISTRIBUTED plan; `triangle_count_ram` gates the
+    in-memory wedge kernel against the same oracle."""
     from incubator_hugegraph_spark.algorithms.community import triangle_count
-    return triangle_count(_graph(spark, sf_dir), labels=["interacted"])
+    return triangle_count(_graph(spark, sf_dir), labels=["interacted"],
+                          engine="dist")
+
+
+@_q("triangle_count_ram", f"""
+WITH {_UND_IE}
+SELECT count(*) AS triangles
+FROM und e1 JOIN und e2 ON e2.a = e1.b
+JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+""")
+def triangle_count_ram_q(spark, sf_dir):
+    """Same count through the RamTable-style wedge kernel (ram.py)."""
+    from incubator_hugegraph_spark.algorithms.community import triangle_count
+    return triangle_count(_graph(spark, sf_dir), labels=["interacted"],
+                          engine="ram")
 
 
 @_q("cluster_coefficient", f"""

@@ -51,6 +51,14 @@ def main() -> None:
     graph.edges = graph.edges.persist()
     graph.vertices.count()
     graph.edges.count()
+    # untimed JVM warmup: exercise the codegen/join/agg paths once so
+    # b1 doesn't absorb first-query JIT compilation (standard harness
+    # practice; per-query numbers then measure the queries)
+    (graph.edges.groupBy("label").count()
+     .join(graph.vertices.groupBy("label").count(), on="label", how="left")
+     .count())
+    bfs(graph, [f"customer!{i}" for i in range(5)], depth=1,
+        direction="OUT").count()
 
     cust100 = [f"customer!{i}" for i in range(100)]
     # 10 customers × 10 parts → 100 customer→part shortest paths over

@@ -72,19 +72,44 @@ def _triangles(und: DataFrame, degree_ordered: bool = False) -> DataFrame:
         on=["y", "z"], how="left_semi")
 
 
+def _ram_ok(graph: PropertyGraph, engine: str) -> bool:
+    """Take the RamTable-style wedge kernel (ram.py) when allowed and
+    the graph fits; MemoryError from the wedge-volume guard falls back
+    to the distributed plan at the call sites."""
+    if engine == "dist":
+        return False
+    from incubator_hugegraph_spark.ram import ram_fits
+    return engine == "ram" or ram_fits(graph)
+
+
 def triangle_count(graph: PropertyGraph,
                    labels: list[str] | None = None,
-                   degree_ordered: bool = False) -> DataFrame:
+                   degree_ordered: bool = False,
+                   engine: str = "auto") -> DataFrame:
     """Total triangle count (TriangleCountAlgorithm.java): oriented
-    wedge join + closing-edge semi-join. Returns (triangles)."""
+    wedge join + closing-edge semi-join; in-memory wedge kernel on
+    hot graphs (engine='auto'/'ram'). Returns (triangles)."""
+    if _ram_ok(graph, engine):
+        from incubator_hugegraph_spark.ram import ram_triangle_count
+        try:
+            return ram_triangle_count(graph, labels)
+        except MemoryError:
+            pass
     tri = _triangles(undirected_edges(graph, labels), degree_ordered)
     return tri.agg(F.count(F.lit(1)).alias("triangles"))
 
 
 def triangles_per_vertex(graph: PropertyGraph,
                          labels: list[str] | None = None,
-                         degree_ordered: bool = False) -> DataFrame:
+                         degree_ordered: bool = False,
+                         engine: str = "auto") -> DataFrame:
     """(id, tri): triangles incident to each vertex."""
+    if _ram_ok(graph, engine):
+        from incubator_hugegraph_spark.ram import ram_triangles_per_vertex
+        try:
+            return ram_triangles_per_vertex(graph, labels)
+        except MemoryError:
+            pass
     tri = _triangles(undirected_edges(graph, labels), degree_ordered)
     corners = (tri.select(F.col("x").alias("id"))
                .unionAll(tri.select(F.col("y").alias("id")))
@@ -93,14 +118,15 @@ def triangles_per_vertex(graph: PropertyGraph,
 
 
 def cluster_coefficient(graph: PropertyGraph,
-                        labels: list[str] | None = None) -> DataFrame:
+                        labels: list[str] | None = None,
+                        engine: str = "auto") -> DataFrame:
     """Local clustering coefficient 2·tri/(deg·(deg-1)) per vertex with
     deg ≥ 2 (ClusterCoefficientAlgorithm.java). Returns (id, coeff)."""
     und = undirected_edges(graph, labels)
     deg = (und.select(F.col("a").alias("id"))
            .unionAll(und.select(F.col("b").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
-    tri = triangles_per_vertex(graph, labels)
+    tri = triangles_per_vertex(graph, labels, engine=engine)
     return (deg.filter(F.col("deg") >= 2)
             .join(tri, on="id", how="left")
             .select("id", F.round(

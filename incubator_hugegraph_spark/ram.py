@@ -145,3 +145,99 @@ def ram_wcc(graph: PropertyGraph,
     import pandas as pd
     return graph.spark.createDataFrame(
         pd.DataFrame({"id": ids, "component": ids[comp]}))
+
+
+def _und_indexed(graph: PropertyGraph, labels: list[str] | None):
+    """Canonical undirected simple edges as index pairs (a < b both as
+    strings and, equivalently, as lex-ordered indices)."""
+    ids, src, dst = _index_edges(graph, OUT, labels)
+    a = np.minimum(src, dst)
+    b = np.maximum(src, dst)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    n = len(ids)
+    key = a.astype(np.int64) * n + b
+    key = np.unique(key)
+    return ids, (key // n).astype(np.int64), (key % n).astype(np.int64), key
+
+
+def _segmented_arange(lengths: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), … concatenated (standard segmented arange)."""
+    total = int(lengths.sum())
+    cum = np.cumsum(lengths)
+    return np.arange(total) - np.repeat(cum - lengths, lengths)
+
+
+def _closed_wedge_chunks(graph: PropertyGraph,
+                         labels: list[str] | None,
+                         budget: int = 8_000_000):
+    """Yield (ids, x, y, z) index arrays of CLOSED wedges (=
+    triangles, one row each, apex x = id-smallest corner, y < z by
+    id) — the id-ordered orientation of
+    algorithms/community.py:_triangles — in chunks of ≤ ``budget``
+    wedges. Chunking keeps every scratch array ~100 MB instead of
+    materializing the full O(Σ C(d,2)) wedge set, so the kernel's
+    memory is bounded regardless of hub skew."""
+    ids, a, b, edge_key = _und_indexed(graph, labels)
+    n = len(ids)
+    # forward neighbor lists grouped by apex a (b ascending within
+    # each group because edge_key was sorted)
+    apex, counts = np.unique(a, return_counts=True)
+    # enumerate pairs (i < j) inside each apex group as "runs": for
+    # first-element rank i the run holds j = i+1 … d-1
+    offs = (np.cumsum(counts) - counts).astype(np.int64)
+    d2 = (counts - 1).astype(np.int64)
+    grp = d2 > 0
+    run_apex = np.repeat(apex[grp], d2[grp]).astype(np.int64)
+    run_off = np.repeat(offs[grp], d2[grp])
+    i = _segmented_arange(d2[grp])
+    run_len = np.repeat(counts[grp].astype(np.int64), d2[grp]) - 1 - i
+    run_start = run_off + i
+    cum = np.cumsum(run_len)
+    lo = 0
+    while lo < len(run_len):
+        hi = int(np.searchsorted(cum, (cum[lo - 1] if lo else 0) + budget))
+        hi = max(hi, lo + 1)
+        rl = run_len[lo:hi]
+        rs = run_start[lo:hi]
+        y_pos = np.repeat(rs, rl)
+        z_pos = np.repeat(rs + 1, rl) + _segmented_arange(rl)
+        x = np.repeat(run_apex[lo:hi], rl)
+        y = b[y_pos]
+        z = b[z_pos]
+        wedge_key = y * n + z
+        pos = np.searchsorted(edge_key, wedge_key)
+        pos[pos >= len(edge_key)] = len(edge_key) - 1
+        closed = edge_key[pos] == wedge_key
+        yield ids, x[closed], y[closed], z[closed]
+        lo = hi
+
+
+def ram_triangle_count(graph: PropertyGraph,
+                       labels: list[str] | None = None) -> DataFrame:
+    """Total triangle count via the in-memory wedge kernel. Returns
+    (triangles) — same schema as algorithms/community.triangle_count."""
+    total = 0
+    for _, x, _, _ in _closed_wedge_chunks(graph, labels):
+        total += len(x)
+    return graph.spark.createDataFrame([(total,)], "triangles bigint")
+
+
+def ram_triangles_per_vertex(graph: PropertyGraph,
+                             labels: list[str] | None = None) -> DataFrame:
+    """(id, tri): triangles incident to each vertex (only vertices in
+    ≥1 triangle appear — same contract as triangles_per_vertex)."""
+    import pandas as pd
+    tri = None
+    ids = None
+    for ids, x, y, z in _closed_wedge_chunks(graph, labels):
+        if tri is None:
+            tri = np.zeros(len(ids), dtype=np.int64)
+        tri += np.bincount(x, minlength=len(ids))
+        tri += np.bincount(y, minlength=len(ids))
+        tri += np.bincount(z, minlength=len(ids))
+    if tri is None:
+        return graph.spark.createDataFrame([], "id string, tri bigint")
+    nz = tri > 0
+    return graph.spark.createDataFrame(
+        pd.DataFrame({"id": ids[nz], "tri": tri[nz]}))

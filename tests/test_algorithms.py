@@ -162,3 +162,26 @@ def test_ram_page_rank_convergence_semantics(graph):
     b = page_rank(graph, alpha=0.15, fixed_rounds=4, engine="dist") \
         .select("id", F.round("rank", 9).alias("r2"))
     assert a.join(b, on="id").filter(F.col("r") != F.col("r2")).count() == 0
+
+
+def test_ram_triangles_match_distributed(graph):
+    """In-memory wedge kernel equals the distributed oriented-wedge
+    plan: total and per-vertex."""
+    from pyspark.sql import functions as F
+    from incubator_hugegraph_spark.algorithms.community import (
+        triangle_count, triangles_per_vertex)
+    a = triangle_count(graph, engine="dist").head().triangles
+    b = triangle_count(graph, engine="ram").head().triangles
+    assert a == b
+    ta = triangles_per_vertex(graph, engine="dist") \
+        .withColumnRenamed("tri", "t1")
+    tb = triangles_per_vertex(graph, engine="ram") \
+        .withColumnRenamed("tri", "t2")
+    j = ta.join(tb, on="id", how="full")
+    assert j.filter(F.coalesce("t1", F.lit(-1))
+                    != F.coalesce("t2", F.lit(-2))).count() == 0
+    # chunked enumeration must agree with itself at any budget
+    from incubator_hugegraph_spark.ram import _closed_wedge_chunks
+    small = sum(len(x) for _, x, _, _ in
+                _closed_wedge_chunks(graph, None, budget=1000))
+    assert small == a
