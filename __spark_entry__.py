@@ -331,7 +331,24 @@ def kout_2(spark, sf_dir):
     """kout depth=2 OUT, nearest=true (KoutTraverser.java:43-111):
     vertices exactly 2 steps from customer!1, not reachable sooner."""
     from incubator_hugegraph_spark.operators.bfs import kout
-    return kout(_graph(spark, sf_dir), "customer!1", 2, direction=OUT)
+    return kout(_graph(spark, sf_dir), "customer!1", 2, direction=OUT,
+                engine="dist")
+
+
+@_q("kout_2_ram", f"""
+WITH {E_SQL.strip()},
+l1 AS (SELECT DISTINCT e.dst AS id FROM edges e
+       WHERE e.src = 'customer!1' AND e.dst <> 'customer!1'),
+l2 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN l1 ON e.src = l1.id
+       WHERE e.dst NOT IN (SELECT id FROM l1) AND e.dst <> 'customer!1')
+SELECT id FROM l2
+""")
+def kout_2_ram(spark, sf_dir):
+    """Same kout through the RamTable-style CSR BFS (ram.py) — both
+    engines gated by the same oracle."""
+    from incubator_hugegraph_spark.operators.bfs import kout
+    return kout(_graph(spark, sf_dir), "customer!1", 2, direction=OUT,
+                engine="ram")
 
 
 @_q("sql_match_pattern", """
@@ -472,7 +489,8 @@ def kneighbor_2(spark, sf_dir):
     """kneighbor depth=2 BOTH (KneighborTraverser.java:39-74): all
     vertices within ≤2 steps of customer!1, source excluded."""
     from incubator_hugegraph_spark.operators.bfs import kneighbor
-    return kneighbor(_graph(spark, sf_dir), "customer!1", 2, direction=BOTH)
+    return kneighbor(_graph(spark, sf_dir), "customer!1", 2, direction=BOTH,
+                     engine="dist")
 
 
 @_q("same_neighbors", f"""

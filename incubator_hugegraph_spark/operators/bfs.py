@@ -91,9 +91,20 @@ def expand(frontier: DataFrame, adj: DataFrame) -> DataFrame:
 def bfs(graph: PropertyGraph, source_ids: list[str], depth: int,
         direction: str = OUT, labels: list[str] | None = None,
         max_degree: int = NO_LIMIT, skip_degree: int = NO_LIMIT,
-        capacity: int = NO_LIMIT) -> DataFrame:
+        capacity: int = NO_LIMIT, engine: str = "auto") -> DataFrame:
     """Multi-source BFS → (id, dist), dist = first-reach layer
-    (0 for sources). Global dedup ⇒ 'nearest' semantics."""
+    (0 for sources). Global dedup ⇒ 'nearest' semantics.
+
+    ``engine``: 'auto' serves hot graphs from the RamTable-style CSR
+    (ram.py) when no degree guard is in play — the reference answers
+    these same traversals from RamTable when loaded; 'dist' forces
+    the distributed frontier loop (the 100 TB path)."""
+    if (engine != "dist" and max_degree == NO_LIMIT
+            and skip_degree == NO_LIMIT):
+        from incubator_hugegraph_spark.ram import ram_bfs, ram_fits
+        if engine == "ram" or ram_fits(graph):
+            return ram_bfs(graph, source_ids, depth, direction, labels,
+                           capacity)
     adj = loop_adj(graph, direction, labels, max_degree, depth,
                    skip_degree)
     frontier = sources_df(graph, source_ids)
@@ -126,7 +137,7 @@ def kout(graph: PropertyGraph, source: str, depth: int,
          direction: str = OUT, labels: list[str] | None = None,
          nearest: bool = True, max_degree: int = NO_LIMIT,
          skip_degree: int = NO_LIMIT, capacity: int = NO_LIMIT,
-         limit: int = NO_LIMIT) -> DataFrame:
+         limit: int = NO_LIMIT, engine: str = "auto") -> DataFrame:
     """kout: vertices exactly ``depth`` steps away.
 
     nearest=True → not reachable by any shorter path (BFS layers with
@@ -136,7 +147,7 @@ def kout(graph: PropertyGraph, source: str, depth: int,
     """
     if nearest:
         out = (bfs(graph, [source], depth, direction, labels, max_degree,
-                   skip_degree, capacity)
+                   skip_degree, capacity, engine=engine)
                .filter(F.col("dist") == depth).select("id"))
     else:
         adj = loop_adj(graph, direction, labels, max_degree, depth,
@@ -240,11 +251,11 @@ def customized_kneighbor(graph: PropertyGraph, source: str,
 def kneighbor(graph: PropertyGraph, source: str, depth: int,
               direction: str = BOTH, labels: list[str] | None = None,
               max_degree: int = NO_LIMIT, skip_degree: int = NO_LIMIT,
-              limit: int = NO_LIMIT) -> DataFrame:
+              limit: int = NO_LIMIT, engine: str = "auto") -> DataFrame:
     """kneighbor: all vertices within ≤ depth steps, source excluded
     (KneighborTraverser.java:39-74). Returns (id, dist)."""
     vis = (bfs(graph, [source], depth, direction, labels, max_degree,
-               skip_degree)
+               skip_degree, engine=engine)
            .filter(F.col("id") != source))
     if limit != NO_LIMIT:
         vis = vis.orderBy("dist", "id").limit(limit)

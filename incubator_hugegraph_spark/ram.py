@@ -241,3 +241,69 @@ def ram_triangles_per_vertex(graph: PropertyGraph,
     nz = tri > 0
     return graph.spark.createDataFrame(
         pd.DataFrame({"id": ids[nz], "tri": tri[nz]}))
+
+
+def _csr(graph: PropertyGraph, direction: str, labels: list[str] | None):
+    """Memoized CSR adjacency (ids, indptr, nbrs) — the literal
+    RamTable shape (RamTable.java keeps vertex→edge offsets + a flat
+    neighbor array)."""
+    cache = graph.__dict__.setdefault("_ram_cache", {})
+    key = ("csr", direction, tuple(labels) if labels else None)
+    if key in cache:
+        return cache[key]
+    ids, src, dst = _index_edges(graph, direction, labels)
+    n = len(ids)
+    order = np.argsort(src, kind="stable")
+    nbrs = dst[order]
+    counts = np.bincount(src, minlength=n)
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    cache[key] = (ids, indptr, nbrs)
+    return cache[key]
+
+
+def ram_bfs(graph: PropertyGraph, source_ids: list[str], depth: int,
+            direction: str = OUT, labels: list[str] | None = None,
+            capacity: int = -1) -> DataFrame:
+    """Multi-source BFS over the in-memory CSR — same contract as
+    operators/bfs.bfs: (id, dist), dist = first-reach layer, 0 for
+    sources (sources absent from the graph still appear at dist 0,
+    like the seed DataFrame does); capacity guard enforced both
+    per-frontier and cumulatively."""
+    import pandas as pd
+
+    from incubator_hugegraph_spark.graph import NO_LIMIT, CapacityExceeded
+
+    ids, indptr, nbrs = _csr(graph, direction, labels)
+    n = len(ids)
+    srcs = np.unique(np.asarray(source_ids, dtype="U"))
+    pos = np.searchsorted(ids, srcs)
+    posc = np.minimum(pos, max(n - 1, 0))
+    present = (ids[posc] == srcs) if n else np.zeros(len(srcs), dtype=bool)
+    f = posc[present]
+    dist = np.full(n, -1, dtype=np.int32)
+    dist[f] = 0
+    total = len(srcs)
+    for k in range(1, depth + 1):
+        cnt = indptr[f + 1] - indptr[f]
+        gpos = np.repeat(indptr[f], cnt) + _segmented_arange(cnt)
+        nbr = np.unique(nbrs[gpos])
+        new = nbr[dist[nbr] < 0]
+        if capacity != NO_LIMIT and len(new) > capacity:
+            raise CapacityExceeded(
+                f"frontier {len(new)} > capacity {capacity}")
+        if len(new) == 0:
+            break
+        dist[new] = k
+        f = new
+        if capacity != NO_LIMIT:
+            total += len(new)
+            if total > capacity:
+                raise RuntimeError(f"capacity {capacity} exceeded")
+    reached = dist >= 0
+    pdf = pd.DataFrame({"id": ids[reached], "dist": dist[reached]})
+    if (~present).any():
+        pdf = pd.concat([pdf, pd.DataFrame(
+            {"id": srcs[~present],
+             "dist": np.zeros((~present).sum(), dtype=np.int32)})],
+            ignore_index=True)
+    return graph.spark.createDataFrame(pdf)

@@ -478,3 +478,23 @@ def test_count_api_scenario(marko_graph):
     both = count_steps(marko_graph, "person!marko", steps,
                        contains_traversed=True).head().cnt
     assert both == 11 + 1 + 2 + 5
+
+
+def test_ram_bfs_matches_distributed(graph):
+    """RamTable-style CSR BFS (ram.py) equals the distributed frontier
+    loop on every direction, including absent sources and the
+    capacity guard."""
+    from incubator_hugegraph_spark.graph import CapacityExceeded
+    from incubator_hugegraph_spark.operators.bfs import bfs
+    srcs = [f"customer!{i}" for i in range(5)] + ["missing!0"]
+    for direction, depth in [("OUT", 3), ("BOTH", 2), ("IN", 2)]:
+        a = bfs(graph, srcs, depth, direction=direction, engine="dist")
+        b = bfs(graph, srcs, depth, direction=direction, engine="ram")
+        j = (a.withColumnRenamed("dist", "d1")
+             .join(b.withColumnRenamed("dist", "d2"), on="id", how="full"))
+        assert j.filter(F.coalesce("d1", F.lit(-9))
+                        != F.coalesce("d2", F.lit(-8))).count() == 0
+    for engine in ["dist", "ram"]:
+        with pytest.raises(RuntimeError):
+            bfs(graph, ["customer!1"], 3, direction="OUT", capacity=5,
+                engine=engine).count()
