@@ -810,10 +810,35 @@ ORDER BY jaccard DESC, id LIMIT 10
 """)
 def jaccard_top_q(spark, sf_dir):
     """jaccardsimilarity top-N mode
-    (JaccardSimilarTraverser.jaccardSimilars :80-101)."""
+    (JaccardSimilarTraverser.jaccardSimilars :80-101). Pinned to the
+    distributed set-algebra plan; `jaccard_top_ram` gates the
+    in-memory kernel against the same oracle."""
     from incubator_hugegraph_spark.operators.similarity import jaccard_top
     return jaccard_top(_graph(spark, sf_dir), "customer!1", 10,
-                       direction=BOTH, labels=["interacted"])
+                       direction=BOTH, labels=["interacted"],
+                       engine="dist")
+
+
+@_q("jaccard_top_ram", f"""
+WITH {IE_SQL.strip()},
+ib AS (SELECT src, dst FROM ie UNION SELECT dst AS src, src AS dst FROM ie),
+sn AS (SELECT dst AS n FROM ib WHERE src = 'customer!1'),
+deg AS (SELECT src, count(*) AS deg FROM ib GROUP BY src),
+inter AS (SELECT ib.src, count(*) AS inter FROM ib JOIN sn ON ib.dst = sn.n
+          WHERE ib.src <> 'customer!1' GROUP BY ib.src)
+SELECT i.src AS id,
+       ROUND(CAST(i.inter AS DOUBLE) / (d.deg + sd.deg - i.inter), 6)
+         AS jaccard
+FROM inter i JOIN deg d ON d.src = i.src
+CROSS JOIN (SELECT deg FROM deg WHERE src = 'customer!1') sd(deg)
+ORDER BY jaccard DESC, id LIMIT 10
+""")
+def jaccard_top_ram_q(spark, sf_dir):
+    """Same top-N through the RamTable-style CSR kernel (ram.py)."""
+    from incubator_hugegraph_spark.operators.similarity import jaccard_top
+    return jaccard_top(_graph(spark, sf_dir), "customer!1", 10,
+                       direction=BOTH, labels=["interacted"],
+                       engine="ram")
 
 
 @_q("fusiform_similarity", f"""

@@ -42,12 +42,19 @@ def _nbrs(graph: PropertyGraph, direction: str,
 
 def jaccard_top(graph: PropertyGraph, source: str, top: int,
                 direction: str = BOTH, labels: list[str] | None = None,
-                max_degree: int = NO_LIMIT) -> DataFrame:
+                max_degree: int = NO_LIMIT,
+                engine: str = "auto") -> DataFrame:
     """Top-N vertices most Jaccard-similar to ``source``
     (JaccardSimilarTraverser.jaccardSimilars :80-101). Candidates are
     the 2-hop neighborhood (any vertex sharing ≥1 neighbor). Returns
     (id, jaccard) — ties broken by id asc (deterministic deviation
     from the reference's insertion order)."""
+    if engine != "dist" and max_degree == NO_LIMIT:
+        from incubator_hugegraph_spark.ram import (ram_fits,
+                                                   ram_jaccard_top_batch)
+        if engine == "ram" or ram_fits(graph):
+            return ram_jaccard_top_batch(
+                graph, [source], top, direction, labels).drop("source")
     nbr = _nbrs(graph, direction, labels, max_degree)
     src_n = nbr.filter(F.col("src") == source) \
         .select(F.col("dst").alias("n"))
@@ -69,11 +76,18 @@ def jaccard_top(graph: PropertyGraph, source: str, top: int,
 def jaccard_top_batch(graph: PropertyGraph, sources: list[str], top: int,
                       direction: str = BOTH,
                       labels: list[str] | None = None,
-                      max_degree: int = NO_LIMIT) -> DataFrame:
+                      max_degree: int = NO_LIMIT,
+                      engine: str = "auto") -> DataFrame:
     """Batched jaccard_top: top-N similar vertices for EVERY source in
     one set-oriented job (the REST endpoint's batch form; a per-source
     driver loop would serialize |sources| Spark jobs). Returns
     (source, id, jaccard). Same semantics as jaccard_top per source."""
+    if engine != "dist" and max_degree == NO_LIMIT:
+        from incubator_hugegraph_spark.ram import (ram_fits,
+                                                   ram_jaccard_top_batch)
+        if engine == "ram" or ram_fits(graph):
+            return ram_jaccard_top_batch(graph, sources, top, direction,
+                                         labels)
     spark = graph.spark
     nbr = _nbrs(graph, direction, labels, max_degree)
     sdf = spark.createDataFrame([(s,) for s in sources], "source string")

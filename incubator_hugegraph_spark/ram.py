@@ -307,3 +307,75 @@ def ram_bfs(graph: PropertyGraph, source_ids: list[str], depth: int,
              "dist": np.zeros((~present).sum(), dtype=np.int32)})],
             ignore_index=True)
     return graph.spark.createDataFrame(pdf)
+
+
+def _csr_dedup(graph: PropertyGraph, direction: str,
+               labels: list[str] | None):
+    """CSR over DISTINCT neighbor pairs (set semantics — what the
+    similarity operators consume)."""
+    cache = graph.__dict__.setdefault("_ram_cache", {})
+    key = ("csr-dedup", direction, tuple(labels) if labels else None)
+    if key in cache:
+        return cache[key]
+    ids, src, dst = _index_edges(graph, direction, labels)
+    n = len(ids)
+    ek = np.unique(src.astype(np.int64) * n + dst)
+    s = (ek // n).astype(np.int64)
+    d = (ek % n).astype(np.int64)
+    nbrs = d  # already grouped by s ascending, d ascending within s
+    counts = np.bincount(s, minlength=n)
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    cache[key] = (ids, indptr, nbrs)
+    return cache[key]
+
+
+def _round_half_up6(x: np.ndarray) -> np.ndarray:
+    """ROUND(x, 6) with HALF_UP ties — Spark's F.round / DuckDB ROUND
+    semantics (numpy's default .round is half-even and would diverge
+    on exact 7th-decimal halves like 1/128)."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def ram_jaccard_top_batch(graph: PropertyGraph, sources: list[str],
+                          top: int, direction: str = BOTH,
+                          labels: list[str] | None = None) -> DataFrame:
+    """Batched top-N Jaccard similarity over the in-memory CSR — same
+    contract as operators/similarity.jaccard_top_batch: for each
+    source, candidates = 2-hop co-neighbors, jaccard =
+    |A∩B|/|A∪B| over distinct neighbor sets, top-N by
+    (jaccard desc, id asc). Returns (source, id, jaccard)."""
+    import pandas as pd
+
+    ids, indptr, nbrs = _csr_dedup(graph, direction, labels)
+    n = len(ids)
+    deg = (indptr[1:] - indptr[:-1]).astype(np.int64)
+    out_src: list = []
+    out_id: list = []
+    out_jac: list = []
+    for s_str in sources:
+        p = np.searchsorted(ids, s_str)
+        if p >= n or ids[p] != s_str:
+            continue
+        N = nbrs[indptr[p]:indptr[p + 1]]
+        if len(N) == 0:
+            continue
+        cnt = deg[N]
+        gpos = np.repeat(indptr[N], cnt) + _segmented_arange(cnt)
+        z = nbrs[gpos]
+        inter = np.bincount(z, minlength=n)
+        cand = np.flatnonzero(inter)
+        cand = cand[cand != p]
+        c = inter[cand].astype(np.float64)
+        jac = _round_half_up6(c / (deg[cand] + len(N) - inter[cand]))
+        # top-N by (jaccard desc, id asc): cand is id-ascending, and
+        # a stable sort on -jac preserves that order within ties
+        order = np.argsort(-jac, kind="stable")[:top]
+        sel = cand[order]
+        out_src.extend([s_str] * len(sel))
+        out_id.extend(ids[sel])
+        out_jac.extend(jac[order])
+    if not out_src:
+        return graph.spark.createDataFrame(
+            [], "source string, id string, jaccard double")
+    return graph.spark.createDataFrame(pd.DataFrame(
+        {"source": out_src, "id": out_id, "jaccard": out_jac}))

@@ -498,3 +498,18 @@ def test_ram_bfs_matches_distributed(graph):
         with pytest.raises(RuntimeError):
             bfs(graph, ["customer!1"], 3, direction="OUT", capacity=5,
                 engine=engine).count()
+
+
+def test_ram_jaccard_matches_distributed(graph):
+    """In-memory jaccard kernel equals the distributed set algebra
+    (values bit-equal after the shared HALF_UP round-6)."""
+    from incubator_hugegraph_spark.operators.similarity import (
+        jaccard_top_batch)
+    srcs = [f"customer!{i}" for i in range(10)] + ["missing!7"]
+    a = jaccard_top_batch(graph, srcs, 20, engine="dist") \
+        .withColumnRenamed("jaccard", "j1")
+    b = jaccard_top_batch(graph, srcs, 20, engine="ram") \
+        .withColumnRenamed("jaccard", "j2")
+    j = a.join(b, on=["source", "id"], how="full")
+    assert j.filter(F.coalesce("j1", F.lit(-1))
+                    != F.coalesce("j2", F.lit(-2))).count() == 0
