@@ -493,6 +493,26 @@ def kneighbor_2(spark, sf_dir):
                      engine="dist")
 
 
+@_q("rest_kneighbor", f"""
+WITH {ADJ_SQL.strip()},
+l1 AS (SELECT DISTINCT a.dst AS id FROM adj a
+       WHERE a.src = 'customer!1' AND a.dst <> 'customer!1'),
+l2 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN l1 ON a.src = l1.id
+       WHERE a.dst NOT IN (SELECT id FROM l1) AND a.dst <> 'customer!1')
+SELECT id, 1 AS dist FROM l1
+UNION ALL SELECT id, 2 AS dist FROM l2
+""")
+def rest_kneighbor_q(spark, sf_dir):
+    """The same kneighbor answered through the REST request adapter
+    (rest.execute) with the reference's literal GET parameter shape —
+    gates the payload-compatibility surface, not just the Python API.
+    (Reference default max_degree=10000 never binds at sf0.01, so the
+    capless oracle is exact.)"""
+    from incubator_hugegraph_spark.rest import execute
+    return execute(_graph(spark, sf_dir), "kneighbor",
+                   {"source": '"customer!1"', "max_depth": 2})
+
+
 @_q("same_neighbors", f"""
 WITH {ADJ_SQL.strip()},
 na AS (SELECT DISTINCT dst FROM adj WHERE src = 'customer!1'),

@@ -1,0 +1,434 @@
+"""REST request adapter: execute reference-shaped requests verbatim.
+
+The registry in ``api.py`` answers "which DataFrame program implements
+endpoint X"; this module answers "can the reference's actual request
+PAYLOADS run unchanged". ``execute(graph, endpoint, request)`` accepts
+the literal query-parameter / JSON-body shapes of the reference's
+traverser REST API (`api/api/traversers/*API.java` request classes —
+same parameter names, same defaults from
+`HugeTraverser.java:84-92`: max_degree 10000, capacity 10,000,000,
+elements limit 10,000,000, paths limit 10) and dispatches to the
+engine. Ids may arrive JSON-quoted (the REST layer's
+`HugeVertex.getIdValue` parses them) — quotes are stripped.
+
+Tests feed request bodies copied verbatim from the reference's API
+tests (`test/api/traversers/*ApiTest.java`) through this adapter and
+assert the reference's expected outputs.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+from incubator_hugegraph_spark.graph import BOTH, NO_LIMIT, OUT, PropertyGraph
+
+# HugeTraverser.java:84-92
+DEFAULT_MAX_DEGREE = 10_000
+DEFAULT_CAPACITY = 10_000_000
+DEFAULT_ELEMENTS_LIMIT = 10_000_000
+DEFAULT_PATHS_LIMIT = 10
+DEFAULT_LIMIT = 100
+
+
+def _id(v) -> str:
+    """Parse a REST id value: plain string or JSON-quoted string."""
+    if isinstance(v, str) and len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+        return json.loads(v)
+    return str(v)
+
+
+def _labels(req: dict) -> list[str] | None:
+    lab = req.get("label") or req.get("labels")
+    if lab is None or lab == []:
+        return None
+    return [lab] if isinstance(lab, str) else list(lab)
+
+
+_P_OPS = {"eq": "eq", "gt": "gt", "gte": "gte", "lt": "lt", "lte": "lte"}
+
+
+def _pred(v):
+    """Parse a step property filter value: the reference accepts
+    literals (equality) or TraversalUtil predicate strings like
+    "P.gt(0.1)" (api/traversers/… properties maps)."""
+    if isinstance(v, str) and v.startswith("P."):
+        op, _, rest = v[2:].partition("(")
+        if op not in _P_OPS or not rest.endswith(")"):
+            raise NotImplementedError(f"predicate {v!r}")
+        arg = rest[:-1]
+        try:
+            num = float(arg)
+        except ValueError:
+            num = json.loads(arg) if arg.startswith('"') else arg
+        return (_P_OPS[op], num)
+    return ("eq", v)
+
+
+def _vsel(graph: PropertyGraph, sel: dict) -> list[str]:
+    """Resolve a reference `Vertices` selector ({ids} or
+    {label, properties}) to an id list. Selector result sets are
+    request-sized (the reference materializes them on the server the
+    same way: TraverserAPI.vertices)."""
+    if sel.get("ids"):
+        return [_id(i) for i in sel["ids"]]
+    from pyspark.sql import functions as F
+    v = graph.vertices
+    if sel.get("label"):
+        v = v.filter(F.col("label") == sel["label"])
+    for k, val in (sel.get("properties") or {}).items():
+        v = v.filter(F.element_at(F.col("props"), F.lit(k)) == str(val))
+    return [r.id for r in v.select("id").collect()]
+
+
+def _steps_spec(spec: dict, max_depth: int) -> list[dict]:
+    """Translate the newer `Steps` POST shape (direction +
+    edge_steps[{label, properties}] + max_degree/skip_degree, applied
+    at EVERY level up to max_depth — KoutAPI/KneighborAPI Request) to
+    the engine's per-level step dicts."""
+    es = spec.get("edge_steps") or []
+    props_sets = [{k: _pred(v) for k, v in (s.get("properties") or {}).items()}
+                  for s in es]
+    if props_sets and any(p != props_sets[0] for p in props_sets[1:]):
+        raise NotImplementedError(
+            "per-edge-label differing property filters in one Steps spec")
+    st = {
+        "direction": (spec.get("direction") or BOTH).upper(),
+        "labels": [s["label"] for s in es] or None,
+        "max_degree": int(spec.get("max_degree", DEFAULT_MAX_DEGREE)),
+        "skip_degree": int(spec.get("skip_degree", 0)) or NO_LIMIT,
+    }
+    if st["max_degree"] == -1:
+        st["max_degree"] = NO_LIMIT
+    if props_sets and props_sets[0]:
+        st["props"] = props_sets[0]
+    return [dict(st) for _ in range(max_depth)]
+
+
+def _dir(req: dict, default: str = BOTH) -> str:
+    return (req.get("direction") or default).upper()
+
+
+def _deg(req: dict) -> int:
+    d = int(req.get("max_degree", req.get("degree", DEFAULT_MAX_DEGREE)))
+    return NO_LIMIT if d == -1 else d
+
+
+def _step(st: dict) -> dict:
+    """Normalize a reference Step/EdgeStep JSON object to the engine's
+    step dict (direction/labels/max_degree/skip_degree/props/top)."""
+    out = {
+        # CountAPI.Step documents BOTH as the default; the other APIs'
+        # Step classes require an explicit direction (null would NPE
+        # server-side), so BOTH is the only observable default
+        "direction": (st.get("direction") or BOTH).upper(),
+        "labels": _labels(st),
+        "max_degree": int(st.get("max_degree",
+                                 st.get("degree", DEFAULT_MAX_DEGREE))),
+        "skip_degree": int(st.get("skip_degree", 0)) or NO_LIMIT,
+    }
+    if out["max_degree"] == -1:
+        out["max_degree"] = NO_LIMIT
+    if st.get("properties"):
+        out["props"] = {k: _pred(v) for k, v in st["properties"].items()}
+    if "top" in st:
+        out["top"] = int(st["top"])
+    if "max_times" in st:
+        out["max_times"] = int(st["max_times"])
+    return out
+
+
+def _exec_kout(graph, req):
+    from incubator_hugegraph_spark.operators.bfs import (customized_kout,
+                                                         kout)
+    if "steps" in req:  # POST form (KoutAPI Request: Steps + max_depth)
+        reps = _steps_spec(req["steps"], int(req["max_depth"]))
+        return customized_kout(graph, _id(req["source"]), reps,
+                               nearest=bool(req.get("nearest", True)),
+                               limit=int(req.get("limit",
+                                                 DEFAULT_ELEMENTS_LIMIT)))
+    return kout(graph, _id(req["source"]), int(req["max_depth"]),
+                direction=_dir(req), labels=_labels(req),
+                nearest=bool(req.get("nearest", True)),
+                max_degree=_deg(req),
+                capacity=int(req.get("capacity", DEFAULT_CAPACITY)),
+                limit=int(req.get("limit", DEFAULT_ELEMENTS_LIMIT)))
+
+
+def _exec_kneighbor(graph, req):
+    from incubator_hugegraph_spark.operators.bfs import (
+        customized_kneighbor, kneighbor)
+    if "steps" in req:  # POST form (KneighborAPI Request)
+        reps = _steps_spec(req["steps"], int(req["max_depth"]))
+        return customized_kneighbor(
+            graph, _id(req["source"]), reps,
+            limit=int(req.get("limit", DEFAULT_ELEMENTS_LIMIT)))
+    return kneighbor(graph, _id(req["source"]), int(req["max_depth"]),
+                     direction=_dir(req), labels=_labels(req),
+                     max_degree=_deg(req),
+                     limit=int(req.get("limit", DEFAULT_ELEMENTS_LIMIT)))
+
+
+def _exec_shortestpath(graph, req):
+    from incubator_hugegraph_spark.operators.paths import shortest_path
+    return shortest_path(graph, _id(req["source"]), _id(req["target"]),
+                         int(req["max_depth"]), direction=_dir(req),
+                         labels=_labels(req), max_degree=_deg(req),
+                         skip_degree=int(req.get("skip_degree", 0))
+                         or NO_LIMIT)
+
+
+def _exec_allshortestpaths(graph, req):
+    from incubator_hugegraph_spark.operators.paths import all_shortest_paths
+    return all_shortest_paths(graph, _id(req["source"]), _id(req["target"]),
+                              int(req["max_depth"]), direction=_dir(req),
+                              labels=_labels(req), max_degree=_deg(req))
+
+
+def _weighted(graph, req):
+    from incubator_hugegraph_spark.operators.weighted import weighted_adj
+    return weighted_adj(graph, req["weight"], direction=_dir(req),
+                        labels=_labels(req))
+
+
+def _exec_sssp(graph, req):
+    from incubator_hugegraph_spark.operators.weighted import sssp
+    out = sssp(graph, _id(req["source"]), _weighted(graph, req))
+    limit = int(req.get("limit", DEFAULT_ELEMENTS_LIMIT))
+    return out.orderBy("dist", "id").limit(limit)
+
+
+def _exec_weightedshortestpath(graph, req):
+    from incubator_hugegraph_spark.operators.weighted import (
+        weighted_shortest_path)
+    return weighted_shortest_path(graph, _id(req["source"]),
+                                  _id(req["target"]),
+                                  _weighted(graph, req))
+
+
+def _exec_multinodeshortestpath(graph, req):
+    from incubator_hugegraph_spark.operators.paths import (
+        multi_node_shortest_path)
+    ids = _vsel(graph, req["vertices"])
+    st = _step(req.get("step", {}))
+    return multi_node_shortest_path(graph, ids, int(req["max_depth"]),
+                                    direction=st["direction"],
+                                    labels=st["labels"],
+                                    max_degree=st["max_degree"])
+
+
+def _exec_paths(graph, req):
+    from incubator_hugegraph_spark.operators.paths import (collection_paths,
+                                                           paths)
+    if "sources" in req:  # POST advanced form (PathsAPI Request)
+        st = _step(req.get("step", {}))
+        return collection_paths(
+            graph, _vsel(graph, req["sources"]),
+            _vsel(graph, req["targets"]),
+            int(req["max_depth"]), direction=st["direction"],
+            labels=st["labels"], max_degree=st["max_degree"],
+            nearest=bool(req.get("nearest", False)),
+            limit=int(req.get("limit", DEFAULT_PATHS_LIMIT)))
+    return paths(graph, _id(req["source"]), _id(req["target"]),
+                 int(req["max_depth"]), direction=_dir(req),
+                 labels=_labels(req), max_degree=_deg(req),
+                 limit=int(req.get("limit", DEFAULT_PATHS_LIMIT)))
+
+
+def _exec_crosspoints(graph, req):
+    from incubator_hugegraph_spark.operators.paths import crosspoints
+    return crosspoints(graph, _id(req["source"]), _id(req["target"]),
+                       int(req["max_depth"]), direction=_dir(req, OUT),
+                       labels=_labels(req), max_degree=_deg(req),
+                       limit=int(req.get("limit", DEFAULT_PATHS_LIMIT)))
+
+
+def _exec_rays(graph, req):
+    from incubator_hugegraph_spark.operators.paths import rays
+    return rays(graph, _id(req["source"]), int(req["max_depth"]),
+                direction=_dir(req, OUT), labels=_labels(req),
+                max_degree=_deg(req),
+                limit=int(req.get("limit", DEFAULT_PATHS_LIMIT)))
+
+
+def _exec_rings(graph, req):
+    from incubator_hugegraph_spark.operators.paths import rings
+    if not bool(req.get("source_in_ring", True)):
+        raise NotImplementedError(
+            "source_in_ring=false (rings anywhere on the walk) is not "
+            "implemented; the default true mode is")
+    return rings(graph, _id(req["source"]), int(req["max_depth"]),
+                 direction=_dir(req, OUT), labels=_labels(req),
+                 max_degree=_deg(req),
+                 limit=int(req.get("limit", DEFAULT_PATHS_LIMIT)))
+
+
+def _exec_templatepaths(graph, req):
+    from incubator_hugegraph_spark.operators.paths import template_paths
+    steps = [_step(s) for s in req["steps"]]
+    return template_paths(graph, _vsel(graph, req["sources"]),
+                          _vsel(graph, req["targets"]), steps,
+                          limit=int(req.get("limit", DEFAULT_PATHS_LIMIT)))
+
+
+def _exec_customizedpaths(graph, req):
+    from incubator_hugegraph_spark.operators.paths import customized_paths
+    steps = [_step(s) for s in req["steps"]]
+    return customized_paths(graph, _vsel(graph, req["sources"]),
+                            steps,
+                            sorted_by_weight=req.get("sort_by",
+                                                     "NONE") != "NONE",
+                            limit=int(req.get("limit",
+                                              DEFAULT_PATHS_LIMIT)))
+
+
+def _exec_customizedcrosspoints(graph, req):
+    from incubator_hugegraph_spark.operators.paths import (
+        customized_crosspoints)
+    patterns = [[_step(s) for s in p["steps"]]
+                for p in req["path_patterns"]]
+    return customized_crosspoints(
+        graph, _vsel(graph, req["sources"]), patterns,
+        limit=int(req.get("limit", DEFAULT_PATHS_LIMIT)))
+
+
+def _exec_sameneighbors(graph, req):
+    from incubator_hugegraph_spark.operators.neighbors import same_neighbors
+    return same_neighbors(graph, _id(req["vertex"]), _id(req["other"]),
+                          direction=_dir(req), labels=_labels(req),
+                          max_degree=_deg(req),
+                          limit=int(req.get("limit", DEFAULT_ELEMENTS_LIMIT)))
+
+
+def _exec_jaccard(graph, req):
+    from incubator_hugegraph_spark.operators.neighbors import (
+        jaccard_similarity)
+    from incubator_hugegraph_spark.operators.similarity import jaccard_top
+    if "top" in req:  # POST top-N form
+        st = _step(req.get("step", {}))
+        return jaccard_top(graph, _id(req["vertex"]), int(req["top"]),
+                           direction=st["direction"], labels=st["labels"],
+                           max_degree=st["max_degree"])
+    return jaccard_similarity(graph, _id(req["vertex"]), _id(req["other"]),
+                              direction=_dir(req), labels=_labels(req),
+                              max_degree=_deg(req))
+
+
+def _exec_adamicadar(graph, req):
+    from incubator_hugegraph_spark.operators.neighbors import adamic_adar
+    return adamic_adar(graph, _id(req["vertex"]), _id(req["other"]),
+                       direction=_dir(req), labels=_labels(req),
+                       max_degree=_deg(req))
+
+
+def _exec_resourceallocation(graph, req):
+    from incubator_hugegraph_spark.operators.neighbors import (
+        resource_allocation)
+    return resource_allocation(graph, _id(req["vertex"]), _id(req["other"]),
+                               direction=_dir(req), labels=_labels(req),
+                               max_degree=_deg(req))
+
+
+def _exec_count(graph, req):
+    from incubator_hugegraph_spark.operators.neighbors import count_steps
+    return count_steps(graph, _id(req["source"]),
+                       [_step(s) for s in req["steps"]],
+                       dedup_size=int(req.get("dedup_size", 1_000_000)),
+                       contains_traversed=bool(
+                           req.get("contains_traversed", False)))
+
+
+def _exec_edgeexist(graph, req):
+    from incubator_hugegraph_spark.operators.neighbors import edge_exists
+    return edge_exists(graph, _id(req["source"]), _id(req["target"]),
+                       label=req.get("label"),
+                       sort_values=req.get("sort_values", ""))
+
+
+def _exec_neighborrank(graph, req):
+    from incubator_hugegraph_spark.operators.rank import neighbor_rank
+    return neighbor_rank(graph, _id(req["source"]),
+                         [_step(s) for s in req["steps"]],
+                         alpha=float(req.get("alpha", 0.85)))
+
+
+def _exec_personalrank(graph, req):
+    from incubator_hugegraph_spark.operators.rank import personal_rank
+    return personal_rank(graph, _id(req["source"]), req["label"],
+                         alpha=float(req.get("alpha", 0.85)),
+                         max_depth=int(req.get("max_depth", 5)),
+                         with_label=req.get("with_label", "BOTH_LABEL"),
+                         max_degree=_deg(req))
+
+
+def _exec_fusiform(graph, req):
+    from incubator_hugegraph_spark.operators.similarity import (
+        fusiform_similarity)
+    srcs = req["sources"]
+    if not srcs.get("label") or srcs.get("ids"):
+        raise NotImplementedError(
+            "fusiformsimilarity sources by explicit ids — use "
+            "sources.label (the whole-label job form)")
+    return fusiform_similarity(
+        graph, srcs["label"], direction=_dir(req, BOTH),
+        labels=_labels(req),
+        min_neighbors=int(req.get("min_neighbors", 1)),
+        alpha=float(req.get("alpha", 1.0)),
+        min_similars=int(req.get("min_similars", 1)),
+        top=int(req.get("top", 0)) or NO_LIMIT,
+        max_degree=_deg(req),
+        group_property=req.get("group_property"),
+        min_groups=int(req.get("min_groups", 0)))
+
+
+def _exec_vertices(graph, req):
+    return graph.vertices_by_ids([_id(i) for i in req["ids"]])
+
+
+def _exec_edges(graph, req):
+    return graph.edges_by_ids(
+        [tuple(i.split(">")) for i in req["ids"]])
+
+
+_EXECUTORS = {
+    "kout": _exec_kout,
+    "kneighbor": _exec_kneighbor,
+    "shortestpath": _exec_shortestpath,
+    "allshortestpaths": _exec_allshortestpaths,
+    "singlesourceshortestpath": _exec_sssp,
+    "weightedshortestpath": _exec_weightedshortestpath,
+    "multinodeshortestpath": _exec_multinodeshortestpath,
+    "paths": _exec_paths,
+    "crosspoints": _exec_crosspoints,
+    "rays": _exec_rays,
+    "rings": _exec_rings,
+    "templatepaths": _exec_templatepaths,
+    "customizedpaths": _exec_customizedpaths,
+    "customizedcrosspoints": _exec_customizedcrosspoints,
+    "sameneighbors": _exec_sameneighbors,
+    "jaccardsimilarity": _exec_jaccard,
+    "adamicadar": _exec_adamicadar,
+    "resourceallocation": _exec_resourceallocation,
+    "count": _exec_count,
+    "edgeexist": _exec_edgeexist,
+    "neighborrank": _exec_neighborrank,
+    "personalrank": _exec_personalrank,
+    "fusiformsimilarity": _exec_fusiform,
+    "vertices": _exec_vertices,
+    "edges": _exec_edges,
+}
+
+
+def execute(graph: PropertyGraph, endpoint: str, request: dict) -> DataFrame:
+    """Run a reference-shaped REST request against the engine.
+
+    ``endpoint`` is the REST path tail (`…/traversers/<endpoint>`);
+    ``request`` is the merged query-params / JSON-body dict in the
+    reference's own parameter names."""
+    try:
+        ex = _EXECUTORS[endpoint]
+    except KeyError:
+        raise KeyError(f"unknown endpoint {endpoint!r}; known: "
+                       f"{sorted(_EXECUTORS)}") from None
+    return ex(graph, request)

@@ -146,9 +146,9 @@ def marko_graph(spark, graph):
     soft = ["lop", "ripple"]
     cities = {"marko": "Beijing", "vadas": "HongKong",
               "josh": "Beijing", "peter": "Shanghai"}
-    vrows = [(f"person!{p}", "person", {"city": cities[p]}, None)
+    vrows = [(f"person!{p}", "person", {"city": cities[p], "name": p}, None)
              for p in people] + \
-        [(f"software!{s}", "software", {}, None) for s in soft]
+        [(f"software!{s}", "software", {"name": s}, None) for s in soft]
     erows = [
         ("person!marko", "person!peter", "knows", "2021-01-01",
          {"weight": "0.5"}, None),
