@@ -432,3 +432,107 @@ def execute(graph: PropertyGraph, endpoint: str, request: dict) -> DataFrame:
         raise KeyError(f"unknown endpoint {endpoint!r}; known: "
                        f"{sorted(_EXECUTORS)}") from None
     return ex(graph, request)
+
+
+# ---------------------------------------------------------------------------
+# Algorithm-job API: POST …/jobs/algorithm/{name} with a JSON params
+# map (AbstractAlgorithm.java:78-99 KEY_* names; names registered in
+# AlgorithmPool.java:46-75). The reference runs these async as tasks;
+# our "task" is the returned DataFrame's job.
+# ---------------------------------------------------------------------------
+
+def _alg_labels(p: dict) -> list[str] | None:
+    lab = p.get("label")
+    return None if lab in (None, "", "*") else [lab]
+
+
+def _top_limit(df: DataFrame, p: dict, order_col: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    top = int(p.get("top", 0))
+    if top:
+        df = df.orderBy(F.desc(order_col), F.asc(df.columns[0])).limit(top)
+    return df
+
+
+def _alg_sources(graph, p: dict) -> list[str]:
+    """The sampled-source algorithms (closeness/betweenness/stress)
+    take KEY_SOURCE_SAMPLE etc.; random server-side sampling is not
+    reproducible, so we accept an explicit `sources` list (the
+    deterministic form) and reject the sampling keys."""
+    if "sources" in p:
+        return [_id(i) for i in p["sources"]]
+    raise NotImplementedError(
+        "random source sampling (source_sample) is nondeterministic; "
+        "pass an explicit sources list")
+
+
+def execute_algorithm(graph: PropertyGraph, name: str,
+                      params: dict | None = None) -> DataFrame:
+    """Run an algorithm job by its AlgorithmPool name with the
+    reference's own parameter keys."""
+    from incubator_hugegraph_spark import algorithms as A
+    p = params or {}
+    lab = _alg_labels(p)
+    if name == "count_vertex":
+        return A.count_vertex(graph)
+    if name == "count_edge":
+        return A.count_edge(graph)
+    if name == "degree_centrality":
+        return A.degree_centrality(graph, direction=_dir(p), labels=lab,
+                                   top=int(p.get("top", 0)) or NO_LIMIT)
+    if name == "closeness_centrality":
+        return A.closeness_centrality(graph, _alg_sources(graph, p),
+                                      int(p.get("depth", 5)),
+                                      direction=_dir(p, OUT), labels=lab)
+    if name == "betweenness_centrality":
+        return A.betweenness_centrality(graph, _alg_sources(graph, p),
+                                        int(p.get("depth", 5)),
+                                        direction=_dir(p), labels=lab)
+    if name == "stress_centrality":
+        return A.stress_centrality(graph, _alg_sources(graph, p),
+                                   int(p.get("depth", 5)),
+                                   direction=_dir(p), labels=lab)
+    if name == "eigenvector_centrality":
+        return A.eigenvector_centrality(graph,
+                                        rounds=int(p.get("times", 5)),
+                                        direction=_dir(p, OUT), labels=lab,
+                                        top=int(p.get("top", 0)) or NO_LIMIT)
+    if name == "triangle_count":
+        return A.triangle_count(graph, labels=lab)
+    if name == "cluster_coefficient":
+        return A.cluster_coefficient(graph, labels=lab)
+    if name == "lpa":
+        return A.lpa(graph, labels=lab, rounds=int(p.get("times", 10)))
+    if name == "louvain":
+        return A.louvain(graph, labels=lab, passes=int(p.get("times", 2)))
+    if name == "weak_connected_component":
+        return A.wcc(graph, labels=lab)
+    if name == "k_core":
+        return A.k_core(graph, int(p.get("k", 3)), labels=lab)
+    if name == "page_rank":
+        r = A.page_rank(graph, alpha=float(p.get("alpha", 0.15)),
+                        max_times=int(p.get("times", 20)),
+                        precision=float(p.get("precision", 1e-7)),
+                        labels=lab)
+        return _top_limit(r, p, "rank")
+    if name == "rings":
+        from incubator_hugegraph_spark.operators.paths import rings_detect
+        return rings_detect(graph, int(p.get("depth", 5)),
+                            direction=_dir(p, OUT), labels=lab,
+                            limit=int(p.get("limit", -1)))
+    if name == "fusiform_similarity":
+        from incubator_hugegraph_spark.operators.similarity import (
+            fusiform_similarity)
+        return fusiform_similarity(
+            graph, p["source_label"], direction=_dir(p, BOTH),
+            labels=lab,
+            min_neighbors=int(p.get("min_neighbors", 10)),
+            alpha=float(p.get("alpha", 0.5)),
+            min_similars=int(p.get("min_similars", 1)),
+            top=int(p.get("top", 0)) or NO_LIMIT,
+            group_property=p.get("group_property"),
+            min_groups=int(p.get("min_groups", 0)))
+    if name == "subgraph_stat":
+        return A.subgraph_stat(graph, labels=lab)
+    raise KeyError(f"unknown algorithm {name!r} "
+                   f"(AlgorithmPool.java registry)")

@@ -146,3 +146,28 @@ def test_unknown_endpoint_and_unsupported_forms(marko_graph):
         execute(marko_graph, "rings", {"source": "person!marko",
                                        "max_depth": 2,
                                        "source_in_ring": False})
+
+
+def test_algorithm_job_payloads(marko_graph):
+    """Algorithm-job adapter (AlgorithmPool names + KEY_* params):
+    spot-check the registry with reference-shaped param maps."""
+    from incubator_hugegraph_spark.rest import execute_algorithm
+    cv = {r.label: r.cnt if "cnt" in r.__fields__ else r["count"]
+          for r in execute_algorithm(marko_graph, "count_vertex").collect()}
+    assert cv.get("person") == 4 and cv.get("software") == 2
+    dc = execute_algorithm(marko_graph, "degree_centrality",
+                           {"direction": "BOTH", "top": 1}).head()
+    assert dc.id == "person!peter" and dc.degree == 3
+    pr = execute_algorithm(marko_graph, "page_rank",
+                           {"alpha": 0.15, "times": 3, "top": 2})
+    assert pr.count() == 2
+    wc = execute_algorithm(marko_graph, "weak_connected_component", {})
+    # the marko component plus the isolated software!lop
+    assert wc.select("component").distinct().count() == 2
+    tri = execute_algorithm(marko_graph, "triangle_count", {}).head()
+    assert tri.triangles == 1  # marko-peter-ripple
+    with pytest.raises(KeyError):
+        execute_algorithm(marko_graph, "nope", {})
+    with pytest.raises(NotImplementedError):
+        execute_algorithm(marko_graph, "closeness_centrality",
+                          {"source_sample": 10})
