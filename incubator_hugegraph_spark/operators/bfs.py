@@ -178,20 +178,43 @@ _STEP_OPS = {
 }
 
 
+def _typed_cmp(op: str, col, val):
+    if isinstance(val, (int, float)) and not isinstance(val, bool):
+        col, val = col.cast("double"), float(val)
+    return _STEP_OPS[op](col, val)
+
+
 def _step_adj(graph: PropertyGraph, st: dict) -> DataFrame:
     """Adjacency for ONE customized step: direction + labels +
-    edge-property filters {key: (op, value)}. Property filters apply
-    to the physical edge regardless of traversal direction (the
-    reference filters the HugeEdge, not the adjacency row)."""
+    edge-property filters {key: (op, value)} + optional vertex-step
+    whitelist {vertex_label: {key: (op, value)}}. Edge-property
+    filters apply to the physical edge regardless of traversal
+    direction (the reference filters the HugeEdge, not the adjacency
+    row); vertex filters require BOTH endpoints to carry a
+    whitelisted label and satisfy its conditions
+    (HugeTraverser.edgesOfVertexStep/validateVertex,
+    HugeTraverser.java:503-539)."""
     e = graph.edges.select("src", "dst", "label", "props")
     labels = st.get("labels")
     if labels:
         e = e.filter(F.col("label").isin(labels))
     for key, (op, val) in (st.get("props") or {}).items():
-        c = F.element_at(F.col("props"), F.lit(key))
-        if isinstance(val, (int, float)) and not isinstance(val, bool):
-            c, val = c.cast("double"), float(val)
-        e = e.filter(_STEP_OPS[op](c, val))
+        e = e.filter(_typed_cmp(op, F.element_at(F.col("props"),
+                                                 F.lit(key)), val))
+    vf = st.get("vertex_filters")
+    if vf:
+        cond = None
+        for vlabel, props in vf.items():
+            c = F.col("label") == vlabel
+            for key, (op, val) in (props or {}).items():
+                c = c & _typed_cmp(op, F.element_at(F.col("props"),
+                                                    F.lit(key)), val)
+            cond = c if cond is None else (cond | c)
+        allowed = graph.vertices.filter(cond).select("id")
+        e = (e.join(F.broadcast(allowed), on=e.src == allowed.id,
+                    how="left_semi")
+             .join(F.broadcast(allowed), on=e.dst == allowed.id,
+                   how="left_semi"))
     e = e.select("src", "dst")
     direction = st.get("direction", OUT)
     inn = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -103,6 +103,12 @@ def _steps_spec(spec: dict, max_depth: int) -> list[dict]:
         st["max_degree"] = NO_LIMIT
     if props_sets and props_sets[0]:
         st["props"] = props_sets[0]
+    vs = spec.get("vertex_steps") or []
+    if vs:
+        st["vertex_filters"] = {
+            s["label"]: {k: _pred(v)
+                         for k, v in (s.get("properties") or {}).items()}
+            for s in vs}
     return [dict(st) for _ in range(max_depth)]
 
 

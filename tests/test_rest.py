@@ -171,3 +171,25 @@ def test_algorithm_job_payloads(marko_graph):
     with pytest.raises(NotImplementedError):
         execute_algorithm(marko_graph, "closeness_centrality",
                           {"source_sample": 10})
+
+
+def test_kout_post_vertex_steps(marko_graph):
+    """vertex_steps whitelist (HugeTraverser.validateVertex): BOTH
+    endpoints must carry a whitelisted label and satisfy its
+    conditions — restricting to person drops the created→ripple edge;
+    a city condition narrows further."""
+    body = {
+        "source": "person!marko",
+        "steps": {"direction": "BOTH",
+                  "edge_steps": [],
+                  "vertex_steps": [{"label": "person", "properties": {}}]},
+        "max_depth": 1, "nearest": True,
+    }
+    got = {r.id for r in execute(marko_graph, "kout", body).collect()}
+    assert got == {"person!peter"}
+    body["steps"]["vertex_steps"] = [
+        {"label": "person", "properties": {"city": "Beijing"}}]
+    body["max_depth"] = 2
+    # allowed vertices: marko, josh (Beijing) — no marko edge has both
+    # endpoints allowed (peter is Shanghai, ripple is software)
+    assert execute(marko_graph, "kout", body).count() == 0
