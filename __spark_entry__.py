@@ -1341,10 +1341,46 @@ def betweenness_q(spark, sf_dir):
 def louvain_q(spark, sf_dir):
     """louvain communities (comm/LouvainAlgorithm.java + 920-line
     LouvainTraverser): synchronized parallel approximation — quality
-    asserted via modularity monotonicity in tests; rows-only here."""
+    asserted via modularity monotonicity in tests; rows-only here
+    (the MOVE KERNEL is oracle-gated by `louvain_move1` below)."""
     from incubator_hugegraph_spark.algorithms.community import louvain
     return louvain(_graph(spark, sf_dir), labels=["interacted"],
                    passes=2, move_rounds=3)
+
+
+@_q("louvain_move1", f"""
+WITH {IE_SQL.strip()},
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM ie WHERE src <> dst),
+adj AS (SELECT a AS id, b AS nbr FROM und
+        UNION ALL SELECT b AS id, a AS nbr FROM und),
+k AS (SELECT id, CAST(count(*) AS DOUBLE) AS k FROM adj GROUP BY id),
+m2 AS (SELECT CAST(2 * count(*) AS DOUBLE) AS two_m FROM und),
+-- round 1 from the identity assignment: each neighbor IS its own
+-- community, so k_in = 1 per (deduped) edge and sigma_tot(c) = k(c)
+cand AS (SELECT a.id, a.nbr AS comm,
+                1.0 - kc.k * ki.k / (SELECT two_m FROM m2) AS gain
+         FROM adj a JOIN k ki ON ki.id = a.id
+         JOIN k kc ON kc.id = a.nbr),
+best AS (SELECT id, comm, gain,
+                row_number() OVER (PARTITION BY id
+                                   ORDER BY gain DESC, comm ASC) AS rn
+         FROM cand)
+SELECT ids.id,
+       COALESCE(b.comm, ids.id) AS community
+FROM (SELECT DISTINCT id FROM adj) ids
+LEFT JOIN (SELECT id, comm FROM best WHERE rn = 1 AND gain > 0) b
+  ON b.id = ids.id
+""")
+def louvain_move1_q(spark, sf_dir):
+    """ONE synchronized Louvain move round (the deterministic kernel
+    inside the pass: gain = k_in − Σ_tot·k_i/2m, min-community
+    tie-break, positive-gain moves) — SQL-expressible from the
+    identity assignment, so the move math itself is hash-gated."""
+    from incubator_hugegraph_spark.algorithms.community import (
+        louvain_move_round)
+    return louvain_move_round(_graph(spark, sf_dir),
+                              labels=["interacted"], rounds=1)
 
 
 @_q("stress_centrality", f"""

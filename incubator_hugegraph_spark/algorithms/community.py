@@ -295,3 +295,20 @@ def modularity(edges: DataFrame, comm: DataFrame) -> float:
     sq = (cm.join(k, on="id").groupBy("c").agg(F.sum("k").alias("tot"))
           .agg(F.sum((F.col("tot") / two_m) ** 2)).collect()[0][0] or 0.0)
     return 2.0 * inside / two_m - sq
+
+
+def louvain_move_round(graph: PropertyGraph,
+                       labels: list[str] | None = None,
+                       rounds: int = 1) -> DataFrame:
+    """The deterministic kernel inside louvain(): ``rounds``
+    synchronized modularity-gain move rounds on the unit-weight
+    undirected graph (every vertex starts in its own community; ties
+    → min community id; move only on positive gain). Exposed so the
+    move math — gain = k_in − Σ_tot·k_i/2m — is SQL-oracle-gated even
+    though full Louvain (contraction passes) stays rows-only
+    (documented deviation: the reference's sequential moves are
+    order-dependent, LouvainTraverser.java:920)."""
+    und = undirected_edges(graph, labels)
+    edges = checkpointed(und.select("a", "b", F.lit(1.0).alias("w")))
+    return (_one_louvain_pass(graph, edges, rounds)
+            .select("id", F.col("comm2").alias("community")))
