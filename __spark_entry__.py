@@ -861,7 +861,7 @@ def jaccard_top_ram_q(spark, sf_dir):
                        engine="ram")
 
 
-@_q("fusiform_similarity", f"""
+_FUSIFORM_SQL = f"""
 WITH {IE_SQL.strip()},
 deg AS (SELECT src, count(*) AS deg FROM ie GROUP BY src),
 common AS (SELECT a.src AS s, b.src AS c, count(*) AS cmn
@@ -879,7 +879,10 @@ ranked AS (SELECT s, c, score,
            FROM scored JOIN ok USING (s))
 SELECT s AS source, c AS similar, ROUND(score, 6) AS score
 FROM ranked WHERE rn <= 5
-""")
+"""
+
+
+@_q("fusiform_similarity", _FUSIFORM_SQL)
 def fusiform_q(spark, sf_dir):
     """fusiformsimilarity over all customer sources on interacted OUT
     (FusiformSimilarityTraverser.java:68-81; job variant 2.E#16),
@@ -888,7 +891,18 @@ def fusiform_q(spark, sf_dir):
     return fusiform_similarity(_graph(spark, sf_dir), "customer",
                                direction=OUT, labels=["interacted"],
                                min_neighbors=10, alpha=0.3,
-                               min_similars=1, top=5)
+                               min_similars=1, top=5, engine="dist")
+
+
+@_q("fusiform_similarity_ram", _FUSIFORM_SQL)
+def fusiform_ram_q(spark, sf_dir):
+    """Same fusiform through the in-memory exact pair-count kernel
+    (ram.py) — identical oracle gates both engines."""
+    from incubator_hugegraph_spark.operators.similarity import fusiform_similarity
+    return fusiform_similarity(_graph(spark, sf_dir), "customer",
+                               direction=OUT, labels=["interacted"],
+                               min_neighbors=10, alpha=0.3,
+                               min_similars=1, top=5, engine="ram")
 
 
 @_q("personal_rank", """

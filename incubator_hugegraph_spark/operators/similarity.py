@@ -123,7 +123,8 @@ def fusiform_similarity(graph: PropertyGraph,
                         max_degree: int = NO_LIMIT,
                         hub_degree: int = 256,
                         group_property: str | None = None,
-                        min_groups: int = 0) -> DataFrame:
+                        min_groups: int = 0,
+                        engine: str = "auto") -> DataFrame:
     """Fusiform similarity over all sources of ``source_label``
     (FusiformSimilarityTraverser.java:68-81; job variant
     FusiformSimilarityAlgorithm.java): candidate c is similar to
@@ -131,6 +132,14 @@ def fusiform_similarity(graph: PropertyGraph,
     ≥ min_neighbors neighbors and ≥ min_similars matches. Returns
     (source, similar, score) with score = |N(s)∩N(c)| / |N(s)|,
     top-N per source by (score desc, id asc)."""
+    if (engine != "dist" and max_degree == NO_LIMIT
+            and group_property is None):
+        from incubator_hugegraph_spark.ram import (ram_fits,
+                                                   ram_fusiform_similarity)
+        if engine == "ram" or ram_fits(graph):
+            return ram_fusiform_similarity(
+                graph, source_label, direction, labels, min_neighbors,
+                alpha, min_similars, top)
     prefix = source_label + "!"
     # Both ends of a fusiform match carry the source label, so the
     # prefix filter is applied BEFORE the distinct (it reaches the

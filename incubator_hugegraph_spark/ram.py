@@ -379,3 +379,90 @@ def ram_jaccard_top_batch(graph: PropertyGraph, sources: list[str],
             [], "source string, id string, jaccard double")
     return graph.spark.createDataFrame(pd.DataFrame(
         {"source": out_src, "id": out_id, "jaccard": out_jac}))
+
+
+def ram_fusiform_similarity(graph: PropertyGraph, source_label: str,
+                            direction: str = OUT,
+                            labels: list[str] | None = None,
+                            min_neighbors: int = 1, alpha: float = 0.5,
+                            min_similars: int = 1, top: int = -1,
+                            budget: int = 8_000_000) -> DataFrame:
+    """In-memory fusiform similarity — same contract as
+    operators/similarity.fusiform_similarity (no group gate, no
+    degree cap — those route to the distributed plan): sources =
+    vertices with the label prefix; candidate c similar to s when
+    score = |N(s)∩N(c)|/|N(s)| ≥ alpha (raw-double compare, identical
+    IEEE ops); |N(s)| ≥ min_neighbors, ≥ min_similars matches,
+    top-N per source by (score desc, id asc). Exact A·Aᵀ counting by
+    chunked co-owner pair enumeration (no hub split needed: the full
+    pair multiset is materialized as int64 keys and counted once)."""
+    import pandas as pd
+
+    ids, src, dst = _index_edges(graph, direction, labels)
+    n = len(ids)
+    prefix = source_label + "!"
+    is_src = np.char.startswith(ids.astype("U"), prefix)
+    # distinct (s, n) with s carrying the source label
+    keep = is_src[src]
+    ek = np.unique(src[keep].astype(np.int64) * n + dst[keep])
+    s_all = (ek // n).astype(np.int64)
+    n_all = (ek % n).astype(np.int64)
+    deg = np.bincount(s_all, minlength=n).astype(np.float64)
+    # owner lists per neighbor (sorted by neighbor, owners ascending)
+    order = np.argsort(n_all * np.int64(n) + s_all, kind="stable")
+    owners = s_all[order]
+    nbr_sorted = n_all[order]
+    grp_n, counts = np.unique(nbr_sorted, return_counts=True)
+    offs = (np.cumsum(counts) - counts).astype(np.int64)
+    d2 = (counts - 1).astype(np.int64)
+    grp = d2 > 0
+    run_off = np.repeat(offs[grp], d2[grp])
+    i = _segmented_arange(d2[grp])
+    run_len = np.repeat(counts[grp].astype(np.int64), d2[grp]) - 1 - i
+    run_start = run_off + i
+    cum = np.cumsum(run_len)
+    keys = []
+    lo = 0
+    while lo < len(run_len):
+        hi = int(np.searchsorted(cum, (cum[lo - 1] if lo else 0) + budget))
+        hi = max(hi, lo + 1)
+        rl = run_len[lo:hi]
+        rs = run_start[lo:hi]
+        a_pos = np.repeat(rs, rl)
+        b_pos = np.repeat(rs + 1, rl) + _segmented_arange(rl)
+        keys.append(owners[a_pos] * np.int64(n) + owners[b_pos])
+        lo = hi
+    if keys:
+        allk = np.concatenate(keys)
+        uk, m = np.unique(allk, return_counts=True)
+        pa = (uk // n).astype(np.int64)
+        pb = (uk % n).astype(np.int64)
+        # both orientations: score is per-SOURCE-degree
+        s_arr = np.concatenate([pa, pb])
+        c_arr = np.concatenate([pb, pa])
+        m_arr = np.concatenate([m, m]).astype(np.float64)
+    else:
+        s_arr = c_arr = np.empty(0, dtype=np.int64)
+        m_arr = np.empty(0, dtype=np.float64)
+    score = m_arr / deg[s_arr]
+    ok = (deg[s_arr] >= min_neighbors) & (score >= alpha)
+    s_arr, c_arr, score = s_arr[ok], c_arr[ok], score[ok]
+    # min_similars per source
+    nsim = np.bincount(s_arr, minlength=n)
+    ok = nsim[s_arr] >= min_similars
+    s_arr, c_arr, score = s_arr[ok], c_arr[ok], score[ok]
+    # per-source top-N by (score desc, candidate id asc)
+    if top != -1 and len(s_arr):
+        order = np.lexsort((c_arr, -score, s_arr))
+        s_arr, c_arr, score = s_arr[order], c_arr[order], score[order]
+        uniq, starts = np.unique(s_arr, return_index=True)
+        rank = np.arange(len(s_arr)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(s_arr)]])))
+        keepn = rank < top
+        s_arr, c_arr, score = s_arr[keepn], c_arr[keepn], score[keepn]
+    if not len(s_arr):
+        return graph.spark.createDataFrame(
+            [], "source string, similar string, score double")
+    return graph.spark.createDataFrame(pd.DataFrame(
+        {"source": ids[s_arr], "similar": ids[c_arr],
+         "score": _round_half_up6(score)}))

@@ -513,3 +513,24 @@ def test_ram_jaccard_matches_distributed(graph):
     j = a.join(b, on=["source", "id"], how="full")
     assert j.filter(F.coalesce("j1", F.lit(-1))
                     != F.coalesce("j2", F.lit(-2))).count() == 0
+
+
+def test_ram_fusiform_matches_distributed(graph):
+    """In-memory fusiform pair-count kernel equals the hub-split
+    distributed plan across parameter shapes."""
+    from incubator_hugegraph_spark.operators.similarity import (
+        fusiform_similarity)
+    for kw in [dict(source_label="customer", direction="OUT",
+                    min_neighbors=1, alpha=0.3, min_similars=1, top=20),
+               dict(source_label="supplier", direction="BOTH",
+                    min_neighbors=2, alpha=0.5, min_similars=2, top=5),
+               dict(source_label="customer", direction="OUT",
+                    labels=["interacted"], min_neighbors=1, alpha=0.2,
+                    min_similars=1, top=10)]:
+        a = fusiform_similarity(graph, engine="dist", **kw) \
+            .withColumnRenamed("score", "s1")
+        b = fusiform_similarity(graph, engine="ram", **kw) \
+            .withColumnRenamed("score", "s2")
+        j = a.join(b, on=["source", "similar"], how="full")
+        assert j.filter(F.coalesce("s1", F.lit(-1))
+                        != F.coalesce("s2", F.lit(-2))).count() == 0, kw
