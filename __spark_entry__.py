@@ -1205,7 +1205,22 @@ def degree_centrality_q(spark, sf_dir):
     """degree_centrality BOTH, top-20
     (cent/DegreeCentralityAlgorithm.java)."""
     from incubator_hugegraph_spark.algorithms.centrality import degree_centrality
-    return degree_centrality(_graph(spark, sf_dir), direction=BOTH, top=20)
+    return degree_centrality(_graph(spark, sf_dir), direction=BOTH, top=20,
+                             engine="dist")
+
+
+@_q("degree_centrality_ram", f"""
+WITH {E_SQL.strip()},
+adj2 AS (SELECT src, dst FROM edges
+         UNION ALL SELECT dst AS src, src AS dst FROM edges)
+SELECT src AS id, count(*) AS degree FROM adj2 GROUP BY src
+ORDER BY degree DESC, id LIMIT 20
+""")
+def degree_centrality_ram_q(spark, sf_dir):
+    """Same top-20 through the RamTable bincount (ram.py)."""
+    from incubator_hugegraph_spark.algorithms.centrality import degree_centrality
+    return degree_centrality(_graph(spark, sf_dir), direction=BOTH, top=20,
+                             engine="ram")
 
 
 @_q("closeness_centrality", f"""

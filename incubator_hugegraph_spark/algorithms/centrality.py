@@ -24,9 +24,16 @@ from incubator_hugegraph_spark.graph import (
 
 def degree_centrality(graph: PropertyGraph, direction: str = BOTH,
                       labels: list[str] | None = None,
-                      top: int = NO_LIMIT) -> DataFrame:
+                      top: int = NO_LIMIT,
+                      engine: str = "auto") -> DataFrame:
     """(id, degree) with optional top-N (DegreeCentralityAlgorithm):
-    one partial-aggregated groupBy; top-N ties broken by id."""
+    one partial-aggregated groupBy; top-N ties broken by id.
+    Hot graphs serve from the RamTable bincount (engine='auto')."""
+    if engine != "dist":
+        from incubator_hugegraph_spark.ram import (ram_degree_centrality,
+                                                   ram_fits)
+        if engine == "ram" or ram_fits(graph):
+            return ram_degree_centrality(graph, direction, labels, top)
     deg = graph.degrees(direction, labels)
     if top != NO_LIMIT:
         deg = deg.orderBy(F.desc("degree"), F.asc("id")).limit(top)

@@ -466,3 +466,23 @@ def ram_fusiform_similarity(graph: PropertyGraph, source_label: str,
     return graph.spark.createDataFrame(pd.DataFrame(
         {"source": ids[s_arr], "similar": ids[c_arr],
          "score": _round_half_up6(score)}))
+
+
+def ram_degree_centrality(graph: PropertyGraph, direction: str = BOTH,
+                          labels: list[str] | None = None,
+                          top: int = -1) -> DataFrame:
+    """(id, degree) with optional top-N — same contract as
+    algorithms/centrality.degree_centrality (multi-edges count,
+    ties by id asc; indices are id-ordered so a stable sort on -degree
+    is the tie-break)."""
+    import pandas as pd
+
+    ids, src, _ = _index_edges(graph, direction, labels)
+    deg = np.bincount(src, minlength=len(ids))
+    nz = np.flatnonzero(deg)
+    out_idx, out_deg = nz, deg[nz]
+    if top != -1:
+        order = np.argsort(-out_deg, kind="stable")[:top]
+        out_idx, out_deg = out_idx[order], out_deg[order]
+    return graph.spark.createDataFrame(pd.DataFrame(
+        {"id": ids[out_idx], "degree": out_deg.astype(np.int64)}))
