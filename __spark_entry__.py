@@ -526,6 +526,25 @@ def same_neighbors_q(spark, sf_dir):
                           direction=BOTH)
 
 
+@_q("same_neighbors_multi", f"""
+WITH {ADJ_SQL.strip()}
+SELECT dst AS id FROM (
+  SELECT DISTINCT src, dst FROM adj
+  WHERE src IN ('customer!1', 'customer!2', 'customer!3'))
+GROUP BY dst HAVING count(*) = 3
+""")
+def same_neighbors_multi_q(spark, sf_dir):
+    """N-way sameneighbors (SameNeighborTraverser.java:68-… — the
+    vertex_list POST form): vertices adjacent to ALL of three
+    customers, answered in one pass (count distinct sources per
+    neighbor == N)."""
+    from incubator_hugegraph_spark.operators.neighbors import (
+        same_neighbors_multi)
+    return same_neighbors_multi(
+        _graph(spark, sf_dir),
+        ["customer!1", "customer!2", "customer!3"], direction=BOTH)
+
+
 @_q("jaccard_pair", f"""
 WITH {ADJ_SQL.strip()},
 na AS (SELECT DISTINCT dst FROM adj WHERE src = 'customer!1'),

@@ -48,6 +48,7 @@ TRAVERSERS = {
     "rays": _paths.rays,
     "rings": _paths.rings,
     "sameneighbors": _nbr.same_neighbors,
+    "sameneighbors:post": _nbr.same_neighbors_multi,  # vertex_list form
     "jaccardsimilarity": _nbr.jaccard_similarity,          # pair mode
     "jaccardsimilarity:post": _sim.jaccard_top,            # top-N mode
     "fusiformsimilarity": _sim.fusiform_similarity,

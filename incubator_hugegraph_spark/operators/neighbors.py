@@ -181,3 +181,28 @@ def count_steps(graph: PropertyGraph, source: str,
     for p in parts[1:]:
         total = total.unionByName(p)
     return total.agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def same_neighbors_multi(graph: PropertyGraph, ids: list[str],
+                         direction: str = BOTH,
+                         labels: list[str] | None = None,
+                         max_degree: int = NO_LIMIT,
+                         limit: int = NO_LIMIT) -> DataFrame:
+    """N-way common neighbors (SameNeighborTraverser.java:68-… /
+    SameNeighborsAPI POST `vertex_list`): vertices adjacent to EVERY
+    member of ``ids``. One pass: filter adjacency to the source set,
+    count distinct sources per neighbor, keep full-count rows — no
+    N-way intersect chain. Returns (id)."""
+    if len(set(ids)) < 2:
+        raise ValueError("vertex_list size can't be less than 2")
+    uniq = sorted(set(ids))
+    adj = prepared_adj(graph, direction, labels, max_degree)
+    common = (adj.filter(F.col("src").isin(uniq))
+              .select("src", "dst").distinct()
+              .groupBy("dst")
+              .agg(F.count(F.lit(1)).alias("__k"))
+              .filter(F.col("__k") == len(uniq))
+              .select(F.col("dst").alias("id")))
+    if limit != NO_LIMIT:
+        common = common.orderBy("id").limit(limit)
+    return common

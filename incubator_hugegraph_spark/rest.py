@@ -300,7 +300,13 @@ def _exec_customizedcrosspoints(graph, req):
 
 
 def _exec_sameneighbors(graph, req):
-    from incubator_hugegraph_spark.operators.neighbors import same_neighbors
+    from incubator_hugegraph_spark.operators.neighbors import (
+        same_neighbors, same_neighbors_multi)
+    if "vertex_list" in req:  # POST N-way form (SameNeighborsAPI:113-122)
+        return same_neighbors_multi(
+            graph, [_id(i) for i in req["vertex_list"]],
+            direction=_dir(req), labels=_labels(req), max_degree=_deg(req),
+            limit=int(req.get("limit", DEFAULT_ELEMENTS_LIMIT)))
     return same_neighbors(graph, _id(req["vertex"]), _id(req["other"]),
                           direction=_dir(req), labels=_labels(req),
                           max_degree=_deg(req),

@@ -193,3 +193,16 @@ def test_kout_post_vertex_steps(marko_graph):
     # allowed vertices: marko, josh (Beijing) — no marko edge has both
     # endpoints allowed (peter is Shanghai, ripple is software)
     assert execute(marko_graph, "kout", body).count() == 0
+
+
+def test_same_neighbors_vertex_list_payload(marko_graph):
+    """SameNeighborsAPI POST vertex_list (N-way): common neighbors of
+    marko, josh, ripple in BOTH direction = {peter}."""
+    got = {r.id for r in execute(marko_graph, "sameneighbors", {
+        "vertex_list": ["person!marko", "person!josh", "software!ripple"],
+        "direction": "BOTH",
+    }).collect()}
+    assert got == {"person!peter"}
+    with pytest.raises(ValueError):
+        execute(marko_graph, "sameneighbors",
+                {"vertex_list": ["person!marko"]}).count()
