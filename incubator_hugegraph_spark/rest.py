@@ -145,21 +145,30 @@ def _step(st: dict) -> dict:
     return out
 
 
+def _count_only(df: DataFrame) -> DataFrame:
+    """count_only=true response shape ({"size": N} — KoutAPI:198-222):
+    the element count instead of the elements."""
+    from pyspark.sql import functions as F
+    return df.agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+
+
 def _exec_kout(graph, req):
     from incubator_hugegraph_spark.operators.bfs import (customized_kout,
                                                          kout)
     if "steps" in req:  # POST form (KoutAPI Request: Steps + max_depth)
         reps = _steps_spec(req["steps"], int(req["max_depth"]))
-        return customized_kout(graph, _id(req["source"]), reps,
-                               nearest=bool(req.get("nearest", True)),
-                               limit=int(req.get("limit",
-                                                 DEFAULT_ELEMENTS_LIMIT)))
-    return kout(graph, _id(req["source"]), int(req["max_depth"]),
-                direction=_dir(req), labels=_labels(req),
-                nearest=bool(req.get("nearest", True)),
-                max_degree=_deg(req),
-                capacity=int(req.get("capacity", DEFAULT_CAPACITY)),
-                limit=int(req.get("limit", DEFAULT_ELEMENTS_LIMIT)))
+        out = customized_kout(graph, _id(req["source"]), reps,
+                              nearest=bool(req.get("nearest", True)),
+                              limit=int(req.get("limit",
+                                                DEFAULT_ELEMENTS_LIMIT)))
+    else:
+        out = kout(graph, _id(req["source"]), int(req["max_depth"]),
+                   direction=_dir(req), labels=_labels(req),
+                   nearest=bool(req.get("nearest", True)),
+                   max_degree=_deg(req),
+                   capacity=int(req.get("capacity", DEFAULT_CAPACITY)),
+                   limit=int(req.get("limit", DEFAULT_ELEMENTS_LIMIT)))
+    return _count_only(out) if req.get("count_only") else out
 
 
 def _exec_kneighbor(graph, req):
@@ -167,13 +176,15 @@ def _exec_kneighbor(graph, req):
         customized_kneighbor, kneighbor)
     if "steps" in req:  # POST form (KneighborAPI Request)
         reps = _steps_spec(req["steps"], int(req["max_depth"]))
-        return customized_kneighbor(
+        out = customized_kneighbor(
             graph, _id(req["source"]), reps,
             limit=int(req.get("limit", DEFAULT_ELEMENTS_LIMIT)))
-    return kneighbor(graph, _id(req["source"]), int(req["max_depth"]),
-                     direction=_dir(req), labels=_labels(req),
-                     max_degree=_deg(req),
-                     limit=int(req.get("limit", DEFAULT_ELEMENTS_LIMIT)))
+    else:
+        out = kneighbor(graph, _id(req["source"]), int(req["max_depth"]),
+                        direction=_dir(req), labels=_labels(req),
+                        max_degree=_deg(req),
+                        limit=int(req.get("limit", DEFAULT_ELEMENTS_LIMIT)))
+    return _count_only(out) if req.get("count_only") else out
 
 
 def _exec_shortestpath(graph, req):

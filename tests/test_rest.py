@@ -206,3 +206,16 @@ def test_same_neighbors_vertex_list_payload(marko_graph):
     with pytest.raises(ValueError):
         execute(marko_graph, "sameneighbors",
                 {"vertex_list": ["person!marko"]}).count()
+
+
+def test_count_only_payload(marko_graph):
+    """count_only=true returns the size (KoutAPI/KneighborAPI response
+    metadata) — kneighbor depth-2 BOTH from marko reaches 3."""
+    row = execute(marko_graph, "kneighbor", {
+        "source": '"person!marko"', "max_depth": 2, "count_only": True,
+    }).head()
+    assert row.size == 3
+    row = execute(marko_graph, "kout", {
+        "source": '"person!marko"', "max_depth": 2, "count_only": True,
+    }).head()
+    assert row.size == 1
