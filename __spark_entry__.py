@@ -795,7 +795,36 @@ def multi_node_sp(spark, sf_dir):
     from incubator_hugegraph_spark.operators.paths import multi_node_shortest_path
     return multi_node_shortest_path(
         _graph(spark, sf_dir), ["customer!1", "customer!2", "customer!3"],
-        2, direction=OUT, labels=["interacted"])
+        2, direction=OUT, labels=["interacted"], engine="dist")
+
+
+@_q("multi_node_shortest_path_ram", f"""
+WITH {IE_SQL.strip()},
+ids(id, ord) AS (VALUES ('customer!1', 1), ('customer!2', 2),
+                 ('customer!3', 3)),
+p1 AS (SELECT a.id AS source, b.id AS target,
+              a.id || '>' || b.id AS path, 1 AS length
+       FROM ids a JOIN ids b ON a.ord < b.ord
+       WHERE EXISTS (SELECT 1 FROM ie WHERE src = a.id AND dst = b.id)),
+p2 AS (SELECT a.id AS source, b.id AS target,
+              min(a.id || '>' || e1.dst || '>' || b.id) AS path, 2 AS length
+       FROM ids a JOIN ids b ON a.ord < b.ord
+       JOIN ie e1 ON e1.src = a.id
+       JOIN ie e2 ON e2.src = e1.dst AND e2.dst = b.id
+       WHERE e1.dst <> a.id AND e1.dst <> b.id
+         AND NOT EXISTS (SELECT 1 FROM p1
+                         WHERE p1.source = a.id AND p1.target = b.id)
+       GROUP BY a.id, b.id)
+SELECT * FROM p1 UNION ALL SELECT * FROM p2
+""")
+def multi_node_sp_ram(spark, sf_dir):
+    """Same MNSP through the RamTable-style CSR BFS kernel
+    (ram.ram_multi_node_shortest_path) — both engines gated by the
+    same oracle, min-lex path strings bit-identical."""
+    from incubator_hugegraph_spark.operators.paths import multi_node_shortest_path
+    return multi_node_shortest_path(
+        _graph(spark, sf_dir), ["customer!1", "customer!2", "customer!3"],
+        2, direction=OUT, labels=["interacted"], engine="ram")
 
 
 def _interacted_weighted(g: PropertyGraph):

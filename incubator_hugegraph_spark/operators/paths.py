@@ -268,7 +268,8 @@ def _unroll_templates(steps: list[dict]) -> list[list[dict]]:
 def multi_node_shortest_path(graph: PropertyGraph, ids: list[str],
                              max_depth: int, direction: str = BOTH,
                              labels: list[str] | None = None,
-                             max_degree: int = NO_LIMIT) -> DataFrame:
+                             max_degree: int = NO_LIMIT,
+                             engine: str = "auto") -> DataFrame:
     """Pairwise shortest paths among a vertex set
     (MultiNodeShortestPathTraverser.java:68-113): one BFS frontier
     keyed by (origin, vertex). Returns (source, target, path, length)
@@ -284,7 +285,18 @@ def multi_node_shortest_path(graph: PropertyGraph, ids: list[str],
     exact: within a (origin, vertex, level) group no path string is a
     prefix of another (equal id-count, identical last id), so
     min(path_{k-1}) + '>' + v = min over all level-k paths via any
-    predecessor."""
+    predecessor.
+
+    ``engine``: 'auto' serves hot graphs from the RamTable-style CSR
+    kernel (ram.py, ram_multi_node_shortest_path — bit-identical
+    min-lex paths) when no degree guard is in play; 'ram'/'dist'
+    force a path. Both engines share the driver oracle."""
+    if engine != "dist" and max_degree == NO_LIMIT:
+        from incubator_hugegraph_spark.ram import (
+            ram_fits, ram_multi_node_shortest_path)
+        if engine == "ram" or ram_fits(graph):
+            return ram_multi_node_shortest_path(graph, ids, max_depth,
+                                                direction, labels)
     spark = graph.spark
     adj = loop_adj(graph, direction, labels, max_degree, max_depth)
     frontier = (spark.createDataFrame([(i,) for i in ids], "origin string")

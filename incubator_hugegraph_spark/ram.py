@@ -332,6 +332,98 @@ def ram_bfs(graph: PropertyGraph, source_ids: list[str], depth: int,
     return graph.spark.createDataFrame(pdf)
 
 
+def _vkey_rank(ids: np.ndarray) -> np.ndarray:
+    """Rank of each vertex under the id||'>' sort key.
+
+    Path strings are compared RAW by the distributed loop's
+    ``F.min(path)``; when one id is a prefix of another
+    (``part!1`` / ``part!10``) the character that decides the
+    comparison of two EXTENDED paths is the separator '>' (0x3E)
+    against the longer id's next character — which can be a digit
+    (0x30-0x39) or '!' (0x21), both below '>'. Ranking by id||'>'
+    reproduces the raw-string order of every future extension."""
+    keyed = np.char.add(ids, ">")
+    order = np.argsort(keyed)
+    rank = np.empty(len(ids), dtype=np.int64)
+    rank[order] = np.arange(len(ids))
+    return rank
+
+
+def ram_multi_node_shortest_path(graph: PropertyGraph, ids_list: list[str],
+                                 max_depth: int, direction: str = BOTH,
+                                 labels: list[str] | None = None) -> DataFrame:
+    """Pairwise shortest paths among a vertex set over the CSR — same
+    contract as operators/paths.multi_node_shortest_path
+    (MultiNodeShortestPathTraverser.java:68-113): (source, target,
+    path, length), one min-lexicographic path per unordered pair
+    (source precedes target in the input list), length = BFS level.
+
+    Min-lex parity with the distributed loop's per-round
+    ``groupBy(origin, id).agg(F.min(path))``: within a level no
+    path||'>' key is a prefix of another (equal separator counts), so
+    (a) the best predecessor of a newly reached vertex is the frontier
+    in-neighbor with the smallest path rank, and (b) ranking the new
+    level by (pred rank, _vkey_rank of the new vertex) reproduces the
+    raw-string order of the new paths — see _vkey_rank for why the
+    tie-break key is id||'>' rather than the raw id."""
+    import pandas as pd
+
+    ids, indptr, nbrs = _csr(graph, direction, labels)
+    n = len(ids)
+    vkey = _vkey_rank(ids) if n else np.empty(0, dtype=np.int64)
+    ord_of = {v: i for i, v in enumerate(ids_list)}
+    targets = np.zeros(n, dtype=bool)
+    tpos = np.searchsorted(ids, np.asarray(ids_list, dtype="U")) \
+        if n else np.empty(0, dtype=np.int64)
+    for p, v in zip(tpos, ids_list):
+        if p < n and ids[p] == v:
+            targets[p] = True
+    out_rows: list[tuple[str, str, str, int]] = []
+    for origin in ids_list:
+        o = np.searchsorted(ids, origin)
+        if o >= n or ids[o] != origin:
+            continue
+        dist = np.full(n, -1, dtype=np.int32)
+        parent = np.full(n, -1, dtype=np.int64)
+        dist[o] = 0
+        fr = np.array([o], dtype=np.int64)  # rank order == array order
+        for k in range(1, max_depth + 1):
+            cnt = indptr[fr + 1] - indptr[fr]
+            upos = np.repeat(np.arange(len(fr)), cnt)
+            vs = nbrs[np.repeat(indptr[fr], cnt) + _segmented_arange(cnt)]
+            keep = dist[vs] < 0
+            vs, upos = vs[keep], upos[keep]
+            if len(vs) == 0:
+                break
+            # per new vertex: min predecessor rank (== F.min over the
+            # concatenated path strings within the (origin, v) group)
+            order = np.lexsort((upos, vs))
+            vs_o, up_o = vs[order], upos[order]
+            first = np.ones(len(vs_o), dtype=bool)
+            first[1:] = vs_o[1:] != vs_o[:-1]
+            newv, predrank = vs_o[first], up_o[first]
+            dist[newv] = k
+            parent[newv] = fr[predrank]
+            hit = newv[targets[newv]]
+            for t in hit:
+                path = [int(t)]
+                while path[-1] != o:
+                    path.append(int(parent[path[-1]]))
+                tid = str(ids[t])
+                if ord_of[origin] < ord_of[tid]:
+                    out_rows.append(
+                        (origin, tid,
+                         ">".join(str(ids[p]) for p in reversed(path)), k))
+            # next frontier in path-string rank order
+            fr = newv[np.lexsort((vkey[newv], predrank))]
+    pdf = pd.DataFrame(out_rows,
+                       columns=["source", "target", "path", "length"])
+    if len(pdf) == 0:
+        return graph.spark.createDataFrame(
+            [], "source string, target string, path string, length int")
+    return graph.spark.createDataFrame(pdf)
+
+
 def _csr_dedup(graph: PropertyGraph, direction: str,
                labels: list[str] | None):
     """CSR over DISTINCT neighbor pairs (set semantics — what the

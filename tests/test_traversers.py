@@ -500,6 +500,31 @@ def test_ram_bfs_matches_distributed(graph):
                 engine=engine).count()
 
 
+def test_ram_mnsp_matches_distributed(graph):
+    """CSR multi-node-shortest-path kernel equals the distributed
+    min-lex frontier loop — path STRINGS bit-identical (the min-lex
+    tie-break and the id||'>' ordering subtlety are the point) — on
+    OUT / BOTH and with absent members in the vertex set."""
+    from incubator_hugegraph_spark.operators.paths import (
+        multi_node_shortest_path)
+    ids = ([f"customer!{i}" for i in range(6)] + ["missing!0"]
+           + [f"part!{i}" for i in range(4)])
+    for direction, depth in [("OUT", 3), ("BOTH", 2)]:
+        a = multi_node_shortest_path(graph, ids, depth,
+                                     direction=direction, engine="dist") \
+            .withColumnRenamed("path", "p1") \
+            .withColumnRenamed("length", "l1")
+        b = multi_node_shortest_path(graph, ids, depth,
+                                     direction=direction, engine="ram") \
+            .withColumnRenamed("path", "p2") \
+            .withColumnRenamed("length", "l2")
+        j = a.join(b, on=["source", "target"], how="full")
+        bad = j.filter(
+            (F.coalesce("p1", F.lit("-")) != F.coalesce("p2", F.lit("+")))
+            | (F.coalesce("l1", F.lit(-1)) != F.coalesce("l2", F.lit(-2))))
+        assert bad.count() == 0, (direction, depth, bad.collect()[:5])
+
+
 def test_ram_jaccard_matches_distributed(graph):
     """In-memory jaccard kernel equals the distributed set algebra
     (values bit-equal after the shared HALF_UP round-6)."""
