@@ -2269,6 +2269,37 @@ def doc_dup_ngram_ratio(spark, sf_dir):
     return dup_ngram_ratio(_docs(spark, sf_dir), n=3)
 
 
+@_q("doc_repetition", """
+WITH toks AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '') AS t
+         FROM documents),
+sh2 AS (SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t), 1)),
+                      i -> array_to_string(t[i:i+1], ' '))) AS s
+        FROM toks),
+per AS (SELECT doc_id, s, count(*) AS cnt FROM sh2 GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(cnt) AS n_ngrams, max(cnt) AS top_cnt,
+               sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_cnt
+        FROM per GROUP BY 1)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CASE WHEN COALESCE(n_ngrams, 0) = 0 THEN 0.0
+            ELSE ROUND(CAST(top_cnt AS DOUBLE) / n_ngrams, 6)
+       END AS top_ngram_frac,
+       CASE WHEN COALESCE(n_ngrams, 0) = 0 THEN 0.0
+            ELSE ROUND(CAST(dup_cnt AS DOUBLE) / n_ngrams, 6)
+       END AS dup_ngram_frac
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+""")
+def doc_repetition(spark, sf_dir):
+    """Gopher-style intra-doc repetition filters (token 2-grams with
+    multiplicity): most-frequent-2-gram fraction + duplicated-2-gram
+    instance fraction per doc."""
+    from incubator_hugegraph_spark.data.clean import repetition_metrics
+    return repetition_metrics(_docs(spark, sf_dir), n=2)
+
+
 @_q("emb_cosine_topk", """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
@@ -2404,6 +2435,50 @@ def emb_ivf_ann(spark, sf_dir):
     """IVF-lite ANN top-10 (centroid cells + n_probe re-rank)."""
     from incubator_hugegraph_spark.data.similarity import ivf_topk
     return ivf_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], 10)
+
+
+def _kmeans_stats_oracle(n_cells: int = 8) -> str:
+    """DuckDB SQL reproducing kmeans_cluster_stats with n_iters=1:
+    seeds = first n_cells ids, assign by fold-cosine argmax (tie →
+    lower cell), Lloyd mean update per dimension (list rebuilt in
+    index order), re-assign, per-cell size + rounded mean cosine.
+    Shares the fold-exact _cos_sql fragments with the ANN oracles."""
+    cos_seed = _cos_sql("b.v", "s.cv")
+    cos_cent = _cos_sql("b.v", "c.cv")
+    return f"""
+WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+seeds AS (SELECT id AS cell, v AS cv FROM base ORDER BY id
+          LIMIT {n_cells}),
+a0 AS (SELECT b.id, b.v, s.cell, {cos_seed} AS d
+       FROM base b CROSS JOIN seeds s),
+r0 AS (SELECT *, row_number() OVER (PARTITION BY id
+                                    ORDER BY d DESC, cell) AS rn
+       FROM a0),
+m AS (SELECT cell, i, avg(v[i]) AS mv
+      FROM (SELECT cell, v FROM r0 WHERE rn = 1), range(1, {_DIM + 1}) t(i)
+      GROUP BY 1, 2),
+upd AS (SELECT cell, list(mv ORDER BY i) AS cv FROM m GROUP BY cell),
+cents AS (SELECT s.cell, COALESCE(u.cv, s.cv) AS cv
+          FROM seeds s LEFT JOIN upd u USING (cell)),
+a1 AS (SELECT b.id, c.cell, {cos_cent} AS d
+       FROM base b CROSS JOIN cents c),
+r1 AS (SELECT *, row_number() OVER (PARTITION BY id
+                                    ORDER BY d DESC, cell) AS rn
+       FROM a1)
+SELECT cell, count(*) AS size, ROUND(avg(ROUND(d, 6)), 4) AS mean_sim
+FROM r1 WHERE rn = 1 GROUP BY cell
+"""
+
+
+@_q("emb_kmeans", _kmeans_stats_oracle())
+def emb_kmeans(spark, sf_dir):
+    """Deterministic Lloyd's k-means (1 refinement round) over the
+    embedding corpus → per-cluster size + cohesion (corpus curation:
+    domain balancing / diversity sampling)."""
+    from incubator_hugegraph_spark.data.similarity import (
+        kmeans_cluster_stats)
+    return kmeans_cluster_stats(_emb(spark, sf_dir), n_cells=8, n_iters=1)
 
 
 def _emb_neardup_oracle() -> str:

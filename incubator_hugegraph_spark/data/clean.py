@@ -84,3 +84,39 @@ def dup_ngram_ratio(docs: DataFrame, n: int = 3, text_col: str = "text",
                     F.round(F.coalesce(F.col("n_dup")
                                        / F.col("n_ngrams"), F.lit(0.0)), 6)
                     .alias("dup_ratio")))
+
+
+def repetition_metrics(docs: DataFrame, n: int = 2,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style intra-document repetition signals per doc
+    (Rae et al. 2021 §A1.1 "repetition" filters, token-based):
+
+    (id, n_ngrams, top_ngram_frac, dup_ngram_frac) where over the
+    doc's word n-grams WITH multiplicity: top_ngram_frac = occurrences
+    of the most frequent n-gram / total n-grams, dup_ngram_frac =
+    fraction of n-gram instances whose n-gram occurs ≥ 2 times in the
+    doc. Docs shorter than n tokens report 0 / 0.0 / 0.0.
+
+    Shape: one explode + groupBy(id, shingle) + groupBy(id) — both
+    aggregations partial-combine map-side and the key space is
+    per-doc, so there is no hot key at any corpus size (the worst
+    group is one document's n-gram multiset)."""
+    sh = word_shingles(docs, n, text_col, id_col, distinct=False)
+    per = (sh.groupBy("id", "shingle")
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .groupBy("id")
+           .agg(F.sum("cnt").alias("n_ngrams"),
+                F.max("cnt").alias("top_cnt"),
+                F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))
+                      .otherwise(F.lit(0))).alias("dup_cnt")))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(per, on="id", how="left")
+            .select("id",
+                    F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+                    F.round(F.coalesce(F.col("top_cnt")
+                                       / F.col("n_ngrams"), F.lit(0.0)), 6)
+                    .alias("top_ngram_frac"),
+                    F.round(F.coalesce(F.col("dup_cnt")
+                                       / F.col("n_ngrams"), F.lit(0.0)), 6)
+                    .alias("dup_ngram_frac")))

@@ -78,17 +78,21 @@ def normalized_dedup(docs: DataFrame, text_col: str = "text",
 
 
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) distinct word n-grams. JVM-side only."""
+                  id_col: str = "doc_id",
+                  distinct: bool = True) -> DataFrame:
+    """(id, shingle) word n-grams — distinct per doc by default (the
+    set semantics every dedup consumer wants); ``distinct=False``
+    keeps multiplicity (intra-doc repetition metrics). JVM-side
+    only."""
     toks = tokenize(F.col(text_col))
     sh = F.when(
         F.size(toks) >= n,
         F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
                     lambda i: F.array_join(F.slice(toks, i, n), " "))
     ).otherwise(F.array().cast("array<string>"))
-    return (docs.select(F.col(id_col).alias("id"),
-                        F.explode(sh).alias("shingle"))
-            .distinct())
+    out = docs.select(F.col(id_col).alias("id"),
+                      F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,

@@ -206,3 +206,32 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
     return (scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .select("query_id", F.col("id").alias("neighbor_id"), "sim"))
+
+
+def kmeans_cluster_stats(emb: DataFrame, n_cells: int = 8,
+                         n_iters: int = 1, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding clustering for corpus curation (domain balancing /
+    diversity sampling): deterministic Lloyd's k-means
+    (kmeans_centroids — seeded by the first n_cells ids, argmax
+    cosine, fixed rounds), then per-cluster stats.
+
+    Returns (cell, size, mean_sim): members per cluster and the mean
+    member→centroid cosine (rounded — assignment cohesion). At scale
+    the assign step is a broadcast crossJoin against n_cells
+    centroids (O(|N|·C) map-side, no shuffle) and the stats are one
+    groupBy(cell) — the same shape that holds for IVF index builds
+    on a 100 TB corpus."""
+    base = emb.select(F.col(id_col).alias("id"),
+                      _to_double(vec_col).alias("v"))
+    dim = len(emb.select(vec_col).first()[0])
+    cents = kmeans_centroids(base, n_cells, dim, n_iters)
+    assigned = (base.crossJoin(F.broadcast(cents))
+                .withColumn("d", cosine(F.col("v"), F.col("cv"))))
+    w = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("cell"))
+    assigned = (assigned.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1))
+    return (assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("size"),
+                 F.round(F.avg(F.round(F.col("d"), 6)), 4)
+                 .alias("mean_sim")))

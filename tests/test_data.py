@@ -438,3 +438,37 @@ def test_stratified_sample_quota_and_stability(spark, docs):
     again = stratified_sample(docs.repartition(5), "lang", 5)
     assert {(r.doc_id, r.lang) for r in s.collect()} == \
         {(r.doc_id, r.lang) for r in again.collect()}
+
+
+def test_repetition_metrics_known_values(spark):
+    from incubator_hugegraph_spark.data.clean import repetition_metrics
+    d = spark.createDataFrame(
+        [(1, "a b a b a"),      # 2-grams: ab ba ab ba -> top 2/4, dup 4/4
+         (2, "x y z w"),        # xy yz zw all unique -> top 1/3, dup 0
+         (3, "q"),              # shorter than n -> zeros
+         (4, "")],
+        "doc_id long, text string")
+    got = {r.id: r for r in repetition_metrics(d, n=2).collect()}
+    assert got[1].n_ngrams == 4
+    assert got[1].top_ngram_frac == 0.5
+    assert got[1].dup_ngram_frac == 1.0
+    assert got[2].n_ngrams == 3
+    assert abs(got[2].top_ngram_frac - round(1 / 3, 6)) < 1e-12
+    assert got[2].dup_ngram_frac == 0.0
+    assert got[3].n_ngrams == 0 and got[3].top_ngram_frac == 0.0
+    assert got[4].n_ngrams == 0 and got[4].dup_ngram_frac == 0.0
+
+
+def test_kmeans_cluster_stats_partition_and_determinism(emb):
+    from incubator_hugegraph_spark.data.similarity import (
+        kmeans_cluster_stats)
+    s1 = kmeans_cluster_stats(emb, n_cells=6, n_iters=1)
+    rows = s1.collect()
+    # every vector lands in exactly one cluster
+    assert sum(r.size for r in rows) == emb.count()
+    assert len(rows) <= 6
+    assert all(-1.0 <= r.mean_sim <= 1.0 for r in rows)
+    # deterministic build: a second run is row-identical
+    s2 = {r.cell: (r.size, r.mean_sim)
+          for r in kmeans_cluster_stats(emb, n_cells=6, n_iters=1).collect()}
+    assert {r.cell: (r.size, r.mean_sim) for r in rows} == s2
