@@ -351,6 +351,60 @@ def kout_2_ram(spark, sf_dir):
                 engine="ram")
 
 
+@_q("gremlin_dsl_filter_hop", """
+SELECT count(DISTINCT 'order!' || l_orderkey) AS cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size >= 45
+""")
+def gremlin_dsl_filter_hop(spark, sf_dir):
+    """Gremlin DSL (gremlin.py — §2.L step families compiled to one
+    Catalyst plan): g.V().hasLabel('part').has('size', gte(45))
+    .in_('contains').dedup().count() — has-folding + reverse
+    adjacency hop + dedup + count pushdown."""
+    from incubator_hugegraph_spark.gremlin import G, GP
+    g = G(_graph(spark, sf_dir))
+    return (g.V().hasLabel("part").has("size", GP.gte(45))
+            .in_("contains").dedup().count())
+
+
+@_q("gremlin_dsl_path", """
+SELECT 'customer!5>order!' || o_orderkey || '>part!' || l_partkey AS value
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_custkey = 5
+""")
+def gremlin_dsl_path(spark, sf_dir):
+    """g.V('customer!5').out('placed').out('contains').path() —
+    flatMap MULTIPLICITY parity (one traverser per physical edge:
+    multi-edges between the same order/part via l_linenumber each
+    produce a path) and the vertex-trail path() step."""
+    from incubator_hugegraph_spark.gremlin import G
+    g = G(_graph(spark, sf_dir))
+    return g.V("customer!5").out("placed").out("contains").path().toDF()
+
+
+@_q("gremlin_dsl_group_count", """
+SELECT 'nation!' || c_nationkey AS key, count(*) AS cnt
+FROM customer GROUP BY 1
+""")
+def gremlin_dsl_group_count(spark, sf_dir):
+    """g.V().hasLabel('customer').out('in_nation').groupCount() —
+    sideEffect family (groupCount over the arrived-at elements)."""
+    from incubator_hugegraph_spark.gremlin import G
+    g = G(_graph(spark, sf_dir))
+    return g.V().hasLabel("customer").out("in_nation").groupCount()
+
+
+@_q("gremlin_dsl_values_mean", """
+SELECT ROUND(AVG(p_retailprice), 6) AS value FROM part
+""")
+def gremlin_dsl_values_mean(spark, sf_dir):
+    """g.V().hasLabel('part').values('retailprice').mean_() — values
+    projection out of the props map with typed cast + mean() agg."""
+    from incubator_hugegraph_spark.gremlin import G
+    g = G(_graph(spark, sf_dir))
+    return g.V().hasLabel("part").values("retailprice").mean_()
+
+
 @_q("sql_match_pattern", """
 SELECT 'customer!' || c.c_custkey AS id, count(*) AS n_orders
 FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey

@@ -1,0 +1,121 @@
+"""Gremlin DSL (§2.L): step families compiled to DataFrame plans.
+
+The oracle-gated driver queries (gremlin_dsl_*) cover
+has/hop/dedup/count, path multiplicity, groupCount and values/mean;
+these tests cover the remaining step families against directly
+computed expectations on the fixture graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incubator_hugegraph_spark.gremlin import G, GP
+
+
+def test_has_id_and_label(graph):
+    g = G(graph)
+    assert g.V("customer!1", "part!1").hasLabel("part").toList() == [
+        "part!1"]
+    got = g.V().hasId("nation!3", "nation!4").id_().toList()
+    assert sorted(got) == ["nation!3", "nation!4"]
+
+
+def test_out_in_both_counts_match_adj(graph):
+    g = G(graph)
+    out_n = g.V("customer!1").out("placed").count().head().cnt
+    manual = graph.edges.filter(
+        (F.col("label") == "placed")
+        & (F.col("src") == "customer!1")).count()
+    assert out_n == manual
+    # both == out + in multiplicities
+    both_n = g.V("customer!1").both("interacted").count().head().cnt
+    o = graph.edges.filter((F.col("label") == "interacted")
+                           & (F.col("src") == "customer!1")).count()
+    i = graph.edges.filter((F.col("label") == "interacted")
+                           & (F.col("dst") == "customer!1")).count()
+    assert both_n == o + i
+
+
+def test_edge_steps_and_props(graph):
+    g = G(graph)
+    # outE.has on edge props, then otherV lands on the far vertex
+    t = (g.V("customer!1").outE("placed")
+         .has("totalprice", GP.gt(0.0)).otherV())
+    ids = t.id_().toList()
+    assert ids and all(i.startswith("order!") for i in ids)
+    # E() source counts a label
+    assert (g.E("in_nation").count().head().cnt
+            == graph.edges.filter(F.col("label") == "in_nation").count())
+
+
+def test_range_limit_tail_are_deterministic_and_disjoint(graph):
+    g = G(graph)
+    base = g.V().hasLabel("nation").id_()
+    first10 = base.limit(10).toList()
+    next5 = base.range_(10, 15).toList()
+    last3 = base.tail(3).toList()
+    allids = sorted(g.V().hasLabel("nation").id_().toList())
+    assert first10 == allids[:10]
+    assert next5 == allids[10:15]
+    assert sorted(last3) == allids[-3:]
+
+
+def test_sample_deterministic(graph):
+    g = G(graph)
+    s1 = g.V().hasLabel("customer").sample(7).id_().toList()
+    s2 = g.V().hasLabel("customer").sample(7).id_().toList()
+    assert len(s1) == 7 and sorted(s1) == sorted(s2)
+
+
+def test_union_and_fold(graph):
+    g = G(graph)
+    u = (g.V("nation!1")
+         .union(lambda t: t.out("located_in"),
+                lambda t: t.in_("in_nation"))
+         .id_())
+    ids = u.toList()
+    assert any(i.startswith("region!") for i in ids)
+    folded = g.V().hasLabel("region").id_().fold().head().value
+    assert folded == sorted(folded) and len(folded) == 5
+
+
+def test_simple_vs_cyclic_path_partition(graph):
+    g = G(graph)
+    two_hop = g.V("customer!1").both("interacted").both("interacted")
+    total = two_hop.count().head().cnt
+    simple = two_hop.simplePath().count().head().cnt
+    cyclic = two_hop.cyclicPath().count().head().cnt
+    assert total == simple + cyclic
+    # every both().both() walk can step straight back -> cycles exist
+    assert cyclic > 0
+    paths = two_hop.cyclicPath().path().toList()
+    assert all(len(set(p.split(">"))) < 3 for p in paths)
+
+
+def test_order_by_prop(graph):
+    g = G(graph)
+    rows = (g.V().hasLabel("part").order_by("size", asc=False)
+            .limit(3).toDF().collect())
+    sizes = [int(r.props["size"]) for r in rows]
+    top = (graph.view("part").agg(F.max("size")).head()[0])
+    assert sizes[0] == top
+
+
+def test_group_count_by_label_and_prop(graph):
+    g = G(graph)
+    by_label = {r.key: r.cnt for r in g.V().groupCount("label").collect()}
+    assert by_label["region"] == 5 and by_label["nation"] == 25
+    by_prop = {r.key: r.cnt
+               for r in (g.V().hasLabel("customer")
+                         .groupCount("mktsegment").collect())}
+    assert sum(by_prop.values()) == by_label["customer"]
+
+
+def test_repeat_equals_unrolled(graph):
+    g = G(graph)
+    a = (g.V("customer!1").repeat(lambda t: t.out("interacted"), 2)
+         .dedup().id_().toList())
+    b = (g.V("customer!1").out("interacted").out("interacted")
+         .dedup().id_().toList())
+    assert sorted(a) == sorted(b)
