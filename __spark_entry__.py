@@ -351,6 +351,58 @@ def kout_2_ram(spark, sf_dir):
                 engine="ram")
 
 
+@_q("cypher_match_agg", """
+SELECT 'customer!' || c.c_custkey AS id, count(*) AS n_orders
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1 ORDER BY n_orders DESC, id LIMIT 20
+""")
+def cypher_match_agg(spark, sf_dir):
+    """Cypher entry (cypher.py — §3.3: the reference's
+    CypherAPI.java:49-110 translation layer, ours parses openCypher
+    MATCH directly to DataFrame joins): pattern + WHERE + implicit
+    GROUP BY aggregation + ORDER/LIMIT, verbatim query text."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (c:customer)-[:placed]->(o:order)
+        WHERE c.mktsegment = 'BUILDING'
+        RETURN c AS id, count(o) AS n_orders
+        ORDER BY n_orders DESC, id LIMIT 20""")
+
+
+@_q("cypher_multi_hop", """
+SELECT count(DISTINCT o.o_custkey) AS n_customers
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size >= 48
+""")
+def cypher_multi_hop(spark, sf_dir):
+    """3-node Cypher chain with count(DISTINCT …) — compiles to the
+    same two adjacency joins the traversers use."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (c:customer)-[:placed]->(o:order)-[:contains]->(p:part)
+        WHERE p.size >= 48
+        RETURN count(DISTINCT c) AS n_customers""")
+
+
+@_q("cypher_undirected", """
+WITH pairs AS (SELECT lag(user_id) OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id) AS pu,
+                      user_id
+               FROM events)
+SELECT 2 * count(*) AS n FROM pairs WHERE pu IS NOT NULL AND pu <> user_id
+""")
+def cypher_undirected(spark, sf_dir):
+    """Undirected relationship pattern -[:interacted]- — BOTH
+    expansion with per-physical-edge multiplicity (each multi-edge
+    matches in both orientations, Cypher semantics)."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (a:customer)-[:interacted]-(b:customer)
+        RETURN count(*) AS n""")
+
+
 @_q("gremlin_dsl_filter_hop", """
 SELECT count(DISTINCT 'order!' || l_orderkey) AS cnt
 FROM lineitem JOIN part ON p_partkey = l_partkey
