@@ -120,3 +120,42 @@ def repetition_metrics(docs: DataFrame, n: int = 2,
                     F.round(F.coalesce(F.col("dup_cnt")
                                        / F.col("n_ngrams"), F.lit(0.0)), 6)
                     .alias("dup_ngram_frac")))
+
+
+# PII patterns: conservative, Java/RE2-portable regexes (no lookbehind)
+# so the same pattern strings run in Spark, DuckDB and most scrubbers.
+# Dict order IS the redaction order — specific before general (the
+# phone pattern would otherwise swallow IPv4/SSN spans first).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": (r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+             r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b"),
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+}
+
+
+def pii_redact(docs: DataFrame, kinds: list[str] | None = None,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-doc PII scrub for training corpora: each matched span is
+    replaced by `<KIND>` and counted. Returns
+    (id, redacted, n_email, n_phone, … for the selected kinds).
+
+    Entirely `regexp_replace`/`regexp_count` Column expressions —
+    JVM-side inside whole-stage codegen, no Python in the row path,
+    so the pass is a pure map over the corpus (no shuffle at any
+    scale). Patterns are intentionally conservative (precision over
+    recall): corpus policy usually layers a validator behind the
+    regex gate; that validator slot is a pandas_udf hook, same shape
+    as the analyzer plugin (SURVEY §2.K)."""
+    kinds = kinds or list(PII_PATTERNS)
+    out = docs.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("redacted"),
+                      *[F.regexp_count(F.col(text_col),
+                                       F.lit(PII_PATTERNS[k]))
+                        .alias(f"n_{k}") for k in kinds])
+    red = F.col("redacted")
+    for k in kinds:
+        red = F.regexp_replace(red, PII_PATTERNS[k], f"<{k.upper()}>")
+    return out.withColumn("redacted", red)

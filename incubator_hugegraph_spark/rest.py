@@ -559,3 +559,13 @@ def execute_algorithm(graph: PropertyGraph, name: str,
         return A.subgraph_stat(graph, labels=lab)
     raise KeyError(f"unknown algorithm {name!r} "
                    f"(AlgorithmPool.java registry)")
+
+
+def execute_cypher(graph: PropertyGraph, request: dict | str) -> DataFrame:
+    """`POST …/graphs/{graph}/cypher` (api/api/cypher/CypherAPI.java:
+    49-110): the body is the Cypher text (the reference also accepts
+    {"gremlin": …}-style wrapped payloads via CypherManager — we take
+    the raw string or a {"cypher": "..."} dict)."""
+    from incubator_hugegraph_spark.cypher import cypher
+    query = request if isinstance(request, str) else request["cypher"]
+    return cypher(graph, query)

@@ -472,3 +472,32 @@ def test_kmeans_cluster_stats_partition_and_determinism(emb):
     s2 = {r.cell: (r.size, r.mean_sim)
           for r in kmeans_cluster_stats(emb, n_cells=6, n_iters=1).collect()}
     assert {r.cell: (r.size, r.mean_sim) for r in rows} == s2
+
+
+def test_pii_redact_patterns_and_counts(spark):
+    from incubator_hugegraph_spark.data.clean import pii_redact
+    d = spark.createDataFrame(
+        [(1, "mail me at jane.doe+x@example.co.uk or call +1 (415) 555-0199"),
+         (2, "server 10.0.255.7 ssn 123-45-6789"),
+         (3, "nothing sensitive here"),
+         (4, "two mails: a@b.io c@d.org")],
+        "doc_id long, text string")
+    got = {r.id: r for r in pii_redact(d).collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1
+    assert "<EMAIL>" in got[1].redacted and "<PHONE>" in got[1].redacted
+    assert "jane" not in got[1].redacted and "555" not in got[1].redacted
+    assert got[2].n_ipv4 == 1 and got[2].n_ssn == 1
+    assert "<IPV4>" in got[2].redacted and "<SSN>" in got[2].redacted
+    assert got[3].redacted == "nothing sensitive here"
+    assert got[3].n_email == got[3].n_phone == 0
+    assert got[4].n_email == 2 and got[4].redacted.count("<EMAIL>") == 2
+
+
+def test_rest_cypher_adapter(graph):
+    from incubator_hugegraph_spark import rest
+    df = rest.execute_cypher(
+        graph, {"cypher": "MATCH (r:region) RETURN count(*) AS n"})
+    assert df.head().n == 5
+    df2 = rest.execute_cypher(graph,
+                              "MATCH (n:nation) RETURN count(*) AS n")
+    assert df2.head().n == 25
