@@ -37,3 +37,60 @@ def test_splice_id_injective_on_values(v1, v2):
     if v1 != v2:
         assert splice_id("l", v1) != splice_id("l", v2)
     assert splice_id("l", v1, v2) != splice_id("l", v1 + "!" + v2)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=7), min_size=0,
+                max_size=30))
+def test_segmented_arange_structure(lengths):
+    import numpy as np
+    from incubator_hugegraph_spark.ram import _segmented_arange
+    out = _segmented_arange(np.asarray(lengths, dtype=np.int64))
+    want = [i for n in lengths for i in range(n)]
+    assert out.tolist() == want
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=50))
+def test_round_half_up6_matches_decimal(xs):
+    import decimal
+    import numpy as np
+    from incubator_hugegraph_spark.ram import _round_half_up6
+    got = _round_half_up6(np.asarray(xs, dtype=np.float64))
+    for x, g in zip(xs, got):
+        want = float(decimal.Decimal(repr(np.float64(x))).quantize(
+            decimal.Decimal("0.000001"),
+            rounding=decimal.ROUND_HALF_UP))
+        # repr() of the double is the shortest round-trip literal —
+        # the same value Spark/DuckDB see; HALF_UP on it must agree
+        assert g == want, (x, g, want)
+
+
+_idchars = st.text(
+    alphabet=st.sampled_from("abcz019!"), min_size=1, max_size=6)
+
+
+@given(st.lists(_idchars, min_size=2, max_size=8, unique=True),
+       _idchars, _idchars)
+def test_vkey_rank_orders_path_extensions(ids, ext1, ext2):
+    """The MNSP kernel's id||'>' ranking (ram._vkey_rank) must equal
+    the RAW string order of any same-length path extension — the
+    property the distributed loop's F.min(path) relies on. This is
+    exactly the '!'/digit-below-'>' prefix subtlety."""
+    import numpy as np
+    from incubator_hugegraph_spark.ram import _vkey_rank
+    arr = np.sort(np.asarray(ids, dtype="U"))
+    rank = _vkey_rank(arr)
+    for i in range(len(arr)):
+        for j in range(len(arr)):
+            if i == j:
+                continue
+            # extend both with one more hop; the shared suffix differs
+            # only after the separator of the SHORTER key, so key rank
+            # must predict the raw comparison
+            p1 = arr[i] + ">" + ext1
+            p2 = arr[j] + ">" + ext2
+            if rank[i] < rank[j]:
+                assert p1 < p2 or (arr[i] + ">") == (arr[j] + ">")
+            elif rank[i] > rank[j]:
+                assert p1 > p2 or (arr[i] + ">") == (arr[j] + ">")
