@@ -172,7 +172,13 @@ def ram_wcc(graph: PropertyGraph,
 
 def _und_indexed(graph: PropertyGraph, labels: list[str] | None):
     """Canonical undirected simple edges as index pairs (a < b both as
-    strings and, equivalently, as lex-ordered indices)."""
+    strings and, equivalently, as lex-ordered indices). Memoized with
+    the other RamTable structures — the O(E log E) unique is paid
+    once per hot graph, not per triangle/coefficient call."""
+    cache = graph.__dict__.setdefault("_ram_cache", {})
+    ckey = ("und", tuple(labels) if labels else None)
+    if ckey in cache:
+        return cache[ckey]
     ids, src, dst = _index_edges(graph, OUT, labels)
     a = np.minimum(src, dst)
     b = np.maximum(src, dst)
@@ -181,7 +187,9 @@ def _und_indexed(graph: PropertyGraph, labels: list[str] | None):
     n = len(ids)
     key = a.astype(np.int64) * n + b
     key = np.unique(key)
-    return ids, (key // n).astype(np.int64), (key % n).astype(np.int64), key
+    cache[ckey] = (ids, (key // n).astype(np.int64),
+                   (key % n).astype(np.int64), key)
+    return cache[ckey]
 
 
 def _segmented_arange(lengths: np.ndarray) -> np.ndarray:
