@@ -297,8 +297,11 @@ class CypherEngine:
 
     def __init__(self, graph: PropertyGraph):
         self.graph = graph
+        self._typed_cols: dict[str, set[str]] = {}
 
     def _prop(self, var: str, prop: str) -> Column:
+        if prop in self._typed_cols.get(var, ()):
+            return F.col(f"__c_{var}_{prop}")  # typed view column
         c = F.col(f"__p_{var}")[prop]
         pks = getattr(self.graph.schema, "property_keys", {}) \
             if self.graph.schema is not None else {}
@@ -341,16 +344,32 @@ class CypherEngine:
         q = _Parser(_tokenize(query)).parse()
         g = self.graph
         # assemble the pattern: one column per node var (its id), plus
-        # __p_<var>/__l_<var> for props/label
+        # per-var property columns. LABELED vars compile against the
+        # TYPED per-label view, so `WHERE p.size >= 45` is a plain
+        # typed-column predicate that reaches the parquet scan
+        # (PushedFilters) and the scan reads only referenced columns —
+        # the generic props-map fallback (unlabeled vars) evaluates
+        # the map build per row and blocks both. At 100 TB this is the
+        # difference between a pruned column scan and a full read.
+        self._typed_cols = {}
         df: DataFrame | None = None
 
         def node_df(var: str) -> DataFrame:
+            label = q.nodes.get(var)
+            if label and label in getattr(g, "vertex_views", {}):
+                view = g.view(label)
+                props = [c for c in view.columns if c != "id"]
+                self._typed_cols[var] = set(props)
+                return view.select(
+                    F.col("id").alias(var),
+                    F.lit(label).alias(f"__l_{var}"),
+                    *[F.col(c).alias(f"__c_{var}_{c}") for c in props])
             v = g.vertices.select(
                 F.col("id").alias(var),
                 F.col("label").alias(f"__l_{var}"),
                 F.col("props").alias(f"__p_{var}"))
-            if q.nodes.get(var):
-                v = v.filter(F.col(f"__l_{var}") == q.nodes[var])
+            if label:
+                v = v.filter(F.col(f"__l_{var}") == label)
             return v
 
         bound: set[str] = set()

@@ -86,3 +86,21 @@ def test_parser_rejects_garbage(graph):
                 "MATCH (a:part) RETURN a WHERE a.size > 3"]:
         with pytest.raises(SyntaxError):
             cypher(graph, bad)
+
+
+def test_labeled_pattern_compiles_to_pushed_typed_scan(graph):
+    """Labeled node vars compile against the typed view: the WHERE
+    predicate must reach the parquet scan (PushedFilters) and the
+    scan must read only the referenced columns — the 100 TB posture
+    for declarative filters (SURVEY §4.1)."""
+    df = cypher(graph, """
+        MATCH (p:part) WHERE p.size >= 45
+        RETURN p AS id, p.size AS size""")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(p_size,45)" in plan
+    import re
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) \
+        == {"p_partkey", "p_size"}
+    # exactly one file scan survives union-branch pruning
+    assert plan.count("FileScan parquet") == 1
