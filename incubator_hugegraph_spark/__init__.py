@@ -14,7 +14,9 @@ iterative graph algorithms are driver-side loops over joins with
 checkpoint hygiene (the GraphFrames pattern).
 """
 
+from incubator_hugegraph_spark.cypher import cypher
 from incubator_hugegraph_spark.graph import PropertyGraph
+from incubator_hugegraph_spark.gremlin import G, GP
 from incubator_hugegraph_spark.schema import (
     Cardinality,
     EdgeLabel,
@@ -27,6 +29,9 @@ from incubator_hugegraph_spark.session import get_spark
 
 __all__ = [
     "Cardinality",
+    "G",
+    "GP",
+    "cypher",
     "EdgeLabel",
     "GraphSchema",
     "IdStrategy",

@@ -90,7 +90,7 @@ class _Query:
     where: list[tuple] = field(default_factory=list)
     returns: list[tuple] = field(default_factory=list)
     distinct: bool = False
-    order: list[tuple[str, bool]] = field(default_factory=list)
+    order: list[tuple] = field(default_factory=list)  # (expr, asc)
     skip: int = 0
     limit: int | None = None
 
@@ -309,14 +309,14 @@ class CypherEngine:
             return c.cast(pks[prop].spark_type())
         return c
 
-    def _col(self, expr, df_cols: list[str]) -> Column:
+    def _col(self, expr) -> Column:
         kind = expr[0]
         if kind == "var":
             return F.col(expr[1])
         if kind == "prop":
             return self._prop(expr[1], expr[2])
         if kind == "id":
-            return self._col(expr[1], df_cols)
+            return self._col(expr[1])
         if kind == "label":
             return F.col(f"__l_{expr[1][1]}")
         if kind == "lit":
@@ -327,17 +327,17 @@ class CypherEngine:
         kind = cond[0]
         if kind == "cmp":
             _, op, l, r = cond
-            lc, rc = self._col(l, []), self._col(r, [])
+            lc, rc = self._col(l), self._col(r)
             return {"=": lc == rc, "<>": lc != rc, "<": lc < rc,
                     "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc}[op]
         if kind == "contains":
             from incubator_hugegraph_spark.functions.text import tokenize
             _, l, r = cond
-            return F.array_contains(tokenize(self._col(l, [])),
+            return F.array_contains(tokenize(self._col(l)),
                                     str(r[1]).lower())
         if kind == "in":
             _, l, vals = cond
-            return self._col(l, []).isin(vals)
+            return self._col(l).isin(vals)
         raise SyntaxError(f"cypher: cannot compile condition {cond}")
 
     def run(self, query: str) -> DataFrame:
@@ -423,7 +423,7 @@ class CypherEngine:
                 if fn == "COUNT" and inner is None:
                     aggs.append(F.count(F.lit(1)).alias(a))
                     continue
-                c = self._col(inner, [])
+                c = self._col(inner)
                 if fn == "COUNT":
                     aggs.append((F.countDistinct(c) if distinct
                                  else F.count(c)).alias(a))
@@ -432,10 +432,10 @@ class CypherEngine:
                     f = {"SUM": F.sum, "AVG": F.avg,
                          "MIN": F.min, "MAX": F.max}[fn]
                     aggs.append(F.round(f(c), 6).alias(a))
-            df = df.groupBy(*[self._col(e, []).alias(a) for e, a in keys]) \
+            df = df.groupBy(*[self._col(e).alias(a) for e, a in keys]) \
                 .agg(*aggs) if keys else df.agg(*aggs)
         else:
-            df = df.select(*[self._col(e, []).alias(a) for e, a in items])
+            df = df.select(*[self._col(e).alias(a) for e, a in items])
         if q.distinct:
             df = df.dropDuplicates()
 
@@ -447,7 +447,7 @@ class CypherEngine:
                     return F.col(expr[1])
                 if expr[0] == "prop" and f"{expr[1]}_{expr[2]}" in out_names:
                     return F.col(f"{expr[1]}_{expr[2]}")
-                return self._col(expr, [])
+                return self._col(expr)
             df = df.orderBy(*[ocol(e).asc() if asc else ocol(e).desc()
                               for e, asc in q.order])
         if q.skip:
