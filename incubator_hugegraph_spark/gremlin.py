@@ -298,7 +298,67 @@ class Traversal:
         return self._new(self.df.select(
             F.array_join("path", ">").alias("value")), kind="value")
 
+    def valueMap(self, *keys: str) -> "Traversal":
+        """Element id + props map (all keys, or the selected subset)
+        as a value-kind row per element."""
+        t = self._elem() if self.kind == "V" else self
+        idc = F.col("id") if t.kind == "V" else F.col("eid")
+        props = F.col("props") if not keys else F.map_filter(
+            F.col("props"), lambda k, _: k.isin(list(keys)))
+        return t._new(t.df.select(idc.alias("id"),
+                                  props.alias("value")), kind="value",
+                      sort=None)
+
+    def is_(self, value) -> "Traversal":
+        """Gremlin is(): filter the current VALUE stream."""
+        self._require("value")
+        return self._new(self.df.filter(_pred(F.col("value"), value)))
+
+    def inject(self, *values) -> "Traversal":
+        """Append literal values to the value stream."""
+        self._require("value")
+        lit = self.df.sparkSession.createDataFrame(
+            [(v,) for v in values], self.df.schema)
+        return self._new(self.df.unionByName(lit))
+
     # -- branch steps --------------------------------------------------
+
+    def choose(self, pred: Callable[[DataFrame], Column],
+               then_step: Callable[["Traversal"], "Traversal"],
+               else_step: Callable[["Traversal"], "Traversal"]
+               ) -> "Traversal":
+        """Per-traverser branch: rows satisfying ``pred`` flow through
+        ``then_step``, the rest through ``else_step`` (union of the two
+        filtered branch plans — still one Catalyst tree)."""
+        a = then_step(self._new(self.df.filter(pred(self.df))))
+        b = else_step(self._new(self.df.filter(~pred(self.df))))
+        if a.kind != b.kind:
+            raise TypeError(f"choose branches disagree: {a.kind}/{b.kind}")
+        if a.kind == "V":
+            # normalize to the hop shape — one branch may carry
+            # attached element columns the other lacks
+            a, b = (t._new(t.df.select("id", "path"), attached=False)
+                    for t in (a, b))
+        return a._new(a.df.unionByName(b.df))
+
+    def coalesce(self, *steps: Callable[["Traversal"], "Traversal"]
+                 ) -> "Traversal":
+        """First branch that yields any traverser (checked in order —
+        each check is one count() action, so use for bounded branch
+        lists, the Gremlin pattern)."""
+        last = None
+        for step in steps:
+            last = step(self)
+            if last.df.limit(1).count() > 0:
+                return last
+        if last is None:
+            raise ValueError("coalesce: no branches")
+        return last
+
+    def optional(self, step: Callable[["Traversal"], "Traversal"]
+                 ) -> "Traversal":
+        """step's result if non-empty, else the incoming traversers."""
+        return self.coalesce(step, lambda t: t)
 
     def repeat(self, step: Callable[["Traversal"], "Traversal"],
                times: int) -> "Traversal":
@@ -315,6 +375,9 @@ class Traversal:
         kinds = {p.kind for p in parts}
         if len(kinds) != 1:
             raise TypeError(f"union branches disagree on kind: {kinds}")
+        if parts[0].kind == "V":
+            parts = [p._new(p.df.select("id", "path"), attached=False)
+                     for p in parts]
         df = parts[0].df
         for p in parts[1:]:
             df = df.unionByName(p.df)

@@ -119,3 +119,34 @@ def test_repeat_equals_unrolled(graph):
     b = (g.V("customer!1").out("interacted").out("interacted")
          .dedup().id_().toList())
     assert sorted(a) == sorted(b)
+
+
+def test_value_map_and_is(graph):
+    g = G(graph)
+    rows = g.V("part!1").valueMap("name", "size").toDF().collect()
+    assert rows[0].id == "part!1" and set(rows[0].value) <= {"name", "size"}
+    vals = (g.V().hasLabel("region").id_()
+            .is_(GP.within("region!1", "region!2")).toList())
+    assert sorted(vals) == ["region!1", "region!2"]
+
+
+def test_inject_choose_coalesce_optional(graph):
+    g = G(graph)
+    got = g.V("region!0").id_().inject("synthetic!1").toList()
+    assert sorted(got) == ["region!0", "synthetic!1"]
+    # choose: nations 0-12 -> their region; others -> themselves
+    t = g.V().hasLabel("nation").choose(
+        lambda df: F.split(df.id, "!")[1].cast("int") < 13,
+        lambda t: t.out("located_in"),
+        lambda t: t)
+    ids = t.id_().toList()
+    assert sum(i.startswith("region!") for i in ids) == 13
+    assert sum(i.startswith("nation!") for i in ids) == 12
+    # coalesce: first branch empty (no out-edges from region along
+    # located_in), falls through to identity
+    kept = g.V("region!3").coalesce(
+        lambda t: t.out("located_in"),
+        lambda t: t).id_().toList()
+    assert kept == ["region!3"]
+    assert g.V("region!3").optional(
+        lambda t: t.in_("located_in")).count().head().cnt == 5
