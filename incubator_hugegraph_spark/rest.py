@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from incubator_hugegraph_spark.graph import BOTH, NO_LIMIT, OUT, PropertyGraph
 
@@ -162,6 +163,21 @@ def _exec_kout(graph, req):
                               limit=int(req.get("limit",
                                                 DEFAULT_ELEMENTS_LIMIT)))
     else:
+        if req.get("with_path"):
+            # KoutAPI POST with_path (KoutAPI.java Request.withPath):
+            # the exactly-depth layer with one min-lex path each —
+            # the ≤depth path table filtered to the last layer
+            # (nearest=true only: non-nearest kout revisits earlier
+            # layers, which the single-path record cannot express)
+            if not req.get("nearest", True):
+                raise ValueError("with_path requires nearest=true")
+            from incubator_hugegraph_spark.operators.bfs import (
+                kneighbor_paths)
+            return kneighbor_paths(
+                graph, _id(req["source"]), int(req["max_depth"]),
+                direction=_dir(req), labels=_labels(req),
+                max_degree=_deg(req)) \
+                .filter(F.col("dist") == int(req["max_depth"]))
         out = kout(graph, _id(req["source"]), int(req["max_depth"]),
                    direction=_dir(req), labels=_labels(req),
                    nearest=bool(req.get("nearest", True)),
@@ -180,6 +196,21 @@ def _exec_kneighbor(graph, req):
             graph, _id(req["source"]), reps,
             limit=int(req.get("limit", DEFAULT_ELEMENTS_LIMIT)))
     else:
+        if req.get("with_path"):
+            from incubator_hugegraph_spark.operators.bfs import (
+                kneighbor_paths)
+            return kneighbor_paths(
+                graph, _id(req["source"]), int(req["max_depth"]),
+                direction=_dir(req), labels=_labels(req),
+                max_degree=_deg(req),
+                limit=int(req.get("limit", DEFAULT_ELEMENTS_LIMIT)))
+        if req.get("with_edge"):
+            from incubator_hugegraph_spark.operators.bfs import (
+                kneighbor_edges)
+            return kneighbor_edges(
+                graph, _id(req["source"]), int(req["max_depth"]),
+                direction=_dir(req), labels=_labels(req),
+                max_degree=_deg(req))
         out = kneighbor(graph, _id(req["source"]), int(req["max_depth"]),
                         direction=_dir(req), labels=_labels(req),
                         max_degree=_deg(req),

@@ -219,3 +219,33 @@ def test_count_only_payload(marko_graph):
         "source": '"person!marko"', "max_depth": 2, "count_only": True,
     }).head()
     assert row.size == 1
+
+
+def test_rest_kout_kneighbor_with_path_and_edge(graph):
+    from incubator_hugegraph_spark import rest
+    # kneighbor POST with_path: every ≤2-hop vertex carries a path
+    kp = rest.execute(graph, "kneighbor", {
+        "source": "customer!1", "max_depth": 2, "direction": "OUT",
+        "with_path": True})
+    rows = kp.collect()
+    assert rows and all(r.path.startswith("customer!1>") for r in rows)
+    assert {r.dist for r in rows} <= {1, 2}
+    # kout POST with_path: only the exactly-depth layer
+    ko = rest.execute(graph, "kout", {
+        "source": "customer!1", "max_depth": 2, "direction": "OUT",
+        "with_path": True})
+    krows = ko.collect()
+    assert krows and all(r.dist == 2 for r in krows)
+    # same ids as the plain kout query
+    plain = rest.execute(graph, "kout", {
+        "source": "customer!1", "max_depth": 2, "direction": "OUT"})
+    assert sorted(r.id for r in krows) == sorted(r.id for r in plain.collect())
+    # with_edge: neighborhood subgraph edges have both endpoints reached
+    ke = rest.execute(graph, "kneighbor", {
+        "source": "customer!1", "max_depth": 1, "direction": "OUT",
+        "with_edge": True})
+    reached = {"customer!1"} | {r.id for r in rest.execute(
+        graph, "kneighbor", {"source": "customer!1", "max_depth": 1,
+                             "direction": "OUT"}).collect()}
+    for e in ke.collect():
+        assert e.src in reached and e.dst in reached
