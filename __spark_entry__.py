@@ -351,6 +351,25 @@ def kout_2_ram(spark, sf_dir):
                 engine="ram")
 
 
+@_q("text_bigram_contains", """
+SELECT 'part!' || p_partkey AS id, p_name AS name
+FROM part
+WHERE strpos(regexp_replace(lower(p_name), '\s+', '', 'g'), 'ol') > 0
+""")
+def text_bigram_contains(spark, sf_dir):
+    """SEARCH-index lookup through a NON-default analyzer (the
+    analyzer plugin surface, AnalyzerFactory.java / Analyzer.java:24):
+    character-bigram segmentation (the CJK fallback) — a 2-char term
+    matches iff it appears in the whitespace-stripped text, which the
+    oracle mirrors with strpos."""
+    from incubator_hugegraph_spark.functions.text import segment
+    g = _graph(spark, sf_dir)
+    return (g.view("part")
+            .filter(F.array_contains(segment(F.col("name"), "bigram"),
+                                     "ol"))
+            .select("id", "name"))
+
+
 @_q("cypher_match_agg", """
 SELECT 'customer!' || c.c_custkey AS id, count(*) AS n_orders
 FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey

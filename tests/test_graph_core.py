@@ -166,3 +166,29 @@ def test_register_views_sql_entry(spark, graph):
             "g_placed"} <= set(names)
     n = spark.sql("SELECT count(*) AS c FROM g_vertices").collect()[0].c
     assert n == graph.vertices.count()
+
+
+def test_analyzer_registry_and_pandas_udf_plugin(spark):
+    """The analyzer plugin surface (AnalyzerFactory.java): built-in
+    word/bigram analyzers plus a pandas_udf registered behind the
+    same segment() signature (the CJK-segmenter slot)."""
+    from pyspark.sql import functions as F
+    from incubator_hugegraph_spark.functions.text import (
+        register_analyzer, segment)
+    df = spark.createDataFrame([("Hello Spark World",)], "t string")
+    assert df.select(segment("t", "word").alias("x")).head().x \
+        == ["hello", "spark", "world"]
+    bi = df.select(segment("t", "bigram").alias("x")).head().x
+    assert bi[0] == "he" and "os" in bi  # crosses the stripped space
+    # pandas_udf analyzer: comma splitter, Arrow-batched
+    from pyspark.sql.functions import pandas_udf
+    # no type hints: this module has `from __future__ import
+    # annotations`, which turns hints into strings pyspark can't infer
+    comma = pandas_udf(lambda s: s.str.split(","), "array<string>")
+    register_analyzer("comma", lambda c: comma(c))
+    got = (spark.createDataFrame([("a,b,c",)], "t string")
+           .select(segment("t", "comma").alias("x")).head().x)
+    assert got == ["a", "b", "c"]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        segment("t", "nope")
