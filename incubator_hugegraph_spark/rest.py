@@ -600,3 +600,76 @@ def execute_cypher(graph: PropertyGraph, request: dict | str) -> DataFrame:
     from incubator_hugegraph_spark.cypher import cypher
     query = request if isinstance(request, str) else request["cypher"]
     return cypher(graph, query)
+
+
+def execute_schema(schema, method: str, path: str,
+                   payload: dict | None = None):
+    """Schema REST surface (api/api/schema/*API.java — PropertyKeyAPI,
+    VertexLabelAPI, EdgeLabelAPI, IndexLabelAPI): the reference's
+    request shapes mapped onto the GraphSchema registry builders
+    (SchemaManager facade). `path` is the REST tail, e.g.
+    'propertykeys' or 'vertexlabels/person'. Returns JSON-able dicts
+    in the reference's response style (enum names as strings)."""
+    from dataclasses import asdict
+    from incubator_hugegraph_spark.schema import (Cardinality, Frequency,
+                                                  IdStrategy, IndexType)
+
+    kind, _, name = path.partition("/")
+    method = method.upper()
+
+    def dump(obj) -> dict:
+        d = asdict(obj)
+        return {k: (v.value if hasattr(v, "value") else
+                    list(v) if isinstance(v, tuple) else v)
+                for k, v in d.items()}
+
+    registries = {"propertykeys": schema.property_keys,
+                  "vertexlabels": schema.vertex_labels,
+                  "edgelabels": schema.edge_labels,
+                  "indexlabels": schema.index_labels}
+    if kind not in registries:
+        raise KeyError(f"unknown schema endpoint {kind!r}")
+    reg = registries[kind]
+
+    if method == "GET":
+        if name:
+            return dump(reg[name])
+        return [dump(v) for v in reg.values()]
+    if method == "DELETE":
+        del reg[name or payload["name"]]
+        return None
+    if method != "POST":
+        raise ValueError(f"unsupported method {method}")
+
+    p = dict(payload or {})
+    if kind == "propertykeys":
+        pk = schema.property_key(
+            p["name"], p.get("data_type", "TEXT").upper(),
+            Cardinality(p.get("cardinality", "SINGLE").upper()))
+        return dump(pk)
+    if kind == "vertexlabels":
+        vl = schema.vertex_label(
+            p["name"],
+            properties=tuple(p.get("properties", ())),
+            primary_keys=tuple(p.get("primary_keys", ())),
+            nullable_keys=tuple(p.get("nullable_keys", ())),
+            id_strategy=IdStrategy(
+                p.get("id_strategy", "PRIMARY_KEY").upper()),
+            ttl_ms=int(p.get("ttl", 0)),
+            enable_label_index=bool(p.get("enable_label_index", True)))
+        return dump(vl)
+    if kind == "edgelabels":
+        el = schema.edge_label(
+            p["name"], p["source_label"], p["target_label"],
+            properties=tuple(p.get("properties", ())),
+            sort_keys=tuple(p.get("sort_keys", ())),
+            nullable_keys=tuple(p.get("nullable_keys", ())),
+            frequency=Frequency(p.get("frequency", "SINGLE").upper()),
+            ttl_ms=int(p.get("ttl", 0)))
+        return dump(el)
+    il = schema.index_label(
+        p["name"], p["base_type"].upper().replace("_LABEL", ""),
+        p["base_value"],
+        IndexType(p["index_type"].upper()),
+        tuple(p.get("fields", ())))
+    return dump(il)

@@ -249,3 +249,50 @@ def test_rest_kout_kneighbor_with_path_and_edge(graph):
                              "direction": "OUT"}).collect()}
     for e in ke.collect():
         assert e.src in reached and e.dst in reached
+
+
+def test_rest_schema_endpoints_reference_payloads():
+    """SchemaAPI payload shapes (api/api/schema/*API.java, request
+    bodies in the style of SchemaApiTest) driven through the
+    GraphSchema registry."""
+    import pytest
+    from incubator_hugegraph_spark import GraphSchema, rest
+    s = GraphSchema()
+    for pk in [{"name": "name", "data_type": "TEXT"},
+               {"name": "age", "data_type": "INT"},
+               {"name": "time", "data_type": "TEXT"},
+               {"name": "weight", "data_type": "DOUBLE",
+                "cardinality": "LIST"}]:
+        rest.execute_schema(s, "POST", "propertykeys", pk)
+    got = rest.execute_schema(s, "GET", "propertykeys/weight")
+    assert got["cardinality"] == "LIST" and got["data_type"] == "DOUBLE"
+    rest.execute_schema(s, "POST", "vertexlabels", {
+        "name": "person", "id_strategy": "PRIMARY_KEY",
+        "properties": ["name", "age"], "primary_keys": ["name"],
+        "nullable_keys": ["age"]})
+    rest.execute_schema(s, "POST", "vertexlabels", {
+        "name": "software", "id_strategy": "CUSTOMIZE_STRING",
+        "properties": ["name"]})
+    rest.execute_schema(s, "POST", "edgelabels", {
+        "name": "created", "source_label": "person",
+        "target_label": "software", "frequency": "MULTIPLE",
+        "sort_keys": ["time"], "properties": ["time", "weight"]})
+    el = rest.execute_schema(s, "GET", "edgelabels/created")
+    assert el["frequency"] == "MULTIPLE" and el["sort_keys"] == ["time"]
+    rest.execute_schema(s, "POST", "indexlabels", {
+        "name": "personByAge", "base_type": "VERTEX_LABEL",
+        "base_value": "person", "index_type": "RANGE",
+        "fields": ["age"]})
+    assert len(rest.execute_schema(s, "GET", "indexlabels")) == 1
+    # constraint checks ride the builders: MULTIPLE needs sort_keys,
+    # properties must be declared
+    with pytest.raises(ValueError):
+        rest.execute_schema(s, "POST", "edgelabels", {
+            "name": "knows", "source_label": "person",
+            "target_label": "person", "frequency": "MULTIPLE"})
+    with pytest.raises(ValueError):
+        rest.execute_schema(s, "POST", "vertexlabels", {
+            "name": "bad", "properties": ["nope"],
+            "primary_keys": ["nope"]})
+    rest.execute_schema(s, "DELETE", "indexlabels/personByAge")
+    assert rest.execute_schema(s, "GET", "indexlabels") == []
