@@ -189,8 +189,13 @@ class Traversal:
     def dedup(self) -> "Traversal":
         if self.kind == "value":
             return self._new(self.df.dropDuplicates(["value"]))
+        # one row per element, keeping the MIN path (dropDuplicates
+        # would keep an arbitrary traverser's path — nondeterministic
+        # if path()/simplePath() follows)
         key = "id" if self.kind == "V" else "eid"
-        return self._new(self.df.dropDuplicates([key]))
+        w = Window.partitionBy(key).orderBy("path")
+        return self._new(self.df.withColumn("__rn", F.row_number().over(w))
+                         .filter(F.col("__rn") == 1).drop("__rn"))
 
     def simplePath(self) -> "Traversal":
         self._require("V")

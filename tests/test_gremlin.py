@@ -150,3 +150,22 @@ def test_inject_choose_coalesce_optional(graph):
     assert kept == ["region!3"]
     assert g.V("region!3").optional(
         lambda t: t.in_("located_in")).count().head().cnt == 5
+
+
+def test_dedup_keeps_min_path_deterministically(graph):
+    g = G(graph)
+    t = (g.V("customer!1").out("placed").out("contains").dedup().path())
+    p1 = sorted(t.toList())
+    p2 = sorted(g.V("customer!1").out("placed").out("contains")
+                .dedup().path().toList())
+    assert p1 == p2
+    # one path per distinct part, and it is the minimum one
+    full = (g.V("customer!1").out("placed").out("contains").path()
+            .toList())
+    by_last: dict[str, tuple] = {}
+    for p in full:
+        t = tuple(p.split(">"))  # the window compares the path ARRAY
+        # element-wise, not the joined string (they diverge on prefix
+        # ids like order!5 / order!51)
+        by_last[t[-1]] = min(by_last.get(t[-1], t), t)
+    assert sorted(">".join(t) for t in by_last.values()) == p1
