@@ -2446,6 +2446,28 @@ def emb_cosine_topk(spark, sf_dir):
     return cosine_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], 10)
 
 
+@_q("emb_cosine_topk_np", """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  ROUND(list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored)
+SELECT query_id, neighbor_id, sim FROM r WHERE rn <= 10
+""")
+def emb_cosine_topk_np(spark, sf_dir):
+    """Same brute-force top-10 through the Arrow-batched mapInPandas
+    numpy path (left-fold bit-parity with the Column kernel) — the
+    compute-bound scale variant, gated by the SAME oracle."""
+    from incubator_hugegraph_spark.data.similarity import cosine_topk_np
+    return cosine_topk_np(_emb(spark, sf_dir), [0, 1, 2, 3, 4], 10)
+
+
 # DuckDB fragments reproducing the Spark vector kernels EXACTLY:
 # Spark F.aggregate is a left fold from 0.0 and ((0+x1)+x2)+… ==
 # (x1+x2)+… in IEEE, which is DuckDB's list_reduce order; products

@@ -235,3 +235,84 @@ def kmeans_cluster_stats(emb: DataFrame, n_cells: int = 8,
             .agg(F.count(F.lit(1)).alias("size"),
                  F.round(F.avg(F.round(F.col("d"), 6)), 4)
                  .alias("mean_sim")))
+
+
+def cosine_topk_np(emb: DataFrame, query_ids: list[int], k: int,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Brute-force exact top-k via Arrow-batched numpy (mapInPandas) —
+    the compute-bound scale path for wide corpora, same contract and
+    ORACLE as cosine_topk.
+
+    Shape: the bounded query matrix is closed over (broadcast with the
+    serialized task); each Arrow batch scores |batch| × |Q| cosines as
+    64 vectorized ops and emits only its LOCAL top-k rows per query
+    (selected by the global (sim desc, id asc) order, so no global
+    winner can be dropped); one final window reduces
+    (#batches × k × |Q|) rows to the exact top-k. The corpus is
+    touched once, map-side; the only shuffle carries k·|Q| rows per
+    batch.
+
+    Bit-parity: dot/norm accumulate as an explicit LEFT FOLD over
+    dimensions (a Python loop of vectorized adds), reproducing
+    F.aggregate's ((0+x₁)+x₂)+… order and therefore the DuckDB
+    list_reduce oracle, double-for-double."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (emb.filter(F.col(id_col).isin(query_ids))
+              .select(id_col, vec_col).collect())
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    n_q, dim = qm.shape if len(q_rows) else (0, 0)
+
+    def _fold_dot(M: "np.ndarray", v: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(M.shape[0])
+        for j in range(M.shape[1]):          # left fold == F.aggregate
+            acc = acc + M[:, j] * v[j]
+        return acc
+
+    def _fold_norm(M: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(M.shape[0])
+        for j in range(M.shape[1]):
+            acc = acc + M[:, j] * M[:, j]
+        return np.sqrt(acc)
+
+    q_norm = _fold_norm(qm) if n_q else np.empty(0)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or n_q == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.array([list(v) for v in pdf[vec_col]],
+                         dtype=np.float64)
+            m_norm = _fold_norm(M)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(n_q):
+                sims = _fold_dot(M, qm[qi]) / (m_norm * q_norm[qi])
+                mask = ids != q_ids[qi]
+                cand_ids, cand_sims = ids[mask], sims[mask]
+                # select on the ROUNDED sim — the global order
+                # tie-breaks equal rounded sims by id asc, so
+                # selecting on raw sims could drop a smaller-id tied
+                # winner (HALF_UP round-6 == F.round, ram.py)
+                from incubator_hugegraph_spark.ram import _round_half_up6
+                cand_sims = _round_half_up6(cand_sims)
+                take = min(k, len(cand_ids))
+                order = np.lexsort((cand_ids, -cand_sims))[:take]
+                out_q.append(np.full(take, q_ids[qi]))
+                out_n.append(cand_ids[order])
+                out_s.append(cand_sims[order])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s)})
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("query_id", "neighbor_id", "sim"))

@@ -501,3 +501,13 @@ def test_rest_cypher_adapter(graph):
     df2 = rest.execute_cypher(graph,
                               "MATCH (n:nation) RETURN count(*) AS n")
     assert df2.head().n == 25
+
+
+def test_cosine_topk_np_equals_column_kernel(emb):
+    from incubator_hugegraph_spark.data.similarity import (cosine_topk,
+                                                           cosine_topk_np)
+    a = cosine_topk(emb, [0, 1, 2], 7).withColumnRenamed("sim", "s1")
+    b = cosine_topk_np(emb, [0, 1, 2], 7).withColumnRenamed("sim", "s2")
+    j = a.join(b, on=["query_id", "neighbor_id"], how="full")
+    assert j.filter(F.coalesce("s1", F.lit(-2.0))
+                    != F.coalesce("s2", F.lit(-3.0))).count() == 0
