@@ -372,11 +372,39 @@ class CypherEngine:
                 v = v.filter(F.col(f"__l_{var}") == label)
             return v
 
+        def rel_scan_labels(rel: _Rel) -> list[str] | None:
+            """Schema-link pruning (GraphTransaction.optimizeQuery
+            :1553-1589 — semantic pruning Catalyst can't derive): an
+            unlabeled relationship between labeled endpoints scans
+            only the edge labels the schema allows between them; an
+            infeasible (label, endpoints) combination scans nothing.
+            The '__none__' sentinel keeps the plan shape while the
+            pushed isin([]) filter empties the scan."""
+            sch = g.schema
+            if sch is None or not getattr(sch, "edge_labels", None):
+                return [rel.label] if rel.label else None
+            sl, dl = q.nodes.get(rel.src), q.nodes.get(rel.dst)
+
+            def links(e) -> bool:
+                fwd = ((sl is None or e.source_label == sl)
+                       and (dl is None or e.target_label == dl))
+                rev = ((sl is None or e.target_label == sl)
+                       and (dl is None or e.source_label == dl))
+                if rel.direction == "OUT":
+                    return fwd
+                if rel.direction == "IN":
+                    return rev
+                return fwd or rev
+            cands = [n for n, e in sch.edge_labels.items()
+                     if (rel.label is None or n == rel.label) and links(e)]
+            if rel.label is None and len(cands) == len(sch.edge_labels):
+                return None  # nothing pruned — keep the unfiltered view
+            return cands or ["__none__"]
+
         bound: set[str] = set()
         if q.rels:
             for rel in q.rels:
-                adj = g.adj(rel.direction,
-                            [rel.label] if rel.label else None) \
+                adj = g.adj(rel.direction, rel_scan_labels(rel)) \
                     .select(F.col("src").alias(rel.src),
                             F.col("dst").alias(rel.dst))
                 if df is None:

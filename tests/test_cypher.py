@@ -104,3 +104,24 @@ def test_labeled_pattern_compiles_to_pushed_typed_scan(graph):
         == {"p_partkey", "p_size"}
     # exactly one file scan survives union-branch pruning
     assert plan.count("FileScan parquet") == 1
+
+
+def test_schema_link_pruning(graph):
+    """SURVEY §4.1 schema-link pruning: unlabeled relationships
+    between labeled endpoints scan only schema-compatible edge
+    labels; infeasible combinations yield empty without error."""
+    # unlabeled rel customer->nation can only be in_nation
+    a = cypher(graph, """
+        MATCH (c:customer)-[]->(n:nation) RETURN count(*) AS n""").head().n
+    b = cypher(graph, """
+        MATCH (c:customer)-[:in_nation]->(n:nation)
+        RETURN count(*) AS n""").head().n
+    assert a == b > 0
+    # located_in links nation->region, never customer->region
+    assert cypher(graph, """
+        MATCH (c:customer)-[:located_in]->(r:region)
+        RETURN count(*) AS n""").head().n == 0
+    # BOTH direction: nation -[]- region matches located_in either way
+    both = cypher(graph, """
+        MATCH (n:nation)-[]-(r:region) RETURN count(*) AS n""").head().n
+    assert both == 25
