@@ -2425,6 +2425,30 @@ def doc_repetition(spark, sf_dir):
     return repetition_metrics(_docs(spark, sf_dir), n=2)
 
 
+@_q("doc_pack_sequences", """
+WITH t AS (SELECT doc_id AS id,
+                  len(list_filter(string_split_regex(lower(text),
+                      '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
+           FROM documents),
+c AS (SELECT id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS start
+      FROM t)
+SELECT id, n_tokens,
+       CAST(start // 512 AS BIGINT) AS seq_id,
+       start % 512 AS offset
+FROM c
+""")
+def doc_pack_sequences(spark, sf_dir):
+    """Pretraining sequence packing (concatenate in id order, cut
+    every 512 tokens): per-doc (seq_id, offset) via the scalable
+    two-phase prefix sum — the oracle is the naive global window."""
+    from incubator_hugegraph_spark.data.sample import pack_sequences
+    return pack_sequences(_docs(spark, sf_dir), seq_len=512,
+                          bucket_size=64)
+
+
 @_q("emb_cosine_topk", """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),

@@ -56,3 +56,46 @@ def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
         hash_unit(F.col(id_col)), F.col(id_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n_per_stratum).drop("__rn"))
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048,
+                   bucket_size: int = 100_000,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Pretraining sequence packing: documents are concatenated in
+    id order into one token stream cut every ``seq_len`` tokens.
+    Returns (id, n_tokens, seq_id, offset) — the sequence each doc
+    STARTS in and its token offset there (a doc may straddle into the
+    following sequences, as concat-and-cut packing does).
+
+    Scale shape: a naive ``SUM() OVER (ORDER BY id)`` is a
+    single-partition window. This is the standard TWO-PHASE prefix
+    sum instead: per-bucket token totals (one tiny aggregate,
+    #buckets rows) are prefix-summed and joined back (broadcast), and
+    the expensive window runs per bucket — every partition-sized
+    piece of the cumsum is independent, so the op scales to any
+    corpus while producing the exact global cumsum."""
+    from incubator_hugegraph_spark.functions.text import token_count
+
+    t = docs.select(F.col(id_col).alias("id"),
+                    token_count(F.col(text_col)).alias("n_tokens"),
+                    (F.col(id_col) / F.lit(bucket_size))
+                    .cast("long").alias("__b"))
+    per_bucket = (t.groupBy("__b")
+                  .agg(F.sum("n_tokens").alias("__bsum")))
+    w_prefix = Window.orderBy("__b") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    prefix = per_bucket.select(
+        "__b", F.coalesce(F.sum("__bsum").over(w_prefix), F.lit(0))
+        .alias("__prev_buckets"))  # #buckets rows — trivially small
+    w_local = Window.partitionBy("__b").orderBy("id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    return (t.join(F.broadcast(prefix), on="__b")
+            .withColumn("__start",
+                        F.col("__prev_buckets")
+                        + F.coalesce(F.sum("n_tokens").over(w_local),
+                                     F.lit(0)))
+            .select("id", "n_tokens",
+                    (F.col("__start") / seq_len).cast("long")
+                    .alias("seq_id"),
+                    (F.col("__start") % seq_len).alias("offset")))

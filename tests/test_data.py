@@ -511,3 +511,24 @@ def test_cosine_topk_np_equals_column_kernel(emb):
     j = a.join(b, on=["query_id", "neighbor_id"], how="full")
     assert j.filter(F.coalesce("s1", F.lit(-2.0))
                     != F.coalesce("s2", F.lit(-3.0))).count() == 0
+
+
+def test_pack_sequences_two_phase_equals_naive(spark, docs):
+    """The two-phase prefix sum must equal the naive global-window
+    cumsum regardless of bucket size, and offsets stay < seq_len."""
+    from incubator_hugegraph_spark.data.sample import pack_sequences
+    from incubator_hugegraph_spark.functions.text import token_count
+    from pyspark.sql.window import Window
+    naive = (docs.select(F.col("doc_id").alias("id"),
+                         token_count(F.col("text")).alias("n"))
+             .withColumn("start", F.coalesce(
+                 F.sum("n").over(
+                     Window.orderBy("id").rowsBetween(
+                         Window.unboundedPreceding, -1)), F.lit(0))))
+    expect = {r.id: (r.start // 100, r.start % 100)
+              for r in naive.collect()}
+    for bucket in (7, 64, 10_000):
+        got = pack_sequences(docs, seq_len=100, bucket_size=bucket)
+        rows = got.collect()
+        assert all(0 <= r.offset < 100 for r in rows)
+        assert {r.id: (r.seq_id, r.offset) for r in rows} == expect, bucket
