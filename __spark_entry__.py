@@ -2449,6 +2449,25 @@ def doc_pack_sequences(spark, sf_dir):
                           bucket_size=64)
 
 
+@_q("doc_corpus_stats", """
+WITH t AS (SELECT len(list_filter(string_split_regex(lower(text),
+               '[^a-z0-9]+'), x -> x <> '')) AS n
+           FROM documents)
+SELECT count(*) AS n_docs,
+       sum(n) AS total_tokens,
+       ROUND(avg(n), 6) AS mean_tokens,
+       quantile_cont(n, 0.5) AS p50_tokens,
+       quantile_cont(n, 0.95) AS p95_tokens
+FROM t
+""")
+def doc_corpus_stats(spark, sf_dir):
+    """Corpus token-length distribution (count/sum/mean + exact
+    interpolated p50/p95 — Spark percentile == DuckDB
+    quantile_cont)."""
+    from incubator_hugegraph_spark.data.text import corpus_stats
+    return corpus_stats(_docs(spark, sf_dir))
+
+
 @_q("emb_cosine_topk", """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),

@@ -13,7 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from incubator_hugegraph_spark.data.dedup import normalize_text
-from incubator_hugegraph_spark.functions.text import tokenize
+from incubator_hugegraph_spark.functions.text import (token_count,
+                                                      tokenize)
 
 # language-ID: stopword hit counts (with duplicates) + CJK detection;
 # winner = max count, ties → alphabetically first, no hits → 'und'
@@ -174,3 +175,19 @@ def tfidf_top_terms(docs: DataFrame, top: int = 3,
     return (scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= top)
             .select("id", "term", "score"))
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level curation dashboard row: doc count, token totals
+    and the token-length distribution (exact interpolated
+    percentiles — Spark `percentile`, mirrored by DuckDB
+    quantile_cont double-for-double). One aggregation pass; the
+    percentile is the only non-sketch piece and swaps for
+    approx_percentile at the 100 TB tier (documented tradeoff)."""
+    t = docs.select(token_count(F.col(text_col)).alias("n"))
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.round(F.avg("n"), 6).alias("mean_tokens"),
+        F.expr("percentile(n, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(n, 0.95)").alias("p95_tokens"))
