@@ -422,6 +422,33 @@ def cypher_undirected(spark, sf_dir):
         RETURN count(*) AS n""")
 
 
+@_q("gremlin_text_chain", """
+SELECT count(DISTINCT 'order!' || l_orderkey) AS cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size >= 45
+""")
+def gremlin_text_chain(spark, sf_dir):
+    """The `POST /gremlin` surface (GremlinAPI.java:41-88): the
+    reference user's literal query STRING parsed and compiled onto
+    the DSL (gremlin_text.py) — same oracle as the fluent form."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    return eval_gremlin(_graph(spark, sf_dir),
+                        "g.V().hasLabel('part').has('size', gte(45))"
+                        ".in('contains').dedup().count()")
+
+
+@_q("gremlin_text_group_count", """
+SELECT 'nation!' || c_nationkey AS key, count(*) AS cnt
+FROM customer GROUP BY 1
+""")
+def gremlin_text_group_count(spark, sf_dir):
+    """Gremlin text form of the groupCount chain."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    return eval_gremlin(_graph(spark, sf_dir),
+                        "g.V().hasLabel('customer')"
+                        ".out('in_nation').groupCount()")
+
+
 @_q("gremlin_dsl_filter_hop", """
 SELECT count(DISTINCT 'order!' || l_orderkey) AS cnt
 FROM lineitem JOIN part ON p_partkey = l_partkey

@@ -121,6 +121,24 @@ def _pred(key_col: Column, value) -> Column:
     return _typed(key_col, value) == value
 
 
+def _align_branches(a: "Traversal", b: "Traversal"):
+    """Make two same-kind branch traversals union-compatible: V-kind
+    reduces to the hop shape (one branch may carry attached element
+    columns the other lacks); value-kind with diverging types coerces
+    both to string (Gremlin value streams are heterogeneous)."""
+    if a.kind == "V":
+        return tuple(t._new(t.df.select("id", "path"), attached=False)
+                     for t in (a, b))
+    if a.kind == "value":
+        ta = a.df.schema["value"].dataType
+        tb = b.df.schema["value"].dataType
+        if ta != tb:
+            return tuple(t._new(t.df.select(
+                F.col("value").cast("string").alias("value")))
+                for t in (a, b))
+    return a, b
+
+
 class Traversal:
     """Immutable traversal: every step returns a new Traversal whose
     ``df`` is the accumulated DataFrame plan."""
@@ -339,11 +357,7 @@ class Traversal:
         b = else_step(self._new(self.df.filter(~pred(self.df))))
         if a.kind != b.kind:
             raise TypeError(f"choose branches disagree: {a.kind}/{b.kind}")
-        if a.kind == "V":
-            # normalize to the hop shape — one branch may carry
-            # attached element columns the other lacks
-            a, b = (t._new(t.df.select("id", "path"), attached=False)
-                    for t in (a, b))
+        a, b = _align_branches(a, b)
         return a._new(a.df.unionByName(b.df))
 
     def coalesce(self, *steps: Callable[["Traversal"], "Traversal"]
@@ -380,13 +394,11 @@ class Traversal:
         kinds = {p.kind for p in parts}
         if len(kinds) != 1:
             raise TypeError(f"union branches disagree on kind: {kinds}")
-        if parts[0].kind == "V":
-            parts = [p._new(p.df.select("id", "path"), attached=False)
-                     for p in parts]
-        df = parts[0].df
+        first = parts[0]
         for p in parts[1:]:
-            df = df.unionByName(p.df)
-        return parts[0]._new(df)
+            first, p = _align_branches(first, p)
+            first = first._new(first.df.unionByName(p.df))
+        return first
 
     # -- order / range / sample ---------------------------------------
 

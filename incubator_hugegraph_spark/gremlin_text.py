@@ -1,0 +1,253 @@
+"""Gremlin text queries → the fluent DSL (the `POST /gremlin` surface).
+
+The reference evaluates Gremlin-groovy scripts in the embedded
+GremlinServer (api/api/gremlin/GremlinAPI.java:41-88). Arbitrary
+groovy is out of scope (our Python API is the scripting surface —
+SURVEY §2.K), but the overwhelmingly common payload is a single
+method-chain traversal string. This module parses exactly that form
+and compiles it onto gremlin.Traversal, so a reference user's actual
+query strings run verbatim:
+
+    eval_gremlin(graph, "g.V().hasLabel('part')"
+                        ".has('size', gte(45)).in('contains')"
+                        ".dedup().count()")
+
+Supported chain grammar:
+    g.V(ids…) | g.E(labels…)
+    .hasLabel/.hasId/.has(key, literal | P-predicate)
+    .out/.in/.both/.outE/.inE/.bothE(labels…) .inV()/.outV()/.otherV()
+    .values(key) .id() .label() .valueMap(keys…) .path()
+    .dedup() .simplePath() .cyclicPath()
+    .order().by(key[, incr|decr|asc|desc]) .limit(n) .range(a, b)
+    .tail(n) .sample(n) .is(P) .inject(v…)
+    .repeat(__.…).times(n)  .union(__.…, __.…)
+    .choose(__.has(...), __.…, __.…)  .coalesce(__.…, …)
+    .optional(__.…)
+    .count() .sum() .mean() .min() .max() .fold()
+    .groupCount([.by(key | label)])
+P-predicates: eq,neq,gt,gte,lt,lte,within,without,between,inside,
+outside,textContains. Anonymous traversals start with `__.`.
+
+Java/groovy niceties NOT handled: lambdas/closures, `as()/select()`
+step labels, arithmetic, variable bindings — those are the cases the
+reference itself delegates to a full groovy engine.
+"""
+
+from __future__ import annotations
+
+import re
+
+from incubator_hugegraph_spark.gremlin import G, GP, Traversal
+from incubator_hugegraph_spark.graph import PropertyGraph
+
+_TOKENS = re.compile(r"""
+    \s*(?:
+      (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+    | (?P<num>-?\d+(?:\.\d+)?)
+    | (?P<bool>true|false)
+    | (?P<anon>__)
+    | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<punc>[().,])
+    )""", re.X)
+
+_PREDICATES = {"eq", "neq", "gt", "gte", "lt", "lte", "within",
+               "without", "between", "inside", "outside",
+               "textContains"}
+
+#: gremlin step name → DSL method (identity where omitted)
+_STEP_ALIAS = {"in": "in_", "id": "id_", "label": "label_",
+               "is": "is_", "range": "range_",
+               "sum": "sum_", "mean": "mean_", "min": "min_",
+               "max": "max_"}
+
+_ORDER_DESC = {"decr", "desc"}
+
+
+def _tokenize(q: str):
+    out, i = [], 0
+    q = q.strip()
+    while i < len(q):
+        m = _TOKENS.match(q, i)
+        if not m or m.end() == i:
+            raise SyntaxError(f"gremlin: cannot tokenize at {q[i:i+20]!r}")
+        for g in ("str", "num", "bool", "anon", "name", "punc"):
+            if m.group(g) is not None:
+                out.append((g, m.group(g)))
+                break
+        i = m.end()
+    out.append(("eof", ""))
+    return out
+
+
+class _Chain:
+    """One parsed method chain: [(step, [args…]), …]. Args are
+    literals, GP predicates, or nested _Chain (anonymous
+    traversals)."""
+
+    def __init__(self, steps):
+        self.steps = steps
+
+
+class _P:
+    def __init__(self, toks):
+        self.toks, self.i = toks, 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def take(self, kind=None, val=None):
+        t = self.toks[self.i]
+        if (kind and t[0] != kind) or (val and t[1] != val):
+            raise SyntaxError(f"gremlin: expected {kind or val}, got {t}")
+        self.i += 1
+        return t
+
+    def chain(self) -> _Chain:
+        steps = []
+        head = self.take("name")[1] if self.peek()[0] == "name" \
+            else self.take("anon")[1]
+        if head not in ("g", "__"):
+            raise SyntaxError(f"gremlin: chain must start with g/__, "
+                              f"got {head!r}")
+        while self.peek() == ("punc", "."):
+            self.take()
+            name = self.take("name")[1]
+            self.take("punc", "(")
+            args = []
+            while self.peek() != ("punc", ")"):
+                args.append(self._arg())
+                if self.peek() == ("punc", ","):
+                    self.take()
+            self.take("punc", ")")
+            steps.append((name, args))
+        return _Chain(steps)
+
+    def _arg(self):
+        t = self.peek()
+        if t[0] == "str":
+            self.take()
+            return t[1][1:-1]
+        if t[0] == "num":
+            self.take()
+            return float(t[1]) if "." in t[1] else int(t[1])
+        if t[0] == "bool":
+            self.take()
+            return t[1] == "true"
+        if t[0] == "anon":
+            return self.chain()
+        if t[0] == "name":
+            if t[1] in _PREDICATES:
+                self.take()
+                self.take("punc", "(")
+                vals = []
+                while self.peek() != ("punc", ")"):
+                    vals.append(self._arg())
+                    if self.peek() == ("punc", ","):
+                        self.take()
+                self.take("punc", ")")
+                fn = getattr(GP, "text_contains"
+                             if t[1] == "textContains" else t[1])
+                return fn(*vals)
+            # bare identifiers: order modifiers etc. pass through
+            self.take()
+            return ("ident", t[1])
+        raise SyntaxError(f"gremlin: bad argument {t}")
+
+
+def _apply(chain: _Chain, t: Traversal) -> object:
+    """Apply parsed steps to a traversal; returns a Traversal or, for
+    terminal aggregations, a DataFrame."""
+    steps = list(chain.steps)
+    i = 0
+    while i < len(steps):
+        name, args = steps[i]
+        if isinstance(t, Traversal) is False:
+            raise SyntaxError(
+                f"gremlin: step {name}() after a terminal aggregation")
+        if name == "repeat":
+            if i + 1 >= len(steps) or steps[i + 1][0] != "times":
+                raise SyntaxError("gremlin: repeat(...) needs .times(n)")
+            body = args[0]
+            n = steps[i + 1][1][0]
+            t = t.repeat(lambda x: _apply(body, x), int(n))
+            i += 2
+            continue
+        if name == "order":
+            if i + 1 < len(steps) and steps[i + 1][0] == "by":
+                by_args = steps[i + 1][1]
+                key = by_args[0] if by_args and isinstance(
+                    by_args[0], str) else None
+                asc = True
+                for a in by_args:
+                    if isinstance(a, tuple) and a[0] == "ident" \
+                            and a[1] in _ORDER_DESC:
+                        asc = False
+                t = t.order_by(key, asc=asc)
+                i += 2
+            else:
+                t = t.order_by()
+                i += 1
+            continue
+        if name == "groupCount":
+            key = None
+            if i + 1 < len(steps) and steps[i + 1][0] == "by":
+                by_args = steps[i + 1][1]
+                if by_args and isinstance(by_args[0], str):
+                    key = by_args[0]
+                elif by_args and isinstance(by_args[0], tuple):
+                    key = by_args[0][1]  # T.label etc. → 'label'
+                i += 1
+            t = t.groupCount(key)
+            i += 1
+            continue
+        if name in ("union", "choose", "coalesce", "optional"):
+            subs = [a for a in args if isinstance(a, _Chain)]
+            if name == "union":
+                t = t.union(*[(lambda c: lambda x: _apply(c, x))(c)
+                              for c in subs])
+            elif name == "optional":
+                t = t.optional(lambda x: _apply(subs[0], x))
+            elif name == "coalesce":
+                t = t.coalesce(*[(lambda c: lambda x: _apply(c, x))(c)
+                                 for c in subs])
+            else:  # choose(predChain, then, else)
+                t = t._elem()  # predicate needs props attached
+                pred_chain = subs[0]
+                if len(pred_chain.steps) != 1 \
+                        or pred_chain.steps[0][0] != "has":
+                    raise SyntaxError(
+                        "gremlin: choose() supports a __.has(...) "
+                        "predicate branch")
+                pk, pv = pred_chain.steps[0][1]
+                from incubator_hugegraph_spark.gremlin import _pred
+                from pyspark.sql import functions as F
+                t = t.choose(
+                    lambda df: _pred(F.col("props")[pk], pv),
+                    lambda x: _apply(subs[1], x),
+                    lambda x: _apply(subs[2], x))
+            i += 1
+            continue
+        method = _STEP_ALIAS.get(name, name)
+        if not hasattr(t, method):
+            raise SyntaxError(f"gremlin: unsupported step {name}()")
+        plain = [a for a in args if not isinstance(a, (_Chain, tuple))]
+        t = getattr(t, method)(*plain)
+        i += 1
+    return t
+
+
+def eval_gremlin(graph: PropertyGraph, query: str):
+    """Parse and run a Gremlin method-chain string. Returns the
+    resulting DataFrame (terminal aggregations) or the traversal's
+    element/value DataFrame otherwise."""
+    p = _P(_tokenize(query))
+    chain = p.chain()
+    p.take("eof")
+    if not chain.steps or chain.steps[0][0] not in ("V", "E"):
+        raise SyntaxError("gremlin: query must start with g.V()/g.E()")
+    src, args = chain.steps[0]
+    t = getattr(G(graph), src)(*[a for a in args if isinstance(a, str)])
+    out = _apply(_Chain(chain.steps[1:]), t)
+    if isinstance(out, Traversal):
+        return out.toDF()
+    return out

@@ -673,3 +673,13 @@ def execute_schema(schema, method: str, path: str,
         IndexType(p["index_type"].upper()),
         tuple(p.get("fields", ())))
     return dump(il)
+
+
+def execute_gremlin(graph: PropertyGraph, request: dict | str) -> DataFrame:
+    """`POST /gremlin` (api/api/gremlin/GremlinAPI.java:41-88): the
+    body's ``gremlin`` field is a traversal string; the supported
+    method-chain subset is parsed by gremlin_text.eval_gremlin
+    (arbitrary groovy stays out of scope — SURVEY §2.K)."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    query = request if isinstance(request, str) else request["gremlin"]
+    return eval_gremlin(graph, query)

@@ -169,3 +169,45 @@ def test_dedup_keeps_min_path_deterministically(graph):
         # ids like order!5 / order!51)
         by_last[t[-1]] = min(by_last.get(t[-1], t), t)
     assert sorted(">".join(t) for t in by_last.values()) == p1
+
+
+def test_gremlin_text_matches_fluent(graph):
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    g = G(graph)
+    a = eval_gremlin(
+        graph, "g.V('customer!1').repeat(__.out('interacted')).times(2)"
+               ".dedup().id()").collect()
+    b = (g.V("customer!1").repeat(lambda t: t.out("interacted"), 2)
+         .dedup().id_().toDF().collect())
+    assert sorted(r.value for r in a) == sorted(r.value for r in b)
+    # predicates, order modifiers, branch steps parse and run
+    assert eval_gremlin(
+        graph, "g.V().hasLabel('nation').order().by('name', decr)"
+               ".limit(1).id()").head().value == "nation!9"
+    got = eval_gremlin(
+        graph, "g.V('nation!1').union(__.out('located_in'), "
+               "__.in('in_nation')).count()").head().cnt
+    assert got > 1
+    ch = eval_gremlin(
+        graph, "g.V().hasLabel('part').choose(__.has('size', lt(25)), "
+               "__.values('size'), __.values('name'))").collect()
+    assert any(r.value.isdigit() for r in ch) \
+        and any(not r.value.isdigit() for r in ch)
+
+
+def test_gremlin_text_rejects_unsupported(graph):
+    import pytest
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    for bad in ["g.V().map{it}",           # closure
+                "x.V().count()",            # not a g chain
+                "g.V().repeat(__.out())",   # repeat without times
+                "g.V().frobnicate()"]:      # unknown step
+        with pytest.raises(SyntaxError):
+            eval_gremlin(graph, bad)
+
+
+def test_rest_gremlin_adapter(graph):
+    from incubator_hugegraph_spark import rest
+    df = rest.execute_gremlin(
+        graph, {"gremlin": "g.V().hasLabel('region').count()"})
+    assert df.head().cnt == 5
