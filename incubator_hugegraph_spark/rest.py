@@ -683,3 +683,25 @@ def execute_gremlin(graph: PropertyGraph, request: dict | str) -> DataFrame:
     from incubator_hugegraph_spark.gremlin_text import eval_gremlin
     query = request if isinstance(request, str) else request["gremlin"]
     return eval_gremlin(graph, query)
+
+
+def execute_variables(variables, method: str, key: str | None = None,
+                      payload: dict | None = None):
+    """`/graphs/{graph}/variables[/{key}]` (api/api/variables/
+    VariablesAPI.java): GET one/all, PUT {"data": value}, DELETE."""
+    method = method.upper()
+    if method == "GET":
+        if key is None:
+            return dict(variables.items()) if hasattr(variables, "items") \
+                else dict(variables._data)
+        v = variables.get(key, None)
+        if v is None:
+            raise KeyError(key)
+        return {key: v}
+    if method == "PUT":
+        variables.set(key, (payload or {}).get("data"))
+        return {key: variables.get(key)}
+    if method == "DELETE":
+        variables.remove(key)
+        return None
+    raise ValueError(f"unsupported method {method}")

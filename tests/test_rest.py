@@ -296,3 +296,19 @@ def test_rest_schema_endpoints_reference_payloads():
             "primary_keys": ["nope"]})
     rest.execute_schema(s, "DELETE", "indexlabels/personByAge")
     assert rest.execute_schema(s, "GET", "indexlabels") == []
+
+
+def test_rest_variables_endpoint(tmp_path):
+    import pytest
+    from incubator_hugegraph_spark import rest
+    from incubator_hugegraph_spark.graph import GraphVariables
+    v = GraphVariables(str(tmp_path / "vars.json"))
+    rest.execute_variables(v, "PUT", "answer", {"data": 42})
+    assert rest.execute_variables(v, "GET", "answer") == {"answer": 42}
+    assert rest.execute_variables(v, "GET") == {"answer": 42}
+    # persisted across reopen (the JSON side file)
+    v2 = GraphVariables(str(tmp_path / "vars.json"))
+    assert rest.execute_variables(v2, "GET", "answer") == {"answer": 42}
+    rest.execute_variables(v2, "DELETE", "answer")
+    with pytest.raises(KeyError):
+        rest.execute_variables(v2, "GET", "answer")
