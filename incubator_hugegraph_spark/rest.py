@@ -705,3 +705,18 @@ def execute_variables(variables, method: str, key: str | None = None,
         variables.remove(key)
         return None
     raise ValueError(f"unsupported method {method}")
+
+
+#: The complete REST surface map — "could a reference user switch?"
+#: answered by lookup: every reference endpoint family → the adapter
+#: that accepts its literal request shapes.
+SURFACES = {
+    "graphs/{g}/traversers/*": "execute",          # 25+ traversers
+    "graphs/{g}/jobs/algorithm/{name}": "execute_algorithm",
+    "graphs/{g}/cypher": "execute_cypher",
+    "gremlin": "execute_gremlin",
+    "graphs/{g}/schema/*": "execute_schema",
+    "graphs/{g}/variables": "execute_variables",
+    "graphs/{g}/graph/vertices|edges (CRUD)":
+        "operators.mutate (batch MERGE surface)",
+}
