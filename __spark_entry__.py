@@ -422,6 +422,34 @@ def cypher_undirected(spark, sf_dir):
         RETURN count(*) AS n""")
 
 
+@_q("events_incremental_wcc", f"""
+WITH RECURSIVE {IE_SQL.strip().rstrip()},
+und AS (SELECT src, dst FROM ie UNION SELECT dst, src FROM ie),
+verts AS (SELECT DISTINCT src AS id FROM und),
+reach(id, comp) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id)
+SELECT id, min(comp) AS component FROM reach GROUP BY id
+""")
+def events_incremental_wcc(spark, sf_dir):
+    """Incremental connected components (streaming/incremental.py):
+    the interacted edge list folded through incremental_wcc_batch in
+    three deterministic micro-batches must land on the exact WCC
+    fixpoint — the oracle is the reachability-closure min, i.e. the
+    ground truth both the batch loop and the incremental fold must
+    agree with."""
+    from incubator_hugegraph_spark.streaming.incremental import (
+        incremental_wcc_batch)
+    g = _graph(spark, sf_dir)
+    edges = g.adj(OUT, ["interacted"]).select("src", "dst").distinct()
+    state = None
+    for k in range(3):
+        state = incremental_wcc_batch(
+            state, edges.filter(F.abs(F.hash("src")) % 3 == k))
+    return state
+
+
 @_q("gremlin_text_chain", """
 SELECT count(DISTINCT 'order!' || l_orderkey) AS cnt
 FROM lineitem JOIN part ON p_partkey = l_partkey

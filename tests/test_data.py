@@ -532,3 +532,35 @@ def test_pack_sequences_two_phase_equals_naive(spark, docs):
         rows = got.collect()
         assert all(0 <= r.offset < 100 for r in rows)
         assert {r.id: (r.seq_id, r.offset) for r in rows} == expect, bucket
+
+
+def test_incremental_wcc_equals_batch_fixpoint(spark, tmp_path, graph):
+    """Folding the edge list through incremental_wcc_batch in
+    arbitrary micro-batch splits must equal algorithms/wcc's
+    fixpoint exactly (component = min reachable id)."""
+    from incubator_hugegraph_spark.algorithms.wcc import wcc
+    from incubator_hugegraph_spark.streaming.incremental import (
+        incremental_wcc_batch, incremental_wcc_stream)
+    edges = (graph.adj("OUT", ["interacted"])
+             .select("src", "dst").distinct())
+    want = {r.id: r.component
+            for r in wcc(graph, labels=["interacted"]).collect()
+            if r.id.startswith("customer!")}
+    # batch-fold in 3 uneven chunks (deterministic split on src hash)
+    state = None
+    for k in range(3):
+        chunk = edges.filter(F.abs(F.hash("src")) % 3 == k)
+        state = incremental_wcc_batch(state, chunk)
+    got = {r.id: r.component for r in state.collect()}
+    # wcc covers all graph vertices; restrict to those touched by
+    # interacted edges
+    assert got == {k: v for k, v in want.items() if k in got}
+    assert len(got) > 0
+    # streaming driver: same edges via availableNow file stream
+    epath = str(tmp_path / "edges")
+    edges.repartition(4).write.parquet(epath)
+    q, get_state = incremental_wcc_stream(
+        spark, epath, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.awaitTermination(120)
+    sgot = {r.id: r.component for r in get_state().collect()}
+    assert sgot == got
