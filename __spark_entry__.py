@@ -1419,7 +1419,17 @@ def k_core_q(spark, sf_dir):
     peel rounds for oracle parity (comm/KCoreAlgorithm.java:45)."""
     from incubator_hugegraph_spark.algorithms.community import k_core
     return k_core(_graph(spark, sf_dir), 3, labels=["supplies"],
-                  fixed_rounds=5)
+                  fixed_rounds=5, engine="dist")
+
+
+@_q("k_core_ram", _kcore_sql(3, 5))
+def k_core_ram_q(spark, sf_dir):
+    """Same k_core peeling through the RamTable kernel
+    (ram.ram_k_core) — identical fixed-round semantics, same
+    oracle."""
+    from incubator_hugegraph_spark.algorithms.community import k_core
+    return k_core(_graph(spark, sf_dir), 3, labels=["supplies"],
+                  fixed_rounds=5, engine="ram")
 
 
 @_q("degree_centrality", f"""
@@ -1514,7 +1524,19 @@ def eigenvector_q(spark, sf_dir):
         eigenvector_centrality,
     )
     return eigenvector_centrality(_graph(spark, sf_dir), rounds=3,
-                                  direction=OUT)
+                                  direction=OUT, engine="dist")
+
+
+@_q("eigenvector_centrality_ram", _eigen_sql(3))
+def eigenvector_ram_q(spark, sf_dir):
+    """Same power iteration through the RamTable kernel
+    (ram.ram_eigenvector) — same recurrence and round-8 output, same
+    oracle."""
+    from incubator_hugegraph_spark.algorithms.centrality import (
+        eigenvector_centrality,
+    )
+    return eigenvector_centrality(_graph(spark, sf_dir), rounds=3,
+                                  direction=OUT, engine="ram")
 
 
 @_q("subgraph_stat", f"""

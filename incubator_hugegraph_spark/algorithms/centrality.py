@@ -70,12 +70,18 @@ def closeness_centrality(graph: PropertyGraph, sources: list[str],
 def eigenvector_centrality(graph: PropertyGraph, rounds: int = 5,
                            direction: str = OUT,
                            labels: list[str] | None = None,
-                           top: int = NO_LIMIT) -> DataFrame:
+                           top: int = NO_LIMIT,
+                           engine: str = "auto") -> DataFrame:
     """Power iteration x ← normalize_L1(Aᵀx), x₀ = 1/N
     (EigenvectorCentralityAlgorithm.java — the reference estimates via
     sampled gremlin walk visit counts; we use the standard
     deterministic power iteration, documented deviation). Returns
     (id, score)."""
+    if engine != "dist":
+        from incubator_hugegraph_spark.ram import (ram_eigenvector,
+                                                   ram_fits)
+        if engine == "ram" or ram_fits(graph):
+            return ram_eigenvector(graph, rounds, direction, labels, top)
     e = graph.adj(direction, labels).select("src", "dst")
     n = graph.vertices.count()
     x = graph.vertices.select("id").withColumn("score", F.lit(1.0 / n))

@@ -137,10 +137,16 @@ def cluster_coefficient(graph: PropertyGraph,
 def k_core(graph: PropertyGraph, k: int,
            labels: list[str] | None = None,
            fixed_rounds: int | None = None,
-           max_rounds: int = 100) -> DataFrame:
+           max_rounds: int = 100, engine: str = "auto") -> DataFrame:
     """k-core decomposition by iterative peeling
     (KCoreAlgorithm.java:45): drop vertices with degree < k over the
-    surviving subgraph until fixpoint (or fixed_rounds). Returns (id)."""
+    surviving subgraph until fixpoint (or fixed_rounds). Returns (id).
+    Hot graphs peel in the RamTable kernel (engine='auto'/'ram',
+    ram.ram_k_core — identical per-round semantics incl.
+    fixed_rounds)."""
+    if _ram_ok(graph, engine):
+        from incubator_hugegraph_spark.ram import ram_k_core
+        return ram_k_core(graph, k, labels, fixed_rounds, max_rounds)
     und = checkpointed(undirected_edges(graph, labels))
     survivors = (und.select(F.col("a").alias("id"))
                  .union(und.select(F.col("b").alias("id")))

@@ -452,11 +452,17 @@ def _csr_dedup(graph: PropertyGraph, direction: str,
     return cache[key]
 
 
+def _round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
+    """ROUND(x, digits) with HALF_UP ties — Spark's F.round / DuckDB
+    ROUND semantics (numpy's default .round is half-even and would
+    diverge on exact next-decimal halves like 1/128). Property-tested
+    against decimal.ROUND_HALF_UP (tests/test_properties.py)."""
+    scale = 10.0 ** digits
+    return np.floor(x * scale + 0.5) / scale
+
+
 def _round_half_up6(x: np.ndarray) -> np.ndarray:
-    """ROUND(x, 6) with HALF_UP ties — Spark's F.round / DuckDB ROUND
-    semantics (numpy's default .round is half-even and would diverge
-    on exact 7th-decimal halves like 1/128)."""
-    return np.floor(x * 1e6 + 0.5) / 1e6
+    return _round_half_up(x, 6)
 
 
 def ram_jaccard_top_batch(graph: PropertyGraph, sources: list[str],
@@ -609,3 +615,58 @@ def ram_degree_centrality(graph: PropertyGraph, direction: str = BOTH,
         out_idx, out_deg = out_idx[order], out_deg[order]
     return graph.spark.createDataFrame(pd.DataFrame(
         {"id": ids[out_idx], "degree": out_deg.astype(np.int64)}))
+
+
+def ram_k_core(graph: PropertyGraph, k: int,
+               labels: list[str] | None = None,
+               fixed_rounds: int | None = None,
+               max_rounds: int = 100) -> DataFrame:
+    """k-core peeling over the canonical undirected index pairs —
+    same contract as algorithms/community.k_core (KCoreAlgorithm.java
+    :45), including the fixed_rounds per-round pin: survivors after
+    exactly N peels, or the fixpoint. Returns (id)."""
+    import pandas as pd
+
+    ids, a, b, _ = _und_indexed(graph, labels)
+    n = len(ids)
+    alive = np.zeros(n, dtype=bool)
+    alive[a] = True
+    alive[b] = True
+    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    for _ in range(rounds):
+        live = alive[a] & alive[b]
+        deg = (np.bincount(a[live], minlength=n)
+               + np.bincount(b[live], minlength=n))
+        new = deg >= k
+        if fixed_rounds is None and (new == alive).all():
+            alive = new
+            break
+        alive = new
+    return graph.spark.createDataFrame(
+        pd.DataFrame({"id": ids[alive]})) if alive.any() else \
+        graph.spark.createDataFrame([], "id string")
+
+
+def ram_eigenvector(graph: PropertyGraph, rounds: int = 5,
+                    direction: str = OUT,
+                    labels: list[str] | None = None,
+                    top: int = -1) -> DataFrame:
+    """Power iteration x ← normalize_L1(Aᵀx) over the index arrays —
+    same recurrence (and round-8 output) as
+    algorithms/centrality.eigenvector_centrality. Returns
+    (id, score)."""
+    import pandas as pd
+
+    ids, src, dst = _index_edges(graph, direction, labels)
+    n = len(ids)
+    x = np.full(n, 1.0 / n)
+    for _ in range(rounds):
+        raw = np.bincount(dst, weights=x[src], minlength=n)
+        total = raw.sum()
+        x = raw / (total if total else 1.0)
+    score = _round_half_up(x, 8)
+    pdf = pd.DataFrame({"id": ids, "score": score})
+    if top != -1:
+        order = np.lexsort((np.arange(n), -score))[:top]
+        pdf = pdf.iloc[order]
+    return graph.spark.createDataFrame(pdf)

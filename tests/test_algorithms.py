@@ -185,3 +185,23 @@ def test_ram_triangles_match_distributed(graph):
     small = sum(len(x) for _, x, _, _ in
                 _closed_wedge_chunks(graph, None, budget=1000))
     assert small == a
+
+
+def test_ram_kcore_eigenvector_match_distributed(graph):
+    from incubator_hugegraph_spark.algorithms.centrality import (
+        eigenvector_centrality)
+    from incubator_hugegraph_spark.algorithms.community import k_core
+    for kw in [dict(k=2), dict(k=3, labels=["supplies"]),
+               dict(k=2, fixed_rounds=2)]:
+        a = {r.id for r in k_core(graph, engine="dist", **kw).collect()}
+        b = {r.id for r in k_core(graph, engine="ram", **kw).collect()}
+        assert a == b, kw
+    for kw in [dict(rounds=3, direction="OUT"),
+               dict(rounds=2, direction="BOTH", top=25)]:
+        a = eigenvector_centrality(graph, engine="dist", **kw) \
+            .withColumnRenamed("score", "s1")
+        b = eigenvector_centrality(graph, engine="ram", **kw) \
+            .withColumnRenamed("score", "s2")
+        j = a.join(b, on="id", how="full")
+        assert j.filter(F.coalesce("s1", F.lit(-1.0))
+                        != F.coalesce("s2", F.lit(-2.0))).count() == 0, kw
