@@ -1021,7 +1021,21 @@ def sssp_weighted(spark, sf_dir):
     (SingleSourceShortestPathTraverser.java:49-82)."""
     from incubator_hugegraph_spark.operators.weighted import sssp
     g = _graph(spark, sf_dir)
-    return (sssp(g, "customer!1", _interacted_weighted(g), rounds=4)
+    return (sssp(g, "customer!1", _interacted_weighted(g), rounds=4,
+                 engine="dist")
+            .select("id", F.round("dist", 4).alias("dist")))
+
+
+@_q("sssp_weighted_ram", _bellman_ford_sql("customer!1", 4, """
+SELECT id, ROUND(dist, 4) AS dist FROM {last}
+"""))
+def sssp_weighted_ram(spark, sf_dir):
+    """Same Bellman-Ford through the RamTable relaxation kernel
+    (ram.ram_sssp) — identical synchronous recurrence, same oracle."""
+    from incubator_hugegraph_spark.operators.weighted import sssp
+    g = _graph(spark, sf_dir)
+    return (sssp(g, "customer!1", _interacted_weighted(g), rounds=4,
+                 engine="ram")
             .select("id", F.round("dist", 4).alias("dist")))
 
 
@@ -1034,7 +1048,8 @@ def weighted_sp_pair(spark, sf_dir):
     from incubator_hugegraph_spark.operators.weighted import weighted_shortest_path
     g = _graph(spark, sf_dir)
     return (weighted_shortest_path(g, "customer!1", "customer!7",
-                                   _interacted_weighted(g), rounds=4)
+                                   _interacted_weighted(g), rounds=4,
+                                   engine="dist")
             .select("id", F.round("dist", 4).alias("dist")))
 
 

@@ -47,15 +47,22 @@ def weighted_adj(graph: PropertyGraph, weight_by: str,
 
 
 def sssp(graph: PropertyGraph, source: str, weighted_edges: DataFrame,
-         rounds: int = NO_LIMIT, with_parent: bool = False) -> DataFrame:
+         rounds: int = NO_LIMIT, with_parent: bool = False,
+         engine: str = "auto") -> DataFrame:
     """Bellman-Ford SSSP over ``weighted_edges(src, dst, weight)``.
 
     rounds=NO_LIMIT → iterate to fixpoint (≤ |V|-1 rounds, checked via
     an improvement count per round); fixed ``rounds`` → exactly that
     many relaxations (deterministic partial result, used for
     SQL-oracle parity). Returns (id, dist[, parent]) — parent is the
-    min-id predecessor on a best path.
+    min-id predecessor on a best path. Hot graphs relax in the
+    RamTable kernel (ram.ram_sssp — identical synchronous recurrence).
     """
+    if engine != "dist":
+        from incubator_hugegraph_spark.ram import ram_fits, ram_sssp
+        if engine == "ram" or ram_fits(graph):
+            return ram_sssp(graph, source, weighted_edges, rounds,
+                            with_parent)
     spark = graph.spark
     e = weighted_edges.select("src", "dst", F.col("weight").cast("double"))
     dist = spark.createDataFrame([(source, 0.0)], "id string, dist double")
@@ -98,10 +105,11 @@ def sssp(graph: PropertyGraph, source: str, weighted_edges: DataFrame,
 
 def weighted_shortest_path(graph: PropertyGraph, source: str, target: str,
                            weighted_edges: DataFrame,
-                           rounds: int = NO_LIMIT) -> DataFrame:
+                           rounds: int = NO_LIMIT,
+                           engine: str = "auto") -> DataFrame:
     """weightedshortestpath pair mode
     (SingleSourceShortestPathTraverser.java:83-…): Bellman-Ford with
     the target row filtered at the end (early-exit when the target
     settles is subsumed by the fixpoint check). Returns (id, dist)."""
-    return sssp(graph, source, weighted_edges, rounds) \
+    return sssp(graph, source, weighted_edges, rounds, engine=engine) \
         .filter(F.col("id") == target)

@@ -670,3 +670,62 @@ def ram_eigenvector(graph: PropertyGraph, rounds: int = 5,
         order = np.lexsort((np.arange(n), -score))[:top]
         pdf = pdf.iloc[order]
     return graph.spark.createDataFrame(pdf)
+
+
+def ram_sssp(graph: PropertyGraph, source: str,
+             weighted_edges: DataFrame, rounds: int = -1,
+             with_parent: bool = False) -> DataFrame:
+    """Bellman-Ford over in-memory (src, dst, weight) arrays — the
+    identical synchronous relaxation recurrence as operators/
+    weighted.sssp (candidates use the ROUND-START distances; min over
+    previous ∪ candidates), so per-round states and the fixpoint are
+    double-for-double equal. Returns (id, dist[, parent]) over
+    reached vertices; parent = min-id predecessor on a best path."""
+    import pandas as pd
+
+    pdf = weighted_edges.select(
+        "src", "dst",
+        weighted_edges["weight"].cast("double").alias("w")).toPandas()
+    ids = np.sort(np.unique(np.concatenate(
+        [pdf["src"].to_numpy(dtype="U"), pdf["dst"].to_numpy(dtype="U"),
+         np.asarray([source], dtype="U")])))
+    index = pd.Index(ids)
+    src = index.get_indexer(pdf["src"]).astype(np.int64)
+    dst = index.get_indexer(pdf["dst"]).astype(np.int64)
+    w = pdf["w"].to_numpy(dtype=np.float64)
+    n = len(ids)
+    dist = np.full(n, np.inf)
+    s = int(index.get_loc(source))
+    dist[s] = 0.0
+    k = 0
+    while True:
+        k += 1
+        new = dist.copy()
+        np.minimum.at(new, dst, dist[src] + w)
+        improved = bool((new < dist).any())
+        dist = new
+        if rounds != -1:
+            if k >= rounds:
+                break
+        elif not improved:
+            break
+    reached = np.isfinite(dist)
+    out = pd.DataFrame({"id": ids[reached], "dist": dist[reached]})
+    if not with_parent:
+        return graph.spark.createDataFrame(out)
+    ok = np.isfinite(dist[src]) & (dist[src] + w == dist[dst])
+    es, ed = src[ok], dst[ok]
+    order = np.lexsort((es, ed))
+    es, ed = es[order], ed[order]
+    first = np.ones(len(ed), dtype=bool)
+    first[1:] = ed[1:] != ed[:-1]
+    # the source keeps a parent only when an optimal incoming edge
+    # closes a zero-cost cycle — F.min over (NULL, u) in the
+    # distributed path picks u the same way
+    parent = np.full(n, -1, dtype=np.int64)
+    parent[ed[first]] = es[first]
+    pcol = np.where(parent[reached.nonzero()[0]] >= 0,
+                    ids[np.maximum(parent[reached.nonzero()[0]], 0)],
+                    None)
+    out["parent"] = pcol
+    return graph.spark.createDataFrame(out)

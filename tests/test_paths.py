@@ -160,3 +160,27 @@ def test_rings_detect_canonical(graph):
         assert nodes[0] == nodes[-1] == min(nodes)  # anchored at min
         assert len(set(nodes[:-1])) == len(nodes) - 1
         assert r["length"] == len(nodes) - 1 <= 3
+
+
+def test_ram_sssp_matches_distributed(graph):
+    """Bellman-Ford kernel equals the distributed relaxation loop —
+    per-round states, the fixpoint, and min-id parents."""
+    from incubator_hugegraph_spark.operators.weighted import (sssp,
+                                                              weighted_adj)
+    we = weighted_adj(graph, "value", direction="BOTH",
+                      labels=["interacted"])
+    for kw in [dict(rounds=2), dict(rounds=4), dict(rounds=-1),
+               dict(rounds=-1, with_parent=True)]:
+        a = sssp(graph, "customer!1", we, engine="dist", **kw)
+        b = sssp(graph, "customer!1", we, engine="ram", **kw)
+        cols = [c for c in a.columns if c != "id"]
+        j = (a.select("id", *[F.col(c).alias(c + "_1") for c in cols])
+             .join(b.select("id", *[F.col(c).alias(c + "_2")
+                                    for c in cols]),
+                   on="id", how="full"))
+        for c in cols:
+            bad = j.filter(F.coalesce(F.col(c + "_1").cast("string"),
+                                      F.lit("∅"))
+                           != F.coalesce(F.col(c + "_2").cast("string"),
+                                         F.lit("∅")))
+            assert bad.count() == 0, (kw, c, bad.collect()[:3])
