@@ -1351,7 +1351,15 @@ def lpa_q(spark, sf_dir):
     """lpa communities (comm/LpaAlgorithm.java), synchronous, min-label
     tie-break, fixed 2 rounds for oracle parity."""
     from incubator_hugegraph_spark.algorithms.community import lpa
-    return lpa(_graph(spark, sf_dir), fixed_rounds=2)
+    return lpa(_graph(spark, sf_dir), fixed_rounds=2, engine="dist")
+
+
+@_q("lpa_ram", _lpa_sql(2))
+def lpa_ram_q(spark, sf_dir):
+    """Same LPA through the RamTable kernel (ram.ram_lpa) — same
+    oracle, same fixed-round pin."""
+    from incubator_hugegraph_spark.algorithms.community import lpa
+    return lpa(_graph(spark, sf_dir), fixed_rounds=2, engine="ram")
 
 
 @_q("triangle_count", f"""

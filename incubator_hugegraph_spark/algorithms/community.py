@@ -172,12 +172,18 @@ def k_core(graph: PropertyGraph, k: int,
 
 
 def lpa(graph: PropertyGraph, labels: list[str] | None = None,
-        rounds: int = 10, fixed_rounds: int | None = None) -> DataFrame:
+        rounds: int = 10, fixed_rounds: int | None = None,
+        engine: str = "auto") -> DataFrame:
     """Synchronous label propagation (LpaAlgorithm.java): every round
     each vertex adopts the most frequent label among its undirected
     neighbors, ties broken by MIN label (deterministic deviation from
     the reference's random tie-break — SURVEY §7.4#4). Isolated
-    vertices keep their label. Returns (id, community)."""
+    vertices keep their label. Returns (id, community). Hot graphs
+    propagate in the RamTable kernel (ram.ram_lpa — identical
+    per-round semantics)."""
+    if _ram_ok(graph, engine):
+        from incubator_hugegraph_spark.ram import ram_lpa
+        return ram_lpa(graph, labels, rounds, fixed_rounds)
     und = undirected_edges(graph, labels)
     adj = checkpointed(
         und.select(F.col("a").alias("id"), F.col("b").alias("nbr"))

@@ -729,3 +729,33 @@ def ram_sssp(graph: PropertyGraph, source: str,
                     None)
     out["parent"] = pcol
     return graph.spark.createDataFrame(out)
+
+
+def ram_lpa(graph: PropertyGraph, labels: list[str] | None = None,
+            rounds: int = 10, fixed_rounds: int | None = None) -> DataFrame:
+    """Synchronous LPA over the canonical undirected index pairs —
+    identical per-round semantics to algorithms/community.lpa (mode
+    neighbor community, ties → MIN community id; isolated vertices
+    keep their own). Community ids are vertex indices, so numeric min
+    == the distributed string min. Returns (id, community)."""
+    import pandas as pd
+
+    ids, a, b, _ = _und_indexed(graph, labels)
+    n = len(ids)
+    vsrc = np.concatenate([a, b])
+    vdst = np.concatenate([b, a])
+    comm = np.arange(n, dtype=np.int64)
+    n_rounds = fixed_rounds if fixed_rounds is not None else rounds
+    for _ in range(n_rounds):
+        key = vsrc * np.int64(n) + comm[vdst]
+        uk, cnt = np.unique(key, return_counts=True)
+        v, lbl = uk // n, uk % n
+        order = np.lexsort((lbl, -cnt, v))
+        vo, lo = v[order], lbl[order]
+        firsts = np.ones(len(vo), dtype=bool)
+        firsts[1:] = vo[1:] != vo[:-1]
+        new = comm.copy()
+        new[vo[firsts]] = lo[firsts]
+        comm = new
+    return graph.spark.createDataFrame(
+        pd.DataFrame({"id": ids, "community": ids[comm]}))

@@ -205,3 +205,16 @@ def test_ram_kcore_eigenvector_match_distributed(graph):
         j = a.join(b, on="id", how="full")
         assert j.filter(F.coalesce("s1", F.lit(-1.0))
                         != F.coalesce("s2", F.lit(-2.0))).count() == 0, kw
+
+
+def test_ram_lpa_matches_distributed(graph):
+    from incubator_hugegraph_spark.algorithms.community import lpa
+    for kw in [dict(fixed_rounds=1), dict(fixed_rounds=3),
+               dict(fixed_rounds=2, labels=["supplies"])]:
+        a = lpa(graph, engine="dist", **kw) \
+            .withColumnRenamed("community", "c1")
+        b = lpa(graph, engine="ram", **kw) \
+            .withColumnRenamed("community", "c2")
+        j = a.join(b, on="id", how="full")
+        assert j.filter(F.coalesce("c1", F.lit("∅"))
+                        != F.coalesce("c2", F.lit("•"))).count() == 0, kw
