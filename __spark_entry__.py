@@ -1484,7 +1484,7 @@ def degree_centrality_ram_q(spark, sf_dir):
                              engine="ram")
 
 
-@_q("closeness_centrality", f"""
+_CLOSENESS_SQL = f"""
 WITH {IE_SQL.strip()},
 srcs(origin) AS (VALUES ('customer!1'), ('customer!2'), ('customer!3'),
                         ('customer!4'), ('customer!5')),
@@ -1508,7 +1508,10 @@ SELECT origin AS id, ROUND(sum(invd), 6) AS closeness FROM (
   UNION ALL SELECT origin, 0.5 FROM l2
   UNION ALL SELECT origin, 1.0/3 FROM l3)
 GROUP BY origin
-""")
+"""
+
+
+@_q("closeness_centrality", _CLOSENESS_SQL)
 def closeness_q(spark, sf_dir):
     """closeness_centrality for 5 sources over interacted OUT, depth 3
     (cent/ClosenessCentralityAlgorithm.java — explicit source set in
@@ -1517,7 +1520,18 @@ def closeness_q(spark, sf_dir):
     return closeness_centrality(
         _graph(spark, sf_dir),
         [f"customer!{i}" for i in range(1, 6)], 3,
-        direction=OUT, labels=["interacted"])
+        direction=OUT, labels=["interacted"], engine="dist")
+
+
+@_q("closeness_centrality_ram", _CLOSENESS_SQL)
+def closeness_ram_q(spark, sf_dir):
+    """Same closeness through the per-source CSR BFS kernel
+    (ram.ram_closeness) — same oracle."""
+    from incubator_hugegraph_spark.algorithms.centrality import closeness_centrality
+    return closeness_centrality(
+        _graph(spark, sf_dir),
+        [f"customer!{i}" for i in range(1, 6)], 3,
+        direction=OUT, labels=["interacted"], engine="ram")
 
 
 def _eigen_sql(rounds: int) -> str:

@@ -42,11 +42,18 @@ def degree_centrality(graph: PropertyGraph, direction: str = BOTH,
 
 def closeness_centrality(graph: PropertyGraph, sources: list[str],
                          max_depth: int, direction: str = OUT,
-                         labels: list[str] | None = None) -> DataFrame:
+                         labels: list[str] | None = None,
+                         engine: str = "auto") -> DataFrame:
     """closeness(s) = Σ_{v reached, v≠s} 1/dist(s,v) within max_depth
     (ClosenessCentralityAlgorithm: sampled shortest paths — we take an
     explicit source set; the reference samples). Multi-source BFS in
-    one frontier keyed by (origin, vertex). Returns (id, closeness)."""
+    one frontier keyed by (origin, vertex). Returns (id, closeness).
+    Hot graphs run per-source CSR BFS (ram.ram_closeness)."""
+    if engine != "dist":
+        from incubator_hugegraph_spark.ram import ram_closeness, ram_fits
+        if engine == "ram" or ram_fits(graph):
+            return ram_closeness(graph, sources, max_depth, direction,
+                                 labels)
     spark = graph.spark
     adj = graph.adj(direction, labels).select("src", "dst").distinct()
     frontier = (spark.createDataFrame([(s,) for s in sources],

@@ -759,3 +759,42 @@ def ram_lpa(graph: PropertyGraph, labels: list[str] | None = None,
         comm = new
     return graph.spark.createDataFrame(
         pd.DataFrame({"id": ids, "community": ids[comm]}))
+
+
+def ram_closeness(graph: PropertyGraph, sources: list[str],
+                  max_depth: int, direction: str = OUT,
+                  labels: list[str] | None = None) -> DataFrame:
+    """closeness(s) = Σ 1/dist over vertices reached within max_depth
+    — per-source CSR BFS, same contract as algorithms/centrality.
+    closeness_centrality (sources unreachable from anything / absent
+    from the graph produce no row, like the distributed groupBy)."""
+    import pandas as pd
+
+    ids, indptr, nbrs = _csr(graph, direction, labels)
+    n = len(ids)
+    rows = []
+    for s in sources:
+        p = int(np.searchsorted(ids, s)) if n else 0
+        if p >= n or ids[p] != s:
+            continue
+        dist = np.full(n, -1, dtype=np.int32)
+        dist[p] = 0
+        f = np.array([p], dtype=np.int64)
+        total = 0.0
+        for k in range(1, max_depth + 1):
+            cnt = indptr[f + 1] - indptr[f]
+            gpos = np.repeat(indptr[f], cnt) + _segmented_arange(cnt)
+            nbr = np.unique(nbrs[gpos])
+            new = nbr[dist[nbr] < 0]
+            if len(new) == 0:
+                break
+            dist[new] = k
+            total += len(new) / k
+            f = new
+        if total > 0.0:
+            rows.append((s, float(_round_half_up(np.array([total]), 6)[0])))
+    if not rows:
+        return graph.spark.createDataFrame(
+            [], "id string, closeness double")
+    return graph.spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "closeness"]))

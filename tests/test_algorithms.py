@@ -218,3 +218,19 @@ def test_ram_lpa_matches_distributed(graph):
         j = a.join(b, on="id", how="full")
         assert j.filter(F.coalesce("c1", F.lit("∅"))
                         != F.coalesce("c2", F.lit("•"))).count() == 0, kw
+
+
+def test_ram_closeness_matches_distributed(graph):
+    from incubator_hugegraph_spark.algorithms.centrality import (
+        closeness_centrality)
+    srcs = [f"customer!{i}" for i in range(5)] + ["missing!0"]
+    for kw in [dict(max_depth=3, direction="OUT",
+                    labels=["interacted"]),
+               dict(max_depth=2, direction="BOTH")]:
+        a = closeness_centrality(graph, srcs, engine="dist", **kw) \
+            .withColumnRenamed("closeness", "c1")
+        b = closeness_centrality(graph, srcs, engine="ram", **kw) \
+            .withColumnRenamed("closeness", "c2")
+        j = a.join(b, on="id", how="full")
+        assert j.filter(F.coalesce("c1", F.lit(-1.0))
+                        != F.coalesce("c2", F.lit(-2.0))).count() == 0, kw
