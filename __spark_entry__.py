@@ -1626,7 +1626,7 @@ sigma AS (SELECT s, v, COUNT(*) AS sg FROM paths WHERE d > 0 GROUP BY s, v)
 """
 
 
-@_q("betweenness_centrality", f"""
+_BETWEENNESS_Q_SQL = f"""
 WITH RECURSIVE {IE_SQL.strip()},
 {_BRANDES_SQL.strip()},
 contrib AS (
@@ -1638,7 +1638,10 @@ SELECT v AS id, ROUND(SUM(c), 6) AS betweenness
 FROM contrib
 WHERE v NOT IN (SELECT s FROM srcs)
 GROUP BY v
-""")
+"""
+
+
+@_q("betweenness_centrality", _BETWEENNESS_Q_SQL)
 def betweenness_q(spark, sf_dir):
     """betweenness_centrality via Brandes on 5 explicit sources
     (cent/BetweennessCentralityAlgorithmV2.java, BfsTraverser.java).
@@ -1650,7 +1653,19 @@ def betweenness_q(spark, sf_dir):
     )
     return betweenness_centrality(
         _graph(spark, sf_dir), [f"customer!{i}" for i in range(1, 6)], 3,
-        direction=OUT, labels=["interacted"])
+        direction=OUT, labels=["interacted"], engine="dist")
+
+
+@_q("betweenness_centrality_ram", _BETWEENNESS_Q_SQL)
+def betweenness_ram_q(spark, sf_dir):
+    """Same Brandes through the CSR kernel (ram.ram_brandes) — same
+    path-enumeration oracle."""
+    from incubator_hugegraph_spark.algorithms.centrality import (
+        betweenness_centrality,
+    )
+    return betweenness_centrality(
+        _graph(spark, sf_dir), [f"customer!{i}" for i in range(1, 6)], 3,
+        direction=OUT, labels=["interacted"], engine="ram")
 
 
 @_q("louvain")  # rows-only: parallel approximation, validated by modularity
@@ -1699,7 +1714,7 @@ def louvain_move1_q(spark, sf_dir):
                               labels=["interacted"], rounds=1)
 
 
-@_q("stress_centrality", f"""
+_STRESS_Q_SQL = f"""
 WITH RECURSIVE {IE_SQL.strip()},
 {_BRANDES_SQL.strip()},
 contrib AS (
@@ -1710,7 +1725,10 @@ SELECT v AS id, ROUND(SUM(c), 6) AS stress
 FROM contrib
 WHERE v NOT IN (SELECT s FROM srcs)
 GROUP BY v
-""")
+"""
+
+
+@_q("stress_centrality", _STRESS_Q_SQL)
 def stress_q(spark, sf_dir):
     """stress_centrality (cent/StressCentralityAlgorithmV2.java): raw
     shortest-path counts through v over 5 explicit sources."""
@@ -1719,7 +1737,18 @@ def stress_q(spark, sf_dir):
     )
     return stress_centrality(
         _graph(spark, sf_dir), [f"customer!{i}" for i in range(1, 6)], 3,
-        direction=OUT, labels=["interacted"])
+        direction=OUT, labels=["interacted"], engine="dist")
+
+
+@_q("stress_centrality_ram", _STRESS_Q_SQL)
+def stress_ram_q(spark, sf_dir):
+    """Same stress recursion through the CSR kernel."""
+    from incubator_hugegraph_spark.algorithms.centrality import (
+        stress_centrality,
+    )
+    return stress_centrality(
+        _graph(spark, sf_dir), [f"customer!{i}" for i in range(1, 6)], 3,
+        direction=OUT, labels=["interacted"], engine="ram")
 
 
 @_q("crosspoints", f"""

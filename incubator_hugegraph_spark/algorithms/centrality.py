@@ -110,13 +110,19 @@ def eigenvector_centrality(graph: PropertyGraph, rounds: int = 5,
 
 def betweenness_centrality(graph: PropertyGraph, sources: list[str],
                            max_depth: int, direction: str = BOTH,
-                           labels: list[str] | None = None) -> DataFrame:
+                           labels: list[str] | None = None,
+                           engine: str = "auto") -> DataFrame:
     """Brandes betweenness restricted to an explicit source sample
     (BetweennessCentralityAlgorithmV2.java + BfsTraverser.java:1-151):
     forward BFS accumulates path counts σ, backward sweep accumulates
     dependencies δ(v) = Σ_w σ(v)/σ(w)·(1+δ(w)). All joins, keyed by
     (origin, vertex). Returns (id, betweenness) over non-source
     vertices reached."""
+    if engine != "dist":
+        from incubator_hugegraph_spark.ram import ram_brandes, ram_fits
+        if engine == "ram" or ram_fits(graph):
+            return ram_brandes(graph, sources, max_depth, direction,
+                               labels, mode="betweenness")
     spark = graph.spark
     adj = graph.adj(direction, labels).select("src", "dst").distinct()
     frontier = (spark.createDataFrame([(s,) for s in sources],
@@ -179,13 +185,19 @@ def betweenness_centrality(graph: PropertyGraph, sources: list[str],
 
 def stress_centrality(graph: PropertyGraph, sources: list[str],
                       max_depth: int, direction: str = BOTH,
-                      labels: list[str] | None = None) -> DataFrame:
+                      labels: list[str] | None = None,
+                      engine: str = "auto") -> DataFrame:
     """Stress centrality over a source sample
     (cent/StressCentralityAlgorithmV2.java, same BfsTraverser spine as
     betweenness): stress(v) = Σ_{s,t} σ_st(v) — RAW shortest-path
     counts through v, not ratios. Backward recursion
     δ(v) = Σ_{w ∈ succ(v)} σ_sv · (1 + δ(w)/σ_sw); stress = Σ_s δ.
     Returns (id, stress) over non-source vertices reached."""
+    if engine != "dist":
+        from incubator_hugegraph_spark.ram import ram_brandes, ram_fits
+        if engine == "ram" or ram_fits(graph):
+            return ram_brandes(graph, sources, max_depth, direction,
+                               labels, mode="stress")
     spark = graph.spark
     adj = graph.adj(direction, labels).select("src", "dst").distinct()
     frontier = (spark.createDataFrame([(s,) for s in sources],

@@ -798,3 +798,72 @@ def ram_closeness(graph: PropertyGraph, sources: list[str],
             [], "id string, closeness double")
     return graph.spark.createDataFrame(
         pd.DataFrame(rows, columns=["id", "closeness"]))
+
+
+def ram_brandes(graph: PropertyGraph, sources: list[str],
+                max_depth: int, direction: str = BOTH,
+                labels: list[str] | None = None,
+                mode: str = "betweenness") -> DataFrame:
+    """Brandes forward-σ / backward-δ over the deduped CSR — the same
+    level-synchronous recurrences as algorithms/centrality.
+    betweenness_centrality / stress_centrality (σ sums are exact
+    integers in double; δ accumulation order differs only below the
+    shared round-6 output):
+
+        betweenness: δ(v) += σ(v)/σ(w) · (1 + δ(w))
+        stress:      δ(v) += σ(v) · (1 + δ(w)/σ(w))
+
+    Returns (id, betweenness|stress) over non-source touched
+    vertices."""
+    import pandas as pd
+
+    ids, indptr, nbrs = _csr_dedup(graph, direction, labels)
+    n = len(ids)
+    total = np.zeros(n)
+    touched = np.zeros(n, dtype=bool)
+    for s in sources:
+        p = int(np.searchsorted(ids, s)) if n else 0
+        if p >= n or ids[p] != s:
+            continue
+        dist = np.full(n, -1, dtype=np.int32)
+        sigma = np.zeros(n)
+        dist[p] = 0
+        sigma[p] = 1.0
+        levels = [np.array([p], dtype=np.int64)]
+        for k in range(1, max_depth + 1):
+            f = levels[-1]
+            cnt = indptr[f + 1] - indptr[f]
+            u = np.repeat(f, cnt)
+            w = nbrs[np.repeat(indptr[f], cnt) + _segmented_arange(cnt)]
+            new = np.unique(w[dist[w] < 0])
+            if len(new) == 0:
+                break
+            dist[new] = k
+            step = dist[w] == k
+            np.add.at(sigma, w[step], sigma[u[step]])
+            levels.append(new)
+        delta = np.zeros(n)
+        for d in range(len(levels) - 1, 0, -1):
+            f = levels[d - 1]
+            cnt = indptr[f + 1] - indptr[f]
+            v = np.repeat(f, cnt)
+            w = nbrs[np.repeat(indptr[f], cnt) + _segmented_arange(cnt)]
+            succ = dist[w] == d
+            v, w = v[succ], w[succ]
+            if mode == "betweenness":
+                inc = sigma[v] / sigma[w] * (1.0 + delta[w])
+            else:
+                inc = sigma[v] * (1.0 + delta[w] / sigma[w])
+            np.add.at(delta, v, inc)
+            touched[np.unique(v)] = True
+        total += delta
+    src_idx = [int(np.searchsorted(ids, s)) for s in sources
+               if n and int(np.searchsorted(ids, s)) < n
+               and ids[int(np.searchsorted(ids, s))] == s]
+    touched[src_idx] = False
+    out = touched
+    col = "betweenness" if mode == "betweenness" else "stress"
+    if not out.any():
+        return graph.spark.createDataFrame([], f"id string, {col} double")
+    return graph.spark.createDataFrame(pd.DataFrame(
+        {"id": ids[out], col: _round_half_up(total[out], 6)}))

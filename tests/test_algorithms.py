@@ -234,3 +234,24 @@ def test_ram_closeness_matches_distributed(graph):
         j = a.join(b, on="id", how="full")
         assert j.filter(F.coalesce("c1", F.lit(-1.0))
                         != F.coalesce("c2", F.lit(-2.0))).count() == 0, kw
+
+
+def test_ram_brandes_matches_distributed(graph):
+    from incubator_hugegraph_spark.algorithms.centrality import (
+        betweenness_centrality, stress_centrality)
+    srcs = [f"customer!{i}" for i in range(1, 6)] + ["missing!0"]
+    for fn, col in [(betweenness_centrality, "betweenness"),
+                    (stress_centrality, "stress")]:
+        for kw in [dict(max_depth=3, direction="OUT",
+                        labels=["interacted"]),
+                   dict(max_depth=2, direction="BOTH",
+                        labels=["interacted"])]:
+            a = fn(graph, srcs, engine="dist", **kw) \
+                .withColumnRenamed(col, "x1") \
+                .withColumn("x1", F.round("x1", 6))
+            b = fn(graph, srcs, engine="ram", **kw) \
+                .withColumnRenamed(col, "x2")
+            j = a.join(b, on="id", how="full")
+            bad = j.filter(F.coalesce("x1", F.lit(-1.0))
+                           != F.coalesce("x2", F.lit(-2.0)))
+            assert bad.count() == 0, (col, kw, bad.collect()[:3])
