@@ -1148,7 +1148,7 @@ def fusiform_ram_q(spark, sf_dir):
                                min_similars=1, top=5, engine="ram")
 
 
-@_q("personal_rank", """
+_PERSONAL_RANK_SQL = """
 WITH ce AS (SELECT 'order!' || l_orderkey AS src,
                    'part!' || l_partkey AS dst FROM lineitem),
 dout AS (SELECT src, count(*) AS d FROM ce GROUP BY src),
@@ -1172,13 +1172,25 @@ n2 AS (SELECT id, sum(rank) AS rank FROM (
        GROUP BY id)
 SELECT id, ROUND(rank, 6) AS rank FROM n2
 WHERE id NOT IN (SELECT id FROM n1)
-""")
+"""
+
+
+@_q("personal_rank", _PERSONAL_RANK_SQL)
 def personal_rank_q(spark, sf_dir):
     """personalrank on the bipartite `contains` label from order!7,
     alpha=0.85, 2 rounds (PersonalRankTraverser.java:49-134)."""
     from incubator_hugegraph_spark.operators.rank import personal_rank
     return personal_rank(_graph(spark, sf_dir), "order!7", "contains",
-                         alpha=0.85, max_depth=2)
+                         alpha=0.85, max_depth=2, engine="dist")
+
+
+@_q("personal_rank_ram", _PERSONAL_RANK_SQL)
+def personal_rank_ram_q(spark, sf_dir):
+    """Same personalized PageRank through the RamTable vector kernel
+    (ram.ram_personal_rank) — same oracle."""
+    from incubator_hugegraph_spark.operators.rank import personal_rank
+    return personal_rank(_graph(spark, sf_dir), "order!7", "contains",
+                         alpha=0.85, max_depth=2, engine="ram")
 
 
 @_q("neighbor_rank", f"""

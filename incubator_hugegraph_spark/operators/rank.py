@@ -39,9 +39,18 @@ def _vlabel(col):
 def personal_rank(graph: PropertyGraph, source: str, label: str,
                   alpha: float = 0.85, max_depth: int = 2,
                   with_label: str = BOTH_LABEL,
-                  max_degree: int = NO_LIMIT) -> DataFrame:
+                  max_degree: int = NO_LIMIT,
+                  engine: str = "auto") -> DataFrame:
     """Returns (id, rank) after ``max_depth`` alternating rounds,
-    with root + first-round adjacencies removed."""
+    with root + first-round adjacencies removed. Hot graphs run the
+    RamTable vector kernel (ram.ram_personal_rank — identical
+    alternating recurrence)."""
+    if engine != "dist" and max_degree == NO_LIMIT:
+        from incubator_hugegraph_spark.ram import (ram_fits,
+                                                   ram_personal_rank)
+        if engine == "ram" or ram_fits(graph):
+            return ram_personal_rank(graph, source, label, alpha,
+                                     max_depth, with_label)
     el = graph.schema.edge_labels[label]
     if el.source_label == el.target_label:
         raise ValueError("personal rank needs a bipartite edge label "

@@ -867,3 +867,68 @@ def ram_brandes(graph: PropertyGraph, sources: list[str],
         return graph.spark.createDataFrame([], f"id string, {col} double")
     return graph.spark.createDataFrame(pd.DataFrame(
         {"id": ids[out], col: _round_half_up(total[out], 6)}))
+
+
+def ram_personal_rank(graph: PropertyGraph, source: str, label: str,
+                      alpha: float = 0.85, max_depth: int = 2,
+                      with_label: str = "BOTH_LABEL") -> DataFrame:
+    """Personalized PageRank on a bipartite edge label over index
+    arrays — the identical alternating-mass recurrence as
+    operators/rank.personal_rank (PersonalRankTraverser.java:49-134:
+    per-edge-row distribution incl. multi-edges, zero-degree vertices
+    keep rank, root regains 1-alpha, first-round adjacency + root
+    removed, with_label side filter, round-6)."""
+    import pandas as pd
+
+    el = graph.schema.edge_labels[label]
+    if el.source_label == el.target_label:
+        raise ValueError("personal rank needs a bipartite edge label "
+                         "(PersonalRankTraverser.getStartDirection)")
+    ids, src, dst = _index_edges(graph, OUT, [label])
+    n = len(ids)
+    prefix = np.char.partition(ids, "!")[:, 0] if n else np.empty(0)
+    out_mask = prefix == el.source_label
+    in_mask = prefix == el.target_label
+    deg_out = np.bincount(src, minlength=n).astype(np.float64)
+    deg_in = np.bincount(dst, minlength=n).astype(np.float64)
+    s = int(np.searchsorted(ids, source)) if n else 0
+    rank = np.zeros(n)
+    present = np.zeros(n, dtype=bool)
+    if s < n and ids[s] == source:
+        rank[s] = 1.0
+        present[s] = True
+    first_round: np.ndarray | None = None
+    for i in range(max_depth):
+        new = np.zeros(n)
+        newp = np.zeros(n, dtype=bool)
+        # out side distributes along edges; in side along reversed
+        m_out = rank * out_mask
+        np.add.at(new, dst, alpha * m_out[src] / deg_out[src])
+        newp[dst[present[src] & out_mask[src]]] = True
+        m_in = rank * in_mask
+        np.add.at(new, src, alpha * m_in[dst] / deg_in[dst])
+        newp[src[present[dst] & in_mask[dst]]] = True
+        # zero-degree side vertices keep their rank
+        keep = present & ((out_mask & (deg_out == 0))
+                          | (in_mask & (deg_in == 0)))
+        new[keep] += rank[keep]
+        newp |= keep
+        # root compensation
+        if s < n and ids[s] == source:
+            new[s] += 1.0 - alpha
+            newp[s] = True
+        rank, present = new, newp
+        if i == 0:
+            first_round = present.copy()
+    if first_round is None:
+        first_round = np.zeros(n, dtype=bool)
+    out = present & ~first_round
+    src_label = source.split("!", 1)[0]
+    if with_label == "SAME_LABEL":
+        out &= prefix == src_label
+    elif with_label == "OTHER_LABEL":
+        out &= prefix != src_label
+    if not out.any():
+        return graph.spark.createDataFrame([], "id string, rank double")
+    return graph.spark.createDataFrame(pd.DataFrame(
+        {"id": ids[out], "rank": _round_half_up(rank[out], 6)}))

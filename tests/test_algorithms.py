@@ -255,3 +255,17 @@ def test_ram_brandes_matches_distributed(graph):
             bad = j.filter(F.coalesce("x1", F.lit(-1.0))
                            != F.coalesce("x2", F.lit(-2.0)))
             assert bad.count() == 0, (col, kw, bad.collect()[:3])
+
+
+def test_ram_personal_rank_matches_distributed(graph):
+    from incubator_hugegraph_spark.operators.rank import personal_rank
+    for kw in [dict(max_depth=2), dict(max_depth=3, alpha=0.7),
+               dict(max_depth=2, with_label="SAME_LABEL"),
+               dict(max_depth=2, with_label="OTHER_LABEL")]:
+        a = personal_rank(graph, "order!7", "contains", engine="dist",
+                          **kw).withColumnRenamed("rank", "r1")
+        b = personal_rank(graph, "order!7", "contains", engine="ram",
+                          **kw).withColumnRenamed("rank", "r2")
+        j = a.join(b, on="id", how="full")
+        assert j.filter(F.coalesce("r1", F.lit(-1.0))
+                        != F.coalesce("r2", F.lit(-2.0))).count() == 0, kw
