@@ -1193,7 +1193,7 @@ def personal_rank_ram_q(spark, sf_dir):
                          alpha=0.85, max_depth=2, engine="ram")
 
 
-@_q("neighbor_rank", f"""
+_NEIGHBOR_RANK_SQL = f"""
 WITH {IE_SQL.strip()},
 deg AS (SELECT src, count(*) AS d FROM ie GROUP BY src),
 l1 AS (SELECT ie.dst AS id, 0.85 / d.d AS rank
@@ -1215,7 +1215,10 @@ l1f AS (SELECT l1.id, 1 AS layer,
 l2f AS (SELECT id, 2 AS layer, rank FROM new2)
 SELECT id, layer, ROUND(rank, 6) AS rank FROM
 (SELECT * FROM l0f UNION ALL SELECT * FROM l1f UNION ALL SELECT * FROM l2f)
-""")
+"""
+
+
+@_q("neighbor_rank", _NEIGHBOR_RANK_SQL)
 def neighbor_rank_q(spark, sf_dir):
     """neighborrank: 2 interacted steps from customer!1, alpha=0.85
     (NeighborRankTraverser.java:50-…; distinct-neighbor semantics,
@@ -1224,7 +1227,18 @@ def neighbor_rank_q(spark, sf_dir):
     return neighbor_rank(_graph(spark, sf_dir), "customer!1",
                          [{"direction": OUT, "labels": ["interacted"]},
                           {"direction": OUT, "labels": ["interacted"]}],
-                         alpha=0.85)
+                         alpha=0.85, engine="dist")
+
+
+@_q("neighbor_rank_ram", _NEIGHBOR_RANK_SQL)
+def neighbor_rank_ram_q(spark, sf_dir):
+    """Same layered propagation through the RamTable kernel
+    (ram.ram_neighbor_rank) — same oracle."""
+    from incubator_hugegraph_spark.operators.rank import neighbor_rank
+    return neighbor_rank(_graph(spark, sf_dir), "customer!1",
+                         [{"direction": OUT, "labels": ["interacted"]},
+                          {"direction": OUT, "labels": ["interacted"]}],
+                         alpha=0.85, engine="ram")
 
 
 # ====================================================================

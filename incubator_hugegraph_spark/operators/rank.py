@@ -99,10 +99,18 @@ def personal_rank(graph: PropertyGraph, source: str, label: str,
 
 
 def neighbor_rank(graph: PropertyGraph, source: str, steps: list[dict],
-                  alpha: float = 0.85) -> DataFrame:
+                  alpha: float = 0.85, engine: str = "auto") -> DataFrame:
     """Returns (id, layer, rank): layer 0 is the source; step t
     produces layer t+1; same-/prev-layer neighbors absorb increments
-    in place. Each step: {direction, labels, max_degree, top}."""
+    in place. Each step: {direction, labels, max_degree, top}. Hot
+    graphs run the layered RamTable kernel (ram.ram_neighbor_rank)
+    when no step carries a degree cap."""
+    if engine != "dist" and all(
+            st.get("max_degree", NO_LIMIT) == NO_LIMIT for st in steps):
+        from incubator_hugegraph_spark.ram import (ram_fits,
+                                                   ram_neighbor_rank)
+        if engine == "ram" or ram_fits(graph):
+            return ram_neighbor_rank(graph, source, steps, alpha)
     spark = graph.spark
     layers: list[DataFrame] = [
         spark.createDataFrame([(source, 1.0)], "id string, rank double")]

@@ -932,3 +932,68 @@ def ram_personal_rank(graph: PropertyGraph, source: str, label: str,
         return graph.spark.createDataFrame([], "id string, rank double")
     return graph.spark.createDataFrame(pd.DataFrame(
         {"id": ids[out], "rank": _round_half_up(rank[out], 6)}))
+
+
+def ram_neighbor_rank(graph: PropertyGraph, source: str,
+                      steps: list[dict], alpha: float = 0.85) -> DataFrame:
+    """Layered rank propagation over deduped CSRs — identical
+    per-step semantics to operators/rank.neighbor_rank
+    (NeighborRankTraverser.java:50-…): the newest layer distributes
+    rank·alpha/degree over its distinct neighbors; same-/earlier-layer
+    receivers absorb in place, unseen vertices form the next layer
+    (top-N by unrounded rank, id asc)."""
+    import pandas as pd
+
+    first = _csr_dedup(graph, steps[0].get("direction", OUT),
+                       steps[0].get("labels")) if steps else \
+        _csr_dedup(graph, OUT, None)
+    ids = first[0]
+    n = len(ids)
+    layer_of = np.full(n, -1, dtype=np.int32)
+    rank = np.zeros(n)
+    s = int(np.searchsorted(ids, source)) if n else 0
+    src_in = s < n and ids[s] == source
+    layers: list[np.ndarray] = []
+    if src_in:
+        layer_of[s] = 0
+        rank[s] = 1.0
+        layers.append(np.array([s], dtype=np.int64))
+    else:
+        layers.append(np.empty(0, dtype=np.int64))
+    for t, st in enumerate(steps):
+        _, indptr, nbrs = _csr_dedup(graph, st.get("direction", OUT),
+                                     st.get("labels"))
+        cur = layers[-1]
+        if len(cur) == 0:
+            layers.append(np.empty(0, dtype=np.int64))
+            continue
+        cnt = indptr[cur + 1] - indptr[cur]
+        nz = cnt > 0
+        u = np.repeat(cur[nz], cnt[nz])
+        w = nbrs[np.repeat(indptr[cur[nz]], cnt[nz])
+                 + _segmented_arange(cnt[nz])]
+        incr = rank[u] * alpha / np.repeat(cnt[nz].astype(np.float64),
+                                           cnt[nz])
+        seen = layer_of[w] >= 0
+        np.add.at(rank, w[seen], incr[seen])
+        fresh = np.zeros(n)
+        np.add.at(fresh, w[~seen], incr[~seen])
+        new = np.unique(w[~seen])
+        top = st.get("top", -1)
+        if top != -1 and len(new) > top:
+            order = np.lexsort((new, -fresh[new]))[:top]
+            new = new[order]
+        rank[new] = fresh[new]
+        layer_of[new] = t + 1
+        layers.append(np.sort(new))
+    rows = []
+    for i, lay in enumerate(layers):
+        for v in lay:
+            rows.append((str(ids[v]), i,
+                         float(_round_half_up(np.array([rank[v]]), 6)[0])))
+    if not src_in:
+        # the distributed loop seeds layer 0 as a literal row, so the
+        # source appears in the output even when absent from the graph
+        rows.append((source, 0, 1.0))
+    return graph.spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "layer", "rank"]))

@@ -269,3 +269,30 @@ def test_ram_personal_rank_matches_distributed(graph):
         j = a.join(b, on="id", how="full")
         assert j.filter(F.coalesce("r1", F.lit(-1.0))
                         != F.coalesce("r2", F.lit(-2.0))).count() == 0, kw
+
+
+def test_ram_neighbor_rank_matches_distributed(graph):
+    from incubator_hugegraph_spark.operators.rank import neighbor_rank
+    cases = [
+        [{"direction": "OUT", "labels": ["interacted"]},
+         {"direction": "OUT", "labels": ["interacted"]}],
+        [{"direction": "BOTH", "labels": ["interacted"], "top": 5},
+         {"direction": "OUT", "labels": ["interacted"], "top": 3}],
+        [{"direction": "OUT", "labels": ["placed"]},
+         {"direction": "OUT", "labels": ["contains"]}],
+    ]
+    for steps in cases:
+        a = neighbor_rank(graph, "customer!1", steps, engine="dist") \
+            .withColumnRenamed("rank", "r1")
+        b = neighbor_rank(graph, "customer!1", steps, engine="ram") \
+            .withColumnRenamed("rank", "r2")
+        j = a.join(b, on=["id", "layer"], how="full")
+        bad = j.filter(F.coalesce("r1", F.lit(-1.0))
+                       != F.coalesce("r2", F.lit(-2.0)))
+        assert bad.count() == 0, (steps, bad.collect()[:4])
+    # absent source still yields the literal layer-0 row
+    for eng in ("dist", "ram"):
+        rows = neighbor_rank(graph, "missing!0",
+                             [{"direction": "OUT"}], engine=eng).collect()
+        assert [(r.id, r.layer, r.rank) for r in rows] \
+            == [("missing!0", 0, 1.0)]
