@@ -854,7 +854,18 @@ def shortest_path_q(spark, sf_dir):
     (ShortestPathTraverser.java:45-101); deterministic min-lex pick."""
     from incubator_hugegraph_spark.operators.paths import shortest_path
     return shortest_path(_graph(spark, sf_dir), "customer!1", "part!491", 3,
-                         direction=OUT)
+                         direction=OUT, engine="dist")
+
+
+@_q("shortest_path_ram", _PATHS_UNROLLED + """
+SELECT path, length FROM allp ORDER BY length, path LIMIT 1
+""")
+def shortest_path_ram_q(spark, sf_dir):
+    """Same shortestpath through the parent-DAG CSR kernel
+    (ram.ram_shortest_paths) — same oracle, same min-lex pick."""
+    from incubator_hugegraph_spark.operators.paths import shortest_path
+    return shortest_path(_graph(spark, sf_dir), "customer!1", "part!491", 3,
+                         direction=OUT, engine="ram")
 
 
 @_q("all_shortest_paths", _PATHS_UNROLLED + """
@@ -865,7 +876,18 @@ def all_shortest_paths_q(spark, sf_dir):
     """allshortestpaths (ShortestPathTraverser.java:104-…)."""
     from incubator_hugegraph_spark.operators.paths import all_shortest_paths
     return all_shortest_paths(_graph(spark, sf_dir), "customer!1",
-                              "part!491", 3, direction=OUT)
+                              "part!491", 3, direction=OUT, engine="dist")
+
+
+@_q("all_shortest_paths_ram", _PATHS_UNROLLED + """
+SELECT path, length FROM allp
+WHERE length = (SELECT min(length) FROM allp)
+""")
+def all_shortest_paths_ram_q(spark, sf_dir):
+    """Same allshortestpaths through the parent-DAG CSR kernel."""
+    from incubator_hugegraph_spark.operators.paths import all_shortest_paths
+    return all_shortest_paths(_graph(spark, sf_dir), "customer!1",
+                              "part!491", 3, direction=OUT, engine="ram")
 
 
 @_q("paths_depth3", _PATHS_UNROLLED + """

@@ -106,13 +106,31 @@ def paths(graph: PropertyGraph, source: str, target: str, max_depth: int,
     return found
 
 
+def _ram_shortest(graph, source, target, max_depth, direction, labels,
+                  max_degree, engine, first_only):
+    """Kernel dispatch shared by shortest_path/all_shortest_paths;
+    returns None when the distributed enumeration should run."""
+    if engine == "dist" or max_degree != NO_LIMIT:
+        return None
+    from incubator_hugegraph_spark.ram import ram_fits, ram_shortest_paths
+    if engine == "ram" or ram_fits(graph):
+        return ram_shortest_paths(graph, source, target, max_depth,
+                                  direction, labels, first_only)
+    return None
+
+
 def shortest_path(graph: PropertyGraph, source: str, target: str,
                   max_depth: int, direction: str = OUT,
                   labels: list[str] | None = None,
                   max_degree: int = NO_LIMIT,
-                  skip_degree: int = NO_LIMIT) -> DataFrame:
+                  skip_degree: int = NO_LIMIT,
+                  engine: str = "auto") -> DataFrame:
     """One shortest path (ShortestPathTraverser.java:45-101);
     deterministic min-lexicographic pick. Returns (path, length)."""
+    out = _ram_shortest(graph, source, target, max_depth, direction,
+                        labels, max_degree, engine, True)
+    if out is not None:
+        return out
     return paths(graph, source, target, max_depth, direction, labels,
                  max_degree, shortest_only=True, first_only=True)
 
@@ -120,8 +138,13 @@ def shortest_path(graph: PropertyGraph, source: str, target: str,
 def all_shortest_paths(graph: PropertyGraph, source: str, target: str,
                        max_depth: int, direction: str = OUT,
                        labels: list[str] | None = None,
-                       max_degree: int = NO_LIMIT) -> DataFrame:
+                       max_degree: int = NO_LIMIT,
+                       engine: str = "auto") -> DataFrame:
     """All shortest paths (ShortestPathTraverser.java:104-…)."""
+    out = _ram_shortest(graph, source, target, max_depth, direction,
+                        labels, max_degree, engine, False)
+    if out is not None:
+        return out
     return paths(graph, source, target, max_depth, direction, labels,
                  max_degree, shortest_only=True)
 

@@ -997,3 +997,68 @@ def ram_neighbor_rank(graph: PropertyGraph, source: str,
         rows.append((source, 0, 1.0))
     return graph.spark.createDataFrame(
         pd.DataFrame(rows, columns=["id", "layer", "rank"]))
+
+
+def ram_shortest_paths(graph: PropertyGraph, source: str, target: str,
+                       max_depth: int, direction: str = OUT,
+                       labels: list[str] | None = None,
+                       first_only: bool = False,
+                       max_paths: int = 1_000_000):
+    """Shortest source→target paths over the deduped CSR — the
+    shortest_only mode of operators/paths.paths (BFS to the first
+    level that reaches the target, then enumerate every shortest path
+    through the level-DAG parent sets). Returns a DataFrame
+    (path, length), or None when the path count exceeds ``max_paths``
+    (caller falls back to the distributed enumeration)."""
+    import pandas as pd
+
+    ids, indptr, nbrs = _csr_dedup(graph, direction, labels)
+    n = len(ids)
+    empty = graph.spark.createDataFrame([], "path string, length int")
+    s = int(np.searchsorted(ids, source)) if n else 0
+    t = int(np.searchsorted(ids, target)) if n else 0
+    if s >= n or ids[s] != source or t >= n or ids[t] != target:
+        return empty
+    dist = np.full(n, -1, dtype=np.int32)
+    sigma = np.zeros(n)
+    parents: dict[int, list[int]] = {}
+    dist[s] = 0
+    sigma[s] = 1.0
+    frontier = np.array([s], dtype=np.int64)
+    hit_level = None
+    for k in range(1, max_depth + 1):
+        cnt = indptr[frontier + 1] - indptr[frontier]
+        u = np.repeat(frontier, cnt)
+        w = nbrs[np.repeat(indptr[frontier], cnt)
+                 + _segmented_arange(cnt)]
+        new = np.unique(w[dist[w] < 0])
+        if len(new) == 0:
+            break
+        dist[new] = k
+        step = dist[w] == k
+        np.add.at(sigma, w[step], sigma[u[step]])
+        for uu, ww in zip(u[step], w[step]):
+            parents.setdefault(int(ww), []).append(int(uu))
+        if dist[t] == k:
+            hit_level = k
+            break
+        frontier = new
+    if hit_level is None:
+        return empty
+    if sigma[t] > max_paths:
+        return None  # enumeration would explode — distributed path
+    # enumerate backwards through the parent DAG
+    paths: list[str] = []
+    stack = [(t, [t])]
+    while stack:
+        v, suffix = stack.pop()
+        if v == s:
+            paths.append(">".join(str(ids[x]) for x in reversed(suffix)))
+            continue
+        for p in parents.get(v, ()):
+            stack.append((p, suffix + [p]))
+    paths.sort()
+    if first_only:
+        paths = paths[:1]
+    return graph.spark.createDataFrame(pd.DataFrame(
+        {"path": paths, "length": hit_level}))

@@ -184,3 +184,21 @@ def test_ram_sssp_matches_distributed(graph):
                            != F.coalesce(F.col(c + "_2").cast("string"),
                                          F.lit("∅")))
             assert bad.count() == 0, (kw, c, bad.collect()[:3])
+
+
+def test_ram_shortest_paths_match_distributed(graph):
+    from incubator_hugegraph_spark.operators.paths import (
+        all_shortest_paths, shortest_path)
+    cases = [("customer!1", "part!491", 3, "OUT"),
+             ("customer!1", "customer!7", 3, "BOTH"),
+             ("customer!1", "missing!9", 3, "OUT"),
+             ("customer!1", "nation!0", 2, "OUT")]
+    for s, t, d, direction in cases:
+        for fn in (shortest_path, all_shortest_paths):
+            a = sorted((r.path, r.length) for r in
+                       fn(graph, s, t, d, direction=direction,
+                          engine="dist").collect())
+            b = sorted((r.path, r.length) for r in
+                       fn(graph, s, t, d, direction=direction,
+                          engine="ram").collect())
+            assert a == b, (fn.__name__, s, t, d, direction)
