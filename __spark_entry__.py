@@ -703,7 +703,8 @@ def same_neighbors_q(spark, sf_dir):
     """sameneighbors (SameNeighborTraverser.java:38-68)."""
     from incubator_hugegraph_spark.operators.neighbors import same_neighbors
     return same_neighbors(_graph(spark, sf_dir), "customer!1", "customer!2",
-                          direction=BOTH)
+                          direction=BOTH,
+                         engine="dist")
 
 
 @_q("same_neighbors_multi", f"""
@@ -722,7 +723,8 @@ def same_neighbors_multi_q(spark, sf_dir):
         same_neighbors_multi)
     return same_neighbors_multi(
         _graph(spark, sf_dir),
-        ["customer!1", "customer!2", "customer!3"], direction=BOTH)
+        ["customer!1", "customer!2", "customer!3"], direction=BOTH,
+                               engine="dist")
 
 
 @_q("jaccard_pair", f"""
@@ -739,7 +741,8 @@ def jaccard_pair(spark, sf_dir):
     """jaccardsimilarity pair mode (JaccardSimilarTraverser.java:48-79)."""
     from incubator_hugegraph_spark.operators.neighbors import jaccard_similarity
     return jaccard_similarity(_graph(spark, sf_dir), "customer!1",
-                              "customer!2", direction=BOTH)
+                              "customer!2", direction=BOTH,
+                             engine="dist")
 
 
 @_q("adamic_adar", f"""
@@ -758,7 +761,8 @@ def adamic_adar_q(spark, sf_dir):
     """adamicadar link prediction (PredictionTraverser.java:36-52)."""
     from incubator_hugegraph_spark.operators.neighbors import adamic_adar
     return adamic_adar(_graph(spark, sf_dir), "customer!1", "customer!2",
-                       direction=BOTH, labels=["interacted"])
+                       direction=BOTH, labels=["interacted"],
+                      engine="dist")
 
 
 @_q("resource_allocation", f"""
@@ -778,7 +782,8 @@ def resource_allocation_q(spark, sf_dir):
     from incubator_hugegraph_spark.operators.neighbors import resource_allocation
     return resource_allocation(_graph(spark, sf_dir), "customer!1",
                                "customer!2", direction=BOTH,
-                               labels=["interacted"])
+                               labels=["interacted"],
+                              engine="dist")
 
 
 @_q("edge_exist", """
@@ -3096,3 +3101,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+@_q("same_neighbors_ram", f"""
+WITH {ADJ_SQL.strip()},
+na AS (SELECT DISTINCT dst FROM adj WHERE src = 'customer!1'),
+nb AS (SELECT DISTINCT dst FROM adj WHERE src = 'customer!2')
+SELECT dst AS id FROM na INTERSECT SELECT dst AS id FROM nb
+""")
+def same_neighbors_q_ram(spark, sf_dir):
+    """Same op through the RamTable set-algebra kernel (ram.py),
+    gated by the same oracle."""
+    from incubator_hugegraph_spark.operators.neighbors import same_neighbors
+    return same_neighbors(_graph(spark, sf_dir), "customer!1", "customer!2",
+                          direction=BOTH,
+                         engine="ram")
+
+
+@_q("same_neighbors_multi_ram", f"""
+WITH {ADJ_SQL.strip()}
+SELECT dst AS id FROM (
+  SELECT DISTINCT src, dst FROM adj
+  WHERE src IN ('customer!1', 'customer!2', 'customer!3'))
+GROUP BY dst HAVING count(*) = 3
+""")
+def same_neighbors_multi_q_ram(spark, sf_dir):
+    """Same op through the RamTable set-algebra kernel (ram.py),
+    gated by the same oracle."""
+    from incubator_hugegraph_spark.operators.neighbors import (
+        same_neighbors_multi)
+    return same_neighbors_multi(
+        _graph(spark, sf_dir),
+        ["customer!1", "customer!2", "customer!3"], direction=BOTH,
+                               engine="ram")
+
+
+@_q("jaccard_pair_ram", f"""
+WITH {ADJ_SQL.strip()},
+na AS (SELECT DISTINCT dst FROM adj WHERE src = 'customer!1'),
+nb AS (SELECT DISTINCT dst FROM adj WHERE src = 'customer!2')
+SELECT ROUND(
+  CAST((SELECT count(*) FROM (SELECT dst FROM na INTERSECT SELECT dst FROM nb))
+       AS DOUBLE)
+  / (SELECT count(*) FROM (SELECT dst FROM na UNION SELECT dst FROM nb)),
+  6) AS jaccard
+""")
+def jaccard_pair_ram(spark, sf_dir):
+    """Same op through the RamTable set-algebra kernel (ram.py),
+    gated by the same oracle."""
+    from incubator_hugegraph_spark.operators.neighbors import jaccard_similarity
+    return jaccard_similarity(_graph(spark, sf_dir), "customer!1",
+                              "customer!2", direction=BOTH,
+                             engine="ram")
+
+
+@_q("adamic_adar_ram", f"""
+WITH {ADJ_SQL.strip()},
+na AS (SELECT DISTINCT dst FROM adj
+       WHERE src = 'customer!1' AND label = 'interacted'),
+nb AS (SELECT DISTINCT dst FROM adj
+       WHERE src = 'customer!2' AND label = 'interacted'),
+common AS (SELECT dst FROM na INTERSECT SELECT dst FROM nb),
+deg AS (SELECT src AS id, count(*) AS degree FROM adj
+        WHERE label = 'interacted' GROUP BY src)
+SELECT ROUND(sum(1.0 / ln(degree)), 6) AS score
+FROM common JOIN deg ON common.dst = deg.id
+""")
+def adamic_adar_q_ram(spark, sf_dir):
+    """Same op through the RamTable set-algebra kernel (ram.py),
+    gated by the same oracle."""
+    from incubator_hugegraph_spark.operators.neighbors import adamic_adar
+    return adamic_adar(_graph(spark, sf_dir), "customer!1", "customer!2",
+                       direction=BOTH, labels=["interacted"],
+                      engine="ram")
+
+
+@_q("resource_allocation_ram", f"""
+WITH {ADJ_SQL.strip()},
+na AS (SELECT DISTINCT dst FROM adj
+       WHERE src = 'customer!1' AND label = 'interacted'),
+nb AS (SELECT DISTINCT dst FROM adj
+       WHERE src = 'customer!2' AND label = 'interacted'),
+common AS (SELECT dst FROM na INTERSECT SELECT dst FROM nb),
+deg AS (SELECT src AS id, count(*) AS degree FROM adj
+        WHERE label = 'interacted' GROUP BY src)
+SELECT ROUND(sum(1.0 / degree), 6) AS score
+FROM common JOIN deg ON common.dst = deg.id
+""")
+def resource_allocation_q_ram(spark, sf_dir):
+    """Same op through the RamTable set-algebra kernel (ram.py),
+    gated by the same oracle."""
+    from incubator_hugegraph_spark.operators.neighbors import resource_allocation
+    return resource_allocation(_graph(spark, sf_dir), "customer!1",
+                               "customer!2", direction=BOTH,
+                               labels=["interacted"],
+                              engine="ram")

@@ -29,9 +29,16 @@ def same_neighbors(graph: PropertyGraph, a: str, b: str,
                    direction: str = BOTH,
                    labels: list[str] | None = None,
                    max_degree: int = NO_LIMIT,
-                   limit: int = NO_LIMIT) -> DataFrame:
+                   limit: int = NO_LIMIT,
+                   engine: str = "auto") -> DataFrame:
     """Common neighbors of two vertices (SameNeighborTraverser.java:38-68).
     Returns (id)."""
+    if engine != "dist" and max_degree == NO_LIMIT:
+        from incubator_hugegraph_spark.ram import (ram_fits,
+                                                   ram_same_neighbors)
+        if engine == "ram" or ram_fits(graph):
+            return ram_same_neighbors(graph, a, b, direction, labels,
+                                      limit)
     common = (neighbors(graph, a, direction, labels, max_degree)
               .intersect(neighbors(graph, b, direction, labels, max_degree))
               .select(F.col("dst").alias("id")))
@@ -43,10 +50,16 @@ def same_neighbors(graph: PropertyGraph, a: str, b: str,
 def jaccard_similarity(graph: PropertyGraph, a: str, b: str,
                        direction: str = BOTH,
                        labels: list[str] | None = None,
-                       max_degree: int = NO_LIMIT) -> DataFrame:
+                       max_degree: int = NO_LIMIT,
+                       engine: str = "auto") -> DataFrame:
     """Pair-mode Jaccard |A∩B|/|A∪B| of neighbor sets
     (JaccardSimilarTraverser.jaccardSimilarity :48-79).
     Returns one row (jaccard double, rounded 6)."""
+    if engine != "dist" and max_degree == NO_LIMIT:
+        from incubator_hugegraph_spark.ram import ram_fits, ram_pair_scores
+        if engine == "ram" or ram_fits(graph):
+            return ram_pair_scores(graph, a, b, direction, labels,
+                                   "jaccard")
     na = neighbors(graph, a, direction, labels, max_degree)
     nb = neighbors(graph, b, direction, labels, max_degree)
     inter = na.intersect(nb).count()
@@ -67,9 +80,15 @@ def _common_with_degree(graph: PropertyGraph, a: str, b: str,
 
 def adamic_adar(graph: PropertyGraph, a: str, b: str,
                 direction: str = BOTH, labels: list[str] | None = None,
-                max_degree: int = NO_LIMIT) -> DataFrame:
+                max_degree: int = NO_LIMIT,
+                engine: str = "auto") -> DataFrame:
     """Adamic-Adar Σ_z 1/ln(deg(z)) over common neighbors z
     (PredictionTraverser.adamicAdar :36-52). Returns (score)."""
+    if engine != "dist" and max_degree == NO_LIMIT:
+        from incubator_hugegraph_spark.ram import ram_fits, ram_pair_scores
+        if engine == "ram" or ram_fits(graph):
+            return ram_pair_scores(graph, a, b, direction, labels,
+                                   "adamic")
     cz = _common_with_degree(graph, a, b, direction, labels, max_degree)
     return cz.agg(F.round(F.sum(1.0 / F.log(F.col("degree"))), 6)
                   .alias("score"))
@@ -78,9 +97,14 @@ def adamic_adar(graph: PropertyGraph, a: str, b: str,
 def resource_allocation(graph: PropertyGraph, a: str, b: str,
                         direction: str = BOTH,
                         labels: list[str] | None = None,
-                        max_degree: int = NO_LIMIT) -> DataFrame:
+                        max_degree: int = NO_LIMIT,
+                        engine: str = "auto") -> DataFrame:
     """Resource-Allocation Σ_z 1/deg(z)
     (PredictionTraverser.resourceAllocation :53-…). Returns (score)."""
+    if engine != "dist" and max_degree == NO_LIMIT:
+        from incubator_hugegraph_spark.ram import ram_fits, ram_pair_scores
+        if engine == "ram" or ram_fits(graph):
+            return ram_pair_scores(graph, a, b, direction, labels, "ra")
     cz = _common_with_degree(graph, a, b, direction, labels, max_degree)
     return cz.agg(F.round(F.sum(1.0 / F.col("degree")), 6).alias("score"))
 
@@ -187,7 +211,8 @@ def same_neighbors_multi(graph: PropertyGraph, ids: list[str],
                          direction: str = BOTH,
                          labels: list[str] | None = None,
                          max_degree: int = NO_LIMIT,
-                         limit: int = NO_LIMIT) -> DataFrame:
+                         limit: int = NO_LIMIT,
+                         engine: str = "auto") -> DataFrame:
     """N-way common neighbors (SameNeighborTraverser.java:68-… /
     SameNeighborsAPI POST `vertex_list`): vertices adjacent to EVERY
     member of ``ids``. One pass: filter adjacency to the source set,
@@ -195,6 +220,12 @@ def same_neighbors_multi(graph: PropertyGraph, ids: list[str],
     N-way intersect chain. Returns (id)."""
     if len(set(ids)) < 2:
         raise ValueError("vertex_list size can't be less than 2")
+    if engine != "dist" and max_degree == NO_LIMIT:
+        from incubator_hugegraph_spark.ram import (
+            ram_fits, ram_same_neighbors_multi)
+        if engine == "ram" or ram_fits(graph):
+            return ram_same_neighbors_multi(graph, ids, direction,
+                                            labels, limit)
     uniq = sorted(set(ids))
     adj = prepared_adj(graph, direction, labels, max_degree)
     common = (adj.filter(F.col("src").isin(uniq))

@@ -1062,3 +1062,94 @@ def ram_shortest_paths(graph: PropertyGraph, source: str, target: str,
         paths = paths[:1]
     return graph.spark.createDataFrame(pd.DataFrame(
         {"path": paths, "length": hit_level}))
+
+
+def _nbr_set(indptr, nbrs, p: int) -> np.ndarray:
+    return np.unique(nbrs[indptr[p]:indptr[p + 1]])
+
+
+def _vpos(ids: np.ndarray, v: str) -> int | None:
+    n = len(ids)
+    p = int(np.searchsorted(ids, v)) if n else 0
+    return p if (p < n and ids[p] == v) else None
+
+
+def ram_same_neighbors(graph: PropertyGraph, a: str, b: str,
+                       direction: str = BOTH,
+                       labels: list[str] | None = None,
+                       limit: int = -1) -> DataFrame:
+    """Common neighbors via CSR set intersection — same contract as
+    operators/neighbors.same_neighbors. Returns (id)."""
+    import pandas as pd
+
+    ids, indptr, nbrs = _csr_dedup(graph, direction, labels)
+    pa, pb = _vpos(ids, a), _vpos(ids, b)
+    if pa is None or pb is None:
+        return graph.spark.createDataFrame([], "id string")
+    common = np.intersect1d(_nbr_set(indptr, nbrs, pa),
+                            _nbr_set(indptr, nbrs, pb))
+    if limit != -1:
+        common = common[:limit]  # already id-sorted
+    if len(common) == 0:
+        return graph.spark.createDataFrame([], "id string")
+    return graph.spark.createDataFrame(
+        pd.DataFrame({"id": ids[common]}))
+
+
+def ram_same_neighbors_multi(graph: PropertyGraph, ids_list: list[str],
+                             direction: str = BOTH,
+                             labels: list[str] | None = None,
+                             limit: int = -1) -> DataFrame:
+    """N-way common neighbors (SameNeighborsAPI POST vertex_list)."""
+    import pandas as pd
+
+    if len(set(ids_list)) < 2:
+        raise ValueError("vertex_list size can't be less than 2")
+    ids, indptr, nbrs = _csr_dedup(graph, direction, labels)
+    common: np.ndarray | None = None
+    for v in sorted(set(ids_list)):
+        p = _vpos(ids, v)
+        nb = _nbr_set(indptr, nbrs, p) if p is not None \
+            else np.empty(0, dtype=np.int64)
+        common = nb if common is None else np.intersect1d(common, nb)
+        if len(common) == 0:
+            break
+    if limit != -1:
+        common = common[:limit]
+    if common is None or len(common) == 0:
+        return graph.spark.createDataFrame([], "id string")
+    return graph.spark.createDataFrame(
+        pd.DataFrame({"id": ids[common]}))
+
+
+def ram_pair_scores(graph: PropertyGraph, a: str, b: str,
+                    direction: str = BOTH,
+                    labels: list[str] | None = None,
+                    mode: str = "jaccard") -> DataFrame:
+    """Pair-mode jaccard / adamic-adar / resource-allocation over the
+    CSR — identical set algebra and degree semantics (degree counts
+    PER-EDGE adjacency rows, PropertyGraph.degrees) as the
+    distributed operators; round-6 single-row output."""
+    ids, indptr, nbrs = _csr_dedup(graph, direction, labels)
+    pa, pb = _vpos(ids, a), _vpos(ids, b)
+    na = _nbr_set(indptr, nbrs, pa) if pa is not None \
+        else np.empty(0, dtype=np.int64)
+    nb = _nbr_set(indptr, nbrs, pb) if pb is not None \
+        else np.empty(0, dtype=np.int64)
+    common = np.intersect1d(na, nb)
+    if mode == "jaccard":
+        union = len(np.union1d(na, nb))
+        val = (len(common) / union) if union else 0.0
+        return graph.spark.createDataFrame(
+            [(float(_round_half_up(np.array([val]), 6)[0]),)],
+            "jaccard double")
+    _, msrc, _ = _index_edges(graph, direction, labels)
+    deg = np.bincount(msrc, minlength=len(ids)).astype(np.float64)
+    dz = deg[common]
+    val = float((1.0 / np.log(dz)).sum()) if mode == "adamic" \
+        else float((1.0 / dz).sum())
+    if len(common) == 0:
+        # F.sum over zero rows is NULL in the distributed agg
+        return graph.spark.createDataFrame([(None,)], "score double")
+    return graph.spark.createDataFrame(
+        [(float(_round_half_up(np.array([val]), 6)[0]),)], "score double")

@@ -559,3 +559,33 @@ def test_ram_fusiform_matches_distributed(graph):
         j = a.join(b, on=["source", "similar"], how="full")
         assert j.filter(F.coalesce("s1", F.lit(-1))
                         != F.coalesce("s2", F.lit(-2))).count() == 0, kw
+
+
+def test_ram_neighbor_ops_match_distributed(graph):
+    """Set-algebra kernels equal the distributed neighbor operators
+    across directions, labels, limits, and absent vertices."""
+    from incubator_hugegraph_spark.operators.neighbors import (
+        adamic_adar, jaccard_similarity, resource_allocation,
+        same_neighbors, same_neighbors_multi)
+    pair_cases = [("customer!1", "customer!2", {}),
+                  ("customer!1", "customer!3",
+                   dict(direction="OUT", labels=["interacted"])),
+                  ("customer!1", "missing!5", {})]
+    for a, b, kw in pair_cases:
+        x = sorted(r.id for r in same_neighbors(
+            graph, a, b, engine="dist", **kw).collect())
+        y = sorted(r.id for r in same_neighbors(
+            graph, a, b, engine="ram", **kw).collect())
+        assert x == y, (a, b, kw)
+        for fn in (jaccard_similarity, adamic_adar, resource_allocation):
+            u = fn(graph, a, b, engine="dist", **kw).head()[0]
+            v = fn(graph, a, b, engine="ram", **kw).head()[0]
+            assert u == v, (fn.__name__, a, b, kw, u, v)
+    for ids, kw in [(["customer!1", "customer!2", "customer!3"], {}),
+                    (["customer!1", "customer!2"],
+                     dict(limit=3))]:
+        x = sorted(r.id for r in same_neighbors_multi(
+            graph, ids, engine="dist", **kw).collect())
+        y = sorted(r.id for r in same_neighbors_multi(
+            graph, ids, engine="ram", **kw).collect())
+        assert x == y, (ids, kw)
