@@ -809,7 +809,8 @@ def count_steps_q(spark, sf_dir):
     from incubator_hugegraph_spark.operators.neighbors import count_steps
     return count_steps(_graph(spark, sf_dir), "customer!1",
                        [{"direction": OUT, "labels": ["placed"]},
-                        {"direction": OUT, "labels": ["contains"]}])
+                        {"direction": OUT, "labels": ["contains"]}],
+                      engine="dist")
 
 
 @_q("count_steps_dedup", """
@@ -823,7 +824,8 @@ def count_steps_dedup(spark, sf_dir):
     return count_steps(_graph(spark, sf_dir), "customer!1",
                        [{"direction": OUT, "labels": ["placed"]},
                         {"direction": OUT, "labels": ["contains"]}],
-                       dedup=True)
+                       dedup=True,
+                      engine="dist")
 
 
 # ====================================================================
@@ -3196,3 +3198,34 @@ def resource_allocation_q_ram(spark, sf_dir):
                                "customer!2", direction=BOTH,
                                labels=["interacted"],
                               engine="ram")
+
+
+@_q("count_steps_ram", """
+SELECT count(*) AS cnt
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_custkey = 1
+""")
+def count_steps_q_ram(spark, sf_dir):
+    """Same multi-step count via the RamTable vector kernel
+    (ram.ram_count_steps) — same oracle."""
+    from incubator_hugegraph_spark.operators.neighbors import count_steps
+    return count_steps(_graph(spark, sf_dir), "customer!1",
+                       [{"direction": OUT, "labels": ["placed"]},
+                        {"direction": OUT, "labels": ["contains"]}],
+                      engine="ram")
+
+
+@_q("count_steps_dedup_ram", """
+SELECT count(DISTINCT l_partkey) AS cnt
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_custkey = 1
+""")
+def count_steps_dedup_ram(spark, sf_dir):
+    """Same multi-step count via the RamTable vector kernel
+    (ram.ram_count_steps) — same oracle."""
+    from incubator_hugegraph_spark.operators.neighbors import count_steps
+    return count_steps(_graph(spark, sf_dir), "customer!1",
+                       [{"direction": OUT, "labels": ["placed"]},
+                        {"direction": OUT, "labels": ["contains"]}],
+                       dedup=True,
+                      engine="ram")

@@ -133,7 +133,8 @@ def _step_adj(graph: PropertyGraph, st: dict) -> DataFrame:
 def count_steps(graph: PropertyGraph, source: str,
                 steps: list[dict], dedup: bool = False,
                 dedup_size: int = 0,
-                contains_traversed: bool = False) -> DataFrame:
+                contains_traversed: bool = False,
+                engine: str = "auto") -> DataFrame:
     """Multi-step count (CountTraverser.java:47-…): expand through
     ``steps`` (each {direction, labels, max_degree, skip_degree}) and
     count the edges traversed at the final step. Returns (cnt).
@@ -157,6 +158,14 @@ def count_steps(graph: PropertyGraph, source: str,
 
     ``dedup`` → distinct final arrivals (legacy flag, kept for the
     simple distinct-count form)."""
+    if engine != "dist" and all(
+            st.get("max_degree", NO_LIMIT) == NO_LIMIT
+            and st.get("skip_degree", NO_LIMIT) == NO_LIMIT
+            for st in steps):
+        from incubator_hugegraph_spark.ram import ram_count_steps, ram_fits
+        if engine == "ram" or ram_fits(graph):
+            return ram_count_steps(graph, source, steps, dedup,
+                                   dedup_size, contains_traversed)
     spark = graph.spark
     n = len(steps)
     cur = spark.createDataFrame([(source,)], "id string")

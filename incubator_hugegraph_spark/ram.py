@@ -1153,3 +1153,63 @@ def ram_pair_scores(graph: PropertyGraph, a: str, b: str,
         return graph.spark.createDataFrame([(None,)], "score double")
     return graph.spark.createDataFrame(
         [(float(_round_half_up(np.array([val]), 6)[0]),)], "score double")
+
+
+def ram_count_steps(graph: PropertyGraph, source: str,
+                    steps: list[dict], dedup: bool = False,
+                    dedup_size: int = 0,
+                    contains_traversed: bool = False) -> DataFrame:
+    """Multi-step edge count over index arrays — identical level
+    semantics to operators/neighbors.count_steps (CountTraverser.java
+    :47-…): multiset propagation as a per-vertex count vector; the
+    dedup_size mode mirrors the level-synchronous visited set with
+    min-id-first capped admission."""
+    def arrivals_of(cnt_vec: np.ndarray, st: dict) -> np.ndarray:
+        ids, src, dst = _index_edges(graph, st.get("direction", OUT),
+                                     st.get("labels"))
+        out = np.zeros(len(ids))
+        np.add.at(out, dst, cnt_vec[src])
+        return out
+
+    ids0, _, _ = _index_edges(graph, steps[0].get("direction", OUT),
+                              steps[0].get("labels")) if steps else \
+        _index_edges(graph, OUT, None)
+    n = len(ids0)
+    cur = np.zeros(n)
+    p = int(np.searchsorted(ids0, source)) if n else 0
+    if p < n and ids0[p] == source:
+        cur[p] = 1.0
+    total = 1 if contains_traversed else 0
+    nsteps = len(steps)
+    if not dedup_size:
+        for i, st in enumerate(steps):
+            cur = arrivals_of(cur, st)
+            if contains_traversed and i < nsteps - 1:
+                total += int(cur.sum())
+        total += int((cur > 0).sum()) if dedup else int(cur.sum())
+    else:
+        capped = dedup_size > 0 and dedup_size != -1
+        visited = np.zeros(n, dtype=bool)
+        if p < n and ids0[p] == source:
+            visited[p] = True
+        arrivals = cur.copy()
+        for i, st in enumerate(steps[:-1]):
+            if i == 0:
+                srcs = arrivals
+            else:
+                mask = (arrivals > 0) & ~visited
+                srcs = mask.astype(np.float64)
+                add = np.flatnonzero(mask)
+                if capped:
+                    room = max(dedup_size - int(visited.sum()), 0)
+                    add = add[:room]  # indices ascend == min-id first
+                visited[add] = True
+            arrivals = arrivals_of(srcs, st)
+            if contains_traversed:
+                total += int(arrivals.sum())
+        if nsteps == 1:
+            last_src = arrivals
+        else:
+            last_src = ((arrivals > 0) & ~visited).astype(np.float64)
+        total += int(arrivals_of(last_src, steps[-1]).sum())
+    return graph.spark.createDataFrame([(total,)], "cnt bigint")

@@ -589,3 +589,31 @@ def test_ram_neighbor_ops_match_distributed(graph):
         y = sorted(r.id for r in same_neighbors_multi(
             graph, ids, engine="ram", **kw).collect())
         assert x == y, (ids, kw)
+
+
+def test_ram_count_steps_matches_distributed(marko_graph, graph):
+    """Vector-count kernel equals the distributed multi-step count —
+    incl. the marko-fixture dedup_size / contains_traversed scenarios
+    and the TPC-H graph's two-hop forms."""
+    from incubator_hugegraph_spark.operators.neighbors import count_steps
+    marko_steps = [{"direction": "OUT"}, {"direction": "OUT"},
+                   {"direction": "OUT"}]
+    cases_marko = [dict(steps=marko_steps),
+                   dict(steps=marko_steps, dedup_size=1_000_000),
+                   dict(steps=marko_steps, contains_traversed=True),
+                   dict(steps=marko_steps, dedup_size=2),
+                   dict(steps=marko_steps, dedup_size=-1,
+                        contains_traversed=True)]
+    for kw in cases_marko:
+        a = count_steps(marko_graph, "person!marko", engine="dist",
+                        **kw).head().cnt
+        b = count_steps(marko_graph, "person!marko", engine="ram",
+                        **kw).head().cnt
+        assert a == b, kw
+    tp = [{"direction": "OUT", "labels": ["placed"]},
+          {"direction": "OUT", "labels": ["contains"]}]
+    for kw in [dict(steps=tp), dict(steps=tp, dedup=True),
+               dict(steps=tp, dedup_size=5, contains_traversed=True)]:
+        a = count_steps(graph, "customer!1", engine="dist", **kw).head().cnt
+        b = count_steps(graph, "customer!1", engine="ram", **kw).head().cnt
+        assert a == b, kw
