@@ -570,7 +570,28 @@ def kout_steps(spark, sf_dir):
         _graph(spark, sf_dir), "customer!1",
         steps=[{"direction": "OUT", "labels": ["placed"]},
                {"direction": "OUT", "labels": ["contains"],
-                "props": {"quantity": ("gte", 30)}}])
+                "props": {"quantity": ("gte", 30)}}], engine="dist")
+
+
+@_q("kout_steps_ram", """
+WITH l1 AS (SELECT DISTINCT 'order!' || o_orderkey AS id
+            FROM orders WHERE o_custkey = 1),
+l2 AS (SELECT DISTINCT 'part!' || l_partkey AS id
+       FROM lineitem JOIN l1 ON 'order!' || l_orderkey = l1.id
+       WHERE l_quantity >= 30)
+SELECT id FROM l2
+WHERE id NOT IN (SELECT id FROM l1) AND id <> 'customer!1'
+""")
+def kout_steps_ram(spark, sf_dir):
+    """Same Steps-form kout via the per-step filtered RamTable kernel
+    (ram.ram_customized_kout) — the step predicates still evaluate in
+    Spark; only the BFS loop moves in-memory. Same oracle."""
+    from incubator_hugegraph_spark.operators.bfs import customized_kout
+    return customized_kout(
+        _graph(spark, sf_dir), "customer!1",
+        steps=[{"direction": "OUT", "labels": ["placed"]},
+               {"direction": "OUT", "labels": ["contains"],
+                "props": {"quantity": ("gte", 30)}}], engine="ram")
 
 
 @_q("kneighbor_steps", """
@@ -594,7 +615,30 @@ def kneighbor_steps(spark, sf_dir):
         _graph(spark, sf_dir), "customer!1",
         steps=[{"direction": "OUT", "labels": ["placed"]},
                {"direction": "OUT", "labels": ["contains"],
-                "props": {"quantity": ("gte", 30)}}])
+                "props": {"quantity": ("gte", 30)}}], engine="dist")
+
+
+@_q("kneighbor_steps_ram", """
+WITH l1 AS (SELECT DISTINCT 'order!' || o_orderkey AS id
+            FROM orders WHERE o_custkey = 1),
+l2 AS (SELECT DISTINCT 'part!' || l_partkey AS id
+       FROM lineitem JOIN l1 ON 'order!' || l_orderkey = l1.id
+       WHERE l_quantity >= 30
+         AND 'part!' || l_partkey NOT IN (SELECT id FROM l1))
+SELECT id, 1 AS dist FROM l1 WHERE id <> 'customer!1'
+UNION ALL
+SELECT id, 2 AS dist FROM l2 WHERE id <> 'customer!1'
+""")
+def kneighbor_steps_ram(spark, sf_dir):
+    """Same Steps-form kneighbor via the per-step filtered RamTable
+    kernel (ram.ram_customized_kneighbor) — same oracle."""
+    from incubator_hugegraph_spark.operators.bfs import (
+        customized_kneighbor)
+    return customized_kneighbor(
+        _graph(spark, sf_dir), "customer!1",
+        steps=[{"direction": "OUT", "labels": ["placed"]},
+               {"direction": "OUT", "labels": ["contains"],
+                "props": {"quantity": ("gte", 30)}}], engine="ram")
 
 
 @_q("vertex_delete_cascade", f"""

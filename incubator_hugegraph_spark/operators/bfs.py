@@ -230,11 +230,19 @@ def _step_adj(graph: PropertyGraph, st: dict) -> DataFrame:
 
 def customized_kout(graph: PropertyGraph, source: str,
                     steps: list[dict], nearest: bool = True,
-                    limit: int = NO_LIMIT) -> DataFrame:
+                    limit: int = NO_LIMIT,
+                    engine: str = "auto") -> DataFrame:
     """customizedKout (KoutTraverser.java:114-147, KoutAPI POST):
     per-step direction/labels/edge-property filters, depth =
     len(steps). nearest=True subtracts everything reached earlier.
     Returns (id)."""
+    if engine != "dist" and all(
+            st.get("max_degree", NO_LIMIT) == NO_LIMIT for st in steps):
+        from incubator_hugegraph_spark.ram import (ram_customized_kout,
+                                                   ram_fits)
+        if engine == "ram" or ram_fits(graph):
+            return ram_customized_kout(graph, source, steps, nearest,
+                                       limit)
     frontier = sources_df(graph, [source])
     visited = frontier
     for i, st in enumerate(steps):
@@ -252,10 +260,17 @@ def customized_kout(graph: PropertyGraph, source: str,
 
 def customized_kneighbor(graph: PropertyGraph, source: str,
                          steps: list[dict],
-                         limit: int = NO_LIMIT) -> DataFrame:
+                         limit: int = NO_LIMIT,
+                         engine: str = "auto") -> DataFrame:
     """customizedKneighbor (KneighborTraverser.java:74-…, KneighborAPI
     POST): every vertex reached within the step sequence, source
     excluded. Returns (id, dist) — dist = first-reach step ordinal."""
+    if engine != "dist" and all(
+            st.get("max_degree", NO_LIMIT) == NO_LIMIT for st in steps):
+        from incubator_hugegraph_spark.ram import (
+            ram_customized_kneighbor, ram_fits)
+        if engine == "ram" or ram_fits(graph):
+            return ram_customized_kneighbor(graph, source, steps, limit)
     frontier = sources_df(graph, [source])
     visited = frontier.withColumn("dist", F.lit(0))
     for i, st in enumerate(steps):

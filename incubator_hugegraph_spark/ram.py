@@ -1213,3 +1213,103 @@ def ram_count_steps(graph: PropertyGraph, source: str,
             last_src = ((arrivals > 0) & ~visited).astype(np.float64)
         total += int(arrivals_of(last_src, steps[-1]).sum())
     return graph.spark.createDataFrame([(total,)], "cnt bigint")
+
+
+def _step_indexed(graph: PropertyGraph, st: dict):
+    """Index arrays for one customized step: the step's FILTER
+    semantics (labels, edge-prop conditions, vertex whitelists,
+    direction) run in Spark via operators/bfs._step_adj — identical
+    predicates — and only the qualifying (src, dst) pairs are
+    collected."""
+    import pandas as pd
+
+    from incubator_hugegraph_spark.operators.bfs import _step_adj
+
+    cache = graph.__dict__.setdefault("_ram_cache", {})
+    if "_vindex" not in cache:
+        _index_edges(graph, OUT, None)  # builds the id index
+    ids, vindex = cache["_vindex"]
+    pdf = _step_adj(graph, st).select("src", "dst").toPandas()
+    ps = vindex.get_indexer(pdf["src"])
+    pd_ = vindex.get_indexer(pdf["dst"])
+    ok = (ps >= 0) & (pd_ >= 0)
+    return ids, ps[ok], pd_[ok]
+
+
+def ram_customized_kout(graph: PropertyGraph, source: str,
+                        steps: list[dict], nearest: bool = True,
+                        limit: int = -1) -> DataFrame:
+    """customizedKout over per-step filtered index arrays — same
+    contract as operators/bfs.customized_kout. Returns (id)."""
+    import pandas as pd
+
+    ids = None
+    frontier = None
+    visited = None
+    for st in steps:
+        ids, src, dst = _step_indexed(graph, st)
+        n = len(ids)
+        if frontier is None:
+            frontier = np.zeros(n, dtype=bool)
+            visited = np.zeros(n, dtype=bool)
+            p = int(np.searchsorted(ids, source)) if n else 0
+            if p < n and ids[p] == source:
+                frontier[p] = True
+                visited[p] = True
+        new = np.zeros(n, dtype=bool)
+        new[dst[frontier[src]]] = True
+        if nearest:
+            new &= ~visited
+            visited |= new
+        frontier = new
+    if frontier is None or not frontier.any():
+        return graph.spark.createDataFrame([], "id string")
+    p = int(np.searchsorted(ids, source)) if len(ids) else 0
+    if p < len(ids) and ids[p] == source:
+        frontier = frontier.copy()
+        frontier[p] = False
+    out = np.flatnonzero(frontier)
+    if limit != -1:
+        out = out[:limit]
+    if len(out) == 0:
+        return graph.spark.createDataFrame([], "id string")
+    return graph.spark.createDataFrame(pd.DataFrame({"id": ids[out]}))
+
+
+def ram_customized_kneighbor(graph: PropertyGraph, source: str,
+                             steps: list[dict],
+                             limit: int = -1) -> DataFrame:
+    """customizedKneighbor: first-reach step ordinal per vertex —
+    same contract as operators/bfs.customized_kneighbor. Returns
+    (id, dist)."""
+    import pandas as pd
+
+    ids = None
+    frontier = None
+    dist = None
+    for i, st in enumerate(steps):
+        ids, src, dst = _step_indexed(graph, st)
+        n = len(ids)
+        if frontier is None:
+            frontier = np.zeros(n, dtype=bool)
+            dist = np.full(n, -1, dtype=np.int32)
+            p = int(np.searchsorted(ids, source)) if n else 0
+            if p < n and ids[p] == source:
+                frontier[p] = True
+                dist[p] = 0
+        new = np.zeros(n, dtype=bool)
+        new[dst[frontier[src]]] = True
+        new &= dist < 0
+        dist[new] = i + 1
+        frontier = new
+    if dist is None:
+        return graph.spark.createDataFrame([], "id string, dist int")
+    reached = dist > 0  # excludes the source (dist 0)
+    out = np.flatnonzero(reached)
+    if limit != -1:
+        order = np.lexsort((out, dist[out]))[:limit]
+        out = out[order]
+    if len(out) == 0:
+        return graph.spark.createDataFrame([], "id string, dist int")
+    return graph.spark.createDataFrame(
+        pd.DataFrame({"id": ids[out], "dist": dist[out]}))

@@ -617,3 +617,29 @@ def test_ram_count_steps_matches_distributed(marko_graph, graph):
         a = count_steps(graph, "customer!1", engine="dist", **kw).head().cnt
         b = count_steps(graph, "customer!1", engine="ram", **kw).head().cnt
         assert a == b, kw
+
+
+def test_ram_customized_steps_match_distributed(graph):
+    from incubator_hugegraph_spark.operators.bfs import (
+        customized_kneighbor, customized_kout)
+    step_sets = [
+        [{"direction": "OUT", "labels": ["placed"]},
+         {"direction": "OUT", "labels": ["contains"],
+          "props": {"quantity": ("gte", 30)}}],
+        [{"direction": "BOTH", "labels": ["interacted"]},
+         {"direction": "BOTH", "labels": ["interacted"]}],
+    ]
+    for steps in step_sets:
+        for nearest in (True, False):
+            a = sorted(r.id for r in customized_kout(
+                graph, "customer!1", steps, nearest=nearest,
+                engine="dist").collect())
+            b = sorted(r.id for r in customized_kout(
+                graph, "customer!1", steps, nearest=nearest,
+                engine="ram").collect())
+            assert a == b, (steps, nearest)
+        a = sorted((r.id, r.dist) for r in customized_kneighbor(
+            graph, "customer!1", steps, engine="dist").collect())
+        b = sorted((r.id, r.dist) for r in customized_kneighbor(
+            graph, "customer!1", steps, engine="ram").collect())
+        assert a == b, steps
