@@ -127,9 +127,47 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
+    # extra surfaces (round 2) measured at the same SF — reported in a
+    # separate key so `value`/`queries` stay the BASELINE.md B1-B10
+    # contract the driver compares across rounds
+    from incubator_hugegraph_spark.cypher import cypher
+    from incubator_hugegraph_spark.data.dedup import minhash_lsh_pairs
+    from incubator_hugegraph_spark.data.similarity import cosine_topk_np
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def x_cypher():
+        return cypher(graph, """
+            MATCH (c:customer)-[:placed]->(o:order)-[:contains]->(p:part)
+            WHERE p.size >= 40
+            RETURN count(DISTINCT c) AS n""").count()
+
+    def x_gremlin():
+        return eval_gremlin(
+            graph, "g.V().hasLabel('part').has('size', gte(40))"
+                   ".in('contains').dedup().count()").count()
+
+    def x_minhash():
+        return minhash_lsh_pairs(docs, threshold=0.3).count()
+
+    def x_ann():
+        return cosine_topk_np(emb, [0, 1, 2, 3, 4], 10).count()
+
+    extra: dict[str, float] = {}
+    for name, fn in [("x_cypher", x_cypher), ("x_gremlin", x_gremlin),
+                     ("x_minhash_lsh", x_minhash), ("x_ann_np", x_ann)]:
+        t0 = time.monotonic()
+        fn()
+        extra[name] = round(time.monotonic() - t0, 3)
+        free_scratch(spark)
+        print(f"  {name}: {extra[name]}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({"metric": "bench_total_wall", "value": total,
-                      "unit": "sec", "queries": timings, "sf": _sf(SF_DIR)}))
+                      "unit": "sec", "queries": timings,
+                      "extra": extra, "sf": _sf(SF_DIR)}))
 
 
 if __name__ == "__main__":

@@ -186,13 +186,34 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
     cand = (l.join(r, on=["band", "bucket"])
             .filter(F.col("d1") < F.col("d2"))
             .select("d1", "d2").distinct())
-    # exact verification on candidates only; the threshold filter runs
-    # inside ngram_jaccard_pairs on the UNROUNDED ratio (it rounds only
-    # for output), matching the oracle's unrounded filter bit-exactly —
-    # filtering the rounded column here would diverge for ratios in
-    # [threshold - 5e-7, threshold).
-    exact = ngram_jaccard_pairs(docs, n, threshold, text_col, id_col)
-    return cand.join(exact, on=["d1", "d2"])
+    # exact verification on the CANDIDATES ONLY: the shingle inverted
+    # index is rebuilt from just the docs that appear in a candidate
+    # pair, and the pair join is semi-filtered to candidates before
+    # grouping — at scale the verify cost tracks |candidates|, not the
+    # corpus (the whole point of LSH). The threshold filter runs on
+    # the UNROUNDED ratio (rounding only for output), matching the
+    # oracle's unrounded filter bit-exactly.
+    in_cand = (cand.select(F.col("d1").alias("cid"))
+               .union(cand.select(F.col("d2").alias("cid"))).distinct())
+    sub = docs.join(F.broadcast(in_cand),
+                    on=F.col(id_col) == F.col("cid"), how="left_semi")
+    sh = word_shingles(sub, n, text_col, id_col)
+    cnt = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("d1"), "shingle")
+    b = sh.select(F.col("id").alias("d2"), "shingle")
+    inter = (a.join(b, on="shingle")
+             .filter(F.col("d1") < F.col("d2"))
+             .join(cand, on=["d1", "d2"], how="left_semi")
+             .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("inter")))
+    return (inter
+            .join(cnt.select(F.col("id").alias("d1"),
+                             F.col("n_sh").alias("n1")), on="d1")
+            .join(cnt.select(F.col("id").alias("d2"),
+                             F.col("n_sh").alias("n2")), on="d2")
+            .withColumn("jaccard", F.col("inter")
+                        / (F.col("n1") + F.col("n2") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("d1", "d2", F.round("jaccard", 6).alias("jaccard")))
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
