@@ -199,11 +199,14 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
                     on=F.col(id_col) == F.col("cid"), how="left_semi")
     sh = word_shingles(sub, n, text_col, id_col)
     cnt = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("d1"), "shingle")
-    b = sh.select(F.col("id").alias("d2"), "shingle")
-    inter = (a.join(b, on="shingle")
-             .filter(F.col("d1") < F.col("d2"))
-             .join(cand, on=["d1", "d2"], how="left_semi")
+    # per-pair intersection via (doc, shingle)-keyed joins: row volume
+    # is Σ_cand |shingles(d1)| — linear in candidates × doc size. A
+    # shingle-keyed inverted-index join would instead square on hot
+    # shingles (boilerplate n-grams), the exact blowup LSH avoids.
+    s1 = sh.select(F.col("id").alias("d1"), "shingle")
+    s2 = sh.select(F.col("id").alias("d2"), "shingle")
+    inter = (cand.join(s1, on="d1")
+             .join(s2, on=["d2", "shingle"], how="left_semi")
              .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("inter")))
     return (inter
             .join(cnt.select(F.col("id").alias("d1"),
