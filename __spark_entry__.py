@@ -948,7 +948,18 @@ def paths_depth3(spark, sf_dir):
     """paths: all simple paths ≤ depth 3 (PathsTraverser.java:38-94)."""
     from incubator_hugegraph_spark.operators.paths import paths
     return paths(_graph(spark, sf_dir), "customer!1", "part!491", 3,
-                 direction=OUT)
+                 direction=OUT, engine="dist")
+
+
+@_q("paths_depth3_ram", _PATHS_UNROLLED + """
+SELECT path, length FROM allp
+""")
+def paths_depth3_ram(spark, sf_dir):
+    """Same simple-path enumeration via the in-memory DFS kernel
+    (ram.ram_paths) — same oracle."""
+    from incubator_hugegraph_spark.operators.paths import paths
+    return paths(_graph(spark, sf_dir), "customer!1", "part!491", 3,
+                 direction=OUT, engine="ram")
 
 
 @_q("rays", """

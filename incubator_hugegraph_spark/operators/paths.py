@@ -76,12 +76,21 @@ def _emit(df: DataFrame) -> DataFrame:
 def paths(graph: PropertyGraph, source: str, target: str, max_depth: int,
           direction: str = OUT, labels: list[str] | None = None,
           max_degree: int = NO_LIMIT, limit: int = NO_LIMIT,
-          shortest_only: bool = False, first_only: bool = False) -> DataFrame:
+          shortest_only: bool = False, first_only: bool = False,
+          engine: str = "auto") -> DataFrame:
     """All simple paths source→target with length ≤ max_depth
     (PathsTraverser.java:38-94). shortest_only → stop at the first
     depth that reaches target (allshortestpaths); first_only
     additionally keeps just the lexicographically smallest
     (shortestpath). Returns (path, length)."""
+    if (engine != "dist" and max_degree == NO_LIMIT
+            and not shortest_only):
+        from incubator_hugegraph_spark.ram import ram_fits, ram_paths
+        if engine == "ram" or ram_fits(graph):
+            out = ram_paths(graph, source, target, max_depth, direction,
+                            labels, limit)
+            if out is not None:
+                return out
     adj = loop_adj(graph, direction, labels, max_degree, max_depth)
     frontier = _seed(graph, [source])
     found: DataFrame | None = None

@@ -1313,3 +1313,51 @@ def ram_customized_kneighbor(graph: PropertyGraph, source: str,
         return graph.spark.createDataFrame([], "id string, dist int")
     return graph.spark.createDataFrame(
         pd.DataFrame({"id": ids[out], "dist": dist[out]}))
+
+
+def ram_paths(graph: PropertyGraph, source: str, target: str,
+              max_depth: int, direction: str = OUT,
+              labels: list[str] | None = None, limit: int = -1,
+              max_rows: int = 2_000_000):
+    """All simple source→target paths ≤ max_depth over the deduped
+    CSR — identical semantics to operators/paths.paths (no revisits,
+    the target is a dead end for continuations, limit ordered by
+    (length, path)). Returns (path, length), or None when the frontier
+    exceeds ``max_rows`` (fall back to the distributed enumeration)."""
+    import pandas as pd
+
+    ids, indptr, nbrs = _csr_dedup(graph, direction, labels)
+    n = len(ids)
+    empty = graph.spark.createDataFrame([], "path string, length int")
+    s = _vpos(ids, source)
+    t = _vpos(ids, target)
+    if s is None:
+        return empty
+    frontier: list[tuple[int, ...]] = [(s,)]
+    hits: list[tuple[str, int]] = []
+    for k in range(1, max_depth + 1):
+        nxt: list[tuple[int, ...]] = []
+        for path in frontier:
+            v = path[-1]
+            on_path = set(path)
+            for w in nbrs[indptr[v]:indptr[v + 1]]:
+                wi = int(w)
+                if wi in on_path:
+                    continue
+                newp = path + (wi,)
+                if t is not None and wi == t:
+                    hits.append((">".join(str(ids[x]) for x in newp), k))
+                else:
+                    nxt.append(newp)
+        if len(nxt) > max_rows:
+            return None
+        frontier = nxt
+        if not frontier:
+            break
+    if not hits:
+        return empty
+    if limit != -1:
+        hits.sort(key=lambda h: (h[1], h[0]))
+        hits = hits[:limit]
+    return graph.spark.createDataFrame(
+        pd.DataFrame(hits, columns=["path", "length"]))

@@ -202,3 +202,21 @@ def test_ram_shortest_paths_match_distributed(graph):
                        fn(graph, s, t, d, direction=direction,
                           engine="ram").collect())
             assert a == b, (fn.__name__, s, t, d, direction)
+
+
+def test_ram_paths_matches_distributed(graph):
+    from incubator_hugegraph_spark.operators.paths import paths
+    cases = [("customer!1", "part!491", 3, "OUT", {}),
+             ("customer!1", "customer!7", 3, "BOTH",
+              dict(labels=["interacted"])),
+             ("customer!1", "customer!7", 3, "BOTH",
+              dict(labels=["interacted"], limit=5)),
+             ("customer!1", "missing!2", 2, "OUT", {})]
+    for s, t, d, direction, kw in cases:
+        a = sorted((r.path, r.length) for r in paths(
+            graph, s, t, d, direction=direction, engine="dist",
+            **kw).collect())
+        b = sorted((r.path, r.length) for r in paths(
+            graph, s, t, d, direction=direction, engine="ram",
+            **kw).collect())
+        assert a == b, (s, t, d, direction, kw)
