@@ -1031,7 +1031,36 @@ def template_paths_q(spark, sf_dir):
     return template_paths(
         _graph(spark, sf_dir), ["customer!1"], nations,
         [{"direction": OUT, "labels": ["interacted"], "max_times": 2},
-         {"direction": OUT, "labels": ["in_nation"], "max_times": 1}])
+         {"direction": OUT, "labels": ["in_nation"], "max_times": 1}],
+        engine="dist")
+
+
+@_q("template_paths_ram", f"""
+WITH {IE_SQL.strip()},
+cne AS (SELECT 'customer!' || c_custkey AS src,
+               'nation!' || c_nationkey AS dst FROM customer),
+t1 AS (SELECT ie.src || '>' || ie.dst || '>' || ce.dst AS path, 2 AS length
+       FROM ie JOIN cne ce ON ce.src = ie.dst
+       WHERE ie.src = 'customer!1' AND ie.dst <> 'customer!1'),
+t2 AS (SELECT e1.src || '>' || e1.dst || '>' || e2.dst || '>' || ce.dst AS path,
+              3 AS length
+       FROM ie e1 JOIN ie e2 ON e2.src = e1.dst
+       JOIN cne ce ON ce.src = e2.dst
+       WHERE e1.src = 'customer!1' AND e1.dst <> 'customer!1'
+         AND e2.dst <> 'customer!1' AND e2.dst <> e1.dst)
+SELECT DISTINCT path, length
+FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+""")
+def template_paths_ram_q(spark, sf_dir):
+    """Same template matching via the per-step CSR enumeration kernel
+    (ram.ram_template_paths) — same oracle."""
+    from incubator_hugegraph_spark.operators.paths import template_paths
+    nations = [f"nation!{i}" for i in range(25)]
+    return template_paths(
+        _graph(spark, sf_dir), ["customer!1"], nations,
+        [{"direction": OUT, "labels": ["interacted"], "max_times": 2},
+         {"direction": OUT, "labels": ["in_nation"], "max_times": 1}],
+        engine="ram")
 
 
 @_q("multi_node_shortest_path", f"""

@@ -260,12 +260,22 @@ def rings(graph: PropertyGraph, source: str, max_depth: int,
 
 def template_paths(graph: PropertyGraph, sources: list[str],
                    targets: list[str], steps: list[dict],
-                   limit: int = NO_LIMIT) -> DataFrame:
+                   limit: int = NO_LIMIT,
+                   engine: str = "auto") -> DataFrame:
     """Paths matching a step template (TemplatePathsTraverser.java:42-106,
     steps/RepeatEdgeStep.java). Each step: {direction, labels,
     max_degree, max_times} — a step may repeat 1..max_times times; a
     path matches if it consumes the whole template and ends in
     ``targets``. Returns (path, length)."""
+    if engine != "dist" and all(
+            st.get("max_degree", NO_LIMIT) == NO_LIMIT for st in steps):
+        from incubator_hugegraph_spark.ram import (ram_fits,
+                                                   ram_template_paths)
+        if engine == "ram" or ram_fits(graph):
+            out = ram_template_paths(graph, sources, targets, steps,
+                                     limit)
+            if out is not None:
+                return out
     out: DataFrame | None = None
     seqs = _unroll_templates(steps)
     for seq in seqs:

@@ -1361,3 +1361,69 @@ def ram_paths(graph: PropertyGraph, source: str, target: str,
         hits = hits[:limit]
     return graph.spark.createDataFrame(
         pd.DataFrame(hits, columns=["path", "length"]))
+
+
+def ram_template_paths(graph: PropertyGraph, sources: list[str],
+                       targets: list[str], steps: list[dict],
+                       limit: int = -1,
+                       max_rows: int = 2_000_000):
+    """Template-path matching over per-step deduped CSRs — identical
+    unroll/extend/dedup semantics to operators/paths.template_paths
+    (each step repeats 1..max_times; a path matches when the whole
+    unrolled sequence is consumed and it ends in ``targets``; results
+    distinct across unrollings). Returns (path, length) or None when
+    a frontier exceeds ``max_rows``."""
+    import pandas as pd
+
+    from incubator_hugegraph_spark.operators.paths import _unroll_templates
+
+    csrs: dict[tuple, tuple] = {}
+
+    def csr_for(st: dict):
+        key = (st.get("direction", OUT),
+               tuple(st.get("labels") or ()) or None)
+        if key not in csrs:
+            csrs[key] = _csr_dedup(graph, key[0],
+                                   list(key[1]) if key[1] else None)
+        return csrs[key]
+
+    results: set[str] = set()
+    ids0 = None
+    tset: set[int] = set()
+    for seq in _unroll_templates(steps):
+        if not seq:
+            continue
+        ids0, _, _ = csr_for(seq[0])
+        if not tset:
+            tset = {p for p in (_vpos(ids0, t) for t in targets)
+                    if p is not None}
+        spos = [p for p in (_vpos(ids0, s) for s in sources)
+                if p is not None]
+        frontier: list[tuple[int, ...]] = [(p,) for p in spos]
+        for st in seq:
+            ids, indptr, nbrs = csr_for(st)
+            nxt: list[tuple[int, ...]] = []
+            for path in frontier:
+                v = path[-1]
+                interior = set(path[:-1])
+                for w in nbrs[indptr[v]:indptr[v + 1]]:
+                    wi = int(w)
+                    if wi in interior:
+                        continue  # simple-path rule of _extend
+                    nxt.append(path + (wi,))
+            if len(nxt) > max_rows:
+                return None
+            frontier = nxt
+            if not frontier:
+                break
+        for path in frontier:
+            if path[-1] in tset:
+                results.add(">".join(str(ids0[x]) for x in path))
+    rows = [(p, p.count(">")) for p in results]
+    if limit != -1:
+        rows.sort(key=lambda h: (h[1], h[0]))
+        rows = rows[:limit]
+    if not rows:
+        return graph.spark.createDataFrame([], "path string, length int")
+    return graph.spark.createDataFrame(
+        pd.DataFrame(rows, columns=["path", "length"]))

@@ -220,3 +220,26 @@ def test_ram_paths_matches_distributed(graph):
             graph, s, t, d, direction=direction, engine="ram",
             **kw).collect())
         assert a == b, (s, t, d, direction, kw)
+
+
+def test_ram_template_paths_matches_distributed(graph):
+    from incubator_hugegraph_spark.operators.paths import template_paths
+    nations = [f"nation!{i}" for i in range(25)]
+    cases = [
+        (["customer!1"], nations,
+         [{"direction": "OUT", "labels": ["interacted"], "max_times": 2},
+          {"direction": "OUT", "labels": ["in_nation"], "max_times": 1}],
+         {}),
+        (["customer!1", "customer!2"], ["part!1", "part!2", "part!3"],
+         [{"direction": "OUT", "labels": ["placed"], "max_times": 1},
+          {"direction": "OUT", "labels": ["contains"], "max_times": 1}],
+         dict(limit=7)),
+    ]
+    for sources, targets, steps, kw in cases:
+        a = sorted((r.path, r.length) for r in template_paths(
+            graph, sources, targets, steps, engine="dist",
+            **kw).collect())
+        b = sorted((r.path, r.length) for r in template_paths(
+            graph, sources, targets, steps, engine="ram",
+            **kw).collect())
+        assert a == b, (sources, steps, kw)
