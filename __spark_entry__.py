@@ -962,7 +962,7 @@ def paths_depth3_ram(spark, sf_dir):
                  direction=OUT, engine="ram")
 
 
-@_q("rays", """
+_RAYS_Q_SQL = """
 WITH pe AS (SELECT 'customer!' || o_custkey AS src,
                    'order!' || o_orderkey AS dst FROM orders),
 ce AS (SELECT DISTINCT 'order!' || l_orderkey AS src,
@@ -973,15 +973,27 @@ leaf_orders AS (SELECT src || '>' || dst AS path, 1 AS length FROM pe
 full2 AS (SELECT pe.src || '>' || pe.dst || '>' || ce.dst AS path, 2 AS length
           FROM pe JOIN ce ON ce.src = pe.dst WHERE pe.src = 'customer!1')
 SELECT path, length FROM leaf_orders UNION ALL SELECT path, length FROM full2
-""")
+"""
+
+
+@_q("rays", _RAYS_Q_SQL)
 def rays_q(spark, sf_dir):
     """rays: paths until leaf/depth, no rings (SubGraphTraverser.java:59-63)."""
     from incubator_hugegraph_spark.operators.paths import rays
     return rays(_graph(spark, sf_dir), "customer!1", 3, direction=OUT,
-                labels=["placed", "contains"])
+                labels=["placed", "contains"], engine="dist")
 
 
-@_q("rings", f"""
+@_q("rays_ram", _RAYS_Q_SQL)
+def rays_ram_q(spark, sf_dir):
+    """Same rays via the in-memory enumeration kernel (ram.ram_rays) —
+    same emission rules, same oracle."""
+    from incubator_hugegraph_spark.operators.paths import rays
+    return rays(_graph(spark, sf_dir), "customer!1", 3, direction=OUT,
+                labels=["placed", "contains"], engine="ram")
+
+
+_RINGS_Q_SQL = f"""
 WITH {IE_SQL.strip()},
 r2 AS (SELECT e1.src || '>' || e1.dst || '>' || e2.dst AS path, 2 AS length
        FROM ie e1 JOIN ie e2 ON e2.src = e1.dst
@@ -998,13 +1010,25 @@ r3 AS (SELECT least(
          AND e2.dst <> e1.dst)
 SELECT DISTINCT path, length
 FROM (SELECT path, length FROM r2 UNION ALL SELECT path, length FROM r3)
-""")
+"""
+
+
+@_q("rings", _RINGS_Q_SQL)
 def rings_q(spark, sf_dir):
     """rings: cycles from source back to source ≤ depth 3 on the
     interacted graph (SubGraphTraverser.rings :65-…)."""
     from incubator_hugegraph_spark.operators.paths import rings
     return rings(_graph(spark, sf_dir), "customer!1", 3, direction=OUT,
-                 labels=["interacted"])
+                 labels=["interacted"], engine="dist")
+
+
+@_q("rings_ram", _RINGS_Q_SQL)
+def rings_ram_q(spark, sf_dir):
+    """Same rings via the in-memory enumeration kernel (ram.ram_rings) —
+    same emission rules, same oracle."""
+    from incubator_hugegraph_spark.operators.paths import rings
+    return rings(_graph(spark, sf_dir), "customer!1", 3, direction=OUT,
+                 labels=["interacted"], engine="ram")
 
 
 @_q("template_paths", f"""

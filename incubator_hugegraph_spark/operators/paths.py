@@ -160,7 +160,8 @@ def all_shortest_paths(graph: PropertyGraph, source: str, target: str,
 
 def rays(graph: PropertyGraph, source: str, max_depth: int,
          direction: str = OUT, labels: list[str] | None = None,
-         max_degree: int = NO_LIMIT, limit: int = NO_LIMIT) -> DataFrame:
+         max_degree: int = NO_LIMIT, limit: int = NO_LIMIT,
+         engine: str = "auto") -> DataFrame:
     """Paths from source until leaf or depth, no rings
     (SubGraphTraverser.rays :59-63, emission rules of forward()
     :196-260): a path is emitted when its terminal vertex has NO
@@ -169,6 +170,13 @@ def rays(graph: PropertyGraph, source: str, max_depth: int,
     when the depth budget exhausts. A path whose continuations are
     all on-path at a multi-edge vertex is dropped silently — the
     reference's behavior, reproduced exactly."""
+    if engine != "dist" and max_degree == NO_LIMIT:
+        from incubator_hugegraph_spark.ram import ram_fits, ram_rays
+        if engine == "ram" or ram_fits(graph):
+            out = ram_rays(graph, source, max_depth, direction, labels,
+                           limit)
+            if out is not None:
+                return out
     adj = loop_adj(graph, direction, labels, max_degree, max_depth)
     # physical edge count per vertex (pre-dedup — uniqueEdge counts
     # edges, not distinct neighbors) + the single neighbor when deg=1
@@ -210,7 +218,8 @@ def rays(graph: PropertyGraph, source: str, max_depth: int,
 
 def rings(graph: PropertyGraph, source: str, max_depth: int,
           direction: str = OUT, labels: list[str] | None = None,
-          max_degree: int = NO_LIMIT, limit: int = NO_LIMIT) -> DataFrame:
+          max_degree: int = NO_LIMIT, limit: int = NO_LIMIT,
+          engine: str = "auto") -> DataFrame:
     """Cyclic paths from source back to source (source-in-ring mode,
     SubGraphTraverser.rings :65-…; RingsDetectAlgorithm.java for the
     whole-graph job). Returns (path, length) with source at both ends.
@@ -222,6 +231,13 @@ def rings(graph: PropertyGraph, source: str, max_depth: int,
     immediate backtrack source>X>source over a single physical edge
     is NOT a ring — it only counts when ≥2 physical edges connect the
     pair (hasMultiEdges, SubGraphTraverser.java:253-260)."""
+    if engine != "dist" and max_degree == NO_LIMIT:
+        from incubator_hugegraph_spark.ram import ram_fits, ram_rings
+        if engine == "ram" or ram_fits(graph):
+            out = ram_rings(graph, source, max_depth, direction, labels,
+                            limit)
+            if out is not None:
+                return out
     adj = loop_adj(graph, direction, labels, max_degree, max_depth)
     frontier = _seed(graph, [source])
     out: DataFrame | None = None

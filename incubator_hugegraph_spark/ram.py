@@ -1427,3 +1427,123 @@ def ram_template_paths(graph: PropertyGraph, sources: list[str],
         return graph.spark.createDataFrame([], "path string, length int")
     return graph.spark.createDataFrame(
         pd.DataFrame(rows, columns=["path", "length"]))
+
+
+def ram_rays(graph: PropertyGraph, source: str, max_depth: int,
+             direction: str = OUT, labels: list[str] | None = None,
+             limit: int = -1, max_rows: int = 2_000_000):
+    """rays over CSR + physical-degree stats — identical emission
+    rules to operators/paths.rays (zero-degree terminal, BOTH
+    fake-ring dead end at k≥2, depth exhaustion; silent drop when all
+    continuations are on-path). Returns (path, length) or None on
+    frontier blowup."""
+    import pandas as pd
+
+    ids, indptr, nbrs = _csr_dedup(graph, direction, labels)
+    pids, psrc, pdst = _index_edges(graph, direction, labels)
+    n = len(ids)
+    deg_phys = np.bincount(psrc, minlength=n)
+    nbr_single = np.full(n, -1, dtype=np.int64)
+    one = deg_phys == 1
+    nbr_single[psrc[one[psrc]]] = pdst[one[psrc]]
+    s = _vpos(ids, source)
+    if s is None:
+        return graph.spark.createDataFrame([], "path string, length int")
+    frontier: list[tuple[int, ...]] = [(s,)]
+    hits: list[tuple[str, int]] = []
+
+    def emit(path):
+        hits.append((">".join(str(ids[x]) for x in path), len(path) - 1))
+
+    for k in range(1, max_depth + 1):
+        nxt: list[tuple[int, ...]] = []
+        for path in frontier:
+            v = path[-1]
+            if deg_phys[v] == 0:
+                emit(path)
+            elif (direction == BOTH and k >= 2 and deg_phys[v] == 1
+                  and nbr_single[v] == path[-2]):
+                emit(path)
+            interior = set(path[:-1])
+            for w in nbrs[indptr[v]:indptr[v + 1]]:
+                wi = int(w)
+                if wi in interior:
+                    continue
+                nxt.append(path + (wi,))
+        if len(nxt) > max_rows:
+            return None
+        if k == max_depth:
+            for path in nxt:
+                emit(path)
+            break
+        frontier = nxt
+        if not frontier:
+            break
+    if limit != -1:
+        hits.sort(key=lambda h: (h[1], h[0]))
+        hits = hits[:limit]
+    if not hits:
+        return graph.spark.createDataFrame([], "path string, length int")
+    return graph.spark.createDataFrame(
+        pd.DataFrame(hits, columns=["path", "length"]))
+
+
+def ram_rings(graph: PropertyGraph, source: str, max_depth: int,
+              direction: str = OUT, labels: list[str] | None = None,
+              limit: int = -1, max_rows: int = 2_000_000):
+    """rings over the CSR — identical semantics to
+    operators/paths.rings (cycles close only at the source; in BOTH
+    mode a length-2 backtrack counts only over a multi-edge pair;
+    ring identity = least(path, reversed); distinct). Returns
+    (path, length) or None on frontier blowup."""
+    import pandas as pd
+
+    ids, indptr, nbrs = _csr_dedup(graph, direction, labels)
+    n = len(ids)
+    s = _vpos(ids, source)
+    if s is None:
+        return graph.spark.createDataFrame([], "path string, length int")
+    # physical multi-edge pairs (canonical a<b) for the k=2 BOTH rule
+    multi: set[tuple[int, int]] = set()
+    if direction == BOTH:
+        _, es, ed = _index_edges(graph, OUT, labels)
+        a = np.minimum(es, ed)
+        b = np.maximum(es, ed)
+        key = a.astype(np.int64) * n + b
+        uk, cnt = np.unique(key, return_counts=True)
+        for kk in uk[cnt >= 2]:
+            multi.add((int(kk // n), int(kk % n)))
+    frontier: list[tuple[int, ...]] = [(s,)]
+    rings_out: set[tuple[str, int]] = set()
+    for k in range(1, max_depth + 1):
+        nxt: list[tuple[int, ...]] = []
+        for path in frontier:
+            v = path[-1]
+            interior = set(path[:-1])
+            for w in nbrs[indptr[v]:indptr[v + 1]]:
+                wi = int(w)
+                if wi in interior and wi != s:
+                    continue
+                newp = path + (wi,)
+                if wi == s:
+                    if (k == 2 and direction == BOTH
+                            and (min(path[1], s), max(path[1], s))
+                            not in multi):
+                        continue
+                    fwd = ">".join(str(ids[x]) for x in newp)
+                    rev = ">".join(str(ids[x]) for x in reversed(newp))
+                    rings_out.add((min(fwd, rev), len(newp) - 1))
+                else:
+                    nxt.append(newp)
+        if len(nxt) > max_rows:
+            return None
+        frontier = nxt
+        if not frontier:
+            break
+    rows = sorted(rings_out, key=lambda h: (h[1], h[0]))
+    if limit != -1:
+        rows = rows[:limit]
+    if not rows:
+        return graph.spark.createDataFrame([], "path string, length int")
+    return graph.spark.createDataFrame(
+        pd.DataFrame(rows, columns=["path", "length"]))

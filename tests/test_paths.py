@@ -243,3 +243,26 @@ def test_ram_template_paths_matches_distributed(graph):
             graph, sources, targets, steps, engine="ram",
             **kw).collect())
         assert a == b, (sources, steps, kw)
+
+
+def test_ram_rays_rings_match_distributed(graph):
+    from incubator_hugegraph_spark.operators.paths import rays, rings
+    for fn, cases in [
+        (rays, [("customer!1", 3, "OUT", ["placed", "contains"], {}),
+                ("customer!1", 2, "BOTH", ["interacted"], {}),
+                ("customer!1", 3, "OUT", ["interacted"],
+                 dict(limit=10))]),
+        (rings, [("customer!1", 3, "OUT", ["interacted"], {}),
+                 ("customer!1", 3, "BOTH", ["interacted"], {}),
+                 ("customer!1", 4, "OUT", ["interacted"],
+                  dict(limit=20))]),
+    ]:
+        for s, d, direction, labels, kw in cases:
+            a = sorted((r.path, r.length) for r in fn(
+                graph, s, d, direction=direction, labels=labels,
+                engine="dist", **kw).collect())
+            b = sorted((r.path, r.length) for r in fn(
+                graph, s, d, direction=direction, labels=labels,
+                engine="ram", **kw).collect())
+            assert a == b, (fn.__name__, s, d, direction, labels, kw)
+

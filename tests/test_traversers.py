@@ -643,3 +643,19 @@ def test_ram_customized_steps_match_distributed(graph):
         b = sorted((r.id, r.dist) for r in customized_kneighbor(
             graph, "customer!1", steps, engine="ram").collect())
         assert a == b, steps
+
+
+def test_ram_rays_rings_marko_scenarios(marko_graph):
+    """The reference API-test emission rules (zero-edge terminals,
+    unique-back-edge dead ends, BOTH backtrack ring rule) hold
+    identically through the kernels."""
+    from incubator_hugegraph_spark.operators.paths import rays, rings
+    for fn in (rays, rings):
+        for direction in ("OUT", "BOTH"):
+            a = sorted((r.path, r.length) for r in fn(
+                marko_graph, "person!marko", 3, direction=direction,
+                engine="dist").collect())
+            b = sorted((r.path, r.length) for r in fn(
+                marko_graph, "person!marko", 3, direction=direction,
+                engine="ram").collect())
+            assert a == b, (fn.__name__, direction)
