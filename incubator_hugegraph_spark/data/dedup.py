@@ -148,6 +148,13 @@ def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
     else:
         h = sh.withColumn("h", (F.hash("shingle").cast("long")
                                 .bitwiseAND(F.lit((1 << 32) - 1))) % _P)
+    # NOTE (measured): the 64 permutation-mins as one Column aggregate
+    # disable whole-stage codegen (generated method over the JIT
+    # limit), but the interpreted partial-agg still beat an
+    # Arrow-batched numpy partial-min pass end-to-end at every tested
+    # SF — the Arrow round-trip dominates below ~10M shingle rows.
+    # Revisit the mapInPandas variant only for corpora where the
+    # shingle table is billions of rows per executor.
     mins = [F.min((F.col("h") * a + b) % _P).alias(f"m{i}")
             for i, (a, b) in enumerate(_COEFFS)]
     agg = h.groupBy("id").agg(*mins)
