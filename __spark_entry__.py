@@ -1914,7 +1914,7 @@ def stress_ram_q(spark, sf_dir):
         direction=OUT, labels=["interacted"], engine="ram")
 
 
-@_q("crosspoints", f"""
+_CROSSPOINTS_Q_SQL = f"""
 WITH {E_SQL.strip()},
 e AS (SELECT DISTINCT src, dst FROM edges),
 m10 AS (SELECT dst AS crosspoint, src || '>' || dst AS path, 1 AS length
@@ -1926,16 +1926,28 @@ m11 AS (SELECT e1.dst AS crosspoint,
           AND e1.dst NOT IN ('customer!1', 'customer!2'))
 SELECT DISTINCT crosspoint, path, length
 FROM (SELECT * FROM m10 UNION ALL SELECT * FROM m11)
-""")
+"""
+
+
+@_q("crosspoints", _CROSSPOINTS_Q_SQL)
 def crosspoints_q(spark, sf_dir):
     """crosspoints customer!1 × customer!2, OUT, total depth ≤ 2
     (CrosspointsAPI.java:58-93 → PathsTraverser bidirectional meet)."""
     from incubator_hugegraph_spark.operators.paths import crosspoints
     return crosspoints(_graph(spark, sf_dir), "customer!1", "customer!2",
-                       2, direction=OUT)
+                       2, direction=OUT, engine="dist")
 
 
-@_q("customized_paths", """
+@_q("crosspoints_ram", _CROSSPOINTS_Q_SQL)
+def crosspoints_ram_q(spark, sf_dir):
+    """Same op via the in-memory enumeration kernel (ram.py) — same
+    oracle."""
+    from incubator_hugegraph_spark.operators.paths import crosspoints
+    return crosspoints(_graph(spark, sf_dir), "customer!1", "customer!2",
+                       2, direction=OUT, engine="ram")
+
+
+_CUSTOMIZED_PATHS_Q_SQL = """
 WITH iw AS (
   SELECT 'customer!' || pu AS src, 'customer!' || user_id AS dst,
          max(value) AS w
@@ -1950,7 +1962,10 @@ SELECT iw.src || '>' || iw.dst || '>' || pl.dst AS path,
 FROM iw JOIN pl ON pl.src = iw.dst
 WHERE iw.src IN ('customer!1', 'customer!2')
 ORDER BY weight DESC, path LIMIT 20
-""")
+"""
+
+
+@_q("customized_paths", _CUSTOMIZED_PATHS_Q_SQL)
 def customized_paths_q(spark, sf_dir):
     """customizedpaths: 2 sources, step1 = interacted OUT weighted by
     the event value, step2 = placed OUT default-weight 0.5; sorted by
@@ -1963,10 +1978,24 @@ def customized_paths_q(spark, sf_dir):
                 "weight_by": "value", "default_weight": 1.0},
                {"direction": OUT, "labels": ["placed"],
                 "default_weight": 0.5}],
-        sorted_by_weight=True, limit=20)
+        sorted_by_weight=True, limit=20, engine="dist")
 
 
-@_q("customized_crosspoints", f"""
+@_q("customized_paths_ram", _CUSTOMIZED_PATHS_Q_SQL)
+def customized_paths_ram_q(spark, sf_dir):
+    """Same op via the in-memory enumeration kernel (ram.py) — same
+    oracle."""
+    from incubator_hugegraph_spark.operators.paths import customized_paths
+    return customized_paths(
+        _graph(spark, sf_dir), ["customer!1", "customer!2"],
+        steps=[{"direction": OUT, "labels": ["interacted"],
+                "weight_by": "value", "default_weight": 1.0},
+               {"direction": OUT, "labels": ["placed"],
+                "default_weight": 0.5}],
+        sorted_by_weight=True, limit=20, engine="ram")
+
+
+_CUSTOMIZED_CROSSPOINTS_Q_SQL = f"""
 WITH {IE_SQL.strip()},
 cn AS (SELECT 'customer!' || c_custkey AS src,
               'nation!' || c_nationkey AS dst FROM customer),
@@ -1979,7 +2008,10 @@ ends AS (SELECT DISTINCT origin, id
          FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2))
 SELECT id AS crosspoint FROM ends
 GROUP BY id HAVING count(DISTINCT origin) = 3
-""")
+"""
+
+
+@_q("customized_crosspoints", _CUSTOMIZED_CROSSPOINTS_Q_SQL)
 def customized_crosspoints_q(spark, sf_dir):
     """customizedcrosspoints: nations reached from all of customers
     1-3 via [in_nation] or [interacted, in_nation]
@@ -1992,7 +2024,22 @@ def customized_crosspoints_q(spark, sf_dir):
         ["customer!1", "customer!2", "customer!3"],
         patterns=[[{"direction": OUT, "labels": ["in_nation"]}],
                   [{"direction": OUT, "labels": ["interacted"]},
-                   {"direction": OUT, "labels": ["in_nation"]}]])
+                   {"direction": OUT, "labels": ["in_nation"]}]],
+        engine="dist")
+
+
+@_q("customized_crosspoints_ram", _CUSTOMIZED_CROSSPOINTS_Q_SQL)
+def customized_crosspoints_ram_q(spark, sf_dir):
+    """Same op via the in-memory enumeration kernel (ram.py) — same
+    oracle."""
+    from incubator_hugegraph_spark.operators.paths import customized_crosspoints
+    return customized_crosspoints(
+        _graph(spark, sf_dir),
+        ["customer!1", "customer!2", "customer!3"],
+        patterns=[[{"direction": OUT, "labels": ["in_nation"]}],
+                  [{"direction": OUT, "labels": ["interacted"]},
+                   {"direction": OUT, "labels": ["in_nation"]}]],
+        engine="ram")
 
 
 @_q("kneighbor_paths", f"""
@@ -2150,7 +2197,7 @@ def element_json(spark, sf_dir):
             F.col("mktsegment"))).alias("json"))
 
 
-@_q("collection_paths", f"""
+_COLLECTION_PATHS_Q_SQL = f"""
 WITH {IE_SQL.strip()},
 p1 AS (SELECT src AS source, dst AS target,
               src || '>' || dst AS path, 1 AS length
@@ -2166,7 +2213,10 @@ p2 AS (SELECT e1.src AS source, e2.dst AS target,
          AND e2.dst <> e1.src AND e2.dst <> e1.dst)
 SELECT source, target, path, length
 FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
-""")
+"""
+
+
+@_q("collection_paths", _COLLECTION_PATHS_Q_SQL)
 def collection_paths_q(spark, sf_dir):
     """Advanced paths POST: {customer!1,2} → {customer!3,4} over
     interacted OUT, depth ≤ 2
@@ -2175,7 +2225,18 @@ def collection_paths_q(spark, sf_dir):
     return collection_paths(
         _graph(spark, sf_dir), ["customer!1", "customer!2"],
         ["customer!3", "customer!4"], 2, direction=OUT,
-        labels=["interacted"])
+        labels=["interacted"], engine="dist")
+
+
+@_q("collection_paths_ram", _COLLECTION_PATHS_Q_SQL)
+def collection_paths_ram_q(spark, sf_dir):
+    """Same advanced-paths form via the in-memory enumeration kernel
+    (ram.ram_collection_paths) — same oracle."""
+    from incubator_hugegraph_spark.operators.paths import collection_paths
+    return collection_paths(
+        _graph(spark, sf_dir), ["customer!1", "customer!2"],
+        ["customer!3", "customer!4"], 2, direction=OUT,
+        labels=["interacted"], engine="ram")
 
 
 @_q("rings_detect_job", f"""

@@ -404,7 +404,8 @@ def crosspoints(graph: PropertyGraph, source: str, target: str,
                 max_depth: int, direction: str = OUT,
                 labels: list[str] | None = None,
                 max_degree: int = NO_LIMIT,
-                limit: int = NO_LIMIT) -> DataFrame:
+                limit: int = NO_LIMIT,
+                engine: str = "auto") -> DataFrame:
     """Crosspoints of two vertices (CrosspointsAPI.java:58-93 →
     PathsTraverser.paths with crosspoint annotation): BOTH endpoints
     expand along ``direction``; a crosspoint X is where the two
@@ -412,6 +413,13 @@ def crosspoints(graph: PropertyGraph, source: str, target: str,
     length ≤ max_depth. Deviation (documented): combined paths must be
     simple (the reference only checks each half). Returns
     (crosspoint, path, length) ordered (length, path), limited."""
+    if engine != "dist" and max_degree == NO_LIMIT:
+        from incubator_hugegraph_spark.ram import ram_crosspoints, ram_fits
+        if engine == "ram" or ram_fits(graph):
+            out = ram_crosspoints(graph, source, target, max_depth,
+                                  direction, labels, limit)
+            if out is not None:
+                return out
     adj = loop_adj(graph, direction, labels, max_degree, max_depth)
 
     def levels(start: str) -> list[DataFrame]:
@@ -484,7 +492,8 @@ def _weighted_adj(graph: PropertyGraph, direction: str,
 
 def customized_paths(graph: PropertyGraph, sources: list[str],
                      steps: list[dict], sorted_by_weight: bool = False,
-                     limit: int = NO_LIMIT) -> DataFrame:
+                     limit: int = NO_LIMIT,
+                     engine: str = "auto") -> DataFrame:
     """Weighted multi-step walk (CustomizePathsTraverser.java:76-174;
     steps/WeightedEdgeStep.java): each step carries direction/labels/
     weight_by/default_weight/sample. Paths follow every step exactly
@@ -496,6 +505,14 @@ def customized_paths(graph: PropertyGraph, sources: list[str],
     Step dict keys: direction ('OUT'|'IN'|'BOTH'), labels (list),
     weight_by (props key | None), default_weight (float), sample
     (int, -1 = all)."""
+    if engine != "dist":
+        from incubator_hugegraph_spark.ram import (ram_customized_paths,
+                                                   ram_fits)
+        if engine == "ram" or ram_fits(graph):
+            out = ram_customized_paths(graph, sources, steps,
+                                       sorted_by_weight, limit)
+            if out is not None:
+                return out
     from pyspark.sql.window import Window
     frontier = (_seed(graph, sources)
                 .withColumn("weight", F.lit(0.0)))
@@ -527,7 +544,8 @@ def customized_paths(graph: PropertyGraph, sources: list[str],
 
 def customized_crosspoints(graph: PropertyGraph, sources: list[str],
                            patterns: list[list[dict]],
-                           limit: int = NO_LIMIT) -> DataFrame:
+                           limit: int = NO_LIMIT,
+                           engine: str = "auto") -> DataFrame:
     """Common endpoints reached from EVERY source via any path pattern
     (CustomizedCrosspointsTraverser.crosspointsPaths :105-160 +
     intersectionPaths :55-99): walk each pattern's steps from all
@@ -536,6 +554,16 @@ def customized_crosspoints(graph: PropertyGraph, sources: list[str],
     the result is empty. Returns (crosspoint) ordered by id.
 
     Pattern = list of step dicts (direction, labels, max_degree)."""
+    if engine != "dist" and all(
+            st.get("max_degree", NO_LIMIT) == NO_LIMIT
+            for pat in patterns for st in pat):
+        from incubator_hugegraph_spark.ram import (
+            ram_customized_crosspoints, ram_fits)
+        if engine == "ram" or ram_fits(graph):
+            out = ram_customized_crosspoints(graph, sources, patterns,
+                                             limit)
+            if out is not None:
+                return out
     spark = graph.spark
     ends: DataFrame | None = None
     for pattern in patterns:
@@ -577,13 +605,22 @@ def collection_paths(graph: PropertyGraph, sources: list[str],
                      direction: str = OUT,
                      labels: list[str] | None = None,
                      max_degree: int = NO_LIMIT, nearest: bool = False,
-                     limit: int = NO_LIMIT) -> DataFrame:
+                     limit: int = NO_LIMIT,
+                     engine: str = "auto") -> DataFrame:
     """Advanced paths POST (CollectionPathsTraverser.java:43-102):
     simple paths from ANY source to ANY target with length ≤ max_depth
     under one edge-step filter. nearest=True keeps only the
     shortest (min-lex) path per (source, target) pair — the
     set-oriented equivalent of the reference's NearestTraverser
     first-reach dedup. Returns (source, target, path, length)."""
+    if engine != "dist" and max_degree == NO_LIMIT:
+        from incubator_hugegraph_spark.ram import (ram_collection_paths,
+                                                   ram_fits)
+        if engine == "ram" or ram_fits(graph):
+            out = ram_collection_paths(graph, sources, targets, max_depth,
+                                       direction, labels, nearest, limit)
+            if out is not None:
+                return out
     spark = graph.spark
     adj = loop_adj(graph, direction, labels, max_degree, max_depth)
     tdf = spark.createDataFrame([(t,) for t in targets], "t string")

@@ -1547,3 +1547,247 @@ def ram_rings(graph: PropertyGraph, source: str, max_depth: int,
         return graph.spark.createDataFrame([], "path string, length int")
     return graph.spark.createDataFrame(
         pd.DataFrame(rows, columns=["path", "length"]))
+
+
+def _enum_levels(ids, indptr, nbrs, start: int, depth: int,
+                 max_rows: int):
+    """Simple-path enumeration levels [0..depth] from ``start`` (the
+    shared extend rule: next vertex not among the path's interior).
+    Returns list of path lists, or None past ``max_rows``."""
+    levels = [[(start,)]]
+    for _ in range(depth):
+        nxt: list[tuple[int, ...]] = []
+        for path in levels[-1]:
+            v = path[-1]
+            interior = set(path[:-1])
+            for w in nbrs[indptr[v]:indptr[v + 1]]:
+                wi = int(w)
+                if wi in interior:
+                    continue
+                nxt.append(path + (wi,))
+        if len(nxt) > max_rows:
+            return None
+        levels.append(nxt)
+    return levels
+
+
+def ram_crosspoints(graph: PropertyGraph, source: str, target: str,
+                    max_depth: int, direction: str = OUT,
+                    labels: list[str] | None = None, limit: int = -1,
+                    max_rows: int = 2_000_000):
+    """crosspoints over the CSR — identical meet semantics to
+    operators/paths.crosspoints (alternating split: forward takes
+    ceil(L/2) steps, crosspoint = path[f]; combined path must be
+    simple; distinct, ordered (length, path))."""
+    import pandas as pd
+
+    ids, indptr, nbrs = _csr_dedup(graph, direction, labels)
+    empty = graph.spark.createDataFrame(
+        [], "crosspoint string, path string, length int")
+    s, t = _vpos(ids, source), _vpos(ids, target)
+    if s is None or t is None:
+        return empty
+    fwd = _enum_levels(ids, indptr, nbrs, s, (max_depth + 1) // 2,
+                       max_rows)
+    bwd = _enum_levels(ids, indptr, nbrs, t, max_depth // 2, max_rows)
+    if fwd is None or bwd is None:
+        return None
+    out: set[tuple[str, str, int]] = set()
+    for total in range(1, max_depth + 1):
+        lf = (total + 1) // 2
+        lb = total - lf
+        byx: dict[int, list[tuple[int, ...]]] = {}
+        for bp in bwd[lb]:
+            byx.setdefault(bp[-1], []).append(bp)
+        for fp in fwd[lf]:
+            for bp in byx.get(fp[-1], ()):
+                path = fp + tuple(reversed(bp[:-1]))
+                if len(set(path)) != len(path):
+                    continue
+                out.add((str(ids[fp[-1]]),
+                         ">".join(str(ids[x]) for x in path), total))
+    rows = sorted(out, key=lambda r: (r[2], r[1]))
+    if limit != -1:
+        rows = rows[:limit]
+    if not rows:
+        return empty
+    return graph.spark.createDataFrame(pd.DataFrame(
+        rows, columns=["crosspoint", "path", "length"]))
+
+
+def ram_customized_crosspoints(graph: PropertyGraph, sources: list[str],
+                               patterns: list[list[dict]],
+                               limit: int = -1,
+                               max_rows: int = 2_000_000):
+    """customizedcrosspoints over per-step deduped CSRs — identical
+    intersection semantics to operators/paths.customized_crosspoints
+    (endpoints reached from EVERY source via any pattern; empty if
+    any source reaches nothing)."""
+    import pandas as pd
+
+    empty = graph.spark.createDataFrame([], "crosspoint string")
+    per_origin: dict[str, set[int]] = {s: set() for s in set(sources)}
+    ids = None
+    for pattern in patterns:
+        csr0 = _csr_dedup(graph, pattern[0].get("direction", OUT),
+                          pattern[0].get("labels")) if pattern else \
+            _csr_dedup(graph, OUT, None)
+        ids = csr0[0]
+        for origin in per_origin:
+            p = _vpos(ids, origin)
+            if p is None:
+                continue
+            frontier: list[tuple[int, ...]] = [(p,)]
+            for st in pattern:
+                _, indptr, nbrs = _csr_dedup(graph,
+                                             st.get("direction", OUT),
+                                             st.get("labels"))
+                nxt: list[tuple[int, ...]] = []
+                for path in frontier:
+                    v = path[-1]
+                    interior = set(path[:-1])
+                    for w in nbrs[indptr[v]:indptr[v + 1]]:
+                        wi = int(w)
+                        if wi in interior:
+                            continue
+                        nxt.append(path + (wi,))
+                if len(nxt) > max_rows:
+                    return None
+                frontier = nxt
+                if not frontier:
+                    break
+            per_origin[origin].update(path[-1] for path in frontier)
+    if any(not ends for ends in per_origin.values()):
+        return empty
+    common = set.intersection(*per_origin.values())
+    if not common:
+        return empty
+    rows = sorted(str(ids[x]) for x in common)
+    if limit != -1:
+        rows = rows[:limit]
+    return graph.spark.createDataFrame(
+        pd.DataFrame({"crosspoint": rows}))
+
+
+def ram_customized_paths(graph: PropertyGraph, sources: list[str],
+                         steps: list[dict],
+                         sorted_by_weight: bool = False,
+                         limit: int = -1,
+                         max_rows: int = 2_000_000):
+    """customizedpaths — the per-step WEIGHTED (and deterministically
+    sampled) adjacency is built by the same Spark expressions the
+    distributed loop uses (operators/paths._weighted_adj + the min-id
+    sample window) and collected; the walk itself runs in-memory.
+    Identical paths and round-6 weights."""
+    import pandas as pd
+
+    from incubator_hugegraph_spark.operators.paths import _weighted_adj
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    cache = graph.__dict__.setdefault("_ram_cache", {})
+    if "_vindex" not in cache:
+        _index_edges(graph, OUT, None)
+    ids, vindex = cache["_vindex"]
+    frontier: list[tuple[tuple[int, ...], float]] = []
+    for srcv in sources:
+        p = _vpos(ids, srcv)
+        if p is not None:
+            frontier.append(((p,), 0.0))
+    for st in steps:
+        adj = _weighted_adj(graph, st.get("direction", "OUT"),
+                            st.get("labels"), st.get("weight_by"),
+                            float(st.get("default_weight", 1.0)))
+        sample = int(st.get("sample", -1))
+        if sample != -1:
+            wnd = Window.partitionBy("src").orderBy(F.asc("dst"))
+            adj = (adj.withColumn("__rn", F.row_number().over(wnd))
+                   .filter(F.col("__rn") <= sample).drop("__rn"))
+        pdf = adj.toPandas()
+        es = vindex.get_indexer(pdf["src"])
+        ed = vindex.get_indexer(pdf["dst"])
+        ew = pdf["w"].to_numpy(dtype="float64")
+        ok = (es >= 0) & (ed >= 0)
+        by_src: dict[int, list[tuple[int, float]]] = {}
+        for a, b, w in zip(es[ok], ed[ok], ew[ok]):
+            by_src.setdefault(int(a), []).append((int(b), float(w)))
+        nxt: dict[tuple[tuple[int, ...], float], None] = {}
+        for path, wt in frontier:
+            interior = set(path[:-1])
+            for b, w in by_src.get(path[-1], ()):
+                if b in interior:
+                    continue
+                nxt[(path + (b,), wt + w)] = None
+        if len(nxt) > max_rows:
+            return None
+        frontier = list(nxt)
+    rows = [(">".join(str(ids[x]) for x in path),
+             float(_round_half_up(np.array([wt]), 6)[0]))
+            for path, wt in frontier]
+    rows.sort(key=(lambda r: (-r[1], r[0])) if sorted_by_weight
+              else (lambda r: r[0]))
+    if limit != -1:
+        rows = rows[:limit]
+    if not rows:
+        return graph.spark.createDataFrame(
+            [], "path string, weight double")
+    return graph.spark.createDataFrame(
+        pd.DataFrame(rows, columns=["path", "weight"]))
+
+
+def ram_collection_paths(graph: PropertyGraph, sources: list[str],
+                         targets: list[str], max_depth: int,
+                         direction: str = OUT,
+                         labels: list[str] | None = None,
+                         nearest: bool = False, limit: int = -1,
+                         max_rows: int = 2_000_000):
+    """collection paths (advanced POST form) over the CSR — identical
+    semantics to operators/paths.collection_paths: simple paths from
+    any source to any target, targets are dead ends, self-pairs
+    skipped; nearest keeps the min-(length, path) per pair."""
+    import pandas as pd
+
+    ids, indptr, nbrs = _csr_dedup(graph, direction, labels)
+    empty = graph.spark.createDataFrame(
+        [], "source string, target string, path string, length int")
+    tset = {p for p in (_vpos(ids, t) for t in targets) if p is not None}
+    frontier: list[tuple[int, ...]] = [
+        (p,) for p in (_vpos(ids, s) for s in sources) if p is not None]
+    rows: list[tuple[str, str, str, int]] = []
+    for k in range(1, max_depth + 1):
+        nxt: set[tuple[int, ...]] = set()
+        for path in frontier:
+            v = path[-1]
+            interior = set(path[:-1])
+            for w in nbrs[indptr[v]:indptr[v + 1]]:
+                wi = int(w)
+                if wi in interior:
+                    continue
+                nxt.add(path + (wi,))
+        if len(nxt) > max_rows:
+            return None
+        cont: list[tuple[int, ...]] = []
+        for path in nxt:
+            if path[-1] in tset:
+                if path[-1] != path[0]:
+                    rows.append((str(ids[path[0]]), str(ids[path[-1]]),
+                                 ">".join(str(ids[x]) for x in path), k))
+            else:
+                cont.append(path)
+        frontier = cont
+        if not frontier:
+            break
+    if not rows:
+        return empty
+    if nearest:
+        best: dict[tuple[str, str], tuple[str, int]] = {}
+        for s, t, p, ln in rows:
+            cur = best.get((s, t))
+            if cur is None or (ln, p) < (cur[1], cur[0]):
+                best[(s, t)] = (p, ln)
+        rows = [(s, t, p, ln) for (s, t), (p, ln) in best.items()]
+    if limit != -1:
+        rows.sort(key=lambda r: (r[3], r[2]))
+        rows = rows[:limit]
+    return graph.spark.createDataFrame(pd.DataFrame(
+        rows, columns=["source", "target", "path", "length"]))

@@ -266,3 +266,53 @@ def test_ram_rays_rings_match_distributed(graph):
                 engine="ram", **kw).collect())
             assert a == b, (fn.__name__, s, d, direction, labels, kw)
 
+
+
+def test_ram_crosspoints_family_matches_distributed(graph):
+    from incubator_hugegraph_spark.operators.paths import (
+        collection_paths, crosspoints, customized_crosspoints,
+        customized_paths)
+    # crosspoints pair mode, both directions
+    for d, direction in [(2, "OUT"), (3, "BOTH")]:
+        a = sorted(map(tuple, crosspoints(
+            graph, "customer!1", "customer!2", d, direction=direction,
+            labels=["interacted"], engine="dist").collect()))
+        b = sorted(map(tuple, crosspoints(
+            graph, "customer!1", "customer!2", d, direction=direction,
+            labels=["interacted"], engine="ram").collect()))
+        assert a == b, (d, direction)
+    # weighted sampled customizedpaths
+    steps = [{"direction": "OUT", "labels": ["interacted"],
+              "weight_by": "value", "default_weight": 1.0, "sample": 3},
+             {"direction": "OUT", "labels": ["placed"],
+              "default_weight": 0.5}]
+    for kw in [dict(sorted_by_weight=True, limit=10), dict()]:
+        a = sorted(map(tuple, customized_paths(
+            graph, ["customer!1", "customer!2"], steps, engine="dist",
+            **kw).collect()))
+        b = sorted(map(tuple, customized_paths(
+            graph, ["customer!1", "customer!2"], steps, engine="ram",
+            **kw).collect()))
+        assert a == b, kw
+    # pattern crosspoints incl. an unreachable source → empty
+    pats = [[{"direction": "OUT", "labels": ["in_nation"]}],
+            [{"direction": "OUT", "labels": ["interacted"]},
+             {"direction": "OUT", "labels": ["in_nation"]}]]
+    for srcs in [["customer!1", "customer!2", "customer!3"],
+                 ["customer!1", "missing!0"]]:
+        a = sorted(r.crosspoint for r in customized_crosspoints(
+            graph, srcs, pats, engine="dist").collect())
+        b = sorted(r.crosspoint for r in customized_crosspoints(
+            graph, srcs, pats, engine="ram").collect())
+        assert a == b, srcs
+    # collection paths incl. nearest mode
+    for kw in [dict(), dict(nearest=True), dict(limit=9)]:
+        a = sorted(map(tuple, collection_paths(
+            graph, ["customer!1", "customer!2"],
+            ["customer!3", "customer!4"], 2, direction="OUT",
+            labels=["interacted"], engine="dist", **kw).collect()))
+        b = sorted(map(tuple, collection_paths(
+            graph, ["customer!1", "customer!2"],
+            ["customer!3", "customer!4"], 2, direction="OUT",
+            labels=["interacted"], engine="ram", **kw).collect()))
+        assert a == b, kw
