@@ -2042,7 +2042,7 @@ def customized_crosspoints_ram_q(spark, sf_dir):
         engine="ram")
 
 
-@_q("kneighbor_paths", f"""
+_KNEIGHBOR_PATHS_Q_SQL = f"""
 WITH {E_SQL.strip()},
 e AS (SELECT DISTINCT src, dst FROM edges),
 l1 AS (SELECT dst AS id, min('customer!1>' || dst) AS path FROM e
@@ -2054,13 +2054,25 @@ l2 AS (SELECT e.dst AS id, min(l1.path || '>' || e.dst) AS path
        GROUP BY e.dst)
 SELECT id, path, 1 AS dist FROM l1
 UNION ALL SELECT id, path, 2 AS dist FROM l2
-""")
+"""
+
+
+@_q("kneighbor_paths", _KNEIGHBOR_PATHS_Q_SQL)
 def kneighbor_paths_q(spark, sf_dir):
     """kneighbor with_path=true, depth 2 OUT (KneighborAPI.java POST
     :198-222 + KneighborRecords): min-lex path per reached vertex."""
     from incubator_hugegraph_spark.operators.bfs import kneighbor_paths
     return kneighbor_paths(_graph(spark, sf_dir), "customer!1", 2,
-                           direction=OUT)
+                           direction=OUT, engine="dist")
+
+
+@_q("kneighbor_paths_ram", _KNEIGHBOR_PATHS_Q_SQL)
+def kneighbor_paths_ram_q(spark, sf_dir):
+    """Same with_path kneighbor via the min-lex parent CSR kernel
+    (ram.ram_kneighbor_paths) — same oracle."""
+    from incubator_hugegraph_spark.operators.bfs import kneighbor_paths
+    return kneighbor_paths(_graph(spark, sf_dir), "customer!1", 2,
+                           direction=OUT, engine="ram")
 
 
 @_q("condition_dnf", """
@@ -2239,7 +2251,7 @@ def collection_paths_ram_q(spark, sf_dir):
         labels=["interacted"], engine="ram")
 
 
-@_q("rings_detect_job", f"""
+_RINGS_DETECT_JOB_Q_SQL = f"""
 WITH {IE_SQL.strip()},
 r2 AS (SELECT e1.src || '>' || e1.dst || '>' || e1.src AS path, 2 AS length
        FROM ie e1 JOIN ie e2 ON e2.src = e1.dst AND e2.dst = e1.src
@@ -2253,14 +2265,26 @@ r3 AS (SELECT least(
        WHERE e1.src < e1.dst AND e1.src < e2.dst AND e2.dst <> e1.dst)
 SELECT DISTINCT path, length
 FROM (SELECT * FROM r2 UNION ALL SELECT * FROM r3)
-""")
+"""
+
+
+@_q("rings_detect_job", _RINGS_DETECT_JOB_Q_SQL)
 def rings_detect_job_q(spark, sf_dir):
     """Whole-graph ring detection ≤ 3 on interacted
     (path/RingsDetectAlgorithm.java): each directed cycle once,
     anchored at its min vertex."""
     from incubator_hugegraph_spark.operators.paths import rings_detect
     return rings_detect(_graph(spark, sf_dir), 3, direction=OUT,
-                        labels=["interacted"])
+                        labels=["interacted"], engine="dist")
+
+
+@_q("rings_detect_job_ram", _RINGS_DETECT_JOB_Q_SQL)
+def rings_detect_job_ram_q(spark, sf_dir):
+    """Same whole-graph ring detection via the anchored CSR kernel
+    (ram.ram_rings_detect) — same oracle."""
+    from incubator_hugegraph_spark.operators.paths import rings_detect
+    return rings_detect(_graph(spark, sf_dir), 3, direction=OUT,
+                        labels=["interacted"], engine="ram")
 
 
 # ====================================================================

@@ -322,7 +322,8 @@ def kneighbor_paths(graph: PropertyGraph, source: str, depth: int,
                     direction: str = OUT,
                     labels: list[str] | None = None,
                     max_degree: int = NO_LIMIT,
-                    limit: int = NO_LIMIT) -> DataFrame:
+                    limit: int = NO_LIMIT,
+                    engine: str = "auto") -> DataFrame:
     """kneighbor POST with with_path=true (KneighborAPI.java:198-222;
     records machinery core/traversal/algorithm/records/
     KneighborRecords.java): every vertex within ≤ depth steps plus ONE
@@ -330,6 +331,12 @@ def kneighbor_paths(graph: PropertyGraph, source: str, depth: int,
     parent chain; we return the lexicographically smallest path per
     vertex (deterministic deviation, SURVEY §7.4#4). Returns
     (id, path, dist)."""
+    if engine != "dist" and max_degree == NO_LIMIT:
+        from incubator_hugegraph_spark.ram import (ram_fits,
+                                                   ram_kneighbor_paths)
+        if engine == "ram" or ram_fits(graph):
+            return ram_kneighbor_paths(graph, source, depth, direction,
+                                       labels, limit)
     adj = loop_adj(graph, direction, labels, max_degree, depth)
     sep = ">"
     frontier = (graph.spark.createDataFrame([(source,)], "id string")

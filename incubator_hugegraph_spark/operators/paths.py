@@ -667,13 +667,24 @@ def rings_detect(graph: PropertyGraph, max_depth: int,
                  direction: str = OUT,
                  labels: list[str] | None = None,
                  max_degree: int = NO_LIMIT,
-                 limit: int = NO_LIMIT) -> DataFrame:
+                 limit: int = NO_LIMIT,
+                 engine: str = "auto") -> DataFrame:
     """Whole-graph ring detection job (path/RingsDetectAlgorithm.java):
     every directed cycle of length ≤ max_depth, canonicalized so each
     cycle is reported once, anchored at its minimum vertex (the
     reference dedups rings the same way via Path.ownedBy). One
     multi-source path-join loop — all anchors advance together.
     Returns (path, length) with path = min>…>min."""
+    if engine == "ram" and max_degree == NO_LIMIT:
+        # explicit opt-in only: the ALL-SOURCES enumeration favors the
+        # distributed plan even on hot graphs (measured — the ring set
+        # itself is the output and dominates the work), so 'auto'
+        # stays distributed for this job
+        from incubator_hugegraph_spark.ram import ram_rings_detect
+        out = ram_rings_detect(graph, max_depth, direction, labels,
+                               limit)
+        if out is not None:
+            return out
     adj = loop_adj(graph, direction, labels, max_degree, max_depth)
     # anchor at every vertex; prune continuations below the anchor so
     # only the min-vertex anchor survives — this both canonicalizes

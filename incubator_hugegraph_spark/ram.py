@@ -1791,3 +1791,109 @@ def ram_collection_paths(graph: PropertyGraph, sources: list[str],
         rows = rows[:limit]
     return graph.spark.createDataFrame(pd.DataFrame(
         rows, columns=["source", "target", "path", "length"]))
+
+
+def ram_rings_detect(graph: PropertyGraph, max_depth: int,
+                     direction: str = OUT,
+                     labels: list[str] | None = None,
+                     limit: int = -1, max_rows: int = 2_000_000):
+    """Whole-graph ring detection over the CSR — identical anchoring
+    to operators/paths.rings_detect (anchor = minimum vertex of the
+    cycle; continuations pruned below the anchor; ring == its
+    reverse → lexicographic-min representative; distinct)."""
+    import pandas as pd
+
+    ids, indptr, nbrs = _csr_dedup(graph, direction, labels)
+    rings_out: set[tuple[str, int]] = set()
+    # anchors = every vertex with out-edges
+    anchors = np.flatnonzero(np.diff(indptr) > 0)
+    frontier: list[tuple[int, ...]] = [(int(v),) for v in anchors]
+    for k in range(1, max_depth + 1):
+        nxt: set[tuple[int, ...]] = set()
+        for path in frontier:
+            v = path[-1]
+            origin = path[0]
+            interior = set(path[:-1])
+            for w in nbrs[indptr[v]:indptr[v + 1]]:
+                wi = int(w)
+                if wi < origin:
+                    continue
+                if wi == origin:
+                    if k >= 2:
+                        newp = path + (wi,)
+                        fwd = ">".join(str(ids[x]) for x in newp)
+                        rev = ">".join(str(ids[x])
+                                       for x in reversed(newp))
+                        rings_out.add((min(fwd, rev), k))
+                    continue
+                if wi in interior:
+                    continue
+                nxt.add(path + (wi,))
+        if len(nxt) > max_rows:
+            return None
+        frontier = list(nxt)
+        if not frontier:
+            break
+    rows = sorted(rings_out, key=lambda h: (h[1], h[0]))
+    if limit != -1:
+        rows = rows[:limit]
+    if not rows:
+        return graph.spark.createDataFrame([], "path string, length int")
+    return graph.spark.createDataFrame(
+        pd.DataFrame(rows, columns=["path", "length"]))
+
+
+def ram_kneighbor_paths(graph: PropertyGraph, source: str, depth: int,
+                        direction: str = OUT,
+                        labels: list[str] | None = None,
+                        limit: int = -1) -> DataFrame:
+    """kneighbor with_path over the CSR — one min-lexicographic path
+    per vertex within ≤ depth (identical to operators/bfs.
+    kneighbor_paths' per-round ``groupBy(id).agg(F.min(path))``; the
+    rank propagation and the id||'>' ordering subtlety are shared
+    with ram_multi_node_shortest_path). Returns (id, path, dist)."""
+    import pandas as pd
+
+    ids, indptr, nbrs = _csr_dedup(graph, direction, labels)
+    n = len(ids)
+    vkey = _vkey_rank(ids) if n else np.empty(0, dtype=np.int64)
+    s = _vpos(ids, source)
+    if s is None:
+        return graph.spark.createDataFrame(
+            [], "id string, path string, dist int")
+    dist = np.full(n, -1, dtype=np.int32)
+    parent = np.full(n, -1, dtype=np.int64)
+    dist[s] = 0
+    fr = np.array([s], dtype=np.int64)
+    rows: list[tuple[str, str, int]] = []
+    for k in range(1, depth + 1):
+        cnt = indptr[fr + 1] - indptr[fr]
+        upos = np.repeat(np.arange(len(fr)), cnt)
+        vs = nbrs[np.repeat(indptr[fr], cnt) + _segmented_arange(cnt)]
+        keep = dist[vs] < 0
+        vs, upos = vs[keep], upos[keep]
+        if len(vs) == 0:
+            break
+        order = np.lexsort((upos, vs))
+        vs_o, up_o = vs[order], upos[order]
+        first = np.ones(len(vs_o), dtype=bool)
+        first[1:] = vs_o[1:] != vs_o[:-1]
+        newv, predrank = vs_o[first], up_o[first]
+        dist[newv] = k
+        parent[newv] = fr[predrank]
+        for v in newv:
+            chain = [int(v)]
+            while chain[-1] != s:
+                chain.append(int(parent[chain[-1]]))
+            rows.append((str(ids[v]),
+                         ">".join(str(ids[x]) for x in reversed(chain)),
+                         k))
+        fr = newv[np.lexsort((vkey[newv], predrank))]
+    if limit != -1:
+        rows.sort(key=lambda r: (r[2], r[0]))
+        rows = rows[:limit]
+    if not rows:
+        return graph.spark.createDataFrame(
+            [], "id string, path string, dist int")
+    return graph.spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "path", "dist"]))

@@ -316,3 +316,21 @@ def test_ram_crosspoints_family_matches_distributed(graph):
             ["customer!3", "customer!4"], 2, direction="OUT",
             labels=["interacted"], engine="ram", **kw).collect()))
         assert a == b, kw
+
+
+def test_ram_kneighbor_paths_and_rings_detect_match(graph):
+    from incubator_hugegraph_spark.operators.bfs import kneighbor_paths
+    from incubator_hugegraph_spark.operators.paths import rings_detect
+    for kw in [dict(direction="OUT"), dict(direction="BOTH", limit=40)]:
+        a = sorted(map(tuple, kneighbor_paths(
+            graph, "customer!1", 2, engine="dist", **kw).collect()))
+        b = sorted(map(tuple, kneighbor_paths(
+            graph, "customer!1", 2, engine="ram", **kw).collect()))
+        assert a == b, kw
+    a = sorted(map(tuple, rings_detect(
+        graph, 3, direction="OUT", labels=["interacted"],
+        engine="dist").collect()))
+    b = sorted(map(tuple, rings_detect(
+        graph, 3, direction="OUT", labels=["interacted"],
+        engine="ram").collect()))
+    assert a == b
