@@ -370,6 +370,20 @@ def text_bigram_contains(spark, sf_dir):
             .select("id", "name"))
 
 
+@_q("gremlin_dsl_select", """
+SELECT 'customer!' || c_custkey AS c, 'nation!' || c_nationkey AS n
+FROM customer
+""")
+def gremlin_dsl_select(spark, sf_dir):
+    """Step labels (§2.L decoration steps): g.V().hasLabel('customer')
+    .as('c').out('in_nation').as('n').select('c','n') — labeled ids
+    carried through hops as columns."""
+    from incubator_hugegraph_spark.gremlin import G
+    g = G(_graph(spark, sf_dir))
+    return (g.V().hasLabel("customer").as_("c").out("in_nation")
+            .as_("n").select("c", "n"))
+
+
 @_q("cypher_match_agg", """
 SELECT 'customer!' || c.c_custkey AS id, count(*) AS n_orders
 FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey

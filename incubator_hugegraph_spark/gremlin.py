@@ -32,7 +32,9 @@ Path semantics: the traversal carries the VERTEX trail (`path`
 array<string>) through element steps; edge hops (outE→inV) append
 only the resolved far vertex. This is what simplePath/cyclicPath
 need; full TinkerPop path objects (mixed vertex/edge entries, `as()`
-labels) are out of scope — SURVEY §2.L maps those to column aliasing.
+labels) are out of scope — SURVEY §2.L maps those to column
+aliasing; step LABELS themselves are supported: as_()/select()/
+where_label() carry the labeled ids as extra columns through hops.
 
 Determinism note: Gremlin iterators are unordered; wherever an order
 matters (limit/range_/tail/sample) we fix lexicographic id order so
@@ -227,14 +229,18 @@ class Traversal:
 
     # -- adjacency steps ----------------------------------------------
 
+    def _carries(self) -> list[str]:
+        return [c for c in self.df.columns if c.startswith("__as_")]
+
     def _hop(self, direction: str, labels: tuple[str, ...]) -> "Traversal":
         self._require("V")
         adj = self.graph.adj(direction, list(labels) or None) \
             .select(F.col("src").alias("id"), "dst")
-        stepped = (self.df.select("id", "path").join(adj, on="id")
+        carry = self._carries()
+        stepped = (self.df.select("id", "path", *carry).join(adj, on="id")
                    .select(F.col("dst").alias("id"),
                            F.concat(F.col("path"), F.array(F.col("dst")))
-                           .alias("path")))
+                           .alias("path"), *carry))
         return self._new(stepped, attached=False)
 
     def out(self, *labels: str) -> "Traversal":
@@ -249,11 +255,12 @@ class Traversal:
     def _hopE(self, direction: str, labels: tuple[str, ...]) -> "Traversal":
         self._require("V")
         adj = self.graph.adj(direction, list(labels) or None)
-        e = (self.df.select(F.col("id").alias("anchor"), "path")
+        carry = self._carries()
+        e = (self.df.select(F.col("id").alias("anchor"), "path", *carry)
              .join(adj, on=F.col("anchor") == adj.src)
              .select("anchor", F.col("dst").alias("other"),
                      F.col("label"), F.col("sort_values"), F.col("dir"),
-                     "path"))
+                     "path", *carry))
         # edge identity mirrors EdgeId splicing (owner>label>sort>other,
         # core/backend/id/EdgeId.java:31-38)
         eid = F.concat_ws(">>", "anchor", "label", "sort_values", "other")
@@ -274,7 +281,7 @@ class Traversal:
                 & (phys_dst == F.col("__pdst")))
         df = (e.join(edges, on=cond)
               .select("anchor", "other", "label", "sort_values", "props",
-                      "path", eid.alias("eid")))
+                      "path", eid.alias("eid"), *carry))
         return self._new(df, kind="E")
 
     def outE(self, *labels: str) -> "Traversal":
@@ -291,7 +298,8 @@ class Traversal:
         self._require("E")
         df = self.df.select(
             F.col("other").alias("id"),
-            F.concat(F.col("path"), F.array(F.col("other"))).alias("path"))
+            F.concat(F.col("path"), F.array(F.col("other"))).alias("path"),
+            *self._carries())
         return self._new(df, kind="V", attached=False)
 
     inV = otherV   # after outE, the far vertex IS the in-vertex
@@ -320,6 +328,30 @@ class Traversal:
         self._require("V")
         return self._new(self.df.select(
             F.array_join("path", ">").alias("value")), kind="value")
+
+    def as_(self, label: str) -> "Traversal":
+        """Step label (Gremlin as()): records the CURRENT element id
+        under the label; later where_label()/select() refer back to
+        it. Labels ride the traversal as extra columns, so every hop
+        carries them at zero shuffle cost."""
+        self._require("V", "E")
+        col = F.col("id") if self.kind == "V" else F.col("eid")
+        return self._new(self.df.withColumn(f"__as_{label}", col))
+
+    def where_label(self, op: str, label: str) -> "Traversal":
+        """Gremlin where(P.eq('a')/P.neq('a')): compare the current
+        element to a step label."""
+        self._require("V", "E")
+        cur = F.col("id") if self.kind == "V" else F.col("eid")
+        ref = F.col(f"__as_{label}")
+        cond = (cur == ref) if op == "eq" else (cur != ref)
+        return self._new(self.df.filter(cond))
+
+    def select(self, *labels: str) -> DataFrame:
+        """Terminal select('a', 'b'): one column per step label (the
+        labeled elements' ids)."""
+        return self.df.select(*[F.col(f"__as_{lab}").alias(lab)
+                                for lab in labels])
 
     def valueMap(self, *keys: str) -> "Traversal":
         """Element id + props map (all keys, or the selected subset)

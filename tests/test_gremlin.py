@@ -211,3 +211,24 @@ def test_rest_gremlin_adapter(graph):
     df = rest.execute_gremlin(
         graph, {"gremlin": "g.V().hasLabel('region').count()"})
     assert df.head().cnt == 5
+
+
+def test_as_select_where_label(graph):
+    g = G(graph)
+    pairs = (g.V().hasLabel("customer").as_("c").out("in_nation")
+             .as_("n").select("c", "n"))
+    rows = pairs.collect()
+    assert len(rows) == graph.edges.filter(
+        F.col("label") == "in_nation").count()
+    assert all(r.c.startswith("customer!") and r.n.startswith("nation!")
+               for r in rows)
+    # where_label: 2-hop interacted walks that return to the start
+    back = (g.V("customer!1").as_("a").both("interacted")
+            .both("interacted").where_label("eq", "a").count().head().cnt)
+    cyc = (g.V("customer!1").both("interacted").both("interacted")
+           .cyclicPath().count().head().cnt)
+    assert back <= cyc and back > 0
+    # labels survive edge hops (outE -> otherV)
+    got = (g.V("nation!1").as_("x").in_("in_nation").outE("placed")
+           .otherV().select("x").dropDuplicates().collect())
+    assert [r.x for r in got] == ["nation!1"]
