@@ -17,6 +17,7 @@ Supported chain grammar:
     .hasLabel/.hasId/.has(key, literal | P-predicate)
     .out/.in/.both/.outE/.inE/.bothE(labels…) .inV()/.outV()/.otherV()
     .values(key) .id() .label() .valueMap(keys…) .path()
+    .as('x') … .select('x', 'y')   (step labels)
     .dedup() .simplePath() .cyclicPath()
     .order().by(key[, incr|decr|asc|desc]) .limit(n) .range(a, b)
     .tail(n) .sample(n) .is(P) .inject(v…)
@@ -56,7 +57,7 @@ _PREDICATES = {"eq", "neq", "gt", "gte", "lt", "lte", "within",
 
 #: gremlin step name → DSL method (identity where omitted)
 _STEP_ALIAS = {"in": "in_", "id": "id_", "label": "label_",
-               "is": "is_", "range": "range_",
+               "is": "is_", "range": "range_", "as": "as_",
                "sum": "sum_", "mean": "mean_", "min": "min_",
                "max": "max_"}
 

@@ -232,3 +232,14 @@ def test_as_select_where_label(graph):
     got = (g.V("nation!1").as_("x").in_("in_nation").outE("placed")
            .otherV().select("x").dropDuplicates().collect())
     assert [r.x for r in got] == ["nation!1"]
+
+
+def test_gremlin_text_as_select(graph):
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    df = eval_gremlin(
+        graph, "g.V().hasLabel('region').as('r').in('located_in')"
+               ".as('n').select('r', 'n')")
+    rows = df.collect()
+    assert df.columns == ["r", "n"] and len(rows) == 25
+    assert all(r.r.startswith("region!") and r.n.startswith("nation!")
+               for r in rows)
