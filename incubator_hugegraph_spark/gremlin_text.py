@@ -80,6 +80,18 @@ def _tokenize(q: str):
     return out
 
 
+class _Pred:
+    """Parsed P-predicate with provenance (name + literal args) —
+    callable like the GP closures, but steps that need the label form
+    (where(eq('x'))) can inspect it."""
+
+    def __init__(self, name: str, vals: list, fn):
+        self.name, self.vals, self.fn = name, vals, fn
+
+    def __call__(self, c):
+        return self.fn(c)
+
+
 class _Chain:
     """One parsed method chain: [(step, [args…]), …]. Args are
     literals, GP predicates, or nested _Chain (anonymous
@@ -148,7 +160,7 @@ class _P:
                 self.take("punc", ")")
                 fn = getattr(GP, "text_contains"
                              if t[1] == "textContains" else t[1])
-                return fn(*vals)
+                return _Pred(t[1], vals, fn(*vals))
             # bare identifiers: order modifiers etc. pass through
             self.take()
             return ("ident", t[1])
@@ -201,6 +213,18 @@ def _apply(chain: _Chain, t: Traversal) -> object:
             t = t.groupCount(key)
             i += 1
             continue
+        if name == "where":
+            # where(eq('a')) / where(neq('a')): the STEP-LABEL form
+            # (TinkerPop P with a string refers back to an as() label)
+            if (len(args) == 1 and isinstance(args[0], _Pred)
+                    and args[0].name in ("eq", "neq")
+                    and len(args[0].vals) == 1
+                    and isinstance(args[0].vals[0], str)):
+                t = t.where_label(args[0].name, args[0].vals[0])
+                i += 1
+                continue
+            raise SyntaxError(
+                "gremlin: where() supports eq('label')/neq('label')")
         if name in ("union", "choose", "coalesce", "optional"):
             subs = [a for a in args if isinstance(a, _Chain)]
             if name == "union":

@@ -243,3 +243,17 @@ def test_gremlin_text_as_select(graph):
     assert df.columns == ["r", "n"] and len(rows) == 25
     assert all(r.r.startswith("region!") and r.n.startswith("nation!")
                for r in rows)
+
+
+def test_gremlin_text_where_label(graph):
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    back = eval_gremlin(
+        graph, "g.V('customer!1').as('a').both('interacted')"
+               ".both('interacted').where(eq('a')).count()").head().cnt
+    away = eval_gremlin(
+        graph, "g.V('customer!1').as('a').both('interacted')"
+               ".both('interacted').where(neq('a')).count()").head().cnt
+    total = eval_gremlin(
+        graph, "g.V('customer!1').both('interacted')"
+               ".both('interacted').count()").head().cnt
+    assert back + away == total and back > 0
