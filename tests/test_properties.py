@@ -94,3 +94,46 @@ def test_vkey_rank_orders_path_extensions(ids, ext1, ext2):
                 assert p1 < p2 or (arr[i] + ">") == (arr[j] + ">")
             elif rank[i] > rank[j]:
                 assert p1 > p2 or (arr[i] + ">") == (arr[j] + ">")
+
+
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                min_size=0, max_size=60))
+def test_union_find_pairs_is_min_of_components(pairs):
+    """streaming/incremental._union_find_pairs maps every touched
+    node to the minimum of its connected component."""
+    from incubator_hugegraph_spark.streaming.incremental import (
+        _union_find_pairs)
+    spairs = [(str(a), str(b)) for a, b in pairs]
+    got = _union_find_pairs(spairs)
+    # brute-force components over the touched nodes
+    import itertools
+    nodes = {x for p in spairs for x in p}
+    comp = {x: x for x in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in spairs:
+            m = min(comp[a], comp[b])
+            for x in (a, b):
+                if comp[x] != m:
+                    comp[x] = m
+                    changed = True
+        # propagate transitively
+        for x in nodes:
+            while comp[comp[x]] != comp[x]:
+                comp[x] = comp[comp[x]]
+                changed = True
+    assert got == comp
+
+
+@given(st.lists(st.text(alphabet="ab!019", min_size=1, max_size=5),
+                min_size=1, max_size=12, unique=True),
+       st.integers(min_value=2, max_value=4))
+def test_unroll_templates_counts(ids, times):
+    """_unroll_templates enumerates every repeat combination exactly
+    once: one step with max_times=t → t sequences of lengths 1..t."""
+    from incubator_hugegraph_spark.operators.paths import _unroll_templates
+    seqs = _unroll_templates([{"max_times": times}])
+    assert sorted(len(s) for s in seqs) == list(range(1, times + 1))
+    two = _unroll_templates([{"max_times": times}, {"max_times": 2}])
+    assert len(two) == times * 2
