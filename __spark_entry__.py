@@ -1255,6 +1255,37 @@ def jaccard_top_ram_q(spark, sf_dir):
                        engine="ram")
 
 
+@_q("jaccard_top_batch", f"""
+WITH {IE_SQL.strip()},
+ib AS (SELECT src, dst FROM ie UNION SELECT dst AS src, src AS dst FROM ie),
+srcs(source) AS (VALUES ('customer!1'), ('customer!2'), ('customer!3')),
+deg AS (SELECT src, count(*) AS deg FROM ib GROUP BY src),
+sn AS (SELECT s.source, ib.dst AS n FROM ib JOIN srcs s ON ib.src = s.source),
+inter AS (SELECT sn.source, ib.src AS id, count(*) AS inter
+          FROM ib JOIN sn ON ib.dst = sn.n
+          WHERE ib.src <> sn.source GROUP BY sn.source, ib.src),
+scored AS (SELECT i.source, i.id,
+                  ROUND(CAST(i.inter AS DOUBLE)
+                        / (d.deg + sd.deg - i.inter), 6) AS jaccard
+           FROM inter i JOIN deg d ON d.src = i.id
+                        JOIN deg sd ON sd.src = i.source)
+SELECT source, id, jaccard FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY jaccard DESC, id) AS rn FROM scored)
+WHERE rn <= 5
+""")
+def jaccard_top_batch_q(spark, sf_dir):
+    """Batched top-N jaccard for 3 sources in one set-oriented job (the
+    REST batch form). Pinned engine='dist' so the driver gates the
+    round-3 fix: the source-degree table is semi-filtered to |sources|
+    rows before broadcast (was an O(|V|) broadcast in r02)."""
+    from incubator_hugegraph_spark.operators.similarity import (
+        jaccard_top_batch)
+    return jaccard_top_batch(
+        _graph(spark, sf_dir), ["customer!1", "customer!2", "customer!3"],
+        5, direction=BOTH, labels=["interacted"], engine="dist")
+
+
 _FUSIFORM_SQL = f"""
 WITH {IE_SQL.strip()},
 deg AS (SELECT src, count(*) AS deg FROM ie GROUP BY src),
@@ -3304,12 +3335,51 @@ def entry(spark: SparkSession) -> DataFrame:
             .orderBy(F.desc("revenue")))
 
 
+# The driver's correctness gate records only the FIRST 50 entries of
+# ``queries()``.  Rounds 1-2 burned both windows on the same head of the
+# registration order, leaving the whole LLM-data tier and the fixed r01
+# failures without a driver verdict (VERDICT.md round 2, item 1).  This
+# explicit order puts the never-driver-checked set (plus this round's new
+# queries) in positions 1-50; everything already driver-green in r01/r02
+# follows, then the ``*_ram`` kernel twins (each of which already has a
+# row-for-row engine-equivalence pytest against its driver-checked dist
+# sibling).
+_WINDOW_ORDER = [
+    # (a) round-1 failures, since fixed — need a green driver row
+    "betweenness_centrality", "stress_centrality", "louvain_move1",
+    # (b) LLM-data tier (#117-147) — never inside any driver window
+    "doc_exact_dedup", "doc_normalized_dedup", "doc_ngram_jaccard",
+    "doc_minhash_lsh", "doc_simhash", "doc_token_stats", "doc_lang_id",
+    "doc_quality", "doc_fingerprint", "doc_dedup_clusters",
+    "doc_search_rank", "doc_tfidf_top", "doc_hash_split",
+    "doc_stratified_sample", "doc_decontaminate", "doc_dup_ngram_ratio",
+    "doc_repetition", "doc_pack_sequences", "doc_corpus_stats",
+    "emb_cosine_topk", "emb_cosine_topk_np", "emb_lsh_ann", "emb_ivf_ann",
+    "emb_kmeans", "emb_neardup", "multimodal_features",
+    "events_sessionize", "events_window_agg", "events_stream_sessionize",
+    "events_stream_dedup", "events_stream_window",
+    # (c) stragglers that never reached a window
+    "collection_paths", "condition_dnf", "vertex_upsert_merge",
+    "ttl_live_filter", "unique_index_check", "wcc_star",
+    "rings_detect_job", "gremlin_fold_unfold", "gremlin_range_tail",
+    "gremlin_match_pattern",
+    # (d) new round-3 queries
+    "cypher_varlen", "cypher_optional", "cypher_with_agg",
+    "jaccard_top_batch", "doc_pii_redact", "text_cjk_contains",
+]
+
+
+def _ordered(d: dict) -> dict:
+    head = {k: d[k] for k in _WINDOW_ORDER if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
 
 
 @_q("same_neighbors_ram", f"""

@@ -98,8 +98,14 @@ def jaccard_top_batch(graph: PropertyGraph, sources: list[str], top: int,
              .filter(F.col("src") != F.col("source"))
              .groupBy("source", F.col("src").alias("id"))
              .agg(F.count(F.lit(1)).alias("inter")))
-    s_deg = sizes.select(F.col("src").alias("source"),
-                         F.col("deg").alias("s_deg"))
+    # Only |sources| degree rows can ever match — semi-filter the O(|V|)
+    # degree table down to the source list BEFORE broadcasting it
+    # (round-2 verdict: broadcasting all of `sizes` ships every vertex's
+    # degree to every executor).
+    s_deg = (sizes.join(F.broadcast(sdf), on=sizes.src == sdf.source,
+                        how="left_semi")
+             .select(F.col("src").alias("source"),
+                     F.col("deg").alias("s_deg")))
     scored = (inter
               .join(sizes.withColumnRenamed("src", "id"), on="id")
               .join(F.broadcast(s_deg), on="source")

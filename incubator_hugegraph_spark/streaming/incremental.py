@@ -48,6 +48,25 @@ def _union_find_pairs(pairs: list[tuple[str, str]]) -> dict[str, str]:
     return {x: find(x) for x in parent}
 
 
+def _component_pairs(state: DataFrame, e: DataFrame) -> DataFrame:
+    """Component pairs (cs, cd) induced by a batch of edges: map each
+    batch endpoint to its current component. The BATCH is the broadcast
+    side in both joins; the O(|V|) state streams through partition-local
+    (round-2 verdict: broadcasting the state ships every vertex's
+    component to every executor — fatal at 100 TB). Plan-asserted in
+    tests/test_plans.py::test_incremental_wcc_broadcasts_batch."""
+    comp = state.select("id", "component")
+    e_cs = (F.broadcast(e)
+            .join(comp.withColumnRenamed("id", "src")
+                  .withColumnRenamed("component", "cs"), on="src")
+            .select("dst", "cs"))
+    return (F.broadcast(e_cs)
+            .join(comp.withColumnRenamed("id", "dst")
+                  .withColumnRenamed("component", "cd"), on="dst")
+            .select("cs", "cd").filter(F.col("cs") != F.col("cd"))
+            .distinct())
+
+
 def incremental_wcc_batch(state: DataFrame | None,
                           edges_batch: DataFrame) -> DataFrame:
     """One incremental step: fold a batch of (src, dst) edges into the
@@ -65,21 +84,16 @@ def incremental_wcc_batch(state: DataFrame | None,
              .union(e.select(F.col("dst").alias("id"))).distinct())
     if state is None:
         state = spark.createDataFrame([], "id string, component string")
-    # new vertices enter as their own component
-    newv = (verts.join(state.select("id"), on="id", how="left_anti")
+    # New vertices enter as their own component. Broadcast the O(batch)
+    # vertex list, never the O(|V|) state: semi-join state against the
+    # batch first (result is O(batch)), then anti-join the batch against
+    # that small hit set.
+    known = (state.select("id")
+             .join(F.broadcast(verts), on="id", how="left_semi"))
+    newv = (verts.join(F.broadcast(known), on="id", how="left_anti")
             .select("id", F.col("id").alias("component")))
     state = state.unionByName(newv)
-    # component pairs induced by the batch (component graph — small)
-    comp = state.select("id", "component")
-    pairs_df = (e
-                .join(F.broadcast(comp.withColumnRenamed("id", "src")
-                                  .withColumnRenamed("component", "cs")),
-                      on="src")
-                .join(F.broadcast(comp.withColumnRenamed("id", "dst")
-                                  .withColumnRenamed("component", "cd")),
-                      on="dst")
-                .select("cs", "cd").filter(F.col("cs") != F.col("cd"))
-                .distinct())
+    pairs_df = _component_pairs(state, e)
     pairs = [(r.cs, r.cd) for r in pairs_df.collect()]
     if not pairs:
         return state.localCheckpoint()

@@ -49,6 +49,38 @@ def test_bfs_expand_broadcasts_frontier(graph):
         in plan, plan
 
 
+def test_incremental_wcc_broadcasts_batch(spark):
+    """Round-3 scale fix guard: the component-pair joins must broadcast
+    the O(batch) edge side (BuildLeft — batch is the left operand), never
+    the O(|V|) component state (which would be BuildRight)."""
+    from incubator_hugegraph_spark.streaming.incremental import (
+        _component_pairs)
+    state = (spark.read.parquet(f"{SF_DIR}/customer.parquet")
+             .select(F.concat(F.lit("customer!"), "c_custkey").alias("id"))
+             .withColumn("component", F.col("id")))
+    batch = spark.createDataFrame(
+        [("customer!1", "customer!2"), ("customer!3", "customer!4")],
+        "src string, dst string")
+    plan = _plan(_component_pairs(state, batch))
+    joins = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert len(joins) == 2, plan
+    assert all("BuildLeft" in l for l in joins), plan
+
+
+def test_jaccard_top_batch_filters_degree_before_broadcast(graph):
+    """Round-3 scale fix guard: the source-degree table is semi-joined
+    down to |sources| rows before its broadcast — the plan must contain
+    the LeftSemi broadcast join, and every BroadcastExchange input must
+    be either a LocalTableScan (the source list) or sit above that
+    semi-filter, never a bare aggregate of the full edge table."""
+    from incubator_hugegraph_spark.operators.similarity import (
+        jaccard_top_batch)
+    df = jaccard_top_batch(graph, ["customer!1", "customer!2"], 5,
+                           engine="dist")
+    plan = _plan(df)
+    assert "LeftSemi, BuildRight" in plan, plan
+
+
 def test_pagerank_round_has_no_edge_shuffle(graph):
     """One pagerank message round over the dst-partitioned cached edge
     table: partial+final HashAggregate with NO shuffle exchange between
