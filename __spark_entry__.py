@@ -436,6 +436,66 @@ def cypher_undirected(spark, sf_dir):
         RETURN count(*) AS n""")
 
 
+@_q("cypher_varlen", f"""
+WITH {E_SQL.strip()},
+iem AS (SELECT src, dst FROM edges WHERE label = 'interacted'),
+hops AS (
+  SELECT src AS a, dst AS b FROM iem
+  UNION ALL
+  SELECT e1.src, e2.dst FROM iem e1 JOIN iem e2 ON e1.dst = e2.src)
+SELECT b, count(*) AS paths FROM hops
+WHERE a = 'customer!1' GROUP BY b
+""")
+def cypher_varlen_q(spark, sf_dir):
+    """Variable-length relationship -[:interacted*1..2]-> — the single
+    most common real Cypher idiom (r02 verdict gap #1). One row per
+    distinct edge sequence (openCypher path multiplicity; parallel
+    multi-edges count separately). The fixture has no self-loops, so
+    the SQL unroll needs no same-edge exclusion; the engine enforces
+    relationship isomorphism regardless (tested in test_cypher.py).
+    Reference anchor: api/opencypher/CypherOpProcessor.java:124-145."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (a:customer)-[:interacted*1..2]->(b:customer)
+        WHERE a = 'customer!1'
+        RETURN b, count(*) AS paths""")
+
+
+@_q("cypher_optional", """
+SELECT 'customer!' || c_custkey AS c, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+""")
+def cypher_optional_q(spark, sf_dir):
+    """OPTIONAL MATCH = left outer join on the shared vars; count(o)
+    counts only matched rows (openCypher null-skipping aggregation)."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (c:customer) OPTIONAL MATCH (c)-[:placed]->(o:order)
+        RETURN c, count(o) AS n_orders""")
+
+
+@_q("cypher_with_agg", """
+WITH t AS (SELECT o_custkey AS ck, count(*) AS n FROM orders
+           GROUP BY o_custkey HAVING count(*) >= 5)
+SELECT c_mktsegment AS segment, count(*) AS customers,
+       CAST(SUM(n) AS DOUBLE) AS orders
+FROM t JOIN customer ON c_custkey = ck
+GROUP BY c_mktsegment
+""")
+def cypher_with_agg_q(spark, sf_dir):
+    """WITH horizon chaining: aggregate, filter on the aggregate
+    (HAVING shape), then address the carried node's properties — the
+    post-aggregation re-hydration path (node props re-joined from the
+    typed view on first access)."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (c:customer)-[:placed]->(o:order)
+        WITH c, count(o) AS n WHERE n >= 5
+        RETURN c.mktsegment AS segment, count(*) AS customers,
+               sum(n) AS orders""")
+
+
 @_q("events_incremental_wcc", f"""
 WITH RECURSIVE {IE_SQL.strip().rstrip()},
 und AS (SELECT src, dst FROM ie UNION SELECT dst, src FROM ie),

@@ -1,4 +1,4 @@
-"""openCypher MATCH subset → DataFrame plans (SURVEY §3.3).
+"""openCypher read subset → DataFrame plans (SURVEY §3.3).
 
 The reference exposes Cypher by translating it to Gremlin with the
 openCypher-for-Gremlin library (api/api/cypher/CypherAPI.java:49-110;
@@ -8,52 +8,86 @@ typed views; this module closes the remaining gap: a reference user's
 actual Cypher read queries run verbatim, parsed here and compiled to
 the same DataFrame joins the traverser operators use.
 
-Supported grammar (the read-only core the reference's CypherApiTest
-exercises — pattern match, property predicates, aggregation,
-ordering):
+Supported grammar (the read core the reference's CypherApiTest
+exercises, plus the idioms its openCypher translation layer accepts):
 
-    MATCH (a:label)-[:rel]->(b:label)-[:rel2]->(c) ...
-    [WHERE a.prop <op> literal [AND ...]]
+    MATCH (a:label)-[:rel]->(b:label)-[:rel2*1..3]->(c) ...
+    [OPTIONAL MATCH pattern [WHERE ...]]*
+    [WITH [DISTINCT] item [AS x], ... [ORDER BY ...] [SKIP n]
+          [LIMIT n] [WHERE ...]  MATCH ...]*
+    [WHERE cond [AND cond]*]
     RETURN [DISTINCT] item [AS alias] [, ...]
     [ORDER BY alias|item [ASC|DESC], ...] [SKIP n] [LIMIT n]
 
 - Node: (var), (var:label). Relationship: -[:label]->, <-[:label]-,
   -[:label]- (BOTH), -[]-> (any label); multiple hops chain in one
   pattern; multiple comma-separated patterns join on shared vars.
+- Variable-length: -[:label*]->, *n, *n.., *..m, *n..m. Each match is
+  one distinct EDGE SEQUENCE (openCypher path multiplicity) and a
+  relationship never repeats within one sequence (openCypher
+  relationship isomorphism). Unbounded upper bounds are capped at
+  DEFAULT_VARLEN_MAX hops — the same super-node/capacity-guard
+  posture as the reference's traverser max_depth arguments
+  (api/traversers/KoutAPI.java max_depth is mandatory there).
+  Uniqueness across DIFFERENT relationship patterns of one MATCH is
+  not enforced (documented deviation, shared with most SQL-backed
+  Cypher engines; fixed-length hops are plain joins).
+- OPTIONAL MATCH: left outer join on the vars shared with the part
+  already matched; a WHERE attached to the OPTIONAL MATCH filters the
+  optional side BEFORE the join (openCypher semantics). Conditions in
+  an optional clause may reference vars bound inside that clause
+  (including the shared ids).
+- WITH: horizon chaining — projects/aggregates the rows so far, then
+  further MATCH/WHERE/RETURN see only the projected columns. A bare
+  node var carried through a non-aggregating WITH stays a node (its
+  properties remain addressable); after an aggregating WITH a carried
+  node var is re-hydrated from the vertex table on first property
+  access.
 - WHERE: comparisons =, <>, <, <=, >, >=, CONTAINS (word match,
-  analyzer semantics), IN [..]; conjunctions with AND. Operands:
-  var.prop, var (the vertex id), literals (number / 'string').
+  analyzer semantics), IN [..], IS NULL / IS NOT NULL; conjunctions
+  with AND. Operands: var.prop, var (the vertex id), literals,
+  arithmetic (+ - * /) over them.
 - RETURN items: var (→ its id), var.prop, id(var), label(var),
-  count(x), count(DISTINCT x), sum/avg/min/max(var.prop), count(*).
-  Aggregates trigger an implicit GROUP BY over the non-aggregated
-  items (Cypher's aggregation rule).
+  count(x), count(DISTINCT x), sum/avg/min/max(var.prop), count(*),
+  arithmetic expressions (require AS alias). Aggregates trigger an
+  implicit GROUP BY over the non-aggregated items (Cypher's
+  aggregation rule).
 
 Properties are typed through the schema registry (same rule as the
 Gremlin DSL). The compiled plan is ordinary joins/filters/aggregates —
 Catalyst pushes predicates into the scans exactly as §4.1 requires.
-Writes (CREATE/SET/DELETE) are out of scope: mutation is the batch
-MERGE surface (operators/mutate.py).
+Var-length hops compile to an unrolled frontier join over the
+adjacency view (multiplicity-preserving — the dedup'ing BFS kernels in
+operators/bfs.py are the wrong shape for path counting); at scale each
+hop is one shuffle on the join key, the same cost model as the
+reference's per-step edge fetches. Writes (CREATE/SET/DELETE) are out
+of scope: mutation is the batch MERGE surface (operators/mutate.py).
 """
 
 from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from incubator_hugegraph_spark.graph import PropertyGraph
 
+#: Upper bound substituted for an unbounded var-length pattern (`*`,
+#: `*n..`). Mirrors the reference's mandatory max_depth guards.
+DEFAULT_VARLEN_MAX = 10
+
 _TOKEN_RE = re.compile(r"""
     \s*(?:
       (?P<arrow><-|->|--|-|\[|\]|\(|\)|,|:|\.)
-    | (?P<kw>(?i:MATCH|WHERE|RETURN|DISTINCT|ORDER|BY|SKIP|LIMIT|AND|ASC
-              |DESC|AS|IN|CONTAINS|STARTS|WITH|NOT|IS|NULL|COUNT|SUM|AVG
-              |MIN|MAX|ID|LABEL)\b)
+    | (?P<kw>(?i:OPTIONAL|MATCH|WHERE|RETURN|DISTINCT|ORDER|BY|SKIP|LIMIT
+              |AND|ASC|DESC|AS|IN|CONTAINS|STARTS|WITH|NOT|IS|NULL|COUNT
+              |SUM|AVG|MIN|MAX|ID|LABEL)\b)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'(?:[^'\\]|\\.)*')
-    | (?P<cmp><>|<=|>=|=|<|>|\*)
+    | (?P<cmp><>|<=|>=|=|<|>|\*|\+|/)
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
     )""", re.X)
 
@@ -81,18 +115,37 @@ class _Rel:
     dst: str
     label: str | None
     direction: str  # OUT / IN / BOTH relative to src
+    min_hops: int = 1
+    max_hops: int = 1
+
+    @property
+    def varlen(self) -> bool:
+        return (self.min_hops, self.max_hops) != (1, 1)
 
 
 @dataclass
-class _Query:
+class _MatchClause:
+    optional: bool = False
     nodes: dict[str, str | None] = field(default_factory=dict)  # var→label
     rels: list[_Rel] = field(default_factory=list)
     where: list[tuple] = field(default_factory=list)
-    returns: list[tuple] = field(default_factory=list)
+
+
+@dataclass
+class _Proj:
+    is_with: bool
+    items: list[tuple] = field(default_factory=list)
     distinct: bool = False
     order: list[tuple] = field(default_factory=list)  # (expr, asc)
     skip: int = 0
     limit: int | None = None
+    where: list[tuple] = field(default_factory=list)  # WITH-only, post-proj
+
+
+@dataclass
+class _Query:
+    clauses: list = field(default_factory=list)  # _MatchClause | _Proj
+    final: _Proj | None = None
 
 
 class _Parser:
@@ -124,48 +177,71 @@ class _Parser:
             return t[1]
         raise SyntaxError(f"cypher: expected name, got {t}")
 
-    # ---- pattern ----------------------------------------------------
+    # ---- clauses ----------------------------------------------------
 
     def parse(self) -> _Query:
         q = _Query()
-        self.next("MATCH")
-        self._pattern(q)
-        if self.accept("WHERE"):
-            q.where.append(self._condition())
-            while self.accept("AND"):
-                q.where.append(self._condition())
-        self.next("RETURN")
-        q.distinct = self.accept("DISTINCT")
-        q.returns.append(self._return_item())
+        while True:
+            t = self.peek()[0]
+            if t in ("MATCH", "OPTIONAL"):
+                mc = _MatchClause(optional=self.accept("OPTIONAL"))
+                self.next("MATCH")
+                self._pattern(mc)
+                if self.accept("WHERE"):
+                    mc.where.append(self._condition())
+                    while self.accept("AND"):
+                        mc.where.append(self._condition())
+                q.clauses.append(mc)
+            elif t == "WITH":
+                self.next()
+                q.clauses.append(self._projection(is_with=True))
+            elif t == "RETURN":
+                if not q.clauses:
+                    raise SyntaxError("cypher: RETURN before MATCH")
+                self.next()
+                q.final = self._projection(is_with=False)
+                break
+            else:
+                raise SyntaxError(f"cypher: expected clause, got {t}")
+        self.next("EOF")
+        return q
+
+    def _projection(self, is_with: bool) -> _Proj:
+        p = _Proj(is_with=is_with)
+        p.distinct = self.accept("DISTINCT")
+        p.items.append(self._return_item())
         while self.peek()[1] == ",":
             self.next()
-            q.returns.append(self._return_item())
+            p.items.append(self._return_item())
         if self.accept("ORDER"):
             self.next("BY")
             while True:
-                expr = self._operand()
+                expr = self._expr()
                 asc = True
                 if self.accept("DESC"):
                     asc = False
                 else:
                     self.accept("ASC")
-                q.order.append((expr, asc))
+                p.order.append((expr, asc))
                 if self.peek()[1] != ",":
                     break
                 self.next()
         if self.accept("SKIP"):
-            q.skip = int(self.next("num")[1])
+            p.skip = int(self.next("num")[1])
         if self.accept("LIMIT"):
-            q.limit = int(self.next("num")[1])
-        self.next("EOF")
-        return q
+            p.limit = int(self.next("num")[1])
+        if is_with and self.accept("WHERE"):
+            p.where.append(self._condition())
+            while self.accept("AND"):
+                p.where.append(self._condition())
+        return p
 
     def _expect_val(self, val: str) -> None:
         t = self.next()
         if t[1] != val:
             raise SyntaxError(f"cypher: expected {val!r}, got {t[1]!r}")
 
-    def _pattern(self, q: _Query) -> None:
+    def _pattern(self, q: _MatchClause) -> None:
         prev = self._node(q)
         while True:
             t = self.peek()[1]
@@ -176,12 +252,16 @@ class _Parser:
             if t in ("-", "<-"):
                 head = self.next()[1]
                 label = None
+                lo, hi = 1, 1
                 self._expect_val("[")
                 if self.peek()[0] == "name":  # optional rel var, unused
                     self.next()
                 if self.peek()[1] == ":":
                     self.next()
                     label = self._name()
+                if self.peek()[1] == "*":
+                    self.next()
+                    lo, hi = self._varlen_bounds()
                 self._expect_val("]")
                 tail = self.next("arrow")[1]  # -> or -
                 if head == "-" and tail == "->":
@@ -194,12 +274,33 @@ class _Parser:
                     raise SyntaxError(
                         f"cypher: bad relationship {head}[..]{tail}")
                 nxt = self._node(q)
-                q.rels.append(_Rel(prev, nxt, label, direction))
+                q.rels.append(_Rel(prev, nxt, label, direction, lo, hi))
                 prev = nxt
                 continue
             break
 
-    def _node(self, q: _Query) -> str:
+    def _varlen_bounds(self) -> tuple[int, int]:
+        """Bounds after `*`: '', 'n', 'n..', '..m', 'n..m'."""
+        lo: int | None = None
+        hi: int | None = None
+        if self.peek()[0] == "num":
+            lo = int(self.next()[1])
+        if self.peek()[1] == ".":
+            self._expect_val(".")
+            self._expect_val(".")
+            if self.peek()[0] == "num":
+                hi = int(self.next()[1])
+        elif lo is not None:
+            hi = lo  # exact length *n
+        if lo is None:
+            lo = 1
+        if hi is None:
+            hi = max(lo, DEFAULT_VARLEN_MAX)
+        if lo < 0 or hi < lo:
+            raise SyntaxError(f"cypher: bad var-length bounds *{lo}..{hi}")
+        return lo, hi
+
+    def _node(self, q: _MatchClause) -> str:
         self.next("arrow")  # (
         var = self._name()
         label = None
@@ -213,8 +314,29 @@ class _Parser:
 
     # ---- expressions ------------------------------------------------
 
+    def _expr(self):
+        """Additive expression over operands (lowest precedence)."""
+        left = self._term()
+        while self.peek()[1] in ("+", "-") and self.peek()[0] in (
+                "cmp", "arrow"):
+            op = self.next()[1]
+            left = ("arith", op, left, self._term())
+        return left
+
+    def _term(self):
+        left = self._operand()
+        while self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            left = ("arith", op, left, self._operand())
+        return left
+
     def _operand(self):
         t = self.peek()
+        if t[1] == "(":
+            self.next()
+            inner = self._expr()
+            self._expect_val(")")
+            return inner
         if (t[0] in ("COUNT", "SUM", "AVG", "MIN", "MAX", "ID", "LABEL")
                 and self.toks[self.i + 1][1] == "("):
             fn = self.next()[0]
@@ -224,7 +346,7 @@ class _Parser:
                 self.next("arrow")
                 return ("agg", "COUNT", None, False)
             distinct = self.accept("DISTINCT")
-            inner = self._operand()
+            inner = self._expr()
             self.next("arrow")  # )
             if fn in ("ID", "LABEL"):
                 return (fn.lower(), inner)
@@ -247,20 +369,25 @@ class _Parser:
         raise SyntaxError(f"cypher: bad operand {t}")
 
     def _condition(self):
-        left = self._operand()
+        left = self._expr()
         t = self.peek()
+        if t[0] == "IS":
+            self.next()
+            negated = self.accept("NOT")
+            self.next("NULL")
+            return ("isnull", left, negated)
         if t[0] == "cmp":
             op = self.next()[1]
-            return ("cmp", op, left, self._operand())
+            return ("cmp", op, left, self._expr())
         if t[0] == "CONTAINS":
             self.next()
-            return ("contains", left, self._operand())
+            return ("contains", left, self._expr())
         if t[0] == "IN":
             self.next()
             self.next("arrow")  # [
             vals = []
             while self.peek()[1] != "]":
-                vals.append(self._operand()[1])
+                vals.append(self._expr()[1])
                 if self.peek()[1] == ",":
                     self.next()
             self.next("arrow")  # ]
@@ -268,7 +395,7 @@ class _Parser:
         raise SyntaxError(f"cypher: bad condition at {t}")
 
     def _return_item(self):
-        expr = self._operand()
+        expr = self._expr()
         alias = None
         if self.accept("AS"):
             alias = self._name()
@@ -289,15 +416,43 @@ def _default_alias(expr) -> str:
     if kind == "agg":
         inner = "star" if expr[2] is None else _default_alias(expr[2])
         return f"{expr[1].lower()}_{inner}"
+    if kind == "arith":
+        raise SyntaxError(
+            "cypher: arithmetic RETURN/WITH items need an AS alias")
     return "expr"
 
 
+def _expr_vars(expr, out: set[str]) -> None:
+    """Vars whose PROPERTIES the expression touches (hydration set)."""
+    if not isinstance(expr, tuple):
+        return
+    if expr[0] == "prop":
+        out.add(expr[1])
+        return
+    if expr[0] == "label":
+        out.add(expr[1][1])
+        return
+    for part in expr[1:]:
+        if isinstance(part, tuple):
+            _expr_vars(part, out)
+
+
+def _cond_vars(cond, out: set[str]) -> None:
+    for part in cond[1:]:
+        if isinstance(part, tuple):
+            _expr_vars(part, out)
+
+
 class CypherEngine:
-    """Compiles the MATCH subset onto a PropertyGraph."""
+    """Compiles the openCypher read subset onto a PropertyGraph."""
 
     def __init__(self, graph: PropertyGraph):
         self.graph = graph
         self._typed_cols: dict[str, set[str]] = {}
+        self._labels: dict[str, str | None] = {}
+        self._bound: set[str] = set()
+
+    # ---- column compilation ----------------------------------------
 
     def _prop(self, var: str, prop: str) -> Column:
         if prop in self._typed_cols.get(var, ()):
@@ -321,6 +476,11 @@ class CypherEngine:
             return F.col(f"__l_{expr[1][1]}")
         if kind == "lit":
             return F.lit(expr[1])
+        if kind == "arith":
+            _, op, l, r = expr
+            lc, rc = self._col(l), self._col(r)
+            return {"+": lc + rc, "-": lc - rc,
+                    "*": lc * rc, "/": lc / rc}[op]
         raise SyntaxError(f"cypher: cannot compile {expr}")
 
     def _filter(self, cond) -> Column:
@@ -330,6 +490,10 @@ class CypherEngine:
             lc, rc = self._col(l), self._col(r)
             return {"=": lc == rc, "<>": lc != rc, "<": lc < rc,
                     "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc}[op]
+        if kind == "isnull":
+            _, l, negated = cond
+            c = self._col(l)
+            return c.isNotNull() if negated else c.isNull()
         if kind == "contains":
             from incubator_hugegraph_spark.functions.text import tokenize
             _, l, r = cond
@@ -340,107 +504,234 @@ class CypherEngine:
             return self._col(l).isin(vals)
         raise SyntaxError(f"cypher: cannot compile condition {cond}")
 
-    def run(self, query: str) -> DataFrame:
-        q = _Parser(_tokenize(query)).parse()
+    # ---- pattern compilation ---------------------------------------
+
+    def _node_df(self, var: str) -> DataFrame:
+        """One column per node var (its id) plus the var's label and
+        property columns. LABELED vars compile against the TYPED
+        per-label view, so `WHERE p.size >= 45` is a plain typed-column
+        predicate that reaches the parquet scan (PushedFilters) and the
+        scan reads only referenced columns — the generic props-map
+        fallback (unlabeled vars) evaluates the map build per row and
+        blocks both. At 100 TB this is the difference between a pruned
+        column scan and a full read."""
         g = self.graph
-        # assemble the pattern: one column per node var (its id), plus
-        # per-var property columns. LABELED vars compile against the
-        # TYPED per-label view, so `WHERE p.size >= 45` is a plain
-        # typed-column predicate that reaches the parquet scan
-        # (PushedFilters) and the scan reads only referenced columns —
-        # the generic props-map fallback (unlabeled vars) evaluates
-        # the map build per row and blocks both. At 100 TB this is the
-        # difference between a pruned column scan and a full read.
-        self._typed_cols = {}
-        df: DataFrame | None = None
-
-        def node_df(var: str) -> DataFrame:
-            label = q.nodes.get(var)
-            if label and label in getattr(g, "vertex_views", {}):
-                view = g.view(label)
-                props = [c for c in view.columns if c != "id"]
-                self._typed_cols[var] = set(props)
-                return view.select(
-                    F.col("id").alias(var),
-                    F.lit(label).alias(f"__l_{var}"),
-                    *[F.col(c).alias(f"__c_{var}_{c}") for c in props])
-            v = g.vertices.select(
+        label = self._labels.get(var)
+        if label and label in getattr(g, "vertex_views", {}):
+            view = g.view(label)
+            props = [c for c in view.columns if c != "id"]
+            self._typed_cols[var] = set(props)
+            return view.select(
                 F.col("id").alias(var),
-                F.col("label").alias(f"__l_{var}"),
-                F.col("props").alias(f"__p_{var}"))
-            if label:
-                v = v.filter(F.col(f"__l_{var}") == label)
-            return v
+                F.lit(label).alias(f"__l_{var}"),
+                *[F.col(c).alias(f"__c_{var}_{c}") for c in props])
+        v = g.vertices.select(
+            F.col("id").alias(var),
+            F.col("label").alias(f"__l_{var}"),
+            F.col("props").alias(f"__p_{var}"))
+        if label:
+            v = v.filter(F.col(f"__l_{var}") == label)
+        return v
 
-        def rel_scan_labels(rel: _Rel) -> list[str] | None:
-            """Schema-link pruning (GraphTransaction.optimizeQuery
-            :1553-1589 — semantic pruning Catalyst can't derive): an
-            unlabeled relationship between labeled endpoints scans
-            only the edge labels the schema allows between them; an
-            infeasible (label, endpoints) combination scans nothing.
-            The '__none__' sentinel keeps the plan shape while the
-            pushed isin([]) filter empties the scan."""
-            sch = g.schema
-            if sch is None or not getattr(sch, "edge_labels", None):
-                return [rel.label] if rel.label else None
-            sl, dl = q.nodes.get(rel.src), q.nodes.get(rel.dst)
+    def _hydrate(self, df: DataFrame, vars_needed: set[str]) -> DataFrame:
+        """Re-attach node columns for carried vars whose property
+        columns were projected away by an aggregating WITH. The vertex
+        table is unique by id, so the join is 1:1 (left, to preserve
+        nulls from OPTIONAL MATCH)."""
+        for v in sorted(vars_needed):
+            if (v in df.columns and f"__l_{v}" not in df.columns
+                    and f"__p_{v}" not in df.columns):
+                df = df.join(self._node_df(v), on=v, how="left")
+        return df
 
-            def links(e) -> bool:
-                fwd = ((sl is None or e.source_label == sl)
-                       and (dl is None or e.target_label == dl))
-                rev = ((sl is None or e.target_label == sl)
-                       and (dl is None or e.source_label == dl))
-                if rel.direction == "OUT":
-                    return fwd
-                if rel.direction == "IN":
-                    return rev
-                return fwd or rev
-            cands = [n for n, e in sch.edge_labels.items()
-                     if (rel.label is None or n == rel.label) and links(e)]
-            if rel.label is None and len(cands) == len(sch.edge_labels):
-                return None  # nothing pruned — keep the unfiltered view
-            return cands or ["__none__"]
+    def _rel_scan_labels(self, rel: _Rel) -> list[str] | None:
+        """Schema-link pruning (GraphTransaction.optimizeQuery
+        :1553-1589 — semantic pruning Catalyst can't derive): an
+        unlabeled relationship between labeled endpoints scans only the
+        edge labels the schema allows between them; an infeasible
+        (label, endpoints) combination scans nothing. The '__none__'
+        sentinel keeps the plan shape while the pushed isin([]) filter
+        empties the scan."""
+        g = self.graph
+        sch = g.schema
+        if sch is None or not getattr(sch, "edge_labels", None):
+            return [rel.label] if rel.label else None
+        sl = self._labels.get(rel.src)
+        dl = self._labels.get(rel.dst)
+        if rel.varlen:          # intermediate hops are unconstrained
+            sl = dl = None
 
-        bound: set[str] = set()
-        if q.rels:
-            for rel in q.rels:
-                adj = g.adj(rel.direction, rel_scan_labels(rel)) \
+        def links(e) -> bool:
+            fwd = ((sl is None or e.source_label == sl)
+                   and (dl is None or e.target_label == dl))
+            rev = ((sl is None or e.target_label == sl)
+                   and (dl is None or e.source_label == dl))
+            if rel.direction == "OUT":
+                return fwd
+            if rel.direction == "IN":
+                return rev
+            return fwd or rev
+        cands = [n for n, e in sch.edge_labels.items()
+                 if (rel.label is None or n == rel.label) and links(e)]
+        if rel.label is None and len(cands) == len(sch.edge_labels):
+            return None  # nothing pruned — keep the unfiltered view
+        return cands or ["__none__"]
+
+    def _varlen_pairs(self, rel: _Rel) -> DataFrame:
+        """(src, dst) pair per distinct edge sequence of length
+        min..max. Relationship isomorphism: a physical edge appears at
+        most once per sequence (canonical edge key carried in an array
+        column; under BOTH the two directed rows of one physical edge
+        share a key, so a-b-a over a single edge is correctly
+        excluded). Unrolled frontier joins — one shuffle per hop on the
+        frontier's dst key, multiplicity-preserving."""
+        adj = self.graph.adj(rel.direction, self._rel_scan_labels(rel))
+        ekey = F.concat_ws(
+            ">",
+            F.when(F.col("dir") == "IN", F.col("dst"))
+            .otherwise(F.col("src")),
+            F.col("label"), F.col("sort_values"),
+            F.when(F.col("dir") == "IN", F.col("src"))
+            .otherwise(F.col("dst")))
+        base = adj.select(F.col("src").alias("__a"),
+                          F.col("dst").alias("__b"), ekey.alias("__ek"))
+        outs: list[DataFrame] = []
+        if rel.min_hops == 0:
+            ids = self.graph.vertices.select(F.col("id").alias("__a"),
+                                             F.col("id").alias("__b"))
+            outs.append(ids)
+        cur = base.select("__a", "__b", F.array("__ek").alias("__eks"))
+        if rel.min_hops <= 1:
+            outs.append(cur.select("__a", "__b"))
+        step = base.select(F.col("__a").alias("__b"),
+                           F.col("__b").alias("__nb"),
+                           F.col("__ek"))
+        for k in range(2, rel.max_hops + 1):
+            cur = (cur.join(step, on="__b")
+                   .filter(~F.array_contains(F.col("__eks"), F.col("__ek")))
+                   .select("__a", F.col("__nb").alias("__b"),
+                           F.array_append("__eks", F.col("__ek"))
+                           .alias("__eks")))
+            if k >= rel.min_hops:
+                outs.append(cur.select("__a", "__b"))
+        if not outs:
+            raise SyntaxError("cypher: empty var-length range")
+        pairs = reduce(lambda a, b: a.unionByName(b), outs)
+        return pairs.select(F.col("__a").alias(rel.src),
+                            F.col("__b").alias(rel.dst))
+
+    def _pattern_df(self, mc: _MatchClause, df: DataFrame | None,
+                    bound: set[str],
+                    skip_node_vars: set[str] = frozenset()) -> DataFrame:
+        """Joins for one MATCH clause, continuing from ``df`` (vars in
+        ``bound`` already have id columns). ``skip_node_vars``: shared
+        vars of an OPTIONAL MATCH — their node rows live on the outer
+        side, only the id column is used for the eventual left join."""
+        g = self.graph
+
+        def attach_node(cur: DataFrame | None, var: str) -> DataFrame:
+            if var in skip_node_vars:
+                assert cur is not None, \
+                    "cypher: optional pattern must touch a shared var " \
+                    "through a relationship"
+                return cur
+            nd = self._node_df(var)
+            return nd if cur is None else cur.join(nd, on=var)
+
+        for rel in mc.rels:
+            if rel.varlen:
+                adj = self._varlen_pairs(rel)
+            else:
+                adj = g.adj(rel.direction, self._rel_scan_labels(rel)) \
                     .select(F.col("src").alias(rel.src),
                             F.col("dst").alias(rel.dst))
-                if df is None:
-                    df = node_df(rel.src).join(adj, on=rel.src)
-                    bound.add(rel.src)
-                elif rel.src in bound and rel.dst in bound:
-                    # closing edge of a cyclic pattern: equi-join on
-                    # both endpoints (a semi-join would also do; the
-                    # inner join keeps Cypher's match multiplicity)
-                    df = df.join(adj, on=[rel.src, rel.dst])
-                    continue
-                elif rel.src in bound:
-                    df = df.join(adj, on=rel.src)
-                elif rel.dst in bound:
-                    df = df.join(adj, on=rel.dst)
-                    rel = _Rel(rel.dst, rel.src, rel.label, rel.direction)
+            if df is None:
+                if rel.src in skip_node_vars:
+                    df = adj
                 else:
-                    df = df.crossJoin(node_df(rel.src).join(adj, on=rel.src))
-                    bound.add(rel.src)
-                if rel.dst not in bound:
-                    df = df.join(node_df(rel.dst), on=rel.dst)
-                    bound.add(rel.dst)
-        for var in q.nodes:
-            if var not in bound:
-                nd = node_df(var)
-                df = nd if df is None else df.crossJoin(nd)
-                bound.add(var)
-        assert df is not None, "cypher: empty pattern"
+                    df = self._node_df(rel.src).join(adj, on=rel.src)
+                bound.add(rel.src)
+            elif rel.src in bound and rel.dst in bound:
+                # closing edge of a cyclic pattern: equi-join on both
+                # endpoints (inner join keeps Cypher match multiplicity)
+                df = df.join(adj, on=[rel.src, rel.dst])
+                continue
+            elif rel.src in bound:
+                df = df.join(adj, on=rel.src)
+            elif rel.dst in bound:
+                df = df.join(adj, on=rel.dst)
+                rel = _Rel(rel.dst, rel.src, rel.label, rel.direction,
+                           rel.min_hops, rel.max_hops)
+            else:
+                if rel.src in skip_node_vars:
+                    df = df.crossJoin(adj)
+                else:
+                    df = df.crossJoin(
+                        self._node_df(rel.src).join(adj, on=rel.src))
+                bound.add(rel.src)
+            if rel.dst not in bound:
+                df = attach_node(df, rel.dst)
+                bound.add(rel.dst)
+        for var in mc.nodes:
+            if var in bound or var in skip_node_vars:
+                continue
+            nd = self._node_df(var)
+            df = nd if df is None else df.crossJoin(nd)
+            bound.add(var)
+        if df is None:
+            raise SyntaxError(
+                "cypher: OPTIONAL MATCH must connect to a bound var "
+                "through a relationship")
+        return df
 
-        for cond in q.where:
+    # ---- clause application ----------------------------------------
+
+    def _apply_match(self, df: DataFrame | None, mc: _MatchClause) \
+            -> DataFrame:
+        for var, lab in mc.nodes.items():
+            if lab:
+                existing = self._labels.get(var)
+                if existing is None:
+                    self._labels[var] = lab
+        where_vars: set[str] = set()
+        for cond in mc.where:
+            _cond_vars(cond, where_vars)
+        if mc.optional:
+            if df is None:
+                raise SyntaxError("cypher: OPTIONAL MATCH before MATCH")
+            shared = sorted((set(mc.nodes) | {r.src for r in mc.rels}
+                             | {r.dst for r in mc.rels}) & self._bound)
+            sub_bound: set[str] = set()
+            sub = self._pattern_df(mc, None, sub_bound,
+                                   skip_node_vars=set(shared))
+            for cond in mc.where:
+                sub = sub.filter(self._filter(cond))
+            if shared:
+                df = df.join(sub, on=shared, how="left")
+            else:
+                df = df.crossJoin(sub)
+            self._bound |= sub_bound
+            return df
+        df = self._pattern_df(mc, df, self._bound)
+        df = self._hydrate(df, where_vars)
+        for cond in mc.where:
             df = df.filter(self._filter(cond))
+        return df
 
-        # RETURN: aggregation iff any agg item present
+    def _apply_proj(self, df: DataFrame, p: _Proj) -> DataFrame:
         items = [(expr, alias or _default_alias(expr))
-                 for expr, alias in q.returns]
+                 for expr, alias in p.items]
+        needed: set[str] = set()
+        for expr, _ in items:
+            _expr_vars(expr, needed)
+        for expr, _ in p.order:
+            _expr_vars(expr, needed)
+        for cond in p.where:
+            _cond_vars(cond, needed)
+        df = self._hydrate(df, needed)
+
         has_agg = any(e[0] == "agg" for e, _ in items)
+        carried_nodes: list[tuple[str, str]] = []  # (old var, alias)
         if has_agg:
             keys = [(e, a) for e, a in items if e[0] != "agg"]
             aggs = []
@@ -462,12 +753,33 @@ class CypherEngine:
                     aggs.append(F.round(f(c), 6).alias(a))
             df = df.groupBy(*[self._col(e).alias(a) for e, a in keys]) \
                 .agg(*aggs) if keys else df.agg(*aggs)
+            if p.is_with:
+                carried_nodes = [(e[1], a) for e, a in keys
+                                 if e[0] == "var" and e[1] in self._bound]
         else:
-            df = df.select(*[self._col(e).alias(a) for e, a in items])
-        if q.distinct:
+            cols = [self._col(e).alias(a) for e, a in items]
+            if p.is_with:
+                # a bare node var carried through WITH stays a node:
+                # keep its hidden label/property columns under the
+                # (possibly renamed) alias
+                for e, a in items:
+                    if e[0] != "var" or e[1] not in self._bound:
+                        continue
+                    v = e[1]
+                    carried_nodes.append((v, a))
+                    if f"__l_{v}" in df.columns:
+                        cols.append(F.col(f"__l_{v}").alias(f"__l_{a}"))
+                    if f"__p_{v}" in df.columns:
+                        cols.append(F.col(f"__p_{v}").alias(f"__p_{a}"))
+                    for prop in self._typed_cols.get(v, ()):
+                        if f"__c_{v}_{prop}" in df.columns:
+                            cols.append(F.col(f"__c_{v}_{prop}")
+                                        .alias(f"__c_{a}_{prop}"))
+            df = df.select(*cols)
+        if p.distinct:
             df = df.dropDuplicates()
 
-        if q.order:
+        if p.order:
             out_names = {a for _, a in items}
 
             def ocol(expr) -> Column:
@@ -477,14 +789,46 @@ class CypherEngine:
                     return F.col(f"{expr[1]}_{expr[2]}")
                 return self._col(expr)
             df = df.orderBy(*[ocol(e).asc() if asc else ocol(e).desc()
-                              for e, asc in q.order])
-        if q.skip:
-            df = df.offset(q.skip)
-        if q.limit is not None:
-            df = df.limit(q.limit)
+                              for e, asc in p.order])
+        if p.skip:
+            df = df.offset(p.skip)
+        if p.limit is not None:
+            df = df.limit(p.limit)
+
+        if p.is_with:
+            # reset the horizon: only projected columns survive
+            new_typed: dict[str, set[str]] = {}
+            new_labels: dict[str, str | None] = {}
+            new_bound: set[str] = set()
+            for v, a in carried_nodes:
+                new_bound.add(a)
+                new_labels[a] = self._labels.get(v)
+                if not has_agg and v in self._typed_cols:
+                    new_typed[a] = self._typed_cols[v]
+            self._typed_cols, self._labels = new_typed, new_labels
+            self._bound = new_bound
+            for cond in p.where:
+                hv: set[str] = set()
+                _cond_vars(cond, hv)
+                df = self._hydrate(df, hv)
+                df = df.filter(self._filter(cond))
         return df
+
+    def run(self, query: str) -> DataFrame:
+        q = _Parser(_tokenize(query)).parse()
+        self._typed_cols = {}
+        self._labels = {}
+        self._bound = set()
+        df: DataFrame | None = None
+        for clause in q.clauses:
+            if isinstance(clause, _MatchClause):
+                df = self._apply_match(df, clause)
+            else:
+                df = self._apply_proj(df, clause)
+        assert q.final is not None
+        return self._apply_proj(df, q.final)
 
 
 def cypher(graph: PropertyGraph, query: str) -> DataFrame:
-    """Run a Cypher MATCH query against the graph."""
+    """Run a Cypher read query against the graph."""
     return CypherEngine(graph).run(query)

@@ -125,3 +125,136 @@ def test_schema_link_pruning(graph):
     both = cypher(graph, """
         MATCH (n:nation)-[]-(r:region) RETURN count(*) AS n""").head().n
     assert both == 25
+
+
+# ---- round 3: var-length, OPTIONAL MATCH, WITH, expressions ---------
+
+
+def test_varlen_counts_match_manual_unroll(graph):
+    """*1..2 path count = 1-hop edges + 2-hop edge sequences."""
+    one = cypher(graph, """
+        MATCH (a:customer)-[:interacted]->(b:customer)
+        RETURN count(*) AS n""").head().n
+    two = cypher(graph, """
+        MATCH (a:customer)-[:interacted]->(x:customer)
+              -[:interacted]->(b:customer)
+        RETURN count(*) AS n""").head().n
+    both = cypher(graph, """
+        MATCH (a:customer)-[:interacted*1..2]->(b:customer)
+        RETURN count(*) AS n""").head().n
+    assert both == one + two > 0
+
+
+def test_varlen_exact_and_zero_length(graph):
+    exact = cypher(graph, """
+        MATCH (n:nation)-[:located_in*1]->(r:region)
+        RETURN count(*) AS n""").head().n
+    assert exact == 25
+    # *0..1: 25 identity pairs (n = x) + 25 located_in hops
+    zero = cypher(graph, """
+        MATCH (n:nation)-[:located_in*0..1]->(x)
+        RETURN count(*) AS n""").head().n
+    assert zero == 50
+
+
+def test_varlen_both_excludes_edge_reuse(graph):
+    """Relationship isomorphism: n-r-n over the SAME located_in edge
+    is not a match; every 2-hop BOTH path between nations uses two
+    distinct physical edges, so endpoints always differ."""
+    rows = cypher(graph, """
+        MATCH (n:nation)-[:located_in*2..2]-(m:nation)
+        RETURN n, m""").collect()
+    assert rows and all(r.n != r.m for r in rows)
+    # count = sum over regions of deg*(deg-1), both directions counted
+    from collections import Counter
+    deg = Counter(r.dst for r in graph.edges
+                  .filter("label = 'located_in'").collect())
+    assert len(rows) == sum(d * (d - 1) for d in deg.values())
+
+
+def test_optional_match_left_join(graph):
+    rows = cypher(graph, """
+        MATCH (c:customer) OPTIONAL MATCH (c)-[:placed]->(o:order)
+        RETURN c, count(o) AS n""").collect()
+    n_cust = graph.vertices.filter("label = 'customer'").count()
+    assert len(rows) == n_cust
+    placed = graph.edges.filter("label = 'placed'").count()
+    assert sum(r.n for r in rows) == placed
+    # the fixture is fully connected (every customer has orders), so
+    # force unmatched rows through the optional-side WHERE instead
+    rows2 = cypher(graph, """
+        MATCH (c:customer) OPTIONAL MATCH (c)-[:placed]->(o:order)
+        WHERE o.totalprice > 300000
+        RETURN c, count(o) AS n""").collect()
+    assert len(rows2) == n_cust  # unmatched customers survive as n=0
+    big = (graph.view("order").filter("totalprice > 300000")
+           .join(graph.edges.filter("label = 'placed'")
+                 .selectExpr("dst AS id", "src"), on="id")
+           .select("src").distinct().count())
+    assert sum(1 for r in rows2 if r.n > 0) == big
+    assert any(r.n == 0 for r in rows2)
+
+
+def test_optional_match_where_filters_before_join(graph):
+    rows = cypher(graph, """
+        MATCH (n:nation) OPTIONAL MATCH (n)<-[:in_nation]-(c:customer)
+        WHERE c.acctbal > 9999
+        RETURN n, count(c) AS rich""").collect()
+    assert len(rows) == 25  # every nation kept, even with 0 matches
+    manual = (graph.view("customer").filter("acctbal > 9999").count())
+    assert sum(r.rich for r in rows) == manual
+
+
+def test_is_null_on_optional(graph):
+    no_orders = cypher(graph, """
+        MATCH (c:customer) OPTIONAL MATCH (c)-[:placed]->(o:order)
+        WITH c, o WHERE o IS NULL
+        RETURN count(*) AS n""").head().n
+    manual = (graph.vertices.filter("label = 'customer'")
+              .join(graph.edges.filter("label = 'placed'")
+                    .selectExpr("src AS id"), on="id", how="left_anti")
+              .count())
+    assert no_orders == manual
+
+
+def test_with_agg_then_filter_then_match(graph):
+    rows = cypher(graph, """
+        MATCH (c:customer)-[:placed]->(o:order)
+        WITH c, count(o) AS n WHERE n >= 5
+        MATCH (c)-[:in_nation]->(nat:nation)
+        RETURN nat, sum(n) AS orders""").collect()
+    import pyspark.sql.functions as SF
+    manual = (graph.edges.filter("label = 'placed'")
+              .groupBy("src").count().filter("count >= 5")
+              .join(graph.edges.filter("label = 'in_nation'")
+                    .select(SF.col("src"), SF.col("dst").alias("nat")),
+                    on="src")
+              .groupBy("nat").agg(SF.sum("count").alias("orders")))
+    got = {(r.nat, r.orders) for r in rows}
+    want = {(r.nat, float(r.orders)) for r in manual.collect()}
+    assert got == {(n, o) for n, o in want} or \
+        {(n, float(o)) for n, o in got} == want
+
+
+def test_with_carries_node_properties(graph):
+    # non-aggregating WITH keeps the node typed columns addressable
+    n = cypher(graph, """
+        MATCH (p:part) WITH p WHERE p.size > 40
+        RETURN count(*) AS n""").head().n
+    assert n == graph.view("part").filter("size > 40").count()
+    # aggregating WITH re-hydrates the node on property access
+    rows = cypher(graph, """
+        MATCH (c:customer)-[:placed]->(o:order)
+        WITH c, count(o) AS n WHERE n >= 5
+        RETURN c.mktsegment AS segment, count(*) AS customers
+        ORDER BY segment""").collect()
+    assert rows and all(r.segment is not None for r in rows)
+
+
+def test_return_arithmetic_expression(graph):
+    rows = cypher(graph, """
+        MATCH (p:part) WHERE p.size IN [10, 20]
+        RETURN p AS id, p.size * 2 + 1 AS sz""").collect()
+    assert rows and all(r.sz in (21, 41) for r in rows)
+    with pytest.raises(SyntaxError):
+        cypher(graph, "MATCH (p:part) RETURN p.size * 2")  # needs AS
