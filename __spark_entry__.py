@@ -370,6 +370,36 @@ def text_bigram_contains(spark, sf_dir):
             .select("id", "name"))
 
 
+@_q("text_cjk_contains", """
+SELECT doc_id AS id FROM documents
+WHERE doc_id % 5 = 2 OR (doc_id * 3 + 1) % 5 = 2
+   OR (doc_id * 7 + 2) % 5 = 2
+""")
+def text_cjk_contains(spark, sf_dir):
+    """SEARCH lookup through the dictionary FMM CJK analyzer
+    (functions/text.py make_fmm_analyzer — the IK/Jieba slot of
+    AnalyzerFactory.java). The corpus fixture is ASCII, so CJK text is
+    seeded deterministically: doc i = P[i%5] + P[(3i+1)%5] + '的' +
+    P[(7i+2)%5] concatenated UNSPACED from five dictionary phrases
+    with pairwise-disjoint characters — so correct segmentation of the
+    unsegmented string is exactly the phrase decomposition, and the
+    oracle can state containment of P[2] ('图计算') purely by
+    construction, independent of the segmenter code."""
+    from incubator_hugegraph_spark.functions.text import segment
+    phrases = ["数据库", "分布式系统", "图计算", "机器学习", "查询引擎"]
+    arr = F.array(*[F.lit(p) for p in phrases])
+    did = F.col("doc_id")
+    txt = F.concat(
+        F.element_at(arr, (did % 5 + 1).cast("int")),
+        F.element_at(arr, ((did * 3 + 1) % 5 + 1).cast("int")),
+        F.lit("的"),
+        F.element_at(arr, ((did * 7 + 2) % 5 + 1).cast("int")))
+    docs = _docs(spark, sf_dir).select("doc_id", txt.alias("text"))
+    return (docs.filter(F.array_contains(segment(F.col("text"), "cjk"),
+                                         "图计算"))
+            .select(F.col("doc_id").alias("id")))
+
+
 @_q("gremlin_dsl_select", """
 SELECT 'customer!' || c_custkey AS c, 'nation!' || c_nationkey AS n
 FROM customer
@@ -2919,6 +2949,62 @@ def doc_repetition(spark, sf_dir):
     instance fraction per doc."""
     from incubator_hugegraph_spark.data.clean import repetition_metrics
     return repetition_metrics(_docs(spark, sf_dir), n=2)
+
+
+def _pii_patterns():
+    from incubator_hugegraph_spark.data.clean import PII_PATTERNS
+    return PII_PATTERNS
+
+
+# Deterministic PII seeding (the corpus fixture has no real PII): every
+# doc_id % 3 == 0 doc gets a synthetic email / ipv4 / ssn / phone
+# appended to its 40-char prefix; the others keep the clean prefix.
+# Both sides derive the identical string, then redact with the SAME
+# pattern constants (data/clean.py PII_PATTERNS interpolated below —
+# single source of truth, no drift).
+_PII_SYNTH_SQL = """
+base AS (SELECT doc_id AS id, substr(text, 1, 40) AS b FROM documents),
+synth AS (SELECT id,
+  CASE WHEN id % 3 = 0 THEN b || ' email user' || id
+       || '@example.com ip 10.0.' || (id % 256) || '.' || ((id * 7) % 256)
+       || ' ssn 123-45-6789 call +1 (555) 010-'
+       || lpad(CAST(id % 10000 AS VARCHAR), 4, '0')
+  ELSE b END AS text FROM base)
+"""
+
+
+def _pii_oracle_sql() -> str:
+    p = _pii_patterns()
+    red = "text"
+    for k in p:
+        red = f"regexp_replace({red}, '{p[k]}', '<{k.upper()}>', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(length(regexp_extract_all(text, '{p[k]}')) AS BIGINT)"
+        f" AS n_{k}" for k in p)
+    return (f"WITH {_PII_SYNTH_SQL.strip()}\n"
+            f"SELECT id, {red} AS redacted,\n       {counts}\nFROM synth")
+
+
+@_q("doc_pii_redact", _pii_oracle_sql())
+def doc_pii_redact(spark, sf_dir):
+    """PII scrub as a pure JVM-side map (regexp_count/regexp_replace in
+    whole-stage codegen — no Python, no shuffle at any scale). PII is
+    seeded deterministically in-query because the fixture corpus is
+    clean; patterns come from the one PII_PATTERNS constant both here
+    and in the oracle."""
+    from incubator_hugegraph_spark.data.clean import pii_redact
+    did = F.col("doc_id")
+    b = F.substring("text", 1, 40)
+    synth = F.concat(
+        b, F.lit(" email user"), did.cast("string"),
+        F.lit("@example.com ip 10.0."), (did % 256).cast("string"),
+        F.lit("."), ((did * 7) % 256).cast("string"),
+        F.lit(" ssn 123-45-6789 call +1 (555) 010-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"))
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.when(did % 3 == 0, synth).otherwise(b).alias("text")))
+    return pii_redact(docs)
 
 
 @_q("doc_pack_sequences", """

@@ -81,5 +81,89 @@ def _bigram_analyzer(col: Column) -> Column:
                     lambda i: s.substr(i, F.lit(2))))
 
 
+# --------------------------------------------------------------------
+# Dictionary-driven CJK segmenter (forward maximum matching) — the
+# algorithm family behind the reference's IK / MMSeg4J / Jieba
+# analyzers (core/analyzer/AnalyzerFactory.java ships 8 JVM
+# segmenters; none of those libraries exist in this environment, so
+# the segmenter itself is implemented here). Arrow-batched pandas_udf
+# behind the same ``segment()`` signature — never a row-at-a-time
+# Python UDF. The scan→segment pass is a pure map (no shuffle), so it
+# scales linearly with the corpus.
+# --------------------------------------------------------------------
+
+#: Small built-in lexicon (analytics-domain vocabulary). Real corpora
+#: pass their own dictionary to make_fmm_analyzer.
+DEFAULT_CJK_DICT: frozenset[str] = frozenset({
+    "数据", "数据库", "分布", "分布式", "系统", "分布式系统",
+    "图", "计算", "图计算", "机器", "学习", "机器学习",
+    "查询", "引擎", "查询引擎", "索引", "分析", "算法", "模型",
+    "的", "和", "与",
+})
+
+
+def _is_cjk(ch: str) -> bool:
+    o = ord(ch)
+    return (0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF
+            or 0xF900 <= o <= 0xFAFF)
+
+
+def _fmm_segment(text: str, words: frozenset[str], maxlen: int) \
+        -> list[str]:
+    """Forward maximum matching: at each CJK position take the longest
+    dictionary word, else the single character. Non-CJK runs fall back
+    to the default word rule (lowercase alnum runs) so mixed-script
+    text tokenizes consistently with the 'word' analyzer."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    buf: list[str] = []  # current non-CJK alnum run
+
+    def flush() -> None:
+        if buf:
+            out.append("".join(buf))
+            buf.clear()
+
+    while i < n:
+        ch = text[i]
+        if _is_cjk(ch):
+            flush()
+            for ln in range(min(maxlen, n - i), 1, -1):
+                if text[i:i + ln] in words:
+                    out.append(text[i:i + ln])
+                    i += ln
+                    break
+            else:
+                out.append(ch)
+                i += 1
+            continue
+        low = ch.lower()
+        if low.isascii() and (low.isalpha() or low.isdigit()):
+            buf.append(low)
+        else:
+            flush()
+        i += 1
+    flush()
+    return out
+
+
+def make_fmm_analyzer(dictionary=DEFAULT_CJK_DICT):
+    """Build a Column->Column analyzer segmenting with forward maximum
+    matching over ``dictionary`` (registerable via
+    register_analyzer)."""
+    words = frozenset(dictionary)
+    maxlen = max(map(len, words)) if words else 1
+
+    def _analyzer(col: Column) -> Column:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def seg(s):  # pd.Series[str] -> pd.Series[list[str]]
+            return s.map(lambda t: [] if t is None
+                         else _fmm_segment(t, words, maxlen))
+        return seg(_c(col))
+    return _analyzer
+
+
 register_analyzer("word", tokenize)
 register_analyzer("bigram", _bigram_analyzer)
+register_analyzer("cjk", make_fmm_analyzer())

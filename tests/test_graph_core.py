@@ -192,3 +192,22 @@ def test_analyzer_registry_and_pandas_udf_plugin(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         segment("t", "nope")
+
+
+def test_cjk_fmm_analyzer(spark):
+    """Dictionary FMM segmenter: longest match wins, single-char
+    fallback, mixed-script passthrough matches the word rule."""
+    from incubator_hugegraph_spark.functions.text import (
+        make_fmm_analyzer, segment)
+    df = spark.createDataFrame(
+        [("分布式系统和图计算引擎X",), ("数据库 spark 4引擎",), ("abc莫def",)],
+        "t string")
+    rows = df.select(segment("t", "cjk").alias("s")).collect()
+    assert rows[0].s == ["分布式系统", "和", "图计算", "引擎", "x"]
+    assert rows[1].s == ["数据库", "spark", "4", "引擎"]
+    # '莫' is not in the dictionary -> single-char fallback
+    assert rows[2].s == ["abc", "莫", "def"]
+    # custom dictionary changes the segmentation
+    seg2 = make_fmm_analyzer({"图计算引擎"})
+    got = df.limit(1).select(seg2("t").alias("s")).head().s
+    assert "图计算引擎" in got
