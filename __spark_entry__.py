@@ -2324,6 +2324,83 @@ def gremlin_match_pattern(spark, sf_dir):
             .select("customer", "ord", "part"))
 
 
+@_q("gremlin_sack", """
+SELECT ROUND(c_acctbal + o_totalprice, 6) AS value
+FROM customer JOIN orders ON o_custkey = c_custkey
+""")
+def gremlin_sack_q(spark, sf_dir):
+    """TinkerPop sack(): per-traverser accumulator riding the
+    traversal as one column (g.withSack(0).V().sack(sum)
+    .by('acctbal').out('placed').sack(sum).by('totalprice').sack())
+    — ProcessBasicSuite sack family."""
+    from incubator_hugegraph_spark.gremlin import G
+    t = (G(_graph(spark, sf_dir)).withSack(0.0)
+         .V().hasLabel("customer").sack_("sum", "acctbal")
+         .out("placed").sack_("sum", "totalprice").sack_())
+    return t.df.select(F.round("value", 6).alias("value"))
+
+
+@_q("gremlin_tree", """
+WITH o AS (SELECT o_orderkey AS ok FROM orders WHERE o_custkey = 1),
+l2 AS (SELECT DISTINCT o.ok, l.l_partkey AS pk
+       FROM o JOIN lineitem l ON l.l_orderkey = o.ok)
+SELECT 'customer!1' AS path, CAST(NULL AS VARCHAR) AS parent,
+       'customer!1' AS element, 0 AS depth
+UNION ALL
+SELECT 'customer!1>order!' || ok, 'customer!1', 'order!' || ok, 1 FROM o
+UNION ALL
+SELECT 'customer!1>order!' || ok || '>part!' || pk,
+       'customer!1>order!' || ok, 'part!' || pk, 2 FROM l2
+""")
+def gremlin_tree_q(spark, sf_dir):
+    """TinkerPop tree(): path-prefix aggregation, one row per DISTINCT
+    prefix (nested-map tree flattened set-orientedly)."""
+    from incubator_hugegraph_spark.gremlin import G
+    return (G(_graph(spark, sf_dir)).V("customer!1")
+            .out("placed").out("contains").tree())
+
+
+@_q("gremlin_subgraph", """
+SELECT 'nation' AS label, (SELECT count(*) FROM nation) AS cnt
+UNION ALL
+SELECT 'region', count(DISTINCT n_regionkey) FROM nation
+""")
+def gremlin_subgraph_q(spark, sf_dir):
+    """TinkerPop subgraph(): edge-induced subgraph of the E-stream as
+    a full PropertyGraph (SubgraphStrategy surface) — here the
+    located_in graph; result: its vertex census."""
+    from incubator_hugegraph_spark.gremlin import G
+    sub = G(_graph(spark, sf_dir)).E("located_in").subgraph()
+    return sub.vertices.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+
+@_q("gremlin_math", """
+SELECT ROUND((p_size * 2 + 1) / 2.0, 6) AS value FROM part
+""")
+def gremlin_math_q(spark, sf_dir):
+    """TinkerPop math() step over the value stream ('_' = incoming
+    value), compiled to one Column expression."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    return eval_gremlin(_graph(spark, sf_dir),
+                        "g.V().hasLabel('part').values('size')"
+                        ".math('(_ * 2 + 1) / 2')")
+
+
+@_q("gremlin_mid_v", """
+SELECT 'customer!1>nation!' || c_nationkey || '>' || r AS value
+FROM customer CROSS JOIN (VALUES ('region!0'), ('region!1')) t(r)
+WHERE c_custkey = 1
+""")
+def gremlin_mid_v_q(spark, sf_dir):
+    """Mid-traversal V(): cartesian restart preserving the path
+    (ProcessBasicSuite mid-traversal V family)."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    return eval_gremlin(_graph(spark, sf_dir),
+                        "g.V('customer!1').out('in_nation')"
+                        ".V('region!0','region!1').path()")
+
+
 @_q("element_json", """
 SELECT 'customer!' || c_custkey AS id,
        '{"id":"customer!' || c_custkey

@@ -49,6 +49,7 @@ it is SELECTed away by count()/values()).
 
 from __future__ import annotations
 
+import re
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame
@@ -230,7 +231,8 @@ class Traversal:
     # -- adjacency steps ----------------------------------------------
 
     def _carries(self) -> list[str]:
-        return [c for c in self.df.columns if c.startswith("__as_")]
+        return [c for c in self.df.columns
+                if c.startswith("__as_") or c == "__sack"]
 
     def _hop(self, direction: str, labels: tuple[str, ...]) -> "Traversal":
         self._require("V")
@@ -281,7 +283,7 @@ class Traversal:
                 & (phys_dst == F.col("__pdst")))
         df = (e.join(edges, on=cond)
               .select("anchor", "other", "label", "sort_values", "props",
-                      "path", eid.alias("eid"), *carry))
+                      "dir", "path", eid.alias("eid"), *carry))
         return self._new(df, kind="E")
 
     def outE(self, *labels: str) -> "Traversal":
@@ -368,6 +370,117 @@ class Traversal:
         """Gremlin is(): filter the current VALUE stream."""
         self._require("value")
         return self._new(self.df.filter(_pred(F.col("value"), value)))
+
+    # -- sack / tree / subgraph / math / mid-traversal V --------------
+    # (the ProcessBasicSuite stragglers, test/tinkerpop/
+    # ProcessBasicSuite.java:110-198)
+
+    _SACK_OPS = {"sum": lambda s, v: s + v,
+                 "minus": lambda s, v: s - v,
+                 "mult": lambda s, v: s * v,
+                 "div": lambda s, v: s / v,
+                 "max": F.greatest, "min": F.least,
+                 "assign": lambda s, v: v}
+
+    def sack_(self, op: str | None = None,
+              by: str | None = None) -> "Traversal":
+        """TinkerPop sack(): per-traverser accumulator. ``sack_()``
+        emits the sack as a value stream; ``sack_(op, by_prop)``
+        updates it from the current element's property (sack(mult)
+        .by('weight') ⇒ sack_('mult', 'weight')). The sack rides the
+        traversal as one extra column — hops carry it at zero shuffle
+        cost (the same design as step labels)."""
+        if "__sack" not in self.df.columns:
+            raise TypeError("sack: traversal has no sack — start with "
+                            "g.withSack(init)")
+        if op is None:
+            return self._new(self.df.select(F.col("__sack").alias("value")),
+                             kind="value", sort=None)
+        if op not in self._SACK_OPS:
+            raise ValueError(f"sack: unknown operator {op!r}")
+        if by is None:
+            raise ValueError("sack: sack_(op) needs a by-property")
+        t = self._elem() if self.kind == "V" else self
+        val = t._prop_col(by) if t.kind == "V" else \
+            F.col("props")[by].cast("double")
+        upd = self._SACK_OPS[op](F.col("__sack"), val.cast("double"))
+        return t._new(t.df.withColumn("__sack", upd))
+
+    def tree(self) -> DataFrame:
+        """Terminal tree(): the traversers' paths aggregated into a
+        prefix tree, flattened set-orientedly as one row per DISTINCT
+        path prefix — (path, parent, element, depth). Two traversers
+        reaching one vertex through different prefixes yield distinct
+        tree nodes (TinkerPop tree identity). Pure
+        transform/explode/distinct — no driver recursion."""
+        self._require("V")
+        pfx = F.transform(F.sequence(F.lit(1), F.size("path")),
+                          lambda i: F.slice(F.col("path"), F.lit(1), i))
+        rows = self.df.select(F.explode(pfx).alias("p"))
+        return (rows.select(
+            F.array_join("p", ">").alias("path"),
+            F.element_at("p", -1).alias("element"),
+            (F.size("p") - 1).alias("depth"),
+            F.when(F.size("p") > 1,
+                   F.array_join(F.slice(F.col("p"), F.lit(1),
+                                        F.size("p") - 1), ">"))
+            .alias("parent"))
+            .distinct())
+
+    def subgraph(self) -> PropertyGraph:
+        """Terminal subgraph(): the edge-induced subgraph of the
+        current E-stream as a fully functional PropertyGraph (the
+        TinkerPop subgraph() side-effect; the reference exposes it via
+        SubgraphStrategy). Distinct physical edges + their endpoint
+        vertices; all operators/algorithms run on the result
+        unchanged."""
+        self._require("E")
+        phys_src = F.when(F.col("dir") == "OUT",
+                          F.col("anchor")).otherwise(F.col("other"))
+        phys_dst = F.when(F.col("dir") == "OUT",
+                          F.col("other")).otherwise(F.col("anchor"))
+        e = (self.df.select(phys_src.alias("src"), phys_dst.alias("dst"),
+                            "label", "sort_values", "props")
+             .dropDuplicates(["src", "dst", "label", "sort_values"]))
+        ids = (e.select(F.col("src").alias("id"))
+               .unionByName(e.select(F.col("dst").alias("id"))).distinct())
+        v = self.graph.vertices.join(ids, on="id", how="left_semi")
+        return PropertyGraph(self.graph.spark, v, e,
+                             schema=self.graph.schema)
+
+    _MATH_FNS = {"abs": F.abs, "ceil": F.ceil, "floor": F.floor,
+                 "sqrt": F.sqrt, "exp": F.exp, "log": F.log,
+                 "sin": F.sin, "cos": F.cos, "tan": F.tan,
+                 "signum": F.signum}
+
+    def math_(self, expr: str) -> "Traversal":
+        """TinkerPop math() over the value stream: `_` is the current
+        value; + - * / % with normal precedence, parentheses, and the
+        one-arg functions abs/ceil/floor/sqrt/exp/log/sin/cos/tan/
+        signum. Compiles to one Column expression — stays in
+        whole-stage codegen."""
+        self._require("value")
+        col = _compile_math(expr, F.col("value").cast("double"))
+        return self._new(self.df.select(
+            F.round(col, 6).alias("value")))
+
+    def V_(self, *ids: str) -> "Traversal":
+        """Mid-traversal V(): each incoming traverser continues to
+        every vertex (or the given ids) — TinkerPop's cartesian
+        restart; path and carried labels/sack are preserved. The id
+        list compiles to a pushed IN filter; the unrestricted form is
+        an explicit cross join (as in Gremlin, where mid-traversal
+        V() is a deliberate full restart)."""
+        self._require("V", "E")
+        v = self.graph.vertices.select(F.col("id").alias("__nv"))
+        if ids:
+            v = v.filter(F.col("__nv").isin(list(ids)))
+        carry = self._carries()
+        df = (self.df.select("path", *carry).crossJoin(v)
+              .select(F.col("__nv").alias("id"),
+                      F.concat(F.col("path"), F.array(F.col("__nv")))
+                      .alias("path"), *carry))
+        return self._new(df, kind="V", attached=False)
 
     def inject(self, *values) -> "Traversal":
         """Append literal values to the value stream."""
@@ -534,17 +647,96 @@ class Traversal:
         return [r[0] for r in self.toDF().collect()]
 
 
-class G:
-    """Traversal source — ``G(graph).V()`` / ``.E()``."""
+class _MathParser:
+    """Recursive-descent arithmetic for the math() step."""
 
-    def __init__(self, graph: PropertyGraph):
+    _TOK = re.compile(
+        r"\s*(\d+\.\d+|\d+|[+\-*/%()]|[A-Za-z_][A-Za-z0-9_]*)")
+
+    def __init__(self, expr: str, cur: Column):
+        self.toks = self._TOK.findall(expr)
+        if "".join(self.toks).replace(" ", "") != expr.replace(" ", ""):
+            raise SyntaxError(f"math: cannot tokenize {expr!r}")
+        self.i, self.cur = 0, cur
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise SyntaxError("math: unexpected end of expression")
+        self.i += 1
+        return t
+
+    def expr(self) -> Column:
+        c = self.term()
+        while self.peek() in ("+", "-"):
+            op = self.take()
+            c = c + self.term() if op == "+" else c - self.term()
+        return c
+
+    def term(self) -> Column:
+        c = self.atom()
+        while self.peek() in ("*", "/", "%"):
+            op = self.take()
+            r = self.atom()
+            c = {"*": c * r, "/": c / r, "%": c % r}[op]
+        return c
+
+    def atom(self) -> Column:
+        t = self.take()
+        if t == "(":
+            c = self.expr()
+            if self.take() != ")":
+                raise SyntaxError("math: unbalanced parentheses")
+            return c
+        if t == "_":
+            return self.cur
+        if t in Traversal._MATH_FNS:
+            if self.take() != "(":
+                raise SyntaxError(f"math: {t} needs parentheses")
+            c = Traversal._MATH_FNS[t](self.expr())
+            if self.take() != ")":
+                raise SyntaxError("math: unbalanced parentheses")
+            return c
+        try:
+            return F.lit(float(t))
+        except ValueError:
+            raise SyntaxError(f"math: bad token {t!r}") from None
+
+
+def _compile_math(expr: str, cur: Column) -> Column:
+    p = _MathParser(expr, cur)
+    c = p.expr()
+    if p.peek() is not None:
+        raise SyntaxError(f"math: trailing input at {p.peek()!r}")
+    return c
+
+
+class G:
+    """Traversal source — ``G(graph).V()`` / ``.E()``; ``withSack``
+    seeds the per-traverser accumulator (TinkerPop
+    GraphTraversalSource.withSack)."""
+
+    def __init__(self, graph: PropertyGraph, sack_init=None):
         self.graph = graph
+        self._sack_init = sack_init
+
+    def withSack(self, init) -> "G":
+        return G(self.graph, sack_init=init)
+
+    def _seed_sack(self, df: DataFrame) -> DataFrame:
+        if self._sack_init is None:
+            return df
+        return df.withColumn(
+            "__sack", F.lit(self._sack_init).cast("double"))
 
     def V(self, *ids: str) -> Traversal:
         v = self.graph.vertices.select("id", "label", "props")
         if ids:
             v = v.filter(F.col("id").isin(list(ids)))
-        df = v.withColumn("path", F.array(F.col("id")))
+        df = self._seed_sack(v.withColumn("path", F.array(F.col("id"))))
         return Traversal(self.graph, df, "V", attached=True)
 
     def E(self, *labels: str) -> Traversal:
@@ -554,6 +746,8 @@ class G:
         eid = F.concat_ws(">>", "src", "label", "sort_values", "dst")
         df = e.select(F.col("src").alias("anchor"),
                       F.col("dst").alias("other"), "label", "sort_values",
-                      "props", F.array("src", "dst").alias("path"),
+                      "props", F.lit("OUT").alias("dir"),
+                      F.array("src", "dst").alias("path"),
                       eid.alias("eid"))
-        return Traversal(self.graph, df, "E", attached=True)
+        return Traversal(self.graph, self._seed_sack(df), "E",
+                         attached=True)

@@ -59,7 +59,7 @@ _PREDICATES = {"eq", "neq", "gt", "gte", "lt", "lte", "within",
 _STEP_ALIAS = {"in": "in_", "id": "id_", "label": "label_",
                "is": "is_", "range": "range_", "as": "as_",
                "sum": "sum_", "mean": "mean_", "min": "min_",
-               "max": "max_"}
+               "max": "max_", "math": "math_", "V": "V_"}
 
 _ORDER_DESC = {"decr", "desc"}
 
@@ -213,6 +213,22 @@ def _apply(chain: _Chain, t: Traversal) -> object:
             t = t.groupCount(key)
             i += 1
             continue
+        if name == "sack":
+            # sack() emits; sack(op).by('prop') updates (op is a bare
+            # identifier: sum/minus/mult/div/max/min/assign)
+            if not args:
+                t = t.sack_()
+                i += 1
+                continue
+            op = args[0][1] if isinstance(args[0], tuple) else args[0]
+            by = None
+            if i + 1 < len(steps) and steps[i + 1][0] == "by":
+                by_args = steps[i + 1][1]
+                by = by_args[0] if by_args else None
+                i += 1
+            t = t.sack_(op, by)
+            i += 1
+            continue
         if name == "where":
             # where(eq('a')) / where(neq('a')): the STEP-LABEL form
             # (TinkerPop P with a string refers back to an as() label)
@@ -268,11 +284,17 @@ def eval_gremlin(graph: PropertyGraph, query: str):
     p = _P(_tokenize(query))
     chain = p.chain()
     p.take("eof")
-    if not chain.steps or chain.steps[0][0] not in ("V", "E"):
-        raise SyntaxError("gremlin: query must start with g.V()/g.E()")
-    src, args = chain.steps[0]
-    t = getattr(G(graph), src)(*[a for a in args if isinstance(a, str)])
-    out = _apply(_Chain(chain.steps[1:]), t)
+    steps = list(chain.steps)
+    gsrc = G(graph)
+    if steps and steps[0][0] == "withSack":
+        gsrc = gsrc.withSack(steps[0][1][0])
+        steps = steps[1:]
+    if not steps or steps[0][0] not in ("V", "E"):
+        raise SyntaxError("gremlin: query must start with "
+                          "g[.withSack(x)].V()/.E()")
+    src, args = steps[0]
+    t = getattr(gsrc, src)(*[a for a in args if isinstance(a, str)])
+    out = _apply(_Chain(steps[1:]), t)
     if isinstance(out, Traversal):
         return out.toDF()
     return out

@@ -8,6 +8,7 @@ computed expectations on the fixture graph.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from incubator_hugegraph_spark.gremlin import G, GP
@@ -257,3 +258,119 @@ def test_gremlin_text_where_label(graph):
         graph, "g.V('customer!1').both('interacted')"
                ".both('interacted').count()").head().cnt
     assert back + away == total and back > 0
+
+
+# ---- round 3: sack / tree / subgraph / math / mid-traversal V -------
+
+
+def test_sack_accumulates_through_hops(graph):
+    from incubator_hugegraph_spark.gremlin import G
+    rows = (G(graph).withSack(0.0).V().hasLabel("customer")
+            .sack_("sum", "acctbal").out("placed")
+            .sack_("sum", "totalprice").sack_()).df.collect()
+    manual = (graph.view("customer")
+              .join(graph.edges.filter("label = 'placed'")
+                    .selectExpr("src AS id", "dst AS oid"), on="id")
+              .join(graph.view("order").selectExpr("id AS oid",
+                                                   "totalprice"), on="oid")
+              .selectExpr("acctbal + totalprice AS v").collect())
+    assert sorted(round(r.value, 4) for r in rows) \
+        == sorted(round(r.v, 4) for r in manual)
+
+
+def test_sack_mult_and_assign(graph):
+    from incubator_hugegraph_spark.gremlin import G
+    v = (G(graph).withSack(2.0).V("customer!1")
+         .sack_("mult", "acctbal").sack_()).df.head().value
+    bal = graph.view("customer").filter("id = 'customer!1'") \
+        .head().acctbal
+    assert abs(v - 2.0 * bal) < 1e-9
+    v2 = (G(graph).withSack(7.0).V("customer!1")
+          .sack_("assign", "acctbal").sack_()).df.head().value
+    assert abs(v2 - bal) < 1e-9
+
+
+def test_sack_requires_withSack(graph):
+    from incubator_hugegraph_spark.gremlin import G
+    with pytest.raises(TypeError):
+        G(graph).V().sack_()
+
+
+def test_tree_prefix_identity(graph):
+    from incubator_hugegraph_spark.gremlin import G
+    rows = (G(graph).V("customer!1").out("placed").out("contains")
+            .tree()).collect()
+    by_depth = {}
+    for r in rows:
+        by_depth.setdefault(r.depth, set()).add(r.path)
+    assert by_depth[0] == {"customer!1"}
+    orders = {r.dst for r in graph.edges
+              .filter("label='placed' AND src='customer!1'").collect()}
+    assert by_depth[1] == {f"customer!1>{o}" for o in orders}
+    # every depth-2 node's parent is a depth-1 path
+    parents = {r.parent for r in rows if r.depth == 2}
+    assert parents <= by_depth[1]
+    # tree node identity is the PREFIX: parts reached via two orders
+    # appear once per order
+    assert all(r.path.count(">") == r.depth for r in rows)
+
+
+def test_subgraph_is_property_graph(graph):
+    from incubator_hugegraph_spark.gremlin import G
+    sub = G(graph).E("located_in").subgraph()
+    assert {r.label for r in sub.vertices.select("label")
+            .distinct().collect()} == {"nation", "region"}
+    assert sub.edges.count() == 25
+    # the subgraph is a real PropertyGraph: algorithms run on it
+    from incubator_hugegraph_spark.algorithms.wcc import wcc
+    comps = wcc(sub, engine="dist")
+    assert comps.select("component").distinct().count() == 5
+
+
+def test_subgraph_after_bothE_dedups_physical_edges(graph):
+    from incubator_hugegraph_spark.gremlin import G
+    sub = (G(graph).V().hasLabel("nation").bothE("located_in")
+           .subgraph())
+    # every physical edge seen from both ends exactly once
+    assert sub.edges.count() == 25
+
+
+def test_math_step(graph):
+    from incubator_hugegraph_spark.gremlin import G
+    rows = (G(graph).V().hasLabel("part").values("size")
+            .math_("(_ * 2 + 1) / 2").df.collect())
+    manual = [round((r.size * 2 + 1) / 2, 6) for r in
+              graph.view("part").select("size").collect()]
+    assert sorted(r.value for r in rows) == sorted(manual)
+    with pytest.raises(SyntaxError):
+        G(graph).V().values("size").math_("bogus(_)")
+
+
+def test_mid_traversal_v_restart(graph):
+    from incubator_hugegraph_spark.gremlin import G
+    t = (G(graph).V("customer!1").out("in_nation")
+         .V_("region!0", "region!1"))
+    rows = t.df.collect()
+    assert len(rows) == 2
+    assert all(len(r.path) == 3 and r.id.startswith("region!")
+               for r in rows)
+
+
+def test_text_parser_new_steps(graph):
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    v = eval_gremlin(graph, "g.withSack(1.0).V('customer!1')"
+                            ".sack(mult).by('acctbal').sack()").head().value
+    bal = graph.view("customer").filter("id = 'customer!1'").head().acctbal
+    assert abs(v - bal) < 1e-9
+    n = eval_gremlin(graph, "g.V('customer!1').out('placed')"
+                            ".out('contains').tree()").count()
+    assert n > 0
+    m = eval_gremlin(graph, "g.V().hasLabel('region').values('name')"
+                            ".count()").head().cnt
+    assert m == 5
+    rows = eval_gremlin(graph, "g.V('customer!1').out('in_nation')"
+                               ".V('region!0').path()").collect()
+    assert len(rows) == 1 and rows[0].value.endswith(">region!0")
+    sz = eval_gremlin(graph, "g.V().hasLabel('part')"
+                             ".values('size').math('_ * 10')")
+    assert sz.count() == graph.view("part").count()
