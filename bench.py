@@ -155,9 +155,46 @@ def main() -> None:
     def x_ann():
         return cosine_topk_np(emb, [0, 1, 2, 3, 4], 10).count()
 
+    # engine='dist' twins of B3-B9 (round-3 verdict item 6): the B
+    # numbers exercise the auto→RamTable tier at this SF; these pin the
+    # DISTRIBUTED plans — the 100 TB path — so their round-over-round
+    # regression is measured, not just the kernel tier's.
+    def b3_dist():
+        return bfs(graph, cust100, depth=3, direction="OUT",
+                   engine="dist").count()
+
+    def b4_dist():
+        return multi_node_shortest_path(graph, mnsp_ids, max_depth=3,
+                                        direction="OUT",
+                                        engine="dist").count()
+
+    def b5_dist():
+        return jaccard_top_batch(graph, cust100, top=20,
+                                 engine="dist").count()
+
+    def b6_dist():
+        return page_rank(graph, alpha=0.15, max_times=20,
+                         precision=1e-4, engine="dist").count()
+
+    def b7_dist():
+        return wcc(graph, engine="dist").count()
+
+    def b8_dist():
+        return triangle_count(graph, engine="dist").count()
+
+    def b9_dist():
+        return fusiform_similarity(graph, "customer", direction="OUT",
+                                   min_neighbors=2, alpha=0.8,
+                                   min_similars=1, top=20,
+                                   engine="dist").count()
+
     extra: dict[str, float] = {}
     for name, fn in [("x_cypher", x_cypher), ("x_gremlin", x_gremlin),
-                     ("x_minhash_lsh", x_minhash), ("x_ann_np", x_ann)]:
+                     ("x_minhash_lsh", x_minhash), ("x_ann_np", x_ann),
+                     ("b3_dist", b3_dist), ("b4_dist", b4_dist),
+                     ("b5_dist", b5_dist), ("b6_dist", b6_dist),
+                     ("b7_dist", b7_dist), ("b8_dist", b8_dist),
+                     ("b9_dist", b9_dist)]:
         t0 = time.monotonic()
         fn()
         extra[name] = round(time.monotonic() - t0, 3)
