@@ -720,3 +720,157 @@ SURFACES = {
     "graphs/{g}/graph/vertices|edges (CRUD)":
         "operators.mutate (batch MERGE surface)",
 }
+
+
+# ---------------------------------------------------------------------------
+# ApiMeasurer — per-request vertex/edge iteration counts
+# (api/ApiMeasurer.java; surfaced per endpoint as in
+# KneighborAPI.java:106-110 measure.addIterCount(...)).
+#
+# The reference increments counters inside its iterator pulls. A
+# set-oriented engine gets the same numbers from the traversal's OWN
+# output by identity, with ONE cheap extra aggregation and no
+# re-traversal:
+#   - vertex.iterations = |visited| (global-dedup BFS touches each
+#     vertex exactly once, sources included);
+#   - edge.iterations   = Σ degree(v) over every EXPANDED vertex
+#     (dist < max_depth): the loop consumes each expanded vertex's
+#     adjacency exactly once.
+# At 100 TB the extra job is a semi-joined degree aggregation over the
+# visited set — frontier-sized, not graph-sized.
+# ---------------------------------------------------------------------------
+
+
+class ApiMeasurer:
+    """Mutable per-request measure record (ApiMeasurer.java)."""
+
+    def __init__(self) -> None:
+        self.vertex_iterations = 0
+        self.edge_iterations = 0
+
+    def add_iter_count(self, vertices: int, edges: int) -> None:
+        self.vertex_iterations += int(vertices)
+        self.edge_iterations += int(edges)
+
+    def measures(self) -> dict:
+        return {"vertex.iterations": self.vertex_iterations,
+                "edge.iterations": self.edge_iterations}
+
+
+def _expanded_edge_iters(graph, visited, direction, labels) -> int:
+    """Σ direction-degree over the expanded vertex set."""
+    from pyspark.sql import functions as F
+    deg = graph.degrees(direction, labels)
+    row = (deg.join(F.broadcast(visited), on="id", how="left_semi")
+           .agg(F.coalesce(F.sum("degree"), F.lit(0)).alias("s")).head())
+    return int(row.s)
+
+
+def execute_measured(graph: PropertyGraph, endpoint: str,
+                     request: dict) -> tuple[DataFrame, dict]:
+    """`execute` plus the reference's per-request measures. Supported
+    for the BFS-shaped endpoints (kout, kneighbor) and sameneighbors;
+    other endpoints raise (their iteration semantics differ per
+    traverser — extend per endpoint as needed)."""
+    from pyspark.sql import functions as F
+    m = ApiMeasurer()
+    if endpoint in ("kout", "kneighbor"):
+        if "steps" in request or request.get("with_path") \
+                or request.get("with_edge"):
+            raise NotImplementedError(
+                "measured form supports the GET shape (no steps/"
+                "with_path/with_edge)")
+        from incubator_hugegraph_spark.operators.bfs import bfs
+        depth = int(request["max_depth"])
+        direction, labels = _dir(request), _labels(request)
+        visited = bfs(graph, [_id(request["source"])], depth,
+                      direction=direction, labels=labels,
+                      max_degree=_deg(request)).localCheckpoint()
+        n_visited = visited.count()
+        expanded = visited.filter(F.col("dist") < depth).select("id")
+        m.add_iter_count(
+            n_visited,
+            _expanded_edge_iters(graph, expanded, direction, labels))
+        if endpoint == "kout":
+            out = visited.filter(F.col("dist") == depth).select("id")
+        else:
+            out = visited.filter(F.col("dist") > 0).select("id")
+        limit = int(request.get("limit", DEFAULT_ELEMENTS_LIMIT))
+        if limit != NO_LIMIT:
+            out = out.orderBy("id").limit(limit)
+        return ((_count_only(out) if request.get("count_only") else out),
+                m.measures())
+    if endpoint == "sameneighbors":
+        from pyspark.sql import functions as F
+        out = _exec_sameneighbors(graph, request)
+        direction, labels = _dir(request), _labels(request)
+        srcs = graph.spark.createDataFrame(
+            [(_id(request["vertex"]),), (_id(request["other"]),)]
+            if "vertex" in request else
+            [(_id(v),) for v in request["vertex_list"]], "id string")
+        nbrs = (graph.adj(direction, labels)
+                .join(F.broadcast(srcs),
+                      on=F.col("src") == srcs.id, how="left_semi"))
+        agg = nbrs.agg(
+            F.count(F.lit(1)).alias("e"),
+            F.size(F.collect_set("dst")).alias("v")).head()
+        m.add_iter_count(int(agg.v) + srcs.count(), int(agg.e))
+        return out, m.measures()
+    raise NotImplementedError(
+        f"measured execution not defined for endpoint {endpoint!r}")
+
+
+# ---------------------------------------------------------------------------
+# Graph spaces / multi-graph management (api/space/GraphSpaceAPI.java,
+# core/GraphManager): named spaces each holding named graphs; the
+# traverser/algorithm adapters take the resolved graph, so one manager
+# serves every surface. The reference's default space is DEFAULT.
+# ---------------------------------------------------------------------------
+
+
+class GraphSpaceManager:
+    """graphspaces/{space}/graphs/{name} resolution + listing."""
+
+    DEFAULT = "DEFAULT"
+
+    def __init__(self) -> None:
+        self._spaces: dict[str, dict[str, PropertyGraph]] = {
+            self.DEFAULT: {}}
+
+    def create_space(self, space: str) -> None:
+        self._spaces.setdefault(space, {})
+
+    def drop_space(self, space: str) -> None:
+        if space == self.DEFAULT:
+            raise ValueError("cannot drop the DEFAULT graph space")
+        self._spaces.pop(space, None)
+
+    def register(self, name: str, graph: PropertyGraph,
+                 space: str = DEFAULT) -> None:
+        self.create_space(space)
+        self._spaces[space][name] = graph
+
+    def graph(self, name: str, space: str = DEFAULT) -> PropertyGraph:
+        try:
+            return self._spaces[space][name]
+        except KeyError:
+            raise KeyError(
+                f"unknown graph {space}/{name}; known: "
+                f"{self.list_graphs(space) if space in self._spaces else []}"
+            ) from None
+
+    def list_spaces(self) -> list[str]:
+        return sorted(self._spaces)
+
+    def list_graphs(self, space: str = DEFAULT) -> list[str]:
+        return sorted(self._spaces.get(space, {}))
+
+    def execute(self, space: str, graph_name: str, endpoint: str,
+                request: dict) -> DataFrame:
+        """…/graphspaces/{space}/graphs/{graph}/traversers/{endpoint}"""
+        return execute(self.graph(graph_name, space), endpoint, request)
+
+    def execute_measured(self, space: str, graph_name: str, endpoint: str,
+                         request: dict) -> tuple[DataFrame, dict]:
+        return execute_measured(self.graph(graph_name, space), endpoint,
+                                request)

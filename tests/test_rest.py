@@ -312,3 +312,72 @@ def test_rest_variables_endpoint(tmp_path):
     rest.execute_variables(v2, "DELETE", "answer")
     with pytest.raises(KeyError):
         rest.execute_variables(v2, "GET", "answer")
+
+
+# ---- round 3: ApiMeasurer + graph spaces ----------------------------
+
+
+def test_measured_kneighbor(marko_graph):
+    from incubator_hugegraph_spark.rest import execute_measured
+    out, meas = execute_measured(marko_graph, "kneighbor",
+                                 {"source": "person!marko",
+                                  "max_depth": 2, "direction": "OUT"})
+    assert {r.id for r in out.collect()} \
+        == {"person!peter", "software!ripple", "person!josh"}
+    # visited = {marko, peter, ripple, josh}; expanded = dist<2 =
+    # {marko(2 out-edges), peter(2), ripple(0)}
+    assert meas == {"vertex.iterations": 4, "edge.iterations": 4}
+
+
+def test_measured_kout(marko_graph):
+    from incubator_hugegraph_spark.rest import execute_measured
+    out, meas = execute_measured(marko_graph, "kout",
+                                 {"source": "person!marko",
+                                  "max_depth": 2, "direction": "OUT"})
+    assert {r.id for r in out.collect()} == {"person!josh"}
+    assert meas == {"vertex.iterations": 4, "edge.iterations": 4}
+
+
+def test_measured_sameneighbors(marko_graph):
+    from incubator_hugegraph_spark.rest import execute_measured
+    out, meas = execute_measured(
+        marko_graph, "sameneighbors",
+        {"vertex": "person!marko", "other": "person!peter"})
+    assert {r.id for r in out.collect()} == {"software!ripple"}
+    # BOTH degrees: marko 2 + peter 3; distinct iterated neighbors
+    # {peter, ripple, marko, josh} + the 2 sources
+    assert meas == {"vertex.iterations": 6, "edge.iterations": 5}
+
+
+def test_measured_unsupported_endpoint(marko_graph):
+    from incubator_hugegraph_spark.rest import execute_measured
+    with pytest.raises(NotImplementedError):
+        execute_measured(marko_graph, "rings", {"source": "person!marko"})
+
+
+def test_graph_space_manager(marko_graph):
+    from incubator_hugegraph_spark.gremlin import G
+    from incubator_hugegraph_spark.rest import GraphSpaceManager
+    mgr = GraphSpaceManager()
+    mgr.register("hugegraph", marko_graph)
+    sub = G(marko_graph).E("created").subgraph()
+    mgr.register("created_only", sub, space="analytics")
+    assert mgr.list_spaces() == ["DEFAULT", "analytics"]
+    assert mgr.list_graphs() == ["hugegraph"]
+    assert mgr.list_graphs("analytics") == ["created_only"]
+    # the same endpoint executes against either named graph
+    full = mgr.execute("DEFAULT", "hugegraph", "kneighbor",
+                       {"source": "person!marko", "max_depth": 1,
+                        "direction": "OUT"}).count()
+    only = mgr.execute("analytics", "created_only", "kneighbor",
+                       {"source": "person!marko", "max_depth": 1,
+                        "direction": "OUT"}).count()
+    assert (full, only) == (2, 1)
+    _, meas = mgr.execute_measured(
+        "analytics", "created_only", "kneighbor",
+        {"source": "person!marko", "max_depth": 1, "direction": "OUT"})
+    assert meas["edge.iterations"] == 1
+    with pytest.raises(KeyError):
+        mgr.graph("nope")
+    with pytest.raises(ValueError):
+        mgr.drop_space("DEFAULT")
