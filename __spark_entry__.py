@@ -841,6 +841,40 @@ def rest_kneighbor_q(spark, sf_dir):
                    {"source": '"customer!1"', "max_depth": 2})
 
 
+@_q("rest_measured_kneighbor", f"""
+WITH {E_SQL.strip()},
+d0 AS (SELECT 'customer!1' AS id),
+d1 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN d0 ON e.src = d0.id
+       WHERE e.dst <> 'customer!1'),
+d2 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN d1 ON e.src = d1.id
+       WHERE e.dst NOT IN (SELECT id FROM d0 UNION SELECT id FROM d1)),
+expd AS (SELECT id FROM d0 UNION SELECT id FROM d1),
+deg AS (SELECT src, count(*) AS c FROM edges GROUP BY src)
+SELECT CAST(1 + (SELECT count(*) FROM d1) + (SELECT count(*) FROM d2)
+            AS BIGINT) AS vertex_iterations,
+       CAST((SELECT COALESCE(sum(c), 0) FROM deg
+             JOIN expd ON deg.src = expd.id) AS BIGINT)
+         AS edge_iterations,
+       CAST((SELECT count(*) FROM d1) + (SELECT count(*) FROM d2)
+            AS BIGINT) AS vertices_size
+""")
+def rest_measured_kneighbor_q(spark, sf_dir):
+    """ApiMeasurer surface under the oracle gate: the measured
+    kneighbor's vertex/edge iteration counts + result size as one row
+    (KneighborAPI.java:106-110 measure.addIterCount). The oracle
+    restates the set-oriented identity independently: visited BFS
+    layers + out-degree sum over expanded vertices."""
+    from incubator_hugegraph_spark.rest import execute_measured
+    out, meas = execute_measured(
+        _graph(spark, sf_dir), "kneighbor",
+        {"source": '"customer!1"', "max_depth": 2, "direction": "OUT"})
+    return spark.createDataFrame(
+        [(meas["vertex.iterations"], meas["edge.iterations"],
+          out.count())],
+        "vertex_iterations bigint, edge_iterations bigint, "
+        "vertices_size bigint")
+
+
 @_q("same_neighbors", f"""
 WITH {ADJ_SQL.strip()},
 na AS (SELECT DISTINCT dst FROM adj WHERE src = 'customer!1'),
