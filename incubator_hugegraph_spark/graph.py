@@ -136,11 +136,13 @@ class PropertyGraph:
         raise KeyError(label)
 
     # -- guards (load-bearing at scale: SURVEY §7.4) -------------------
-    def check_capacity(self, df: DataFrame, capacity: int) -> int:
+    def check_capacity(self, df: DataFrame, capacity: int,
+                       precounted: int | None = None) -> int:
         """Count-checkpoint a traversal frontier; raise if it exceeds
         ``capacity``. Cheap insurance identical in spirit to
-        HugeTraverser.checkCapacity."""
-        n = df.count()
+        HugeTraverser.checkCapacity. ``precounted`` reuses a count the
+        caller already paid for."""
+        n = df.count() if precounted is None else precounted
         if capacity != NO_LIMIT and n > capacity:
             raise CapacityExceeded(f"frontier {n} > capacity {capacity}")
         return n

@@ -80,10 +80,23 @@ def loop_adj(graph: PropertyGraph, direction: str,
     return checkpointed(adj) if rounds > 1 else adj
 
 
-def expand(frontier: DataFrame, adj: DataFrame) -> DataFrame:
+#: Broadcast the frontier / visited set only below this row count.
+#: The reference's capacity guard (10M elements) bounds both before a
+#: traversal aborts, but a frontier near that cap is a few hundred MB
+#: of broadcast per round — past the limit the loop falls back to a
+#: shuffle join with identical semantics (the same two-tier design as
+#: pagerank/wcc's BROADCAST_VERTEX_LIMIT).
+BROADCAST_FRONTIER_LIMIT = 1_000_000
+
+
+def expand(frontier: DataFrame, adj: DataFrame,
+           broadcast: bool = True) -> DataFrame:
     """One BFS layer: distinct out-neighbors of the frontier.
-    Broadcast the frontier — the edge side never shuffles."""
-    return (adj.join(F.broadcast(frontier), on=adj.src == frontier.id)
+    Broadcast the frontier while it is small — the edge side never
+    shuffles; past BROADCAST_FRONTIER_LIMIT the caller flips
+    ``broadcast`` off and the layer is a plain shuffle join."""
+    f = F.broadcast(frontier) if broadcast else frontier
+    return (adj.join(f, on=adj.src == frontier.id)
             .select(F.col("dst").alias("id"))
             .distinct())
 
@@ -110,26 +123,36 @@ def bfs(graph: PropertyGraph, source_ids: list[str], depth: int,
     frontier = sources_df(graph, source_ids)
     visited = frontier.withColumn("dist", F.lit(0))
     total = len(source_ids)
+    frontier_rows = len(source_ids)
     for k in range(1, depth + 1):
-        # visited rides the broadcast side of the anti-join under the
-        # same contract that makes the frontier broadcastable: both
-        # are bounded by the traversal's capacity guard (the sum of
-        # all frontiers), so neither outgrows executor memory before
-        # the traversal aborts by the reference's own rule
-        frontier = (expand(frontier, adj)
-                    .join(F.broadcast(visited.select("id")),
+        # frontier and visited ride the broadcast side only while
+        # small (BROADCAST_FRONTIER_LIMIT); past it the layer join and
+        # the anti-join fall back to shuffles — at 100 TB a frontier
+        # can legitimately hold hundreds of millions of rows before
+        # the capacity guard fires, and broadcasting that per round is
+        # the r02-flagged failure mode
+        frontier = (expand(frontier, adj,
+                           broadcast=frontier_rows
+                           <= BROADCAST_FRONTIER_LIMIT)
+                    .join((F.broadcast(visited.select("id"))
+                           if total <= BROADCAST_FRONTIER_LIMIT
+                           else visited.select("id")),
                           on="id", how="left_anti"))
         frontier = iterate_hygiene(frontier, k)
-        n = graph.check_capacity(frontier, capacity) if capacity != NO_LIMIT \
-            else None
+        # the per-round count is against the eagerly-checkpointed
+        # frontier — a metadata-cheap job that also feeds the capacity
+        # guard when one is set
+        n = frontier.count()
+        if capacity != NO_LIMIT:
+            graph.check_capacity(frontier, capacity, precounted=n)
         if n == 0:
             break
         visited = visited.unionByName(
             frontier.withColumn("dist", F.lit(k)))
-        if capacity != NO_LIMIT:
-            total += n
-            if total > capacity:
-                raise RuntimeError(f"capacity {capacity} exceeded")
+        frontier_rows = n
+        total += n
+        if capacity != NO_LIMIT and total > capacity:
+            raise RuntimeError(f"capacity {capacity} exceeded")
     return visited
 
 

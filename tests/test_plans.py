@@ -49,6 +49,32 @@ def test_bfs_expand_broadcasts_frontier(graph):
         in plan, plan
 
 
+def test_bfs_frontier_shuffle_fallback(graph, monkeypatch):
+    """Past BROADCAST_FRONTIER_LIMIT the BFS layer joins fall back to
+    shuffle joins (no BroadcastHashJoin on the frontier) with
+    identical results."""
+    from incubator_hugegraph_spark.operators import bfs as bfsmod
+    base = {(r.id, r.dist) for r in
+            bfsmod.bfs(graph, ["customer!0", "customer!1"], 2,
+                       direction="OUT", engine="dist").collect()}
+    monkeypatch.setattr(bfsmod, "BROADCAST_FRONTIER_LIMIT", 1)
+    low = bfsmod.bfs(graph, ["customer!0", "customer!1"], 2,
+                     direction="OUT", engine="dist")
+    assert {(r.id, r.dist) for r in low.collect()} == base
+    # the expand shape itself: broadcast=False drops the FORCED
+    # broadcast hint (at test scale Catalyst may still pick broadcast
+    # from its size stats — that's the planner's call, which is the
+    # point; a 100M-row frontier's stats would pick a shuffle join)
+    adj = bfsmod.prepared_adj(graph, "OUT", None, -1)
+    frontier = bfsmod.sources_df(graph, ["customer!0"])
+    hinted = bfsmod.expand(frontier, adj, broadcast=True) \
+        ._jdf.queryExecution().analyzed().toString()
+    unhinted = bfsmod.expand(frontier, adj, broadcast=False) \
+        ._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in hinted
+    assert "ResolvedHint" not in unhinted
+
+
 def test_incremental_wcc_broadcasts_batch(spark):
     """Round-3 scale fix guard: the component-pair joins must broadcast
     the O(batch) edge side (BuildLeft — batch is the left operand), never
