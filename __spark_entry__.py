@@ -526,6 +526,30 @@ def cypher_with_agg_q(spark, sf_dir):
                sum(n) AS orders""")
 
 
+@_q("cypher_unwind", """
+SELECT 'region!' || r_regionkey AS r, k
+FROM region CROSS JOIN (VALUES (1), (2), (3)) t(k)
+""")
+def cypher_unwind_q(spark, sf_dir):
+    """UNWIND list AS x — explode semantics, one row per element per
+    incoming row."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (r:region) UNWIND [1, 2, 3] AS k RETURN r, k""")
+
+
+@_q("gremlin_project", """
+SELECT 'region!' || r_regionkey AS rid, r_name AS nm FROM region
+""")
+def gremlin_project_q(spark, sf_dir):
+    """TinkerPop project('a','b').by(...).by(...) through the text
+    parser — named columns per traverser."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    return eval_gremlin(_graph(spark, sf_dir),
+                        "g.V().hasLabel('region')"
+                        ".project('rid','nm').by(id).by('name')")
+
+
 @_q("events_incremental_wcc", f"""
 WITH RECURSIVE {IE_SQL.strip().rstrip()},
 und AS (SELECT src, dst FROM ie UNION SELECT dst, src FROM ie),

@@ -43,10 +43,13 @@ exercises, plus the idioms its openCypher translation layer accepts):
   properties remain addressable); after an aggregating WITH a carried
   node var is re-hydrated from the vertex table on first property
   access.
+- UNWIND list AS x: one row per element per incoming row (explode
+  semantics — empty/null lists drop the row, as in openCypher);
+  list operands are literals or list-typed property/expression values.
 - WHERE: comparisons =, <>, <, <=, >, >=, CONTAINS (word match,
   analyzer semantics), IN [..], IS NULL / IS NOT NULL; conjunctions
   with AND. Operands: var.prop, var (the vertex id), literals,
-  arithmetic (+ - * /) over them.
+  list literals, arithmetic (+ - * /) over them.
 - RETURN items: var (→ its id), var.prop, id(var), label(var),
   count(x), count(DISTINCT x), sum/avg/min/max(var.prop), count(*),
   arithmetic expressions (require AS alias). Aggregates trigger an
@@ -84,7 +87,7 @@ _TOKEN_RE = re.compile(r"""
       (?P<arrow><-|->|--|-|\[|\]|\(|\)|,|:|\.)
     | (?P<kw>(?i:OPTIONAL|MATCH|WHERE|RETURN|DISTINCT|ORDER|BY|SKIP|LIMIT
               |AND|ASC|DESC|AS|IN|CONTAINS|STARTS|WITH|NOT|IS|NULL|COUNT
-              |SUM|AVG|MIN|MAX|ID|LABEL)\b)
+              |SUM|AVG|MIN|MAX|ID|LABEL|UNWIND)\b)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'(?:[^'\\]|\\.)*')
     | (?P<cmp><>|<=|>=|=|<|>|\*|\+|/)
@@ -143,8 +146,14 @@ class _Proj:
 
 
 @dataclass
+class _Unwind:
+    expr: tuple
+    alias: str
+
+
+@dataclass
 class _Query:
-    clauses: list = field(default_factory=list)  # _MatchClause | _Proj
+    clauses: list = field(default_factory=list)  # _MatchClause|_Proj|_Unwind
     final: _Proj | None = None
 
 
@@ -195,6 +204,11 @@ class _Parser:
             elif t == "WITH":
                 self.next()
                 q.clauses.append(self._projection(is_with=True))
+            elif t == "UNWIND":
+                self.next()
+                expr = self._expr()
+                self.next("AS")
+                q.clauses.append(_Unwind(expr, self._name()))
             elif t == "RETURN":
                 if not q.clauses:
                     raise SyntaxError("cypher: RETURN before MATCH")
@@ -337,6 +351,15 @@ class _Parser:
             inner = self._expr()
             self._expect_val(")")
             return inner
+        if t[1] == "[":  # list literal
+            self.next()
+            items = []
+            while self.peek()[1] != "]":
+                items.append(self._expr())
+                if self.peek()[1] == ",":
+                    self.next()
+            self._expect_val("]")
+            return ("list", items)
         if (t[0] in ("COUNT", "SUM", "AVG", "MIN", "MAX", "ID", "LABEL")
                 and self.toks[self.i + 1][1] == "("):
             fn = self.next()[0]
@@ -481,6 +504,8 @@ class CypherEngine:
             lc, rc = self._col(l), self._col(r)
             return {"+": lc + rc, "-": lc - rc,
                     "*": lc * rc, "/": lc / rc}[op]
+        if kind == "list":
+            return F.array(*[self._col(i) for i in expr[1]])
         raise SyntaxError(f"cypher: cannot compile {expr}")
 
     def _filter(self, cond) -> Column:
@@ -823,10 +848,26 @@ class CypherEngine:
         for clause in q.clauses:
             if isinstance(clause, _MatchClause):
                 df = self._apply_match(df, clause)
+            elif isinstance(clause, _Unwind):
+                df = self._apply_unwind(df, clause)
             else:
                 df = self._apply_proj(df, clause)
         assert q.final is not None
         return self._apply_proj(df, q.final)
+
+    def _apply_unwind(self, df: DataFrame | None, u: _Unwind) -> DataFrame:
+        """UNWIND list AS x — one output row per list element per
+        incoming row (explode; openCypher drops rows whose list is
+        empty or null, exactly explode's semantics)."""
+        if df is None:
+            df = self.graph.spark.range(1).select(
+                F.lit(True).alias("__seed"))
+            out = df.select(F.explode(self._col(u.expr)).alias(u.alias))
+            return out
+        needed: set[str] = set()
+        _expr_vars(u.expr, needed)
+        df = self._hydrate(df, needed)
+        return df.select("*", F.explode(self._col(u.expr)).alias(u.alias))
 
 
 def cypher(graph: PropertyGraph, query: str) -> DataFrame:

@@ -146,12 +146,66 @@ def _fmm_segment(text: str, words: frozenset[str], maxlen: int) \
     return out
 
 
-def make_fmm_analyzer(dictionary=DEFAULT_CJK_DICT):
+def _rmm_segment(text: str, words: frozenset[str], maxlen: int) \
+        -> list[str]:
+    """Reverse (backward) maximum matching — scans right-to-left,
+    preferring the longest dictionary word ENDING at each position
+    (the classic RMM pass of MMSeg-style segmenters)."""
+    out: list[str] = []
+    i = len(text)
+    buf: list[str] = []  # reversed non-CJK alnum run
+
+    def flush() -> None:
+        if buf:
+            out.append("".join(reversed(buf)))
+            buf.clear()
+
+    while i > 0:
+        ch = text[i - 1]
+        if _is_cjk(ch):
+            flush()
+            for ln in range(min(maxlen, i), 1, -1):
+                if text[i - ln:i] in words:
+                    out.append(text[i - ln:i])
+                    i -= ln
+                    break
+            else:
+                out.append(ch)
+                i -= 1
+            continue
+        low = ch.lower()
+        if low.isascii() and (low.isalpha() or low.isdigit()):
+            buf.append(low)
+        else:
+            flush()
+        i -= 1
+    flush()
+    return list(reversed(out))
+
+
+def _bimm_segment(text: str, words: frozenset[str], maxlen: int) \
+        -> list[str]:
+    """Bi-directional maximum matching: run FMM and RMM, keep the
+    segmentation with fewer tokens; on a tie prefer the one with
+    fewer single-character tokens, then RMM (the conventional
+    disambiguation rule)."""
+    f = _fmm_segment(text, words, maxlen)
+    r = _rmm_segment(text, words, maxlen)
+    if len(f) != len(r):
+        return f if len(f) < len(r) else r
+    f1 = sum(1 for t in f if len(t) == 1)
+    r1 = sum(1 for t in r if len(t) == 1)
+    return f if f1 < r1 else r
+
+
+def make_fmm_analyzer(dictionary=DEFAULT_CJK_DICT, kernel=None):
     """Build a Column->Column analyzer segmenting with forward maximum
-    matching over ``dictionary`` (registerable via
-    register_analyzer)."""
+    matching over ``dictionary`` (registerable via register_analyzer).
+    ``kernel`` swaps the segmentation function (RMM/BiMM below reuse
+    this factory)."""
     words = frozenset(dictionary)
     maxlen = max(map(len, words)) if words else 1
+    seg_fn = kernel or _fmm_segment
 
     def _analyzer(col: Column) -> Column:
         from pyspark.sql.functions import pandas_udf
@@ -159,11 +213,21 @@ def make_fmm_analyzer(dictionary=DEFAULT_CJK_DICT):
         @pandas_udf("array<string>")
         def seg(s):  # pd.Series[str] -> pd.Series[list[str]]
             return s.map(lambda t: [] if t is None
-                         else _fmm_segment(t, words, maxlen))
+                         else seg_fn(t, words, maxlen))
         return seg(_c(col))
     return _analyzer
+
+
+def make_rmm_analyzer(dictionary=DEFAULT_CJK_DICT):
+    return make_fmm_analyzer(dictionary, kernel=_rmm_segment)
+
+
+def make_bimm_analyzer(dictionary=DEFAULT_CJK_DICT):
+    return make_fmm_analyzer(dictionary, kernel=_bimm_segment)
 
 
 register_analyzer("word", tokenize)
 register_analyzer("bigram", _bigram_analyzer)
 register_analyzer("cjk", make_fmm_analyzer())
+register_analyzer("cjk_rmm", make_rmm_analyzer())
+register_analyzer("cjk_bimm", make_bimm_analyzer())

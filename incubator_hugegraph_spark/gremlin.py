@@ -355,6 +355,25 @@ class Traversal:
         return self.df.select(*[F.col(f"__as_{lab}").alias(lab)
                                 for lab in labels])
 
+    def project(self, *selectors: tuple[str, str] | str) -> DataFrame:
+        """Terminal project('a','b').by(...).by(...): one named column
+        per selector. Each selector is (name, source) — source is a
+        property key, 'id', or 'label' (the by() modulators of the
+        text surface collapse into these pairs)."""
+        t = self._elem() if self.kind == "V" else self
+        cols = []
+        for sel in selectors:
+            name, src = sel if isinstance(sel, tuple) else (sel, sel)
+            if src == "id":
+                cols.append((F.col("id") if t.kind == "V"
+                             else F.col("eid")).alias(name))
+            elif src == "label":
+                cols.append(F.col("label").alias(name))
+            else:
+                cols.append((t._prop_col(src) if t.kind == "V"
+                             else F.col("props")[src]).alias(name))
+        return t.df.select(*cols)
+
     def valueMap(self, *keys: str) -> "Traversal":
         """Element id + props map (all keys, or the selected subset)
         as a value-kind row per element."""

@@ -213,6 +213,26 @@ def _apply(chain: _Chain, t: Traversal) -> object:
             t = t.groupCount(key)
             i += 1
             continue
+        if name == "project":
+            # project('a','b').by('name').by('size') — by() modulators
+            # pair up with the names in order; a missing by() defaults
+            # to the name itself as the property key
+            names = [a for a in args if isinstance(a, str)]
+            sels = []
+            j = i + 1
+            for nm in names:
+                if j < len(steps) and steps[j][0] == "by":
+                    by_args = steps[j][1]
+                    src = by_args[0] if by_args else nm
+                    if isinstance(src, tuple):
+                        src = src[1]  # T.id / T.label idents
+                    sels.append((nm, src))
+                    j += 1
+                else:
+                    sels.append((nm, nm))
+            t = t.project(*sels)
+            i = j
+            continue
         if name == "sack":
             # sack() emits; sack(op).by('prop') updates (op is a bare
             # identifier: sum/minus/mult/div/max/min/assign)

@@ -258,3 +258,20 @@ def test_return_arithmetic_expression(graph):
     assert rows and all(r.sz in (21, 41) for r in rows)
     with pytest.raises(SyntaxError):
         cypher(graph, "MATCH (p:part) RETURN p.size * 2")  # needs AS
+
+
+def test_unwind_literal_and_chaining(graph):
+    rows = cypher(graph, """
+        MATCH (r:region) UNWIND [1, 2, 3] AS k
+        RETURN r, k ORDER BY r, k""").collect()
+    assert len(rows) == 15
+    assert [r.k for r in rows[:3]] == [1, 2, 3]
+    # UNWIND as the first clause
+    rows = cypher(graph, "UNWIND [10, 20] AS x RETURN x ORDER BY x") \
+        .collect()
+    assert [r.x for r in rows] == [10, 20]
+    # UNWIND feeding aggregation through WITH
+    n = cypher(graph, """
+        UNWIND [1, 2, 3, 4] AS x WITH x WHERE x > 2
+        RETURN count(*) AS n""").head().n
+    assert n == 2

@@ -211,3 +211,24 @@ def test_cjk_fmm_analyzer(spark):
     seg2 = make_fmm_analyzer({"图计算引擎"})
     got = df.limit(1).select(seg2("t").alias("s")).head().s
     assert "图计算引擎" in got
+
+
+def test_rmm_and_bimm_analyzers(spark):
+    """Classic segmentation ambiguity: with dict {数据, 数据库, 库存},
+    FMM greedily takes 数据库+存 (single-char tail) while RMM finds
+    数据+库存; BiMM prefers the segmentation with fewer single-char
+    tokens (RMM here)."""
+    from incubator_hugegraph_spark.functions.text import (
+        make_bimm_analyzer, make_fmm_analyzer, make_rmm_analyzer)
+    d = {"数据", "数据库", "库存"}
+    df = spark.createDataFrame([("数据库存",)], "t string")
+    fmm = df.select(make_fmm_analyzer(d)("t").alias("s")).head().s
+    rmm = df.select(make_rmm_analyzer(d)("t").alias("s")).head().s
+    bimm = df.select(make_bimm_analyzer(d)("t").alias("s")).head().s
+    assert fmm == ["数据库", "存"]
+    assert rmm == ["数据", "库存"]
+    assert bimm == rmm
+    # mixed-script parity with the FMM pass
+    df2 = spark.createDataFrame([("abc数据库 x9",)], "t string")
+    assert df2.select(make_rmm_analyzer(d)("t").alias("s")).head().s \
+        == ["abc", "数据库", "x9"]

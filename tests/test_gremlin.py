@@ -374,3 +374,19 @@ def test_text_parser_new_steps(graph):
     sz = eval_gremlin(graph, "g.V().hasLabel('part')"
                              ".values('size').math('_ * 10')")
     assert sz.count() == graph.view("part").count()
+
+
+def test_project_step(graph):
+    from incubator_hugegraph_spark.gremlin import G
+    rows = (G(graph).V().hasLabel("region")
+            .project(("rid", "id"), ("nm", "name"))).collect()
+    assert len(rows) == 5
+    assert all(r.rid.startswith("region!") and r.nm for r in rows)
+
+
+def test_project_text_parser(graph):
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    rows = eval_gremlin(
+        graph, "g.V().hasLabel('region')"
+               ".project('rid','nm').by(id).by('name')").collect()
+    assert len(rows) == 5 and rows[0].rid.startswith("region!")
