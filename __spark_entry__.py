@@ -3166,6 +3166,44 @@ def doc_pack_sequences(spark, sf_dir):
                           bucket_size=64)
 
 
+@_q("doc_dup_spans", """
+WITH toks AS (SELECT doc_id AS id,
+                     list_filter(string_split_regex(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents),
+pos AS (SELECT id,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                      i -> struct_pack(p := i,
+                                       s := array_to_string(t[i:i+2],
+                                                            ' ')))) AS ps
+        FROM toks),
+pos2 AS (SELECT id, ps.p AS pos, ps.s AS s FROM pos),
+dup AS (SELECT s FROM (SELECT s, count(DISTINCT id) AS df
+                       FROM pos2 GROUP BY s) WHERE df >= 2),
+dpos AS (SELECT id, pos FROM pos2 WHERE s IN (SELECT s FROM dup)),
+starts AS (SELECT id, count(DISTINCT pos) AS dup_spans
+           FROM dpos GROUP BY id),
+cov AS (SELECT id, count(DISTINCT pos + off) AS covered
+        FROM dpos, unnest([0, 1, 2]) AS o(off) GROUP BY id),
+nt AS (SELECT id, len(t) AS n_tokens FROM toks)
+SELECT nt.id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(dup_spans, 0) AS BIGINT) AS dup_spans,
+       CAST(COALESCE(covered, 0) AS BIGINT) AS covered_tokens,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE ROUND(CAST(COALESCE(covered, 0) AS DOUBLE) / n_tokens, 6)
+       END AS dup_token_frac
+FROM nt LEFT JOIN starts ON starts.id = nt.id
+        LEFT JOIN cov ON cov.id = nt.id
+""")
+def doc_dup_spans(spark, sf_dir):
+    """Cross-doc duplicated-span coverage (exact-substring dedup
+    signal, Lee et al.): token 3-grams appearing in ≥2 docs mark
+    their positions covered; per-doc span starts + coverage
+    fraction."""
+    from incubator_hugegraph_spark.data.clean import duplicated_spans
+    return duplicated_spans(_docs(spark, sf_dir), n=3, min_docs=2)
+
+
 @_q("doc_corpus_stats", """
 WITH t AS (SELECT len(list_filter(string_split_regex(lower(text),
                '[^a-z0-9]+'), x -> x <> '')) AS n

@@ -159,3 +159,56 @@ def pii_redact(docs: DataFrame, kinds: list[str] | None = None,
     for k in kinds:
         red = F.regexp_replace(red, PII_PATTERNS[k], f"<{k.upper()}>")
     return out.withColumn("redacted", red)
+
+
+def duplicated_spans(docs: DataFrame, n: int = 3, min_docs: int = 2,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Cross-document duplicated-span coverage (the exact-substring
+    dedup signal of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): per doc, how much of the text is covered
+    by token n-grams that also appear in ≥ ``min_docs`` documents.
+
+    Returns (id, n_tokens, dup_spans, covered_tokens, dup_token_frac):
+    dup_spans = duplicated n-gram START positions, covered_tokens =
+    distinct token positions under any duplicated n-gram.
+
+    Scale shape: positional shingles → doc-frequency filter →
+    LEFT-SEMI join back on the shingle — row volume is the corpus
+    token count, never a pair join, so hot boilerplate n-grams cannot
+    go quadratic (they only mark more positions covered). All
+    JVM-side Column expressions."""
+    from incubator_hugegraph_spark.functions.text import tokenize
+    toks = tokenize(F.col(text_col))
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    pos_sh = docs.select(F.col(id_col).alias("id"),
+                         F.posexplode(sh).alias("pos", "s"))
+    dup_sh = (pos_sh.select("id", "s").distinct()
+              .groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+              .filter(F.col("df") >= min_docs).select("s"))
+    dpos = pos_sh.join(dup_sh, on="s", how="left_semi")
+    starts = dpos.groupBy("id").agg(
+        F.countDistinct("pos").alias("dup_spans"))
+    cov = (dpos.select("id", F.explode(
+        F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("p"))
+        .distinct()
+        .groupBy("id").agg(F.count(F.lit(1)).alias("covered_tokens")))
+    nt = docs.select(F.col(id_col).alias("id"),
+                     F.size(toks).alias("n_tokens"))
+    return (nt.join(starts, on="id", how="left")
+            .join(cov, on="id", how="left")
+            .select("id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.coalesce("dup_spans", F.lit(0)).cast("long")
+                    .alias("dup_spans"),
+                    F.coalesce("covered_tokens", F.lit(0)).cast("long")
+                    .alias("covered_tokens"),
+                    F.when(F.col("n_tokens") == 0, F.lit(0.0))
+                    .otherwise(F.round(
+                        F.coalesce("covered_tokens", F.lit(0))
+                        / F.col("n_tokens"), 6))
+                    .alias("dup_token_frac")))

@@ -564,3 +564,22 @@ def test_incremental_wcc_equals_batch_fixpoint(spark, tmp_path, graph):
     q.awaitTermination(120)
     sgot = {r.id: r.component for r in get_state().collect()}
     assert sgot == got
+
+
+def test_duplicated_spans_coverage(spark):
+    """Hand-built corpus: the 3-gram 'a b c' is shared by docs 1 and
+    2; doc 3 shares nothing."""
+    from incubator_hugegraph_spark.data.clean import duplicated_spans
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x a b c y"), (3, "p q r s t"),
+         (4, "")],
+        "doc_id long, text string")
+    rows = {r.id: r for r in duplicated_spans(docs, n=3).collect()}
+    # doc 1: 'a b c' duplicated at pos 0 -> covers tokens a,b,c (3/5)
+    assert (rows[1].dup_spans, rows[1].covered_tokens) == (1, 3)
+    assert rows[1].dup_token_frac == 0.6
+    # doc 2: 'a b c' at pos 1 -> covers a,b,c (3/5)
+    assert (rows[2].dup_spans, rows[2].covered_tokens) == (1, 3)
+    # doc 3: clean; doc 4: empty
+    assert rows[3].dup_token_frac == 0.0
+    assert (rows[4].n_tokens, rows[4].dup_token_frac) == (0, 0.0)
