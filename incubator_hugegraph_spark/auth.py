@@ -1,0 +1,265 @@
+"""Auth / RBAC for the analytics surfaces (SURVEY §2.K — the one
+reference subsystem previously declared out of scope).
+
+Mirrors the reference's entity model (core/auth/): HugeUser →
+HugeBelong → HugeGroup → HugeAccess(permission) → HugeTarget(graph +
+resource list) — StandardAuthManager.java walks the same chain; the
+permission flags are HugePermission.java:26-29 (READ/WRITE/DELETE/
+EXECUTE) and the resource kinds ResourceType.java:24-56. Scope is the
+ANALYTICS surface: authorization decisions gate the REST adapter's
+execute / execute_algorithm / execute_gremlin / execute_schema entry
+points (the reference does this in HugeGraphAuthProxy by wrapping
+every graph call; our adapter has exactly four doors, so the check
+lives at the doors).
+
+No Spark dependency: authorization is a driver-side metadata decision
+(micro-scale by construction — users × targets), exactly like the
+reference, whose auth entities live in a meta store, not the data
+path. An audit export to DataFrames is provided for completeness.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass, field
+
+
+class Permission:
+    """HugePermission.java:26-29 — combinable bit flags."""
+    READ = 0x01
+    WRITE = 0x02
+    DELETE = 0x04
+    EXECUTE = 0x08
+    ALL = READ | WRITE | DELETE | EXECUTE
+
+    _NAMES = {READ: "read", WRITE: "write",
+              DELETE: "delete", EXECUTE: "execute"}
+
+    @classmethod
+    def name(cls, p: int) -> str:
+        return "|".join(n for v, n in cls._NAMES.items() if p & v) or "none"
+
+
+class ResourceType:
+    """ResourceType.java:24-56 (the analytics-relevant subset)."""
+    VERTEX = "VERTEX"
+    EDGE = "EDGE"
+    VERTEX_LABEL = "VERTEX_LABEL"
+    EDGE_LABEL = "EDGE_LABEL"
+    SCHEMA = "SCHEMA"
+    GREMLIN = "GREMLIN"
+    TASK = "TASK"
+    ALL = "ALL"
+
+    #: which concrete types an ALL / SCHEMA grant covers
+    _COVERS = {
+        ALL: {VERTEX, EDGE, VERTEX_LABEL, EDGE_LABEL, SCHEMA, GREMLIN,
+              TASK},
+        SCHEMA: {VERTEX_LABEL, EDGE_LABEL, SCHEMA},
+    }
+
+    @classmethod
+    def covers(cls, granted: str, wanted: str) -> bool:
+        return granted == wanted or wanted in cls._COVERS.get(granted, ())
+
+
+@dataclass
+class User:
+    name: str
+    password_hash: str = ""
+    salt: str = ""
+
+
+@dataclass
+class Group:
+    name: str
+
+
+@dataclass
+class Target:
+    """HugeTarget.java: a named set of resources on one graph in one
+    space. ``resources`` is a list of resource-type names; an optional
+    ``labels`` whitelist narrows VERTEX/EDGE grants to specific
+    labels (HugeResource.java label filters)."""
+    name: str
+    graph: str
+    space: str = "DEFAULT"
+    resources: list[str] = field(default_factory=lambda: [ResourceType.ALL])
+    labels: list[str] | None = None
+
+
+@dataclass
+class Access:
+    group: str
+    target: str
+    permission: int
+
+
+class Forbidden(PermissionError):
+    """403 — the request's user lacks the needed permission."""
+
+
+class AuthManager:
+    """StandardAuthManager.java re-expressed: entity CRUD + the
+    user→belong→group→access→target authorization walk."""
+
+    def __init__(self) -> None:
+        self._users: dict[str, User] = {}
+        self._groups: dict[str, Group] = {}
+        self._targets: dict[str, Target] = {}
+        self._belongs: set[tuple[str, str]] = set()   # (user, group)
+        self._accesses: list[Access] = []
+
+    # -- entity CRUD ---------------------------------------------------
+
+    def create_user(self, name: str, password: str) -> User:
+        if name in self._users:
+            raise ValueError(f"user {name!r} exists")
+        salt = os.urandom(8).hex()
+        u = User(name, self._hash(password, salt), salt)
+        self._users[name] = u
+        return u
+
+    def create_group(self, name: str) -> Group:
+        g = Group(name)
+        self._groups[name] = g
+        return g
+
+    def create_target(self, name: str, graph: str, space: str = "DEFAULT",
+                      resources: list[str] | None = None,
+                      labels: list[str] | None = None) -> Target:
+        t = Target(name, graph, space,
+                   resources or [ResourceType.ALL], labels)
+        self._targets[name] = t
+        return t
+
+    def belong(self, user: str, group: str) -> None:
+        if user not in self._users or group not in self._groups:
+            raise KeyError("unknown user or group")
+        self._belongs.add((user, group))
+
+    def grant(self, group: str, target: str, permission: int) -> None:
+        if group not in self._groups or target not in self._targets:
+            raise KeyError("unknown group or target")
+        self._accesses.append(Access(group, target, permission))
+
+    def delete_user(self, name: str) -> None:
+        self._users.pop(name, None)
+        self._belongs = {(u, g) for u, g in self._belongs if u != name}
+
+    # -- authentication --------------------------------------------------
+
+    @staticmethod
+    def _hash(password: str, salt: str) -> str:
+        return hashlib.sha256((salt + password).encode()).hexdigest()
+
+    def authenticate(self, name: str, password: str) -> User:
+        u = self._users.get(name)
+        if u is None or self._hash(password, u.salt) != u.password_hash:
+            raise Forbidden("bad credentials")
+        return u
+
+    # -- authorization ---------------------------------------------------
+
+    def check(self, user: str, graph: str, resource: str, permission: int,
+              space: str = "DEFAULT", label: str | None = None) -> bool:
+        """True iff some group of ``user`` holds ``permission`` on a
+        target covering (space, graph, resource[, label])."""
+        groups = {g for u, g in self._belongs if u == user}
+        for a in self._accesses:
+            if a.group not in groups or (a.permission & permission) \
+                    != permission:
+                continue
+            t = self._targets.get(a.target)
+            if t is None or t.graph != graph or t.space != space:
+                continue
+            if not any(ResourceType.covers(r, resource)
+                       for r in t.resources):
+                continue
+            if label is not None and t.labels is not None \
+                    and label not in t.labels:
+                continue
+            return True
+        return False
+
+    def require(self, user: str, graph: str, resource: str,
+                permission: int, space: str = "DEFAULT",
+                label: str | None = None) -> None:
+        if not self.check(user, graph, resource, permission, space, label):
+            raise Forbidden(
+                f"user {user!r} lacks {Permission.name(permission)} on "
+                f"{space}/{graph}:{resource}"
+                + (f"[{label}]" if label else ""))
+
+    # -- audit export ----------------------------------------------------
+
+    def to_dataframes(self, spark) -> dict:
+        """Auth entities as DataFrames (audit / reporting)."""
+        return {
+            "users": spark.createDataFrame(
+                [(u.name,) for u in self._users.values()] or [("",)],
+                "name string").filter("name <> ''"),
+            "belongs": spark.createDataFrame(
+                list(self._belongs) or [("", "")],
+                "user string, grp string").filter("user <> ''"),
+            "accesses": spark.createDataFrame(
+                [(a.group, a.target, Permission.name(a.permission))
+                 for a in self._accesses] or [("", "", "")],
+                "grp string, target string, permission string")
+            .filter("grp <> ''"),
+        }
+
+
+#: REST door → (resource type, permission) — the analytics-relevant
+#: subset of HugeGraphAuthProxy's per-call guards.
+_DOOR_RULES = {
+    "traverser": (ResourceType.VERTEX, Permission.READ),
+    "algorithm": (ResourceType.TASK, Permission.EXECUTE),
+    "gremlin": (ResourceType.GREMLIN, Permission.EXECUTE),
+    "cypher": (ResourceType.GREMLIN, Permission.EXECUTE),
+    "schema_read": (ResourceType.SCHEMA, Permission.READ),
+    "schema_write": (ResourceType.SCHEMA, Permission.WRITE),
+}
+
+
+def authorized_execute(am: AuthManager, user: str, graph_name: str,
+                       graph, endpoint: str, request: dict,
+                       space: str = "DEFAULT"):
+    """Permission-gated `rest.execute` (traverser endpoints read
+    vertices AND edges — both are required, as the reference's
+    traverser proxy checks both iterators)."""
+    from incubator_hugegraph_spark import rest
+    am.require(user, graph_name, ResourceType.VERTEX, Permission.READ,
+               space)
+    am.require(user, graph_name, ResourceType.EDGE, Permission.READ,
+               space)
+    return rest.execute(graph, endpoint, request)
+
+
+def authorized_gremlin(am: AuthManager, user: str, graph_name: str,
+                       graph, request, space: str = "DEFAULT"):
+    from incubator_hugegraph_spark import rest
+    am.require(user, graph_name, ResourceType.GREMLIN, Permission.EXECUTE,
+               space)
+    return rest.execute_gremlin(graph, request)
+
+
+def authorized_algorithm(am: AuthManager, user: str, graph_name: str,
+                         graph, name: str, params: dict | None = None,
+                         space: str = "DEFAULT"):
+    from incubator_hugegraph_spark import rest
+    am.require(user, graph_name, ResourceType.TASK, Permission.EXECUTE,
+               space)
+    return rest.execute_algorithm(graph, name, params)
+
+
+def authorized_schema(am: AuthManager, user: str, graph_name: str,
+                      schema, method: str, path: str,
+                      payload: dict | None = None,
+                      space: str = "DEFAULT"):
+    from incubator_hugegraph_spark import rest
+    needed = Permission.READ if method.upper() == "GET" \
+        else Permission.WRITE
+    am.require(user, graph_name, ResourceType.SCHEMA, needed, space)
+    return rest.execute_schema(schema, method, path, payload)

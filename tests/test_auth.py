@@ -1,0 +1,104 @@
+"""Auth/RBAC (SURVEY §2.K — core/auth/ parity): entity chain
+user→belong→group→access→target, permission flags, resource
+coverage, and the gated REST doors."""
+
+from __future__ import annotations
+
+import pytest
+
+from incubator_hugegraph_spark.auth import (
+    AuthManager, Forbidden, Permission, ResourceType,
+    authorized_algorithm, authorized_execute, authorized_gremlin)
+from tests.test_traversers import marko_graph  # noqa: F401 (fixture)
+
+
+def _mgr():
+    am = AuthManager()
+    am.create_user("alice", "pw-a")
+    am.create_user("bob", "pw-b")
+    am.create_group("analysts")
+    am.create_group("admins")
+    am.belong("alice", "analysts")
+    am.belong("bob", "admins")
+    am.create_target("hg_read", "hugegraph",
+                     resources=[ResourceType.VERTEX, ResourceType.EDGE])
+    am.create_target("hg_all", "hugegraph")
+    am.grant("analysts", "hg_read", Permission.READ)
+    am.grant("admins", "hg_all", Permission.ALL)
+    return am
+
+
+def test_authenticate_and_hashing():
+    am = _mgr()
+    assert am.authenticate("alice", "pw-a").name == "alice"
+    with pytest.raises(Forbidden):
+        am.authenticate("alice", "wrong")
+    with pytest.raises(Forbidden):
+        am.authenticate("nobody", "x")
+    # password never stored in the clear
+    assert "pw-a" not in repr(am._users["alice"])
+
+
+def test_check_walks_the_chain():
+    am = _mgr()
+    assert am.check("alice", "hugegraph", ResourceType.VERTEX,
+                    Permission.READ)
+    # alice's grant is READ-only, on vertices/edges only
+    assert not am.check("alice", "hugegraph", ResourceType.VERTEX,
+                        Permission.WRITE)
+    assert not am.check("alice", "hugegraph", ResourceType.GREMLIN,
+                        Permission.EXECUTE)
+    # bob's ALL target + ALL permission covers everything on the graph
+    assert am.check("bob", "hugegraph", ResourceType.GREMLIN,
+                    Permission.EXECUTE)
+    assert am.check("bob", "hugegraph", ResourceType.SCHEMA,
+                    Permission.WRITE)
+    # wrong graph / wrong space
+    assert not am.check("bob", "other", ResourceType.VERTEX,
+                        Permission.READ)
+    assert not am.check("bob", "hugegraph", ResourceType.VERTEX,
+                        Permission.READ, space="prod")
+
+
+def test_label_scoped_target():
+    am = AuthManager()
+    am.create_user("carol", "pw")
+    am.create_group("g")
+    am.belong("carol", "g")
+    am.create_target("persons_only", "hugegraph",
+                     resources=[ResourceType.VERTEX],
+                     labels=["person"])
+    am.grant("g", "persons_only", Permission.READ)
+    assert am.check("carol", "hugegraph", ResourceType.VERTEX,
+                    Permission.READ, label="person")
+    assert not am.check("carol", "hugegraph", ResourceType.VERTEX,
+                        Permission.READ, label="software")
+
+
+def test_gated_rest_doors(marko_graph):
+    am = _mgr()
+    req = {"source": "person!marko", "max_depth": 1, "direction": "OUT"}
+    out = authorized_execute(am, "alice", "hugegraph", marko_graph,
+                             "kneighbor", req)
+    assert out.count() == 2
+    with pytest.raises(Forbidden):
+        authorized_gremlin(am, "alice", "hugegraph", marko_graph,
+                           "g.V().count()")
+    assert authorized_gremlin(am, "bob", "hugegraph", marko_graph,
+                              "g.V().count()").head().cnt == 6
+    with pytest.raises(Forbidden):
+        authorized_algorithm(am, "alice", "hugegraph", marko_graph,
+                             "degree_centrality", {"top": 3})
+    # revoking membership revokes access
+    am.delete_user("alice")
+    with pytest.raises(Forbidden):
+        authorized_execute(am, "alice", "hugegraph", marko_graph,
+                           "kneighbor", req)
+
+
+def test_audit_export(marko_graph):
+    am = _mgr()
+    dfs = am.to_dataframes(marko_graph.spark)
+    assert dfs["users"].count() == 2
+    assert {r.permission for r in dfs["accesses"].collect()} \
+        == {"read", "read|write|delete|execute"}
