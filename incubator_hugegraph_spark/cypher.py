@@ -620,6 +620,15 @@ class CypherEngine:
             .otherwise(F.col("dst")))
         base = adj.select(F.col("src").alias("__a"),
                           F.col("dst").alias("__b"), ekey.alias("__ek"))
+        if rel.max_hops > 2:
+            # deep ranges consume the edge view once per hop — pay one
+            # materialization instead of max_hops re-derivations (the
+            # same tradeoff operators/bfs.py::loop_adj makes). NOTE:
+            # this makes the anchor filter non-pushable into the first
+            # hop; for ≤2 hops the live view (pushdown-friendly, see
+            # the plan audit in tests) wins instead.
+            from incubator_hugegraph_spark.graph import checkpointed
+            base = checkpointed(base)
         outs: list[DataFrame] = []
         if rel.min_hops == 0:
             ids = self.graph.vertices.select(F.col("id").alias("__a"),

@@ -275,3 +275,21 @@ def test_unwind_literal_and_chaining(graph):
         UNWIND [1, 2, 3, 4] AS x WITH x WHERE x > 2
         RETURN count(*) AS n""").head().n
     assert n == 2
+
+
+def test_varlen_deep_range_materialized_base(graph):
+    """max_hops > 2 exercises the checkpointed edge-view path. Fixed
+    chains don't enforce cross-relationship uniqueness, so the 3-hop
+    unroll OVERcounts paths that reuse an edge (a→b→a→b): the varlen
+    total must sit between sum(1,2 hops) and the raw sum(1,2,3)."""
+    parts = []
+    for hops in (1, 2, 3):
+        q = ("MATCH (a:customer)" +
+             "".join(f"-[:interacted]->(v{i}:customer)"
+                     for i in range(hops)) +
+             " RETURN count(*) AS n")
+        parts.append(cypher(graph, q).head().n)
+    total = cypher(graph, """
+        MATCH (a:customer)-[:interacted*1..3]->(b:customer)
+        RETURN count(*) AS n""").head().n
+    assert parts[0] + parts[1] < total <= sum(parts)
