@@ -84,6 +84,14 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     set semantics every dedup consumer wants); ``distinct=False``
     keeps multiplicity (intra-doc repetition metrics). JVM-side
     only."""
+    # NOTE (measured, round 3): the corpus fixture arrives as one
+    # parquet split, serializing the tokenize+explode pass — but
+    # force-repartitioning here made the END-TO-END LSH pipeline 3x
+    # SLOWER at sf0.1 (7.9s → 27.7s): the pass is called twice per
+    # pipeline and the added shuffle + RDD-plan materialization cost
+    # more than the single-core scan saves. At 100 TB the input has
+    # thousands of splits and the question is moot; leave the plan to
+    # Catalyst/AQE.
     toks = tokenize(F.col(text_col))
     sh = F.when(
         F.size(toks) >= n,
