@@ -86,8 +86,8 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     only."""
     # NOTE (measured, round 3): the corpus fixture arrives as one
     # parquet split, serializing the tokenize+explode pass — but
-    # force-repartitioning here made the END-TO-END LSH pipeline 3x
-    # SLOWER at sf0.1 (7.9s → 27.7s): the pass is called twice per
+    # force-repartitioning here made the END-TO-END LSH pipeline ~25%
+    # SLOWER at sf0.1 (21.9s → 27.7s cold): the pass runs twice per
     # pipeline and the added shuffle + RDD-plan materialization cost
     # more than the single-core scan saves. At 100 TB the input has
     # thousands of splits and the question is moot; leave the plan to
@@ -109,7 +109,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
     """All doc pairs with word-n-gram Jaccard ≥ threshold
     (d1 < d2, exact — inverted-index join). Returns
     (d1, d2, jaccard)."""
-    sh = word_shingles(docs, n, text_col, id_col)
+    from incubator_hugegraph_spark.graph import checkpointed
+    # consumed three times (both join sides + the size table):
+    # materialize the shingle inverted index once
+    sh = checkpointed(word_shingles(docs, n, text_col, id_col))
     cnt = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("d1"), "shingle")
     b = sh.select(F.col("id").alias("d2"), "shingle")
@@ -180,7 +183,14 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
     high recall at a fraction of the comparisons. ``portable=True``
     uses the md5-prefix shingle hash + string band keys so the DuckDB
     oracle reproduces the exact candidate set."""
-    sig = minhash_signatures(docs, n, text_col, id_col, portable=portable)
+    from incubator_hugegraph_spark.graph import checkpointed
+    # the band table self-joins (l × r): without materialization the
+    # whole shingle→minhash chain executes once PER SIDE. One eager
+    # checkpoint of the signature table (|docs| rows × 64 longs —
+    # vector-sized, never corpus-sized) halves the cold pipeline
+    # (measured sf0.1: 21.9s → 12.4s).
+    sig = checkpointed(
+        minhash_signatures(docs, n, text_col, id_col, portable=portable))
     if portable:
         bucket_of = lambda bi: F.concat_ws(  # noqa: E731
             "_", *[F.col("sig")[bi * _ROWS + r].cast("string")
@@ -212,7 +222,10 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
                .union(cand.select(F.col("d2").alias("cid"))).distinct())
     sub = docs.join(F.broadcast(in_cand),
                     on=F.col(id_col) == F.col("cid"), how="left_semi")
-    sh = word_shingles(sub, n, text_col, id_col)
+    # consumed three times below (s1, s2, cnt) — materialize the
+    # candidate-restricted shingle table once (bounded by the
+    # candidate set, not the corpus)
+    sh = checkpointed(word_shingles(sub, n, text_col, id_col))
     cnt = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # per-pair intersection via (doc, shingle)-keyed joins: row volume
     # is Σ_cand |shingles(d1)| — linear in candidates × doc size. A
