@@ -318,7 +318,10 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
     minhash_lsh_pairs). Returns (d1, d2, sim)."""
     from incubator_hugegraph_spark.data.similarity import (
         cosine, lsh_buckets)
-    sig = lsh_buckets(emb, dim, id_col, vec_col)
+    from incubator_hugegraph_spark.graph import checkpointed
+    # self-joined below — materialize the bucket table once instead of
+    # running the hyperplane-projection pass per join side
+    sig = checkpointed(lsh_buckets(emb, dim, id_col, vec_col))
     lhs = sig.select(F.col("id").alias("d1"), F.col("v").alias("v1"),
                      "table", "bucket")
     rhs = sig.select(F.col("id").alias("d2"), F.col("v").alias("v2"),
