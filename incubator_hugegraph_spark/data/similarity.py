@@ -130,6 +130,12 @@ def lsh_ann_topk(emb: DataFrame, query_ids: list[int], k: int, dim: int,
     """Approximate top-k: candidates = union over L tables of
     same-bucket vectors; exact cosine re-rank on the deduped set.
     Returns (query_id, neighbor_id, sim)."""
+    # sig is consumed twice, but NOT checkpointed (measured, round 3:
+    # a wash at sf0.01 and harmful at scale): the query-side consumer
+    # filters to |Q| ids, which Catalyst pushes below the projection
+    # pass — its recompute is |Q|-sized, while a checkpoint would
+    # materialize the n_tables× corpus WITH vectors. Contrast
+    # dedup.minhash_lsh_pairs, where both consumers are corpus-wide.
     sig = lsh_buckets(emb, dim, id_col, vec_col, n_planes, n_tables)
     q = (sig.filter(F.col("id").isin(query_ids))
          .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
@@ -187,6 +193,9 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
     assigned = (base.crossJoin(F.broadcast(cents))
                 .withColumn("d", cosine(F.col("v"), F.col("cv"))))
     w_assign = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("cell"))
+    # not checkpointed: the query-side consumer's isin filter pushes
+    # below the window (partitioned by id), so its recompute is
+    # |Q|-sized — same measured rationale as lsh_ann_topk above
     assigned = (assigned.withColumn("__rn", F.row_number().over(w_assign))
                 .filter(F.col("__rn") == 1).select("id", "v", "cell"))
     q = (assigned.filter(F.col("id").isin(query_ids))
