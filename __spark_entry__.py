@@ -3204,6 +3204,29 @@ def doc_dup_spans(spark, sf_dir):
     return duplicated_spans(_docs(spark, sf_dir), n=3, min_docs=2)
 
 
+@_q("doc_stream_neardup", _minhash_oracle())
+def doc_stream_neardup(spark, sf_dir):
+    """Incremental MinHash-LSH near-dup (streaming/incremental.py):
+    the corpus folded in three deterministic micro-batches
+    (doc_id % 3); the union of per-batch pair outputs must equal the
+    one-shot minhash_lsh_pairs result — so it shares doc_minhash_lsh's
+    oracle verbatim (the batch-equivalence invariant under the
+    driver gate)."""
+    from incubator_hugegraph_spark.streaming.incremental import (
+        incremental_neardup_batch)
+    docs = _docs(spark, sf_dir)
+    state, outs = None, []
+    for r in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == r)
+        state, pairs = incremental_neardup_batch(
+            state, batch, docs, n=3, threshold=0.3, portable=True)
+        outs.append(pairs)
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @_q("doc_corpus_stats", """
 WITH t AS (SELECT len(list_filter(string_split_regex(lower(text),
                '[^a-z0-9]+'), x -> x <> '')) AS n

@@ -173,24 +173,10 @@ def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
                       .alias("sig"))
 
 
-def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
-                      text_col: str = "text",
-                      id_col: str = "doc_id",
-                      portable: bool = False) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exact-verified: shingle → minhash →
-    band buckets → bucket join (candidates) → exact jaccard filter.
-    Returns (d1, d2, jaccard) — a subset of ngram_jaccard_pairs with
-    high recall at a fraction of the comparisons. ``portable=True``
-    uses the md5-prefix shingle hash + string band keys so the DuckDB
-    oracle reproduces the exact candidate set."""
-    from incubator_hugegraph_spark.graph import checkpointed
-    # the band table self-joins (l × r): without materialization the
-    # whole shingle→minhash chain executes once PER SIDE. One eager
-    # checkpoint of the signature table (|docs| rows × 64 longs —
-    # vector-sized, never corpus-sized) halves the cold pipeline
-    # (measured sf0.1: 21.9s → 12.4s).
-    sig = checkpointed(
-        minhash_signatures(docs, n, text_col, id_col, portable=portable))
+def band_rows(sig: DataFrame, portable: bool = False) -> DataFrame:
+    """Signature table → LSH band rows (id, band, bucket): _BANDS rows
+    per doc, bucket = the band's row slice (string key portable to a
+    SQL oracle, or the cheaper murmur3 key)."""
     if portable:
         bucket_of = lambda bi: F.concat_ws(  # noqa: E731
             "_", *[F.col("sig")[bi * _ROWS + r].cast("string")
@@ -199,25 +185,26 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
         bucket_of = lambda bi: F.hash(  # noqa: E731
             *[F.col("sig")[bi * _ROWS + r] for r in range(_ROWS)]) \
             .cast("string")
-    bands = sig.select(
+    return sig.select(
         "id",
         F.explode(F.array(*[
             F.struct(F.lit(bi).alias("band"),
                      bucket_of(bi).alias("bucket"))
             for bi in range(_BANDS)])).alias("bb")) \
         .select("id", "bb.band", "bb.bucket")
-    l = bands.select(F.col("id").alias("d1"), "band", "bucket")
-    r = bands.select(F.col("id").alias("d2"), "band", "bucket")
-    cand = (l.join(r, on=["band", "bucket"])
-            .filter(F.col("d1") < F.col("d2"))
-            .select("d1", "d2").distinct())
-    # exact verification on the CANDIDATES ONLY: the shingle inverted
-    # index is rebuilt from just the docs that appear in a candidate
-    # pair, and the pair join is semi-filtered to candidates before
-    # grouping — at scale the verify cost tracks |candidates|, not the
-    # corpus (the whole point of LSH). The threshold filter runs on
-    # the UNROUNDED ratio (rounding only for output), matching the
-    # oracle's unrounded filter bit-exactly.
+
+
+def verify_pairs(cand: DataFrame, docs: DataFrame, n: int = 3,
+                 threshold: float = 0.3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Exact-jaccard verification of candidate (d1, d2) pairs: the
+    shingle inverted index is rebuilt from just the docs appearing in
+    a candidate pair, and the pair join is semi-filtered to candidates
+    before grouping — at scale the verify cost tracks |candidates|,
+    not the corpus (the whole point of LSH). The threshold filter runs
+    on the UNROUNDED ratio (rounding only for output), matching the
+    oracle's unrounded filter bit-exactly."""
+    from incubator_hugegraph_spark.graph import checkpointed
     in_cand = (cand.select(F.col("d1").alias("cid"))
                .union(cand.select(F.col("d2").alias("cid"))).distinct())
     sub = docs.join(F.broadcast(in_cand),
@@ -245,6 +232,33 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
                         / (F.col("n1") + F.col("n2") - F.col("inter")))
             .filter(F.col("jaccard") >= threshold)
             .select("d1", "d2", F.round("jaccard", 6).alias("jaccard")))
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id",
+                      portable: bool = False) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified: shingle → minhash →
+    band buckets → bucket join (candidates) → exact jaccard filter.
+    Returns (d1, d2, jaccard) — a subset of ngram_jaccard_pairs with
+    high recall at a fraction of the comparisons. ``portable=True``
+    uses the md5-prefix shingle hash + string band keys so the DuckDB
+    oracle reproduces the exact candidate set."""
+    from incubator_hugegraph_spark.graph import checkpointed
+    # the band table self-joins (l × r): without materialization the
+    # whole shingle→minhash chain executes once PER SIDE. One eager
+    # checkpoint of the signature table (|docs| rows × 64 longs —
+    # vector-sized, never corpus-sized) halves the cold pipeline
+    # (measured sf0.1: 21.9s → 12.4s).
+    sig = checkpointed(
+        minhash_signatures(docs, n, text_col, id_col, portable=portable))
+    bands = band_rows(sig, portable)
+    l = bands.select(F.col("id").alias("d1"), "band", "bucket")
+    r = bands.select(F.col("id").alias("d2"), "band", "bucket")
+    cand = (l.join(r, on=["band", "bucket"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2").distinct())
+    return verify_pairs(cand, docs, n, threshold, text_col, id_col)
 
 
 def simhash(docs: DataFrame, text_col: str = "text",

@@ -135,3 +135,97 @@ def incremental_wcc_stream(spark: SparkSession, edges_path: str,
 # trigger sizing — the same admission-control knob any streaming job
 # already tunes. A 100 TB backfill streams through the same code with
 # maxFilesPerTrigger sized to keep batches in the tens of millions.
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-duplicate detection (streaming MinHash-LSH) — the
+# dedup analogue of incremental WCC above: fold each micro-batch of
+# documents into a persistent LSH band-bucket state and emit the
+# near-dup pairs whose LATER member arrived in this batch.
+#
+# Batch-equivalence invariant (tested): a pair collides in exactly one
+# batch (the one where its second member arrives — afterwards neither
+# member is ever on the batch side again), so the union of per-batch
+# outputs over any micro-batch partitioning equals
+# data.dedup.minhash_lsh_pairs over the full corpus.
+#
+# Plan shape per batch: the BATCH band table is the broadcast side of
+# the candidate join; the O(corpus-so-far) state streams
+# partition-local (the same rule the r02 verdict enforced on
+# incremental WCC). Exact verification reads only the candidate docs
+# from the corpus table (point semi-join).
+# ---------------------------------------------------------------------------
+
+
+def incremental_neardup_batch(state: DataFrame | None,
+                              docs_batch: DataFrame,
+                              corpus: DataFrame,
+                              n: int = 3, threshold: float = 0.3,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              portable: bool = False
+                              ) -> tuple[DataFrame, DataFrame]:
+    """One incremental step. Returns (new_state, pairs):
+    state = (id, band, bucket) LSH index over every doc seen;
+    pairs = exact-verified (d1, d2, jaccard), d1 < d2, second member
+    in this batch. ``corpus`` is the id→text table backing the stream
+    (verification fetches only candidate docs from it)."""
+    from incubator_hugegraph_spark.data.dedup import (
+        band_rows, minhash_signatures, verify_pairs)
+    from incubator_hugegraph_spark.graph import checkpointed
+    sig = checkpointed(minhash_signatures(
+        docs_batch, n, text_col, id_col, portable=portable))
+    bands_batch = checkpointed(band_rows(sig, portable))
+    if state is None:
+        spark = docs_batch.sparkSession
+        state = spark.createDataFrame(
+            [], "id string, band int, bucket string") \
+            .select(F.col("id").cast(bands_batch.schema["id"].dataType),
+                    "band", "bucket")
+    all_bands = state.unionByName(bands_batch)
+    new = bands_batch.select(F.col("id").alias("dn"), "band", "bucket")
+    cand = (F.broadcast(new)
+            .join(all_bands.withColumnRenamed("id", "do"),
+                  on=["band", "bucket"])
+            .filter(F.col("do") != F.col("dn"))
+            .select(F.least("do", "dn").alias("d1"),
+                    F.greatest("do", "dn").alias("d2"))
+            .distinct())
+    # pairs whose BOTH members predate this batch collided in an
+    # earlier batch already (their band rows were both in state then) —
+    # the (do ∈ state, dn ∈ batch) ∪ (batch × batch) join above can't
+    # produce them, so no cross-batch dedup is needed.
+    pairs = verify_pairs(cand, corpus, n, threshold, text_col, id_col)
+    return checkpointed(all_bands), pairs
+
+
+def incremental_neardup_stream(spark: SparkSession, docs_path: str,
+                               checkpoint_dir: str,
+                               n: int = 3, threshold: float = 0.3,
+                               max_files_per_trigger: int = 1):
+    """Structured-Streaming driver: readStream over a documents
+    directory, foreachBatch folding each micro-batch into the LSH
+    state. Returns (query, get_pairs) — await the query, then read the
+    accumulated near-dup pairs with get_pairs()."""
+    from incubator_hugegraph_spark.graph import checkpointed
+    corpus = spark.read.parquet(docs_path)
+    schema = corpus.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(docs_path))
+    holder = {"state": None, "pairs": None}
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        st, pairs = incremental_neardup_batch(
+            holder["state"], batch_df, corpus, n, threshold)
+        holder["state"] = st
+        acc = pairs if holder["pairs"] is None \
+            else holder["pairs"].unionByName(pairs)
+        holder["pairs"] = checkpointed(acc)
+
+    q = (stream.writeStream
+         .foreachBatch(step)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    return q, (lambda: holder["pairs"])

@@ -583,3 +583,44 @@ def test_duplicated_spans_coverage(spark):
     # doc 3: clean; doc 4: empty
     assert rows[3].dup_token_frac == 0.0
     assert (rows[4].n_tokens, rows[4].dup_token_frac) == (0, 0.0)
+
+
+def test_incremental_neardup_equals_batch(spark):
+    """Batch-equivalence invariant: folding the corpus in ANY
+    micro-batch partitioning yields exactly minhash_lsh_pairs."""
+    from incubator_hugegraph_spark.data.dedup import minhash_lsh_pairs
+    from incubator_hugegraph_spark.streaming.incremental import (
+        incremental_neardup_batch)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    want = {(r.d1, r.d2, r.jaccard) for r in
+            minhash_lsh_pairs(docs, n=3, threshold=0.3).collect()}
+    state, got = None, set()
+    for r in (0, 1):
+        batch = docs.filter(F.col("doc_id") % 2 == r)
+        state, pairs = incremental_neardup_batch(
+            state, batch, docs, n=3, threshold=0.3)
+        got |= {(r.d1, r.d2, r.jaccard) for r in pairs.collect()}
+    assert got == want and want
+    # state holds one band row set per doc seen
+    n_docs = docs.count()
+    assert state.select("id").distinct().count() == n_docs
+
+
+def test_incremental_neardup_broadcasts_batch(spark):
+    """The candidate join must broadcast the O(batch) band table
+    (BuildLeft), never the O(corpus) state."""
+    from incubator_hugegraph_spark.data.dedup import (
+        band_rows, minhash_signatures)
+    from pyspark.sql import functions as SF
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    state = band_rows(minhash_signatures(docs, 3))
+    batch = band_rows(minhash_signatures(docs.limit(5), 3))
+    new = batch.select(SF.col("id").alias("dn"), "band", "bucket")
+    cand = (SF.broadcast(new)
+            .join(state.unionByName(batch).withColumnRenamed("id", "do"),
+                  on=["band", "bucket"])
+            .filter(SF.col("do") != SF.col("dn")))
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    joins = [l for l in plan.splitlines()
+             if "BroadcastHashJoin" in l and "band" in l]
+    assert joins and all("BuildLeft" in l for l in joins), plan
