@@ -550,6 +550,39 @@ def gremlin_project_q(spark, sf_dir):
                         ".project('rid','nm').by(id).by('name')")
 
 
+@_q("cypher_starts_ends", """
+SELECT 'part!' || p_partkey AS id, p_name AS name FROM part
+WHERE p_name LIKE 'blue%' OR p_name LIKE '%bolt'
+""")
+def cypher_starts_ends_q(spark, sf_dir):
+    """openCypher STARTS WITH / ENDS WITH string predicates (true
+    substring anchors; CONTAINS stays word-match by documented
+    convention). OR is expressed as two MATCH arms unioned — the
+    engine's WHERE is conjunctive."""
+    from incubator_hugegraph_spark.cypher import cypher
+    a = cypher(_graph(spark, sf_dir), """
+        MATCH (p:part) WHERE p.name STARTS WITH 'blue'
+        RETURN p AS id, p.name AS name""")
+    b = cypher(_graph(spark, sf_dir), """
+        MATCH (p:part) WHERE p.name ENDS WITH 'bolt'
+        RETURN p AS id, p.name AS name""")
+    return a.unionByName(b).dropDuplicates(["id"])
+
+
+@_q("gremlin_group_mean", """
+SELECT p_brand AS key, ROUND(AVG(CAST(p_size AS DOUBLE)), 6) AS value
+FROM part GROUP BY p_brand
+""")
+def gremlin_group_mean_q(spark, sf_dir):
+    """TinkerPop group().by(key).by(valueAgg) through the text parser
+    — grouped value aggregation (§2.F write-side of the sideEffect
+    family)."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    return eval_gremlin(_graph(spark, sf_dir),
+                        "g.V().hasLabel('part').group().by('brand')"
+                        ".by(__.values('size').mean())")
+
+
 @_q("events_incremental_wcc", f"""
 WITH RECURSIVE {IE_SQL.strip().rstrip()},
 und AS (SELECT src, dst FROM ie UNION SELECT dst, src FROM ie),

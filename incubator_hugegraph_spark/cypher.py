@@ -86,8 +86,8 @@ _TOKEN_RE = re.compile(r"""
     \s*(?:
       (?P<arrow><-|->|--|-|\[|\]|\(|\)|,|:|\.)
     | (?P<kw>(?i:OPTIONAL|MATCH|WHERE|RETURN|DISTINCT|ORDER|BY|SKIP|LIMIT
-              |AND|ASC|DESC|AS|IN|CONTAINS|STARTS|WITH|NOT|IS|NULL|COUNT
-              |SUM|AVG|MIN|MAX|ID|LABEL|UNWIND)\b)
+              |AND|ASC|DESC|AS|IN|CONTAINS|STARTS|ENDS|WITH|NOT|IS|NULL
+              |COUNT|SUM|AVG|MIN|MAX|ID|LABEL|UNWIND)\b)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'(?:[^'\\]|\\.)*')
     | (?P<cmp><>|<=|>=|=|<|>|\*|\+|/)
@@ -405,6 +405,10 @@ class _Parser:
         if t[0] == "CONTAINS":
             self.next()
             return ("contains", left, self._expr())
+        if t[0] in ("STARTS", "ENDS"):
+            kind = self.next()[0]
+            self.next("WITH")
+            return ("strpred", kind.lower(), left, self._expr())
         if t[0] == "IN":
             self.next()
             self.next("arrow")  # [
@@ -524,6 +528,11 @@ class CypherEngine:
             _, l, r = cond
             return F.array_contains(tokenize(self._col(l)),
                                     str(r[1]).lower())
+        if kind == "strpred":
+            _, which, l, r = cond
+            lc = self._col(l)
+            return lc.startswith(str(r[1])) if which == "starts" \
+                else lc.endswith(str(r[1]))
         if kind == "in":
             _, l, vals = cond
             return self._col(l).isin(vals)

@@ -618,6 +618,40 @@ class Traversal:
     def count(self) -> DataFrame:
         return self.df.agg(F.count(F.lit(1)).alias("cnt"))
 
+    def group(self, key: str | None = None, agg: str = "collect",
+              value_key: str | None = None) -> DataFrame:
+        """group().by(key).by(valueAgg): (key, value). ``key`` is a
+        property name, 'label', or None (the element id); ``agg`` is
+        count / sum / mean / min / max / collect (sorted id or
+        value list — Gremlin's default group-into-lists, made
+        deterministic). ``value_key`` names the property the numeric
+        aggs and collect read (defaults to the element id for
+        collect)."""
+        t = self._elem() if self.kind == "V" else self
+        if key is None:
+            kcol = t._order_col()
+        elif key == "label":
+            kcol = F.col("label")
+        else:
+            kcol = (t._prop_col(key) if t.kind == "V"
+                    else F.col("props")[key])
+        if value_key is None:
+            vcol = t._order_col()
+        elif t.kind == "V":
+            vcol = t._prop_col(value_key)
+        else:
+            vcol = F.col("props")[value_key]
+        if agg == "collect":
+            acol = F.array_sort(F.collect_list(vcol))
+        elif agg == "count":
+            acol = F.count(F.lit(1))
+        else:
+            f = {"sum": F.sum, "mean": F.avg,
+                 "min": F.min, "max": F.max}[agg]
+            acol = F.round(f(vcol.cast("double")), 6)
+        return (t.df.groupBy(kcol.alias("key"))
+                .agg(acol.alias("value")))
+
     def groupCount(self, key: str | None = None) -> DataFrame:
         """(key, cnt); key=None groups by the current element id
         (groupCount()), key='label' by label (…by(T.label)), else by

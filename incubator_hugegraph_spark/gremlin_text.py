@@ -201,6 +201,37 @@ def _apply(chain: _Chain, t: Traversal) -> object:
                 t = t.order_by()
                 i += 1
             continue
+        if name == "group":
+            # group().by(key).by(__.values('p').mean()) / .by(count())
+            key = None
+            agg, value_key = "collect", None
+            j = i + 1
+            if j < len(steps) and steps[j][0] == "by":
+                ba = steps[j][1]
+                if ba and isinstance(ba[0], str):
+                    key = ba[0]
+                elif ba and isinstance(ba[0], tuple):
+                    key = ba[0][1]  # T.label
+                j += 1
+            if j < len(steps) and steps[j][0] == "by":
+                ba = steps[j][1]
+                if ba and isinstance(ba[0], _Chain):
+                    sub = ba[0].steps
+                    for sname, sargs in sub:
+                        if sname == "values" and sargs:
+                            value_key = sargs[0]
+                        elif sname in ("mean", "sum", "min", "max",
+                                       "count"):
+                            agg = sname
+                        else:
+                            raise SyntaxError(
+                                "gremlin: group value-by supports "
+                                "__.values(k).mean/sum/min/max or "
+                                "__.count()")
+                j += 1
+            t = t.group(key, agg, value_key)
+            i = j
+            continue
         if name == "groupCount":
             key = None
             if i + 1 < len(steps) and steps[i + 1][0] == "by":

@@ -293,3 +293,16 @@ def test_varlen_deep_range_materialized_base(graph):
         MATCH (a:customer)-[:interacted*1..3]->(b:customer)
         RETURN count(*) AS n""").head().n
     assert parts[0] + parts[1] < total <= sum(parts)
+
+
+def test_starts_with_and_ends_with(graph):
+    a = cypher(graph, """
+        MATCH (p:part) WHERE p.name STARTS WITH 'blue'
+        RETURN count(*) AS n""").head().n
+    assert a == graph.view("part").filter(
+        F.col("name").startswith("blue")).count() > 0
+    b = cypher(graph, """
+        MATCH (p:part) WHERE p.name ENDS WITH 'bolt'
+        RETURN count(*) AS n""").head().n
+    assert b == graph.view("part").filter(
+        F.col("name").endswith("bolt")).count() > 0

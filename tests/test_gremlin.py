@@ -390,3 +390,31 @@ def test_project_text_parser(graph):
         graph, "g.V().hasLabel('region')"
                ".project('rid','nm').by(id).by('name')").collect()
     assert len(rows) == 5 and rows[0].rid.startswith("region!")
+
+
+def test_group_by_by(graph):
+    from incubator_hugegraph_spark.gremlin import G
+    rows = {r.key: r.value for r in
+            G(graph).V().hasLabel("part").group("brand", "mean", "size")
+            .collect()}
+    manual = {r.brand: r.v for r in
+              graph.view("part").groupBy("brand")
+              .agg(F.round(F.avg(F.col("size").cast("double")), 6)
+                   .alias("v")).collect()}
+    assert rows == manual
+    # default: group into sorted id lists
+    g2 = {r.key: r.value for r in
+          G(graph).V().hasLabel("region").group("label").collect()}
+    assert g2["region"] == sorted(g2["region"]) and len(g2["region"]) == 5
+
+
+def test_group_text_parser(graph):
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    rows = eval_gremlin(
+        graph, "g.V().hasLabel('part').group().by('brand')"
+               ".by(__.values('size').mean())").collect()
+    manual = graph.view("part").groupBy("brand").count().count()
+    assert len(rows) == manual
+    cnt = eval_gremlin(
+        graph, "g.V().group().by(label).by(__.count())").collect()
+    assert {r.key: r.value for r in cnt}["region"] == 5
