@@ -583,6 +583,39 @@ def gremlin_group_mean_q(spark, sf_dir):
                         ".by(__.values('size').mean())")
 
 
+@_q("gremlin_repeat_emit", f"""
+WITH {E_SQL.strip()},
+h1 AS (SELECT dst FROM edges WHERE src = 'customer!1'),
+h2 AS (SELECT e2.dst FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+       WHERE e1.src = 'customer!1')
+SELECT dst AS value FROM h1 UNION ALL SELECT dst FROM h2
+""")
+def gremlin_repeat_emit_q(spark, sf_dir):
+    """repeat(out()).emit().times(2): the union of both rounds'
+    traversers WITH multiplicity (no dedup — Gremlin emit
+    semantics)."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    return eval_gremlin(_graph(spark, sf_dir),
+                        "g.V('customer!1').repeat(__.out())"
+                        ".emit().times(2).id()")
+
+
+@_q("gremlin_repeat_until", """
+SELECT 'region!' || n_regionkey AS value
+FROM nation JOIN customer ON n_nationkey = c_nationkey
+WHERE c_custkey = 1
+""")
+def gremlin_repeat_until_q(spark, sf_dir):
+    """repeat(out(...)).until(hasLabel(...)): traversers leave the
+    loop when the predicate matches — customer!1 walks
+    in_nation→located_in until it stands on a region."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    return eval_gremlin(_graph(spark, sf_dir),
+                        "g.V('customer!1')"
+                        ".repeat(__.out('in_nation','located_in'))"
+                        ".until(__.hasLabel('region')).id()")
+
+
 @_q("events_incremental_wcc", f"""
 WITH RECURSIVE {IE_SQL.strip().rstrip()},
 und AS (SELECT src, dst FROM ie UNION SELECT dst, src FROM ie),

@@ -552,6 +552,70 @@ class Traversal:
             t = step(t)
         return t
 
+    def repeat_emit(self, step: Callable[["Traversal"], "Traversal"],
+                    times: int, emit_first: bool = False) -> "Traversal":
+        """repeat(...).emit().times(n): the union of every round's
+        traversers (TinkerPop emit-after semantics; ``emit_first``
+        gives emit-before, which also emits the incoming traversers).
+        One Catalyst plan — the per-round frontiers union up."""
+        t = self
+        outs: list[Traversal] = [self] if emit_first else []
+        for _ in range(times):
+            t = step(t)
+            outs.append(t)
+        first = outs[0]
+        for p in outs[1:]:
+            first, p = _align_branches(first, p)
+            first = first._new(first.df.unionByName(p.df))
+        return first
+
+    def repeat_until(self, step: Callable[["Traversal"], "Traversal"],
+                     until: Callable[[DataFrame], Column],
+                     max_times: int = 32,
+                     capacity: int = 10_000_000) -> "Traversal":
+        """repeat(...).until(pred): traversers satisfying ``until``
+        leave the loop; the rest take another step. Bounded by
+        ``max_times`` (the reference's RepeatStep is likewise depth-
+        guarded; TinkerPop's unbounded until() on a cyclic graph
+        doesn't terminate either) and by ``capacity`` live traversers
+        per round — Gremlin repeat has NO path dedup, so a cyclic
+        subgraph multiplies traversers without bound; the guard turns
+        that divergence into the reference's CapacityExceeded instead
+        of a melted cluster (HugeTraverser.checkCapacity posture).
+        Emitted = the union of the stopped traversers across rounds."""
+        from incubator_hugegraph_spark.graph import (CapacityExceeded,
+                                                     checkpointed)
+        t = self
+        done: list[Traversal] = []
+        for _ in range(max_times):
+            t = t._elem() if t.kind == "V" else t  # preds may need props
+            # per-round lineage cut — without it the k-round
+            # filter/join chain builds an O(k)-deep plan and each
+            # round's emptiness probe re-executes it from the source
+            # (the iterate_hygiene lesson from the BFS kernel)
+            t = t._new(checkpointed(t.df))
+            stopped = t._new(t.df.filter(until(t.df)))
+            done.append(stopped)
+            t = t._new(t.df.filter(~until(t.df)))
+            n = t.df.count()
+            if n == 0:
+                break
+            if n > capacity:
+                raise CapacityExceeded(
+                    f"repeat/until: {n} live traversers > capacity "
+                    f"{capacity} (cyclic expansion?)")
+            t = step(t)
+        else:
+            # loop exhausted max_times: traversers still running are
+            # dropped (TinkerPop would keep looping; the guard is the
+            # documented deviation)
+            pass
+        first = done[0]
+        for p in done[1:]:
+            first, p = _align_branches(first, p)
+            first = first._new(first.df.unionByName(p.df))
+        return first
+
     def union(self, *steps: Callable[["Traversal"], "Traversal"]
               ) -> "Traversal":
         parts = [step(self) for step in steps]

@@ -167,6 +167,27 @@ class _P:
         raise SyntaxError(f"gremlin: bad argument {t}")
 
 
+def _until_pred(chain: _Chain):
+    """Compile an until() anonymous traversal to a row predicate —
+    the filter forms TinkerPop loops actually use: __.has(k, v),
+    __.hasLabel(l...), __.hasId(id...)."""
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_spark.gremlin import _pred
+    if len(chain.steps) != 1:
+        raise SyntaxError("gremlin: until() supports one has-filter")
+    sname, sargs = chain.steps[0]
+    if sname == "has" and len(sargs) == 2:
+        k, v = sargs
+        return lambda df: _pred(F.col("props")[k], v)
+    if sname == "hasLabel":
+        return lambda df: F.col("label").isin(list(sargs))
+    if sname == "hasId":
+        return lambda df: F.col("id").isin(list(sargs))
+    raise SyntaxError(
+        "gremlin: until() supports __.has(k,v)/hasLabel/hasId")
+
+
 def _apply(chain: _Chain, t: Traversal) -> object:
     """Apply parsed steps to a traversal; returns a Traversal or, for
     terminal aggregations, a DataFrame."""
@@ -178,12 +199,32 @@ def _apply(chain: _Chain, t: Traversal) -> object:
             raise SyntaxError(
                 f"gremlin: step {name}() after a terminal aggregation")
         if name == "repeat":
-            if i + 1 >= len(steps) or steps[i + 1][0] != "times":
-                raise SyntaxError("gremlin: repeat(...) needs .times(n)")
             body = args[0]
-            n = steps[i + 1][1][0]
-            t = t.repeat(lambda x: _apply(body, x), int(n))
-            i += 2
+            emit = False
+            n = None
+            until_chain = None
+            j = i + 1
+            while j < len(steps) and steps[j][0] in ("emit", "times",
+                                                     "until"):
+                sname, sargs = steps[j]
+                if sname == "emit":
+                    emit = True
+                elif sname == "times":
+                    n = int(sargs[0])
+                else:
+                    until_chain = sargs[0]
+                j += 1
+            if until_chain is not None:
+                t = t.repeat_until(lambda x: _apply(body, x),
+                                   _until_pred(until_chain))
+            elif n is None:
+                raise SyntaxError(
+                    "gremlin: repeat(...) needs .times(n) or .until(...)")
+            elif emit:
+                t = t.repeat_emit(lambda x: _apply(body, x), n)
+            else:
+                t = t.repeat(lambda x: _apply(body, x), n)
+            i = j
             continue
         if name == "order":
             if i + 1 < len(steps) and steps[i + 1][0] == "by":

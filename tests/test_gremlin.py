@@ -418,3 +418,66 @@ def test_group_text_parser(graph):
     cnt = eval_gremlin(
         graph, "g.V().group().by(label).by(__.count())").collect()
     assert {r.key: r.value for r in cnt}["region"] == 5
+
+
+def test_repeat_emit_unions_rounds(graph):
+    from incubator_hugegraph_spark.gremlin import G
+    got = sorted(r.value for r in
+                 (G(graph).V("customer!1")
+                  .repeat_emit(lambda t: t.out("placed"), 2)
+                  .id_()).df.collect())
+    placed = graph.edges.filter("label='placed' AND src='customer!1'")
+    h1 = sorted(r.dst for r in placed.collect())
+    assert got == h1  # orders have no outgoing 'placed' edges
+    # emit_first also yields the source
+    got2 = sorted(r.value for r in
+                  (G(graph).V("customer!1")
+                   .repeat_emit(lambda t: t.out("placed"), 1,
+                                emit_first=True)
+                   .id_()).df.collect())
+    assert got2 == sorted(["customer!1"] + h1)
+
+
+def test_repeat_until_stops_matching_traversers(graph):
+    # NOTE: the repeat body must converge — an unlabeled out() walks
+    # the cyclic `interacted` subgraph and multiplies traversers
+    # without bound (true of TinkerPop repeat too; the capacity guard
+    # below turns that into CapacityExceeded).
+    from incubator_hugegraph_spark.gremlin import G
+    from pyspark.sql import functions as SF
+    rows = (G(graph).V("customer!1")
+            .repeat_until(lambda t: t.out("in_nation", "located_in"),
+                          lambda df: SF.col("label") == "region")
+            .id_()).df.collect()
+    nat = graph.edges.filter(
+        "label='in_nation' AND src='customer!1'").head().dst
+    reg = graph.edges.filter(
+        f"label='located_in' AND src='{nat}'").head().dst
+    assert {r.value for r in rows} == {reg}
+
+
+def test_repeat_until_capacity_guard(graph):
+    from incubator_hugegraph_spark.gremlin import G
+    from incubator_hugegraph_spark.graph import CapacityExceeded
+    from pyspark.sql import functions as SF
+    with pytest.raises(CapacityExceeded):
+        (G(graph).V("customer!1")
+         .repeat_until(lambda t: t.out("interacted"),
+                       lambda df: SF.col("label") == "region",
+                       capacity=1000)
+         .id_()).df.collect()
+
+
+def test_repeat_text_forms(graph):
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    n1 = eval_gremlin(graph, "g.V('customer!1')"
+                             ".repeat(__.out('placed')).times(1)"
+                             ".count()").head().cnt
+    ne = eval_gremlin(graph, "g.V('customer!1')"
+                             ".repeat(__.out('placed')).emit().times(2)"
+                             ".count()").head().cnt
+    assert ne == n1  # second round adds nothing (orders are sinks)
+    ru = eval_gremlin(graph, "g.V('customer!1')"
+                             ".repeat(__.out('in_nation','located_in'))"
+                             ".until(__.hasLabel('region')).id()").collect()
+    assert len(ru) == 1 and ru[0].value.startswith("region!")
