@@ -874,3 +874,96 @@ class GraphSpaceManager:
                          request: dict) -> tuple[DataFrame, dict]:
         return execute_measured(self.graph(graph_name, space), endpoint,
                                 request)
+
+
+# ---------------------------------------------------------------------------
+# Async task scheduler — api/task/TaskAPI.java + core/task/HugeTask /
+# TaskScheduler: algorithm jobs run asynchronously with an id and a
+# RUNNING → SUCCESS/FAILED/CANCELLED lifecycle; results are fetched by
+# task id. Spark-native: each task runs the job's action on a worker
+# thread inside a Spark job group, so cancel() maps to
+# SparkContext.cancelJobGroup (the same kill switch the reference's
+# task restore/cancel path uses on its executors).
+# ---------------------------------------------------------------------------
+
+
+class TaskScheduler:
+    """Minimal HugeTask lifecycle over Spark job groups."""
+
+    def __init__(self) -> None:
+        import threading
+        self._lock = threading.Lock()
+        self._tasks: dict[int, dict] = {}
+        self._next = 1
+
+    def submit_algorithm(self, graph: PropertyGraph, name: str,
+                         params: dict | None = None) -> int:
+        """POST …/jobs/algorithm/{name} — returns the task id
+        immediately; the job materializes on a worker thread."""
+        import threading
+        with self._lock:
+            task_id = self._next
+            self._next += 1
+            rec = {"id": task_id, "type": "algorithm", "name": name,
+                   "status": "RUNNING", "error": None, "result": None}
+            self._tasks[task_id] = rec
+        group = f"task-{task_id}"
+
+        def run() -> None:
+            sc = graph.spark.sparkContext
+            sc.setJobGroup(group, f"algorithm {name}", True)
+            try:
+                df = execute_algorithm(graph, name, params)
+                rec["result"] = df.localCheckpoint()  # materialize
+                rec["status"] = "SUCCESS"
+            except Exception as e:  # noqa: BLE001 — task records it
+                rec["error"] = f"{type(e).__name__}: {e}"
+                rec["status"] = ("CANCELLED"
+                                 if "cancelled" in str(e).lower()
+                                 else "FAILED")
+            finally:
+                sc._jsc.clearJobGroup()
+
+        t = threading.Thread(target=run, name=group, daemon=True)
+        rec["_thread"] = t
+        t.start()
+        return task_id
+
+    def _rec(self, task_id: int) -> dict:
+        try:
+            return self._tasks[task_id]
+        except KeyError:
+            raise KeyError(f"unknown task {task_id}") from None
+
+    def get(self, task_id: int) -> dict:
+        """GET …/tasks/{id} — status record (reference field names)."""
+        r = self._rec(task_id)
+        return {"id": r["id"], "task_type": r["type"],
+                "task_name": r["name"], "task_status": r["status"],
+                "task_result": r["error"]}
+
+    def result(self, task_id: int) -> DataFrame:
+        r = self._rec(task_id)
+        if r["status"] != "SUCCESS":
+            raise RuntimeError(
+                f"task {task_id} is {r['status']}: {r['error']}")
+        return r["result"]
+
+    def wait(self, task_id: int, timeout: float | None = None) -> dict:
+        self._rec(task_id)["_thread"].join(timeout)
+        return self.get(task_id)
+
+    def cancel(self, task_id: int, spark=None) -> dict:
+        """DELETE …/tasks/{id} — cancels the task's Spark job group;
+        a finished task is left untouched (reference behavior)."""
+        r = self._rec(task_id)
+        if r["status"] == "RUNNING" and spark is not None:
+            spark.sparkContext.cancelJobGroup(f"task-{task_id}")
+        return self.get(task_id)
+
+    def list(self, status: str | None = None) -> list[dict]:
+        """GET …/tasks[?status=…]"""
+        out = [self.get(i) for i in sorted(self._tasks)]
+        if status:
+            out = [t for t in out if t["task_status"] == status.upper()]
+        return out

@@ -381,3 +381,28 @@ def test_graph_space_manager(marko_graph):
         mgr.graph("nope")
     with pytest.raises(ValueError):
         mgr.drop_space("DEFAULT")
+
+
+def test_task_scheduler_lifecycle(marko_graph):
+    from incubator_hugegraph_spark.rest import TaskScheduler
+    ts = TaskScheduler()
+    tid = ts.submit_algorithm(marko_graph, "degree_centrality",
+                              {"top": 3})
+    rec = ts.wait(tid, timeout=120)
+    assert rec["task_status"] == "SUCCESS" and rec["id"] == tid
+    rows = ts.result(tid).collect()
+    assert 0 < len(rows) <= 3
+    # failed task records the error and stays queryable
+    bad = ts.submit_algorithm(marko_graph, "no_such_algorithm")
+    rec2 = ts.wait(bad, timeout=120)
+    assert rec2["task_status"] == "FAILED"
+    assert "no_such_algorithm" in (rec2["task_result"] or "")
+    with pytest.raises(RuntimeError):
+        ts.result(bad)
+    # listing + status filter + unknown id
+    assert [t["id"] for t in ts.list()] == [tid, bad]
+    assert [t["id"] for t in ts.list("success")] == [tid]
+    with pytest.raises(KeyError):
+        ts.get(999)
+    # cancel on a finished task is a no-op that returns the record
+    assert ts.cancel(tid, marko_graph.spark)["task_status"] == "SUCCESS"
