@@ -22,9 +22,16 @@ Step → Spark mapping (suite family in parens):
   traverser per edge traversed, collapsed only by dedup().
 - values/id_/label_ (map), dedup, limit/range_/tail, order_by,
   groupCount, count/sum_/mean_/max_/min_ (sideEffect/agg), fold.
-- repeat(...).times equivalent `repeat(step, n)` (branch), union,
-  path/simplePath/cyclicPath (filter: path predicates on the carried
-  vertex trail, `array_contains`-style checks in Column space).
+- repeat(...).times equivalent `repeat(step, n)` plus
+  `repeat_emit` (emit-before/after union of rounds) and
+  `repeat_until` (per-traverser loop exit, depth+capacity guarded)
+  (branch), union, path/simplePath/cyclicPath (filter: path
+  predicates on the carried vertex trail, `array_contains`-style
+  checks in Column space).
+- sack (withSack/sack: per-traverser accumulator column), tree
+  (prefix aggregation), subgraph (edge-induced PropertyGraph), math
+  (Column-compiled arithmetic), mid-traversal V_, project
+  (named columns), group (key + value aggregation).
 - sample(n): deterministic hash-ranked sample (the reproducible form
   of Gremlin sample()/coin(), matching the `gremlin_sample` query).
 
