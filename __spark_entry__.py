@@ -616,6 +616,33 @@ def gremlin_repeat_until_q(spark, sf_dir):
                         ".until(__.hasLabel('region')).id()")
 
 
+@_q("events_heavy_hitters", """
+WITH keyed AS (SELECT CAST(event_type AS VARCHAR) AS k FROM events),
+probes AS (SELECT k, r.r AS row,
+                  (('0x' || substr(md5('r' || r.r || ':' || k), 1, 7))
+                   ::BIGINT) % 1024 AS bucket
+           FROM keyed, (VALUES (0), (1), (2), (3)) r(r)),
+cms AS (SELECT row, bucket, count(*) AS cnt FROM probes GROUP BY 1, 2),
+keys AS (SELECT DISTINCT k FROM keyed),
+kprobes AS (SELECT k, r.r AS row,
+                   (('0x' || substr(md5('r' || r.r || ':' || k), 1, 7))
+                    ::BIGINT) % 1024 AS bucket
+            FROM keys, (VALUES (0), (1), (2), (3)) r(r)),
+est AS (SELECT k AS key, min(cnt) AS est
+        FROM kprobes JOIN cms USING (row, bucket) GROUP BY k),
+tot AS (SELECT count(*) AS n FROM events)
+SELECT key, est, ROUND(CAST(est AS DOUBLE) / n, 6) AS est_frac
+FROM est, tot WHERE est >= 0.05 * n
+""")
+def events_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters over the event stream (Cormode
+    & Muthukrishnan 2005): fixed 4×1024 counter grid regardless of
+    corpus size; md5-salted row hashes so the DuckDB oracle rebuilds
+    the sketch — and the min-over-rows estimates — bit-for-bit."""
+    from incubator_hugegraph_spark.data.sketch import heavy_hitters
+    return heavy_hitters(_events(spark, sf_dir), "event_type", 0.05)
+
+
 @_q("events_incremental_wcc", f"""
 WITH RECURSIVE {IE_SQL.strip().rstrip()},
 und AS (SELECT src, dst FROM ie UNION SELECT dst, src FROM ie),

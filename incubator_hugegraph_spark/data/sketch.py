@@ -1,0 +1,81 @@
+"""Frequency sketches for training-data pipelines: count-min sketch
+and heavy hitters.
+
+Beyond-reference scope (the brief's "novel sketch" slot): at 100 TB,
+exact per-key frequency tables can be as large as the corpus, while a
+count-min sketch is a FIXED d×w counter grid regardless of scale —
+the standard streaming-frequency structure (Cormode & Muthukrishnan,
+"An Improved Data Stream Summary: The Count-Min Sketch and its
+Applications", J. Algorithms 2005). Build = one explode + groupBy
+with map-side partial aggregation (one shuffle of at most d×w
+groups); estimation joins the broadcast-sized sketch.
+
+Determinism / oracle parity: the d row-hash functions are md5-prefix
+hashes (data/dedup.portable_hash28) salted with the row index, so a
+DuckDB oracle reproduces the sketch — and therefore the estimates —
+bit-for-bit. Estimates are the classic min-over-rows upper bound:
+est(k) ≥ true(k), with overestimation bounded by ε·N at the usual
+(ε = e/w, δ = e^-d) guarantees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from incubator_hugegraph_spark.data.dedup import portable_hash28
+
+#: default grid: 4 rows × 1024 buckets ≈ 4K counters total
+_D, _W = 4, 1024
+
+
+def _bucket(key_col, row: int, w: int):
+    return portable_hash28(F.concat(F.lit(f"r{row}:"), key_col)) % w
+
+
+def count_min(df: DataFrame, key_col: str, d: int = _D,
+              w: int = _W) -> DataFrame:
+    """Build the sketch: (row, bucket, cnt), at most d×w rows. One
+    explode + one groupBy (partial agg map-side) — the sketch size is
+    independent of |df|."""
+    k = F.col(key_col).cast("string")
+    rb = F.explode(F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 _bucket(k, r, w).alias("bucket"))
+        for r in range(d)])).alias("rb")
+    return (df.select(rb).select("rb.row", "rb.bucket")
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cm_estimate(cms: DataFrame, keys: DataFrame, key_col: str,
+                d: int = _D, w: int = _W) -> DataFrame:
+    """(key, est) for every row of ``keys``: est = min over the d rows
+    of the key's bucket counter. The sketch is broadcast (≤ d×w
+    rows); keys stream through."""
+    k = F.col(key_col).cast("string")
+    probes = keys.select(
+        k.alias("key"),
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     _bucket(k, r, w).alias("bucket"))
+            for r in range(d)])).alias("rb")) \
+        .select("key", "rb.row", "rb.bucket")
+    return (probes.join(F.broadcast(cms), on=["row", "bucket"])
+            .groupBy("key").agg(F.min("cnt").alias("est")))
+
+
+def heavy_hitters(df: DataFrame, key_col: str, threshold: float,
+                  d: int = _D, w: int = _W) -> DataFrame:
+    """Keys whose count-min ESTIMATE is ≥ threshold × |df| —
+    (key, est, est_frac). No false negatives (est ≥ true count); the
+    candidate key set is the distinct keys, streamed against the
+    broadcast sketch, so the only corpus-sized pass is the build
+    scan."""
+    total = df.count()
+    cms = count_min(df, key_col, d, w)
+    keys = df.select(key_col).distinct()
+    est = cm_estimate(cms, keys, key_col, d, w)
+    return (est.filter(F.col("est") >= threshold * total)
+            .select("key", "est",
+                    F.round(F.col("est") / total, 6).alias("est_frac")))

@@ -624,3 +624,26 @@ def test_incremental_neardup_broadcasts_batch(spark):
     joins = [l for l in plan.splitlines()
              if "BroadcastHashJoin" in l and "band" in l]
     assert joins and all("BuildLeft" in l for l in joins), plan
+
+
+def test_count_min_heavy_hitters(spark):
+    """With 5 keys vs 1024 buckets, collisions are absent — estimates
+    equal exact counts; with w=4 they are upper bounds (never
+    under)."""
+    from incubator_hugegraph_spark.data.sketch import (
+        cm_estimate, count_min, heavy_hitters)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = {r.event_type: r.c for r in
+             ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+             .collect()}
+    hh = {r.key: r.est for r in
+          heavy_hitters(ev, "event_type", 0.05).collect()}
+    assert hh == exact
+    # collision regime: estimates are upper bounds
+    cms = count_min(ev, "event_type", d=2, w=4)
+    est = {r.key: r.est for r in
+           cm_estimate(cms, ev.select("event_type").distinct(),
+                       "event_type", d=2, w=4).collect()}
+    assert all(est[k] >= exact[k] for k in exact)
+    # the sketch itself never exceeds d*w rows
+    assert cms.count() <= 2 * 4
