@@ -643,6 +643,28 @@ def events_heavy_hitters(spark, sf_dir):
     return heavy_hitters(_events(spark, sf_dir), "event_type", 0.05)
 
 
+@_q("events_distinct_users_kmv", """
+WITH hs AS (SELECT DISTINCT
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 7))::BIGINT AS DOUBLE)
+                   / 268435456.0 AS h
+            FROM events),
+topk AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+agg AS (SELECT count(*) AS k_used, max(h) AS kth_min FROM topk)
+SELECT k_used, ROUND(kth_min, 9) AS kth_min,
+       CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+            ELSE ROUND((k_used - 1) / kth_min, 3) END AS distinct_est
+FROM agg
+""")
+def events_distinct_users_kmv(spark, sf_dir):
+    """K-minimum-values distinct-count sketch over the event stream's
+    users (Bar-Yossef et al. 2002): fixed k=256 state regardless of
+    stream size; md5 hashing makes the estimate bit-reproducible in
+    the DuckDB oracle."""
+    from incubator_hugegraph_spark.data.sketch import kmv_distinct
+    return kmv_distinct(_events(spark, sf_dir), "user_id", k=256)
+
+
 @_q("events_incremental_wcc", f"""
 WITH RECURSIVE {IE_SQL.strip().rstrip()},
 und AS (SELECT src, dst FROM ie UNION SELECT dst, src FROM ie),

@@ -79,3 +79,27 @@ def heavy_hitters(df: DataFrame, key_col: str, threshold: float,
     return (est.filter(F.col("est") >= threshold * total)
             .select("key", "est",
                     F.round(F.col("est") / total, 6).alias("est_frac")))
+
+
+def kmv_distinct(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values distinct-count estimate (Bar-Yossef et al.,
+    "Counting distinct elements in a data stream", RANDOM 2002):
+    hash every key into [0, 1), keep the k smallest values; with m_k
+    the k-th minimum, distinct ≈ (k-1)/m_k. One row out:
+    (k_used, kth_min, distinct_est).
+
+    Scale: the only corpus pass is hash+distinct; the k smallest is a
+    TakeOrdered (per-partition top-k, no full sort). Exact below k
+    distinct keys (the estimator degenerates to the true count).
+    md5-prefix hashing keeps it bit-reproducible in a SQL oracle."""
+    h = (portable_hash28(F.col(key_col).cast("string"))
+         .cast("double") / F.lit(float(1 << 28))).alias("h")
+    mins = (df.select(h).distinct().orderBy("h").limit(k)
+            .agg(F.count(F.lit(1)).alias("k_used"),
+                 F.max("h").alias("kth_min")))
+    return mins.select(
+        "k_used", F.round("kth_min", 9).alias("kth_min"),
+        F.when(F.col("k_used") < k,
+               F.col("k_used").cast("double"))
+        .otherwise(F.round((F.col("k_used") - 1) / F.col("kth_min"), 3))
+        .alias("distinct_est"))

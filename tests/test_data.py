@@ -647,3 +647,17 @@ def test_count_min_heavy_hitters(spark):
     assert all(est[k] >= exact[k] for k in exact)
     # the sketch itself never exceeds d*w rows
     assert cms.count() <= 2 * 4
+
+
+def test_kmv_distinct_estimate(spark):
+    from incubator_hugegraph_spark.data.sketch import kmv_distinct
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    true_d = ev.select("user_id").distinct().count()
+    row = kmv_distinct(ev, "user_id", k=64).head()
+    # standard KMV error ~ 1/sqrt(k) ≈ 12.5% at k=64; allow 3 sigma
+    assert abs(row.distinct_est - true_d) / true_d < 0.4
+    # below-k regime is exact
+    small = ev.limit(30)
+    d_small = small.select("user_id").distinct().count()
+    row2 = kmv_distinct(small, "user_id", k=256).head()
+    assert row2.distinct_est == float(d_small) == float(row2.k_used)
