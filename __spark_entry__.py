@@ -550,6 +550,24 @@ def gremlin_project_q(spark, sf_dir):
                         ".project('rid','nm').by(id).by('name')")
 
 
+@_q("cypher_rel_props", """
+SELECT 'part!' || l_partkey AS p, count(*) AS n,
+       ROUND(SUM(CAST(l_extendedprice AS DOUBLE)), 6) AS total
+FROM lineitem WHERE l_quantity >= 45
+GROUP BY l_partkey
+""")
+def cypher_rel_props_q(spark, sf_dir):
+    """Relationship variables (-[r:label]->): r binds the edge — its
+    typed properties filter and aggregate (r.quantity, r.extendedprice
+    compile against the typed edge view, so the predicate reaches the
+    scan)."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (o:order)-[r:contains]->(p:part)
+        WHERE r.quantity >= 45
+        RETURN p, count(*) AS n, sum(r.extendedprice) AS total""")
+
+
 @_q("cypher_starts_ends", """
 SELECT 'part!' || p_partkey AS id, p_name AS name FROM part
 WHERE p_name LIKE 'blue%' OR p_name LIKE '%bolt'

@@ -120,6 +120,7 @@ class _Rel:
     direction: str  # OUT / IN / BOTH relative to src
     min_hops: int = 1
     max_hops: int = 1
+    var: str | None = None  # relationship variable (-[r:label]->)
 
     @property
     def varlen(self) -> bool:
@@ -266,10 +267,11 @@ class _Parser:
             if t in ("-", "<-"):
                 head = self.next()[1]
                 label = None
+                rvar = None
                 lo, hi = 1, 1
                 self._expect_val("[")
-                if self.peek()[0] == "name":  # optional rel var, unused
-                    self.next()
+                if self.peek()[0] == "name":  # relationship variable
+                    rvar = self.next()[1]
                 if self.peek()[1] == ":":
                     self.next()
                     label = self._name()
@@ -288,7 +290,12 @@ class _Parser:
                     raise SyntaxError(
                         f"cypher: bad relationship {head}[..]{tail}")
                 nxt = self._node(q)
-                q.rels.append(_Rel(prev, nxt, label, direction, lo, hi))
+                if rvar is not None and (lo, hi) != (1, 1):
+                    raise SyntaxError(
+                        "cypher: a variable on a var-length "
+                        "relationship binds a LIST — not supported")
+                q.rels.append(_Rel(prev, nxt, label, direction, lo, hi,
+                                   rvar))
                 prev = nxt
                 continue
             break
@@ -478,6 +485,7 @@ class CypherEngine:
         self._typed_cols: dict[str, set[str]] = {}
         self._labels: dict[str, str | None] = {}
         self._bound: set[str] = set()
+        self._rel_vars: set[str] = set()
 
     # ---- column compilation ----------------------------------------
 
@@ -573,6 +581,8 @@ class CypherEngine:
         table is unique by id, so the join is 1:1 (left, to preserve
         nulls from OPTIONAL MATCH)."""
         for v in sorted(vars_needed):
+            if v in self._rel_vars:
+                continue  # edge columns travel with the pattern
             if (v in df.columns and f"__l_{v}" not in df.columns
                     and f"__p_{v}" not in df.columns):
                 df = df.join(self._node_df(v), on=v, how="left")
@@ -610,6 +620,48 @@ class CypherEngine:
         if rel.label is None and len(cands) == len(sch.edge_labels):
             return None  # nothing pruned — keep the unfiltered view
         return cands or ["__none__"]
+
+    def _rel_df(self, rel: _Rel) -> DataFrame:
+        """Adjacency for a rel carrying a VARIABLE: endpoint columns
+        plus the edge's identity (<var> = the EdgeId splice), label
+        (__l_<var>) and properties. A single-label rel compiles
+        against the TYPED edge view (__c_<var>_* columns — predicates
+        on edge properties reach the scan); the generic form carries
+        the props map."""
+        g = self.graph
+        v = rel.var
+        if rel.label and rel.label in getattr(g, "edge_views", {}):
+            ev = g.edge_views[rel.label]
+            props = [c for c in ev.columns
+                     if c not in ("src", "dst", "sort_values")]
+            self._typed_cols[v] = set(props)
+            eid = F.concat_ws(">", F.col("src"), F.lit(rel.label),
+                              F.col("sort_values"), F.col("dst"))
+
+            def orient(s: str, d: str) -> DataFrame:
+                return ev.select(
+                    F.col(s).alias(rel.src), F.col(d).alias(rel.dst),
+                    eid.alias(v), F.lit(rel.label).alias(f"__l_{v}"),
+                    *[F.col(c).alias(f"__c_{v}_{c}") for c in props])
+        else:
+            e = g.edges.select("src", "dst", "label", "sort_values",
+                               "props")
+            labels = self._rel_scan_labels(rel)
+            if labels:
+                e = e.filter(F.col("label").isin(labels))
+            eid = F.concat_ws(">", F.col("src"), F.col("label"),
+                              F.col("sort_values"), F.col("dst"))
+
+            def orient(s: str, d: str) -> DataFrame:
+                return e.select(
+                    F.col(s).alias(rel.src), F.col(d).alias(rel.dst),
+                    eid.alias(v), F.col("label").alias(f"__l_{v}"),
+                    F.col("props").alias(f"__p_{v}"))
+        if rel.direction == "OUT":
+            return orient("src", "dst")
+        if rel.direction == "IN":
+            return orient("dst", "src")
+        return orient("src", "dst").unionByName(orient("dst", "src"))
 
     def _varlen_pairs(self, rel: _Rel) -> DataFrame:
         """(src, dst) pair per distinct edge sequence of length
@@ -684,6 +736,8 @@ class CypherEngine:
         for rel in mc.rels:
             if rel.varlen:
                 adj = self._varlen_pairs(rel)
+            elif rel.var:
+                adj = self._rel_df(rel)
             else:
                 adj = g.adj(rel.direction, self._rel_scan_labels(rel)) \
                     .select(F.col("src").alias(rel.src),
@@ -754,12 +808,20 @@ class CypherEngine:
             else:
                 df = df.crossJoin(sub)
             self._bound |= sub_bound
+            self._track_rel_vars(mc)
             return df
         df = self._pattern_df(mc, df, self._bound)
+        self._track_rel_vars(mc)
         df = self._hydrate(df, where_vars)
         for cond in mc.where:
             df = df.filter(self._filter(cond))
         return df
+
+    def _track_rel_vars(self, mc: _MatchClause) -> None:
+        for rel in mc.rels:
+            if rel.var:
+                self._bound.add(rel.var)
+                self._rel_vars.add(rel.var)
 
     def _apply_proj(self, df: DataFrame, p: _Proj) -> DataFrame:
         items = [(expr, alias or _default_alias(expr))
@@ -843,13 +905,16 @@ class CypherEngine:
             new_typed: dict[str, set[str]] = {}
             new_labels: dict[str, str | None] = {}
             new_bound: set[str] = set()
+            new_rel: set[str] = set()
             for v, a in carried_nodes:
                 new_bound.add(a)
                 new_labels[a] = self._labels.get(v)
+                if v in self._rel_vars:
+                    new_rel.add(a)
                 if not has_agg and v in self._typed_cols:
                     new_typed[a] = self._typed_cols[v]
             self._typed_cols, self._labels = new_typed, new_labels
-            self._bound = new_bound
+            self._bound, self._rel_vars = new_bound, new_rel
             for cond in p.where:
                 hv: set[str] = set()
                 _cond_vars(cond, hv)
@@ -862,6 +927,7 @@ class CypherEngine:
         self._typed_cols = {}
         self._labels = {}
         self._bound = set()
+        self._rel_vars = set()
         df: DataFrame | None = None
         for clause in q.clauses:
             if isinstance(clause, _MatchClause):

@@ -306,3 +306,43 @@ def test_starts_with_and_ends_with(graph):
         RETURN count(*) AS n""").head().n
     assert b == graph.view("part").filter(
         F.col("name").endswith("bolt")).count() > 0
+
+
+def test_relationship_variable_props(graph):
+    rows = cypher(graph, """
+        MATCH (o:order)-[r:contains]->(p:part)
+        WHERE r.quantity >= 45
+        RETURN count(*) AS n, sum(r.quantity) AS q""").head()
+    manual = (graph.view("contains").filter("quantity >= 45")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum(F.col("quantity").cast("double")), 6)
+                   .alias("q")).head())
+    assert (rows.n, rows.q) == (manual.n, manual.q) and rows.n > 0
+
+
+def test_relationship_variable_id_and_label(graph):
+    r0 = cypher(graph, """
+        MATCH (n:nation)-[r:located_in]->(x:region)
+        RETURN r, label(r) AS l ORDER BY r LIMIT 1""").head()
+    assert r0.l == "located_in"
+    assert r0.r.startswith("nation!") and ">located_in>" in r0.r
+    # IN direction flips endpoints but keeps the physical edge id
+    r1 = cypher(graph, """
+        MATCH (x:region)<-[r:located_in]-(n:nation)
+        RETURN r ORDER BY r LIMIT 1""").head()
+    assert r1.r == r0.r
+
+
+def test_relationship_variable_varlen_rejected(graph):
+    with pytest.raises(SyntaxError):
+        cypher(graph, """
+            MATCH (a)-[r:interacted*1..2]->(b) RETURN count(*) AS n""")
+
+
+def test_relationship_variable_carries_through_with(graph):
+    rows = cypher(graph, """
+        MATCH (o:order)-[r:contains]->(p:part)
+        WITH r WHERE r.discount > 0.05
+        RETURN count(*) AS n""").head()
+    manual = graph.view("contains").filter("discount > 0.05").count()
+    assert rows.n == manual > 0
