@@ -587,6 +587,21 @@ def cypher_starts_ends_q(spark, sf_dir):
     return a.unionByName(b).dropDuplicates(["id"])
 
 
+@_q("gremlin_select_by", """
+SELECT n_name AS n, r_name AS r
+FROM nation JOIN region ON r_regionkey = n_regionkey
+""")
+def gremlin_select_by_q(spark, sf_dir):
+    """select('a','b').by(prop): step labels projected through
+    properties (the value form of the select step) via the text
+    parser."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    return eval_gremlin(_graph(spark, sf_dir),
+                        "g.V().hasLabel('nation').as('n')"
+                        ".out('located_in').as('r')"
+                        ".select('n','r').by('name').by('name')")
+
+
 @_q("gremlin_group_mean", """
 SELECT p_brand AS key, ROUND(AVG(CAST(p_size AS DOUBLE)), 6) AS value
 FROM part GROUP BY p_brand

@@ -356,11 +356,37 @@ class Traversal:
         cond = (cur == ref) if op == "eq" else (cur != ref)
         return self._new(self.df.filter(cond))
 
-    def select(self, *labels: str) -> DataFrame:
+    def select(self, *labels: str, by: list | None = None) -> DataFrame:
         """Terminal select('a', 'b'): one column per step label (the
-        labeled elements' ids)."""
-        return self.df.select(*[F.col(f"__as_{lab}").alias(lab)
-                                for lab in labels])
+        labeled elements' ids). ``by`` modulators project each label
+        through a property instead ('id'/'label'/None pass through)
+        — TinkerPop round-robins the by() list across the labels."""
+        if not by:
+            return self.df.select(*[F.col(f"__as_{lab}").alias(lab)
+                                    for lab in labels])
+        pks = getattr(self.graph.schema, "property_keys", {}) \
+            if self.graph.schema is not None else {}
+        df = self.df
+        outs = []
+        for i, lab in enumerate(labels):
+            key = by[i % len(by)]
+            if key in (None, "id"):
+                outs.append(F.col(f"__as_{lab}").alias(lab))
+                continue
+            v = self.graph.vertices.select(
+                F.col("id").alias(f"__sid_{lab}"),
+                F.col("label").alias(f"__sl_{lab}"),
+                F.col("props").alias(f"__sp_{lab}"))
+            df = df.join(v, on=F.col(f"__as_{lab}")
+                         == F.col(f"__sid_{lab}"), how="left")
+            if key == "label":
+                outs.append(F.col(f"__sl_{lab}").alias(lab))
+            else:
+                c = F.col(f"__sp_{lab}")[key]
+                if key in pks:
+                    c = c.cast(pks[key].spark_type())
+                outs.append(c.alias(lab))
+        return df.select(*outs)
 
     def project(self, *selectors: tuple[str, str] | str) -> DataFrame:
         """Terminal project('a','b').by(...).by(...): one named column

@@ -305,6 +305,20 @@ def _apply(chain: _Chain, t: Traversal) -> object:
             t = t.project(*sels)
             i = j
             continue
+        if name == "select":
+            labels = [a for a in args if isinstance(a, str)]
+            bys = []
+            j = i + 1
+            while j < len(steps) and steps[j][0] == "by":
+                ba = steps[j][1]
+                b = ba[0] if ba else None
+                if isinstance(b, tuple):
+                    b = b[1]  # T.id / T.label
+                bys.append(b)
+                j += 1
+            t = t.select(*labels, by=bys or None)
+            i = j
+            continue
         if name == "sack":
             # sack() emits; sack(op).by('prop') updates (op is a bare
             # identifier: sum/minus/mult/div/max/min/assign)

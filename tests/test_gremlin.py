@@ -481,3 +481,32 @@ def test_repeat_text_forms(graph):
                              ".repeat(__.out('in_nation','located_in'))"
                              ".until(__.hasLabel('region')).id()").collect()
     assert len(ru) == 1 and ru[0].value.startswith("region!")
+
+
+def test_select_by_projection(graph):
+    from incubator_hugegraph_spark.gremlin import G
+    rows = (G(graph).V().hasLabel("nation").as_("n")
+            .out("located_in").as_("r")
+            .select("n", "r", by=["name"]))
+    got = {(x.n, x.r) for x in rows.collect()}
+    manual = {(a.nn, a.rn) for a in
+              (graph.view("nation").selectExpr("id AS nid", "name AS nn")
+               .join(graph.edges.filter("label='located_in'")
+                     .selectExpr("src AS nid", "dst AS rid"), on="nid")
+               .join(graph.view("region").selectExpr("id AS rid",
+                                                     "name AS rn"),
+                     on="rid")).collect()}
+    assert got == manual and len(got) > 0
+    # mixed modulators: id passthrough + label
+    one = (G(graph).V("nation!0").as_("n").out("located_in").as_("r")
+           .select("n", "r", by=["id", "label"])).head()
+    assert one.n == "nation!0" and one.r == "region"
+
+
+def test_select_by_text_parser(graph):
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    rows = eval_gremlin(
+        graph, "g.V().hasLabel('nation').as('n')"
+               ".out('located_in').as('r')"
+               ".select('n','r').by('name').by('name')").collect()
+    assert len(rows) == 25 and all(r.n and r.r for r in rows)
