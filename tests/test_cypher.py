@@ -346,3 +346,14 @@ def test_relationship_variable_carries_through_with(graph):
         RETURN count(*) AS n""").head()
     manual = graph.view("contains").filter("discount > 0.05").count()
     assert rows.n == manual > 0
+
+
+def test_relationship_var_predicate_pushdown(graph):
+    """An edge-property predicate through a rel var must reach the
+    parquet scan (typed edge view — the 100 TB posture for edge
+    filters, same rule as node typed views)."""
+    df = cypher(graph, """
+        MATCH (o:order)-[r:contains]->(p:part)
+        WHERE r.quantity >= 45 RETURN count(*) AS n""")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(l_quantity,45" in plan, plan

@@ -137,3 +137,79 @@ def test_unroll_templates_counts(ids, times):
     assert sorted(len(s) for s in seqs) == list(range(1, times + 1))
     two = _unroll_templates([{"max_times": times}, {"max_times": 2}])
     assert len(two) == times * 2
+
+
+# ---- round 3: pure-python property tests for new kernels ------------
+
+
+@given(st.lists(st.sampled_from(["数据", "数据库", "库存", "系统",
+                                 "分布式", "的"]), min_size=0,
+                max_size=12))
+def test_fmm_covers_input_losslessly(words):
+    """Segmenting any concatenation of CJK text reproduces every
+    character exactly once, in order (FMM/RMM/BiMM are partitions of
+    the input — no char lost or duplicated)."""
+    from incubator_hugegraph_spark.functions.text import (
+        DEFAULT_CJK_DICT, _bimm_segment, _fmm_segment, _rmm_segment)
+    text = "".join(words)
+    maxlen = max(map(len, DEFAULT_CJK_DICT))
+    for seg in (_fmm_segment, _rmm_segment, _bimm_segment):
+        toks = seg(text, DEFAULT_CJK_DICT, maxlen)
+        assert "".join(toks) == text
+
+
+@given(st.text(alphabet="ab числ英語x9 .,", max_size=30))
+def test_fmm_never_crashes_on_arbitrary_text(text):
+    from incubator_hugegraph_spark.functions.text import (
+        DEFAULT_CJK_DICT, _fmm_segment)
+    toks = _fmm_segment(text, DEFAULT_CJK_DICT, 5)
+    assert all(t for t in toks)  # no empty tokens
+
+
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                max_size=30))
+def test_bimm_never_longer_than_either_pass(pairs):
+    """BiMM picks one of the two passes — its token count equals the
+    min of the two (the disambiguation rule)."""
+    from incubator_hugegraph_spark.functions.text import (
+        DEFAULT_CJK_DICT, _bimm_segment, _fmm_segment, _rmm_segment)
+    import random
+    rng = random.Random(42)
+    words = sorted(DEFAULT_CJK_DICT)
+    text = "".join(words[a % len(words)] for a, _ in pairs)
+    maxlen = max(map(len, DEFAULT_CJK_DICT))
+    f = _fmm_segment(text, DEFAULT_CJK_DICT, maxlen)
+    r = _rmm_segment(text, DEFAULT_CJK_DICT, maxlen)
+    b = _bimm_segment(text, DEFAULT_CJK_DICT, maxlen)
+    assert len(b) == min(len(f), len(r))
+
+
+@given(st.recursive(
+    st.one_of(st.just("_"),
+              st.floats(min_value=0.5, max_value=9.5).map(
+                  lambda f: f"{f:.2f}")),
+    lambda inner: st.tuples(inner, st.sampled_from("+-*/"), inner).map(
+        lambda t: f"({t[0]} {t[1]} {t[2]})"),
+    max_leaves=8))
+def test_math_parser_matches_python_eval(expr):
+    """The gremlin math() compiler agrees with python eval on random
+    arithmetic over '_' (spot-checked at _=2.5)."""
+    from incubator_hugegraph_spark.gremlin import _MathParser
+    import pyspark.sql.functions as F
+
+    # python floats + operators behave identically to Columns, so
+    # run the same parser with cur=2.5 by monkeypatching F.lit
+    orig_lit = F.lit
+    F.lit = lambda v: float(v)
+    try:
+        try:
+            got = _MathParser(expr, 2.5).expr()
+        except ZeroDivisionError:
+            return  # constant-folded zero denominator in float mode
+    finally:
+        F.lit = orig_lit
+    try:
+        want = eval(expr.replace("_", "2.5"))  # noqa: S307 — test-only
+    except ZeroDivisionError:
+        return  # Column division yields null there — different domain
+    assert abs(got - want) < 1e-9 or (got != got and want != want)
