@@ -207,9 +207,20 @@ class Traversal:
         col = F.col("id") if self.kind == "V" else F.col("eid")
         return self._new(self.df.filter(col.isin(list(ids))))
 
-    def has(self, key: str, value) -> "Traversal":
+    def has(self, key: str, value=None) -> "Traversal":
+        """has(key, value/predicate) filters on the property;
+        has(key) alone is the EXISTENCE form (TinkerPop HasStep with
+        no predicate)."""
         t = self._elem() if self.kind == "V" else self
+        if value is None:
+            return t._new(t.df.filter(
+                F.col("props")[key].isNotNull()))
         return t._new(t.df.filter(_pred(F.col("props")[key], value)))
+
+    def hasNot(self, key: str) -> "Traversal":
+        """Elements WITHOUT the property (TinkerPop hasNot)."""
+        t = self._elem() if self.kind == "V" else self
+        return t._new(t.df.filter(F.col("props")[key].isNull()))
 
     def where(self, fn: Callable[[DataFrame], Column]) -> "Traversal":
         return self._new(self.df.filter(fn(self.df)))

@@ -510,3 +510,20 @@ def test_select_by_text_parser(graph):
                ".out('located_in').as('r')"
                ".select('n','r').by('name').by('name')").collect()
     assert len(rows) == 25 and all(r.n and r.r for r in rows)
+
+
+def test_has_existence_and_has_not(graph):
+    from incubator_hugegraph_spark.gremlin import G
+    total = graph.vertices.count()
+    with_size = G(graph).V().has("size").count().head().cnt
+    without = G(graph).V().hasNot("size").count().head().cnt
+    assert with_size == graph.vertices.filter(
+        "props['size'] IS NOT NULL").count()
+    assert with_size + without == total
+    assert 0 < with_size < total  # only parts carry size
+    # text-parser form
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    n = eval_gremlin(graph, "g.V().has('size').count()").head().cnt
+    assert n == with_size
+    m = eval_gremlin(graph, "g.V().hasNot('size').count()").head().cnt
+    assert m == without
