@@ -195,10 +195,16 @@ def main() -> None:
                      ("b5_dist", b5_dist), ("b6_dist", b6_dist),
                      ("b7_dist", b7_dist), ("b8_dist", b8_dist),
                      ("b9_dist", b9_dist)]:
-        t0 = time.monotonic()
-        fn()
-        extra[name] = round(time.monotonic() - t0, 3)
-        free_scratch(spark)
+        # best-of-2, same rationale as the B suite: a host load burst
+        # during a single-shot run records as a phantom regression
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn()
+            el = time.monotonic() - t0
+            best = el if best is None else min(best, el)
+            free_scratch(spark)
+        extra[name] = round(best, 3)
         print(f"  {name}: {extra[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
