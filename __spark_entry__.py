@@ -3302,7 +3302,7 @@ c AS (SELECT id, n_tokens,
       FROM t)
 SELECT id, n_tokens,
        CAST(start // 512 AS BIGINT) AS seq_id,
-       start % 512 AS offset
+       CAST(start % 512 AS BIGINT) AS offset
 FROM c
 """)
 def doc_pack_sequences(spark, sf_dir):
@@ -3380,7 +3380,7 @@ WITH t AS (SELECT len(list_filter(string_split_regex(lower(text),
                '[^a-z0-9]+'), x -> x <> '')) AS n
            FROM documents)
 SELECT count(*) AS n_docs,
-       sum(n) AS total_tokens,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
        ROUND(avg(n), 6) AS mean_tokens,
        quantile_cont(n, 0.5) AS p50_tokens,
        quantile_cont(n, 0.95) AS p95_tokens
@@ -3689,7 +3689,8 @@ sess AS (
          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flags)
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM sess GROUP BY user_id, session_id
 """)
@@ -3727,7 +3728,8 @@ sess AS (
          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flags)
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM sess GROUP BY user_id, session_id
 """)

@@ -28,6 +28,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(v) -> str:
     if v is None:
         return "\\N"
+    if v is getattr(__import__("pandas"), "NaT", None):
+        return "\\N"
+    import numpy as np
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(canon(x) for x in v.tolist()) + "]"
+    if isinstance(v, np.integer):
+        return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -89,9 +96,14 @@ def main() -> int:
                   f"({time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # Fetch via pandas (Arrow) exactly like the driver gate does:
+            # DuckDB HUGEINT/DECIMAL columns convert to float64 here, so
+            # oracle-typing artifacts reproduce locally instead of hiding
+            # behind fetchall()'s Python-int path.
+            dpdf = con.execute(oracles[name]).df()
+            dcols = list(dpdf.columns)
+            drows = [tuple(r) for r in dpdf.itertuples(index=False,
+                                                       name=None)]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:160]}")
             failures += 1
