@@ -63,8 +63,26 @@ Var-length hops compile to an unrolled frontier join over the
 adjacency view (multiplicity-preserving — the dedup'ing BFS kernels in
 operators/bfs.py are the wrong shape for path counting); at scale each
 hop is one shuffle on the join key, the same cost model as the
-reference's per-step edge fetches. Writes (CREATE/SET/DELETE) are out
-of scope: mutation is the batch MERGE surface (operators/mutate.py).
+reference's per-step edge fetches.
+
+Named paths: `MATCH p = (a)-[:rel*1..3]->(b)` binds the traversed
+node-id and edge-id sequences; `nodes(p)` / `relationships(p)` /
+`length(p)` project them (CypherOpProcessor.java:124-145 — the
+reference translates full openCypher incl. path binding). The varlen
+engine already carries the edge-key array for relationship
+isomorphism, so exposing it adds no shuffle. A bare `p` in RETURN
+projects the node-id sequence (id-only convention).
+
+Writes — CREATE (nodes with literal property maps, relationships
+between created/matched vars), SET n.prop = expr, [DETACH] DELETE —
+compile onto the batch MERGE surface (operators/mutate.py:
+upsert_vertices/upsert_edges; anti-joins for DELETE), matching the
+reference's own Cypher-created fixtures (test/api/CypherApiTest.java:62
+`CREATE (n:person {…}) return n`). Batch-transaction semantics, not
+row-at-a-time: per-id last-write-wins within one statement. A write
+without RETURN returns an affected-element summary; RETURN of a
+created var serializes the full element JSON (the REST door returns
+the created vertex).
 """
 
 from __future__ import annotations
@@ -84,10 +102,11 @@ DEFAULT_VARLEN_MAX = 10
 
 _TOKEN_RE = re.compile(r"""
     \s*(?:
-      (?P<arrow><-|->|--|-|\[|\]|\(|\)|,|:|\.)
+      (?P<arrow><-|->|--|-|\[|\]|\(|\)|\{|\}|,|:|\.)
     | (?P<kw>(?i:OPTIONAL|MATCH|WHERE|RETURN|DISTINCT|ORDER|BY|SKIP|LIMIT
               |AND|ASC|DESC|AS|IN|CONTAINS|STARTS|ENDS|WITH|NOT|IS|NULL
-              |COUNT|SUM|AVG|MIN|MAX|ID|LABEL|UNWIND)\b)
+              |COUNT|SUM|AVG|MIN|MAX|ID|LABEL|UNWIND|CREATE|SET|DELETE
+              |DETACH|NODES|RELATIONSHIPS|LENGTH)\b)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'(?:[^'\\]|\\.)*')
     | (?P<cmp><>|<=|>=|=|<|>|\*|\+|/)
@@ -133,6 +152,10 @@ class _MatchClause:
     nodes: dict[str, str | None] = field(default_factory=dict)  # var→label
     rels: list[_Rel] = field(default_factory=list)
     where: list[tuple] = field(default_factory=list)
+    # named paths: path var → (node vars in chain order, indices into
+    # ``rels`` for the chain's relationships)
+    paths: dict[str, tuple[list[str], list[int]]] = \
+        field(default_factory=dict)
 
 
 @dataclass
@@ -150,6 +173,27 @@ class _Proj:
 class _Unwind:
     expr: tuple
     alias: str
+
+
+@dataclass
+class _Create:
+    """CREATE pattern[, pattern…] — nodes with literal property maps
+    and relationships between created/matched vars."""
+    nodes: dict[str, str | None] = field(default_factory=dict)
+    props: dict[str, dict] = field(default_factory=dict)  # var→{k: lit}
+    rels: list[_Rel] = field(default_factory=list)
+    rel_props: list[dict] = field(default_factory=list)  # per rels[i]
+
+
+@dataclass
+class _Set:
+    assignments: list[tuple] = field(default_factory=list)  # (var,prop,expr)
+
+
+@dataclass
+class _Delete:
+    vars: list[str] = field(default_factory=list)
+    detach: bool = False
 
 
 @dataclass
@@ -210,16 +254,115 @@ class _Parser:
                 expr = self._expr()
                 self.next("AS")
                 q.clauses.append(_Unwind(expr, self._name()))
+            elif t == "CREATE":
+                self.next()
+                q.clauses.append(self._create_pattern())
+            elif t == "SET":
+                self.next()
+                q.clauses.append(self._set_clause())
+            elif t in ("DELETE", "DETACH"):
+                detach = self.accept("DETACH")
+                self.next("DELETE")
+                d = _Delete(detach=detach)
+                d.vars.append(self._name())
+                while self.peek()[1] == ",":
+                    self.next()
+                    d.vars.append(self._name())
+                q.clauses.append(d)
             elif t == "RETURN":
                 if not q.clauses:
                     raise SyntaxError("cypher: RETURN before MATCH")
                 self.next()
                 q.final = self._projection(is_with=False)
                 break
+            elif t == "EOF" and any(
+                    isinstance(c, (_Create, _Set, _Delete))
+                    for c in q.clauses):
+                break  # write query without RETURN → summary result
             else:
                 raise SyntaxError(f"cypher: expected clause, got {t}")
         self.next("EOF")
         return q
+
+    def _prop_map(self) -> dict:
+        """`{k: lit, …}` literal property map."""
+        props: dict = {}
+        self._expect_val("{")
+        while self.peek()[1] != "}":
+            k = self._name()
+            self._expect_val(":")
+            v = self._expr()
+            if v[0] != "lit":
+                raise SyntaxError(
+                    "cypher: property map values must be literals")
+            props[k] = v[1]
+            if self.peek()[1] == ",":
+                self.next()
+        self._expect_val("}")
+        return props
+
+    def _create_pattern(self) -> _Create:
+        c = _Create()
+
+        def node() -> str:
+            self.next("arrow")  # (
+            var = self._name()
+            label = None
+            if self.peek()[1] == ":":
+                self.next()
+                label = self._name()
+            if self.peek()[1] == "{":
+                c.props[var] = self._prop_map()
+            self.next("arrow")  # )
+            if var not in c.nodes or c.nodes[var] is None:
+                c.nodes[var] = label
+            return var
+
+        prev = node()
+        while True:
+            t = self.peek()[1]
+            if t == ",":
+                self.next()
+                prev = node()
+                continue
+            if t in ("-", "<-"):
+                head = self.next()[1]
+                self._expect_val("[")
+                if self.peek()[1] == ":":
+                    self.next()
+                label = self._name()
+                rp = {}
+                if self.peek()[1] == "{":
+                    rp = self._prop_map()
+                self._expect_val("]")
+                tail = self.next("arrow")[1]
+                if head == "-" and tail == "->":
+                    direction = "OUT"
+                elif head == "<-" and tail == "-":
+                    direction = "IN"
+                else:
+                    raise SyntaxError(
+                        "cypher: CREATE relationships must be directed")
+                nxt = node()
+                c.rels.append(_Rel(prev, nxt, label, direction))
+                c.rel_props.append(rp)
+                prev = nxt
+                continue
+            break
+        return c
+
+    def _set_clause(self) -> _Set:
+        s = _Set()
+        while True:
+            var = self._name()
+            self._expect_val(".")
+            prop = self._name()
+            self._expect_val("=")
+            s.assignments.append((var, prop, self._expr()))
+            if self.peek()[1] != ",":
+                break
+            self.next()
+        return s
 
     def _projection(self, is_with: bool) -> _Proj:
         p = _Proj(is_with=is_with)
@@ -257,12 +400,33 @@ class _Parser:
             raise SyntaxError(f"cypher: expected {val!r}, got {t[1]!r}")
 
     def _pattern(self, q: _MatchClause) -> None:
+        def path_var() -> str | None:
+            # `p = (a)-[…]->(b)` — named path binding for one chain
+            if (self.peek()[0] == "name"
+                    and self.toks[self.i + 1][1] == "="):
+                pv = self.next()[1]
+                self.next()  # =
+                return pv
+            return None
+
+        def close_path() -> None:
+            if pv is not None:
+                q.paths[pv] = (chain_nodes[:], chain_rels[:])
+
+        pv = path_var()
+        chain_nodes: list[str] = []
+        chain_rels: list[int] = []
         prev = self._node(q)
+        chain_nodes.append(prev)
         while True:
             t = self.peek()[1]
             if t == ",":
+                close_path()
                 self.next()
+                pv = path_var()
+                chain_nodes, chain_rels = [], []
                 prev = self._node(q)
+                chain_nodes.append(prev)
                 continue
             if t in ("-", "<-"):
                 head = self.next()[1]
@@ -296,9 +460,12 @@ class _Parser:
                         "relationship binds a LIST — not supported")
                 q.rels.append(_Rel(prev, nxt, label, direction, lo, hi,
                                    rvar))
+                chain_rels.append(len(q.rels) - 1)
+                chain_nodes.append(nxt)
                 prev = nxt
                 continue
             break
+        close_path()
 
     def _varlen_bounds(self) -> tuple[int, int]:
         """Bounds after `*`: '', 'n', 'n..', '..m', 'n..m'."""
@@ -328,6 +495,10 @@ class _Parser:
         if self.peek()[1] == ":":
             self.next()
             label = self._name()
+        if self.peek()[1] == "{":
+            # inline property map = equality predicates (openCypher)
+            for k, v in self._prop_map().items():
+                q.where.append(("cmp", "=", ("prop", var, k), ("lit", v)))
         self.next("arrow")  # )
         if var not in q.nodes or q.nodes[var] is None:
             q.nodes[var] = label
@@ -367,7 +538,8 @@ class _Parser:
                     self.next()
             self._expect_val("]")
             return ("list", items)
-        if (t[0] in ("COUNT", "SUM", "AVG", "MIN", "MAX", "ID", "LABEL")
+        if (t[0] in ("COUNT", "SUM", "AVG", "MIN", "MAX", "ID", "LABEL",
+                     "NODES", "RELATIONSHIPS", "LENGTH")
                 and self.toks[self.i + 1][1] == "("):
             fn = self.next()[0]
             self.next("arrow")  # (
@@ -380,6 +552,11 @@ class _Parser:
             self.next("arrow")  # )
             if fn in ("ID", "LABEL"):
                 return (fn.lower(), inner)
+            if fn in ("NODES", "RELATIONSHIPS", "LENGTH"):
+                if inner[0] != "var":
+                    raise SyntaxError(
+                        f"cypher: {fn.lower()}() takes a path variable")
+                return ("pathfn", fn.lower(), inner[1])
             return ("agg", fn, inner, distinct)
         if t[0] == "num":
             self.next()
@@ -447,6 +624,8 @@ def _default_alias(expr) -> str:
         return f"{expr[1]}_{expr[2]}"
     if kind in ("id", "label"):
         return f"{kind}_{_default_alias(expr[1])}"
+    if kind == "pathfn":
+        return f"{expr[1]}_{expr[2]}"
     if kind == "agg":
         inner = "star" if expr[2] is None else _default_alias(expr[2])
         return f"{expr[1].lower()}_{inner}"
@@ -486,6 +665,9 @@ class CypherEngine:
         self._labels: dict[str, str | None] = {}
         self._bound: set[str] = set()
         self._rel_vars: set[str] = set()
+        self._path_vars: set[str] = set()
+        self._created_vars: set[str] = set()
+        self._relgen = 0  # hidden rel-var counter for named paths
 
     # ---- column compilation ----------------------------------------
 
@@ -502,7 +684,29 @@ class CypherEngine:
     def _col(self, expr) -> Column:
         kind = expr[0]
         if kind == "var":
+            if expr[1] in self._path_vars:
+                # a bare path var projects its node-id sequence (the
+                # id-only analogue of the read path's var→id rule)
+                return F.col(f"__path_n_{expr[1]}")
+            if expr[1] in self._created_vars:
+                # a created element serializes fully (the REST door
+                # returns the whole created vertex — CypherApiTest
+                # asserts on a property value in the response)
+                v = expr[1]
+                return F.to_json(F.struct(
+                    F.col(v).alias("id"),
+                    F.col(f"__l_{v}").alias("label"),
+                    F.col(f"__p_{v}").alias("properties")))
             return F.col(expr[1])
+        if kind == "pathfn":
+            _, fn, pv = expr
+            if pv not in self._path_vars:
+                raise SyntaxError(f"cypher: {pv} is not a named path")
+            if fn == "nodes":
+                return F.col(f"__path_n_{pv}")
+            if fn == "relationships":
+                return F.col(f"__path_r_{pv}")
+            return F.size(F.col(f"__path_r_{pv}"))  # length(p)
         if kind == "prop":
             return self._prop(expr[1], expr[2])
         if kind == "id":
@@ -663,14 +867,24 @@ class CypherEngine:
             return orient("dst", "src")
         return orient("src", "dst").unionByName(orient("dst", "src"))
 
-    def _varlen_pairs(self, rel: _Rel) -> DataFrame:
+    def _varlen_pairs(self, rel: _Rel, carry: int | None = None) \
+            -> DataFrame:
         """(src, dst) pair per distinct edge sequence of length
         min..max. Relationship isomorphism: a physical edge appears at
         most once per sequence (canonical edge key carried in an array
         column; under BOTH the two directed rows of one physical edge
         share a key, so a-b-a over a single edge is correctly
         excluded). Unrolled frontier joins — one shuffle per hop on the
-        frontier's dst key, multiplicity-preserving."""
+        frontier's dst key, multiplicity-preserving.
+
+        ``carry``: when the relationship belongs to a named path
+        (CypherOpProcessor.java:124-145 — the reference translates
+        full openCypher incl. path binding), also emit the traversed
+        edge-id sequence (``__vl_r_{carry}``) and node-id sequence
+        incl. both endpoints (``__vl_n_{carry}``) — the arrays are
+        already tracked for isomorphism, so exposing them adds no
+        extra shuffle."""
+        track = carry is not None
         adj = self.graph.adj(rel.direction, self._rel_scan_labels(rel))
         ekey = F.concat_ws(
             ">",
@@ -690,30 +904,51 @@ class CypherEngine:
             # the plan audit in tests) wins instead.
             from incubator_hugegraph_spark.graph import checkpointed
             base = checkpointed(base)
+
+        empty_s = F.array().cast("array<string>")
+
+        def emit(df: DataFrame, zero: bool = False) -> DataFrame:
+            if not track:
+                return df.select("__a", "__b")
+            if zero:
+                return df.select("__a", "__b", empty_s.alias("__pr"),
+                                 F.array(F.col("__a")).alias("__pn"))
+            return df.select("__a", "__b", F.col("__eks").alias("__pr"),
+                             F.col("__ns").alias("__pn"))
+
         outs: list[DataFrame] = []
         if rel.min_hops == 0:
             ids = self.graph.vertices.select(F.col("id").alias("__a"),
                                              F.col("id").alias("__b"))
-            outs.append(ids)
-        cur = base.select("__a", "__b", F.array("__ek").alias("__eks"))
+            outs.append(emit(ids, zero=True))
+        sel0 = [F.col("__a"), F.col("__b"), F.array("__ek").alias("__eks")]
+        if track:
+            sel0.append(F.array(F.col("__a"), F.col("__b")).alias("__ns"))
+        cur = base.select(*sel0)
         if rel.min_hops <= 1:
-            outs.append(cur.select("__a", "__b"))
+            outs.append(emit(cur))
         step = base.select(F.col("__a").alias("__b"),
                            F.col("__b").alias("__nb"),
                            F.col("__ek"))
         for k in range(2, rel.max_hops + 1):
+            seln = ["__a", F.col("__nb").alias("__b"),
+                    F.array_append("__eks", F.col("__ek")).alias("__eks")]
+            if track:
+                seln.append(F.array_append("__ns", F.col("__nb"))
+                            .alias("__ns"))
             cur = (cur.join(step, on="__b")
                    .filter(~F.array_contains(F.col("__eks"), F.col("__ek")))
-                   .select("__a", F.col("__nb").alias("__b"),
-                           F.array_append("__eks", F.col("__ek"))
-                           .alias("__eks")))
+                   .select(*seln))
             if k >= rel.min_hops:
-                outs.append(cur.select("__a", "__b"))
+                outs.append(emit(cur))
         if not outs:
             raise SyntaxError("cypher: empty var-length range")
         pairs = reduce(lambda a, b: a.unionByName(b), outs)
-        return pairs.select(F.col("__a").alias(rel.src),
-                            F.col("__b").alias(rel.dst))
+        sel = [F.col("__a").alias(rel.src), F.col("__b").alias(rel.dst)]
+        if track:
+            sel += [F.col("__pr").alias(f"__vl_r_{carry}"),
+                    F.col("__pn").alias(f"__vl_n_{carry}")]
+        return pairs.select(*sel)
 
     def _pattern_df(self, mc: _MatchClause, df: DataFrame | None,
                     bound: set[str],
@@ -733,9 +968,23 @@ class CypherEngine:
             nd = self._node_df(var)
             return nd if cur is None else cur.join(nd, on=var)
 
-        for rel in mc.rels:
+        # named paths: every chained relationship must expose its edge
+        # identity — fixed hops get a hidden rel var (edge-id column),
+        # var-length hops carry their sequence arrays
+        carry_idx: set[int] = set()
+        for _pv, (_nchain, ridxs) in mc.paths.items():
+            for ridx in ridxs:
+                r = mc.rels[ridx]
+                if r.varlen:
+                    carry_idx.add(ridx)
+                elif r.var is None:
+                    r.var = f"__pr{self._relgen}"
+                    self._relgen += 1
+
+        for rel_i, rel in enumerate(mc.rels):
             if rel.varlen:
-                adj = self._varlen_pairs(rel)
+                adj = self._varlen_pairs(
+                    rel, carry=rel_i if rel_i in carry_idx else None)
             elif rel.var:
                 adj = self._rel_df(rel)
             else:
@@ -779,6 +1028,31 @@ class CypherEngine:
             raise SyntaxError(
                 "cypher: OPTIONAL MATCH must connect to a bound var "
                 "through a relationship")
+        # materialize named-path columns: node-id + edge-id sequences
+        # in pattern order (nodes(p)/relationships(p)/length(p))
+        for pv, (nchain, ridxs) in mc.paths.items():
+            rel_arrays: list[Column] = []
+            node_cols: list[Column] = [F.array(F.col(nchain[0]))]
+            for j, ridx in enumerate(ridxs):
+                r = mc.rels[ridx]
+                if r.varlen:
+                    rel_arrays.append(F.col(f"__vl_r_{ridx}"))
+                    c = F.col(f"__vl_n_{ridx}")
+                    # drop the leading src (== previous chain node)
+                    node_cols.append(F.slice(
+                        c, F.lit(2), F.greatest(F.size(c) - 1, F.lit(0))))
+                else:
+                    rel_arrays.append(F.array(F.col(r.var)))
+                    node_cols.append(F.array(F.col(nchain[j + 1])))
+            df = df.withColumn(
+                f"__path_r_{pv}",
+                F.concat(*rel_arrays) if rel_arrays
+                else F.array().cast("array<string>"))
+            df = df.withColumn(f"__path_n_{pv}", F.concat(*node_cols))
+            self._path_vars.add(pv)
+        if mc.paths:
+            df = df.drop(*[c for c in df.columns
+                           if c.startswith("__vl_")])
         return df
 
     # ---- clause application ----------------------------------------
@@ -928,15 +1202,28 @@ class CypherEngine:
         self._labels = {}
         self._bound = set()
         self._rel_vars = set()
+        self._path_vars = set()
+        self._created_vars = set()
+        self._relgen = 0
+        self._write_summary: DataFrame | None = None
         df: DataFrame | None = None
         for clause in q.clauses:
             if isinstance(clause, _MatchClause):
                 df = self._apply_match(df, clause)
             elif isinstance(clause, _Unwind):
                 df = self._apply_unwind(df, clause)
+            elif isinstance(clause, _Create):
+                df = self._apply_create(df, clause)
+            elif isinstance(clause, _Set):
+                df = self._apply_set(df, clause)
+            elif isinstance(clause, _Delete):
+                df = self._apply_delete(df, clause)
             else:
                 df = self._apply_proj(df, clause)
-        assert q.final is not None
+        if q.final is None:
+            # write query without RETURN → affected-element summary
+            assert self._write_summary is not None
+            return self._write_summary
         return self._apply_proj(df, q.final)
 
     def _apply_unwind(self, df: DataFrame | None, u: _Unwind) -> DataFrame:
@@ -952,6 +1239,231 @@ class CypherEngine:
         _expr_vars(u.expr, needed)
         df = self._hydrate(df, needed)
         return df.select("*", F.explode(self._col(u.expr)).alias(u.alias))
+
+    # ---- write clauses ----------------------------------------------
+    #
+    # The reference's Cypher surface accepts writes (its own API test
+    # creates data this way — test/api/CypherApiTest.java:62
+    # `CREATE (n:person {…}) return n`). Here they compile onto the
+    # batch mutate surface (operators/mutate.py): CREATE/SET build a
+    # batch and MERGE it (one shuffle on the id key), DELETE anti-joins
+    # — the documented batch-transaction stance, not row-at-a-time.
+    # Mutations rebind graph.vertices/graph.edges on the PropertyGraph
+    # handed in and refresh affected typed views; readers holding the
+    # old DataFrames keep the old snapshot (plans are immutable).
+
+    def _gen_id(self, label: str, props: dict) -> str:
+        """Created-vertex id: PRIMARY_KEY splice when the schema
+        defines one (GraphTransaction.java:1536-1543); else a
+        deterministic content hash (the AUTOMATIC-strategy slot, made
+        replay-stable for batch semantics)."""
+        import hashlib
+        import json
+        from incubator_hugegraph_spark.schema import (IdStrategy,
+                                                      splice_id)
+        sch = self.graph.schema
+        vl = sch.vertex_labels.get(label) if sch else None
+        if (vl is not None and vl.id_strategy == IdStrategy.PRIMARY_KEY
+                and vl.primary_keys
+                and all(k in props for k in vl.primary_keys)):
+            return splice_id(label, *[props[k] for k in vl.primary_keys])
+        blob = json.dumps(sorted(props.items()), default=str)
+        return f"{label}!{hashlib.md5((label + blob).encode()).hexdigest()[:16]}"
+
+    def _refresh_views(self, labels: set[str] | None = None) -> None:
+        """Re-derive typed per-label views from the canonical vertex
+        table after a write (lazy — costs nothing until read)."""
+        g = self.graph
+        sch = g.schema
+        if labels is None:
+            labels = set(g.vertex_views) | set(
+                sch.vertex_labels if sch else ())
+        for lab in labels:
+            vl = sch.vertex_labels.get(lab) if sch else None
+            if vl is None or not vl.properties:
+                g.vertex_views.pop(lab, None)
+                continue
+            pks = sch.property_keys
+            cols = [
+                F.col("props")[k].cast(
+                    pks[k].spark_type() if k in pks else "string").alias(k)
+                for k in vl.properties]
+            g.vertex_views[lab] = (g.vertices
+                                   .filter(F.col("label") == lab)
+                                   .select("id", *cols))
+
+    def _apply_create(self, df: DataFrame | None, c: _Create) -> DataFrame:
+        from incubator_hugegraph_spark.operators.mutate import (
+            upsert_edges, upsert_vertices)
+        g = self.graph
+        spark = g.spark
+        sch = g.schema
+
+        # new nodes (vars not already matched) — property maps are
+        # literal by grammar, so per-row creation after a MATCH
+        # collapses to one deterministic element per var
+        new_nodes: dict[str, tuple[str, str, dict]] = {}
+        for var, label in c.nodes.items():
+            if df is not None and var in self._bound:
+                continue
+            if label is None:
+                raise SyntaxError(
+                    f"cypher: CREATE node {var} needs a label")
+            props = {k: str(v) for k, v in c.props.get(var, {}).items()}
+            new_nodes[var] = (self._gen_id(label, props), label, props)
+
+        vschema = ("id string, label string, props map<string,string>, "
+                   "expired_at timestamp")
+        if new_nodes:
+            seen: dict[str, tuple] = {}
+            for vid, label, props in new_nodes.values():
+                seen[vid] = (vid, label, props, None)
+            vbatch = spark.createDataFrame(list(seen.values()), vschema)
+            g.vertices = upsert_vertices(g.vertices, vbatch)
+            self._refresh_views({lab for _, lab, _p in new_nodes.values()})
+
+        def endpoint(v: str) -> Column:
+            if v in new_nodes:
+                return F.lit(new_nodes[v][0])
+            if df is not None and v in df.columns:
+                return F.col(v)
+            raise SyntaxError(f"cypher: CREATE endpoint {v} is unbound")
+
+        ebatches: list[DataFrame] = []
+        base = df if df is not None else spark.range(1)
+        for rel, rp in zip(c.rels, c.rel_props):
+            el = sch.edge_labels.get(rel.label) if sch else None
+            sv = ""
+            if el is not None and el.sort_keys \
+                    and all(k in rp for k in el.sort_keys):
+                sv = ">".join(str(rp[k]) for k in el.sort_keys)
+            s, d = (rel.src, rel.dst) if rel.direction == "OUT" \
+                else (rel.dst, rel.src)
+            kvs = []
+            for k, v in rp.items():
+                kvs += [F.lit(k), F.lit(str(v))]
+            pm = F.create_map(*kvs) if kvs \
+                else F.create_map().cast("map<string,string>")
+            ebatches.append(base.select(
+                endpoint(s).alias("src"), endpoint(d).alias("dst"),
+                F.lit(rel.label).alias("label"),
+                F.lit(sv).alias("sort_values"), pm.alias("props"),
+                F.lit(None).cast("timestamp").alias("expired_at"))
+                .dropDuplicates(["src", "dst", "label", "sort_values"]))
+            if sch is not None:
+                g.edge_views.pop(rel.label, None)  # stale typed view
+        if ebatches:
+            ebatch = reduce(lambda a, b: a.unionByName(b), ebatches)
+            g.edges = upsert_edges(g.edges, ebatch)
+
+        # bind created vars for RETURN
+        newcols = []
+        for var, (vid, label, props) in new_nodes.items():
+            kvs = []
+            for k, v in props.items():
+                kvs += [F.lit(k), F.lit(v)]
+            pm = F.create_map(*kvs) if kvs \
+                else F.create_map().cast("map<string,string>")
+            newcols += [F.lit(vid).alias(var),
+                        F.lit(label).alias(f"__l_{var}"),
+                        pm.alias(f"__p_{var}")]
+            self._labels[var] = label
+        if newcols:
+            df = base.select(*newcols) if df is None \
+                else df.select("*", *newcols)
+        elif df is None:
+            df = base
+        self._bound |= set(new_nodes)
+        self._created_vars |= set(new_nodes)
+
+        rows = [(vid, lab) for vid, lab, _p in new_nodes.values()]
+        self._write_summary = spark.createDataFrame(
+            rows or [(None, None)], "id string, label string").dropna()
+        return df
+
+    def _apply_set(self, df: DataFrame | None, s: _Set) -> DataFrame:
+        from collections import defaultdict
+
+        from incubator_hugegraph_spark.operators.mutate import (
+            upsert_vertices)
+        if df is None:
+            raise SyntaxError("cypher: SET requires a preceding MATCH")
+        by_var: dict[str, list] = defaultdict(list)
+        for var, prop, expr in s.assignments:
+            if var in self._rel_vars:
+                raise SyntaxError("cypher: SET on relationships is not "
+                                  "supported (batch edge surface)")
+            by_var[var].append((prop, expr))
+        needed = set(by_var)
+        for _var, _prop, expr in s.assignments:
+            _expr_vars(expr, needed)
+        df = self._hydrate(df, needed)
+        deltas = []
+        for var, pairs in by_var.items():
+            kvs = []
+            for prop, expr in pairs:
+                kvs += [F.lit(prop), self._col(expr).cast("string")]
+            # one write per id — last-write-wins across pattern rows
+            delta = df.select(
+                F.col(var).alias("id"),
+                F.col(f"__l_{var}").alias("label"),
+                F.create_map(*kvs).alias("props"),
+                F.lit(None).cast("timestamp").alias("expired_at")) \
+                .dropDuplicates(["id"])
+            self.graph.vertices = upsert_vertices(self.graph.vertices,
+                                                  delta)
+            deltas.append(delta.select("id", "label"))
+            # drop stale projected property columns so later reads
+            # re-hydrate from the updated table
+            stale = [f"__p_{var}", f"__l_{var}"] + \
+                [f"__c_{var}_{k}" for k in self._typed_cols.pop(var, ())]
+            df = df.drop(*[col for col in stale if col in df.columns])
+            lab = self._labels.get(var)
+            self._refresh_views({lab} if lab else None)
+        self._write_summary = reduce(lambda a, b: a.unionByName(b), deltas)
+        return df
+
+    def _apply_delete(self, df: DataFrame | None, d: _Delete) -> DataFrame:
+        if df is None:
+            raise SyntaxError("cypher: DELETE requires a preceding MATCH")
+        g = self.graph
+        summaries = []
+        for var in d.vars:
+            if var in self._rel_vars:
+                keys = df.select(F.col(var).alias("__k")).distinct()
+                cur = g.edges.withColumn(
+                    "__k", F.concat_ws(">", "src", "label", "sort_values",
+                                       "dst"))
+                g.edges = cur.join(keys, on="__k", how="left_anti") \
+                    .drop("__k")
+                summaries.append(keys.select(F.col("__k").alias("id"),
+                                             F.lit("edge").alias("label")))
+                continue
+            ids = df.select(F.col(var).alias("id")).distinct()
+            if not d.detach:
+                n = (g.edges.select("src", "dst")
+                     .join(F.broadcast(ids),
+                           (F.col("src") == F.col("id"))
+                           | (F.col("dst") == F.col("id")),
+                           "left_semi")).count()
+                if n:
+                    raise ValueError(
+                        f"cypher: cannot DELETE {var} — {n} incident "
+                        "relationships (use DETACH DELETE)")
+            else:
+                g.edges = (g.edges
+                           .join(ids.withColumnRenamed("id", "src"),
+                                 on="src", how="left_anti")
+                           .join(ids.withColumnRenamed("id", "dst"),
+                                 on="dst", how="left_anti"))
+            g.vertices = g.vertices.join(ids, on="id", how="left_anti")
+            lab = self._labels.get(var)
+            self._refresh_views({lab} if lab else None)
+            summaries.append(ids.select(
+                "id", F.lit(self._labels.get(var)).alias("label")))
+        self._write_summary = reduce(lambda a, b: a.unionByName(b),
+                                     summaries)
+        return df
 
 
 def cypher(graph: PropertyGraph, query: str) -> DataFrame:

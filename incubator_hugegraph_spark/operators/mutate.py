@@ -103,6 +103,25 @@ def upsert_vertices(current: DataFrame, batch: DataFrame,
         F.coalesce("_e_new", "_e_old").alias("expired_at"))
 
 
+def _edge_key(df: DataFrame) -> Column:
+    """EdgeId splice (core/backend/id/EdgeId.java:31-58)."""
+    return F.concat_ws(">", df["src"], df["label"], df["sort_values"],
+                       df["dst"])
+
+
+def upsert_edges(current: DataFrame, batch: DataFrame) -> DataFrame:
+    """MERGE an edge batch on the EdgeId quadruple (src, label,
+    sort_values, dst) — matched rows are replaced whole-row (EdgeAPI
+    batch update semantics, api/graph/EdgeAPI.java:123), unmatched
+    insert. One shuffle on the identity key; co-located when both
+    sides are bucketed by src."""
+    cols = ["src", "dst", "label", "sort_values", "props", "expired_at"]
+    keyed = batch.select(_edge_key(batch).alias("__k")).distinct()
+    kept = (current.withColumn("__k", _edge_key(current))
+            .join(keyed, on="__k", how="left_anti").select(*cols))
+    return kept.unionByName(batch.select(*cols))
+
+
 def delete_vertices(vertices: DataFrame, edges: DataFrame,
                     ids: list[str]) -> tuple[DataFrame, DataFrame]:
     """Delete vertices by id, cascading to their incident edges (the

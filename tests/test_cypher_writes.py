@@ -1,0 +1,186 @@
+"""Cypher write clauses (CREATE/SET/DELETE) and named paths.
+
+The reference's Cypher surface accepts writes — its own API test
+creates data through it (test/api/CypherApiTest.java:62). Writes here
+compile onto the batch mutate surface (operators/mutate.py), so these
+tests run on a private graph per test, never the shared session
+fixture.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from incubator_hugegraph_spark.cypher import cypher
+from incubator_hugegraph_spark.graph import PropertyGraph
+from incubator_hugegraph_spark.schema import (EdgeLabel, GraphSchema,
+                                              VertexLabel)
+
+
+@pytest.fixture()
+def wgraph(spark):
+    """Small mutable person graph (marko-style, with schema types)."""
+    people = ["marko", "vadas", "josh", "peter"]
+    cities = {"marko": "Beijing", "vadas": "HongKong",
+              "josh": "Beijing", "peter": "Shanghai"}
+    vrows = [(f"person!{p}", "person", {"city": cities[p], "name": p}, None)
+             for p in people]
+    erows = [
+        ("person!marko", "person!peter", "knows", "", {"weight": "0.5"},
+         None),
+        ("person!peter", "person!josh", "knows", "", {"weight": "0.4"},
+         None),
+        ("person!josh", "person!vadas", "knows", "", {"weight": "0.3"},
+         None)]
+    sch = GraphSchema()
+    sch.property_key("name")
+    sch.property_key("city")
+    sch.property_key("age", "INT")
+    sch.vertex_labels["person"] = VertexLabel(
+        "person", properties=("name", "age", "city"),
+        primary_keys=("name",), nullable_keys=("age", "city"))
+    sch.edge_labels["knows"] = EdgeLabel("knows", "person", "person")
+    v = spark.createDataFrame(
+        vrows, "id string, label string, props map<string,string>, "
+               "expired_at timestamp")
+    e = spark.createDataFrame(
+        erows, "src string, dst string, label string, sort_values string, "
+               "props map<string,string>, expired_at timestamp")
+    return PropertyGraph(spark, v, e, schema=sch)
+
+
+def test_reference_create_scenario(wgraph):
+    """CypherApiTest.testCreate verbatim: response contains 'Hefei'."""
+    rows = cypher(wgraph, "CREATE (n:person { name : 'test', age: 20, "
+                          "city: 'Hefei' }) return n").collect()
+    assert len(rows) == 1
+    assert "Hefei" in rows[0][0]
+    assert '"id":"person!test"' in rows[0][0]  # PRIMARY_KEY splice
+
+
+def test_create_read_back_typed(wgraph):
+    cypher(wgraph, "CREATE (n:person {name: 'test', age: 20, "
+                   "city: 'Hefei'})").collect()
+    rb = cypher(wgraph, "MATCH (n:person) WHERE n.name = 'test' "
+                        "RETURN n, n.age AS age, n.city AS city").head()
+    assert rb.n == "person!test"
+    assert rb.age == 20  # INT through the schema registry
+    assert rb.city == "Hefei"
+
+
+def test_create_is_upsert_on_primary_key(wgraph):
+    cypher(wgraph, "CREATE (n:person {name: 'test', age: 20})").collect()
+    cypher(wgraph, "CREATE (n:person {name: 'test', age: 30})").collect()
+    rows = cypher(wgraph, "MATCH (n:person) WHERE n.name = 'test' "
+                          "RETURN n.age AS age").collect()
+    assert [r.age for r in rows] == [30]  # merged, not duplicated
+
+
+def test_set_expression_and_literal(wgraph):
+    cypher(wgraph, "CREATE (n:person {name: 'test', age: 20, "
+                   "city: 'Hefei'})").collect()
+    cypher(wgraph, "MATCH (n:person) WHERE n.name = 'test' "
+                   "SET n.age = n.age + 1, n.city = 'Wuhan'").collect()
+    rb = cypher(wgraph, "MATCH (n:person) WHERE n.name = 'test' "
+                        "RETURN n.age AS age, n.city AS city").head()
+    assert rb.age == 21 and rb.city == "Wuhan"
+
+
+def test_set_preserves_untouched_props(wgraph):
+    cypher(wgraph, "MATCH (n:person {name: 'marko'}) "
+                   "SET n.age = 29").collect()
+    rb = cypher(wgraph, "MATCH (n:person {name: 'marko'}) "
+                        "RETURN n.age AS age, n.city AS city").head()
+    assert rb.age == 29 and rb.city == "Beijing"
+
+
+def test_create_relationship_between_matched(wgraph):
+    cypher(wgraph, "CREATE (n:person {name: 'test'})").collect()
+    cypher(wgraph, "MATCH (a:person {name: 'marko'}), "
+                   "(b:person {name: 'test'}) "
+                   "CREATE (a)-[:knows]->(b)").collect()
+    rows = cypher(wgraph, "MATCH (a:person {name: 'marko'})-[:knows]->(b) "
+                          "RETURN b ORDER BY b").collect()
+    assert [r.b for r in rows] == ["person!peter", "person!test"]
+
+
+def test_create_node_and_edge_in_one_pattern(wgraph):
+    cypher(wgraph, "CREATE (a:person {name: 'x1'})-[:knows]->"
+                   "(b:person {name: 'x2'})").collect()
+    rows = cypher(wgraph, "MATCH (a:person {name: 'x1'})-[:knows]->(b) "
+                          "RETURN b").collect()
+    assert [r.b for r in rows] == ["person!x2"]
+
+
+def test_delete_guard_and_detach(wgraph):
+    cypher(wgraph, "CREATE (n:person {name: 'test'})").collect()
+    cypher(wgraph, "MATCH (a:person {name: 'marko'}), "
+                   "(b:person {name: 'test'}) "
+                   "CREATE (a)-[:knows]->(b)").collect()
+    with pytest.raises(ValueError, match="DETACH"):
+        cypher(wgraph, "MATCH (n:person {name: 'test'}) "
+                       "DELETE n").collect()
+    cypher(wgraph, "MATCH (n:person {name: 'test'}) "
+                   "DETACH DELETE n").collect()
+    left = cypher(wgraph, "MATCH (n:person) RETURN n ORDER BY n").collect()
+    assert [r.n for r in left] == ["person!josh", "person!marko",
+                                   "person!peter", "person!vadas"]
+    # cascade removed the incident edge
+    out = cypher(wgraph, "MATCH (a:person {name: 'marko'})-[:knows]->(b) "
+                         "RETURN b").collect()
+    assert [r.b for r in out] == ["person!peter"]
+
+
+def test_write_without_return_yields_summary(wgraph):
+    out = cypher(wgraph, "CREATE (n:person {name: 'test'})").collect()
+    assert [(r.id, r.label) for r in out] == [("person!test", "person")]
+
+
+def test_delete_relationship_by_var(wgraph):
+    cypher(wgraph, "MATCH (a:person {name: 'marko'})-[r:knows]->(b) "
+                   "DELETE r").collect()
+    out = cypher(wgraph, "MATCH (a:person {name: 'marko'})-[:knows]->(b) "
+                         "RETURN b").collect()
+    assert out == []
+    # endpoints survive
+    n = cypher(wgraph, "MATCH (n:person) RETURN count(*) AS n").head().n
+    assert n == 4
+
+
+# ---- named paths ----------------------------------------------------
+
+
+def test_named_path_varlen_functions(wgraph):
+    rows = cypher(wgraph, """
+        MATCH p = (a:person)-[:knows*1..3]->(b:person)
+        WHERE a.name = 'marko'
+        RETURN nodes(p) AS ns, relationships(p) AS rs, length(p) AS ln
+        ORDER BY ln""").collect()
+    assert [r.ln for r in rows] == [1, 2, 3]
+    assert rows[2].ns == ["person!marko", "person!peter",
+                          "person!josh", "person!vadas"]
+    assert len(rows[2].rs) == 3
+    assert all(len(r.rs) == r.ln for r in rows)
+
+
+def test_named_path_fixed_chain(wgraph):
+    row = cypher(wgraph, """
+        MATCH p = (a:person {name: 'marko'})-[:knows]->(b)-[:knows]->(c)
+        RETURN nodes(p) AS ns, length(p) AS ln""").head()
+    assert row.ln == 2
+    assert row.ns == ["person!marko", "person!peter", "person!josh"]
+
+
+def test_named_path_bare_var_projects_nodes(wgraph):
+    row = cypher(wgraph, """
+        MATCH p = (a:person {name: 'marko'})-[:knows]->(b)
+        RETURN p""").head()
+    assert row.p == ["person!marko", "person!peter"]
+
+
+def test_named_path_zero_length(wgraph):
+    rows = cypher(wgraph, """
+        MATCH p = (a:person {name: 'marko'})-[:knows*0..1]->(b)
+        RETURN nodes(p) AS ns, length(p) AS ln ORDER BY ln""").collect()
+    assert [r.ln for r in rows] == [0, 1]
+    assert rows[0].ns == ["person!marko"]
