@@ -2584,6 +2584,57 @@ def gremlin_match_pattern(spark, sf_dir):
             .select("customer", "ord", "part"))
 
 
+@_q("gremlin_aggregate_cap", """
+SELECT string_agg(r_name, ',' ORDER BY r_name) AS value FROM region
+""")
+def gremlin_aggregate_cap_q(spark, sf_dir):
+    """sideEffect aggregate('x').by(prop) + cap('x') — the bag
+    collects the value stream, cap emits it as one traverser
+    (sorted-array stand-in for TinkerPop's BulkSet; store() collapses
+    to the same batch semantics — documented in gremlin.py).
+    ProcessBasicSuite.java:110-198 pins the family."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    df = eval_gremlin(_graph(spark, sf_dir),
+                      "g.V().hasLabel('region')"
+                      ".aggregate('x').by('name').cap('x')")
+    return df.select(F.array_join("value", ",").alias("value"))
+
+
+@_q("gremlin_local_count", """
+SELECT count(o_orderkey) AS value
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+""")
+def gremlin_local_count_q(spark, sf_dir):
+    """branch local(out().count()) — the count barrier scoped
+    per-traverser (per-customer order count, 0 for order-less
+    customers: TinkerPop CountLocalStep contract), vs the global
+    count() that would collapse to one row."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    return eval_gremlin(_graph(spark, sf_dir),
+                        "g.V().hasLabel('customer')"
+                        ".local(__.out('placed').count())")
+
+
+@_q("gremlin_local_limit", """
+WITH e AS (SELECT 'customer!' || o_custkey AS src,
+                  'order!' || o_orderkey AS dst FROM orders),
+r AS (SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+      FROM e)
+SELECT dst AS id FROM r WHERE rn <= 2
+""")
+def gremlin_local_limit_q(spark, sf_dir):
+    """local(out().limit(2)) — the range barrier scoped per-traverser
+    (first two orders per customer under deterministic id order), vs
+    the global limit that would emit two rows total."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    df = eval_gremlin(_graph(spark, sf_dir),
+                      "g.V().hasLabel('customer')"
+                      ".local(__.out('placed').limit(2))")
+    return df.select("id")
+
+
 @_q("gremlin_sack", """
 SELECT ROUND(c_acctbal + o_totalprice, 6) AS value
 FROM customer JOIN orders ON o_custkey = c_custkey

@@ -160,16 +160,19 @@ class Traversal:
         self.kind = kind      # 'V' | 'E' | 'value'
         self._attached = attached  # V-kind: label/props columns present
         self._sort = sort     # explicit order_by sort columns, if any
+        self._side: dict[str, DataFrame] = {}  # store()/aggregate() bags
 
     # -- plumbing ------------------------------------------------------
 
     def _new(self, df: DataFrame, kind: str | None = None,
              attached: bool | None = None,
              sort: list | None | str = "keep") -> "Traversal":
-        return Traversal(self.graph, df,
-                         kind if kind is not None else self.kind,
-                         self._attached if attached is None else attached,
-                         self._sort if sort == "keep" else sort)
+        t = type(self)(self.graph, df,
+                       kind if kind is not None else self.kind,
+                       self._attached if attached is None else attached,
+                       self._sort if sort == "keep" else sort)
+        t._side = self._side
+        return t
 
     def _prop_col(self, key: str) -> Column:
         """props[key], cast through the schema registry's PropertyKey
@@ -250,7 +253,7 @@ class Traversal:
 
     def _carries(self) -> list[str]:
         return [c for c in self.df.columns
-                if c.startswith("__as_") or c == "__sack"]
+                if c.startswith("__as_") or c in ("__sack", "__loc")]
 
     def _hop(self, direction: str, labels: tuple[str, ...]) -> "Traversal":
         self._require("V")
@@ -327,27 +330,37 @@ class Traversal:
 
     # -- map steps -----------------------------------------------------
 
+    def _loc_carry(self) -> list[str]:
+        """Inside local() the origin ordinal must ride along the
+        value-producing map steps; outside it the value stream stays
+        single-column (oracle-stable schema)."""
+        return ["__loc"] if "__loc" in self.df.columns else []
+
     def values(self, key: str) -> "Traversal":
         """Property values, typed through the schema registry."""
         t = self._elem() if self.kind == "V" else self
-        return t._new(t.df.select(t._prop_col(key).alias("value")),
+        return t._new(t.df.select(t._prop_col(key).alias("value"),
+                                  *t._loc_carry()),
                       kind="value", sort=None)
 
     def id_(self) -> "Traversal":
         self._require("V", "E")
         col = "id" if self.kind == "V" else "eid"
-        return self._new(self.df.select(F.col(col).alias("value")),
+        return self._new(self.df.select(F.col(col).alias("value"),
+                                        *self._loc_carry()),
                          kind="value")
 
     def label_(self) -> "Traversal":
         t = self._elem() if self.kind == "V" else self
-        return t._new(t.df.select(F.col("label").alias("value")),
+        return t._new(t.df.select(F.col("label").alias("value"),
+                                  *t._loc_carry()),
                       kind="value")
 
     def path(self) -> "Traversal":
         self._require("V")
         return self._new(self.df.select(
-            F.array_join("path", ">").alias("value")), kind="value")
+            F.array_join("path", ">").alias("value"),
+            *self._loc_carry()), kind="value")
 
     def as_(self, label: str) -> "Traversal":
         """Step label (Gremlin as()): records the CURRENT element id
@@ -468,6 +481,81 @@ class Traversal:
             F.col("props")[by].cast("double")
         upd = self._SACK_OPS[op](F.col("__sack"), val.cast("double"))
         return t._new(t.df.withColumn("__sack", upd))
+
+    def store(self, key: str, by: str | None = None) -> "Traversal":
+        """sideEffect store('x')[.by(prop)]: records the current value
+        stream into a named bag (duplicates kept — TinkerPop BulkSet);
+        ``cap('x')`` emits it. In batch evaluation store's lazy and
+        aggregate's eager collection see the same full traverser set,
+        so the two collapse to one operator (documented deviation —
+        the distinction is an execution-order detail that only shows
+        through mid-loop cap(), which TinkerPop itself discourages).
+        ProcessBasicSuite.java:110-198 pins the family."""
+        t = self
+        if by is not None:
+            if self.kind == "value":
+                raise TypeError("store: by() needs an element stream")
+            t = self._elem() if self.kind == "V" else self
+            val = t._prop_col(by) if t.kind == "V" else F.col("props")[by]
+        else:
+            val = t._order_col()
+        out = t._new(t.df)
+        out._side = dict(t._side)
+        out._side[key] = t.df.select(val.alias("value"))
+        return out
+
+    def aggregate(self, key: str, by: str | None = None) -> "Traversal":
+        """sideEffect aggregate('x') — see store(): the eager/lazy
+        distinction collapses under batch evaluation."""
+        return self.store(key, by)
+
+    def cap(self, key: str) -> "Traversal":
+        """cap('x'): emit the side-effect bag as ONE traverser
+        carrying the whole collection (sorted array — deterministic
+        stand-in for TinkerPop's unordered BulkSet)."""
+        if key not in self._side:
+            raise KeyError(f"cap: no side-effect {key!r}")
+        df = self._side[key].agg(
+            F.array_sort(F.collect_list("value")).alias("value"))
+        return self._new(df, kind="value", attached=False, sort=None)
+
+    def barrier(self) -> "Traversal":
+        """barrier(): a no-op here — Spark batch evaluation is already
+        bulk-synchronous at every shuffle boundary; TinkerPop's
+        bulking/stalling is an execution-strategy detail with no
+        result-semantics impact."""
+        return self
+
+    def local(self, step: Callable[["Traversal"], "Traversal"]
+              ) -> "Traversal":
+        """branch local(child): the child runs scoped per incoming
+        traverser — barriers inside (count/limit/range/tail/dedup/
+        fold/sum/mean/max/min/sample) apply per-traverser, not
+        globally: local(out().limit(1)) is first-neighbor-per-vertex;
+        local(outE().count()) is per-vertex degree, emitting 0 for
+        edge-less vertices (TinkerPop CountLocalStep contract).
+        Implemented by tagging each traverser with an ordinal and
+        running the child on a scoped subclass whose barrier steps
+        partition by it; the tagging window is global — the same
+        bounded-stream caveat as range_/tail."""
+        sort = [*self._sort_cols()]
+        if "path" in self.df.columns:
+            sort.append(F.col("path"))
+        w = Window.orderBy(*sort)
+        tagged = self.df.withColumn("__loc", F.row_number().over(w))
+        lt = _LocalTraversal(self.graph, tagged, self.kind,
+                             self._attached, self._sort)
+        lt._side = self._side
+        lt._loc_base = tagged.select("__loc").distinct()
+        out = step(lt)
+        if not isinstance(out, Traversal):
+            raise TypeError("local: the child must end in a traversal "
+                            "step (reducers return traversals inside "
+                            "local)")
+        res = Traversal(self.graph, out.df.drop("__loc"), out.kind,
+                        out._attached, out._sort)
+        res._side = out._side
+        return res
 
     def tree(self) -> DataFrame:
         """Terminal tree(): the traversers' paths aggregated into a
@@ -626,10 +714,16 @@ class Traversal:
         subgraph multiplies traversers without bound; the guard turns
         that divergence into the reference's CapacityExceeded instead
         of a melted cluster (HugeTraverser.checkCapacity posture).
-        Emitted = the union of the stopped traversers across rounds."""
+        Emitted = the union of the stopped traversers across rounds.
+
+        repeat(X).until(P) is DO-WHILE in TinkerPop (until-after
+        syntax): the first step runs BEFORE the first predicate
+        check, so a start traverser already satisfying P still takes
+        one step (r03 advice fix — the while-do form would emit it
+        with zero steps)."""
         from incubator_hugegraph_spark.graph import (CapacityExceeded,
                                                      checkpointed)
-        t = self
+        t = step(self)  # do-while: step precedes the first check
         done: list[Traversal] = []
         for _ in range(max_times):
             t = t._elem() if t.kind == "V" else t  # preds may need props
@@ -806,6 +900,94 @@ class Traversal:
 
     def toList(self) -> list:
         return [r[0] for r in self.toDF().collect()]
+
+
+class _LocalTraversal(Traversal):
+    """Child scope of local(): barrier steps partition by the origin
+    ordinal ``__loc``, and the reducing steps (count/sum/mean/max/min/
+    fold) return VALUE-KIND TRAVERSALS — one result per origin
+    traverser — instead of the outer class's terminal DataFrames."""
+
+    _loc_base: DataFrame | None = None
+
+    def _new(self, df: DataFrame, kind: str | None = None,
+             attached: bool | None = None,
+             sort: list | None | str = "keep") -> "Traversal":
+        t = super()._new(df, kind, attached, sort)
+        t._loc_base = self._loc_base
+        return t
+
+    def _loc_w(self, reverse: bool = False):
+        return Window.partitionBy("__loc") \
+            .orderBy(*self._sort_cols(reverse))
+
+    def limit(self, n: int) -> "Traversal":
+        return self._new(
+            self.df.withColumn("__rn", F.row_number().over(self._loc_w()))
+            .filter(F.col("__rn") <= n).drop("__rn"))
+
+    def range_(self, lo: int, hi: int) -> "Traversal":
+        return self._new(
+            self.df.withColumn("__rn", F.row_number().over(self._loc_w()))
+            .filter((F.col("__rn") > lo) & (F.col("__rn") <= hi))
+            .drop("__rn"))
+
+    def tail(self, n: int) -> "Traversal":
+        return self._new(
+            self.df.withColumn(
+                "__rn", F.row_number().over(self._loc_w(reverse=True)))
+            .filter(F.col("__rn") <= n).drop("__rn"))
+
+    def sample(self, n: int) -> "Traversal":
+        w = Window.partitionBy("__loc").orderBy(
+            F.xxhash64(self._order_col()), self._order_col())
+        return self._new(self.df.withColumn("__rn", F.row_number().over(w))
+                         .filter(F.col("__rn") <= n).drop("__rn"))
+
+    def dedup(self) -> "Traversal":
+        if self.kind == "value":
+            return self._new(self.df.dropDuplicates(["__loc", "value"]))
+        key = "id" if self.kind == "V" else "eid"
+        w = Window.partitionBy("__loc", key).orderBy("path")
+        return self._new(self.df.withColumn("__rn", F.row_number().over(w))
+                         .filter(F.col("__rn") == 1).drop("__rn"))
+
+    def _loc_agg(self, acol: Column) -> "Traversal":
+        return self._new(self.df.groupBy("__loc").agg(acol.alias("value")),
+                         kind="value", attached=False, sort=None)
+
+    def count(self) -> "Traversal":  # type: ignore[override]
+        counts = self.df.groupBy("__loc") \
+            .agg(F.count(F.lit(1)).alias("value"))
+        assert self._loc_base is not None
+        base = (self._loc_base.join(counts, on="__loc", how="left")
+                .select("__loc",
+                        F.coalesce("value", F.lit(0)).alias("value")))
+        return self._new(base, kind="value", attached=False, sort=None)
+
+    def sum_(self) -> "Traversal":  # type: ignore[override]
+        return self._loc_agg(F.round(F.sum(self._num()), 6))
+
+    def mean_(self) -> "Traversal":  # type: ignore[override]
+        return self._loc_agg(F.round(F.avg(self._num()), 6))
+
+    def max_(self) -> "Traversal":  # type: ignore[override]
+        return self._loc_agg(F.max(self._num()))
+
+    def min_(self) -> "Traversal":  # type: ignore[override]
+        return self._loc_agg(F.min(self._num()))
+
+    def fold(self) -> "Traversal":  # type: ignore[override]
+        self._require("value")
+        vt = self.df.schema["value"].dataType.simpleString()
+        folded = self.df.groupBy("__loc").agg(
+            F.array_sort(F.collect_list("value")).alias("value"))
+        assert self._loc_base is not None
+        base = (self._loc_base.join(folded, on="__loc", how="left")
+                .select("__loc",
+                        F.coalesce("value", F.array().cast(f"array<{vt}>"))
+                        .alias("value")))
+        return self._new(base, kind="value", attached=False, sort=None)
 
 
 class _MathParser:

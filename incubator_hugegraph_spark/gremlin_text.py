@@ -347,6 +347,24 @@ def _apply(chain: _Chain, t: Traversal) -> object:
                 continue
             raise SyntaxError(
                 "gremlin: where() supports eq('label')/neq('label')")
+        if name in ("store", "aggregate"):
+            # store('x')[.by('prop')] / aggregate('x')[.by('prop')]
+            key = args[0]
+            by = None
+            if i + 1 < len(steps) and steps[i + 1][0] == "by":
+                by_args = steps[i + 1][1]
+                by = by_args[0] if by_args else None
+                i += 1
+            t = t.store(key, by)
+            i += 1
+            continue
+        if name == "local":
+            sub = args[0]
+            if not isinstance(sub, _Chain):
+                raise SyntaxError("gremlin: local() takes __.…")
+            t = t.local(lambda x: _apply(sub, x))
+            i += 1
+            continue
         if name in ("union", "choose", "coalesce", "optional"):
             subs = [a for a in args if isinstance(a, _Chain)]
             if name == "union":

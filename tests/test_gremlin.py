@@ -527,3 +527,96 @@ def test_has_existence_and_has_not(graph):
     assert n == with_size
     m = eval_gremlin(graph, "g.V().hasNot('size').count()").head().cnt
     assert m == without
+
+
+def test_store_aggregate_cap(graph):
+    """sideEffect store/aggregate + cap (ProcessBasicSuite.java:
+    110-198): the bag collects the value stream; cap emits it as one
+    traverser with a sorted array."""
+    from incubator_hugegraph_spark.gremlin import G
+    row = (G(graph).V().hasLabel("region")
+           .aggregate("x", by="name").cap("x").toDF()).head()
+    names = sorted(r.value for r in
+                   G(graph).V().hasLabel("region")
+                   .values("name").toDF().collect())
+    assert row.value == names
+    # store collapses to the same batch semantics
+    row2 = (G(graph).V().hasLabel("region")
+            .store("x").cap("x").toDF()).head()
+    assert row2.value == sorted(
+        r.id for r in graph.vertices.filter("label='region'")
+        .select("id").collect())
+
+
+def test_barrier_is_identity(graph):
+    from incubator_hugegraph_spark.gremlin import G
+    assert (G(graph).V().hasLabel("region").barrier().count()
+            .head().cnt) == 5
+
+
+def test_local_count_per_traverser(graph):
+    """local(out().count()) = per-vertex degree, with 0 for vertices
+    lacking the edge (TinkerPop CountLocalStep contract) — the global
+    count() would collapse everything to one row."""
+    from pyspark.sql import functions as SF
+
+    from incubator_hugegraph_spark.gremlin import G
+    rows = (G(graph).V().hasLabel("customer")
+            .local(lambda t: t.out("placed").count()).toDF()).collect()
+    manual = (graph.vertices.filter("label='customer'")
+              .join(graph.edges.filter("label='placed'")
+                    .selectExpr("src AS id", "dst"), on="id", how="left")
+              .groupBy("id")
+              .agg(SF.sum(SF.when(SF.col("dst").isNotNull(), 1)
+                          .otherwise(0)).alias("n")).collect())
+    assert sorted(r.value for r in rows) == sorted(x.n for x in manual)
+    assert len(rows) == len(manual)
+
+
+def test_local_limit_per_traverser(graph):
+    from incubator_hugegraph_spark.gremlin import G
+    rows = (G(graph).V().hasLabel("region")
+            .local(lambda t: t.in_("located_in").limit(2)).toDF()
+            ).collect()
+    assert len(rows) == 10  # 2 nations per region, not 2 global
+
+
+def test_local_fold_empty_gives_empty_list(graph):
+    from incubator_hugegraph_spark.gremlin import G
+    rows = (G(graph).V().hasLabel("region")
+            .local(lambda t: t.out("located_in").id_().fold()).toDF()
+            ).collect()
+    assert len(rows) == 5 and all(r.value == [] for r in rows)
+
+
+def test_local_text_parser(graph):
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    rows = eval_gremlin(
+        graph, "g.V().hasLabel('nation')"
+               ".local(__.out('located_in').count())").collect()
+    assert len(rows) == 25 and all(r.value == 1 for r in rows)
+    caps = eval_gremlin(
+        graph, "g.V().hasLabel('region').store('s').cap('s')").head()
+    assert len(caps.value) == 5
+
+
+def test_repeat_until_is_do_while(graph):
+    """repeat(X).until(P) steps BEFORE the first predicate check
+    (TinkerPop until-after = do-while; r03 advice fix): a start
+    already satisfying P takes one step — from a region, out() yields
+    nothing, so nothing is emitted (the while-do form would emit the
+    region itself with zero steps)."""
+    from pyspark.sql import functions as SF
+
+    from incubator_hugegraph_spark.gremlin import G
+    rows = (G(graph).V("region!0")
+            .repeat_until(lambda t: t.out("located_in"),
+                          lambda df: SF.col("label") == "region")
+            .id_()).df.collect()
+    assert rows == []
+    # and the normal convergent walk still works
+    rows2 = (G(graph).V("nation!0")
+             .repeat_until(lambda t: t.out("located_in"),
+                           lambda df: SF.col("label") == "region")
+             .id_()).df.collect()
+    assert len(rows2) == 1 and rows2[0].value.startswith("region!")
