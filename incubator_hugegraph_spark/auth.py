@@ -165,7 +165,16 @@ class AuthManager:
     def check(self, user: str, graph: str, resource: str, permission: int,
               space: str = "DEFAULT", label: str | None = None) -> bool:
         """True iff some group of ``user`` holds ``permission`` on a
-        target covering (space, graph, resource[, label])."""
+        target covering (space, graph, resource[, label]).
+
+        Label scoping is DENY-BY-DEFAULT (r03 advice fix): a target
+        restricted to specific labels only covers requests that
+        declare a label inside that list — a request with no label
+        scope (label=None) is NOT served by a label-restricted grant,
+        because our enforcement point is the request, not the element
+        (the reference's HugeResource.matchLabel filters per element,
+        HugeGraphAuthProxy; a per-request gate that ignored the
+        restriction would make the whitelist decorative)."""
         groups = {g for u, g in self._belongs if u == user}
         for a in self._accesses:
             if a.group not in groups or (a.permission & permission) \
@@ -177,8 +186,8 @@ class AuthManager:
             if not any(ResourceType.covers(r, resource)
                        for r in t.resources):
                 continue
-            if label is not None and t.labels is not None \
-                    and label not in t.labels:
+            if t.labels is not None and (label is None
+                                         or label not in t.labels):
                 continue
             return True
         return False
@@ -225,32 +234,37 @@ _DOOR_RULES = {
 
 def authorized_execute(am: AuthManager, user: str, graph_name: str,
                        graph, endpoint: str, request: dict,
-                       space: str = "DEFAULT"):
+                       space: str = "DEFAULT",
+                       label: str | None = None):
     """Permission-gated `rest.execute` (traverser endpoints read
     vertices AND edges — both are required, as the reference's
-    traverser proxy checks both iterators)."""
+    traverser proxy checks both iterators). ``label`` declares the
+    request's label scope; without it, label-restricted grants do not
+    apply (deny-by-default, see AuthManager.check)."""
     from incubator_hugegraph_spark import rest
     am.require(user, graph_name, ResourceType.VERTEX, Permission.READ,
-               space)
+               space, label)
     am.require(user, graph_name, ResourceType.EDGE, Permission.READ,
-               space)
+               space, label)
     return rest.execute(graph, endpoint, request)
 
 
 def authorized_gremlin(am: AuthManager, user: str, graph_name: str,
-                       graph, request, space: str = "DEFAULT"):
+                       graph, request, space: str = "DEFAULT",
+                       label: str | None = None):
     from incubator_hugegraph_spark import rest
     am.require(user, graph_name, ResourceType.GREMLIN, Permission.EXECUTE,
-               space)
+               space, label)
     return rest.execute_gremlin(graph, request)
 
 
 def authorized_algorithm(am: AuthManager, user: str, graph_name: str,
                          graph, name: str, params: dict | None = None,
-                         space: str = "DEFAULT"):
+                         space: str = "DEFAULT",
+                         label: str | None = None):
     from incubator_hugegraph_spark import rest
     am.require(user, graph_name, ResourceType.TASK, Permission.EXECUTE,
-               space)
+               space, label)
     return rest.execute_algorithm(graph, name, params)
 
 

@@ -68,14 +68,38 @@ def cm_estimate(cms: DataFrame, keys: DataFrame, key_col: str,
 def heavy_hitters(df: DataFrame, key_col: str, threshold: float,
                   d: int = _D, w: int = _W) -> DataFrame:
     """Keys whose count-min ESTIMATE is ≥ threshold × |df| —
-    (key, est, est_frac). No false negatives (est ≥ true count); the
-    candidate key set is the distinct keys, streamed against the
-    broadcast sketch, so the only corpus-sized pass is the build
-    scan."""
+    (key, est, est_frac).
+
+    Candidates come from a MAP-SIDE pigeonhole pre-filter (r03 advice
+    fix — the old distinct-keys candidate pass shuffled every key in
+    the corpus): a key with total count ≥ θ·N must count ≥ θ·N/P
+    inside at least one of the P partitions, so each partition emits
+    only its locally-frequent keys (≤ P/θ candidates overall — tracks
+    hitters, not keys). No false negatives: a true heavy hitter
+    always survives the pre-filter, and est ≥ true count. The
+    per-partition counter is bounded by that partition's distinct
+    keys (the standard local-heavy-hitter working set). Estimate-only
+    hitters (collision-inflated keys below θ·N true count) can be
+    pruned — at d×w = 5×1024 per-sketch resolution that requires
+    adversarial collision pileup."""
+    import pandas as pd
     total = df.count()
     cms = count_min(df, key_col, d, w)
-    keys = df.select(key_col).distinct()
-    est = cm_estimate(cms, keys, key_col, d, w)
+    nparts = max(df.rdd.getNumPartitions(), 1)
+    local_min = threshold * total / nparts
+
+    def local_candidates(batches):
+        from collections import Counter
+        c: Counter = Counter()
+        for pdf in batches:
+            c.update(pdf["key"].astype(str))
+        yield pd.DataFrame(
+            {"key": [k for k, n in c.items() if n >= local_min]})
+
+    keys = (df.select(F.col(key_col).cast("string").alias("key"))
+            .mapInPandas(local_candidates, "key string")
+            .distinct())
+    est = cm_estimate(cms, keys, "key", d, w)
     return (est.filter(F.col("est") >= threshold * total)
             .select("key", "est",
                     F.round(F.col("est") / total, 6).alias("est_frac")))

@@ -757,11 +757,24 @@ class ApiMeasurer:
                 "edge.iterations": self.edge_iterations}
 
 
-def _expanded_edge_iters(graph, visited, direction, labels) -> int:
-    """Σ direction-degree over the expanded vertex set."""
+def _expanded_edge_iters(graph, visited, direction, labels,
+                         n_hint: int | None = None) -> int:
+    """Σ direction-degree over the expanded vertex set. The semi-join
+    broadcasts only while the set is small (the same
+    BROADCAST_FRONTIER_LIMIT row-count fallback as the BFS kernel —
+    r03 advice fix: an unconditional broadcast here would re-create
+    the failure mode the BFS fix removed once the visited set reaches
+    executor-memory scale). ``n_hint`` reuses a count the caller
+    already paid for."""
     from pyspark.sql import functions as F
+
+    from incubator_hugegraph_spark.operators.bfs import (
+        BROADCAST_FRONTIER_LIMIT)
+    n = visited.count() if n_hint is None else n_hint
+    keys = F.broadcast(visited) if n <= BROADCAST_FRONTIER_LIMIT \
+        else visited
     deg = graph.degrees(direction, labels)
-    row = (deg.join(F.broadcast(visited), on="id", how="left_semi")
+    row = (deg.join(keys, on="id", how="left_semi")
            .agg(F.coalesce(F.sum("degree"), F.lit(0)).alias("s")).head())
     return int(row.s)
 
@@ -790,7 +803,8 @@ def execute_measured(graph: PropertyGraph, endpoint: str,
         expanded = visited.filter(F.col("dist") < depth).select("id")
         m.add_iter_count(
             n_visited,
-            _expanded_edge_iters(graph, expanded, direction, labels))
+            _expanded_edge_iters(graph, expanded, direction, labels,
+                                 n_hint=n_visited))
         if endpoint == "kout":
             out = visited.filter(F.col("dist") == depth).select("id")
         else:
@@ -905,7 +919,10 @@ class TaskScheduler:
             task_id = self._next
             self._next += 1
             rec = {"id": task_id, "type": "algorithm", "name": name,
-                   "status": "RUNNING", "error": None, "result": None}
+                   "status": "RUNNING", "error": None, "result": None,
+                   # captured here so cancel() never depends on the
+                   # caller remembering the session (r03 advice fix)
+                   "_spark": graph.spark}
             self._tasks[task_id] = rec
         group = f"task-{task_id}"
 
@@ -955,10 +972,18 @@ class TaskScheduler:
 
     def cancel(self, task_id: int, spark=None) -> dict:
         """DELETE …/tasks/{id} — cancels the task's Spark job group;
-        a finished task is left untouched (reference behavior)."""
+        a finished task is left untouched (reference behavior). The
+        session was captured at submit time, so the kill switch fires
+        without the caller passing ``spark`` (r03 advice fix — the
+        old default silently skipped cancelJobGroup)."""
         r = self._rec(task_id)
-        if r["status"] == "RUNNING" and spark is not None:
-            spark.sparkContext.cancelJobGroup(f"task-{task_id}")
+        if r["status"] == "RUNNING":
+            sess = spark or r.get("_spark")
+            if sess is None:  # defensive: submit always captures it
+                raise RuntimeError(
+                    f"task {task_id} is RUNNING but no SparkSession "
+                    "is available to cancel its job group")
+            sess.sparkContext.cancelJobGroup(f"task-{task_id}")
         return self.get(task_id)
 
     def list(self, status: str | None = None) -> list[dict]:

@@ -73,6 +73,17 @@ def test_label_scoped_target():
                     Permission.READ, label="person")
     assert not am.check("carol", "hugegraph", ResourceType.VERTEX,
                         Permission.READ, label="software")
+    # deny-by-default (r03 advice): a request with NO label scope is
+    # not served by a label-restricted grant — otherwise the
+    # whitelist would be decorative at the request-level doors
+    assert not am.check("carol", "hugegraph", ResourceType.VERTEX,
+                        Permission.READ)
+    # an unrestricted grant still covers label-less requests
+    am.create_target("all_v", "hugegraph",
+                     resources=[ResourceType.VERTEX])
+    am.grant("g", "all_v", Permission.READ)
+    assert am.check("carol", "hugegraph", ResourceType.VERTEX,
+                    Permission.READ)
 
 
 def test_gated_rest_doors(marko_graph):
