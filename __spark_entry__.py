@@ -2237,6 +2237,46 @@ def louvain_q(spark, sf_dir):
                    passes=2, move_rounds=3)
 
 
+@_q("louvain_invariants", f"""
+WITH {IE_SQL.strip()},
+nodes AS (SELECT src AS v FROM ie UNION SELECT dst FROM ie)
+SELECT CAST(count(*) AS BIGINT) AS n_assigned,
+       1 AS one_comm_per_vertex, 1 AS mod_ge_singletons
+FROM nodes
+""")
+def louvain_invariants_q(spark, sf_dir):
+    """Driver-checkable louvain invariants (r03 verdict item 6 — the
+    full partition stays a declared parallel approximation, but more
+    than rows-only): under the pinned (passes=2, move_rounds=3)
+    configuration the synchronized variant is fully deterministic
+    (ties break to stay/min community id; parity-gated rounds), so we
+    assert (a) every vertex of the interacted subgraph gets exactly
+    one community — n_assigned is a REAL data-dependent value the
+    oracle recomputes — and (b) the partition's modularity is ≥ the
+    singleton partition's (Q_singleton = -Σ(k/2m)² < 0), i.e. the
+    moves never end below the do-nothing baseline. NOTE the fixture's
+    interacted graph is near-complete (sf0.001 is literally K15), so
+    its optimal modularity is ≈0 and a strictly-positive-Q invariant
+    would be unsatisfiable by ANY partitioner — ≥-singletons is the
+    strongest data-independent bound. Booleans travel as 0/1 ints
+    (canonicalization-stable)."""
+    from incubator_hugegraph_spark.algorithms.community import (
+        louvain, modularity, undirected_edges)
+    g = _graph(spark, sf_dir)
+    part = louvain(g, labels=["interacted"], passes=2, move_rounds=3)
+    part = part.localCheckpoint()  # consumed by 3 actions below
+    und = undirected_edges(g, ["interacted"]) \
+        .select("a", "b", F.lit(1.0).alias("w"))
+    q = modularity(und, part)
+    singles = part.select("id", F.col("id").alias("community"))
+    q0 = modularity(und, singles)
+    n = part.count()
+    nd = part.select("id").distinct().count()
+    return spark.createDataFrame(
+        [(n, int(nd == n), int(q >= q0))],
+        "n_assigned long, one_comm_per_vertex int, mod_ge_singletons int")
+
+
 @_q("louvain_move1", f"""
 WITH {IE_SQL.strip()},
 und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

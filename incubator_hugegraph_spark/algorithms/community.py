@@ -225,7 +225,7 @@ def louvain(graph: PropertyGraph, labels: list[str] | None = None,
     edges = checkpointed(und.select("a", "b", F.lit(1.0).alias("w")))
     mapping = None  # original id -> community
     for p in range(passes):
-        comm = _one_louvain_pass(graph, edges, move_rounds)
+        comm = _one_louvain_pass(graph, edges, move_rounds, parity=True)
         if mapping is None:
             mapping = comm.select("id", F.col("comm2").alias("community"))
         else:
@@ -238,14 +238,19 @@ def louvain(graph: PropertyGraph, labels: list[str] | None = None,
                        .select("id", F.coalesce("comm2", "community")
                                .alias("community")))
         mapping = checkpointed(mapping)
-        # contract the graph by community for the next pass
+        # contract the graph by community for the next pass. Internal
+        # (ca == cb) weight is KEPT as a self-loop — dropping it
+        # (r03 bug) deflates the contracted nodes' degrees, so pass 2
+        # sees a bridge edge as half the graph's weight and merges
+        # everything into one community regardless of structure (the
+        # standard Louvain contraction carries in_c as a self-loop,
+        # Blondel et al. 2008 §2)
         cmap = mapping
         edges = (edges
                  .join(cmap.select(F.col("id").alias("a"),
                                    F.col("community").alias("ca")), on="a")
                  .join(cmap.select(F.col("id").alias("b"),
                                    F.col("community").alias("cb")), on="b")
-                 .filter(F.col("ca") != F.col("cb"))
                  .groupBy(F.least("ca", "cb").alias("a"),
                           F.greatest("ca", "cb").alias("b"))
                  .agg(F.sum("w").alias("w")))
@@ -254,34 +259,83 @@ def louvain(graph: PropertyGraph, labels: list[str] | None = None,
 
 
 def _one_louvain_pass(graph: PropertyGraph, edges: DataFrame,
-                      move_rounds: int) -> DataFrame:
+                      move_rounds: int,
+                      parity: bool = False) -> DataFrame:
     """One pass of synchronized greedy moves. edges: (a, b, w),
-    undirected a<b. Returns (id, comm2) for the pass's node set."""
-    adj = (edges.select(F.col("a").alias("id"), F.col("b").alias("nbr"), "w")
-           .unionAll(edges.select(F.col("b").alias("id"),
-                                  F.col("a").alias("nbr"), "w")))
+    undirected a<b. Returns (id, comm2) for the pass's node set.
+
+    ``parity``: alternate move eligibility by id-hash parity per
+    round — the standard synchronized-Louvain damping (two adjacent
+    vertices can otherwise swap INTO each other's community forever,
+    flooding the partition; cf. the coloring/parity schemes in
+    distributed Louvain literature). The oracle-gated single-round
+    kernel (louvain_move_round) keeps parity off so the SQL mirror
+    stays exact."""
+    # contracted graphs carry self-loops (internal community weight);
+    # a self-loop is not a neighbor, but it contributes 2w to the
+    # node's weighted degree (standard undirected convention) and its
+    # node must stay in the pass's node set even when isolated
+    nonself = edges.filter(F.col("a") != F.col("b"))
+    selfw = (edges.filter(F.col("a") == F.col("b"))
+             .select(F.col("a").alias("id"),
+                     (F.col("w") * 2).alias("sw")))
+    adj = (nonself.select(F.col("a").alias("id"),
+                          F.col("b").alias("nbr"), "w")
+           .unionAll(nonself.select(F.col("b").alias("id"),
+                                    F.col("a").alias("nbr"), "w")))
     two_m = edges.agg(F.sum("w") * 2).collect()[0][0] or 1.0
-    k = adj.groupBy("id").agg(F.sum("w").alias("k"))  # weighted degree
-    comm = adj.select("id").distinct() \
+    k = (adj.groupBy("id").agg(F.sum("w").alias("ak"))
+         .join(selfw, on="id", how="full_outer")
+         .select("id", (F.coalesce("ak", F.lit(0.0))
+                        + F.coalesce("sw", F.lit(0.0))).alias("k")))
+    comm = adj.select("id").unionByName(selfw.select("id")).distinct() \
         .select("id", F.col("id").alias("comm2"))
     for t in range(move_rounds):
         # community weighted degree = sum of member degrees
         ctot = (comm.join(k, on="id")
                 .groupBy("comm2").agg(F.sum("k").alias("sigma_tot")))
-        # k_{i,in}: weight from vertex to each neighbor community
+        # k_{i,in}: weight from vertex to each neighbor community;
+        # the vertex's CURRENT community is always a candidate (k_in
+        # 0 if no neighbors there), so "stay" competes on equal terms
+        cur = comm.select("id", F.col("comm2").alias("cur_comm"))
         nbr_comm = (adj.join(comm.withColumnRenamed("id", "nbr"), on="nbr")
                     .groupBy("id", "comm2")
                     .agg(F.sum("w").alias("k_in")))
-        cand = (nbr_comm
+        own = cur.select("id", F.col("cur_comm").alias("comm2"),
+                         F.lit(0.0).alias("k_in"))
+        allc = (nbr_comm.unionByName(own)
+                .groupBy("id", "comm2").agg(F.sum("k_in").alias("k_in")))
+        # textbook gain: when scoring the vertex's own community its
+        # degree is excluded from sigma_tot (the vertex is
+        # hypothetically removed first) — including it biases against
+        # staying and makes synchronized rounds oscillate the
+        # partition BELOW singleton modularity (r04 fix; standard
+        # Louvain ΔQ, Blondel et al. 2008 eq. 2)
+        cand = (allc
                 .join(ctot, on="comm2")
                 .join(k, on="id")
+                .join(cur, on="id")
+                .withColumn("sigma_adj",
+                            F.when(F.col("comm2") == F.col("cur_comm"),
+                                   F.col("sigma_tot") - F.col("k"))
+                            .otherwise(F.col("sigma_tot")))
                 .withColumn("gain", F.col("k_in")
-                            - F.col("sigma_tot") * F.col("k") / F.lit(two_m)))
+                            - F.col("sigma_adj") * F.col("k")
+                            / F.lit(two_m)))
+        # argmax incl. staying; ties prefer stay, then min community
+        # (move only on STRICT improvement — keeps round 1 from the
+        # identity assignment equal to the oracle-gated kernel, where
+        # stay-gain is exactly 0)
         w_best = Window.partitionBy("id").orderBy(
-            F.desc("gain"), F.asc("comm2"))
+            F.desc("gain"),
+            F.asc(F.col("comm2") != F.col("cur_comm")),
+            F.asc("comm2"))
         best = (cand.withColumn("__rn", F.row_number().over(w_best))
-                .filter((F.col("__rn") == 1) & (F.col("gain") > 0))
+                .filter(F.col("__rn") == 1)
                 .select("id", F.col("comm2").alias("new_comm")))
+        if parity:
+            best = best.filter(
+                F.crc32(F.col("id").cast("string")) % 2 == F.lit(t % 2))
         comm = checkpointed(
             comm.join(best, on="id", how="left")
             .select("id", F.coalesce("new_comm", "comm2").alias("comm2")))

@@ -296,3 +296,29 @@ def test_ram_neighbor_rank_matches_distributed(graph):
                              [{"direction": "OUT"}], engine=eng).collect()
         assert [(r.id, r.layer, r.rank) for r in rows] \
             == [("missing!0", 0, 1.0)]
+
+
+def test_louvain_separates_cliques(spark, graph):
+    """The canonical Louvain sanity case: two K5s joined by one
+    bridge edge must resolve into exactly the two cliques (r04 fix —
+    the contraction previously dropped intra-community weight instead
+    of carrying it as self-loops, Blondel et al. 2008 §2, so pass 2
+    merged everything through the bridge)."""
+    from incubator_hugegraph_spark.graph import PropertyGraph
+    rows = [(f"v!{s}{i}", "v", {}, None) for s in "ab" for i in range(5)]
+    erows = [(f"v!{s}{i}", f"v!{s}{j}", "e", "", {}, None)
+             for s in "ab" for i in range(5) for j in range(i + 1, 5)]
+    erows.append(("v!a0", "v!b0", "e", "", {}, None))
+    g = PropertyGraph(
+        spark=spark,
+        vertices=spark.createDataFrame(rows, graph.vertices.schema),
+        edges=spark.createDataFrame(erows, graph.edges.schema))
+    part = louvain(g, passes=2, move_rounds=4).localCheckpoint()
+    comms: dict = {}
+    for r in part.collect():
+        comms.setdefault(r.community, set()).add(r.id)
+    assert sorted(sorted(v) for v in comms.values()) == [
+        [f"v!a{i}" for i in range(5)], [f"v!b{i}" for i in range(5)]]
+    und = undirected_edges(g, None)
+    edges = und.select("a", "b", F.lit(1.0).alias("w"))
+    assert modularity(edges, part) > 0.4
