@@ -641,6 +641,79 @@ def cypher_starts_ends_q(spark, sf_dir):
     return a.unionByName(b).dropDuplicates(["id"])
 
 
+@_q("cypher_bool_where", """
+SELECT 'part!' || p_partkey AS id, p_size AS size FROM part
+WHERE NOT p_size = 1 AND (p_size < 3 OR p_size > 49)
+""")
+def cypher_bool_where_q(spark, sf_dir):
+    """Full boolean WHERE (round 4): OR / NOT / parenthesized
+    disjunctions with openCypher precedence (NOT > AND > XOR > OR),
+    compiled to one Column predicate so Catalyst pushes the whole
+    disjunction into the scan (Or(...) in PushedFilters — asserted in
+    tests/test_cypher.py). Reference anchor:
+    api/opencypher/CypherOpProcessor.java (full openCypher WHERE)."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (p:part)
+        WHERE NOT p.size = 1 AND (p.size < 3 OR p.size > 49)
+        RETURN p AS id, p.size AS size""")
+
+
+@_q("cypher_scalar_fns", """
+SELECT 'customer!' || c_custkey AS id,
+       lower(c_mktsegment) AS lseg,
+       substring(c_name, 10, 9) AS tail9,
+       length(c_name) AS sz,
+       coalesce(NULL, 'dflt') AS co,
+       CAST(round(c_acctbal) AS DOUBLE) AS bal0
+FROM customer WHERE upper(c_mktsegment) = 'BUILDING'
+""")
+def cypher_scalar_fns_q(spark, sf_dir):
+    """openCypher scalar functions (round 4): toLower/toUpper/
+    substring (0-indexed)/size/coalesce/round — all compile to
+    built-in Column expressions (JVM codegen, no Python UDFs).
+    Reference anchor: api/opencypher/CypherOpProcessor.java (full
+    openCypher via CypherAst, function vocabulary included)."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (c:customer) WHERE toUpper(c.mktsegment) = 'BUILDING'
+        RETURN c AS id, toLower(c.mktsegment) AS lseg,
+               substring(c.name, 9, 9) AS tail9, size(c.name) AS sz,
+               coalesce(c.undeclared, 'dflt') AS co,
+               round(c.acctbal) AS bal0""")
+
+
+@_q("cypher_merge", """
+SELECT 'customer!merged_new' AS id, 'TEST' AS seg, CAST(1 AS BIGINT) AS n
+UNION ALL
+SELECT 'customer!1', 'SEEN', 1
+""")
+def cypher_merge_q(spark, sf_dir):
+    """MERGE end-to-end (round 4): match-or-create with ON CREATE SET
+    / ON MATCH SET on an isolated graph copy — one existence probe per
+    statement (batch semantics), then either the upsert path or the
+    bind path. Also exercises relationship MERGE idempotence (the
+    second MERGE inserts nothing). Reference anchor:
+    test/api/CypherApiTest.java (Cypher-created fixtures)."""
+    from incubator_hugegraph_spark.cypher import cypher
+    g0 = _graph(spark, sf_dir)
+    g = PropertyGraph(g0.spark, g0.vertices, g0.edges, schema=g0.schema,
+                      vertex_views=dict(g0.vertex_views),
+                      edge_views=dict(g0.edge_views))
+    # create branch: no such customer → created + ON CREATE SET
+    cypher(g, "MERGE (n:customer {name: 'merged_new'}) "
+              "ON CREATE SET n.mktsegment = 'TEST'")
+    # match branch: existing customer → bound + ON MATCH SET
+    cypher(g, "MERGE (n:customer {name: 'Customer#000000001'}) "
+              "ON MATCH SET n.mktsegment = 'SEEN'")
+    # idempotence: re-running the create-branch MERGE adds nothing
+    cypher(g, "MERGE (n:customer {name: 'merged_new'})")
+    return cypher(g, """
+        MATCH (n:customer)
+        WHERE n.name = 'merged_new' OR n.name = 'Customer#000000001'
+        RETURN n AS id, n.mktsegment AS seg, count(*) AS n""")
+
+
 @_q("gremlin_select_by", """
 SELECT n_name AS n, r_name AS r
 FROM nation JOIN region ON r_regionkey = n_regionkey

@@ -47,9 +47,20 @@ exercises, plus the idioms its openCypher translation layer accepts):
   semantics — empty/null lists drop the row, as in openCypher);
   list operands are literals or list-typed property/expression values.
 - WHERE: comparisons =, <>, <, <=, >, >=, CONTAINS (word match,
-  analyzer semantics), IN [..], IS NULL / IS NOT NULL; conjunctions
-  with AND. Operands: var.prop, var (the vertex id), literals,
-  list literals, arithmetic (+ - * /) over them.
+  analyzer semantics), STARTS/ENDS WITH, IN [..], IS NULL / IS NOT
+  NULL, exists(x.prop), and full boolean composition — AND / OR /
+  XOR / NOT with parentheses, openCypher precedence (NOT > AND >
+  XOR > OR). Top-level conjuncts split so each keeps per-condition
+  placement/pushdown; disjunctions compile to one Column predicate
+  (Or(...) reaches PushedFilters). Operands: var.prop, var (the
+  vertex id), literals (incl. true/false/null), list literals,
+  arithmetic (+ - * /), scalar function calls.
+- Scalar functions (all built-in Column expressions — JVM codegen,
+  no Python UDFs): toLower toUpper trim ltrim rtrim reverse replace
+  split substring(0-indexed) left right size (string length / list
+  size via the schema registry) toInteger toFloat toString toBoolean
+  abs round ceil floor sqrt sign coalesce head last type(rel-var)
+  exists.
 - RETURN items: var (→ its id), var.prop, id(var), label(var),
   count(x), count(DISTINCT x), sum/avg/min/max(var.prop), count(*),
   arithmetic expressions (require AS alias). Aggregates trigger an
@@ -74,8 +85,11 @@ isomorphism, so exposing it adds no shuffle. A bare `p` in RETURN
 projects the node-id sequence (id-only convention).
 
 Writes — CREATE (nodes with literal property maps, relationships
-between created/matched vars), SET n.prop = expr, [DETACH] DELETE —
-compile onto the batch MERGE surface (operators/mutate.py:
+between created/matched vars), MERGE pattern [ON CREATE SET …]
+[ON MATCH SET …] (match-or-create: one existence probe per statement,
+then the bind path or the upsert path; relationship MERGE inserts
+exactly the missing edges via anti-join), SET n.prop = expr, [DETACH]
+DELETE — all compile onto the batch MERGE surface (operators/mutate.py:
 upsert_vertices/upsert_edges; anti-joins for DELETE), matching the
 reference's own Cypher-created fixtures (test/api/CypherApiTest.java:62
 `CREATE (n:person {…}) return n`). Batch-transaction semantics, not
@@ -104,9 +118,9 @@ _TOKEN_RE = re.compile(r"""
     \s*(?:
       (?P<arrow><-|->|--|-|\[|\]|\(|\)|\{|\}|,|:|\.)
     | (?P<kw>(?i:OPTIONAL|MATCH|WHERE|RETURN|DISTINCT|ORDER|BY|SKIP|LIMIT
-              |AND|ASC|DESC|AS|IN|CONTAINS|STARTS|ENDS|WITH|NOT|IS|NULL
-              |COUNT|SUM|AVG|MIN|MAX|ID|LABEL|UNWIND|CREATE|SET|DELETE
-              |DETACH|NODES|RELATIONSHIPS|LENGTH)\b)
+              |AND|OR|XOR|ASC|DESC|AS|IN|CONTAINS|STARTS|ENDS|WITH|NOT|IS
+              |NULL|COUNT|SUM|AVG|MIN|MAX|ID|LABEL|UNWIND|CREATE|SET|DELETE
+              |DETACH|NODES|RELATIONSHIPS|LENGTH|MERGE|ON)\b)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'(?:[^'\\]|\\.)*')
     | (?P<cmp><>|<=|>=|=|<|>|\*|\+|/)
@@ -191,6 +205,15 @@ class _Set:
 
 
 @dataclass
+class _Merge:
+    """MERGE pattern [ON CREATE SET …] [ON MATCH SET …] — match the
+    whole pattern or create it atomically (batch semantics)."""
+    create: _Create = field(default_factory=_Create)
+    on_create: _Set | None = None
+    on_match: _Set | None = None
+
+
+@dataclass
 class _Delete:
     vars: list[str] = field(default_factory=list)
     detach: bool = False
@@ -242,9 +265,7 @@ class _Parser:
                 self.next("MATCH")
                 self._pattern(mc)
                 if self.accept("WHERE"):
-                    mc.where.append(self._condition())
-                    while self.accept("AND"):
-                        mc.where.append(self._condition())
+                    mc.where.extend(self._where_conds())
                 q.clauses.append(mc)
             elif t == "WITH":
                 self.next()
@@ -257,6 +278,17 @@ class _Parser:
             elif t == "CREATE":
                 self.next()
                 q.clauses.append(self._create_pattern())
+            elif t == "MERGE":
+                self.next()
+                m = _Merge(self._create_pattern())
+                while self.accept("ON"):
+                    which = self.next("CREATE", "MATCH")[0]
+                    self.next("SET")
+                    if which == "CREATE":
+                        m.on_create = self._set_clause()
+                    else:
+                        m.on_match = self._set_clause()
+                q.clauses.append(m)
             elif t == "SET":
                 self.next()
                 q.clauses.append(self._set_clause())
@@ -276,7 +308,7 @@ class _Parser:
                 q.final = self._projection(is_with=False)
                 break
             elif t == "EOF" and any(
-                    isinstance(c, (_Create, _Set, _Delete))
+                    isinstance(c, (_Create, _Set, _Delete, _Merge))
                     for c in q.clauses):
                 break  # write query without RETURN → summary result
             else:
@@ -389,9 +421,7 @@ class _Parser:
         if self.accept("LIMIT"):
             p.limit = int(self.next("num")[1])
         if is_with and self.accept("WHERE"):
-            p.where.append(self._condition())
-            while self.accept("AND"):
-                p.where.append(self._condition())
+            p.where.extend(self._where_conds())
         return p
 
     def _expect_val(self, val: str) -> None:
@@ -565,15 +595,92 @@ class _Parser:
         if t[0] == "str":
             self.next()
             return ("lit", t[1][1:-1])
+        if t[0] == "NULL":
+            self.next()
+            return ("lit", None)
         if t[0] == "name" or (t[0].isalpha() and t[0].isupper()
                               and t[0] != "EOF"):
             var = self._name()
+            if t[0] == "name" and self.peek()[1] == "(":
+                return self._fn_call(var.lower())
+            if var.lower() in ("true", "false") and self.peek()[1] != ".":
+                return ("lit", var.lower() == "true")
             if self.peek()[1] == ".":
                 self.next()
                 prop = self._name()
                 return ("prop", var, prop)
             return ("var", var)
         raise SyntaxError(f"cypher: bad operand {t}")
+
+    def _fn_call(self, fname: str):
+        """Scalar function call ``f(arg, …)`` — names, not keywords
+        (aggregates/id/label/path functions parse above)."""
+        self._expect_val("(")
+        args = []
+        while self.peek()[1] != ")":
+            args.append(self._expr())
+            if self.peek()[1] == ",":
+                self.next()
+        self._expect_val(")")
+        return ("fn", fname, args)
+
+    # Boolean WHERE grammar, openCypher precedence NOT > AND > XOR > OR.
+    # Top-level AND conjuncts split into a list so each keeps the
+    # per-condition placement/pushdown the engine already does.
+
+    def _where_conds(self) -> list[tuple]:
+        out: list[tuple] = []
+
+        def flat(c) -> None:
+            if c[0] == "and":
+                flat(c[1])
+                flat(c[2])
+            else:
+                out.append(c)
+
+        flat(self._bool_or())
+        return out
+
+    def _bool_or(self):
+        left = self._bool_xor()
+        while self.accept("OR"):
+            left = ("or", left, self._bool_xor())
+        return left
+
+    def _bool_xor(self):
+        left = self._bool_and()
+        while self.accept("XOR"):
+            left = ("xor", left, self._bool_and())
+        return left
+
+    def _bool_and(self):
+        left = self._bool_not()
+        while self.accept("AND"):
+            left = ("and", left, self._bool_not())
+        return left
+
+    def _bool_not(self):
+        if self.accept("NOT"):
+            return ("not", self._bool_not())
+        return self._bool_atom()
+
+    def _bool_atom(self):
+        if self.peek()[1] == "(":
+            # `(` is ambiguous: boolean grouping vs arithmetic grouping
+            # (`(a.x + 1) > 2`). Try boolean first; backtrack on failure
+            # or when an operator follows the closing paren.
+            save = self.i
+            try:
+                self.next()
+                inner = self._bool_or()
+                self._expect_val(")")
+                if self.peek()[0] == "cmp" or self.peek()[1] in (
+                        "+", "-", "*", "/"):
+                    raise SyntaxError("cypher: arithmetic grouping")
+                return inner
+            except SyntaxError:
+                self.i = save
+        return self._condition()
 
     def _condition(self):
         left = self._expr()
@@ -603,6 +710,11 @@ class _Parser:
                     self.next()
             self.next("arrow")  # ]
             return ("in", left, vals)
+        if left[0] in ("fn", "prop", "lit"):
+            # bare boolean expression — `exists(n.prop)`, a boolean
+            # property, or a literal (Spark's analyzer rejects
+            # non-boolean types downstream)
+            return ("boolval", left)
         raise SyntaxError(f"cypher: bad condition at {t}")
 
     def _return_item(self):
@@ -629,6 +741,8 @@ def _default_alias(expr) -> str:
     if kind == "agg":
         inner = "star" if expr[2] is None else _default_alias(expr[2])
         return f"{expr[1].lower()}_{inner}"
+    if kind == "fn":
+        return expr[1]
     if kind == "arith":
         raise SyntaxError(
             "cypher: arithmetic RETURN/WITH items need an AS alias")
@@ -648,12 +762,20 @@ def _expr_vars(expr, out: set[str]) -> None:
     for part in expr[1:]:
         if isinstance(part, tuple):
             _expr_vars(part, out)
+        elif isinstance(part, list):
+            for p in part:
+                if isinstance(p, tuple):
+                    _expr_vars(p, out)
 
 
 def _cond_vars(cond, out: set[str]) -> None:
     for part in cond[1:]:
         if isinstance(part, tuple):
             _expr_vars(part, out)
+        elif isinstance(part, list):
+            for p in part:
+                if isinstance(p, tuple):
+                    _expr_vars(p, out)
 
 
 class CypherEngine:
@@ -674,6 +796,11 @@ class CypherEngine:
     def _prop(self, var: str, prop: str) -> Column:
         if prop in self._typed_cols.get(var, ()):
             return F.col(f"__c_{var}_{prop}")  # typed view column
+        if var in self._typed_cols:
+            # labeled var compiled against its typed view: a property
+            # the label's schema doesn't carry IS null (openCypher
+            # missing-property semantics), not an error
+            return F.lit(None)
         c = F.col(f"__p_{var}")[prop]
         pks = getattr(self.graph.schema, "property_keys", {}) \
             if self.graph.schema is not None else {}
@@ -722,7 +849,112 @@ class CypherEngine:
                     "*": lc * rc, "/": lc / rc}[op]
         if kind == "list":
             return F.array(*[self._col(i) for i in expr[1]])
+        if kind == "fn":
+            return self._fn(expr[1], expr[2])
         raise SyntaxError(f"cypher: cannot compile {expr}")
+
+    def _is_array(self, expr) -> bool:
+        """Static list-typed check for ``size()`` dispatch (openCypher
+        size() counts list elements but string characters)."""
+        if expr[0] == "list":
+            return True
+        if expr[0] == "pathfn" and expr[1] in ("nodes", "relationships"):
+            return True
+        if expr[0] == "fn" and expr[1] == "split":
+            return True
+        if expr[0] == "var" and expr[1] in self._path_vars:
+            return True
+        if expr[0] == "prop":
+            pks = getattr(self.graph.schema, "property_keys", {}) \
+                if self.graph.schema is not None else {}
+            pk = pks.get(expr[2])
+            if pk is not None:
+                from pyspark.sql.types import ArrayType
+                return isinstance(pk.spark_type(), ArrayType)
+        return False
+
+    def _fn(self, name: str, args: list) -> Column:
+        """openCypher scalar functions → built-in Column expressions
+        (JVM-side, codegen'd — never Python UDFs). The set mirrors what
+        the reference's openCypher translation accepts
+        (api/opencypher/CypherOpProcessor.java — full openCypher via
+        CypherAst; these are the functions its test queries and the
+        openCypher TCK lean on)."""
+        cols = [self._col(a) for a in args]
+        n = len(cols)
+
+        def lit_int(i: int, default: int | None = None) -> int:
+            if i >= len(args):
+                return default
+            if args[i][0] != "lit":
+                raise SyntaxError(
+                    f"cypher: {name}() argument {i + 1} must be a literal")
+            return int(args[i][1])
+
+        if name == "exists":
+            return cols[0].isNotNull()
+        if name == "tolower":
+            return F.lower(cols[0])
+        if name == "toupper":
+            return F.upper(cols[0])
+        if name == "trim":
+            return F.trim(cols[0])
+        if name == "ltrim":
+            return F.ltrim(cols[0])
+        if name == "rtrim":
+            return F.rtrim(cols[0])
+        if name == "reverse":
+            return F.reverse(cols[0])
+        if name == "replace":
+            return F.replace(cols[0], cols[1], cols[2])
+        if name == "split":
+            if args[1][0] != "lit":
+                raise SyntaxError(
+                    "cypher: split() delimiter must be a literal")
+            return F.split(cols[0], re.escape(str(args[1][1])))
+        if name == "substring":
+            # Cypher indexes from 0, Spark's substring from 1
+            length = cols[2] if n == 3 else F.lit(2 ** 31 - 1)
+            return F.substring(cols[0], cols[1] + F.lit(1), length)
+        if name == "left":
+            return F.substring(cols[0], F.lit(1), cols[1])
+        if name == "right":
+            return F.substring(cols[0], -cols[1], cols[1])
+        if name == "size":
+            return F.size(cols[0]) if self._is_array(args[0]) \
+                else F.length(cols[0])
+        if name == "tointeger":
+            return cols[0].cast("long")
+        if name == "tofloat":
+            return cols[0].cast("double")
+        if name == "tostring":
+            return cols[0].cast("string")
+        if name == "toboolean":
+            return cols[0].cast("boolean")
+        if name == "abs":
+            return F.abs(cols[0])
+        if name == "round":
+            return F.round(cols[0], lit_int(1, 0))
+        if name == "ceil":
+            return F.ceil(cols[0])
+        if name == "floor":
+            return F.floor(cols[0])
+        if name == "sqrt":
+            return F.sqrt(cols[0])
+        if name == "sign":
+            return F.signum(cols[0]).cast("int")
+        if name == "coalesce":
+            return F.coalesce(*cols)
+        if name == "head":
+            return F.element_at(cols[0], 1)
+        if name == "last":
+            return F.element_at(cols[0], -1)
+        if name == "type":
+            if args[0][0] != "var" or args[0][1] not in self._rel_vars:
+                raise SyntaxError(
+                    "cypher: type() takes a relationship variable")
+            return F.col(f"__l_{args[0][1]}")
+        raise SyntaxError(f"cypher: unknown function {name}()")
 
     def _filter(self, cond) -> Column:
         kind = cond[0]
@@ -748,6 +980,18 @@ class CypherEngine:
         if kind == "in":
             _, l, vals = cond
             return self._col(l).isin(vals)
+        if kind == "and":
+            return self._filter(cond[1]) & self._filter(cond[2])
+        if kind == "or":
+            return self._filter(cond[1]) | self._filter(cond[2])
+        if kind == "xor":
+            # Cypher XOR three-valued logic: null if either side is
+            # null — exactly boolean `!=`
+            return self._filter(cond[1]) != self._filter(cond[2])
+        if kind == "not":
+            return ~self._filter(cond[1])
+        if kind == "boolval":
+            return self._col(cond[1])
         raise SyntaxError(f"cypher: cannot compile condition {cond}")
 
     # ---- pattern compilation ---------------------------------------
@@ -1214,6 +1458,8 @@ class CypherEngine:
                 df = self._apply_unwind(df, clause)
             elif isinstance(clause, _Create):
                 df = self._apply_create(df, clause)
+            elif isinstance(clause, _Merge):
+                df = self._apply_merge(df, clause)
             elif isinstance(clause, _Set):
                 df = self._apply_set(df, clause)
             elif isinstance(clause, _Delete):
@@ -1270,6 +1516,24 @@ class CypherEngine:
         blob = json.dumps(sorted(props.items()), default=str)
         return f"{label}!{hashlib.md5((label + blob).encode()).hexdigest()[:16]}"
 
+    def _check_write_props(self, label: str | None, props) -> None:
+        """Schema-strict writes: the reference rejects a property key
+        the element's label doesn't declare (VertexLabel property
+        checks in GraphTransaction); without this, an undeclared prop
+        would land in the map but never surface through the typed
+        views — a silent write."""
+        sch = self.graph.schema
+        if sch is None or label is None:
+            return
+        vl = sch.vertex_labels.get(label)
+        if vl is None or not vl.properties:
+            return
+        for k in props:
+            if k not in vl.properties:
+                raise ValueError(
+                    f"cypher: property {k!r} is not declared for vertex "
+                    f"label {label!r}")
+
     def _refresh_views(self, labels: set[str] | None = None) -> None:
         """Re-derive typed per-label views from the canonical vertex
         table after a write (lazy — costs nothing until read)."""
@@ -1310,6 +1574,7 @@ class CypherEngine:
                 raise SyntaxError(
                     f"cypher: CREATE node {var} needs a label")
             props = {k: str(v) for k, v in c.props.get(var, {}).items()}
+            self._check_write_props(label, props)
             new_nodes[var] = (self._gen_id(label, props), label, props)
 
         vschema = ("id string, label string, props map<string,string>, "
@@ -1381,6 +1646,96 @@ class CypherEngine:
             rows or [(None, None)], "id string, label string").dropna()
         return df
 
+    def _apply_merge(self, df: DataFrame | None, m: _Merge) -> DataFrame:
+        """MERGE — match the whole pattern or create it.
+
+        Two batch-friendly shapes (the forms real MERGE statements
+        overwhelmingly take; anything else raises):
+
+        - node merge: ``MERGE (n:label {literal props})`` with ``n``
+          unbound — one existence probe (a limit(1) metadata action,
+          the statement-level analogue of the reference's per-element
+          GraphTransaction existence check), then either binds every
+          matching vertex (openCypher row semantics) + ON MATCH SET,
+          or creates the node + ON CREATE SET.
+        - relationship merge: ``MERGE (a)-[:rel]->(b)`` with both
+          endpoints bound by a preceding MATCH — inserts exactly the
+          missing edges (anti-join against the edge table); matched
+          edges are left untouched (MERGE never modifies matched
+          elements outside ON MATCH SET).
+        """
+        c = m.create
+        g = self.graph
+        unbound = [v for v in c.nodes if v not in self._bound]
+
+        if not c.rels and len(c.nodes) == 1 and unbound:
+            var = unbound[0]
+            label = c.nodes[var]
+            if label is None:
+                raise SyntaxError(f"cypher: MERGE node {var} needs a label")
+            props = c.props.get(var, {})
+            probe = g.vertices.filter(F.col("label") == label)
+            for k, v in props.items():
+                probe = probe.filter(F.col("props")[k] == str(v))
+            if probe.limit(1).count() > 0:  # match branch
+                mc = _MatchClause()
+                mc.nodes[var] = label
+                for k, v in props.items():
+                    mc.where.append(
+                        ("cmp", "=", ("prop", var, k), ("lit", v)))
+                df = self._apply_match(df, mc)
+                ids = df.select(F.col(var).alias("id"),
+                                F.col(f"__l_{var}").alias("label")) \
+                    .distinct()
+                self._write_summary = ids
+                if m.on_match is not None:
+                    df = self._apply_set(df, m.on_match)
+                return df
+            df = self._apply_create(df, c)  # create branch
+            if m.on_create is not None:
+                df = self._apply_set(df, m.on_create)
+            return df
+
+        if c.rels and not unbound and df is not None:
+            from incubator_hugegraph_spark.operators.mutate import (
+                upsert_edges)
+            created = []
+            for rel, rp in zip(c.rels, c.rel_props):
+                s, d = (rel.src, rel.dst) if rel.direction == "OUT" \
+                    else (rel.dst, rel.src)
+                kvs = []
+                for k, v in rp.items():
+                    kvs += [F.lit(k), F.lit(str(v))]
+                pm = F.create_map(*kvs) if kvs \
+                    else F.create_map().cast("map<string,string>")
+                want = (df.select(
+                    F.col(s).alias("src"), F.col(d).alias("dst"),
+                    F.lit(rel.label).alias("label"),
+                    F.lit("").alias("sort_values"), pm.alias("props"),
+                    F.lit(None).cast("timestamp").alias("expired_at"))
+                    .dropDuplicates(["src", "dst"]))
+                missing = want.join(
+                    g.edges.filter(F.col("label") == rel.label)
+                    .select("src", "dst"),
+                    on=["src", "dst"], how="left_anti")
+                g.edges = upsert_edges(g.edges, missing)
+                g.edge_views.pop(rel.label, None)
+                created.append(missing.select(
+                    F.concat_ws(">", "src", "label", "dst").alias("id"),
+                    F.lit("edge").alias("label")))
+            self._write_summary = reduce(
+                lambda a, b: a.unionByName(b), created)
+            if m.on_create is not None or m.on_match is not None:
+                raise SyntaxError("cypher: ON CREATE/ON MATCH SET is not "
+                                  "supported for relationship MERGE "
+                                  "(SET on relationships is out of the "
+                                  "batch surface's scope)")
+            return df
+
+        raise SyntaxError(
+            "cypher: unsupported MERGE shape — use a single unbound "
+            "labeled node, or a relationship between bound vars")
+
     def _apply_set(self, df: DataFrame | None, s: _Set) -> DataFrame:
         from collections import defaultdict
 
@@ -1400,6 +1755,8 @@ class CypherEngine:
         df = self._hydrate(df, needed)
         deltas = []
         for var, pairs in by_var.items():
+            self._check_write_props(self._labels.get(var),
+                                    [p for p, _e in pairs])
             kvs = []
             for prop, expr in pairs:
                 kvs += [F.lit(prop), self._col(expr).cast("string")]
@@ -1418,6 +1775,10 @@ class CypherEngine:
             stale = [f"__p_{var}", f"__l_{var}"] + \
                 [f"__c_{var}_{k}" for k in self._typed_cols.pop(var, ())]
             df = df.drop(*[col for col in stale if col in df.columns])
+            # a created var loses its inline serialization columns too —
+            # it reads like any matched var from here (re-hydrated on
+            # property access)
+            self._created_vars.discard(var)
             lab = self._labels.get(var)
             self._refresh_views({lab} if lab else None)
         self._write_summary = reduce(lambda a, b: a.unionByName(b), deltas)

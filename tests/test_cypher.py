@@ -357,3 +357,114 @@ def test_relationship_var_predicate_pushdown(graph):
         WHERE r.quantity >= 45 RETURN count(*) AS n""")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(l_quantity,45" in plan, plan
+
+
+# ---- round 4: boolean WHERE + scalar functions ----------------------
+
+
+def test_where_or_not_parens(graph):
+    got = cypher(graph, """
+        MATCH (p:part)
+        WHERE NOT p.size = 1 AND (p.size < 3 OR p.size > 49)
+        RETURN count(*) AS n""").head().n
+    manual = graph.view("part").filter(
+        "NOT size = 1 AND (size < 3 OR size > 49)").count()
+    assert got == manual > 0
+
+
+def test_where_xor_three_valued(graph):
+    got = cypher(graph, """
+        MATCH (p:part) WHERE p.size < 10 XOR p.name CONTAINS 'bolt'
+        RETURN count(*) AS n""").head().n
+    a = graph.view("part").filter("size < 10").count()
+    b = graph.view("part").filter(
+        F.array_contains(F.split(F.lower("name"), "[^a-z0-9]+"), "bolt")
+        & (F.col("size") < 10)).count()
+    c = graph.view("part").filter(
+        F.array_contains(F.split(F.lower("name"), "[^a-z0-9]+"), "bolt")).count()
+    assert got == a + c - 2 * b  # |A xor B| = |A| + |B| - 2|A∩B|
+
+
+def test_where_precedence_not_and_xor_or(graph):
+    # NOT > AND > XOR > OR: a OR b AND c parses as a OR (b AND c)
+    got = cypher(graph, """
+        MATCH (p:part)
+        WHERE p.size = 1 OR p.size > 40 AND p.size < 43
+        RETURN count(*) AS n""").head().n
+    manual = graph.view("part").filter(
+        "size = 1 OR (size > 40 AND size < 43)").count()
+    assert got == manual > 0
+
+
+def test_arithmetic_grouping_still_parses(graph):
+    got = cypher(graph, """
+        MATCH (p:part) WHERE (p.size + 1) * 2 > 100
+        RETURN count(*) AS n""").head().n
+    manual = graph.view("part").filter("(size + 1) * 2 > 100").count()
+    assert got == manual > 0
+
+
+def test_scalar_string_functions(graph):
+    rows = cypher(graph, """
+        MATCH (c:customer) WHERE toLower(c.mktsegment) = 'building'
+        RETURN toUpper(c.mktsegment) AS u,
+               substring(c.mktsegment, 0, 5) AS pre,
+               size(c.mktsegment) AS sz,
+               coalesce(c.nonexistent, 'dflt') AS co
+        LIMIT 3""").collect()
+    assert rows and all(
+        (r.u, r.pre, r.sz, r.co) == ("BUILDING", "BUILD", 8, "dflt")
+        for r in rows)
+
+
+def test_scalar_math_and_casts(graph):
+    r = cypher(graph, """
+        MATCH (r:region)
+        RETURN toInteger('41') + 1 AS i, round(2.718, 1) AS e,
+               abs(0 - 5) AS a, sign(0 - 2) AS s
+        LIMIT 1""").head()
+    assert (r.i, r.e, r.a, r.s) == (42, 2.7, 5, -1)
+
+
+def test_split_head_last(graph):
+    r = cypher(graph, """
+        MATCH (c:customer) WHERE c.name = 'Customer#000000001'
+        RETURN head(split(c.name, '#')) AS h,
+               last(split(c.name, '#')) AS l""").head()
+    assert (r.h, r.l) == ("Customer", "000000001")
+
+
+def test_type_function_on_rel_var(graph):
+    rows = cypher(graph, """
+        MATCH (c:customer)-[r:placed]->(o:order)
+        RETURN DISTINCT type(r) AS t""").collect()
+    assert [r.t for r in rows] == ["placed"]
+
+
+def test_exists_and_is_not_null_agree(graph):
+    a = cypher(graph, """
+        MATCH (c:customer) WHERE exists(c.mktsegment)
+        RETURN count(*) AS n""").head().n
+    b = cypher(graph, """
+        MATCH (c:customer) WHERE c.mktsegment IS NOT NULL
+        RETURN count(*) AS n""").head().n
+    assert a == b == graph.view("customer").filter(
+        "mktsegment IS NOT NULL").count()
+
+
+def test_missing_property_on_typed_label_is_null(graph):
+    # openCypher: reading an undeclared property yields null, not error
+    n = cypher(graph, """
+        MATCH (r:region) WHERE r.population IS NULL
+        RETURN count(*) AS n""").head().n
+    assert n == graph.view("region").count()
+
+
+def test_boolean_pushdown_through_or(graph):
+    """An OR of two typed-column predicates must still reach the scan
+    (Or(...) in PushedFilters) — disjunctions prune at 100 TB too."""
+    df = cypher(graph, """
+        MATCH (p:part) WHERE p.size = 1 OR p.size = 50
+        RETURN count(*) AS n""")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Or(EqualTo(p_size,1),EqualTo(p_size,50))" in plan, plan

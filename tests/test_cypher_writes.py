@@ -184,3 +184,75 @@ def test_named_path_zero_length(wgraph):
         RETURN nodes(p) AS ns, length(p) AS ln ORDER BY ln""").collect()
     assert [r.ln for r in rows] == [0, 1]
     assert rows[0].ns == ["person!marko"]
+
+
+# ---- round 4: MERGE ------------------------------------------------
+
+
+def test_merge_creates_when_absent(wgraph):
+    cypher(wgraph, "MERGE (n:person {name: 'fresh'}) "
+                   "ON CREATE SET n.city = 'Chengdu'").collect()
+    rb = cypher(wgraph, "MATCH (n:person {name: 'fresh'}) "
+                        "RETURN n.city AS city").head()
+    assert rb.city == "Chengdu"
+
+
+def test_merge_matches_when_present(wgraph):
+    before = wgraph.vertices.count()
+    rows = cypher(wgraph, "MERGE (n:person {name: 'marko'}) "
+                          "ON MATCH SET n.age = 30 "
+                          "ON CREATE SET n.age = 1 "
+                          "RETURN id(n) AS id").collect()
+    assert [r.id for r in rows] == ["person!marko"]
+    assert wgraph.vertices.count() == before  # no new vertex
+    rb = cypher(wgraph, "MATCH (n:person {name: 'marko'}) "
+                        "RETURN n.age AS age, n.city AS city").head()
+    assert rb.age == 30 and rb.city == "Beijing"  # untouched prop kept
+
+
+def test_merge_is_idempotent(wgraph):
+    for _ in range(2):
+        cypher(wgraph, "MERGE (n:person {name: 'once'})").collect()
+    rows = cypher(wgraph, "MATCH (n:person {name: 'once'}) "
+                          "RETURN id(n) AS id").collect()
+    assert len(rows) == 1
+
+
+def test_merge_relationship_inserts_only_missing(wgraph):
+    q = ("MATCH (a:person {name: 'marko'}), (b:person {name: 'vadas'}) "
+         "MERGE (a)-[:knows]->(b)")
+    before = wgraph.edges.count()
+    cypher(wgraph, q).collect()
+    mid = wgraph.edges.count()
+    cypher(wgraph, q).collect()
+    after = wgraph.edges.count()
+    assert mid == before + 1 and after == mid
+    # pre-existing edge is never duplicated either
+    cypher(wgraph, "MATCH (a:person {name: 'marko'}), "
+                   "(b:person {name: 'peter'}) "
+                   "MERGE (a)-[:knows]->(b)").collect()
+    assert wgraph.edges.count() == after
+
+
+def test_merge_relationship_keeps_matched_props(wgraph):
+    cypher(wgraph, "MATCH (a:person {name: 'marko'}), "
+                   "(b:person {name: 'peter'}) "
+                   "MERGE (a)-[:knows {weight: '0.9'}]->(b)").collect()
+    w = (wgraph.edges
+         .filter("src = 'person!marko' AND dst = 'person!peter'")
+         .head().props["weight"])
+    assert w == "0.5"  # matched edge untouched by the MERGE pattern map
+
+
+def test_merge_schema_strict_writes(wgraph):
+    with pytest.raises(ValueError, match="not declared"):
+        cypher(wgraph, "MERGE (n:person {name: 'x'}) "
+                       "ON CREATE SET n.bogus = 'v'").collect()
+    with pytest.raises(ValueError, match="not declared"):
+        cypher(wgraph, "CREATE (n:person {name: 'y', bogus: 'v'})")
+
+
+def test_merge_unsupported_shape_raises(wgraph):
+    with pytest.raises(SyntaxError, match="MERGE"):
+        cypher(wgraph, "MERGE (a:person {name: 'p'})-[:knows]->"
+                       "(b:person {name: 'q'})")
