@@ -2646,6 +2646,45 @@ def gremlin_range_tail(spark, sf_dir):
             .orderBy("id").offset(10).limit(15))
 
 
+@_q("gremlin_filter_not", """
+WITH busy AS (SELECT o_custkey, count(*) AS n FROM orders
+              GROUP BY o_custkey HAVING count(*) >= 10)
+SELECT 'customer!' || o_custkey AS id FROM busy
+""")
+def gremlin_filter_not_q(spark, sf_dir):
+    """TinkerPop traversal-predicate filters (round 4):
+    filter(__.child)/not(__.child)/and/or — the child runs scoped per
+    traverser (local() ordinal machinery) and survival is one
+    semi-/anti-join on the ordinal hit set, never a per-row subquery.
+    Here: customers with ≥10 placed orders via a reducer child
+    (filter(__.outE.count.is(gte(10)))), then not(__.out('bogus'))
+    as a no-op anti-join. ProcessBasicSuite filter-family anchor:
+    test/tinkerpop/ProcessBasicSuite.java:110-198."""
+    from incubator_hugegraph_spark.gremlin import G, GP
+    g = _graph(spark, sf_dir)
+    return (G(g).V().hasLabel("customer")
+            .filter_(lambda x: x.outE("placed").count().is_(GP.gte(10)))
+            .not_(lambda x: x.out("in_nation").hasLabel("part"))
+            .id_().df.select(F.col("value").alias("id")))
+
+
+@_q("gremlin_element_map", """
+SELECT 'region!' || r_regionkey AS id, k, v
+FROM region, (VALUES ('id'), ('label'), ('name')) t(k),
+LATERAL (SELECT CASE k WHEN 'id' THEN 'region!' || r_regionkey
+                       WHEN 'label' THEN 'region'
+                       ELSE r_name END AS v) s
+""")
+def gremlin_element_map_q(spark, sf_dir):
+    """elementMap() (round 4): id + label + props as one map per
+    element (TinkerPop 3.4+ flat projection), exploded to rows for
+    the oracle compare."""
+    from incubator_hugegraph_spark.gremlin import G
+    g = _graph(spark, sf_dir)
+    t = G(g).V().hasLabel("region").elementMap()
+    return t.df.select("id", F.explode("value").alias("k", "v"))
+
+
 @_q("gremlin_sample", """
 SELECT 'customer!' || c_custkey AS id
 FROM customer

@@ -32,8 +32,16 @@ Step → Spark mapping (suite family in parens):
   (prefix aggregation), subgraph (edge-induced PropertyGraph), math
   (Column-compiled arithmetic), mid-traversal V_, project
   (named columns), group (key + value aggregation).
-- sample(n): deterministic hash-ranked sample (the reproducible form
-  of Gremlin sample()/coin(), matching the `gremlin_sample` query).
+- sample(n)/coin(p): deterministic hash-ranked/hash-gated selection
+  (the reproducible form of Gremlin sample()/coin(), matching the
+  `gremlin_sample` query).
+- filter_/not_/and_/or_ (filter): anonymous-child predicates — the
+  child runs scoped per traverser on the local() ordinal machinery
+  and survival is one semi-/anti-join on the ordinal hit set (never
+  a per-row subquery; reducer children emit per-origin, so
+  filter_(outE().count().is_(gte(n))) is a degree gate).
+- elementMap/valueMap (map): flat id+label+props projections;
+  constant/identity.
 
 Path semantics: the traversal carries the VERTEX trail (`path`
 array<string>) through element steps; edge hops (outE→inV) append
@@ -249,6 +257,84 @@ class Traversal:
         return self._new(self.df.filter(
             F.size(F.array_distinct("path")) < F.size("path")))
 
+    # -- traversal-predicate filters (filter/not/and/or) ---------------
+    #
+    # TinkerPop filter(__.x()), not(__.x()), and(...), or(...): an
+    # anonymous child runs per traverser; the traverser survives by
+    # whether the child emits anything. Implemented on the local()
+    # ordinal machinery: tag each traverser, run the child scoped, and
+    # semi-/anti-join the surviving ordinals — one join per predicate,
+    # never a per-row subquery. Same bounded-stream caveat as local()
+    # (the tagging window is global).
+
+    def _sub_filter(self, subs: list, keep: str) -> "Traversal":
+        sort = [*self._sort_cols()]
+        if "path" in self.df.columns:
+            sort.append(F.col("path"))
+        tagged = self.df.withColumn(
+            "__loc", F.row_number().over(Window.orderBy(*sort)))
+        hit_sets = []
+        for sub in subs:
+            lt = _LocalTraversal(self.graph, tagged, self.kind,
+                                 self._attached, self._sort)
+            lt._side = self._side
+            lt._loc_base = tagged.select("__loc").distinct()
+            out = sub(lt)
+            if not isinstance(out, Traversal):
+                raise TypeError("traversal predicate must end in a "
+                                "traversal step")
+            hit_sets.append(out.df.select("__loc").distinct())
+        if keep == "exists":
+            kept = tagged.join(hit_sets[0], on="__loc", how="left_semi")
+        elif keep == "absent":
+            kept = tagged.join(hit_sets[0], on="__loc", how="left_anti")
+        elif keep == "all":
+            kept = tagged
+            for h in hit_sets:
+                kept = kept.join(h, on="__loc", how="left_semi")
+        else:  # any
+            from functools import reduce as _reduce
+            union = _reduce(lambda a, b: a.unionByName(b), hit_sets) \
+                .distinct()
+            kept = tagged.join(union, on="__loc", how="left_semi")
+        return self._new(kept.drop("__loc"))
+
+    def filter_(self, sub: Callable[["Traversal"], "Traversal"]
+                ) -> "Traversal":
+        """filter(__.child) / where(__.child): keep traversers whose
+        child emits at least one row. Reducers inside the child emit
+        per-origin (local() contract), so
+        ``filter_(lambda t: t.outE().count().is_(GP.gte(2)))`` is
+        a per-vertex degree gate."""
+        return self._sub_filter([sub], "exists")
+
+    def not_(self, sub: Callable[["Traversal"], "Traversal"]
+             ) -> "Traversal":
+        """not(__.child): keep traversers whose child emits nothing."""
+        return self._sub_filter([sub], "absent")
+
+    def and_(self, *subs: Callable[["Traversal"], "Traversal"]
+             ) -> "Traversal":
+        """and(a, b, …): every child must emit (chained semi-joins)."""
+        return self._sub_filter(list(subs), "all")
+
+    def or_(self, *subs: Callable[["Traversal"], "Traversal"]
+            ) -> "Traversal":
+        """or(a, b, …): at least one child must emit (union of hit
+        sets, one semi-join)."""
+        return self._sub_filter(list(subs), "any")
+
+    def coin(self, p: float) -> "Traversal":
+        """coin(p): deterministic biased coin — keeps the traverser
+        when its element id hashes under p (the reproducible form,
+        same convention as sample())."""
+        keep = (F.pmod(F.xxhash64(self._order_col()), F.lit(1_000_000))
+                < int(p * 1_000_000))
+        return self._new(self.df.filter(keep))
+
+    def identity(self) -> "Traversal":
+        return self
+
     # -- adjacency steps ----------------------------------------------
 
     def _carries(self) -> list[str]:
@@ -441,6 +527,26 @@ class Traversal:
         return t._new(t.df.select(idc.alias("id"),
                                   props.alias("value")), kind="value",
                       sort=None)
+
+    def elementMap(self, *keys: str) -> "Traversal":
+        """elementMap(): id + label + props (or the selected prop
+        subset) as one map-valued row per element (TinkerPop 3.4+'s
+        preferred flat projection)."""
+        t = self._elem() if self.kind == "V" else self
+        idc = F.col("id") if t.kind == "V" else F.col("eid")
+        props = F.col("props") if not keys else F.map_filter(
+            F.col("props"), lambda k, _: k.isin(list(keys)))
+        value = F.map_concat(
+            F.create_map(F.lit("id"), idc, F.lit("label"),
+                         F.col("label")), props)
+        return t._new(t.df.select(idc.alias("id"), value.alias("value")),
+                      kind="value", sort=None)
+
+    def constant(self, v) -> "Traversal":
+        """constant(v): replace every traverser's value with v."""
+        return self._new(self.df.select(F.lit(v).alias("value"),
+                                        *self._loc_carry()),
+                         kind="value", sort=None)
 
     def is_(self, value) -> "Traversal":
         """Gremlin is(): filter the current VALUE stream."""

@@ -16,7 +16,9 @@ Supported chain grammar:
     g.V(ids…) | g.E(labels…)
     .hasLabel/.hasId/.has(key, literal | P-predicate)
     .out/.in/.both/.outE/.inE/.bothE(labels…) .inV()/.outV()/.otherV()
-    .values(key) .id() .label() .valueMap(keys…) .path()
+    .values(key) .id() .label() .valueMap(keys…) .elementMap(keys…)
+    .path() .filter(__.…) .not(__.…) .and(__.…, __.…) .or(__.…, __.…)
+    .constant(v) .coin(p) .identity()
     .as('x') … .select('x', 'y')   (step labels)
     .dedup() .simplePath() .cyclicPath()
     .order().by(key[, incr|decr|asc|desc]) .limit(n) .range(a, b)
@@ -333,6 +335,25 @@ def _apply(chain: _Chain, t: Traversal) -> object:
                 by = by_args[0] if by_args else None
                 i += 1
             t = t.sack_(op, by)
+            i += 1
+            continue
+        if name in ("not", "filter", "and", "or") or (
+                name == "where" and args
+                and isinstance(args[0], _Chain)):
+            # traversal-predicate family: not(__.x)/filter(__.x)/
+            # where(__.x)/and(__.a, __.b)/or(__.a, __.b)
+            subs = [a for a in args if isinstance(a, _Chain)]
+            if not subs:
+                raise SyntaxError(f"gremlin: {name}() takes __.…")
+            fns = [(lambda c: lambda x: _apply(c, x))(c) for c in subs]
+            if name == "not":
+                t = t.not_(fns[0])
+            elif name == "and":
+                t = t.and_(*fns)
+            elif name == "or":
+                t = t.or_(*fns)
+            else:  # filter / where
+                t = t.filter_(fns[0])
             i += 1
             continue
         if name == "where":

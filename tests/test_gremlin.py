@@ -620,3 +620,90 @@ def test_repeat_until_is_do_while(graph):
                            lambda df: SF.col("label") == "region")
              .id_()).df.collect()
     assert len(rows2) == 1 and rows2[0].value.startswith("region!")
+
+
+# ---- round 4: traversal-predicate filters + elementMap etc. ---------
+
+
+def test_filter_traversal_predicate(graph):
+    n = (G(graph).V().hasLabel("customer")
+         .filter_(lambda x: x.out("placed")).count()).head().cnt
+    manual = (graph.edges.filter("label='placed'")
+              .select("src").distinct().count())
+    assert n == manual > 0
+
+
+def test_not_traversal_predicate(graph):
+    ids = sorted((G(graph).V().hasLabel("nation", "region")
+                  .not_(lambda x: x.out("located_in"))).toList())
+    # only regions lack a located_in out-edge
+    assert ids and all(i.startswith("region!") for i in ids)
+    assert len(ids) == graph.vertices.filter("label='region'").count()
+
+
+def test_filter_with_reducer_child(graph):
+    """filter(__.outE().count().is(gte(10))) — per-traverser degree
+    gate through the local() reducer contract."""
+    n = (G(graph).V().hasLabel("customer")
+         .filter_(lambda x: x.outE("placed").count().is_(GP.gte(10)))
+         .count()).head().cnt
+    manual = (graph.edges.filter("label='placed'").groupBy("src").count()
+              .filter("count >= 10").count())
+    assert n == manual > 0
+
+
+def test_and_or_combinators(graph):
+    base = G(graph).V().hasLabel("customer")
+    n_and = base.and_(lambda x: x.out("placed"),
+                      lambda x: x.out("in_nation")).count().head().cnt
+    n_or = base.or_(lambda x: x.out("placed"),
+                    lambda x: x.out("in_nation")).count().head().cnt
+    placed = (graph.edges.filter("label='placed'")
+              .select("src").distinct())
+    innat = (graph.edges.filter("label='in_nation'")
+             .select("src").distinct())
+    assert n_and == placed.intersect(innat).count()
+    assert n_or == placed.union(innat).distinct().count()
+
+
+def test_element_map(graph):
+    rows = (G(graph).V().hasLabel("region").elementMap()).df.collect()
+    assert len(rows) == 5
+    m = dict(rows[0].value)
+    assert m["id"] == rows[0].id and m["label"] == "region" and "name" in m
+    # subset form keeps id/label but filters props
+    sub = (G(graph).V().hasLabel("customer")
+           .elementMap("mktsegment")).df.head()
+    assert set(sub.value) == {"id", "label", "mktsegment"}
+
+
+def test_constant_and_identity(graph):
+    t = G(graph).V().hasLabel("region")
+    assert t.identity() is t
+    vals = [r.value for r in t.constant(7).df.collect()]
+    assert vals == [7] * 5
+
+
+def test_coin_deterministic(graph):
+    a = sorted((G(graph).V().hasLabel("customer").coin(0.5)).toList())
+    b = sorted((G(graph).V().hasLabel("customer").coin(0.5)).toList())
+    assert a == b and 0 < len(a) < 150
+    assert (G(graph).V().hasLabel("customer").coin(1.0)
+            .count()).head().cnt == 150
+
+
+def test_text_surface_predicate_steps(graph):
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    n = eval_gremlin(
+        graph, "g.V().hasLabel('customer')"
+               ".filter(__.out('placed')).count()").head().cnt
+    manual = (graph.edges.filter("label='placed'")
+              .select("src").distinct().count())
+    assert n == manual
+    n2 = eval_gremlin(
+        graph, "g.V().hasLabel('nation','region')"
+               ".not(__.out('located_in')).count()").head().cnt
+    assert n2 == graph.vertices.filter("label='region'").count()
+    r = eval_gremlin(graph,
+                     "g.V().hasLabel('region').elementMap('name')")
+    assert set(r.head().value) == {"id", "label", "name"}
