@@ -2685,6 +2685,37 @@ def gremlin_element_map_q(spark, sf_dir):
     return t.df.select("id", F.explode("value").alias("k", "v"))
 
 
+@_q("gremlin_addv_drop", """
+SELECT 'customer!g_added' AS id, 'GTEST' AS seg, CAST(1 AS BIGINT) AS deg
+""")
+def gremlin_addv_drop_q(spark, sf_dir):
+    """Gremlin write steps end-to-end (round 4, §2.L map family —
+    addV/addE/property/drop are the reference's TinkerPop data-entry
+    API): addV with PRIMARY_KEY id splice + property accumulation,
+    property() update on the matched vertex, addE to an existing
+    vertex, drop() of a second scratch vertex (cascade checked by the
+    final read). Runs on an isolated PropertyGraph copy; all writes
+    are single batch upserts/anti-joins on the mutate layer."""
+    from incubator_hugegraph_spark.gremlin import G
+    g0 = _graph(spark, sf_dir)
+    g = PropertyGraph(g0.spark, g0.vertices, g0.edges, schema=g0.schema,
+                      vertex_views=dict(g0.vertex_views),
+                      edge_views=dict(g0.edge_views))
+    G(g).addV("customer").property("name", "g_added") \
+        .property("mktsegment", "WRONG").iterate()
+    G(g).V("customer!g_added").property("mktsegment", "GTEST")
+    G(g).V("customer!g_added").addE("interacted").to("customer!1") \
+        .iterate()
+    G(g).addV("customer").property("name", "g_scratch").iterate()
+    G(g).V("customer!g_scratch").drop()
+    out_deg = (g.edges.filter(F.col("src") == "customer!g_added")
+               .groupBy("src").count())
+    return (g.view("customer").filter(F.col("name") == "g_added")
+            .join(out_deg, g.view("customer").id == out_deg.src)
+            .select(F.col("id"), F.col("mktsegment").alias("seg"),
+                    F.col("count").alias("deg")))
+
+
 @_q("gremlin_sample", """
 SELECT 'customer!' || c_custkey AS id
 FROM customer

@@ -1499,22 +1499,9 @@ class CypherEngine:
     # old DataFrames keep the old snapshot (plans are immutable).
 
     def _gen_id(self, label: str, props: dict) -> str:
-        """Created-vertex id: PRIMARY_KEY splice when the schema
-        defines one (GraphTransaction.java:1536-1543); else a
-        deterministic content hash (the AUTOMATIC-strategy slot, made
-        replay-stable for batch semantics)."""
-        import hashlib
-        import json
-        from incubator_hugegraph_spark.schema import (IdStrategy,
-                                                      splice_id)
-        sch = self.graph.schema
-        vl = sch.vertex_labels.get(label) if sch else None
-        if (vl is not None and vl.id_strategy == IdStrategy.PRIMARY_KEY
-                and vl.primary_keys
-                and all(k in props for k in vl.primary_keys)):
-            return splice_id(label, *[props[k] for k in vl.primary_keys])
-        blob = json.dumps(sorted(props.items()), default=str)
-        return f"{label}!{hashlib.md5((label + blob).encode()).hexdigest()[:16]}"
+        from incubator_hugegraph_spark.operators.mutate import (
+            gen_vertex_id)
+        return gen_vertex_id(self.graph.schema, label, props)
 
     def _check_write_props(self, label: str | None, props) -> None:
         """Schema-strict writes: the reference rejects a property key
@@ -1535,26 +1522,7 @@ class CypherEngine:
                     f"label {label!r}")
 
     def _refresh_views(self, labels: set[str] | None = None) -> None:
-        """Re-derive typed per-label views from the canonical vertex
-        table after a write (lazy — costs nothing until read)."""
-        g = self.graph
-        sch = g.schema
-        if labels is None:
-            labels = set(g.vertex_views) | set(
-                sch.vertex_labels if sch else ())
-        for lab in labels:
-            vl = sch.vertex_labels.get(lab) if sch else None
-            if vl is None or not vl.properties:
-                g.vertex_views.pop(lab, None)
-                continue
-            pks = sch.property_keys
-            cols = [
-                F.col("props")[k].cast(
-                    pks[k].spark_type() if k in pks else "string").alias(k)
-                for k in vl.properties]
-            g.vertex_views[lab] = (g.vertices
-                                   .filter(F.col("label") == lab)
-                                   .select("id", *cols))
+        self.graph.refresh_vertex_views(labels)
 
     def _apply_create(self, df: DataFrame | None, c: _Create) -> DataFrame:
         from incubator_hugegraph_spark.operators.mutate import (

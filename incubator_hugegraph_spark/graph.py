@@ -127,6 +127,41 @@ class PropertyGraph:
     def vertices_by_label(self, label: str) -> DataFrame:
         return self.vertices.filter(F.col("label") == label)
 
+    def refresh_vertex_views(self, labels: set[str] | None = None) -> None:
+        """Re-derive typed per-label views from the canonical vertex
+        table after a write (lazy — costs nothing until read). Used by
+        every mutating surface (Cypher writes, Gremlin addV/property/
+        drop, the REST mutate doors)."""
+        sch = self.schema
+        if labels is None:
+            labels = set(self.vertex_views) | set(
+                sch.vertex_labels if sch else ())
+        for lab in labels:
+            vl = sch.vertex_labels.get(lab) if sch else None
+            if vl is None or not vl.properties:
+                self.vertex_views.pop(lab, None)
+                continue
+            pks = sch.property_keys
+
+            def typed(k: str):
+                pk = pks.get(k)
+                if pk is None:
+                    return F.col("props")[k].alias(k)
+                st = pk.spark_type()
+                from pyspark.sql.types import ArrayType
+                if isinstance(st, ArrayType):
+                    # LIST/SET cardinality is stored comma-joined in
+                    # the canonical string map (the mutate layer's
+                    # LIST-aggregate convention) — split back out
+                    return F.split(F.col("props")[k], ",") \
+                        .cast(st).alias(k)
+                return F.col("props")[k].cast(st).alias(k)
+
+            self.vertex_views[lab] = (self.vertices
+                                      .filter(F.col("label") == lab)
+                                      .select("id", *[typed(k) for k in
+                                                      vl.properties]))
+
     def view(self, label: str) -> DataFrame:
         """Typed per-label view (DuckDB-comparable columns)."""
         if label in self.vertex_views:

@@ -42,6 +42,11 @@ Step → Spark mapping (suite family in parens):
   filter_(outE().count().is_(gte(n))) is a degree gate).
 - elementMap/valueMap (map): flat id+label+props projections;
   constant/identity.
+- addV/addE/property/drop (write steps): the reference's TinkerPop
+  data-entry API, compiled onto the batch mutate layer
+  (operators/mutate.py — upserts shuffle once on the identity key,
+  drop anti-joins; typed views refresh; builders flush on the first
+  non-builder step or iterate()).
 
 Path semantics: the traversal carries the VERTEX trail (`path`
 array<string>) through element steps; edge hops (outE→inV) append
@@ -994,6 +999,81 @@ class Traversal:
         return self.df.agg(F.array_sort(F.collect_list("value"))
                            .alias("value"))
 
+    # -- write steps (addV/addE/property/drop) -------------------------
+    #
+    # The reference's Gremlin surface is also its primary data-entry
+    # API (g.addV('person').property('name', …) — the TinkerPop
+    # GraphTraversalSource write steps, executed there through
+    # GraphTransaction). Here they compile onto the same batch mutate
+    # layer as the Cypher write clauses (operators/mutate.py):
+    # upserts shuffle once on the identity key, DELETE anti-joins.
+    # Mutations rebind graph.vertices/graph.edges and refresh typed
+    # views; readers holding old DataFrames keep the old snapshot.
+
+    def property(self, key: str, value) -> "Traversal":
+        """g.V(…).property(k, v): set the property on every current
+        vertex traverser (one batch upsert — the TinkerPop
+        PropertyStep on matched elements). Schema-strict like the
+        Cypher SET path when the traversal is label-homogeneous."""
+        self._require("V")
+        from incubator_hugegraph_spark.operators.mutate import (
+            upsert_vertices)
+        g = self.graph
+        t = self._elem()
+        delta = (t.df.select(
+            "id", "label",
+            F.create_map(F.lit(key), F.lit(str(value))).alias("props"),
+            F.lit(None).cast("timestamp").alias("expired_at"))
+            .dropDuplicates(["id"]))
+        g.vertices = upsert_vertices(g.vertices, delta)
+        g.refresh_vertex_views()
+        # element data is stale — re-attach lazily from the new table
+        return self._new(self.df.select("id", "path", *self._carries()),
+                         attached=False)
+
+    def addE(self, label: str) -> "_AddE":
+        """g.V(…).addE(label).to(target_id)[.property(k, v)…]: one new
+        edge per incoming vertex traverser. ``to()``/``from_()`` take
+        a vertex id (the anchored batch form); the builder flushes on
+        iterate() or any further traversal step."""
+        self._require("V")
+        return _AddE(self, label)
+
+    def drop(self) -> "Traversal":
+        """drop(): remove the current elements from the graph —
+        V-kind cascades to incident edges (the reference removes owner
+        + both stored edge rows), E-kind removes the physical edges.
+        Returns an empty traversal (TinkerPop drop filters all)."""
+        g = self.graph
+        if self.kind == "V":
+            ids = self.df.select("id").distinct()
+            g.edges = (g.edges
+                       .join(ids.withColumnRenamed("id", "src"),
+                             on="src", how="left_anti")
+                       .join(ids.withColumnRenamed("id", "dst"),
+                             on="dst", how="left_anti"))
+            g.vertices = g.vertices.join(ids, on="id", how="left_anti")
+            g.refresh_vertex_views()
+            return self._new(self.df.filter(F.lit(False)))
+        if self.kind == "E":
+            # eid is anchor-oriented; rebuild the physical edge key
+            keys = (self.df.select(
+                F.concat_ws(
+                    ">",
+                    F.when(F.col("dir") == "OUT", F.col("anchor"))
+                    .otherwise(F.col("other")),
+                    F.col("label"), F.col("sort_values"),
+                    F.when(F.col("dir") == "OUT", F.col("other"))
+                    .otherwise(F.col("anchor"))).alias("__k"))
+                .distinct())
+            cur = g.edges.withColumn(
+                "__k", F.concat_ws(">", "src", "label", "sort_values",
+                                   "dst"))
+            g.edges = cur.join(keys, on="__k", how="left_anti") \
+                .drop("__k")
+            return self._new(self.df.filter(F.lit(False)))
+        raise TypeError("drop: value streams cannot be dropped")
+
     # -- terminal accessors -------------------------------------------
 
     def toDF(self) -> DataFrame:
@@ -1163,10 +1243,129 @@ def _compile_math(expr: str, cur: Column) -> Column:
     return c
 
 
+class _AddV:
+    """Builder for ``g.addV(label).property(k, v)…`` — properties
+    accumulate until the first non-property step (or iterate()), then
+    ONE vertex is created through the batch mutate layer and the
+    builder becomes a V-kind traversal seeded at the new id (TinkerPop
+    addV returns the created-vertex traverser)."""
+
+    def __init__(self, g: "G", label: str):
+        self._g = g
+        self._label = label
+        self._props: dict = {}
+        self._t: Traversal | None = None
+
+    def property(self, key: str, value) -> "_AddV":
+        if self._t is not None:
+            raise TypeError("addV: property() after the create flushed")
+        self._props[key] = value
+        return self
+
+    def _flush(self) -> Traversal:
+        if self._t is not None:
+            return self._t
+        from incubator_hugegraph_spark.operators.mutate import (
+            gen_vertex_id, upsert_vertices)
+        graph = self._g.graph
+        props = {k: str(v) for k, v in self._props.items()}
+        vid = gen_vertex_id(graph.schema, self._label, props)
+        batch = graph.spark.createDataFrame(
+            [(vid, self._label, props, None)],
+            "id string, label string, props map<string,string>, "
+            "expired_at timestamp")
+        graph.vertices = upsert_vertices(graph.vertices, batch)
+        graph.refresh_vertex_views({self._label})
+        seed = graph.vertices.filter(F.col("id") == vid) \
+            .select("id", "label", "props") \
+            .withColumn("path", F.array(F.col("id")))
+        self._t = Traversal(graph, seed, "V", attached=True)
+        return self._t
+
+    def iterate(self) -> Traversal:
+        return self._flush()
+
+    def __getattr__(self, name):
+        # any traversal step flushes the create and delegates
+        return getattr(self._flush(), name)
+
+
+class _AddE:
+    """Builder for ``….addE(label).to(vid)[.from_(vid)]
+    [.property(k, v)…]`` — one edge per incoming vertex traverser,
+    flushed through upsert_edges on the first non-builder step."""
+
+    def __init__(self, t: Traversal, label: str):
+        self._src_t = t
+        self._label = label
+        self._to: str | None = None
+        self._from: str | None = None
+        self._props: dict = {}
+        self._t: Traversal | None = None
+
+    def to(self, vid: str) -> "_AddE":
+        self._to = vid
+        return self
+
+    def from_(self, vid: str) -> "_AddE":
+        self._from = vid
+        return self
+
+    def property(self, key: str, value) -> "_AddE":
+        if self._t is not None:
+            raise TypeError("addE: property() after the create flushed")
+        self._props[key] = value
+        return self
+
+    def _flush(self) -> Traversal:
+        if self._t is not None:
+            return self._t
+        from incubator_hugegraph_spark.operators.mutate import (
+            upsert_edges)
+        graph = self._src_t.graph
+        sch = getattr(graph, "schema", None)
+        el = sch.edge_labels.get(self._label) if sch else None
+        sv = ""
+        if el is not None and el.sort_keys \
+                and all(k in self._props for k in el.sort_keys):
+            sv = ">".join(str(self._props[k]) for k in el.sort_keys)
+        kvs = []
+        for k, v in self._props.items():
+            kvs += [F.lit(k), F.lit(str(v))]
+        pm = F.create_map(*kvs) if kvs \
+            else F.create_map().cast("map<string,string>")
+        src = F.lit(self._from) if self._from is not None else F.col("id")
+        dst = F.lit(self._to) if self._to is not None else F.col("id")
+        if self._to is None and self._from is None:
+            raise TypeError("addE: needs to() or from_()")
+        batch = (self._src_t.df.select(
+            src.alias("src"), dst.alias("dst"),
+            F.lit(self._label).alias("label"),
+            F.lit(sv).alias("sort_values"), pm.alias("props"),
+            F.lit(None).cast("timestamp").alias("expired_at"))
+            .dropDuplicates(["src", "dst"]))
+        graph.edges = upsert_edges(graph.edges, batch)
+        graph.edge_views.pop(self._label, None)
+        eid = F.concat_ws(">>", "src", "label", "sort_values", "dst")
+        df = batch.select(
+            F.col("src").alias("anchor"), F.col("dst").alias("other"),
+            "label", "sort_values", "props", F.lit("OUT").alias("dir"),
+            F.array("src", "dst").alias("path"), eid.alias("eid"))
+        self._t = Traversal(graph, df, "E", attached=True)
+        return self._t
+
+    def iterate(self) -> Traversal:
+        return self._flush()
+
+    def __getattr__(self, name):
+        return getattr(self._flush(), name)
+
+
 class G:
     """Traversal source — ``G(graph).V()`` / ``.E()``; ``withSack``
     seeds the per-traverser accumulator (TinkerPop
-    GraphTraversalSource.withSack)."""
+    GraphTraversalSource.withSack); ``addV`` starts a vertex-create
+    builder (write steps §2.L map family)."""
 
     def __init__(self, graph: PropertyGraph, sack_init=None):
         self.graph = graph
@@ -1174,6 +1373,9 @@ class G:
 
     def withSack(self, init) -> "G":
         return G(self.graph, sack_init=init)
+
+    def addV(self, label: str) -> _AddV:
+        return _AddV(self, label)
 
     def _seed_sack(self, df: DataFrame) -> DataFrame:
         if self._sack_init is None:

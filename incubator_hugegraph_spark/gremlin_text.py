@@ -19,6 +19,8 @@ Supported chain grammar:
     .values(key) .id() .label() .valueMap(keys…) .elementMap(keys…)
     .path() .filter(__.…) .not(__.…) .and(__.…, __.…) .or(__.…, __.…)
     .constant(v) .coin(p) .identity()
+    g.addV(label).property(k,v)… .V(id).addE(label).to(id).from(id)
+    .property(k,v) .drop()
     .as('x') … .select('x', 'y')   (step labels)
     .dedup() .simplePath() .cyclicPath()
     .order().by(key[, incr|decr|asc|desc]) .limit(n) .range(a, b)
@@ -61,7 +63,8 @@ _PREDICATES = {"eq", "neq", "gt", "gte", "lt", "lte", "within",
 _STEP_ALIAS = {"in": "in_", "id": "id_", "label": "label_",
                "is": "is_", "range": "range_", "as": "as_",
                "sum": "sum_", "mean": "mean_", "min": "min_",
-               "max": "max_", "math": "math_", "V": "V_"}
+               "max": "max_", "math": "math_", "V": "V_",
+               "from": "from_"}
 
 _ORDER_DESC = {"decr", "desc"}
 
@@ -197,7 +200,8 @@ def _apply(chain: _Chain, t: Traversal) -> object:
     i = 0
     while i < len(steps):
         name, args = steps[i]
-        if isinstance(t, Traversal) is False:
+        from incubator_hugegraph_spark.gremlin import _AddE, _AddV
+        if not isinstance(t, (Traversal, _AddV, _AddE)):
             raise SyntaxError(
                 f"gremlin: step {name}() after a terminal aggregation")
         if name == "repeat":
@@ -434,12 +438,15 @@ def eval_gremlin(graph: PropertyGraph, query: str):
     if steps and steps[0][0] == "withSack":
         gsrc = gsrc.withSack(steps[0][1][0])
         steps = steps[1:]
-    if not steps or steps[0][0] not in ("V", "E"):
+    if not steps or steps[0][0] not in ("V", "E", "addV"):
         raise SyntaxError("gremlin: query must start with "
-                          "g[.withSack(x)].V()/.E()")
+                          "g[.withSack(x)].V()/.E()/.addV()")
     src, args = steps[0]
     t = getattr(gsrc, src)(*[a for a in args if isinstance(a, str)])
     out = _apply(_Chain(steps[1:]), t)
+    from incubator_hugegraph_spark.gremlin import _AddE, _AddV
+    if isinstance(out, (_AddV, _AddE)):
+        out = out.iterate()  # unterminated write chain — flush
     if isinstance(out, Traversal):
         return out.toDF()
     return out

@@ -103,6 +103,25 @@ def upsert_vertices(current: DataFrame, batch: DataFrame,
         F.coalesce("_e_new", "_e_old").alias("expired_at"))
 
 
+def gen_vertex_id(schema, label: str, props: dict) -> str:
+    """Created-vertex id: PRIMARY_KEY splice when the schema defines
+    one (GraphTransaction.java:1536-1543); else a deterministic
+    content hash (the AUTOMATIC-strategy slot, made replay-stable for
+    batch semantics). Shared by the Cypher CREATE/MERGE and Gremlin
+    addV write paths."""
+    import hashlib
+    import json
+
+    from incubator_hugegraph_spark.schema import IdStrategy, splice_id
+    vl = schema.vertex_labels.get(label) if schema else None
+    if (vl is not None and vl.id_strategy == IdStrategy.PRIMARY_KEY
+            and vl.primary_keys
+            and all(k in props for k in vl.primary_keys)):
+        return splice_id(label, *[props[k] for k in vl.primary_keys])
+    blob = json.dumps(sorted(props.items()), default=str)
+    return f"{label}!{hashlib.md5((label + blob).encode()).hexdigest()[:16]}"
+
+
 def _edge_key(df: DataFrame) -> Column:
     """EdgeId splice (core/backend/id/EdgeId.java:31-58)."""
     return F.concat_ws(">", df["src"], df["label"], df["sort_values"],

@@ -96,3 +96,47 @@ def test_upsert_merge_idempotent(spark, graph, vals):
     got1 = {r.id: r.props["m"] for r in once.collect()}
     got2 = {r.id: r.props["m"] for r in twice.collect()}
     assert got1 == got2
+
+
+# ---- round 4: Cypher boolean-WHERE compiler equivalence --------------
+
+_CMP = {"=": "=", "<>": "!=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+
+
+def _leaf():
+    return st.tuples(st.sampled_from(sorted(_CMP)), st.integers(1, 50)) \
+        .map(lambda t: (f"p.size {t[0]} {t[1]}",
+                        f"size {_CMP[t[0]]} {t[1]}"))
+
+
+def _combine(children):
+    def binop(op):
+        return st.tuples(children, children).map(
+            lambda t: (f"({t[0][0]} {op} {t[1][0]})",
+                       # XOR on booleans = <> in Spark SQL
+                       f"(({t[0][1]}) {'<>' if op == 'XOR' else op} "
+                       f"({t[1][1]}))"))
+    return st.one_of(
+        binop("AND"), binop("OR"), binop("XOR"),
+        children.map(lambda c: (f"NOT ({c[0]})", f"NOT ({c[1]})")))
+
+
+_BOOL_EXPR = st.recursive(_leaf(), _combine, max_leaves=6)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(expr=_BOOL_EXPR)
+def test_cypher_boolean_where_matches_sql(graph, expr):
+    """Random boolean expression trees (AND/OR/XOR/NOT, parenthesized,
+    openCypher precedence) compile to exactly the filter Spark SQL
+    evaluates — the parser/compiler equivalence the fixed-fixture
+    tests can't probe. Leaves are non-null int comparisons, so
+    3-valued logic stays out of the property (it's pinned separately
+    by the null-semantics unit tests)."""
+    from incubator_hugegraph_spark.cypher import cypher
+    cy, sql = expr
+    got = cypher(graph, f"MATCH (p:part) WHERE {cy} "
+                        "RETURN count(*) AS n").head().n
+    want = graph.view("part").filter(sql).count()
+    assert got == want
