@@ -120,7 +120,8 @@ _TOKEN_RE = re.compile(r"""
     | (?P<kw>(?i:OPTIONAL|MATCH|WHERE|RETURN|DISTINCT|ORDER|BY|SKIP|LIMIT
               |AND|OR|XOR|ASC|DESC|AS|IN|CONTAINS|STARTS|ENDS|WITH|NOT|IS
               |NULL|COUNT|SUM|AVG|MIN|MAX|ID|LABEL|UNWIND|CREATE|SET|DELETE
-              |DETACH|NODES|RELATIONSHIPS|LENGTH|MERGE|ON)\b)
+              |DETACH|NODES|RELATIONSHIPS|LENGTH|MERGE|ON|CASE|WHEN|THEN
+              |ELSE|END|UNION|ALL|REMOVE)\b)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'(?:[^'\\]|\\.)*')
     | (?P<cmp><>|<=|>=|=|<|>|\*|\+|/)
@@ -220,6 +221,14 @@ class _Delete:
 
 
 @dataclass
+class _Remove:
+    """REMOVE n.prop[, …] — delete property keys from matched
+    vertices (openCypher REMOVE; label removal is rejected — the
+    reference's data model is single-label)."""
+    items: list[tuple] = field(default_factory=list)  # (var, prop)
+
+
+@dataclass
 class _Query:
     clauses: list = field(default_factory=list)  # _MatchClause|_Proj|_Unwind
     final: _Proj | None = None
@@ -292,6 +301,21 @@ class _Parser:
             elif t == "SET":
                 self.next()
                 q.clauses.append(self._set_clause())
+            elif t == "REMOVE":
+                self.next()
+                r = _Remove()
+                while True:
+                    var = self._name()
+                    if self.peek()[1] == ":":
+                        raise SyntaxError(
+                            "cypher: REMOVE n:Label is not supported "
+                            "(single-label data model)")
+                    self._expect_val(".")
+                    r.items.append((var, self._name()))
+                    if self.peek()[1] != ",":
+                        break
+                    self.next()
+                q.clauses.append(r)
             elif t in ("DELETE", "DETACH"):
                 detach = self.accept("DETACH")
                 self.next("DELETE")
@@ -308,7 +332,8 @@ class _Parser:
                 q.final = self._projection(is_with=False)
                 break
             elif t == "EOF" and any(
-                    isinstance(c, (_Create, _Set, _Delete, _Merge))
+                    isinstance(c, (_Create, _Set, _Delete, _Merge,
+                                   _Remove))
                     for c in q.clauses):
                 break  # write query without RETURN → summary result
             else:
@@ -552,8 +577,32 @@ class _Parser:
             left = ("arith", op, left, self._operand())
         return left
 
+    def _case_expr(self):
+        """``CASE [subject] WHEN … THEN … [ELSE …] END``. Searched
+        form (no subject): WHEN takes a full boolean expression.
+        Simple form: WHEN values compare to the subject by equality.
+        Alternatives are stored FLAT ([w1, t1, w2, t2, …]) so the
+        generic AST walkers (_expr_vars) see every sub-expression."""
+        self.next("CASE")
+        subject = None
+        if self.peek()[0] != "WHEN":
+            subject = self._expr()
+        whens: list = []
+        while self.accept("WHEN"):
+            whens.append(self._bool_or() if subject is None
+                         else self._expr())
+            self.next("THEN")
+            whens.append(self._expr())
+        if not whens:
+            raise SyntaxError("cypher: CASE needs at least one WHEN")
+        els = self._expr() if self.accept("ELSE") else None
+        self.next("END")
+        return ("case", subject, whens, els)
+
     def _operand(self):
         t = self.peek()
+        if t[0] == "CASE":
+            return self._case_expr()
         if t[1] == "(":
             self.next()
             inner = self._expr()
@@ -622,6 +671,12 @@ class _Parser:
             if self.peek()[1] == ",":
                 self.next()
         self._expect_val(")")
+        if fname == "labels":
+            # labels(n) → singleton list (single-label data model, the
+            # same collapse the reference's VertexLabel makes)
+            if len(args) != 1 or args[0][0] != "var":
+                raise SyntaxError("cypher: labels() takes a node variable")
+            return ("labels", args[0])
         return ("fn", fname, args)
 
     # Boolean WHERE grammar, openCypher precedence NOT > AND > XOR > OR.
@@ -710,10 +765,10 @@ class _Parser:
                     self.next()
             self.next("arrow")  # ]
             return ("in", left, vals)
-        if left[0] in ("fn", "prop", "lit"):
+        if left[0] in ("fn", "prop", "lit", "case"):
             # bare boolean expression — `exists(n.prop)`, a boolean
-            # property, or a literal (Spark's analyzer rejects
-            # non-boolean types downstream)
+            # property, a CASE yielding booleans, or a literal (Spark's
+            # analyzer rejects non-boolean types downstream)
             return ("boolval", left)
         raise SyntaxError(f"cypher: bad condition at {t}")
 
@@ -743,6 +798,10 @@ def _default_alias(expr) -> str:
         return f"{expr[1].lower()}_{inner}"
     if kind == "fn":
         return expr[1]
+    if kind == "labels":
+        return f"labels_{expr[1][1]}"
+    if kind == "case":
+        return "case"
     if kind == "arith":
         raise SyntaxError(
             "cypher: arithmetic RETURN/WITH items need an AS alias")
@@ -756,7 +815,7 @@ def _expr_vars(expr, out: set[str]) -> None:
     if expr[0] == "prop":
         out.add(expr[1])
         return
-    if expr[0] == "label":
+    if expr[0] in ("label", "labels"):
         out.add(expr[1][1])
         return
     for part in expr[1:]:
@@ -851,6 +910,19 @@ class CypherEngine:
             return F.array(*[self._col(i) for i in expr[1]])
         if kind == "fn":
             return self._fn(expr[1], expr[2])
+        if kind == "labels":
+            return F.array(F.col(f"__l_{expr[1][1]}"))
+        if kind == "case":
+            _, subject, whens, els = expr
+            col = None
+            for i in range(0, len(whens), 2):
+                cond = (self._col(subject) == self._col(whens[i])
+                        if subject is not None
+                        else self._filter(whens[i]))
+                then = self._col(whens[i + 1])
+                col = F.when(cond, then) if col is None \
+                    else col.when(cond, then)
+            return col if els is None else col.otherwise(self._col(els))
         raise SyntaxError(f"cypher: cannot compile {expr}")
 
     def _is_array(self, expr) -> bool:
@@ -1441,7 +1513,10 @@ class CypherEngine:
         return df
 
     def run(self, query: str) -> DataFrame:
-        q = _Parser(_tokenize(query)).parse()
+        return self.run_tokens(_tokenize(query))
+
+    def run_tokens(self, toks: list[tuple[str, str]]) -> DataFrame:
+        q = _Parser(toks).parse()
         self._typed_cols = {}
         self._labels = {}
         self._bound = set()
@@ -1464,6 +1539,8 @@ class CypherEngine:
                 df = self._apply_set(df, clause)
             elif isinstance(clause, _Delete):
                 df = self._apply_delete(df, clause)
+            elif isinstance(clause, _Remove):
+                df = self._apply_remove(df, clause)
             else:
                 df = self._apply_proj(df, clause)
         if q.final is None:
@@ -1752,6 +1829,47 @@ class CypherEngine:
         self._write_summary = reduce(lambda a, b: a.unionByName(b), deltas)
         return df
 
+    def _apply_remove(self, df: DataFrame | None, r: _Remove) -> DataFrame:
+        """REMOVE n.prop — strip keys from the canonical props map of
+        the matched ids (one semi-identified map_filter pass over the
+        vertex table per var; no upsert round-trip, because the merge
+        surface can only ADD keys)."""
+        from collections import defaultdict
+        if df is None:
+            raise SyntaxError("cypher: REMOVE requires a preceding MATCH")
+        g = self.graph
+        by_var: dict[str, list] = defaultdict(list)
+        for var, prop in r.items:
+            if var in self._rel_vars:
+                raise SyntaxError("cypher: REMOVE on relationships is "
+                                  "not supported (batch edge surface)")
+            by_var[var].append(prop)
+        summaries = []
+        for var, props in by_var.items():
+            ids = df.select(F.col(var).alias("__rm_id")).distinct()
+            g.vertices = (
+                g.vertices
+                .join(ids, F.col("id") == F.col("__rm_id"), "left")
+                .withColumn(
+                    "props",
+                    F.when(F.col("__rm_id").isNotNull(),
+                           F.map_filter(
+                               "props",
+                               lambda k, _v: ~k.isin(*props)))
+                    .otherwise(F.col("props")))
+                .drop("__rm_id"))
+            stale = [f"__p_{var}"] + \
+                [f"__c_{var}_{k}" for k in self._typed_cols.pop(var, ())]
+            df = df.drop(*[c for c in stale if c in df.columns])
+            lab = self._labels.get(var)
+            self._refresh_views({lab} if lab else None)
+            summaries.append(ids.select(
+                F.col("__rm_id").alias("id"),
+                F.lit(self._labels.get(var)).alias("label")))
+        self._write_summary = reduce(lambda a, b: a.unionByName(b),
+                                     summaries)
+        return df
+
     def _apply_delete(self, df: DataFrame | None, d: _Delete) -> DataFrame:
         if df is None:
             raise SyntaxError("cypher: DELETE requires a preceding MATCH")
@@ -1796,5 +1914,40 @@ class CypherEngine:
 
 
 def cypher(graph: PropertyGraph, query: str) -> DataFrame:
-    """Run a Cypher read query against the graph."""
-    return CypherEngine(graph).run(query)
+    """Run a Cypher query against the graph. Top-level ``UNION [ALL]``
+    combines sub-queries by column name (openCypher requires identical
+    return columns; mixing UNION and UNION ALL is rejected, as in
+    Neo4j). Each arm compiles independently — the combined plan is one
+    Spark union (narrow; DISTINCT adds the single dedup shuffle the
+    semantics require)."""
+    toks = _tokenize(query)
+    parts: list[list] = [[]]
+    alls: list[bool] = []
+    i = 0
+    while i < len(toks):
+        if toks[i][0] == "UNION":
+            parts[-1].append(("EOF", ""))
+            parts.append([])
+            if toks[i + 1][0] == "ALL":
+                alls.append(True)
+                i += 2
+            else:
+                alls.append(False)
+                i += 1
+            continue
+        parts[-1].append(toks[i])
+        i += 1
+    if len(parts) == 1:
+        return CypherEngine(graph).run_tokens(parts[0])
+    if len(set(alls)) > 1:
+        raise SyntaxError(
+            "cypher: cannot mix UNION and UNION ALL in one query")
+    dfs = [CypherEngine(graph).run_tokens(p) for p in parts]
+    cols = dfs[0].columns
+    for d in dfs[1:]:
+        if d.columns != cols:
+            raise SyntaxError(
+                f"cypher: UNION arms must return the same columns "
+                f"({cols} vs {d.columns})")
+    out = reduce(lambda a, b: a.unionByName(b), dfs)
+    return out if alls[0] else out.dropDuplicates()

@@ -468,3 +468,76 @@ def test_boolean_pushdown_through_or(graph):
         RETURN count(*) AS n""")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Or(EqualTo(p_size,1),EqualTo(p_size,50))" in plan, plan
+
+
+# ---- round 4 (cont.): CASE / labels() / UNION ------------------------
+
+
+def test_case_searched(graph):
+    rows = cypher(graph, """
+        MATCH (p:part)
+        RETURN CASE WHEN p.size < 17 THEN 'small'
+                    WHEN p.size < 34 THEN 'mid'
+                    ELSE 'large' END AS band,
+               count(*) AS n
+        ORDER BY band""").collect()
+    want = (graph.view("part")
+            .groupBy(F.when(F.col("size") < 17, "small")
+                     .when(F.col("size") < 34, "mid")
+                     .otherwise("large").alias("band"))
+            .count().orderBy("band").collect())
+    assert [(r.band, r.n) for r in rows] == \
+        [(r.band, r["count"]) for r in want]
+
+
+def test_case_simple_and_no_else_is_null(graph):
+    rows = cypher(graph, """
+        MATCH (r:region)
+        RETURN r.name AS nm,
+               CASE r.name WHEN 'AFRICA' THEN 'zero' END AS z
+        ORDER BY nm""").collect()
+    assert rows[0].z == "zero"
+    assert all(r.z is None for r in rows[1:])
+
+
+def test_case_inside_where(graph):
+    n = cypher(graph, """
+        MATCH (p:part)
+        WHERE CASE WHEN p.size < 10 THEN true ELSE false END
+        RETURN count(*) AS n""").head().n
+    assert n == graph.view("part").filter("size < 10").count()
+
+
+def test_labels_function(graph):
+    r = cypher(graph,
+               "MATCH (c:customer) RETURN labels(c) AS ls LIMIT 1").head()
+    assert r.ls == ["customer"]
+
+
+def test_union_distinct_and_all(graph):
+    base = cypher(graph, "MATCH (r:region) RETURN r.name AS name")
+    u = cypher(graph, """
+        MATCH (r:region) RETURN r.name AS name
+        UNION
+        MATCH (r:region) RETURN r.name AS name""")
+    ua = cypher(graph, """
+        MATCH (r:region) RETURN r.name AS name
+        UNION ALL
+        MATCH (r:region) RETURN r.name AS name""")
+    assert u.count() == base.count()
+    assert ua.count() == 2 * base.count()
+
+
+def test_union_mixed_rejected(graph):
+    with pytest.raises(SyntaxError, match="mix UNION"):
+        cypher(graph, """
+            MATCH (r:region) RETURN r.name AS name
+            UNION MATCH (n:nation) RETURN n.name AS name
+            UNION ALL MATCH (n:nation) RETURN n.name AS name""")
+
+
+def test_union_column_mismatch_rejected(graph):
+    with pytest.raises(SyntaxError, match="same columns"):
+        cypher(graph, """
+            MATCH (r:region) RETURN r.name AS name
+            UNION MATCH (n:nation) RETURN n.name AS other""")

@@ -256,3 +256,33 @@ def test_merge_unsupported_shape_raises(wgraph):
     with pytest.raises(SyntaxError, match="MERGE"):
         cypher(wgraph, "MERGE (a:person {name: 'p'})-[:knows]->"
                        "(b:person {name: 'q'})")
+
+
+# ---- round 4 (cont.): REMOVE -----------------------------------------
+
+
+def test_remove_strips_property(wgraph):
+    cypher(wgraph, "MATCH (n:person) WHERE n.name = 'marko' "
+                   "SET n.age = 29")
+    assert cypher(wgraph, "MATCH (n:person) WHERE n.name = 'marko' "
+                          "RETURN n.age AS a").head().a == 29
+    cypher(wgraph, "MATCH (n:person) WHERE n.name = 'marko' "
+                   "REMOVE n.age")
+    assert cypher(wgraph, "MATCH (n:person) WHERE n.name = 'marko' "
+                          "RETURN n.age AS a").head().a is None
+    # untouched rows keep their props
+    assert cypher(wgraph, "MATCH (n:person) WHERE n.name = 'vadas' "
+                          "RETURN n.city AS c").head().c == "HongKong"
+
+
+def test_remove_multiple_and_summary(wgraph):
+    out = cypher(wgraph, "MATCH (n:person) REMOVE n.city, n.age")
+    assert out.count() == 4  # one summary row per matched vertex
+    assert cypher(wgraph, "MATCH (n:person) WHERE n.city IS NULL "
+                          "RETURN count(*) AS n").head().n == 4
+
+
+def test_remove_label_rejected(wgraph):
+    import pytest as _pt
+    with _pt.raises(SyntaxError, match="single-label"):
+        cypher(wgraph, "MATCH (n:person) REMOVE n:person")
