@@ -2895,6 +2895,104 @@ def gremlin_mid_v_q(spark, sf_dir):
                         ".V('region!0','region!1').path()")
 
 
+@_q("gremlin_branch_option", """
+SELECT n_name AS value FROM nation
+UNION ALL
+SELECT 'not_nation' AS value FROM region
+""")
+def gremlin_branch_option_q(spark, sf_dir):
+    """TinkerPop branch(fn).option(v, step)/Pick.none — N-way
+    traverser dispatch on a token (BranchStep; ProcessBasicSuite
+    branch family). Nations flow through values('name'), everything
+    else through the Pick.none constant — one Catalyst union of
+    filtered branch plans."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    return eval_gremlin(_graph(spark, sf_dir),
+                        "g.V().hasLabel('nation','region')"
+                        ".branch(__.label())"
+                        ".option('nation', __.values('name'))"
+                        ".option(Pick.none, __.constant('not_nation'))")
+
+
+@_q("cypher_case", """
+SELECT CASE WHEN p_size < 17 THEN 'small'
+            WHEN p_size < 34 THEN 'mid'
+            ELSE 'large' END AS band,
+       count(*) AS n
+FROM part GROUP BY band ORDER BY band
+""")
+def cypher_case_q(spark, sf_dir):
+    """openCypher CASE (searched form) — compiles to one
+    F.when().otherwise() Column inside the projection, so the
+    banding runs inside whole-stage codegen."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (p:part)
+        RETURN CASE WHEN p.size < 17 THEN 'small'
+                    WHEN p.size < 34 THEN 'mid'
+                    ELSE 'large' END AS band,
+               count(*) AS n
+        ORDER BY band""")
+
+
+@_q("cypher_union", """
+SELECT r_name AS name FROM region
+UNION
+SELECT n_name AS name FROM nation
+""")
+def cypher_union_q(spark, sf_dir):
+    """openCypher top-level UNION — each arm compiles independently,
+    the combine is one Spark union + the dedup shuffle DISTINCT
+    semantics require."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (r:region) RETURN r.name AS name
+        UNION
+        MATCH (n:nation) RETURN n.name AS name""")
+
+
+@_q("cypher_collect", """
+SELECT r_name AS region, list_sort(list(n_name)) AS nations,
+       count(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY region
+""")
+def cypher_collect_q(spark, sf_dir):
+    """openCypher collect() aggregate (sorted for determinism) plus
+    an anonymous-label edge pattern — one hash aggregate after the
+    dimension join (both sides broadcast-sized here; the groupBy is
+    the single shuffle the semantics require)."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (n:nation)-[:located_in]->(r:region)
+        RETURN r.name AS region, collect(n.name) AS nations,
+               count(*) AS n
+        ORDER BY region""")
+
+
+@_q("cypher_remove", """
+SELECT 'customer!' || c_custkey AS n, c_name AS name,
+       CASE WHEN c_acctbal < 0 THEN NULL
+            ELSE c_mktsegment END AS seg
+FROM customer
+""")
+def cypher_remove_q(spark, sf_dir):
+    """openCypher REMOVE n.prop — property deletion over the matched
+    set (map_filter on the batch vertex table, isolated graph copy),
+    read back in the same query to prove the key is gone on matched
+    rows and survives on the rest."""
+    from incubator_hugegraph_spark.cypher import cypher
+    g0 = _graph(spark, sf_dir)
+    g = PropertyGraph(g0.spark, g0.vertices, g0.edges, schema=g0.schema,
+                      vertex_views=dict(g0.vertex_views),
+                      edge_views=dict(g0.edge_views))
+    cypher(g, "MATCH (n:customer) WHERE n.acctbal < 0 "
+              "REMOVE n.mktsegment")
+    return cypher(g, """
+        MATCH (n:customer)
+        RETURN n, n.name AS name, n.mktsegment AS seg""")
+
+
 @_q("element_json", """
 SELECT 'customer!' || c_custkey AS id,
        '{"id":"customer!' || c_custkey

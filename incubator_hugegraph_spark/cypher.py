@@ -121,7 +121,7 @@ _TOKEN_RE = re.compile(r"""
               |AND|OR|XOR|ASC|DESC|AS|IN|CONTAINS|STARTS|ENDS|WITH|NOT|IS
               |NULL|COUNT|SUM|AVG|MIN|MAX|ID|LABEL|UNWIND|CREATE|SET|DELETE
               |DETACH|NODES|RELATIONSHIPS|LENGTH|MERGE|ON|CASE|WHEN|THEN
-              |ELSE|END|UNION|ALL|REMOVE)\b)
+              |ELSE|END|UNION|ALL|REMOVE|COLLECT)\b)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'(?:[^'\\]|\\.)*')
     | (?P<cmp><>|<=|>=|=|<|>|\*|\+|/)
@@ -545,7 +545,13 @@ class _Parser:
 
     def _node(self, q: _MatchClause) -> str:
         self.next("arrow")  # (
-        var = self._name()
+        # anonymous nodes — `()` or `(:label)` — bind a fresh hidden
+        # variable so the join machinery stays uniform
+        if self.peek()[1] in (":", ")", "{"):
+            self._anon = getattr(self, "_anon", 0) + 1
+            var = f"__anon{self._anon}"
+        else:
+            var = self._name()
         label = None
         if self.peek()[1] == ":":
             self.next()
@@ -617,8 +623,8 @@ class _Parser:
                     self.next()
             self._expect_val("]")
             return ("list", items)
-        if (t[0] in ("COUNT", "SUM", "AVG", "MIN", "MAX", "ID", "LABEL",
-                     "NODES", "RELATIONSHIPS", "LENGTH")
+        if (t[0] in ("COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT",
+                     "ID", "LABEL", "NODES", "RELATIONSHIPS", "LENGTH")
                 and self.toks[self.i + 1][1] == "("):
             fn = self.next()[0]
             self.next("arrow")  # (
@@ -1017,6 +1023,12 @@ class CypherEngine:
             return F.signum(cols[0]).cast("int")
         if name == "coalesce":
             return F.coalesce(*cols)
+        if name == "range":
+            # range(start, end[, step]) — END-INCLUSIVE like Cypher
+            # (Spark's sequence is also inclusive, so it maps 1:1)
+            step = cols[2] if n == 3 else F.lit(1)
+            return F.sequence(cols[0].cast("long"),
+                              cols[1].cast("long"), step.cast("long"))
         if name == "head":
             return F.element_at(cols[0], 1)
         if name == "last":
@@ -1441,6 +1453,14 @@ class CypherEngine:
                 if fn == "COUNT":
                     aggs.append((F.countDistinct(c) if distinct
                                  else F.count(c)).alias(a))
+                elif fn == "COLLECT":
+                    # openCypher collect(): null-skipping, unordered —
+                    # sorted here so results are deterministic (the
+                    # same canonicalization the reference's JSON
+                    # serializer applies to set-valued results)
+                    agg = F.collect_set(c) if distinct \
+                        else F.collect_list(c)
+                    aggs.append(F.sort_array(agg).alias(a))
                 else:
                     c = c.cast("double")
                     f = {"SUM": F.sum, "AVG": F.avg,

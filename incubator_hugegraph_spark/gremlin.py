@@ -70,6 +70,7 @@ it is SELECTed away by count()/values()).
 from __future__ import annotations
 
 import re
+from functools import reduce
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame
@@ -766,6 +767,49 @@ class Traversal:
             raise TypeError(f"choose branches disagree: {a.kind}/{b.kind}")
         a, b = _align_branches(a, b)
         return a._new(a.df.unionByName(b.df))
+
+    def branch(self, selector: Callable[[DataFrame], Column],
+               options: list[tuple],
+               none: Callable[["Traversal"], "Traversal"] | None = None,
+               any_step: Callable[["Traversal"], "Traversal"] | None
+               = None) -> "Traversal":
+        """``branch(fn).option(v, step)…`` — N-way per-traverser
+        dispatch (TinkerPop BranchStep; the reference pins it through
+        the tinkerpop suite, test/tinkerpop/ProcessBasicSuite.java).
+        ``selector`` maps the traverser DataFrame to a token Column;
+        each ``(value, step)`` option takes the traversers whose token
+        equals the value (typed through the same coercion as has());
+        ``none`` takes the traversers matching NO option value
+        (Pick.none); ``any_step`` additionally takes EVERY traverser
+        (Pick.any). Compiles to filtered branch plans unioned into one
+        Catalyst tree — the N-way generalization of choose(); adds no
+        shuffle beyond the branch steps themselves."""
+        if not options and none is None and any_step is None:
+            raise ValueError("branch: no options")
+        tok = selector(self.df)
+        conds = [_typed(tok, v) == F.lit(v) for v, _ in options]
+        parts = [step(self._new(self.df.filter(c)))
+                 for (_, step), c in zip(options, conds)]
+        if none is not None:
+            hit = reduce(lambda a, b: a | b, conds, F.lit(False))
+            parts.append(none(self._new(
+                self.df.filter(~F.coalesce(hit, F.lit(False))))))
+        if any_step is not None:
+            parts.append(any_step(self))
+        # a reducing terminal inside an option (count()/sum()/…)
+        # yields a DataFrame — in TinkerPop that's a barrier emitting
+        # one traverser, so wrap it back into a value stream
+        parts = [p if isinstance(p, Traversal) else self._new(
+            p.select(F.col(p.columns[0]).alias("value")),
+            kind="value", attached=False, sort=None) for p in parts]
+        kinds = {p.kind for p in parts}
+        if len(kinds) != 1:
+            raise TypeError(f"branch options disagree on kind: {kinds}")
+        first = parts[0]
+        for p in parts[1:]:
+            first, p = _align_branches(first, p)
+            first = first._new(first.df.unionByName(p.df))
+        return first
 
     def coalesce(self, *steps: Callable[["Traversal"], "Traversal"]
                  ) -> "Traversal":

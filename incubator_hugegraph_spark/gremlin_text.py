@@ -166,8 +166,14 @@ class _P:
                 fn = getattr(GP, "text_contains"
                              if t[1] == "textContains" else t[1])
                 return _Pred(t[1], vals, fn(*vals))
-            # bare identifiers: order modifiers etc. pass through
+            # bare identifiers: order modifiers etc. pass through;
+            # T./Pick./Order./Scope. namespaces collapse to the member
+            # (groovy static imports make both spellings common)
             self.take()
+            if t[1] in ("T", "Pick", "Order", "Scope", "Column") \
+                    and self.peek() == ("punc", "."):
+                self.take()
+                return ("ident", self.take("name")[1])
             return ("ident", t[1])
         raise SyntaxError(f"gremlin: bad argument {t}")
 
@@ -191,6 +197,26 @@ def _until_pred(chain: _Chain):
         return lambda df: F.col("id").isin(list(sargs))
     raise SyntaxError(
         "gremlin: until() supports __.has(k,v)/hasLabel/hasId")
+
+
+def _selector(chain: _Chain):
+    """Compile a branch() selector anonymous traversal to a token
+    Column — the forms TinkerPop branch queries actually use:
+    __.values(k), __.label(), __.id()."""
+    from pyspark.sql import functions as F
+    if len(chain.steps) != 1:
+        raise SyntaxError("gremlin: branch() selector must be a "
+                          "single __.values/label/id step")
+    sname, sargs = chain.steps[0]
+    if sname == "values" and len(sargs) == 1:
+        key = sargs[0]
+        return lambda df: F.col("props")[key]
+    if sname == "label":
+        return lambda df: F.col("label")
+    if sname == "id":
+        return lambda df: F.col("id")
+    raise SyntaxError(
+        "gremlin: branch() selector supports __.values(k)/label()/id()")
 
 
 def _apply(chain: _Chain, t: Traversal) -> object:
@@ -389,6 +415,37 @@ def _apply(chain: _Chain, t: Traversal) -> object:
                 raise SyntaxError("gremlin: local() takes __.…")
             t = t.local(lambda x: _apply(sub, x))
             i += 1
+            continue
+        if name == "branch":
+            sel_chain = args[0]
+            if not isinstance(sel_chain, _Chain):
+                raise SyntaxError("gremlin: branch() takes __.…")
+            t = t._elem() if t.kind == "V" else t  # selector needs props
+            sel = _selector(sel_chain)
+            options: list[tuple] = []
+            none_s = any_s = None
+            j = i + 1
+            while j < len(steps) and steps[j][0] == "option":
+                key, sub = steps[j][1]
+                if not isinstance(sub, _Chain):
+                    raise SyntaxError("gremlin: option(v, __.…)")
+                mk = (lambda c: lambda x: _apply(c, x))(sub)
+                if isinstance(key, tuple) and key[0] == "ident":
+                    if key[1] == "none":
+                        none_s = mk
+                    elif key[1] == "any":
+                        any_s = mk
+                    else:
+                        raise SyntaxError(
+                            f"gremlin: option({key[1]}) — only "
+                            f"Pick.none/Pick.any idents are supported")
+                else:
+                    options.append((key, mk))
+                j += 1
+            if j == i + 1:
+                raise SyntaxError("gremlin: branch() needs .option(…)")
+            t = t.branch(sel, options, none=none_s, any_step=any_s)
+            i = j
             continue
         if name in ("union", "choose", "coalesce", "optional"):
             subs = [a for a in args if isinstance(a, _Chain)]

@@ -541,3 +541,48 @@ def test_union_column_mismatch_rejected(graph):
         cypher(graph, """
             MATCH (r:region) RETURN r.name AS name
             UNION MATCH (n:nation) RETURN n.name AS other""")
+
+
+# ---- round 4 (cont.): collect() / range() ----------------------------
+
+
+def test_collect_groups_sorted(graph):
+    rows = cypher(graph, """
+        MATCH (n:nation)-[:located_in]->(r:region)
+        RETURN r.name AS region, collect(n.name) AS nations
+        ORDER BY region""").collect()
+    want = (graph.view("nation").alias("n")
+            .join(graph.edges.filter("label='located_in'").alias("e"),
+                  F.col("n.id") == F.col("e.src"))
+            .join(graph.view("region").alias("r"),
+                  F.col("e.dst") == F.col("r.id"))
+            .groupBy(F.col("r.name").alias("region"))
+            .agg(F.sort_array(F.collect_list("n.name")).alias("nations"))
+            .orderBy("region").collect())
+    assert [(r.region, r.nations) for r in rows] == \
+        [(r.region, r.nations) for r in want]
+
+
+def test_collect_distinct(graph):
+    r = cypher(graph, """
+        MATCH (n:nation)-[:located_in]->(:region)
+        RETURN collect(DISTINCT n.name) AS ns""").head()
+    assert len(r.ns) == graph.view("nation").count()
+    assert r.ns == sorted(r.ns)
+
+
+def test_range_is_end_inclusive(graph):
+    rows = cypher(graph, """
+        UNWIND range(1, 3) AS x
+        RETURN x, range(0, x) AS r ORDER BY x""").collect()
+    assert [(r.x, r.r) for r in rows] == [
+        (1, [0, 1]), (2, [0, 1, 2]), (3, [0, 1, 2, 3])]
+
+
+def test_anonymous_node_patterns(graph):
+    n = cypher(graph, """
+        MATCH (n:nation)-[:located_in]->() RETURN count(*) AS n""").head().n
+    assert n == graph.edges.filter("label='located_in'").count()
+    m = cypher(graph, """
+        MATCH ()-[:located_in]->(:region) RETURN count(*) AS n""").head().n
+    assert m == n

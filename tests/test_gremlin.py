@@ -707,3 +707,63 @@ def test_text_surface_predicate_steps(graph):
     r = eval_gremlin(graph,
                      "g.V().hasLabel('region').elementMap('name')")
     assert set(r.head().value) == {"id", "label", "name"}
+
+
+# ---- round 4: branch().option() --------------------------------------
+
+
+def test_branch_option_dispatch(graph):
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    df = eval_gremlin(
+        graph, "g.V().hasLabel('region')"
+               ".branch(__.values('name'))"
+               ".option('AFRICA', __.values('name'))"
+               ".option('ASIA', __.constant('asia!'))"
+               ".option(Pick.none, __.constant('other'))")
+    vals = sorted(r.value for r in df.collect())
+    n_regions = graph.view("region").count()
+    assert vals.count("AFRICA") == 1
+    assert vals.count("asia!") == 1
+    assert vals.count("other") == n_regions - 2
+
+
+def test_branch_label_selector_with_reducer(graph):
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    df = eval_gremlin(
+        graph, "g.V().hasLabel('region','nation')"
+               ".branch(__.label())"
+               ".option('region', __.count())"
+               ".option('nation', __.values('name'))")
+    vals = [r.value for r in df.collect()]
+    assert str(graph.view("region").count()) in vals
+    assert len(vals) == graph.view("nation").count() + 1
+
+
+def test_branch_any_takes_every_traverser(graph):
+    from pyspark.sql import functions as F
+    from incubator_hugegraph_spark.gremlin import G
+    t = G(graph).V().hasLabel("region")._elem()
+    out = t.branch(
+        lambda df: F.col("props")["name"],
+        [("AFRICA", lambda x: x.constant("hit"))],
+        any_step=lambda x: x.constant("all"))
+    vals = [r.value for r in out.toDF().collect()]
+    n = graph.view("region").count()
+    assert vals.count("hit") == 1 and vals.count("all") == n
+
+
+def test_branch_v_kind_union(graph):
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    df = eval_gremlin(
+        graph, "g.V().hasLabel('nation')"
+               ".branch(__.values('name'))"
+               ".option('NATION_0', __.out('located_in'))"
+               ".option(Pick.none, __.identity())")
+    # 24 nations pass through identity; NATION_0 hops to its region
+    assert df.count() == graph.view("nation").count()
+
+
+def test_branch_requires_option(graph):
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    with pytest.raises(SyntaxError, match="option"):
+        eval_gremlin(graph, "g.V().branch(__.label()).count()")
