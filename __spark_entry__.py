@@ -2970,6 +2970,33 @@ def cypher_collect_q(spark, sf_dir):
         ORDER BY region""")
 
 
+@_q("cypher_list_fns", """
+SELECT p_name AS name,
+       list_transform(list_filter(str_split(p_type, ' '),
+                                  w -> w <> 'BRASS'),
+                      w -> lower(w)) AS words,
+       CAST(list_sum(list_transform(str_split(p_type, ' '),
+                                    w -> length(w))) AS BIGINT) AS chars,
+       list_contains(str_split(p_type, ' '), 'BRASS') AS has_brass
+FROM part
+""")
+def cypher_list_fns_q(spark, sf_dir):
+    """openCypher list comprehension / reduce() / any() — all compile
+    to Spark higher-order functions (F.filter/transform/aggregate/
+    exists): JVM-side per-row array work, zero Python round-trips,
+    no explode/re-group shuffle."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (p:part)
+        RETURN p.name AS name,
+               [w IN split(p.type, ' ') WHERE w <> 'BRASS'
+                | tolower(w)] AS words,
+               reduce(acc = 0, w IN split(p.type, ' ')
+                      | acc + size(w)) AS chars,
+               any(w IN split(p.type, ' ') WHERE w = 'BRASS')
+                 AS has_brass""")
+
+
 @_q("cypher_remove", """
 SELECT 'customer!' || c_custkey AS n, c_name AS name,
        CASE WHEN c_acctbal < 0 THEN NULL

@@ -124,7 +124,7 @@ _TOKEN_RE = re.compile(r"""
               |ELSE|END|UNION|ALL|REMOVE|COLLECT)\b)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'(?:[^'\\]|\\.)*')
-    | (?P<cmp><>|<=|>=|=|<|>|\*|\+|/)
+    | (?P<cmp><>|<=|>=|=|<|>|\*|\+|/|\|)
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
     )""", re.X)
 
@@ -614,8 +614,23 @@ class _Parser:
             inner = self._expr()
             self._expect_val(")")
             return inner
-        if t[1] == "[":  # list literal
+        if t[1] == "[":  # list literal or comprehension
             self.next()
+            if self.peek()[0] == "name" \
+                    and self.toks[self.i + 1][0] == "IN":
+                # [x IN xs [WHERE pred] [| expr]] — openCypher list
+                # comprehension → F.filter / F.transform (JVM-side
+                # higher-order functions, no Python round-trip)
+                var = self._name()
+                self.next("IN")
+                src = self._expr()
+                where = self._bool_or() if self.accept("WHERE") else None
+                mapped = None
+                if self.peek()[1] == "|":
+                    self.next()
+                    mapped = self._expr()
+                self._expect_val("]")
+                return ("listcomp", var, src, where, mapped)
             items = []
             while self.peek()[1] != "]":
                 items.append(self._expr())
@@ -653,6 +668,10 @@ class _Parser:
         if t[0] == "NULL":
             self.next()
             return ("lit", None)
+        if t[0] == "ALL" and self.toks[self.i + 1][1] == "(":
+            # all(x IN xs WHERE p) — ALL is also the UNION ALL keyword
+            self.next()
+            return self._fn_call("all")
         if t[0] == "name" or (t[0].isalpha() and t[0].isupper()
                               and t[0] != "EOF"):
             var = self._name()
@@ -671,6 +690,28 @@ class _Parser:
         """Scalar function call ``f(arg, …)`` — names, not keywords
         (aggregates/id/label/path functions parse above)."""
         self._expect_val("(")
+        if fname in ("any", "all", "none", "single"):
+            # quantifier predicates over lists → F.exists / F.forall
+            var = self._name()
+            self.next("IN")
+            src = self._expr()
+            self.next("WHERE")
+            cond = self._bool_or()
+            self._expect_val(")")
+            return ("quant", fname, var, src, cond)
+        if fname == "reduce":
+            # reduce(acc = init, x IN xs | expr) → F.aggregate
+            acc = self._name()
+            self._expect_val("=")
+            init = self._expr()
+            self._expect_val(",")
+            var = self._name()
+            self.next("IN")
+            src = self._expr()
+            self._expect_val("|")
+            body = self._expr()
+            self._expect_val(")")
+            return ("reduce", acc, init, var, src, body)
         args = []
         while self.peek()[1] != ")":
             args.append(self._expr())
@@ -771,10 +812,11 @@ class _Parser:
                     self.next()
             self.next("arrow")  # ]
             return ("in", left, vals)
-        if left[0] in ("fn", "prop", "lit", "case"):
+        if left[0] in ("fn", "prop", "lit", "case", "quant"):
             # bare boolean expression — `exists(n.prop)`, a boolean
-            # property, a CASE yielding booleans, or a literal (Spark's
-            # analyzer rejects non-boolean types downstream)
+            # property, a CASE/quantifier yielding booleans, or a
+            # literal (Spark's analyzer rejects non-boolean types
+            # downstream)
             return ("boolval", left)
         raise SyntaxError(f"cypher: bad condition at {t}")
 
@@ -855,6 +897,7 @@ class CypherEngine:
         self._path_vars: set[str] = set()
         self._created_vars: set[str] = set()
         self._relgen = 0  # hidden rel-var counter for named paths
+        self._lambda_env: dict[str, Column] = {}  # comprehension vars
 
     # ---- column compilation ----------------------------------------
 
@@ -873,9 +916,21 @@ class CypherEngine:
             return c.cast(pks[prop].spark_type())
         return c
 
+    def _in_lambda(self, bindings: dict[str, Column], fn):
+        """Compile ``fn()`` with comprehension variables bound to the
+        higher-order-function lambda arguments."""
+        old = self._lambda_env
+        self._lambda_env = {**old, **bindings}
+        try:
+            return fn()
+        finally:
+            self._lambda_env = old
+
     def _col(self, expr) -> Column:
         kind = expr[0]
         if kind == "var":
+            if expr[1] in self._lambda_env:
+                return self._lambda_env[expr[1]]
             if expr[1] in self._path_vars:
                 # a bare path var projects its node-id sequence (the
                 # id-only analogue of the read path's var→id rule)
@@ -929,6 +984,41 @@ class CypherEngine:
                 col = F.when(cond, then) if col is None \
                     else col.when(cond, then)
             return col if els is None else col.otherwise(self._col(els))
+        if kind == "listcomp":
+            _, var, src, where, mapped = expr
+            c = self._col(src)
+            if where is not None:
+                c = F.filter(c, lambda x: self._in_lambda(
+                    {var: x}, lambda: self._filter(where)))
+            if mapped is not None:
+                c = F.transform(c, lambda x: self._in_lambda(
+                    {var: x}, lambda: self._col(mapped)))
+            return c
+        if kind == "quant":
+            _, which, var, src, cond = expr
+            c = self._col(src)
+
+            def lam(x):
+                return self._in_lambda({var: x},
+                                       lambda: self._filter(cond))
+            if which == "any":
+                return F.exists(c, lam)
+            if which == "all":
+                return F.forall(c, lam)
+            if which == "none":
+                return ~F.exists(c, lam)
+            return F.size(F.filter(c, lam)) == 1  # single
+        if kind == "reduce":
+            _, acc, init, var, src, body = expr
+            c = self._col(src)
+            zero = self._col(init)
+            if init[0] == "lit" and isinstance(init[1], int):
+                # widen the int literal so the accumulator type is
+                # stable against long list elements (F.aggregate
+                # requires zero/merge type agreement)
+                zero = zero.cast("long")
+            return F.aggregate(c, zero, lambda a, x: self._in_lambda(
+                {acc: a, var: x}, lambda: self._col(body)))
         raise SyntaxError(f"cypher: cannot compile {expr}")
 
     def _is_array(self, expr) -> bool:

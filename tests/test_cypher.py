@@ -586,3 +586,37 @@ def test_anonymous_node_patterns(graph):
     m = cypher(graph, """
         MATCH ()-[:located_in]->(:region) RETURN count(*) AS n""").head().n
     assert m == n
+
+
+def test_list_comprehension_filter_map(graph):
+    r = cypher(graph, """
+        UNWIND [1,2,3,4,5] AS x WITH collect(x) AS xs
+        RETURN [y IN xs WHERE y > 2 | y * 10] AS big,
+               [y IN xs WHERE y > 4] AS tail,
+               [y IN xs | y + 1] AS inc""").head()
+    assert r.big == [30, 40, 50]
+    assert r.tail == [5]
+    assert r.inc == [2, 3, 4, 5, 6]
+
+
+def test_quantifiers_and_reduce(graph):
+    r = cypher(graph, """
+        UNWIND [1,2,3] AS x WITH collect(x) AS xs
+        RETURN any(y IN xs WHERE y = 3) AS a,
+               all(y IN xs WHERE y > 0) AS b,
+               none(y IN xs WHERE y > 9) AS c,
+               single(y IN xs WHERE y = 2) AS d,
+               single(y IN xs WHERE y > 1) AS e,
+               reduce(acc = 0, y IN xs | acc + y) AS total""").head()
+    assert (r.a, r.b, r.c, r.d, r.e, r.total) == (
+        True, True, True, True, False, 6)
+
+
+def test_quantifier_in_where(graph):
+    n = cypher(graph, """
+        MATCH (p:part)
+        WHERE any(w IN split(p.type, ' ') WHERE w = 'BRASS')
+        RETURN count(*) AS n""").head().n
+    want = graph.view("part").filter(
+        F.array_contains(F.split("type", " "), "BRASS")).count()
+    assert n == want
