@@ -3407,6 +3407,88 @@ def doc_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
 
+@_q("doc_gopher_rules", r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'),
+                     x -> x <> '') AS words,
+         list_filter(string_split(text, chr(10)),
+                     x -> trim(x) <> '') AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         ROUND(CAST(list_sum(list_transform(words, x -> length(x)))
+                    AS DOUBLE) / len(words), 6) AS mean_word_len,
+         ROUND(CAST(len(list_filter(words,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / len(words), 6) AS alpha_frac,
+         len(list_intersect(
+             list_distinct(list_transform(words, x -> lower(x))),
+             ['the', 'a'])) AS stop_hits,
+         ROUND(CAST(len(list_filter(lines,
+                    x -> starts_with(trim(x), '-')
+                      OR starts_with(trim(x), '*')
+                      OR starts_with(trim(x), chr(8226)))) AS DOUBLE)
+               / len(lines), 6) AS bullet_frac,
+         ROUND(CAST(len(list_filter(lines,
+                    x -> ends_with(trim(x), '...'))) AS DOUBLE)
+               / len(lines), 6) AS ellipsis_frac,
+         ROUND(CAST(length(text) - length(replace(text, '#', ''))
+                    AS DOUBLE) / len(words), 6) AS hash_ratio
+  FROM w)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+       bullet_frac, ellipsis_frac, hash_ratio,
+       COALESCE(n_words BETWEEN 50 AND 100000, FALSE) AS r_word_count,
+       COALESCE(mean_word_len BETWEEN 3 AND 10, FALSE) AS r_mean_len,
+       COALESCE(alpha_frac >= 0.80, FALSE) AS r_alpha,
+       COALESCE(stop_hits >= 2, FALSE) AS r_stop,
+       COALESCE(bullet_frac <= 0.90, FALSE) AS r_bullet,
+       COALESCE(ellipsis_frac <= 0.30, FALSE) AS r_ellipsis,
+       COALESCE(hash_ratio <= 0.10, FALSE) AS r_symbol,
+       (COALESCE(n_words BETWEEN 50 AND 100000, FALSE)
+        AND COALESCE(mean_word_len BETWEEN 3 AND 10, FALSE)
+        AND COALESCE(alpha_frac >= 0.80, FALSE)
+        AND COALESCE(stop_hits >= 2, FALSE)
+        AND COALESCE(bullet_frac <= 0.90, FALSE)
+        AND COALESCE(ellipsis_frac <= 0.30, FALSE)
+        AND COALESCE(hash_ratio <= 0.10, FALSE)) AS keep
+FROM m
+""")
+def doc_gopher_rules(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1) — the
+    standard pre-training filter set, as one shuffle-free projection
+    of Spark higher-order functions. Stop set corpus-adapted to the
+    synthetic vocabulary ('the'/'a' are its only function words); the
+    API defaults to the paper's set."""
+    from incubator_hugegraph_spark.data.clean import gopher_rules
+    return gopher_rules(_docs(spark, sf_dir), stop_words=("the", "a"),
+                        min_stop=2)
+
+
+@_q("doc_domain_mix", """
+WITH u AS (
+  SELECT source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+           / 16777216.0 AS h
+  FROM documents)
+SELECT source, count(*) AS n FROM u
+WHERE h < CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.75
+                      WHEN 'src2' THEN 0.1 ELSE 1.0 END
+GROUP BY source ORDER BY source
+""")
+def doc_domain_mix(spark, sf_dir):
+    """Deterministic domain-mixture resampling (the DoReMi/Pile-style
+    reweighting step): per-domain keep fractions applied as a pure
+    id-hash filter — reproducible across engines, no shuffle, no
+    state; grouped for a compact oracle."""
+    from incubator_hugegraph_spark.data.sample import domain_sample
+    kept = domain_sample(_docs(spark, sf_dir),
+                         {"src0": 0.25, "src1": 0.75, "src2": 0.1})
+    return (kept.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("source"))
+
+
 @_q("doc_quality", """
 WITH t AS (
   SELECT doc_id, text,

@@ -212,3 +212,80 @@ def duplicated_spans(docs: DataFrame, n: int = 3, min_docs: int = 2,
                         F.coalesce("covered_tokens", F.lit(0))
                         / F.col("n_tokens"), 6))
                     .alias("dup_token_frac")))
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 stop_words: tuple = GOPHER_STOPWORDS,
+                 min_stop: int = 2) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 §A1.1 — the public
+    filter set most large-corpus pipelines start from): word-count
+    bounds, mean-word-length bounds, alpha-word fraction, bullet-/
+    ellipsis-line ratios, stop-word presence, symbol (#) ratio.
+    ``stop_words``/``min_stop`` default to the paper's set; pass a
+    corpus-adapted set when the corpus vocabulary differs.
+
+    Everything is ONE projection of Spark higher-order functions
+    (split/filter/transform/aggregate) — JVM-side, codegen'd, zero
+    Python round-trips, zero shuffles: at 100 TB this is a pure map
+    riding the corpus scan. Returns one row per document with every
+    metric and per-rule booleans plus the conjunction ``keep`` so
+    downstream filters can relax individual rules without
+    recomputing."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"),
+                     lambda x: x != "")
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda x: F.trim(x) != "")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    total_len = F.aggregate(
+        F.transform(words, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    mean_len = total_len.cast("double") / n_words
+    alpha_frac = (F.size(F.filter(words,
+                                  lambda x: x.rlike("[A-Za-z]")))
+                  .cast("double") / n_words)
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)),
+        F.array(*[F.lit(w) for w in stop_words])))
+    bullet_frac = (F.size(F.filter(
+        lines,
+        lambda x: F.trim(x).startswith("-") | F.trim(x).startswith("*")
+        | F.trim(x).startswith("\u2022")))
+        .cast("double") / n_lines)
+    ellipsis_frac = (F.size(F.filter(
+        lines, lambda x: F.trim(x).endswith("...")))
+        .cast("double") / n_lines)
+    hash_ratio = ((F.length(text_col)
+                   - F.length(F.regexp_replace(text_col, "#", "")))
+                  .cast("double") / n_words)
+    m = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(hash_ratio, 6).alias("hash_ratio"))
+    rules = {
+        "r_word_count": (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000),
+        "r_mean_len": (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10),
+        "r_alpha": F.col("alpha_frac") >= 0.80,
+        "r_stop": F.col("stop_hits") >= min_stop,
+        "r_bullet": F.col("bullet_frac") <= 0.90,
+        "r_ellipsis": F.col("ellipsis_frac") <= 0.30,
+        "r_symbol": F.col("hash_ratio") <= 0.10,
+    }
+    for name, cond in rules.items():
+        m = m.withColumn(name, F.coalesce(cond, F.lit(False)))
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return m.withColumn("keep", keep)

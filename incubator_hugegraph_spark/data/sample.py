@@ -99,3 +99,23 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
                     (F.col("__start") / seq_len).cast("long")
                     .alias("seq_id"),
                     (F.col("__start") % seq_len).alias("offset")))
+
+
+def domain_sample(df: DataFrame, fractions: dict[str, float],
+                  domain_col: str = "source",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-domain subsampling toward a target mixture
+    (the resampling step of domain-weighting recipes a la DoReMi /
+    The Pile): keep a row iff hash_unit(id) < fractions[domain];
+    domains absent from the map keep everything. Assignment is a
+    pure function of the id — reproducible across runs and engines,
+    stable under repartitioning, one filter projection at any scale
+    (same posture as hash_split: no shuffle, no state). Compute the
+    fractions driver-side from target weights w_d and corpus counts
+    n_d as f_d = min(1, w_d * N_target / n_d)."""
+    u = hash_unit(F.col(id_col))
+    expr = F.lit(1.0)
+    for dom, frac in sorted(fractions.items()):
+        expr = F.when(F.col(domain_col) == dom,
+                      F.lit(float(frac))).otherwise(expr)
+    return df.filter(u < expr)

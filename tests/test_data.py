@@ -661,3 +661,57 @@ def test_kmv_distinct_estimate(spark):
     d_small = small.select("user_id").distinct().count()
     row2 = kmv_distinct(small, "user_id", k=256).head()
     assert row2.distinct_est == float(d_small) == float(row2.k_used)
+
+
+# ---- round 4: Gopher rules / domain mixing ----------------------------
+
+
+def test_gopher_rules_metrics(docs, spark):
+    from incubator_hugegraph_spark.data.clean import gopher_rules
+    out = gopher_rules(docs, stop_words=("the", "a"), min_stop=2)
+    row = out.orderBy("doc_id").head()
+    doc = docs.orderBy("doc_id").head()
+    words = [w for w in doc.text.split() if w]
+    assert row.n_words == len(words)
+    assert abs(row.mean_word_len
+               - sum(len(w) for w in words) / len(words)) < 1e-6
+    assert row.r_word_count == (50 <= len(words) <= 100_000)
+    hits = {w.lower() for w in words} & {"the", "a"}
+    assert row.stop_hits == len(hits)
+    # keep is the conjunction of every rule column
+    bad = out.filter(
+        F.col("keep") != (F.col("r_word_count") & F.col("r_mean_len")
+                          & F.col("r_alpha") & F.col("r_stop")
+                          & F.col("r_bullet") & F.col("r_ellipsis")
+                          & F.col("r_symbol"))).count()
+    assert bad == 0
+
+
+def test_gopher_rules_bullet_and_symbol(spark):
+    from incubator_hugegraph_spark.data.clean import gopher_rules
+    fixture = spark.createDataFrame(
+        [(1, "- one\n- two\n- three\nplain"),
+         (2, "# # # # tag soup"),
+         (3, "trailing off...\nanother line...")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(fixture).collect()}
+    assert abs(out[1].bullet_frac - 0.75) < 1e-6
+    assert out[2].hash_ratio > 0.1 and not out[2].r_symbol
+    assert abs(out[3].ellipsis_frac - 1.0) < 1e-6 and not out[3].r_ellipsis
+
+
+def test_domain_sample_deterministic_and_scoped(docs):
+    from incubator_hugegraph_spark.data.sample import domain_sample
+    fr = {"src0": 0.25, "src1": 0.75}
+    a = domain_sample(docs, fr).select("doc_id")
+    b = domain_sample(docs, fr).select("doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # unlisted domains keep everything
+    n_other = docs.filter(~F.col("source").isin("src0", "src1")).count()
+    kept_other = domain_sample(docs, fr).filter(
+        ~F.col("source").isin("src0", "src1")).count()
+    assert kept_other == n_other
+    # listed domains are subsampled below their full size
+    n0 = docs.filter("source = 'src0'").count()
+    k0 = domain_sample(docs, fr).filter("source = 'src0'").count()
+    assert 0 < k0 < n0
