@@ -2970,6 +2970,35 @@ def cypher_collect_q(spark, sf_dir):
         ORDER BY region""")
 
 
+@_q("cypher_pattern_pred", f"""
+WITH {IE_SQL.strip()},
+outs AS (SELECT DISTINCT src AS id FROM ie),
+ins AS (SELECT DISTINCT dst AS id FROM ie)
+SELECT 'customer!' || c_custkey AS c, c_name AS name,
+       ('customer!' || c_custkey) IN (SELECT id FROM outs) AS out_w,
+       ('customer!' || c_custkey) IN (SELECT id FROM ins) AS in_w
+FROM customer
+WHERE (('customer!' || c_custkey) IN (SELECT id FROM outs))
+   OR (('customer!' || c_custkey) IN (SELECT id FROM ins))
+ORDER BY c
+""")
+def cypher_pattern_pred_q(spark, sf_dir):
+    """openCypher pattern predicates — `(c)-[:x]->()` in WHERE and
+    exists(pattern) in RETURN — compiled as existence-marker
+    semi-joins (the distinct qualifying endpoint set left-joined as
+    one boolean), so they compose under NOT/AND/OR like any
+    predicate. Customers touching the interaction graph on either
+    side, flagged with whether they appear on both."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (c:customer)
+        WHERE (c)-[:interacted]->() OR (c)<-[:interacted]-()
+        RETURN c, c.name AS name,
+               exists((c)-[:interacted]->()) AS out_w,
+               exists((c)<-[:interacted]-()) AS in_w
+        ORDER BY c""")
+
+
 @_q("cypher_list_fns", """
 SELECT p_name AS name,
        list_transform(list_filter(str_split(p_type, ' '),

@@ -690,6 +690,10 @@ class _Parser:
         """Scalar function call ``f(arg, …)`` — names, not keywords
         (aggregates/id/label/path functions parse above)."""
         self._expect_val("(")
+        if fname == "exists" and self._looks_like_pattern():
+            pp = self._pattern_pred()
+            self._expect_val(")")
+            return pp
         if fname in ("any", "all", "none", "single"):
             # quantifier predicates over lists → F.exists / F.forall
             var = self._name()
@@ -766,7 +770,75 @@ class _Parser:
             return ("not", self._bool_not())
         return self._bool_atom()
 
+    def _looks_like_pattern(self) -> bool:
+        """Lookahead at '(': does a node pattern follow (matching ')'
+        then a relationship dash), rather than a parenthesized
+        expression?"""
+        j = self.i
+        if self.toks[j][1] != "(":
+            return False
+        j += 1
+        while j < len(self.toks) and self.toks[j][1] not in (")", "("):
+            j += 1
+        if j >= len(self.toks) or self.toks[j][1] == "(":
+            return False  # nested '(' → boolean/arith grouping
+        return (j + 1 < len(self.toks)
+                and self.toks[j + 1][1] in ("-", "<-", "--"))
+
+    def _pat_node_inner(self) -> tuple[str | None, str | None]:
+        var = label = None
+        if self.peek()[0] == "name":
+            var = self._name()
+        if self.peek()[1] == ":":
+            self.next()
+            label = self._name()
+        return var, label
+
+    def _pattern_pred(self):
+        """Single-hop pattern predicate ``(a)-[:r]->(b)`` (openCypher
+        path-pattern-in-WHERE / exists(pattern)) → ("patpred", …);
+        compiled as an existence marker semi-join, so it composes with
+        NOT/OR/XOR like any boolean."""
+        self._expect_val("(")
+        sv, sl = self._pat_node_inner()
+        self._expect_val(")")
+        rlabel = None
+        left_in = right_out = False
+        lead = self.next()[1]  # '-' | '<-' | '--'
+        if lead == "<-":
+            left_in = True
+        if lead != "--" and self.peek()[1] == "[":
+            self.next()
+            if self.peek()[0] == "name":
+                self._name()  # rel var in a predicate is ignored
+            if self.peek()[1] == ":":
+                self.next()
+                rlabel = self._name()
+            self._expect_val("]")
+        trail = self.peek()[1]
+        if trail == "->":
+            self.next()
+            right_out = True
+        elif trail in ("-", "--"):
+            self.next()
+        elif trail == ">":  # '-->' tokenizes as '--' '>'
+            self.next()
+            right_out = True
+        if left_in and right_out:
+            raise SyntaxError("cypher: pattern predicate cannot point "
+                              "both ways")
+        self._expect_val("(")
+        dv, dl = self._pat_node_inner()
+        self._expect_val(")")
+        direction = "IN" if left_in else "OUT" if right_out else "BOTH"
+        if sv is None and dv is None:
+            raise SyntaxError("cypher: pattern predicate needs a bound "
+                              "variable on at least one end")
+        return ("patpred", sv, sl, rlabel, direction, dv, dl)
+
     def _bool_atom(self):
+        if self.peek()[1] == "(" and self._looks_like_pattern():
+            return self._pattern_pred()
         if self.peek()[1] == "(":
             # `(` is ambiguous: boolean grouping vs arithmetic grouping
             # (`(a.x + 1) > 2`). Try boolean first; backtrack on failure
@@ -812,6 +884,8 @@ class _Parser:
                     self.next()
             self.next("arrow")  # ]
             return ("in", left, vals)
+        if left[0] == "patpred":
+            return left
         if left[0] in ("fn", "prop", "lit", "case", "quant"):
             # bare boolean expression — `exists(n.prop)`, a boolean
             # property, a CASE/quantifier yielding booleans, or a
@@ -898,6 +972,8 @@ class CypherEngine:
         self._created_vars: set[str] = set()
         self._relgen = 0  # hidden rel-var counter for named paths
         self._lambda_env: dict[str, Column] = {}  # comprehension vars
+        self._ppgen = 0  # pattern-predicate marker counter
+        self._pp_cols: dict[int, str] = {}  # id(patpred) → marker col
 
     # ---- column compilation ----------------------------------------
 
@@ -984,6 +1060,13 @@ class CypherEngine:
                 col = F.when(cond, then) if col is None \
                     else col.when(cond, then)
             return col if els is None else col.otherwise(self._col(els))
+        if kind == "patpred":
+            pcol = self._pp_cols.get(id(expr))
+            if pcol is None:
+                raise SyntaxError(
+                    "cypher: pattern predicate not attached (only "
+                    "WHERE and RETURN/WITH items are supported)")
+            return F.coalesce(F.col(pcol), F.lit(False))
         if kind == "listcomp":
             _, var, src, where, mapped = expr
             c = self._col(src)
@@ -1132,6 +1215,13 @@ class CypherEngine:
 
     def _filter(self, cond) -> Column:
         kind = cond[0]
+        if kind == "patpred":
+            col = self._pp_cols.get(id(cond))
+            if col is None:
+                raise SyntaxError(
+                    "cypher: pattern predicates are only supported in "
+                    "WHERE clauses")
+            return F.coalesce(F.col(col), F.lit(False))
         if kind == "cmp":
             _, op, l, r = cond
             lc, rc = self._col(l), self._col(r)
@@ -1473,6 +1563,89 @@ class CypherEngine:
                            if c.startswith("__vl_")])
         return df
 
+    # ---- pattern predicates -----------------------------------------
+
+    def _attach_patpred(self, df: DataFrame, pp) -> tuple[DataFrame, str]:
+        """Join an existence marker for one pattern predicate: the
+        distinct qualifying endpoint set (a semi-join-shaped dimension
+        — exactly the plan EXISTS would pick), left-joined as one
+        boolean column so the predicate composes under NOT/OR/XOR.
+        At scale this is a single shuffle on the anchor id; the marker
+        is bounded by the distinct-endpoint count of the (label-
+        filtered) edge set, never the edge multiplicity."""
+        _, sv, sl, rlabel, direction, dv, dl = pp
+        col = f"__pp_{self._ppgen}"
+        self._ppgen += 1
+        g = self.graph
+        e = g.edges
+        if rlabel is not None:
+            e = e.filter(F.col("label") == rlabel)
+        pairs = e.select(F.col("src").alias("__ppa"),
+                         F.col("dst").alias("__ppb"))
+        if direction == "IN":
+            pairs = e.select(F.col("dst").alias("__ppa"),
+                             F.col("src").alias("__ppb"))
+        elif direction == "BOTH":
+            pairs = pairs.unionByName(
+                e.select(F.col("dst").alias("__ppa"),
+                         F.col("src").alias("__ppb")))
+
+        def restrict(p: DataFrame, key: str, lab: str | None) -> DataFrame:
+            if lab is None:
+                return p
+            ids = g.vertices.filter(F.col("label") == lab).select(
+                F.col("id").alias(key))
+            return p.join(ids, on=key, how="leftsemi")
+
+        sb = sv is not None and sv in self._bound
+        db = dv is not None and dv in self._bound
+        if not sb and not db:
+            raise SyntaxError(
+                "cypher: pattern predicate must reference a matched "
+                f"variable ({sv or dv or '?'} is not bound)")
+        if sb and db:
+            if sv == dv:  # self-loop pattern (c)-->(c)
+                marker = (pairs.filter(F.col("__ppa") == F.col("__ppb"))
+                          .select(F.col("__ppa").alias(sv)).distinct()
+                          .withColumn(col, F.lit(True)))
+                return df.join(marker, on=sv, how="left"), col
+            marker = (pairs.select(F.col("__ppa").alias(sv),
+                                   F.col("__ppb").alias(dv))
+                      .distinct().withColumn(col, F.lit(True)))
+            return df.join(marker, on=[sv, dv], how="left"), col
+        anchor, far_key, far_lab, near_lab = (
+            (sv, "__ppb", dl, sl) if sb else (dv, "__ppa", sl, dl))
+        pairs = restrict(pairs, far_key, far_lab)
+        key = "__ppa" if sb else "__ppb"
+        marker = (pairs.select(F.col(key).alias(anchor)).distinct()
+                  .withColumn(col, F.lit(True)))
+        return df.join(marker, on=anchor, how="left"), col
+
+    def _apply_where(self, df: DataFrame, conds: list) -> DataFrame:
+        """Attach pattern-predicate markers, filter, drop markers."""
+        pps: list = []
+
+        def walk(c) -> None:
+            if not isinstance(c, tuple):
+                return
+            if c[0] == "patpred":
+                pps.append(c)
+                return
+            for part in c[1:]:
+                if isinstance(part, tuple):
+                    walk(part)
+
+        for cond in conds:
+            walk(cond)
+        cols = []
+        for pp in pps:
+            df, c = self._attach_patpred(df, pp)
+            self._pp_cols[id(pp)] = c
+            cols.append(c)
+        for cond in conds:
+            df = df.filter(self._filter(cond))
+        return df.drop(*cols)
+
     # ---- clause application ----------------------------------------
 
     def _apply_match(self, df: DataFrame | None, mc: _MatchClause) \
@@ -1493,8 +1666,8 @@ class CypherEngine:
             sub_bound: set[str] = set()
             sub = self._pattern_df(mc, None, sub_bound,
                                    skip_node_vars=set(shared))
-            for cond in mc.where:
-                sub = sub.filter(self._filter(cond))
+            self._bound |= sub_bound  # visible to pattern predicates
+            sub = self._apply_where(sub, mc.where)
             if shared:
                 df = df.join(sub, on=shared, how="left")
             else:
@@ -1505,9 +1678,7 @@ class CypherEngine:
         df = self._pattern_df(mc, df, self._bound)
         self._track_rel_vars(mc)
         df = self._hydrate(df, where_vars)
-        for cond in mc.where:
-            df = df.filter(self._filter(cond))
-        return df
+        return self._apply_where(df, mc.where)
 
     def _track_rel_vars(self, mc: _MatchClause) -> None:
         for rel in mc.rels:
@@ -1526,6 +1697,30 @@ class CypherEngine:
         for cond in p.where:
             _cond_vars(cond, needed)
         df = self._hydrate(df, needed)
+
+        # RETURN/WITH items may embed pattern predicates
+        # (exists((n)-[:x]->()) as a projected boolean) — attach their
+        # existence markers before the select compiles
+        pp_items: list = []
+
+        def wpp(e) -> None:
+            if not isinstance(e, tuple):
+                return
+            if e[0] == "patpred":
+                pp_items.append(e)
+                return
+            for part in e[1:]:
+                if isinstance(part, tuple):
+                    wpp(part)
+                elif isinstance(part, list):
+                    for sub in part:
+                        wpp(sub)
+
+        for e, _ in items:
+            wpp(e)
+        for pp in pp_items:
+            df, c = self._attach_patpred(df, pp)
+            self._pp_cols[id(pp)] = c
 
         has_agg = any(e[0] == "agg" for e, _ in items)
         carried_nodes: list[tuple[str, str]] = []  # (old var, alias)
@@ -1619,7 +1814,7 @@ class CypherEngine:
                 hv: set[str] = set()
                 _cond_vars(cond, hv)
                 df = self._hydrate(df, hv)
-                df = df.filter(self._filter(cond))
+            df = self._apply_where(df, p.where)
         return df
 
     def run(self, query: str) -> DataFrame:

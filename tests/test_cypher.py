@@ -620,3 +620,63 @@ def test_quantifier_in_where(graph):
     want = graph.view("part").filter(
         F.array_contains(F.split("type", " "), "BRASS")).count()
     assert n == want
+
+
+# ---- round 4 (cont.): pattern predicates -----------------------------
+
+
+def test_pattern_pred_basic(graph):
+    n = cypher(graph, """
+        MATCH (c:customer) WHERE (c)-[:placed]->()
+        RETURN count(*) AS n""").head().n
+    want = graph.edges.filter("label='placed'") \
+        .select("src").distinct().count()
+    assert n == want
+
+
+def test_pattern_pred_not_exists_and_far_label(graph):
+    n = cypher(graph, """
+        MATCH (c:customer)
+        WHERE NOT exists((c)-[:placed]->(:order))
+        RETURN count(*) AS n""").head().n
+    want = graph.view("customer").count() - graph.edges.filter(
+        "label='placed'").select("src").distinct().count()
+    assert n == want
+
+
+def test_pattern_pred_pair_and_direction(graph):
+    n = cypher(graph, """
+        MATCH (n:nation), (r:region)
+        WHERE (n)-[:located_in]->(r)
+        RETURN count(*) AS n""").head().n
+    assert n == graph.edges.filter("label='located_in'").count()
+    m = cypher(graph, """
+        MATCH (r:region) WHERE (r)<-[:located_in]-()
+        RETURN count(*) AS n""").head().n
+    assert m == graph.edges.filter("label='located_in'") \
+        .select("dst").distinct().count()
+
+
+def test_pattern_pred_undirected_and_or(graph):
+    total = cypher(graph, """
+        MATCH (n:nation) WHERE (n)--() RETURN count(*) AS n""").head().n
+    assert total == graph.view("nation").count()  # all touch an edge
+    both = cypher(graph, """
+        MATCH (c:customer)
+        WHERE (c)-[:placed]->() OR c.acctbal < 0
+        RETURN count(*) AS n""").head().n
+    assert both == graph.edges.filter("label='placed'") \
+        .select("src").distinct().count()  # every customer has orders
+
+
+def test_pattern_pred_in_return(graph):
+    rows = cypher(graph, """
+        MATCH (r:region)
+        RETURN r.name AS nm, exists((r)<-[:located_in]-()) AS has_n
+        ORDER BY nm""").collect()
+    assert all(r.has_n for r in rows)
+    rows2 = cypher(graph, """
+        MATCH (n:nation)
+        RETURN n.name AS nm, exists((n)-[:placed]->()) AS x
+        LIMIT 3""").collect()
+    assert all(not r.x for r in rows2)
