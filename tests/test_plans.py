@@ -135,3 +135,49 @@ def test_pagerank_round_has_no_edge_shuffle(graph):
     assert len(aggs) >= 2, plan
     between = lines[aggs[0] + 1:aggs[1]]
     assert not any("Exchange hashpartitioning" in l for l in between), plan
+
+
+def test_cypher_list_fns_stay_in_projection(graph):
+    """List comprehensions / quantifiers / reduce() compile to Spark
+    higher-order functions riding the scan projection: no Exchange,
+    no BatchEvalPython in the plan."""
+    from incubator_hugegraph_spark.cypher import cypher
+    df = cypher(graph, """
+        MATCH (p:part)
+        RETURN [w IN split(p.type, ' ') WHERE w <> 'X' | tolower(w)]
+                 AS words,
+               reduce(acc = 0, w IN split(p.type, ' ')
+                      | acc + size(w)) AS chars""")
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_pattern_pred_is_marker_join_not_cartesian(graph):
+    """A pattern predicate compiles to a distinct-endpoint marker
+    left-join: no CartesianProduct, and the edge side aggregates to
+    distinct keys before joining (never joins raw edge multiplicity
+    onto the vertex stream)."""
+    from incubator_hugegraph_spark.cypher import cypher
+    df = cypher(graph, """
+        MATCH (c:customer) WHERE (c)-[:placed]->()
+        RETURN count(*) AS n""")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_gremlin_branch_is_one_union_plan(graph):
+    """branch().option() compiles to filtered branch plans unioned in
+    ONE Catalyst tree — a Union node, no cartesian, no Python."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    df = eval_gremlin(
+        graph, "g.V().hasLabel('region')"
+               ".branch(__.values('name'))"
+               ".option('AFRICA', __.values('name'))"
+               ".option(Pick.none, __.constant('other'))")
+    plan = _plan(df)
+    assert "Union" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
