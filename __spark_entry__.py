@@ -2970,6 +2970,30 @@ def cypher_collect_q(spark, sf_dir):
         ORDER BY region""")
 
 
+@_q("cypher_foreach", """
+SELECT 'nation!' || n_nationkey AS n FROM nation
+UNION ALL
+SELECT 'region!' || r_regionkey AS n FROM region
+ORDER BY n
+""")
+def cypher_foreach_q(spark, sf_dir):
+    """openCypher FOREACH (x IN nodes(p) | SET …) — the path-marking
+    write idiom: explode the path's node list to a distinct id set,
+    one batch upsert (isolated graph copy), read the mark back
+    through the generic scan."""
+    from incubator_hugegraph_spark.cypher import cypher
+    g0 = _graph(spark, sf_dir)
+    g = PropertyGraph(g0.spark, g0.vertices, g0.edges, schema=g0.schema,
+                      vertex_views=dict(g0.vertex_views),
+                      edge_views=dict(g0.edge_views))
+    cypher(g, """
+        MATCH p = (n:nation)-[:located_in]->(r:region)
+        FOREACH (x IN nodes(p) | SET x.touched = 'y')""")
+    return cypher(g, """
+        MATCH (m) WHERE m.touched = 'y'
+        RETURN m AS n ORDER BY n""")
+
+
 @_q("cypher_pattern_pred", f"""
 WITH {IE_SQL.strip()},
 outs AS (SELECT DISTINCT src AS id FROM ie),

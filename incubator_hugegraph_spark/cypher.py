@@ -121,7 +121,7 @@ _TOKEN_RE = re.compile(r"""
               |AND|OR|XOR|ASC|DESC|AS|IN|CONTAINS|STARTS|ENDS|WITH|NOT|IS
               |NULL|COUNT|SUM|AVG|MIN|MAX|ID|LABEL|UNWIND|CREATE|SET|DELETE
               |DETACH|NODES|RELATIONSHIPS|LENGTH|MERGE|ON|CASE|WHEN|THEN
-              |ELSE|END|UNION|ALL|REMOVE|COLLECT)\b)
+              |ELSE|END|UNION|ALL|REMOVE|COLLECT|FOREACH)\b)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'(?:[^'\\]|\\.)*')
     | (?P<cmp><>|<=|>=|=|<|>|\*|\+|/|\|)
@@ -229,6 +229,16 @@ class _Remove:
 
 
 @dataclass
+class _Foreach:
+    """FOREACH (x IN list | SET …) — per-element write over a list
+    expression (openCypher's path-marking idiom; SET is the supported
+    body, the overwhelmingly common form)."""
+    var: str = ""
+    src: tuple = ()
+    sets: list = field(default_factory=list)
+
+
+@dataclass
 class _Query:
     clauses: list = field(default_factory=list)  # _MatchClause|_Proj|_Unwind
     final: _Proj | None = None
@@ -316,6 +326,21 @@ class _Parser:
                         break
                     self.next()
                 q.clauses.append(r)
+            elif t == "FOREACH":
+                self.next()
+                self._expect_val("(")
+                fe = _Foreach(var=self._name())
+                self.next("IN")
+                fe.src = self._expr()
+                self._expect_val("|")
+                while self.peek()[0] == "SET":
+                    self.next()
+                    fe.sets.append(self._set_clause())
+                if not fe.sets:
+                    raise SyntaxError(
+                        "cypher: FOREACH body supports SET clauses")
+                self._expect_val(")")
+                q.clauses.append(fe)
             elif t in ("DELETE", "DETACH"):
                 detach = self.accept("DETACH")
                 self.next("DELETE")
@@ -333,7 +358,7 @@ class _Parser:
                 break
             elif t == "EOF" and any(
                     isinstance(c, (_Create, _Set, _Delete, _Merge,
-                                   _Remove))
+                                   _Remove, _Foreach))
                     for c in q.clauses):
                 break  # write query without RETURN → summary result
             else:
@@ -1846,6 +1871,8 @@ class CypherEngine:
                 df = self._apply_delete(df, clause)
             elif isinstance(clause, _Remove):
                 df = self._apply_remove(df, clause)
+            elif isinstance(clause, _Foreach):
+                df = self._apply_foreach(df, clause)
             else:
                 df = self._apply_proj(df, clause)
         if q.final is None:
@@ -2085,6 +2112,37 @@ class CypherEngine:
         raise SyntaxError(
             "cypher: unsupported MERGE shape — use a single unbound "
             "labeled node, or a relationship between bound vars")
+
+    def _apply_foreach(self, df: DataFrame | None,
+                       fe: _Foreach) -> DataFrame:
+        """FOREACH (x IN list | SET …): explode the list expression to
+        a distinct id set, hydrate labels/props from the vertex table,
+        and run the body's SET batches against it. The outer row
+        stream passes through unchanged (openCypher FOREACH has no
+        projection effect) — one explode + one 1:1 vertex join per
+        FOREACH, then the same batch upsert as a plain SET."""
+        if df is None:
+            raise SyntaxError("cypher: FOREACH requires a preceding "
+                              "MATCH")
+        g = self.graph
+        ids = df.select(
+            F.explode(self._col(fe.src)).alias(fe.var)).distinct()
+        v = g.vertices.select(
+            F.col("id").alias(fe.var),
+            F.col("label").alias(f"__l_{fe.var}"),
+            F.col("props").alias(f"__p_{fe.var}"))
+        sub = ids.join(v, on=fe.var)
+        had_label = fe.var in self._labels
+        self._labels.setdefault(fe.var, None)
+        self._bound.add(fe.var)
+        try:
+            for s in fe.sets:
+                sub = self._apply_set(sub, s)
+        finally:
+            self._bound.discard(fe.var)
+            if not had_label:
+                self._labels.pop(fe.var, None)
+        return df
 
     def _apply_set(self, df: DataFrame | None, s: _Set) -> DataFrame:
         from collections import defaultdict

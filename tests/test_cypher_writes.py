@@ -286,3 +286,35 @@ def test_remove_label_rejected(wgraph):
     import pytest as _pt
     with _pt.raises(SyntaxError, match="single-label"):
         cypher(wgraph, "MATCH (n:person) REMOVE n:person")
+
+
+# ---- round 4 (cont.): FOREACH ----------------------------------------
+
+
+def test_foreach_marks_path_nodes(wgraph):
+    # chain: marko -> peter -> josh -> vadas
+    cypher(wgraph, """
+        MATCH p = (a:person)-[:knows*1..2]->(b:person)
+        WHERE a.name = 'marko'
+        FOREACH (n IN nodes(p) | SET n.city = 'Marked')""")
+    rows = {r.nm: r.c for r in cypher(wgraph, """
+        MATCH (n:person) RETURN n.name AS nm, n.city AS c""").collect()}
+    # depth ≤2 from marko touches marko, peter, josh — vadas is 3 away
+    assert rows["marko"] == "Marked"
+    assert rows["peter"] == "Marked"
+    assert rows["josh"] == "Marked"
+    assert rows["vadas"] == "HongKong"
+
+
+def test_foreach_literal_list_and_expression(wgraph):
+    cypher(wgraph, """
+        MATCH (n:person) WHERE n.name = 'vadas'
+        FOREACH (x IN [n] | SET x.age = 27)""")
+    assert cypher(wgraph, "MATCH (n:person) WHERE n.name = 'vadas' "
+                          "RETURN n.age AS a").head().a == 27
+
+
+def test_foreach_requires_set_body(wgraph):
+    import pytest as _pt
+    with _pt.raises(SyntaxError, match="FOREACH"):
+        cypher(wgraph, "MATCH (n:person) FOREACH (x IN [n] | )")
