@@ -803,10 +803,13 @@ class _Parser:
         if self.toks[j][1] != "(":
             return False
         j += 1
-        while j < len(self.toks) and self.toks[j][1] not in (")", "("):
+        while j < len(self.toks) and self.toks[j][1] not in (")", "(",
+                                                             "."):
             j += 1
-        if j >= len(self.toks) or self.toks[j][1] == "(":
-            return False  # nested '(' → boolean/arith grouping
+        if j >= len(self.toks) or self.toks[j][1] in ("(", "."):
+            # nested '(' or a property access → boolean/arith grouping
+            # (a node-pattern interior is only [name][:label][{...}])
+            return False
         return (j + 1 < len(self.toks)
                 and self.toks[j + 1][1] in ("-", "<-", "--"))
 
