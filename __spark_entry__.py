@@ -3050,6 +3050,95 @@ def cypher_list_fns_q(spark, sf_dir):
                  AS has_brass""")
 
 
+@_q("cypher_exists_sub", """
+SELECT DISTINCT n_name AS nm FROM nation
+WHERE n_nationkey IN
+      (SELECT c_nationkey FROM customer WHERE c_acctbal > 9000.0)
+ORDER BY nm
+""")
+def cypher_exists_sub_q(spark, sf_dir):
+    """openCypher/GQL EXISTS { MATCH … WHERE … } existential
+    subquery — the body compiles standalone (OPTIONAL MATCH
+    machinery), distinct-reduces to the correlated var, and
+    left-joins back as one boolean marker: a single shuffle on the
+    shared key, marker cardinality bounded by distinct correlated
+    keys (never the subquery's match multiplicity)."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (n:nation)
+        WHERE EXISTS { MATCH (n)<-[:in_nation]-(c:customer)
+                       WHERE c.acctbal > 9000.0 }
+        RETURN n.name AS nm ORDER BY nm""")
+
+
+@_q("cypher_count_sub", """
+SELECT n_name AS nm,
+       (SELECT count(*) FROM customer
+        WHERE c_nationkey = n_nationkey) AS custs,
+       (SELECT count(*) FROM customer
+        WHERE c_nationkey = n_nationkey
+          AND c_acctbal < 0.0) AS broke
+FROM nation ORDER BY nm
+""")
+def cypher_count_sub_q(spark, sf_dir):
+    """GQL COUNT { … } counting subquery, in RETURN position —
+    compiles to groupBy(shared).count() on the subquery side plus a
+    left join (missing keys coalesce to 0), so the count never
+    inflates the outer row multiplicity the way a direct join
+    would."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (n:nation)
+        RETURN n.name AS nm,
+               COUNT { (n)<-[:in_nation]-() } AS custs,
+               COUNT { MATCH (n)<-[:in_nation]-(c)
+                       WHERE c.acctbal < 0.0 } AS broke
+        ORDER BY nm""")
+
+
+@_q("cypher_keys_props", """
+SELECT c_name AS nm,
+       CASE WHEN c_mktsegment IS NULL THEN ['acctbal', 'name']
+            ELSE ['acctbal', 'mktsegment', 'name'] END AS ks
+FROM customer WHERE c_acctbal > 9900.0 ORDER BY nm
+""")
+def cypher_keys_props_q(spark, sf_dir):
+    """openCypher keys(n) — present-property names, sorted. On a
+    typed-view var the list is rebuilt from the pruned per-label
+    columns (null → absent, openCypher semantics) so the scan stays
+    a column-pruned parquet read; generic vars use map_keys on the
+    carried props map."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (c:customer) WHERE c.acctbal > 9900.0
+        RETURN c.name AS nm, keys(c) AS ks ORDER BY nm""")
+
+
+@_q("cypher_percentiles", """
+SELECT n_name AS nm,
+       round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+       round(quantile_disc(c_acctbal, 0.25), 6) AS p25,
+       round(stddev_samp(c_acctbal), 6) AS sd,
+       round(stddev_pop(c_acctbal), 6) AS sdp
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY nm
+""")
+def cypher_percentiles_q(spark, sf_dir):
+    """openCypher statistical aggregates — stDev/stDevP (partial-
+    aggregating JVM expressions) and percentileCont/percentileDisc
+    (exact SQL percentile / percentile_disc WITHIN GROUP): one hash
+    aggregate, no per-group collect, map-side partials intact."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (c:customer)-[:in_nation]->(n:nation)
+        RETURN n.name AS nm,
+               percentileCont(c.acctbal, 0.5) AS p50,
+               percentileDisc(c.acctbal, 0.25) AS p25,
+               stDev(c.acctbal) AS sd,
+               stDevP(c.acctbal) AS sdp
+        ORDER BY nm""")
+
+
 @_q("cypher_remove", """
 SELECT 'customer!' || c_custkey AS n, c_name AS name,
        CASE WHEN c_acctbal < 0 THEN NULL

@@ -700,6 +700,11 @@ class _Parser:
         if t[0] == "name" or (t[0].isalpha() and t[0].isupper()
                               and t[0] != "EOF"):
             var = self._name()
+            if var.upper() in ("EXISTS", "COUNT") \
+                    and self.peek()[1] == "{":
+                return self._subquery_expr(
+                    "existssub" if var.upper() == "EXISTS"
+                    else "countsub")
             if t[0] == "name" and self.peek()[1] == "(":
                 return self._fn_call(var.lower())
             if var.lower() in ("true", "false") and self.peek()[1] != ".":
@@ -710,6 +715,22 @@ class _Parser:
                 return ("prop", var, prop)
             return ("var", var)
         raise SyntaxError(f"cypher: bad operand {t}")
+
+    def _subquery_expr(self, kind: str):
+        """``EXISTS { [MATCH] pattern [WHERE …] }`` /
+        ``COUNT { … }`` — openCypher/GQL existential and counting
+        subqueries. The body is one MATCH clause (comma patterns +
+        WHERE); vars shared with the outer query correlate the
+        subquery (openCypher name-sharing rule), vars introduced
+        inside stay local."""
+        self._expect_val("{")
+        self.accept("MATCH")
+        mc = _MatchClause()
+        self._pattern(mc)
+        if self.accept("WHERE"):
+            mc.where.extend(self._where_conds())
+        self._expect_val("}")
+        return (kind, mc)
 
     def _fn_call(self, fname: str):
         """Scalar function call ``f(arg, …)`` — names, not keywords
@@ -753,6 +774,17 @@ class _Parser:
             if len(args) != 1 or args[0][0] != "var":
                 raise SyntaxError("cypher: labels() takes a node variable")
             return ("labels", args[0])
+        if fname in ("stdev", "stdevp"):
+            if len(args) != 1:
+                raise SyntaxError(f"cypher: {fname}() takes one argument")
+            return ("agg", fname.upper(), args[0], False)
+        if fname in ("percentilecont", "percentiledisc"):
+            if len(args) != 2 or args[1][0] != "lit":
+                raise SyntaxError(
+                    f"cypher: {fname}(expr, p) needs a literal "
+                    "percentile")
+            return ("agg", fname.upper(), args[0], False,
+                    float(args[1][1]))
         return ("fn", fname, args)
 
     # Boolean WHERE grammar, openCypher precedence NOT > AND > XOR > OR.
@@ -912,7 +944,7 @@ class _Parser:
                     self.next()
             self.next("arrow")  # ]
             return ("in", left, vals)
-        if left[0] == "patpred":
+        if left[0] in ("patpred", "existssub"):
             return left
         if left[0] in ("fn", "prop", "lit", "case", "quant"):
             # bare boolean expression — `exists(n.prop)`, a boolean
@@ -952,6 +984,10 @@ def _default_alias(expr) -> str:
         return f"labels_{expr[1][1]}"
     if kind == "case":
         return "case"
+    if kind == "existssub":
+        return "exists"
+    if kind == "countsub":
+        return "count"
     if kind == "arith":
         raise SyntaxError(
             "cypher: arithmetic RETURN/WITH items need an AS alias")
@@ -967,6 +1003,11 @@ def _expr_vars(expr, out: set[str]) -> None:
         return
     if expr[0] in ("label", "labels"):
         out.add(expr[1][1])
+        return
+    if expr[0] == "fn" and expr[1] in ("properties", "keys"):
+        for a in expr[2]:
+            if isinstance(a, tuple) and a[0] == "var":
+                out.add(a[1])
         return
     for part in expr[1:]:
         if isinstance(part, tuple):
@@ -1088,13 +1129,20 @@ class CypherEngine:
                 col = F.when(cond, then) if col is None \
                     else col.when(cond, then)
             return col if els is None else col.otherwise(self._col(els))
-        if kind == "patpred":
+        if kind in ("patpred", "existssub"):
             pcol = self._pp_cols.get(id(expr))
             if pcol is None:
                 raise SyntaxError(
                     "cypher: pattern predicate not attached (only "
                     "WHERE and RETURN/WITH items are supported)")
             return F.coalesce(F.col(pcol), F.lit(False))
+        if kind == "countsub":
+            pcol = self._pp_cols.get(id(expr))
+            if pcol is None:
+                raise SyntaxError(
+                    "cypher: COUNT { … } not attached (only WHERE "
+                    "and RETURN/WITH items are supported)")
+            return F.coalesce(F.col(pcol), F.lit(0)).cast("long")
         if kind == "listcomp":
             _, var, src, where, mapped = expr
             c = self._col(src)
@@ -1159,6 +1207,34 @@ class CypherEngine:
         (api/opencypher/CypherOpProcessor.java — full openCypher via
         CypherAst; these are the functions its test queries and the
         openCypher TCK lean on)."""
+        if name in ("properties", "keys"):
+            # properties(n) → the node's property map; keys(n) → its
+            # present-property names, sorted (openCypher returns only
+            # EXISTING properties — nulls are absent). Typed-view vars
+            # rebuild the map from their pruned columns; generic vars
+            # carry the props map already.
+            if len(args) != 1 or args[0][0] != "var":
+                raise SyntaxError(
+                    f"cypher: {name}() takes a node variable")
+            var = args[0][1]
+            if var in self._typed_cols:
+                props = sorted(self._typed_cols[var])
+                pairs = []
+                for p in props:
+                    c = F.col(f"__c_{var}_{p}")
+                    pairs.append(F.when(c.isNotNull(), F.struct(
+                        F.lit(p).alias("k"),
+                        c.cast("string").alias("v"))))
+                present = F.filter(F.array(*pairs),
+                                   lambda x: x.isNotNull())
+                if name == "keys":
+                    return F.sort_array(
+                        F.transform(present, lambda x: x["k"]))
+                return F.map_from_entries(present)
+            m = F.col(f"__p_{var}")
+            if name == "keys":
+                return F.sort_array(F.map_keys(m))
+            return m
         cols = [self._col(a) for a in args]
         n = len(cols)
 
@@ -1243,7 +1319,7 @@ class CypherEngine:
 
     def _filter(self, cond) -> Column:
         kind = cond[0]
-        if kind == "patpred":
+        if kind in ("patpred", "existssub"):
             col = self._pp_cols.get(id(cond))
             if col is None:
                 raise SyntaxError(
@@ -1649,6 +1725,53 @@ class CypherEngine:
                   .withColumn(col, F.lit(True)))
         return df.join(marker, on=anchor, how="left"), col
 
+    def _attach_subquery(self, df: DataFrame, node) \
+            -> tuple[DataFrame, str]:
+        """EXISTS{}/COUNT{} subquery → one marker column. The body
+        compiles standalone (same machinery as OPTIONAL MATCH),
+        grouped/distinct'ed down to the correlated (shared) vars, and
+        left-joins back as a boolean / count. At scale: one shuffle on
+        the shared-var key; marker cardinality is bounded by the
+        distinct correlated-key count, never the subquery's match
+        multiplicity. Reference anchor: the openCypher translation
+        layer (api/opencypher/CypherOpProcessor.java) accepts full
+        openCypher incl. existential subqueries."""
+        kind, mc = node
+        col = f"__pp_{self._ppgen}"
+        self._ppgen += 1
+        inner = set(mc.nodes) | {r.src for r in mc.rels} \
+            | {r.dst for r in mc.rels}
+        shared = sorted(v for v in inner & self._bound if v)
+        if not shared:
+            raise SyntaxError(
+                "cypher: EXISTS/COUNT { … } must use at least one "
+                "variable bound in the outer query")
+        for var, lab in mc.nodes.items():
+            if lab and self._labels.get(var) is None:
+                self._labels[var] = lab
+        sub_bound: set[str] = set()
+        sub = self._pattern_df(mc, None, sub_bound,
+                               skip_node_vars=set(shared))
+        saved = set(self._bound)
+        self._bound |= sub_bound
+        try:
+            sub = self._apply_where(sub, mc.where)
+        finally:
+            self._bound = saved
+        if kind == "existssub":
+            marker = (sub.select(*shared).distinct()
+                      .withColumn(col, F.lit(True)))
+        else:
+            marker = sub.groupBy(*shared).agg(
+                F.count(F.lit(1)).alias(col))
+        return df.join(marker, on=shared, how="left"), col
+
+    def _attach_marker(self, df: DataFrame, node) \
+            -> tuple[DataFrame, str]:
+        if node[0] == "patpred":
+            return self._attach_patpred(df, node)
+        return self._attach_subquery(df, node)
+
     def _apply_where(self, df: DataFrame, conds: list) -> DataFrame:
         """Attach pattern-predicate markers, filter, drop markers."""
         pps: list = []
@@ -1656,18 +1779,21 @@ class CypherEngine:
         def walk(c) -> None:
             if not isinstance(c, tuple):
                 return
-            if c[0] == "patpred":
+            if c[0] in ("patpred", "existssub", "countsub"):
                 pps.append(c)
                 return
             for part in c[1:]:
                 if isinstance(part, tuple):
                     walk(part)
+                elif isinstance(part, list):
+                    for sub in part:
+                        walk(sub)
 
         for cond in conds:
             walk(cond)
         cols = []
         for pp in pps:
-            df, c = self._attach_patpred(df, pp)
+            df, c = self._attach_marker(df, pp)
             self._pp_cols[id(pp)] = c
             cols.append(c)
         for cond in conds:
@@ -1734,7 +1860,7 @@ class CypherEngine:
         def wpp(e) -> None:
             if not isinstance(e, tuple):
                 return
-            if e[0] == "patpred":
+            if e[0] in ("patpred", "existssub", "countsub"):
                 pp_items.append(e)
                 return
             for part in e[1:]:
@@ -1747,7 +1873,7 @@ class CypherEngine:
         for e, _ in items:
             wpp(e)
         for pp in pp_items:
-            df, c = self._attach_patpred(df, pp)
+            df, c = self._attach_marker(df, pp)
             self._pp_cols[id(pp)] = c
 
         has_agg = any(e[0] == "agg" for e, _ in items)
@@ -1755,10 +1881,11 @@ class CypherEngine:
         if has_agg:
             keys = [(e, a) for e, a in items if e[0] != "agg"]
             aggs = []
+            pre_cols: list[tuple[str, Column]] = []
             for e, a in items:
                 if e[0] != "agg":
                     continue
-                _, fn, inner, distinct = e
+                fn, inner, distinct = e[1], e[2], e[3]
                 if fn == "COUNT" and inner is None:
                     aggs.append(F.count(F.lit(1)).alias(a))
                     continue
@@ -1774,11 +1901,33 @@ class CypherEngine:
                     agg = F.collect_set(c) if distinct \
                         else F.collect_list(c)
                     aggs.append(F.sort_array(agg).alias(a))
+                elif fn in ("STDEV", "STDEVP"):
+                    f = F.stddev_samp if fn == "STDEV" else F.stddev_pop
+                    aggs.append(F.round(f(c.cast("double")), 6).alias(a))
+                elif fn in ("PERCENTILECONT", "PERCENTILEDISC"):
+                    pct = float(e[4])
+                    cd = c.cast("double")
+                    if fn == "PERCENTILECONT":
+                        # exact linear-interpolated percentile (SQL
+                        # percentile_cont) — a partial-aggregating
+                        # JVM expression, no per-group collect
+                        aggs.append(F.round(
+                            F.percentile(cd, F.lit(pct)), 6).alias(a))
+                    else:
+                        # percentile_disc needs WITHIN GROUP syntax →
+                        # pre-project the value to a named column
+                        tmp = f"__pct_{len(pre_cols)}"
+                        pre_cols.append((tmp, cd))
+                        aggs.append(F.round(F.expr(
+                            f"percentile_disc({pct}) WITHIN GROUP "
+                            f"(ORDER BY {tmp})"), 6).alias(a))
                 else:
                     c = c.cast("double")
                     f = {"SUM": F.sum, "AVG": F.avg,
                          "MIN": F.min, "MAX": F.max}[fn]
                     aggs.append(F.round(f(c), 6).alias(a))
+            for tmp, cc in pre_cols:
+                df = df.withColumn(tmp, cc)
             df = df.groupBy(*[self._col(e).alias(a) for e, a in keys]) \
                 .agg(*aggs) if keys else df.agg(*aggs)
             if p.is_with:

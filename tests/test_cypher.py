@@ -680,3 +680,87 @@ def test_pattern_pred_in_return(graph):
         RETURN n.name AS nm, exists((n)-[:placed]->()) AS x
         LIMIT 3""").collect()
     assert all(not r.x for r in rows2)
+
+
+def test_exists_subquery_where(graph):
+    # EXISTS {} ≡ the equivalent pattern semi-join
+    got = cypher(graph, """
+        MATCH (n:nation)
+        WHERE EXISTS { MATCH (n)<-[:in_nation]-(c:customer)
+                       WHERE c.acctbal > 9000.0 }
+        RETURN n.name AS nm ORDER BY nm""").collect()
+    rich = (graph.view("customer").filter("acctbal > 9000.0")
+            .select(F.concat(F.lit("customer!"), F.col("name"))))
+    nat = (graph.edges.filter("label='in_nation'")
+           .join(graph.view("customer").filter("acctbal > 9000.0")
+                 .select(F.col("id").alias("src")), on="src")
+           .select("dst").distinct().count())
+    assert len(got) == nat
+
+
+def test_not_exists_subquery(graph):
+    # NOT EXISTS {} composes through the boolean layer
+    without = cypher(graph, """
+        MATCH (n:nation)
+        WHERE NOT EXISTS { (n)<-[:supplier_nation]-() }
+        RETURN count(*) AS n""").head().n
+    with_sup = (graph.edges.filter("label='supplier_nation'")
+                .select("dst").distinct().count())
+    total = graph.view("nation").count()
+    assert without == total - with_sup
+
+
+def test_count_subquery_return_and_where(graph):
+    rows = cypher(graph, """
+        MATCH (n:nation)
+        RETURN n AS id, COUNT { (n)<-[:in_nation]-() } AS custs
+        ORDER BY id""").collect()
+    manual = dict(graph.edges.filter("label='in_nation'")
+                  .groupBy("dst").count().collect())
+    for r in rows:
+        assert r.custs == manual.get(r.id, 0)
+    heavy = cypher(graph, """
+        MATCH (c:customer) WHERE COUNT { (c)-[:placed]->() } >= 15
+        RETURN count(*) AS n""").head().n
+    manual2 = (graph.edges.filter("label='placed'")
+               .groupBy("src").count().filter("count >= 15").count())
+    assert heavy == manual2
+
+
+def test_keys_and_properties_typed(graph):
+    rows = cypher(graph, """
+        MATCH (c:customer) RETURN keys(c) AS ks, properties(c) AS pm
+        LIMIT 3""").collect()
+    for r in rows:
+        assert r.ks == sorted(r.ks)
+        assert set(r.ks) <= {"name", "acctbal", "mktsegment"}
+        assert set(r.pm.keys()) == set(r.ks)  # same present-props
+        assert "name" in r.ks
+
+
+def test_keys_generic_var(graph):
+    # unlabeled var → generic props-map path
+    rows = cypher(graph, """
+        MATCH (m) WHERE m.name = 'AFRICA' RETURN keys(m) AS ks""") \
+        .collect()
+    assert rows and rows[0].ks == ["name"]
+
+
+def test_statistical_aggregates(graph):
+    import math
+    row = cypher(graph, """
+        MATCH (c:customer)
+        RETURN stDev(c.acctbal) AS sd, stDevP(c.acctbal) AS sdp,
+               percentileCont(c.acctbal, 0.5) AS p50,
+               percentileDisc(c.acctbal, 0.25) AS p25""").head()
+    vals = sorted(r.acctbal for r in
+                  graph.view("customer").select("acctbal").collect())
+    n = len(vals)
+    mean = sum(vals) / n
+    var_s = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    assert abs(row.sd - math.sqrt(var_s)) < 1e-4
+    # percentileDisc: smallest value with cumulative rank >= ceil(p*n)
+    assert row.p25 == vals[math.ceil(0.25 * n) - 1]
+    lo = vals[int((n - 1) * 0.5)]
+    hi = vals[int((n - 1) * 0.5) + 1] if n % 2 == 0 else lo
+    assert lo - 1e-6 <= row.p50 <= hi + 1e-6
