@@ -3608,6 +3608,99 @@ def doc_gopher_rules(spark, sf_dir):
                         min_stop=2)
 
 
+@_q("doc_c4_clean", r"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (
+  SELECT doc_id,
+    list_transform(range(CAST(ceil(len(words) / 8.0) AS BIGINT)),
+      j -> array_to_string(words[j*8+1 : j*8+8], ' ')
+           || CASE CAST((doc_id + j) % 4 AS INT)
+              WHEN 0 THEN '' WHEN 1 THEN '.'
+              WHEN 2 THEN ' javascript now.' ELSE '!' END) AS lines
+  FROM w),
+t AS (
+  SELECT doc_id, array_to_string(
+    list_concat(list_concat(lines,
+      CASE WHEN doc_id % 17 = 0 THEN ['lorem ipsum dolor sit amet.']
+           ELSE []::VARCHAR[] END),
+      CASE WHEN doc_id % 23 = 0 THEN ['{ var x = 1; }']
+           ELSE []::VARCHAR[] END), chr(10)) AS text
+  FROM s),
+c AS (
+  SELECT doc_id, text,
+    list_filter(list_transform(string_split(text, chr(10)),
+                               x -> trim(x)),
+                x -> x <> '') AS lines
+  FROM t),
+k AS (
+  SELECT doc_id, text, lines,
+    COALESCE(array_to_string(list_filter(lines,
+      x -> regexp_matches(x, '[.!?"]$')
+        AND len(list_filter(string_split_regex(x, '\s+'),
+                            y -> y <> '')) >= 5
+        AND NOT contains(lower(x), 'javascript')), chr(10)),
+      '') AS cleaned,
+    CAST(len(list_filter(lines,
+      x -> regexp_matches(x, '[.!?"]$')
+        AND len(list_filter(string_split_regex(x, '\s+'),
+                            y -> y <> '')) >= 5
+        AND NOT contains(lower(x), 'javascript'))) AS BIGINT)
+      AS n_kept
+  FROM c),
+f AS (
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    n_kept,
+    CAST(length(cleaned) - length(regexp_replace(cleaned, '[.!?]',
+                                                 '', 'g'))
+         AS BIGINT) AS n_sent,
+    contains(lower(text), 'lorem ipsum') AS has_lorem,
+    contains(text, '{') AS has_brace,
+    md5(cleaned) AS cleaned_md5
+  FROM k)
+SELECT doc_id, n_lines, n_kept, n_sent, has_lorem, has_brace,
+       (NOT has_lorem AND NOT has_brace AND n_sent >= 3) AS keep,
+       cleaned_md5
+FROM f ORDER BY doc_id
+""")
+def doc_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): terminal-
+    punctuation / min-words / javascript line rules + lorem-ipsum /
+    curly-brace / min-sentences page rules. The synthetic corpus has
+    no line structure, so the query deterministically seeds it
+    in-query on BOTH engines (8-word lines, punctuation by
+    (doc_id + line) % 4, lorem/brace pages by doc_id % 17 / % 23 —
+    same pattern as the PII query's seeding); the operator itself is
+    one shuffle-free higher-order-function projection."""
+    from incubator_hugegraph_spark.data.clean import c4_clean
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    k = F.ceil(F.size(words) / F.lit(8)).cast("int")
+    idx = F.sequence(F.lit(0), k - 1)
+    lines = F.transform(idx, lambda j: F.concat(
+        F.array_join(F.slice(words, j * 8 + 1, 8), " "),
+        F.when((F.col("doc_id") + j) % 4 == 0, F.lit(""))
+         .when((F.col("doc_id") + j) % 4 == 1, F.lit("."))
+         .when((F.col("doc_id") + j) % 4 == 2,
+               F.lit(" javascript now."))
+         .otherwise(F.lit("!"))))
+    empty = F.array().cast("array<string>")
+    extra = F.concat(
+        F.when(F.col("doc_id") % 17 == 0,
+               F.array(F.lit("lorem ipsum dolor sit amet.")))
+         .otherwise(empty),
+        F.when(F.col("doc_id") % 23 == 0,
+               F.array(F.lit("{ var x = 1; }"))).otherwise(empty))
+    seeded = docs.select(
+        "doc_id",
+        F.array_join(F.concat(lines, extra), "\n").alias("text"))
+    return (c4_clean(seeded)
+            .select("doc_id", "n_lines", "n_kept", "n_sent",
+                    "has_lorem", "has_brace", "keep", "cleaned_md5")
+            .orderBy("doc_id"))
+
+
 @_q("doc_domain_mix", """
 WITH u AS (
   SELECT source,

@@ -289,3 +289,52 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
     for name in rules:
         keep = F.col(name) if keep is None else keep & F.col(name)
     return m.withColumn("keep", keep)
+
+
+def c4_clean(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", min_words_per_line: int = 5,
+             min_sentences: int = 3) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2 — the public
+    rule set behind the C4 corpus): keep only lines that end in a
+    terminal punctuation mark (``. ! ? "``), have at least
+    ``min_words_per_line`` words, and don't mention "javascript";
+    drop whole pages containing "lorem ipsum" or a curly brace, or
+    whose cleaned text has fewer than ``min_sentences`` sentences
+    (terminal-punct count). Complements `gopher_rules` (word-level
+    stats) with C4's line-level pass; the 3-sentence-span dedup C4
+    also does is `duplicated_spans`.
+
+    One projection of higher-order functions — JVM-side, codegen'd,
+    zero shuffles: a pure map riding the corpus scan at 100 TB.
+
+    Returns (id, n_lines, n_kept, n_sent, has_lorem, has_brace,
+    keep, cleaned_md5, cleaned).
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), F.trim),
+        lambda x: x != "")
+
+    def keep_line(x):
+        words = F.filter(F.split(x, r"\s+"), lambda w: w != "")
+        return (x.rlike('[.!?"]$')
+                & (F.size(words) >= min_words_per_line)
+                & ~F.lower(x).contains("javascript"))
+
+    kept = F.filter(lines, keep_line)
+    cleaned = F.array_join(kept, "\n")
+    n_sent = (F.length(cleaned)
+              - F.length(F.regexp_replace(cleaned, "[.!?]", ""))) \
+        .cast("long")
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        n_sent.alias("n_sent"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (~has_lorem & ~has_brace
+         & (n_sent >= min_sentences)).alias("keep"),
+        F.md5(cleaned).alias("cleaned_md5"),
+        cleaned.alias("cleaned"))

@@ -715,3 +715,31 @@ def test_domain_sample_deterministic_and_scoped(docs):
     n0 = docs.filter("source = 'src0'").count()
     k0 = domain_sample(docs, fr).filter("source = 'src0'").count()
     assert 0 < k0 < n0
+
+
+def test_c4_clean_rules(spark):
+    from incubator_hugegraph_spark.data.clean import c4_clean
+    fixture = spark.createDataFrame(
+        [(1, "This is a good long sentence here.\n"
+             "too short.\n"
+             "no terminal punctuation at all in this line\n"
+             "A second proper sentence rounds it out!\n"
+             "And a third one finishes the page?"),
+         (2, "Pure javascript should be dropped right here.\n"
+             "lorem ipsum dolor sit amet consectetur adipiscing elit."),
+         (3, "Braces { kill the whole page immediately always.\n"
+             "Even with a perfectly fine sentence like this one.")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_clean(fixture).collect()}
+    # doc 1: 5 lines; "too short." (<5 words) and the no-punct line drop
+    assert out[1].n_lines == 5 and out[1].n_kept == 3
+    assert out[1].keep and not out[1].has_lorem and not out[1].has_brace
+    # doc 2: javascript line dropped, lorem-ipsum page flag set
+    assert out[2].has_lorem and not out[2].keep and out[2].n_kept == 1
+    # doc 3: brace page flag
+    assert out[3].has_brace and not out[3].keep
+    # cleaned text is exactly the retained lines, in order
+    kept1 = out[1].cleaned.split("\n")
+    assert kept1 == ["This is a good long sentence here.",
+                     "A second proper sentence rounds it out!",
+                     "And a third one finishes the page?"]
