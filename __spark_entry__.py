@@ -3701,6 +3701,45 @@ def doc_c4_clean(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@_q("doc_ngram_lm", r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+uni AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(ws) AS w1 FROM tok) GROUP BY w1),
+v AS (SELECT count(*) AS vocab FROM uni),
+bt AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(len(ws) - 1),
+                      i -> {'w1': ws[i+1], 'w2': ws[i+2]})) AS b
+        FROM tok WHERE len(ws) >= 2)),
+cnt AS (SELECT w1, w2, count(*) AS c2 FROM bt GROUP BY w1, w2),
+sc AS (
+  SELECT bt.doc_id,
+         ln((COALESCE(cnt.c2, 0) + 0.1)
+            / (COALESCE(uni.c1, 0) + 0.1 * v.vocab)) AS logp
+  FROM bt LEFT JOIN cnt USING (w1, w2)
+          LEFT JOIN uni USING (w1) CROSS JOIN v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(logp), 6) AS avg_logp,
+       round(exp(-avg(logp)), 4) AS ppl
+FROM sc GROUP BY doc_id ORDER BY doc_id
+""")
+def doc_ngram_lm(spark, sf_dir):
+    """Corpus-trained bigram-LM document scoring (CCNet / Wenzek et
+    al. 2020 quality signal, exactly-specified in-Spark model):
+    add-k-smoothed bigram probabilities, per-doc mean log-prob +
+    perplexity. Model tables are vocabulary-bound → broadcast;
+    scoring is a map-side join riding the corpus scan plus one
+    per-doc aggregation shuffle."""
+    from incubator_hugegraph_spark.data.text import ngram_lm_score
+    return ngram_lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 @_q("doc_domain_mix", """
 WITH u AS (
   SELECT source,

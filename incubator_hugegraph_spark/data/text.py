@@ -191,3 +191,68 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(F.avg("n"), 6).alias("mean_tokens"),
         F.expr("percentile(n, 0.5)").alias("p50_tokens"),
         F.expr("percentile(n, 0.95)").alias("p95_tokens"))
+
+
+def ngram_lm_score(docs: DataFrame, model_docs: DataFrame | None = None,
+                   k: float = 0.1, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   broadcast_model: bool = True) -> DataFrame:
+    """Corpus-trained bigram language-model score per document —
+    the CCNet-style quality signal (Wenzek et al. 2020 train a KenLM
+    and bucket documents by perplexity; this is the same shape with
+    an exactly-specified in-Spark model, so the score is reproducible
+    without an external binary).
+
+    Model: add-k-smoothed bigram LM over ``model_docs`` (defaults to
+    ``docs`` — self-scoring):  P(w2|w1) = (c(w1 w2) + k) /
+    (c(w1) + k·V),  V = vocabulary size. Tokens are lowercased
+    whitespace splits. Per document: mean log-prob over its bigrams
+    and perplexity exp(−mean); docs with < 2 tokens have no bigrams
+    and drop out (no probability mass to score).
+
+    Scale: the model tables are VOCABULARY-bound (Zipf), not
+    corpus-bound — unigrams |V|, bigrams ≤ observed pair types — so
+    at 100 TB they broadcast (``broadcast_model``, default) and
+    scoring is a map-side join riding the corpus scan plus one
+    per-doc aggregation shuffle; set ``broadcast_model=False`` for
+    pathological vocabularies and both joins fall back to shuffles
+    on the token key.
+    """
+    model_docs = docs if model_docs is None else model_docs
+
+    def toks(c: Column) -> Column:
+        return F.filter(F.split(F.lower(c), r"\s+"),
+                        lambda x: x != "")
+
+    def bigrams(ws: Column) -> Column:
+        n = F.size(ws)
+        return F.when(n >= 2, F.zip_with(
+            F.slice(ws, 1, n - 1), F.slice(ws, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))) \
+            .otherwise(F.array().cast(
+                "array<struct<w1:string,w2:string>>"))
+
+    mtoks = model_docs.select(toks(F.col(text_col)).alias("ws"))
+    uni = (mtoks.select(F.explode("ws").alias("w1"))
+           .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    big = (mtoks.select(F.explode(bigrams(F.col("ws"))).alias("b"))
+           .select("b.w1", "b.w2")
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")))
+    vocab = uni.count()
+
+    if broadcast_model:
+        uni, big = F.broadcast(uni), F.broadcast(big)
+    scored = (docs.select(F.col(id_col),
+                          F.explode(bigrams(toks(F.col(text_col))))
+                          .alias("b"))
+              .select(id_col, "b.w1", "b.w2")
+              .join(big, on=["w1", "w2"], how="left")
+              .join(uni, on="w1", how="left")
+              .select(F.col(id_col), (
+                  F.log((F.coalesce(F.col("c2"), F.lit(0)) + k)
+                        / (F.coalesce(F.col("c1"), F.lit(0))
+                           + k * vocab))).alias("logp")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg("logp"), 6).alias("avg_logp"),
+                 F.round(F.exp(-F.avg("logp")), 4).alias("ppl")))

@@ -743,3 +743,37 @@ def test_c4_clean_rules(spark):
     assert kept1 == ["This is a good long sentence here.",
                      "A second proper sentence rounds it out!",
                      "And a third one finishes the page?"]
+
+
+def test_ngram_lm_score_exact(spark):
+    import math
+    from incubator_hugegraph_spark.data.text import ngram_lm_score
+    # tiny corpus with a hand-computable model
+    fixture = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "z")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_lm_score(fixture, k=0.1).collect()}
+    # vocab = {a,b,c,z} → V=4; unigrams: a=3,b=3,c=1,z=1
+    # bigrams: (a,b)=3, (b,a)=1, (b,c)=1
+    V, kk = 4, 0.1
+    def p(c2, c1):
+        return math.log((c2 + kk) / (c1 + kk * V))
+    exp1 = (p(3, 3) + p(1, 3) + p(3, 3)) / 3      # a b / b a / a b
+    assert abs(out[1].avg_logp - round(exp1, 6)) < 1e-6
+    assert out[1].n_bigrams == 3
+    exp2 = (p(3, 3) + p(1, 3)) / 2                # a b / b c
+    assert abs(out[2].avg_logp - round(exp2, 6)) < 1e-6
+    assert 3 not in out            # single-token doc has no bigrams
+    assert abs(out[2].ppl - round(math.exp(-exp2), 4)) < 1e-3
+
+
+def test_ngram_lm_separate_model(spark):
+    from incubator_hugegraph_spark.data.text import ngram_lm_score
+    model = spark.createDataFrame([(10, "a b a b")],
+                                  "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "a q")],
+                                 "doc_id long, text string")
+    row = ngram_lm_score(docs, model_docs=model, k=0.5).head()
+    # unseen bigram (a,q): c2=0, c1(a)=2, V=2 → ln(0.5 / 3.0)
+    import math
+    assert abs(row.avg_logp - round(math.log(0.5 / 3.0), 6)) < 1e-6
