@@ -3139,6 +3139,28 @@ def cypher_percentiles_q(spark, sf_dir):
         ORDER BY nm""")
 
 
+@_q("cypher_call_sub", """
+SELECT n_name AS nm, round(avg(c_acctbal), 6) AS avg_bal,
+       count(*) AS n_cust
+FROM nation JOIN customer ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY nm
+""")
+def cypher_call_sub_q(spark, sf_dir):
+    """openCypher/GQL CALL { WITH … } subquery clause — executed
+    DECORRELATED: the body runs once over the distinct imported keys
+    (the rewrite Catalyst applies to correlated subqueries), imports
+    thread through the inner projections as implicit grouping keys
+    (per-input-row aggregation scope), and the result inner-joins
+    back on the keys."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (n:nation)
+        CALL { WITH n MATCH (n)<-[:in_nation]-(c:customer)
+               RETURN avg(c.acctbal) AS avg_bal,
+                      count(c) AS n_cust }
+        RETURN n.name AS nm, avg_bal, n_cust ORDER BY nm""")
+
+
 @_q("cypher_remove", """
 SELECT 'customer!' || c_custkey AS n, c_name AS name,
        CASE WHEN c_acctbal < 0 THEN NULL

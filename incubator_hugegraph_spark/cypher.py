@@ -239,6 +239,15 @@ class _Foreach:
 
 
 @dataclass
+class _CallSub:
+    """CALL { [WITH v, …] … RETURN … } — openCypher/GQL subquery
+    clause. ``imports`` are the correlated outer vars (plain names,
+    the importing-WITH rule); ``query`` is the parsed body."""
+    imports: list = field(default_factory=list)
+    query: "_Query" = None
+
+
+@dataclass
 class _Query:
     clauses: list = field(default_factory=list)  # _MatchClause|_Proj|_Unwind
     final: _Proj | None = None
@@ -350,6 +359,9 @@ class _Parser:
                     self.next()
                     d.vars.append(self._name())
                 q.clauses.append(d)
+            elif t == "name" and self.peek()[1].upper() == "CALL":
+                self.next()
+                q.clauses.append(self._call_subquery())
             elif t == "RETURN":
                 if not q.clauses:
                     raise SyntaxError("cypher: RETURN before MATCH")
@@ -365,6 +377,59 @@ class _Parser:
                 raise SyntaxError(f"cypher: expected clause, got {t}")
         self.next("EOF")
         return q
+
+    def _call_subquery(self) -> _CallSub:
+        """``CALL { [WITH v, …] MATCH … RETURN … }`` — slice the
+        token stream to the matching ``}`` (property maps nest) and
+        parse the body with a fresh parser. The leading WITH, when
+        present, must be a plain variable list (openCypher's
+        importing-WITH rule)."""
+        self._expect_val("{")
+        depth, j = 1, self.i
+        while j < len(self.toks):
+            v = self.toks[j][1]
+            if v == "{":
+                depth += 1
+            elif v == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth:
+            raise SyntaxError("cypher: CALL { … } missing closing }")
+        sub = self.toks[self.i:j] + [("EOF", "EOF")]
+        self.i = j + 1
+        imports: list[str] = []
+        k = 0
+        if sub and sub[0][0] == "WITH":
+            k = 1
+            while True:
+                if sub[k][0] != "name":
+                    raise SyntaxError(
+                        "cypher: CALL { WITH … } imports are plain "
+                        "variable names")
+                imports.append(sub[k][1])
+                k += 1
+                if sub[k][1] == ",":
+                    k += 1
+                    continue
+                break
+        inner = _Parser(sub[k:]).parse()
+        if inner.final is None:
+            raise SyntaxError("cypher: CALL { … } must end in RETURN")
+        for c in inner.clauses:
+            if isinstance(c, (_Create, _Set, _Delete, _Merge,
+                              _Remove, _Foreach)):
+                raise SyntaxError(
+                    "cypher: write clauses inside CALL { … } are "
+                    "not supported")
+        for pr in [c for c in inner.clauses
+                   if isinstance(c, _Proj)] + [inner.final]:
+            if pr.order or pr.skip or pr.limit is not None:
+                raise SyntaxError(
+                    "cypher: ORDER BY / SKIP / LIMIT inside "
+                    "CALL { … } is not supported (per-row scope)")
+        return _CallSub(imports, inner)
 
     def _prop_map(self) -> dict:
         """`{k: lit, …}` literal property map."""
@@ -2007,7 +2072,9 @@ class CypherEngine:
         self._created_vars = set()
         self._relgen = 0
         self._write_summary: DataFrame | None = None
-        df: DataFrame | None = None
+        return self._run_clauses(None, q)
+
+    def _run_clauses(self, df: DataFrame | None, q: _Query) -> DataFrame:
         for clause in q.clauses:
             if isinstance(clause, _MatchClause):
                 df = self._apply_match(df, clause)
@@ -2025,6 +2092,8 @@ class CypherEngine:
                 df = self._apply_remove(df, clause)
             elif isinstance(clause, _Foreach):
                 df = self._apply_foreach(df, clause)
+            elif isinstance(clause, _CallSub):
+                df = self._apply_callsub(df, clause)
             else:
                 df = self._apply_proj(df, clause)
         if q.final is None:
@@ -2032,6 +2101,51 @@ class CypherEngine:
             assert self._write_summary is not None
             return self._write_summary
         return self._apply_proj(df, q.final)
+
+    def _apply_callsub(self, df: DataFrame | None,
+                       cs: _CallSub) -> DataFrame:
+        """CALL { } executes per input row; compiled DECORRELATED:
+        the body runs ONCE over the distinct imported keys (the same
+        rewrite Catalyst applies to correlated scalar subqueries),
+        imported vars thread through every inner projection as
+        implicit grouping keys (per-input-row aggregation scope), and
+        the result inner-joins back on the keys — an input row whose
+        subquery yields no rows emits nothing (openCypher), which is
+        also why OPTIONAL-MATCH null imports drop out correctly.
+        At scale: one distinct shuffle on the import key + the body's
+        own plan + one join back; subquery work is proportional to
+        DISTINCT keys, never outer multiplicity."""
+        for v in cs.imports:
+            if df is None or v not in self._bound:
+                raise SyntaxError(
+                    f"cypher: CALL imports unbound variable {v}")
+        eng = CypherEngine(self.graph)
+        eng._write_summary = None
+        eng._bound = set(cs.imports)
+        for v in cs.imports:
+            if self._labels.get(v):
+                eng._labels[v] = self._labels[v]
+            if v in self._typed_cols:
+                eng._typed_cols[v] = set(self._typed_cols[v])
+        # thread the imports through every inner projection so
+        # aggregates group per input key (per-row scope)
+        for pr in [c for c in cs.query.clauses
+                   if isinstance(c, _Proj)] + [cs.query.final]:
+            existing = {a or _default_alias(e) for e, a in pr.items}
+            for v in reversed(cs.imports):
+                if v not in existing:
+                    pr.items.insert(0, (("var", v), v))
+        if cs.imports:
+            hidden = [c for c in df.columns
+                      if any(c in (f"__l_{v}", f"__p_{v}")
+                             or c.startswith(f"__c_{v}_")
+                             for v in cs.imports)]
+            seed = (df.select(*cs.imports, *hidden)
+                    .dropDuplicates(cs.imports))
+            out = eng._run_clauses(seed, cs.query)
+            return df.join(out, on=cs.imports, how="inner")
+        out = eng._run_clauses(None, cs.query)
+        return out if df is None else df.crossJoin(out)
 
     def _apply_unwind(self, df: DataFrame | None, u: _Unwind) -> DataFrame:
         """UNWIND list AS x — one output row per list element per

@@ -764,3 +764,56 @@ def test_statistical_aggregates(graph):
     lo = vals[int((n - 1) * 0.5)]
     hi = vals[int((n - 1) * 0.5) + 1] if n % 2 == 0 else lo
     assert lo - 1e-6 <= row.p50 <= hi + 1e-6
+
+
+def test_call_subquery_aggregating(graph):
+    # per-row aggregation scope: one count per outer nation
+    rows = cypher(graph, """
+        MATCH (n:nation)
+        CALL { WITH n MATCH (n)<-[:in_nation]-(c:customer)
+               RETURN count(c) AS n_cust }
+        RETURN n AS id, n_cust ORDER BY id""").collect()
+    manual = dict(graph.edges.filter("label='in_nation'")
+                  .groupBy("dst").count().collect())
+    assert rows and all(r.n_cust == manual[r.id] for r in rows)
+    # inner join semantics: nations with zero customers drop out
+    assert len(rows) == len(manual)
+
+
+def test_call_subquery_multiplicity(graph):
+    # non-aggregating body multiplies per outer row (per-row rows)
+    got = cypher(graph, """
+        MATCH (r:region)
+        CALL { WITH r MATCH (r)<-[:located_in]-(n:nation)
+               RETURN n.name AS nn }
+        RETURN r.name AS rn, nn ORDER BY rn, nn""").collect()
+    manual = cypher(graph, """
+        MATCH (r:region)<-[:located_in]-(n:nation)
+        RETURN r.name AS rn, n.name AS nn ORDER BY rn, nn""").collect()
+    assert [(x.rn, x.nn) for x in got] == [(x.rn, x.nn) for x in manual]
+
+
+def test_call_subquery_uncorrelated(graph):
+    # no imports: body runs once, cross-joins every outer row
+    rows = cypher(graph, """
+        MATCH (r:region)
+        CALL { MATCH (n:nation) RETURN count(n) AS total }
+        RETURN r.name AS rn, total ORDER BY rn""").collect()
+    n_nation = graph.view("nation").count()
+    n_region = graph.view("region").count()
+    assert len(rows) == n_region
+    assert all(r.total == n_nation for r in rows)
+
+
+def test_call_subquery_rejects_order_and_writes(graph):
+    with pytest.raises(SyntaxError):
+        cypher(graph, """
+            MATCH (n:nation)
+            CALL { WITH n MATCH (n)<-[:in_nation]-(c)
+                   RETURN c LIMIT 1 }
+            RETURN n""")
+    with pytest.raises(SyntaxError):
+        cypher(graph, """
+            MATCH (n:nation)
+            CALL { WITH n SET n.x = 1 RETURN n }
+            RETURN n""")
