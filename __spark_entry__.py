@@ -3161,6 +3161,24 @@ def cypher_call_sub_q(spark, sf_dir):
         RETURN n.name AS nm, avg_bal, n_cust ORDER BY nm""")
 
 
+@_q("cypher_params", """
+SELECT p_name AS name, p_size AS size FROM part
+WHERE p_size IN (10, 20, 30) AND p_name LIKE 'b%'
+ORDER BY name, size
+""")
+def cypher_params_q(spark, sf_dir):
+    """openCypher $parameters — resolved to literals at PARSE time,
+    so a parameterized predicate (range, IN $list, STARTS WITH $p)
+    pushes into the parquet scan exactly like its literal spelling
+    (plan-asserted in pytest)."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (p:part)
+        WHERE p.size IN $sizes AND p.name STARTS WITH $prefix
+        RETURN p.name AS name, p.size AS size ORDER BY name, size""",
+        params={"sizes": [10, 20, 30], "prefix": "b"})
+
+
 @_q("cypher_remove", """
 SELECT 'customer!' || c_custkey AS n, c_name AS name,
        CASE WHEN c_acctbal < 0 THEN NULL

@@ -125,6 +125,7 @@ _TOKEN_RE = re.compile(r"""
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'(?:[^'\\]|\\.)*')
     | (?P<cmp><>|<=|>=|=|<|>|\*|\+|/|\|)
+    | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
     )""", re.X)
 
@@ -136,7 +137,7 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
         m = _TOKEN_RE.match(q, i)
         if not m or m.end() == i:
             raise SyntaxError(f"cypher: cannot tokenize at {q[i:i+20]!r}")
-        for g in ("arrow", "kw", "num", "str", "cmp", "name"):
+        for g in ("arrow", "kw", "num", "str", "cmp", "param", "name"):
             v = m.group(g)
             if v is not None:
                 out.append((g if g != "kw" else v.upper(), v))
@@ -254,8 +255,16 @@ class _Query:
 
 
 class _Parser:
-    def __init__(self, toks: list[tuple[str, str]]):
+    def __init__(self, toks: list[tuple[str, str]],
+                 params: dict | None = None):
         self.toks, self.i = toks, 0
+        self.params = params or {}
+
+    def _param(self, tok: tuple[str, str]):
+        name = tok[1][1:]
+        if name not in self.params:
+            raise SyntaxError(f"cypher: missing parameter ${name}")
+        return ("lit", self.params[name])
 
     def peek(self) -> tuple[str, str]:
         return self.toks[self.i]
@@ -414,7 +423,7 @@ class _Parser:
                     k += 1
                     continue
                 break
-        inner = _Parser(sub[k:]).parse()
+        inner = _Parser(sub[k:], self.params).parse()
         if inner.final is None:
             raise SyntaxError("cypher: CALL { … } must end in RETURN")
         for c in inner.clauses:
@@ -755,6 +764,9 @@ class _Parser:
         if t[0] == "str":
             self.next()
             return ("lit", t[1][1:-1])
+        if t[0] == "param":
+            self.next()
+            return self._param(t)
         if t[0] == "NULL":
             self.next()
             return ("lit", None)
@@ -1001,6 +1013,12 @@ class _Parser:
             return ("strpred", kind.lower(), left, self._expr())
         if t[0] == "IN":
             self.next()
+            if self.peek()[0] == "param":
+                vals = self._param(self.next())[1]
+                if not isinstance(vals, (list, tuple)):
+                    raise SyntaxError(
+                        "cypher: IN $param needs a list value")
+                return ("in", left, list(vals))
             self.next("arrow")  # [
             vals = []
             while self.peek()[1] != "]":
@@ -2062,8 +2080,9 @@ class CypherEngine:
     def run(self, query: str) -> DataFrame:
         return self.run_tokens(_tokenize(query))
 
-    def run_tokens(self, toks: list[tuple[str, str]]) -> DataFrame:
-        q = _Parser(toks).parse()
+    def run_tokens(self, toks: list[tuple[str, str]],
+                   params: dict | None = None) -> DataFrame:
+        q = _Parser(toks, params).parse()
         self._typed_cols = {}
         self._labels = {}
         self._bound = set()
@@ -2542,13 +2561,21 @@ class CypherEngine:
         return df
 
 
-def cypher(graph: PropertyGraph, query: str) -> DataFrame:
+def cypher(graph: PropertyGraph, query: str,
+           params: dict | None = None) -> DataFrame:
     """Run a Cypher query against the graph. Top-level ``UNION [ALL]``
     combines sub-queries by column name (openCypher requires identical
     return columns; mixing UNION and UNION ALL is rejected, as in
     Neo4j). Each arm compiles independently — the combined plan is one
     Spark union (narrow; DISTINCT adds the single dedup shuffle the
-    semantics require)."""
+    semantics require).
+
+    ``params`` binds openCypher ``$name`` parameters (str / num /
+    bool / list values; lists also drive ``IN $ids``). Parameters
+    resolve to literals at PARSE time, so a parameterized predicate
+    pushes into the scan exactly like its literal spelling — the
+    openCypher parameter surface the reference accepts through its
+    translation layer (api/opencypher/CypherOpProcessor.java)."""
     toks = _tokenize(query)
     parts: list[list] = [[]]
     alls: list[bool] = []
@@ -2567,11 +2594,11 @@ def cypher(graph: PropertyGraph, query: str) -> DataFrame:
         parts[-1].append(toks[i])
         i += 1
     if len(parts) == 1:
-        return CypherEngine(graph).run_tokens(parts[0])
+        return CypherEngine(graph).run_tokens(parts[0], params)
     if len(set(alls)) > 1:
         raise SyntaxError(
             "cypher: cannot mix UNION and UNION ALL in one query")
-    dfs = [CypherEngine(graph).run_tokens(p) for p in parts]
+    dfs = [CypherEngine(graph).run_tokens(p, params) for p in parts]
     cols = dfs[0].columns
     for d in dfs[1:]:
         if d.columns != cols:

@@ -817,3 +817,31 @@ def test_call_subquery_rejects_order_and_writes(graph):
             MATCH (n:nation)
             CALL { WITH n SET n.x = 1 RETURN n }
             RETURN n""")
+
+
+def test_parameters(graph):
+    # $param in WHERE comparison, IN $list, property map, and RETURN
+    got = cypher(graph, """
+        MATCH (p:part) WHERE p.size >= $lo AND p.size < $hi
+        RETURN count(*) AS n""", params={"lo": 45, "hi": 48}).head().n
+    manual = graph.view("part").filter("size >= 45 AND size < 48").count()
+    assert got == manual
+    got2 = cypher(graph, """
+        MATCH (p:part) WHERE p.size IN $sizes RETURN count(*) AS n""",
+        params={"sizes": [10, 11, 12]}).head().n
+    manual2 = graph.view("part").filter(
+        F.col("size").isin([10, 11, 12])).count()
+    assert got2 == manual2
+    got3 = cypher(graph, "MATCH (n:nation {name: $nm}) RETURN n.name AS x",
+                  params={"nm": "NATION_3"}).head().x
+    assert got3 == "NATION_3"
+    with pytest.raises(SyntaxError):
+        cypher(graph, "MATCH (n) WHERE n.name = $missing RETURN n")
+
+
+def test_parameter_pushdown_plan(graph):
+    # a $param predicate pushes into the scan like its literal form
+    plan = cypher(graph, """
+        MATCH (p:part) WHERE p.size >= $lo RETURN p AS id""",
+        params={"lo": 45})._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "45" in plan
