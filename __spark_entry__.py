@@ -2799,6 +2799,56 @@ def gremlin_local_count_q(spark, sf_dir):
                         ".local(__.out('placed').count())")
 
 
+@_q("gremlin_properties", """
+SELECT 'customer!' || c_custkey AS id, 'name' AS key,
+       c_name AS value FROM customer
+UNION ALL
+SELECT 'customer!' || c_custkey, 'acctbal',
+       CAST(c_acctbal AS VARCHAR) FROM customer
+UNION ALL
+SELECT 'customer!' || c_custkey, 'mktsegment', c_mktsegment
+FROM customer WHERE c_mktsegment IS NOT NULL
+""")
+def gremlin_properties_q(spark, sf_dir):
+    """properties() step (TinkerPop PropertiesStep) — one property
+    traverser per present property: a narrow explode of the props
+    map, no shuffle; key()/value() project the pair."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    return eval_gremlin(_graph(spark, sf_dir),
+                        "g.V().hasLabel('customer').properties()")
+
+
+@_q("gremlin_map_step", """
+SELECT min('order!' || o_orderkey) AS value
+FROM orders GROUP BY o_custkey
+""")
+def gremlin_map_step_q(spark, sf_dir):
+    """map(child) — the child runs scoped per traverser and its
+    FIRST result (deterministic id order) becomes the new value
+    (TinkerPop MapStep 1:1 contract; empty-child traversers drop):
+    compiled as local(child → scoped limit 1)."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    return eval_gremlin(_graph(spark, sf_dir),
+                        "g.V().hasLabel('customer')"
+                        ".map(__.out('placed').id())")
+
+
+@_q("gremlin_flatmap_step", """
+SELECT count(o_orderkey) AS value
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+""")
+def gremlin_flatmap_step_q(spark, sf_dir):
+    """flatMap(child) — child per traverser with ALL results
+    emitted; barriers inside scope per traverser (FlatMapStep), so
+    flatMap(out().count()) is the per-customer degree including 0
+    for order-less customers."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    return eval_gremlin(_graph(spark, sf_dir),
+                        "g.V().hasLabel('customer')"
+                        ".flatMap(__.out('placed').count())")
+
+
 @_q("gremlin_local_limit", """
 WITH e AS (SELECT 'customer!' || o_custkey AS src,
                   'order!' || o_orderkey AS dst FROM orders),

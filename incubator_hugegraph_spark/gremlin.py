@@ -345,7 +345,8 @@ class Traversal:
 
     def _carries(self) -> list[str]:
         return [c for c in self.df.columns
-                if c.startswith("__as_") or c in ("__sack", "__loc")]
+                if c.startswith("__as_")
+                or c in ("__sack", "__loc", "__loops")]
 
     def _hop(self, direction: str, labels: tuple[str, ...]) -> "Traversal":
         self._require("V")
@@ -547,6 +548,55 @@ class Traversal:
                          F.col("label")), props)
         return t._new(t.df.select(idc.alias("id"), value.alias("value")),
                       kind="value", sort=None)
+
+    def properties(self, *keys: str) -> "Traversal":
+        """properties([keys…]): one PROPERTY traverser per present
+        property of each element (TinkerPop PropertiesStep) — rows
+        carry the owning element id plus (key, value); ``key_()`` /
+        ``value_()`` project them and the generic barriers apply per
+        property traverser. A narrow explode of the (filtered) props
+        map — no shuffle. Values surface as the props map's string
+        encoding (the same raw form valueMap exposes)."""
+        t = self._elem() if self.kind == "V" else self
+        idc = F.col("id") if t.kind == "V" else F.col("eid")
+        props = F.col("props") if not keys else F.map_filter(
+            F.col("props"), lambda k, _: k.isin(list(keys)))
+        return t._new(
+            t.df.select(idc.alias("id"),
+                        F.explode(props).alias("key", "value"),
+                        *t._loc_carry()),
+            kind="prop", sort=None)
+
+    def key_(self) -> "Traversal":
+        """key(): the property traverser's key (TinkerPop KeyStep)."""
+        self._require("prop")
+        return self._new(self.df.select(F.col("key").alias("value"),
+                                        *self._loc_carry()),
+                         kind="value")
+
+    def value_(self) -> "Traversal":
+        """value(): the property traverser's value (ValueStep)."""
+        self._require("prop")
+        return self._new(self.df.select("value", *self._loc_carry()),
+                         kind="value")
+
+    def map_(self, step: Callable[["Traversal"], "Traversal"]
+             ) -> "Traversal":
+        """map(child): the child runs scoped per traverser and the
+        FIRST child result becomes the traverser's new value
+        (TinkerPop MapStep is 1:1; traversers whose child is empty
+        drop). Compiled as local(child → scoped limit 1) — the same
+        per-traverser window machinery, no extra shuffle beyond the
+        child's own plan."""
+        return self.local(lambda t: step(t).limit(1))
+
+    def flatMap_(self, step: Callable[["Traversal"], "Traversal"]
+                 ) -> "Traversal":
+        """flatMap(child): child per traverser, ALL results emitted —
+        barriers inside the child scope per traverser (TinkerPop
+        FlatMapStep); without internal barriers this equals plain
+        step chaining."""
+        return self.local(step)
 
     def constant(self, v) -> "Traversal":
         """constant(v): replace every traverser's value with v."""
@@ -833,23 +883,28 @@ class Traversal:
     def repeat(self, step: Callable[["Traversal"], "Traversal"],
                times: int) -> "Traversal":
         """repeat(...).times(n) — bounded unrolled loop (the
-        reference's RepeatStep is also bounded by max depth)."""
+        reference's RepeatStep is also bounded by max depth). The
+        body sees the completed-iteration count as the hidden
+        ``__loops`` column (TinkerPop ``loops()`` — usable in body
+        filters, e.g. ``t.where(lambda df: F.col('__loops') < 2)``);
+        dropped on exit, as TinkerPop resets the counter."""
         t = self
-        for _ in range(times):
-            t = step(t)
-        return t
+        for i in range(times):
+            t = step(t._new(t.df.withColumn("__loops", F.lit(i))))
+        return t._new(t.df.drop("__loops"))
 
     def repeat_emit(self, step: Callable[["Traversal"], "Traversal"],
                     times: int, emit_first: bool = False) -> "Traversal":
         """repeat(...).emit().times(n): the union of every round's
         traversers (TinkerPop emit-after semantics; ``emit_first``
         gives emit-before, which also emits the incoming traversers).
-        One Catalyst plan — the per-round frontiers union up."""
+        One Catalyst plan — the per-round frontiers union up. The
+        body sees ``__loops`` (see repeat())."""
         t = self
         outs: list[Traversal] = [self] if emit_first else []
-        for _ in range(times):
-            t = step(t)
-            outs.append(t)
+        for i in range(times):
+            t = step(t._new(t.df.withColumn("__loops", F.lit(i))))
+            outs.append(t._new(t.df.drop("__loops")))
         first = outs[0]
         for p in outs[1:]:
             first, p = _align_branches(first, p)
@@ -878,16 +933,21 @@ class Traversal:
         with zero steps)."""
         from incubator_hugegraph_spark.graph import (CapacityExceeded,
                                                      checkpointed)
-        t = step(self)  # do-while: step precedes the first check
+        # do-while: step precedes the first check; the until predicate
+        # additionally sees the completed-iteration count as __loops
+        # (TinkerPop until(loops().is(n)) spelling:
+        # lambda df: F.col("__loops") >= n)
+        t = step(self._new(self.df.withColumn("__loops", F.lit(0))))
         done: list[Traversal] = []
-        for _ in range(max_times):
+        for r in range(max_times):
             t = t._elem() if t.kind == "V" else t  # preds may need props
+            t = t._new(t.df.withColumn("__loops", F.lit(r + 1)))
             # per-round lineage cut — without it the k-round
             # filter/join chain builds an O(k)-deep plan and each
             # round's emptiness probe re-executes it from the source
             # (the iterate_hygiene lesson from the BFS kernel)
             t = t._new(checkpointed(t.df))
-            stopped = t._new(t.df.filter(until(t.df)))
+            stopped = t._new(t.df.filter(until(t.df)).drop("__loops"))
             done.append(stopped)
             t = t._new(t.df.filter(~until(t.df)))
             n = t.df.count()

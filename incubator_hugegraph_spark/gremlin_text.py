@@ -64,7 +64,7 @@ _STEP_ALIAS = {"in": "in_", "id": "id_", "label": "label_",
                "is": "is_", "range": "range_", "as": "as_",
                "sum": "sum_", "mean": "mean_", "min": "min_",
                "max": "max_", "math": "math_", "V": "V_",
-               "from": "from_"}
+               "from": "from_", "key": "key_", "value": "value_"}
 
 _ORDER_DESC = {"decr", "desc"}
 
@@ -409,11 +409,13 @@ def _apply(chain: _Chain, t: Traversal) -> object:
             t = t.store(key, by)
             i += 1
             continue
-        if name == "local":
+        if name in ("local", "map", "flatMap"):
             sub = args[0]
             if not isinstance(sub, _Chain):
-                raise SyntaxError("gremlin: local() takes __.…")
-            t = t.local(lambda x: _apply(sub, x))
+                raise SyntaxError(f"gremlin: {name}() takes __.…")
+            fn = {"local": t.local, "map": t.map_,
+                  "flatMap": t.flatMap_}[name]
+            t = fn(lambda x: _apply(sub, x))
             i += 1
             continue
         if name == "branch":

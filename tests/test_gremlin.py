@@ -767,3 +767,76 @@ def test_branch_requires_option(graph):
     from incubator_hugegraph_spark.gremlin_text import eval_gremlin
     with pytest.raises(SyntaxError, match="option"):
         eval_gremlin(graph, "g.V().branch(__.label()).count()")
+
+
+def test_properties_step_and_key_value(graph):
+    t = G(graph)
+    rows = (t.V().hasLabel("customer").hasId("customer!0")
+            .properties().toDF().collect())
+    got = {(r.key, r.value) for r in rows}
+    v = graph.view("customer").filter("id = 'customer!0'").head()
+    assert ("name", v.name) in got
+    assert ("mktsegment", v.mktsegment) in got
+    assert len(got) == 3  # name, acctbal, mktsegment
+    # key()/value() project the property traverser
+    keys = (t.V().hasLabel("nation").properties().key_()
+            .toDF().collect())
+    assert {r.value for r in keys} == {"name"}
+    # selected-key form filters the explode
+    sel = (t.V().hasLabel("customer").hasId("customer!0")
+           .properties("name").toDF().collect())
+    assert len(sel) == 1 and sel[0].key == "name"
+
+
+def test_map_step_first_per_traverser(graph):
+    t = G(graph)
+    got = {r.value for r in
+           t.V().hasLabel("customer")
+           .map_(lambda x: x.out("placed").id_()).toDF().collect()}
+    manual = {r.m for r in graph.edges.filter("label='placed'")
+              .groupBy("src").agg(F.min("dst").alias("m")).collect()}
+    assert got == manual  # first == min under the deterministic order
+
+
+def test_flatmap_scopes_barriers_per_traverser(graph):
+    t = G(graph)
+    # flatMap(out().count()) == local(out().count()) — per-customer
+    a = sorted(r.value for r in
+               t.V().hasLabel("customer")
+               .flatMap_(lambda x: x.out("placed").count())
+               .toDF().collect())
+    b = sorted(r["count"] for r in graph.edges.filter("label='placed'")
+               .groupBy("src").count().collect())
+    # flatMap emits 0 for order-less customers (CountLocalStep)
+    zeros = graph.view("customer").count() - len(b)
+    assert a == sorted([0] * zeros + b)
+
+
+def test_repeat_loops_counter(graph):
+    t = G(graph)
+    # until(__loops >= 2) == fixed 2-round repeat
+    a = sorted(r.id for r in
+               t.V("region!0").repeat_until(
+                   lambda x: x.in_(),
+                   until=lambda df: F.col("__loops") >= 2)
+               .toDF().collect())
+    b = sorted(r.id for r in
+               t.V("region!0").repeat(lambda x: x.in_(), 2)
+               .toDF().collect())
+    assert a == b and len(a) > 0
+    # the body sees __loops: stop expanding after round 1
+    c = t.V("region!0").repeat(
+        lambda x: x.where(lambda df: F.col("__loops") < 1).in_(), 2)
+    n1 = t.V("region!0").in_().toDF().count()
+    assert c.toDF().count() == 0 or c.toDF().count() <= n1
+
+
+def test_properties_text_surface(graph):
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    df = eval_gremlin(
+        graph, "g.V().hasLabel('nation').properties('name').value()")
+    assert df.count() == graph.view("nation").count()
+    df2 = eval_gremlin(
+        graph, "g.V().hasLabel('customer')"
+               ".flatMap(__.out('placed').count())")
+    assert df2.count() == graph.view("customer").count()
