@@ -4651,6 +4651,37 @@ def events_stream_window(spark, sf_dir):
         name="swa_" + uuid.uuid4().hex[:8])
 
 
+@_q("events_stream_enrich", """
+SELECT COALESCE(c_mktsegment, 'unknown') AS segment,
+       date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       ROUND(sum(value), 2) AS sum_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY COALESCE(c_mktsegment, 'unknown'), date_trunc('hour', ts)
+""")
+def events_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment: the events stream joined to the
+    customer dimension (user → market segment) with an EXPLICIT
+    broadcast — the dim is cardinality-bound so the join rides the
+    stream map-side, no per-micro-batch shuffle — then watermarked
+    tumbling-window aggregation per segment. availableNow + memory
+    sink (the batch-parity harness)."""
+    import uuid
+    from incubator_hugegraph_spark.sources.tpch import read_table
+    from incubator_hugegraph_spark.streaming.events import (
+        run_stream_enrich)
+    dim = (read_table(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.coalesce(F.col("c_mktsegment"),
+                              F.lit("unknown")).alias("segment")))
+    out = run_stream_enrich(
+        spark, f"{sf_dir}/events.parquet", dim,
+        name="senr_" + uuid.uuid4().hex[:8])
+    return out.withColumn("segment",
+                          F.coalesce(F.col("segment"),
+                                     F.lit("unknown")))
+
+
 # attach generated lang_id oracle
 def _attach_generated_oracles():
     from incubator_hugegraph_spark.data.text import lang_id_sql

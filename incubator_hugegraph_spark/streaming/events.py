@@ -284,3 +284,44 @@ def stream_dedup(spark: SparkSession, events_path: str,
             .option("path", out_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_enrich(spark: SparkSession, events_path: str,
+                  dim: DataFrame, on: str = "user_id",
+                  duration: str = "1 hour",
+                  watermark: str = "2 hours"):
+    """STREAM-STATIC ENRICHMENT: the events stream joined to a static
+    dimension table (the classic fact-stream x dim pattern — user →
+    segment here), then watermarked window aggregation per enriched
+    key. The static side is explicitly broadcast: at scale the dim is
+    cardinality-bound (users, not events) and the join must ride the
+    stream map-side — a shuffled stream-static join would re-shuffle
+    every micro-batch. Spark re-reads the static side per micro-batch,
+    so dim updates between batches are picked up (slowly-changing-dim
+    refresh for free)."""
+    stream = _read_stream(spark, events_path)
+    enriched = stream.join(F.broadcast(dim), on=on, how="left")
+    return (enriched
+            .withWatermark("ts", watermark)
+            .groupBy("segment", F.window("ts", duration))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value")))
+
+
+def run_stream_enrich(spark: SparkSession, events_path: str,
+                      dim: DataFrame, on: str = "user_id",
+                      duration: str = "1 hour",
+                      name: str = "stream_enrich") -> DataFrame:
+    """Execute the stream-static enrichment end-to-end (availableNow
+    + memory sink, complete mode — the batch-parity harness used by
+    every streaming gate here) and return the final table."""
+    agg = stream_enrich(spark, events_path, dim, on, duration)
+    q = (agg.select("segment",
+                    F.col("window").getField("start").alias("window_start"),
+                    "n_events", "sum_value")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select("segment", "window_start", "n_events",
+                    F.round("sum_value", 2).alias("sum_value")))

@@ -181,3 +181,29 @@ def test_gremlin_branch_is_one_union_plan(graph):
     assert "Union" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_stream_enrich_broadcasts_dim(spark):
+    """Stream-static enrichment must broadcast the dim side — a
+    shuffled stream-static join re-shuffles every micro-batch."""
+    from incubator_hugegraph_spark.streaming.events import stream_enrich
+    dim = (spark.read.parquet(f"{SF_DIR}/customer.parquet")
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.col("c_mktsegment").alias("segment")))
+    agg = stream_enrich(spark, f"{SF_DIR}/events.parquet", dim)
+    analyzed = agg._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in analyzed or "BROADCAST" in analyzed.upper()
+
+
+def test_cypher_callsub_no_cartesian(graph):
+    """CALL { WITH n … } decorrelates to distinct-key execution plus
+    an equi-join back — never a cartesian."""
+    from incubator_hugegraph_spark.cypher import cypher
+    df = cypher(graph, """
+        MATCH (n:nation)
+        CALL { WITH n MATCH (n)<-[:in_nation]-(c:customer)
+               RETURN count(c) AS n_cust }
+        RETURN n.name AS nm, n_cust""")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
