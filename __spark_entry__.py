@@ -3830,6 +3830,41 @@ def doc_ngram_lm(spark, sf_dir):
     return ngram_lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+@_q("doc_token_budget", """
+WITH t AS (
+  SELECT doc_id AS id,
+    CAST(len(list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '')) AS BIGINT)
+      AS n_tokens,
+    CAST(n_chars AS DOUBLE) AS score
+  FROM documents),
+c AS (
+  SELECT id, n_tokens, score,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      ORDER BY score DESC, id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS cum_before
+  FROM t)
+SELECT id, n_tokens, ROUND(score, 6) AS score, cum_before,
+       (cum_before < 20000) AS keep
+FROM c ORDER BY id
+""")
+def doc_token_budget(spark, sf_dir):
+    """Token-budget selection — keep the quality-ranked greedy
+    prefix of the corpus until the budget is exhausted (score here =
+    n_chars; any quality column plugs in). The exact global cumsum
+    comes from a score-range-bucketed two-phase prefix sum (same
+    pattern as pack_sequences), never a single-partition window."""
+    from incubator_hugegraph_spark.data.sample import (
+        token_budget_sample)
+    docs = _docs(spark, sf_dir).withColumn(
+        "score", F.col("n_chars").cast("double"))
+    return (token_budget_sample(docs, budget=20000)
+            .select("id", "n_tokens", F.round("score", 6).alias("score"),
+                    "cum_before", "keep")
+            .orderBy("id"))
+
+
 @_q("doc_domain_mix", """
 WITH u AS (
   SELECT source,

@@ -119,3 +119,58 @@ def domain_sample(df: DataFrame, fractions: dict[str, float],
         expr = F.when(F.col(domain_col) == dom,
                       F.lit(float(frac))).otherwise(expr)
     return df.filter(u < expr)
+
+
+def token_budget_sample(docs: DataFrame, budget: int,
+                        score_col: str = "score",
+                        n_bins: int = 1024,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Quality-ranked selection under a TOKEN BUDGET — the "take the
+    best documents until we have N training tokens" step every
+    curated-pretraining recipe ends with: rank by ``score_col``
+    (descending, id-tiebroken), accumulate token counts, keep the
+    greedy prefix whose cumulative count stays under ``budget``.
+
+    Returns every doc with (id, n_tokens, score, cum_before, keep) so
+    callers can inspect the cut line; ``keep`` marks docs STARTING
+    before the budget is exhausted (the crossing doc is included —
+    greedy-prefix semantics).
+
+    Scale shape: the naive ``SUM() OVER (ORDER BY score DESC)`` is a
+    single-partition global window. Here the exact cumsum comes from
+    the same TWO-PHASE pattern as ``pack_sequences``, but bucketed by
+    SCORE RANGE (fixed-width bins over the observed [min,max], one
+    scalar aggregate): per-bin totals prefix-sum (tiny, broadcast),
+    the expensive window runs per bin. Bins only partition the sort
+    order — exactness is unconditional; a pathologically point-massed
+    score distribution degrades one bin's window (raise ``n_bins`` or
+    pre-discretize the score)."""
+    from incubator_hugegraph_spark.functions.text import token_count
+
+    t = docs.select(F.col(id_col).alias("id"),
+                    token_count(F.col(text_col)).alias("n_tokens"),
+                    F.col(score_col).cast("double").alias("score")) \
+        .filter(F.col("score").isNotNull())  # unscored docs drop
+    lo, hi = t.agg(F.min("score"), F.max("score")).head()
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+    # DESCENDING bin index so bin order == score-desc order
+    t = t.withColumn(
+        "__b", F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), F.floor(
+            (F.lit(hi) - F.col("score")) / F.lit(width)).cast("int"))))
+    per_bin = t.groupBy("__b").agg(F.sum("n_tokens").alias("__bsum"))
+    w_prefix = Window.orderBy("__b") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    prefix = per_bin.select(
+        "__b", F.coalesce(F.sum("__bsum").over(w_prefix), F.lit(0))
+        .alias("__prev"))
+    w_local = Window.partitionBy("__b") \
+        .orderBy(F.col("score").desc(), "id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    return (t.join(F.broadcast(prefix), on="__b")
+            .withColumn("cum_before",
+                        F.col("__prev")
+                        + F.coalesce(F.sum("n_tokens").over(w_local),
+                                     F.lit(0)))
+            .select("id", "n_tokens", "score", "cum_before",
+                    (F.col("cum_before") < budget).alias("keep")))

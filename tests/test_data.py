@@ -777,3 +777,36 @@ def test_ngram_lm_separate_model(spark):
     # unseen bigram (a,q): c2=0, c1(a)=2, V=2 → ln(0.5 / 3.0)
     import math
     assert abs(row.avg_logp - round(math.log(0.5 / 3.0), 6)) < 1e-6
+
+
+def test_token_budget_sample_exact_prefix(spark):
+    from incubator_hugegraph_spark.data.sample import token_budget_sample
+    fixture = spark.createDataFrame(
+        [(1, "a b c", 5.0),        # 3 tokens, best score
+         (2, "d e", 5.0),          # 2 tokens, tie → id order
+         (3, "f g h i", 3.0),      # 4 tokens
+         (4, "j", 1.0),            # 1 token, worst
+         (5, "k l", None)],        # unscored → drops
+        "doc_id long, text string, score double")
+    out = {r.id: r for r in
+           token_budget_sample(fixture, budget=6, n_bins=4).collect()}
+    assert 5 not in out
+    assert out[1].cum_before == 0 and out[1].keep
+    assert out[2].cum_before == 3 and out[2].keep
+    # doc 3 starts at 5 < 6 → included (crossing doc), doc 4 at 9 → out
+    assert out[3].cum_before == 5 and out[3].keep
+    assert out[4].cum_before == 9 and not out[4].keep
+
+
+def test_token_budget_bins_partition_order(spark):
+    # exactness does not depend on bin count
+    from incubator_hugegraph_spark.data.sample import token_budget_sample
+    rows = [(i, " ".join(["w"] * (i % 7 + 1)), float((i * 37) % 101))
+            for i in range(200)]
+    fixture = spark.createDataFrame(
+        rows, "doc_id long, text string, score double")
+    a = token_budget_sample(fixture, budget=300, n_bins=1).collect()
+    b = token_budget_sample(fixture, budget=300, n_bins=64).collect()
+    ka = {(r.id, r.cum_before, r.keep) for r in a}
+    kb = {(r.id, r.cum_before, r.keep) for r in b}
+    assert ka == kb
