@@ -592,6 +592,60 @@ def cypher_path_fns_q(spark, sf_dir):
     return df.select("b", F.array_join("ns", ">").alias("path"), "ln")
 
 
+@_q("cypher_shortest_path", f"""
+WITH {IE_SQL.strip()},
+d1 AS (SELECT DISTINCT dst AS b FROM ie WHERE src = 'customer!1'),
+d2 AS (SELECT DISTINCT ie.dst AS b FROM d1 JOIN ie ON ie.src = d1.b),
+d3 AS (SELECT DISTINCT ie.dst AS b FROM d2 JOIN ie ON ie.src = d2.b),
+lv AS (SELECT b, 1 AS ln FROM d1 UNION ALL SELECT b, 2 FROM d2
+       UNION ALL SELECT b, 3 FROM d3)
+SELECT b, MIN(ln) AS ln FROM lv GROUP BY b
+""")
+def cypher_shortest_path_q(spark, sf_dir):
+    """openCypher shortestPath(): per endpoint pair keep one minimal
+    path — min over bounded-depth walks == BFS distance, so the oracle
+    is the 3-level BFS frontier over the distinct interacted digraph.
+    Compiled as the varlen unroll + min-length window; the WHERE
+    anchor pushes below the window into every union branch
+    (plan-asserted in test_plans.py), so the anchored search never
+    goes all-pairs. Reference anchor: the reference exposes the same
+    semantics through ShortestPathTraverser
+    (core/traversal/algorithm/ShortestPathTraverser.java) and full
+    openCypher translation (api/opencypher/CypherOpProcessor.java)."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH p = shortestPath(
+            (a:customer)-[:interacted*1..3]->(b:customer))
+        WHERE a = 'customer!1'
+        RETURN b, length(p) AS ln""")
+
+
+@_q("cypher_all_shortest", f"""
+WITH {E_SQL.strip()},
+iem AS (SELECT src, dst FROM edges WHERE label = 'interacted'),
+p1 AS (SELECT dst AS b, 1 AS ln FROM iem WHERE src = 'customer!1'),
+p2 AS (SELECT e2.dst AS b, 2 AS ln FROM iem e1 JOIN iem e2
+       ON e2.src = e1.dst WHERE e1.src = 'customer!1'),
+allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+m AS (SELECT b, MIN(ln) AS mln FROM allp GROUP BY b)
+SELECT m.b AS b, m.mln AS ln, count(*) AS n_paths
+FROM allp JOIN m ON allp.b = m.b AND allp.ln = m.mln
+GROUP BY m.b, m.mln
+""")
+def cypher_all_shortest_q(spark, sf_dir):
+    """allShortestPaths(): every minimal-hop edge sequence per pair —
+    parallel multi-edges each count (openCypher path multiplicity).
+    Minimal walks are vertex-distinct, so the SQL unroll needs no
+    same-edge exclusion; the engine enforces relationship isomorphism
+    regardless."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH p = allShortestPaths(
+            (a:customer)-[:interacted*1..2]->(b:customer))
+        WHERE a = 'customer!1'
+        RETURN b, length(p) AS ln, count(*) AS n_paths""")
+
+
 @_q("gremlin_project", """
 SELECT 'region!' || r_regionkey AS rid, r_name AS nm FROM region
 """)

@@ -84,6 +84,20 @@ engine already carries the edge-key array for relationship
 isomorphism, so exposing it adds no shuffle. A bare `p` in RETURN
 projects the node-id sequence (id-only convention).
 
+`shortestPath((a)-[*..k]->(b))` / `allShortestPaths(...)` wrap a
+single (var-length) relationship chain: per distinct endpoint pair the
+match keeps only minimum-hop paths — allShortestPaths keeps every one,
+shortestPath keeps one deterministic representative (smallest edge-key
+sequence). Compiled as the bounded var-length unroll followed by a
+min-length window over the endpoint pair; endpoint predicates in WHERE
+apply per openCypher after per-pair selection, and an equality anchor
+(`WHERE a = ...`) pushes below the window (the pair is the partition
+key) into the unroll's union branches, so an anchored search never
+materializes all-pairs. The search depth is the declared upper bound
+(default *..{DEFAULT_VARLEN_MAX}) — a bounded-depth BFS, the same
+contract as the reference's ShortestPathTraverser depth argument
+(core/traversal/algorithm/ShortestPathTraverser.java).
+
 Writes — CREATE (nodes with literal property maps, relationships
 between created/matched vars), MERGE pattern [ON CREATE SET …]
 [ON MATCH SET …] (match-or-create: one existence probe per statement,
@@ -105,7 +119,7 @@ import re
 from dataclasses import dataclass, field
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from incubator_hugegraph_spark.graph import PropertyGraph
@@ -172,6 +186,8 @@ class _MatchClause:
     # ``rels`` for the chain's relationships)
     paths: dict[str, tuple[list[str], list[int]]] = \
         field(default_factory=dict)
+    # shortestPath/allShortestPaths chains: path var → 'single' | 'all'
+    shortest: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -563,21 +579,59 @@ class _Parser:
                 return pv
             return None
 
+        def shortest_fn() -> str | None:
+            # shortestPath(( … )) / allShortestPaths(( … )) around one
+            # relationship chain (openCypher single-pattern restriction)
+            if (self.peek()[0] == "name"
+                    and self.peek()[1] in ("shortestPath",
+                                           "allShortestPaths")
+                    and self.toks[self.i + 1][1] == "("):
+                mode = ("single" if self.next()[1] == "shortestPath"
+                        else "all")
+                self.next()  # (
+                return mode
+            return None
+
         def close_path() -> None:
+            nonlocal pv
+            if sp_open:
+                raise SyntaxError("cypher: unclosed shortestPath(")
+            if sp is not None:
+                if pv is None:
+                    self._spgen = getattr(self, "_spgen", 0) + 1
+                    pv = f"__sp{self._spgen}"
+                if len(chain_rels) != 1:
+                    raise SyntaxError(
+                        "cypher: shortestPath() takes a single "
+                        "relationship pattern")
+                r = q.rels[chain_rels[0]]
+                if r.min_hops > 1:
+                    raise SyntaxError(
+                        "cypher: shortestPath() lower bound must be "
+                        "0 or 1")
+                q.shortest[pv] = sp
             if pv is not None:
                 q.paths[pv] = (chain_nodes[:], chain_rels[:])
 
         pv = path_var()
+        sp = shortest_fn()
+        sp_open = sp is not None
         chain_nodes: list[str] = []
         chain_rels: list[int] = []
         prev = self._node(q)
         chain_nodes.append(prev)
         while True:
             t = self.peek()[1]
+            if t == ")" and sp_open:
+                self.next()
+                sp_open = False
+                continue
             if t == ",":
                 close_path()
                 self.next()
                 pv = path_var()
+                sp = shortest_fn()
+                sp_open = sp is not None
                 chain_nodes, chain_rels = [], []
                 prev = self._node(q)
                 chain_nodes.append(prev)
@@ -1745,6 +1799,27 @@ class CypherEngine:
                 else F.array().cast("array<string>"))
             df = df.withColumn(f"__path_n_{pv}", F.concat(*node_cols))
             self._path_vars.add(pv)
+        # shortestPath/allShortestPaths: per endpoint pair keep only
+        # minimum-hop sequences. One window shuffle on the pair; an
+        # anchored query's equality predicate pushes below it (the
+        # pair IS the partition key) into the unroll's union branches.
+        for pv, mode in mc.shortest.items():
+            nchain, _ridxs = mc.paths[pv]
+            ln = F.size(F.col(f"__path_r_{pv}"))
+            w = Window.partitionBy(nchain[0], nchain[-1])
+            df = (df.withColumn("__sp_min", F.min(ln).over(w))
+                    .filter(ln == F.col("__sp_min")).drop("__sp_min"))
+            if mode == "single":
+                # one deterministic representative: smallest edge-key
+                # sequence (openCypher allows any; determinism keeps
+                # the result oracle-comparable)
+                wo = w.orderBy(F.array_join(F.col(f"__path_r_{pv}"),
+                                            ">"))
+                df = (df.withColumn("__sp_rn", F.row_number().over(wo))
+                        .filter(F.col("__sp_rn") == 1).drop("__sp_rn"))
+            if pv.startswith("__sp"):  # unbound shortestPath(…) form
+                df = df.drop(f"__path_r_{pv}", f"__path_n_{pv}")
+                self._path_vars.discard(pv)
         if mc.paths:
             df = df.drop(*[c for c in df.columns
                            if c.startswith("__vl_")])

@@ -845,3 +845,64 @@ def test_parameter_pushdown_plan(graph):
         MATCH (p:part) WHERE p.size >= $lo RETURN p AS id""",
         params={"lo": 45})._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "45" in plan
+
+
+def _interacted_levels(graph, src: str, depth: int) -> dict[str, int]:
+    """Min walk length (≤ depth) per reachable vertex over the
+    distinct interacted digraph — reference expectation for
+    shortestPath semantics (min over walks == BFS distance)."""
+    from collections import defaultdict
+    adjm = defaultdict(set)
+    for r in (graph.edges.filter("label = 'interacted'")
+              .select("src", "dst").distinct().collect()):
+        adjm[r.src].add(r.dst)
+    dist: dict[str, int] = {}
+    frontier = {src}
+    for ln in range(1, depth + 1):
+        nxt: set[str] = set()
+        for v in frontier:
+            nxt |= adjm[v]
+        for v in nxt:
+            dist.setdefault(v, ln)
+        frontier = nxt
+    return dist
+
+
+def test_shortest_path_single_one_row_per_pair(graph):
+    df = cypher(graph, """
+        MATCH p = shortestPath(
+            (a:customer)-[:interacted*1..3]->(b:customer))
+        WHERE a = 'customer!1'
+        RETURN b, length(p) AS ln""")
+    rows = df.collect()
+    dist = _interacted_levels(graph, "customer!1", 3)
+    assert len(rows) == len(dist)  # exactly one representative per b
+    assert {(r.b, r.ln) for r in rows} == set(dist.items())
+
+
+def test_all_shortest_paths_min_and_multiplicity(graph):
+    df = cypher(graph, """
+        MATCH p = allShortestPaths(
+            (a:customer)-[:interacted*1..3]->(b:customer))
+        WHERE a = 'customer!1'
+        RETURN b, length(p) AS ln, count(*) AS n""")
+    rows = df.collect()
+    dist = _interacted_levels(graph, "customer!1", 3)
+    assert {(r.b, r.ln) for r in rows} == set(dist.items())
+    # at distance 1 every parallel multi-edge is its own shortest path
+    out1 = (graph.edges.filter("label = 'interacted'")
+            .filter(F.col("src") == "customer!1").count())
+    assert sum(r.n for r in rows if r.ln == 1) == out1
+
+
+def test_shortest_path_unbound_and_errors(graph):
+    n = cypher(graph, """
+        MATCH shortestPath((a:customer)-[:interacted*..2]->(b:customer))
+        WHERE a = 'customer!1' RETURN count(*) AS n""").head().n
+    assert n == len(_interacted_levels(graph, "customer!1", 2))
+    with pytest.raises(SyntaxError):
+        cypher(graph, "MATCH p = shortestPath((a)-[:x*1..2]->(b)"
+                      "-[:y]->(c)) RETURN p")
+    with pytest.raises(SyntaxError):
+        cypher(graph, "MATCH p = shortestPath((a)-[:x*2..3]->(b)) "
+                      "RETURN p")

@@ -207,3 +207,19 @@ def test_cypher_callsub_no_cartesian(graph):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_shortest_path_anchor_pushes_below_window(graph):
+    from incubator_hugegraph_spark.cypher import cypher
+    df = cypher(graph, """
+        MATCH p = shortestPath(
+            (a:customer)-[:interacted*1..3]->(b:customer))
+        WHERE a = 'customer!1'
+        RETURN b, length(p) AS ln""")
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # the equality anchor must push below the min-length window into
+    # the unroll's union branches (never all-pairs-then-filter), and
+    # the single-representative row_number must compile to the
+    # group-limit form
+    assert opt.count("= customer!1") >= 3, opt
+    assert "WindowGroupLimit" in opt, opt
