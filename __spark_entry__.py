@@ -4088,6 +4088,25 @@ def doc_hash_split(spark, sf_dir):
         F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id"))
 
 
+@_q("doc_global_shuffle", """
+SELECT doc_id,
+       ('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 6))
+         ::BIGINT % 8 AS shard,
+       md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS ord
+FROM documents
+""")
+def doc_global_shuffle(spark, sf_dir):
+    """Deterministic seeded epoch shuffle + sharding (training
+    ingestion): sort key and shard are pure functions of (seed, id),
+    the query itself is a zero-shuffle projection — the one physical
+    shuffle happens at write time as repartition(shard) +
+    sortWithinPartitions(ord) (see data/sample.py::global_shuffle for
+    the 100 TB rationale)."""
+    from incubator_hugegraph_spark.data.sample import global_shuffle
+    return global_shuffle(_docs(spark, sf_dir), n_shards=8,
+                          seed="epoch0")
+
+
 @_q("doc_stratified_sample", """
 WITH u AS (
   SELECT doc_id, lang,
@@ -4543,6 +4562,47 @@ def emb_kmeans(spark, sf_dir):
     from incubator_hugegraph_spark.data.similarity import (
         kmeans_cluster_stats)
     return kmeans_cluster_stats(_emb(spark, sf_dir), n_cells=8, n_iters=1)
+
+
+def _semdedup_oracle(n_cells: int = 16, tau: float = 0.35) -> str:
+    """DuckDB SQL reproducing semantic_dedup with n_iters=0: seed
+    centroids = first n_cells ids, argmax-cosine assignment (tie →
+    lower cell), within-cell pairs only, drop id if any smaller-id
+    neighbor has ROUND(cos, 6) > tau."""
+    cos_vc = _cos_sql("e.v", "c.cv")
+    cos_ab = _cos_sql("a.v", "b.v")
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cents AS (SELECT id AS cell, v AS cv FROM e ORDER BY id
+          LIMIT {n_cells}),
+ad AS (SELECT e.id, e.v, c.cell, {cos_vc} AS d
+       FROM e CROSS JOIN cents c),
+assigned AS (SELECT id, v, cell FROM (
+    SELECT id, v, cell,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY d DESC, cell) AS rn
+    FROM ad) WHERE rn = 1),
+dropped AS (SELECT DISTINCT a.id
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.id > b.id
+            WHERE ROUND({cos_ab}, 6) > {tau})
+SELECT id, cell FROM assigned
+WHERE id NOT IN (SELECT id FROM dropped)
+"""
+
+
+@_q("emb_semdedup", _semdedup_oracle())
+def emb_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means cells → within-cell
+    pairwise cosine → drop docs with a smaller-id semantic duplicate;
+    returns survivors. The synthetic corpus plants no near-identical
+    embeddings (global max pairwise cos ≈ 0.51), so the gate runs the
+    kernel at epsilon = 0.35 — the production setting (~0.95) is the
+    same plan with a different literal."""
+    from incubator_hugegraph_spark.data.dedup import semantic_dedup
+    return semantic_dedup(_emb(spark, sf_dir), n_cells=16,
+                          threshold=0.35)
 
 
 def _emb_neardup_oracle() -> str:

@@ -408,3 +408,50 @@ def dedup_clusters(docs: DataFrame, n: int = 3, threshold: float = 0.3,
         F.count(F.lit(1)).alias("cluster_size"))
     return (comp.join(sizes, on="keeper")
             .select("keeper", F.col("id").alias(id_col), "cluster_size"))
+
+
+def semantic_dedup(emb: DataFrame, n_cells: int = 16,
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   n_iters: int = 0) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding corpus with deterministic k-means, compute pairwise
+    cosine WITHIN each cluster only, and drop every doc that has a
+    semantic duplicate (cos > threshold) with a smaller id — the
+    keep-lowest-id representative rule makes the prune deterministic
+    and non-iterative (no transitive closure: each doc is judged
+    against its own epsilon-ball, exactly the paper's policy).
+
+    Returns (id, cell) for the SURVIVING docs.
+
+    100 TB shape: the only all-pairs work is per-cluster (O(sum c_i^2),
+    bounded by choosing n_cells ~ corpus/expected_cluster_size); the
+    centroid table is broadcast for assignment (map-side argmax, no
+    shuffle) and the pair join shuffles on the cell key only. This is
+    the scale rationale the paper itself gives for clustering before
+    comparing. Similarities are rounded to 6 decimals before the
+    threshold compare so the decision is ulp-stable across engines."""
+    from incubator_hugegraph_spark.data.similarity import (
+        _to_double, cosine, kmeans_centroids)
+    from pyspark.sql.window import Window
+
+    base = emb.select(F.col(id_col).alias("id"),
+                      _to_double(vec_col).alias("v"))
+    dim = len(emb.select(vec_col).first()[0])
+    cents = kmeans_centroids(base, n_cells, dim, n_iters)
+    assigned = (base.crossJoin(F.broadcast(cents))
+                .withColumn("d", cosine(F.col("v"), F.col("cv"))))
+    w = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("cell"))
+    assigned = (assigned.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).select("id", "v", "cell"))
+    a = assigned.select(F.col("id").alias("ai"), F.col("v").alias("av"),
+                        "cell")
+    b = assigned.select(F.col("id").alias("bi"), F.col("v").alias("bv"),
+                        "cell")
+    dropped = (a.join(b, on="cell")
+               .filter(F.col("ai") > F.col("bi"))
+               .filter(F.round(cosine(F.col("av"), F.col("bv")), 6)
+                       > threshold)
+               .select(F.col("ai").alias("id")).distinct())
+    return (assigned.join(dropped, on="id", how="left_anti")
+            .select("id", "cell"))

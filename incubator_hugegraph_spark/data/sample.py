@@ -174,3 +174,29 @@ def token_budget_sample(docs: DataFrame, budget: int,
                                      F.lit(0)))
             .select("id", "n_tokens", "score", "cum_before",
                     (F.col("cum_before") < budget).alias("keep")))
+
+
+def global_shuffle(df: DataFrame, n_shards: int = 8,
+                   seed: str = "epoch0",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic seeded global shuffle + sharding for training
+    ingestion (the "shuffle the corpus every epoch" step): each doc
+    gets a pseudorandom sort key ``ord = md5(seed:id)`` and a shard
+    from a prefix of the same digest. Consuming order is (shard, ord).
+
+    Pure projection — the query plans ZERO shuffles. The physical
+    data movement happens once, at write time, as
+    ``repartition(n_shards, "shard").sortWithinPartitions("ord")``:
+    per-shard local order is what data loaders actually consume, and
+    it avoids the global ORDER BY range-sampling pass that a total
+    sort of 100 TB would cost. Changing ``seed`` re-permutes the
+    corpus per epoch with no data movement until write. Assignment is
+    a pure function of (seed, id): reproducible across runs,
+    partitionings, and engines — same leakage-safety rationale as
+    hash_split."""
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    return df.select(
+        id_col,
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint")
+         % n_shards).alias("shard"),
+        h.alias("ord"))

@@ -810,3 +810,53 @@ def test_token_budget_bins_partition_order(spark):
     ka = {(r.id, r.cum_before, r.keep) for r in a}
     kb = {(r.id, r.cum_before, r.keep) for r in b}
     assert ka == kb
+
+
+def test_semantic_dedup_keep_rule(emb):
+    """SemDeDup invariant: a doc survives iff it has NO smaller-id
+    same-cell neighbor with rounded cosine above the threshold —
+    recomputed independently in numpy."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.dedup import semantic_dedup
+
+    tau = 0.35
+    kept = semantic_dedup(emb, n_cells=16, threshold=tau).collect()
+    rows = sorted((r.vec_id, np.array(r.embedding, dtype=np.float64))
+                  for r in emb.select("vec_id", "embedding").collect())
+    ids = [i for i, _ in rows]
+    M = np.stack([v for _, v in rows])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    seeds = M[:16]  # first 16 by id
+    cell = (M @ seeds.T).argmax(axis=1)  # ties: argmax takes lowest
+    sims = np.round(M @ M.T, 6)
+    expect = set()
+    for i in range(len(ids)):
+        dup = any(cell[j] == cell[i] and sims[i, j] > tau
+                  for j in range(i))
+        if not dup:
+            expect.add(ids[i])
+    assert {r.id for r in kept} == expect
+    # cell column matches the assignment
+    got_cell = {r.id: r.cell for r in kept}
+    for i, vid in enumerate(ids):
+        if vid in got_cell:
+            assert got_cell[vid] == ids[cell[i]]
+
+
+def test_global_shuffle_deterministic_and_shuffle_free(docs):
+    from incubator_hugegraph_spark.data.sample import global_shuffle
+
+    a = global_shuffle(docs, n_shards=8, seed="epoch0")
+    b = global_shuffle(docs, n_shards=8, seed="epoch0")
+    ra, rb = a.collect(), b.collect()
+    assert sorted(map(tuple, ra)) == sorted(map(tuple, rb))
+    assert {r.shard for r in ra} <= set(range(8))
+    # a different seed re-permutes (some doc changes shard or order)
+    c = {r.doc_id: (r.shard, r.ord)
+         for r in global_shuffle(docs, seed="epoch1").collect()}
+    assert any(c[r.doc_id] != (r.shard, r.ord) for r in ra)
+    # the query itself plans zero exchanges (write-time repartition is
+    # the only data movement)
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
