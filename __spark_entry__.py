@@ -3884,6 +3884,47 @@ def doc_ngram_lm(spark, sf_dir):
     return ngram_lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+@_q("doc_dsir_weights", f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENIZE_SQL.format(col='text')} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                               i -> t[i] || '_' || t[i + 1])) AS bg
+  FROM toks),
+db AS (
+  SELECT doc_id, ('0x' || substr(md5(bg), 1, 6))::BIGINT % 4096 AS b,
+         count(*) AS c
+  FROM bg GROUP BY 1, 2),
+raw AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM db GROUP BY b),
+tgt AS (SELECT b, CAST(SUM(c) AS BIGINT) AS ct
+        FROM db JOIN documents USING (doc_id)
+        WHERE source = 'src0' GROUP BY b),
+model AS (SELECT r.b, r.cr, COALESCE(t.ct, 0) AS ct
+          FROM raw r LEFT JOIN tgt t ON r.b = t.b),
+tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+               CAST(SUM(ct) AS BIGINT) AS nt FROM model),
+lr AS (SELECT b, ln((ct + 1) / (nt + 4096.0))
+              - ln((cr + 1) / (nr + 4096.0)) AS lr
+       FROM model CROSS JOIN tot),
+w AS (SELECT doc_id, ROUND(SUM(c * lr), 4) AS w
+      FROM db JOIN lr USING (b) GROUP BY doc_id)
+SELECT d.doc_id AS id, COALESCE(w.w, 0.0) AS w
+FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+""")
+def doc_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): score every raw doc
+    by target-likeness of its hashed-bigram profile — the data
+    selection step of importance-resampling pretraining recipes. The
+    fixture's src0 slice plays the target corpus. Two corpus passes,
+    broadcast bucket models, md5-portable hashing (see
+    data/sample.py::dsir_weights for the 100 TB shape)."""
+    from incubator_hugegraph_spark.data.sample import dsir_weights
+    docs = _docs(spark, sf_dir)
+    return dsir_weights(docs, docs.filter(F.col("source") == "src0"),
+                        n_buckets=4096)
+
+
 @_q("doc_token_budget", """
 WITH t AS (
   SELECT doc_id AS id,

@@ -200,3 +200,64 @@ def global_shuffle(df: DataFrame, n_shards: int = 8,
         (F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint")
          % n_shards).alias("shard"),
         h.alias("ord"))
+
+
+def _hashed_bigram_buckets(docs: DataFrame, n_buckets: int,
+                           id_col: str, text_col: str) -> DataFrame:
+    """(id, bucket, c): hashed word-bigram counts per doc. The bucket
+    hash is md5-prefix mod n_buckets — engine-portable (the DuckDB
+    oracle reproduces it bit-for-bit), unlike murmur/xxhash."""
+    from incubator_hugegraph_spark.functions.text import tokenize
+    toks = docs.select(F.col(id_col).alias("id"),
+                       tokenize(text_col).alias("t"))
+    bg = toks.select("id", F.explode(F.expr(
+        "zip_with(slice(t, 1, greatest(size(t)-1, 0)),"
+        "         slice(t, 2, greatest(size(t)-1, 0)),"
+        "         (a, b) -> concat(a, '_', b))")).alias("bg"))
+    bucket = (F.conv(F.substring(F.md5(F.col("bg")), 1, 6), 16, 10)
+              .cast("bigint") % n_buckets)
+    return (bg.select("id", bucket.alias("b"))
+            .groupBy("id", "b").agg(F.count(F.lit(1)).alias("c")))
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame,
+                 n_buckets: int = 4096, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw doc by how target-like its hashed n-gram profile
+    is. Features are hashed word-bigram counts; both corpora get
+    add-1-smoothed bucket unigram models; a doc's log-importance
+    weight is sum_b c_db * (log p_target(b) - log p_raw(b)).
+    Selection = keep the top-weight docs (the resampling step of the
+    paper collapses to top-k under a deterministic gate).
+
+    Returns (id, w) for every raw doc, w rounded to 4 (summation-
+    order ulp convention).
+
+    100 TB shape: two corpus passes (bucket counts, then the weight
+    sum), the models are n_buckets rows each — broadcast to the
+    per-doc join; no all-pairs, no driver-side corpus state. The
+    target corpus is typically tiny (a quality reference set), so its
+    pass is cheap."""
+    raw_b = _hashed_bigram_buckets(docs, n_buckets, id_col, text_col)
+    tgt_b = _hashed_bigram_buckets(target, n_buckets, id_col, text_col)
+    raw_counts = raw_b.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt_counts = tgt_b.groupBy("b").agg(F.sum("c").alias("ct"))
+    # every doc bucket exists in raw_counts (raw spans the corpus);
+    # target-absent buckets smooth to count 0
+    model = (raw_counts.join(tgt_counts, on="b", how="left")
+             .select("b", "cr", F.coalesce("ct", F.lit(0)).alias("ct")))
+    totals = model.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    model = (model.crossJoin(F.broadcast(totals))
+             .select("b", (
+                 F.log((F.col("ct") + 1)
+                       / (F.col("nt") + F.lit(float(n_buckets))))
+                 - F.log((F.col("cr") + 1)
+                         / (F.col("nr") + F.lit(float(n_buckets)))))
+                 .alias("lr")))
+    w = (raw_b.join(F.broadcast(model), on="b")
+         .groupBy("id").agg(F.round(F.sum(F.col("c") * F.col("lr")), 4)
+                            .alias("w")))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(w, on="id", how="left")
+            .select("id", F.coalesce("w", F.lit(0.0)).alias("w")))

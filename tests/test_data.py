@@ -860,3 +860,27 @@ def test_global_shuffle_deterministic_and_shuffle_free(docs):
     # the only data movement)
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_dsir_weights_invariants(docs):
+    from incubator_hugegraph_spark.data.sample import dsir_weights
+
+    # target == raw  =>  the two models coincide and every log-ratio
+    # is exactly 0 — all weights must be exactly 0.0
+    zero = dsir_weights(docs, docs, n_buckets=512)
+    assert zero.filter(F.col("w") != 0.0).count() == 0
+    assert zero.count() == docs.count()
+
+    # a real target slice: docs FROM the target domain must score
+    # higher on average than the rest (the op's reason to exist)
+    from pyspark.sql import functions as SF
+    tgt = docs.filter(SF.col("source") == "src0")
+    w = dsir_weights(docs, tgt, n_buckets=4096)
+    joined = w.join(docs.select(SF.col("doc_id").alias("id"), "source"),
+                    on="id")
+    means = dict(joined.groupBy(SF.col("source") == "src0")
+                 .agg(SF.avg("w")).collect())
+    assert means[True] > means[False]
+    # the bucket-model join must broadcast (model is n_buckets rows)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
