@@ -1191,6 +1191,60 @@ class Traversal:
     def toList(self) -> list:
         return [r[0] for r in self.toDF().collect()]
 
+    def explain(self, mode: str = "formatted") -> str:
+        """TinkerPop ``explain()`` terminal step. The reference answers
+        it with the TraversalExplanation strategy trace (ProcessBasicSuite
+        registers ExplainTest; HugeGraph's strategies live in
+        hugegraph-server/hugegraph-core/.../optimize/HugeGraphStepStrategy.java).
+        Here the traversal 'strategies' ARE Catalyst rules, so the
+        faithful analogue is the compiled Spark plan: the returned
+        string shows pushed filters, pruned columns, join strategies
+        and WholeStageCodegen spans — exactly what the reference's
+        trace shows about has()-folding and step substitution.
+        ``mode`` is any Spark explain mode (simple/extended/formatted/
+        cost/codegen)."""
+        jvm = self.df.sparkSession._jvm
+        return jvm.PythonSQLUtils.explainString(
+            self.df._jdf.queryExecution(), mode)
+
+    def profile(self) -> DataFrame:
+        """TinkerPop ``profile()`` terminal step (ProcessBasicSuite
+        registers ProfileTest): EXECUTES the traversal once and returns
+        per-operator metrics — the TraversalMetrics analogue built from
+        Spark SQL metrics, one row per physical operator in execution
+        order with its output-row count. Spark populates metrics only
+        after an action, so this runs the plan (same contract as
+        TinkerPop: profile() iterates the traversal). The plan-tree
+        walk is driver-side metadata only — never data."""
+        df = self.toDF() if self.kind in ("V", "E") else self.df
+        df.collect()
+        rows, stack = [], [(df._jdf.queryExecution().executedPlan(), 0)]
+        while stack:
+            node, depth = stack.pop()
+            name = node.nodeName()
+            mets, it = {}, node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                mets[kv._1()] = int(kv._2().value())
+            rows.append((len(rows), depth, name,
+                         mets.get("numOutputRows")))
+            # AQE roots/stages re-plan underneath: descend into the
+            # final physical plan, not the stale initial children.
+            # QueryStageExec wrappers (Result/Shuffle/BroadcastQueryStage)
+            # report no children — their subtree hangs off .plan()
+            if name.startswith("AdaptiveSparkPlan"):
+                stack.append((node.executedPlan(), depth + 1))
+                continue
+            if name.endswith("QueryStage"):
+                stack.append((node.plan(), depth + 1))
+                continue
+            ch = node.children()
+            for i in range(ch.size() - 1, -1, -1):
+                stack.append((ch.apply(i), depth + 1))
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            rows, "step int, depth int, operator string, rows long")
+
 
 class _LocalTraversal(Traversal):
     """Child scope of local(): barrier steps partition by the origin

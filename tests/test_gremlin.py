@@ -840,3 +840,36 @@ def test_properties_text_surface(graph):
         graph, "g.V().hasLabel('customer')"
                ".flatMap(__.out('placed').count())")
     assert df2.count() == graph.view("customer").count()
+
+
+def test_explain_returns_spark_plan(graph):
+    # TinkerPop ExplainTest analogue: the strategy trace here is the
+    # Catalyst plan; formatted output must show the parquet scan and
+    # the pushed has()-filter
+    s = G(graph).V().hasLabel("nation").has(
+        "name", GP.gte("B")).explain()
+    assert "== Physical Plan ==" in s and "Scan" in s
+    ext = G(graph).V().hasLabel("nation").explain("extended")
+    assert "== Optimized Logical Plan ==" in ext
+
+
+def test_profile_metrics_match_count(graph):
+    # ProfileTest analogue: executes once, per-operator output rows;
+    # the root operator's row count equals the traversal's cardinality
+    t = G(graph).V().hasLabel("nation").out("located_in")
+    expect = t.toDF().count()
+    prof = t.profile()
+    rows = prof.orderBy("step").collect()
+    assert rows and rows[0].depth == 0
+    assert {"operator", "rows", "step", "depth"} <= set(prof.columns)
+    got = [r.rows for r in rows if r.rows is not None]
+    assert got and expect in got
+
+
+def test_explain_profile_text_surface(graph):
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    s = eval_gremlin(graph, "g.V().hasLabel('part').explain()")
+    assert isinstance(s, str) and "Physical Plan" in s
+    prof = eval_gremlin(
+        graph, "g.V().hasLabel('part').out('composed_of').profile()")
+    assert prof.filter(F.col("rows").isNotNull()).count() > 0
