@@ -3983,6 +3983,48 @@ def doc_domain_mix(spark, sf_dir):
             .orderBy("source"))
 
 
+@_q("doc_bpe_pairs", f"""
+WITH toks AS (
+  SELECT unnest({TOKENIZE_SQL.format(col='text')}) AS w FROM documents),
+wc AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+pr AS (
+  SELECT substring(w, CAST(i AS INT), 2) AS pair, c
+  FROM (SELECT w, c, unnest(range(1, length(w))) AS i
+        FROM wc WHERE length(w) >= 2))
+SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+FROM pr GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+""")
+def doc_bpe_pairs(spark, sf_dir):
+    """Tokenizer-training kernel: one BPE merge round (Sennrich et
+    al. 2016) — top adjacent char-pair counts weighted by corpus word
+    frequency. One corpus scan; all later stages are vocab-sized."""
+    from incubator_hugegraph_spark.data.text import bpe_pair_counts
+    return bpe_pair_counts(_docs(spark, sf_dir), top=20)
+
+
+@_q("doc_vocab_coverage", f"""
+WITH toks AS (
+  SELECT source, unnest({TOKENIZE_SQL.format(col='text')}) AS w
+  FROM documents),
+vocab AS (
+  SELECT w FROM (SELECT w, count(*) AS c FROM toks GROUP BY w)
+  ORDER BY c DESC, w LIMIT 500),
+j AS (SELECT t.source, CASE WHEN v.w IS NULL THEN 0 ELSE 1 END AS hit
+      FROM toks t LEFT JOIN vocab v ON t.w = v.w)
+SELECT source, CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(sum(hit) AS BIGINT) AS covered_tokens,
+       round(sum(hit) * 1.0 / count(*), 6) AS coverage
+FROM j GROUP BY source ORDER BY source
+""")
+def doc_vocab_coverage(spark, sf_dir):
+    """Per-source token coverage of the global top-500 vocabulary
+    (OOV-rate complement). Vocab is bounded → broadcast hash join on
+    the token stream; only map-side-combined aggs touch the corpus."""
+    from incubator_hugegraph_spark.data.text import vocab_coverage
+    return vocab_coverage(_docs(spark, sf_dir), vocab_size=500) \
+        .orderBy("source")
+
+
 @_q("doc_quality", """
 WITH t AS (
   SELECT doc_id, text,

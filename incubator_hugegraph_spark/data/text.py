@@ -256,3 +256,54 @@ def ngram_lm_score(docs: DataFrame, model_docs: DataFrame | None = None,
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.round(F.avg("logp"), 6).alias("avg_logp"),
                  F.round(F.exp(-F.avg("logp")), 4).alias("ppl")))
+
+
+def bpe_pair_counts(docs: DataFrame, top: int = 20,
+                    text_col: str = "text") -> DataFrame:
+    """One BPE merge round (Sennrich et al. 2016, the public byte-pair
+    -encoding algorithm): adjacent character-pair frequencies weighted
+    by corpus word frequency — the top pair is the next merge rule.
+    Returns the top-``top`` candidates as (pair, cnt), ordered count
+    desc then pair asc (deterministic, oracle-checkable).
+
+    Scale shape: the corpus is scanned ONCE (tokenize → explode →
+    word groupBy with map-side partial aggregation); every later step
+    runs on the DISTINCT-WORD table (vocabulary-sized, not
+    corpus-sized) and the final aggregation has ≤ alphabet² groups."""
+    words = docs.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (wc.filter(F.length("w") >= 2)
+             .select(F.explode(F.expr(
+                 "transform(sequence(1, length(w)-1), "
+                 "i -> substring(w, i, 2))")).alias("pair"),
+                 F.col("c")))
+    return (pairs.groupBy("pair").agg(F.sum("c").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair").limit(top))
+
+
+def vocab_coverage(docs: DataFrame, vocab_size: int = 500,
+                   text_col: str = "text",
+                   group_col: str = "source") -> DataFrame:
+    """Per-slice token coverage of the corpus-global top-N word
+    vocabulary — the OOV-rate complement a size-N tokenizer vocab
+    would see on each ``group_col`` slice. Vocabulary = top-N words
+    by count (ties broken alphabetically).
+
+    The vocab is N-bounded → broadcast; coverage scoring is a
+    map-side hash join riding the token stream, so the only
+    corpus-sized shuffles are the two aggregations (word counts,
+    per-group totals), both map-side-combined."""
+    toks = docs.select(F.col(group_col).alias("grp"),
+                       F.explode(tokenize(F.col(text_col))).alias("w"))
+    vocab = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.desc("c"), "w").limit(vocab_size)
+             .select("w", F.lit(1).alias("__v")))
+    return (toks.join(F.broadcast(vocab), on="w", how="left")
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("total_tokens"),
+                 F.count("__v").alias("covered_tokens"))
+            .select(F.col("grp").alias(group_col),
+                    "total_tokens", "covered_tokens",
+                    F.round(F.col("covered_tokens")
+                            / F.col("total_tokens"), 6)
+                    .alias("coverage")))

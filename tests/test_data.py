@@ -884,3 +884,33 @@ def test_dsir_weights_invariants(docs):
     # the bucket-model join must broadcast (model is n_buckets rows)
     plan = w._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bpe_pair_counts(spark):
+    from incubator_hugegraph_spark.data.text import bpe_pair_counts
+    docs = spark.createDataFrame(
+        [(1, "abab ab"), (2, "abab cd")], "doc_id long, text string")
+    got = {r.pair: r.cnt for r in bpe_pair_counts(docs, top=10).collect()}
+    # 'abab' ×2 contributes ab:2,ba:1 each; 'ab' ×1 → ab:1; 'cd' ×1
+    assert got == {"ab": 5, "ba": 2, "cd": 1}
+    # single-char words contribute nothing
+    one = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert bpe_pair_counts(one).count() == 0
+
+
+def test_vocab_coverage(spark):
+    from incubator_hugegraph_spark.data.text import vocab_coverage
+    docs = spark.createDataFrame(
+        [(1, "the the rare", "s1"), (2, "the word", "s2")],
+        "doc_id long, text string, source string")
+    # vocab_size 1 → vocab = {'the'} (count 3)
+    rows = {r.source: r for r in
+            vocab_coverage(docs, vocab_size=1).collect()}
+    assert rows["s1"].total_tokens == 3 and rows["s1"].covered_tokens == 2
+    assert rows["s2"].covered_tokens == 1
+    # huge vocab → full coverage everywhere
+    full = vocab_coverage(docs, vocab_size=100)
+    assert full.filter(F.col("coverage") != 1.0).count() == 0
+    # the vocab join must broadcast (vocab is N-bounded)
+    plan = full._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan or "broadcast" in plan.lower()
