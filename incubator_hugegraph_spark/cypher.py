@@ -2650,7 +2650,25 @@ def cypher(graph: PropertyGraph, query: str,
     resolve to literals at PARSE time, so a parameterized predicate
     pushes into the scan exactly like its literal spelling — the
     openCypher parameter surface the reference accepts through its
-    translation layer (api/opencypher/CypherOpProcessor.java)."""
+    translation layer (api/opencypher/CypherOpProcessor.java).
+
+    A leading ``EXPLAIN`` returns the Catalyst plan STRING for the
+    compiled query (openCypher's EXPLAIN, which the reference passes
+    through its Cypher→Gremlin layer); ``PROFILE`` executes once and
+    returns the per-operator metrics DataFrame — both share the
+    Gremlin surface's helpers (plans.py), so the two query languages
+    report plans identically. Deviation (documented): write clauses
+    apply on COMPILE here (batch semantics), so EXPLAIN of a write
+    query is not side-effect-free — use it on reads."""
+    head = query.lstrip()[:8].upper()
+    if head.startswith("EXPLAIN") or head.startswith("PROFILE"):
+        kw = head[:7]
+        body = query.lstrip()[7:]
+        df = cypher(graph, body, params)
+        from incubator_hugegraph_spark.plans import (explain_string,
+                                                     profile_metrics)
+        return explain_string(df) if kw == "EXPLAIN" \
+            else profile_metrics(df)
     toks = _tokenize(query)
     parts: list[list] = [[]]
     alls: list[bool] = []

@@ -1203,9 +1203,8 @@ class Traversal:
         trace shows about has()-folding and step substitution.
         ``mode`` is any Spark explain mode (simple/extended/formatted/
         cost/codegen)."""
-        jvm = self.df.sparkSession._jvm
-        return jvm.PythonSQLUtils.explainString(
-            self.df._jdf.queryExecution(), mode)
+        from incubator_hugegraph_spark.plans import explain_string
+        return explain_string(self.df, mode)
 
     def profile(self) -> DataFrame:
         """TinkerPop ``profile()`` terminal step (ProcessBasicSuite
@@ -1216,34 +1215,9 @@ class Traversal:
         after an action, so this runs the plan (same contract as
         TinkerPop: profile() iterates the traversal). The plan-tree
         walk is driver-side metadata only — never data."""
+        from incubator_hugegraph_spark.plans import profile_metrics
         df = self.toDF() if self.kind in ("V", "E") else self.df
-        df.collect()
-        rows, stack = [], [(df._jdf.queryExecution().executedPlan(), 0)]
-        while stack:
-            node, depth = stack.pop()
-            name = node.nodeName()
-            mets, it = {}, node.metrics().iterator()
-            while it.hasNext():
-                kv = it.next()
-                mets[kv._1()] = int(kv._2().value())
-            rows.append((len(rows), depth, name,
-                         mets.get("numOutputRows")))
-            # AQE roots/stages re-plan underneath: descend into the
-            # final physical plan, not the stale initial children.
-            # QueryStageExec wrappers (Result/Shuffle/BroadcastQueryStage)
-            # report no children — their subtree hangs off .plan()
-            if name.startswith("AdaptiveSparkPlan"):
-                stack.append((node.executedPlan(), depth + 1))
-                continue
-            if name.endswith("QueryStage"):
-                stack.append((node.plan(), depth + 1))
-                continue
-            ch = node.children()
-            for i in range(ch.size() - 1, -1, -1):
-                stack.append((ch.apply(i), depth + 1))
-        spark = df.sparkSession
-        return spark.createDataFrame(
-            rows, "step int, depth int, operator string, rows long")
+        return profile_metrics(df)
 
 
 class _LocalTraversal(Traversal):

@@ -906,3 +906,17 @@ def test_shortest_path_unbound_and_errors(graph):
     with pytest.raises(SyntaxError):
         cypher(graph, "MATCH p = shortestPath((a)-[:x*2..3]->(b)) "
                       "RETURN p")
+
+
+def test_explain_profile_prefixes(graph):
+    s = cypher(graph, "EXPLAIN MATCH (n:nation) RETURN n.name AS nm")
+    assert isinstance(s, str) and "== Physical Plan ==" in s
+    base = cypher(
+        graph, "MATCH (n:nation)-[:located_in]->(r:region) "
+               "RETURN n.name AS nm, r.name AS rg")
+    prof = cypher(
+        graph, "PROFILE MATCH (n:nation)-[:located_in]->(r:region) "
+               "RETURN n.name AS nm, r.name AS rg")
+    assert {"step", "depth", "operator", "rows"} <= set(prof.columns)
+    got = [r.rows for r in prof.collect() if r.rows is not None]
+    assert base.count() in got
