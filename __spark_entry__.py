@@ -4025,6 +4025,36 @@ def doc_vocab_coverage(spark, sf_dir):
         .orderBy("source")
 
 
+@_q("doc_source_overlap", """
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+sh AS (SELECT DISTINCT source,
+              unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                     i -> array_to_string(t[i:i+2], ' '))) AS s
+       FROM toks),
+sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                 count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+       ROUND(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard
+FROM pairs JOIN sz x ON x.source = pairs.src_a
+JOIN sz y ON y.source = pairs.src_b
+ORDER BY src_a, src_b
+""")
+def doc_source_overlap(spark, sf_dir):
+    """Cross-slice redundancy matrix: pairwise 3-gram Jaccard between
+    sources. One corpus scan + dedup; the self-join fans out at most
+    sources-squared per gram; size table broadcast."""
+    from incubator_hugegraph_spark.data.clean import source_overlap
+    return source_overlap(_docs(spark, sf_dir)) \
+        .orderBy("src_a", "src_b")
+
+
 @_q("doc_quality", """
 WITH t AS (
   SELECT doc_id, text,

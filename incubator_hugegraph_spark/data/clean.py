@@ -338,3 +338,38 @@ def c4_clean(docs: DataFrame, text_col: str = "text",
          & (n_sent >= min_sentences)).alias("keep"),
         F.md5(cleaned).alias("cleaned_md5"),
         cleaned.alias("cleaned"))
+
+
+def source_overlap(docs: DataFrame, n: int = 3, text_col: str = "text",
+                   group_col: str = "source") -> DataFrame:
+    """Pairwise n-gram Jaccard between corpus SLICES (sources /
+    domains / snapshots): the redundancy-contamination matrix a
+    corpus audit runs before mixing sources into a training set.
+
+    Returns (src_a, src_b, inter, jaccard) for src_a < src_b, where
+    inter = |shared distinct n-grams| and jaccard = inter / |union|.
+
+    Scale shape: the only corpus-sized intermediate is the DISTINCT
+    (slice, gram) table (one scan + one dedup shuffle); the inverted
+    self-join fans out ≤ slices² rows PER GRAM (slices are few) and
+    aggregates map-side; the size table is |slices| rows → broadcast
+    into the final ratio."""
+    g = word_shingles(docs, n, text_col, id_col=group_col)
+    sizes = g.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (g.select(F.col("id").alias("src_a"), "shingle")
+             .join(g.select(F.col("id").alias("src_b"), "shingle"),
+                   on="shingle")
+             .filter(F.col("src_a") < F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    return (pairs
+            .join(F.broadcast(sizes.select(F.col("id").alias("src_a"),
+                                           F.col("sz").alias("sa"))),
+                  on="src_a")
+            .join(F.broadcast(sizes.select(F.col("id").alias("src_b"),
+                                           F.col("sz").alias("sb"))),
+                  on="src_b")
+            .select("src_a", "src_b", "inter",
+                    F.round(F.col("inter")
+                            / (F.col("sa") + F.col("sb")
+                               - F.col("inter")), 6).alias("jaccard")))

@@ -914,3 +914,21 @@ def test_vocab_coverage(spark):
     # the vocab join must broadcast (vocab is N-bounded)
     plan = full._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in plan or "broadcast" in plan.lower()
+
+
+def test_source_overlap(spark):
+    from incubator_hugegraph_spark.data.clean import source_overlap
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "a b c e", "s2"),
+         (3, "x y z w", "s3")],
+        "doc_id long, text string, source string")
+    rows = {(r.src_a, r.src_b): r for r in
+            source_overlap(docs, n=3).collect()}
+    # s1 grams {abc,bcd}, s2 grams {abc,bce}: inter 1, union 3
+    assert rows[("s1", "s2")].inter == 1
+    assert abs(rows[("s1", "s2")].jaccard - 1 / 3) < 1e-6
+    # s3 shares nothing — no row (pairs come only from the gram join)
+    assert ("s1", "s3") not in rows and ("s2", "s3") not in rows
+    # size-table joins must be broadcast
+    plan = source_overlap(docs)._jdf.queryExecution().analyzed().toString()
+    assert plan.count("ResolvedHint") >= 2, plan
