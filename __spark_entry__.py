@@ -4913,6 +4913,42 @@ def events_stream_window(spark, sf_dir):
         name="swa_" + uuid.uuid4().hex[:8])
 
 
+_TOPK_SQL = """
+WITH c AS (SELECT event_type, date_trunc('hour', ts) AS window_start,
+                  count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (
+          PARTITION BY window_start
+          ORDER BY n_events DESC, event_type) AS rank FROM c)
+SELECT window_start, event_type, CAST(n_events AS BIGINT) AS n_events,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+@_q("events_window_topk", _TOPK_SQL)
+def events_window_topk(spark, sf_dir):
+    """Per-hour top-3 event types (batch): windowed count then rank
+    over the bounded count table."""
+    from incubator_hugegraph_spark.streaming.events import window_topk
+    return window_topk(_events(spark, sf_dir)) \
+        .orderBy("window_start", "rank")
+
+
+@_q("events_stream_topk", _TOPK_SQL)
+def events_stream_topk(spark, sf_dir):
+    """The REAL streaming path of the same top-k: watermarked
+    windowed count in streaming state, rank applied on the bounded
+    sink table — two-tier split documented in streaming/events.py."""
+    import uuid
+    from incubator_hugegraph_spark.streaming.events import (
+        run_stream_window_topk)
+    return run_stream_window_topk(
+        spark, f"{sf_dir}/events.parquet",
+        name="stk_" + uuid.uuid4().hex[:8]) \
+        .orderBy("window_start", "rank")
+
+
 @_q("events_stream_enrich", """
 SELECT COALESCE(c_mktsegment, 'unknown') AS segment,
        date_trunc('hour', ts) AS window_start,

@@ -325,3 +325,58 @@ def run_stream_enrich(spark: SparkSession, events_path: str,
     return (spark.table(name)
             .select("segment", "window_start", "n_events",
                     F.round("sum_value", 2).alias("sum_value")))
+
+
+def window_topk(events: DataFrame, duration: str = "1 hour",
+                k: int = 3) -> DataFrame:
+    """Per-window top-k event types by count (batch form). Ties break
+    by event_type asc — deterministic, oracle-checkable. The rank
+    window partitions by window_start, so its input is the already-
+    aggregated (window, type) table — bounded by windows × types,
+    never corpus-sized."""
+    counts = (events
+              .groupBy(F.window("ts", duration).getField("start")
+                       .alias("window_start"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    w = Window.partitionBy("window_start") \
+        .orderBy(F.desc("n_events"), "event_type")
+    return (counts
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("window_start", "event_type", "n_events", "rank"))
+
+
+def stream_window_topk(spark: SparkSession, events_path: str,
+                       duration: str = "1 hour",
+                       watermark: str = "2 hours"):
+    """Streaming half of window_topk: the watermarked windowed COUNT
+    is the incremental stateful aggregation; ranking happens after
+    the sink (run_stream_window_topk) because rank-over-window is not
+    an incremental operator — and should not be: the count table is
+    bounded (windows × event types), so the two-tier split keeps the
+    unbounded work in streaming state and the tiny rank in batch."""
+    stream = _read_stream(spark, events_path)
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", duration), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+def run_stream_window_topk(spark: SparkSession, events_path: str,
+                           duration: str = "1 hour", k: int = 3,
+                           name: str = "stream_topk") -> DataFrame:
+    """End-to-end streaming top-k: readStream → watermark + windowed
+    count → availableNow → memory sink, then rank the bounded count
+    table. Output equals the batch window_topk row-for-row."""
+    agg = stream_window_topk(spark, events_path, duration)
+    q = (agg.select(F.col("window").getField("start")
+                    .alias("window_start"), "event_type", "n_events")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    w = Window.partitionBy("window_start") \
+        .orderBy(F.desc("n_events"), "event_type")
+    return (spark.table(name)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("window_start", "event_type", "n_events", "rank"))

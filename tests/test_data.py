@@ -932,3 +932,20 @@ def test_source_overlap(spark):
     # size-table joins must be broadcast
     plan = source_overlap(docs)._jdf.queryExecution().analyzed().toString()
     assert plan.count("ResolvedHint") >= 2, plan
+
+
+def test_window_topk_stream_matches_batch(spark, tmp_path):
+    import uuid
+    from incubator_hugegraph_spark.streaming.events import (
+        run_stream_window_topk, window_topk)
+    ev = "/root/testdata/sf0.001/events.parquet"
+    batch = window_topk(spark.read.parquet(ev)) \
+        .orderBy("window_start", "rank")
+    stream = run_stream_window_topk(
+        spark, ev, name="stk_t_" + uuid.uuid4().hex[:6]) \
+        .orderBy("window_start", "rank")
+    assert [tuple(r) for r in batch.collect()] == \
+        [tuple(r) for r in stream.collect()]
+    # rank input is the bounded count table: exactly k rows per window
+    per_w = batch.groupBy("window_start").count()
+    assert per_w.filter(F.col("count") > 3).count() == 0
