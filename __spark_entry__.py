@@ -3469,6 +3469,37 @@ def unique_index_check(spark, sf_dir):
         g.view("customer").select(F.col("mktsegment")), ["mktsegment"])
 
 
+@_q("graph_export_roundtrip", f"""
+WITH {V_SQL.strip()}, {E_SQL.strip()}
+SELECT 'V:' || label AS kind_label, count(*) AS cnt
+FROM vertices GROUP BY label
+UNION ALL
+SELECT 'E:' || label, count(*) FROM edges GROUP BY label
+ORDER BY kind_label
+""")
+def graph_export_roundtrip(spark, sf_dir):
+    """Graph export under the driver gate (AbstractAlgorithm
+    EXPORT_PATH; layout = label-partitioned parquet with the EdgeId
+    owner-vertex clustering, core/backend/id/EdgeId.java:31-38):
+    export the built graph, read it BACK from disk, count per label —
+    green iff the round-tripped store equals the source graph."""
+    import os
+    from incubator_hugegraph_spark.operators.mutate import export_graph
+    g = _graph(spark, sf_dir)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "spark-warehouse", "export_roundtrip")
+    export_graph(g.vertices, g.edges, path, edge_buckets=8)
+    v = spark.read.parquet(f"{path}/vertices") \
+        .groupBy("label").agg(F.count(F.lit(1)).alias("cnt")) \
+        .select(F.concat(F.lit("V:"), F.col("label"))
+                .alias("kind_label"), "cnt")
+    e = spark.read.parquet(f"{path}/edges") \
+        .groupBy("label").agg(F.count(F.lit(1)).alias("cnt")) \
+        .select(F.concat(F.lit("E:"), F.col("label"))
+                .alias("kind_label"), "cnt")
+    return v.unionByName(e).orderBy("kind_label")
+
+
 @_q("shard_scan_union", f"""
 WITH {E_SQL.strip()}
 SELECT count(*) AS n_edges FROM edges
