@@ -4056,6 +4056,26 @@ def doc_vocab_coverage(spark, sf_dir):
         .orderBy("source")
 
 
+@_q("doc_chunks", f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENIZE_SQL.format(col='text')} AS t FROM documents),
+st AS (SELECT doc_id, t,
+              unnest(range(1, greatest(len(t) - 8, 1) + 1, 56)) AS s
+       FROM toks)
+SELECT doc_id AS id, (s - 1) // 56 AS chunk_ix,
+       array_to_string(t[s:s+63], ' ') AS chunk,
+       CAST(len(t[s:s+63]) AS BIGINT) AS n_tokens
+FROM st WHERE len(t[s:s+63]) > 0
+ORDER BY id, chunk_ix
+""")
+def doc_chunks(spark, sf_dir):
+    """RAG/embedding-pipeline chunker: 64-token chunks, 8-token
+    overlap. Narrow Column program — zero shuffle, rides the scan."""
+    from incubator_hugegraph_spark.data.sample import chunk_docs
+    return chunk_docs(_docs(spark, sf_dir), chunk_tokens=64,
+                      overlap=8).orderBy("id", "chunk_ix")
+
+
 @_q("doc_source_overlap", """
 WITH toks AS (
   SELECT source,

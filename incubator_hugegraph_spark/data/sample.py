@@ -261,3 +261,37 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
     return (docs.select(F.col(id_col).alias("id"))
             .join(w, on="id", how="left")
             .select("id", F.coalesce("w", F.lit(0.0)).alias("w")))
+
+
+def chunk_docs(docs: DataFrame, chunk_tokens: int = 64,
+               overlap: int = 8, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Fixed-size token chunking with overlap — the RAG / embedding
+    pipeline splitter: each doc becomes chunks of ``chunk_tokens``
+    tokens whose starts step by ``chunk_tokens - overlap`` (so
+    consecutive chunks share ``overlap`` tokens); the tail chunk may
+    be shorter. Returns (id, chunk_ix, chunk, n_tokens).
+
+    Pure narrow Column program — tokenize once, explode the start
+    positions, slice+join. NO shuffle anywhere: chunking is
+    embarrassingly parallel and rides the corpus scan."""
+    if overlap >= chunk_tokens:
+        raise ValueError("chunk_docs: overlap must be < chunk_tokens")
+    from incubator_hugegraph_spark.functions.text import tokenize
+    stride = chunk_tokens - overlap
+    toks = tokenize(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)),
+        F.lit(stride))
+    out = (docs
+           .select(F.col(id_col).alias("id"), toks.alias("__t"),
+                   F.explode(starts).alias("__s"))
+           .select("id",
+                   ((F.col("__s") - 1) / stride).cast("long")
+                   .alias("chunk_ix"),
+                   F.array_join(F.slice("__t", F.col("__s"),
+                                        chunk_tokens), " ")
+                   .alias("chunk"),
+                   F.size(F.slice("__t", F.col("__s"), chunk_tokens))
+                   .cast("long").alias("n_tokens")))
+    return out.filter(F.col("n_tokens") > 0)

@@ -949,3 +949,27 @@ def test_window_topk_stream_matches_batch(spark, tmp_path):
     # rank input is the bounded count table: exactly k rows per window
     per_w = batch.groupBy("window_start").count()
     assert per_w.filter(F.col("count") > 3).count() == 0
+
+
+def test_chunk_docs(spark):
+    import pytest as _pt
+    from incubator_hugegraph_spark.data.sample import chunk_docs
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))],
+        "doc_id long, text string")
+    rows = chunk_docs(docs, chunk_tokens=4, overlap=1).collect()
+    # stride 3, starts 1,4,7 → chunks [0:4],[3:7],[6:10]
+    assert [r.chunk_ix for r in rows] == [0, 1, 2]
+    assert rows[0].chunk == "w0 w1 w2 w3"
+    assert rows[1].chunk == "w3 w4 w5 w6"
+    assert rows[2].chunk == "w6 w7 w8 w9"
+    # consecutive chunks share exactly `overlap` tokens
+    assert rows[0].chunk.split()[-1:] == rows[1].chunk.split()[:1]
+    # tail shorter than chunk size is kept
+    tail = chunk_docs(docs, chunk_tokens=4, overlap=2).collect()
+    assert tail[-1].n_tokens <= 4 and sum(1 for _ in tail) == 4
+    with _pt.raises(ValueError):
+        chunk_docs(docs, chunk_tokens=4, overlap=4)
+    # zero shuffle: no Exchange in the physical plan
+    plan = chunk_docs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
