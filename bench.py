@@ -157,6 +157,14 @@ def main() -> None:
     def x_ann():
         return cosine_topk_np(emb, [0, 1, 2, 3, 4], 10).count()
 
+    def x_bpe():
+        from incubator_hugegraph_spark.data.text import bpe_pair_counts
+        return bpe_pair_counts(docs).count()
+
+    def x_chunks():
+        from incubator_hugegraph_spark.data.sample import chunk_docs
+        return chunk_docs(docs).count()
+
     # engine='dist' twins of B3-B9 (round-3 verdict item 6): the B
     # numbers exercise the auto→RamTable tier at this SF; these pin the
     # DISTRIBUTED plans — the 100 TB path — so their round-over-round
@@ -193,6 +201,7 @@ def main() -> None:
     extra: dict[str, float] = {}
     for name, fn in [("x_cypher", x_cypher), ("x_gremlin", x_gremlin),
                      ("x_minhash_lsh", x_minhash), ("x_ann_np", x_ann),
+                     ("x_bpe", x_bpe), ("x_chunks", x_chunks),
                      ("b3_dist", b3_dist), ("b4_dist", b4_dist),
                      ("b5_dist", b5_dist), ("b6_dist", b6_dist),
                      ("b7_dist", b7_dist), ("b8_dist", b8_dist),

@@ -37,7 +37,14 @@ def canon(v) -> str:
         return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            # NULL floats: the driver fetches BOTH sides via pandas,
+            # where SQL NULL in a float column is NaN on both sides —
+            # so NULL≡NaN there. This mirror collects Spark via
+            # .collect() (NULL → None) but DuckDB via .df() (NULL →
+            # NaN); canonicalize NaN to NULL or the mirror reports
+            # false FAILs the driver would pass (seen:
+            # multimodal_features' nullable float column).
+            return "\\N"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
