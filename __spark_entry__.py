@@ -3500,6 +3500,37 @@ def graph_export_roundtrip(spark, sf_dir):
     return v.unionByName(e).orderBy("kind_label")
 
 
+@_q("graph_load_csv", """
+SELECT count(*) AS n,
+       ROUND(avg(c_acctbal), 2) AS avg_acctbal,
+       count(DISTINCT c_mktsegment) AS n_segments
+FROM customer
+""")
+def graph_load_csv(spark, sf_dir):
+    """File-source ingestion under the driver gate (the bulk-load
+    slot the reference serves via batch VertexAPI/EdgeAPI POST and
+    its ecosystem's mapping-spec loader): customers written to CSV,
+    loaded back through sources/files.py (mapping spec → id splice +
+    props map + typed view), aggregated from the typed view — green
+    iff the CSV round trip preserves every row and value."""
+    import os
+    from incubator_hugegraph_spark.sources.files import (
+        build_graph_from_mappings)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "spark-warehouse", "load_csv", "customer")
+    spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .write.mode("overwrite").option("header", "true").csv(path)
+    g = build_graph_from_mappings(spark, {"vertices": [{
+        "label": "customer",
+        "input": {"path": path, "format": "csv"},
+        "id": ["c_custkey"],
+    }]})
+    v = g.vertex_views["customer"]
+    return v.agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+                 F.countDistinct("c_mktsegment").alias("n_segments"))
+
+
 @_q("shard_scan_union", f"""
 WITH {E_SQL.strip()}
 SELECT count(*) AS n_edges FROM edges
