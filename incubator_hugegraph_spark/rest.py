@@ -889,6 +889,113 @@ class GraphSpaceManager:
         return execute_measured(self.graph(graph_name, space), endpoint,
                                 request)
 
+    # -- GraphsAPI management verbs (api/profile/GraphsAPI.java) ------
+    # The reference's literal confirm strings (GraphsAPI.java:72-73)
+    CONFIRM_CLEAR = "I'm sure to delete all data"
+    CONFIRM_DROP = "I'm sure to drop the graph"
+    MODES = ("NONE", "RESTORING", "MERGING", "LOADING")
+    READ_MODES = ("ALL", "OLTP_ONLY")
+
+    def drop_graph(self, name: str, space: str = DEFAULT,
+                   confirm_message: str | None = None) -> None:
+        """DELETE …/graphs/{name}?confirm_message= (GraphsAPI.java:
+        135-149): refuses without the exact confirm string."""
+        if confirm_message != self.CONFIRM_DROP:
+            raise ValueError(
+                f"Please take the message: {self.CONFIRM_DROP}")
+        self.graph(name, space)  # raises the unknown-graph error
+        del self._spaces[space][name]
+        self._meta(space, name, drop=True)
+
+    def clone_graph(self, clone_from: str, name: str,
+                    space: str = DEFAULT) -> PropertyGraph:
+        """POST …/graphs/{name}?clone_graph_name= (GraphsAPI.java:
+        172-210). DataFrames are immutable lineage, so the clone is
+        O(1) metadata and fully isolated from later mutations of
+        either graph — the Spark-native form of clone-from-config."""
+        g = self.graph(clone_from, space)
+        clone = PropertyGraph(
+            spark=g.spark, vertices=g.vertices, edges=g.edges,
+            schema=g.schema, vertex_views=dict(g.vertex_views),
+            edge_views=dict(g.edge_views))
+        self.register(name, clone, space)
+        return clone
+
+    def clear_graph(self, name: str, space: str = DEFAULT,
+                    confirm_message: str | None = None) -> None:
+        """DELETE …/graphs/{name}/clear (GraphsAPI.java:247-262):
+        truncate all data, keep the graph + schema registered."""
+        if confirm_message != self.CONFIRM_CLEAR:
+            raise ValueError(
+                f"Please take the message: {self.CONFIRM_CLEAR}")
+        g = self.graph(name, space)
+        g.vertices = g.vertices.filter(F.lit(False))
+        g.edges = g.edges.filter(F.lit(False))
+        g.vertex_views = {k: v.filter(F.lit(False))
+                          for k, v in g.vertex_views.items()}
+        g.edge_views = {k: v.filter(F.lit(False))
+                        for k, v in g.edge_views.items()}
+
+    def snapshot_create(self, name: str, space: str = DEFAULT) -> dict:
+        """PUT …/graphs/{name}/snapshot_create: immutable-lineage
+        snapshot — O(1); resume rolls the graph back to it."""
+        g = self.graph(name, space)
+        self._meta(space, name)["snapshot"] = (
+            g.vertices, g.edges, dict(g.vertex_views),
+            dict(g.edge_views))
+        return {name: "snapshot_created"}
+
+    def snapshot_resume(self, name: str, space: str = DEFAULT) -> dict:
+        g = self.graph(name, space)
+        snap = self._meta(space, name).get("snapshot")
+        if snap is None:
+            raise ValueError(f"graph {name!r} has no snapshot")
+        g.vertices, g.edges, g.vertex_views, g.edge_views = (
+            snap[0], snap[1], dict(snap[2]), dict(snap[3]))
+        return {name: "snapshot_resumed"}
+
+    def set_mode(self, name: str, mode: str,
+                 space: str = DEFAULT) -> dict:
+        """PUT …/graphs/{name}/mode (GraphMode: NONE/RESTORING/
+        MERGING/LOADING)."""
+        if mode not in self.MODES:
+            raise ValueError(f"Graph mode must be one of {self.MODES}")
+        self._meta(space, name)["mode"] = mode
+        return {"mode": mode}
+
+    def mode(self, name: str, space: str = DEFAULT) -> dict:
+        return {"mode": self._meta(space, name).get("mode", "NONE")}
+
+    def set_graph_read_mode(self, name: str, read_mode: str,
+                            space: str = DEFAULT) -> dict:
+        """PUT …/graphs/{name}/graph_read_mode (ALL / OLTP_ONLY —
+        the reference rejects OLAP_ONLY here too)."""
+        if read_mode not in self.READ_MODES:
+            raise ValueError(
+                "Graph-read-mode could be ALL or OLTP_ONLY")
+        self._meta(space, name)["graph_read_mode"] = read_mode
+        return {"graph_read_mode": read_mode}
+
+    def manage(self, action_map: dict) -> dict:
+        """PUT …/graphs/manage — {'action': 'reload'}
+        (GraphsAPI.java:151-170)."""
+        if not action_map or "action" not in action_map:
+            raise ValueError("Please pass 'action' for graphs manage")
+        if action_map["action"] == "reload":
+            return {"graphs": "reloaded"}
+        raise ValueError(
+            f"Invalid graphs action: '{action_map['action']}'")
+
+    def _meta(self, space: str, name: str, drop: bool = False) -> dict:
+        key = (space, name)
+        store = getattr(self, "_graph_meta", None)
+        if store is None:
+            store = self._graph_meta = {}
+        if drop:
+            store.pop(key, None)
+            return {}
+        return store.setdefault(key, {})
+
 
 # ---------------------------------------------------------------------------
 # Async task scheduler — api/task/TaskAPI.java + core/task/HugeTask /

@@ -406,3 +406,51 @@ def test_task_scheduler_lifecycle(marko_graph):
         ts.get(999)
     # cancel on a finished task is a no-op that returns the record
     assert ts.cancel(tid, marko_graph.spark)["task_status"] == "SUCCESS"
+
+
+def test_graphs_api_management(marko_graph):
+    from incubator_hugegraph_spark.rest import GraphSpaceManager
+    m = GraphSpaceManager()
+    m.register("hugegraph", marko_graph)
+    assert m.list_graphs() == ["hugegraph"]
+    # clone: O(1) lineage copy, isolated from the original
+    clone = m.clone_graph("hugegraph", "hugegraph2")
+    assert m.list_graphs() == ["hugegraph", "hugegraph2"]
+    n = marko_graph.vertices.count()
+    assert clone.vertices.count() == n
+    # clear requires the reference's literal confirm string
+    with pytest.raises(ValueError):
+        m.clear_graph("hugegraph2", confirm_message="yes")
+    m.clear_graph("hugegraph2",
+                  confirm_message="I'm sure to delete all data")
+    assert clone.vertices.count() == 0 and clone.edges.count() == 0
+    # the source graph is untouched by clearing the clone
+    assert m.graph("hugegraph").vertices.count() == n
+    # snapshot → mutate → resume rolls back
+    m.snapshot_create("hugegraph")
+    g = m.graph("hugegraph")
+    g.vertices = g.vertices.limit(1)
+    assert m.graph("hugegraph").vertices.count() == 1
+    assert m.snapshot_resume("hugegraph") == {
+        "hugegraph": "snapshot_resumed"}
+    assert m.graph("hugegraph").vertices.count() == n
+    # mode + read-mode validation mirrors GraphsAPI
+    assert m.mode("hugegraph") == {"mode": "NONE"}
+    assert m.set_mode("hugegraph", "RESTORING") == {"mode": "RESTORING"}
+    with pytest.raises(ValueError):
+        m.set_mode("hugegraph", "TURBO")
+    with pytest.raises(ValueError):
+        m.set_graph_read_mode("hugegraph", "OLAP_ONLY")
+    assert m.set_graph_read_mode("hugegraph", "OLTP_ONLY") == {
+        "graph_read_mode": "OLTP_ONLY"}
+    # manage + drop
+    assert m.manage({"action": "reload"}) == {"graphs": "reloaded"}
+    with pytest.raises(ValueError):
+        m.manage({"action": "explode"})
+    with pytest.raises(ValueError):
+        m.drop_graph("hugegraph2")
+    m.drop_graph("hugegraph2",
+                 confirm_message="I'm sure to drop the graph")
+    assert m.list_graphs() == ["hugegraph"]
+    with pytest.raises(KeyError):
+        m.graph("hugegraph2")
