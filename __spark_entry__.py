@@ -2700,6 +2700,42 @@ def gremlin_range_tail(spark, sf_dir):
             .orderBy("id").offset(10).limit(15))
 
 
+@_q("gremlin_order_multi", """
+SELECT id AS value FROM (
+  SELECT 'customer!' || c_custkey AS id,
+         row_number() OVER (
+             ORDER BY c_mktsegment DESC, c_acctbal ASC,
+                      'customer!' || c_custkey) AS rn
+  FROM customer)
+WHERE rn <= 15
+""")
+def gremlin_order_multi(spark, sf_dir):
+    """Multi-key order().by('mktsegment', desc).by('acctbal') —
+    TinkerPop ChainedComparator semantics, id as final tie-break;
+    one Catalyst TakeOrderedAndProject."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    t = eval_gremlin(
+        _graph(spark, sf_dir),
+        "g.V().hasLabel('customer').order()"
+        ".by('mktsegment', desc).by('acctbal').limit(15).id()")
+    return t
+
+
+@_q("gremlin_path_by", """
+SELECT n.n_name || '>' || r.r_name AS value
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+""")
+def gremlin_path_by(spark, sf_dir):
+    """path().by('name') — the vertex trail projected through a
+    property: one posexplode + one property join + position-ordered
+    re-aggregation (no per-element lookups)."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    t = eval_gremlin(
+        _graph(spark, sf_dir),
+        "g.V().hasLabel('nation').out('located_in').path().by('name')")
+    return t
+
+
 @_q("gremlin_filter_not", """
 WITH busy AS (SELECT o_custkey, count(*) AS n FROM orders
               GROUP BY o_custkey HAVING count(*) >= 10)

@@ -455,6 +455,38 @@ class Traversal:
             F.array_join("path", ">").alias("value"),
             *self._loc_carry()), kind="value")
 
+    def path_by(self, key: str) -> "Traversal":
+        """path().by('prop') — the vertex trail projected through a
+        property (TinkerPop path by-modulation, one modulator applied
+        to every path element). Resolution is set-oriented: tag each
+        traverser with an ordinal, posexplode the trail, ONE join
+        against (id → props[key]), re-aggregate in position order —
+        no driver loop, no per-element lookup. Missing properties
+        render as '' (position-preserving; TinkerPop would throw).
+        The tagging window is global — same bounded-stream caveat as
+        range_/tail/local."""
+        self._require("V")
+        sort = [*self._sort_cols(), F.col("path")]
+        tagged = self.df.withColumn(
+            "__loc", F.row_number().over(Window.orderBy(*sort)))
+        ex = tagged.select(
+            "__loc", F.posexplode("path").alias("__p", "__vid"))
+        props = self.graph.vertices.select(
+            F.col("id").alias("__vid"), F.col("props")[key].alias("__v"))
+        resolved = (
+            ex.join(props, on="__vid", how="left")
+            .groupBy("__loc")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("__p"),
+                                 F.coalesce("__v", F.lit(""))
+                                 .alias("__v")))),
+                    lambda s: s["__v"]), ">").alias("value")))
+        out = (tagged.select("__loc", *self._loc_carry())
+               .join(resolved, on="__loc").drop("__loc"))
+        return self._new(out, kind="value")
+
     def as_(self, label: str) -> "Traversal":
         """Step label (Gremlin as()): records the CURRENT element id
         under the label; later where_label()/select() refer back to
@@ -991,9 +1023,17 @@ class Traversal:
         """order().by(...) — typed by the schema registry; the id is
         always the final tie-break so downstream limit/range_/tail
         stay deterministic."""
-        t = self._elem() if (key and self.kind == "V") else self
-        col = t._order_col() if key is None else t._prop_col(key)
-        spec = [(col, asc), (t._order_col(), True)]
+        return self.order_by_specs([(key, asc)])
+
+    def order_by_specs(self, specs: list) -> "Traversal":
+        """Multi-key TinkerPop ordering — order().by(a).by(b, desc)…
+        as [(key, asc), …]; keys compare earlier-by-first like the
+        reference's ChainedComparator, id is the final tie-break."""
+        t = self._elem() if (self.kind == "V"
+                             and any(k for k, _ in specs)) else self
+        spec = [((t._order_col() if k is None else t._prop_col(k)), a)
+                for k, a in specs]
+        spec.append((t._order_col(), True))
         return t._new(t.df.orderBy(*t._spec_cols(spec)), sort=spec)
 
     @staticmethod

@@ -259,8 +259,10 @@ def _apply(chain: _Chain, t: Traversal) -> object:
             i = j
             continue
         if name == "order":
-            if i + 1 < len(steps) and steps[i + 1][0] == "by":
-                by_args = steps[i + 1][1]
+            specs = []
+            j = i + 1
+            while j < len(steps) and steps[j][0] == "by":
+                by_args = steps[j][1]
                 key = by_args[0] if by_args and isinstance(
                     by_args[0], str) else None
                 asc = True
@@ -268,11 +270,19 @@ def _apply(chain: _Chain, t: Traversal) -> object:
                     if isinstance(a, tuple) and a[0] == "ident" \
                             and a[1] in _ORDER_DESC:
                         asc = False
-                t = t.order_by(key, asc=asc)
-                i += 2
-            else:
-                t = t.order_by()
-                i += 1
+                specs.append((key, asc))
+                j += 1
+            t = t.order_by_specs(specs) if specs else t.order_by()
+            i = j
+            continue
+        if name == "path" and i + 1 < len(steps) \
+                and steps[i + 1][0] == "by":
+            by_args = steps[i + 1][1]
+            if not (by_args and isinstance(by_args[0], str)):
+                raise SyntaxError("gremlin: path().by() takes a "
+                                  "property name")
+            t = t.path_by(by_args[0])
+            i += 2
             continue
         if name == "group":
             # group().by(key).by(__.values('p').mean()) / .by(count())

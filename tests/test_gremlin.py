@@ -873,3 +873,38 @@ def test_explain_profile_text_surface(graph):
     prof = eval_gremlin(
         graph, "g.V().hasLabel('part').out('composed_of').profile()")
     assert prof.filter(F.col("rows").isNotNull()).count() > 0
+
+
+def test_order_multi_key(graph):
+    # second key breaks ties within the first; desc on the first
+    t = (G(graph).V().hasLabel("customer")
+         .order_by_specs([("mktsegment", False), ("acctbal", True)])
+         .limit(10))
+    rows = [r for r in t._elem().df.select(
+        F.col("props")["mktsegment"].alias("seg"),
+        F.col("props")["acctbal"].cast("double").alias("bal")).collect()]
+    segs = [r.seg for r in rows]
+    assert segs == sorted(segs, reverse=True)
+    for s in set(segs):
+        bals = [r.bal for r in rows if r.seg == s]
+        assert bals == sorted(bals)
+
+
+def test_path_by_property(graph):
+    got = sorted(r.value for r in
+                 G(graph).V().hasLabel("nation").out("located_in")
+                 .path_by("name").toDF().collect())
+    nv, rv = graph.view("nation"), graph.view("region")
+    e = graph.edges.filter("label = 'located_in'")
+    expect = sorted(
+        r.v for r in
+        e.join(nv.select(F.col("id").alias("src"),
+                         F.col("name").alias("nn")), on="src")
+        .join(rv.select(F.col("id").alias("dst"),
+                        F.col("name").alias("rn")), on="dst")
+        .select(F.concat_ws(">", "nn", "rn").alias("v")).collect())
+    assert got == expect
+    # missing property renders as '' (position-preserving)
+    miss = G(graph).V().hasLabel("customer").out("placed") \
+        .path_by("name").toDF().head().value
+    assert miss.endswith(">")  # orders have no 'name' prop
