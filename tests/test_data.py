@@ -973,3 +973,30 @@ def test_chunk_docs(spark):
     # zero shuffle: no Exchange in the physical plan
     plan = chunk_docs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_chunk_docs_reconstructs_token_stream(spark):
+    from incubator_hugegraph_spark.data.sample import chunk_docs
+    lengths = [0, 1, 3, 4, 7, 10, 17, 64]
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"t{j}" for j in range(n))) for n in lengths],
+        "doc_id long, text string")
+    for chunk, overlap in [(4, 0), (4, 1), (5, 2), (8, 3)]:
+        rows = chunk_docs(docs, chunk_tokens=chunk,
+                          overlap=overlap).collect()
+        by_id: dict[int, list] = {}
+        for r in sorted(rows, key=lambda r: (r.id, r.chunk_ix)):
+            by_id.setdefault(r.id, []).append(r.chunk.split())
+        for n in lengths:
+            toks = [f"t{j}" for j in range(n)]
+            got = by_id.get(n, [])
+            if n == 0:
+                assert got == []
+                continue
+            # drop each chunk's leading `overlap` tokens after the
+            # first — the remainder must tile the stream exactly
+            rebuilt = list(got[0])
+            for c in got[1:]:
+                rebuilt.extend(c[overlap:])
+            assert rebuilt == toks, (chunk, overlap, n)
+            assert all(len(c) <= chunk for c in got)
