@@ -354,7 +354,11 @@ def source_overlap(docs: DataFrame, n: int = 3, text_col: str = "text",
     self-join fans out ≤ slices² rows PER GRAM (slices are few) and
     aggregates map-side; the size table is |slices| rows → broadcast
     into the final ratio."""
-    g = word_shingles(docs, n, text_col, id_col=group_col)
+    from incubator_hugegraph_spark.graph import checkpointed
+    # consumed three times (both join sides + the size table):
+    # materialize the distinct-gram table once — same reasoning (and
+    # measured win) as ngram_jaccard_pairs in dedup.py
+    g = checkpointed(word_shingles(docs, n, text_col, id_col=group_col))
     sizes = g.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (g.select(F.col("id").alias("src_a"), "shingle")
              .join(g.select(F.col("id").alias("src_b"), "shingle"),
