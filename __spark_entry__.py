@@ -5031,6 +5031,40 @@ def events_stream_window(spark, sf_dir):
         name="swa_" + uuid.uuid4().hex[:8])
 
 
+_HIST_SQL = """
+WITH b AS (
+  SELECT CASE WHEN value < 0 THEN -1
+              WHEN value >= 500 THEN 20
+              ELSE CAST(floor(value / 25.0) AS INT) END AS bin
+  FROM events)
+SELECT bin, round(bin * 25.0, 6) AS lo_edge,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+@_q("events_value_histogram", _HIST_SQL)
+def events_value_histogram(spark, sf_dir):
+    """Fixed-bin histogram (bounded state: bins+2 counters, additive
+    partial merge) — batch form."""
+    from incubator_hugegraph_spark.streaming.events import (
+        value_histogram)
+    return value_histogram(_events(spark, sf_dir)).orderBy("bin")
+
+
+@_q("events_stream_histogram", _HIST_SQL)
+def events_stream_histogram(spark, sf_dir):
+    """Streaming twin of the fixed-bin histogram: unwindowed stateful
+    groupBy with bins+2 state rows, complete mode — micro-batch-
+    invariant by additive merge."""
+    import uuid
+    from incubator_hugegraph_spark.streaming.events import (
+        run_stream_value_histogram)
+    return run_stream_value_histogram(
+        spark, f"{sf_dir}/events.parquet",
+        name="sh_" + uuid.uuid4().hex[:8]).orderBy("bin")
+
+
 _TOPK_SQL = """
 WITH c AS (SELECT event_type, date_trunc('hour', ts) AS window_start,
                   count(*) AS n_events

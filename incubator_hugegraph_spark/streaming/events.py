@@ -380,3 +380,48 @@ def run_stream_window_topk(spark: SparkSession, events_path: str,
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("window_start", "event_type", "n_events", "rank"))
+
+
+def value_histogram(events: DataFrame, lo: float = 0.0,
+                    hi: float = 500.0, bins: int = 20,
+                    value_col: str = "value") -> DataFrame:
+    """Fixed-bin histogram of a numeric column — the bounded-state
+    quantile/distribution primitive (bins are FIXED by spec, so the
+    state is `bins + 2` counters regardless of corpus size, the
+    per-partition partials merge by addition, and the batch and
+    streaming forms are identical aggregations). Bin i covers
+    [lo + i·w, lo + (i+1)·w); -1 and `bins` are the under/overflow
+    bins. Returns (bin, lo_edge, n) for non-empty bins."""
+    w = (hi - lo) / bins
+    b = F.when(F.col(value_col) < lo, F.lit(-1)) \
+        .when(F.col(value_col) >= hi, F.lit(bins)) \
+        .otherwise(F.floor((F.col(value_col) - lo) / w).cast("int"))
+    return (events.select(b.alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+            .select("bin",
+                    F.round(F.lit(lo) + F.col("bin") * w, 6)
+                    .alias("lo_edge"), "n"))
+
+
+def run_stream_value_histogram(spark: SparkSession, events_path: str,
+                               lo: float = 0.0, hi: float = 500.0,
+                               bins: int = 20,
+                               name: str = "stream_hist") -> DataFrame:
+    """Streaming twin: the same fixed-bin aggregation as an unwindowed
+    streaming groupBy (state = bins+2 rows, complete mode). Proves the
+    histogram is micro-batch-invariant — counters merge by addition no
+    matter how the input is chopped."""
+    stream = _read_stream(spark, events_path)
+    w = (hi - lo) / bins
+    b = F.when(F.col("value") < lo, F.lit(-1)) \
+        .when(F.col("value") >= hi, F.lit(bins)) \
+        .otherwise(F.floor((F.col("value") - lo) / w).cast("int"))
+    agg = stream.select(b.alias("bin")).groupBy("bin") \
+        .agg(F.count(F.lit(1)).alias("n"))
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select("bin",
+                    F.round(F.lit(lo) + F.col("bin") * w, 6)
+                    .alias("lo_edge"), "n"))

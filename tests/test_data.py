@@ -1000,3 +1000,23 @@ def test_chunk_docs_reconstructs_token_stream(spark):
                 rebuilt.extend(c[overlap:])
             assert rebuilt == toks, (chunk, overlap, n)
             assert all(len(c) <= chunk for c in got)
+
+
+def test_value_histogram_stream_matches_batch(spark):
+    import uuid
+    from incubator_hugegraph_spark.streaming.events import (
+        run_stream_value_histogram, value_histogram)
+    ev = "/root/testdata/sf0.001/events.parquet"
+    batch = sorted(tuple(r) for r in value_histogram(
+        spark.read.parquet(ev)).collect())
+    stream = sorted(tuple(r) for r in run_stream_value_histogram(
+        spark, ev, name="sh_t_" + uuid.uuid4().hex[:6]).collect())
+    assert batch == stream
+    # totals conserved, state bounded by bins+2
+    assert sum(n for _, _, n in batch) == spark.read.parquet(ev).count()
+    assert len(batch) <= 22
+    # under/overflow routing
+    edge = spark.createDataFrame(
+        [(-.5,), (0.0,), (499.99,), (500.0,), (1e9,)], "value double")
+    got = {r.bin: r.n for r in value_histogram(edge).collect()}
+    assert got[-1] == 1 and got[20] == 2 and got[0] == 1 and got[19] == 1
