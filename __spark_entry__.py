@@ -3536,6 +3536,26 @@ def graph_export_roundtrip(spark, sf_dir):
     return v.unionByName(e).orderBy("kind_label")
 
 
+@_q("sql_over_views", """
+SELECT c_mktsegment AS segment, count(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+""")
+def sql_over_views(spark, sf_dir):
+    """Raw Spark SQL as a query surface: the graph registered as temp
+    views (vertices/edges + typed v_/e_ label views — plan aliases,
+    zero copies) and queried with plain spark.sql(). The BI/OLAP door
+    the reference answers through its language layers."""
+    g = _graph(spark, sf_dir)
+    g.create_sql_views()
+    return spark.sql("""
+        SELECT c.mktsegment AS segment, count(*) AS n_orders,
+               ROUND(SUM(e.totalprice), 2) AS revenue
+        FROM v_customer c JOIN e_placed e ON e.src = c.id
+        GROUP BY c.mktsegment ORDER BY segment""")
+
+
 @_q("graph_load_csv", """
 SELECT count(*) AS n,
        ROUND(avg(c_acctbal), 2) AS avg_acctbal,

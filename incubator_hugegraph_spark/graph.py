@@ -170,6 +170,26 @@ class PropertyGraph:
             return self.edge_views[label]
         raise KeyError(label)
 
+    def create_sql_views(self, prefix: str = "") -> list[str]:
+        """Register the graph as Spark SQL temp views: canonical
+        `vertices` / `edges` plus typed `v_<label>` / `e_<label>` —
+        the raw-SQL query surface (the reference serves the same need
+        through its Gremlin/Cypher translation; here spark.sql() IS
+        the engine, so views make the whole graph BI/SQL-addressable
+        with zero copies — temp views are plan aliases, not data).
+        Returns the registered view names."""
+        names = []
+        for n, df in (("vertices", self.vertices), ("edges", self.edges)):
+            df.createOrReplaceTempView(prefix + n)
+            names.append(prefix + n)
+        for lbl, df in self.vertex_views.items():
+            df.createOrReplaceTempView(f"{prefix}v_{lbl}")
+            names.append(f"{prefix}v_{lbl}")
+        for lbl, df in self.edge_views.items():
+            df.createOrReplaceTempView(f"{prefix}e_{lbl}")
+            names.append(f"{prefix}e_{lbl}")
+        return names
+
     # -- guards (load-bearing at scale: SURVEY §7.4) -------------------
     def check_capacity(self, df: DataFrame, capacity: int,
                        precounted: int | None = None) -> int:

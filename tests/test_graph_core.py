@@ -232,3 +232,14 @@ def test_rmm_and_bimm_analyzers(spark):
     df2 = spark.createDataFrame([("abc数据库 x9",)], "t string")
     assert df2.select(make_rmm_analyzer(d)("t").alias("s")).head().s \
         == ["abc", "数据库", "x9"]
+
+
+def test_create_sql_views(graph, spark):
+    names = graph.create_sql_views(prefix="t_")
+    assert "t_vertices" in names and "t_v_customer" in names
+    n = spark.sql("SELECT count(*) AS n FROM t_vertices").head().n
+    assert n == graph.vertices.count()
+    joined = spark.sql("""
+        SELECT count(*) AS n FROM t_v_nation v
+        JOIN t_e_located_in e ON e.src = v.id""").head().n
+    assert joined == graph.view("nation").count()
