@@ -307,3 +307,67 @@ def vocab_coverage(docs: DataFrame, vocab_size: int = 500,
                     F.round(F.col("covered_tokens")
                             / F.col("total_tokens"), 6)
                     .alias("coverage")))
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 10,
+              text_col: str = "text") -> tuple[list, DataFrame]:
+    """Full BPE training (Sennrich et al. 2016): learn ``n_merges``
+    merge rules over the corpus. Returns (merges, vocab_df) where
+    merges = [(left, right), …] in learned order and vocab_df =
+    (word, c, symbols) — the final segmentation of every distinct
+    word.
+
+    Distribution contract: the CORPUS is touched exactly once (the
+    word-count aggregation); the merge loop runs on the DISTINCT-WORD
+    table, which is vocabulary-sized. Pair counting each round is a
+    JVM Column program (transform+explode+sum); picking the top pair
+    collects ONE row; applying a merge is a left-fold over each
+    word's symbol array (F.aggregate — still JVM codegen, no Python
+    in the loop). localCheckpoint every few rounds cuts the growing
+    lineage, the same discipline as the iterative graph algorithms."""
+    from incubator_hugegraph_spark.graph import checkpointed
+    wc = (docs.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+          .select("w", "c",
+                  F.transform(F.split("w", ""),
+                              lambda ch: ch).alias("symbols")))
+    # split('', '') yields a trailing empty string on some Spark
+    # versions — normalize defensively
+    wc = wc.withColumn(
+        "symbols", F.filter("symbols", lambda s: s != ""))
+    wc = checkpointed(wc)
+
+    def pair_counts(t: DataFrame) -> DataFrame:
+        pairs = F.when(
+            F.size("symbols") >= 2,
+            F.zip_with(F.slice("symbols", 1, F.size("symbols") - 1),
+                       F.slice("symbols", 2, F.size("symbols") - 1),
+                       lambda a, b: F.struct(a.alias("l"), b.alias("r")))
+        ).otherwise(F.array().cast(
+            "array<struct<l:string,r:string>>"))
+        return (t.select(F.explode(pairs).alias("p"), "c")
+                .groupBy("p.l", "p.r").agg(F.sum("c").alias("cnt")))
+
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        top = (pair_counts(wc)
+               .orderBy(F.desc("cnt"), "l", "r").limit(1).collect())
+        if not top or top[0]["cnt"] < 2:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+        # left-fold: append each symbol, merging when the accumulator
+        # tail is `left` and the incoming symbol is `right`
+        merged = F.aggregate(
+            "symbols",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == left) & (s == right),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(left + right)))
+            ).otherwise(F.concat(acc, F.array(s))))
+        wc = wc.withColumn("symbols", merged)
+        if (i + 1) % 4 == 0:
+            wc = checkpointed(wc)  # lineage cut, vocab-sized
+    return merges, wc

@@ -1020,3 +1020,54 @@ def test_value_histogram_stream_matches_batch(spark):
         [(-.5,), (0.0,), (499.99,), (500.0,), (1e9,)], "value double")
     got = {r.bin: r.n for r in value_histogram(edge).collect()}
     assert got[-1] == 1 and got[20] == 2 and got[0] == 1 and got[19] == 1
+
+
+def _bpe_reference(word_counts, n_merges):
+    # textbook BPE (Sennrich et al. 2016 learn_bpe), pure Python
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))  # tie: lexical
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        out = {}
+        for sym, c in vocab.items():
+            merged, i = [], 0
+            while i < len(sym):
+                if (i + 1 < len(sym) and (sym[i], sym[i + 1]) == best
+                        and (not merged or True)):
+                    merged.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    merged.append(sym[i])
+                    i += 1
+            out[tuple(merged)] = out.get(tuple(merged), 0) + c
+        vocab = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference(spark):
+    from incubator_hugegraph_spark.data.text import bpe_train
+    corpus = ["low low low lower lowest", "new newer newest low",
+              "wide wider widest new new"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    wc: dict[str, int] = {}
+    for t in corpus:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    ref_merges, ref_vocab = _bpe_reference(wc, 8)
+    merges, vocab_df = bpe_train(docs, n_merges=8)
+    assert merges == ref_merges
+    got = {r.w: tuple(r.symbols) for r in vocab_df.collect()}
+    expect = {}
+    for sym, c in ref_vocab.items():
+        expect["".join(sym)] = sym
+    assert got == expect
