@@ -835,6 +835,176 @@ def execute_measured(graph: PropertyGraph, endpoint: str,
 
 
 # ---------------------------------------------------------------------------
+# Element CRUD doors — api/graph/VertexAPI.java / EdgeAPI.java: the
+# reference's literal JsonVertex/JsonEdge payload shapes ({"label",
+# "properties"[, "id"]}; edges add "outV"/"outVLabel"/"inV"/
+# "inVLabel") over the batch mutate layer. PUT {id}?action=append
+# adds/updates properties, action=eliminate removes them
+# (VertexAPI.checkAndParseAction). Deviation (documented): our edge
+# id is the engine's canonical quadruple splice src>label>sort>dst,
+# not the reference's S1:x>1>>S2:y encoding.
+# ---------------------------------------------------------------------------
+
+
+def _json_vertex_rows(graph: PropertyGraph, items: list[dict]) -> list:
+    from incubator_hugegraph_spark.operators.mutate import gen_vertex_id
+    rows = []
+    for jv in items:
+        if jv.get("properties") is None:
+            raise ValueError("The properties of vertex can't be null")
+        if any(v is None for v in jv["properties"].values()):
+            raise ValueError("Not allowed to set value of property "
+                             "to null")
+        props = {k: str(v) for k, v in jv["properties"].items()}
+        vid = str(jv["id"]) if jv.get("id") is not None else \
+            gen_vertex_id(graph.schema, jv["label"], props)
+        rows.append((vid, jv["label"], props, None))
+    return rows
+
+
+def _apply_vertex_batch(graph: PropertyGraph, rows: list) -> list[str]:
+    from incubator_hugegraph_spark.operators.mutate import (
+        upsert_vertices)
+    batch = graph.spark.createDataFrame(
+        rows, "id string, label string, props map<string,string>, "
+              "expired_at timestamp")
+    graph.vertices = upsert_vertices(graph.vertices, batch)
+    graph.refresh_vertex_views({r[1] for r in rows})
+    return [r[0] for r in rows]
+
+
+def _edge_eid(src: str, label: str, sort_values: str, dst: str) -> str:
+    return ">".join([src, label, sort_values, dst])
+
+
+def _prop_update(graph: PropertyGraph, kind: str, key_filter,
+                 props: dict, append: bool) -> None:
+    """action=append merges the given properties into the matched
+    element's map; action=eliminate removes the given KEYS — one
+    narrow withColumn over the canonical table, no shuffle."""
+    tgt = graph.vertices if kind == "V" else graph.edges
+    if append:
+        pairs = []
+        for k, v in props.items():
+            pairs.extend([F.lit(k), F.lit(str(v))])
+        newmap = F.map_concat(
+            F.map_filter("props",
+                         lambda k, _: ~k.isin(list(props))),
+            F.create_map(*pairs))
+    else:
+        newmap = F.map_filter(
+            "props", lambda k, _: ~k.isin(list(props)))
+    updated = tgt.withColumn(
+        "props", F.when(key_filter(tgt), newmap)
+        .otherwise(F.col("props")))
+    if kind == "V":
+        graph.vertices = updated
+        graph.refresh_vertex_views()
+    else:
+        graph.edges = updated
+
+
+def execute_graph_crud(graph: PropertyGraph, method: str, path: str,
+                       payload=None, params: dict | None = None):
+    """`…/graphs/{graph}/graph/vertices[...]` and `…/graph/edges[...]`
+    — the element CRUD REST surface. ``path`` is the tail after
+    `graph/` (e.g. 'vertices', 'vertices/batch', 'vertices/{id}',
+    'edges', 'edges/batch', 'edges/{id}'); ``params`` carries query
+    params (action=append|eliminate, label/properties filters for
+    GET lists)."""
+    from incubator_hugegraph_spark.operators.mutate import (
+        delete_vertices, upsert_edges)
+    params = params or {}
+    parts = path.strip("/").split("/")
+    kind, rest = parts[0], parts[1:]
+    if kind not in ("vertices", "edges"):
+        raise KeyError(f"unknown graph CRUD path {path!r}")
+
+    if kind == "vertices":
+        if method == "POST":
+            items = payload if rest == ["batch"] else [payload]
+            ids = _apply_vertex_batch(
+                graph, _json_vertex_rows(graph, items))
+            return ids if rest == ["batch"] else ids[0]
+        if method == "GET" and rest:
+            return graph.vertices.filter(F.col("id") == rest[0])
+        if method == "GET":
+            out = graph.vertices
+            if "label" in params:
+                out = out.filter(F.col("label") == params["label"])
+            for k, v in (params.get("properties") or {}).items():
+                out = out.filter(F.col("props")[k] == str(v))
+            return out
+        if method == "DELETE" and rest:
+            v, e = delete_vertices(graph.vertices, graph.edges,
+                                   [rest[0]])
+            graph.vertices, graph.edges = v, e
+            graph.refresh_vertex_views()
+            return None
+        if method == "PUT" and rest:
+            append = _parse_action(params.get("action"))
+            props = (payload or {}).get("properties") or {}
+            vid = rest[0]
+            _prop_update(graph, "V",
+                         lambda t: F.col("id") == vid, props, append)
+            return vid
+
+    else:  # edges
+        if method == "POST":
+            items = payload if rest == ["batch"] else [payload]
+            rows = []
+            for je in items:
+                props = {k: str(v)
+                         for k, v in (je.get("properties") or {}).items()}
+                sk = graph.schema.edge_labels[je["label"]].sort_keys \
+                    if graph.schema else ()
+                sort_values = ",".join(str(props.get(k, "")) for k in sk)
+                rows.append((str(je["outV"]), str(je["inV"]),
+                             je["label"], sort_values, props, None))
+            batch = graph.spark.createDataFrame(
+                rows, "src string, dst string, label string, "
+                      "sort_values string, props map<string,string>, "
+                      "expired_at timestamp")
+            graph.edges = upsert_edges(graph.edges, batch)
+            eids = [_edge_eid(r[0], r[2], r[3], r[1]) for r in rows]
+            return eids if rest == ["batch"] else eids[0]
+        key = F.concat_ws(">", "src", "label", "sort_values", "dst")
+        if method == "GET" and rest:
+            return graph.edges.filter(key == rest[0])
+        if method == "GET":
+            out = graph.edges
+            if "label" in params:
+                out = out.filter(F.col("label") == params["label"])
+            for k, v in (params.get("properties") or {}).items():
+                out = out.filter(F.col("props")[k] == str(v))
+            return out
+        if method == "DELETE" and rest:
+            graph.edges = graph.edges.filter(key != rest[0])
+            return None
+        if method == "PUT" and rest:
+            append = _parse_action(params.get("action"))
+            props = (payload or {}).get("properties") or {}
+            eid = rest[0]
+            _prop_update(
+                graph, "E",
+                lambda t: F.concat_ws(">", "src", "label",
+                                      "sort_values", "dst") == eid,
+                props, append)
+            return eid
+    raise KeyError(f"unsupported {method} {path}")
+
+
+def _parse_action(action: str | None) -> bool:
+    """VertexAPI.checkAndParseAction: append → True, eliminate →
+    False, anything else rejected."""
+    if action == "append":
+        return True
+    if action == "eliminate":
+        return False
+    raise ValueError(f"Not support action '{action}'")
+
+
+# ---------------------------------------------------------------------------
 # Graph spaces / multi-graph management (api/space/GraphSpaceAPI.java,
 # core/GraphManager): named spaces each holding named graphs; the
 # traverser/algorithm adapters take the resolved graph, so one manager

@@ -454,3 +454,61 @@ def test_graphs_api_management(marko_graph):
     assert m.list_graphs() == ["hugegraph"]
     with pytest.raises(KeyError):
         m.graph("hugegraph2")
+
+
+def test_vertex_edge_crud_doors(marko_graph):
+    from incubator_hugegraph_spark.rest import execute_graph_crud as crud
+    g = marko_graph
+    # single create with explicit id; batch create; reference payloads
+    vid = crud(g, "POST", "vertices", {
+        "id": "person!crud1", "label": "person",
+        "properties": {"name": "crud1", "age": 40, "city": "Beijing"}})
+    assert vid == "person!crud1"
+    ids = crud(g, "POST", "vertices/batch", [
+        {"id": "person!crud2", "label": "person",
+         "properties": {"name": "crud2", "age": 41, "city": "Shanghai"}},
+        {"id": "person!crud3", "label": "person",
+         "properties": {"name": "crud3", "age": 42, "city": "Beijing"}}])
+    assert ids == ["person!crud2", "person!crud3"]
+    # GET one / GET list with label+property filters
+    row = crud(g, "GET", "vertices/person!crud1").head()
+    assert row.props["age"] == "40"
+    got = crud(g, "GET", "vertices",
+               params={"label": "person",
+                       "properties": {"city": "Beijing"}})
+    assert {"person!crud1", "person!crud3"} <= {
+        r.id for r in got.collect()}
+    # PUT append / eliminate (reference action semantics)
+    crud(g, "PUT", "vertices/person!crud1",
+         {"properties": {"age": 99}}, {"action": "append"})
+    assert crud(g, "GET", "vertices/person!crud1") \
+        .head().props["age"] == "99"
+    crud(g, "PUT", "vertices/person!crud1",
+         {"properties": {"city": ""}}, {"action": "eliminate"})
+    assert "city" not in crud(g, "GET", "vertices/person!crud1") \
+        .head().props
+    with pytest.raises(ValueError):
+        crud(g, "PUT", "vertices/person!crud1",
+             {"properties": {}}, {"action": "replace"})
+    # null property rejected like JsonVertex.checkUpdate
+    with pytest.raises(ValueError):
+        crud(g, "POST", "vertices", {
+            "label": "person", "properties": {"name": None}})
+    # edges: create, get, eliminate prop, delete; cascade on vertex
+    eid = crud(g, "POST", "edges", {
+        "label": "knows", "outV": "person!crud1", "inV": "person!crud2",
+        "outVLabel": "person", "inVLabel": "person",
+        "properties": {"weight": 0.9}})
+    assert crud(g, "GET", f"edges/{eid}").head().props["weight"] == "0.9"
+    n_before = g.edges.count()
+    crud(g, "DELETE", f"edges/{eid}")
+    assert g.edges.count() == n_before - 1
+    crud(g, "POST", "edges", {
+        "label": "knows", "outV": "person!crud1",
+        "inV": "person!crud3", "properties": {}})
+    crud(g, "DELETE", "vertices/person!crud1")
+    assert crud(g, "GET", "vertices/person!crud1").count() == 0
+    assert g.edges.filter("src = 'person!crud1'").count() == 0
+    # cleanup the other two
+    crud(g, "DELETE", "vertices/person!crud2")
+    crud(g, "DELETE", "vertices/person!crud3")
