@@ -160,6 +160,94 @@ class AuthManager:
             raise Forbidden("bad credentials")
         return u
 
+    # -- login tokens (api/auth/LoginAPI.java + TokenAPI): login →
+    # bearer token, stateless HMAC verify (the reference's JWT slot),
+    # logout blacklists ------------------------------------------------
+
+    def login(self, name: str, password: str,
+              expire_s: int = 86400, _now=None) -> str:
+        """POST /auth/login → token; raises Forbidden on bad creds."""
+        import hmac
+        import time
+        self.authenticate(name, password)
+        if not hasattr(self, "_token_secret"):
+            self._token_secret = hashlib.sha256(
+                f"spark-graph|{id(self)}".encode()).hexdigest()
+        exp = int((_now or time.time)()) + expire_s
+        body = f"{name}|{exp}"
+        sig = hmac.new(self._token_secret.encode(), body.encode(),
+                       hashlib.sha256).hexdigest()[:32]
+        return f"{body}|{sig}"
+
+    def verify_token(self, token: str, _now=None) -> dict:
+        """GET /auth/verify → {"user_name": …} or Forbidden."""
+        import hmac
+        import time
+        if token in getattr(self, "_revoked", set()):
+            raise Forbidden("token revoked")
+        try:
+            name, exp, sig = token.rsplit("|", 2)
+        except ValueError:
+            raise Forbidden("malformed token") from None
+        want = hmac.new(getattr(self, "_token_secret", "").encode(),
+                        f"{name}|{exp}".encode(),
+                        hashlib.sha256).hexdigest()[:32]
+        if not hmac.compare_digest(sig, want):
+            raise Forbidden("bad token signature")
+        if int(exp) < int((_now or time.time)()):
+            raise Forbidden("token expired")
+        return {"user_name": name}
+
+    def logout(self, token: str) -> None:
+        """DELETE /auth/logout — blacklist the token."""
+        if not hasattr(self, "_revoked"):
+            self._revoked = set()
+        self._revoked.add(token)
+
+    # -- admin white-IP list (api/profile/WhiteIpListAPI.java) ---------
+
+    def list_white_ips(self) -> list[str]:
+        return sorted(getattr(self, "_white_ips", set()))
+
+    def update_white_ips(self, action_map: dict) -> dict:
+        """POST /whiteiplist — {"action": "load"|"remove",
+        "ips": [...]}; per-IP outcome buckets like the reference
+        (loaded / existed / removed / illegal)."""
+        import re
+        ips = action_map.get("ips")
+        action = action_map.get("action")
+        if not isinstance(ips, list):
+            raise ValueError("Invalid ips type, must be list")
+        if not isinstance(action, str) or not action:
+            raise ValueError("Missing argument: action")
+        if not hasattr(self, "_white_ips"):
+            self._white_ips = set()
+        ipv4 = re.compile(r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$")
+        result: dict[str, list] = {"loaded": [], "existed": [],
+                                   "removed": [], "illegal": []}
+        for ip in ips:
+            m = ipv4.match(str(ip))
+            if not (m and all(int(g) <= 255 for g in m.groups())):
+                result["illegal"].append(ip)
+                continue
+            if action == "load":
+                (result["existed"] if ip in self._white_ips
+                 else result["loaded"]).append(ip)
+                self._white_ips.add(ip)
+            elif action == "remove":
+                if ip in self._white_ips:
+                    self._white_ips.discard(ip)
+                    result["removed"].append(ip)
+            else:
+                raise ValueError(f"Invalid action '{action}'")
+        return {k: sorted(v) for k, v in result.items() if v}
+
+    def ip_allowed(self, ip: str) -> bool:
+        """Empty list = filter off (matching the reference, which
+        only enforces once IPs are loaded)."""
+        store = getattr(self, "_white_ips", set())
+        return not store or ip in store
+
     # -- authorization ---------------------------------------------------
 
     def check(self, user: str, graph: str, resource: str, permission: int,

@@ -685,6 +685,35 @@ def execute_gremlin(graph: PropertyGraph, request: dict | str) -> DataFrame:
     return eval_gremlin(graph, query)
 
 
+def execute_version() -> dict:
+    """GET /apis/versions (api/profile/VersionAPI.java:46-50 — the
+    same {"versions": {...}} envelope; 'core' reports the Spark
+    runtime this engine compiles onto)."""
+    import pyspark
+    return {"versions": {"version": "v1",
+                         "core": pyspark.__version__,
+                         "gremlin": "dsl+text (gremlin.py)",
+                         "api": "0.69"}}
+
+
+def execute_metrics(spark) -> dict:
+    """GET /metrics (api/metrics/MetricsAPI.java): the gauges envelope
+    with the Spark-native equivalents of the reference's JVM/backend
+    gauges — parallelism, executor count, scheduler state. Driver-side
+    status lookups only."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    return {"gauges": {
+        "spark.version": sc.version,
+        "default.parallelism": sc.defaultParallelism,
+        "active.jobs": len(tracker.getActiveJobsIds()),
+        "active.stages": len(tracker.getActiveStageIds()),
+        "shuffle.partitions": int(
+            spark.conf.get("spark.sql.shuffle.partitions")),
+        "aqe.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }}
+
+
 def execute_variables(variables, method: str, key: str | None = None,
                       payload: dict | None = None):
     """`/graphs/{graph}/variables[/{key}]` (api/api/variables/

@@ -113,3 +113,38 @@ def test_audit_export(marko_graph):
     assert dfs["users"].count() == 2
     assert {r.permission for r in dfs["accesses"].collect()} \
         == {"read", "read|write|delete|execute"}
+
+
+def test_login_tokens_and_white_ips():
+    from incubator_hugegraph_spark.auth import AuthManager, Forbidden
+    import pytest
+    am = AuthManager()
+    am.create_user("alice", "pw1")
+    with pytest.raises(Forbidden):
+        am.login("alice", "wrong")
+    tok = am.login("alice", "pw1", expire_s=60, _now=lambda: 1000)
+    assert am.verify_token(tok, _now=lambda: 1050) == {
+        "user_name": "alice"}
+    with pytest.raises(Forbidden):        # expiry honored
+        am.verify_token(tok, _now=lambda: 2000)
+    with pytest.raises(Forbidden):        # tamper → bad signature
+        am.verify_token(tok[:-1] + ("0" if tok[-1] != "0" else "1"),
+                        _now=lambda: 1050)
+    am.logout(tok)
+    with pytest.raises(Forbidden):        # blacklist honored
+        am.verify_token(tok, _now=lambda: 1050)
+    # white-IP list: load/remove buckets, validation, gate semantics
+    assert am.ip_allowed("10.0.0.1")      # empty list = filter off
+    r = am.update_white_ips(
+        {"action": "load", "ips": ["10.0.0.1", "999.1.1.1", "bad"]})
+    assert r == {"loaded": ["10.0.0.1"], "illegal": ["999.1.1.1", "bad"]}
+    assert am.update_white_ips(
+        {"action": "load", "ips": ["10.0.0.1"]}) == {
+        "existed": ["10.0.0.1"]}
+    assert am.ip_allowed("10.0.0.1") and not am.ip_allowed("10.9.9.9")
+    assert am.update_white_ips(
+        {"action": "remove", "ips": ["10.0.0.1"]}) == {
+        "removed": ["10.0.0.1"]}
+    assert am.ip_allowed("10.9.9.9")
+    with pytest.raises(ValueError):
+        am.update_white_ips({"action": "explode", "ips": ["1.1.1.1"]})

@@ -512,3 +512,15 @@ def test_vertex_edge_crud_doors(marko_graph):
     # cleanup the other two
     crud(g, "DELETE", "vertices/person!crud2")
     crud(g, "DELETE", "vertices/person!crud3")
+
+
+def test_version_and_metrics_doors(spark):
+    from incubator_hugegraph_spark.rest import (execute_metrics,
+                                                execute_version)
+    v = execute_version()
+    assert set(v["versions"]) == {"version", "core", "gremlin", "api"}
+    import pyspark
+    assert v["versions"]["core"] == pyspark.__version__
+    m = execute_metrics(spark)["gauges"]
+    assert m["default.parallelism"] >= 1
+    assert m["shuffle.partitions"] >= 1 and "spark.version" in m
