@@ -1220,11 +1220,34 @@ class TaskScheduler:
                          params: dict | None = None) -> int:
         """POST …/jobs/algorithm/{name} — returns the task id
         immediately; the job materializes on a worker thread."""
+        return self._submit(graph, "algorithm", name,
+                            lambda: execute_algorithm(graph, name,
+                                                      params))
+
+    def submit_gremlin(self, graph: PropertyGraph, query: str) -> int:
+        """POST …/jobs/gremlin (api/job/GremlinAPI.java): async
+        Gremlin job — same task lifecycle as algorithm jobs."""
+        from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+
+        def run():
+            out = eval_gremlin(graph, query)
+            return out if isinstance(out, DataFrame) else out.toDF()
+        return self._submit(graph, "gremlin", query, run)
+
+    def submit_cypher(self, graph: PropertyGraph, query: str) -> int:
+        """Async Cypher job (the reference routes Cypher through the
+        same job machinery via its translation layer)."""
+        from incubator_hugegraph_spark.cypher import cypher as _cy
+        return self._submit(graph, "cypher", query,
+                            lambda: _cy(graph, query))
+
+    def _submit(self, graph: PropertyGraph, jtype: str, name: str,
+                thunk) -> int:
         import threading
         with self._lock:
             task_id = self._next
             self._next += 1
-            rec = {"id": task_id, "type": "algorithm", "name": name,
+            rec = {"id": task_id, "type": jtype, "name": name,
                    "status": "RUNNING", "error": None, "result": None,
                    # captured here so cancel() never depends on the
                    # caller remembering the session (r03 advice fix)
@@ -1234,10 +1257,9 @@ class TaskScheduler:
 
         def run() -> None:
             sc = graph.spark.sparkContext
-            sc.setJobGroup(group, f"algorithm {name}", True)
+            sc.setJobGroup(group, f"{jtype} {name}", True)
             try:
-                df = execute_algorithm(graph, name, params)
-                rec["result"] = df.localCheckpoint()  # materialize
+                rec["result"] = thunk().localCheckpoint()  # materialize
                 rec["status"] = "SUCCESS"
             except Exception as e:  # noqa: BLE001 — task records it
                 rec["error"] = f"{type(e).__name__}: {e}"

@@ -524,3 +524,19 @@ def test_version_and_metrics_doors(spark):
     m = execute_metrics(spark)["gauges"]
     assert m["default.parallelism"] >= 1
     assert m["shuffle.partitions"] >= 1 and "spark.version" in m
+
+
+def test_async_gremlin_and_cypher_jobs(marko_graph):
+    from incubator_hugegraph_spark.rest import TaskScheduler
+    ts = TaskScheduler()
+    tid = ts.submit_gremlin(
+        marko_graph, "g.V().hasLabel('person').count()")
+    rec = ts.wait(tid, timeout=120)
+    assert rec["task_status"] == "SUCCESS"
+    assert ts.result(tid).head().cnt == 4
+    cid = ts.submit_cypher(
+        marko_graph, "MATCH (p:person) RETURN count(*) AS n")
+    assert ts.wait(cid, timeout=120)["task_status"] == "SUCCESS"
+    assert ts.result(cid).head().n == 4
+    bad = ts.submit_gremlin(marko_graph, "g.V().frobnicate()")
+    assert ts.wait(bad, timeout=120)["task_status"] == "FAILED"
