@@ -3746,6 +3746,57 @@ def doc_minhash_lsh(spark, sf_dir):
                              portable=True)
 
 
+def _minhash_cross_oracle() -> str:
+    """The cross-corpus (train × bench) variant of _minhash_oracle:
+    train = doc_id % 10 <> 0, bench = doc_id % 10 = 0; pairs oriented
+    (train_id, bench_id) instead of d1 < d2."""
+    from incubator_hugegraph_spark.data.dedup import (
+        _BANDS, _COEFFS, _P, _ROWS)
+    mins = ",\n            ".join(
+        f"MIN((hv*{a}+{b})%{_P}) AS m{i}"
+        for i, (a, b) in enumerate(_COEFFS))
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, {key} AS key FROM m".format(
+            bi=bi, key="||'_'||".join(
+                f"m{bi * _ROWS + r}::VARCHAR" for r in range(_ROWS)))
+        for bi in range(_BANDS))
+    return f"""
+WITH {_SHINGLE_SQL.strip()},
+h AS (SELECT doc_id, ('0x'||substr(md5(s),1,7))::BIGINT AS hv FROM sh),
+m AS (SELECT doc_id,
+            {mins}
+      FROM h GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key
+          AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s
+           AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+          GROUP BY 1, 2)
+SELECT c.d1 AS train_id, c.d2 AS bench_id,
+       ROUND(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) AS jaccard
+FROM cand c
+JOIN inter ON inter.d1 = c.d1 AND inter.d2 = c.d2
+JOIN cnt c1 ON c1.doc_id = c.d1
+JOIN cnt c2 ON c2.doc_id = c.d2
+WHERE CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) >= 0.3
+"""
+
+
+@_q("doc_cross_neardup", _minhash_cross_oracle())
+def doc_cross_neardup(spark, sf_dir):
+    """Fuzzy decontamination (train × bench MinHash-LSH near-dups,
+    exact-verified): signatures per side, band join only across
+    sides — no train×train work. Split: doc_id % 10."""
+    from incubator_hugegraph_spark.data.dedup import cross_neardup
+    d = _docs(spark, sf_dir)
+    return cross_neardup(d.filter(F.col("doc_id") % 10 != 0),
+                         d.filter(F.col("doc_id") % 10 == 0),
+                         n=3, threshold=0.3, portable=True)
+
+
 def _simhash_oracle() -> str:
     """DuckDB SQL reproducing simhash_near_pairs(portable=True):
     60-bit md5-prefix token hash, per-bit weighted majority, 4×15-bit

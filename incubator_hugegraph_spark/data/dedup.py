@@ -455,3 +455,38 @@ def semantic_dedup(emb: DataFrame, n_cells: int = 16,
                .select(F.col("ai").alias("id")).distinct())
     return (assigned.join(dropped, on="id", how="left_anti")
             .select("id", "cell"))
+
+
+def cross_neardup(train: DataFrame, bench: DataFrame, n: int = 3,
+                  threshold: float = 0.3, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  portable: bool = False) -> DataFrame:
+    """Fuzzy decontamination: MinHash-LSH near-dup pairs ACROSS two
+    corpora (train × benchmark) with exact-jaccard verification — the
+    near-duplicate complement of decontaminate()'s exact n-gram
+    overlap (the GPT-3/Lee-et-al. train-vs-eval dedup step). Returns
+    (train_id, bench_id, jaccard ≥ threshold).
+
+    Ids must be disjoint across the two inputs (any split of one
+    corpus satisfies this; asserted in tests). Scale shape: each
+    side's signature table is vector-sized and checkpointed once; the
+    band join is train×bench WITHIN shared buckets only (never
+    all-pairs, and no train×train work at all — the advantage over
+    running minhash_lsh_pairs on the union); exact verification is
+    candidate-restricted, identical to the within-corpus path."""
+    from incubator_hugegraph_spark.graph import checkpointed
+    sig_t = checkpointed(
+        minhash_signatures(train, n, text_col, id_col, portable=portable))
+    sig_b = checkpointed(
+        minhash_signatures(bench, n, text_col, id_col, portable=portable))
+    bt = band_rows(sig_t, portable) \
+        .select(F.col("id").alias("d1"), "band", "bucket")
+    bb = band_rows(sig_b, portable) \
+        .select(F.col("id").alias("d2"), "band", "bucket")
+    cand = (bt.join(bb, on=["band", "bucket"])
+            .select("d1", "d2").distinct())
+    both = train.select(id_col, text_col) \
+        .unionByName(bench.select(id_col, text_col))
+    return verify_pairs(cand, both, n, threshold, text_col, id_col) \
+        .select(F.col("d1").alias("train_id"),
+                F.col("d2").alias("bench_id"), "jaccard")

@@ -1071,3 +1071,23 @@ def test_bpe_train_matches_reference(spark):
     for sym, c in ref_vocab.items():
         expect["".join(sym)] = sym
     assert got == expect
+
+
+def test_cross_neardup(spark):
+    from incubator_hugegraph_spark.data.dedup import cross_neardup
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, "completely different "
+                                             "words about spark plans")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, base + " extra"), (101, "unrelated benchmark prompt "
+                                       "holdout sentence")],
+        "doc_id long, text string")
+    got = {(r.train_id, r.bench_id) for r in
+           cross_neardup(train, bench, threshold=0.3).collect()}
+    # the planted near-dup crossing sides is found; the within-train
+    # near-dup pair (1,2) is NOT reported (no train-by-train work)
+    assert (1, 100) in got and (2, 100) in got
+    assert all(b == 100 for _, b in got)
+    assert not any(a == 1 and b == 2 for a, b in got)
