@@ -946,7 +946,8 @@ class Traversal:
     def repeat_until(self, step: Callable[["Traversal"], "Traversal"],
                      until: Callable[[DataFrame], Column],
                      max_times: int = 32,
-                     capacity: int = 10_000_000) -> "Traversal":
+                     capacity: int = 10_000_000,
+                     emit: bool = False) -> "Traversal":
         """repeat(...).until(pred): traversers satisfying ``until``
         leave the loop; the rest take another step. Bounded by
         ``max_times`` (the reference's RepeatStep is likewise depth-
@@ -962,7 +963,12 @@ class Traversal:
         syntax): the first step runs BEFORE the first predicate
         check, so a start traverser already satisfying P still takes
         one step (r03 advice fix — the while-do form would emit it
-        with zero steps)."""
+        with zero steps).
+
+        ``emit=True`` is the repeat(X).emit().until(P) combination:
+        every round's traversers are emitted (TinkerPop emit-after),
+        not just the ones the predicate stops — the continuing set
+        still leaves the loop on P, so termination is unchanged."""
         from incubator_hugegraph_spark.graph import (CapacityExceeded,
                                                      checkpointed)
         # do-while: step precedes the first check; the until predicate
@@ -979,8 +985,11 @@ class Traversal:
             # round's emptiness probe re-executes it from the source
             # (the iterate_hygiene lesson from the BFS kernel)
             t = t._new(checkpointed(t.df))
-            stopped = t._new(t.df.filter(until(t.df)).drop("__loops"))
-            done.append(stopped)
+            if emit:
+                done.append(t._new(t.df.drop("__loops")))
+            else:
+                done.append(
+                    t._new(t.df.filter(until(t.df)).drop("__loops")))
             t = t._new(t.df.filter(~until(t.df)))
             n = t.df.count()
             if n == 0:

@@ -248,7 +248,8 @@ def _apply(chain: _Chain, t: Traversal) -> object:
                 j += 1
             if until_chain is not None:
                 t = t.repeat_until(lambda x: _apply(body, x),
-                                   _until_pred(until_chain))
+                                   _until_pred(until_chain),
+                                   emit=emit)
             elif n is None:
                 raise SyntaxError(
                     "gremlin: repeat(...) needs .times(n) or .until(...)")

@@ -908,3 +908,29 @@ def test_path_by_property(graph):
     miss = G(graph).V().hasLabel("customer").out("placed") \
         .path_by("name").toDF().head().value
     assert miss.endswith(">")  # orders have no 'name' prop
+
+
+def test_repeat_emit_until(graph):
+    # emit().until(): every round's traversers emitted, not just the
+    # ones the predicate stops; termination unchanged
+    t = G(graph)
+    out = t.V("region!0").repeat_until(
+        lambda x: x.in_("located_in", "in_nation"),
+        until=lambda df: F.col("label") == "customer", emit=True)
+    got = sorted(out.id_().toList())
+    lvl1 = sorted(t.V("region!0").in_("located_in").id_().toList())
+    lvl2 = sorted(t.V("region!0").in_("located_in")
+                  .in_("in_nation").id_().toList())
+    assert got == sorted(lvl1 + lvl2)
+    # without emit only the predicate-stopped traversers come out
+    plain = t.V("region!0").repeat_until(
+        lambda x: x.in_("located_in", "in_nation"),
+        until=lambda df: F.col("label") == "customer")
+    assert sorted(plain.id_().toList()) == lvl2
+    # text surface: repeat(...).emit().until(...)
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    df = eval_gremlin(
+        graph, "g.V('region!0')"
+               ".repeat(__.in('located_in', 'in_nation'))"
+               ".emit().until(__.hasLabel('customer')).id()")
+    assert sorted(r.value for r in df.collect()) == got
