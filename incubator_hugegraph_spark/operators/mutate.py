@@ -229,3 +229,47 @@ def export_graph(vertices: DataFrame, edges: DataFrame, path: str,
         e = e.repartition(edge_buckets, "src") \
             .sortWithinPartitions("src", "label", "sort_values")
     e.write.mode("overwrite").partitionBy("label").parquet(f"{path}/edges")
+
+
+def export_bucketed(graph, prefix: str = "hg", buckets: int = 64) -> None:
+    """Persist the graph as BUCKETED Spark tables — ``bucketBy(src)``
+    edges / ``bucketBy(id)`` vertices with in-bucket sort. Unlike the
+    parquet-path export (repartition is a file ORDER, invisible to
+    the reader), saveAsTable records the bucket spec in the catalog,
+    so every downstream join/agg keyed on src/id reads co-located
+    buckets and Catalyst drops the Exchange entirely — the EdgeId
+    owner-vertex clustering (core/backend/id/EdgeId.java:31-38) as an
+    ENFORCED physical layout. This is the 100 TB adjacency story:
+    expansion joins over a bucketed edge table shuffle zero bytes.
+    Plan-asserted in tests/test_mutate.py."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+    spark = graph.spark
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (f"{prefix}_edges", f"{prefix}_vertices"):
+        # a fresh session's in-memory catalog does not know tables a
+        # previous session wrote, so overwrite alone cannot reclaim
+        # the location — drop both the entry and the directory
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    (graph.edges.write.bucketBy(buckets, "src").sortBy("src")
+     .mode("overwrite").format("parquet")
+     .saveAsTable(f"{prefix}_edges"))
+    (graph.vertices.write.bucketBy(buckets, "id").sortBy("id")
+     .mode("overwrite").format("parquet")
+     .saveAsTable(f"{prefix}_vertices"))
+
+
+def load_bucketed(spark, prefix: str = "hg", schema=None):
+    """Reload a bucketed export as a PropertyGraph; typed per-label
+    views re-derive from the canonical tables via
+    refresh_vertex_views when a schema registry is supplied."""
+    from incubator_hugegraph_spark.graph import PropertyGraph
+    g = PropertyGraph(spark=spark,
+                      vertices=spark.table(f"{prefix}_vertices"),
+                      edges=spark.table(f"{prefix}_edges"),
+                      schema=schema)
+    if schema is not None:
+        g.refresh_vertex_views()
+    return g

@@ -98,3 +98,34 @@ def test_export_roundtrip(graph, tmp_path, spark):
     e = spark.read.parquet(f"{out}/edges")
     assert v.count() == 100 and e.count() == 100
     assert set(v.columns) == set(graph.vertices.columns)
+
+
+def test_bucketed_export_drops_exchanges(graph, spark):
+    from incubator_hugegraph_spark.operators.mutate import (
+        export_bucketed, load_bucketed)
+    export_bucketed(graph, prefix="tb", buckets=8)
+    g2 = load_bucketed(spark, prefix="tb", schema=graph.schema)
+    # roundtrip parity
+    assert g2.edges.count() == graph.edges.count()
+    assert g2.vertices.count() == graph.vertices.count()
+    assert "customer" in g2.vertex_views
+    # aggregation keyed on the bucket column: no shuffle at all
+    agg = g2.edges.groupBy("src").count()
+    agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # co-located self-join on src (both sides share the bucket spec):
+    # with broadcast off (at real scale neither side broadcasts) the
+    # sort-merge join runs with ZERO exchanges — the bucketed layout
+    # replaces the shuffle
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        deg = spark.table("tb_edges").groupBy("src").count()
+        j = spark.table("tb_edges").join(deg, on="src")
+        j.collect()
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in jplan, jplan
+        assert "SortMergeJoin" in jplan, jplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
