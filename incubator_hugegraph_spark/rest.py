@@ -884,6 +884,24 @@ def _json_vertex_rows(graph: PropertyGraph, items: list[dict]) -> list:
         if any(v is None for v in jv["properties"].values()):
             raise ValueError("Not allowed to set value of property "
                              "to null")
+        # schema validation (GraphTransaction.checkVertexProperties /
+        # HugeVertex.assignId posture): undeclared property keys and
+        # missing non-nullable keys are write errors when the label
+        # is registered
+        vl = graph.schema.vertex_labels.get(jv["label"]) \
+            if graph.schema else None
+        if vl is not None and vl.properties:
+            extra = set(jv["properties"]) - set(vl.properties)
+            if extra:
+                raise ValueError(
+                    f"Invalid property '{sorted(extra)[0]}' for "
+                    f"vertex label '{jv['label']}'")
+            required = (set(vl.properties) - set(vl.nullable_keys))
+            missing = required - set(jv["properties"])
+            if missing and jv.get("id") is None:
+                raise ValueError(
+                    f"The non-null property '{sorted(missing)[0]}' "
+                    f"of vertex label '{jv['label']}' is missing")
         props = {k: str(v) for k, v in jv["properties"].items()}
         vid = str(jv["id"]) if jv.get("id") is not None else \
             gen_vertex_id(graph.schema, jv["label"], props)

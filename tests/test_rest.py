@@ -540,3 +540,24 @@ def test_async_gremlin_and_cypher_jobs(marko_graph):
     assert ts.result(cid).head().n == 4
     bad = ts.submit_gremlin(marko_graph, "g.V().frobnicate()")
     assert ts.wait(bad, timeout=120)["task_status"] == "FAILED"
+
+
+def test_crud_schema_validation(spark):
+    from incubator_hugegraph_spark.rest import execute_graph_crud as crud
+    from incubator_hugegraph_spark.sources.tpch import build_graph
+    g = build_graph(spark, "/root/testdata/sf0.001")
+    # customer label declares (name, acctbal, mktsegment) with
+    # mktsegment nullable: undeclared key rejected, missing non-null
+    # rejected, partial-with-explicit-id accepted
+    with pytest.raises(ValueError, match="Invalid property"):
+        crud(g, "POST", "vertices", {
+            "label": "customer",
+            "properties": {"name": "x", "acctbal": 1.0, "wat": 1}})
+    with pytest.raises(ValueError, match="non-null property"):
+        crud(g, "POST", "vertices", {
+            "label": "customer", "properties": {"name": "x"}})
+    vid = crud(g, "POST", "vertices", {
+        "id": "customer!999001", "label": "customer",
+        "properties": {"name": "x"}})
+    assert vid == "customer!999001"
+    crud(g, "DELETE", f"vertices/{vid}")
