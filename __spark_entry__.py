@@ -4053,6 +4053,50 @@ def doc_ngram_lm(spark, sf_dir):
     return ngram_lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+@_q("doc_ccnet_buckets", r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+uni AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(ws) AS w1 FROM tok) GROUP BY w1),
+v AS (SELECT count(*) AS vocab FROM uni),
+bt AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(len(ws) - 1),
+                      i -> {'w1': ws[i+1], 'w2': ws[i+2]})) AS b
+        FROM tok WHERE len(ws) >= 2)),
+cnt AS (SELECT w1, w2, count(*) AS c2 FROM bt GROUP BY w1, w2),
+sc AS (
+  SELECT bt.doc_id,
+         ln((COALESCE(cnt.c2, 0) + 0.1)
+            / (COALESCE(uni.c1, 0) + 0.1 * v.vocab)) AS logp
+  FROM bt LEFT JOIN cnt USING (w1, w2)
+          LEFT JOIN uni USING (w1) CROSS JOIN v),
+scored AS (
+  SELECT doc_id, round(avg(logp), 6) AS avg_logp,
+         round(exp(-avg(logp)), 4) AS ppl
+  FROM sc GROUP BY doc_id),
+cuts AS (SELECT quantile_cont(avg_logp, 1.0/3.0) AS lo,
+                quantile_cont(avg_logp, 2.0/3.0) AS hi
+         FROM scored)
+SELECT doc_id, avg_logp, ppl,
+       CASE WHEN avg_logp >= hi THEN 'head'
+            WHEN avg_logp >= lo THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored CROSS JOIN cuts ORDER BY doc_id
+""")
+def doc_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing: ngram-LM scoring
+    (broadcast model) + one exact-percentile aggregate for the two
+    cutoffs — no corpus-wide sort or ntile."""
+    from incubator_hugegraph_spark.data.text import ccnet_buckets
+    return ccnet_buckets(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 @_q("doc_dsir_weights", f"""
 WITH toks AS (
   SELECT doc_id, {TOKENIZE_SQL.format(col='text')} AS t FROM documents),

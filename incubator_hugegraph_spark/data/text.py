@@ -371,3 +371,31 @@ def bpe_train(docs: DataFrame, n_merges: int = 10,
         if (i + 1) % 4 == 0:
             wc = checkpointed(wc)  # lineage cut, vocab-sized
     return merges, wc
+
+
+def ccnet_buckets(docs: DataFrame, model_docs: DataFrame | None = None,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): documents
+    split head / middle / tail by the corpus distribution of their
+    LM score — terciles of mean bigram log-prob (higher = more
+    fluent = head). Returns (id, avg_logp, ppl, bucket).
+
+    Scale shape: scoring is the ngram_lm_score program (model tables
+    broadcast, one per-doc aggregation); the two tercile cutoffs are
+    ONE exact-percentile global aggregate whose result is two scalars
+    — no global sort and no ntile window over the corpus."""
+    scored = ngram_lm_score(docs, model_docs, text_col=text_col,
+                            id_col=id_col)
+    # double literals, not 1.0/3.0: Spark SQL parses 1.0 as DECIMAL
+    # and percentile() requires a foldable DOUBLE array; the repr'd
+    # doubles are also exactly what DuckDB's 1.0/3.0 evaluates to
+    cuts = scored.agg(F.expr(
+        f"percentile(avg_logp, array({1 / 3!r}D, {2 / 3!r}D))")
+        .alias("c")).head()["c"]
+    lo, hi = float(cuts[0]), float(cuts[1])
+    bucket = (F.when(F.col("avg_logp") >= hi, F.lit("head"))
+              .when(F.col("avg_logp") >= lo, F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return scored.select(id_col, "avg_logp", "ppl",
+                         bucket.alias("bucket"))

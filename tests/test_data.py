@@ -1091,3 +1091,19 @@ def test_cross_neardup(spark):
     assert (1, 100) in got and (2, 100) in got
     assert all(b == 100 for _, b in got)
     assert not any(a == 1 and b == 2 for a, b in got)
+
+
+def test_ccnet_buckets(spark):
+    from incubator_hugegraph_spark.data.text import ccnet_buckets
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = ccnet_buckets(docs).collect()
+    n = len(rows)
+    by = {}
+    for r in rows:
+        by.setdefault(r.bucket, []).append(r.avg_logp)
+    # terciles: each bucket within one of a third; ordering respected
+    assert set(by) == {"head", "middle", "tail"}
+    for b, vals in by.items():
+        assert abs(len(vals) - n / 3) <= n / 3 * 0.2 + 2, (b, len(vals))
+    assert min(by["head"]) >= max(by["middle"])
+    assert min(by["middle"]) >= max(by["tail"])
