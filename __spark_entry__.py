@@ -830,7 +830,7 @@ def gremlin_repeat_until_q(spark, sf_dir):
                         ".until(__.hasLabel('region')).id()")
 
 
-@_q("events_heavy_hitters", """
+_HH_SQL = """
 WITH keyed AS (SELECT CAST(event_type AS VARCHAR) AS k FROM events),
 probes AS (SELECT k, r.r AS row,
                   (('0x' || substr(md5('r' || r.r || ':' || k), 1, 7))
@@ -847,7 +847,10 @@ est AS (SELECT k AS key, min(cnt) AS est
 tot AS (SELECT count(*) AS n FROM events)
 SELECT key, est, ROUND(CAST(est AS DOUBLE) / n, 6) AS est_frac
 FROM est, tot WHERE est >= 0.05 * n
-""")
+"""
+
+
+@_q("events_heavy_hitters", _HH_SQL)
 def events_heavy_hitters(spark, sf_dir):
     """Count-min-sketch heavy hitters over the event stream (Cormode
     & Muthukrishnan 2005): fixed 4×1024 counter grid regardless of
@@ -855,6 +858,21 @@ def events_heavy_hitters(spark, sf_dir):
     the sketch — and the min-over-rows estimates — bit-for-bit."""
     from incubator_hugegraph_spark.data.sketch import heavy_hitters
     return heavy_hitters(_events(spark, sf_dir), "event_type", 0.05)
+
+
+@_q("events_stream_cms", _HH_SQL)
+def events_stream_cms(spark, sf_dir):
+    """STREAMING count-min heavy hitters: the sketch grid builds as
+    an unwindowed stateful aggregation (≤ d×w state rows, additive
+    merge → micro-batch invariant); estimation runs on the bounded
+    sink. Same oracle as events_heavy_hitters — stream ≡ batch under
+    the gate."""
+    import uuid
+    from incubator_hugegraph_spark.streaming.events import (
+        run_stream_heavy_hitters)
+    return run_stream_heavy_hitters(
+        spark, f"{sf_dir}/events.parquet",
+        name="scms_" + uuid.uuid4().hex[:8])
 
 
 @_q("events_distinct_users_kmv", """

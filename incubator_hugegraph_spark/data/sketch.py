@@ -82,9 +82,20 @@ def heavy_hitters(df: DataFrame, key_col: str, threshold: float,
     hitters (collision-inflated keys below θ·N true count) can be
     pruned — at d×w = 5×1024 per-sketch resolution that requires
     adversarial collision pileup."""
+    cms = count_min(df, key_col, d, w)
+    return hitters_from_cms(cms, df, key_col, threshold, d, w)
+
+
+def hitters_from_cms(cms: DataFrame, df: DataFrame, key_col: str,
+                     threshold: float, d: int = _D,
+                     w: int = _W) -> DataFrame:
+    """Heavy-hitter estimation given an already-built sketch — shared
+    by the batch path (heavy_hitters) and the streaming path
+    (streaming/events.run_stream_heavy_hitters, whose sketch is the
+    stateful-aggregation sink). Candidates come from the map-side
+    pigeonhole pre-filter over ``df`` (see heavy_hitters)."""
     import pandas as pd
     total = df.count()
-    cms = count_min(df, key_col, d, w)
     nparts = max(df.rdd.getNumPartitions(), 1)
     local_min = threshold * total / nparts
 

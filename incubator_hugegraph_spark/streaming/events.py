@@ -425,3 +425,34 @@ def run_stream_value_histogram(spark: SparkSession, events_path: str,
             .select("bin",
                     F.round(F.lit(lo) + F.col("bin") * w, 6)
                     .alias("lo_edge"), "n"))
+
+
+def run_stream_heavy_hitters(spark: SparkSession, events_path: str,
+                             threshold: float = 0.05,
+                             key_col: str = "event_type",
+                             name: str = "stream_cms") -> DataFrame:
+    """Streaming count-min heavy hitters: the d×w counter grid builds
+    as an UNWINDOWED stateful aggregation over the per-event cell
+    explosions — state is at most d×w rows and the partials merge by
+    addition, so the sketch is micro-batch-invariant (the property
+    that makes CMS a streaming structure). Estimation then runs on
+    the bounded sink table exactly like the batch path (shared
+    hitters_from_cms); the candidate pre-filter scans the source
+    batch-side here — on a live stream that side is itself a bounded
+    per-trigger pass."""
+    from incubator_hugegraph_spark.data.sketch import (_D, _W, _bucket,
+                                                       hitters_from_cms)
+    stream = _read_stream(spark, events_path)
+    k = F.col(key_col).cast("string")
+    rb = F.explode(F.array(*[
+        F.struct(F.lit(r).alias("row"), _bucket(k, r, _W).alias("bucket"))
+        for r in range(_D)])).alias("rb")
+    agg = (stream.select(rb).select("rb.row", "rb.bucket")
+           .groupBy("row", "bucket")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return hitters_from_cms(spark.table(name),
+                            spark.read.parquet(events_path),
+                            key_col, threshold)
