@@ -4725,6 +4725,30 @@ def doc_corpus_stats(spark, sf_dir):
     return corpus_stats(_docs(spark, sf_dir))
 
 
+@_q("emb_label_centroids", """
+WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+dims AS (SELECT label, i, avg(v[CAST(i AS INT)]) AS c
+         FROM v, (SELECT unnest(range(1, 65)) AS i)
+         GROUP BY label, i),
+cent AS (SELECT label, list(c ORDER BY i) AS cvec
+         FROM dims GROUP BY label),
+cs AS (SELECT v.label,
+              list_cosine_similarity(v.v, c.cvec) AS cos
+       FROM v JOIN cent c USING (label))
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       ROUND(avg(cos), 6) AS mean_cos
+FROM cs GROUP BY label ORDER BY label
+""")
+def emb_label_centroids(spark, sf_dir):
+    """Per-class centroid cohesion (embedding curation QC): one
+    posexplode pass → labels×dim aggregate → centroid broadcast →
+    member cosines on the scan."""
+    from incubator_hugegraph_spark.data.similarity import (
+        label_centroid_stats)
+    return label_centroid_stats(_emb(spark, sf_dir)).orderBy("label")
+
+
 @_q("emb_cosine_topk", """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),

@@ -325,3 +325,39 @@ def cosine_topk_np(emb: DataFrame, query_ids: list[int], k: int,
     return (scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .select("query_id", "neighbor_id", "sim"))
+
+
+def label_centroid_stats(emb: DataFrame, vec_col: str = "embedding",
+                         label_col: str = "label") -> DataFrame:
+    """Per-class centroid cohesion — the embedding-curation QC table:
+    (label, n, centroid_norm, mean_cos) with mean_cos the average
+    cosine(member, class centroid). Tight classes → mean_cos near 1;
+    a low value flags label noise before training.
+
+    Scale shape: one posexplode pass (rows × dim) feeding a
+    per-(label, dim) average — the aggregate is labels × dim rows,
+    map-side combined; the centroid table (|labels| rows) broadcasts
+    back and the member cosines ride the scan (zip_with/aggregate
+    Column fold, no shuffle beyond the final per-label agg)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dims = (emb.select(F.col(label_col).alias("lbl"),
+                       F.posexplode(v).alias("i", "x"))
+            .groupBy("lbl", "i").agg(F.avg("x").alias("c")))
+    cent = (dims.groupBy("lbl")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda s: s["c"]).alias("cvec")))
+    j = emb.select(F.col(label_col).alias("lbl"), v.alias("v")) \
+        .join(F.broadcast(cent), on="lbl")
+    # a degenerate class can average to the zero vector (antipodal
+    # members): guard the norm product so ANSI mode doesn't divide
+    # by zero — cohesion of a zero centroid is 0 by definition here
+    denom = norm(F.col("v")) * norm(F.col("cvec"))
+    guarded = F.when(denom > 0,
+                     dot(F.col("v"), F.col("cvec")) / denom) \
+        .otherwise(F.lit(0.0))
+    return (j.select("lbl", guarded.alias("cos"))
+            .groupBy("lbl")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("cos"), 6).alias("mean_cos"))
+            .select(F.col("lbl").alias(label_col), "n", "mean_cos"))

@@ -1107,3 +1107,24 @@ def test_ccnet_buckets(spark):
         assert abs(len(vals) - n / 3) <= n / 3 * 0.2 + 2, (b, len(vals))
     assert min(by["head"]) >= max(by["middle"])
     assert min(by["middle"]) >= max(by["tail"])
+
+
+def test_label_centroid_stats(spark):
+    from incubator_hugegraph_spark.data.similarity import (
+        label_centroid_stats)
+    # two tight orthogonal classes + one noisy class
+    rows = [(0, [1.0, 0.0, 0.0]), (0, [0.9, 0.1, 0.0]),
+            (1, [0.0, 1.0, 0.0]), (1, [0.0, 0.95, 0.05]),
+            (2, [1.0, 0.0, 0.0]), (2, [-1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(
+        [(i, v, l) for i, (l, v) in enumerate(rows)],
+        "vec_id long, embedding array<double>, label int")
+    got = {r.label: r for r in label_centroid_stats(emb).collect()}
+    assert got[0].n == 2 and got[1].n == 2
+    assert got[0].mean_cos > 0.99 and got[1].mean_cos > 0.99
+    # the antipodal class has near-zero cohesion (centroid ~ 0)
+    assert got[2].mean_cos < 0.5
+    # centroid table must broadcast
+    plan = label_centroid_stats(emb) \
+        ._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan, plan
