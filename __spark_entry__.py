@@ -875,6 +875,35 @@ def events_stream_cms(spark, sf_dir):
         name="scms_" + uuid.uuid4().hex[:8])
 
 
+_KMV_SQL = """
+WITH hs AS (SELECT DISTINCT
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 7))::BIGINT AS DOUBLE)
+                   / 268435456.0 AS h
+            FROM events),
+topk AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+agg AS (SELECT count(*) AS k_used, max(h) AS kth_min FROM topk)
+SELECT k_used, ROUND(kth_min, 9) AS kth_min,
+       CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+            ELSE ROUND((k_used - 1) / kth_min, 3) END AS distinct_est
+FROM agg
+"""
+
+
+@_q("events_stream_kmv", _KMV_SQL)
+def events_stream_kmv(spark, sf_dir):
+    """STREAMING K-minimum-values distinct count: stateful fold
+    carrying exactly k hashes (applyInPandasWithState; the sketch's
+    mergeability IS the streaming property). Same oracle as the
+    batch kmv — stream ≡ batch under the gate."""
+    import uuid
+    from incubator_hugegraph_spark.streaming.events import (
+        run_stream_kmv_distinct)
+    return run_stream_kmv_distinct(
+        spark, f"{sf_dir}/events.parquet",
+        name="skmv_" + uuid.uuid4().hex[:8])
+
+
 @_q("events_distinct_users_kmv", """
 WITH hs AS (SELECT DISTINCT
                    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),

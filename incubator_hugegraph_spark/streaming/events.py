@@ -456,3 +456,55 @@ def run_stream_heavy_hitters(spark: SparkSession, events_path: str,
     return hitters_from_cms(spark.table(name),
                             spark.read.parquet(events_path),
                             key_col, threshold)
+
+
+def run_stream_kmv_distinct(spark: SparkSession, events_path: str,
+                            key_col: str = "user_id", k: int = 256,
+                            name: str = "stream_kmv") -> DataFrame:
+    """Streaming K-minimum-values distinct count: a stateful fold
+    carrying the k smallest hashes (state = exactly k doubles —
+    KMV's mergeability is what makes it a stream sketch). One global
+    group by construction: the k-min set is a SINGLE k-sized object,
+    so the state op is deliberately single-key (zero data skew risk —
+    per-partition minima are folded into it batch by batch, and k
+    values is driver-trivial); parallelism lives in the upstream
+    hash projection. Same output row as the batch kmv_distinct, same
+    oracle."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from incubator_hugegraph_spark.data.dedup import portable_hash28
+
+    stream = _read_stream(spark, events_path)
+    hashed = stream.select(
+        (portable_hash28(F.col(key_col).cast("string"))
+         .cast("double") / F.lit(float(1 << 28))).alias("h"),
+        F.lit(1).alias("g"))
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+        mins = sorted(state.get[0]) if state.exists else []
+        for pdf in pdf_iter:
+            for h in pdf["h"]:
+                mins.append(float(h))
+            mins = sorted(set(mins))[:k]
+        state.update((mins,))
+        yield pd.DataFrame({"k_used": [len(mins)],
+                            "kth_min": [mins[-1] if mins else None]})
+
+    out = hashed.groupBy("g").applyInPandasWithState(
+        fold, outputStructType="k_used long, kth_min double",
+        stateStructType="mins array<double>",
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # updates supersede: the k-min set only grows (k_used ↑) and then
+    # only improves (kth_min ↓), so the final state is the row with
+    # max k_used and, among those, minimal kth_min
+    last = spark.table(name) \
+        .orderBy(F.desc("k_used"), F.asc("kth_min")).limit(1)
+    return last.select(
+        "k_used", F.round("kth_min", 9).alias("kth_min"),
+        F.when(F.col("k_used") < k, F.col("k_used").cast("double"))
+        .otherwise(F.round((F.col("k_used") - 1) / F.col("kth_min"), 3))
+        .alias("distinct_est"))

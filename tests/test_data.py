@@ -1128,3 +1128,25 @@ def test_label_centroid_stats(spark):
     plan = label_centroid_stats(emb) \
         ._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in plan, plan
+
+
+def test_stream_kmv_matches_batch(spark, tmp_path):
+    import uuid
+    from incubator_hugegraph_spark.data.sketch import kmv_distinct
+    from incubator_hugegraph_spark.streaming.events import (
+        run_stream_kmv_distinct)
+    ev = "/root/testdata/sf0.001/events.parquet"
+    batch = kmv_distinct(spark.read.parquet(ev), "user_id",
+                         k=256).head()
+    stream = run_stream_kmv_distinct(
+        spark, ev, name="skmv_t_" + uuid.uuid4().hex[:6]).head()
+    assert tuple(batch) == tuple(stream)
+    # micro-batch invariance: chop the input into 3 files — the
+    # k-min fold must land on the identical final state
+    df = spark.read.parquet(ev)
+    df.repartition(3).write.mode("overwrite").parquet(
+        str(tmp_path / "chopped"))
+    chopped = run_stream_kmv_distinct(
+        spark, str(tmp_path / "chopped"),
+        name="skmv_c_" + uuid.uuid4().hex[:6]).head()
+    assert tuple(chopped) == tuple(batch)
