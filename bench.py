@@ -165,6 +165,22 @@ def main() -> None:
         from incubator_hugegraph_spark.data.sample import chunk_docs
         return chunk_docs(docs).count()
 
+    def x_stream_window():
+        import uuid
+        from incubator_hugegraph_spark.streaming.events import (
+            run_stream_window_agg)
+        return run_stream_window_agg(
+            spark, f"{SF_DIR}/events.parquet",
+            name="bsw_" + uuid.uuid4().hex[:8]).count()
+
+    def x_stream_cms():
+        import uuid
+        from incubator_hugegraph_spark.streaming.events import (
+            run_stream_heavy_hitters)
+        return run_stream_heavy_hitters(
+            spark, f"{SF_DIR}/events.parquet",
+            name="bsc_" + uuid.uuid4().hex[:8]).count()
+
     # engine='dist' twins of B3-B9 (round-3 verdict item 6): the B
     # numbers exercise the auto→RamTable tier at this SF; these pin the
     # DISTRIBUTED plans — the 100 TB path — so their round-over-round
@@ -202,6 +218,8 @@ def main() -> None:
     for name, fn in [("x_cypher", x_cypher), ("x_gremlin", x_gremlin),
                      ("x_minhash_lsh", x_minhash), ("x_ann_np", x_ann),
                      ("x_bpe", x_bpe), ("x_chunks", x_chunks),
+                     ("x_stream_window", x_stream_window),
+                     ("x_stream_cms", x_stream_cms),
                      ("b3_dist", b3_dist), ("b4_dist", b4_dist),
                      ("b5_dist", b5_dist), ("b6_dist", b6_dist),
                      ("b7_dist", b7_dist), ("b8_dist", b8_dist),
