@@ -174,6 +174,44 @@ def count_edge(spark, sf_dir):
     return g.edges.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+@_q("degree_assortativity", f"""
+WITH {E_SQL.strip()},
+e AS (SELECT src, dst FROM edges WHERE label = 'interacted'),
+deg AS (SELECT id, count(*) AS d
+        FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+        GROUP BY id)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       ROUND(corr(CAST(ds.d AS DOUBLE), CAST(dd.d AS DOUBLE)), 6)
+         AS assortativity
+FROM e JOIN deg ds ON ds.id = e.src JOIN deg dd ON dd.id = e.dst
+""")
+def degree_assortativity_q(spark, sf_dir):
+    """Graph-QC: Newman degree assortativity over the interaction
+    graph — one-pass moment corr, degree agg map-side-combined."""
+    from incubator_hugegraph_spark.algorithms.stats import (
+        degree_assortativity)
+    return degree_assortativity(_graph(spark, sf_dir), ["interacted"])
+
+
+@_q("edge_reciprocity", f"""
+WITH {E_SQL.strip()},
+p AS (SELECT DISTINCT src, dst FROM edges WHERE label = 'interacted'),
+r AS (SELECT count(*) AS n_reciprocal FROM p
+      WHERE EXISTS (SELECT 1 FROM p q
+                    WHERE q.src = p.dst AND q.dst = p.src))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_pairs,
+       CAST(n_reciprocal AS BIGINT) AS n_reciprocal,
+       ROUND(n_reciprocal * 1.0 / (SELECT count(*) FROM p), 6)
+         AS reciprocity
+FROM r
+""")
+def edge_reciprocity_q(spark, sf_dir):
+    """Graph-QC: directed reciprocity — distinct pairs + one flipped
+    semi-join."""
+    from incubator_hugegraph_spark.algorithms.stats import reciprocity
+    return reciprocity(_graph(spark, sf_dir), ["interacted"])
+
+
 @_q("vertex_filter_range", """
 SELECT 'customer!' || c_custkey AS id, c_name AS name,
        ROUND(c_acctbal, 2) AS acctbal

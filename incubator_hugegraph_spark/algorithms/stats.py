@@ -41,3 +41,57 @@ def subgraph_stat(graph: PropertyGraph,
             .crossJoin(deg.agg(F.max("d").alias("max_degree"),
                                F.round(F.avg("d"), 4).alias("avg_degree")))
             .withColumn("triangles", F.lit(tri)))
+
+
+def degree_assortativity(graph: PropertyGraph,
+                         labels: list[str] | None = None) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    total degrees across edge endpoints — positive = hubs attach to
+    hubs, negative = hub-and-spoke. One row: (n_edges, assortativity).
+
+    Scale: degrees are one map-side-combined aggregation; the two
+    endpoint joins key on vertex id; the correlation is a single
+    scalar aggregate (Spark's corr is a streaming one-pass moment
+    computation — no sort, no second pass)."""
+    e = graph.edges if labels is None else \
+        graph.edges.filter(F.col("label").isin(labels))
+    e = e.select("src", "dst")
+    deg = (e.select(F.col("src").alias("id"))
+           .unionAll(e.select(F.col("dst").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("d")))
+    j = (e.join(deg.select(F.col("id").alias("src"),
+                           F.col("d").alias("ds")), on="src")
+         .join(deg.select(F.col("id").alias("dst"),
+                          F.col("d").alias("dd")), on="dst"))
+    # corr() under ANSI mode throws DIVIDE_BY_ZERO when either degree
+    # column is constant (star graphs) — spell out the moment ratio
+    # with try_divide so degenerate graphs yield NULL like SQL corr
+    j = j.select(F.col("ds").cast("double").alias("ds"),
+                 F.col("dd").cast("double").alias("dd"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.round(F.expr("try_divide(covar_samp(ds, dd), "
+                       "stddev_samp(ds) * stddev_samp(dd))"), 6)
+        .alias("assortativity"))
+
+
+def reciprocity(graph: PropertyGraph,
+                labels: list[str] | None = None) -> DataFrame:
+    """Directed-edge reciprocity: the fraction of distinct (src, dst)
+    pairs whose reverse pair also exists. One row:
+    (n_pairs, n_reciprocal, reciprocity).
+
+    Scale: distinct pair set (one dedup shuffle) + one self-semi-join
+    on the flipped key — both keyed, no fanout."""
+    e = graph.edges if labels is None else \
+        graph.edges.filter(F.col("label").isin(labels))
+    pairs = e.select("src", "dst").distinct()
+    flipped = pairs.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst"))
+    recip = pairs.join(flipped, on=["src", "dst"], how="left_semi")
+    return (pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+            .crossJoin(recip.agg(F.count(F.lit(1))
+                                 .alias("n_reciprocal")))
+            .select("n_pairs", "n_reciprocal",
+                    F.round(F.col("n_reciprocal") / F.col("n_pairs"), 6)
+                    .alias("reciprocity")))

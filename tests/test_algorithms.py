@@ -322,3 +322,32 @@ def test_louvain_separates_cliques(spark, graph):
     und = undirected_edges(g, None)
     edges = und.select("a", "b", F.lit(1.0).alias("w"))
     assert modularity(edges, part) > 0.4
+
+
+def test_assortativity_and_reciprocity(graph, spark):
+    from incubator_hugegraph_spark.algorithms.stats import (
+        degree_assortativity, reciprocity)
+    r = degree_assortativity(graph, ["interacted"]).head()
+    assert -1.0 <= r.assortativity <= 1.0 and r.n_edges > 0
+    rec = reciprocity(graph, ["interacted"]).head()
+    assert 0.0 <= rec.reciprocity <= 1.0
+    assert rec.n_reciprocal <= rec.n_pairs
+    # crafted graphs pin the extremes: a pure 2-cycle is fully
+    # reciprocal; a star graph is maximally disassortative
+    from incubator_hugegraph_spark.graph import PropertyGraph
+    def mk(edges):
+        e = spark.createDataFrame(
+            [(s, d, "x", "", {}, None) for s, d in edges],
+            "src string, dst string, label string, sort_values string,"
+            " props map<string,string>, expired_at timestamp")
+        v = spark.createDataFrame(
+            [(x, "v", {}, None)
+             for x in {s for s, _ in edges} | {d for _, d in edges}],
+            "id string, label string, props map<string,string>,"
+            " expired_at timestamp")
+        return PropertyGraph(spark=spark, vertices=v, edges=e)
+    cyc = mk([("a", "b"), ("b", "a")])
+    assert reciprocity(cyc).head().reciprocity == 1.0
+    star = mk([("hub", "l1"), ("hub", "l2"), ("hub", "l3")])
+    assert degree_assortativity(star).head().assortativity is None \
+        or degree_assortativity(star).head().assortativity < 0
