@@ -174,6 +174,34 @@ def count_edge(spark, sf_dir):
     return g.edges.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+@_q("temporal_reachability", """
+WITH ie AS (
+  SELECT 'customer!' || pu AS src, 'customer!' || user_id AS dst, ts
+  FROM (SELECT lag(user_id) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS pu,
+               user_id, ts
+        FROM events)
+  WHERE pu IS NOT NULL AND pu <> user_id),
+a1 AS (SELECT dst AS id, min(ts) AS t FROM ie
+       WHERE src = 'customer!1' GROUP BY dst),
+c2 AS (SELECT ie.dst AS id, min(ie.ts) AS t
+       FROM a1 JOIN ie ON ie.src = a1.id AND ie.ts > a1.t
+       GROUP BY ie.dst),
+u AS (SELECT id, min(t) AS t
+      FROM (SELECT * FROM a1 UNION ALL SELECT * FROM c2) GROUP BY id)
+SELECT id, t AS arrival FROM u WHERE id <> 'customer!1' ORDER BY id
+""")
+def temporal_reachability_q(spark, sf_dir):
+    """Time-respecting 2-hop reachability with earliest arrival over
+    the interaction graph (strictly increasing edge timestamps):
+    vertex-sized relaxation rounds, no path enumeration."""
+    from incubator_hugegraph_spark.operators.bfs import (
+        temporal_reachability)
+    return temporal_reachability(
+        _graph(spark, sf_dir), "customer!1", depth=2) \
+        .select("id", F.col("t").alias("arrival")).orderBy("id")
+
+
 @_q("degree_assortativity", f"""
 WITH {E_SQL.strip()},
 e AS (SELECT src, dst FROM edges WHERE label = 'interacted'),

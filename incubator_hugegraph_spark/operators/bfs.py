@@ -386,3 +386,33 @@ def kneighbor_paths(graph: PropertyGraph, source: str, depth: int,
     if limit != NO_LIMIT:
         out = out.orderBy("dist", "id").limit(limit)
     return out
+
+
+def temporal_reachability(graph, source: str, depth: int = 2,
+                          label: str = "interacted",
+                          ts_col: str = "ts"):
+    """Earliest-arrival reachability over a TEMPORAL graph (Wu et
+    al., "Path Problems in Temporal Graphs", VLDB 2014 — public
+    algorithm): v is reachable within ``depth`` hops iff some path
+    has strictly increasing edge timestamps; ``arrival`` is the
+    earliest feasible one. Earliest arrival is monotone-optimal
+    (arriving earlier never closes an option), so the loop is
+    ``depth-1`` rounds of frontier relaxation keeping MIN arrival per
+    vertex — the kout join shape plus one timestamp predicate, and
+    every intermediate table stays vertex-sized (no path
+    enumeration). Returns (id, arrival), source excluded."""
+    e = graph.edge_views[label].select(
+        "src", "dst", F.col(ts_col).alias("t"))
+    best = (e.filter(F.col("src") == source)
+            .groupBy("dst").agg(F.min("t").alias("t"))
+            .select(F.col("dst").alias("id"), "t"))
+    for _ in range(depth - 1):
+        frontier = best.select(F.col("id").alias("fid"),
+                               F.col("t").alias("ft"))
+        cand = (frontier.join(e, on=frontier.fid == e.src)
+                .filter(F.col("t") > F.col("ft"))
+                .groupBy("dst").agg(F.min("t").alias("t"))
+                .select(F.col("dst").alias("id"), "t"))
+        best = (best.unionByName(cand)
+                .groupBy("id").agg(F.min("t").alias("t")))
+    return best.filter(F.col("id") != source)

@@ -351,3 +351,38 @@ def test_assortativity_and_reciprocity(graph, spark):
     star = mk([("hub", "l1"), ("hub", "l2"), ("hub", "l3")])
     assert degree_assortativity(star).head().assortativity is None \
         or degree_assortativity(star).head().assortativity < 0
+
+
+def test_temporal_reachability(spark):
+    from incubator_hugegraph_spark.graph import PropertyGraph
+    from incubator_hugegraph_spark.operators.bfs import (
+        temporal_reachability)
+    # a -(t1)-> b -(t2)-> c reachable; a -(t3)-> d -(t1)-> e NOT
+    # (timestamps must strictly increase); and a later direct edge
+    # a -(t5)-> c must lose to the earlier 2-hop arrival t2
+    rows = [("a", "b", "2020-01-01"), ("b", "c", "2020-01-02"),
+            ("a", "d", "2020-01-03"), ("d", "e", "2020-01-01"),
+            ("a", "c", "2020-01-05")]
+    e = spark.createDataFrame(
+        [(s, d, "interacted", "", {}, None) for s, d, _ in rows],
+        "src string, dst string, label string, sort_values string,"
+        " props map<string,string>, expired_at timestamp")
+    ev = spark.createDataFrame(
+        [(s, d, t) for s, d, t in rows],
+        "src string, dst string, ts string").select(
+        "src", "dst", F.col("ts").cast("timestamp").alias("ts"))
+    v = spark.createDataFrame(
+        [(x, "v", {}, None) for x in "abcde"],
+        "id string, label string, props map<string,string>,"
+        " expired_at timestamp")
+    g = PropertyGraph(spark=spark, vertices=v, edges=e,
+                      edge_views={"interacted": ev})
+    got = {r.id: str(r.t)[:10] for r in
+           temporal_reachability(g, "a", depth=2).collect()}
+    assert got == {"b": "2020-01-01", "c": "2020-01-02",
+                   "d": "2020-01-03"}
+    # depth=1: direct arrivals only
+    d1 = {r.id: str(r.t)[:10] for r in
+          temporal_reachability(g, "a", depth=1).collect()}
+    assert d1 == {"b": "2020-01-01", "c": "2020-01-05",
+                  "d": "2020-01-03"}
