@@ -4474,6 +4474,34 @@ def doc_dedup_clusters(spark, sf_dir):
                           portable=True)
 
 
+@_q("doc_dedup_keep_best", f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+und AS (SELECT d1 AS x, d2 AS y FROM pairs
+        UNION SELECT d2, d1 FROM pairs),
+reach(x, r) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM und)
+  UNION
+  SELECT u.x, reach.r FROM und u JOIN reach ON u.y = reach.x
+),
+comp AS (SELECT x AS doc_id, min(r) AS keeper FROM reach GROUP BY x),
+best AS (SELECT comp.keeper, comp.doc_id, d.n_chars,
+                row_number() OVER (PARTITION BY comp.keeper
+                                   ORDER BY d.n_chars DESC,
+                                            comp.doc_id) AS rn
+         FROM comp JOIN documents d USING (doc_id))
+SELECT keeper, doc_id AS kept_doc, CAST(n_chars AS BIGINT) AS score
+FROM best WHERE rn = 1 ORDER BY keeper
+""")
+def doc_dedup_keep_best(spark, sf_dir):
+    """The KEEP decision after clustering: one best member per
+    near-dup component (longest doc, ties → min id) — the policy a
+    production dedup applies before dropping the rest. Rank window
+    partitions per cluster, never corpus-wide."""
+    from incubator_hugegraph_spark.data.dedup import dedup_keep_best
+    return dedup_keep_best(_docs(spark, sf_dir), portable=True) \
+        .orderBy("keeper")
+
+
 _SEARCH_WORDS = ["spark", "vector", "window"]
 
 

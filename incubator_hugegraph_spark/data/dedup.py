@@ -490,3 +490,29 @@ def cross_neardup(train: DataFrame, bench: DataFrame, n: int = 3,
     return verify_pairs(cand, both, n, threshold, text_col, id_col) \
         .select(F.col("d1").alias("train_id"),
                 F.col("d2").alias("bench_id"), "jaccard")
+
+
+def dedup_keep_best(docs: DataFrame, n: int = 3, threshold: float = 0.3,
+                    score_col: str = "n_chars",
+                    text_col: str = "text", id_col: str = "doc_id",
+                    portable: bool = False) -> DataFrame:
+    """The KEEP decision over near-dup clusters: within each
+    connected component keep the best-scoring member (``score_col``
+    desc, ties → min id) — the keep-longest / keep-highest-quality
+    policy production dedup pipelines apply after clustering.
+    Returns (keeper, kept_doc, score) — one row per cluster.
+
+    Scale: rides dedup_clusters (pair-restricted components); the
+    rank window partitions by keeper, so its working set is one
+    cluster at a time, never the corpus."""
+    from pyspark.sql.window import Window
+    clusters = dedup_clusters(docs, n, threshold, text_col, id_col,
+                              portable=portable)
+    joined = clusters.join(
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(score_col).alias("score")), on="doc_id")
+    w = Window.partitionBy("keeper").orderBy(F.desc("score"), "doc_id")
+    return (joined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("keeper", F.col("doc_id").alias("kept_doc"),
+                    "score"))

@@ -1150,3 +1150,22 @@ def test_stream_kmv_matches_batch(spark, tmp_path):
         spark, str(tmp_path / "chopped"),
         name="skmv_c_" + uuid.uuid4().hex[:6]).head()
     assert tuple(chopped) == tuple(batch)
+
+
+def test_dedup_keep_best(spark):
+    from incubator_hugegraph_spark.data.dedup import (dedup_clusters,
+                                                      dedup_keep_best)
+    base = "the quick brown fox jumps over a lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base, 60), (2, base + " longer tail words", 80),
+         (3, base + " tail", 65), (9, "entirely different text about "
+                                      "catalyst plans and shuffles", 50)],
+        "doc_id long, text string, n_chars long")
+    kept = dedup_keep_best(docs, threshold=0.3).collect()
+    # one cluster {1,2,3}: the longest (2) wins; 9 unclustered → absent
+    assert len(kept) == 1
+    assert kept[0].kept_doc == 2 and kept[0].score == 80
+    # exactly one keep per cluster
+    n_clusters = dedup_clusters(docs, threshold=0.3) \
+        .select("keeper").distinct().count()
+    assert n_clusters == 1
