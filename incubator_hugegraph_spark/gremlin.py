@@ -599,6 +599,21 @@ class Traversal:
                         *t._loc_carry()),
             kind="prop", sort=None)
 
+    def hasKey(self, *keys: str) -> "Traversal":
+        """hasKey(k…): keep property traversers whose key matches
+        (TinkerPop HasStep over properties())."""
+        self._require("prop")
+        return self._new(self.df.filter(F.col("key").isin(list(keys))))
+
+    def hasValue(self, *values) -> "Traversal":
+        """hasValue(v…): keep property traversers whose value matches
+        — typed through the value's Python type, same convention as
+        has()."""
+        self._require("prop")
+        conds = [_typed(F.col("value"), v) == v for v in values]
+        return self._new(self.df.filter(reduce(lambda a, b: a | b,
+                                               conds)))
+
     def key_(self) -> "Traversal":
         """key(): the property traverser's key (TinkerPop KeyStep)."""
         self._require("prop")

@@ -934,3 +934,19 @@ def test_repeat_emit_until(graph):
                ".repeat(__.in('located_in', 'in_nation'))"
                ".emit().until(__.hasLabel('customer')).id()")
     assert sorted(r.value for r in df.collect()) == got
+
+
+def test_has_key_has_value_on_properties(graph):
+    t = G(graph).V().hasLabel("part").properties()
+    keys = set(r.value for r in t.hasKey("size", "brand")
+               .key_().toDF().distinct().collect())
+    assert keys == {"size", "brand"}
+    n45 = t.hasKey("size").hasValue(45).count().head().cnt
+    manual = graph.view("part").filter(F.col("size") == 45).count()
+    assert n45 == manual
+    # text surface
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    df = eval_gremlin(
+        graph, "g.V().hasLabel('part').properties('size')"
+               ".hasValue(45).count()")
+    assert df.head().cnt == manual
