@@ -223,3 +223,30 @@ def test_shortest_path_anchor_pushes_below_window(graph):
     # group-limit form
     assert opt.count("= customer!1") >= 3, opt
     assert "WindowGroupLimit" in opt, opt
+
+
+def test_salted_join_equivalence_and_spread(spark):
+    from incubator_hugegraph_spark.functions.skew import salted_join
+    # one hot key (90% of rows) + a long tail
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(900)]
+        + [(f"k{i}", i) for i in range(100)], "k string, v long")
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"D{i}") for i in range(100)],
+        "k string, d string")
+    plain = big.join(dim, on="k")
+    salted = salted_join(big, dim, on=["k"], salts=8)
+    assert salted.count() == plain.count() == 1000
+    assert sorted(map(tuple, salted.collect())) == \
+        sorted(map(tuple, plain.collect()))
+    # the hot key really spreads: its rows carry >1 distinct salt
+    from pyspark.sql import functions as F
+    spread = (big.filter("k = 'hot'")
+              .select((F.abs(F.xxhash64("k", "v")) % 8).alias("s"))
+              .distinct().count())
+    assert spread > 4
+    # left joins preserve unmatched rows too
+    lonely = big.unionByName(
+        spark.createDataFrame([("orphan", 0)], "k string, v long"))
+    lj = salted_join(lonely, dim, on=["k"], salts=4, how="left")
+    assert lj.filter("k = 'orphan'").count() == 1
