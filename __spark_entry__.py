@@ -174,6 +174,32 @@ def count_edge(spark, sf_dir):
     return g.edges.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+@_q("k_truss", f"""
+WITH {E_SQL.strip()},
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE label = 'interacted' AND src <> dst),
+w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b),
+tri AS (SELECT x, y, z FROM w JOIN und t ON t.a = w.y AND t.b = w.z),
+sides AS (SELECT least(x, y) AS a, greatest(x, y) AS b FROM tri
+          UNION ALL SELECT least(x, z), greatest(x, z) FROM tri
+          UNION ALL SELECT y, z FROM tri),
+sup AS (SELECT a, b, count(*) AS s FROM sides GROUP BY a, b)
+SELECT u.a, u.b, CAST(s AS BIGINT) AS support
+FROM und u JOIN sup USING (a, b) WHERE s >= 2 ORDER BY a, b
+""")
+def k_truss_q(spark, sf_dir):
+    """K-truss (k=4) on the interaction graph. At sf0.01 this k is
+    already a fixpoint (every edge has support ≥ 2), so the oracle is
+    the single support round — it pins the triangle-charge kernel;
+    the PEELING loop (multi-round removal cascades) is pinned by the
+    crafted-graph pytest (K4 + pendant triangle), where SQL cannot
+    express the fixpoint."""
+    from incubator_hugegraph_spark.algorithms.community import k_truss
+    return k_truss(_graph(spark, sf_dir), k=4, labels=["interacted"]) \
+        .orderBy("a", "b")
+
+
 @_q("temporal_reachability", """
 WITH ie AS (
   SELECT 'customer!' || pu AS src, 'customer!' || user_id AS dst, ts

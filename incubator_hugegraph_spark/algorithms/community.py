@@ -378,3 +378,43 @@ def louvain_move_round(graph: PropertyGraph,
     edges = checkpointed(und.select("a", "b", F.lit(1.0).alias("w")))
     return (_one_louvain_pass(graph, edges, rounds)
             .select("id", F.col("comm2").alias("community")))
+
+
+def k_truss(graph: PropertyGraph, k: int = 3,
+            labels: list[str] | None = None,
+            max_rounds: int = 50) -> DataFrame:
+    """K-truss decomposition for one k (Cohen 2008, the public
+    truss-community definition): the maximal subgraph in which every
+    edge participates in ≥ k-2 triangles. Returns the surviving
+    undirected edges (a, b, support).
+
+    Spark-first loop (the standard peel-until-stable fixpoint): each
+    round recomputes per-edge support with the SAME oriented wedge
+    join triangle_count uses (every triangle charges its three
+    edges), drops under-supported edges, and stops when no edge was
+    removed. localCheckpoint each round cuts the growing lineage
+    (iterate-hygiene, as in wcc/pagerank); all tables stay edge-sized
+    and every join is keyed — no path or subset enumeration."""
+    from incubator_hugegraph_spark.graph import checkpointed
+    need = k - 2
+    und = checkpointed(undirected_edges(graph, labels))
+    n = und.count()
+    for _ in range(max_rounds):
+        tri = _triangles(und)
+        # charge each triangle (x,y,z), y<z, to its three edges in
+        # canonical (min,max) form
+        sides = (tri.select(F.least("x", "y").alias("a"),
+                            F.greatest("x", "y").alias("b"))
+                 .unionAll(tri.select(F.least("x", "z"),
+                                      F.greatest("x", "z")))
+                 .unionAll(tri.select("y", "z")))
+        support = sides.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("support"))
+        kept = (und.join(support, on=["a", "b"], how="left")
+                .filter(F.coalesce("support", F.lit(0)) >= need))
+        kept = checkpointed(kept)
+        m = kept.count()
+        if m == n:
+            return kept
+        und, n = kept.select("a", "b"), m
+    return kept

@@ -386,3 +386,35 @@ def test_temporal_reachability(spark):
           temporal_reachability(g, "a", depth=1).collect()}
     assert d1 == {"b": "2020-01-01", "c": "2020-01-05",
                   "d": "2020-01-03"}
+
+
+def test_k_truss(spark):
+    from incubator_hugegraph_spark.algorithms.community import k_truss
+    from incubator_hugegraph_spark.graph import PropertyGraph
+    # K4 clique (a,b,c,d) + a pendant triangle (d,e,f) + a chain edge
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("b", "d"), ("c", "d"), ("d", "e"), ("d", "f"),
+             ("e", "f"), ("f", "g")]
+    e = spark.createDataFrame(
+        [(s, d, "x", "", {}, None) for s, d in edges],
+        "src string, dst string, label string, sort_values string,"
+        " props map<string,string>, expired_at timestamp")
+    v = spark.createDataFrame(
+        [(x, "v", {}, None) for x in "abcdefg"],
+        "id string, label string, props map<string,string>,"
+        " expired_at timestamp")
+    g = PropertyGraph(spark=spark, vertices=v, edges=e)
+    # 3-truss: every edge in ≥1 triangle → clique + pendant triangle
+    t3 = {(r.a, r.b) for r in k_truss(g, k=3).collect()}
+    assert t3 == {("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+                  ("b", "d"), ("c", "d"), ("d", "e"), ("d", "f"),
+                  ("e", "f")}
+    # 4-truss: every edge in ≥2 triangles WITHIN the subgraph → only
+    # the K4 survives (the pendant triangle peels away)
+    rows = k_truss(g, k=4).collect()
+    assert {(r.a, r.b) for r in rows} == {
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+        ("b", "d"), ("c", "d")}
+    assert all(r.support == 2 for r in rows)
+    # 5-truss of this graph is empty
+    assert k_truss(g, k=5).count() == 0
