@@ -89,3 +89,32 @@ def test_csv_explicit_schema_skips_inference(spark, spec):
                              "junk string"}}
     v = load_vertices(spark, m)
     assert v.count() == 3
+
+
+def test_graphson_roundtrip(graph, spark):
+    import json
+    from incubator_hugegraph_spark.sources.graphson import (
+        from_graphson, to_graphson)
+    lines = to_graphson(graph)
+    assert lines.count() == graph.vertices.count()
+    # every line is valid JSON with the adjacency shape
+    sample = json.loads(lines.head().json)
+    assert {"id", "label"} <= set(sample)
+    g2 = from_graphson(spark, lines, schema=graph.schema)
+    assert g2.vertices.count() == graph.vertices.count()
+    assert g2.edges.count() == graph.edges.count()
+    # value-level parity on both tables
+    def vset(g):
+        return {(r.id, r.label, tuple(sorted(r.props.items())))
+                for r in g.vertices.collect()}
+    def eset(g):
+        return {(r.src, r.dst, r.label, r.sort_values,
+                 tuple(sorted(r.props.items())))
+                for r in g.edges.collect()}
+    assert vset(g2) == vset(graph)
+    assert eset(g2) == eset(graph)
+    # traversals run on the reparsed graph
+    from incubator_hugegraph_spark.gremlin import G
+    assert sorted(G(g2).V("nation!1").out("located_in").id_()
+                  .toList()) == \
+        sorted(G(graph).V("nation!1").out("located_in").id_().toList())
