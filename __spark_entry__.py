@@ -5337,6 +5337,24 @@ def events_stream_window(spark, sf_dir):
         name="swa_" + uuid.uuid4().hex[:8])
 
 
+@_q("events_value_outliers", """
+WITH s AS (SELECT event_type, avg(value) AS mu,
+                  stddev_samp(value) AS sd
+           FROM events GROUP BY event_type)
+SELECT event_id, e.event_type, value,
+       ROUND((value - mu) / sd, 4) AS zscore
+FROM events e JOIN s ON s.event_type = e.event_type
+WHERE sd > 0 AND abs((value - mu) / sd) >= 3
+ORDER BY event_id
+""")
+def events_value_outliers(spark, sf_dir):
+    """Per-type z-score outliers (|z| ≥ 3): one broadcast moment
+    table joined back onto the scan — no corpus window."""
+    from incubator_hugegraph_spark.streaming.events import (
+        value_outliers)
+    return value_outliers(_events(spark, sf_dir)).orderBy("event_id")
+
+
 _HIST_SQL = """
 WITH b AS (
   SELECT CASE WHEN value < 0 THEN -1

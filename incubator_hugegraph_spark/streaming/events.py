@@ -508,3 +508,24 @@ def run_stream_kmv_distinct(spark: SparkSession, events_path: str,
         F.when(F.col("k_used") < k, F.col("k_used").cast("double"))
         .otherwise(F.round((F.col("k_used") - 1) / F.col("kth_min"), 3))
         .alias("distinct_est"))
+
+
+def value_outliers(events: DataFrame, z: float = 3.0) -> DataFrame:
+    """Per-type z-score outliers — the monitoring pass an event
+    pipeline runs before trusting aggregates: events whose value sits
+    ≥ z sample standard deviations from their type's mean. Returns
+    (event_id, event_type, value, zscore).
+
+    Scale: one map-side-combined per-type moment aggregate (|types|
+    rows → broadcast) joined back onto the scan — no window over the
+    corpus, no second shuffle."""
+    stats = (events.groupBy("event_type")
+             .agg(F.avg("value").alias("__mu"),
+                  F.stddev_samp("value").alias("__sd")))
+    return (events.join(F.broadcast(stats), on="event_type")
+            .filter(F.col("__sd") > 0)
+            .withColumn("__z", (F.col("value") - F.col("__mu"))
+                        / F.col("__sd"))
+            .filter(F.abs("__z") >= z)
+            .select("event_id", "event_type", "value",
+                    F.round("__z", 4).alias("zscore")))

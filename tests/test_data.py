@@ -1169,3 +1169,18 @@ def test_dedup_keep_best(spark):
     n_clusters = dedup_clusters(docs, threshold=0.3) \
         .select("keeper").distinct().count()
     assert n_clusters == 1
+
+
+def test_value_outliers(spark):
+    from incubator_hugegraph_spark.streaming.events import value_outliers
+    rows = ([(i, "a", 10.0) for i in range(50)]
+            + [(100, "a", 1000.0)]            # the planted outlier
+            + [(200, "b", 5.0), (201, "b", 5.0)])  # zero-variance type
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double")
+    got = value_outliers(ev).collect()
+    assert [r.event_id for r in got] == [100]
+    assert got[0].zscore > 3
+    # the moment table must broadcast
+    plan = value_outliers(ev)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan, plan
