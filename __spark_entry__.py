@@ -5355,6 +5355,28 @@ def events_value_outliers(spark, sf_dir):
     return value_outliers(_events(spark, sf_dir)).orderBy("event_id")
 
 
+@_q("events_stream_outliers", """
+WITH s AS (SELECT event_type, avg(value) AS mu,
+                  stddev_samp(value) AS sd
+           FROM events GROUP BY event_type)
+SELECT event_id, e.event_type, value,
+       ROUND((value - mu) / sd, 4) AS zscore
+FROM events e JOIN s ON s.event_type = e.event_type
+WHERE sd > 0 AND abs((value - mu) / sd) >= 3
+ORDER BY event_id
+""")
+def events_stream_outliers(spark, sf_dir):
+    """STREAMING twin of the outlier pass: additive per-type moments
+    in stream state (|types| rows), z-filter on a batch pass with the
+    bounded moments broadcast — micro-batch-invariant by design."""
+    import uuid
+    from incubator_hugegraph_spark.streaming.events import (
+        run_stream_value_outliers)
+    return run_stream_value_outliers(
+        spark, f"{sf_dir}/events.parquet",
+        name="sol_" + uuid.uuid4().hex[:8]).orderBy("event_id")
+
+
 _HIST_SQL = """
 WITH b AS (
   SELECT CASE WHEN value < 0 THEN -1

@@ -529,3 +529,36 @@ def value_outliers(events: DataFrame, z: float = 3.0) -> DataFrame:
             .filter(F.abs("__z") >= z)
             .select("event_id", "event_type", "value",
                     F.round("__z", 4).alias("zscore")))
+
+
+def run_stream_value_outliers(spark: SparkSession, events_path: str,
+                              z: float = 3.0,
+                              name: str = "stream_outliers") -> DataFrame:
+    """Streaming twin of value_outliers, same two-tier split as the
+    top-k: the per-type moment table (count/sum/sum-of-squares —
+    additive, |types| state rows) builds as an unwindowed stateful
+    aggregation; the z-score filter then rides a batch pass with the
+    bounded moments broadcast. Emitting outliers mid-stream against
+    HALF-built moments would flag different rows per chop — the
+    two-tier form is what makes the result micro-batch-invariant."""
+    stream = _read_stream(spark, events_path)
+    agg = (stream.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("s"),
+                F.sum(F.col("value") * F.col("value")).alias("ss")))
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    stats = (spark.table(name)
+             .select("event_type", (F.col("s") / F.col("n")).alias("__mu"),
+                     F.sqrt((F.col("ss") - F.col("s") * F.col("s")
+                             / F.col("n")) / (F.col("n") - 1))
+                     .alias("__sd")))
+    events = spark.read.parquet(events_path)
+    return (events.join(F.broadcast(stats), on="event_type")
+            .filter(F.col("__sd") > 0)
+            .withColumn("__z", (F.col("value") - F.col("__mu"))
+                        / F.col("__sd"))
+            .filter(F.abs("__z") >= z)
+            .select("event_id", "event_type", "value",
+                    F.round("__z", 4).alias("zscore")))
