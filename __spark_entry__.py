@@ -5337,6 +5337,43 @@ def events_stream_window(spark, sf_dir):
         name="swa_" + uuid.uuid4().hex[:8])
 
 
+_SSJ_SQL = """
+WITH c AS (SELECT user_id, event_id AS click_id, ts AS cts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+      FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, click_id, purchase_id,
+       CAST(date_diff('microsecond', cts, pts) AS BIGINT) AS gap_us
+FROM c JOIN p ON p.user_id = c.user_id
+WHERE pts > cts AND pts <= cts + INTERVAL 30 MINUTE
+ORDER BY click_id, purchase_id
+"""
+
+
+@_q("events_click_attribution", _SSJ_SQL)
+def events_click_attribution(spark, sf_dir):
+    """Click→purchase attribution join (batch): same-user purchases
+    within 30 min of a click; keyed shuffles, time-bounded fanout."""
+    from incubator_hugegraph_spark.streaming.events import (
+        click_to_purchase)
+    return click_to_purchase(_events(spark, sf_dir)) \
+        .orderBy("click_id", "purchase_id")
+
+
+@_q("events_stream_join", _SSJ_SQL)
+def events_stream_join(spark, sf_dir):
+    """STREAM-STREAM inner join with event-time range bounds — the
+    bounds let Spark evict join state (bounded buffers on an
+    unbounded stream). Same oracle as the batch attribution join."""
+    import uuid
+    from incubator_hugegraph_spark.streaming.events import (
+        run_stream_click_to_purchase)
+    return run_stream_click_to_purchase(
+        spark, f"{sf_dir}/events.parquet",
+        name="ssj_" + uuid.uuid4().hex[:8]) \
+        .orderBy("click_id", "purchase_id")
+
+
 @_q("events_value_outliers", """
 WITH s AS (SELECT event_type, avg(value) AS mu,
                   stddev_samp(value) AS sd

@@ -562,3 +562,61 @@ def run_stream_value_outliers(spark: SparkSession, events_path: str,
             .filter(F.abs("__z") >= z)
             .select("event_id", "event_type", "value",
                     F.round("__z", 4).alias("zscore")))
+
+
+def click_to_purchase(events: DataFrame,
+                      within_minutes: int = 30) -> DataFrame:
+    """Batch form of the attribution join: each click paired with the
+    SAME user's purchases in (click_ts, click_ts + within]. Returns
+    (user_id, click_id, purchase_id, gap_s). One keyed shuffle per
+    side; the time predicate bounds the per-user fanout."""
+    # NTZ-safe (UTC session): unix_micros rejects TIMESTAMP_NTZ
+    ts = F.col("ts").cast("timestamp")
+    c = events.filter(F.col("event_type") == "click") \
+        .select("user_id", F.col("event_id").alias("click_id"),
+                ts.alias("cts"))
+    p = events.filter(F.col("event_type") == "purchase") \
+        .select("user_id", F.col("event_id").alias("purchase_id"),
+                ts.alias("pts"))
+    out = (c.join(p, on="user_id")
+           .filter((F.col("pts") > F.col("cts"))
+                   & (F.col("pts") <= F.col("cts")
+                      + F.expr(f"INTERVAL {within_minutes} MINUTES"))))
+    return out.select(
+        "user_id", "click_id", "purchase_id",
+        (F.unix_micros("pts") - F.unix_micros("cts")).alias("gap_us"))
+
+
+def run_stream_click_to_purchase(spark: SparkSession, events_path: str,
+                                 within_minutes: int = 30,
+                                 name: str = "stream_ssj") -> DataFrame:
+    """STREAM-STREAM inner join (the Structured Streaming capability
+    the other streaming ops don't exercise): two watermarked streams
+    over the same source joined on user + an event-time range
+    condition. The range bound is what lets Spark EVICT join state —
+    a click older than the watermark minus the interval can never
+    match a future purchase, so per-side buffers stay bounded; an
+    unbounded-condition stream join would grow state forever.
+    availableNow + append mode; output equals the batch join."""
+    s1 = _read_stream(spark, events_path) \
+        .filter(F.col("event_type") == "click") \
+        .select("user_id", F.col("event_id").alias("click_id"),
+                F.col("ts").alias("cts")) \
+        .withWatermark("cts", "2 hours")
+    s2 = _read_stream(spark, events_path) \
+        .filter(F.col("event_type") == "purchase") \
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("pts")) \
+        .withWatermark("pts", "2 hours")
+    j = s1.join(
+        s2, F.expr(f"""user_id = p_user AND pts > cts
+                       AND pts <= cts + INTERVAL {within_minutes}
+                       MINUTES"""), "inner")
+    q = (j.select("user_id", "click_id", "purchase_id",
+                  (F.unix_micros("pts") - F.unix_micros("cts"))
+                  .alias("gap_us"))
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)

@@ -1184,3 +1184,17 @@ def test_value_outliers(spark):
     # the moment table must broadcast
     plan = value_outliers(ev)._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in plan, plan
+
+
+def test_stream_stream_join_matches_batch(spark):
+    import uuid
+    from incubator_hugegraph_spark.streaming.events import (
+        click_to_purchase, run_stream_click_to_purchase)
+    ev = "/root/testdata/sf0.001/events.parquet"
+    batch = sorted(tuple(r) for r in click_to_purchase(
+        spark.read.parquet(ev)).collect())
+    stream = sorted(tuple(r) for r in run_stream_click_to_purchase(
+        spark, ev, name="ssj_t_" + uuid.uuid4().hex[:6]).collect())
+    assert batch == stream and len(batch) > 0
+    # every pair respects the time bound
+    assert all(0 < g <= 30 * 60 * 1_000_000 for *_, g in batch)
