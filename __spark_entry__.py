@@ -5560,31 +5560,52 @@ def entry(spark: SparkSession) -> DataFrame:
 # row-for-row engine-equivalence pytest against its driver-checked dist
 # sibling).
 _WINDOW_ORDER = [
-    # ROUND-4 WINDOW (50 slots, driver records the first 50):
-    # (a) the four r03 FAILs, re-cast to BIGINT in the oracle —
-    # engine verified correct, the red rows were DuckDB HUGEINT
-    # canonicalization artifacts
-    "doc_pack_sequences", "doc_corpus_stats", "events_sessionize",
-    "events_stream_sessionize",
-    # (b) never-driver-checked queries (non-RamTable)
-    "cypher_unwind", "cypher_rel_props", "cypher_starts_ends",
-    "gremlin_project", "gremlin_select_by", "gremlin_group_mean",
-    "gremlin_repeat_emit", "gremlin_repeat_until", "gremlin_sample",
-    "gremlin_sack", "gremlin_tree", "gremlin_subgraph", "gremlin_math",
-    "gremlin_mid_v", "events_heavy_hitters", "events_distinct_users_kmv",
-    "rest_measured_kneighbor", "element_json", "shard_scan_union",
-    "paged_scan", "doc_dup_spans", "doc_stream_neardup",
-    # (c) new round-4 queries
-    "cypher_create", "cypher_path_fns", "gremlin_aggregate_cap",
-    "gremlin_local_count", "gremlin_local_limit", "louvain_invariants",
-    # (d) RamTable-tier twins (18 of 32; the remaining 14 — the
-    # path/neighbor kernels — head the r05 window)
-    "page_rank_ram", "wcc_ram", "lpa_ram", "triangle_count_ram",
-    "k_core_ram", "degree_centrality_ram", "closeness_centrality_ram",
-    "eigenvector_centrality_ram", "betweenness_centrality_ram",
-    "stress_centrality_ram", "sssp_weighted_ram", "jaccard_top_ram",
-    "fusiform_similarity_ram", "personal_rank_ram", "neighbor_rank_ram",
-    "rays_ram", "rings_ram", "multi_node_shortest_path_ram",
+    # ROUND-5 WINDOW (50 slots, driver records the first 50):
+    # (a) the one r04 driver-FAIL, post-fix (ram.py numpy.str_ leak —
+    # iterating a <U array into a Python list broke Arrow-off
+    # createDataFrame schema inference; now .tolist()'d and the
+    # mirror runs Arrow-off to match the driver's session)
+    "jaccard_top_ram",
+    # (b) louvain_invariants re-windowed with the pass-2 invariants
+    # added this round (contraction conserves total edge weight,
+    # modularity non-decreasing across passes)
+    "louvain_invariants",
+    # (c) the 14 remaining RamTable twins (never driver-checked;
+    # each has a row-for-row engine-equivalence pytest vs its
+    # driver-green dist sibling)
+    "same_neighbors_ram", "same_neighbors_multi_ram", "jaccard_pair_ram",
+    "adamic_adar_ram", "resource_allocation_ram", "count_steps_ram",
+    "count_steps_dedup_ram", "template_paths_ram", "customized_paths_ram",
+    "crosspoints_ram", "customized_crosspoints_ram", "kneighbor_paths_ram",
+    "collection_paths_ram", "rings_detect_job_ram",
+    # (d) the round-4 Cypher surface (18 never-checked)
+    "cypher_shortest_path", "cypher_all_shortest", "cypher_bool_where",
+    "cypher_scalar_fns", "cypher_merge", "cypher_case", "cypher_union",
+    "cypher_collect", "cypher_foreach", "cypher_pattern_pred",
+    "cypher_list_fns", "cypher_exists_sub", "cypher_count_sub",
+    "cypher_keys_props", "cypher_percentiles", "cypher_call_sub",
+    "cypher_params", "cypher_remove",
+    # (e) graph-QC + export/SQL doors (never checked)
+    "k_truss", "temporal_reachability", "degree_assortativity",
+    "edge_reciprocity", "graph_export_roundtrip", "sql_over_views",
+    "graph_load_csv",
+    # (f) streaming/events twins (never checked)
+    "events_stream_cms", "events_stream_kmv", "events_stream_join",
+    "events_click_attribution", "events_stream_enrich",
+    "events_stream_topk", "events_window_topk", "events_value_outliers",
+    "events_stream_outliers",
+    # --- r06 QUEUE (positions 51+; never checked, lowest-risk last:
+    # judge mirror-ran several of the gremlin/doc ones PASS in r04) ---
+    "events_value_histogram", "events_stream_histogram",
+    "gremlin_order_multi", "gremlin_path_by", "gremlin_filter_not",
+    "gremlin_element_map", "gremlin_addv_drop", "gremlin_properties",
+    "gremlin_map_step", "gremlin_flatmap_step", "gremlin_branch_option",
+    "doc_cross_neardup", "doc_gopher_rules", "doc_c4_clean",
+    "doc_ngram_lm", "doc_ccnet_buckets", "doc_dsir_weights",
+    "doc_token_budget", "doc_domain_mix", "doc_bpe_pairs",
+    "doc_vocab_coverage", "doc_chunks", "doc_source_overlap",
+    "doc_dedup_keep_best", "doc_global_shuffle", "emb_label_centroids",
+    "emb_semdedup",
 ]
 
 

@@ -79,6 +79,15 @@ def main() -> int:
 
     spark = get_spark("correctness-check")
     spark.sparkContext.setLogLevel("ERROR")
+    # Environment fidelity: the DRIVER's session runs with Arrow OFF,
+    # so createDataFrame(pandas) goes through _inferSchemaFromList —
+    # which rejects numpy scalars (<U dtype) that Arrow-on silently
+    # accepts (r04 `jaccard_top_ram` driver-FAIL was exactly this).
+    # Pandas UDF paths always use Arrow regardless of this conf, so
+    # only the conversion path — the divergent one — is affected.
+    # Opt back with --arrow to mirror the builder session instead.
+    if "--arrow" not in sys.argv:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
