@@ -2507,40 +2507,74 @@ def louvain_q(spark, sf_dir):
 WITH {IE_SQL.strip()},
 nodes AS (SELECT src AS v FROM ie UNION SELECT dst FROM ie)
 SELECT CAST(count(*) AS BIGINT) AS n_assigned,
-       1 AS one_comm_per_vertex, 1 AS mod_ge_singletons
+       1 AS one_comm_per_vertex, 1 AS mod_ge_singletons,
+       1 AS weight_conserved, 1 AS q_contract_invariant,
+       1 AS q_nondecreasing
 FROM nodes
 """)
 def louvain_invariants_q(spark, sf_dir):
-    """Driver-checkable louvain invariants (r03 verdict item 6 — the
-    full partition stays a declared parallel approximation, but more
-    than rows-only): under the pinned (passes=2, move_rounds=3)
-    configuration the synchronized variant is fully deterministic
-    (ties break to stay/min community id; parity-gated rounds), so we
-    assert (a) every vertex of the interacted subgraph gets exactly
-    one community — n_assigned is a REAL data-dependent value the
-    oracle recomputes — and (b) the partition's modularity is ≥ the
-    singleton partition's (Q_singleton = -Σ(k/2m)² < 0), i.e. the
-    moves never end below the do-nothing baseline. NOTE the fixture's
-    interacted graph is near-complete (sf0.001 is literally K15), so
-    its optimal modularity is ≈0 and a strictly-positive-Q invariant
-    would be unsatisfiable by ANY partitioner — ≥-singletons is the
-    strongest data-independent bound. Booleans travel as 0/1 ints
-    (canonicalization-stable)."""
+    """Driver-checkable louvain invariants (r03 verdict item 6, pass-2
+    extension r04 item 6 — the full partition stays a declared
+    parallel approximation, but far more than rows-only): under the
+    pinned (passes=2, move_rounds=3) configuration the synchronized
+    variant is fully deterministic (ties break to stay/min community
+    id; parity-gated rounds), so we assert
+    (a) every vertex of the interacted subgraph gets exactly one
+        community — n_assigned is a REAL data-dependent value the
+        oracle recomputes;
+    (b) final modularity ≥ the singleton partition's (Q_singleton =
+        -Σ(k/2m)² < 0) — the moves never end below do-nothing. NOTE
+        the fixture's interacted graph is near-complete (sf0.001 is
+        literally K15), so optimal modularity is ≈0 and strictly-
+        positive-Q would be unsatisfiable by ANY partitioner;
+    (c) PASS-LEVEL (pins the r04 contraction self-loop bug class):
+        every contraction conserves total edge weight (internal
+        weight must survive as self-loops — Σw_contracted == Σw_orig
+        exactly), and modularity is INVARIANT under contraction —
+        Q(contracted graph, identity partition) == Q(original graph,
+        cumulative mapping) to 1e-9 (Blondel et al. 2008 §2: the
+        contracted graph represents the same partition, so dropping
+        self-loops or degrees breaks the equality immediately);
+    (d) modularity is non-decreasing across passes on the original
+        graph (deterministic under the pinned config — verified
+        stable at sf0.01).
+    Booleans travel as 0/1 ints (canonicalization-stable)."""
     from incubator_hugegraph_spark.algorithms.community import (
         louvain, modularity, undirected_edges)
     g = _graph(spark, sf_dir)
-    part = louvain(g, labels=["interacted"], passes=2, move_rounds=3)
+    trace: list = []
+    part = louvain(g, labels=["interacted"], passes=2, move_rounds=3,
+                   _trace=trace)
     part = part.localCheckpoint()  # consumed by 3 actions below
     und = undirected_edges(g, ["interacted"]) \
         .select("a", "b", F.lit(1.0).alias("w"))
+    w_orig = und.agg(F.sum("w")).collect()[0][0] or 0.0
     q = modularity(und, part)
     singles = part.select("id", F.col("id").alias("community"))
     q0 = modularity(und, singles)
     n = part.count()
     nd = part.select("id").distinct().count()
+    w_ok, qc_ok = True, True
+    q_by_pass = []
+    for t in trace:
+        cedges, cmap = t["edges"], t["mapping"]
+        w_c = cedges.agg(F.sum("w")).collect()[0][0] or 0.0
+        w_ok = w_ok and abs(w_c - w_orig) < 1e-6
+        q_on_orig = modularity(und, cmap)
+        ident = (cedges.select(F.col("a").alias("id"))
+                 .unionByName(cedges.select(F.col("b").alias("id")))
+                 .distinct().select("id", F.col("id").alias("community")))
+        q_on_contracted = modularity(cedges, ident)
+        qc_ok = qc_ok and abs(q_on_orig - q_on_contracted) < 1e-9
+        q_by_pass.append(q_on_orig)
+    q_mono = all(b >= a - 1e-12
+                 for a, b in zip(q_by_pass, q_by_pass[1:]))
     return spark.createDataFrame(
-        [(n, int(nd == n), int(q >= q0))],
-        "n_assigned long, one_comm_per_vertex int, mod_ge_singletons int")
+        [(n, int(nd == n), int(q >= q0), int(w_ok), int(qc_ok),
+          int(q_mono))],
+        "n_assigned long, one_comm_per_vertex int, mod_ge_singletons int, "
+        "weight_conserved int, q_contract_invariant int, "
+        "q_nondecreasing int")
 
 
 @_q("louvain_move1", f"""

@@ -209,7 +209,8 @@ def lpa(graph: PropertyGraph, labels: list[str] | None = None,
 
 
 def louvain(graph: PropertyGraph, labels: list[str] | None = None,
-            passes: int = 2, move_rounds: int = 3) -> DataFrame:
+            passes: int = 2, move_rounds: int = 3,
+            _trace: list | None = None) -> DataFrame:
     """Parallel Louvain approximation (LouvainAlgorithm.java +
     LouvainTraverser.java:920 — the reference's sequential
     modularity-gain moves are inherently serial, so we implement the
@@ -245,7 +246,14 @@ def louvain(graph: PropertyGraph, labels: list[str] | None = None,
         # everything into one community regardless of structure (the
         # standard Louvain contraction carries in_c as a self-loop,
         # Blondel et al. 2008 §2)
-        cmap = mapping
+        # contract by THIS pass's contracted-node assignment (comm),
+        # NOT by the cumulative original-id mapping: contracted node
+        # ids are representative vertex ids, and a representative
+        # vertex need not belong to its own eponymous community — on
+        # later passes the original-id join would re-label contracted
+        # nodes by the wrong community (caught by the
+        # q_contract_invariant driver check, r05)
+        cmap = comm.select("id", F.col("comm2").alias("community"))
         edges = (edges
                  .join(cmap.select(F.col("id").alias("a"),
                                    F.col("community").alias("ca")), on="a")
@@ -255,6 +263,12 @@ def louvain(graph: PropertyGraph, labels: list[str] | None = None,
                           F.greatest("ca", "cb").alias("b"))
                  .agg(F.sum("w").alias("w")))
         edges = checkpointed(edges)
+        if _trace is not None:
+            # per-pass instrumentation for the driver-gated invariant
+            # checks (louvain_invariants): the cumulative original-id
+            # mapping and the contracted edge table (incl. self-loops)
+            # after this pass
+            _trace.append({"mapping": mapping, "edges": edges})
     return mapping
 
 
