@@ -105,11 +105,21 @@ class AuthManager:
     user→belong→group→access→target authorization walk."""
 
     def __init__(self) -> None:
+        import secrets
         self._users: dict[str, User] = {}
         self._groups: dict[str, Group] = {}
         self._targets: dict[str, Target] = {}
         self._belongs: set[tuple[str, str]] = set()   # (user, group)
         self._accesses: list[Access] = []
+        # token-signing key: cryptographically random, created BEFORE
+        # any login/verify can run — an id(self)-derived key is
+        # low-entropy, and a verify-time fallback to '' would let a
+        # fresh manager accept tokens signed with the empty key
+        # (forgeable by anyone who knows the implementation)
+        self._token_secret: str = secrets.token_bytes(32).hex()
+        # blacklist entries carry the token's expiry so they can be
+        # pruned once the exp check would reject the token anyway
+        self._revoked: dict[str, int] = {}
 
     # -- entity CRUD ---------------------------------------------------
 
@@ -170,9 +180,6 @@ class AuthManager:
         import hmac
         import time
         self.authenticate(name, password)
-        if not hasattr(self, "_token_secret"):
-            self._token_secret = hashlib.sha256(
-                f"spark-graph|{id(self)}".encode()).hexdigest()
         exp = int((_now or time.time)()) + expire_s
         body = f"{name}|{exp}"
         sig = hmac.new(self._token_secret.encode(), body.encode(),
@@ -183,26 +190,45 @@ class AuthManager:
         """GET /auth/verify → {"user_name": …} or Forbidden."""
         import hmac
         import time
-        if token in getattr(self, "_revoked", set()):
+        now = int((_now or time.time)())
+        self._prune_revoked(now)
+        if token in self._revoked:
             raise Forbidden("token revoked")
+        if not self._token_secret:
+            # never verify against an absent/empty key — an empty-key
+            # HMAC is computable by anyone (forged-token bypass)
+            raise Forbidden("no signing key")
         try:
             name, exp, sig = token.rsplit("|", 2)
         except ValueError:
             raise Forbidden("malformed token") from None
-        want = hmac.new(getattr(self, "_token_secret", "").encode(),
+        want = hmac.new(self._token_secret.encode(),
                         f"{name}|{exp}".encode(),
                         hashlib.sha256).hexdigest()[:32]
         if not hmac.compare_digest(sig, want):
             raise Forbidden("bad token signature")
-        if int(exp) < int((_now or time.time)()):
+        if int(exp) < now:
             raise Forbidden("token expired")
         return {"user_name": name}
 
-    def logout(self, token: str) -> None:
-        """DELETE /auth/logout — blacklist the token."""
-        if not hasattr(self, "_revoked"):
-            self._revoked = set()
-        self._revoked.add(token)
+    def logout(self, token: str, _now=None) -> None:
+        """DELETE /auth/logout — blacklist the token until its own
+        expiry (after which the exp check rejects it anyway), pruning
+        stale entries so the blacklist never grows past the set of
+        still-live logged-out tokens."""
+        import time
+        now = int((_now or time.time)())
+        self._prune_revoked(now)
+        try:
+            exp = int(token.rsplit("|", 2)[1])
+        except (ValueError, IndexError):
+            exp = now + 86400  # malformed: keep briefly, still harmless
+        self._revoked[token] = exp
+
+    def _prune_revoked(self, now: int) -> None:
+        if any(exp < now for exp in self._revoked.values()):
+            self._revoked = {t: e for t, e in self._revoked.items()
+                             if e >= now}
 
     # -- admin white-IP list (api/profile/WhiteIpListAPI.java) ---------
 

@@ -2338,7 +2338,9 @@ class CypherEngine:
             sv = ""
             if el is not None and el.sort_keys \
                     and all(k in rp for k in el.sort_keys):
-                sv = ">".join(str(rp[k]) for k in el.sort_keys)
+                from incubator_hugegraph_spark.functions.ids import (
+                    encode_sort_values)
+                sv = encode_sort_values(rp[k] for k in el.sort_keys)
             s, d = (rel.src, rel.dst) if rel.direction == "OUT" \
                 else (rel.dst, rel.src)
             kvs = []

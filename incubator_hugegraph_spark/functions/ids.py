@@ -36,3 +36,31 @@ def id_prefix(label: str) -> str:
     """Prefix for IdPrefixQuery-style scans over a label's id range
     (core/backend/query/IdPrefixQuery.java)."""
     return label + ID_DELIM
+
+
+# EdgeId sort-values encoding — ONE encoder for every write surface
+# (REST edge door, file ingestion, Cypher CREATE, Gremlin addE), so a
+# logical edge gets the same EdgeId quadruple no matter which surface
+# wrote it and upserts/lookups dedupe across surfaces. The reference
+# concats sort values with NAME_SPLITOR '!' and splices the EdgeId
+# with '>' (SplicingIdGenerator.java:47-48, EdgeId.java) — we keep the
+# same pair, with '!' escaped inside values exactly like splice_id, so
+# the '>' EdgeId splice delimiter never appears in sort_values and ids
+# stay unambiguous to parse.
+
+SORT_VALUES_SEP = ID_DELIM  # '!' — distinct from the '>' EdgeId splice
+
+
+def encode_sort_values(values) -> str:
+    """Python-side sort-values encoder (REST/Cypher/Gremlin writes)."""
+    return SORT_VALUES_SEP.join(
+        str(v).replace("!", "\\!") for v in values)
+
+
+def sort_values_col(cols) -> Column:
+    """Column-side twin of encode_sort_values (file ingestion)."""
+    parts = []
+    for c in cols:
+        col = F.col(c) if isinstance(c, str) else c
+        parts.append(F.regexp_replace(col.cast("string"), r"!", r"\\!"))
+    return F.concat_ws(SORT_VALUES_SEP, *parts) if parts else F.lit("")

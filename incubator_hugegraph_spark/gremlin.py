@@ -1524,7 +1524,10 @@ class _AddE:
         sv = ""
         if el is not None and el.sort_keys \
                 and all(k in self._props for k in el.sort_keys):
-            sv = ">".join(str(self._props[k]) for k in el.sort_keys)
+            from incubator_hugegraph_spark.functions.ids import (
+                encode_sort_values)
+            sv = encode_sort_values(
+                self._props[k] for k in el.sort_keys)
         kvs = []
         for k, v in self._props.items():
             kvs += [F.lit(k), F.lit(str(v))]

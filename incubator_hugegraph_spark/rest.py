@@ -1005,7 +1005,10 @@ def execute_graph_crud(graph: PropertyGraph, method: str, path: str,
                          for k, v in (je.get("properties") or {}).items()}
                 sk = graph.schema.edge_labels[je["label"]].sort_keys \
                     if graph.schema else ()
-                sort_values = ",".join(str(props.get(k, "")) for k in sk)
+                from incubator_hugegraph_spark.functions.ids import (
+                    encode_sort_values)
+                sort_values = encode_sort_values(
+                    props.get(k, "") for k in sk)
                 rows.append((str(je["outV"]), str(je["inV"]),
                              je["label"], sort_values, props, None))
             batch = graph.spark.createDataFrame(

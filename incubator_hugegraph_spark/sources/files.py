@@ -116,10 +116,9 @@ def load_edges(spark: SparkSession, mapping: dict) -> DataFrame:
     dst_f = mapping["target"]
     src_f = [src_f] if isinstance(src_f, str) else list(src_f)
     dst_f = [dst_f] if isinstance(dst_f, str) else list(dst_f)
+    from incubator_hugegraph_spark.functions.ids import sort_values_col
     sort_keys = mapping.get("sort_keys") or []
-    sort_vals = F.concat_ws(
-        ",", *[F.col(k).cast("string") for k in sort_keys]) \
-        if sort_keys else F.lit("")
+    sort_vals = sort_values_col(sort_keys)
     consumed = src_f + dst_f
     props = _prop_cols(df, mapping, consumed)
     return df.select(

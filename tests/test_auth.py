@@ -148,3 +148,43 @@ def test_login_tokens_and_white_ips():
     assert am.ip_allowed("10.9.9.9")
     with pytest.raises(ValueError):
         am.update_white_ips({"action": "explode", "ips": ["1.1.1.1"]})
+
+
+def test_token_forgery_rejected_on_fresh_manager():
+    """A fresh manager (no login yet) must reject a token signed with
+    the empty key — the pre-fix getattr(..., '') fallback verified it
+    (ADVICE r04 high: authentication bypass)."""
+    import hashlib
+    import hmac
+    import pytest
+    from incubator_hugegraph_spark.auth import AuthManager, Forbidden
+    am = AuthManager()
+    body = "admin|99999999999"
+    forged = body + "|" + hmac.new(
+        b"", body.encode(), hashlib.sha256).hexdigest()[:32]
+    with pytest.raises(Forbidden):
+        am.verify_token(forged, _now=lambda: 1000)
+    # keys are per-instance random: a token from one manager never
+    # verifies on another (id(self)-derived keys could collide after
+    # heap reuse; secrets.token_bytes cannot)
+    am2 = AuthManager()
+    am2.create_user("alice", "pw1")
+    tok = am2.login("alice", "pw1", expire_s=60, _now=lambda: 1000)
+    with pytest.raises(Forbidden):
+        am.verify_token(tok, _now=lambda: 1050)
+
+
+def test_logout_blacklist_prunes_expired():
+    from incubator_hugegraph_spark.auth import AuthManager
+    am = AuthManager()
+    am.create_user("alice", "pw1")
+    t1 = am.login("alice", "pw1", expire_s=60, _now=lambda: 1000)
+    t2 = am.login("alice", "pw1", expire_s=60000, _now=lambda: 1000)
+    am.logout(t1, _now=lambda: 1005)
+    am.logout(t2, _now=lambda: 1005)
+    assert len(am._revoked) == 2
+    # after t1's expiry passes, any verify/logout prunes it; t2 stays
+    am.verify_token(am.login("alice", "pw1", expire_s=60,
+                             _now=lambda: 2000),
+                    _now=lambda: 2000)
+    assert t1 not in am._revoked and t2 in am._revoked
