@@ -2270,7 +2270,8 @@ class CypherEngine:
     def _gen_id(self, label: str, props: dict) -> str:
         from incubator_hugegraph_spark.operators.mutate import (
             gen_vertex_id)
-        return gen_vertex_id(self.graph.schema, label, props)
+        return gen_vertex_id(self.graph.schema, label, props,
+                             graph=self.graph)
 
     def _check_write_props(self, label: str | None, props) -> None:
         """Schema-strict writes: the reference rejects a property key

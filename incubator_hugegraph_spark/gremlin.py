@@ -1465,7 +1465,8 @@ class _AddV:
             gen_vertex_id, upsert_vertices)
         graph = self._g.graph
         props = {k: str(v) for k, v in self._props.items()}
-        vid = gen_vertex_id(graph.schema, self._label, props)
+        vid = gen_vertex_id(graph.schema, self._label, props,
+                            graph=graph)
         batch = graph.spark.createDataFrame(
             [(vid, self._label, props, None)],
             "id string, label string, props map<string,string>, "

@@ -103,12 +103,18 @@ def upsert_vertices(current: DataFrame, batch: DataFrame,
         F.coalesce("_e_new", "_e_old").alias("expired_at"))
 
 
-def gen_vertex_id(schema, label: str, props: dict) -> str:
+def gen_vertex_id(schema, label: str, props: dict, graph=None) -> str:
     """Created-vertex id: PRIMARY_KEY splice when the schema defines
-    one (GraphTransaction.java:1536-1543); else a deterministic
-    content hash (the AUTOMATIC-strategy slot, made replay-stable for
-    batch semantics). Shared by the Cypher CREATE/MERGE and Gremlin
-    addV write paths."""
+    one (GraphTransaction.java:1536-1543); else the AUTOMATIC-strategy
+    slot. openCypher CREATE and TinkerPop addV must ALWAYS create a
+    new element, so AUTOMATIC ids include a per-graph monotonic
+    uniquifier (``label!auto:<n>`` — the reference's auto-increment/
+    snowflake slot, IdStrategy.AUTOMATIC) — a pure content hash would
+    silently upsert-merge two legitimate duplicate entities (r04
+    ADVICE). Without a graph to own the counter (legacy callers), the
+    deterministic content hash remains as a documented fallback.
+    Shared by the Cypher CREATE/MERGE, Gremlin addV, and REST write
+    paths."""
     import hashlib
     import json
 
@@ -118,6 +124,10 @@ def gen_vertex_id(schema, label: str, props: dict) -> str:
             and vl.primary_keys
             and all(k in props for k in vl.primary_keys)):
         return splice_id(label, *[props[k] for k in vl.primary_keys])
+    if graph is not None:
+        n = getattr(graph, "_auto_id_seq", 0) + 1
+        graph._auto_id_seq = n
+        return f"{label}!auto:{n}"
     blob = json.dumps(sorted(props.items()), default=str)
     return f"{label}!{hashlib.md5((label + blob).encode()).hexdigest()[:16]}"
 

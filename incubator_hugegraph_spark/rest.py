@@ -898,13 +898,17 @@ def _json_vertex_rows(graph: PropertyGraph, items: list[dict]) -> list:
                     f"vertex label '{jv['label']}'")
             required = (set(vl.properties) - set(vl.nullable_keys))
             missing = required - set(jv["properties"])
-            if missing and jv.get("id") is None:
+            # enforced regardless of id strategy — the reference
+            # checks non-nullable keys on every write, customized ids
+            # included (GraphTransaction.checkVertexProperties); only
+            # primary-key-derived id GENERATION depends on id presence
+            if missing:
                 raise ValueError(
                     f"The non-null property '{sorted(missing)[0]}' "
                     f"of vertex label '{jv['label']}' is missing")
         props = {k: str(v) for k, v in jv["properties"].items()}
         vid = str(jv["id"]) if jv.get("id") is not None else \
-            gen_vertex_id(graph.schema, jv["label"], props)
+            gen_vertex_id(graph.schema, jv["label"], props, graph=graph)
         rows.append((vid, jv["label"], props, None))
     return rows
 

@@ -129,3 +129,38 @@ def test_bucketed_export_drops_exchanges(graph, spark):
         assert "SortMergeJoin" in jplan, jplan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_automatic_id_creates_never_merge(spark):
+    """openCypher CREATE / TinkerPop addV must ALWAYS create a new
+    element: two creates with identical label+props on an
+    AUTOMATIC-id label get DISTINCT ids (r04 ADVICE medium — the
+    content-hash fallback silently upsert-merged duplicate
+    entities)."""
+    from incubator_hugegraph_spark.graph import PropertyGraph
+    from incubator_hugegraph_spark.operators.mutate import gen_vertex_id
+    from incubator_hugegraph_spark.schema import GraphSchema, VertexLabel
+
+    sch = GraphSchema()
+    sch.property_key("name")
+    sch.vertex_labels["thing"] = VertexLabel(
+        "thing", properties=("name",))  # no primary keys → AUTOMATIC
+    v = _v(spark, [])
+    e = spark.createDataFrame(
+        [], "src string, dst string, label string, sort_values string, "
+            "props map<string,string>, expired_at timestamp")
+    g = PropertyGraph(spark, v, e, schema=sch)
+    a = gen_vertex_id(sch, "thing", {"name": "x"}, graph=g)
+    b = gen_vertex_id(sch, "thing", {"name": "x"}, graph=g)
+    assert a != b and a.startswith("thing!auto:")
+    # PRIMARY_KEY labels still splice deterministically
+    sch.vertex_labels["person"] = VertexLabel(
+        "person", properties=("name",), primary_keys=("name",))
+    assert gen_vertex_id(sch, "person", {"name": "x"}, graph=g) \
+        == gen_vertex_id(sch, "person", {"name": "x"}, graph=g) \
+        == "person!x"
+    # two identical Gremlin addV calls → two vertices
+    from incubator_hugegraph_spark.gremlin import G
+    G(g).addV("thing").property("name", "dup").iterate()
+    G(g).addV("thing").property("name", "dup").iterate()
+    assert g.vertices.filter("props['name'] = 'dup'").count() == 2

@@ -548,7 +548,9 @@ def test_crud_schema_validation(spark):
     g = build_graph(spark, "/root/testdata/sf0.001")
     # customer label declares (name, acctbal, mktsegment) with
     # mktsegment nullable: undeclared key rejected, missing non-null
-    # rejected, partial-with-explicit-id accepted
+    # rejected — with OR without an explicit id (the reference checks
+    # non-nullable keys on every write regardless of id strategy,
+    # GraphTransaction.checkVertexProperties; r04 ADVICE low)
     with pytest.raises(ValueError, match="Invalid property"):
         crud(g, "POST", "vertices", {
             "label": "customer",
@@ -556,8 +558,12 @@ def test_crud_schema_validation(spark):
     with pytest.raises(ValueError, match="non-null property"):
         crud(g, "POST", "vertices", {
             "label": "customer", "properties": {"name": "x"}})
+    with pytest.raises(ValueError, match="non-null property"):
+        crud(g, "POST", "vertices", {
+            "id": "customer!999001", "label": "customer",
+            "properties": {"name": "x"}})
     vid = crud(g, "POST", "vertices", {
         "id": "customer!999001", "label": "customer",
-        "properties": {"name": "x"}})
+        "properties": {"name": "x", "acctbal": 1.0}})
     assert vid == "customer!999001"
     crud(g, "DELETE", f"vertices/{vid}")
