@@ -657,6 +657,51 @@ def cypher_create_q(spark, sf_dir):
                n.mktsegment AS seg""")
 
 
+@_q("cypher_set_map", """
+SELECT 'set_map_guy' AS name, CAST(11.0 AS DOUBLE) AS acctbal,
+       'GONE' AS seg
+""")
+def cypher_set_map_q(spark, sf_dir):
+    """SET n += {map} (merge; NULL removes the key) — r04 verdict item
+    5. += composes with the existing SET machinery: expression values
+    read the matched row (acctbal: n.acctbal + 6), the null entry
+    strips mktsegment. Isolated graph copy like cypher_create.
+    Reference anchor api/opencypher/CypherOpProcessor.java:124-145
+    (full openCypher translation)."""
+    from incubator_hugegraph_spark.cypher import cypher
+    g0 = _graph(spark, sf_dir)
+    g = PropertyGraph(g0.spark, g0.vertices, g0.edges, schema=g0.schema,
+                      vertex_views=dict(g0.vertex_views),
+                      edge_views=dict(g0.edge_views))
+    cypher(g, "CREATE (n:customer {name: 'set_map_guy', acctbal: 5.0, "
+              "mktsegment: 'AUTO'})")
+    cypher(g, "MATCH (n:customer) WHERE n.name = 'set_map_guy' "
+              "SET n += {acctbal: n.acctbal + 6, mktsegment: null}")
+    return cypher(g, """
+        MATCH (n:customer) WHERE n.name = 'set_map_guy'
+        RETURN n.name AS name, n.acctbal AS acctbal,
+               coalesce(n.mktsegment, 'GONE') AS seg""")
+
+
+@_q("cypher_temporal", """
+SELECT CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00' + INTERVAL 30 DAY
+""")
+def cypher_temporal_q(spark, sf_dir):
+    """datetime()/duration() temporal functions (r04 verdict item 5):
+    ISO-8601 parse + interval arithmetic, all JVM Column expressions
+    (ANSI timestamp cast + make_interval), pushed into the WHERE
+    filter over the order view. Reference anchor
+    api/opencypher/CypherOpProcessor.java:124-145."""
+    from incubator_hugegraph_spark.cypher import cypher
+    return cypher(_graph(spark, sf_dir), """
+        MATCH (o:order)
+        WHERE datetime(o.orderdate) <
+              datetime('1995-01-01T00:00:00') + duration('P30D')
+        RETURN count(*) AS n_orders""")
+
+
 @_q("cypher_path_fns", f"""
 WITH {E_SQL.strip()},
 iem AS (SELECT src, dst FROM edges WHERE label = 'interacted'),
@@ -5640,6 +5685,8 @@ _WINDOW_ORDER = [
     "doc_vocab_coverage", "doc_chunks", "doc_source_overlap",
     "doc_dedup_keep_best", "doc_global_shuffle", "emb_label_centroids",
     "emb_semdedup",
+    # r05 additions (never checked → r06 queue)
+    "cypher_set_map", "cypher_temporal",
 ]
 
 

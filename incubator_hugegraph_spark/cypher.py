@@ -220,6 +220,10 @@ class _Create:
 @dataclass
 class _Set:
     assignments: list[tuple] = field(default_factory=list)  # (var,prop,expr)
+    # SET n += {map} / SET n = {map}: (var, plus, [(key, expr), …]).
+    # += merges (NULL-valued keys are removed, openCypher semantics);
+    # = replaces the node's whole property map.
+    map_assignments: list[tuple] = field(default_factory=list)
 
 
 @dataclass
@@ -527,14 +531,48 @@ class _Parser:
         s = _Set()
         while True:
             var = self._name()
-            self._expect_val(".")
-            prop = self._name()
-            self._expect_val("=")
-            s.assignments.append((var, prop, self._expr()))
+            if self.peek()[1] == ".":
+                self.next()
+                prop = self._name()
+                self._expect_val("=")
+                s.assignments.append((var, prop, self._expr()))
+            else:
+                # SET n += {map} | SET n = {map} — map literal or a
+                # $param whose value is a dict (resolved at parse time
+                # like every other parameter)
+                plus = False
+                if self.peek()[1] == "+":
+                    self.next()
+                    plus = True
+                self._expect_val("=")
+                if self.peek()[0] == "param":
+                    val = self._param(self.next())[1]
+                    if not isinstance(val, dict):
+                        raise SyntaxError(
+                            "cypher: SET n = $param needs a map value")
+                    entries = [(k, ("lit", v)) for k, v in val.items()]
+                else:
+                    entries = self._expr_map()
+                s.map_assignments.append((var, plus, entries))
             if self.peek()[1] != ",":
                 break
             self.next()
         return s
+
+    def _expr_map(self) -> list[tuple]:
+        """`{k: expr, …}` map whose values are full expressions (the
+        SET += / SET = payload — unlike pattern maps, values may
+        reference matched variables, e.g. {age: n.age + 1})."""
+        entries: list[tuple] = []
+        self._expect_val("{")
+        while self.peek()[1] != "}":
+            k = self._name()
+            self._expect_val(":")
+            entries.append((k, self._expr()))
+            if self.peek()[1] == ",":
+                self.next()
+        self._expect_val("}")
+        return entries
 
     def _projection(self, is_with: bool) -> _Proj:
         p = _Proj(is_with=is_with)
@@ -1437,6 +1475,41 @@ class CypherEngine:
             return F.signum(cols[0]).cast("int")
         if name == "coalesce":
             return F.coalesce(*cols)
+        if name in ("datetime", "localdatetime"):
+            # datetime('2020-01-01T12:00:00') → timestamp. ANSI cast
+            # parses ISO-8601 (incl. the 'T' separator) JVM-side; the
+            # zero-arg now() form is rejected — non-deterministic
+            # expressions don't belong in a replayable batch plan
+            # (reference translates full openCypher temporals,
+            # api/opencypher/CypherOpProcessor.java:124-145)
+            if n != 1:
+                raise SyntaxError(
+                    f"cypher: {name}() takes one ISO-8601 string")
+            return cols[0].cast("timestamp")
+        if name == "date":
+            if n != 1:
+                raise SyntaxError("cypher: date() takes one ISO string")
+            return cols[0].cast("date")
+        if name == "duration":
+            # duration('P1DT2H30M') → interval, parsed at compile time
+            # (literal only) into make_interval — stays JVM-side and
+            # composes with +/- on timestamps
+            if n != 1 or args[0][0] != "lit":
+                raise SyntaxError(
+                    "cypher: duration() takes one ISO-8601 literal")
+            m = re.fullmatch(
+                r"P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
+                r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?",
+                str(args[0][1]))
+            if m is None or not any(m.groups()):
+                raise SyntaxError(
+                    f"cypher: malformed duration {args[0][1]!r}")
+            y, mo, w, d, h, mi, sec = (
+                float(g) if g else 0 for g in m.groups())
+            return F.make_interval(
+                F.lit(int(y)), F.lit(int(mo)), F.lit(int(w)),
+                F.lit(int(d)), F.lit(int(h)), F.lit(int(mi)),
+                F.lit(sec))
         if name == "range":
             # range(start, end[, step]) — END-INCLUSIVE like Cypher
             # (Spark's sequence is also inclusive, so it maps 1:1)
@@ -2515,16 +2588,75 @@ class CypherEngine:
         if df is None:
             raise SyntaxError("cypher: SET requires a preceding MATCH")
         by_var: dict[str, list] = defaultdict(list)
+        removals: dict[str, list] = defaultdict(list)
         for var, prop, expr in s.assignments:
             if var in self._rel_vars:
                 raise SyntaxError("cypher: SET on relationships is not "
                                   "supported (batch edge surface)")
             by_var[var].append((prop, expr))
-        needed = set(by_var)
+        for var, plus, entries in s.map_assignments:
+            if var in self._rel_vars:
+                raise SyntaxError("cypher: SET on relationships is not "
+                                  "supported (batch edge surface)")
+            self._check_write_props(self._labels.get(var),
+                                    [k for k, _e in entries])
+            null_keys = [k for k, e in entries
+                         if e[0] == "lit" and e[1] is None]
+            set_pairs = [(k, e) for k, e in entries
+                         if not (e[0] == "lit" and e[1] is None)]
+            if plus:
+                # SET n += {…}: merge; NULL values remove those keys
+                removals[var].extend(null_keys)
+            else:
+                # SET n = {…}: replace the whole map — strip every
+                # declared property first, then write the new entries
+                # (writes are schema-strict, so declared = present)
+                lab = self._labels.get(var)
+                vl = self.graph.schema.vertex_labels.get(lab) \
+                    if (self.graph.schema and lab) else None
+                if vl is None or not vl.properties:
+                    raise SyntaxError(
+                        "cypher: SET n = {map} (replace) needs a "
+                        "schema-registered node label")
+                removals[var].extend(vl.properties)
+            if set_pairs:  # empty map replace is a removal-only write
+                by_var[var].extend(set_pairs)
+        # strip removed keys first (same map_filter pass as REMOVE),
+        # so a replace's upsert merge starts from an empty slate
+        for var, keys in removals.items():
+            if not keys:
+                continue
+            rm_ids = df.select(F.col(var).alias("__rm_id")).distinct()
+            kset = list(dict.fromkeys(keys))
+            self.graph.vertices = (
+                self.graph.vertices
+                .join(rm_ids, F.col("id") == F.col("__rm_id"), "left")
+                .withColumn(
+                    "props",
+                    F.when(F.col("__rm_id").isNotNull(),
+                           F.map_filter("props",
+                                        lambda k, _v: ~k.isin(*kset)))
+                    .otherwise(F.col("props")))
+                .drop("__rm_id"))
+        needed = set(by_var) | set(removals)
         for _var, _prop, expr in s.assignments:
             _expr_vars(expr, needed)
+        for _var, _plus, entries in s.map_assignments:
+            for _k, expr in entries:
+                _expr_vars(expr, needed)
         df = self._hydrate(df, needed)
+        # removal-only vars (e.g. SET n += {x: null}) never reach the
+        # upsert loop below — refresh their views and summarize here
         deltas = []
+        for var in [v for v in removals if v not in by_var]:
+            stale = [f"__p_{var}", f"__l_{var}"] + \
+                [f"__c_{var}_{k}" for k in self._typed_cols.pop(var, ())]
+            df = df.drop(*[c for c in stale if c in df.columns])
+            lab = self._labels.get(var)
+            self._refresh_views({lab} if lab else None)
+            deltas.append(df.select(
+                F.col(var).alias("id"),
+                F.lit(lab).alias("label")).dropDuplicates(["id"]))
         for var, pairs in by_var.items():
             self._check_write_props(self._labels.get(var),
                                     [p for p, _e in pairs])

@@ -318,3 +318,48 @@ def test_foreach_requires_set_body(wgraph):
     import pytest as _pt
     with _pt.raises(SyntaxError, match="FOREACH"):
         cypher(wgraph, "MATCH (n:person) FOREACH (x IN [n] | )")
+
+
+def test_set_map_merge_and_replace(wgraph):
+    """SET n += {map} merges (null removes a key); SET n = {map}
+    replaces the whole property map; $param maps resolve at parse
+    time (r04 verdict item 5; reference anchor
+    api/opencypher/CypherOpProcessor.java:124-145)."""
+    def props():
+        return wgraph.vertices.filter("id = 'person!marko'") \
+            .head().props
+
+    cypher(wgraph, "MATCH (n:person {name:'marko'}) "
+                   "SET n += {age: 30, city: null}")
+    assert props() == {"name": "marko", "age": "30"}
+    # expression values over the matched row
+    cypher(wgraph, "MATCH (n:person {name:'marko'}) "
+                   "SET n += {age: n.age + 1}")
+    assert props()["age"] == "31"
+    cypher(wgraph, "MATCH (n:person {name:'marko'}) "
+                   "SET n = {name: 'marko', city: 'Shanghai'}")
+    assert props() == {"name": "marko", "city": "Shanghai"}
+    cypher(wgraph, "MATCH (n:person {name:'marko'}) SET n += $m",
+           params={"m": {"age": 55}})
+    assert props() == {"name": "marko", "city": "Shanghai", "age": "55"}
+    # schema-strict: undeclared keys rejected like plain SET
+    with pytest.raises(ValueError):
+        cypher(wgraph, "MATCH (n:person {name:'marko'}) "
+                       "SET n += {wat: 1}")
+
+
+def test_temporal_functions(wgraph):
+    row = cypher(
+        wgraph,
+        "MATCH (n:person {name:'marko'}) "
+        "RETURN datetime('2020-01-01T12:00:00') AS ts, "
+        "date('2020-03-04') AS d, "
+        "datetime('2020-01-01T00:00:00') + duration('P1DT2H30M') AS ts2, "
+        "datetime('2020-01-02T00:00:00') - duration('PT12H') AS ts3"
+    ).head()
+    assert str(row.ts) == "2020-01-01 12:00:00"
+    assert str(row.d) == "2020-03-04"
+    assert str(row.ts2) == "2020-01-02 02:30:00"
+    assert str(row.ts3) == "2020-01-01 12:00:00"
+    with pytest.raises(SyntaxError):
+        cypher(wgraph, "MATCH (n:person) RETURN duration('nope') AS x")
