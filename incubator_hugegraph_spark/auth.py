@@ -315,6 +315,41 @@ class AuthManager:
                 f"{space}/{graph}:{resource}"
                 + (f"[{label}]" if label else ""))
 
+    def readable_labels(self, user: str, graph: str, resource: str,
+                        space: str = "DEFAULT") -> set[str] | None:
+        """The label universe ``user`` may READ for ``resource``:
+        None = unrestricted (some covering grant has no label list);
+        a set = only those labels (union over label-restricted
+        grants); no covering grant at all → Forbidden. This is the
+        driver-side half of per-element enforcement
+        (core/auth/HugeGraphAuthProxy.java HugeResource.matchLabel —
+        the reference evaluates it per element; we evaluate the SAME
+        predicate once and push it into the scan as a Column
+        filter)."""
+        groups = {g for u, g in self._belongs if u == user}
+        allowed: set[str] = set()
+        unrestricted = False
+        found = False
+        for a in self._accesses:
+            if a.group not in groups \
+                    or (a.permission & Permission.READ) != Permission.READ:
+                continue
+            t = self._targets.get(a.target)
+            if t is None or t.graph != graph or t.space != space:
+                continue
+            if not any(ResourceType.covers(r, resource)
+                       for r in t.resources):
+                continue
+            found = True
+            if t.labels:
+                allowed |= set(t.labels)
+            else:
+                unrestricted = True
+        if not found:
+            raise Forbidden(
+                f"user {user!r} lacks read on {space}/{graph}:{resource}")
+        return None if unrestricted else allowed
+
     # -- audit export ----------------------------------------------------
 
     def to_dataframes(self, spark) -> dict:
@@ -380,6 +415,45 @@ def authorized_algorithm(am: AuthManager, user: str, graph_name: str,
     am.require(user, graph_name, ResourceType.TASK, Permission.EXECUTE,
                space, label)
     return rest.execute_algorithm(graph, name, params)
+
+
+def authorized_element_view(am: AuthManager, user: str, graph_name: str,
+                            graph, space: str = "DEFAULT"):
+    """Element-level label enforcement (closes the documented
+    request-level-only deviation): a PropertyGraph whose vertex/edge
+    tables expose ONLY rows whose label the user may read — the
+    reference filters each element through HugeResource.matchLabel in
+    HugeGraphAuthProxy; here the same predicate is a Column filter
+    pushed into the parquet scan (partition-prunable, zero per-row
+    Python). Edges additionally require BOTH endpoints readable —
+    vertex ids splice the label first (``label!key``), so endpoint
+    visibility is a substring check, not a join. Raises Forbidden when
+    the user has no read grant at all. Traversals run on the returned
+    graph exactly as on the full one (same schema, same views
+    machinery)."""
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_spark.graph import PropertyGraph
+    from incubator_hugegraph_spark.schema import ID_DELIM
+    vlabels = am.readable_labels(user, graph_name, ResourceType.VERTEX,
+                                 space)
+    elabels = am.readable_labels(user, graph_name, ResourceType.EDGE,
+                                 space)
+    if vlabels is None and elabels is None:
+        return graph
+    v, e = graph.vertices, graph.edges
+    if vlabels is not None:
+        v = v.filter(F.col("label").isin(sorted(vlabels)))
+    if elabels is not None:
+        e = e.filter(F.col("label").isin(sorted(elabels)))
+    if vlabels is not None:
+        # an edge whose endpoint the user cannot see would leak the
+        # hidden vertex's id — require both endpoint labels readable
+        def _end_ok(col: str):
+            seg = F.split(F.col(col), ID_DELIM, 2).getItem(0)
+            return seg.isin(sorted(vlabels))
+        e = e.filter(_end_ok("src") & _end_ok("dst"))
+    return PropertyGraph(graph.spark, v, e, schema=graph.schema)
 
 
 def authorized_schema(am: AuthManager, user: str, graph_name: str,

@@ -88,17 +88,49 @@ def loop_adj(graph: PropertyGraph, direction: str,
 #: pagerank/wcc's BROADCAST_VERTEX_LIMIT).
 BROADCAST_FRONTIER_LIMIT = 1_000_000
 
+#: On the shuffle-join fallback path, a single source vertex hotter
+#: than this many edges would land its whole adjacency block on one
+#: reducer (AQE's skew-join splits oversized sort-merge PARTITIONS,
+#: but a single-key block behind the BFS loop's checkpoint boundary
+#: is exactly the case functions/skew.py exists for). Past it the
+#: layer join salts the adjacency side and replicates the frontier.
+SALT_DEGREE_THRESHOLD = 1_000_000
+
 
 def expand(frontier: DataFrame, adj: DataFrame,
-           broadcast: bool = True) -> DataFrame:
+           broadcast: bool = True, salts: int = 0) -> DataFrame:
     """One BFS layer: distinct out-neighbors of the frontier.
     Broadcast the frontier while it is small — the edge side never
     shuffles; past BROADCAST_FRONTIER_LIMIT the caller flips
-    ``broadcast`` off and the layer is a plain shuffle join."""
+    ``broadcast`` off and the layer is a plain shuffle join. With
+    ``salts`` > 1 (supernode adjacency detected by the caller), the
+    shuffle join spreads each hot src key across ``salts`` reducers
+    via functions/skew.salted_join — replication cost is
+    salts × |frontier|, paid only when a key would otherwise melt a
+    reducer."""
+    if not broadcast and salts > 1:
+        from incubator_hugegraph_spark.functions.skew import salted_join
+        return (salted_join(adj,
+                            frontier.select(F.col("id").alias("src")),
+                            on=["src"], salts=salts)
+                .select(F.col("dst").alias("id"))
+                .distinct())
     f = F.broadcast(frontier) if broadcast else frontier
     return (adj.join(f, on=adj.src == frontier.id)
             .select(F.col("dst").alias("id"))
             .distinct())
+
+
+def _salts_for(adj: DataFrame, salts: int = 16) -> int:
+    """Degree-threshold heuristic for the shuffle-path layer join:
+    one O(|E|) aggregate over the (already checkpointed) adjacency —
+    paid once per traversal, and only after the broadcast gate has
+    tripped, i.e. when rounds already cost far more than this probe.
+    Returns ``salts`` when some src exceeds SALT_DEGREE_THRESHOLD,
+    else 0 (plain shuffle join)."""
+    hot = (adj.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+           .agg(F.max("d").alias("m")).collect()[0][0]) or 0
+    return salts if hot > SALT_DEGREE_THRESHOLD else 0
 
 
 def bfs(graph: PropertyGraph, source_ids: list[str], depth: int,
@@ -124,16 +156,23 @@ def bfs(graph: PropertyGraph, source_ids: list[str], depth: int,
     visited = frontier.withColumn("dist", F.lit(0))
     total = len(source_ids)
     frontier_rows = len(source_ids)
+    salts = None  # computed lazily, first shuffle-fallback round only
     for k in range(1, depth + 1):
         # frontier and visited ride the broadcast side only while
         # small (BROADCAST_FRONTIER_LIMIT); past it the layer join and
         # the anti-join fall back to shuffles — at 100 TB a frontier
         # can legitimately hold hundreds of millions of rows before
         # the capacity guard fires, and broadcasting that per round is
-        # the r02-flagged failure mode
+        # the r02-flagged failure mode. On the fallback path a
+        # supernode src would put its whole adjacency block on one
+        # reducer: probe the max degree once and salt the layer join
+        # past SALT_DEGREE_THRESHOLD (functions/skew.py).
+        bcast_round = frontier_rows <= BROADCAST_FRONTIER_LIMIT
+        if not bcast_round and salts is None:
+            salts = _salts_for(adj)
         frontier = (expand(frontier, adj,
-                           broadcast=frontier_rows
-                           <= BROADCAST_FRONTIER_LIMIT)
+                           broadcast=bcast_round,
+                           salts=salts or 0)
                     .join((F.broadcast(visited.select("id"))
                            if total <= BROADCAST_FRONTIER_LIMIT
                            else visited.select("id")),

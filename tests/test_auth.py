@@ -188,3 +188,42 @@ def test_logout_blacklist_prunes_expired():
                              _now=lambda: 2000),
                     _now=lambda: 2000)
     assert t1 not in am._revoked and t2 in am._revoked
+
+
+def test_element_level_label_enforcement(marko_graph):
+    """authorized_element_view filters per ELEMENT (closes the
+    request-level-only deviation vs HugeGraphAuthProxy's
+    HugeResource.matchLabel): a label-scoped reader sees only vertices
+    of granted labels, and only edges whose own label AND both
+    endpoint labels are readable."""
+    import pytest
+    from incubator_hugegraph_spark.auth import (AuthManager, Forbidden,
+                                                Permission, ResourceType,
+                                                authorized_element_view)
+    am = AuthManager()
+    am.create_user("scoped", "pw")
+    am.create_group("readers")
+    am.belong("scoped", "readers")
+    am.create_target("people_only", "hugegraph",
+                     resources=[ResourceType.VERTEX, ResourceType.EDGE],
+                     labels=["person", "knows"])
+    am.grant("readers", "people_only", Permission.READ)
+
+    g = authorized_element_view(am, "scoped", "hugegraph", marko_graph)
+    assert set(r.label for r in g.vertices.collect()) <= {"person"}
+    labels = set(r.label for r in g.edges.collect())
+    assert labels <= {"knows"}
+    # no 'created' edges (label not granted) and no endpoint outside
+    # the person label universe
+    for r in g.edges.collect():
+        assert r.src.startswith("person!") and r.dst.startswith("person!")
+    # full-universe grant short-circuits to the original graph
+    am.create_target("all", "hugegraph")
+    am.grant("readers", "all", Permission.READ)
+    g2 = authorized_element_view(am, "scoped", "hugegraph", marko_graph)
+    assert g2 is marko_graph
+    # no grant at all → Forbidden
+    am2 = AuthManager()
+    am2.create_user("nobody", "pw")
+    with pytest.raises(Forbidden):
+        authorized_element_view(am2, "nobody", "hugegraph", marko_graph)
