@@ -1,0 +1,96 @@
+"""Cypher SET / REMOVE on relationship variables (r05): the reference
+translates full openCypher (api/opencypher/CypherOpProcessor.java),
+including relationship property writes; until r05 these raised
+SyntaxError here. Updates key edges by the EdgeId quadruple the rel
+variable already carries (one narrow map rewrite, no shuffle).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from incubator_hugegraph_spark.cypher import cypher
+from incubator_hugegraph_spark.graph import PropertyGraph
+from incubator_hugegraph_spark.schema import (EdgeLabel, GraphSchema,
+                                              VertexLabel)
+
+
+@pytest.fixture()
+def rgraph(spark):
+    vrows = [("person!marko", "person", {"name": "marko"}, None),
+             ("person!josh", "person", {"name": "josh"}, None),
+             ("person!vadas", "person", {"name": "vadas"}, None)]
+    erows = [
+        ("person!marko", "person!josh", "knows", "",
+         {"weight": "0.5", "since": "2010"}, None),
+        ("person!marko", "person!vadas", "knows", "",
+         {"weight": "0.4", "since": "2011"}, None)]
+    sch = GraphSchema()
+    sch.property_key("name")
+    sch.property_key("weight", "DOUBLE")
+    sch.property_key("since")
+    sch.vertex_labels["person"] = VertexLabel(
+        "person", properties=("name",), primary_keys=("name",))
+    sch.edge_labels["knows"] = EdgeLabel(
+        "knows", "person", "person", properties=("weight", "since"))
+    v = spark.createDataFrame(
+        vrows, "id string, label string, props map<string,string>, "
+               "expired_at timestamp")
+    e = spark.createDataFrame(
+        erows, "src string, dst string, label string, sort_values string, "
+               "props map<string,string>, expired_at timestamp")
+    return PropertyGraph(spark, v, e, schema=sch)
+
+
+def _edge_props(g, dst):
+    return g.edges.filter(f"dst = '{dst}'").head().props
+
+
+def test_set_rel_property(rgraph):
+    cypher(rgraph, "MATCH (a:person {name:'marko'})-[r:knows]->"
+                   "(b:person {name:'josh'}) SET r.weight = 0.9")
+    assert _edge_props(rgraph, "person!josh")["weight"] == "0.9"
+    # the other edge is untouched
+    assert _edge_props(rgraph, "person!vadas")["weight"] == "0.4"
+
+
+def test_set_rel_expression_value(rgraph):
+    cypher(rgraph, "MATCH (a:person)-[r:knows]->(b:person) "
+                   "SET r.weight = r.weight * 2")
+    assert _edge_props(rgraph, "person!josh")["weight"] == "1.0"
+    assert _edge_props(rgraph, "person!vadas")["weight"] == "0.8"
+
+
+def test_set_rel_map_merge(rgraph):
+    cypher(rgraph, "MATCH (a:person {name:'marko'})-[r:knows]->"
+                   "(b:person {name:'josh'}) "
+                   "SET r += {weight: 0.7, since: null}")
+    p = _edge_props(rgraph, "person!josh")
+    assert p["weight"] == "0.7" and "since" not in p
+
+
+def test_remove_rel_property(rgraph):
+    cypher(rgraph, "MATCH (a:person)-[r:knows]->(b:person {name:'vadas'}) "
+                   "REMOVE r.since")
+    p = _edge_props(rgraph, "person!vadas")
+    assert "since" not in p and p["weight"] == "0.4"
+    assert "since" in _edge_props(rgraph, "person!josh")
+
+
+def test_set_rel_undeclared_prop_rejected(rgraph):
+    with pytest.raises(ValueError):
+        cypher(rgraph, "MATCH (a:person)-[r:knows]->(b:person) "
+                       "SET r.wat = 1")
+
+
+def test_rel_set_refreshes_typed_edge_view(rgraph):
+    # typed edge views re-derive from the canonical table after a
+    # relationship write (refresh_edge_views — the edge twin of
+    # refresh_vertex_views)
+    rgraph.refresh_edge_views()
+    assert float(rgraph.view("knows").filter("dst = 'person!josh'")
+                 .head().weight) == 0.5
+    cypher(rgraph, "MATCH (a:person)-[r:knows]->(b:person {name:'josh'}) "
+                   "SET r.weight = 0.9")
+    assert float(rgraph.view("knows").filter("dst = 'person!josh'")
+                 .head().weight) == 0.9
