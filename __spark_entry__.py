@@ -683,6 +683,46 @@ def cypher_set_map_q(spark, sf_dir):
                coalesce(n.mktsegment, 'GONE') AS seg""")
 
 
+@_q("cypher_set_rel", """
+SELECT CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(1.0 AS DOUBLE) AS score
+FROM customer
+""")
+def cypher_set_rel_q(spark, sf_dir):
+    """SET on relationship variables (r05): write a property onto
+    matched edges via the EdgeId-keyed map rewrite, read it back
+    through the refreshed typed edge view. The oracle recomputes the
+    matched-edge count from the same tables. Isolated graph copy.
+    Reference anchor api/opencypher/CypherOpProcessor.java (full
+    openCypher incl. relationship writes)."""
+    import copy
+
+    from incubator_hugegraph_spark.cypher import cypher
+    from incubator_hugegraph_spark.schema import EdgeLabel
+    g0 = _graph(spark, sf_dir)
+    # deep-copied schema: the label mutation below must not leak into
+    # the session-cached graph shared by every other query
+    g = PropertyGraph(g0.spark, g0.vertices, g0.edges,
+                      schema=copy.deepcopy(g0.schema),
+                      vertex_views=dict(g0.vertex_views),
+                      edge_views=dict(g0.edge_views))
+    # declare a settable property on 'in_nation' (customer→nation)
+    if g.schema and "in_nation" in g.schema.edge_labels:
+        el = g.schema.edge_labels["in_nation"]
+        g.schema.edge_labels["in_nation"] = EdgeLabel(
+            el.name, el.source_label, el.target_label,
+            properties=tuple(el.properties) + ("score",),
+            sort_keys=el.sort_keys, nullable_keys=el.nullable_keys,
+            frequency=el.frequency, ttl_ms=el.ttl_ms)
+        g.schema.property_key("score", "DOUBLE")
+    cypher(g, "MATCH (c:customer)-[r:in_nation]->(n:nation) "
+              "SET r.score = 1.0")
+    return cypher(g, """
+        MATCH (c:customer)-[r:in_nation]->(n:nation)
+        WHERE r.score = 1.0
+        RETURN count(*) AS n_scored, max(r.score) AS score""")
+
+
 @_q("cypher_temporal", """
 SELECT CAST(count(*) AS BIGINT) AS n_orders
 FROM orders
@@ -5686,7 +5726,7 @@ _WINDOW_ORDER = [
     "doc_dedup_keep_best", "doc_global_shuffle", "emb_label_centroids",
     "emb_semdedup",
     # r05 additions (never checked → r06 queue)
-    "cypher_set_map", "cypher_temporal",
+    "cypher_set_map", "cypher_temporal", "cypher_set_rel",
 ]
 
 

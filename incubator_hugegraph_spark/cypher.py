@@ -1212,6 +1212,7 @@ class CypherEngine:
         self._labels: dict[str, str | None] = {}
         self._bound: set[str] = set()
         self._rel_vars: set[str] = set()
+        self._rel_labels: dict[str, str | None] = {}
         self._path_vars: set[str] = set()
         self._created_vars: set[str] = set()
         self._relgen = 0  # hidden rel-var counter for named paths
@@ -2070,6 +2071,8 @@ class CypherEngine:
             if rel.var:
                 self._bound.add(rel.var)
                 self._rel_vars.add(rel.var)
+                if rel.label and not rel.varlen:
+                    self._rel_labels.setdefault(rel.var, rel.label)
 
     def _apply_proj(self, df: DataFrame, p: _Proj) -> DataFrame:
         items = [(expr, alias or _default_alias(expr))
@@ -2364,6 +2367,27 @@ class CypherEngine:
                     f"cypher: property {k!r} is not declared for vertex "
                     f"label {label!r}")
 
+    def _check_edge_write_props(self, label: str | None, props) -> None:
+        """Edge twin of _check_write_props (EdgeLabel property checks
+        in GraphTransaction). Sort keys are part of the edge's
+        identity, not settable properties."""
+        sch = self.graph.schema
+        if sch is None or label is None:
+            return
+        el = sch.edge_labels.get(label)
+        if el is None or not getattr(el, "properties", None):
+            return
+        sk = set(getattr(el, "sort_keys", ()) or ())
+        for k in props:
+            if k in sk:
+                raise ValueError(
+                    f"cypher: sort key {k!r} of edge label {label!r} "
+                    "is immutable (part of the edge id)")
+            if k not in el.properties:
+                raise ValueError(
+                    f"cypher: property {k!r} is not declared for edge "
+                    f"label {label!r}")
+
     def _refresh_views(self, labels: set[str] | None = None) -> None:
         self.graph.refresh_vertex_views(labels)
 
@@ -2589,15 +2613,33 @@ class CypherEngine:
             raise SyntaxError("cypher: SET requires a preceding MATCH")
         by_var: dict[str, list] = defaultdict(list)
         removals: dict[str, list] = defaultdict(list)
+        rel_sets: dict[str, list] = defaultdict(list)
+        rel_strips: dict[str, list] = defaultdict(list)
         for var, prop, expr in s.assignments:
             if var in self._rel_vars:
-                raise SyntaxError("cypher: SET on relationships is not "
-                                  "supported (batch edge surface)")
+                rel_sets[var].append((prop, expr))
+                continue
             by_var[var].append((prop, expr))
         for var, plus, entries in s.map_assignments:
             if var in self._rel_vars:
-                raise SyntaxError("cypher: SET on relationships is not "
-                                  "supported (batch edge surface)")
+                null_keys = [k for k, e in entries
+                             if e[0] == "lit" and e[1] is None]
+                pairs = [(k, e) for k, e in entries
+                         if not (e[0] == "lit" and e[1] is None)]
+                if not plus:
+                    el = self.graph.schema.edge_labels.get(
+                        self._rel_labels.get(var)) \
+                        if self.graph.schema else None
+                    if el is None or not el.properties:
+                        raise SyntaxError(
+                            "cypher: SET r = {map} (replace) needs a "
+                            "schema-registered relationship label")
+                    null_keys = [k for k in el.properties
+                                 if k not in
+                                 set(getattr(el, "sort_keys", ()) or ())]
+                rel_strips[var].extend(null_keys)
+                rel_sets[var].extend(pairs)
+                continue
             self._check_write_props(self._labels.get(var),
                                     [k for k, _e in entries])
             null_keys = [k for k, e in entries
@@ -2684,8 +2726,60 @@ class CypherEngine:
             self._created_vars.discard(var)
             lab = self._labels.get(var)
             self._refresh_views({lab} if lab else None)
+        deltas.extend(self._apply_rel_writes(df, rel_sets, rel_strips))
         self._write_summary = reduce(lambda a, b: a.unionByName(b), deltas)
         return df
+
+    def _apply_rel_writes(self, df: DataFrame,
+                          rel_sets: dict[str, list],
+                          rel_strips: dict[str, list]) -> list:
+        """SET on relationship variables: one narrow map rewrite of the
+        canonical edge table keyed by the EdgeId splice the rel var
+        already carries — assigned keys are stripped first, then the
+        delta's NON-NULL values are merged back, so `SET r.p = null`
+        (and `+= {p: null}`) removes p whether the null is literal or
+        computed (openCypher null-write semantics). The rel var's
+        inline pattern columns keep the pre-write snapshot (plans are
+        immutable; rel columns travel with the pattern and have no
+        re-hydration path — same documented snapshot stance as every
+        other write surface). Typed edge views are re-derived."""
+        out = []
+        for var in sorted(set(rel_sets) | set(rel_strips)):
+            pairs = rel_sets.get(var, [])
+            strips = rel_strips.get(var, [])
+            label = self._rel_labels.get(var)
+            self._check_edge_write_props(
+                label, [p for p, _e in pairs] + strips)
+            keys = list(dict.fromkeys([p for p, _e in pairs] + strips))
+            kvs = []
+            for prop, expr in pairs:
+                kvs += [F.lit(prop), self._col(expr).cast("string")]
+            newmap = F.create_map(*kvs) if kvs \
+                else F.create_map().cast("map<string,string>")
+            delta = (df.select(F.col(var).alias("__ek"),
+                               newmap.alias("__newp"),
+                               F.col(f"__l_{var}").alias("__el"))
+                     .dropDuplicates(["__ek"]))
+            g = self.graph
+            g.edges = (
+                g.edges
+                .withColumn("__ek", F.concat_ws(
+                    ">", "src", "label", "sort_values", "dst"))
+                .join(delta.select("__ek", "__newp"), on="__ek",
+                      how="left")
+                .withColumn(
+                    "props",
+                    F.when(F.col("__newp").isNotNull(), F.map_concat(
+                        F.map_filter("props",
+                                     lambda k, _v: ~k.isin(*keys)),
+                        F.map_filter("__newp",
+                                     lambda _k, v: v.isNotNull())))
+                    .otherwise(F.col("props")))
+                .drop("__ek", "__newp"))
+            g.refresh_edge_views({label} if label else None)
+            out.append(delta.select(F.col("__ek").alias("id"),
+                                    F.col("__el").alias("label")))
+        return out
 
     def _apply_remove(self, df: DataFrame | None, r: _Remove) -> DataFrame:
         """REMOVE n.prop — strip keys from the canonical props map of
@@ -2697,12 +2791,15 @@ class CypherEngine:
             raise SyntaxError("cypher: REMOVE requires a preceding MATCH")
         g = self.graph
         by_var: dict[str, list] = defaultdict(list)
+        rel_strips: dict[str, list] = defaultdict(list)
         for var, prop in r.items:
             if var in self._rel_vars:
-                raise SyntaxError("cypher: REMOVE on relationships is "
-                                  "not supported (batch edge surface)")
+                rel_strips[var].append(prop)
+                continue
             by_var[var].append(prop)
         summaries = []
+        if rel_strips:
+            summaries.extend(self._apply_rel_writes(df, {}, rel_strips))
         for var, props in by_var.items():
             ids = df.select(F.col(var).alias("__rm_id")).distinct()
             g.vertices = (

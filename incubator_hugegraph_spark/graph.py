@@ -162,6 +162,40 @@ class PropertyGraph:
                                       .select("id", *[typed(k) for k in
                                                       vl.properties]))
 
+    def refresh_edge_views(self, labels: set[str] | None = None) -> None:
+        """Edge twin of refresh_vertex_views: re-derive typed per-label
+        edge views (src, dst, sort_values, typed props) from the
+        canonical edge table after a relationship write. Lazy — a
+        rebuilt view is a plan over the current edges DataFrame, no
+        data moves until read."""
+        sch = self.schema
+        if labels is None:
+            labels = set(self.edge_views) | set(
+                sch.edge_labels if sch else ())
+        for lab in labels:
+            el = sch.edge_labels.get(lab) if sch else None
+            if el is None or not el.properties:
+                self.edge_views.pop(lab, None)
+                continue
+            pks = sch.property_keys
+
+            def typed(k: str):
+                pk = pks.get(k)
+                if pk is None:
+                    return F.col("props")[k].alias(k)
+                st = pk.spark_type()
+                from pyspark.sql.types import ArrayType
+                if isinstance(st, ArrayType):
+                    return F.split(F.col("props")[k], ",") \
+                        .cast(st).alias(k)
+                return F.col("props")[k].cast(st).alias(k)
+
+            self.edge_views[lab] = (self.edges
+                                    .filter(F.col("label") == lab)
+                                    .select("src", "dst", "sort_values",
+                                            *[typed(k)
+                                              for k in el.properties]))
+
     def view(self, label: str) -> DataFrame:
         """Typed per-label view (DuckDB-comparable columns)."""
         if label in self.vertex_views:
