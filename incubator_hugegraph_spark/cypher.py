@@ -504,9 +504,18 @@ class _Parser:
             if t in ("-", "<-"):
                 head = self.next()[1]
                 self._expect_val("[")
+                rvar = None
                 if self.peek()[1] == ":":
                     self.next()
-                label = self._name()
+                    label = self._name()
+                else:
+                    nm = self._name()
+                    if self.peek()[1] == ":":  # -[r:label]-> form
+                        rvar = nm
+                        self.next()
+                        label = self._name()
+                    else:  # bare -[label]-> (legacy label-only form)
+                        label = nm
                 rp = {}
                 if self.peek()[1] == "{":
                     rp = self._prop_map()
@@ -520,7 +529,7 @@ class _Parser:
                     raise SyntaxError(
                         "cypher: CREATE relationships must be directed")
                 nxt = node()
-                c.rels.append(_Rel(prev, nxt, label, direction))
+                c.rels.append(_Rel(prev, nxt, label, direction, var=rvar))
                 c.rel_props.append(rp)
                 prev = nxt
                 continue
@@ -2537,6 +2546,7 @@ class CypherEngine:
             from incubator_hugegraph_spark.operators.mutate import (
                 upsert_edges)
             created = []
+            rel_missing = []
             for rel, rp in zip(c.rels, c.rel_props):
                 s, d = (rel.src, rel.dst) if rel.direction == "OUT" \
                     else (rel.dst, rel.src)
@@ -2560,13 +2570,42 @@ class CypherEngine:
                 created.append(missing.select(
                     F.concat_ws(">", "src", "label", "dst").alias("id"),
                     F.lit("edge").alias("label")))
+                # bind the rel variable (all pattern edges now exist,
+                # matched or created, with sort_values "") so ON
+                # CREATE/ON MATCH SET — and any later clause — can
+                # address the relationship
+                if rel.var:
+                    self._bound.add(rel.var)
+                    self._rel_vars.add(rel.var)
+                    self._rel_labels.setdefault(rel.var, rel.label)
+                    df = (df.withColumn(rel.var, F.concat_ws(
+                        ">", F.col(s), F.lit(rel.label), F.lit(""),
+                        F.col(d)))
+                        .withColumn(f"__l_{rel.var}",
+                                    F.lit(rel.label)))
+                rel_missing.append((rel, s, d, missing))
             self._write_summary = reduce(
                 lambda a, b: a.unionByName(b), created)
             if m.on_create is not None or m.on_match is not None:
-                raise SyntaxError("cypher: ON CREATE/ON MATCH SET is not "
-                                  "supported for relationship MERGE "
-                                  "(SET on relationships is out of the "
-                                  "batch surface's scope)")
+                # split the pattern rows into created vs pre-existing
+                # edges and run each branch's SET on its subset (the
+                # openCypher contract); single-rel merges only — a
+                # multi-rel MERGE has no well-defined per-branch split
+                if len(rel_missing) != 1:
+                    raise SyntaxError(
+                        "cypher: ON CREATE/ON MATCH SET needs a "
+                        "single-relationship MERGE pattern")
+                rel, s, d, missing = rel_missing[0]
+                key = missing.select(F.col("src").alias("__ms"),
+                                     F.col("dst").alias("__md"))
+                on = (F.col(s) == F.col("__ms")) \
+                    & (F.col(d) == F.col("__md"))
+                if m.on_create is not None:
+                    sub = df.join(key, on=on, how="left_semi")
+                    self._apply_set(sub, m.on_create)
+                if m.on_match is not None:
+                    sub = df.join(key, on=on, how="left_anti")
+                    self._apply_set(sub, m.on_match)
             return df
 
         raise SyntaxError(

@@ -94,3 +94,27 @@ def test_rel_set_refreshes_typed_edge_view(rgraph):
                    "SET r.weight = 0.9")
     assert float(rgraph.view("knows").filter("dst = 'person!josh'")
                  .head().weight) == 0.9
+
+
+def test_merge_rel_on_create_on_match_set(rgraph):
+    """ON CREATE / ON MATCH SET on a relationship MERGE: the created
+    edge gets the ON CREATE write, a re-merge of the now-existing
+    edge gets the ON MATCH write (openCypher branch contract)."""
+    cypher(rgraph, "MATCH (a:person {name:'josh'}), "
+                   "(b:person {name:'vadas'}) "
+                   "MERGE (a)-[r:knows]->(b) "
+                   "ON CREATE SET r.weight = 0.1 "
+                   "ON MATCH SET r.weight = 9.9")
+    e = rgraph.edges.filter(
+        "src = 'person!josh' AND dst = 'person!vadas'").head()
+    assert e.props["weight"] == "0.1"
+    cypher(rgraph, "MATCH (a:person {name:'josh'}), "
+                   "(b:person {name:'vadas'}) "
+                   "MERGE (a)-[r:knows]->(b) "
+                   "ON CREATE SET r.weight = 0.1 "
+                   "ON MATCH SET r.weight = 9.9")
+    e = rgraph.edges.filter(
+        "src = 'person!josh' AND dst = 'person!vadas'").head()
+    assert e.props["weight"] == "9.9"
+    # the pre-existing marko edges were never part of the pattern
+    assert _edge_props(rgraph, "person!josh")["weight"] == "0.5"
