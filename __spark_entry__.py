@@ -723,6 +723,29 @@ def cypher_set_rel_q(spark, sf_dir):
         RETURN count(*) AS n_scored, max(r.score) AS score""")
 
 
+@_q("gremlin_edge_property", """
+SELECT CAST(count(*) AS BIGINT) AS n_flagged
+FROM customer
+""")
+def gremlin_edge_property_q(spark, sf_dir):
+    """g.V().outE().property(k, v) — TinkerPop PropertyStep on matched
+    EDGES (r05; parity with Cypher SET on relationship variables):
+    flag every customer→nation edge through the DSL, count the flags
+    back through the canonical table. Isolated graph copy. Reference:
+    PropertyStep semantics exercised by ProcessBasicSuite write
+    steps."""
+    from incubator_hugegraph_spark.gremlin import G
+    g0 = _graph(spark, sf_dir)
+    g = PropertyGraph(g0.spark, g0.vertices, g0.edges, schema=g0.schema,
+                      vertex_views=dict(g0.vertex_views),
+                      edge_views=dict(g0.edge_views))
+    (G(g).V().hasLabel("customer").outE("in_nation")
+     .property("flag", "y").iterate())
+    return g.edges.filter(
+        (F.col("label") == "in_nation") & (F.col("props")["flag"] == "y")
+    ).agg(F.count(F.lit(1)).alias("n_flagged"))
+
+
 @_q("cypher_temporal", """
 SELECT CAST(count(*) AS BIGINT) AS n_orders
 FROM orders
@@ -5727,6 +5750,7 @@ _WINDOW_ORDER = [
     "emb_semdedup",
     # r05 additions (never checked → r06 queue)
     "cypher_set_map", "cypher_temporal", "cypher_set_rel",
+    "gremlin_edge_property",
 ]
 
 

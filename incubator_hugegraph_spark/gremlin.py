@@ -1182,7 +1182,41 @@ class Traversal:
         """g.V(…).property(k, v): set the property on every current
         vertex traverser (one batch upsert — the TinkerPop
         PropertyStep on matched elements). Schema-strict like the
-        Cypher SET path when the traversal is label-homogeneous."""
+        Cypher SET path when the traversal is label-homogeneous.
+        E-kind traversals (g.V().outE().property(k, v)) rewrite the
+        matched physical edges' maps in place — the edge twin of the
+        vertex upsert, keyed on the EdgeId quadruple (r05, parity
+        with Cypher SET on relationship variables)."""
+        if self.kind == "E":
+            g = self.graph
+            keys = (self.df.select(
+                F.concat_ws(
+                    ">",
+                    F.when(F.col("dir") == "OUT", F.col("anchor"))
+                    .otherwise(F.col("other")),
+                    F.col("label"), F.col("sort_values"),
+                    F.when(F.col("dir") == "OUT", F.col("other"))
+                    .otherwise(F.col("anchor"))).alias("__k"))
+                .distinct().withColumn("__hit", F.lit(True)))
+            newval = F.map_concat(
+                F.map_filter("props", lambda k, _v: k != F.lit(key)),
+                F.create_map(F.lit(key), F.lit(str(value))))
+            g.edges = (g.edges
+                       .withColumn("__k", F.concat_ws(
+                           ">", "src", "label", "sort_values", "dst"))
+                       .join(keys, on="__k", how="left")
+                       .withColumn("props",
+                                   F.when(F.col("__hit").isNotNull(),
+                                          newval)
+                                   .otherwise(F.col("props")))
+                       .drop("__k", "__hit"))
+            if hasattr(g, "refresh_edge_views"):
+                g.refresh_edge_views()
+            # keep the in-flight traverser's props column consistent
+            return self._new(self.df.withColumn(
+                "props", F.map_concat(
+                    F.map_filter("props", lambda k, _v: k != F.lit(key)),
+                    F.create_map(F.lit(key), F.lit(str(value))))))
         self._require("V")
         from incubator_hugegraph_spark.operators.mutate import (
             upsert_vertices)
@@ -1243,6 +1277,14 @@ class Traversal:
         raise TypeError("drop: value streams cannot be dropped")
 
     # -- terminal accessors -------------------------------------------
+
+    def iterate(self) -> "Traversal":
+        """TinkerPop iterate(): exhaust the traversal for its side
+        effects. Writes here apply eagerly at the step (batch
+        semantics), so this is the no-op terminal that keeps the
+        reference's idiomatic `…property(k, v).iterate()` chains
+        valid."""
+        return self
 
     def toDF(self) -> DataFrame:
         if self.kind == "V":

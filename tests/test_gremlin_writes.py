@@ -110,3 +110,22 @@ def test_text_surface_write_chain(wgraph):
     eval_gremlin(wgraph, "g.V('person!txt').drop()")
     assert wgraph.vertices.filter("id = 'person!txt'").count() == 0
     assert wgraph.edges.filter("src = 'person!txt'").count() == 0
+
+
+def test_edge_property_update(wgraph):
+    """g.V().outE().property(k, v) — TinkerPop PropertyStep on matched
+    EDGES (r05, parity with Cypher SET on relationship variables):
+    rewrites the matched physical edges' maps, leaves others alone."""
+    # add a second edge so "leaves others alone" is observable
+    (G(wgraph).V("person!josh").addE("knows").to("person!vadas")
+     .property("weight", "0.4").iterate())
+    (G(wgraph).V("person!marko").outE("knows")
+     .property("weight", "0.99").iterate())
+    w = {(r.src, r.dst): r.props["weight"]
+         for r in wgraph.edges.collect()}
+    assert w[("person!marko", "person!vadas")] == "0.99"
+    assert w[("person!josh", "person!vadas")] == "0.4"  # untouched
+    # chained read after the write sees the new value
+    vals = (G(wgraph).V("person!marko").outE("knows")
+            .values("weight").toList())
+    assert vals == [0.99]  # weight is a declared DOUBLE
