@@ -250,3 +250,30 @@ def test_salted_join_equivalence_and_spread(spark):
         spark.createDataFrame([("orphan", 0)], "k string, v long"))
     lj = salted_join(lonely, dim, on=["k"], salts=4, how="left")
     assert lj.filter("k = 'orphan'").count() == 1
+
+
+def test_element_view_label_filter_in_plan(graph):
+    """authorized_element_view's per-element label scoping is a
+    Column predicate in the PLAN (the Spark re-expression of
+    HugeGraphAuthProxy's per-element matchLabel) — label membership
+    filters the vertex scan and BOTH endpoint prefixes filter the
+    edge scan; no join, no Python."""
+    from incubator_hugegraph_spark.auth import (AuthManager, Permission,
+                                                ResourceType,
+                                                authorized_element_view)
+    am = AuthManager()
+    am.create_user("u", "pw")
+    am.create_group("g")
+    am.belong("u", "g")
+    am.create_target("t", "hugegraph",
+                     resources=[ResourceType.VERTEX, ResourceType.EDGE],
+                     labels=["customer", "interacted"])
+    am.grant("g", "t", Permission.READ)
+    gv = authorized_element_view(am, "u", "hugegraph", graph)
+    vplan = gv.vertices._jdf.queryExecution().analyzed().toString()
+    assert "label" in vplan and "customer" in vplan
+    eplan = gv.edges._jdf.queryExecution().analyzed().toString()
+    assert "interacted" in eplan and "split" in eplan
+    # no join anywhere — endpoint visibility rides the id prefix
+    assert "Join" not in gv.edges._jdf.queryExecution() \
+        .executedPlan().toString()
