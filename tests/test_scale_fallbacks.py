@@ -130,3 +130,43 @@ def test_star_graph_trips_production_gates(spark):
                got.groupBy("dist").agg(F.count("*").alias("cnt"))
                .collect()}
     assert by_dist == {0: 1, 1: n, 2: 1}
+
+
+@pytest.mark.slow
+def test_vector_fallback_trips_production_gates(spark):
+    """1.2M vertices > BROADCAST_VERTEX_LIMIT at its PRODUCTION value:
+    pagerank and wcc run their shuffle-join vector path for real.
+    600k disjoint pairs → wcc converges in one round with exactly
+    600k components; pagerank's total mass stays 1 (fixed 2 rounds,
+    no convergence collect)."""
+    n = 1_200_000
+    verts = spark.range(n).select(
+        F.concat(F.lit("v!"), F.col("id")).alias("id"),
+        F.lit("v").alias("label"),
+        F.create_map().cast("map<string,string>").alias("props"),
+        F.lit(None).cast("timestamp").alias("expired_at"))
+    # pair i <-> i+1 for even i: 600k two-vertex components
+    pairs = spark.range(n // 2).select(
+        F.concat(F.lit("v!"), F.col("id") * 2).alias("src"),
+        F.concat(F.lit("v!"), F.col("id") * 2 + 1).alias("dst"))
+    edges = pairs.select(
+        "src", "dst", F.lit("e").alias("label"),
+        F.lit("").alias("sort_values"),
+        F.create_map().cast("map<string,string>").alias("props"),
+        F.lit(None).cast("timestamp").alias("expired_at"))
+    g = PropertyGraph(spark, verts, edges)
+
+    import importlib
+    pr_mod = importlib.import_module(
+        "incubator_hugegraph_spark.algorithms.pagerank")
+    assert g.vertices.count() > pr_mod.BROADCAST_VERTEX_LIMIT
+
+    wcc_mod = importlib.import_module(
+        "incubator_hugegraph_spark.algorithms.wcc")
+    comp = wcc_mod.wcc(g, engine="dist")
+    assert comp.select("component").distinct().count() == n // 2
+
+    ranks = pr_mod.page_rank(g, alpha=0.15, fixed_rounds=2,
+                             engine="dist")
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6
