@@ -2467,21 +2467,63 @@ def closeness_ram_q(spark, sf_dir):
 
 
 def _eigen_sql(rounds: int) -> str:
+    # MATERIALIZED for the same reason as _hits_sql: x{p} is
+    # referenced twice per round and DuckDB inlines plain CTEs
     ctes = [f"WITH {V_SQL.strip()}, {E_SQL.strip()}",
             ", nv AS (SELECT count(*) AS n FROM vertices)",
-            ", x0 AS (SELECT id, 1.0/(SELECT n FROM nv) AS score "
-            "FROM vertices)"]
+            ", x0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nv) "
+            "AS score FROM vertices)"]
     for t in range(1, rounds + 1):
         p = t - 1
         ctes.append(f"""
-, m{t} AS (SELECT e.dst AS id, sum(x.score) AS raw
+, m{t} AS MATERIALIZED (SELECT e.dst AS id, sum(x.score) AS raw
            FROM edges e JOIN x{p} x ON x.id = e.src GROUP BY e.dst)
-, x{t} AS (SELECT v.id,
+, x{t} AS MATERIALIZED (SELECT v.id,
                   COALESCE(m.raw, 0) / (SELECT sum(raw) FROM m{t}) AS score
            FROM x{p} v LEFT JOIN m{t} m ON m.id = v.id)""")
     ctes.append(f"""
 SELECT id, ROUND(score, 8) AS score FROM x{rounds}""")
     return "".join(ctes)
+
+
+def _hits_sql(rounds: int) -> str:
+    # per-round CTEs are MATERIALIZED: DuckDB inlines plain CTEs at
+    # every reference, and each round references the previous round
+    # TWICE (message join + vector rebuild) — unmaterialized, the
+    # 3-round chain re-expands ~2^6 times (measured 97 s; 0.5 s
+    # materialized, identical rows)
+    ctes = [f"WITH {V_SQL.strip()}, {E_SQL.strip()}",
+            ", nv AS (SELECT count(*) AS n FROM vertices)",
+            ", h0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nv) "
+            "AS hub FROM vertices)"]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(f"""
+, ar{t} AS MATERIALIZED (SELECT e.dst AS id, sum(h.hub) AS raw
+            FROM edges e JOIN h{p} h ON h.id = e.src GROUP BY e.dst)
+, a{t} AS MATERIALIZED (SELECT v.id,
+                  COALESCE(m.raw, 0) / (SELECT sum(raw) FROM ar{t})
+                  AS authority
+           FROM h{p} v LEFT JOIN ar{t} m ON m.id = v.id)
+, hr{t} AS MATERIALIZED (SELECT e.src AS id, sum(a.authority) AS raw
+            FROM edges e JOIN a{t} a ON a.id = e.dst GROUP BY e.src)
+, h{t} AS MATERIALIZED (SELECT v.id,
+                  COALESCE(m.raw, 0) / (SELECT sum(raw) FROM hr{t})
+                  AS hub
+           FROM h{p} v LEFT JOIN hr{t} m ON m.id = v.id)""")
+    ctes.append(f"""
+SELECT h.id, ROUND(h.hub, 8) AS hub, ROUND(a.authority, 8) AS authority
+FROM h{rounds} h JOIN a{rounds} a ON a.id = h.id""")
+    return "".join(ctes)
+
+
+@_q("hits_rank", _hits_sql(3))
+def hits_q(spark, sf_dir):
+    """HITS hubs & authorities (r05 beyond-reference OLAP extra, same
+    fixed-round deterministic-iteration stance as
+    eigenvector_centrality): 3 rounds, L1 normalization, round-8."""
+    from incubator_hugegraph_spark.algorithms.centrality import hits
+    return hits(_graph(spark, sf_dir), rounds=3)
 
 
 @_q("eigenvector_centrality", _eigen_sql(3))
@@ -5750,7 +5792,7 @@ _WINDOW_ORDER = [
     "emb_semdedup",
     # r05 additions (never checked → r06 queue)
     "cypher_set_map", "cypher_temporal", "cypher_set_rel",
-    "gremlin_edge_property",
+    "gremlin_edge_property", "hits_rank",
 ]
 
 

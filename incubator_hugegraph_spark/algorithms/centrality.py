@@ -255,3 +255,51 @@ def stress_centrality(graph: PropertyGraph, sources: list[str],
     return (delta.join(srcs, on=delta.id == srcs.sid, how="left_anti")
             .groupBy("id")
             .agg(F.round(F.sum("delta"), 6).alias("stress")))
+
+
+def hits(graph: PropertyGraph, rounds: int = 3,
+         labels: list[str] | None = None,
+         top: int = NO_LIMIT) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) — beyond-reference
+    OLAP extra alongside k-truss/assortativity: fixed-round power
+    iteration on the directed adjacency,
+
+        auth ← normalize(Aᵀ·hub),  hub ← normalize(A·auth)
+
+    with L1 normalization (same scale choice as
+    eigenvector_centrality — any positive scaling of the update is a
+    valid HITS variant, and L1 keeps the SQL oracle free of
+    compounding sqrt rounding). Returns (id, hub, authority),
+    round-8. Spark shape per round: two vector⊗edge joins + two
+    groupBy sums — the vector rides the broadcastable side under AQE
+    exactly like eigenvector's; at a billion vertices the same joins
+    become shuffle joins with an identical loop."""
+    e = graph.adj(OUT, labels).select("src", "dst")
+    n = graph.vertices.count()
+    hub = graph.vertices.select("id").withColumn("hub", F.lit(1.0 / n))
+    auth = None
+    for t in range(rounds):
+        a_raw = (e.join(hub, on=e.src == hub.id)
+                 .groupBy(F.col("dst").alias("id"))
+                 .agg(F.sum("hub").alias("raw")))
+        a_tot = a_raw.agg(F.sum("raw")).collect()[0][0] or 1.0
+        auth = (graph.vertices.select("id")
+                .join(a_raw, on="id", how="left")
+                .select("id", (F.coalesce(F.col("raw"), F.lit(0.0))
+                               / F.lit(a_tot)).alias("authority")))
+        auth = iterate_hygiene(auth, 2 * t + 1)
+        h_raw = (e.join(auth, on=e.dst == auth.id)
+                 .groupBy(F.col("src").alias("id"))
+                 .agg(F.sum("authority").alias("raw")))
+        h_tot = h_raw.agg(F.sum("raw")).collect()[0][0] or 1.0
+        hub = (graph.vertices.select("id")
+               .join(h_raw, on="id", how="left")
+               .select("id", (F.coalesce(F.col("raw"), F.lit(0.0))
+                              / F.lit(h_tot)).alias("hub")))
+        hub = iterate_hygiene(hub, 2 * t + 2)
+    out = (hub.join(auth, on="id")
+           .select("id", F.round("hub", 8).alias("hub"),
+                   F.round("authority", 8).alias("authority")))
+    if top != NO_LIMIT:
+        out = out.orderBy(F.desc("authority"), F.asc("id")).limit(top)
+    return out

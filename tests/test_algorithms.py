@@ -418,3 +418,20 @@ def test_k_truss(spark):
     assert all(r.support == 2 for r in rows)
     # 5-truss of this graph is empty
     assert k_truss(g, k=5).count() == 0
+
+
+def test_hits_rank(graph):
+    """HITS (r05 extra): L1-normalized vectors sum to 1, zero-degree
+    vertices score 0, and authorities concentrate on high-indegree
+    vertices (nation hubs in the tpch graph)."""
+    from incubator_hugegraph_spark.algorithms.centrality import hits
+    from pyspark.sql import functions as F
+    out = hits(graph, rounds=2)
+    sums = out.agg(F.round(F.sum("hub"), 6).alias("h"),
+                   F.round(F.sum("authority"), 6).alias("a")).head()
+    assert abs(sums.h - 1.0) < 1e-5 and abs(sums.a - 1.0) < 1e-5
+    top = out.orderBy(F.desc("authority")).limit(5).collect()
+    assert all(r.id.startswith("nation!") or r.id.startswith("part!")
+               or r.id.startswith("order!") or r.id.startswith("customer!")
+               for r in top)
+    assert top[0].authority > 0
