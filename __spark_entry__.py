@@ -2165,14 +2165,14 @@ def _pagerank_sql(rounds: int, alpha: float = 0.15) -> str:
     for t in range(1, rounds + 1):
         p = t - 1
         ctes.append(f"""
-, inc{t} AS (SELECT e.dst AS id, sum(r.rank / deg.d) AS inc
+, inc{t} AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank / deg.d) AS inc
             FROM edges e JOIN r{p} r ON r.id = e.src
             JOIN deg ON deg.src = e.src GROUP BY e.dst)
-, pre{t} AS (SELECT v.id,
+, pre{t} AS MATERIALIZED (SELECT v.id,
                     {alpha}/(SELECT n FROM nv)
                     + {1.0 - alpha} * COALESCE(i.inc, 0) AS rank
              FROM r{p} v LEFT JOIN inc{t} i ON i.id = v.id)
-, r{t} AS (SELECT id, rank + (1.0 - (SELECT sum(rank) FROM pre{t}))
+, r{t} AS MATERIALIZED (SELECT id, rank + (1.0 - (SELECT sum(rank) FROM pre{t}))
                               / (SELECT n FROM nv) AS rank
            FROM pre{t})""")
     ctes.append(f"""
@@ -2209,14 +2209,15 @@ def page_rank_ram_q(spark, sf_dir):
 
 def _wcc_sql(rounds: int) -> str:
     ctes = [f"WITH {V_SQL.strip()}, {E_SQL.strip()}",
-            """, adj2 AS (SELECT DISTINCT src, dst FROM (
+            """, adj2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
                  SELECT src, dst FROM edges
                  UNION ALL SELECT dst AS src, src AS dst FROM edges))""",
-            ", c0 AS (SELECT id, id AS component FROM vertices)"]
+            ", c0 AS MATERIALIZED "
+            "(SELECT id, id AS component FROM vertices)"]
     for t in range(1, rounds + 1):
         p = t - 1
         ctes.append(f"""
-, c{t} AS (SELECT c.id,
+, c{t} AS MATERIALIZED (SELECT c.id,
                   least(c.component, COALESCE(m.mc, c.component)) AS component
            FROM c{p} c LEFT JOIN
              (SELECT a.src AS id, min(cc.component) AS mc
