@@ -747,22 +747,27 @@ def gremlin_edge_property_q(spark, sf_dir):
 
 
 @_q("cypher_temporal", """
-SELECT CAST(count(*) AS BIGINT) AS n_orders
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(count(*) AS BIGINT) AS n_orders
 FROM orders
-WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00' + INTERVAL 30 DAY
+WHERE o_orderdate < TIMESTAMP '1997-06-01 00:00:00' + INTERVAL 30 DAY
+GROUP BY yr ORDER BY yr
 """)
 def cypher_temporal_q(spark, sf_dir):
-    """datetime()/duration() temporal functions (r04 verdict item 5):
-    ISO-8601 parse + interval arithmetic, all JVM Column expressions
-    (ANSI timestamp cast + make_interval), pushed into the WHERE
-    filter over the order view. Reference anchor
+    """datetime()/duration()/year() temporal functions (r04 verdict
+    item 5): ISO-8601 parse + interval arithmetic + component
+    extraction, all JVM Column expressions (ANSI timestamp cast +
+    make_interval + extract), the filter pushed into the order view's
+    parquet scan (plan-audited: PushedFilters LessThan on
+    o_orderdate). Reference anchor
     api/opencypher/CypherOpProcessor.java:124-145."""
     from incubator_hugegraph_spark.cypher import cypher
     return cypher(_graph(spark, sf_dir), """
         MATCH (o:order)
         WHERE datetime(o.orderdate) <
-              datetime('1995-01-01T00:00:00') + duration('P30D')
-        RETURN count(*) AS n_orders""")
+              datetime('1997-06-01T00:00:00') + duration('P30D')
+        RETURN year(datetime(o.orderdate)) AS yr, count(*) AS n_orders
+        ORDER BY yr""")
 
 
 @_q("cypher_path_fns", f"""

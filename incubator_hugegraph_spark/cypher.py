@@ -1500,6 +1500,17 @@ class CypherEngine:
             if n != 1:
                 raise SyntaxError("cypher: date() takes one ISO string")
             return cols[0].cast("date")
+        if name in ("year", "month", "day", "hour", "minute", "second"):
+            # temporal component extraction (openCypher exposes these
+            # as `dt.year` accessors; the function form keeps our
+            # grammar LL(1) — same JVM extract expressions either way)
+            if n != 1:
+                raise SyntaxError(f"cypher: {name}() takes one value")
+            ts = cols[0].cast("timestamp")
+            return {"year": F.year, "month": F.month,
+                    "day": F.dayofmonth, "hour": F.hour,
+                    "minute": F.minute,
+                    "second": F.second}[name](ts).cast("long")
         if name == "duration":
             # duration('P1DT2H30M') → interval, parsed at compile time
             # (literal only) into make_interval — stays JVM-side and

@@ -363,3 +363,17 @@ def test_temporal_functions(wgraph):
     assert str(row.ts3) == "2020-01-01 12:00:00"
     with pytest.raises(SyntaxError):
         cypher(wgraph, "MATCH (n:person) RETURN duration('nope') AS x")
+
+
+def test_temporal_component_functions(wgraph):
+    row = cypher(
+        wgraph,
+        "MATCH (n:person {name:'marko'}) "
+        "RETURN year(datetime('2020-03-04T05:06:07')) AS y, "
+        "month(datetime('2020-03-04T05:06:07')) AS mo, "
+        "day(datetime('2020-03-04T05:06:07')) AS d, "
+        "hour(datetime('2020-03-04T05:06:07')) AS h, "
+        "minute(datetime('2020-03-04T05:06:07')) AS mi, "
+        "second(datetime('2020-03-04T05:06:07')) AS s").head()
+    assert (row.y, row.mo, row.d, row.h, row.mi, row.s) \
+        == (2020, 3, 4, 5, 6, 7)
