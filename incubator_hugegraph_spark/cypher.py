@@ -2232,15 +2232,23 @@ class CypherEngine:
             new_labels: dict[str, str | None] = {}
             new_bound: set[str] = set()
             new_rel: set[str] = set()
+            new_rel_labels: dict[str, str | None] = {}
             for v, a in carried_nodes:
                 new_bound.add(a)
                 new_labels[a] = self._labels.get(v)
                 if v in self._rel_vars:
                     new_rel.add(a)
+                    # carry the rel label under the alias; names NOT
+                    # carried must be dropped, or a later MATCH that
+                    # reuses the name gets schema-checked against the
+                    # stale pre-WITH label
+                    if v in self._rel_labels:
+                        new_rel_labels[a] = self._rel_labels[v]
                 if not has_agg and v in self._typed_cols:
                     new_typed[a] = self._typed_cols[v]
             self._typed_cols, self._labels = new_typed, new_labels
             self._bound, self._rel_vars = new_bound, new_rel
+            self._rel_labels = new_rel_labels
             for cond in p.where:
                 hv: set[str] = set()
                 _cond_vars(cond, hv)
@@ -2258,6 +2266,7 @@ class CypherEngine:
         self._labels = {}
         self._bound = set()
         self._rel_vars = set()
+        self._rel_labels = {}
         self._path_vars = set()
         self._created_vars = set()
         self._relgen = 0

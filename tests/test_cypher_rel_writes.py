@@ -118,3 +118,25 @@ def test_merge_rel_on_create_on_match_set(rgraph):
     assert e.props["weight"] == "9.9"
     # the pre-existing marko edges were never part of the pattern
     assert _edge_props(rgraph, "person!josh")["weight"] == "0.5"
+
+
+def test_with_rebinding_drops_stale_rel_label(rgraph, spark):
+    """A rel-var name dropped at a WITH horizon must not leave its
+    label behind: re-using the name for a different label in a later
+    MATCH schema-checks against the NEW label."""
+    from incubator_hugegraph_spark.schema import EdgeLabel
+    rgraph.schema.property_key("note")
+    rgraph.schema.edge_labels["likes"] = EdgeLabel(
+        "likes", "person", "person", properties=("note",))
+    rgraph.edges = rgraph.edges.unionByName(spark.createDataFrame(
+        [("person!josh", "person!marko", "likes", "", {}, None)],
+        rgraph.edges.schema))
+    # r first binds to :knows, is NOT carried through WITH, then
+    # rebinds to :likes — SET r.note must validate against likes
+    # (note is undeclared on knows; a stale label would reject it)
+    cypher(rgraph, "MATCH (a:person)-[r:knows]->(b:person) "
+                   "WITH count(*) AS c "
+                   "MATCH (x:person)-[r:likes]->(y:person) "
+                   "SET r.note = 'ok'")
+    p = rgraph.edges.filter("label = 'likes'").head().props
+    assert p["note"] == "ok"
