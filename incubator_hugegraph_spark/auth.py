@@ -435,24 +435,44 @@ def authorized_element_view(am: AuthManager, user: str, graph_name: str,
 
     from incubator_hugegraph_spark.graph import PropertyGraph
     from incubator_hugegraph_spark.schema import ID_DELIM
-    vlabels = am.readable_labels(user, graph_name, ResourceType.VERTEX,
-                                 space)
-    elabels = am.readable_labels(user, graph_name, ResourceType.EDGE,
-                                 space)
+    # a missing grant for ONE kind hides that kind, it does not deny
+    # the whole view (the reference proxy filters per element — a
+    # vertex-only reader sees vertices and zero edges); Forbidden only
+    # when NEITHER kind has any covering grant
+    try:
+        vlabels = am.readable_labels(user, graph_name,
+                                     ResourceType.VERTEX, space)
+        v_ok = True
+    except Forbidden:
+        vlabels, v_ok = set(), False
+    try:
+        elabels = am.readable_labels(user, graph_name,
+                                     ResourceType.EDGE, space)
+        e_ok = True
+    except Forbidden:
+        elabels, e_ok = set(), False
+    if not v_ok and not e_ok:
+        raise Forbidden(
+            f"user {user!r} lacks read on {space}/{graph_name}")
     if vlabels is None and elabels is None:
         return graph
     v, e = graph.vertices, graph.edges
     if vlabels is not None:
-        v = v.filter(F.col("label").isin(sorted(vlabels)))
+        v = v.filter(F.col("label").isin(sorted(vlabels))
+                     if vlabels else F.lit(False))
     if elabels is not None:
-        e = e.filter(F.col("label").isin(sorted(elabels)))
+        e = e.filter(F.col("label").isin(sorted(elabels))
+                     if elabels else F.lit(False))
     if vlabels is not None:
         # an edge whose endpoint the user cannot see would leak the
         # hidden vertex's id — require both endpoint labels readable
-        def _end_ok(col: str):
-            seg = F.split(F.col(col), ID_DELIM, 2).getItem(0)
-            return seg.isin(sorted(vlabels))
-        e = e.filter(_end_ok("src") & _end_ok("dst"))
+        if not vlabels:
+            e = e.filter(F.lit(False))
+        else:
+            def _end_ok(col: str):
+                seg = F.split(F.col(col), ID_DELIM, 2).getItem(0)
+                return seg.isin(sorted(vlabels))
+            e = e.filter(_end_ok("src") & _end_ok("dst"))
     return PropertyGraph(graph.spark, v, e, schema=graph.schema)
 
 

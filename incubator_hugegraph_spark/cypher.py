@@ -2459,6 +2459,7 @@ class CypherEngine:
             raise SyntaxError(f"cypher: CREATE endpoint {v} is unbound")
 
         ebatches: list[DataFrame] = []
+        rel_binds: list[tuple] = []  # (var, eid Column, label)
         base = df if df is not None else spark.range(1)
         for rel, rp in zip(c.rels, c.rel_props):
             el = sch.edge_labels.get(rel.label) if sch else None
@@ -2483,6 +2484,15 @@ class CypherEngine:
                 .dropDuplicates(["src", "dst", "label", "sort_values"]))
             if sch is not None:
                 g.edge_views.pop(rel.label, None)  # stale typed view
+            # bind the created rel's variable (-[r:label]->) so later
+            # clauses (RETURN r, SET r.p) can address the edge — the
+            # EdgeId splice is fully determined at create time
+            if rel.var:
+                self._rel_vars.add(rel.var)
+                self._rel_labels.setdefault(rel.var, rel.label)
+                rel_binds.append((rel.var, F.concat_ws(
+                    ">", endpoint(s), F.lit(rel.label), F.lit(sv),
+                    endpoint(d)), rel.label))
         if ebatches:
             ebatch = reduce(lambda a, b: a.unionByName(b), ebatches)
             g.edges = upsert_edges(g.edges, ebatch)
@@ -2499,6 +2509,9 @@ class CypherEngine:
                         F.lit(label).alias(f"__l_{var}"),
                         pm.alias(f"__p_{var}")]
             self._labels[var] = label
+        for var, eid, label in rel_binds:
+            newcols += [eid.alias(var), F.lit(label).alias(f"__l_{var}")]
+            self._bound.add(var)
         if newcols:
             df = base.select(*newcols) if df is None \
                 else df.select("*", *newcols)
@@ -2593,8 +2606,16 @@ class CypherEngine:
                 # bind the rel variable (all pattern edges now exist,
                 # matched or created, with sort_values "") so ON
                 # CREATE/ON MATCH SET — and any later clause — can
-                # address the relationship
-                if rel.var:
+                # address the relationship. ONLY sound for labels
+                # without sort keys: a matched edge of a sort-keyed
+                # label carries a non-empty sort_values that (src,dst)
+                # alone cannot reconstruct, and a hard-coded "" would
+                # make later SETs silently miss it — leave the var
+                # unbound there so misuse fails loudly instead
+                el = g.schema.edge_labels.get(rel.label) \
+                    if g.schema else None
+                sort_keyed = bool(getattr(el, "sort_keys", ()) or ())
+                if rel.var and not sort_keyed:
                     self._bound.add(rel.var)
                     self._rel_vars.add(rel.var)
                     self._rel_labels.setdefault(rel.var, rel.label)
@@ -2603,7 +2624,7 @@ class CypherEngine:
                         F.col(d)))
                         .withColumn(f"__l_{rel.var}",
                                     F.lit(rel.label)))
-                rel_missing.append((rel, s, d, missing))
+                rel_missing.append((rel, s, d, missing, sort_keyed))
             self._write_summary = reduce(
                 lambda a, b: a.unionByName(b), created)
             if m.on_create is not None or m.on_match is not None:
@@ -2615,7 +2636,13 @@ class CypherEngine:
                     raise SyntaxError(
                         "cypher: ON CREATE/ON MATCH SET needs a "
                         "single-relationship MERGE pattern")
-                rel, s, d, missing = rel_missing[0]
+                rel, s, d, missing, sort_keyed = rel_missing[0]
+                if sort_keyed and rel.var:
+                    raise SyntaxError(
+                        "cypher: ON CREATE/ON MATCH SET on a "
+                        "relationship whose label declares sort keys "
+                        "is not supported — the (src,dst) merge probe "
+                        "cannot identify which sort-keyed edge matched")
                 key = missing.select(F.col("src").alias("__ms"),
                                      F.col("dst").alias("__md"))
                 on = (F.col(s) == F.col("__ms")) \
@@ -2626,6 +2653,26 @@ class CypherEngine:
                 if m.on_match is not None:
                     sub = df.join(key, on=on, how="left_anti")
                     self._apply_set(sub, m.on_match)
+                # the branch SETs ran on throwaway subsets: their
+                # stale-column drops never reached THIS df, so strip
+                # every written node var's snapshot columns here or a
+                # later RETURN reads pre-SET values
+                written: set[str] = set()
+                for branch in (m.on_create, m.on_match):
+                    if branch is None:
+                        continue
+                    for v, _p, _e in branch.assignments:
+                        written.add(v)
+                    for v, _pl, _en in branch.map_assignments:
+                        written.add(v)
+                for v in written:
+                    if v in self._rel_vars:
+                        continue
+                    stale = [f"__p_{v}", f"__l_{v}"] + \
+                        [f"__c_{v}_{k}"
+                         for k in self._typed_cols.pop(v, ())]
+                    df = df.drop(*[c for c in stale
+                                   if c in df.columns])
             return df
 
         raise SyntaxError(
@@ -2722,8 +2769,21 @@ class CypherEngine:
                 removals[var].extend(vl.properties)
             if set_pairs:  # empty map replace is a removal-only write
                 by_var[var].extend(set_pairs)
-        # strip removed keys first (same map_filter pass as REMOVE),
-        # so a replace's upsert merge starts from an empty slate
+        # hydrate BEFORE stripping: every SET right-hand side must
+        # read the PRE-write state (openCypher snapshot semantics) —
+        # _node_df reads the live vertex table, so hydrating after the
+        # removal pass would evaluate self-referencing values like
+        # SET n = {name: n.name} against the already-stripped map and
+        # destroy the data it was meant to carry over
+        needed = set(by_var) | set(removals)
+        for _var, _prop, expr in s.assignments:
+            _expr_vars(expr, needed)
+        for _var, _plus, entries in s.map_assignments:
+            for _k, expr in entries:
+                _expr_vars(expr, needed)
+        df = self._hydrate(df, needed)
+        # strip removed keys (same map_filter pass as REMOVE), so a
+        # replace's upsert merge starts from an empty slate
         for var, keys in removals.items():
             if not keys:
                 continue
@@ -2739,13 +2799,6 @@ class CypherEngine:
                                         lambda k, _v: ~k.isin(*kset)))
                     .otherwise(F.col("props")))
                 .drop("__rm_id"))
-        needed = set(by_var) | set(removals)
-        for _var, _prop, expr in s.assignments:
-            _expr_vars(expr, needed)
-        for _var, _plus, entries in s.map_assignments:
-            for _k, expr in entries:
-                _expr_vars(expr, needed)
-        df = self._hydrate(df, needed)
         # removal-only vars (e.g. SET n += {x: null}) never reach the
         # upsert loop below — refresh their views and summarize here
         deltas = []
@@ -2815,9 +2868,19 @@ class CypherEngine:
                 kvs += [F.lit(prop), self._col(expr).cast("string")]
             newmap = F.create_map(*kvs) if kvs \
                 else F.create_map().cast("map<string,string>")
+            # an aggregating WITH keeps only the var column itself —
+            # fall back to the statically-tracked label (or parse it
+            # out of the EdgeId splice) when __l_<var> was projected
+            # away
+            if f"__l_{var}" in df.columns:
+                lcol = F.col(f"__l_{var}")
+            elif label is not None:
+                lcol = F.lit(label)
+            else:
+                lcol = F.split(F.col(var), ">").getItem(1)
             delta = (df.select(F.col(var).alias("__ek"),
                                newmap.alias("__newp"),
-                               F.col(f"__l_{var}").alias("__el"))
+                               lcol.alias("__el"))
                      .dropDuplicates(["__ek"]))
             g = self.graph
             g.edges = (

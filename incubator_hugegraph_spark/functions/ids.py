@@ -15,21 +15,31 @@ from pyspark.sql import functions as F
 from incubator_hugegraph_spark.schema import ID_DELIM
 
 
+def _escape_col(col: Column) -> Column:
+    # escape the ESCAPE CHAR FIRST, then the delimiter — without the
+    # backslash pass, values ('a\\', 'b!c') and ('a!b\\', 'c') encode
+    # to the same spliced string and two distinct identities collapse
+    c = F.regexp_replace(col.cast("string"), r"\\", r"\\\\")
+    return F.regexp_replace(c, r"!", r"\\!")
+
+
+def _escape(v) -> str:
+    return str(v).replace("\\", "\\\\").replace("!", "\\!")
+
+
 def splice_id_col(label: str, *pk_cols: Column | str) -> Column:
-    """``concat_ws('!', label, pk...)`` with '!' escaped in values."""
+    """``concat_ws('!', label, pk...)`` with '\\' and '!' escaped in
+    values (escape char first — see _escape_col)."""
     parts = [F.lit(label)]
     for c in pk_cols:
-        col = F.col(c) if isinstance(c, str) else c
-        parts.append(F.regexp_replace(col.cast("string"),
-                                      r"!", r"\\!"))
+        parts.append(_escape_col(F.col(c) if isinstance(c, str) else c))
     return F.concat_ws(ID_DELIM, *parts)
 
 
 def splice_id(label: str, *pk_values) -> str:
     """Driver/Python-side form of splice_id_col (same escaping) — for
     code that builds ids inside pandas UDFs or fixtures."""
-    return ID_DELIM.join(
-        [label] + [str(v).replace("!", "\\!") for v in pk_values])
+    return ID_DELIM.join([label] + [_escape(v) for v in pk_values])
 
 
 def id_prefix(label: str) -> str:
@@ -53,14 +63,11 @@ SORT_VALUES_SEP = ID_DELIM  # '!' — distinct from the '>' EdgeId splice
 
 def encode_sort_values(values) -> str:
     """Python-side sort-values encoder (REST/Cypher/Gremlin writes)."""
-    return SORT_VALUES_SEP.join(
-        str(v).replace("!", "\\!") for v in values)
+    return SORT_VALUES_SEP.join(_escape(v) for v in values)
 
 
 def sort_values_col(cols) -> Column:
     """Column-side twin of encode_sort_values (file ingestion)."""
-    parts = []
-    for c in cols:
-        col = F.col(c) if isinstance(c, str) else c
-        parts.append(F.regexp_replace(col.cast("string"), r"!", r"\\!"))
+    parts = [_escape_col(F.col(c) if isinstance(c, str) else c)
+             for c in cols]
     return F.concat_ws(SORT_VALUES_SEP, *parts) if parts else F.lit("")

@@ -1189,6 +1189,27 @@ class Traversal:
         with Cypher SET on relationship variables)."""
         if self.kind == "E":
             g = self.graph
+            sch = getattr(g, "schema", None)
+            if sch is not None and getattr(sch, "edge_labels", None):
+                # schema-strict like the Cypher rel-SET path: the
+                # matched labels are a runtime column, but #labels is
+                # tiny — one distinct collect validates every one
+                # (undeclared keys rejected; sort keys are immutable,
+                # they ARE the edge's identity)
+                for (lab,) in self.df.select("label").distinct() \
+                        .collect():
+                    el = sch.edge_labels.get(lab)
+                    if el is None or not getattr(el, "properties", None):
+                        continue
+                    if key in set(getattr(el, "sort_keys", ()) or ()):
+                        raise ValueError(
+                            f"gremlin: sort key {key!r} of edge label "
+                            f"{lab!r} is immutable (part of the edge "
+                            "id)")
+                    if key not in el.properties:
+                        raise ValueError(
+                            f"gremlin: property {key!r} is not "
+                            f"declared for edge label {lab!r}")
             keys = (self.df.select(
                 F.concat_ws(
                     ">",

@@ -125,7 +125,19 @@ def gen_vertex_id(schema, label: str, props: dict, graph=None) -> str:
             and all(k in props for k in vl.primary_keys)):
         return splice_id(label, *[props[k] for k in vl.primary_keys])
     if graph is not None:
-        n = getattr(graph, "_auto_id_seq", 0) + 1
+        if not hasattr(graph, "_auto_id_seq"):
+            # seed past any auto ids already persisted: a reloaded
+            # graph starting the counter at 0 would regenerate
+            # label!auto:1 and silently upsert-merge into an existing
+            # distinct entity — the exact bug the counter exists to
+            # prevent. One-time O(|V|) scan on the first auto create.
+            mx = (graph.vertices
+                  .filter(F.col("id").rlike("!auto:[0-9]+$"))
+                  .agg(F.max(F.regexp_extract(
+                      "id", r"!auto:(\d+)$", 1).cast("long")))
+                  .collect()[0][0])
+            graph._auto_id_seq = int(mx or 0)
+        n = graph._auto_id_seq + 1
         graph._auto_id_seq = n
         return f"{label}!auto:{n}"
     blob = json.dumps(sorted(props.items()), default=str)

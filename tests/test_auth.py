@@ -227,3 +227,22 @@ def test_element_level_label_enforcement(marko_graph):
     am2.create_user("nobody", "pw")
     with pytest.raises(Forbidden):
         authorized_element_view(am2, "nobody", "hugegraph", marko_graph)
+
+
+def test_element_view_vertex_only_grant(marko_graph):
+    """A vertex-only reader sees vertices and ZERO edges — a missing
+    grant for one kind hides that kind, it does not deny the whole
+    view (code review r05)."""
+    from incubator_hugegraph_spark.auth import (AuthManager, Permission,
+                                                ResourceType,
+                                                authorized_element_view)
+    am = AuthManager()
+    am.create_user("v_only", "pw")
+    am.create_group("g")
+    am.belong("v_only", "g")
+    am.create_target("v_read", "hugegraph",
+                     resources=[ResourceType.VERTEX])
+    am.grant("g", "v_read", Permission.READ)
+    g = authorized_element_view(am, "v_only", "hugegraph", marko_graph)
+    assert g.vertices.count() == marko_graph.vertices.count()
+    assert g.edges.count() == 0

@@ -140,3 +140,69 @@ def test_with_rebinding_drops_stale_rel_label(rgraph, spark):
                    "SET r.note = 'ok'")
     p = rgraph.edges.filter("label = 'likes'").head().props
     assert p["note"] == "ok"
+
+
+def test_set_replace_self_reference_reads_pre_write_state(rgraph):
+    """SET n = {name: n.name, …} must read the PRE-write map (code
+    review r05: stripping before hydration destroyed the carried
+    value on graphs whose views hydrate lazily)."""
+    cypher(rgraph, "MATCH (a:person {name:'marko'}) "
+                   "WITH a, count(*) AS c "
+                   "SET a = {name: a.name}")
+    assert rgraph.vertices.filter("id = 'person!marko'") \
+        .head().props == {"name": "marko"}
+
+
+def test_merge_on_match_set_visible_in_same_query(rgraph):
+    """ON MATCH SET runs on a throwaway subset; the outer row's
+    snapshot columns must be dropped so RETURN re-hydrates (code
+    review r05)."""
+    rgraph.schema.vertex_labels["person"].__dict__  # schema present
+    row = cypher(rgraph,
+                 "MATCH (a:person {name:'marko'}), "
+                 "(b:person {name:'josh'}) "
+                 "MERGE (a)-[r:knows]->(b) "
+                 "ON MATCH SET a.name = 'marko' "
+                 "ON CREATE SET a.name = 'marko' "
+                 "RETURN a.name AS nm").head()
+    assert row.nm == "marko"
+
+
+def test_create_rel_var_bound(rgraph):
+    """-[r:label]-> in CREATE binds r for later clauses (code review
+    r05: the parser accepted the var but _apply_create dropped it)."""
+    row = cypher(rgraph,
+                 "MATCH (a:person {name:'josh'}), "
+                 "(b:person {name:'marko'}) "
+                 "CREATE (a)-[r:knows {weight: 0.2}]->(b) "
+                 "RETURN r AS eid").head()
+    assert row.eid == "person!josh>knows>>person!marko"
+    cypher(rgraph, "MATCH (a:person {name:'josh'})-[r:knows]->"
+                   "(b:person {name:'marko'}) SET r.weight = 0.3")
+    assert rgraph.edges.filter(
+        "src = 'person!josh' AND dst = 'person!marko'"
+    ).head().props["weight"] == "0.3"
+
+
+def test_set_rel_after_aggregating_with(rgraph):
+    """SET r.x = c where r survived an aggregating WITH — the __l_
+    column is projected away; the writer falls back to the tracked
+    label (code review r05)."""
+    cypher(rgraph, "MATCH (a:person)-[r:knows]->(b:person) "
+                   "WITH r, count(*) AS c "
+                   "SET r.weight = c")
+    ws = {r.dst: r.props["weight"] for r in rgraph.edges.collect()}
+    assert ws == {"person!josh": "1", "person!vadas": "1"}
+
+
+def test_merge_on_set_sort_keyed_label_rejected(rgraph, spark):
+    from incubator_hugegraph_spark.schema import EdgeLabel
+    rgraph.schema.property_key("place")
+    rgraph.schema.edge_labels["met"] = EdgeLabel(
+        "met", "person", "person", properties=("place",),
+        sort_keys=("place",))
+    with pytest.raises(SyntaxError):
+        cypher(rgraph, "MATCH (a:person {name:'marko'}), "
+                       "(b:person {name:'josh'}) "
+                       "MERGE (a)-[r:met]->(b) "
+                       "ON MATCH SET r.place = 'x'")

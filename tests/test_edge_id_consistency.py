@@ -86,3 +86,15 @@ def test_file_ingestion_uses_shared_encoder(spark, tmp_path):
     got = df.select(sort_values_col(["place", "year"]).alias("sv")) \
         .head().sv
     assert got == encode_sort_values(["hall!a", "2020"]) == SV
+
+
+def test_escape_char_is_escaped():
+    """Distinct sort-key tuples must never encode identically: the
+    escape char itself is escaped FIRST (code review r05 — without
+    it ('a\\\\', 'b!c') and ('a!b\\\\', 'c') collided)."""
+    from incubator_hugegraph_spark.functions.ids import (
+        encode_sort_values, splice_id)
+    a = encode_sort_values(["a\\", "b!c"])
+    b = encode_sort_values(["a!b\\", "c"])
+    assert a != b
+    assert splice_id("l", "a\\", "b!c") != splice_id("l", "a!b\\", "c")

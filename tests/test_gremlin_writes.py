@@ -129,3 +129,28 @@ def test_edge_property_update(wgraph):
     vals = (G(wgraph).V("person!marko").outE("knows")
             .values("weight").toList())
     assert vals == [0.99]  # weight is a declared DOUBLE
+
+
+def test_edge_property_schema_strict(wgraph, spark):
+    """E-kind property() validates like the Cypher rel-SET path:
+    undeclared keys rejected, sort keys immutable (code review
+    r05)."""
+    from incubator_hugegraph_spark.schema import EdgeLabel
+    wgraph.schema.property_key("place")
+    wgraph.schema.property_key("note")
+    wgraph.schema.edge_labels["met"] = EdgeLabel(
+        "met", "person", "person", properties=("place", "note"),
+        sort_keys=("place",))
+    wgraph.edges = wgraph.edges.unionByName(spark.createDataFrame(
+        [("person!marko", "person!josh", "met", "x",
+          {"place": "x"}, None)], wgraph.edges.schema))
+    with pytest.raises(ValueError):
+        (G(wgraph).V("person!marko").outE("met")
+         .property("wat", "1").iterate())
+    with pytest.raises(ValueError):
+        (G(wgraph).V("person!marko").outE("met")
+         .property("place", "y").iterate())
+    (G(wgraph).V("person!marko").outE("met")
+     .property("note", "fine").iterate())
+    assert wgraph.edges.filter("label = 'met'").head() \
+        .props["note"] == "fine"

@@ -164,3 +164,22 @@ def test_automatic_id_creates_never_merge(spark):
     G(g).addV("thing").property("name", "dup").iterate()
     G(g).addV("thing").property("name", "dup").iterate()
     assert g.vertices.filter("props['name'] = 'dup'").count() == 2
+
+
+def test_automatic_id_counter_seeds_past_persisted_ids(spark):
+    """A graph reloaded with label!auto:N vertices must not reuse
+    those ids (code review r05: a fresh counter restarted at 1 and
+    silently upsert-merged into existing entities)."""
+    from incubator_hugegraph_spark.graph import PropertyGraph
+    from incubator_hugegraph_spark.operators.mutate import gen_vertex_id
+    from incubator_hugegraph_spark.schema import GraphSchema, VertexLabel
+    sch = GraphSchema()
+    sch.property_key("name")
+    sch.vertex_labels["thing"] = VertexLabel("thing", properties=("name",))
+    v = _v(spark, [("thing!auto:7", "thing", {"name": "old"}, None)])
+    e = spark.createDataFrame(
+        [], "src string, dst string, label string, sort_values string, "
+            "props map<string,string>, expired_at timestamp")
+    g = PropertyGraph(spark, v, e, schema=sch)
+    nid = gen_vertex_id(sch, "thing", {"name": "new"}, graph=g)
+    assert nid == "thing!auto:8"
