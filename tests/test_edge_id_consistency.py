@@ -86,6 +86,15 @@ def test_file_ingestion_uses_shared_encoder(spark, tmp_path):
     got = df.select(sort_values_col(["place", "year"]).alias("sv")) \
         .head().sv
     assert got == encode_sort_values(["hall!a", "2020"]) == SV
+    # escape-char stress: Column-side and Python-side agree on values
+    # containing both the delimiter and the escape character
+    df2 = spark.createDataFrame(
+        [("a\\", "b!c"), ("a!b\\", "c")], "place string, year string")
+    got2 = [r.sv for r in df2.select(
+        sort_values_col(["place", "year"]).alias("sv")).collect()]
+    want2 = [encode_sort_values(["a\\", "b!c"]),
+             encode_sort_values(["a!b\\", "c"])]
+    assert got2 == want2 and got2[0] != got2[1]
 
 
 def test_escape_char_is_escaped():

@@ -213,3 +213,40 @@ def test_math_parser_matches_python_eval(expr):
     except ZeroDivisionError:
         return  # Column division yields null there — different domain
     assert abs(got - want) < 1e-9 or (got != got and want != want)
+
+
+@given(st.lists(st.lists(st.text(alphabet="ab!\\", max_size=6),
+                         min_size=1, max_size=3),
+                min_size=2, max_size=6))
+def test_sort_values_encoding_is_injective(tuples):
+    """encode_sort_values must be injective per arity class: two
+    distinct sort-key tuples can never produce the same sort_values
+    string, or two distinct edges collapse into one EdgeId (r05
+    escape-char fix). Alphabet stresses the delimiter '!' and the
+    escape '\\'."""
+    from incubator_hugegraph_spark.functions.ids import (
+        encode_sort_values)
+    enc = {}
+    for tup in tuples:
+        key = encode_sort_values(tup)
+        if key in enc:
+            assert enc[key] == tuple(tup), (
+                f"collision: {enc[key]!r} and {tuple(tup)!r} both "
+                f"encode to {key!r}")
+        enc[key] = tuple(tup)
+
+
+@given(st.lists(st.text(alphabet="xy!\\", max_size=5),
+                min_size=1, max_size=3))
+def test_splice_id_python_column_parity(values):
+    """splice_id (driver-side) and splice_id_col (Column-side) must
+    agree byte-for-byte — ids written by fixtures/pandas UDFs and by
+    Column programs key the same tables."""
+    from incubator_hugegraph_spark.functions.ids import splice_id
+    import re
+    py = splice_id("l", *values)
+    # reference regexp semantics of _escape_col, evaluated in Python:
+    col_sim = "!".join(
+        ["l"] + [re.sub(r"!", r"\\!", re.sub(r"\\", r"\\\\", v))
+                 for v in values])
+    assert py == col_sim
