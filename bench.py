@@ -161,6 +161,12 @@ def main() -> None:
     def x_ann():
         return cosine_topk_np(emb, [0, 1, 2, 3, 4], 10).count()
 
+    def x_ann_ivf():
+        # the 100 TB ANN path: bucketed IVF probe + exact re-rank —
+        # measured per-round alongside the brute-force baseline
+        from incubator_hugegraph_spark.data.similarity import ivf_topk
+        return ivf_topk(emb, [0, 1, 2, 3, 4], 10).count()
+
     def x_bpe():
         from incubator_hugegraph_spark.data.text import bpe_pair_counts
         return bpe_pair_counts(docs).count()
@@ -221,6 +227,7 @@ def main() -> None:
     extra: dict[str, float] = {}
     for name, fn in [("x_cypher", x_cypher), ("x_gremlin", x_gremlin),
                      ("x_minhash_lsh", x_minhash), ("x_ann_np", x_ann),
+                     ("x_ann_ivf", x_ann_ivf),
                      ("x_bpe", x_bpe), ("x_chunks", x_chunks),
                      ("x_stream_window", x_stream_window),
                      ("x_stream_cms", x_stream_cms),
