@@ -454,6 +454,17 @@ def authorized_element_view(am: AuthManager, user: str, graph_name: str,
     if not v_ok and not e_ok:
         raise Forbidden(
             f"user {user!r} lacks read on {space}/{graph_name}")
+    if e_ok and not v_ok:
+        # an edge-only grant is unusable: every edge row names its two
+        # endpoint ids, so exposing edges without ANY vertex grant
+        # would leak hidden vertices — raise instead of silently
+        # returning an empty graph the caller can't distinguish from
+        # an authorized-but-empty one
+        raise Forbidden(
+            f"user {user!r} holds an edge read grant on "
+            f"{space}/{graph_name} but no vertex grant — edge rows "
+            "name their endpoint vertex ids, so edge visibility "
+            "requires vertex visibility")
     if vlabels is None and elabels is None:
         return graph
     v, e = graph.vertices, graph.edges

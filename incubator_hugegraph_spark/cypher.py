@@ -2485,14 +2485,19 @@ class CypherEngine:
             if sch is not None:
                 g.edge_views.pop(rel.label, None)  # stale typed view
             # bind the created rel's variable (-[r:label]->) so later
-            # clauses (RETURN r, SET r.p) can address the edge — the
-            # EdgeId splice is fully determined at create time
+            # clauses (RETURN r, RETURN r.p, SET r.p) can address the
+            # edge — the EdgeId splice AND the literal property map
+            # are fully determined at create time
             if rel.var:
+                if rel.var in self._bound:
+                    raise SyntaxError(
+                        f"cypher: CREATE cannot reuse the bound "
+                        f"variable {rel.var!r} for a new relationship")
                 self._rel_vars.add(rel.var)
                 self._rel_labels.setdefault(rel.var, rel.label)
                 rel_binds.append((rel.var, F.concat_ws(
                     ">", endpoint(s), F.lit(rel.label), F.lit(sv),
-                    endpoint(d)), rel.label))
+                    endpoint(d)), rel.label, pm))
         if ebatches:
             ebatch = reduce(lambda a, b: a.unionByName(b), ebatches)
             g.edges = upsert_edges(g.edges, ebatch)
@@ -2509,8 +2514,9 @@ class CypherEngine:
                         F.lit(label).alias(f"__l_{var}"),
                         pm.alias(f"__p_{var}")]
             self._labels[var] = label
-        for var, eid, label in rel_binds:
-            newcols += [eid.alias(var), F.lit(label).alias(f"__l_{var}")]
+        for var, eid, label, pm in rel_binds:
+            newcols += [eid.alias(var), F.lit(label).alias(f"__l_{var}"),
+                        pm.alias(f"__p_{var}")]
             self._bound.add(var)
         if newcols:
             df = base.select(*newcols) if df is None \
@@ -2637,7 +2643,17 @@ class CypherEngine:
                         "cypher: ON CREATE/ON MATCH SET needs a "
                         "single-relationship MERGE pattern")
                 rel, s, d, missing, sort_keyed = rel_missing[0]
-                if sort_keyed and rel.var:
+                branch_vars: set[str] = set()
+                for branch in (m.on_create, m.on_match):
+                    if branch is None:
+                        continue
+                    for v, _p, _e in branch.assignments:
+                        branch_vars.add(v)
+                    for v, _pl, _en in branch.map_assignments:
+                        branch_vars.add(v)
+                if sort_keyed and rel.var in branch_vars:
+                    # only when a branch actually WRITES the rel —
+                    # node-only ON SET is fine on sort-keyed labels
                     raise SyntaxError(
                         "cypher: ON CREATE/ON MATCH SET on a "
                         "relationship whose label declares sort keys "
@@ -2668,11 +2684,16 @@ class CypherEngine:
                 for v in written:
                     if v in self._rel_vars:
                         continue
-                    stale = [f"__p_{v}", f"__l_{v}"] + \
-                        [f"__c_{v}_{k}"
-                         for k in self._typed_cols.pop(v, ())]
-                    df = df.drop(*[c for c in stale
-                                   if c in df.columns])
+                    # enumerate stale columns by PREFIX SCAN of the
+                    # outer df — the inner _apply_set already popped
+                    # _typed_cols[v], so relying on it here would
+                    # leave __c_<v>_* behind and the re-hydration
+                    # would duplicate them (AMBIGUOUS_REFERENCE)
+                    self._typed_cols.pop(v, None)
+                    stale = [c for c in df.columns
+                             if c in (f"__p_{v}", f"__l_{v}")
+                             or c.startswith(f"__c_{v}_")]
+                    df = df.drop(*stale)
             return df
 
         raise SyntaxError(

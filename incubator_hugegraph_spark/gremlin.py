@@ -186,6 +186,10 @@ class Traversal:
                        self._attached if attached is None else attached,
                        self._sort if sort == "keep" else sort)
         t._side = self._side
+        # statically-known edge labels of an E frame (set by
+        # outE/inE/bothE(label…)); lets write steps validate against
+        # the schema without a driver-side distinct job
+        t._static_elabels = getattr(self, "_static_elabels", None)
         return t
 
     def _prop_col(self, key: str) -> Column:
@@ -398,7 +402,9 @@ class Traversal:
         df = (e.join(edges, on=cond)
               .select("anchor", "other", "label", "sort_values", "props",
                       "dir", "path", eid.alias("eid"), *carry))
-        return self._new(df, kind="E")
+        t = self._new(df, kind="E")
+        t._static_elabels = tuple(labels) if labels else None
+        return t
 
     def outE(self, *labels: str) -> "Traversal":
         return self._hopE(OUT, labels)
@@ -1191,13 +1197,17 @@ class Traversal:
             g = self.graph
             sch = getattr(g, "schema", None)
             if sch is not None and getattr(sch, "edge_labels", None):
-                # schema-strict like the Cypher rel-SET path: the
-                # matched labels are a runtime column, but #labels is
-                # tiny — one distinct collect validates every one
+                # schema-strict like the Cypher rel-SET path
                 # (undeclared keys rejected; sort keys are immutable,
-                # they ARE the edge's identity)
-                for (lab,) in self.df.select("label").distinct() \
-                        .collect():
+                # they ARE the edge's identity). Labels come from the
+                # outE/inE step's STATIC argument when present — no
+                # Spark job; only a label-unconstrained frame pays one
+                # tiny distinct collect
+                static = getattr(self, "_static_elabels", None)
+                labs = list(static) if static else \
+                    [r[0] for r in
+                     self.df.select("label").distinct().collect()]
+                for lab in labs:
                     el = sch.edge_labels.get(lab)
                     if el is None or not getattr(el, "properties", None):
                         continue

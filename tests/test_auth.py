@@ -246,3 +246,21 @@ def test_element_view_vertex_only_grant(marko_graph):
     g = authorized_element_view(am, "v_only", "hugegraph", marko_graph)
     assert g.vertices.count() == marko_graph.vertices.count()
     assert g.edges.count() == 0
+
+
+def test_element_view_edge_only_grant_forbidden(marko_graph):
+    """Edge rows name endpoint vertex ids: an edge-only reader (no
+    vertex grant) gets Forbidden, not a silently empty graph (code
+    review r05 pass 2)."""
+    from incubator_hugegraph_spark.auth import (AuthManager, Forbidden,
+                                                Permission, ResourceType,
+                                                authorized_element_view)
+    am = AuthManager()
+    am.create_user("e_only", "pw")
+    am.create_group("g")
+    am.belong("e_only", "g")
+    am.create_target("e_read", "hugegraph",
+                     resources=[ResourceType.EDGE])
+    am.grant("g", "e_read", Permission.READ)
+    with pytest.raises(Forbidden, match="vertex"):
+        authorized_element_view(am, "e_only", "hugegraph", marko_graph)

@@ -206,3 +206,56 @@ def test_merge_on_set_sort_keyed_label_rejected(rgraph, spark):
                        "(b:person {name:'josh'}) "
                        "MERGE (a)-[r:met]->(b) "
                        "ON MATCH SET r.place = 'x'")
+
+
+def test_merge_on_set_with_typed_views(rgraph):
+    """The stale-column drop after MERGE ON SET must survive typed
+    vertex views (review 2: _typed_cols was already popped by the
+    inner SET, leaving __c_* duplicates on re-hydration)."""
+    rgraph.refresh_vertex_views()
+    row = cypher(rgraph,
+                 "MATCH (a:person {name:'marko'}), "
+                 "(b:person {name:'josh'}) "
+                 "MERGE (a)-[r:knows]->(b) "
+                 "ON MATCH SET a.name = 'marko' "
+                 "ON CREATE SET a.name = 'marko' "
+                 "RETURN a.name AS nm").head()
+    assert row.nm == "marko"
+
+
+def test_create_rel_var_property_readable(rgraph):
+    row = cypher(rgraph,
+                 "MATCH (a:person {name:'josh'}), "
+                 "(b:person {name:'marko'}) "
+                 "CREATE (a)-[r:knows {weight: 0.2}]->(b) "
+                 "RETURN r.weight AS w").head()
+    assert float(row.w) == 0.2
+
+
+def test_create_rejects_rebinding_matched_rel_var(rgraph):
+    with pytest.raises(SyntaxError):
+        cypher(rgraph, "MATCH (a:person)-[r:knows]->(b:person) "
+                       "CREATE (b)-[r:knows {weight: 1.0}]->(a)")
+
+
+def test_merge_on_set_node_only_allowed_on_sort_keyed_label(rgraph):
+    """Node-only ON SET is legal even when the pattern names a rel
+    var on a sort-keyed label (review 2: the guard fired on the var's
+    mere existence)."""
+    from incubator_hugegraph_spark.schema import EdgeLabel
+    rgraph.schema.property_key("place")
+    rgraph.schema.property_key("flag")
+    rgraph.schema.vertex_labels["person"] = type(
+        rgraph.schema.vertex_labels["person"])(
+        "person", properties=("name", "flag"), primary_keys=("name",),
+        nullable_keys=("flag",))
+    rgraph.schema.edge_labels["met"] = EdgeLabel(
+        "met", "person", "person", properties=("place",),
+        sort_keys=("place",))
+    cypher(rgraph, "MATCH (a:person {name:'marko'}), "
+                   "(b:person {name:'josh'}) "
+                   "MERGE (a)-[r:met]->(b) "
+                   "ON CREATE SET a.flag = '1' "
+                   "ON MATCH SET a.flag = '2'")
+    assert rgraph.vertices.filter("id = 'person!marko'") \
+        .head().props["flag"] == "1"
