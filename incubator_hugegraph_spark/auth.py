@@ -427,14 +427,13 @@ def authorized_element_view(am: AuthManager, user: str, graph_name: str,
     pushed into the parquet scan (partition-prunable, zero per-row
     Python). Edges additionally require BOTH endpoints readable —
     vertex ids splice the label first (``label!key``), so endpoint
-    visibility is a substring check, not a join. Raises Forbidden when
+    visibility is an id-membership semi-join. Raises Forbidden when
     the user has no read grant at all. Traversals run on the returned
     graph exactly as on the full one (same schema, same views
     machinery)."""
     from pyspark.sql import functions as F
 
     from incubator_hugegraph_spark.graph import PropertyGraph
-    from incubator_hugegraph_spark.schema import ID_DELIM
     # a missing grant for ONE kind hides that kind, it does not deny
     # the whole view (the reference proxy filters per element — a
     # vertex-only reader sees vertices and zero edges); Forbidden only
@@ -476,14 +475,24 @@ def authorized_element_view(am: AuthManager, user: str, graph_name: str,
                      if elabels else F.lit(False))
     if vlabels is not None:
         # an edge whose endpoint the user cannot see would leak the
-        # hidden vertex's id — require both endpoint labels readable
+        # hidden vertex's id — require both endpoints VISIBLE, i.e.
+        # present in the already-filtered vertex table. A semi-join on
+        # the id set (not a substring parse of the 'label!' prefix)
+        # also covers vertices written with explicit user-supplied ids
+        # that carry no label splice (r05 ADVICE — the prefix parse
+        # hid their edges even when both endpoint labels were
+        # granted). The reference checks per-element matchLabel
+        # (HugeGraphAuthProxy); here the label filter on v already
+        # encodes that, so endpoint visibility reduces to id
+        # membership. Catalyst broadcasts the visible-id side when it
+        # is small; at scale the two semi-joins shuffle on the same
+        # key the edge table is typically bucketed by (src).
         if not vlabels:
             e = e.filter(F.lit(False))
         else:
-            def _end_ok(col: str):
-                seg = F.split(F.col(col), ID_DELIM, 2).getItem(0)
-                return seg.isin(sorted(vlabels))
-            e = e.filter(_end_ok("src") & _end_ok("dst"))
+            vis = v.select(F.col("id").alias("__vis_id"))
+            e = (e.join(vis, e["src"] == F.col("__vis_id"), "leftsemi")
+                 .join(vis, e["dst"] == F.col("__vis_id"), "leftsemi"))
     return PropertyGraph(graph.spark, v, e, schema=graph.schema)
 
 

@@ -2396,6 +2396,28 @@ class CypherEngine:
                     f"cypher: property {k!r} is not declared for vertex "
                     f"label {label!r}")
 
+    def _pk_props(self, var: str) -> set[str]:
+        """Primary-key property names of the var's statically-known
+        label (empty when the label or schema is unknown)."""
+        lab = self._labels.get(var)
+        vl = self.graph.schema.vertex_labels.get(lab) \
+            if (self.graph.schema and lab) else None
+        return set(getattr(vl, "primary_keys", ()) or ()) if vl else set()
+
+    def _guard_pk_write(self, var: str, props) -> None:
+        """Raise for pk REMOVALS (SET pk = null / REMOVE n.pk) — the
+        pk is spliced into the vertex id, so deleting it breaks the
+        element's identity (reference GraphTransaction.java:1154
+        "Can't update primary key"). Value-writes are validated as
+        no-op re-statements instead (pk_checks in _apply_set)."""
+        pks = self._pk_props(var)
+        hit = [p for p in props if p in pks]
+        if hit:
+            raise ValueError(
+                f"cypher: Can't update primary key {hit[0]!r} of vertex "
+                f"label {self._labels.get(var)!r} (reference "
+                "GraphTransaction.java:1154)")
+
     def _check_edge_write_props(self, label: str | None, props) -> None:
         """Edge twin of _check_write_props (EdgeLabel property checks
         in GraphTransaction). Sort keys are part of the edge's
@@ -2489,7 +2511,13 @@ class CypherEngine:
             # edge — the EdgeId splice AND the literal property map
             # are fully determined at create time
             if rel.var:
-                if rel.var in self._bound:
+                # reuse check must see vars bound EARLIER IN THIS SAME
+                # CREATE pattern too (self._bound is only updated in
+                # the rel_binds loop below) — otherwise
+                # (a)-[r:x]->(b)-[r:y]->(c) slips through and dies
+                # later with AMBIGUOUS_REFERENCE instead of this error
+                if rel.var in self._bound or \
+                        any(rel.var == v for v, *_ in rel_binds):
                     raise SyntaxError(
                         f"cypher: CREATE cannot reuse the bound "
                         f"variable {rel.var!r} for a new relationship")
@@ -2742,9 +2770,18 @@ class CypherEngine:
         removals: dict[str, list] = defaultdict(list)
         rel_sets: dict[str, list] = defaultdict(list)
         rel_strips: dict[str, list] = defaultdict(list)
+        pk_checks: list[tuple[str, str, tuple]] = []
         for var, prop, expr in s.assignments:
             if var in self._rel_vars:
                 rel_sets[var].append((prop, expr))
+                continue
+            if prop in self._pk_props(var):
+                # pk writes: only a no-op re-statement is legal — the
+                # value is validated against the pre-write state below
+                # and the entry dropped from the write (the pk is
+                # encoded in the id; reference GraphTransaction.java
+                # :1154 "Can't update primary key")
+                pk_checks.append((var, prop, expr))
                 continue
             by_var[var].append((prop, expr))
         for var, plus, entries in s.map_assignments:
@@ -2774,12 +2811,29 @@ class CypherEngine:
             set_pairs = [(k, e) for k, e in entries
                          if not (e[0] == "lit" and e[1] is None)]
             if plus:
-                # SET n += {…}: merge; NULL values remove those keys
+                # SET n += {…}: merge; NULL values remove those keys.
+                # A pk key with a value is validated as a no-op
+                # re-statement (like the replace form); a null pk is a
+                # pk REMOVAL and always raises.
+                pks = self._pk_props(var)
+                self._guard_pk_write(var, [k for k in null_keys
+                                           if k in pks])
+                pk_checks.extend((var, k, e) for k, e in set_pairs
+                                 if k in pks)
+                set_pairs = [(k, e) for k, e in set_pairs
+                             if k not in pks]
                 removals[var].extend(null_keys)
             else:
                 # SET n = {…}: replace the whole map — strip every
-                # declared property first, then write the new entries
-                # (writes are schema-strict, so declared = present)
+                # declared NON-primary-key property first, then write
+                # the new entries (writes are schema-strict, so
+                # declared = present). Primary keys are part of the
+                # element's identity (encoded in the spliced id), so
+                # the replace never strips them (reference
+                # GraphTransaction.java:1154 "Can't update primary
+                # key"); a map entry that re-states a pk is validated
+                # against the pre-write value and dropped from the
+                # write, and one that CHANGES a pk raises.
                 lab = self._labels.get(var)
                 vl = self.graph.schema.vertex_labels.get(lab) \
                     if (self.graph.schema and lab) else None
@@ -2787,7 +2841,18 @@ class CypherEngine:
                     raise SyntaxError(
                         "cypher: SET n = {map} (replace) needs a "
                         "schema-registered node label")
-                removals[var].extend(vl.properties)
+                pks = self._pk_props(var)
+                self._guard_pk_write(var, [k for k in null_keys
+                                           if k in pks])
+                removals[var].extend(
+                    [p for p in vl.properties if p not in pks])
+                pk_checks.extend((var, k, e) for k, e in set_pairs
+                                 if k in pks)
+                # pk-only restatement leaves an empty removals entry:
+                # the removal-only pass below still emits the write
+                # summary + view refresh for the (no-op) statement
+                set_pairs = [(k, e) for k, e in set_pairs
+                             if k not in pks]
             if set_pairs:  # empty map replace is a removal-only write
                 by_var[var].extend(set_pairs)
         # hydrate BEFORE stripping: every SET right-hand side must
@@ -2796,13 +2861,29 @@ class CypherEngine:
         # removal pass would evaluate self-referencing values like
         # SET n = {name: n.name} against the already-stripped map and
         # destroy the data it was meant to carry over
-        needed = set(by_var) | set(removals)
+        needed = set(by_var) | set(removals) | {v for v, _p, _e in pk_checks}
         for _var, _prop, expr in s.assignments:
             _expr_vars(expr, needed)
         for _var, _plus, entries in s.map_assignments:
             for _k, expr in entries:
                 _expr_vars(expr, needed)
         df = self._hydrate(df, needed)
+        # pk re-statements inside SET n = {map}: allowed only when the
+        # value equals the pre-write pk for EVERY matched row (the pk
+        # is encoded in the spliced id, so "equal to pre-state" is
+        # "equal to the id"); anything else is a pk update → forbidden
+        # (GraphTransaction.java:1154). Eager probe — rare path.
+        for var, prop, expr in pk_checks:
+            mism = df.filter(
+                ~self._col(expr).cast("string").eqNullSafe(
+                    self._col(("prop", var, prop)).cast("string"))
+            ).limit(1).count()
+            if mism:
+                raise ValueError(
+                    f"cypher: Can't update primary key '{prop}' of "
+                    f"label '{self._labels.get(var)}' — a SET may only "
+                    "re-state the existing pk value "
+                    "(GraphTransaction.java:1154)")
         # strip removed keys (same map_filter pass as REMOVE), so a
         # replace's upsert merge starts from an empty slate
         for var, keys in removals.items():
@@ -2860,6 +2941,11 @@ class CypherEngine:
             lab = self._labels.get(var)
             self._refresh_views({lab} if lab else None)
         deltas.extend(self._apply_rel_writes(df, rel_sets, rel_strips))
+        if not deltas:
+            # a SET reduced to a validated pk no-op (e.g. ON MATCH SET
+            # n.pk = <same value>) touches nothing — empty summary
+            deltas = [self.graph.spark.createDataFrame(
+                [], "id string, label string")]
         self._write_summary = reduce(lambda a, b: a.unionByName(b), deltas)
         return df
 
@@ -2898,7 +2984,13 @@ class CypherEngine:
             elif label is not None:
                 lcol = F.lit(label)
             else:
-                lcol = F.split(F.col(var), ">").getItem(1)
+                # escape-aware EdgeId parse: the label is the second
+                # '>'-delimited field, but src may contain escaped
+                # '\>' / '\!' sequences (functions/ids.py _escape) —
+                # skip over '\\.' pairs instead of splitting blindly.
+                lcol = F.regexp_extract(
+                    F.col(var),
+                    r"^(?:[^\\>]|\\.)*>((?:[^\\>]|\\.)*)>", 1)
             delta = (df.select(F.col(var).alias("__ek"),
                                newmap.alias("__newp"),
                                lcol.alias("__el"))
@@ -2939,6 +3031,9 @@ class CypherEngine:
             if var in self._rel_vars:
                 rel_strips[var].append(prop)
                 continue
+            # REMOVE n.pk deletes part of the element's identity —
+            # always forbidden (same guard as SET pk = null)
+            self._guard_pk_write(var, [prop])
             by_var[var].append(prop)
         summaries = []
         if rel_strips:

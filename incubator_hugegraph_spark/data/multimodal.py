@@ -1,11 +1,14 @@
 """Multimodal (image/audio/video) column handling.
 
 Assets are opaque `binary` columns + typed metadata, processed with
-Arrow-batched `mapInPandas` kernels — the Spark-side plumbing (schema,
-partition sizing, UDF signatures, batch shapes) is real and tested;
-the actual codec work is STUBBED (this container has no image/audio
-libraries) behind `_decode_stub`, which produces deterministic fake
-features so pipelines are testable end-to-end.
+Arrow-batched `mapInPandas` kernels. The HEADER decode is REAL
+(r05 verdict item 4): `decode_header` parses genuine container
+layouts in pure Python — PNG IHDR, JPEG SOFn markers, GIF logical
+screen descriptor, BMP DIB header, WAV fmt/data chunks, AVI avih —
+so width/height/duration come from the actual payload bytes. Full
+pixel/sample decode (the part that needs PIL/libav, absent in this
+container) stays stubbed behind `_decode_stub`, the documented
+fallback for unrecognized bytes.
 
 Scale notes: binary payloads dominate partition size — size
 `spark.sql.files.maxPartitionBytes` for ~128 MB of payload per task
@@ -16,6 +19,8 @@ task never materializes a partition of blobs at once.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -43,10 +48,10 @@ FEATURE_SCHEMA = T.StructType([
 
 
 def _decode_stub(payload: bytes, modality: str) -> dict:
-    """Deterministic fake decode. A real build would dispatch to
-    PIL/libav here; raising NotImplementedError is the other accepted
-    stub mode — we pick the deterministic fake so batch shape and
-    downstream schema stay testable."""
+    """Deterministic fake decode — the FALLBACK for bytes no header
+    parser recognizes. A real build would dispatch the pixel/sample
+    work to PIL/libav; the header-level metadata path is real (see
+    decode_header)."""
     n = len(payload or b"")
     if modality == "image":
         side = max(1, int(n ** 0.5))
@@ -54,6 +59,164 @@ def _decode_stub(payload: bytes, modality: str) -> dict:
     if modality in ("audio", "video"):
         return {"width": None, "height": None, "duration_ms": n * 8}
     return {"width": None, "height": None, "duration_ms": None}
+
+
+# ---------------------------------------------------------------------
+# REAL header parsers (pure Python, no codec libraries). Layouts per
+# the published format specs: PNG (RFC 2083 §3.1/IHDR), JPEG (ITU
+# T.81 SOFn frame headers), GIF89a (logical screen descriptor), BMP
+# (BITMAPINFOHEADER), WAV (RIFF fmt/data chunks), AVI (avih main
+# header). One dict out: width/height/duration_ms, Nones for fields
+# the container doesn't carry.
+# ---------------------------------------------------------------------
+
+def _parse_png(b: bytes) -> dict | None:
+    if len(b) < 24 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    return {"width": w, "height": h, "duration_ms": None}
+
+
+def _parse_jpeg(b: bytes) -> dict | None:
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 < len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+        # SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC): frame header
+        # carries precision(1) height(2) width(2)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", b[i + 5:i + 9])
+            return {"width": w, "height": h, "duration_ms": None}
+        i += 2 + seg_len
+    return None
+
+
+def _parse_gif(b: bytes) -> dict | None:
+    if len(b) < 10 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    return {"width": w, "height": h, "duration_ms": None}
+
+
+def _parse_bmp(b: bytes) -> dict | None:
+    if len(b) < 26 or b[:2] != b"BM":
+        return None
+    w, h = struct.unpack("<ii", b[18:26])
+    return {"width": w, "height": abs(h), "duration_ms": None}
+
+
+def _riff_chunks(b: bytes):
+    """Iterate (fourcc, data) over a RIFF body (chunks are word-
+    aligned; truncated tails are skipped, not errors)."""
+    i = 12
+    while i + 8 <= len(b):
+        cc = b[i:i + 4]
+        (size,) = struct.unpack("<I", b[i + 4:i + 8])
+        yield cc, b[i + 8:i + 8 + size]
+        i += 8 + size + (size & 1)
+
+
+def _parse_wav(b: bytes) -> dict | None:
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    byte_rate, data_size = None, None
+    for cc, data in _riff_chunks(b):
+        if cc == b"fmt " and len(data) >= 16:
+            byte_rate = struct.unpack("<I", data[8:12])[0]
+        elif cc == b"data":
+            data_size = len(data)
+    if not byte_rate or data_size is None:
+        return None
+    return {"width": None, "height": None,
+            "duration_ms": data_size * 1000 // byte_rate}
+
+
+def _parse_avi(b: bytes) -> dict | None:
+    if len(b) < 64 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    # the avih main header lives inside LIST/hdrl; scan for the
+    # 'avih' fourcc directly (robust to writer padding choices)
+    i = b.find(b"avih")
+    if i < 0 or i + 28 > len(b):
+        return None
+    us_per_frame, = struct.unpack("<I", b[i + 8:i + 12])
+    total_frames, = struct.unpack("<I", b[i + 24:i + 28])
+    if not us_per_frame:
+        return None
+    return {"width": None, "height": None,
+            "duration_ms": total_frames * us_per_frame // 1000}
+
+
+_PARSERS = (_parse_png, _parse_jpeg, _parse_gif, _parse_bmp,
+            _parse_wav, _parse_avi)
+
+
+def decode_header(payload: bytes, modality: str) -> dict:
+    """Real container-header decode: dims/duration from the actual
+    payload bytes; deterministic-stub fallback for unknown formats
+    (documented — full pixel/sample decode needs codec libraries this
+    container lacks)."""
+    b = payload or b""
+    for parse in _PARSERS:
+        got = parse(b)
+        if got is not None:
+            return got
+    return _decode_stub(b, modality)
+
+
+# ---------------------------------------------------------------------
+# Minimal REAL container writers (test fixtures / docs_as_assets):
+# genuine byte layouts so the parsers above are exercised against the
+# same spec they implement — and cross-checked by oracles that derive
+# dims/durations from first principles, not from the parser.
+# ---------------------------------------------------------------------
+
+def wrap_png(body: bytes, width: int, height: int) -> bytes:
+    """Valid PNG container: signature, IHDR (real CRC), one IDAT
+    carrying `body` (not zlib-compressed — header-level consumers
+    never inflate), IEND. 57 + len(body) bytes."""
+    def chunk(cc: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(cc + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + cc + data + \
+            struct.pack(">I", crc)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", body) + chunk(b"IEND", b""))
+
+
+def wrap_wav(body: bytes, sample_rate: int = 8000,
+             bits: int = 16, channels: int = 1) -> bytes:
+    """Valid PCM WAV container around `body` as the data chunk.
+    44 + len(body) bytes (+1 pad if odd)."""
+    byte_rate = sample_rate * channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * bits // 8, bits)
+    data = body + (b"\x00" if len(body) % 2 else b"")
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(body))
+    return (b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + data)
+
+
+def wrap_avi(body: bytes, us_per_frame: int, total_frames: int) -> bytes:
+    """Minimal RIFF/AVI: LIST hdrl with a real avih main header
+    (dwMicroSecPerFrame, dwTotalFrames), then `body` as a movi
+    payload. 100 + len(body) bytes (+1 pad if odd)."""
+    avih = struct.pack("<14I", us_per_frame, 0, 0, 0, total_frames,
+                       0, 1, 0, 0, 0, 0, 0, 0, 0)
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi = b"movi" + body + (b"\x00" if len(body) % 2 else b"")
+    riff = (b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+            + b"LIST" + struct.pack("<I", len(movi)) + movi)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
 def _feature_stub(payload: bytes, dim: int = 8) -> list[float]:
@@ -72,7 +235,7 @@ def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
     Returns FEATURE_SCHEMA rows."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [_decode_stub(p, m) for p, m in
+            meta = [decode_header(p, m) for p, m in
                     zip(pdf["payload"], pdf["modality"])]
             out = pd.DataFrame({
                 "asset_id": pdf["asset_id"],
@@ -114,13 +277,53 @@ def sample_frames(assets: DataFrame, every_ms: int) -> DataFrame:
 
 
 def docs_as_assets(docs: DataFrame) -> DataFrame:
-    """Adapter: treat the documents fixture's text bytes as binary
-    payloads (deterministic test corpus for the multimodal path)."""
-    return docs.select(
+    """Adapter: wrap the documents fixture's text bytes in REAL
+    container formats — PNG for image rows, WAV for audio, AVI for
+    video — with dims/durations derived from the text length by fixed
+    formulas, so the decode path parses genuine byte layouts and an
+    oracle can recompute the expected metadata from first principles:
+
+      image: width = max(1, isqrt(n)), height = max(1, ceil(n/width))
+      audio: PCM 8 kHz / 16-bit / mono → duration_ms = n*1000//16000
+      video: 25 fps (40000 us/frame), frames = max(1, n//100)
+             → duration_ms = frames * 40
+
+    (n = utf-8 byte length of the text). The wrap happens in one
+    Arrow-batched mapInPandas pass — same streaming batch shape a
+    real blob-store reader would have."""
+    import math
+
+    base = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
          .when(F.col("doc_id") % 3 == 1, "audio")
          .otherwise("video").alias("modality"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.create_map(F.lit("source"), F.col("source")).alias("meta"))
+        F.encode("text", "utf-8").alias("body"),
+        F.col("source"))
+
+    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mimes = [], []
+            for body, mod in zip(pdf["body"], pdf["modality"]):
+                b = bytes(body or b"")
+                n = len(b)
+                if mod == "image":
+                    w = max(1, math.isqrt(n))
+                    h = max(1, -(-n // w))
+                    payloads.append(wrap_png(b, w, h))
+                    mimes.append("image/png")
+                elif mod == "audio":
+                    payloads.append(wrap_wav(b))
+                    mimes.append("audio/wav")
+                else:
+                    payloads.append(wrap_avi(b, 40000, max(1, n // 100)))
+                    mimes.append("video/x-msvideo")
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "mime": mimes,
+                "payload": payloads,
+                "meta": [{"source": s} for s in pdf["source"]],
+            })
+
+    return base.mapInPandas(wrap, ASSET_SCHEMA)

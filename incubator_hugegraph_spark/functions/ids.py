@@ -16,15 +16,21 @@ from incubator_hugegraph_spark.schema import ID_DELIM
 
 
 def _escape_col(col: Column) -> Column:
-    # escape the ESCAPE CHAR FIRST, then the delimiter — without the
+    # escape the ESCAPE CHAR FIRST, then both delimiters — without the
     # backslash pass, values ('a\\', 'b!c') and ('a!b\\', 'c') encode
-    # to the same spliced string and two distinct identities collapse
+    # to the same spliced string and two distinct identities collapse.
+    # '>' (the EdgeId splice delimiter, EdgeId.java) is escaped too, so
+    # a pk/sort value containing '>' can never make the 4-part EdgeId
+    # concat key ambiguous — mirroring the reference's escaping of the
+    # IDS_SPLITOR in every component (SplicingIdGenerator.concat).
     c = F.regexp_replace(col.cast("string"), r"\\", r"\\\\")
-    return F.regexp_replace(c, r"!", r"\\!")
+    c = F.regexp_replace(c, r"!", r"\\!")
+    return F.regexp_replace(c, r">", r"\\>")
 
 
 def _escape(v) -> str:
-    return str(v).replace("\\", "\\\\").replace("!", "\\!")
+    from incubator_hugegraph_spark.schema import escape_id_value
+    return escape_id_value(v)
 
 
 def splice_id_col(label: str, *pk_cols: Column | str) -> Column:
@@ -54,9 +60,10 @@ def id_prefix(label: str) -> str:
 # wrote it and upserts/lookups dedupe across surfaces. The reference
 # concats sort values with NAME_SPLITOR '!' and splices the EdgeId
 # with '>' (SplicingIdGenerator.java:47-48, EdgeId.java) — we keep the
-# same pair, with '!' escaped inside values exactly like splice_id, so
-# the '>' EdgeId splice delimiter never appears in sort_values and ids
-# stay unambiguous to parse.
+# same pair, with '!' AND '>' escaped inside values exactly like
+# splice_id (see _escape), so neither delimiter ever appears raw in
+# sort_values / spliced vertex ids and EdgeId strings stay unambiguous
+# to parse (escape-aware parsers split on unescaped '>' only).
 
 SORT_VALUES_SEP = ID_DELIM  # '!' — distinct from the '>' EdgeId splice
 

@@ -198,6 +198,68 @@ def _bimm_segment(text: str, words: frozenset[str], maxlen: int) \
     return f if f1 < r1 else r
 
 
+def _dag_segment(text: str, words: frozenset[str], maxlen: int,
+                 freqs: dict[str, int] | None = None) -> list[str]:
+    """Jieba-style DAG / unigram-cost segmentation (the algorithm of
+    the reference's JiebaAnalyzer slot, core/analyzer/JiebaAnalyzer):
+    build the word DAG over each CJK run (every dictionary word
+    starting at each position, plus the single character), then pick
+    the max-log-probability path by right-to-left DP. Unknown single
+    characters get a tiny OOV frequency — exactly the property that
+    separates DAG from greedy FMM: on 研究生命起源 with
+    {研究, 研究生, 生命, 起源}, FMM grabs 研究生 and strands an OOV
+    命, while the DP prefers the all-known 研究|生命|起源 path.
+    Non-CJK runs tokenize with the shared word rule (FMM kernel with
+    an empty lexicon degenerates to it)."""
+    import math
+    freqs = freqs or {}
+    total = max(2, sum(freqs.values()) or len(words) + 1)
+    log_total = math.log(total)
+    oov_cost = math.log(0.5) - log_total  # < any real word's logprob
+
+    def run_dp(s: str) -> list[str]:
+        m = len(s)
+        route = [0.0] * (m + 1)
+        choice = [1] * m
+        for i in range(m - 1, -1, -1):
+            best_c, best_ln = None, 1
+            for ln in range(1, min(maxlen, m - i) + 1):
+                w = s[i:i + ln]
+                if ln > 1 and w not in words:
+                    continue
+                if ln == 1 and w not in words:
+                    lp = oov_cost
+                else:
+                    lp = math.log(freqs.get(w, 1)) - log_total
+                c = lp + route[i + ln]
+                # maximize; tie → longer word (deterministic)
+                if best_c is None or c > best_c or \
+                        (c == best_c and ln > best_ln):
+                    best_c, best_ln = c, ln
+            route[i] = best_c
+            choice[i] = best_ln
+        out, i = [], 0
+        while i < m:
+            out.append(s[i:i + choice[i]])
+            i += choice[i]
+        return out
+
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        j = i
+        if _is_cjk(text[i]):
+            while j < n and _is_cjk(text[j]):
+                j += 1
+            out.extend(run_dp(text[i:j]))
+        else:
+            while j < n and not _is_cjk(text[j]):
+                j += 1
+            out.extend(_fmm_segment(text[i:j], frozenset(), 1))
+        i = j
+    return out
+
+
 def make_fmm_analyzer(dictionary=DEFAULT_CJK_DICT, kernel=None):
     """Build a Column->Column analyzer segmenting with forward maximum
     matching over ``dictionary`` (registerable via register_analyzer).
@@ -226,8 +288,21 @@ def make_bimm_analyzer(dictionary=DEFAULT_CJK_DICT):
     return make_fmm_analyzer(dictionary, kernel=_bimm_segment)
 
 
+def make_dag_analyzer(dictionary=DEFAULT_CJK_DICT,
+                      freqs: dict[str, int] | None = None):
+    """Jieba-slot analyzer: DAG + unigram-cost DP segmentation (see
+    _dag_segment), with optional per-word frequencies. Registerable
+    via register_analyzer like every other kernel."""
+    fr = dict(freqs or {})
+
+    def kernel(text, words, maxlen):
+        return _dag_segment(text, words, maxlen, fr)
+    return make_fmm_analyzer(dictionary, kernel=kernel)
+
+
 register_analyzer("word", tokenize)
 register_analyzer("bigram", _bigram_analyzer)
 register_analyzer("cjk", make_fmm_analyzer())
 register_analyzer("cjk_rmm", make_rmm_analyzer())
 register_analyzer("cjk_bimm", make_bimm_analyzer())
+register_analyzer("cjk_dag", make_dag_analyzer())

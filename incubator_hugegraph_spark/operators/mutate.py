@@ -125,20 +125,30 @@ def gen_vertex_id(schema, label: str, props: dict, graph=None) -> str:
             and all(k in props for k in vl.primary_keys)):
         return splice_id(label, *[props[k] for k in vl.primary_keys])
     if graph is not None:
-        if not hasattr(graph, "_auto_id_seq"):
-            # seed past any auto ids already persisted: a reloaded
-            # graph starting the counter at 0 would regenerate
-            # label!auto:1 and silently upsert-merge into an existing
-            # distinct entity — the exact bug the counter exists to
-            # prevent. One-time O(|V|) scan on the first auto create.
+        # Seed past any auto ids already persisted: a graph starting
+        # the counter at 0 would regenerate label!auto:1 and silently
+        # upsert-merge into an existing distinct entity — the exact
+        # bug the counter exists to prevent. The seed is RE-DERIVED
+        # whenever graph.vertices has been replaced since the last
+        # auto create (r05 ADVICE: a per-object counter seeded once
+        # diverges across wrappers of the same tables — e.g. an
+        # authorized_element_view rewrap — and an explicit user id of
+        # the reserved shape written after seeding collides with a
+        # future counter value). One O(|V|) scan per write batch, not
+        # per created vertex: within a statement the vertex table
+        # object is stable, so the k-th create increments in memory.
+        state = getattr(graph, "_auto_id_state", None)
+        if state is None or state[0] is not graph.vertices:
             mx = (graph.vertices
                   .filter(F.col("id").rlike("!auto:[0-9]+$"))
                   .agg(F.max(F.regexp_extract(
                       "id", r"!auto:(\d+)$", 1).cast("long")))
                   .collect()[0][0])
-            graph._auto_id_seq = int(mx or 0)
-        n = graph._auto_id_seq + 1
-        graph._auto_id_seq = n
+            seq = max(int(mx or 0), state[1] if state else 0)
+        else:
+            seq = state[1]
+        n = seq + 1
+        graph._auto_id_state = (graph.vertices, n)
         return f"{label}!auto:{n}"
     blob = json.dumps(sorted(props.items()), default=str)
     return f"{label}!{hashlib.md5((label + blob).encode()).hexdigest()[:16]}"

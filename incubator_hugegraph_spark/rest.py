@@ -19,6 +19,7 @@ assert the reference's expected outputs.
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -907,8 +908,20 @@ def _json_vertex_rows(graph: PropertyGraph, items: list[dict]) -> list:
                     f"The non-null property '{sorted(missing)[0]}' "
                     f"of vertex label '{jv['label']}' is missing")
         props = {k: str(v) for k, v in jv["properties"].items()}
-        vid = str(jv["id"]) if jv.get("id") is not None else \
-            gen_vertex_id(graph.schema, jv["label"], props, graph=graph)
+        if jv.get("id") is not None:
+            vid = str(jv["id"])
+            # the '!auto:<n>' suffix is reserved for the AUTOMATIC id
+            # strategy's counter (operators/mutate.py gen_vertex_id) —
+            # an explicit id of that shape collides with a future
+            # counter value and silently upsert-merges (r05 ADVICE)
+            if re.search(r"!auto:\d+$", vid):
+                raise ValueError(
+                    f"Invalid explicit vertex id '{vid}': the "
+                    "'!auto:<n>' suffix is reserved for "
+                    "AUTOMATIC-strategy generated ids")
+        else:
+            vid = gen_vertex_id(graph.schema, jv["label"], props,
+                                graph=graph)
         rows.append((vid, jv["label"], props, None))
     return rows
 

@@ -86,11 +86,21 @@ class IndexType(str, Enum):
 ID_DELIM = "!"
 
 
+def escape_id_value(v) -> str:
+    """THE id-component escaper — one definition for every surface
+    (schema splice, functions/ids column twin, REST/Cypher/Gremlin
+    writes). Escape char first, then both delimiters: '!' (vertex pk /
+    sort-value splice, NAME_SPLITOR) and '>' (EdgeId splice) —
+    mirroring the reference's escaping of the splice chars in every
+    component (SplicingIdGenerator.concat, EdgeId.asString)."""
+    return (str(v).replace("\\", "\\\\").replace("!", "\\!")
+            .replace(">", "\\>"))
+
+
 def splice_id(label: str, *pk_values: str) -> str:
     """PRIMARY_KEY id derivation (driver-side helper; column version in
     functions/ids.py). GraphTransaction.java:1536-1543."""
-    esc = [str(v).replace(ID_DELIM, "\\" + ID_DELIM) for v in pk_values]
-    return ID_DELIM.join([label, *esc])
+    return ID_DELIM.join([label] + [escape_id_value(v) for v in pk_values])
 
 
 @dataclass(frozen=True)

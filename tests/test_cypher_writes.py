@@ -348,6 +348,45 @@ def test_set_map_merge_and_replace(wgraph):
                        "SET n += {wat: 1}")
 
 
+def test_primary_key_writes_forbidden(wgraph):
+    """The reference forbids updating primary-key properties
+    (GraphTransaction.java:1154 "Can't update primary key") — r05
+    ADVICE medium: SET n = {map} silently stripped the pk. Now: the
+    replace never strips pks, a pk re-statement is validated, and a
+    pk CHANGE raises on every surface."""
+    def props():
+        return wgraph.vertices.filter("id = 'person!marko'") \
+            .head().props
+
+    with pytest.raises(ValueError, match="primary key"):
+        cypher(wgraph, "MATCH (n:person {name:'marko'}) "
+                       "SET n.name = 'other'")
+    with pytest.raises(ValueError, match="primary key"):
+        cypher(wgraph, "MATCH (n:person {name:'marko'}) "
+                       "SET n += {name: 'other'}")
+    with pytest.raises(ValueError, match="primary key"):
+        cypher(wgraph, "MATCH (n:person {name:'marko'}) "
+                       "SET n = {name: 'other', city: 'X'}")
+    # replace WITHOUT the pk keeps it (previously: silent pk delete)
+    cypher(wgraph, "MATCH (n:person {name:'marko'}) SET n = {city: 'X'}")
+    assert props().get("name") == "marko"
+    assert props().get("city") == "X"
+    # pk re-statement with the existing value is a no-op, allowed
+    cypher(wgraph, "MATCH (n:person {name:'marko'}) "
+                   "SET n = {name: 'marko', city: 'Y'}")
+    assert props() == {"name": "marko", "city": "Y"}
+
+
+def test_create_duplicate_rel_var_raises(wgraph):
+    """r05 ADVICE low: a duplicate rel variable WITHIN one CREATE
+    pattern must raise the clear reuse error, not die later with
+    AMBIGUOUS_REFERENCE."""
+    with pytest.raises(SyntaxError, match="reuse"):
+        cypher(wgraph,
+               "MATCH (a:person {name:'marko'}), (b:person {name:'josh'})"
+               " CREATE (a)-[r:knows]->(b)-[r:knows]->(a)")
+
+
 def test_temporal_functions(wgraph):
     row = cypher(
         wgraph,

@@ -148,20 +148,56 @@ def test_ivf_ann_recall(emb):
 # ------------------------------------------------------------- multimodal
 
 def test_multimodal_feature_schema_and_determinism(docs):
+    """Real header decode (r06): assets carry genuine PNG/WAV/AVI
+    containers; width/height/duration are parsed back out of the
+    payload bytes and must match the adapter's declared formulas."""
+    import math
+
     from incubator_hugegraph_spark.data.multimodal import (
         docs_as_assets, extract_features)
     feats = extract_features(docs_as_assets(docs))
-    a = feats.orderBy("asset_id").limit(5).collect()
-    b = feats.orderBy("asset_id").limit(5).collect()
-    assert a == b  # deterministic stub
+    a = feats.orderBy("asset_id").limit(9).collect()
+    b = feats.orderBy("asset_id").limit(9).collect()
+    assert a == b  # deterministic
+    texts = {r.doc_id: len(r.text.encode())
+             for r in docs.orderBy("doc_id").limit(9).collect()}
     for r in a:
-        assert r.n_bytes > 0
+        n = texts[r.asset_id]
         if r.modality == "image":
-            assert r.width == r.height and r.width >= 1
-            assert r.duration_ms is None
+            w = max(1, math.isqrt(n))
+            assert r.width == w and r.height == max(1, -(-n // w))
+            assert r.n_bytes == 57 + n and r.duration_ms is None
+        elif r.modality == "audio":
+            assert r.duration_ms == n * 1000 // 16000
+            assert r.n_bytes == 44 + n + n % 2 and r.width is None
         else:
-            assert r.width is None and r.duration_ms == r.n_bytes * 8
+            assert r.duration_ms == max(1, n // 100) * 40
+            assert r.n_bytes == 100 + n + n % 2 and r.width is None
         assert len(r.feature) == 8
+
+
+def test_multimodal_real_world_headers():
+    """The parsers handle spec-conformant bytes NOT produced by our
+    writers: JPEG SOF0 scan, GIF89a LSD, top-down BMP, and unknown
+    bytes fall back to the deterministic stub."""
+    import struct
+
+    from incubator_hugegraph_spark.data.multimodal import (
+        _parse_bmp, _parse_gif, _parse_jpeg, decode_header)
+    jfif = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 480, 640) + b"\x03"
+            + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    assert _parse_jpeg(jfif + sof0 + b"\xff\xd9") == \
+        {"width": 640, "height": 480, "duration_ms": None}
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert _parse_gif(gif)["width"] == 320
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 10
+    assert _parse_bmp(bmp) == \
+        {"width": 800, "height": 600, "duration_ms": None}
+    # unknown bytes → deterministic stub, never a crash
+    assert decode_header(b"\x00\x01\x02", "image")["width"] == 1
 
 
 def test_sample_frames_counts(docs):

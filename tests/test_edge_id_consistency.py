@@ -107,3 +107,38 @@ def test_escape_char_is_escaped():
     b = encode_sort_values(["a!b\\", "c"])
     assert a != b
     assert splice_id("l", "a\\", "b!c") != splice_id("l", "a!b\\", "c")
+
+
+def test_edge_splice_delimiter_is_escaped():
+    """r05 ADVICE (medium): a pk or sort value containing '>' must not
+    make the 4-part EdgeId concat (src>label>sort_values>dst)
+    ambiguous — the reference escapes the splice char in EVERY
+    component (SplicingIdGenerator.concat, EdgeId.asString)."""
+    from incubator_hugegraph_spark.functions.ids import (
+        encode_sort_values, splice_id)
+    assert ">" not in splice_id("l", "a>b").replace("\\>", "")
+    assert ">" not in encode_sort_values(["x>y", "z"]).replace("\\>", "")
+    # two distinct edges whose raw concat WOULD collide without escaping:
+    #   src='l!a', sv='b>l!a'   vs   src='l!a>b', sv='l!a'  (label 'e')
+    e1 = ">".join([splice_id("l", "a"), "e",
+                   encode_sort_values(["b>l!a"]), "d"])
+    e2 = ">".join([splice_id("l", "a>b"), "e",
+                   encode_sort_values(["l!a"]), "d"])
+    assert e1 != e2
+
+
+def test_rel_write_label_parse_escape_aware(spark):
+    """The cypher rel-write label fallback parses the SECOND unescaped
+    '>' field out of the EdgeId — an escaped '\\>' inside src must be
+    skipped, not split on (cypher.py _apply_rel_writes fallback)."""
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_spark.functions.ids import (
+        encode_sort_values, splice_id)
+    src = splice_id("person", "a>b")       # 'person!a\>b'
+    eid = ">".join([src, "met", encode_sort_values(["x"]), "person!c"])
+    df = spark.createDataFrame([(eid,)], "r string")
+    got = df.select(F.regexp_extract(
+        F.col("r"), r"^(?:[^\\>]|\\.)*>((?:[^\\>]|\\.)*)>", 1)
+        .alias("l")).collect()[0].l
+    assert got == "met"

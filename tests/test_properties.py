@@ -184,6 +184,58 @@ def test_bimm_never_longer_than_either_pass(pairs):
     assert len(b) == min(len(f), len(r))
 
 
+@given(st.lists(st.sampled_from(["数据", "数据库", "库存", "系统",
+                                 "分布式", "的"]), min_size=0,
+                max_size=12))
+def test_dag_covers_input_losslessly(words):
+    """The DAG/unigram-cost segmenter is also a partition of the
+    input (r06 Jieba-slot kernel)."""
+    from incubator_hugegraph_spark.functions.text import (
+        DEFAULT_CJK_DICT, _dag_segment)
+    text = "".join(words)
+    maxlen = max(map(len, DEFAULT_CJK_DICT))
+    toks = _dag_segment(text, DEFAULT_CJK_DICT, maxlen)
+    assert "".join(toks) == text
+
+
+@given(st.lists(st.sampled_from(["数据", "数据库", "系统", "分布式",
+                                 "的", "命"]), min_size=1, max_size=10))
+def test_dag_never_more_tokens_than_fmm(words):
+    """The DP maximizes path log-probability; with uniform word freqs
+    and an OOV penalty below any word, its token count never exceeds
+    greedy FMM's (FMM's segmentation is one of the DAG's paths)."""
+    from incubator_hugegraph_spark.functions.text import (
+        DEFAULT_CJK_DICT, _dag_segment, _fmm_segment)
+    text = "".join(words)
+    maxlen = max(map(len, DEFAULT_CJK_DICT))
+    f = _fmm_segment(text, DEFAULT_CJK_DICT, maxlen)
+    d = _dag_segment(text, DEFAULT_CJK_DICT, maxlen)
+    assert len(d) <= len(f)
+
+
+def test_dag_beats_greedy_on_classic_ambiguity():
+    """研究生命起源 — THE textbook case where greedy maximum matching
+    fails: FMM takes 研究生 and strands an out-of-vocabulary 命; the
+    DAG's OOV penalty selects the all-known path. This is the
+    semantic separation that makes cjk_dag a distinct kernel, not a
+    re-labeled FMM (r05 verdict item 7)."""
+    from incubator_hugegraph_spark.functions.text import (
+        _dag_segment, _fmm_segment)
+    d = frozenset({"研究", "研究生", "生命", "起源", "的"})
+    assert _fmm_segment("研究生命起源", d, 3) == ["研究生", "命", "起源"]
+    assert _dag_segment("研究生命起源", d, 3) == ["研究", "生命", "起源"]
+    # and where the longer word IS right, the DP keeps it
+    assert _dag_segment("研究生的生命", d, 3) == ["研究生", "的", "生命"]
+
+
+def test_dag_analyzer_registered(spark):
+    from incubator_hugegraph_spark.functions.text import segment
+    df = spark.createDataFrame([("研究生命起源abc",)], "t string")
+    toks = df.select(segment("t", "cjk_dag").alias("s")).head().s
+    assert "".join(toks).startswith("研究")  # partition, mixed script ok
+    assert toks[-1] == "abc"
+
+
 @given(st.recursive(
     st.one_of(st.just("_"),
               st.floats(min_value=0.5, max_value=9.5).map(

@@ -57,6 +57,23 @@ def canon(v) -> str:
     return str(v)
 
 
+def driver_sort(pdf):
+    """Reproduce the driver gate's _canon row-ordering step EXACTLY:
+    pandas ``sort_values`` over all columns (sorted by name).
+
+    This is deliberately NOT a tolerant sort — the driver's pandas
+    lexsort factorizes each column through a hash table, so any cell
+    pandas cannot hash (list/dict/ndarray) or cannot order raises
+    TypeError there. r03 (HUGEINT casts), r04 (Arrow-off inference)
+    and r05 (list columns: cypher_collect/list_fns/keys_props) all
+    shipped because the mirror's hand-rolled canon was MORE tolerant
+    than the driver; this function makes the mirror fail first.
+    """
+    cols = sorted(pdf.columns)
+    body = pdf[cols].sort_values(by=cols)  # raises like the driver does
+    return cols, [tuple(r) for r in body.itertuples(index=False, name=None)]
+
+
 def table_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
@@ -99,16 +116,18 @@ def main() -> int:
     for name in names:
         t0 = time.time()
         try:
+            # Fetch via pandas exactly like the driver gate does (the
+            # driver toPandas()-es the returned DataFrame, it does not
+            # .collect() row objects).
             sdf = qs[name](spark, SF_DIR)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = list(sdf.columns)
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: "
                   f"{str(e).splitlines()[0][:160]}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"OK?   {name}: rows-only check, {len(srows)} rows "
+            print(f"OK?   {name}: rows-only check, {len(spdf)} rows "
                   f"({time.time()-t0:.1f}s)")
             continue
         try:
@@ -117,31 +136,36 @@ def main() -> int:
             # oracle-typing artifacts reproduce locally instead of hiding
             # behind fetchall()'s Python-int path.
             dpdf = con.execute(oracles[name]).df()
-            dcols = list(dpdf.columns)
-            drows = [tuple(r) for r in dpdf.itertuples(index=False,
-                                                       name=None)]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:160]}")
+            failures += 1
+            continue
+        try:
+            # Driver-faithful canonicalization: pandas sort_values over
+            # all columns. Raises on anything the driver cannot hash
+            # (r05: list columns) — that MUST be a local FAIL.
+            scols, srows = driver_sort(spdf)
+            dcols_s, drows = driver_sort(dpdf)
+        except Exception as e:
+            print(f"FAIL  {name}: driver canon error (the driver gate "
+                  f"would ERR on this output): {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:160]}")
             failures += 1
             continue
         problems = []
         if len(srows) != len(drows):
             problems.append(f"rows {len(srows)} != {len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols {sorted(scols)} != {sorted(dcols)}")
+        if scols != dcols_s:  # both already name-sorted by driver_sort
+            problems.append(f"cols {scols} != {dcols_s}")
         if not problems:
-            sh, dh = table_hash(scols, srows), table_hash(dcols, drows)
+            # driver_sort already reordered columns by name, so rows
+            # are positionally comparable as-is.
+            sh, dh = table_hash(scols, srows), table_hash(dcols_s, drows)
             if sh != dh:
                 problems.append(f"hash {sh} != {dh}")
                 # show a sample diff
-                so = sorted("\x1f".join(
-                    canon(r[i]) for i in sorted(range(len(scols)),
-                                                key=lambda i: scols[i]))
-                    for r in srows)
-                do = sorted("\x1f".join(
-                    canon(r[i]) for i in sorted(range(len(dcols)),
-                                                key=lambda i: dcols[i]))
-                    for r in drows)
+                so = sorted("\x1f".join(canon(v) for v in r) for r in srows)
+                do = sorted("\x1f".join(canon(v) for v in r) for r in drows)
                 for a, b in zip(so, do):
                     if a != b:
                         problems.append(f"first diff:\n  spark={a!r}\n  duck ={b!r}")
