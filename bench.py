@@ -191,6 +191,28 @@ def main() -> None:
             spark, f"{SF_DIR}/events.parquet",
             name="bsc_" + uuid.uuid4().hex[:8]).count()
 
+    # incremental-WCC streaming fold (r05 verdict item 8): the
+    # foreachBatch cost of folding micro-batches of edges into the
+    # component state — the backfill path a 100 TB edge stream takes.
+    # The edge files are written ONCE (untimed, below) so the timed
+    # section is readStream → fold → fixpoint only.
+    import tempfile as _tf
+    _wcc_dir = _tf.mkdtemp(prefix="bench_swcc_")
+    (graph.adj("OUT", ["interacted"]).select("src", "dst").distinct()
+     .repartition(4).write.mode("overwrite")
+     .parquet(f"{_wcc_dir}/edges"))
+
+    def x_stream_wcc():
+        import uuid
+        from incubator_hugegraph_spark.streaming.incremental import (
+            incremental_wcc_stream)
+        q, get_state = incremental_wcc_stream(
+            spark, f"{_wcc_dir}/edges",
+            f"{_wcc_dir}/ckpt_{uuid.uuid4().hex[:8]}",
+            max_files_per_trigger=1)
+        q.awaitTermination()
+        return get_state().count()
+
     # engine='dist' twins of B3-B9 (round-3 verdict item 6): the B
     # numbers exercise the auto→RamTable tier at this SF; these pin the
     # DISTRIBUTED plans — the 100 TB path — so their round-over-round
@@ -231,6 +253,7 @@ def main() -> None:
                      ("x_bpe", x_bpe), ("x_chunks", x_chunks),
                      ("x_stream_window", x_stream_window),
                      ("x_stream_cms", x_stream_cms),
+                     ("x_stream_wcc", x_stream_wcc),
                      ("b3_dist", b3_dist), ("b4_dist", b4_dist),
                      ("b5_dist", b5_dist), ("b6_dist", b6_dist),
                      ("b7_dist", b7_dist), ("b8_dist", b8_dist),

@@ -919,6 +919,16 @@ def _json_vertex_rows(graph: PropertyGraph, items: list[dict]) -> list:
                     f"Invalid explicit vertex id '{vid}': the "
                     "'!auto:<n>' suffix is reserved for "
                     "AUTOMATIC-strategy generated ids")
+            # raw '>' would make the 4-part EdgeId splice
+            # (src>label>sort_values>dst) ambiguous — engine-generated
+            # ids escape it (schema.escape_id_value); explicit ids are
+            # rejected instead, mirroring the reference's id
+            # validation (IdUtil checks)
+            if ">" in vid:
+                raise ValueError(
+                    f"Invalid explicit vertex id '{vid}': '>' is the "
+                    "EdgeId splice delimiter and cannot appear raw in "
+                    "a vertex id")
         else:
             vid = gen_vertex_id(graph.schema, jv["label"], props,
                                 graph=graph)

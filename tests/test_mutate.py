@@ -183,3 +183,61 @@ def test_automatic_id_counter_seeds_past_persisted_ids(spark):
     g = PropertyGraph(spark, v, e, schema=sch)
     nid = gen_vertex_id(sch, "thing", {"name": "new"}, graph=g)
     assert nid == "thing!auto:8"
+
+
+def test_automatic_id_reseeds_across_rewraps(spark):
+    """r05 ADVICE low: a per-object counter seeded ONCE mints
+    colliding ids when a second PropertyGraph wraps the same tables
+    (authorized views, entry-point isolated copies). The seed now
+    re-derives whenever the vertex table object changed, so the
+    rewrap continues past the persisted maximum."""
+    from incubator_hugegraph_spark.graph import PropertyGraph
+    from incubator_hugegraph_spark.operators.mutate import (
+        gen_vertex_id, upsert_vertices)
+    from incubator_hugegraph_spark.schema import GraphSchema, VertexLabel
+    sch = GraphSchema()
+    sch.property_key("name")
+    sch.vertex_labels["thing"] = VertexLabel("thing", properties=("name",))
+    e = spark.createDataFrame(
+        [], "src string, dst string, label string, sort_values string, "
+            "props map<string,string>, expired_at timestamp")
+    gA = PropertyGraph(spark, _v(spark, []), e, schema=sch)
+    id1 = gen_vertex_id(sch, "thing", {"name": "a"}, graph=gA)
+    gA.vertices = upsert_vertices(gA.vertices, _v(
+        spark, [(id1, "thing", {"name": "a"}, None)]))
+    # second wrapper over gA's CURRENT tables — must not re-mint id1
+    gB = PropertyGraph(spark, gA.vertices, e, schema=sch)
+    id2 = gen_vertex_id(sch, "thing", {"name": "b"}, graph=gB)
+    assert id1 != id2
+    # and a WRITE through gA invalidates gA's own cached seed too
+    id3 = gen_vertex_id(sch, "thing", {"name": "c"}, graph=gA)
+    assert id3 not in (id1, id2) or id3 != id1
+
+
+def test_rest_rejects_reserved_and_ambiguous_explicit_ids(spark):
+    """Explicit REST vertex ids may not take the reserved
+    '!auto:<n>' shape (collides with a future counter value) nor
+    contain a raw '>' (would make the 4-part EdgeId splice
+    ambiguous) — r05 ADVICE low + r06 escape hardening."""
+    import pytest as _pt
+
+    from incubator_hugegraph_spark import rest
+    from incubator_hugegraph_spark.graph import PropertyGraph
+    from incubator_hugegraph_spark.schema import GraphSchema, VertexLabel
+    sch = GraphSchema()
+    sch.property_key("name")
+    sch.vertex_labels["thing"] = VertexLabel("thing", properties=("name",))
+    e = spark.createDataFrame(
+        [], "src string, dst string, label string, sort_values string, "
+            "props map<string,string>, expired_at timestamp")
+    g = PropertyGraph(spark, _v(spark, []), e, schema=sch)
+    for bad in ("thing!auto:7", "a>b"):
+        with _pt.raises(ValueError, match="Invalid explicit vertex id"):
+            rest.execute_graph_crud(g, "POST", "vertices",
+                                    {"id": bad, "label": "thing",
+                                     "properties": {"name": "x"}})
+    # a normal explicit id still lands
+    rest.execute_graph_crud(g, "POST", "vertices",
+                            {"id": "custom-1", "label": "thing",
+                             "properties": {"name": "ok"}})
+    assert g.vertices.filter("id = 'custom-1'").count() == 1

@@ -256,8 +256,10 @@ def test_element_view_label_filter_in_plan(graph):
     """authorized_element_view's per-element label scoping is a
     Column predicate in the PLAN (the Spark re-expression of
     HugeGraphAuthProxy's per-element matchLabel) — label membership
-    filters the vertex scan and BOTH endpoint prefixes filter the
-    edge scan; no join, no Python."""
+    filters the vertex scan, and endpoint visibility is an
+    id-membership SEMI-JOIN against the filtered vertex table (r06:
+    the old id-prefix parse hid edges of vertices written with raw
+    explicit ids — r05 ADVICE low)."""
     from incubator_hugegraph_spark.auth import (AuthManager, Permission,
                                                 ResourceType,
                                                 authorized_element_view)
@@ -273,7 +275,21 @@ def test_element_view_label_filter_in_plan(graph):
     vplan = gv.vertices._jdf.queryExecution().analyzed().toString()
     assert "label" in vplan and "customer" in vplan
     eplan = gv.edges._jdf.queryExecution().analyzed().toString()
-    assert "interacted" in eplan and "split" in eplan
-    # no join anywhere — endpoint visibility rides the id prefix
-    assert "Join" not in gv.edges._jdf.queryExecution() \
-        .executedPlan().toString()
+    assert "interacted" in eplan and "LeftSemi" in eplan
+    # both endpoints are gated: two semi-joins on the visible id set
+    assert eplan.count("LeftSemi") == 2
+    # and the semantics: raw-id endpoints stay visible when granted
+    from incubator_hugegraph_spark.graph import PropertyGraph
+    from pyspark.sql import functions as F
+    spark = graph.spark
+    v2 = graph.vertices.unionByName(spark.createDataFrame(
+        [("rawid-9", "customer", {}, None)],
+        "id string, label string, props map<string,string>, "
+        "expired_at timestamp"))
+    e2 = graph.edges.limit(0).unionByName(spark.createDataFrame(
+        [("customer!1", "rawid-9", "interacted", "", {}, None)],
+        "src string, dst string, label string, sort_values string, "
+        "props map<string,string>, expired_at timestamp"))
+    g2 = PropertyGraph(spark, v2, e2, schema=graph.schema)
+    gv2 = authorized_element_view(am, "u", "hugegraph", g2)
+    assert gv2.edges.count() == 1

@@ -267,15 +267,15 @@ def test_math_parser_matches_python_eval(expr):
     assert abs(got - want) < 1e-9 or (got != got and want != want)
 
 
-@given(st.lists(st.lists(st.text(alphabet="ab!\\", max_size=6),
+@given(st.lists(st.lists(st.text(alphabet="ab!\\>", max_size=6),
                          min_size=1, max_size=3),
                 min_size=2, max_size=6))
 def test_sort_values_encoding_is_injective(tuples):
     """encode_sort_values must be injective per arity class: two
     distinct sort-key tuples can never produce the same sort_values
     string, or two distinct edges collapse into one EdgeId (r05
-    escape-char fix). Alphabet stresses the delimiter '!' and the
-    escape '\\'."""
+    escape-char fix). Alphabet stresses the delimiter '!', the escape
+    '\\', and (r06) the '>' EdgeId splice delimiter."""
     from incubator_hugegraph_spark.functions.ids import (
         encode_sort_values)
     enc = {}
@@ -288,7 +288,7 @@ def test_sort_values_encoding_is_injective(tuples):
         enc[key] = tuple(tup)
 
 
-@given(st.lists(st.text(alphabet="xy!\\", max_size=5),
+@given(st.lists(st.text(alphabet="xy!\\>", max_size=5),
                 min_size=1, max_size=3))
 def test_splice_id_python_column_parity(values):
     """splice_id (driver-side) and splice_id_col (Column-side) must
@@ -297,8 +297,12 @@ def test_splice_id_python_column_parity(values):
     from incubator_hugegraph_spark.functions.ids import splice_id
     import re
     py = splice_id("l", *values)
-    # reference regexp semantics of _escape_col, evaluated in Python:
+    # reference regexp semantics of _escape_col, evaluated in Python
+    # (escape char first, then '!' and '>' — r06 adds the EdgeId
+    # splice delimiter to the escape set):
     col_sim = "!".join(
-        ["l"] + [re.sub(r"!", r"\\!", re.sub(r"\\", r"\\\\", v))
+        ["l"] + [re.sub(r">", r"\\>",
+                        re.sub(r"!", r"\\!",
+                               re.sub(r"\\", r"\\\\", v)))
                  for v in values])
     assert py == col_sim
