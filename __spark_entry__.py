@@ -5875,7 +5875,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # sibling).
 _WINDOW_ORDER = [
     # ROUND-6 WINDOW (50 slots, driver records the first 50).
-    # Goal (VERDICT r05 items 1+3): every one of the 250 declared
+    # Goal (VERDICT r05 items 1+3): every one of the 253 declared
     # queries gets a driver verdict — this window holds ALL 36
     # never-driver-green queries plus this round's new/changed ones.
     # (a) the three r05 driver-ERR rows, post-fix (array outputs now

@@ -2404,6 +2404,18 @@ class CypherEngine:
             if (self.graph.schema and lab) else None
         return set(getattr(vl, "primary_keys", ()) or ()) if vl else set()
 
+    def _pk_risk_labels(self, var: str, prop: str) -> frozenset | None:
+        """For a var with NO statically-known label: the schema labels
+        that declare `prop` as a primary key (None when the label is
+        known, or no label pk's the prop — i.e. no runtime check
+        needed). The unknown-label pk guard (code review r06)."""
+        if self._labels.get(var) is not None or self.graph.schema is None:
+            return None
+        risk = frozenset(
+            name for name, vl in self.graph.schema.vertex_labels.items()
+            if prop in (getattr(vl, "primary_keys", ()) or ()))
+        return risk or None
+
     def _guard_pk_write(self, var: str, props) -> None:
         """Raise for pk REMOVALS (SET pk = null / REMOVE n.pk) — the
         pk is spliced into the vertex id, so deleting it breaks the
@@ -2770,7 +2782,17 @@ class CypherEngine:
         removals: dict[str, list] = defaultdict(list)
         rel_sets: dict[str, list] = defaultdict(list)
         rel_strips: dict[str, list] = defaultdict(list)
-        pk_checks: list[tuple[str, str, tuple]] = []
+        # pk_checks: (var, prop, expr, risk_labels|None) — validated
+        # post-hydrate as no-op re-statements; risk_labels restricts
+        # the check to rows of labels that declare prop as pk (the
+        # unknown-label case: unlabeled MATCH vars, FOREACH element
+        # vars — code review r06 found the static guard was bypassed
+        # there entirely)
+        pk_checks: list[tuple[str, str, tuple, frozenset | None]] = []
+        # (var, prop, risk_labels): pk REMOVALS on unknown-label vars,
+        # probed post-hydrate — raise if any matched row's label
+        # declares prop as pk
+        pk_strip_probes: list[tuple[str, str, frozenset]] = []
         for var, prop, expr in s.assignments:
             if var in self._rel_vars:
                 rel_sets[var].append((prop, expr))
@@ -2781,8 +2803,15 @@ class CypherEngine:
                 # and the entry dropped from the write (the pk is
                 # encoded in the id; reference GraphTransaction.java
                 # :1154 "Can't update primary key")
-                pk_checks.append((var, prop, expr))
+                pk_checks.append((var, prop, expr, None))
                 continue
+            risk = self._pk_risk_labels(var, prop)
+            if risk:
+                # label not statically known but SOME label pk's this
+                # prop: validate those rows as no-op re-statements;
+                # the write still applies (for pk-labeled rows the
+                # validated value equals the pre-state — harmless)
+                pk_checks.append((var, prop, expr, risk))
             by_var[var].append((prop, expr))
         for var, plus, entries in s.map_assignments:
             if var in self._rel_vars:
@@ -2814,14 +2843,22 @@ class CypherEngine:
                 # SET n += {…}: merge; NULL values remove those keys.
                 # A pk key with a value is validated as a no-op
                 # re-statement (like the replace form); a null pk is a
-                # pk REMOVAL and always raises.
+                # pk REMOVAL and always raises (runtime-probed when
+                # the label isn't statically known).
                 pks = self._pk_props(var)
                 self._guard_pk_write(var, [k for k in null_keys
                                            if k in pks])
-                pk_checks.extend((var, k, e) for k, e in set_pairs
+                pk_checks.extend((var, k, e, None) for k, e in set_pairs
                                  if k in pks)
                 set_pairs = [(k, e) for k, e in set_pairs
                              if k not in pks]
+                if self._labels.get(var) is None:
+                    pk_checks.extend(
+                        (var, k, e, r) for k, e in set_pairs
+                        for r in [self._pk_risk_labels(var, k)] if r)
+                    for k in null_keys:
+                        pk_strip_probes.append(
+                            (var, k, self._pk_risk_labels(var, k)))
                 removals[var].extend(null_keys)
             else:
                 # SET n = {…}: replace the whole map — strip every
@@ -2846,7 +2883,7 @@ class CypherEngine:
                                            if k in pks])
                 removals[var].extend(
                     [p for p in vl.properties if p not in pks])
-                pk_checks.extend((var, k, e) for k, e in set_pairs
+                pk_checks.extend((var, k, e, None) for k, e in set_pairs
                                  if k in pks)
                 # pk-only restatement leaves an empty removals entry:
                 # the removal-only pass below still emits the write
@@ -2861,29 +2898,41 @@ class CypherEngine:
         # removal pass would evaluate self-referencing values like
         # SET n = {name: n.name} against the already-stripped map and
         # destroy the data it was meant to carry over
-        needed = set(by_var) | set(removals) | {v for v, _p, _e in pk_checks}
+        needed = set(by_var) | set(removals) \
+            | {v for v, _p, _e, _r in pk_checks} \
+            | {v for v, _p, _r in pk_strip_probes}
         for _var, _prop, expr in s.assignments:
             _expr_vars(expr, needed)
         for _var, _plus, entries in s.map_assignments:
             for _k, expr in entries:
                 _expr_vars(expr, needed)
         df = self._hydrate(df, needed)
-        # pk re-statements inside SET n = {map}: allowed only when the
-        # value equals the pre-write pk for EVERY matched row (the pk
-        # is encoded in the spliced id, so "equal to pre-state" is
-        # "equal to the id"); anything else is a pk update → forbidden
-        # (GraphTransaction.java:1154). Eager probe — rare path.
-        for var, prop, expr in pk_checks:
-            mism = df.filter(
-                ~self._col(expr).cast("string").eqNullSafe(
-                    self._col(("prop", var, prop)).cast("string"))
-            ).limit(1).count()
-            if mism:
+        # pk re-statements: allowed only when the value equals the
+        # pre-write pk for EVERY matched row (the pk is encoded in
+        # the spliced id, so "equal to pre-state" is "equal to the
+        # id"); anything else is a pk update → forbidden
+        # (GraphTransaction.java:1154). When the var's label isn't
+        # statically known, `risk` restricts the check to rows whose
+        # HYDRATED label declares prop as pk. Eager probes — rare
+        # path.
+        for var, prop, expr, risk in pk_checks:
+            cond = ~self._col(expr).cast("string").eqNullSafe(
+                self._col(("prop", var, prop)).cast("string"))
+            if risk is not None:
+                cond = cond & F.col(f"__l_{var}").isin(sorted(risk))
+            if df.filter(cond).limit(1).count():
                 raise ValueError(
-                    f"cypher: Can't update primary key '{prop}' of "
-                    f"label '{self._labels.get(var)}' — a SET may only "
-                    "re-state the existing pk value "
+                    f"cypher: Can't update primary key '{prop}' — a "
+                    "SET may only re-state the existing pk value "
                     "(GraphTransaction.java:1154)")
+        for var, prop, risk in pk_strip_probes:
+            hit = df.filter(F.col(f"__l_{var}").isin(sorted(risk))) \
+                .limit(1).count()
+            if hit:
+                raise ValueError(
+                    f"cypher: Can't update primary key '{prop}' — "
+                    "removing a pk property breaks the element's "
+                    "identity (GraphTransaction.java:1154)")
         # strip removed keys (same map_filter pass as REMOVE), so a
         # replace's upsert merge starts from an empty slate
         for var, keys in removals.items():
@@ -3032,8 +3081,23 @@ class CypherEngine:
                 rel_strips[var].append(prop)
                 continue
             # REMOVE n.pk deletes part of the element's identity —
-            # always forbidden (same guard as SET pk = null)
+            # always forbidden (same guard as SET pk = null); when the
+            # label isn't statically known, probe the matched rows'
+            # actual labels against the labels that pk this prop
             self._guard_pk_write(var, [prop])
+            risk = self._pk_risk_labels(var, prop)
+            if risk:
+                ids = df.select(F.col(var).alias("__pid")).distinct()
+                hit = (g.vertices
+                       .join(ids, F.col("id") == F.col("__pid"),
+                             "leftsemi")
+                       .filter(F.col("label").isin(sorted(risk)))
+                       .limit(1).count())
+                if hit:
+                    raise ValueError(
+                        f"cypher: Can't update primary key {prop!r} — "
+                        "REMOVE on a pk property breaks the element's "
+                        "identity (GraphTransaction.java:1154)")
             by_var[var].append(prop)
         summaries = []
         if rel_strips:

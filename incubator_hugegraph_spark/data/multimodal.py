@@ -86,8 +86,13 @@ def _parse_jpeg(b: bytes) -> dict | None:
             i += 1
             continue
         marker = b[i + 1]
+        if marker == 0xFF:  # legal 0xFF fill byte before a marker
+            i += 1
+            continue
+        if marker == 0xD9:  # EOI before any SOF — no frame header
+            return None
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            i += 2
+            i += 2  # standalone markers carry no length field
             continue
         seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
         # SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC): frame header
@@ -200,7 +205,10 @@ def wrap_wav(body: bytes, sample_rate: int = 8000,
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
                       channels * bits // 8, bits)
     data = body + (b"\x00" if len(body) % 2 else b"")
-    riff_size = 4 + (8 + len(fmt)) + (8 + len(body))
+    # the RIFF size spans everything after it INCLUDING children's
+    # word-alignment pad bytes (RIFF spec; a strict reader trusting
+    # the declared size would otherwise see the container truncated)
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(data))
     return (b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(body)) + data)

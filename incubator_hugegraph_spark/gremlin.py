@@ -1574,12 +1574,24 @@ class _AddE:
         self._t: Traversal | None = None
 
     def to(self, vid: str) -> "_AddE":
-        self._to = vid
+        self._to = self._check_endpoint(vid)
         return self
 
     def from_(self, vid: str) -> "_AddE":
-        self._from = vid
+        self._from = self._check_endpoint(vid)
         return self
+
+    @staticmethod
+    def _check_endpoint(vid: str) -> str:
+        # endpoint ids land verbatim in the 4-part EdgeId splice — a
+        # raw (unescaped) '>' would make it ambiguous (code review
+        # r06; same rule as the REST edge door)
+        from incubator_hugegraph_spark.schema import has_unescaped
+        if has_unescaped(str(vid), ">"):
+            raise ValueError(
+                f"Invalid edge endpoint id {vid!r}: raw '>' is the "
+                "EdgeId splice delimiter")
+        return str(vid)
 
     def property(self, key: str, value) -> "_AddE":
         if self._t is not None:

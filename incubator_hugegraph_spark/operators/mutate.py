@@ -103,6 +103,13 @@ def upsert_vertices(current: DataFrame, batch: DataFrame,
         F.coalesce("_e_new", "_e_old").alias("expired_at"))
 
 
+#: process-wide monotonic floor for AUTOMATIC-strategy ids — the
+#: in-process uniqueness guarantee across graph objects (see
+#: gen_vertex_id); the driver is the only minter (ids are generated
+#: driver-side before the batch write), so a plain list cell is safe.
+_AUTO_SEQ = [0]
+
+
 def gen_vertex_id(schema, label: str, props: dict, graph=None) -> str:
     """Created-vertex id: PRIMARY_KEY splice when the schema defines
     one (GraphTransaction.java:1536-1543); else the AUTOMATIC-strategy
@@ -125,30 +132,29 @@ def gen_vertex_id(schema, label: str, props: dict, graph=None) -> str:
             and all(k in props for k in vl.primary_keys)):
         return splice_id(label, *[props[k] for k in vl.primary_keys])
     if graph is not None:
-        # Seed past any auto ids already persisted: a graph starting
-        # the counter at 0 would regenerate label!auto:1 and silently
-        # upsert-merge into an existing distinct entity — the exact
-        # bug the counter exists to prevent. The seed is RE-DERIVED
-        # whenever graph.vertices has been replaced since the last
-        # auto create (r05 ADVICE: a per-object counter seeded once
-        # diverges across wrappers of the same tables — e.g. an
-        # authorized_element_view rewrap — and an explicit user id of
-        # the reserved shape written after seeding collides with a
-        # future counter value). One O(|V|) scan per write batch, not
-        # per created vertex: within a statement the vertex table
-        # object is stable, so the k-th create increments in memory.
-        state = getattr(graph, "_auto_id_state", None)
-        if state is None or state[0] is not graph.vertices:
+        # Two collision sources, two mechanisms (r05 ADVICE low +
+        # code review r06):
+        # 1. PERSISTED auto ids from a previous process: one O(|V|)
+        #    scan per graph OBJECT (not per create, not per table
+        #    replacement — the r06 review showed a per-replacement
+        #    rescan makes N sequential addV calls quadratic) seeds
+        #    past the stored maximum.
+        # 2. IN-PROCESS mints by OTHER graph objects over the same
+        #    tables (authorized-view rewraps, isolated entry copies):
+        #    a process-wide monotonic floor (_AUTO_SEQ) guarantees no
+        #    two objects ever mint the same n, even before either
+        #    write persists. Explicit ids of the reserved shape are
+        #    rejected at the REST door, so the floor can't be
+        #    outpaced from outside.
+        if not hasattr(graph, "_auto_id_persisted_max"):
             mx = (graph.vertices
                   .filter(F.col("id").rlike("!auto:[0-9]+$"))
                   .agg(F.max(F.regexp_extract(
                       "id", r"!auto:(\d+)$", 1).cast("long")))
                   .collect()[0][0])
-            seq = max(int(mx or 0), state[1] if state else 0)
-        else:
-            seq = state[1]
-        n = seq + 1
-        graph._auto_id_state = (graph.vertices, n)
+            graph._auto_id_persisted_max = int(mx or 0)
+        n = max(graph._auto_id_persisted_max, _AUTO_SEQ[0]) + 1
+        _AUTO_SEQ[0] = n
         return f"{label}!auto:{n}"
     blob = json.dumps(sorted(props.items()), default=str)
     return f"{label}!{hashlib.md5((label + blob).encode()).hexdigest()[:16]}"

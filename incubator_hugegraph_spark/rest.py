@@ -919,12 +919,14 @@ def _json_vertex_rows(graph: PropertyGraph, items: list[dict]) -> list:
                     f"Invalid explicit vertex id '{vid}': the "
                     "'!auto:<n>' suffix is reserved for "
                     "AUTOMATIC-strategy generated ids")
-            # raw '>' would make the 4-part EdgeId splice
-            # (src>label>sort_values>dst) ambiguous — engine-generated
-            # ids escape it (schema.escape_id_value); explicit ids are
-            # rejected instead, mirroring the reference's id
-            # validation (IdUtil checks)
-            if ">" in vid:
+            # a raw (unescaped) '>' would make the 4-part EdgeId
+            # splice (src>label>sort_values>dst) ambiguous —
+            # engine-generated ids carry only the escaped '\\>' form
+            # (schema.escape_id_value), which stays legal here so
+            # spliced ids can be re-posted; raw forms are rejected,
+            # mirroring the reference's id validation (IdUtil checks)
+            from incubator_hugegraph_spark.schema import has_unescaped
+            if has_unescaped(vid, ">"):
                 raise ValueError(
                     f"Invalid explicit vertex id '{vid}': '>' is the "
                     "EdgeId splice delimiter and cannot appear raw in "
@@ -1036,8 +1038,20 @@ def execute_graph_crud(graph: PropertyGraph, method: str, path: str,
                     encode_sort_values)
                 sort_values = encode_sort_values(
                     props.get(k, "") for k in sk)
-                rows.append((str(je["outV"]), str(je["inV"]),
-                             je["label"], sort_values, props, None))
+                src, dst = str(je["outV"]), str(je["inV"])
+                # endpoint ids land verbatim in the 4-part EdgeId
+                # splice — a raw (unescaped) '>' would make it
+                # ambiguous (code review r06; engine-spliced ids only
+                # ever carry the escaped '\\>' form, which is fine)
+                from incubator_hugegraph_spark.schema import (
+                    has_unescaped)
+                for end in (src, dst):
+                    if has_unescaped(end, ">"):
+                        raise ValueError(
+                            f"Invalid edge endpoint id '{end}': raw "
+                            "'>' is the EdgeId splice delimiter")
+                rows.append((src, dst, je["label"], sort_values,
+                             props, None))
             batch = graph.spark.createDataFrame(
                 rows, "src string, dst string, label string, "
                       "sort_values string, props map<string,string>, "

@@ -103,6 +103,23 @@ def splice_id(label: str, *pk_values: str) -> str:
     return ID_DELIM.join([label] + [escape_id_value(v) for v in pk_values])
 
 
+def has_unescaped(s: str, ch: str) -> bool:
+    """True when `ch` appears in `s` NOT preceded by an odd number of
+    backslashes — i.e. as a raw delimiter rather than an
+    escape_id_value-escaped character. Engine-spliced ids carry only
+    escaped delimiters ('\\>', '\\!'), so this is the validity test
+    for user-supplied ids entering EdgeId-splice positions."""
+    bs = 0
+    for c in s:
+        if c == "\\":
+            bs += 1
+            continue
+        if c == ch and bs % 2 == 0:
+            return True
+        bs = 0
+    return False
+
+
 @dataclass(frozen=True)
 class PropertyKey:
     name: str

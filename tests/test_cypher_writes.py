@@ -377,6 +377,37 @@ def test_primary_key_writes_forbidden(wgraph):
     assert props() == {"name": "marko", "city": "Y"}
 
 
+def test_primary_key_guard_covers_unlabeled_vars(wgraph):
+    """Code review r06: the pk guard must also hold when the var's
+    label is NOT statically known — unlabeled MATCH vars and FOREACH
+    element vars resolve labels per-row, so the check probes the
+    hydrated labels against the schema labels that pk the prop."""
+    def props():
+        return wgraph.vertices.filter("id = 'person!marko'") \
+            .head().props
+
+    with pytest.raises(ValueError, match="primary key"):
+        cypher(wgraph, "MATCH (n) WHERE n.name = 'marko' "
+                       "SET n.name = 'other'")
+    with pytest.raises(ValueError, match="primary key"):
+        cypher(wgraph, "MATCH (p:person {name:'marko'}) "
+                       "FOREACH (x IN [p] | SET x.name = 'other')")
+    with pytest.raises(ValueError, match="primary key"):
+        cypher(wgraph, "MATCH (n) WHERE n.name = 'marko' "
+                       "REMOVE n.name")
+    with pytest.raises(ValueError, match="primary key"):
+        cypher(wgraph, "MATCH (n) WHERE n.name = 'marko' "
+                       "SET n += {name: 'other'}")
+    assert props().get("name") == "marko"  # nothing leaked through
+    # non-pk writes through unlabeled vars still apply
+    cypher(wgraph, "MATCH (n) WHERE n.name = 'marko' SET n.city = 'Z'")
+    assert props().get("city") == "Z"
+    # pk re-statement through an unlabeled var is a validated no-op
+    cypher(wgraph, "MATCH (n) WHERE n.name = 'marko' "
+                   "SET n.name = 'marko'")
+    assert props().get("name") == "marko"
+
+
 def test_create_duplicate_rel_var_raises(wgraph):
     """r05 ADVICE low: a duplicate rel variable WITHIN one CREATE
     pattern must raise the clear reuse error, not die later with

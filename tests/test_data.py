@@ -196,8 +196,28 @@ def test_multimodal_real_world_headers():
     bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 10
     assert _parse_bmp(bmp) == \
         {"width": 800, "height": 600, "duration_ms": None}
+    # ITU T.81 allows 0xFF fill bytes before any marker — the scan
+    # must skip them, not read a bogus length (code review r06)
+    filled = b"\xff\xd8" + b"\xff\xff\xff" + sof0 + b"\xff\xd9"
+    assert _parse_jpeg(filled)["width"] == 640
+    # EOI before any SOF → not a decodable frame
+    assert _parse_jpeg(b"\xff\xd8\xff\xd9") is None
     # unknown bytes → deterministic stub, never a crash
     assert decode_header(b"\x00\x01\x02", "image")["width"] == 1
+
+
+def test_wav_declared_riff_size_covers_pad():
+    """The RIFF header's size field must cover the data chunk's
+    word-alignment pad byte — a strict reader trusting the declared
+    size would otherwise see a truncated container (code review
+    r06)."""
+    import struct
+
+    from incubator_hugegraph_spark.data.multimodal import wrap_wav
+    for n in (7, 8):  # odd (padded) and even (no pad)
+        b = wrap_wav(b"x" * n)
+        declared, = struct.unpack("<I", b[4:8])
+        assert 8 + declared == len(b), (n, declared, len(b))
 
 
 def test_sample_frames_counts(docs):

@@ -280,7 +280,6 @@ def test_element_view_label_filter_in_plan(graph):
     assert eplan.count("LeftSemi") == 2
     # and the semantics: raw-id endpoints stay visible when granted
     from incubator_hugegraph_spark.graph import PropertyGraph
-    from pyspark.sql import functions as F
     spark = graph.spark
     v2 = graph.vertices.unionByName(spark.createDataFrame(
         [("rawid-9", "customer", {}, None)],

@@ -37,13 +37,11 @@ def canon(v) -> str:
         return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
-            # NULL floats: the driver fetches BOTH sides via pandas,
-            # where SQL NULL in a float column is NaN on both sides —
-            # so NULL≡NaN there. This mirror collects Spark via
-            # .collect() (NULL → None) but DuckDB via .df() (NULL →
-            # NaN); canonicalize NaN to NULL or the mirror reports
-            # false FAILs the driver would pass (seen:
-            # multimodal_features' nullable float column).
+            # NULL floats: both sides fetch via pandas (r06 — the
+            # mirror now toPandas()-es Spark exactly like the driver),
+            # where SQL NULL in a float column is NaN; canonicalize
+            # NaN to NULL so nullable float columns hash identically
+            # (seen: multimodal_features).
             return "\\N"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
