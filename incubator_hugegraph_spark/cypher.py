@@ -2856,9 +2856,9 @@ class CypherEngine:
                     pk_checks.extend(
                         (var, k, e, r) for k, e in set_pairs
                         for r in [self._pk_risk_labels(var, k)] if r)
-                    for k in null_keys:
-                        pk_strip_probes.append(
-                            (var, k, self._pk_risk_labels(var, k)))
+                    pk_strip_probes.extend(
+                        (var, k, r) for k in null_keys
+                        for r in [self._pk_risk_labels(var, k)] if r)
                 removals[var].extend(null_keys)
             else:
                 # SET n = {…}: replace the whole map — strip every

@@ -1583,14 +1583,13 @@ class _AddE:
 
     @staticmethod
     def _check_endpoint(vid: str) -> str:
-        # endpoint ids land verbatim in the 4-part EdgeId splice — a
-        # raw (unescaped) '>' would make it ambiguous (code review
-        # r06; same rule as the REST edge door)
-        from incubator_hugegraph_spark.schema import has_unescaped
-        if has_unescaped(str(vid), ">"):
-            raise ValueError(
-                f"Invalid edge endpoint id {vid!r}: raw '>' is the "
-                "EdgeId splice delimiter")
+        # endpoint ids land verbatim in the 4-part EdgeId splice —
+        # a raw '>' or a trailing unpaired backslash would corrupt it
+        # (code review r06; same rule as the REST edge door)
+        from incubator_hugegraph_spark.schema import id_splice_safe
+        ok, why = id_splice_safe(str(vid))
+        if not ok:
+            raise ValueError(f"Invalid edge endpoint id {vid!r}: {why}")
         return str(vid)
 
     def property(self, key: str, value) -> "_AddE":

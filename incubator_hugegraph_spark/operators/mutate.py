@@ -146,6 +146,13 @@ def gen_vertex_id(schema, label: str, props: dict, graph=None) -> str:
         #    write persists. Explicit ids of the reserved shape are
         #    rejected at the REST door, so the floor can't be
         #    outpaced from outside.
+        # LIMITATION (documented): AUTOMATIC ids assume ONE minting
+        # process per store at a time — ids persisted by a DIFFERENT
+        # process after this object's first mint are not seen (the
+        # reference has the same single-owner posture: its
+        # auto-increment generator is node-local, and multi-writer
+        # deployments use the SNOWFLAKE strategy, whose worker-id
+        # partitioning is the reference's answer to this exact case).
         if not hasattr(graph, "_auto_id_persisted_max"):
             mx = (graph.vertices
                   .filter(F.col("id").rlike("!auto:[0-9]+$"))

@@ -919,18 +919,18 @@ def _json_vertex_rows(graph: PropertyGraph, items: list[dict]) -> list:
                     f"Invalid explicit vertex id '{vid}': the "
                     "'!auto:<n>' suffix is reserved for "
                     "AUTOMATIC-strategy generated ids")
-            # a raw (unescaped) '>' would make the 4-part EdgeId
-            # splice (src>label>sort_values>dst) ambiguous —
-            # engine-generated ids carry only the escaped '\\>' form
-            # (schema.escape_id_value), which stays legal here so
-            # spliced ids can be re-posted; raw forms are rejected,
-            # mirroring the reference's id validation (IdUtil checks)
-            from incubator_hugegraph_spark.schema import has_unescaped
-            if has_unescaped(vid, ">"):
+            # a raw (unescaped) '>' or a trailing unpaired backslash
+            # would make the 4-part EdgeId splice
+            # (src>label>sort_values>dst) ambiguous — engine-generated
+            # ids carry only the escaped forms (schema.escape_id_value),
+            # which stay legal here so spliced ids can be re-posted;
+            # raw forms are rejected, mirroring the reference's id
+            # validation (IdUtil checks)
+            from incubator_hugegraph_spark.schema import id_splice_safe
+            ok, why = id_splice_safe(vid)
+            if not ok:
                 raise ValueError(
-                    f"Invalid explicit vertex id '{vid}': '>' is the "
-                    "EdgeId splice delimiter and cannot appear raw in "
-                    "a vertex id")
+                    f"Invalid explicit vertex id '{vid}': {why}")
         else:
             vid = gen_vertex_id(graph.schema, jv["label"], props,
                                 graph=graph)
@@ -1027,6 +1027,9 @@ def execute_graph_crud(graph: PropertyGraph, method: str, path: str,
 
     else:  # edges
         if method == "POST":
+            from incubator_hugegraph_spark.functions.ids import (
+                encode_sort_values)
+            from incubator_hugegraph_spark.schema import id_splice_safe
             items = payload if rest == ["batch"] else [payload]
             rows = []
             for je in items:
@@ -1034,22 +1037,17 @@ def execute_graph_crud(graph: PropertyGraph, method: str, path: str,
                          for k, v in (je.get("properties") or {}).items()}
                 sk = graph.schema.edge_labels[je["label"]].sort_keys \
                     if graph.schema else ()
-                from incubator_hugegraph_spark.functions.ids import (
-                    encode_sort_values)
                 sort_values = encode_sort_values(
                     props.get(k, "") for k in sk)
                 src, dst = str(je["outV"]), str(je["inV"])
                 # endpoint ids land verbatim in the 4-part EdgeId
-                # splice — a raw (unescaped) '>' would make it
-                # ambiguous (code review r06; engine-spliced ids only
-                # ever carry the escaped '\\>' form, which is fine)
-                from incubator_hugegraph_spark.schema import (
-                    has_unescaped)
+                # splice (code review r06; engine-spliced ids only
+                # carry escaped delimiters, which are fine)
                 for end in (src, dst):
-                    if has_unescaped(end, ">"):
+                    ok, why = id_splice_safe(end)
+                    if not ok:
                         raise ValueError(
-                            f"Invalid edge endpoint id '{end}': raw "
-                            "'>' is the EdgeId splice delimiter")
+                            f"Invalid edge endpoint id '{end}': {why}")
                 rows.append((src, dst, je["label"], sort_values,
                              props, None))
             batch = graph.spark.createDataFrame(

@@ -120,6 +120,21 @@ def has_unescaped(s: str, ch: str) -> bool:
     return False
 
 
+def id_splice_safe(s: str) -> tuple[bool, str]:
+    """Can `s` sit in an EdgeId splice position without corrupting the
+    4-part key? Two hazards (code review r06): a raw unescaped '>'
+    (reads as a delimiter), and a TRAILING odd backslash run (escapes
+    the splice delimiter the concat appends after it — 'a\\' + '>' +
+    label parses the label's first char as escaped). Returns
+    (ok, reason)."""
+    if has_unescaped(s, ">"):
+        return False, "raw '>' is the EdgeId splice delimiter"
+    if (len(s) - len(s.rstrip("\\"))) % 2 == 1:
+        return False, ("a trailing unpaired backslash would escape "
+                       "the EdgeId splice delimiter")
+    return True, ""
+
+
 @dataclass(frozen=True)
 class PropertyKey:
     name: str

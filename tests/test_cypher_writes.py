@@ -406,6 +406,16 @@ def test_primary_key_guard_covers_unlabeled_vars(wgraph):
     cypher(wgraph, "MATCH (n) WHERE n.name = 'marko' "
                    "SET n.name = 'marko'")
     assert props().get("name") == "marko"
+    # null-removal of a NON-pk prop through an unlabeled var works
+    # (second review pass r06: the strip-probe list crashed on
+    # risk=None here instead of removing the key)
+    cypher(wgraph, "MATCH (n) WHERE n.name = 'marko' "
+                   "SET n += {city: null}")
+    assert "city" not in props()
+    # null-removal of the PK through an unlabeled var raises
+    with pytest.raises(ValueError, match="primary key"):
+        cypher(wgraph, "MATCH (n) WHERE n.name = 'marko' "
+                       "SET n += {name: null}")
 
 
 def test_create_duplicate_rel_var_raises(wgraph):

@@ -241,11 +241,24 @@ def test_rest_rejects_reserved_and_ambiguous_explicit_ids(spark):
         [], "src string, dst string, label string, sort_values string, "
             "props map<string,string>, expired_at timestamp")
     g = PropertyGraph(spark, _v(spark, []), e, schema=sch)
-    for bad in ("thing!auto:7", "a>b"):
+    for bad in ("thing!auto:7", "a>b", "a\\"):
         with _pt.raises(ValueError, match="Invalid explicit vertex id"):
             rest.execute_graph_crud(g, "POST", "vertices",
                                     {"id": bad, "label": "thing",
                                      "properties": {"name": "x"}})
+    # escaped forms (engine-spliced ids) and paired backslashes pass
+    rest.execute_graph_crud(g, "POST", "vertices",
+                            {"id": "person!a\\>b", "label": "thing",
+                             "properties": {"name": "esc"}})
+    # edge endpoints get the same validation
+    sch.edge_labels = getattr(sch, "edge_labels", {})
+    from incubator_hugegraph_spark.schema import EdgeLabel
+    sch.edge_labels["met"] = EdgeLabel("met", "thing", "thing")
+    for bad_end in ("x>y", "x\\"):
+        with _pt.raises(ValueError, match="Invalid edge endpoint id"):
+            rest.execute_graph_crud(g, "POST", "edges",
+                                    {"outV": bad_end, "inV": "custom-0",
+                                     "label": "met", "properties": {}})
     # a normal explicit id still lands
     rest.execute_graph_crud(g, "POST", "vertices",
                             {"id": "custom-1", "label": "thing",
