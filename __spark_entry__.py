@@ -527,6 +527,39 @@ def text_cjk_dag(spark, sf_dir):
         .alias("toks"))
 
 
+@_q("text_cjk_hmm", """
+SELECT doc_id AS id,
+       CASE doc_id % 2
+            WHEN 0 THEN '研究|甲乙|丙丁|生命'
+            ELSE '生命|甲乙|丙' END AS toks
+FROM documents
+""")
+def text_cjk_hmm(spark, sf_dir):
+    """Jieba finalseg HMM pass (jieba/finalseg — the second half of
+    the reference's JiebaAnalyzer slot): maximal runs of OOV CJK
+    singles left by the DAG pass are re-decoded by Viterbi over the
+    BMES state machine. By-construction sentences: dictionary words
+    bracket OOV runs of even (4 → two 2-char words) and odd (3 →
+    2+1) length, so the oracle pins BOTH the run-boundary detection
+    and the BMES path choice. Emission tables are pluggable; the
+    defaults are emission-uniform (documented — the transition prior
+    alone reproduces Jieba's known pair-up-unknowns behavior).
+    Tokens '|'-joined for the driver canonicalizer."""
+    from incubator_hugegraph_spark.functions.text import (
+        make_dag_analyzer, register_analyzer, segment)
+    register_analyzer("cjk_hmm_demo", make_dag_analyzer(
+        {"研究", "生命"}, hmm=True))
+    sents = F.array(F.lit("研究甲乙丙丁生命"), F.lit("生命甲乙丙"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.element_at(sents, (F.col("doc_id") % 2 + 1).cast("int"))
+        .alias("text"))
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_join(segment(F.col("text"), "cjk_hmm_demo"), "|")
+        .alias("toks"))
+
+
 @_q("gremlin_dsl_select", """
 SELECT 'customer!' || c_custkey AS c, 'nation!' || c_nationkey AS n
 FROM customer
@@ -5903,13 +5936,14 @@ _WINDOW_ORDER = [
     # (f) new/changed this round: Jieba-slot DAG CJK segmenter,
     # real multimodal header decode, id-escape roundtrip ('>' added
     # to the escape set — r05 ADVICE medium)
-    "text_cjk_dag", "multimodal_features", "id_escape_roundtrip",
+    "text_cjk_dag", "text_cjk_hmm", "multimodal_features",
+    "id_escape_roundtrip",
     # (g) re-checks of surfaces the r06 code changes touched
     # (SET pk guard, CREATE rel-var reuse, AUTOMATIC id reseed,
     # shared escape in file ingestion)
     "cypher_merge", "cypher_create", "cypher_foreach", "cypher_remove",
     "graph_load_csv", "vertex_upsert_merge", "vertex_id_lookup",
-    "vertex_id_prefix", "vertex_delete_cascade", "graph_export_roundtrip",
+    "vertex_id_prefix", "vertex_delete_cascade",
 ]
 
 

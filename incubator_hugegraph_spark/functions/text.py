@@ -288,15 +288,125 @@ def make_bimm_analyzer(dictionary=DEFAULT_CJK_DICT):
     return make_fmm_analyzer(dictionary, kernel=_bimm_segment)
 
 
+# ---------------------------------------------------------------------
+# HMM finalseg (the second half of the Jieba algorithm,
+# jieba/finalseg): runs of out-of-vocabulary characters left as
+# singles by the DAG pass are re-segmented by Viterbi over the BMES
+# state machine (Begin/Middle/End/Single). Parameters are pluggable —
+# real deployments drop in trained per-character emission tables; the
+# defaults are emission-uniform, which reduces Viterbi to the
+# transition prior and groups OOV runs into 2-char words (the
+# dominant Chinese word length — the documented behavior of Jieba's
+# own HMM on unseen text).
+# ---------------------------------------------------------------------
+
+import math as _math
+
+#: default BMES log-probability tables (emission-uniform). Start: a
+#: run begins with B or S; M/E are impossible openers. Transitions
+#: encode the BMES automaton (B→M/E, M→M/E, E→B/S, S→B/S) with a
+#: mild preference for 2-char words (B→E over B→M) and for pairing
+#: over isolated singles (→B over →S).
+DEFAULT_HMM_START = {"B": _math.log(0.7), "M": -1e9,
+                     "E": -1e9, "S": _math.log(0.3)}
+DEFAULT_HMM_TRANS = {
+    "B": {"M": _math.log(0.3), "E": _math.log(0.7)},
+    "M": {"M": _math.log(0.4), "E": _math.log(0.6)},
+    "E": {"B": _math.log(0.7), "S": _math.log(0.3)},
+    "S": {"B": _math.log(0.6), "S": _math.log(0.4)},
+}
+
+
+def _viterbi_bmes(run: str, start=None, trans=None, emit=None) \
+        -> list[str]:
+    """Viterbi decode of a CJK run into words via BMES states
+    (jieba/finalseg __cut). `emit` maps state -> {char: logp}
+    (missing chars get a uniform floor, so emission-less operation is
+    well-defined). The final state must be E or S (a word cannot end
+    mid-way)."""
+    start = start or DEFAULT_HMM_START
+    trans = trans or DEFAULT_HMM_TRANS
+    emit = emit or {}
+    floor = _math.log(1e-8)
+
+    def e(state: str, ch: str) -> float:
+        return emit.get(state, {}).get(ch, floor)
+
+    states = "BMES"
+    v = [{s: start[s] + e(s, run[0]) for s in states}]
+    path = {s: [s] for s in states}
+    for ch in run[1:]:
+        nv, npath = {}, {}
+        for s in states:
+            best, prev = -1e18, None
+            for p in states:
+                t = trans.get(p, {}).get(s)
+                if t is None:
+                    continue
+                c = v[-1][p] + t
+                if c > best:
+                    best, prev = c, p
+            nv[s] = (best + e(s, ch)) if prev is not None else -1e18
+            npath[s] = path[prev] + [s] if prev is not None else [s]
+        v.append(nv)
+        path = npath
+    last = max(("E", "S"), key=lambda s: v[-1][s])
+    tags = path[last]
+    out, w = [], ""
+    for ch, t in zip(run, tags):
+        w += ch
+        if t in ("E", "S"):
+            out.append(w)
+            w = ""
+    if w:
+        out.append(w)
+    return out
+
+
+def _hmm_regroup(tokens: list[str], words: frozenset[str],
+                 start=None, trans=None, emit=None) -> list[str]:
+    """Post-pass over a DAG segmentation: maximal runs of
+    single-character OOV CJK tokens are re-decoded by the BMES
+    Viterbi (known dictionary words and non-CJK tokens pass
+    through) — exactly Jieba's cut(HMM=True) composition."""
+    out: list[str] = []
+    run = ""
+    for t in tokens:
+        oov_single = (len(t) == 1 and _is_cjk(t)
+                      and t not in words)
+        if oov_single:
+            run += t
+            continue
+        if run:
+            out.extend(_viterbi_bmes(run, start, trans, emit)
+                       if len(run) > 1 else [run])
+            run = ""
+        out.append(t)
+    if run:
+        out.extend(_viterbi_bmes(run, start, trans, emit)
+                   if len(run) > 1 else [run])
+    return out
+
+
 def make_dag_analyzer(dictionary=DEFAULT_CJK_DICT,
-                      freqs: dict[str, int] | None = None):
+                      freqs: dict[str, int] | None = None,
+                      hmm: bool = False,
+                      hmm_params: dict | None = None):
     """Jieba-slot analyzer: DAG + unigram-cost DP segmentation (see
-    _dag_segment), with optional per-word frequencies. Registerable
-    via register_analyzer like every other kernel."""
+    _dag_segment), with optional per-word frequencies; ``hmm=True``
+    adds the finalseg BMES-Viterbi pass over OOV runs (jieba's
+    cut(HMM=True)); ``hmm_params`` = {'start','trans','emit'} plugs
+    in trained tables. Registerable via register_analyzer like every
+    other kernel."""
     fr = dict(freqs or {})
+    hp = hmm_params or {}
 
     def kernel(text, words, maxlen):
-        return _dag_segment(text, words, maxlen, fr)
+        toks = _dag_segment(text, words, maxlen, fr)
+        if hmm:
+            toks = _hmm_regroup(toks, words, hp.get("start"),
+                                hp.get("trans"), hp.get("emit"))
+        return toks
     return make_fmm_analyzer(dictionary, kernel=kernel)
 
 
@@ -306,3 +416,4 @@ register_analyzer("cjk", make_fmm_analyzer())
 register_analyzer("cjk_rmm", make_rmm_analyzer())
 register_analyzer("cjk_bimm", make_bimm_analyzer())
 register_analyzer("cjk_dag", make_dag_analyzer())
+register_analyzer("cjk_dag_hmm", make_dag_analyzer(hmm=True))

