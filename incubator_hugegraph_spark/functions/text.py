@@ -13,6 +13,8 @@ whole-stage codegen) — no Python row loop anywhere.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -211,7 +213,6 @@ def _dag_segment(text: str, words: frozenset[str], maxlen: int,
     命, while the DP prefers the all-known 研究|生命|起源 path.
     Non-CJK runs tokenize with the shared word rule (FMM kernel with
     an empty lexicon degenerates to it)."""
-    import math
     freqs = freqs or {}
     total = max(2, sum(freqs.values()) or len(words) + 1)
     log_total = math.log(total)
@@ -300,66 +301,78 @@ def make_bimm_analyzer(dictionary=DEFAULT_CJK_DICT):
 # own HMM on unseen text).
 # ---------------------------------------------------------------------
 
-import math as _math
-
 #: default BMES log-probability tables (emission-uniform). Start: a
 #: run begins with B or S; M/E are impossible openers. Transitions
 #: encode the BMES automaton (B→M/E, M→M/E, E→B/S, S→B/S) with a
 #: mild preference for 2-char words (B→E over B→M) and for pairing
 #: over isolated singles (→B over →S).
-DEFAULT_HMM_START = {"B": _math.log(0.7), "M": -1e9,
-                     "E": -1e9, "S": _math.log(0.3)}
+DEFAULT_HMM_START = {"B": math.log(0.7), "S": math.log(0.3)}
 DEFAULT_HMM_TRANS = {
-    "B": {"M": _math.log(0.3), "E": _math.log(0.7)},
-    "M": {"M": _math.log(0.4), "E": _math.log(0.6)},
-    "E": {"B": _math.log(0.7), "S": _math.log(0.3)},
-    "S": {"B": _math.log(0.6), "S": _math.log(0.4)},
+    "B": {"M": math.log(0.3), "E": math.log(0.7)},
+    "M": {"M": math.log(0.4), "E": math.log(0.6)},
+    "E": {"B": math.log(0.7), "S": math.log(0.3)},
+    "S": {"B": math.log(0.6), "S": math.log(0.4)},
 }
+
+_NEG = -1e18
 
 
 def _viterbi_bmes(run: str, start=None, trans=None, emit=None) \
         -> list[str]:
     """Viterbi decode of a CJK run into words via BMES states
-    (jieba/finalseg __cut). `emit` maps state -> {char: logp}
-    (missing chars get a uniform floor, so emission-less operation is
-    well-defined). The final state must be E or S (a word cannot end
-    mid-way)."""
+    (jieba/finalseg __cut). `emit` maps state -> {char: logp} and
+    `start` maps state -> logp; missing entries get floors, so
+    sparse user tables (e.g. start with only B/S, as the defaults
+    now model) are fine. Backpointer arrays + one backward trace —
+    O(n) like jieba's own implementation, never O(n²) path copies
+    (code review r06: the default tiny dictionary makes whole
+    documents one OOV run). The traceback always yields exactly
+    len(run) tags, so the output is a partition of the input by
+    construction, even under degenerate custom transition tables."""
     start = start or DEFAULT_HMM_START
     trans = trans or DEFAULT_HMM_TRANS
     emit = emit or {}
-    floor = _math.log(1e-8)
+    floor = math.log(1e-8)
 
     def e(state: str, ch: str) -> float:
         return emit.get(state, {}).get(ch, floor)
 
     states = "BMES"
-    v = [{s: start[s] + e(s, run[0]) for s in states}]
-    path = {s: [s] for s in states}
+    v = {s: start.get(s, _NEG) + e(s, run[0]) for s in states}
+    back: list[dict] = []  # back[i][s] = best predecessor of s at i+1
     for ch in run[1:]:
-        nv, npath = {}, {}
+        nv, bp = {}, {}
         for s in states:
-            best, prev = -1e18, None
+            best, prev = _NEG, None
             for p in states:
                 t = trans.get(p, {}).get(s)
                 if t is None:
                     continue
-                c = v[-1][p] + t
+                c = v[p] + t
                 if c > best:
                     best, prev = c, p
-            nv[s] = (best + e(s, ch)) if prev is not None else -1e18
-            npath[s] = path[prev] + [s] if prev is not None else [s]
-        v.append(nv)
-        path = npath
-    last = max(("E", "S"), key=lambda s: v[-1][s])
-    tags = path[last]
-    out, w = [], ""
+            nv[s] = (best + e(s, ch)) if prev is not None else _NEG
+            bp[s] = prev
+        v = nv
+        back.append(bp)
+    last = max(("E", "S"), key=lambda s: v[s])
+    rev = [last]
+    for bp in reversed(back):
+        prev = bp.get(rev[-1])
+        # None predecessor only under a degenerate custom table with
+        # unreachable states — fall back to S (closes the word) so
+        # the partition invariant survives rather than dropping chars
+        rev.append(prev if prev is not None else "S")
+    tags = rev[::-1]
+    out: list[str] = []
+    w: list[str] = []
     for ch, t in zip(run, tags):
-        w += ch
+        w.append(ch)
         if t in ("E", "S"):
-            out.append(w)
-            w = ""
+            out.append("".join(w))
+            w.clear()
     if w:
-        out.append(w)
+        out.append("".join(w))
     return out
 
 
@@ -370,21 +383,24 @@ def _hmm_regroup(tokens: list[str], words: frozenset[str],
     Viterbi (known dictionary words and non-CJK tokens pass
     through) — exactly Jieba's cut(HMM=True) composition."""
     out: list[str] = []
-    run = ""
+    run: list[str] = []
+
+    def flush() -> None:
+        if not run:
+            return
+        if len(run) > 1:
+            out.extend(_viterbi_bmes("".join(run), start, trans, emit))
+        else:
+            out.append(run[0])
+        run.clear()
+
     for t in tokens:
-        oov_single = (len(t) == 1 and _is_cjk(t)
-                      and t not in words)
-        if oov_single:
-            run += t
+        if len(t) == 1 and _is_cjk(t) and t not in words:
+            run.append(t)
             continue
-        if run:
-            out.extend(_viterbi_bmes(run, start, trans, emit)
-                       if len(run) > 1 else [run])
-            run = ""
+        flush()
         out.append(t)
-    if run:
-        out.extend(_viterbi_bmes(run, start, trans, emit)
-                   if len(run) > 1 else [run])
+    flush()
     return out
 
 

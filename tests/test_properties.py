@@ -231,14 +231,33 @@ def test_dag_beats_greedy_on_classic_ambiguity():
 @given(st.lists(st.sampled_from("甲乙丙丁戊"), min_size=1, max_size=9))
 def test_hmm_finalseg_is_lossless_partition(chars):
     """The BMES Viterbi is a partition of the OOV run (every char
-    exactly once, in order), every word ends in state E or S (no
-    dangling B/M), and under the default emission-uniform tables no
-    word exceeds ... the transition structure's reachable lengths."""
+    exactly once, in order) with no empty tokens, and under the
+    default tables every word is 1-3 chars (the only lengths the
+    default transition structure makes optimal)."""
     from incubator_hugegraph_spark.functions.text import _viterbi_bmes
     run = "".join(chars)
     toks = _viterbi_bmes(run)
     assert "".join(toks) == run
     assert all(toks)
+    assert all(1 <= len(t) <= 3 for t in toks)
+
+
+def test_hmm_viterbi_tolerates_sparse_user_tables():
+    """Users passing trained tables naturally omit impossible states
+    (start with only B/S) or leave states unreachable — the decode
+    must stay a lossless partition, never KeyError or drop chars
+    (second review pass r06: both failure modes were live)."""
+    import math as m
+
+    from incubator_hugegraph_spark.functions.text import _viterbi_bmes
+    # sparse start (B/S only) — the documented shape
+    toks = _viterbi_bmes("甲乙丙丁", start={"B": m.log(0.6),
+                                           "S": m.log(0.4)})
+    assert "".join(toks) == "甲乙丙丁"
+    # degenerate trans: E and S unreachable — partition still holds
+    toks = _viterbi_bmes("甲乙丙", trans={"B": {"M": -1.0},
+                                          "M": {"M": -1.0}})
+    assert "".join(toks) == "甲乙丙"
 
 
 @given(st.lists(st.sampled_from(["研究", "生命", "甲", "乙", "丙"]),
