@@ -5074,13 +5074,18 @@ synth AS (SELECT id,
 
 
 def _pii_oracle_sql() -> str:
+    # counts mirror the engine's SEQUENTIAL semantics: each kind is
+    # counted on the text with earlier kinds already redacted, so a
+    # span matching two patterns is counted once (r06)
     p = _pii_patterns()
     red = "text"
+    count_exprs = []
     for k in p:
+        count_exprs.append(
+            f"CAST(length(regexp_extract_all({red}, '{p[k]}')) AS "
+            f"BIGINT) AS n_{k}")
         red = f"regexp_replace({red}, '{p[k]}', '<{k.upper()}>', 'g')"
-    counts = ",\n       ".join(
-        f"CAST(length(regexp_extract_all(text, '{p[k]}')) AS BIGINT)"
-        f" AS n_{k}" for k in p)
+    counts = ",\n       ".join(count_exprs)
     return (f"WITH {_PII_SYNTH_SQL.strip()}\n"
             f"SELECT id, {red} AS redacted,\n       {counts}\nFROM synth")
 

@@ -150,15 +150,20 @@ def pii_redact(docs: DataFrame, kinds: list[str] | None = None,
     regex gate; that validator slot is a pandas_udf hook, same shape
     as the analyzer plugin (SURVEY §2.K)."""
     kinds = kinds or list(PII_PATTERNS)
-    out = docs.select(F.col(id_col).alias("id"),
-                      F.col(text_col).alias("redacted"),
-                      *[F.regexp_count(F.col(text_col),
-                                       F.lit(PII_PATTERNS[k]))
-                        .alias(f"n_{k}") for k in kinds])
-    red = F.col("redacted")
+    # counts are taken SEQUENTIALLY on the progressively-redacted
+    # text, so each count equals the number of <KIND> replacements
+    # actually made — a span matching two patterns (an IPv4 that the
+    # looser phone regex would also hit) is counted once, under the
+    # kind that redacted it (code review r06: independent counts on
+    # the original text overstated PII density)
+    red = F.col(text_col)
+    counts = []
     for k in kinds:
+        counts.append(F.regexp_count(red, F.lit(PII_PATTERNS[k]))
+                      .alias(f"n_{k}"))
         red = F.regexp_replace(red, PII_PATTERNS[k], f"<{k.upper()}>")
-    return out.withColumn("redacted", red)
+    return docs.select(F.col(id_col).alias("id"),
+                       red.alias("redacted"), *counts)
 
 
 def duplicated_spans(docs: DataFrame, n: int = 3, min_docs: int = 2,
@@ -242,27 +247,37 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
                      lambda x: F.trim(x) != "")
     n_words = F.size(words)
     n_lines = F.size(lines)
+
+    # ANSI-safe division: empty/whitespace-only documents have
+    # n_words == 0 (and possibly n_lines == 0) — under Spark 4's
+    # default ANSI mode a bare x/0 would abort the whole corpus pass
+    # with DIVIDE_BY_ZERO (code review r06). NULL metrics flow into
+    # the rule booleans, which coalesce to False: junk docs are
+    # FILTERED, never fatal.
+    def _per(num, den):
+        return F.when(den > 0, num / den)
+
     total_len = F.aggregate(
         F.transform(words, lambda x: F.length(x).cast("long")),
         F.lit(0).cast("long"), lambda a, x: a + x)
-    mean_len = total_len.cast("double") / n_words
-    alpha_frac = (F.size(F.filter(words,
-                                  lambda x: x.rlike("[A-Za-z]")))
-                  .cast("double") / n_words)
+    mean_len = _per(total_len.cast("double"), n_words)
+    alpha_frac = _per(F.size(F.filter(words,
+                                      lambda x: x.rlike("[A-Za-z]")))
+                      .cast("double"), n_words)
     stop_hits = F.size(F.array_intersect(
         F.array_distinct(F.transform(words, F.lower)),
         F.array(*[F.lit(w) for w in stop_words])))
-    bullet_frac = (F.size(F.filter(
+    bullet_frac = _per(F.size(F.filter(
         lines,
         lambda x: F.trim(x).startswith("-") | F.trim(x).startswith("*")
         | F.trim(x).startswith("\u2022")))
-        .cast("double") / n_lines)
-    ellipsis_frac = (F.size(F.filter(
+        .cast("double"), n_lines)
+    ellipsis_frac = _per(F.size(F.filter(
         lines, lambda x: F.trim(x).endswith("...")))
-        .cast("double") / n_lines)
-    hash_ratio = ((F.length(text_col)
-                   - F.length(F.regexp_replace(text_col, "#", "")))
-                  .cast("double") / n_words)
+        .cast("double"), n_lines)
+    hash_ratio = _per((F.length(text_col)
+                       - F.length(F.regexp_replace(text_col, "#", "")))
+                      .cast("double"), n_words)
     m = docs.select(
         F.col(id_col),
         n_words.alias("n_words"),

@@ -437,7 +437,10 @@ def semantic_dedup(emb: DataFrame, n_cells: int = 16,
 
     base = emb.select(F.col(id_col).alias("id"),
                       _to_double(vec_col).alias("v"))
-    dim = len(emb.select(vec_col).first()[0])
+    row = emb.select(vec_col).first()
+    if row is None:  # empty corpus → empty result, not a TypeError
+        return base.select("id", F.lit(0).alias("cell")).limit(0)
+    dim = len(row[0])
     cents = kmeans_centroids(base, n_cells, dim, n_iters)
     assigned = (base.crossJoin(F.broadcast(cents))
                 .withColumn("d", cosine(F.col("v"), F.col("cv"))))
@@ -508,11 +511,14 @@ def dedup_keep_best(docs: DataFrame, n: int = 3, threshold: float = 0.3,
     from pyspark.sql.window import Window
     clusters = dedup_clusters(docs, n, threshold, text_col, id_col,
                               portable=portable)
+    # join/select on id_col, not a hardcoded 'doc_id' — dedup_clusters
+    # names its id column after id_col (code review r06: a non-default
+    # id_col raised UNRESOLVED_USING_COLUMN_FOR_JOIN)
     joined = clusters.join(
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.col(score_col).alias("score")), on="doc_id")
-    w = Window.partitionBy("keeper").orderBy(F.desc("score"), "doc_id")
+        docs.select(F.col(id_col), F.col(score_col).alias("score")),
+        on=id_col)
+    w = Window.partitionBy("keeper").orderBy(F.desc("score"), id_col)
     return (joined.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .select("keeper", F.col("doc_id").alias("kept_doc"),
+            .select("keeper", F.col(id_col).alias("kept_doc"),
                     "score"))

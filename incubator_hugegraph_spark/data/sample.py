@@ -153,6 +153,15 @@ def token_budget_sample(docs: DataFrame, budget: int,
                     F.col(score_col).cast("double").alias("score")) \
         .filter(F.col("score").isNotNull())  # unscored docs drop
     lo, hi = t.agg(F.min("score"), F.max("score")).head()
+    if lo is None:
+        # empty input (or every score null) — return the empty result
+        # with the declared schema instead of a None-comparison
+        # TypeError (code review r06: an upstream filter wiping the
+        # corpus aborted the pipeline with an unrelated error)
+        return t.select(
+            "id", "n_tokens", "score",
+            F.lit(0).cast("bigint").alias("cum_before"),
+            F.lit(False).alias("keep"))
     width = (hi - lo) / n_bins if hi > lo else 1.0
     # DESCENDING bin index so bin order == score-desc order
     t = t.withColumn(

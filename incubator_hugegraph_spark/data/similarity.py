@@ -39,7 +39,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # zero-norm guard (code review r06): a zero vector — including a
+    # centroid kmeans AVERAGES to zero from antipodal members — must
+    # score 0.0, not abort the job with ANSI DIVIDE_BY_ZERO. Same
+    # convention as label_centroid_stats and the numpy kernel twin.
+    den = norm(a) * norm(b)
+    return F.when(den > 0, dot(a, b) / den).otherwise(F.lit(0.0))
 
 
 def cosine_topk(emb: DataFrame, query_ids: list[int], k: int,
@@ -188,7 +193,12 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
     re-rank exactly. Returns (query_id, neighbor_id, sim)."""
     base = emb.select(F.col(id_col).alias("id"),
                       _to_double(vec_col).alias("v"))
-    dim = len(emb.select(vec_col).first()[0])
+    row = emb.select(vec_col).first()
+    if row is None:  # empty corpus → empty result, not a TypeError
+        return base.select(F.col("id").alias("query_id"),
+                           F.col("id").alias("neighbor_id"),
+                           F.lit(0.0).alias("sim")).limit(0)
+    dim = len(row[0])
     cents = kmeans_centroids(base, n_cells, dim, n_iters)
     assigned = (base.crossJoin(F.broadcast(cents))
                 .withColumn("d", cosine(F.col("v"), F.col("cv"))))
@@ -233,7 +243,12 @@ def kmeans_cluster_stats(emb: DataFrame, n_cells: int = 8,
     on a 100 TB corpus."""
     base = emb.select(F.col(id_col).alias("id"),
                       _to_double(vec_col).alias("v"))
-    dim = len(emb.select(vec_col).first()[0])
+    row = emb.select(vec_col).first()
+    if row is None:  # empty corpus → empty result, not a TypeError
+        return base.select(F.lit(0).alias("cell"),
+                           F.lit(0).cast("long").alias("size"),
+                           F.lit(0.0).alias("mean_sim")).limit(0)
+    dim = len(row[0])
     cents = kmeans_centroids(base, n_cells, dim, n_iters)
     assigned = (base.crossJoin(F.broadcast(cents))
                 .withColumn("d", cosine(F.col("v"), F.col("cv"))))
@@ -299,7 +314,13 @@ def cosine_topk_np(emb: DataFrame, query_ids: list[int], k: int,
             m_norm = _fold_norm(M)
             out_q, out_n, out_s = [], [], []
             for qi in range(n_q):
-                sims = _fold_dot(M, qm[qi]) / (m_norm * q_norm[qi])
+                # zero-norm guard, mirroring the Column cosine():
+                # sim is 0.0 when either norm is 0 (numpy would emit
+                # nan/inf and a RuntimeWarning instead of matching)
+                den = m_norm * q_norm[qi]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.where(den > 0,
+                                    _fold_dot(M, qm[qi]) / den, 0.0)
                 mask = ids != q_ids[qi]
                 cand_ids, cand_sims = ids[mask], sims[mask]
                 # select on the ROUNDED sim — the global order

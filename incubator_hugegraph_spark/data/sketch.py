@@ -61,7 +61,16 @@ def cm_estimate(cms: DataFrame, keys: DataFrame, key_col: str,
                      _bucket(k, r, w).alias("bucket"))
             for r in range(d)])).alias("rb")) \
         .select("key", "rb.row", "rb.bucket")
-    return (probes.join(F.broadcast(cms), on=["row", "bucket"])
+    # LEFT join + coalesce 0: the sketch table is SPARSE (only
+    # touched buckets have rows), so an empty bucket is count 0 and
+    # must participate in the min — an inner join silently dropped
+    # never-seen keys from the output, or worse returned a colliding
+    # hot bucket's count when only SOME of a key's d buckets were
+    # empty (code review r06; the min-over-d-rows estimate is the
+    # entire point of the d hash rows)
+    return (probes.join(F.broadcast(cms), on=["row", "bucket"],
+                        how="left")
+            .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
             .groupBy("key").agg(F.min("cnt").alias("est")))
 
 

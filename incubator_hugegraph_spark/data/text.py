@@ -92,11 +92,16 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     alpha_len = F.length(F.regexp_replace(F.col(text_col),
                                           r"[^A-Za-z]", ""))
     stops = _stop_hits(toks, STOPWORDS["en"])
-    alpha_ratio = alpha_len / total_len
-    stop_ratio = stops / n_tok
-    mean_tok = (F.aggregate(toks, F.lit(0),
-                            lambda acc, t: acc + F.length(t))
-                / n_tok)
+    # ANSI-safe: an empty doc (total_len 0) or one with no tokens
+    # ('!!!') must SCORE ZERO, not abort the corpus pass with
+    # DIVIDE_BY_ZERO (code review r06 — Spark 4 ANSI default)
+    alpha_ratio = F.when(total_len > 0,
+                         alpha_len / total_len).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stops / n_tok).otherwise(F.lit(0.0))
+    mean_tok = F.when(n_tok > 0,
+                      F.aggregate(toks, F.lit(0),
+                                  lambda acc, t: acc + F.length(t))
+                      / n_tok).otherwise(F.lit(0.0))
     quality = (0.4 * F.least(n_tok / F.lit(50.0), F.lit(1.0))
                + 0.3 * alpha_ratio
                + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)))
@@ -385,8 +390,16 @@ def ccnet_buckets(docs: DataFrame, model_docs: DataFrame | None = None,
     broadcast, one per-doc aggregation); the two tercile cutoffs are
     ONE exact-percentile global aggregate whose result is two scalars
     — no global sort and no ntile window over the corpus."""
-    scored = ngram_lm_score(docs, model_docs, text_col=text_col,
-                            id_col=id_col)
+    from incubator_hugegraph_spark.graph import checkpointed
+
+    # the scored table is consumed TWICE — once eagerly for the
+    # tercile cuts, once in the returned plan; without the checkpoint
+    # the whole bigram-LM pipeline (two corpus-wide model aggregates)
+    # executes per consumer (code review r06 — same multi-consumer
+    # rule as dedup.py/clean.py)
+    scored = checkpointed(ngram_lm_score(docs, model_docs,
+                                         text_col=text_col,
+                                         id_col=id_col))
     # double literals, not 1.0/3.0: Spark SQL parses 1.0 as DECIMAL
     # and percentile() requires a foldable DOUBLE array; the repr'd
     # doubles are also exactly what DuckDB's 1.0/3.0 evaluates to

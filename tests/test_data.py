@@ -206,6 +206,108 @@ def test_multimodal_real_world_headers():
     assert decode_header(b"\x00\x01\x02", "image")["width"] == 1
 
 
+def test_data_tier_survives_junk_documents(spark):
+    """Data-tier review r06: quality/filter functions must FILTER
+    junk docs (empty, whitespace-only, token-free), never abort the
+    corpus pass with ANSI DIVIDE_BY_ZERO — an empty doc anywhere in
+    100 TB killed the whole job."""
+    from incubator_hugegraph_spark.data.clean import gopher_rules
+    from incubator_hugegraph_spark.data.text import quality_score
+    junk = spark.createDataFrame(
+        [(1, "a good doc with the of and words here then"),
+         (2, ""), (3, "!!!"), (4, " \n \n ")],
+        "doc_id long, text string")
+    g = {r[0]: r["keep"] for r in gopher_rules(junk).collect()}
+    assert g[2] is False and g[3] is False and g[4] is False
+    q = {r.id: r.quality for r in quality_score(junk).collect()}
+    assert q[2] == 0.0 and q[3] == 0.0 and q[4] == 0.0
+
+
+def test_cosine_zero_norm_and_empty_inputs(spark):
+    """Zero-norm vectors (including centroids kmeans averages to zero
+    from antipodal members) score 0.0 instead of crashing; empty
+    embedding inputs return empty results, not TypeErrors."""
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_spark.data.dedup import semantic_dedup
+    from incubator_hugegraph_spark.data.similarity import (
+        _to_double, cosine_topk, ivf_topk, kmeans_centroids,
+        kmeans_cluster_stats)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [-1.0, 0.0]), (3, [0.0, 0.0]),
+         (4, [0.5, 0.5])],
+        "vec_id long, embedding array<double>")
+    sims = {r.neighbor_id: r.sim for r in cosine_topk(emb, [1], 3)
+            .collect()}
+    assert sims[3] == 0.0  # zero vector scores 0, no crash
+    base = emb.select(F.col("vec_id").alias("id"),
+                      _to_double("embedding").alias("v"))
+    # antipodal members can average a centroid to the zero vector —
+    # the refine round must survive it
+    assert kmeans_centroids(base, 2, 2, 1).count() == 2
+    none = emb.filter("vec_id < 0")
+    assert semantic_dedup(none).count() == 0
+    assert ivf_topk(none, [1], 3).count() == 0
+    assert kmeans_cluster_stats(none).count() == 0
+
+
+def test_cm_estimate_empty_buckets_count_zero(spark):
+    """A never-seen key estimates 0 (empty buckets participate in the
+    min) instead of vanishing from the output or inheriting a
+    colliding hot bucket's count."""
+    from incubator_hugegraph_spark.data.sketch import (cm_estimate,
+                                                       count_min)
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3, "k string")
+    cms = count_min(df, "k")
+    probes = spark.createDataFrame([("a",), ("zzz_never",)], "k string")
+    est = {r.key: r.est for r in cm_estimate(cms, probes, "k").collect()}
+    assert est == {"a": 5, "zzz_never": 0}
+
+
+def test_pii_counts_equal_replacements(spark):
+    """Each n_<kind> equals the number of <KIND> replacements made —
+    a span matching two patterns (IPv4 also matching the looser phone
+    regex) is counted once, under the kind that redacted it."""
+    from incubator_hugegraph_spark.data.clean import pii_redact
+    docs = spark.createDataFrame(
+        [(1, "host 192.168.100.200 up"), (2, "ssn 123-45-6789 ok")],
+        "doc_id long, text string")
+    rows = {r.id: r for r in pii_redact(docs).collect()}
+    assert rows[1].n_ipv4 == 1 and rows[1].n_phone == 0
+    assert rows[1].redacted == "host <IPV4> up"
+    assert rows[2].n_ssn == 1 and rows[2].n_phone == 0
+
+
+def test_token_budget_sample_empty_input(spark):
+    """An upstream filter wiping the corpus yields an empty result
+    with the declared schema, not a None-comparison TypeError."""
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_spark.data.sample import token_budget_sample
+    empty = spark.createDataFrame([], "doc_id long, text string") \
+        .withColumn("score", F.lit(None).cast("double"))
+    out = token_budget_sample(empty, 100)
+    assert out.count() == 0
+    assert out.columns == ["id", "n_tokens", "score", "cum_before",
+                           "keep"]
+
+
+def test_dedup_keep_best_custom_id_col(spark):
+    """dedup_keep_best honors id_col end-to-end (the join and final
+    select previously hardcoded 'doc_id')."""
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_spark.data.dedup import dedup_keep_best
+    d = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again"),
+         (2, "the quick brown fox jumps over the lazy dog again ok")],
+        "my_id long, text string").withColumn("n_chars",
+                                              F.length("text"))
+    out = dedup_keep_best(d, id_col="my_id")
+    assert out.columns == ["keeper", "kept_doc", "score"]
+    assert out.count() == 1
+
+
 def test_wav_declared_riff_size_covers_pad():
     """The RIFF header's size field must cover the data chunk's
     word-alignment pad byte — a strict reader trusting the declared
