@@ -18,6 +18,9 @@ from pyspark.sql.window import Window
 GAP_MS = 30 * 60 * 1000
 
 
+_SCHEMA_CACHE: dict = {}
+
+
 def _read_stream(spark: SparkSession, events_path: str,
                  max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source readStream over the events parquet. The file source
@@ -27,7 +30,12 @@ def _read_stream(spark: SparkSession, events_path: str,
     matching DuckDB."""
     import os
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
+    # schema is read once per path (a full batch read listed the
+    # directory and parsed footers on EVERY stream start — review r06)
+    schema = _SCHEMA_CACHE.get(events_path)
+    if schema is None:
+        schema = spark.read.parquet(events_path).schema
+        _SCHEMA_CACHE[events_path] = schema
     if os.path.isfile(events_path):
         # FileStreamSource pins basePath to the path when it is not a
         # glob, then rejects it for not being a directory — make the
@@ -155,9 +163,18 @@ def stream_sessionize(spark: SparkSession, events_path: str,
         else:
             sid, last, start, n = 0, None, None, 0
         done = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts in pdf["ts"]:
+        # applyInPandasWithState delivers the group's batch as ARROW
+        # CHUNKS (maxRecordsPerBatch rows each) in arbitrary order —
+        # sorting each chunk independently is NOT a global sort when
+        # a key's batch spans chunks (review r06). Concat, sort once.
+        chunks = [c for c in pdf_iter if len(c)]
+        if chunks:
+            whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            whole = whole.sort_values(["ts", "event_id"])
+        else:
+            whole = None
+        if whole is not None:
+            for ts in whole["ts"]:
                 t = ts.value // 1000  # ns → µs (exact)
                 if last is None or t - last > gap_us:
                     if last is not None:
@@ -230,15 +247,22 @@ def stream_events_to_edges(spark: SparkSession, events_path: str,
         import pandas as pd
         prev = state.get[0] if state.exists else None
         out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for uid, eid in zip(pdf["user_id"], pdf["event_id"]):
+        # concat the group's arrow chunks, then ONE global sort (the
+        # per-chunk sort was not a global order when a key's batch
+        # spans maxRecordsPerBatch — review r06; edges per event_type
+        # routinely exceed one chunk)
+        chunks = [c for c in pdf_iter if len(c)]
+        if chunks:
+            whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            whole = whole.sort_values(["ts", "event_id"])
+            for uid, eid in zip(whole["user_id"], whole["event_id"]):
                 if prev is not None and prev != uid:
                     out.append((splice_id("customer", prev),
                                 splice_id("customer", uid),
                                 "interacted", str(eid)))
                 prev = uid
-        state.update((int(prev),))
+        if prev is not None:
+            state.update((int(prev),))
         yield pd.DataFrame(
             out, columns=["src", "dst", "label", "sort_values"])
 
@@ -251,13 +275,26 @@ def stream_events_to_edges(spark: SparkSession, events_path: str,
         timeoutConf=GroupStateTimeout.NoTimeout)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        # one partition directory PER MICRO-BATCH, overwritten in
+        # place: a batch replayed after a crash (files written, offset
+        # not committed) rewrites the same directory instead of
+        # appending duplicates — this is what makes the sink
+        # idempotent by micro-batch id (review r06; the reference's
+        # transactional GraphTransaction.commit analogue)
+        batch_df.write.mode("overwrite") \
+            .parquet(f"{out_dir}/__bid={batch_id}")
 
     return (edges.writeStream
             .foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def read_streamed_edges(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the stream_events_to_edges sink output (drops the __bid
+    batch-partition housekeeping column)."""
+    return spark.read.parquet(out_dir).drop("__bid")
 
 
 def stream_dedup(spark: SparkSession, events_path: str,
@@ -392,15 +429,27 @@ def value_histogram(events: DataFrame, lo: float = 0.0,
     streaming forms are identical aggregations). Bin i covers
     [lo + i·w, lo + (i+1)·w); -1 and `bins` are the under/overflow
     bins. Returns (bin, lo_edge, n) for non-empty bins."""
-    w = (hi - lo) / bins
-    b = F.when(F.col(value_col) < lo, F.lit(-1)) \
-        .when(F.col(value_col) >= hi, F.lit(bins)) \
-        .otherwise(F.floor((F.col(value_col) - lo) / w).cast("int"))
-    return (events.select(b.alias("bin"))
+    return (events
+            .select(_hist_bin(value_col, lo, hi, bins).alias("bin"))
             .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
-            .select("bin",
-                    F.round(F.lit(lo) + F.col("bin") * w, 6)
-                    .alias("lo_edge"), "n"))
+            .select("bin", _hist_lo_edge(lo, hi, bins), "n"))
+
+
+def _hist_bin(value_col: str, lo: float, hi: float, bins: int):
+    """The ONE bin expression both the batch and streaming histogram
+    forms use (review r06 — two hand-maintained copies of the
+    boundary arithmetic can drift and break the parity the twins
+    exist to prove)."""
+    w = (hi - lo) / bins
+    return (F.when(F.col(value_col) < lo, F.lit(-1))
+            .when(F.col(value_col) >= hi, F.lit(bins))
+            .otherwise(F.floor((F.col(value_col) - lo) / w)
+                       .cast("int")))
+
+
+def _hist_lo_edge(lo: float, hi: float, bins: int):
+    w = (hi - lo) / bins
+    return F.round(F.lit(lo) + F.col("bin") * w, 6).alias("lo_edge")
 
 
 def run_stream_value_histogram(spark: SparkSession, events_path: str,
@@ -412,19 +461,13 @@ def run_stream_value_histogram(spark: SparkSession, events_path: str,
     histogram is micro-batch-invariant — counters merge by addition no
     matter how the input is chopped."""
     stream = _read_stream(spark, events_path)
-    w = (hi - lo) / bins
-    b = F.when(F.col("value") < lo, F.lit(-1)) \
-        .when(F.col("value") >= hi, F.lit(bins)) \
-        .otherwise(F.floor((F.col("value") - lo) / w).cast("int"))
-    agg = stream.select(b.alias("bin")).groupBy("bin") \
-        .agg(F.count(F.lit(1)).alias("n"))
+    agg = (stream.select(_hist_bin("value", lo, hi, bins).alias("bin"))
+           .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
     q = (agg.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
     return (spark.table(name)
-            .select("bin",
-                    F.round(F.lit(lo) + F.col("bin") * w, 6)
-                    .alias("lo_edge"), "n"))
+            .select("bin", _hist_lo_edge(lo, hi, bins), "n"))
 
 
 def run_stream_heavy_hitters(spark: SparkSession, events_path: str,
@@ -440,16 +483,14 @@ def run_stream_heavy_hitters(spark: SparkSession, events_path: str,
     hitters_from_cms); the candidate pre-filter scans the source
     batch-side here — on a live stream that side is itself a bounded
     per-trigger pass."""
-    from incubator_hugegraph_spark.data.sketch import (_D, _W, _bucket,
+    from incubator_hugegraph_spark.data.sketch import (count_min,
                                                        hitters_from_cms)
     stream = _read_stream(spark, events_path)
-    k = F.col(key_col).cast("string")
-    rb = F.explode(F.array(*[
-        F.struct(F.lit(r).alias("row"), _bucket(k, r, _W).alias("bucket"))
-        for r in range(_D)])).alias("rb")
-    agg = (stream.select(rb).select("rb.row", "rb.bucket")
-           .groupBy("row", "bucket")
-           .agg(F.count(F.lit(1)).alias("cnt")))
+    # the grid build IS data/sketch.count_min (pure transforms work
+    # on a streaming DataFrame) — one maintained sketch layout, so
+    # the streaming sketch can never drift from the probe hashing in
+    # hitters_from_cms/cm_estimate (review r06)
+    agg = count_min(stream, key_col)
     q = (agg.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
@@ -510,6 +551,20 @@ def run_stream_kmv_distinct(spark: SparkSession, events_path: str,
         .alias("distinct_est"))
 
 
+def _z_outlier_filter(events: DataFrame, stats: DataFrame,
+                      z: float) -> DataFrame:
+    """Shared z-score tail of the batch and streaming outlier forms
+    (one maintained copy — the twins exist to prove parity, so their
+    filter must be literally the same code)."""
+    return (events.join(F.broadcast(stats), on="event_type")
+            .filter(F.col("__sd") > 0)
+            .withColumn("__z", (F.col("value") - F.col("__mu"))
+                        / F.col("__sd"))
+            .filter(F.abs("__z") >= z)
+            .select("event_id", "event_type", "value",
+                    F.round("__z", 4).alias("zscore")))
+
+
 def value_outliers(events: DataFrame, z: float = 3.0) -> DataFrame:
     """Per-type z-score outliers — the monitoring pass an event
     pipeline runs before trusting aggregates: events whose value sits
@@ -522,13 +577,7 @@ def value_outliers(events: DataFrame, z: float = 3.0) -> DataFrame:
     stats = (events.groupBy("event_type")
              .agg(F.avg("value").alias("__mu"),
                   F.stddev_samp("value").alias("__sd")))
-    return (events.join(F.broadcast(stats), on="event_type")
-            .filter(F.col("__sd") > 0)
-            .withColumn("__z", (F.col("value") - F.col("__mu"))
-                        / F.col("__sd"))
-            .filter(F.abs("__z") >= z)
-            .select("event_id", "event_type", "value",
-                    F.round("__z", 4).alias("zscore")))
+    return _z_outlier_filter(events, stats, z)
 
 
 def run_stream_value_outliers(spark: SparkSession, events_path: str,
@@ -542,26 +591,29 @@ def run_stream_value_outliers(spark: SparkSession, events_path: str,
     HALF-built moments would flag different rows per chop — the
     two-tier form is what makes the result micro-batch-invariant."""
     stream = _read_stream(spark, events_path)
+    # n = count(value), not count(1): the moments must skip nulls
+    # exactly like the batch avg/stddev_samp, or nullable values skew
+    # mu/sd and different rows cross the z boundary (review r06)
     agg = (stream.groupBy("event_type")
-           .agg(F.count(F.lit(1)).alias("n"),
+           .agg(F.count("value").alias("n"),
                 F.sum("value").alias("s"),
                 F.sum(F.col("value") * F.col("value")).alias("ss")))
     q = (agg.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
+    # variance clamped at 0: near-constant values can make
+    # ss - s²/n a tiny NEGATIVE number by FP cancellation → sqrt NaN,
+    # and Spark orders NaN > 0, so the sd filter would pass and flag
+    # EVERY event of the type (review r06). n>1 guard mirrors
+    # stddev_samp's NULL for single-sample groups (and avoids ANSI
+    # div-by-zero on n-1).
+    var = F.greatest((F.col("ss") - F.col("s") * F.col("s")
+                      / F.col("n")) / (F.col("n") - 1), F.lit(0.0))
     stats = (spark.table(name)
-             .select("event_type", (F.col("s") / F.col("n")).alias("__mu"),
-                     F.sqrt((F.col("ss") - F.col("s") * F.col("s")
-                             / F.col("n")) / (F.col("n") - 1))
-                     .alias("__sd")))
-    events = spark.read.parquet(events_path)
-    return (events.join(F.broadcast(stats), on="event_type")
-            .filter(F.col("__sd") > 0)
-            .withColumn("__z", (F.col("value") - F.col("__mu"))
-                        / F.col("__sd"))
-            .filter(F.abs("__z") >= z)
-            .select("event_id", "event_type", "value",
-                    F.round("__z", 4).alias("zscore")))
+             .select("event_type",
+                     (F.col("s") / F.col("n")).alias("__mu"),
+                     F.when(F.col("n") > 1, F.sqrt(var)).alias("__sd")))
+    return _z_outlier_filter(spark.read.parquet(events_path), stats, z)
 
 
 def click_to_purchase(events: DataFrame,

@@ -107,21 +107,64 @@ def incremental_wcc_batch(state: DataFrame | None,
     return out.localCheckpoint()
 
 
+def _latest_snapshot(spark: SparkSession, snap_dir: str):
+    """Newest COMPLETE per-batch state snapshot under snap_dir
+    (completeness = parquet _SUCCESS marker). Returns (df|None, bid)."""
+    import os
+    best = -1
+    if os.path.isdir(snap_dir):
+        for name in os.listdir(snap_dir):
+            if (name.startswith("b") and name[1:].isdigit()
+                    and os.path.exists(os.path.join(snap_dir, name,
+                                                    "_SUCCESS"))):
+                best = max(best, int(name[1:]))
+    if best < 0:
+        return None, -1
+    return spark.read.parquet(f"{snap_dir}/b{best}"), best
+
+
+def _snapshot_state(state: DataFrame, snap_dir: str,
+                    batch_id: int, prev_id: int) -> None:
+    """Persist the fold state for batch_id and drop the superseded
+    snapshot. Written INSIDE foreachBatch, i.e. before the batch's
+    offsets commit — so on restart the loaded snapshot is never
+    behind the offset log (at worst its own batch replays, which the
+    bid<=done guard in step() skips)."""
+    import shutil
+    state.write.mode("overwrite").parquet(f"{snap_dir}/b{batch_id}")
+    if prev_id >= 0:
+        shutil.rmtree(f"{snap_dir}/b{prev_id}", ignore_errors=True)
+
+
 def incremental_wcc_stream(spark: SparkSession, edges_path: str,
                            checkpoint_dir: str,
                            max_files_per_trigger: int = 1):
     """Structured-Streaming driver: readStream over an edge directory,
     foreachBatch folding each micro-batch into the component state.
     Returns (query, get_state) — await the query, then read the final
-    components with get_state()."""
+    components with get_state().
+
+    Restart-safe (code review r06): the durable checkpointLocation
+    makes a restarted query SKIP committed batches, so the fold state
+    must be durable too — each batch's state is snapshotted under the
+    checkpoint dir before its offsets commit, and a restart resumes
+    from the newest complete snapshot instead of silently rebuilding
+    components from only the post-crash batches."""
     schema = spark.read.parquet(edges_path).schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(edges_path))
-    holder = {"state": None}
+    snap_dir = f"{checkpoint_dir}/__wcc_state"
+    state0, done0 = _latest_snapshot(spark, snap_dir)
+    holder = {"state": state0, "done": done0}
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= holder["done"]:
+            return  # replay of a batch the loaded snapshot includes
+        prev = holder["done"]
         holder["state"] = incremental_wcc_batch(holder["state"], batch_df)
+        _snapshot_state(holder["state"], snap_dir, batch_id, prev)
+        holder["done"] = batch_id
 
     q = (stream.select("src", "dst").writeStream
          .foreachBatch(step)
@@ -213,15 +256,46 @@ def incremental_neardup_stream(spark: SparkSession, docs_path: str,
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(docs_path))
-    holder = {"state": None, "pairs": None}
+    # restart-safe like incremental_wcc_stream: BOTH the band-bucket
+    # state and the accumulated pairs snapshot per batch, before the
+    # batch's offsets commit (review r06 — a resumed query skips
+    # committed batches, so memory-only state silently lost them).
+    # One directory per batch holding both tables + a _DONE marker
+    # written LAST, so a crash between the two writes can never leave
+    # a half-snapshot that a restart would trust.
+    import os
+    import shutil
+    snap = f"{checkpoint_dir}/__nd_snapshots"
+    done0 = -1
+    if os.path.isdir(snap):
+        for nm in os.listdir(snap):
+            if (nm.startswith("b") and nm[1:].isdigit()
+                    and os.path.exists(f"{snap}/{nm}/_DONE")):
+                done0 = max(done0, int(nm[1:]))
+    state0 = spark.read.parquet(f"{snap}/b{done0}/state") \
+        if done0 >= 0 else None
+    pairs0 = spark.read.parquet(f"{snap}/b{done0}/pairs") \
+        if done0 >= 0 else None
+    holder = {"state": state0, "pairs": pairs0, "done": done0}
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= holder["done"]:
+            return  # replay of a batch the loaded snapshot includes
+        prev = holder["done"]
         st, pairs = incremental_neardup_batch(
             holder["state"], batch_df, corpus, n, threshold)
         holder["state"] = st
         acc = pairs if holder["pairs"] is None \
             else holder["pairs"].unionByName(pairs)
         holder["pairs"] = checkpointed(acc)
+        holder["state"].write.mode("overwrite") \
+            .parquet(f"{snap}/b{batch_id}/state")
+        holder["pairs"].write.mode("overwrite") \
+            .parquet(f"{snap}/b{batch_id}/pairs")
+        open(f"{snap}/b{batch_id}/_DONE", "w").close()
+        if prev >= 0:
+            shutil.rmtree(f"{snap}/b{prev}", ignore_errors=True)
+        holder["done"] = batch_id
 
     q = (stream.writeStream
          .foreachBatch(step)

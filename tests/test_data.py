@@ -386,7 +386,9 @@ def test_stream_events_to_edges(spark, tmp_path):
     q = stream_events_to_edges(spark, src_dir, ckpt, out,
                                max_files_per_trigger=1)
     q.awaitTermination(180)
-    got = spark.read.parquet(out)
+    from incubator_hugegraph_spark.streaming.events import (
+        read_streamed_edges)
+    got = read_streamed_edges(spark, out)
     assert got.columns == ["src", "dst", "label", "sort_values"]
     # batch derivation over the SAME (re-written) input
     from incubator_hugegraph_spark.functions.ids import splice_id_col
@@ -722,6 +724,64 @@ def test_incremental_wcc_equals_batch_fixpoint(spark, tmp_path, graph):
     q.awaitTermination(120)
     sgot = {r.id: r.component for r in get_state().collect()}
     assert sgot == got
+
+
+def test_incremental_wcc_stream_restart_resumes_state(spark, tmp_path,
+                                                      graph):
+    """Streaming review r06: a restarted query SKIPS batches the
+    durable checkpoint committed — the fold state must be durable
+    too. Simulate a crash-restart: run the stream over the first
+    files, then START A NEW DRIVER with the SAME checkpoint after
+    more files arrive; the resumed state must cover the pre-restart
+    edges (memory-only state silently lost them)."""
+    from incubator_hugegraph_spark.streaming.incremental import (
+        incremental_wcc_batch, incremental_wcc_stream)
+    edges = (graph.adj("OUT", ["interacted"])
+             .select("src", "dst").distinct())
+    a = edges.filter(F.abs(F.hash("src")) % 2 == 0)
+    b = edges.filter(F.abs(F.hash("src")) % 2 == 1)
+    epath = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    a.coalesce(1).write.parquet(epath)
+    q1, gs1 = incremental_wcc_stream(spark, epath, ckpt,
+                                     max_files_per_trigger=1)
+    q1.awaitTermination(120)
+    n_first = gs1().count()
+    assert n_first > 0
+    # "crash": q1's driver-held state is gone; more data arrives
+    b.coalesce(1).write.mode("append").parquet(epath)
+    q2, gs2 = incremental_wcc_stream(spark, epath, ckpt,
+                                     max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    got = {r.id: r.component for r in gs2().collect()}
+    # ground truth: one fold over ALL edges
+    want = {r.id: r.component
+            for r in incremental_wcc_batch(None, edges).collect()}
+    assert got == want  # pre-restart edges included, not just batch b
+
+
+def test_stream_edges_sink_replay_idempotent(spark, tmp_path):
+    """The foreachBatch edge sink writes one overwritten directory
+    per micro-batch — re-executing a batch (crash-before-offset-
+    commit replay) must not duplicate edges."""
+    from incubator_hugegraph_spark.streaming.events import (
+        read_streamed_edges, stream_events_to_edges)
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .orderBy("ts", "event_id").limit(2000).coalesce(1)
+    src_dir = str(tmp_path / "ev")
+    events.write.parquet(src_dir)
+    out = str(tmp_path / "out")
+    q = stream_events_to_edges(spark, src_dir, str(tmp_path / "ck1"),
+                               out)
+    q.awaitTermination(120)
+    n1 = read_streamed_edges(spark, out).count()
+    # replay the SAME input with a FRESH checkpoint into the SAME
+    # out_dir — batch ids repeat, directories overwrite, count stable
+    q = stream_events_to_edges(spark, src_dir, str(tmp_path / "ck2"),
+                               out)
+    q.awaitTermination(120)
+    n2 = read_streamed_edges(spark, out).count()
+    assert n1 == n2 > 0
 
 
 def test_duplicated_spans_coverage(spark):
