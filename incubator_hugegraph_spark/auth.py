@@ -132,6 +132,8 @@ class AuthManager:
         return u
 
     def create_group(self, name: str) -> Group:
+        if name in self._groups:
+            raise ValueError(f"group {name!r} exists")
         g = Group(name)
         self._groups[name] = g
         return g
@@ -139,6 +141,11 @@ class AuthManager:
     def create_target(self, name: str, graph: str, space: str = "DEFAULT",
                       resources: list[str] | None = None,
                       labels: list[str] | None = None) -> Target:
+        if name in self._targets:
+            # silently overwriting re-points every Access that
+            # references the name — instant unaudited privilege
+            # change (review r06); create_user already raises
+            raise ValueError(f"target {name!r} exists")
         t = Target(name, graph, space,
                    resources or [ResourceType.ALL], labels)
         self._targets[name] = t
@@ -209,20 +216,36 @@ class AuthManager:
             raise Forbidden("bad token signature")
         if int(exp) < now:
             raise Forbidden("token expired")
+        if name not in self._users:
+            # a deleted user's outstanding tokens must stop
+            # authenticating immediately, not at expiry (review r06)
+            raise Forbidden("unknown user")
         return {"user_name": name}
 
     def logout(self, token: str, _now=None) -> None:
         """DELETE /auth/logout — blacklist the token until its own
         expiry (after which the exp check rejects it anyway), pruning
         stale entries so the blacklist never grows past the set of
-        still-live logged-out tokens."""
+        still-live logged-out tokens. Only tokens bearing a VALID
+        signature are stored: a forged token can't authenticate
+        anyway, and trusting a forged far-future expiry would let an
+        unauthenticated caller grow the blacklist without bound
+        (code review r06)."""
+        import hashlib as _hl
+        import hmac
         import time
         now = int((_now or time.time)())
         self._prune_revoked(now)
         try:
-            exp = int(token.rsplit("|", 2)[1])
+            name, exp_s, sig = token.rsplit("|", 2)
+            exp = int(exp_s)
         except (ValueError, IndexError):
-            exp = now + 86400  # malformed: keep briefly, still harmless
+            return  # malformed: verify_token rejects it already
+        want = hmac.new(self._token_secret.encode(),
+                        f"{name}|{exp_s}".encode(),
+                        _hl.sha256).hexdigest()[:32]
+        if not hmac.compare_digest(sig, want):
+            return  # forged: verify_token rejects it already
         self._revoked[token] = exp
 
     def _prune_revoked(self, now: int) -> None:
@@ -246,6 +269,10 @@ class AuthManager:
             raise ValueError("Invalid ips type, must be list")
         if not isinstance(action, str) or not action:
             raise ValueError("Missing argument: action")
+        if action not in ("load", "remove"):
+            # validated up front — an invalid action with an empty or
+            # all-illegal ips list silently "succeeded" (review r06)
+            raise ValueError(f"Invalid action '{action}'")
         if not hasattr(self, "_white_ips"):
             self._white_ips = set()
         ipv4 = re.compile(r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$")
@@ -341,7 +368,12 @@ class AuthManager:
                        for r in t.resources):
                 continue
             found = True
-            if t.labels:
+            # labels=None → unrestricted grant; labels=[] → deny-all
+            # whitelist. check() already treats [] as deny-all —
+            # `if t.labels:` here silently PROMOTED it to unrestricted
+            # (code review r06: privilege escalation through
+            # authorized_element_view).
+            if t.labels is not None:
                 allowed |= set(t.labels)
             else:
                 unrestricted = True
@@ -501,7 +533,12 @@ def authorized_schema(am: AuthManager, user: str, graph_name: str,
                       payload: dict | None = None,
                       space: str = "DEFAULT"):
     from incubator_hugegraph_spark import rest
-    needed = Permission.READ if method.upper() == "GET" \
-        else Permission.WRITE
+    m = method.upper()
+    # DELETE requires the DELETE permission bit — the reference's
+    # HugeGraphAuthProxy distinguishes removals from writes
+    # (HugePermission.DELETE); mapping DELETE→WRITE let a WRITE-only
+    # user drop schema elements (code review r06)
+    needed = Permission.READ if m == "GET" \
+        else Permission.DELETE if m == "DELETE" else Permission.WRITE
     am.require(user, graph_name, ResourceType.SCHEMA, needed, space)
     return rest.execute_schema(schema, method, path, payload)

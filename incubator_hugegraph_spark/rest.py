@@ -242,10 +242,14 @@ def _weighted(graph, req):
 
 
 def _exec_sssp(graph, req):
+    from incubator_hugegraph_spark.graph import NO_LIMIT
     from incubator_hugegraph_spark.operators.weighted import sssp
     out = sssp(graph, _id(req["source"]), _weighted(graph, req))
     limit = int(req.get("limit", DEFAULT_ELEMENTS_LIMIT))
-    return out.orderBy("dist", "id").limit(limit)
+    out = out.orderBy("dist", "id")
+    # the reference's NO_LIMIT (-1) means "all rows" — every other
+    # executor honors it; an unguarded .limit(-1) raises (review r06)
+    return out if limit == NO_LIMIT else out.limit(limit)
 
 
 def _exec_weightedshortestpath(graph, req):
@@ -823,6 +827,12 @@ def execute_measured(graph: PropertyGraph, endpoint: str,
             raise NotImplementedError(
                 "measured form supports the GET shape (no steps/"
                 "with_path/with_edge)")
+        if endpoint == "kout" and request.get("nearest") is False:
+            # the measured BFS is global-dedup (nearest) by
+            # construction; silently returning nearest results for a
+            # nearest=false request diverged from execute() (r06)
+            raise NotImplementedError(
+                "measured kout supports nearest=true only")
         from incubator_hugegraph_spark.operators.bfs import bfs
         depth = int(request["max_depth"])
         direction, labels = _dir(request), _labels(request)
@@ -978,6 +988,7 @@ def _prop_update(graph: PropertyGraph, kind: str, key_filter,
         graph.refresh_vertex_views()
     else:
         graph.edges = updated
+        graph.refresh_edge_views()
 
 
 def execute_graph_crud(graph: PropertyGraph, method: str, path: str,
@@ -1016,6 +1027,7 @@ def execute_graph_crud(graph: PropertyGraph, method: str, path: str,
                                    [rest[0]])
             graph.vertices, graph.edges = v, e
             graph.refresh_vertex_views()
+            graph.refresh_edge_views()  # the cascade dropped edges
             return None
         if method == "PUT" and rest:
             append = _parse_action(params.get("action"))
@@ -1033,12 +1045,34 @@ def execute_graph_crud(graph: PropertyGraph, method: str, path: str,
             items = payload if rest == ["batch"] else [payload]
             rows = []
             for je in items:
-                props = {k: str(v)
-                         for k, v in (je.get("properties") or {}).items()}
-                sk = graph.schema.edge_labels[je["label"]].sort_keys \
-                    if graph.schema else ()
+                raw = je.get("properties") or {}
+                # same validation the VERTEX path enforces (review
+                # r06): null values are write errors, undeclared keys
+                # are rejected on registered labels, and the sort-key
+                # properties must be PRESENT — a missing sort key
+                # would encode as '' and collapse two distinct edges
+                # onto one EdgeId
+                if any(v is None for v in raw.values()):
+                    raise ValueError("Not allowed to set value of "
+                                     "property to null")
+                props = {k: str(v) for k, v in raw.items()}
+                el = graph.schema.edge_labels.get(je["label"]) \
+                    if graph.schema else None
+                sk = el.sort_keys if el else ()
+                if el is not None and el.properties:
+                    extra = set(props) - set(el.properties) \
+                        - set(sk or ())
+                    if extra:
+                        raise ValueError(
+                            f"Invalid property '{sorted(extra)[0]}' "
+                            f"for edge label '{je['label']}'")
+                missing_sk = [k for k in (sk or ()) if k not in props]
+                if missing_sk:
+                    raise ValueError(
+                        f"The sort key '{missing_sk[0]}' of edge "
+                        f"label '{je['label']}' is missing")
                 sort_values = encode_sort_values(
-                    props.get(k, "") for k in sk)
+                    props[k] for k in sk)
                 src, dst = str(je["outV"]), str(je["inV"])
                 # endpoint ids land verbatim in the 4-part EdgeId
                 # splice (code review r06; engine-spliced ids only
@@ -1055,6 +1089,7 @@ def execute_graph_crud(graph: PropertyGraph, method: str, path: str,
                       "sort_values string, props map<string,string>, "
                       "expired_at timestamp")
             graph.edges = upsert_edges(graph.edges, batch)
+            graph.refresh_edge_views({r[2] for r in rows})
             eids = [_edge_eid(r[0], r[2], r[3], r[1]) for r in rows]
             return eids if rest == ["batch"] else eids[0]
         key = F.concat_ws(">", "src", "label", "sort_values", "dst")
@@ -1069,6 +1104,7 @@ def execute_graph_crud(graph: PropertyGraph, method: str, path: str,
             return out
         if method == "DELETE" and rest:
             graph.edges = graph.edges.filter(key != rest[0])
+            graph.refresh_edge_views()
             return None
         if method == "PUT" and rest:
             append = _parse_action(params.get("action"))

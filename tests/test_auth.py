@@ -264,3 +264,81 @@ def test_element_view_edge_only_grant_forbidden(marko_graph):
     am.grant("g", "e_read", Permission.READ)
     with pytest.raises(Forbidden, match="vertex"):
         authorized_element_view(am, "e_only", "hugegraph", marko_graph)
+
+
+def test_empty_label_whitelist_is_deny_all(marko_graph):
+    """Auth review r06 (privilege escalation): a target created with
+    labels=[] is a DENY-ALL whitelist on every path — check() always
+    treated it so, but readable_labels promoted it to UNRESTRICTED
+    and authorized_element_view handed over the full graph."""
+    from incubator_hugegraph_spark.auth import (AuthManager, Permission,
+                                                ResourceType,
+                                                authorized_element_view)
+    am = AuthManager()
+    am.create_user("u", "pw")
+    am.create_group("g")
+    am.belong("u", "g")
+    am.create_target("none", "hugegraph",
+                     resources=[ResourceType.VERTEX, ResourceType.EDGE],
+                     labels=[])
+    am.grant("g", "none", Permission.READ)
+    gv = authorized_element_view(am, "u", "hugegraph", marko_graph)
+    assert gv.vertices.count() == 0
+    assert gv.edges.count() == 0
+
+
+def test_schema_delete_requires_delete_permission():
+    """Auth review r06: DELETE maps to Permission.DELETE, not WRITE —
+    a WRITE-only user cannot drop schema elements (reference
+    HugePermission.DELETE)."""
+    from incubator_hugegraph_spark.auth import (AuthManager, Forbidden,
+                                                Permission, ResourceType,
+                                                authorized_schema)
+    from incubator_hugegraph_spark.schema import GraphSchema
+    am = AuthManager()
+    am.create_user("w", "pw")
+    am.create_group("g")
+    am.belong("w", "g")
+    am.create_target("t", "g1", resources=[ResourceType.SCHEMA])
+    am.grant("g", "t", Permission.WRITE)
+    sch = GraphSchema()
+    sch.property_key("name")
+    sch.vertex_label("person", properties=("name",),
+                 primary_keys=("name",))
+    with pytest.raises(Forbidden, match="delete"):
+        authorized_schema(am, "w", "g1", sch, "DELETE",
+                          "vertexlabels/person")
+    # with the DELETE bit it goes through
+    am.grant("g", "t", Permission.DELETE)
+    authorized_schema(am, "w", "g1", sch, "DELETE",
+                      "vertexlabels/person")
+    assert "person" not in sch.vertex_labels
+
+
+def test_token_lifecycle_hardening():
+    """Auth review r06: a deleted user's live token stops verifying;
+    logout ignores forged tokens (an attacker cannot grow the
+    blacklist with fabricated far-future expiries); duplicate
+    group/target names raise instead of silently re-pointing
+    grants."""
+    from incubator_hugegraph_spark.auth import AuthManager, Forbidden
+    am = AuthManager()
+    am.create_user("mallory", "pw")
+    tok = am.login("mallory", "pw")
+    assert am.verify_token(tok)["user_name"] == "mallory"
+    am.delete_user("mallory")
+    with pytest.raises(Forbidden, match="unknown user"):
+        am.verify_token(tok)
+    # forged token: logout is a no-op, blacklist stays empty
+    am.logout("x|99999999999|junk")
+    assert am._revoked == {}
+    # duplicate names raise
+    am.create_group("g")
+    with pytest.raises(ValueError, match="exists"):
+        am.create_group("g")
+    am.create_target("t", "g1")
+    with pytest.raises(ValueError, match="exists"):
+        am.create_target("t", "g2")
+    # invalid white-ip action raises even with empty ips
+    with pytest.raises(ValueError, match="Invalid action"):
+        am.update_white_ips({"action": "bogus", "ips": []})
