@@ -144,6 +144,21 @@ _TOKEN_RE = re.compile(r"""
     )""", re.X)
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+            "'": "'", '"': '"', "\\": "\\"}
+
+
+def _unescape_str(raw: str) -> str:
+    """Decode openCypher string-literal escapes. The tokenizer ACCEPTS
+    backslash escapes (str group `(?:[^'\\\\]|\\\\.)*`) but the value
+    previously kept the backslash verbatim, so 'O\\'Brien' compared
+    (and wrote!) an 8-char literal containing a backslash — there was
+    no way to express a quote inside a string (review r06). Unknown
+    escapes keep the escaped character (Neo4j's lenient posture)."""
+    return re.sub(r"\\(.)",
+                  lambda m: _ESCAPES.get(m.group(1), m.group(1)), raw)
+
+
 def _tokenize(q: str) -> list[tuple[str, str]]:
     out, i = [], 0
     q = q.strip()
@@ -683,6 +698,29 @@ class _Parser:
                 prev = self._node(q)
                 chain_nodes.append(prev)
                 continue
+            if t == "--" or (t == "<-"
+                             and self.toks[self.i + 1][1] == "-"):
+                # bracketless anonymous-relationship shorthand
+                # (review r06 — WHERE pattern predicates supported
+                # these, MATCH rejected them): (a)-->(b) tokenizes as
+                # '--' '>' ; (a)<--(b) as '<-' '-' ; (a)--(b) BOTH
+                if t == "--":
+                    self.next()
+                    direction = "BOTH"
+                    if self.peek()[1] == ">":
+                        self.next()
+                        direction = "OUT"
+                else:
+                    self.next()
+                    self.next()
+                    direction = "IN"
+                nxt = self._node(q)
+                q.rels.append(_Rel(prev, nxt, None, direction, 1, 1,
+                                   None))
+                chain_rels.append(len(q.rels) - 1)
+                chain_nodes.append(nxt)
+                prev = nxt
+                continue
             if t in ("-", "<-"):
                 head = self.next()[1]
                 label = None
@@ -807,6 +845,16 @@ class _Parser:
 
     def _operand(self):
         t = self.peek()
+        if t == ("arrow", "-"):
+            # unary minus: '-1' tokenizes as arrow '-' + num '1' (the
+            # arrow group consumes '-' before the num pattern's '-?'
+            # can — review r06: every negative literal raised
+            # SyntaxError). Fold literal numbers; otherwise 0 - expr.
+            self.next()
+            inner = self._operand()
+            if inner[0] == "lit" and isinstance(inner[1], (int, float)):
+                return ("lit", -inner[1])
+            return ("arith", "-", ("lit", 0), inner)
         if t[0] == "CASE":
             return self._case_expr()
         if t[1] == "(":
@@ -864,7 +912,7 @@ class _Parser:
             return ("lit", float(v) if "." in v else int(v))
         if t[0] == "str":
             self.next()
-            return ("lit", t[1][1:-1])
+            return ("lit", _unescape_str(t[1][1:-1]))
         if t[0] == "param":
             self.next()
             return self._param(t)
@@ -1119,11 +1167,14 @@ class _Parser:
                 if not isinstance(vals, (list, tuple)):
                     raise SyntaxError(
                         "cypher: IN $param needs a list value")
-                return ("in", left, list(vals))
+                return ("in", left, [("lit", v) for v in vals])
             self.next("arrow")  # [
             vals = []
             while self.peek()[1] != "]":
-                vals.append(self._expr()[1])
+                # keep the expression NODE — extracting [1] assumed a
+                # literal, so `IN [25, m.size]` silently contributed
+                # the string "m" to the membership list (review r06)
+                vals.append(self._expr())
                 if self.peek()[1] == ",":
                     self.next()
             self.next("arrow")  # ]
@@ -1569,16 +1620,29 @@ class CypherEngine:
         if kind == "contains":
             from incubator_hugegraph_spark.functions.text import tokenize
             _, l, r = cond
+            if r[0] == "lit":
+                return F.array_contains(tokenize(self._col(l)),
+                                        str(r[1]).lower())
+            # non-literal operand: compile it (review r06 — str(r[1])
+            # turned `CONTAINS m.word` into the literal "m")
             return F.array_contains(tokenize(self._col(l)),
-                                    str(r[1]).lower())
+                                    F.lower(self._col(r)))
         if kind == "strpred":
             _, which, l, r = cond
             lc = self._col(l)
-            return lc.startswith(str(r[1])) if which == "starts" \
-                else lc.endswith(str(r[1]))
+            rc = F.lit(str(r[1])) if r[0] == "lit" else self._col(r)
+            return lc.startswith(rc) if which == "starts" \
+                else lc.endswith(rc)
         if kind == "in":
             _, l, vals = cond
-            return self._col(l).isin(vals)
+            lc = self._col(l)
+            if all(isinstance(v, tuple) and v[0] == "lit"
+                   for v in vals):
+                return lc.isin([v[1] for v in vals])
+            # non-literal elements compile to columns; membership is
+            # array_contains over the built array
+            return F.array_contains(
+                F.array(*[self._col(v) for v in vals]), lc)
         if kind == "and":
             return self._filter(cond[1]) & self._filter(cond[2])
         if kind == "or":
@@ -1960,6 +2024,10 @@ class CypherEngine:
                 "cypher: pattern predicate must reference a matched "
                 f"variable ({sv or dv or '?'} is not bound)")
         if sb and db:
+            # node-label assertions apply on BOTH endpoints (review
+            # r06: they were silently dropped when both vars bound —
+            # WHERE (a:software)--(b) passed non-software rows)
+            pairs = restrict(restrict(pairs, "__ppa", sl), "__ppb", dl)
             if sv == dv:  # self-loop pattern (c)-->(c)
                 marker = (pairs.filter(F.col("__ppa") == F.col("__ppb"))
                           .select(F.col("__ppa").alias(sv)).distinct()
@@ -1973,6 +2041,9 @@ class CypherEngine:
             (sv, "__ppb", dl, sl) if sb else (dv, "__ppa", sl, dl))
         pairs = restrict(pairs, far_key, far_lab)
         key = "__ppa" if sb else "__ppb"
+        # the anchor side's label assertion restricts too (review r06:
+        # near_lab was computed and never used)
+        pairs = restrict(pairs, key, near_lab)
         marker = (pairs.select(F.col(key).alias(anchor)).distinct()
                   .withColumn(col, F.lit(True)))
         return df.join(marker, on=anchor, how="left"), col
@@ -2176,10 +2247,25 @@ class CypherEngine:
                             f"percentile_disc({pct}) WITHIN GROUP "
                             f"(ORDER BY {tmp})"), 6).alias(a))
                 else:
-                    c = c.cast("double")
                     f = {"SUM": F.sum, "AVG": F.avg,
                          "MIN": F.min, "MAX": F.max}[fn]
-                    aggs.append(F.round(f(c), 6).alias(a))
+                    if fn in ("SUM", "AVG"):
+                        aggs.append(F.round(f(c.cast("double")), 6)
+                                    .alias(a))
+                    else:
+                        # openCypher min/max are defined over strings
+                        # and temporals too — the blanket double cast
+                        # nulled every string value (review r06).
+                        # Schema-registered props resolve typed via
+                        # _prop, so dispatch on the RESOLVED type.
+                        from pyspark.sql import types as T
+                        dt = df.select(c).schema[0].dataType
+                        if isinstance(dt, T.NumericType) or \
+                                isinstance(dt, T.NullType):
+                            aggs.append(F.round(f(c.cast("double")), 6)
+                                        .alias(a))
+                        else:
+                            aggs.append(f(c).alias(a))
             for tmp, cc in pre_cols:
                 df = df.withColumn(tmp, cc)
             df = df.groupBy(*[self._col(e).alias(a) for e, a in keys]) \
@@ -2208,7 +2294,16 @@ class CypherEngine:
                                         .alias(f"__c_{a}_{prop}"))
             df = df.select(*cols)
         if p.distinct:
-            df = df.dropDuplicates()
+            # dedup on the VISIBLE columns only: carried node vars
+            # drag hidden __p_* map columns along, and Spark forbids
+            # map-typed columns in Deduplicate (review r06 — a legal
+            # WITH DISTINCT n threw AnalysisException). The hidden
+            # columns are 1:1 with the var's id, so visible-key dedup
+            # is semantically identical.
+            visible = [c for c in df.columns
+                       if not c.startswith(("__p_", "__c_", "__l_"))]
+            df = df.dropDuplicates(visible) if visible \
+                else df.dropDuplicates()
 
         if p.order:
             out_names = {a for _, a in items}
@@ -2471,7 +2566,11 @@ class CypherEngine:
             if label is None:
                 raise SyntaxError(
                     f"cypher: CREATE node {var} needs a label")
-            props = {k: str(v) for k, v in c.props.get(var, {}).items()}
+            # a null map value in CREATE means property-ABSENT
+            # (openCypher) — str(None) wrote the literal "None"
+            # (review r06)
+            props = {k: str(v) for k, v in c.props.get(var, {}).items()
+                     if v is not None}
             self._check_write_props(label, props)
             new_nodes[var] = (self._gen_id(label, props), label, props)
 
@@ -2507,6 +2606,8 @@ class CypherEngine:
                 else (rel.dst, rel.src)
             kvs = []
             for k, v in rp.items():
+                if v is None:  # null → property-absent (openCypher)
+                    continue
                 kvs += [F.lit(k), F.lit(str(v))]
             pm = F.create_map(*kvs) if kvs \
                 else F.create_map().cast("map<string,string>")
@@ -2567,8 +2668,20 @@ class CypherEngine:
         self._created_vars |= set(new_nodes)
 
         rows = [(vid, lab) for vid, lab, _p in new_nodes.values()]
-        self._write_summary = spark.createDataFrame(
+        summary = spark.createDataFrame(
             rows or [(None, None)], "id string, label string").dropna()
+        if ebatches:
+            # created relationships count as writes too (review r06:
+            # an edge-only CREATE without RETURN reported an EMPTY
+            # summary despite having inserted edges; the MERGE rel
+            # branch already reports them)
+            ekeys = reduce(lambda a, b: a.unionByName(b), [
+                b.select(F.concat_ws(">", "src", "label",
+                                     "sort_values", "dst").alias("id"),
+                         F.col("label")) for b in ebatches]) \
+                .dropDuplicates(["id"])
+            summary = summary.unionByName(ekeys)
+        self._write_summary = summary
         return df
 
     def _apply_merge(self, df: DataFrame | None, m: _Merge) -> DataFrame:
@@ -2599,6 +2712,10 @@ class CypherEngine:
             if label is None:
                 raise SyntaxError(f"cypher: MERGE node {var} needs a label")
             props = c.props.get(var, {})
+            if any(v is None for v in props.values()):
+                # Neo4j: "Cannot merge using null property value"
+                raise ValueError(
+                    "cypher: cannot MERGE using a null property value")
             probe = g.vertices.filter(F.col("label") == label)
             for k, v in props.items():
                 probe = probe.filter(F.col("props")[k] == str(v))
@@ -2629,6 +2746,10 @@ class CypherEngine:
             for rel, rp in zip(c.rels, c.rel_props):
                 s, d = (rel.src, rel.dst) if rel.direction == "OUT" \
                     else (rel.dst, rel.src)
+                if any(v is None for v in rp.values()):
+                    raise ValueError(
+                        "cypher: cannot MERGE using a null property "
+                        "value")
                 kvs = []
                 for k, v in rp.items():
                     kvs += [F.lit(k), F.lit(str(v))]
@@ -3140,6 +3261,7 @@ class CypherEngine:
                                        "dst"))
                 g.edges = cur.join(keys, on="__k", how="left_anti") \
                     .drop("__k")
+                g.refresh_edge_views()  # typed edge views are stale
                 summaries.append(keys.select(F.col("__k").alias("id"),
                                              F.lit("edge").alias("label")))
                 continue
@@ -3160,6 +3282,7 @@ class CypherEngine:
                                  on="src", how="left_anti")
                            .join(ids.withColumnRenamed("id", "dst"),
                                  on="dst", how="left_anti"))
+                g.refresh_edge_views()  # the cascade dropped edges
             g.vertices = g.vertices.join(ids, on="id", how="left_anti")
             lab = self._labels.get(var)
             self._refresh_views({lab} if lab else None)

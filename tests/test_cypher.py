@@ -920,3 +920,97 @@ def test_explain_profile_prefixes(graph):
     assert {"step", "depth", "operator", "rows"} <= set(prof.columns)
     got = [r.rows for r in prof.collect() if r.rows is not None]
     assert base.count() in got
+
+
+# ---- round 6 review fixes -------------------------------------------
+
+
+def test_unary_minus_and_negative_literals(graph):
+    """'-1' tokenizes as arrow '-' + num — the operand parser now
+    folds unary minus (review r06: every negative literal raised)."""
+    row = cypher(graph, "MATCH (n:region) "
+                        "RETURN -1 AS a, 5 - -3 AS b, -(1 + 2) AS c "
+                        "LIMIT 1").head()
+    assert (row.a, row.b, row.c) == (-1, 8, -3)
+    n = cypher(graph, "MATCH (c:customer) WHERE c.acctbal > -1000.0 "
+                      "RETURN count(*) AS n").head().n
+    assert n > 0
+
+
+def test_string_escape_sequences(graph):
+    """Backslash escapes decode to their characters — previously the
+    backslash was kept verbatim and a quoted quote was inexpressible
+    (review r06)."""
+    row = cypher(graph, "MATCH (n:region) "
+                        "RETURN 'O\\'Brien' AS q, 'a\\\\b' AS bs, "
+                        "'x\\ny' AS nl LIMIT 1").head()
+    assert row.q == "O'Brien"
+    assert row.bs == "a\\b"
+    assert row.nl == "x\ny"
+
+
+def test_min_max_over_strings(graph):
+    """openCypher min/max are defined over strings — the blanket
+    double cast nulled them (review r06); numeric props keep numeric
+    semantics via the schema-typed resolution."""
+    row = cypher(graph, "MATCH (r:region) "
+                        "RETURN min(r.name) AS lo, max(r.name) AS hi "
+                        ).head()
+    assert isinstance(row.lo, str) and row.lo < row.hi
+    row2 = cypher(graph, "MATCH (c:customer) "
+                         "RETURN max(c.acctbal) AS m").head()
+    assert isinstance(row2.m, float)
+
+
+def test_match_arrow_shorthand(graph):
+    """(a)-->(b) / (a)<--(b) / (a)--(b) — the bracketless anonymous
+    relationship forms parse in MATCH (review r06: only WHERE pattern
+    predicates accepted them)."""
+    out_n = cypher(graph, "MATCH (c:customer)-->(n:nation) "
+                          "RETURN count(*) AS n").head().n
+    in_n = cypher(graph, "MATCH (n:nation)<--(c:customer) "
+                         "RETURN count(*) AS n").head().n
+    both_n = cypher(graph, "MATCH (c:customer)--(n:nation) "
+                           "RETURN count(*) AS n").head().n
+    explicit = cypher(graph, "MATCH (c:customer)-[]->(n:nation) "
+                             "RETURN count(*) AS n").head().n
+    assert out_n == in_n == explicit > 0
+    assert both_n >= out_n
+
+
+def test_with_distinct_carried_node_var(graph):
+    """WITH DISTINCT n over a carried node var must not feed the
+    hidden map-typed props column into Deduplicate (review r06:
+    AnalysisException on a legal query)."""
+    n = cypher(graph, "MATCH (n:region)<-[:located_in]-() "
+                      "WITH DISTINCT n "
+                      "RETURN count(*) AS n").head().n
+    assert n == 5
+
+
+def test_in_list_with_expressions(graph):
+    """IN-list elements can be expressions, not only literals
+    (review r06: a property element silently contributed the VAR NAME
+    string to the membership list)."""
+    n = cypher(graph, "MATCH (r:region) "
+                      "WHERE r.name IN [r.name, 'nope'] "
+                      "RETURN count(*) AS n").head().n
+    assert n == 5  # r.name IN [r.name, ...] is trivially true
+    n2 = cypher(graph, "MATCH (r:region) WHERE 'x' IN [r.name] "
+                       "RETURN count(*) AS n").head().n
+    assert n2 == 0
+
+
+def test_pattern_pred_label_constraints(graph):
+    """Node-label assertions inside pattern predicates restrict the
+    marker join (review r06: silently dropped when both vars were
+    bound)."""
+    # every customer-nation edge exists, but no customer is a :region
+    n = cypher(graph, "MATCH (c:customer)-[:in_nation]->(n:nation) "
+                      "WHERE (c:region)--(n) "
+                      "RETURN count(*) AS n").head().n
+    assert n == 0
+    n2 = cypher(graph, "MATCH (c:customer)-[:in_nation]->(n:nation) "
+                       "WHERE (c:customer)--(n) "
+                       "RETURN count(*) AS n").head().n
+    assert n2 > 0
