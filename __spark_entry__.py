@@ -3247,8 +3247,11 @@ def gremlin_addv_drop_q(spark, sf_dir):
     G(g).addV("customer").property("name", "g_added") \
         .property("mktsegment", "WRONG").iterate()
     G(g).V("customer!g_added").property("mktsegment", "GTEST")
+    # 'interacted' declares event_id as a SORT KEY — part of the
+    # edge's identity, required at create (r06: addE now rejects
+    # missing sort keys instead of silently encoding '')
     G(g).V("customer!g_added").addE("interacted").to("customer!1") \
-        .iterate()
+        .property("event_id", "90001").iterate()
     G(g).addV("customer").property("name", "g_scratch").iterate()
     G(g).V("customer!g_scratch").drop()
     out_deg = (g.edges.filter(F.col("src") == "customer!g_added")

@@ -151,7 +151,12 @@ def _align_branches(a: "Traversal", b: "Traversal"):
     columns the other lacks); value-kind with diverging types coerces
     both to string (Gremlin value streams are heterogeneous)."""
     if a.kind == "V":
-        return tuple(t._new(t.df.select("id", "path"), attached=False)
+        # keep carried columns (__sack/__as_*/__loops) present in BOTH
+        # branches — reducing to (id, path) stripped a live sack or
+        # step label and later steps crashed (review r06)
+        shared = [c for c in a._carries() if c in b.df.columns]
+        return tuple(t._new(t.df.select("id", "path", *shared),
+                            attached=False)
                      for t in (a, b))
     if a.kind == "value":
         ta = a.df.schema["value"].dataType
@@ -249,6 +254,10 @@ class Traversal:
     def dedup(self) -> "Traversal":
         if self.kind == "value":
             return self._new(self.df.dropDuplicates(["value"]))
+        if self.kind == "prop":
+            # property traverser identity = (element, key) (r06:
+            # the barrier partitioned by a nonexistent eid column)
+            return self._new(self.df.dropDuplicates(["id", "key"]))
         # one row per element, keeping the MIN path (dropDuplicates
         # would keep an arbitrary traverser's path — nondeterministic
         # if path()/simplePath() follows)
@@ -361,7 +370,11 @@ class Traversal:
                    .select(F.col("dst").alias("id"),
                            F.concat(F.col("path"), F.array(F.col("dst")))
                            .alias("path"), *carry))
-        return self._new(stepped, attached=False)
+        # an order().by(prop) spec references columns the hop
+        # projection drops — keeping it crashed a later limit/tail
+        # (review r06); TinkerPop ordering doesn't survive a hop
+        # anyway (the hop's output is a new traverser stream)
+        return self._new(stepped, attached=False, sort=None)
 
     def out(self, *labels: str) -> "Traversal":
         return self._hop(OUT, labels)
@@ -381,9 +394,17 @@ class Traversal:
              .select("anchor", F.col("dst").alias("other"),
                      F.col("label"), F.col("sort_values"), F.col("dir"),
                      "path", *carry))
-        # edge identity mirrors EdgeId splicing (owner>label>sort>other,
-        # core/backend/id/EdgeId.java:31-38)
-        eid = F.concat_ws(">>", "anchor", "label", "sort_values", "other")
+        # edge identity mirrors EdgeId splicing in the edge's PHYSICAL
+        # orientation (src>label>sort>dst, core/backend/id/EdgeId.java
+        # :31-38) — an anchor-oriented id gave the same edge two
+        # different ids via bothE (dedup counted it twice) and inE
+        # rows never matched hasId() (review r06)
+        phys_src = F.when(F.col("dir") == "OUT",
+                          F.col("anchor")).otherwise(F.col("other"))
+        phys_dst = F.when(F.col("dir") == "OUT",
+                          F.col("other")).otherwise(F.col("anchor"))
+        eid = F.concat_ws(">>", phys_src, "label", "sort_values",
+                          phys_dst)
         edges = self.graph.edges.select(
             F.col("src").alias("__psrc"), F.col("dst").alias("__pdst"),
             F.col("label").alias("__plbl"),
@@ -391,10 +412,6 @@ class Traversal:
         # re-attach props through the PHYSICAL orientation recorded by
         # the adj view's dir column (an OR-match would duplicate rows
         # when both a→b and b→a physical edges exist)
-        phys_src = F.when(F.col("dir") == "OUT",
-                          F.col("anchor")).otherwise(F.col("other"))
-        phys_dst = F.when(F.col("dir") == "OUT",
-                          F.col("other")).otherwise(F.col("anchor"))
         cond = ((F.col("label") == F.col("__plbl"))
                 & (F.col("sort_values") == F.col("__psort"))
                 & (phys_src == F.col("__psrc"))
@@ -424,8 +441,30 @@ class Traversal:
             *self._carries())
         return self._new(df, kind="V", attached=False)
 
-    inV = otherV   # after outE, the far vertex IS the in-vertex
-    outV = otherV  # after inE, symmetric
+    def _edge_end(self, head: bool) -> "Traversal":
+        """The edge's physical head (inV) or tail (outV) vertex —
+        direction-independent TinkerPop semantics (review r06: both
+        were aliased to otherV, so outE().outV() returned the far
+        vertex instead of the anchor). The E frame's dir column
+        records the physical orientation."""
+        self._require("E")
+        if head:
+            col = F.when(F.col("dir") == "OUT",
+                         F.col("other")).otherwise(F.col("anchor"))
+        else:
+            col = F.when(F.col("dir") == "OUT",
+                         F.col("anchor")).otherwise(F.col("other"))
+        df = self.df.select(
+            col.alias("id"),
+            F.concat(F.col("path"), F.array(col)).alias("path"),
+            *self._carries())
+        return self._new(df, kind="V", attached=False)
+
+    def inV(self) -> "Traversal":
+        return self._edge_end(head=True)
+
+    def outV(self) -> "Traversal":
+        return self._edge_end(head=False)
 
     # -- map steps -----------------------------------------------------
 
@@ -864,8 +903,13 @@ class Traversal:
         """Per-traverser branch: rows satisfying ``pred`` flow through
         ``then_step``, the rest through ``else_step`` (union of the two
         filtered branch plans — still one Catalyst tree)."""
-        a = then_step(self._new(self.df.filter(pred(self.df))))
-        b = else_step(self._new(self.df.filter(~pred(self.df))))
+        # NULL predicate (e.g. has() on a missing property) takes the
+        # ELSE branch like TinkerPop — bare filter(pred)/filter(~pred)
+        # dropped such traversers from BOTH branches (review r06;
+        # branch() already coalesces)
+        p = F.coalesce(pred(self.df), F.lit(False))
+        a = then_step(self._new(self.df.filter(p)))
+        b = else_step(self._new(self.df.filter(~p)))
         if a.kind != b.kind:
             raise TypeError(f"choose branches disagree: {a.kind}/{b.kind}")
         a, b = _align_branches(a, b)
@@ -1046,6 +1090,11 @@ class Traversal:
     # -- order / range / sample ---------------------------------------
 
     def _order_col(self) -> Column:
+        if self.kind == "prop":
+            # property traversers order/sample/group by their full
+            # (element, key, value) identity (review r06: KeyError)
+            return F.concat_ws("\x1f", F.col("id"), F.col("key"),
+                               F.col("value").cast("string"))
         return F.col({"V": "id", "E": "eid", "value": "value"}[self.kind])
 
     def order_by(self, key: str | None = None,
@@ -1287,6 +1336,7 @@ class Traversal:
                              on="dst", how="left_anti"))
             g.vertices = g.vertices.join(ids, on="id", how="left_anti")
             g.refresh_vertex_views()
+            g.refresh_edge_views()  # the cascade dropped edges (r06)
             return self._new(self.df.filter(F.lit(False)))
         if self.kind == "E":
             # eid is anchor-oriented; rebuild the physical edge key
@@ -1304,6 +1354,7 @@ class Traversal:
                                    "dst"))
             g.edges = cur.join(keys, on="__k", how="left_anti") \
                 .drop("__k")
+            g.refresh_edge_views()  # typed views are stale (r06)
             return self._new(self.df.filter(F.lit(False)))
         raise TypeError("drop: value streams cannot be dropped")
 
@@ -1607,8 +1658,16 @@ class _AddE:
         sch = getattr(graph, "schema", None)
         el = sch.edge_labels.get(self._label) if sch else None
         sv = ""
-        if el is not None and el.sort_keys \
-                and all(k in self._props for k in el.sort_keys):
+        if el is not None and el.sort_keys:
+            missing = [k for k in el.sort_keys if k not in self._props]
+            if missing:
+                # sort keys are part of the edge's IDENTITY — a
+                # missing one would encode sv='' and collapse two
+                # distinct edges onto one EdgeId (review r06; same
+                # rule as the REST edge door)
+                raise ValueError(
+                    f"addE: the sort key {missing[0]!r} of edge label "
+                    f"{self._label!r} is missing")
             from incubator_hugegraph_spark.functions.ids import (
                 encode_sort_values)
             sv = encode_sort_values(

@@ -247,9 +247,13 @@ def _apply(chain: _Chain, t: Traversal) -> object:
                     until_chain = sargs[0]
                 j += 1
             if until_chain is not None:
+                kw = {"emit": emit}
+                if n is not None:
+                    # times(n) caps the loop even with until() —
+                    # previously silently ignored (review r06)
+                    kw["max_times"] = n
                 t = t.repeat_until(lambda x: _apply(body, x),
-                                   _until_pred(until_chain),
-                                   emit=emit)
+                                   _until_pred(until_chain), **kw)
             elif n is None:
                 raise SyntaxError(
                     "gremlin: repeat(...) needs .times(n) or .until(...)")
@@ -312,6 +316,15 @@ def _apply(chain: _Chain, t: Traversal) -> object:
                                 "gremlin: group value-by supports "
                                 "__.values(k).mean/sum/min/max or "
                                 "__.count()")
+                elif ba and isinstance(ba[0], str):
+                    # .by('name') value-by: collect that property's
+                    # values — previously silently ignored and the
+                    # group collected element ids (review r06)
+                    value_key = ba[0]
+                elif ba:
+                    raise SyntaxError(
+                        "gremlin: group value-by takes a property "
+                        "name or a __ sub-chain")
                 j += 1
             t = t.group(key, agg, value_key)
             i = j
@@ -512,7 +525,12 @@ def eval_gremlin(graph: PropertyGraph, query: str):
         raise SyntaxError("gremlin: query must start with "
                           "g[.withSack(x)].V()/.E()/.addV()")
     src, args = steps[0]
-    t = getattr(gsrc, src)(*[a for a in args if isinstance(a, str)])
+    # seed ids may arrive as numbers (g.V(1)) — stringify instead of
+    # silently dropping them, which turned a point lookup into a
+    # FULL-GRAPH scan (review r06); engine ids are strings
+    seeds = [a if isinstance(a, str) else str(a)
+             for a in args if not isinstance(a, (tuple, _Chain))]
+    t = getattr(gsrc, src)(*seeds)
     out = _apply(_Chain(steps[1:]), t)
     from incubator_hugegraph_spark.gremlin import _AddE, _AddV
     if isinstance(out, (_AddV, _AddE)):

@@ -950,3 +950,82 @@ def test_has_key_has_value_on_properties(graph):
         graph, "g.V().hasLabel('part').properties('size')"
                ".hasValue(45).count()")
     assert df.head().cnt == manual
+
+
+# ---- round 6 review fixes -------------------------------------------
+
+
+def test_inv_outv_tinkerpop_semantics(graph):
+    """outV is the edge's physical tail, inV its head, regardless of
+    traversal direction (review r06: both were aliased to otherV, so
+    outE().outV() returned the far vertex)."""
+    g = G(graph)
+    src = "customer!1"
+    back = g.V(src).outE("in_nation").outV().toList()
+    assert set(back) == {src}  # outV of my out-edges is me
+    far = g.V(src).outE("in_nation").inV().toList()
+    assert src not in far and far  # inV is the head (the nation)
+    # via inE from the nation side, outV is still the tail (customer)
+    n = far[0]
+    tails = g.V(n).inE("in_nation").outV().toList()
+    assert src in tails and n not in tails
+
+
+def test_bothe_dedup_canonical_edge_identity(graph):
+    """bothE().dedup() collapses each physical edge once — the
+    anchor-oriented eid gave one edge two identities (review r06)."""
+    g = G(graph)
+    src = "customer!1"
+    n_edges = graph.edges.filter(
+        f"src = '{src}' or dst = '{src}'").count()
+    got = g.V(src).bothE().dedup().count().head()[0]
+    assert got == n_edges
+
+
+def test_choose_null_predicate_takes_else(graph):
+    """A NULL predicate (missing property) takes the ELSE branch like
+    TinkerPop, instead of vanishing from both branches (r06)."""
+    from incubator_hugegraph_spark.gremlin import GP
+    g = G(graph)
+    total = g.V().hasLabel("region").count().head()[0]
+    # regions have no 'acctbal' → pred NULL on every row → else
+    kept = (G(graph).V().hasLabel("region")
+            .choose(lambda df: df["props"]["acctbal"] == "1",
+                    lambda t: t.limit(0),
+                    lambda t: t)
+            .count().head()[0])
+    assert kept == total > 0
+
+
+def test_order_by_then_hop_then_limit(graph):
+    """order().by(prop).out().limit(n) — the stale sort spec
+    referenced columns the hop dropped and crashed (r06)."""
+    g = G(graph)
+    rows = (g.V().hasLabel("customer").order_by("name")
+            .out("in_nation").limit(3).toList())
+    assert len(rows) == 3
+
+
+def test_properties_barriers(graph):
+    """properties() traversers support the generic barriers the
+    docstring promises (r06: KeyError/AnalysisException)."""
+    g = G(graph)
+    two = g.V("customer!1").properties().limit(2).toDF().count()
+    assert two == 2
+    d = g.V("customer!1").properties().dedup().toDF().count()
+    assert d >= 2
+
+
+def test_text_numeric_seed_and_group_value_by(graph):
+    """g.V(<id>) with a non-string seed is a point lookup, not a full
+    scan; group().by(label).by('name') collects property VALUES
+    (r06: both were silently wrong)."""
+    from incubator_hugegraph_spark.gremlin_text import eval_gremlin
+    out = eval_gremlin(graph, "g.V('customer!1').out('in_nation')")
+    assert out.count() == 1
+    grp = eval_gremlin(
+        graph, "g.V().hasLabel('region').group().by(T.label).by('name')")
+    row = grp.head()
+    vals = row[1]
+    assert len(vals) == 5 and all(not v.startswith("region!")
+                                  for v in vals)
