@@ -1637,7 +1637,8 @@ nb AS (SELECT DISTINCT dst FROM adj
 common AS (SELECT dst FROM na INTERSECT SELECT dst FROM nb),
 deg AS (SELECT src AS id, count(*) AS degree FROM adj
         WHERE label = 'interacted' GROUP BY src)
-SELECT ROUND(sum(1.0 / ln(degree)), 6) AS score
+SELECT ROUND(COALESCE(sum(CASE WHEN ln(degree) > 0
+                           THEN 1.0 / ln(degree) END), 0.0), 6) AS score
 FROM common JOIN deg ON common.dst = deg.id
 """)
 def adamic_adar_q(spark, sf_dir):
@@ -1657,7 +1658,7 @@ nb AS (SELECT DISTINCT dst FROM adj
 common AS (SELECT dst FROM na INTERSECT SELECT dst FROM nb),
 deg AS (SELECT src AS id, count(*) AS degree FROM adj
         WHERE label = 'interacted' GROUP BY src)
-SELECT ROUND(sum(1.0 / degree), 6) AS score
+SELECT ROUND(COALESCE(sum(1.0 / degree), 0.0), 6) AS score
 FROM common JOIN deg ON common.dst = deg.id
 """)
 def resource_allocation_q(spark, sf_dir):
@@ -6029,7 +6030,8 @@ nb AS (SELECT DISTINCT dst FROM adj
 common AS (SELECT dst FROM na INTERSECT SELECT dst FROM nb),
 deg AS (SELECT src AS id, count(*) AS degree FROM adj
         WHERE label = 'interacted' GROUP BY src)
-SELECT ROUND(sum(1.0 / ln(degree)), 6) AS score
+SELECT ROUND(COALESCE(sum(CASE WHEN ln(degree) > 0
+                           THEN 1.0 / ln(degree) END), 0.0), 6) AS score
 FROM common JOIN deg ON common.dst = deg.id
 """)
 def adamic_adar_q_ram(spark, sf_dir):
@@ -6050,7 +6052,7 @@ nb AS (SELECT DISTINCT dst FROM adj
 common AS (SELECT dst FROM na INTERSECT SELECT dst FROM nb),
 deg AS (SELECT src AS id, count(*) AS degree FROM adj
         WHERE label = 'interacted' GROUP BY src)
-SELECT ROUND(sum(1.0 / degree), 6) AS score
+SELECT ROUND(COALESCE(sum(1.0 / degree), 0.0), 6) AS score
 FROM common JOIN deg ON common.dst = deg.id
 """)
 def resource_allocation_q_ram(spark, sf_dir):

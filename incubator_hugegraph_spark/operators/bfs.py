@@ -215,8 +215,17 @@ def kout(graph: PropertyGraph, source: str, depth: int,
         adj = loop_adj(graph, direction, labels, max_degree, depth,
                        skip_degree)
         frontier = sources_df(graph, [source])
+        total = 0
         for k in range(1, depth + 1):
             frontier = iterate_hygiene(expand(frontier, adj), k)
+            if capacity != NO_LIMIT:
+                # non-nearest mode revisits earlier layers, so
+                # frontiers can REGROW every round — the mode with the
+                # worst growth previously skipped the capacity guard
+                # entirely (review r06)
+                total += frontier.count()
+                if total > capacity:
+                    raise RuntimeError(f"capacity {capacity} exceeded")
         # the source itself is excluded even without nearest dedup
         # (ConcurrentVerticesConsumer takes sourceV explicitly,
         # KoutTraverser.java:89; KoutApiTest expects {peter, ripple,
@@ -405,17 +414,28 @@ def kneighbor_paths(graph: PropertyGraph, source: str, depth: int,
                 .select("id", F.col("id").alias("path")))
     visited = frontier.select("id")
     out: DataFrame | None = None
+    frontier_rows, seen_total = 1, 1
     for k in range(1, depth + 1):
-        ext = (adj.join(F.broadcast(frontier), on=adj.src == frontier.id)
+        # same broadcast gate as bfs() (review r06: this loop force-
+        # broadcast a path-carrying frontier with no size cap — the
+        # r02-flagged failure mode bfs's fallback exists for); past
+        # the gate the layer join and the anti-join shuffle instead
+        fside = F.broadcast(frontier) \
+            if frontier_rows <= BROADCAST_FRONTIER_LIMIT else frontier
+        vside = F.broadcast(visited) \
+            if seen_total <= BROADCAST_FRONTIER_LIMIT else visited
+        ext = (adj.join(fside, on=adj.src == frontier.id)
                .select(F.col("dst").alias("id"),
                        F.concat_ws(sep, "path", "dst").alias("path"))
-               .join(visited, on="id", how="left_anti"))
+               .join(vside, on="id", how="left_anti"))
         # one (min-lex) path per newly reached vertex — this collapse is
         # what keeps the frontier O(|V|) instead of O(#paths)
         frontier = checkpointed(
             ext.groupBy("id").agg(F.min("path").alias("path")))
-        if frontier.limit(1).count() == 0:
+        frontier_rows = frontier.count()
+        if frontier_rows == 0:
             break
+        seen_total += frontier_rows
         visited = visited.unionByName(frontier.select("id"))
         lvl = frontier.withColumn("dist", F.lit(k))
         out = lvl if out is None else out.unionByName(lvl)

@@ -253,7 +253,13 @@ def page(df: DataFrame, order_col: str, page_size: int,
     """Cursor pagination (core/backend/page/PageState): rows with
     order_col > cursor, first page_size by order_col. Unlike
     OFFSET, the cursor form stays O(page) at any depth — the same
-    reason the reference uses backend cursors."""
+    reason the reference uses backend cursors.
+
+    REQUIREMENT: ``order_col`` must be UNIQUE (an id column) — the
+    strict `> cursor` filter skips unseen rows that TIE with the
+    previous page's boundary value, so the union of pages over a
+    non-unique key misses rows (review r06; the reference's page
+    cursors are backend row keys, unique by construction)."""
     out = df.orderBy(order_col)
     if cursor is not None:
         out = out.filter(F.col(order_col) > cursor)

@@ -75,7 +75,11 @@ def _common_with_degree(graph: PropertyGraph, a: str, b: str,
     z's degree in the same direction/labels."""
     common = same_neighbors(graph, a, b, direction, labels, max_degree)
     deg = graph.degrees(direction, labels)
-    return common.join(F.broadcast(deg).alias("d"), on="id")
+    # broadcast the TINY side: `common` is one pair's shared-neighbor
+    # set, `deg` is O(|V|) — shipping every vertex's degree to every
+    # executor is the exact defect similarity.jaccard_top_batch fixed
+    # in round 2 (review r06)
+    return deg.join(F.broadcast(common), on="id")
 
 
 def adamic_adar(graph: PropertyGraph, a: str, b: str,
@@ -90,7 +94,12 @@ def adamic_adar(graph: PropertyGraph, a: str, b: str,
             return ram_pair_scores(graph, a, b, direction, labels,
                                    "adamic")
     cz = _common_with_degree(graph, a, b, direction, labels, max_degree)
-    return cz.agg(F.round(F.sum(1.0 / F.log(F.col("degree"))), 6)
+    # deg=1 → ln(deg)=0 → ANSI DIVIDE_BY_ZERO would abort the job
+    # (review r06): exclude the undefined term like the non-ANSI
+    # NULL-drop did; empty common set scores 0.0, not NULL
+    term = F.when(F.log(F.col("degree")) > 0,
+                  1.0 / F.log(F.col("degree")))
+    return cz.agg(F.round(F.coalesce(F.sum(term), F.lit(0.0)), 6)
                   .alias("score"))
 
 
@@ -106,7 +115,10 @@ def resource_allocation(graph: PropertyGraph, a: str, b: str,
         if engine == "ram" or ram_fits(graph):
             return ram_pair_scores(graph, a, b, direction, labels, "ra")
     cz = _common_with_degree(graph, a, b, direction, labels, max_degree)
-    return cz.agg(F.round(F.sum(1.0 / F.col("degree")), 6).alias("score"))
+    # degree ≥ 1 by construction (it comes from a groupBy count);
+    # only the empty-common-set NULL needs the 0.0 coalesce
+    return cz.agg(F.round(F.coalesce(F.sum(1.0 / F.col("degree")),
+                                     F.lit(0.0)), 6).alias("score"))
 
 
 def edge_exists(graph: PropertyGraph, src: str, dst: str,

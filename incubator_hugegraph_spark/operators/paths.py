@@ -192,7 +192,11 @@ def rays(graph: PropertyGraph, source: str, max_depth: int,
         return part if acc is None else acc.unionByName(part)
 
     for k in range(1, max_depth + 1):
-        fs = frontier.join(F.broadcast(vstat), on="id", how="left")
+        # vstat is O(|V|) (one row per vertex with an edge) — force-
+        # broadcasting it every round dies on the broadcast limit at
+        # scale (review r06); the frontier is the small side, so let
+        # Catalyst/AQE pick the build side
+        fs = frontier.join(vstat, on="id", how="left")
         # terminal has zero edges in this direction → ray
         out = _add(out, _emit(fs.filter(F.col("__deg").isNull())
                               .select("id", "path")))
@@ -363,14 +367,26 @@ def multi_node_shortest_path(graph: PropertyGraph, ids: list[str],
     targets = spark.createDataFrame([(i,) for i in ids], "id string")
     visited = frontier.select("origin", "id")
     out: DataFrame | None = None
+    # broadcast gates, same pattern as bfs() (review r06: frontier and
+    # the cumulatively-growing visited set were force-broadcast every
+    # round with no size cap — visited approaches |ids|·|reached|,
+    # which dies on the broadcast limit at scale); `targets` stays
+    # broadcast unconditionally (|ids| rows, request-sized)
+    from incubator_hugegraph_spark.operators.bfs import (
+        BROADCAST_FRONTIER_LIMIT)
+    frontier_rows = len(ids)
+    seen_total = len(ids)
     for k in range(1, max_depth + 1):
-        ext = (adj.join(F.broadcast(frontier), on=adj.src == frontier.id)
+        fside = F.broadcast(frontier) \
+            if frontier_rows <= BROADCAST_FRONTIER_LIMIT else frontier
+        vside = F.broadcast(visited) \
+            if seen_total <= BROADCAST_FRONTIER_LIMIT else visited
+        ext = (adj.join(fside, on=adj.src == frontier.id)
                .select("origin", F.col("dst").alias("id"),
                        F.concat_ws(PATH_SEP, "path", "dst").alias("path"))
                .groupBy("origin", "id")
                .agg(F.min("path").alias("path"))
-               .join(F.broadcast(visited), on=["origin", "id"],
-                     how="left_anti"))
+               .join(vside, on=["origin", "id"], how="left_anti"))
         # the frontier feeds BOTH the pair emission and the next round —
         # materialize once
         ext = checkpointed(ext)
@@ -380,6 +396,8 @@ def multi_node_shortest_path(graph: PropertyGraph, ids: list[str],
                         F.lit(k).alias("length")))
         out = hits if out is None else out.unionByName(hits)
         visited = visited.unionByName(ext.select("origin", "id"))
+        frontier_rows = ext.count()
+        seen_total += frontier_rows
         frontier = ext
     if out is None:
         return spark.createDataFrame(
@@ -422,14 +440,19 @@ def crosspoints(graph: PropertyGraph, source: str, target: str,
                 return out
     adj = loop_adj(graph, direction, labels, max_degree, max_depth)
 
-    def levels(start: str) -> list[DataFrame]:
+    def levels(start: str, upto: int) -> list[DataFrame]:
         lv = [_seed(graph, [start])]
-        for k in range(1, max_depth + 1):
+        for k in range(1, upto + 1):
             nxt = iterate_hygiene(_extend(lv[-1], adj), k)
             lv.append(nxt)
         return lv
 
-    fwd, bwd = levels(source), levels(target)
+    # the meet loop reads fwd only to ceil(d/2) and bwd to floor(d/2)
+    # — materializing both sides to FULL depth defeated the
+    # bidirectional split (path counts grow ~fanout^k, so the excess
+    # levels dominated the whole query; review r06)
+    fwd = levels(source, (max_depth + 1) // 2)
+    bwd = levels(target, max_depth // 2)
     out: DataFrame | None = None
     # One entry per path, crosspoint = the meet vertex at the
     # ALTERNATING split (PathsTraverser runs forward first, so a
@@ -706,7 +729,25 @@ def rings_detect(graph: PropertyGraph, max_depth: int,
                        F.array_join("path", PATH_SEP),
                        F.array_join(F.reverse("path"), PATH_SEP))
                        .alias("path"),
-                       F.lit(k).alias("length")))
+                       F.lit(k).alias("length"),
+                       F.least(F.col("path").getItem(0),
+                               F.col("path").getItem(1)).alias("a"),
+                       F.greatest(F.col("path").getItem(0),
+                                  F.col("path").getItem(1)).alias("b")))
+        if k == 2 and direction == BOTH:
+            # a-b-a under BOTH traverses the SAME physical edge out
+            # and back — a real 2-ring needs ≥2 physical edges between
+            # the pair (hasMultiEdges, SubGraphTraverser.java:253-260;
+            # rings() already enforces this — review r06)
+            e = graph.edges if labels is None else \
+                graph.edges.filter(F.col("label").isin(labels))
+            multi = (e.select(F.least("src", "dst").alias("a"),
+                              F.greatest("src", "dst").alias("b"))
+                     .groupBy("a", "b")
+                     .agg(F.count(F.lit(1)).alias("n"))
+                     .filter(F.col("n") >= 2).select("a", "b"))
+            rings_k = rings_k.join(multi, on=["a", "b"], how="leftsemi")
+        rings_k = rings_k.select("path", "length")
         if k >= 2:
             out = rings_k if out is None else out.unionByName(rings_k)
         frontier = iterate_hygiene(

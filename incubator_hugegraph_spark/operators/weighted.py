@@ -66,6 +66,13 @@ def sssp(graph: PropertyGraph, source: str, weighted_edges: DataFrame,
     spark = graph.spark
     e = weighted_edges.select("src", "dst", F.col("weight").cast("double"))
     dist = spark.createDataFrame([(source, 0.0)], "id string, dist double")
+    # Bellman-Ford converges in ≤ |V|-1 rounds ONLY without negative
+    # cycles — a negative edge under the default BOTH adjacency IS a
+    # negative 2-cycle, and the fixpoint loop would submit Spark jobs
+    # forever (review r06). Enforce the theoretical bound as a hard
+    # cap and report the cycle instead of hanging.
+    max_rounds = rounds if rounds != NO_LIMIT \
+        else max(1, graph.vertices.count() - 1)
     k = 0
     while True:
         k += 1
@@ -89,6 +96,11 @@ def sssp(graph: PropertyGraph, source: str, weighted_edges: DataFrame,
             dist = new
             if improved == 0:
                 break
+            if k >= max_rounds:
+                raise ValueError(
+                    "sssp: still improving after |V|-1 rounds — the "
+                    "graph has a negative cycle reachable from "
+                    f"{source!r} (shortest distances are undefined)")
     if not with_parent:
         return dist
     # parent = min-id predecessor u with dist(u) + w(u,v) == dist(v)

@@ -1150,11 +1150,15 @@ def ram_pair_scores(graph: PropertyGraph, a: str, b: str,
     _, msrc, _ = _index_edges(graph, direction, labels)
     deg = np.bincount(msrc, minlength=len(ids)).astype(np.float64)
     dz = deg[common]
-    val = float((1.0 / np.log(dz)).sum()) if mode == "adamic" \
-        else float((1.0 / dz).sum())
-    if len(common) == 0:
-        # F.sum over zero rows is NULL in the distributed agg
-        return graph.spark.createDataFrame([(None,)], "score double")
+    if mode == "adamic":
+        # mirror the distributed guard (r06): ln(1)=0 terms are
+        # excluded (the 1/0 term is undefined), zero-norm safe
+        ln = np.log(dz)
+        val = float((1.0 / ln[ln > 0]).sum())
+    else:
+        val = float((1.0 / dz).sum())
+    # empty common set (or all terms excluded) scores 0.0, matching
+    # the distributed coalesce(sum, 0.0)
     return graph.spark.createDataFrame(
         [(float(_round_half_up(np.array([val]), 6)[0]),)], "score double")
 
@@ -1808,6 +1812,24 @@ def ram_rings_detect(graph: PropertyGraph, max_depth: int,
     import pandas as pd
 
     ids, indptr, nbrs = _csr_dedup(graph, direction, labels)
+    # BOTH-direction 2-rings need ≥2 physical edges between the pair
+    # (hasMultiEdges, SubGraphTraverser.java:253-260) — the dual-row
+    # adjacency would otherwise report a fake a-b-a ring for every
+    # single edge (review r06; same rule as the distributed twin)
+    multi_pairs: set[tuple[int, int]] = set()
+    if direction == BOTH:
+        from pyspark.sql import functions as F
+        e = graph.edges if labels is None else \
+            graph.edges.filter(F.col("label").isin(labels))
+        vindex = {v: i for i, v in enumerate(ids)}
+        cnt: dict[tuple[int, int], int] = {}
+        for r in e.select("src", "dst").collect():
+            a, b = vindex.get(r.src), vindex.get(r.dst)
+            if a is None or b is None:
+                continue
+            key = (min(a, b), max(a, b))
+            cnt[key] = cnt.get(key, 0) + 1
+        multi_pairs = {k for k, n2 in cnt.items() if n2 >= 2}
     rings_out: set[tuple[str, int]] = set()
     # anchors = every vertex with out-edges
     anchors = np.flatnonzero(np.diff(indptr) > 0)
@@ -1824,6 +1846,11 @@ def ram_rings_detect(graph: PropertyGraph, max_depth: int,
                     continue
                 if wi == origin:
                     if k >= 2:
+                        if (k == 2 and direction == BOTH
+                                and (min(origin, path[1]),
+                                     max(origin, path[1]))
+                                not in multi_pairs):
+                            continue
                         newp = path + (wi,)
                         fwd = ">".join(str(ids[x]) for x in newp)
                         rev = ">".join(str(ids[x])
