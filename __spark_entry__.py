@@ -233,11 +233,15 @@ WITH {E_SQL.strip()},
 e AS (SELECT src, dst FROM edges WHERE label = 'interacted'),
 deg AS (SELECT id, count(*) AS d
         FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
-        GROUP BY id)
-SELECT CAST(count(*) AS BIGINT) AS n_edges,
-       ROUND(corr(CAST(ds.d AS DOUBLE), CAST(dd.d AS DOUBLE)), 6)
-         AS assortativity
-FROM e JOIN deg ds ON ds.id = e.src JOIN deg dd ON dd.id = e.dst
+        GROUP BY id),
+pairs AS (SELECT CAST(ds.d AS DOUBLE) AS a, CAST(dd.d AS DOUBLE) AS b
+          FROM e JOIN deg ds ON ds.id = e.src
+                 JOIN deg dd ON dd.id = e.dst),
+-- Newman 2002: symmetrized degree pairs — orientation-independent
+sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs)
+SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+       ROUND(corr(a, b), 6) AS assortativity
+FROM sym
 """)
 def degree_assortativity_q(spark, sf_dir):
     """Graph-QC: Newman degree assortativity over the interaction
@@ -249,7 +253,8 @@ def degree_assortativity_q(spark, sf_dir):
 
 @_q("edge_reciprocity", f"""
 WITH {E_SQL.strip()},
-p AS (SELECT DISTINCT src, dst FROM edges WHERE label = 'interacted'),
+p AS (SELECT DISTINCT src, dst FROM edges
+      WHERE label = 'interacted' AND src <> dst),
 r AS (SELECT count(*) AS n_reciprocal FROM p
       WHERE EXISTS (SELECT 1 FROM p q
                     WHERE q.src = p.dst AND q.dst = p.src))

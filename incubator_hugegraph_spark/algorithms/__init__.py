@@ -12,19 +12,24 @@ from incubator_hugegraph_spark.algorithms.centrality import (
     closeness_centrality,
     degree_centrality,
     eigenvector_centrality,
+    hits,
     stress_centrality,
 )
 from incubator_hugegraph_spark.algorithms.community import (
     cluster_coefficient,
     k_core,
+    k_truss,
     louvain,
     lpa,
     triangle_count,
+    triangles_per_vertex,
 )
 from incubator_hugegraph_spark.algorithms.pagerank import page_rank
 from incubator_hugegraph_spark.algorithms.stats import (
     count_edge,
     count_vertex,
+    degree_assortativity,
+    reciprocity,
     subgraph_stat,
 )
 from incubator_hugegraph_spark.algorithms.wcc import wcc, wcc_star
@@ -48,6 +53,15 @@ ALGORITHMS = {
     "weak_connected_component_star": wcc_star,
     "subgraph_stat": subgraph_stat,
     "stress_centrality": stress_centrality,
+    # beyond-reference OLAP extras — the registry IS the job-API
+    # dispatch surface (rest.execute_algorithm), so everything the
+    # package implements must be reachable through it (review r06:
+    # these were importable but not dispatchable)
+    "hits": hits,
+    "k_truss": k_truss,
+    "triangles_per_vertex": triangles_per_vertex,
+    "degree_assortativity": degree_assortativity,
+    "reciprocity": reciprocity,
 }
 
 

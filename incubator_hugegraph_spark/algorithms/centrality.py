@@ -68,6 +68,11 @@ def closeness_centrality(graph: PropertyGraph, sources: list[str],
                     .join(visited.select("origin", "id"),
                           on=["origin", "id"], how="left_anti"))
         frontier = iterate_hygiene(frontier, k)
+        if frontier.limit(1).count() == 0:
+            # BFS exhausted — betweenness/stress probe this too;
+            # without it every remaining round ran joins + an eager
+            # checkpoint on an empty frontier (review r06)
+            break
         visited = visited.unionByName(frontier.withColumn("dist", F.lit(k)))
     return (visited.filter(F.col("dist") > 0)
             .groupBy(F.col("origin").alias("id"))
@@ -108,21 +113,20 @@ def eigenvector_centrality(graph: PropertyGraph, rounds: int = 5,
     return out
 
 
-def betweenness_centrality(graph: PropertyGraph, sources: list[str],
-                           max_depth: int, direction: str = BOTH,
-                           labels: list[str] | None = None,
-                           engine: str = "auto") -> DataFrame:
-    """Brandes betweenness restricted to an explicit source sample
-    (BetweennessCentralityAlgorithmV2.java + BfsTraverser.java:1-151):
-    forward BFS accumulates path counts σ, backward sweep accumulates
-    dependencies δ(v) = Σ_w σ(v)/σ(w)·(1+δ(w)). All joins, keyed by
-    (origin, vertex). Returns (id, betweenness) over non-source
-    vertices reached."""
-    if engine != "dist":
-        from incubator_hugegraph_spark.ram import ram_brandes, ram_fits
-        if engine == "ram" or ram_fits(graph):
-            return ram_brandes(graph, sources, max_depth, direction,
-                               labels, mode="betweenness")
+def _brandes_dist(graph: PropertyGraph, sources: list[str],
+                  max_depth: int, direction: str,
+                  labels: list[str] | None, mode: str,
+                  out_col: str) -> DataFrame:
+    """Shared distributed Brandes spine for betweenness AND stress
+    (review r06: the two were ~65 duplicated lines differing only in
+    the per-predecessor contribution — the RAM path already models
+    this as one ram_brandes(mode)). Forward BFS accumulates path
+    counts σ per (origin, vertex); the backward sweep accumulates
+    dependencies with the mode's contribution:
+
+      betweenness: δ(v) += σ_v/σ_w · (1 + δ(w))   (ratios)
+      stress:      δ(v) += σ_v · (1 + δ(w)/σ_w)   (raw counts)
+    """
     spark = graph.spark
     adj = graph.adj(direction, labels).select("src", "dst").distinct()
     frontier = (spark.createDataFrame([(s,) for s in sources],
@@ -163,24 +167,45 @@ def betweenness_centrality(graph: PropertyGraph, sources: list[str],
         preds = levels[d - 1].select(F.col("origin").alias("p_origin"),
                                      F.col("id").alias("v"),
                                      F.col("sigma").alias("sv"))
+        if mode == "betweenness":
+            inc = (F.col("sv") / F.col("sw")) * (1.0 + F.col("dw"))
+        else:  # stress
+            inc = F.col("sv") * (1.0 + F.col("dw") / F.col("sw"))
         contrib = (adj.join(w_lv, on=adj.dst == F.col("w_id"))
                    .join(preds, on=[adj.src == F.col("v"),
                                     F.col("w_origin") == F.col("p_origin")])
                    .select(F.col("p_origin").alias("origin"),
-                           F.col("v").alias("id"),
-                           (F.col("sv") / F.col("sw")
-                            * (1.0 + F.col("dw"))).alias("inc"))
+                           F.col("v").alias("id"), inc.alias("inc"))
                    .groupBy("origin", "id").agg(F.sum("inc").alias("delta")))
         delta = contrib if delta is None else \
             (delta.unionByName(contrib)
              .groupBy("origin", "id").agg(F.sum("delta").alias("delta")))
         delta = checkpointed(delta)
     if delta is None:
-        return spark.createDataFrame([], "id string, betweenness double")
+        return spark.createDataFrame([], f"id string, {out_col} double")
     srcs = spark.createDataFrame([(s,) for s in sources], "sid string")
     return (delta.join(srcs, on=delta.id == srcs.sid, how="left_anti")
             .groupBy("id")
-            .agg(F.round(F.sum("delta"), 6).alias("betweenness")))
+            .agg(F.round(F.sum("delta"), 6).alias(out_col)))
+
+
+def betweenness_centrality(graph: PropertyGraph, sources: list[str],
+                           max_depth: int, direction: str = BOTH,
+                           labels: list[str] | None = None,
+                           engine: str = "auto") -> DataFrame:
+    """Brandes betweenness restricted to an explicit source sample
+    (BetweennessCentralityAlgorithmV2.java + BfsTraverser.java:1-151):
+    forward BFS accumulates path counts σ, backward sweep accumulates
+    dependencies δ(v) = Σ_w σ(v)/σ(w)·(1+δ(w)). All joins, keyed by
+    (origin, vertex). Returns (id, betweenness) over non-source
+    vertices reached."""
+    if engine != "dist":
+        from incubator_hugegraph_spark.ram import ram_brandes, ram_fits
+        if engine == "ram" or ram_fits(graph):
+            return ram_brandes(graph, sources, max_depth, direction,
+                               labels, mode="betweenness")
+    return _brandes_dist(graph, sources, max_depth, direction, labels,
+                         "betweenness", "betweenness")
 
 
 def stress_centrality(graph: PropertyGraph, sources: list[str],
@@ -198,63 +223,8 @@ def stress_centrality(graph: PropertyGraph, sources: list[str],
         if engine == "ram" or ram_fits(graph):
             return ram_brandes(graph, sources, max_depth, direction,
                                labels, mode="stress")
-    spark = graph.spark
-    adj = graph.adj(direction, labels).select("src", "dst").distinct()
-    frontier = (spark.createDataFrame([(s,) for s in sources],
-                                      "origin string")
-                .select("origin", F.col("origin").alias("id"),
-                        F.lit(0).alias("dist"),
-                        F.lit(1.0).alias("sigma")))
-    levels = [frontier]
-    visited = frontier.select("origin", "id")
-    for k in range(1, max_depth + 1):
-        prev = levels[-1]
-        ext = (adj.join(F.broadcast(prev), on=adj.src == prev.id)
-               .select("origin", F.col("dst").alias("id"), "sigma")
-               .join(visited, on=["origin", "id"], how="left_anti"))
-        nxt = (ext.groupBy("origin", "id")
-               .agg(F.sum("sigma").alias("sigma"))
-               .withColumn("dist", F.lit(k))
-               .select("origin", "id", "dist", "sigma"))
-        nxt = checkpointed(nxt)
-        if nxt.limit(1).count() == 0:
-            break
-        levels.append(nxt)
-        visited = visited.unionByName(nxt.select("origin", "id"))
-    delta = None
-    for d in range(len(levels) - 1, 0, -1):
-        w_lv = levels[d].select(F.col("origin").alias("w_origin"),
-                                F.col("id").alias("w_id"),
-                                F.col("sigma").alias("sw"))
-        if delta is not None:
-            dprev = delta.select(F.col("origin").alias("w_origin"),
-                                 F.col("id").alias("w_id"),
-                                 F.col("delta").alias("dw"))
-            w_lv = (w_lv.join(dprev, on=["w_origin", "w_id"], how="left")
-                    .withColumn("dw", F.coalesce("dw", F.lit(0.0))))
-        else:
-            w_lv = w_lv.withColumn("dw", F.lit(0.0))
-        preds = levels[d - 1].select(F.col("origin").alias("p_origin"),
-                                     F.col("id").alias("v"),
-                                     F.col("sigma").alias("sv"))
-        contrib = (adj.join(w_lv, on=adj.dst == F.col("w_id"))
-                   .join(preds, on=[adj.src == F.col("v"),
-                                    F.col("w_origin") == F.col("p_origin")])
-                   .select(F.col("p_origin").alias("origin"),
-                           F.col("v").alias("id"),
-                           (F.col("sv")
-                            * (1.0 + F.col("dw") / F.col("sw"))).alias("inc"))
-                   .groupBy("origin", "id").agg(F.sum("inc").alias("delta")))
-        delta = contrib if delta is None else \
-            (delta.unionByName(contrib)
-             .groupBy("origin", "id").agg(F.sum("delta").alias("delta")))
-        delta = checkpointed(delta)
-    if delta is None:
-        return spark.createDataFrame([], "id string, stress double")
-    srcs = spark.createDataFrame([(s,) for s in sources], "sid string")
-    return (delta.join(srcs, on=delta.id == srcs.sid, how="left_anti")
-            .groupBy("id")
-            .agg(F.round(F.sum("delta"), 6).alias("stress")))
+    return _brandes_dist(graph, sources, max_depth, direction, labels,
+                         "stress", "stress")
 
 
 def hits(graph: PropertyGraph, rounds: int = 3,
@@ -274,6 +244,10 @@ def hits(graph: PropertyGraph, rounds: int = 3,
     groupBy sums — the vector rides the broadcastable side under AQE
     exactly like eigenvector's; at a billion vertices the same joins
     become shuffle joins with an identical loop."""
+    if rounds < 1:
+        # rounds=0 would leave auth=None and crash the final join
+        # (review r06); one round is the minimum meaningful HITS step
+        raise ValueError("hits: rounds must be >= 1")
     e = graph.adj(OUT, labels).select("src", "dst")
     n = graph.vertices.count()
     hub = graph.vertices.select("id").withColumn("hub", F.lit(1.0 / n))

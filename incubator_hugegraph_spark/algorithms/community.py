@@ -224,6 +224,18 @@ def louvain(graph: PropertyGraph, labels: list[str] | None = None,
     und = undirected_edges(graph, labels)
     # weights: parallel edges already collapsed; weight 1 per edge
     edges = checkpointed(und.select("a", "b", F.lit(1.0).alias("w")))
+    # whole-graph runs are TOTAL over graph.vertices: isolated
+    # (degree-0) vertices are their own singleton communities, like
+    # lpa/wcc (review r06 — the edge-derived node set dropped them
+    # and the docstring's "on the ORIGINAL vertex ids" was false).
+    # Label-restricted runs keep subgraph-endpoint semantics.
+    isolated = None
+    if labels is None:
+        touched = (und.select(F.col("a").alias("id"))
+                   .union(und.select(F.col("b").alias("id"))).distinct())
+        isolated = (graph.vertices.select("id")
+                    .join(touched, on="id", how="left_anti")
+                    .select("id", F.col("id").alias("community")))
     mapping = None  # original id -> community
     for p in range(passes):
         comm = _one_louvain_pass(graph, edges, move_rounds, parity=True)
@@ -269,6 +281,8 @@ def louvain(graph: PropertyGraph, labels: list[str] | None = None,
             # mapping and the contracted edge table (incl. self-loops)
             # after this pass
             _trace.append({"mapping": mapping, "edges": edges})
+    if isolated is not None:
+        mapping = mapping.unionByName(isolated)
     return mapping
 
 

@@ -64,6 +64,12 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
     (ram.py — the reference's hot-graph mode, RamTable.java) when the
     edge count fits, else the distributed loop below; 'ram'/'dist'
     force a path. Both paths are oracle-gated in the driver harness."""
+    if engine == "ram" and max_degree != NO_LIMIT:
+        # never SILENTLY switch engines on a forced 'ram' (review r06
+        # — the docstring promises 'ram'/'dist' force a path)
+        raise ValueError(
+            "page_rank: engine='ram' does not support max_degree — "
+            "use engine='dist' or drop the degree cap")
     if engine != "dist" and max_degree == NO_LIMIT:
         from incubator_hugegraph_spark.ram import ram_fits, ram_page_rank
         if engine == "ram" or ram_fits(graph):

@@ -35,12 +35,16 @@ def subgraph_stat(graph: PropertyGraph,
     deg = (e.select(F.col("src").alias("id"))
            .unionAll(e.select(F.col("dst").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("d")))
-    tri = triangle_count(graph, labels).collect()[0][0]
+    # triangle_count composes LAZILY like the other aggregates —
+    # eagerly collect()ing it ran the most expensive job at
+    # plan-build time even when the caller never acted (review r06)
+    tc = triangle_count(graph, labels)
+    tri = tc.select(F.col(tc.columns[0]).alias("triangles"))
     return (verts.agg(F.count(F.lit(1)).alias("n_vertices"))
             .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
             .crossJoin(deg.agg(F.max("d").alias("max_degree"),
                                F.round(F.avg("d"), 4).alias("avg_degree")))
-            .withColumn("triangles", F.lit(tri)))
+            .crossJoin(tri))
 
 
 def degree_assortativity(graph: PropertyGraph,
@@ -63,13 +67,21 @@ def degree_assortativity(graph: PropertyGraph,
                            F.col("d").alias("ds")), on="src")
          .join(deg.select(F.col("id").alias("dst"),
                           F.col("d").alias("dd")), on="dst"))
+    # Newman 2002 treats each edge as an UNORDERED degree pair: the
+    # correlation runs over the symmetrized multiset (each edge
+    # contributes (ds,dd) AND (dd,ds)), so the result cannot depend
+    # on the arbitrary stored orientation, and a star graph yields
+    # its textbook -1 instead of a NULL from a zero-variance side
+    # (review r06)
+    j = j.select("ds", "dd").unionAll(
+        j.select(F.col("dd").alias("ds"), F.col("ds").alias("dd")))
     # corr() under ANSI mode throws DIVIDE_BY_ZERO when either degree
     # column is constant (star graphs) — spell out the moment ratio
     # with try_divide so degenerate graphs yield NULL like SQL corr
     j = j.select(F.col("ds").cast("double").alias("ds"),
                  F.col("dd").cast("double").alias("dd"))
     return j.agg(
-        F.count(F.lit(1)).alias("n_edges"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
         F.round(F.expr("try_divide(covar_samp(ds, dd), "
                        "stddev_samp(ds) * stddev_samp(dd))"), 6)
         .alias("assortativity"))
@@ -85,7 +97,10 @@ def reciprocity(graph: PropertyGraph,
     on the flipped key — both keyed, no fanout."""
     e = graph.edges if labels is None else \
         graph.edges.filter(F.col("label").isin(labels))
-    pairs = e.select("src", "dst").distinct()
+    # self-loops are neither reciprocated nor unreciprocated dyads —
+    # counting one as a reciprocal pair inflated the metric (r06)
+    pairs = e.select("src", "dst").filter(
+        F.col("src") != F.col("dst")).distinct()
     flipped = pairs.select(F.col("dst").alias("src"),
                            F.col("src").alias("dst"))
     recip = pairs.join(flipped, on=["src", "dst"], how="left_semi")

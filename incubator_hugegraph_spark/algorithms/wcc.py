@@ -64,6 +64,7 @@ def wcc(graph: PropertyGraph, labels: list[str] | None = None,
     # full-vector fixpoint agg as the materializing action, AQE
     # suspended since the round plan's only exchanges are broadcasts
     # (see graph.no_aqe / page_rank for the measured rationale)
+    converged = fixed_rounds is not None
     with no_aqe(graph.spark) if bcast else nullcontext():
         prev = comp
         for k in range(rounds):
@@ -96,6 +97,7 @@ def wcc(graph: PropertyGraph, labels: list[str] | None = None,
                 release_ckpt(prev)
                 prev = new
                 if not delta:
+                    converged = True
                     break
             else:
                 comp = iterate_hygiene(new.select("id", "component"),
@@ -109,6 +111,18 @@ def wcc(graph: PropertyGraph, labels: list[str] | None = None,
     comp = checkpointed(comp)
     release_ckpt(prev)
     adj.unpersist()
+    if not converged:
+        # SILENTLY returning a partial propagation splits one true
+        # component into several labels (review r06: bites exactly the
+        # >50M-edge graphs where the distributed path is mandatory and
+        # diameter can exceed the cap). Fail loudly and point to the
+        # diameter-independent variant.
+        raise RuntimeError(
+            f"wcc: min-label propagation did not converge within "
+            f"max_rounds={max_rounds} (graph diameter exceeds the "
+            "cap) — raise max_rounds or use wcc_star, whose "
+            "large-star/small-star contraction converges in "
+            "O(log d) rounds")
     return comp
 
 
