@@ -23,7 +23,12 @@ def _escape_col(col: Column) -> Column:
     # a pk/sort value containing '>' can never make the 4-part EdgeId
     # concat key ambiguous — mirroring the reference's escaping of the
     # IDS_SPLITOR in every component (SplicingIdGenerator.concat).
-    c = F.regexp_replace(col.cast("string"), r"\\", r"\\\\")
+    # NULL values render as 'None' like the driver-side str(None) —
+    # concat_ws otherwise SKIPS nulls, collapsing distinct composite
+    # identities ((NULL,'b') vs ('b',NULL)) and diverging from
+    # splice_id (review r06).
+    c = F.coalesce(col.cast("string"), F.lit("None"))
+    c = F.regexp_replace(c, r"\\", r"\\\\")
     c = F.regexp_replace(c, r"!", r"\\!")
     return F.regexp_replace(c, r">", r"\\>")
 

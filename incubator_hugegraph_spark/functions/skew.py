@@ -29,11 +29,21 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: list[str],
     ``salts`` — use when `other` is too big to broadcast but far
     smaller than the skewed side (the classic mid-size dimension),
     and size ``salts`` to the hot key's excess, not higher.
-    Row-preserving for every join type passed through ``how``."""
+    Row-preserving for ``inner`` and ``left`` joins; ``right``/
+    ``full``/``semi``/``anti`` are REJECTED — the other side is
+    replicated ``salts`` times, so any join type that emits unmatched
+    other-side rows would emit them ``salts`` times (review r06)."""
     if not on:
         raise ValueError("salted_join: need join keys")
-    salt = (F.abs(F.xxhash64(*[F.col(c) for c in skewed.columns]))
-            % salts).alias("__salt")
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join: how={how!r} is not row-preserving under "
+            "replication — only inner/left joins are supported")
+    # pmod, not abs(x) % n: abs(Long.MIN_VALUE) is still negative in
+    # Java two's complement, and a negative salt matches no replica —
+    # that row silently vanished from the join (review r06)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]),
+                  F.lit(salts)).alias("__salt")
     a = skewed.select("*", salt)
     b = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)])))

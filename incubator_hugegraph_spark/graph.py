@@ -259,7 +259,14 @@ def cap_degree(adj: DataFrame, max_degree: int,
     """
     if max_degree == NO_LIMIT:
         return adj
-    w = Window.partitionBy(anchor).orderBy(*[F.col(c) for c in order_cols])
+    # 'dir' joins the tie-break when present: an adj(BOTH) view holds
+    # an OUT and an IN row for reciprocal edges that are identical in
+    # (label, sort_values, dst) — without it, which row survives a cap
+    # landing on the tie was nondeterministic (review r06)
+    cols = list(order_cols)
+    if "dir" in adj.columns and "dir" not in cols:
+        cols.append("dir")
+    w = Window.partitionBy(anchor).orderBy(*[F.col(c) for c in cols])
     return (adj.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= max_degree).drop("__rn"))
 

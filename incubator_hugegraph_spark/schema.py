@@ -204,6 +204,17 @@ class GraphSchema:
         if vl.id_strategy == IdStrategy.PRIMARY_KEY and not vl.primary_keys:
             raise ValueError(f"vertex label {name}: PRIMARY_KEY strategy "
                              "requires primary_keys")
+        # key subsets validate HERE, where the mistake is (review r06
+        # — the reference's builders do the same; a pk outside the
+        # declared properties previously failed far away with a bare-
+        # label spliced id or an AnalysisException inside a write plan)
+        for kind, keys in (("primary_keys", vl.primary_keys),
+                           ("nullable_keys", vl.nullable_keys)):
+            extra = set(keys or ()) - set(vl.properties or ())
+            if extra:
+                raise ValueError(
+                    f"vertex label {name}: {kind} {sorted(extra)} not "
+                    "in declared properties")
         self.vertex_labels[name] = vl
         return vl
 
@@ -219,6 +230,14 @@ class GraphSchema:
         if el.frequency == Frequency.MULTIPLE and not el.sort_keys:
             raise ValueError(f"edge label {name}: MULTIPLE frequency requires "
                              "sort_keys (EdgeLabel.java:52)")
+        for kind, keys in (("sort_keys", el.sort_keys),
+                           ("nullable_keys", el.nullable_keys)):
+            extra = set(keys or ()) - set(el.properties or ()) \
+                - set(el.sort_keys or ())
+            if extra:
+                raise ValueError(
+                    f"edge label {name}: {kind} {sorted(extra)} not in "
+                    "declared properties")
         self.edge_labels[name] = el
         return el
 

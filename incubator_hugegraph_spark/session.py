@@ -50,6 +50,13 @@ def get_spark(app_name: str = "incubator-hugegraph-spark") -> SparkSession:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
-    if not os.environ.get("SPARK_MASTER_OVERRIDE"):
+    override = os.environ.get("SPARK_MASTER_OVERRIDE")
+    if override:
+        # the override URL is HONORED, not merely used to suppress the
+        # local default (review r06: the value was never passed, so a
+        # plain `python app.py` with the env var set crashed with
+        # "A master URL must be set")
+        builder = builder.master(override)
+    else:
         builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()

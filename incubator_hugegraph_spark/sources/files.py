@@ -40,7 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from incubator_hugegraph_spark.functions.ids import splice_id_col
+from incubator_hugegraph_spark.functions.ids import (splice_id_col,
+                                                     sort_values_col)
 from incubator_hugegraph_spark.graph import PropertyGraph
 from incubator_hugegraph_spark.schema import GraphSchema
 from incubator_hugegraph_spark.sources.tpch import _props_map
@@ -143,7 +144,16 @@ def build_graph_from_mappings(spark: SparkSession, spec: dict,
         v = load_vertices(spark, m, schema)
         vparts.append(v)
         raw = _mapped(_read(spark, m["input"]), m)
-        id_fields = m.get("id") or []
+        # SAME id derivation as load_vertices (review r06: the view
+        # previously skipped the schema PRIMARY_KEY fallback, so a
+        # mapping without 'id' gave every view row the bare label
+        # string as its id while the canonical table spliced pks)
+        id_fields = m.get("id")
+        if not id_fields and schema is not None:
+            vl = schema.vertex_labels.get(m["label"])
+            if vl is not None and vl.primary_keys:
+                id_fields = list(vl.primary_keys)
+        id_fields = id_fields or []
         id_fields = [id_fields] if isinstance(id_fields, str) \
             else list(id_fields)
         props = _prop_cols(raw, m, [])
@@ -159,10 +169,15 @@ def build_graph_from_mappings(spark: SparkSession, spec: dict,
         dst_f = m["target"] if not isinstance(m["target"], str) \
             else [m["target"]]
         props = _prop_cols(raw, m, list(src_f) + list(dst_f))
+        # the view's sort_values must match the canonical encoding
+        # (review r06: a hardcoded '' made multi-edge view rows
+        # unjoinable against the canonical table's encoded keys)
+        sk = m.get("sort_keys") or []
         eviews[m["label"]] = raw.select(
             splice_id_col(m["source_label"], *src_f).alias("src"),
             splice_id_col(m["target_label"], *dst_f).alias("dst"),
-            F.lit("").alias("sort_values"),
+            (sort_values_col(sk) if sk else F.lit(""))
+            .alias("sort_values"),
             *[F.col(c) for c in props])
     if not vparts:
         raise ValueError("mapping spec has no vertex mappings")

@@ -41,6 +41,10 @@ def to_graphson(graph: PropertyGraph) -> DataFrame:
                 F.col("dst").alias("inV"), F.col("label"),
                 F.col("sort_values"),
                 F.col("props").alias("properties"))).alias("outE")))
+    # an edge whose OWNER vertex is absent (e.g. TTL-expired) has no
+    # document to nest under and is intentionally not exported — the
+    # reference's TTL semantics expire a vertex's edges with it
+    # (documented; review r06 asked for this to be explicit)
     doc = (graph.vertices
            .select("id", "label", F.col("props").alias("properties"))
            .join(oute, on="id", how="left"))
@@ -64,8 +68,7 @@ def from_graphson(spark: SparkSession, lines: DataFrame,
         F.lit(None).cast("timestamp").alias("expired_at"))
     edges = (parsed
              .select(F.col("v.id").alias("src"),
-                     F.explode_outer("v.outE").alias("e"))
-             .filter(F.col("e").isNotNull())
+                     F.explode("v.outE").alias("e"))
              .select("src", F.col("e.inV").alias("dst"),
                      F.col("e.label").alias("label"),
                      F.coalesce(F.col("e.sort_values"), F.lit(""))
@@ -79,4 +82,5 @@ def from_graphson(spark: SparkSession, lines: DataFrame,
                       schema=schema)
     if schema is not None:
         g.refresh_vertex_views()
+        g.refresh_edge_views()  # typed EDGE views too (review r06)
     return g

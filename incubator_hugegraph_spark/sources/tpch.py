@@ -280,9 +280,12 @@ def write_graph(graph: PropertyGraph, out_dir: str,
      .option("path", os.path.join(out_dir, "vertices"))
      .saveAsTable("hugegraph.vertices"))
     # schema registry rides the store as a JSON side file
-    # (SchemaTransaction persistence → SURVEY §1.3)
-    with open(os.path.join(out_dir, "schema.json"), "w") as f:
-        f.write(graph.schema.to_json())
+    # (SchemaTransaction persistence → SURVEY §1.3); a schema-less
+    # graph writes no side file instead of crashing AFTER the tables
+    # landed (review r06 — the reader falls back when it is absent)
+    if graph.schema is not None:
+        with open(os.path.join(out_dir, "schema.json"), "w") as f:
+            f.write(graph.schema.to_json())
 
 
 def read_bucketed_graph(spark: SparkSession,
