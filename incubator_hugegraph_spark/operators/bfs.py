@@ -47,7 +47,13 @@ from incubator_hugegraph_spark.graph import (
 
 
 def sources_df(graph: PropertyGraph, ids: list[str]) -> DataFrame:
-    return graph.spark.createDataFrame([(i,) for i in ids], "id string")
+    # duplicated seed ids collapse to one traverser — the RAM kernel
+    # np.unique's its sources, and a duplicate seed double-counting
+    # against the capacity baseline (and emitting duplicate dist-0
+    # rows) was an engine-dependent divergence (review r06)
+    uniq = list(dict.fromkeys(ids))
+    return graph.spark.createDataFrame([(i,) for i in uniq],
+                                       "id string")
 
 
 def prepared_adj(graph: PropertyGraph, direction: str = OUT,
@@ -154,8 +160,9 @@ def bfs(graph: PropertyGraph, source_ids: list[str], depth: int,
                    skip_degree)
     frontier = sources_df(graph, source_ids)
     visited = frontier.withColumn("dist", F.lit(0))
-    total = len(source_ids)
-    frontier_rows = len(source_ids)
+    n_src = len(dict.fromkeys(source_ids))  # deduped, like sources_df
+    total = n_src
+    frontier_rows = n_src
     salts = None  # computed lazily, first shuffle-fallback round only
     for k in range(1, depth + 1):
         # frontier and visited ride the broadcast side only while

@@ -65,7 +65,15 @@ RAM_EDGE_LIMIT = 50_000_000
 
 
 def ram_fits(graph: PropertyGraph) -> bool:
-    return graph.edges.count() <= RAM_EDGE_LIMIT
+    # memoized like the index arrays (review r06: every auto-gated
+    # call paid a full O(|E|) count job before the kernel started);
+    # same staleness assumption as _ram_cache — the cache lives on
+    # the graph object, and writes rebind graph.edges to a new object
+    cache = graph.__dict__.setdefault("_ram_cache", {})
+    key = ("_edge_count", id(graph.edges))
+    if key not in cache:
+        cache[key] = graph.edges.count()
+    return cache[key] <= RAM_EDGE_LIMIT
 
 
 def _index_edges(graph: PropertyGraph, direction: str,
@@ -127,6 +135,8 @@ def ram_page_rank(graph: PropertyGraph, alpha: float = 0.15,
     n = len(ids)
     deg = np.bincount(src, minlength=n).astype(np.float64)
     safe = np.where(deg > 0, deg, 1.0)
+    if n == 0:  # empty graph: empty result, not ZeroDivision (r06)
+        return graph.spark.createDataFrame([], "id string, rank double")
     rank = np.full(n, 1.0 / n)
     rounds = fixed_rounds if fixed_rounds is not None else max_times
     for _ in range(rounds):
@@ -497,8 +507,12 @@ def ram_jaccard_top_batch(graph: PropertyGraph, sources: list[str],
         c = inter[cand].astype(np.float64)
         jac = _round_half_up6(c / (deg[cand] + len(N) - inter[cand]))
         # top-N by (jaccard desc, id asc): cand is id-ascending, and
-        # a stable sort on -jac preserves that order within ties
-        order = np.argsort(-jac, kind="stable")[:top]
+        # a stable sort on -jac preserves that order within ties.
+        # top=-1 (NO_LIMIT) keeps everything — a bare [:-1] slice
+        # silently dropped the worst-ranked candidate (review r06)
+        order = np.argsort(-jac, kind="stable")
+        if top != -1:
+            order = order[:top]
         sel = cand[order]
         out_src.extend([s_str] * len(sel))
         # .tolist() is load-bearing: iterating a numpy <U array yields
@@ -663,6 +677,8 @@ def ram_eigenvector(graph: PropertyGraph, rounds: int = 5,
 
     ids, src, dst = _index_edges(graph, direction, labels)
     n = len(ids)
+    if n == 0:  # empty graph: empty result, not ZeroDivision (r06)
+        return graph.spark.createDataFrame([], "id string, score double")
     x = np.full(n, 1.0 / n)
     for _ in range(rounds):
         raw = np.bincount(dst, weights=x[src], minlength=n)
@@ -1156,7 +1172,9 @@ def ram_pair_scores(graph: PropertyGraph, a: str, b: str,
         ln = np.log(dz)
         val = float((1.0 / ln[ln > 0]).sum())
     else:
-        val = float((1.0 / dz).sum())
+        # zero-degree common neighbors are dropped by the distributed
+        # inner join (no degrees row) — 1/0 here returned inf (r06)
+        val = float((1.0 / dz[dz > 0]).sum())
     # empty common set (or all terms excluded) scores 0.0, matching
     # the distributed coalesce(sum, 0.0)
     return graph.spark.createDataFrame(
@@ -1413,7 +1431,7 @@ def ram_template_paths(graph: PropertyGraph, sources: list[str],
             nxt: list[tuple[int, ...]] = []
             for path in frontier:
                 v = path[-1]
-                interior = set(path[:-1])
+                interior = set(path)  # matches _extend: terminal incl. (r06 self-loop rule)
                 for w in nbrs[indptr[v]:indptr[v + 1]]:
                     wi = int(w)
                     if wi in interior:
@@ -1472,7 +1490,7 @@ def ram_rays(graph: PropertyGraph, source: str, max_depth: int,
             elif (direction == BOTH and k >= 2 and deg_phys[v] == 1
                   and nbr_single[v] == path[-2]):
                 emit(path)
-            interior = set(path[:-1])
+            interior = set(path)  # matches _extend: terminal incl. (r06 self-loop rule)
             for w in nbrs[indptr[v]:indptr[v + 1]]:
                 wi = int(w)
                 if wi in interior:
@@ -1527,7 +1545,7 @@ def ram_rings(graph: PropertyGraph, source: str, max_depth: int,
         nxt: list[tuple[int, ...]] = []
         for path in frontier:
             v = path[-1]
-            interior = set(path[:-1])
+            interior = set(path)  # matches _extend: terminal incl. (r06 self-loop rule)
             for w in nbrs[indptr[v]:indptr[v + 1]]:
                 wi = int(w)
                 if wi in interior and wi != s:
@@ -1567,7 +1585,7 @@ def _enum_levels(ids, indptr, nbrs, start: int, depth: int,
         nxt: list[tuple[int, ...]] = []
         for path in levels[-1]:
             v = path[-1]
-            interior = set(path[:-1])
+            interior = set(path)  # matches _extend: terminal incl. (r06 self-loop rule)
             for w in nbrs[indptr[v]:indptr[v + 1]]:
                 wi = int(w)
                 if wi in interior:
@@ -1653,7 +1671,7 @@ def ram_customized_crosspoints(graph: PropertyGraph, sources: list[str],
                 nxt: list[tuple[int, ...]] = []
                 for path in frontier:
                     v = path[-1]
-                    interior = set(path[:-1])
+                    interior = set(path)  # matches _extend: terminal incl. (r06 self-loop rule)
                     for w in nbrs[indptr[v]:indptr[v + 1]]:
                         wi = int(w)
                         if wi in interior:
@@ -1721,7 +1739,7 @@ def ram_customized_paths(graph: PropertyGraph, sources: list[str],
             by_src.setdefault(int(a), []).append((int(b), float(w)))
         nxt: dict[tuple[tuple[int, ...], float], None] = {}
         for path, wt in frontier:
-            interior = set(path[:-1])
+            interior = set(path)  # matches _extend: terminal incl. (r06 self-loop rule)
             for b, w in by_src.get(path[-1], ()):
                 if b in interior:
                     continue
@@ -1766,7 +1784,7 @@ def ram_collection_paths(graph: PropertyGraph, sources: list[str],
         nxt: set[tuple[int, ...]] = set()
         for path in frontier:
             v = path[-1]
-            interior = set(path[:-1])
+            interior = set(path)  # matches _extend: terminal incl. (r06 self-loop rule)
             for w in nbrs[indptr[v]:indptr[v + 1]]:
                 wi = int(w)
                 if wi in interior:
@@ -1818,18 +1836,17 @@ def ram_rings_detect(graph: PropertyGraph, max_depth: int,
     # single edge (review r06; same rule as the distributed twin)
     multi_pairs: set[tuple[int, int]] = set()
     if direction == BOTH:
-        from pyspark.sql import functions as F
-        e = graph.edges if labels is None else \
-            graph.edges.filter(F.col("label").isin(labels))
-        vindex = {v: i for i, v in enumerate(ids)}
-        cnt: dict[tuple[int, int], int] = {}
-        for r in e.select("src", "dst").collect():
-            a, b = vindex.get(r.src), vindex.get(r.dst)
-            if a is None or b is None:
-                continue
-            key = (min(a, b), max(a, b))
-            cnt[key] = cnt.get(key, 0) + 1
-        multi_pairs = {k for k, n2 in cnt.items() if n2 >= 2}
+        # vectorized from the cached index arrays, like ram_rings —
+        # a driver-side collect loop over the edge rows would cost
+        # GBs of Row objects near the RAM gate (review r06)
+        n_ids = len(ids)
+        _, es, ed = _index_edges(graph, OUT, labels)
+        a = np.minimum(es, ed)
+        b = np.maximum(es, ed)
+        key = a.astype(np.int64) * n_ids + b
+        uk, cnt = np.unique(key, return_counts=True)
+        for kk in uk[cnt >= 2]:
+            multi_pairs.add((int(kk // n_ids), int(kk % n_ids)))
     rings_out: set[tuple[str, int]] = set()
     # anchors = every vertex with out-edges
     anchors = np.flatnonzero(np.diff(indptr) > 0)
@@ -1839,7 +1856,7 @@ def ram_rings_detect(graph: PropertyGraph, max_depth: int,
         for path in frontier:
             v = path[-1]
             origin = path[0]
-            interior = set(path[:-1])
+            interior = set(path)  # matches _extend: terminal incl. (r06 self-loop rule)
             for w in nbrs[indptr[v]:indptr[v + 1]]:
                 wi = int(w)
                 if wi < origin:
