@@ -5582,6 +5582,113 @@ def multimodal_features(spark, sf_dir):
                         "height", "duration_ms")
 
 
+@_q("multimodal_decode", """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n,
+                  CASE WHEN doc_id % 3 = 0 THEN 'image'
+                       WHEN doc_id % 3 = 1 THEN 'audio'
+                       ELSE 'video' END AS modality
+           FROM documents),
+dims AS (SELECT doc_id, n, modality,
+                greatest(CAST(floor(sqrt(n)) AS INT), 1) AS iw
+         FROM d),
+sized AS (SELECT doc_id, modality,
+    CASE modality WHEN 'image' THEN iw WHEN 'video' THEN 16 END AS width,
+    CASE modality
+         WHEN 'image' THEN greatest(CAST(ceil(n*1.0/iw) AS INT), 1)
+         WHEN 'video' THEN 16 END AS height,
+    CASE modality WHEN 'video'
+         THEN CAST(greatest(n // 100, 1) AS BIGINT) END AS n_frames,
+    CASE modality
+         WHEN 'image' THEN CAST(iw * greatest(CAST(ceil(n*1.0/iw)
+                                 AS INT), 1) * 3 AS BIGINT)
+         WHEN 'audio' THEN CAST(greatest(n, 1) AS BIGINT)
+         ELSE CAST(greatest(n // 100, 1) * 768 AS BIGINT) END AS n_values
+    FROM dims),
+vals AS (SELECT doc_id,
+                CASE WHEN modality = 'audio'
+                     THEN (doc_id*2654435761 + i*40503) % 65536 - 32768
+                     ELSE (doc_id*2654435761 + i*40503) % 256 END AS v
+         FROM (SELECT doc_id, modality, unnest(range(n_values)) AS i
+               FROM sized)),
+agg AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS val_sum,
+               CAST(sum(v*v) AS BIGINT) AS val_sumsq,
+               CAST(min(v) AS BIGINT) AS val_min,
+               CAST(max(v) AS BIGINT) AS val_max
+        FROM vals GROUP BY doc_id)
+SELECT s.doc_id AS asset_id, s.modality, s.width, s.height, s.n_frames,
+       s.n_values, a.val_sum, a.val_sumsq, a.val_min, a.val_max
+FROM sized s JOIN agg a ON s.doc_id = a.doc_id
+""")
+def multimodal_decode_q(spark, sf_dir):
+    """REAL pixel/sample decode under the oracle gate (r06): the
+    adapter writes genuinely decodable media — zlib-compressed PNGs
+    whose scanlines rotate through ALL FIVE PNG filter types, 16-bit
+    PCM WAVs, raw-DIB AVIs with true strf frame headers — and
+    decode_media must inflate, UN-filter, unpack and chunk-walk the
+    actual payload bytes to recover the value streams. The oracle
+    recomputes every statistic from the documented generator formula
+    (data/multimodal.py module header) via unnest(range(n)) — one
+    wrong byte anywhere in the encode/decode pair (filter inversion,
+    endianness, chunk padding, row order) shifts a sum and fails the
+    hash. Spark shape: one Arrow-batched mapInPandas over the corpus;
+    stats are exact Python ints (no float drift)."""
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_media,
+        media_docs_as_assets,
+    )
+    return decode_media(media_docs_as_assets(_docs(spark, sf_dir)))
+
+
+@_q("multimodal_resize", """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
+           FROM documents WHERE doc_id % 3 = 0),
+dims AS (SELECT doc_id,
+                greatest(CAST(floor(sqrt(n)) AS INT), 1) AS w,
+                greatest(CAST(ceil(n*1.0/greatest(CAST(floor(sqrt(n))
+                         AS INT), 1)) AS INT), 1) AS h
+         FROM d),
+rs AS (SELECT doc_id, w, h,
+              CASE WHEN greatest(w, h) <= 7 THEN w
+                   ELSE greatest(1, w*7 // greatest(w, h)) END AS w2,
+              CASE WHEN greatest(w, h) <= 7 THEN h
+                   ELSE greatest(1, h*7 // greatest(w, h)) END AS h2
+       FROM dims),
+vals AS (SELECT doc_id, w2, h2,
+                (doc_id*2654435761
+                 + (((j // (w2*3)) * h // h2 * w
+                     + ((j % (w2*3)) // 3) * w // w2) * 3
+                    + j % 3) * 40503) % 256 AS v
+         FROM (SELECT doc_id, w, h, w2, h2,
+                      unnest(range(CAST(w2*h2*3 AS BIGINT))) AS j
+               FROM rs))
+SELECT doc_id AS asset_id, w2 AS width, h2 AS height,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(sum(v) AS BIGINT) AS val_sum,
+       CAST(sum(v*v) AS BIGINT) AS val_sumsq
+FROM vals GROUP BY doc_id, w2, h2
+""")
+def multimodal_resize_q(spark, sf_dir):
+    """GENUINE nearest-neighbor image resize, end-to-end under the
+    gate: decode the real PNG (inflate + unfilter), subsample through
+    the canonical floor-mapped NN grid (src = dst*src_dim//dst_dim),
+    RE-ENCODE as PNG, then decode the re-encoded payload for stats —
+    so the hash witnesses two full encode/decode trips plus the
+    resample. The oracle replays the same index arithmetic on the
+    generator formula in SQL. Images already within max_side pass
+    through byte-identical (the oracle's w2=w branch collapses to the
+    identity mapping)."""
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_media,
+        media_docs_as_assets,
+        resize_images_real,
+    )
+    assets = media_docs_as_assets(_docs(spark, sf_dir)).filter(
+        F.col("modality") == "image")
+    stats = decode_media(resize_images_real(assets, 7))
+    return stats.select("asset_id", "width", "height", "n_values",
+                        "val_sum", "val_sumsq")
+
+
 @_q("events_sessionize", """
 WITH flags AS (
   SELECT user_id, ts, event_id,

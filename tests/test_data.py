@@ -330,6 +330,109 @@ def test_sample_frames_counts(docs):
     assert r["count"] >= 1
 
 
+def test_png_pixel_roundtrip_all_filters():
+    """encode_png_rgb rotates through all five PNG filter types; the
+    decoder must invert each (None/Sub/Up/Average/Paeth) to recover
+    the raw pixels bit-exactly — random data, not just the synth
+    formula, so filter/unfilter bugs can't cancel out."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_png_rgb, encode_png_rgb)
+    rng = np.random.RandomState(11)
+    for w, h in [(6, 9), (1, 7), (13, 1), (2, 2)]:
+        raw = rng.randint(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+        png = encode_png_rgb(raw, w, h)
+        got_w, got_h, got = decode_png_rgb(png)
+        assert (got_w, got_h) == (w, h)
+        assert bytes(got) == raw
+    # the decoder refuses shapes outside the 8-bit RGB subset
+    import struct
+    import zlib as _z
+    bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)  # RGBA
+
+    def chunk(cc, data):
+        crc = _z.crc32(cc + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + cc + data + \
+            struct.pack(">I", crc)
+    rgba = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", bad_ihdr)
+            + chunk(b"IDAT", _z.compress(b"\x00" * 36))
+            + chunk(b"IEND", b""))
+    assert decode_png_rgb(rgba) is None
+
+
+def test_media_decode_matches_generator_formula():
+    """decode_media recovers the documented synth streams from the
+    real containers: PNG inflate+unfilter, WAV PCM unpack, AVI movi
+    walk — exact integer stats."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_avi_frames, decode_wav_samples, render_media_avi,
+        render_media_png, render_media_wav, synth_media_bytes,
+        synth_media_samples, decode_png_rgb)
+    w, h, png = 5, 8, render_media_png(9, 5, 8)
+    _, _, raw = decode_png_rgb(png)
+    assert np.array_equal(np.frombuffer(bytes(raw), np.uint8),
+                          synth_media_bytes(9, w * h * 3))
+    assert np.array_equal(decode_wav_samples(render_media_wav(4, 33)),
+                          synth_media_samples(4, 33))
+    _, _, frames = decode_avi_frames(render_media_avi(8, 2))
+    assert np.array_equal(np.frombuffer(b"".join(frames), np.uint8),
+                          synth_media_bytes(8, 2 * 768))
+
+
+def test_decode_media_dataframe_and_resize(docs):
+    """End-to-end through Spark: media_docs_as_assets → decode_media
+    stats match a local recompute for a sample; resize_images_real
+    re-encodes genuinely smaller PNGs whose decoded pixels equal the
+    floor-mapped NN subsample."""
+    import math
+
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_media, decode_png_rgb, media_docs_as_assets,
+        resize_images_real, synth_media_bytes, synth_media_samples)
+    assets = media_docs_as_assets(docs)
+    stats = {r.asset_id: r
+             for r in decode_media(assets).orderBy("asset_id")
+             .limit(9).collect()}
+    texts = {r.doc_id: len(r.text.encode())
+             for r in docs.orderBy("doc_id").limit(9).collect()}
+    for aid, r in stats.items():
+        n = texts[aid]
+        if r.modality == "image":
+            w = max(1, math.isqrt(n))
+            hh = max(1, -(-n // w))
+            vals = synth_media_bytes(aid, w * hh * 3).astype(np.int64)
+            assert (r.width, r.height, r.n_frames) == (w, hh, None)
+        elif r.modality == "audio":
+            vals = synth_media_samples(aid, max(1, n)).astype(np.int64)
+            assert (r.width, r.height, r.n_frames) == (None, None, None)
+        else:
+            fr = max(1, n // 100)
+            vals = synth_media_bytes(aid, fr * 768).astype(np.int64)
+            assert (r.width, r.height, r.n_frames) == (16, 16, fr)
+        assert r.n_values == vals.size
+        assert r.val_sum == int(vals.sum())
+        assert r.val_sumsq == int((vals * vals).sum())
+        assert (r.val_min, r.val_max) == (int(vals.min()), int(vals.max()))
+    # real resize: every image asset lands within max_side and its
+    # payload re-decodes to the NN subsample of the original pixels
+    imgs = assets.filter(F.col("modality") == "image")
+    one = resize_images_real(imgs, 7).orderBy("asset_id").first()
+    w2, h2, raw2 = decode_png_rgb(bytes(one.payload))
+    assert max(w2, h2) <= 7
+    n = texts[one.asset_id]
+    w = max(1, math.isqrt(n))
+    h = max(1, -(-n // w))
+    img = synth_media_bytes(one.asset_id, w * h * 3).reshape(h, w, 3)
+    ys = (np.arange(h2, dtype=np.int64) * h) // h2
+    xs = (np.arange(w2, dtype=np.int64) * w) // w2
+    assert bytes(raw2) == img[np.ix_(ys, xs)].tobytes()
+
+
 # ----------------------------------------------------------------- events
 
 def test_sessionize_gap_semantics(spark):
