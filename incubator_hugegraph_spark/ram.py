@@ -367,6 +367,61 @@ def _vkey_rank(ids: np.ndarray) -> np.ndarray:
     return rank
 
 
+def _minlex_bfs_levels(indptr, nbrs, vkey, start: int, max_depth: int):
+    """THE shared min-lex BFS core (r05 verdict: previously duplicated
+    between ram_multi_node_shortest_path and ram_kneighbor_paths).
+
+    Level-synchronous BFS from `start` where each newly reached vertex
+    picks the predecessor giving the lexicographically smallest path
+    string — exactly the distributed loops' per-round
+    ``groupBy(..., id).agg(F.min(path))``. Why it works: the frontier
+    is maintained in path-string rank order, and within a level no
+    path||'>' key is a prefix of another (equal separator counts), so
+    (a) the best predecessor of a new vertex is the frontier
+    in-neighbor with the smallest rank (min upos after the lexsort),
+    and (b) ranking the new level by (pred rank, _vkey_rank of the new
+    vertex) reproduces the raw-string order of the new paths — see
+    _vkey_rank for why the tie-break key is id||'>' rather than the
+    raw id.
+
+    Yields (level, new_vertices, parent) per non-empty level;
+    new_vertices ascending by index, parent a full-size array the
+    caller walks via _walk_to_root."""
+    dist = np.full(len(vkey), -1, dtype=np.int32)
+    parent = np.full(len(vkey), -1, dtype=np.int64)
+    dist[start] = 0
+    fr = np.array([start], dtype=np.int64)  # rank order == array order
+    for k in range(1, max_depth + 1):
+        cnt = indptr[fr + 1] - indptr[fr]
+        upos = np.repeat(np.arange(len(fr)), cnt)
+        vs = nbrs[np.repeat(indptr[fr], cnt) + _segmented_arange(cnt)]
+        keep = dist[vs] < 0
+        vs, upos = vs[keep], upos[keep]
+        if len(vs) == 0:
+            return
+        # per new vertex: min predecessor rank (== F.min over the
+        # concatenated path strings within the group)
+        order = np.lexsort((upos, vs))
+        vs_o, up_o = vs[order], upos[order]
+        first = np.ones(len(vs_o), dtype=bool)
+        first[1:] = vs_o[1:] != vs_o[:-1]
+        newv, predrank = vs_o[first], up_o[first]
+        dist[newv] = k
+        parent[newv] = fr[predrank]
+        yield k, newv, parent
+        # next frontier in path-string rank order
+        fr = newv[np.lexsort((vkey[newv], predrank))]
+
+
+def _walk_to_root(parent, v: int, root: int) -> list[int]:
+    """Root→v index chain through the BFS parent array."""
+    chain = [int(v)]
+    while chain[-1] != root:
+        chain.append(int(parent[chain[-1]]))
+    chain.reverse()
+    return chain
+
+
 def ram_multi_node_shortest_path(graph: PropertyGraph, ids_list: list[str],
                                  max_depth: int, direction: str = BOTH,
                                  labels: list[str] | None = None) -> DataFrame:
@@ -375,15 +430,7 @@ def ram_multi_node_shortest_path(graph: PropertyGraph, ids_list: list[str],
     (MultiNodeShortestPathTraverser.java:68-113): (source, target,
     path, length), one min-lexicographic path per unordered pair
     (source precedes target in the input list), length = BFS level.
-
-    Min-lex parity with the distributed loop's per-round
-    ``groupBy(origin, id).agg(F.min(path))``: within a level no
-    path||'>' key is a prefix of another (equal separator counts), so
-    (a) the best predecessor of a newly reached vertex is the frontier
-    in-neighbor with the smallest path rank, and (b) ranking the new
-    level by (pred rank, _vkey_rank of the new vertex) reproduces the
-    raw-string order of the new paths — see _vkey_rank for why the
-    tie-break key is id||'>' rather than the raw id."""
+    Min-lex parity argument: see _minlex_bfs_levels."""
     import pandas as pd
 
     ids, indptr, nbrs = _csr(graph, direction, labels)
@@ -401,39 +448,15 @@ def ram_multi_node_shortest_path(graph: PropertyGraph, ids_list: list[str],
         o = np.searchsorted(ids, origin)
         if o >= n or ids[o] != origin:
             continue
-        dist = np.full(n, -1, dtype=np.int32)
-        parent = np.full(n, -1, dtype=np.int64)
-        dist[o] = 0
-        fr = np.array([o], dtype=np.int64)  # rank order == array order
-        for k in range(1, max_depth + 1):
-            cnt = indptr[fr + 1] - indptr[fr]
-            upos = np.repeat(np.arange(len(fr)), cnt)
-            vs = nbrs[np.repeat(indptr[fr], cnt) + _segmented_arange(cnt)]
-            keep = dist[vs] < 0
-            vs, upos = vs[keep], upos[keep]
-            if len(vs) == 0:
-                break
-            # per new vertex: min predecessor rank (== F.min over the
-            # concatenated path strings within the (origin, v) group)
-            order = np.lexsort((upos, vs))
-            vs_o, up_o = vs[order], upos[order]
-            first = np.ones(len(vs_o), dtype=bool)
-            first[1:] = vs_o[1:] != vs_o[:-1]
-            newv, predrank = vs_o[first], up_o[first]
-            dist[newv] = k
-            parent[newv] = fr[predrank]
-            hit = newv[targets[newv]]
-            for t in hit:
-                path = [int(t)]
-                while path[-1] != o:
-                    path.append(int(parent[path[-1]]))
+        for k, newv, parent in _minlex_bfs_levels(indptr, nbrs, vkey,
+                                                  o, max_depth):
+            for t in newv[targets[newv]]:
                 tid = str(ids[t])
                 if ord_of[origin] < ord_of[tid]:
+                    chain = _walk_to_root(parent, t, o)
                     out_rows.append(
                         (origin, tid,
-                         ">".join(str(ids[p]) for p in reversed(path)), k))
-            # next frontier in path-string rank order
-            fr = newv[np.lexsort((vkey[newv], predrank))]
+                         ">".join(str(ids[p]) for p in chain), k))
     pdf = pd.DataFrame(out_rows,
                        columns=["source", "target", "path", "length"])
     if len(pdf) == 0:
@@ -1897,9 +1920,9 @@ def ram_kneighbor_paths(graph: PropertyGraph, source: str, depth: int,
                         limit: int = -1) -> DataFrame:
     """kneighbor with_path over the CSR — one min-lexicographic path
     per vertex within ≤ depth (identical to operators/bfs.
-    kneighbor_paths' per-round ``groupBy(id).agg(F.min(path))``; the
-    rank propagation and the id||'>' ordering subtlety are shared
-    with ram_multi_node_shortest_path). Returns (id, path, dist)."""
+    kneighbor_paths' per-round ``groupBy(id).agg(F.min(path))``).
+    Shares _minlex_bfs_levels with ram_multi_node_shortest_path.
+    Returns (id, path, dist)."""
     import pandas as pd
 
     ids, indptr, nbrs = _csr_dedup(graph, direction, labels)
@@ -1909,34 +1932,14 @@ def ram_kneighbor_paths(graph: PropertyGraph, source: str, depth: int,
     if s is None:
         return graph.spark.createDataFrame(
             [], "id string, path string, dist int")
-    dist = np.full(n, -1, dtype=np.int32)
-    parent = np.full(n, -1, dtype=np.int64)
-    dist[s] = 0
-    fr = np.array([s], dtype=np.int64)
     rows: list[tuple[str, str, int]] = []
-    for k in range(1, depth + 1):
-        cnt = indptr[fr + 1] - indptr[fr]
-        upos = np.repeat(np.arange(len(fr)), cnt)
-        vs = nbrs[np.repeat(indptr[fr], cnt) + _segmented_arange(cnt)]
-        keep = dist[vs] < 0
-        vs, upos = vs[keep], upos[keep]
-        if len(vs) == 0:
-            break
-        order = np.lexsort((upos, vs))
-        vs_o, up_o = vs[order], upos[order]
-        first = np.ones(len(vs_o), dtype=bool)
-        first[1:] = vs_o[1:] != vs_o[:-1]
-        newv, predrank = vs_o[first], up_o[first]
-        dist[newv] = k
-        parent[newv] = fr[predrank]
+    for k, newv, parent in _minlex_bfs_levels(indptr, nbrs, vkey,
+                                              s, depth):
         for v in newv:
-            chain = [int(v)]
-            while chain[-1] != s:
-                chain.append(int(parent[chain[-1]]))
+            chain = _walk_to_root(parent, v, s)
             rows.append((str(ids[v]),
-                         ">".join(str(ids[x]) for x in reversed(chain)),
+                         ">".join(str(ids[x]) for x in chain),
                          k))
-        fr = newv[np.lexsort((vkey[newv], predrank))]
     if limit != -1:
         rows.sort(key=lambda r: (r[2], r[0]))
         rows = rows[:limit]
