@@ -4874,6 +4874,64 @@ def doc_dedup_keep_best(spark, sf_dir):
         .orderBy("keeper")
 
 
+_BOILERPLATE_16W = ("this document is provided as is without warranty "
+                    "of any kind express or implied legal notice")
+
+
+@_q("doc_paragraph_dedup", f"""
+WITH d AS (SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0
+                       THEN '{_BOILERPLATE_16W} ' || text
+                       ELSE text END AS text
+           FROM documents),
+w AS (SELECT doc_id, str_split_regex(text, '\\s+') AS ws FROM d),
+paras AS (SELECT doc_id, i AS para_idx,
+                 array_to_string(ws[CAST(i*16+1 AS BIGINT)
+                                    :CAST(i*16+16 AS BIGINT)], ' ') AS para
+          FROM (SELECT doc_id, ws,
+                       unnest(range(greatest(
+                           CAST(ceil(len(ws)/16.0) AS BIGINT), 1))) AS i
+                FROM w)
+          WHERE length(array_to_string(ws[CAST(i*16+1 AS BIGINT)
+                          :CAST(i*16+16 AS BIGINT)], ' ')) > 0),
+dup AS (SELECT md5(para) AS ph FROM paras GROUP BY md5(para)
+        HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT * FROM paras
+         WHERE md5(para) NOT IN (SELECT ph FROM dup)),
+tot AS (SELECT doc_id, count(*) AS total FROM paras GROUP BY doc_id),
+agg AS (SELECT doc_id, string_agg(para, '|' ORDER BY para_idx)
+               AS clean_text, count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.total - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+""")
+def doc_paragraph_dedup_q(spark, sf_dir):
+    """Paragraph-level exact dedup (RefinedWeb §'line-wise
+    deduplication' / MassiveText): a paragraph seen in >= 2 distinct
+    docs is removed from ALL of them, texts reassembled in original
+    order. The fixture corpus is flat (no newlines) so paragraphs are
+    fixed 16-word windows, and a known 16-word boilerplate is seeded
+    onto every 7th doc IN-QUERY (the PII-seeding pattern) — the
+    boilerplate occupies exactly window 0 and must vanish from every
+    seeded doc. Spark shape: one md5-keyed agg to find duplicated
+    paragraphs, one anti-join, one per-doc re-agg whose ordering is
+    an array_sort WITHIN each doc's collected structs — no
+    corpus-wide window, no global sort."""
+    from incubator_hugegraph_spark.data.dedup import (
+        paragraph_dedup,
+        word_window_paragraphs,
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(_BOILERPLATE_16W + " "), F.col("text")))
+         .otherwise(F.col("text")).alias("text"))
+    paras = word_window_paragraphs(docs, words=16)
+    return paragraph_dedup(paras, min_docs=2, sep="|")
+
+
 _SEARCH_WORDS = ["spark", "vector", "window"]
 
 
@@ -5687,6 +5745,36 @@ def multimodal_resize_q(spark, sf_dir):
     stats = decode_media(resize_images_real(assets, 7))
     return stats.select("asset_id", "width", "height", "n_values",
                         "val_sum", "val_sumsq")
+
+
+@_q("multimodal_frames", """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
+           FROM documents WHERE doc_id % 3 = 2),
+fr AS (SELECT doc_id, unnest(range(0, greatest(n // 100, 1), 2)) AS f
+       FROM d),
+vals AS (SELECT doc_id, f,
+                (doc_id*2654435761 + (f*768 + i)*40503) % 256 AS v
+         FROM (SELECT doc_id, f, unnest(range(768)) AS i FROM fr))
+SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_idx,
+       CAST(f * 40 AS BIGINT) AS ts_ms,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(sum(v) AS BIGINT) AS val_sum
+FROM vals GROUP BY doc_id, f
+""")
+def multimodal_frames_q(spark, sf_dir):
+    """REAL video frame sampling (r06): the raw-DIB AVIs decode into
+    genuine '00db' frame chunks; sample_frames_real walks the movi
+    list and emits every 2nd ACTUAL frame's byte stats. The oracle
+    recomputes each sampled frame's sum from the generator formula
+    over its true byte range [f*768, (f+1)*768) — a frame-boundary
+    mistake (chunk padding, off-by-one frame index) shifts a sum and
+    fails the hash."""
+    from incubator_hugegraph_spark.data.multimodal import (
+        media_docs_as_assets,
+        sample_frames_real,
+    )
+    assets = media_docs_as_assets(_docs(spark, sf_dir))
+    return sample_frames_real(assets, every_n=2)
 
 
 @_q("events_sessionize", """

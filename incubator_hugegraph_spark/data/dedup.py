@@ -522,3 +522,76 @@ def dedup_keep_best(docs: DataFrame, n: int = 3, threshold: float = 0.3,
             .filter(F.col("__rn") == 1)
             .select("keeper", F.col(id_col).alias("kept_doc"),
                     "score"))
+
+
+def split_paragraphs(docs: DataFrame, sep_regex: str = r"\n{2,}",
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, para_idx, para) — regex split + posexplode, trimmed,
+    empties dropped. The natural splitter for corpora with real
+    paragraph structure (RefinedWeb removes duplicated paragraphs
+    and lines the same way)."""
+    return (docs.select(
+                id_col,
+                F.posexplode(F.split(F.col(text_col), sep_regex))
+                 .alias("para_idx", "para"))
+            .withColumn("para", F.trim("para"))
+            .filter(F.length("para") > 0))
+
+
+def word_window_paragraphs(docs: DataFrame, words: int = 16,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Pseudo-paragraph splitter for FLAT corpora (no newline
+    structure): consecutive fixed-size word windows. One narrow
+    JVM-side projection — split → sequence → transform(slice) →
+    posexplode — zero Python, zero shuffle."""
+    w = F.split(F.col(text_col), r"\s+")
+    k = F.greatest(F.ceil(F.size(w) / F.lit(words)).cast("int"),
+                   F.lit(1))
+    paras = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(
+            F.slice(w, i * words + 1, words), " "))
+    return (docs.select(id_col,
+                        F.posexplode(paras).alias("para_idx", "para"))
+            .filter(F.length("para") > 0))
+
+
+def paragraph_dedup(paras: DataFrame, min_docs: int = 2,
+                    sep: str = "\n\n",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Paragraph-level exact dedup (RefinedWeb / MassiveText line
+    dedup): a paragraph appearing in >= min_docs DISTINCT documents
+    is removed from EVERY document; each document's text reassembles
+    from its surviving paragraphs in original order. Input is a
+    splitter's (id, para_idx, para) stream; returns
+    (id, clean_text, n_kept, n_removed) — documents whose every
+    paragraph was boilerplate survive with clean_text = ''.
+
+    Scale: the duplicated-paragraph set is keyed by md5 (narrow join
+    key, never the text); one agg shuffle to find it, one anti-join,
+    one per-doc re-agg — the reassembly sorts WITHIN each doc's
+    collected struct array (array_sort on (para_idx, para)), so no
+    global sort and no window over the corpus."""
+    p = paras.withColumn("__ph", F.md5("para"))
+    dup = (p.groupBy("__ph")
+           .agg(F.countDistinct(id_col).alias("__nd"))
+           .filter(F.col("__nd") >= min_docs)
+           .select("__ph"))
+    totals = p.groupBy(id_col).agg(F.count(F.lit(1)).alias("__total"))
+    kept = p.join(dup, on="__ph", how="left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("para_idx", "para"))),
+                            lambda s: s["para"]),
+                        sep).alias("clean_text"),
+                    F.count(F.lit(1)).alias("n_kept")))
+    return (totals.join(rebuilt, on=id_col, how="left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    (F.col("__total") - F.coalesce("n_kept", F.lit(0)))
+                    .alias("n_removed")))

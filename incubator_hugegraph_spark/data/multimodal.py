@@ -638,6 +638,46 @@ def resize_images_real(assets: DataFrame, max_side: int) -> DataFrame:
     return assets.mapInPandas(run, ASSET_SCHEMA)
 
 
+FRAME_STATS_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("ts_ms", T.LongType(), False),
+    T.StructField("n_values", T.LongType(), False),
+    T.StructField("val_sum", T.LongType(), False),
+])
+
+
+def sample_frames_real(assets: DataFrame, every_n: int,
+                       us_per_frame: int = 40000) -> DataFrame:
+    """REAL video frame sampling: decode the AVI movi chunks and emit
+    every Nth ACTUAL frame's stats — (asset_id, frame_idx, ts_ms,
+    n_values, val_sum) — so downstream per-frame kernels (dedup,
+    feature extraction) get genuine frame payload boundaries, not
+    synthetic indices. Non-video / undecodable rows emit nothing.
+    One Arrow-batched mapInPandas pass; a task holds one batch of
+    blobs."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                avi = decode_avi_frames(bytes(payload or b""))
+                if avi is None:
+                    continue
+                _, _, frames = avi
+                for f in range(0, len(frames), every_n):
+                    vals = np.frombuffer(frames[f], dtype=np.uint8)
+                    rows.append((int(aid), f,
+                                 f * us_per_frame // 1000,
+                                 int(vals.size), int(vals.sum(
+                                     dtype=np.int64))))
+            yield pd.DataFrame(rows, columns=[x.name for x in
+                                              FRAME_STATS_SCHEMA.fields])
+
+    return (assets.filter(F.col("modality") == "video")
+            .mapInPandas(run, FRAME_STATS_SCHEMA))
+
+
 def _feature_stub(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic fake embedding: byte-histogram projection."""
     n = len(payload or b"")

@@ -330,6 +330,53 @@ def test_sample_frames_counts(docs):
     assert r["count"] >= 1
 
 
+def test_paragraph_dedup_newline_corpus(spark):
+    """RefinedWeb-style paragraph dedup over REAL newline structure:
+    the shared footer vanishes from every doc, unique paragraphs
+    survive in original order, and a doc that was ONLY boilerplate
+    survives with empty clean_text."""
+    from incubator_hugegraph_spark.data.dedup import (
+        paragraph_dedup, split_paragraphs)
+    footer = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha one\n\n{footer}\n\nbeta two"),
+        (2, f"{footer}\n\ngamma three"),
+        (3, footer),
+        (4, "delta four\n\nepsilon five"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(
+        split_paragraphs(docs), min_docs=2).collect()}
+    assert out[1].clean_text == "alpha one\n\nbeta two"
+    assert (out[1].n_kept, out[1].n_removed) == (2, 1)
+    assert out[2].clean_text == "gamma three"
+    assert out[3].clean_text == "" and out[3].n_removed == 1
+    assert out[4].clean_text == "delta four\n\nepsilon five"
+    assert out[4].n_removed == 0
+    # min_docs=3: the footer appears in 3 docs, still removed; a
+    # pair-only duplicate would survive
+    rows2 = rows + [(5, "alpha one")]  # 'alpha one' now in 2 docs
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    out3 = {r.doc_id: r for r in paragraph_dedup(
+        split_paragraphs(docs2), min_docs=3).collect()}
+    assert out3[1].clean_text == "alpha one\n\nbeta two"  # pair kept
+    assert out3[3].clean_text == ""  # triple removed
+
+
+def test_word_window_paragraphs_shape(spark):
+    """Flat-corpus splitter: exact 16-word windows, remainder tail,
+    positional indexes."""
+    from incubator_hugegraph_spark.data.dedup import (
+        word_window_paragraphs)
+    text = " ".join(f"w{i}" for i in range(35))  # 16 + 16 + 3
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = (word_window_paragraphs(docs, words=16)
+           .orderBy("para_idx").collect())
+    assert [r.para_idx for r in got] == [0, 1, 2]
+    assert got[0].para.split(" ") == [f"w{i}" for i in range(16)]
+    assert got[2].para == "w32 w33 w34"
+
+
 def test_png_pixel_roundtrip_all_filters():
     """encode_png_rgb rotates through all five PNG filter types; the
     decoder must invert each (None/Sub/Up/Average/Paeth) to recover
