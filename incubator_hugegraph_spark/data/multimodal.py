@@ -192,17 +192,21 @@ def decode_header(payload: bytes, modality: str) -> dict:
 # dims/durations from first principles, not from the parser.
 # ---------------------------------------------------------------------
 
+def _png_chunk(cc: bytes, data: bytes) -> bytes:
+    """PNG chunk framing: length + fourcc + data + CRC32 (one place —
+    both PNG writers use it)."""
+    crc = zlib.crc32(cc + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + cc + data + \
+        struct.pack(">I", crc)
+
+
 def wrap_png(body: bytes, width: int, height: int) -> bytes:
     """Valid PNG container: signature, IHDR (real CRC), one IDAT
     carrying `body` (not zlib-compressed — header-level consumers
     never inflate), IEND. 57 + len(body) bytes."""
-    def chunk(cc: bytes, data: bytes) -> bytes:
-        crc = zlib.crc32(cc + data) & 0xFFFFFFFF
-        return struct.pack(">I", len(data)) + cc + data + \
-            struct.pack(">I", crc)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", body) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", body) + _png_chunk(b"IEND", b""))
 
 
 def wrap_wav(body: bytes, sample_rate: int = 8000,
@@ -281,41 +285,75 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def _paeth_vec(a, b, c):
+    """Vectorized Paeth predictor (encoder side — all inputs known)."""
+    import numpy as np
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a,
+                    np.where(pb <= pc, b, c))
+
+
 def _png_filter_row(ftype: int, row, prior, bpp: int = 3) -> bytes:
-    """Apply PNG filter `ftype` to a raw scanline (encoder side)."""
-    n = len(row)
-    out = bytearray(n)
-    for x in range(n):
-        left = row[x - bpp] if x >= bpp else 0
-        up = prior[x]
-        ul = prior[x - bpp] if x >= bpp else 0
-        if ftype == 0:
-            out[x] = row[x]
-        elif ftype == 1:
-            out[x] = (row[x] - left) & 0xFF
-        elif ftype == 2:
-            out[x] = (row[x] - up) & 0xFF
-        elif ftype == 3:
-            out[x] = (row[x] - (left + up) // 2) & 0xFF
-        else:
-            out[x] = (row[x] - _paeth(left, up, ul)) & 0xFF
-    return bytes(out)
+    """Apply PNG filter `ftype` to a raw scanline (encoder side).
+    Fully numpy-vectorized: the encoder's predictors read only RAW
+    rows (both known arrays), so every filter type is one whole-row
+    expression — this sits on the mapInPandas hot path (review r06:
+    the per-byte Python loop cost minutes per 128 MB task)."""
+    import numpy as np
+    r = np.frombuffer(bytes(row), dtype=np.uint8).astype(np.int16)
+    if ftype == 0:
+        return bytes(row)
+    p = np.frombuffer(bytes(prior), dtype=np.uint8).astype(np.int16)
+    left = np.zeros_like(r)
+    left[bpp:] = r[:-bpp]
+    if ftype == 1:
+        out = r - left
+    elif ftype == 2:
+        out = r - p
+    elif ftype == 3:
+        out = r - (left + p) // 2
+    else:
+        ul = np.zeros_like(p)
+        ul[bpp:] = p[:-bpp]
+        out = r - _paeth_vec(left, p, ul)
+    return (out & 0xFF).astype(np.uint8).tobytes()
 
 
 def _png_unfilter_row(ftype: int, row: bytearray, prior, bpp: int = 3):
-    """Invert a PNG filter in place (decoder side, RFC 2083 §6)."""
+    """Invert a PNG filter in place (decoder side, RFC 2083 §6).
+    Invalid filter bytes raise (review r06 — silently treating
+    ftype>4 as None produced wrong-but-plausible pixels; the caller
+    maps the raise to an undecodable-payload None). Up is whole-row
+    vectorized and Sub is a per-channel cumsum mod 256; Average/Paeth
+    keep the sequential loop (each byte's predictor reads the
+    just-reconstructed left neighbor through a nonlinear op)."""
+    import numpy as np
+    if ftype == 0:
+        return
+    if ftype == 2:
+        a = np.frombuffer(bytes(row), dtype=np.uint8).astype(np.int16)
+        p = np.frombuffer(bytes(prior), dtype=np.uint8).astype(np.int16)
+        row[:] = ((a + p) & 0xFF).astype(np.uint8).tobytes()
+        return
+    if ftype == 1:
+        # out[x] = row[x] + out[x-bpp]: an independent prefix sum mod
+        # 256 per byte channel
+        a = np.frombuffer(bytes(row), dtype=np.uint8).astype(np.int64)
+        a = a.reshape(-1, bpp)
+        row[:] = (np.cumsum(a, axis=0) & 0xFF).astype(
+            np.uint8).tobytes()
+        return
+    if ftype not in (3, 4):
+        raise ValueError(f"invalid PNG filter byte {ftype}")
     n = len(row)
     for x in range(n):
         left = row[x - bpp] if x >= bpp else 0
         up = prior[x]
-        ul = prior[x - bpp] if x >= bpp else 0
-        if ftype == 1:
-            row[x] = (row[x] + left) & 0xFF
-        elif ftype == 2:
-            row[x] = (row[x] + up) & 0xFF
-        elif ftype == 3:
+        if ftype == 3:
             row[x] = (row[x] + (left + up) // 2) & 0xFF
-        elif ftype == 4:
+        else:
+            ul = prior[x - bpp] if x >= bpp else 0
             row[x] = (row[x] + _paeth(left, up, ul)) & 0xFF
 
 
@@ -335,53 +373,56 @@ def encode_png_rgb(raw: bytes, width: int, height: int) -> bytes:
         parts.append(_png_filter_row(ftype, row, prior))
         prior = row
     idat = zlib.compress(b"".join(parts), 6)
-
-    def chunk(cc: bytes, data: bytes) -> bytes:
-        crc = zlib.crc32(cc + data) & 0xFFFFFFFF
-        return struct.pack(">I", len(data)) + cc + data + \
-            struct.pack(">I", crc)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
 
 
 def decode_png_rgb(b: bytes):
     """REAL PNG pixel decode for the 8-bit RGB subset: walk chunks,
     inflate the concatenated IDATs, invert per-scanline filters.
     Returns (width, height, bytearray of row-major RGB) or None when
-    the payload is not an 8-bit color-type-2 non-interlaced PNG."""
+    the payload is not an 8-bit color-type-2 non-interlaced PNG OR is
+    malformed past the signature — a corrupt IDAT stream, truncated
+    IHDR or invalid filter byte maps to None, never a task-killing
+    raise (review r06: docs_as_assets' header-only PNGs carry
+    non-zlib IDATs and crashed decode_media with zlib.error)."""
     if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    i, width, height, idat = 8, None, None, []
-    while i + 8 <= len(b):
-        (size,) = struct.unpack(">I", b[i:i + 4])
-        cc = b[i + 4:i + 8]
-        data = b[i + 8:i + 8 + size]
-        if cc == b"IHDR":
-            width, height, depth, ctype, comp, filt, ilace = \
-                struct.unpack(">IIBBBBB", data[:13])
-            if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
-                return None
-        elif cc == b"IDAT":
-            idat.append(data)
-        elif cc == b"IEND":
-            break
-        i += 12 + size
-    if width is None or not idat:
+    try:
+        i, width, height, idat = 8, None, None, []
+        while i + 8 <= len(b):
+            (size,) = struct.unpack(">I", b[i:i + 4])
+            cc = b[i + 4:i + 8]
+            data = b[i + 8:i + 8 + size]
+            if cc == b"IHDR":
+                width, height, depth, ctype, comp, filt, ilace = \
+                    struct.unpack(">IIBBBBB", data[:13])
+                if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                    return None
+            elif cc == b"IDAT":
+                idat.append(data)
+            elif cc == b"IEND":
+                break
+            i += 12 + size
+        if width is None or not idat:
+            return None
+        seq = zlib.decompress(b"".join(idat))
+        stride = width * 3
+        if len(seq) != (stride + 1) * height:
+            return None
+        out = bytearray(stride * height)
+        prior = bytearray(stride)
+        for r in range(height):
+            ftype = seq[r * (stride + 1)]
+            row = bytearray(seq[r * (stride + 1) + 1:
+                                (r + 1) * (stride + 1)])
+            _png_unfilter_row(ftype, row, prior)
+            out[r * stride:(r + 1) * stride] = row
+            prior = row
+        return width, height, out
+    except (zlib.error, struct.error, ValueError):
         return None
-    seq = zlib.decompress(b"".join(idat))
-    stride = width * 3
-    if len(seq) != (stride + 1) * height:
-        return None
-    out = bytearray(stride * height)
-    prior = bytearray(stride)
-    for r in range(height):
-        ftype = seq[r * (stride + 1)]
-        row = bytearray(seq[r * (stride + 1) + 1:(r + 1) * (stride + 1)])
-        _png_unfilter_row(ftype, row, prior)
-        out[r * stride:(r + 1) * stride] = row
-        prior = row
-    return width, height, out
 
 
 def render_media_png(asset_id: int, width: int, height: int) -> bytes:
@@ -450,32 +491,31 @@ def render_media_avi(asset_id: int, n_frames: int,
 def decode_avi_frames(b: bytes):
     """REAL AVI frame decode for the raw-DIB subset: strf gives the
     frame dims, the movi list yields one byte buffer per '00db'
-    chunk. Returns (width, height, [frame bytes]) or None."""
+    chunk. Returns (width, height, [frame bytes]) or None. Top-level
+    RIFF iteration rides the shared _riff_chunks walker (review r06)."""
     if len(b) < 64 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         return None
     width = height = None
     frames = []
-    i = 12
-    while i + 8 <= len(b):
-        cc = b[i:i + 4]
-        (size,) = struct.unpack("<I", b[i + 4:i + 8])
-        body = b[i + 8:i + 8 + size]
-        if cc == b"LIST":
-            kind = body[:4]
-            if kind == b"hdrl":
-                j = b.find(b"strf", i, i + 8 + size)
-                if j >= 0:
-                    w, h = struct.unpack("<ii", b[j + 12:j + 20])
-                    width, height = w, abs(h)
-            elif kind == b"movi":
-                k = 4
-                while k + 8 <= len(body):
-                    fcc = body[k:k + 4]
-                    (fsz,) = struct.unpack("<I", body[k + 4:k + 8])
-                    if fcc == b"00db":
-                        frames.append(body[k + 8:k + 8 + fsz])
-                    k += 8 + fsz + (fsz & 1)
-        i += 8 + size + (size & 1)
+    for cc, body in _riff_chunks(b):
+        if cc != b"LIST":
+            continue
+        kind = body[:4]
+        if kind == b"hdrl":
+            # strf layout: fourcc(4) size(4) BITMAPINFOHEADER —
+            # biWidth/biHeight live at data+4 → j+12..j+20
+            j = body.find(b"strf")
+            if j >= 0 and j + 20 <= len(body):
+                w, h = struct.unpack("<ii", body[j + 12:j + 20])
+                width, height = w, abs(h)
+        elif kind == b"movi":
+            k = 4
+            while k + 8 <= len(body):
+                fcc = body[k:k + 4]
+                (fsz,) = struct.unpack("<I", body[k + 4:k + 8])
+                if fcc == b"00db":
+                    frames.append(body[k + 8:k + 8 + fsz])
+                k += 8 + fsz + (fsz & 1)
     if width is None:
         return None
     return width, height, frames
@@ -510,31 +550,40 @@ def media_docs_as_assets(docs: DataFrame) -> DataFrame:
     reader."""
     import math
 
+    def render(aid: int, mod: str, body: bytes):
+        n = len(body)
+        if mod == "image":
+            w = max(1, math.isqrt(n))
+            h = max(1, -(-n // w))
+            return render_media_png(aid, w, h), "image/png"
+        if mod == "audio":
+            return render_media_wav(aid, max(1, n)), "audio/wav"
+        return render_media_avi(aid, max(1, n // 100)), "video/x-msvideo"
+
+    return _assets_adapter(docs, render)
+
+
+def _assets_adapter(docs: DataFrame, render) -> DataFrame:
+    """THE adapter skeleton both asset writers share (review r06 —
+    previously two copy-pasted ~45-line bodies): modality by
+    doc_id % 3, one Arrow-batched mapInPandas pass over
+    ``render(asset_id, modality, body) -> (payload, mime)``."""
     base = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
          .when(F.col("doc_id") % 3 == 1, "audio")
          .otherwise("video").alias("modality"),
-        F.octet_length(F.encode("text", "utf-8")).alias("n"),
+        F.encode("text", "utf-8").alias("body"),
         F.col("source"))
 
     def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, mimes = [], []
-            for aid, mod, n in zip(pdf["asset_id"], pdf["modality"],
-                                   pdf["n"]):
-                aid, n = int(aid), int(n)
-                if mod == "image":
-                    w = max(1, math.isqrt(n))
-                    h = max(1, -(-n // w))
-                    payloads.append(render_media_png(aid, w, h))
-                    mimes.append("image/png")
-                elif mod == "audio":
-                    payloads.append(render_media_wav(aid, max(1, n)))
-                    mimes.append("audio/wav")
-                else:
-                    payloads.append(render_media_avi(aid, max(1, n // 100)))
-                    mimes.append("video/x-msvideo")
+            for aid, mod, body in zip(pdf["asset_id"], pdf["modality"],
+                                      pdf["body"]):
+                payload, mime = render(int(aid), mod, bytes(body or b""))
+                payloads.append(payload)
+                mimes.append(mime)
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "modality": pdf["modality"],
@@ -749,40 +798,18 @@ def docs_as_assets(docs: DataFrame) -> DataFrame:
 
     (n = utf-8 byte length of the text). The wrap happens in one
     Arrow-batched mapInPandas pass — same streaming batch shape a
-    real blob-store reader would have."""
+    real blob-store reader would have (shared skeleton:
+    _assets_adapter)."""
     import math
 
-    base = docs.select(
-        F.col("doc_id").alias("asset_id"),
-        F.when(F.col("doc_id") % 3 == 0, "image")
-         .when(F.col("doc_id") % 3 == 1, "audio")
-         .otherwise("video").alias("modality"),
-        F.encode("text", "utf-8").alias("body"),
-        F.col("source"))
+    def render(aid: int, mod: str, body: bytes):
+        n = len(body)
+        if mod == "image":
+            w = max(1, math.isqrt(n))
+            h = max(1, -(-n // w))
+            return wrap_png(body, w, h), "image/png"
+        if mod == "audio":
+            return wrap_wav(body), "audio/wav"
+        return wrap_avi(body, 40000, max(1, n // 100)), "video/x-msvideo"
 
-    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads, mimes = [], []
-            for body, mod in zip(pdf["body"], pdf["modality"]):
-                b = bytes(body or b"")
-                n = len(b)
-                if mod == "image":
-                    w = max(1, math.isqrt(n))
-                    h = max(1, -(-n // w))
-                    payloads.append(wrap_png(b, w, h))
-                    mimes.append("image/png")
-                elif mod == "audio":
-                    payloads.append(wrap_wav(b))
-                    mimes.append("audio/wav")
-                else:
-                    payloads.append(wrap_avi(b, 40000, max(1, n // 100)))
-                    mimes.append("video/x-msvideo")
-            yield pd.DataFrame({
-                "asset_id": pdf["asset_id"],
-                "modality": pdf["modality"],
-                "mime": mimes,
-                "payload": payloads,
-                "meta": [{"source": s} for s in pdf["source"]],
-            })
-
-    return base.mapInPandas(wrap, ASSET_SCHEMA)
+    return _assets_adapter(docs, render)

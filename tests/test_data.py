@@ -408,6 +408,42 @@ def test_png_pixel_roundtrip_all_filters():
     assert decode_png_rgb(rgba) is None
 
 
+def test_decode_media_tolerates_undecodable_payloads(docs):
+    """Malformed-but-signed payloads must map to n_values=0 / NULL
+    stats, never a task-killing raise (review r06: docs_as_assets'
+    header-only PNGs carry non-zlib IDATs and crashed decode_media
+    with zlib.error; an invalid filter byte decoded as garbage)."""
+    import struct
+    import zlib as _z
+
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_media, decode_png_rgb, docs_as_assets, resize_image_rgb,
+        wrap_png)
+    # direct: wrap_png's IDAT is NOT a zlib stream
+    assert decode_png_rgb(wrap_png(b"hello world bytes", 4, 2)) is None
+    # invalid filter byte (spec allows 0-4 only) → undecodable
+    seq = b"\x07" + b"\x00" * 6  # one 2x1 scanline, filter byte 7
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + b"".join([struct.pack(">I", 13) + b"IHDR"
+                       + struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+                       + struct.pack(">I", 0)])
+           + struct.pack(">I", len(_z.compress(seq))) + b"IDAT"
+           + _z.compress(seq) + struct.pack(">I", 0)
+           + struct.pack(">I", 0) + b"IEND" + struct.pack(">I", 0))
+    assert decode_png_rgb(bad) is None
+    assert resize_image_rgb(bad, 4) is None
+    # end-to-end: the header-level adapter's corpus must flow through
+    # decode_media without raising; its PNGs/AVIs are undecodable
+    # (n_values=0), its WAVs are genuine PCM
+    out = decode_media(docs_as_assets(docs.limit(9))).collect()
+    by_mod = {}
+    for r in out:
+        by_mod.setdefault(r.modality, []).append(r)
+    assert all(r.n_values == 0 and r.val_sum is None
+               for r in by_mod.get("image", []))
+    assert all(r.n_values > 0 for r in by_mod.get("audio", []))
+
+
 def test_media_decode_matches_generator_formula():
     """decode_media recovers the documented synth streams from the
     real containers: PNG inflate+unfilter, WAV PCM unpack, AVI movi
