@@ -288,29 +288,30 @@ def simhash(docs: DataFrame, text_col: str = "text",
     return agg.select("id", fp.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
-                       text_col: str = "text",
-                       id_col: str = "doc_id",
-                       portable: bool = False) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming
-    (requires ≤ 3 for the 4-chunk pigeonhole to be exact): band on
-    4 chunks (16-bit, or 15-bit for the 60-bit portable hash),
-    verify hamming via bit_count(xor)."""
-    sh = simhash(docs, text_col, id_col, portable=portable)
-    cw = 15 if portable else 16
-    mask = (1 << cw) - 1
-    chunks = sh.select(
-        "id", "simhash",
+def hamming_near_pairs(hashes: DataFrame, max_hamming: int = 3,
+                       hash_col: str = "simhash",
+                       id_col: str = "id",
+                       chunk_width: int = 16) -> DataFrame:
+    """Generic chunked-Hamming near-pair join over a 64-bit-packed
+    fingerprint column: band on 4 chunks of ``chunk_width`` bits
+    (pigeonhole — any pair within hamming ≤ 3 shares at least one
+    chunk, so ≤ 3 keeps the bucket join EXACT, never approximate),
+    then verify true hamming via bit_count(xor). Serves SimHash text
+    fingerprints and image dHashes alike. Scale: the only shuffle is
+    the 4×|rows| chunk-bucket join — no all-pairs anywhere."""
+    mask = (1 << chunk_width) - 1
+    chunks = hashes.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h"),
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
-                     F.shiftrightunsigned("simhash", c * cw)
+                     F.shiftrightunsigned(hash_col, c * chunk_width)
                      .bitwiseAND(F.lit(mask)).alias("val"))
             for c in range(4)])).alias("cc")) \
-        .select("id", "simhash", "cc.chunk", "cc.val")
+        .select("id", "h", "cc.chunk", "cc.val")
     l = chunks.select(F.col("id").alias("d1"),
-                      F.col("simhash").alias("s1"), "chunk", "val")
+                      F.col("h").alias("s1"), "chunk", "val")
     r = chunks.select(F.col("id").alias("d2"),
-                      F.col("simhash").alias("s2"), "chunk", "val")
+                      F.col("h").alias("s2"), "chunk", "val")
     return (l.join(r, on=["chunk", "val"])
             .filter(F.col("d1") < F.col("d2"))
             .select("d1", "d2", "s1", "s2").distinct()
@@ -318,6 +319,21 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                 F.col("s1").bitwiseXOR(F.col("s2"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("d1", "d2", "hamming"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       portable: bool = False) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming
+    (requires ≤ 3 for the 4-chunk pigeonhole to be exact): band on
+    4 chunks (16-bit, or 15-bit for the 60-bit portable hash),
+    verify hamming via bit_count(xor) — the shared
+    hamming_near_pairs join."""
+    sh = simhash(docs, text_col, id_col, portable=portable)
+    return hamming_near_pairs(sh, max_hamming, hash_col="simhash",
+                              id_col="id",
+                              chunk_width=15 if portable else 16)
 
 
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,

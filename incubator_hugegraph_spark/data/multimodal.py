@@ -644,6 +644,56 @@ def decode_media(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(run, MEDIA_STATS_SCHEMA)
 
 
+def dhash_rgb(payload: bytes) -> int | None:
+    """Perceptual difference-hash (dHash) of a decodable RGB PNG: the
+    decoded pixels NN-sample to a 9-wide × 8-tall grid (the canonical
+    floor mapping), integer grayscale (r+g+b)//3, and bit k = y*8+x
+    is set iff gray(x+1, y) > gray(x, y) — 64 bits packed into a
+    SIGNED long exactly like simhash (bit 63 → the sign bit), so the
+    chunked-Hamming join machinery applies unchanged. Robust to
+    resizing/re-encoding: the hash rides pixel STRUCTURE, not bytes.
+    None for undecodable payloads."""
+    import numpy as np
+    png = decode_png_rgb(payload or b"")
+    if png is None:
+        return None
+    w, h, raw = png
+    img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(8, dtype=np.int64) * h) // 8
+    xs = (np.arange(9, dtype=np.int64) * w) // 9
+    grid = img[np.ix_(ys, xs)].astype(np.int64)
+    gray = grid.sum(axis=2) // 3          # (8, 9) integer grayscale
+    bits = gray[:, 1:] > gray[:, :-1]     # (8, 8), bit k = y*8+x
+    out = 0
+    for k, b in enumerate(bits.ravel()):
+        if b:
+            out += (1 << k) if k < 63 else -(1 << 63)
+    return out
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """mapInPandas dHash over image payloads: (asset_id, dhash long).
+    Undecodable or non-image rows emit nothing. Feed the result to
+    dedup.hamming_near_pairs for bucketed (never all-pairs) perceptual
+    near-dup detection."""
+    schema = T.StructType([
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                hv = dhash_rgb(bytes(payload or b""))
+                if hv is not None:
+                    rows.append((int(aid), hv))
+            yield pd.DataFrame(rows, columns=["asset_id", "dhash"])
+
+    return (assets.filter(F.col("modality") == "image")
+            .mapInPandas(run, schema))
+
+
 def resize_image_rgb(payload: bytes, max_side: int) -> bytes | None:
     """GENUINE nearest-neighbor resize of a decodable RGB PNG:
     decode → index-map subsample (src = floor(dst*src_dim/dst_dim),

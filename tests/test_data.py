@@ -377,6 +377,48 @@ def test_word_window_paragraphs_shape(spark):
     assert got[2].para == "w32 w33 w34"
 
 
+def test_dhash_perceptual_properties(spark):
+    """dHash rides pixel structure: sparse pixel edits move the hash
+    by a few bits, while unrelated images differ widely; the generic
+    chunked-Hamming join finds exactly the brute-force pairs at the
+    pigeonhole-exact threshold."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.dedup import hamming_near_pairs
+    from incubator_hugegraph_spark.data.multimodal import (
+        dhash_rgb, encode_png_rgb, synth_media_bytes)
+    w, h = 20, 15
+    base = synth_media_bytes(3, w * h * 3)
+    png_a = encode_png_rgb(base.tobytes(), w, h)
+    ham_a = dhash_rgb(png_a)
+    # one flipped pixel: hamming stays tiny (<= 4 bits: one gray cell
+    # affects at most its two horizontal comparisons per sample hit)
+    tweaked = base.copy().astype(np.int64)
+    tweaked[:3] = (tweaked[:3] + 128) % 256
+    ham_b = dhash_rgb(encode_png_rgb(
+        tweaked.astype(np.uint8).tobytes(), w, h))
+    assert bin((ham_a ^ ham_b) & ((1 << 64) - 1)).count("1") <= 4
+    # an unrelated image lands far away
+    other = dhash_rgb(encode_png_rgb(
+        synth_media_bytes(99, w * h * 3).tobytes(), w, h))
+    assert bin((ham_a ^ other) & ((1 << 64) - 1)).count("1") > 8
+    # bucket join == brute force at max_hamming <= 3 (pigeonhole)
+    rows = [(1, 0b1010), (2, 0b1011), (3, 0b1010 - (1 << 63)),
+            (4, -(1 << 63)), (5, 0b1010 | (1 << 20) | (1 << 40))]
+    hashes = spark.createDataFrame(rows, "id long, fp long")
+    got = {(r.d1, r.d2, r.hamming)
+           for r in hamming_near_pairs(hashes, 3, hash_col="fp",
+                                       id_col="id").collect()}
+    brute = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = bin((rows[i][1] ^ rows[j][1])
+                    & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                brute.add((rows[i][0], rows[j][0], d))
+    assert got == brute and len(brute) >= 2
+
+
 def test_png_pixel_roundtrip_all_filters():
     """encode_png_rgb rotates through all five PNG filter types; the
     decoder must invert each (None/Sub/Up/Average/Paeth) to recover
