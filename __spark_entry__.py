@@ -5879,6 +5879,97 @@ def multimodal_image_neardup_q(spark, sf_dir):
                               hash_col="dhash", id_col="asset_id")
 
 
+@_q("multimodal_audio_neardup", """
+WITH d AS (SELECT doc_id, doc_id - doc_id % 5 AS base FROM documents),
+b AS (SELECT d.doc_id, d.base,
+             greatest(octet_length(encode(t.text)), 1) AS ns
+      FROM d JOIN documents t ON t.doc_id = d.base),
+v AS (SELECT doc_id, (i*65) // ns AS j,
+             CASE WHEN (i*31 + doc_id) % 701 = 0
+                  THEN ((base*2654435761 + i*40503) % 65536
+                        + 16384) % 65536 - 32768
+                  ELSE (base*2654435761 + i*40503) % 65536 - 32768
+             END AS s
+      FROM (SELECT doc_id, base, ns, unnest(range(ns)) AS i FROM b)),
+e0 AS (SELECT doc_id, j, sum(s*s) AS en FROM v GROUP BY doc_id, j),
+w AS (SELECT g.doc_id, g.j, coalesce(e0.en, 0) AS en
+      FROM (SELECT b.doc_id, gg.j
+            FROM b CROSS JOIN (SELECT unnest(range(65)) AS j) gg) g
+      LEFT JOIN e0 ON e0.doc_id = g.doc_id AND e0.j = g.j),
+bits AS (SELECT a.doc_id, a.j AS k,
+                CASE WHEN nx.en > a.en THEN 1 ELSE 0 END AS bit
+         FROM w a JOIN w nx
+              ON nx.doc_id = a.doc_id AND nx.j = a.j + 1
+         WHERE a.j < 64),
+hs AS (SELECT doc_id,
+              CAST(sum(CASE WHEN k < 63
+                            THEN CAST(bit AS BIGINT) << k
+                            ELSE 0 END) AS BIGINT)
+              + CASE WHEN max(CASE WHEN k = 63 THEN bit ELSE 0 END) = 1
+                     THEN -9223372036854775807 - 1 ELSE 0 END AS h
+       FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+""")
+def multimodal_audio_neardup_q(spark, sf_dir):
+    """Perceptual AUDIO near-dup through the real PCM decode — the
+    energy-contour fingerprint (65 index windows, exact integer
+    sum-of-squares energies, adjacent-window comparison bits) over
+    planted groups of lightly-edited copies of the same base signal,
+    paired by the shared chunked-Hamming join. The oracle replays
+    window partition, energies, bit pack and XOR popcount in SQL
+    from the generator formula — the Spark side's RIFF walk and
+    int16 unpack must be byte-perfect. Completes the multimodal
+    dedup story: text (SimHash/MinHash), image (dHash), audio
+    (energy contour) all ride ONE banded-join kernel."""
+    import numpy as np
+    import pandas as pd_
+    from pyspark.sql import types as T_
+
+    from incubator_hugegraph_spark.data.dedup import hamming_near_pairs
+    from incubator_hugegraph_spark.data.multimodal import (
+        audio_fingerprints,
+        synth_media_samples,
+        wrap_wav,
+    )
+    docs = _docs(spark, sf_dir)
+    spec = (docs.select("doc_id",
+                        (F.col("doc_id") - F.col("doc_id") % 5)
+                        .alias("base"))
+            .join(docs.select(
+                F.col("doc_id").alias("base"),
+                F.greatest(F.octet_length(F.encode("text", "utf-8")),
+                           F.lit(1)).alias("ns")),
+                  on="base"))
+    schema = T_.StructType([
+        T_.StructField("asset_id", T_.LongType(), False),
+        T_.StructField("modality", T_.StringType(), False),
+        T_.StructField("payload", T_.BinaryType(), False),
+    ])
+
+    def wrap(batches):
+        for pdf in batches:
+            rows = []
+            for aid, base, ns in zip(pdf["doc_id"], pdf["base"],
+                                     pdf["ns"]):
+                aid, base, ns = int(aid), int(base), int(ns)
+                s = synth_media_samples(base, ns).astype(np.int64)
+                idx = np.arange(ns, dtype=np.int64)
+                m = (idx * 31 + aid) % 701 == 0
+                s[m] = ((s[m] + 32768 + 16384) % 65536) - 32768
+                rows.append((aid, "audio",
+                             wrap_wav(s.astype("<i2").tobytes())))
+            yield pd_.DataFrame(rows,
+                                columns=["asset_id", "modality",
+                                         "payload"])
+
+    assets = spec.mapInPandas(wrap, schema)
+    return hamming_near_pairs(audio_fingerprints(assets), max_hamming=3,
+                              hash_col="afp", id_col="asset_id")
+
+
 @_q("events_sessionize", """
 WITH flags AS (
   SELECT user_id, ts, event_id,

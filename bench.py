@@ -175,6 +175,19 @@ def main() -> None:
         from incubator_hugegraph_spark.data.sample import chunk_docs
         return chunk_docs(docs).count()
 
+    def x_media_decode():
+        # the r06 real-decode tier: render genuine PNG/WAV/AVI
+        # containers and decode them back (inflate+unfilter / PCM
+        # unpack / movi walk) to exact pixel stats — measured
+        # per-round so the mapInPandas encode/decode cost is tracked.
+        # repartition models the many-split layout a blob store gives
+        # (the sf fixture is one parquet file = one task otherwise).
+        from incubator_hugegraph_spark.data.multimodal import (
+            decode_media, media_docs_as_assets)
+        nparts = int(spark.sparkContext.defaultParallelism)
+        return decode_media(
+            media_docs_as_assets(docs.repartition(nparts))).count()
+
     def x_stream_window():
         import uuid
         from incubator_hugegraph_spark.streaming.events import (
@@ -251,6 +264,7 @@ def main() -> None:
                      ("x_minhash_lsh", x_minhash), ("x_ann_np", x_ann),
                      ("x_ann_ivf", x_ann_ivf),
                      ("x_bpe", x_bpe), ("x_chunks", x_chunks),
+                     ("x_media_decode", x_media_decode),
                      ("x_stream_window", x_stream_window),
                      ("x_stream_cms", x_stream_cms),
                      ("x_stream_wcc", x_stream_wcc),

@@ -694,6 +694,54 @@ def image_dhash(assets: DataFrame) -> DataFrame:
             .mapInPandas(run, schema))
 
 
+def audio_fingerprint(payload: bytes) -> int | None:
+    """Perceptual audio fingerprint of a decodable PCM WAV — the
+    energy-contour analogue of dHash: samples partition into 65 index
+    windows (sample i → window i*65//n), per-window energy is the
+    exact integer sum of squares, and bit k (0..63) is set iff
+    energy(k+1) > energy(k). Robust to sparse sample edits (one
+    sample moves at most two adjacent comparisons); packed into a
+    signed long like simhash/dhash so hamming_near_pairs applies
+    unchanged. None for undecodable payloads."""
+    import numpy as np
+    pcm = decode_wav_samples(payload or b"")
+    if pcm is None or len(pcm) == 0:
+        return None
+    s = pcm.astype(np.int64)
+    n = s.size
+    j = (np.arange(n, dtype=np.int64) * 65) // n
+    energy = np.zeros(65, dtype=np.int64)
+    np.add.at(energy, j, s * s)
+    bits = energy[1:] > energy[:-1]
+    out = 0
+    for k, b in enumerate(bits):
+        if b:
+            out += (1 << k) if k < 63 else -(1 << 63)
+    return out
+
+
+def audio_fingerprints(assets: DataFrame) -> DataFrame:
+    """mapInPandas audio fingerprinting: (asset_id, afp long) per
+    decodable audio payload. Feed to dedup.hamming_near_pairs for
+    bucketed perceptual near-dup detection."""
+    schema = T.StructType([
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("afp", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                hv = audio_fingerprint(bytes(payload or b""))
+                if hv is not None:
+                    rows.append((int(aid), hv))
+            yield pd.DataFrame(rows, columns=["asset_id", "afp"])
+
+    return (assets.filter(F.col("modality") == "audio")
+            .mapInPandas(run, schema))
+
+
 def resize_image_rgb(payload: bytes, max_side: int) -> bytes | None:
     """GENUINE nearest-neighbor resize of a decodable RGB PNG:
     decode → index-map subsample (src = floor(dst*src_dim/dst_dim),

@@ -419,6 +419,30 @@ def test_dhash_perceptual_properties(spark):
     assert got == brute and len(brute) >= 2
 
 
+def test_audio_fingerprint_properties():
+    """Energy-contour fingerprint: sparse sample edits move few bits,
+    an unrelated signal lands far; undecodable bytes → None."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.multimodal import (
+        audio_fingerprint, render_media_wav, synth_media_samples,
+        wrap_wav)
+    wav = render_media_wav(7, 1000)
+    fp = audio_fingerprint(wav)
+    assert fp is not None
+    # flip three samples: at most a handful of window energies move
+    s = synth_media_samples(7, 1000).astype(np.int64)
+    s[[10, 500, 900]] = ((s[[10, 500, 900]] + 32768 + 16384)
+                         % 65536) - 32768
+    fp2 = audio_fingerprint(wrap_wav(s.astype("<i2").tobytes()))
+    assert bin((fp ^ fp2) & ((1 << 64) - 1)).count("1") <= 12
+    other = audio_fingerprint(render_media_wav(91, 1000))
+    assert bin((fp ^ other) & ((1 << 64) - 1)).count("1") > 8
+    assert audio_fingerprint(b"not audio") is None
+    # short clip (< 65 samples → empty windows) still fingerprints
+    assert audio_fingerprint(render_media_wav(3, 20)) is not None
+
+
 def test_png_pixel_roundtrip_all_filters():
     """encode_png_rgb rotates through all five PNG filter types; the
     decoder must invert each (None/Sub/Up/Average/Paeth) to recover
