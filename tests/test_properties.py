@@ -4,7 +4,7 @@ milliseconds and catch constant-regression bugs early."""
 
 from __future__ import annotations
 
-from hypothesis import given, strategies as st
+from hypothesis import given, settings, strategies as st
 
 from incubator_hugegraph_spark.data.dedup import _COEFFS, _P, _det_coeffs
 from incubator_hugegraph_spark.data.similarity import plane_component
@@ -364,3 +364,38 @@ def test_splice_id_python_column_parity(values):
                                re.sub(r"\\", r"\\\\", v)))
                  for v in values])
     assert py == col_sim
+
+
+@settings(deadline=None)  # first call pays numpy/zlib import cost
+@given(st.integers(min_value=1, max_value=23),
+       st.integers(min_value=1, max_value=17),
+       st.integers(min_value=0, max_value=2**31))
+def test_png_roundtrip_property(w, h, seed):
+    """encode_png_rgb → decode_png_rgb is the identity on arbitrary
+    8-bit RGB buffers of any dims (all five filters exercised for
+    h >= 5; partial filter sets below)."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_png_rgb, encode_png_rgb)
+    rng = np.random.RandomState(seed % (2**31))
+    raw = rng.randint(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+    got = decode_png_rgb(encode_png_rgb(raw, w, h))
+    assert got is not None
+    assert (got[0], got[1]) == (w, h)
+    assert bytes(got[2]) == raw
+
+
+@given(st.integers(min_value=1, max_value=500),
+       st.integers(min_value=0, max_value=2**31))
+def test_wav_pcm_roundtrip_property(n, seed):
+    """wrap_wav → decode_wav_samples recovers arbitrary int16 streams
+    exactly (odd/even lengths cover the RIFF pad byte)."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_wav_samples, wrap_wav)
+    rng = np.random.RandomState(seed % (2**31))
+    s = rng.randint(-32768, 32768, n).astype("<i2")
+    got = decode_wav_samples(wrap_wav(s.tobytes()))
+    assert got is not None and np.array_equal(got, s)
