@@ -5665,6 +5665,9 @@ sized AS (SELECT doc_id, modality,
 vals AS (SELECT doc_id,
                 CASE WHEN modality = 'audio'
                      THEN (doc_id*2654435761 + i*40503) % 65536 - 32768
+                     WHEN modality = 'video'
+                     THEN (doc_id*2654435761
+                           + ((i // 768)*769 + i % 768)*40503) % 256
                      ELSE (doc_id*2654435761 + i*40503) % 256 END AS v
          FROM (SELECT doc_id, modality, unnest(range(n_values)) AS i
                FROM sized)),
@@ -5753,7 +5756,7 @@ WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
 fr AS (SELECT doc_id, unnest(range(0, greatest(n // 100, 1), 2)) AS f
        FROM d),
 vals AS (SELECT doc_id, f,
-                (doc_id*2654435761 + (f*768 + i)*40503) % 256 AS v
+                (doc_id*2654435761 + (f*769 + i)*40503) % 256 AS v
          FROM (SELECT doc_id, f, unnest(range(768)) AS i FROM fr))
 SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_idx,
        CAST(f * 40 AS BIGINT) AS ts_ms,
@@ -5968,6 +5971,110 @@ def multimodal_audio_neardup_q(spark, sf_dir):
     assets = spec.mapInPandas(wrap, schema)
     return hamming_near_pairs(audio_fingerprints(assets), max_hamming=3,
                               hash_col="afp", id_col="asset_id")
+
+
+@_q("multimodal_video_neardup", """
+WITH d AS (SELECT doc_id, doc_id - doc_id % 5 AS base FROM documents),
+b AS (SELECT d.doc_id, d.base,
+             greatest(octet_length(encode(t.text)) // 100, 1) AS nf
+      FROM d JOIN documents t ON t.doc_id = d.base),
+fr AS (SELECT doc_id, base, unnest(range(nf)) AS f FROM b),
+cells AS (SELECT doc_id, base, f, c // 9 AS y, c % 9 AS x
+          FROM (SELECT *, unnest(range(72)) AS c FROM fr)),
+px AS (SELECT doc_id, base, f, y, x,
+              f*769 + ((y*2)*16 + (x*16)//9)*3 AS p0
+       FROM cells),
+gray AS (SELECT doc_id, f, y, x, CAST(sum(v) // 3 AS BIGINT) AS g
+  FROM (SELECT doc_id, f, y, x,
+               CASE WHEN (f*7 + doc_id) % 3 = 0
+                    THEN ((base*2654435761 + (p0+ch)*40503) % 256
+                          + 128) % 256
+                    ELSE (base*2654435761 + (p0+ch)*40503) % 256
+               END AS v
+        FROM (SELECT *, unnest(range(3)) AS ch FROM px))
+  GROUP BY doc_id, f, y, x),
+bits AS (SELECT a.doc_id, a.f, a.y*8 + a.x AS k,
+                CASE WHEN nx.g > a.g THEN 1 ELSE 0 END AS bit
+         FROM gray a JOIN gray nx
+              ON nx.doc_id = a.doc_id AND nx.f = a.f
+             AND nx.y = a.y AND nx.x = a.x + 1
+         WHERE a.x < 8),
+hs AS (SELECT doc_id, f,
+              CAST(sum(CASE WHEN k < 63
+                            THEN CAST(bit AS BIGINT) << k
+                            ELSE 0 END) AS BIGINT)
+              + CASE WHEN max(CASE WHEN k = 63 THEN bit ELSE 0 END) = 1
+                     THEN -9223372036854775807 - 1 ELSE 0 END AS h
+       FROM bits GROUP BY doc_id, f),
+uh AS (SELECT DISTINCT doc_id, h FROM hs),
+ok AS (SELECT h FROM uh GROUP BY h HAVING count(DISTINCT doc_id) <= 10),
+fh AS (SELECT uh.doc_id, uh.h FROM uh JOIN ok USING (h))
+SELECT a.doc_id AS d1, b2.doc_id AS d2,
+       CAST(count(DISTINCT a.h) AS BIGINT) AS n_shared
+FROM fh a JOIN fh b2 ON a.h = b2.h AND a.doc_id < b2.doc_id
+GROUP BY d1, d2 HAVING count(DISTINCT a.h) >= 2
+""")
+def multimodal_video_neardup_q(spark, sf_dir):
+    """VIDEO near-dup by shared decoded-frame perceptual hashes —
+    the shot-overlap signal: planted groups render the same base
+    frame sequence with SOME frames edited per member (whole-frame
+    shifts — re-graded shots), frame_dhashes decodes every '00db'
+    chunk and hashes its actual pixels, and two videos pair when
+    >= 2 distinct frame hashes coincide, after stop-hash removal
+    (frames shared by > 10 videos — the color-bars/black-frame
+    guard). The oracle replays per-frame grids, grayscale, packing
+    and the shared-hash count in SQL. Completes the four-modality
+    near-dup story on the same exact-match/banded join kernels."""
+    import numpy as np
+    import pandas as pd_
+    from pyspark.sql import types as T_
+
+    from incubator_hugegraph_spark.data.multimodal import (
+        build_avi,
+        frame_dhashes,
+        synth_media_bytes,
+        video_neardup_pairs,
+    )
+    docs = _docs(spark, sf_dir)
+    spec = (docs.select("doc_id",
+                        (F.col("doc_id") - F.col("doc_id") % 5)
+                        .alias("base"))
+            .join(docs.select(
+                F.col("doc_id").alias("base"),
+                F.greatest(F.octet_length(F.encode("text", "utf-8"))
+                           / F.lit(100), F.lit(1))
+                .cast("long").alias("nf")),
+                  on="base"))
+    schema = T_.StructType([
+        T_.StructField("asset_id", T_.LongType(), False),
+        T_.StructField("modality", T_.StringType(), False),
+        T_.StructField("payload", T_.BinaryType(), False),
+    ])
+
+    def wrap(batches):
+        for pdf in batches:
+            rows = []
+            for aid, base, nf in zip(pdf["doc_id"], pdf["base"],
+                                     pdf["nf"]):
+                aid, base, nf = int(aid), int(base), int(nf)
+                frames = []
+                for f in range(nf):
+                    # FRAME_STRIDE (769) offsets: distinct frames per
+                    # video (768 would collapse mod 256 — see
+                    # multimodal.FRAME_STRIDE)
+                    raw = synth_media_bytes(
+                        base, 768, offset=f * 769).astype(np.int64)
+                    if (f * 7 + aid) % 3 == 0:
+                        raw = (raw + 128) % 256
+                    frames.append(raw.astype(np.uint8).tobytes())
+                rows.append((aid, "video", build_avi(frames)))
+            yield pd_.DataFrame(rows,
+                                columns=["asset_id", "modality",
+                                         "payload"])
+
+    assets = spec.mapInPandas(wrap, schema)
+    return video_neardup_pairs(frame_dhashes(assets), min_shared=2,
+                               max_df=10)
 
 
 @_q("events_sessionize", """

@@ -458,20 +458,21 @@ def decode_wav_samples(b: bytes):
     return np.frombuffer(data[:len(data) // 2 * 2], dtype="<i2")
 
 
-def render_media_avi(asset_id: int, n_frames: int,
-                     us_per_frame: int = 40000) -> bytes:
-    """Deterministic raw-video AVI: a REAL header list (avih + one
-    strl with strh 'vids'/'DIB ' and a strf BITMAPINFOHEADER carrying
-    the true frame dims) and a movi list of '00db' frame chunks —
-    frame f, byte i = byte(asset_id, f*W*H*3 + i). The layout is the
-    uncompressed-DIB AVI every player reads."""
-    frame_bytes = VIDEO_W * VIDEO_H * 3
+def build_avi(frames: list[bytes], us_per_frame: int = 40000,
+              width: int = VIDEO_W, height: int = VIDEO_H) -> bytes:
+    """Assemble a REAL raw-video AVI around explicit frame buffers:
+    header list (avih + one strl with strh 'vids'/'DIB ' and a strf
+    BITMAPINFOHEADER carrying the true frame dims) and a movi list of
+    '00db' chunks. The layout is the uncompressed-DIB AVI every
+    player reads."""
+    n_frames = len(frames)
+    frame_bytes = width * height * 3
     avih = struct.pack("<14I", us_per_frame, 0, 0, 0, n_frames,
                        0, 1, 0, frame_bytes, 0, 0, 0, 0, 0)
     strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII",
             0, 0, 0, 0, 1, 1000000 // us_per_frame if us_per_frame else 25,
             0, n_frames, frame_bytes, 0, 0, 0))
-    strf = struct.pack("<IiiHHIIiiII", 40, VIDEO_W, VIDEO_H, 1, 24,
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
                        0, frame_bytes, 0, 0, 0, 0)
     strl = (b"strl"
             + b"strh" + struct.pack("<I", len(strh)) + strh
@@ -479,13 +480,29 @@ def render_media_avi(asset_id: int, n_frames: int,
     hdrl = (b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
             + b"LIST" + struct.pack("<I", len(strl)) + strl)
     movi = bytearray(b"movi")
-    for f in range(n_frames):
-        frame = synth_media_bytes(asset_id, frame_bytes,
-                                  offset=f * frame_bytes).tobytes()
+    for frame in frames:
         movi += b"00db" + struct.pack("<I", len(frame)) + frame
     riff = (b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
             + b"LIST" + struct.pack("<I", len(movi)) + bytes(movi))
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+FRAME_STRIDE = 769  # per-frame generator offset. NOT the frame size
+# (768): 768 ≡ 0 mod 256 and byte(id, i) is linear mod 256, so a
+# 768-stride makes every frame of a video byte-IDENTICAL (offset*B
+# vanishes mod 256). 769 ≡ 1 mod 256 keeps frames distinct, so frame
+# indexing/boundary bugs change decoded stats and fail the oracles.
+
+
+def render_media_avi(asset_id: int, n_frames: int,
+                     us_per_frame: int = 40000) -> bytes:
+    """Deterministic raw-video AVI — frame f, byte i =
+    byte(asset_id, f*FRAME_STRIDE + i) — assembled by build_avi."""
+    frame_bytes = VIDEO_W * VIDEO_H * 3
+    frames = [synth_media_bytes(asset_id, frame_bytes,
+                                offset=f * FRAME_STRIDE).tobytes()
+              for f in range(n_frames)]
+    return build_avi(frames, us_per_frame)
 
 
 def decode_avi_frames(b: bytes):
@@ -644,31 +661,42 @@ def decode_media(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(run, MEDIA_STATS_SCHEMA)
 
 
+def _pack_bits_signed(bits) -> int:
+    """Pack 64 comparison bits into a SIGNED long exactly like
+    simhash (bit 63 → the sign bit) so the chunked-Hamming join
+    machinery applies unchanged to any 64-bit fingerprint."""
+    out = 0
+    for k, b in enumerate(bits):
+        if b:
+            out += (1 << k) if k < 63 else -(1 << 63)
+    return out
+
+
+def _dhash_of_rgb_array(img) -> int:
+    """dHash core over an (h, w, 3) uint8 array: NN-sample to a
+    9-wide × 8-tall grid (canonical floor mapping), integer grayscale
+    (r+g+b)//3, bit k = y*8+x set iff gray(x+1, y) > gray(x, y)."""
+    import numpy as np
+    h, w = img.shape[0], img.shape[1]
+    ys = (np.arange(8, dtype=np.int64) * h) // 8
+    xs = (np.arange(9, dtype=np.int64) * w) // 9
+    grid = img[np.ix_(ys, xs)].astype(np.int64)
+    gray = grid.sum(axis=2) // 3          # (8, 9) integer grayscale
+    bits = gray[:, 1:] > gray[:, :-1]     # (8, 8), bit k = y*8+x
+    return _pack_bits_signed(bits.ravel())
+
+
 def dhash_rgb(payload: bytes) -> int | None:
-    """Perceptual difference-hash (dHash) of a decodable RGB PNG: the
-    decoded pixels NN-sample to a 9-wide × 8-tall grid (the canonical
-    floor mapping), integer grayscale (r+g+b)//3, and bit k = y*8+x
-    is set iff gray(x+1, y) > gray(x, y) — 64 bits packed into a
-    SIGNED long exactly like simhash (bit 63 → the sign bit), so the
-    chunked-Hamming join machinery applies unchanged. Robust to
-    resizing/re-encoding: the hash rides pixel STRUCTURE, not bytes.
-    None for undecodable payloads."""
+    """Perceptual difference-hash (dHash) of a decodable RGB PNG —
+    robust to resizing/re-encoding: the hash rides pixel STRUCTURE,
+    not bytes. None for undecodable payloads."""
     import numpy as np
     png = decode_png_rgb(payload or b"")
     if png is None:
         return None
     w, h, raw = png
     img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, 3)
-    ys = (np.arange(8, dtype=np.int64) * h) // 8
-    xs = (np.arange(9, dtype=np.int64) * w) // 9
-    grid = img[np.ix_(ys, xs)].astype(np.int64)
-    gray = grid.sum(axis=2) // 3          # (8, 9) integer grayscale
-    bits = gray[:, 1:] > gray[:, :-1]     # (8, 8), bit k = y*8+x
-    out = 0
-    for k, b in enumerate(bits.ravel()):
-        if b:
-            out += (1 << k) if k < 63 else -(1 << 63)
-    return out
+    return _dhash_of_rgb_array(img)
 
 
 def image_dhash(assets: DataFrame) -> DataFrame:
@@ -692,6 +720,66 @@ def image_dhash(assets: DataFrame) -> DataFrame:
 
     return (assets.filter(F.col("modality") == "image")
             .mapInPandas(run, schema))
+
+
+def frame_dhashes(assets: DataFrame) -> DataFrame:
+    """Per-frame perceptual hashes of decodable raw-DIB AVIs:
+    (asset_id, frame_idx, fhash long) — one dHash per ACTUAL decoded
+    frame. Feed to dedup-style joins (video_neardup_pairs) for
+    shared-frame video near-dup."""
+    import numpy as np
+    schema = T.StructType([
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("fhash", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                avi = decode_avi_frames(bytes(payload or b""))
+                if avi is None:
+                    continue
+                w, h, frames = avi
+                for f, frame in enumerate(frames):
+                    if len(frame) != w * h * 3:
+                        continue
+                    img = np.frombuffer(frame, dtype=np.uint8) \
+                        .reshape(h, w, 3)
+                    rows.append((int(aid), f, _dhash_of_rgb_array(img)))
+            yield pd.DataFrame(rows,
+                               columns=["asset_id", "frame_idx",
+                                        "fhash"])
+
+    return (assets.filter(F.col("modality") == "video")
+            .mapInPandas(run, schema))
+
+
+def video_neardup_pairs(fhashes: DataFrame, min_shared: int = 2,
+                        max_df: int = 10) -> DataFrame:
+    """Video near-dup by SHARED FRAME hashes: two videos pair when
+    they have >= min_shared distinct frame dHashes in common — the
+    shot-level overlap signal video dedup pipelines use. Frame hashes
+    appearing in more than ``max_df`` videos are dropped first
+    (stop-hash removal: color bars / black frames / common intros
+    would otherwise create a quadratic hot bucket — the same reason
+    text pipelines drop stopword shingles). Scale: one agg to find
+    stop hashes, one semi-join, one hash-bucket self-join whose
+    per-key fanout is bounded by max_df."""
+    df_ok = (fhashes.groupBy("fhash")
+             .agg(F.countDistinct("asset_id").alias("__nd"))
+             .filter(F.col("__nd") <= max_df)
+             .select("fhash"))
+    fh = (fhashes.select("asset_id", "fhash").distinct()
+          .join(df_ok, on="fhash"))
+    l = fh.select(F.col("asset_id").alias("d1"), "fhash")
+    r = fh.select(F.col("asset_id").alias("d2"), "fhash")
+    return (l.join(r, on="fhash")
+            .filter(F.col("d1") < F.col("d2"))
+            .groupBy("d1", "d2")
+            .agg(F.countDistinct("fhash").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
 
 
 def audio_fingerprint(payload: bytes) -> int | None:

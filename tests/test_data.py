@@ -419,6 +419,49 @@ def test_dhash_perceptual_properties(spark):
     assert got == brute and len(brute) >= 2
 
 
+def test_video_neardup_shared_frames(spark):
+    """Shared-frame video pairing: videos sharing >= min_shared
+    distinct frame hashes pair; stop-hashes (frames in > max_df
+    videos) are dropped before the join."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.multimodal import (
+        build_avi, frame_dhashes, video_neardup_pairs)
+
+    def frame(seed):
+        # random bytes, NOT the linear generator: constant-shift
+        # streams are perceptually identical under dHash (by design —
+        # brightness invariance), which would alias distinct shots
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, 768, dtype=np.uint8).tobytes()
+
+    common = frame(1), frame(2)            # two shared shots
+    stop = frame(42)                        # appears in ALL videos
+    rows = [
+        (1, "video", build_avi([common[0], common[1], stop])),
+        (2, "video", build_avi([common[0], common[1], stop,
+                                frame(25)])),
+        (3, "video", build_avi([common[0], stop, frame(37)])),
+        (4, "video", build_avi([stop, frame(49)])),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, modality string, payload binary")
+    fh = frame_dhashes(assets)
+    got = {(r.d1, r.d2): r.n_shared
+           for r in video_neardup_pairs(fh, min_shared=2,
+                                        max_df=3).collect()}
+    # stop frame is in 4 > max_df=3 videos → removed; only (1,2)
+    # share two distinct surviving hashes
+    assert got == {(1, 2): 2}
+    # with the stop hash allowed, (1,3)/(2,3) reach 2 shared and
+    # (1,4)... only shares the stop frame → still < 2
+    got2 = {(r.d1, r.d2): r.n_shared
+            for r in video_neardup_pairs(fh, min_shared=2,
+                                         max_df=10).collect()}
+    assert got2[(1, 2)] == 3 and got2[(1, 3)] == 2 \
+        and got2[(2, 3)] == 2 and (1, 4) not in got2
+
+
 def test_audio_fingerprint_properties():
     """Energy-contour fingerprint: sparse sample edits move few bits,
     an unrelated signal lands far; undecodable bytes → None."""
@@ -527,8 +570,13 @@ def test_media_decode_matches_generator_formula():
     assert np.array_equal(decode_wav_samples(render_media_wav(4, 33)),
                           synth_media_samples(4, 33))
     _, _, frames = decode_avi_frames(render_media_avi(8, 2))
-    assert np.array_equal(np.frombuffer(b"".join(frames), np.uint8),
-                          synth_media_bytes(8, 2 * 768))
+    assert np.array_equal(
+        np.frombuffer(b"".join(frames), np.uint8),
+        np.concatenate([synth_media_bytes(8, 768, offset=f * 769)
+                        for f in range(2)]))
+    # FRAME_STRIDE rationale: adjacent frames must actually differ
+    # (a 768 stride collapses mod 256)
+    assert frames[0] != frames[1]
 
 
 def test_decode_media_dataframe_and_resize(docs):
@@ -561,7 +609,9 @@ def test_decode_media_dataframe_and_resize(docs):
             assert (r.width, r.height, r.n_frames) == (None, None, None)
         else:
             fr = max(1, n // 100)
-            vals = synth_media_bytes(aid, fr * 768).astype(np.int64)
+            vals = np.concatenate(
+                [synth_media_bytes(aid, 768, offset=f * 769)
+                 for f in range(fr)]).astype(np.int64)
             assert (r.width, r.height, r.n_frames) == (16, 16, fr)
         assert r.n_values == vals.size
         assert r.val_sum == int(vals.sum())
