@@ -5769,9 +5769,10 @@ def multimodal_frames_q(spark, sf_dir):
     genuine '00db' frame chunks; sample_frames_real walks the movi
     list and emits every 2nd ACTUAL frame's byte stats. The oracle
     recomputes each sampled frame's sum from the generator formula
-    over its true byte range [f*768, (f+1)*768) — a frame-boundary
-    mistake (chunk padding, off-by-one frame index) shifts a sum and
-    fails the hash."""
+    over its true index range [f*FRAME_STRIDE, f*FRAME_STRIDE + 768)
+    (stride 769 — frames are distinct; see multimodal.FRAME_STRIDE) —
+    a frame-boundary mistake (chunk padding, off-by-one frame index)
+    shifts a sum and fails the hash."""
     from incubator_hugegraph_spark.data.multimodal import (
         media_docs_as_assets,
         sample_frames_real,
@@ -5829,9 +5830,12 @@ def multimodal_image_neardup_q(spark, sf_dir):
     (pigeonhole-exact at <= 3, never all-pairs). The oracle replays
     the entire chain — resize mapping, integer grayscale, bit pack,
     XOR popcount — in SQL from the generator formula, so the Spark
-    side's inflate/unfilter/subsample must be byte-perfect. Scale:
-    hash cardinality is one row per image; the bucket join is the
-    only shuffle."""
+    side's inflate/unfilter/subsample must be byte-perfect. The
+    oracle pairs by BRUTE-FORCE popcount over all id pairs —
+    deliberately, as an independent check that the banded join finds
+    exactly the brute set (fine at the sf0.01 gate scale). Scale:
+    the Spark side's hash cardinality is one row per image; the
+    bucket join is the only shuffle."""
     import math
 
     import numpy as np

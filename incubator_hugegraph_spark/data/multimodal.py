@@ -400,6 +400,10 @@ def decode_png_rgb(b: bytes):
                     struct.unpack(">IIBBBBB", data[:13])
                 if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
                     return None
+                if width < 1 or height < 1:
+                    # structurally valid but degenerate (review r06:
+                    # a 0-wide image crashed the downstream hash grid)
+                    return None
             elif cc == b"IDAT":
                 idat.append(data)
             elif cc == b"IEND":
@@ -742,6 +746,8 @@ def frame_dhashes(assets: DataFrame) -> DataFrame:
                 if avi is None:
                     continue
                 w, h, frames = avi
+                if w < 1 or h < 1:
+                    continue  # degenerate strf dims (review r06)
                 for f, frame in enumerate(frames):
                     if len(frame) != w * h * 3:
                         continue
@@ -800,12 +806,7 @@ def audio_fingerprint(payload: bytes) -> int | None:
     j = (np.arange(n, dtype=np.int64) * 65) // n
     energy = np.zeros(65, dtype=np.int64)
     np.add.at(energy, j, s * s)
-    bits = energy[1:] > energy[:-1]
-    out = 0
-    for k, b in enumerate(bits):
-        if b:
-            out += (1 << k) if k < 63 else -(1 << 63)
-    return out
+    return _pack_bits_signed(energy[1:] > energy[:-1])
 
 
 def audio_fingerprints(assets: DataFrame) -> DataFrame:
