@@ -5886,6 +5886,106 @@ def multimodal_image_neardup_q(spark, sf_dir):
                               hash_col="dhash", id_col="asset_id")
 
 
+@_q("multimodal_cross_neardup", """
+WITH d AS (SELECT doc_id, doc_id - doc_id % 5 AS base FROM documents),
+b AS (SELECT d.doc_id, d.base, octet_length(encode(t.text)) AS bn
+      FROM d JOIN documents t ON t.doc_id = d.base),
+dims AS (SELECT doc_id, base,
+                greatest(CAST(floor(sqrt(bn)) AS INT), 1) AS w,
+                greatest(CAST(ceil(bn*1.0/greatest(CAST(floor(sqrt(bn))
+                         AS INT), 1)) AS INT), 1) AS h
+         FROM b),
+px AS (SELECT doc_id, base, c // 9 AS y, c % 9 AS x,
+              ((c // 9 * h // 8) * w + (c % 9 * w // 9)) * 3 AS p0
+       FROM (SELECT *, unnest(range(72)) AS c FROM dims)),
+gray AS (
+  SELECT doc_id, y, x, CAST(sum(v) // 3 AS BIGINT) AS g
+  FROM (SELECT doc_id, y, x,
+               CASE WHEN ((p0 + ch)*31 + doc_id) % 701 = 0
+                    THEN ((base*2654435761 + (p0+ch)*40503) % 256
+                          + 128) % 256
+                    ELSE (base*2654435761 + (p0+ch)*40503) % 256
+               END AS v
+        FROM (SELECT *, unnest(range(3)) AS ch FROM px))
+  GROUP BY doc_id, y, x),
+bits AS (SELECT a.doc_id, (a.y*8 + a.x) AS k,
+                CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+         FROM gray a JOIN gray b
+              ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+         WHERE a.x < 8),
+hs AS (SELECT doc_id,
+              CAST(sum(CASE WHEN k < 63
+                            THEN CAST(bit AS BIGINT) << k
+                            ELSE 0 END) AS BIGINT)
+              + CASE WHEN max(CASE WHEN k = 63 THEN bit ELSE 0 END) = 1
+                     THEN -9223372036854775807 - 1 ELSE 0 END AS h
+       FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS d1, b2.doc_id AS d2,
+       CAST(bit_count(xor(a.h, b2.h)) AS INT) AS hamming
+FROM hs a JOIN hs b2 ON a.doc_id % 5 <> 0 AND b2.doc_id % 5 = 0
+WHERE bit_count(xor(a.h, b2.h)) <= 3
+""")
+def multimodal_cross_neardup_q(spark, sf_dir):
+    """TRAIN × BENCH image decontamination — the multimodal twin of
+    the text cross_neardup: the corpus splits into a benchmark side
+    (the group-base originals, doc_id % 5 == 0) and a train side (the
+    lightly-edited copies), each side fingerprints INDEPENDENTLY
+    (per-side dHash over the real decode), and one banded-Hamming
+    cross join surfaces the leaked pairs — no train×train or
+    bench×bench work is ever formed. The oracle brute-forces the
+    cross popcount as the independent check."""
+    import math
+
+    import numpy as np
+    import pandas as pd_
+    from pyspark.sql import types as T_
+
+    from incubator_hugegraph_spark.data.dedup import hamming_cross_pairs
+    from incubator_hugegraph_spark.data.multimodal import (
+        encode_png_rgb,
+        image_dhash,
+        synth_media_bytes,
+    )
+    docs = _docs(spark, sf_dir)
+    spec = (docs.select("doc_id",
+                        (F.col("doc_id") - F.col("doc_id") % 5)
+                        .alias("base"))
+            .join(docs.select(F.col("doc_id").alias("base"),
+                              F.octet_length(F.encode("text", "utf-8"))
+                              .alias("bn")),
+                  on="base"))
+    schema = T_.StructType([
+        T_.StructField("asset_id", T_.LongType(), False),
+        T_.StructField("modality", T_.StringType(), False),
+        T_.StructField("payload", T_.BinaryType(), False),
+    ])
+
+    def wrap(batches):
+        for pdf in batches:
+            rows = []
+            for aid, base, bn in zip(pdf["doc_id"], pdf["base"],
+                                     pdf["bn"]):
+                aid, base, bn = int(aid), int(base), int(bn)
+                w = max(1, math.isqrt(bn))
+                h = max(1, -(-bn // w))
+                raw = synth_media_bytes(base, w * h * 3).astype(np.int64)
+                idx = np.arange(w * h * 3, dtype=np.int64)
+                m = (idx * 31 + aid) % 701 == 0
+                raw[m] = (raw[m] + 128) % 256
+                rows.append((aid, "image",
+                             encode_png_rgb(raw.astype(np.uint8)
+                                            .tobytes(), w, h)))
+            yield pd_.DataFrame(rows,
+                                columns=["asset_id", "modality",
+                                         "payload"])
+
+    assets = spec.mapInPandas(wrap, schema)
+    train = image_dhash(assets.filter(F.col("asset_id") % 5 != 0))
+    bench = image_dhash(assets.filter(F.col("asset_id") % 5 == 0))
+    return hamming_cross_pairs(train, bench, max_hamming=3,
+                               hash_col="dhash", id_col="asset_id")
+
+
 @_q("multimodal_audio_neardup", """
 WITH d AS (SELECT doc_id, doc_id - doc_id % 5 AS base FROM documents),
 b AS (SELECT d.doc_id, d.base,

@@ -288,6 +288,48 @@ def simhash(docs: DataFrame, text_col: str = "text",
     return agg.select("id", fp.alias("simhash"))
 
 
+def _hamming_chunks(hashes: DataFrame, hash_col: str, id_col: str,
+                    chunk_width: int) -> DataFrame:
+    """(id, h, chunk, val) — the 4-band explode both Hamming joins
+    share."""
+    mask = (1 << chunk_width) - 1
+    return (hashes.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h"),
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftrightunsigned(hash_col, c * chunk_width)
+                     .bitwiseAND(F.lit(mask)).alias("val"))
+            for c in range(4)])).alias("cc"))
+        .select("id", "h", "cc.chunk", "cc.val"))
+
+
+def hamming_cross_pairs(left: DataFrame, right: DataFrame,
+                        max_hamming: int = 3,
+                        hash_col: str = "simhash",
+                        id_col: str = "id",
+                        chunk_width: int = 16) -> DataFrame:
+    """CROSS-CORPUS Hamming near-pairs (train × bench decontamination
+    for fingerprinted media/text): every (left id, right id) pair
+    within hamming ≤ max_hamming of their 64-bit fingerprints —
+    banded on 4 chunks (pigeonhole-exact at ≤ 3), verified by
+    bit_count(xor). Like cross_neardup for MinHash, the work is
+    per-side fingerprints + one bucket join: no left×left or
+    right×right pairs are ever formed. Returns (d1 from left,
+    d2 from right, hamming)."""
+    l = (_hamming_chunks(left, hash_col, id_col, chunk_width)
+         .select(F.col("id").alias("d1"), F.col("h").alias("s1"),
+                 "chunk", "val"))
+    r = (_hamming_chunks(right, hash_col, id_col, chunk_width)
+         .select(F.col("id").alias("d2"), F.col("h").alias("s2"),
+                 "chunk", "val"))
+    return (l.join(r, on=["chunk", "val"])
+            .select("d1", "d2", "s1", "s2").distinct()
+            .withColumn("hamming", F.bit_count(
+                F.col("s1").bitwiseXOR(F.col("s2"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("d1", "d2", "hamming"))
+
+
 def hamming_near_pairs(hashes: DataFrame, max_hamming: int = 3,
                        hash_col: str = "simhash",
                        id_col: str = "id",
@@ -299,15 +341,7 @@ def hamming_near_pairs(hashes: DataFrame, max_hamming: int = 3,
     then verify true hamming via bit_count(xor). Serves SimHash text
     fingerprints and image dHashes alike. Scale: the only shuffle is
     the 4×|rows| chunk-bucket join — no all-pairs anywhere."""
-    mask = (1 << chunk_width) - 1
-    chunks = hashes.select(
-        F.col(id_col).alias("id"), F.col(hash_col).alias("h"),
-        F.explode(F.array(*[
-            F.struct(F.lit(c).alias("chunk"),
-                     F.shiftrightunsigned(hash_col, c * chunk_width)
-                     .bitwiseAND(F.lit(mask)).alias("val"))
-            for c in range(4)])).alias("cc")) \
-        .select("id", "h", "cc.chunk", "cc.val")
+    chunks = _hamming_chunks(hashes, hash_col, id_col, chunk_width)
     l = chunks.select(F.col("id").alias("d1"),
                       F.col("h").alias("s1"), "chunk", "val")
     r = chunks.select(F.col("id").alias("d2"),
