@@ -5781,7 +5781,7 @@ def multimodal_frames_q(spark, sf_dir):
     return sample_frames_real(assets, every_n=2)
 
 
-@_q("multimodal_image_neardup", """
+_IMG_NEARDUP_SQL = """
 WITH d AS (SELECT doc_id, doc_id - doc_id % 5 AS base FROM documents),
 b AS (SELECT d.doc_id, d.base, octet_length(encode(t.text)) AS bn
       FROM d JOIN documents t ON t.doc_id = d.base),
@@ -5819,33 +5819,21 @@ SELECT a.doc_id AS d1, b.doc_id AS d2,
        CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
 FROM hs a JOIN hs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.h, b.h)) <= 3
-""")
-def multimodal_image_neardup_q(spark, sf_dir):
-    """Perceptual image near-dup, end-to-end through the REAL decode
-    path: planted groups of near-identical images (each group of 5
-    doc_ids renders the SAME base pixel stream at the base's dims,
-    sparsely perturbed per member — the 'same image, light edits'
-    scenario), dHash over the DECODED pixels (9x8 NN grid, adjacent-
-    gray comparisons), then the shared chunked-Hamming bucket join
-    (pigeonhole-exact at <= 3, never all-pairs). The oracle replays
-    the entire chain — resize mapping, integer grayscale, bit pack,
-    XOR popcount — in SQL from the generator formula, so the Spark
-    side's inflate/unfilter/subsample must be byte-perfect. The
-    oracle pairs by BRUTE-FORCE popcount over all id pairs —
-    deliberately, as an independent check that the banded join finds
-    exactly the brute set (fine at the sf0.01 gate scale). Scale:
-    the Spark side's hash cardinality is one row per image; the
-    bucket join is the only shuffle."""
+"""
+
+
+def _planted_image_assets(spark, sf_dir):
+    """Shared builder for the image near-dup queries: groups of 5
+    doc_ids render the SAME base pixel stream at the base's dims with
+    a sparse per-member perturbation — real PNGs, decodable."""
     import math
 
     import numpy as np
     import pandas as pd_
     from pyspark.sql import types as T_
 
-    from incubator_hugegraph_spark.data.dedup import hamming_near_pairs
     from incubator_hugegraph_spark.data.multimodal import (
         encode_png_rgb,
-        image_dhash,
         synth_media_bytes,
     )
     docs = _docs(spark, sf_dir)
@@ -5881,9 +5869,56 @@ def multimodal_image_neardup_q(spark, sf_dir):
                                 columns=["asset_id", "modality",
                                          "payload"])
 
-    assets = spec.mapInPandas(wrap, schema)
+    return spec.mapInPandas(wrap, schema)
+
+
+@_q("multimodal_image_neardup", _IMG_NEARDUP_SQL)
+def multimodal_image_neardup_q(spark, sf_dir):
+    """Perceptual image near-dup, end-to-end through the REAL decode
+    path: planted groups of near-identical images (each group of 5
+    doc_ids renders the SAME base pixel stream at the base's dims,
+    sparsely perturbed per member — the 'same image, light edits'
+    scenario), dHash over the DECODED pixels (9x8 NN grid, adjacent-
+    gray comparisons), then the shared chunked-Hamming bucket join
+    (pigeonhole-exact at <= 3, never all-pairs). The oracle replays
+    the entire chain — resize mapping, integer grayscale, bit pack,
+    XOR popcount — in SQL from the generator formula, so the Spark
+    side's inflate/unfilter/subsample must be byte-perfect. The
+    oracle pairs by BRUTE-FORCE popcount over all id pairs —
+    deliberately, as an independent check that the banded join finds
+    exactly the brute set (fine at the sf0.01 gate scale). Scale:
+    the Spark side's hash cardinality is one row per image; the
+    bucket join is the only shuffle."""
+    from incubator_hugegraph_spark.data.dedup import hamming_near_pairs
+    from incubator_hugegraph_spark.data.multimodal import image_dhash
+    assets = _planted_image_assets(spark, sf_dir)
     return hamming_near_pairs(image_dhash(assets), max_hamming=3,
                               hash_col="dhash", id_col="asset_id")
+
+
+@_q("multimodal_stream_image_neardup", _IMG_NEARDUP_SQL)
+def multimodal_stream_image_neardup_q(spark, sf_dir):
+    """STREAMING twin of multimodal_image_neardup (shares its oracle
+    VERBATIM — batch-equivalence under the gate, the doc_stream_neardup
+    precedent): the planted image assets are written as a multi-file
+    parquet directory, readStream folds each micro-batch of payloads
+    through incremental_image_neardup_batch (decode → dHash → banded
+    join against the persistent band state, batch side broadcast),
+    and the accumulated pairs must equal the batch run exactly —
+    every pair surfaces when its LATER member arrives, once."""
+    import tempfile
+    import uuid
+
+    from incubator_hugegraph_spark.streaming.incremental import (
+        incremental_image_neardup_stream)
+    tmp = tempfile.mkdtemp(prefix="img_nd_")
+    _planted_image_assets(spark, sf_dir).repartition(4) \
+        .write.mode("overwrite").parquet(f"{tmp}/assets")
+    q, get_pairs = incremental_image_neardup_stream(
+        spark, f"{tmp}/assets",
+        f"{tmp}/ckpt_{uuid.uuid4().hex[:8]}")
+    q.awaitTermination()
+    return get_pairs()
 
 
 @_q("multimodal_cross_neardup", """
@@ -5934,52 +5969,9 @@ def multimodal_cross_neardup_q(spark, sf_dir):
     cross join surfaces the leaked pairs — no train×train or
     bench×bench work is ever formed. The oracle brute-forces the
     cross popcount as the independent check."""
-    import math
-
-    import numpy as np
-    import pandas as pd_
-    from pyspark.sql import types as T_
-
     from incubator_hugegraph_spark.data.dedup import hamming_cross_pairs
-    from incubator_hugegraph_spark.data.multimodal import (
-        encode_png_rgb,
-        image_dhash,
-        synth_media_bytes,
-    )
-    docs = _docs(spark, sf_dir)
-    spec = (docs.select("doc_id",
-                        (F.col("doc_id") - F.col("doc_id") % 5)
-                        .alias("base"))
-            .join(docs.select(F.col("doc_id").alias("base"),
-                              F.octet_length(F.encode("text", "utf-8"))
-                              .alias("bn")),
-                  on="base"))
-    schema = T_.StructType([
-        T_.StructField("asset_id", T_.LongType(), False),
-        T_.StructField("modality", T_.StringType(), False),
-        T_.StructField("payload", T_.BinaryType(), False),
-    ])
-
-    def wrap(batches):
-        for pdf in batches:
-            rows = []
-            for aid, base, bn in zip(pdf["doc_id"], pdf["base"],
-                                     pdf["bn"]):
-                aid, base, bn = int(aid), int(base), int(bn)
-                w = max(1, math.isqrt(bn))
-                h = max(1, -(-bn // w))
-                raw = synth_media_bytes(base, w * h * 3).astype(np.int64)
-                idx = np.arange(w * h * 3, dtype=np.int64)
-                m = (idx * 31 + aid) % 701 == 0
-                raw[m] = (raw[m] + 128) % 256
-                rows.append((aid, "image",
-                             encode_png_rgb(raw.astype(np.uint8)
-                                            .tobytes(), w, h)))
-            yield pd_.DataFrame(rows,
-                                columns=["asset_id", "modality",
-                                         "payload"])
-
-    assets = spec.mapInPandas(wrap, schema)
+    from incubator_hugegraph_spark.data.multimodal import image_dhash
+    assets = _planted_image_assets(spark, sf_dir)
     train = image_dhash(assets.filter(F.col("asset_id") % 5 != 0))
     bench = image_dhash(assets.filter(F.col("asset_id") % 5 == 0))
     return hamming_cross_pairs(train, bench, max_hamming=3,

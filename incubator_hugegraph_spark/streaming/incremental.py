@@ -303,3 +303,119 @@ def incremental_neardup_stream(spark: SparkSession, docs_path: str,
          .trigger(availableNow=True)
          .start())
     return q, (lambda: holder["pairs"])
+
+
+def incremental_image_neardup_batch(state: DataFrame | None,
+                                    assets_batch: DataFrame,
+                                    max_hamming: int = 3
+                                    ) -> tuple[DataFrame, DataFrame]:
+    """One incremental step of PERCEPTUAL image dedup over an asset
+    stream: state = (id, h, chunk, val) dHash band rows over every
+    image seen; pairs = (d1, d2, hamming) with hamming <= max_hamming
+    and the LATER member in this batch. Same no-cross-batch-dedup
+    argument as the text fold: a pair whose both members predate this
+    batch collided when its second member arrived. Scale: the batch
+    side broadcasts (O(batch)), the O(corpus) state never reshuffles
+    per batch."""
+    from incubator_hugegraph_spark.data.dedup import _hamming_chunks
+    from incubator_hugegraph_spark.data.multimodal import image_dhash
+    from incubator_hugegraph_spark.graph import checkpointed
+    chunks = checkpointed(_hamming_chunks(
+        image_dhash(assets_batch), "dhash", "asset_id", 16))
+    if state is None:
+        state = assets_batch.sparkSession.createDataFrame(
+            [], "id long, h long, chunk int, val long")
+    all_chunks = state.unionByName(chunks)
+    new = chunks.select(F.col("id").alias("dn"),
+                        F.col("h").alias("hn"), "chunk", "val")
+    cand = (F.broadcast(new)
+            .join(all_chunks
+                  .withColumnRenamed("id", "do")
+                  .withColumnRenamed("h", "ho"),
+                  on=["chunk", "val"])
+            .filter(F.col("do") != F.col("dn"))
+            .select(F.least("do", "dn").alias("d1"),
+                    F.greatest("do", "dn").alias("d2"),
+                    F.when(F.col("do") < F.col("dn"), F.col("ho"))
+                     .otherwise(F.col("hn")).alias("h1"),
+                    F.when(F.col("do") < F.col("dn"), F.col("hn"))
+                     .otherwise(F.col("ho")).alias("h2"))
+            .distinct())
+    pairs = (cand.withColumn("hamming", F.bit_count(
+                 F.col("h1").bitwiseXOR(F.col("h2"))))
+             .filter(F.col("hamming") <= max_hamming)
+             .select("d1", "d2", "hamming"))
+    return checkpointed(all_chunks), pairs
+
+
+def _snapshot_fold_stream(spark: SparkSession, stream, checkpoint_dir: str,
+                          fold, snap_name: str):
+    """Generic restart-safe foreachBatch two-table fold (the pattern
+    incremental_neardup_stream hand-rolls): per batch,
+    ``fold(prev_state, batch_df) -> (state, pairs_delta)``; both the
+    state and the accumulated pairs snapshot to
+    {checkpoint_dir}/{snap_name}/b{batch} with a _DONE marker written
+    LAST, so a restart never trusts a half-snapshot and replayed
+    batches (batch_id <= last done) no-op. Returns (query,
+    get_pairs)."""
+    import os
+    import shutil
+
+    from incubator_hugegraph_spark.graph import checkpointed
+    snap = f"{checkpoint_dir}/{snap_name}"
+    done0 = -1
+    if os.path.isdir(snap):
+        for nm in os.listdir(snap):
+            if (nm.startswith("b") and nm[1:].isdigit()
+                    and os.path.exists(f"{snap}/{nm}/_DONE")):
+                done0 = max(done0, int(nm[1:]))
+    state0 = spark.read.parquet(f"{snap}/b{done0}/state") \
+        if done0 >= 0 else None
+    pairs0 = spark.read.parquet(f"{snap}/b{done0}/pairs") \
+        if done0 >= 0 else None
+    holder = {"state": state0, "pairs": pairs0, "done": done0}
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= holder["done"]:
+            return
+        prev = holder["done"]
+        st, pairs = fold(holder["state"], batch_df)
+        holder["state"] = st
+        acc = pairs if holder["pairs"] is None \
+            else holder["pairs"].unionByName(pairs)
+        holder["pairs"] = checkpointed(acc)
+        holder["state"].write.mode("overwrite") \
+            .parquet(f"{snap}/b{batch_id}/state")
+        holder["pairs"].write.mode("overwrite") \
+            .parquet(f"{snap}/b{batch_id}/pairs")
+        open(f"{snap}/b{batch_id}/_DONE", "w").close()
+        if prev >= 0:
+            shutil.rmtree(f"{snap}/b{prev}", ignore_errors=True)
+        holder["done"] = batch_id
+
+    q = (stream.writeStream
+         .foreachBatch(step)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    return q, (lambda: holder["pairs"])
+
+
+def incremental_image_neardup_stream(spark: SparkSession,
+                                     assets_path: str,
+                                     checkpoint_dir: str,
+                                     max_hamming: int = 3,
+                                     max_files_per_trigger: int = 1):
+    """Structured-Streaming driver for perceptual image dedup:
+    readStream over an asset directory (binary payload column),
+    foreachBatch folding each micro-batch of images into the dHash
+    band state. Returns (query, get_pairs)."""
+    schema = spark.read.parquet(assets_path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(assets_path))
+    return _snapshot_fold_stream(
+        spark, stream, checkpoint_dir,
+        lambda st, batch: incremental_image_neardup_batch(
+            st, batch, max_hamming),
+        snap_name="__ind_snapshots")

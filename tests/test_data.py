@@ -462,6 +462,37 @@ def test_video_neardup_shared_frames(spark):
         and got2[(2, 3)] == 2 and (1, 4) not in got2
 
 
+def test_incremental_image_neardup_equals_batch(spark, tmp_path):
+    """Folding image micro-batches through the streaming dHash state
+    accumulates EXACTLY the batch run's pairs — every pair surfaces
+    once, when its later member arrives."""
+    from incubator_hugegraph_spark.data.dedup import hamming_near_pairs
+    from incubator_hugegraph_spark.data.multimodal import (
+        image_dhash, render_media_png)
+    from incubator_hugegraph_spark.streaming.incremental import (
+        incremental_image_neardup_stream)
+    # groups of near-identical images across batches: ids 1/11/21
+    # share stream 1 (different dims -> some hash spread), 2/12 share
+    # stream 2; 99 unrelated
+    rows = [(i, "image", render_media_png(i % 10 if i != 99 else 99,
+                                          12, 10))
+            for i in (1, 11, 21, 2, 12, 99)]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, modality string, payload binary")
+    want = {(r.d1, r.d2, r.hamming)
+            for r in hamming_near_pairs(
+                image_dhash(assets), 3, hash_col="dhash",
+                id_col="asset_id").collect()}
+    assert want  # the fixture must actually contain near-dups
+    adir = str(tmp_path / "assets")
+    assets.repartition(3).write.parquet(adir)
+    q, get_pairs = incremental_image_neardup_stream(
+        spark, adir, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.awaitTermination()
+    got = {(r.d1, r.d2, r.hamming) for r in get_pairs().collect()}
+    assert got == want
+
+
 def test_audio_fingerprint_properties():
     """Energy-contour fingerprint: sparse sample edits move few bits,
     an unrelated signal lands far; undecodable bytes → None."""
