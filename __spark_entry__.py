@@ -5781,7 +5781,10 @@ def multimodal_frames_q(spark, sf_dir):
     return sample_frames_real(assets, every_n=2)
 
 
-_IMG_NEARDUP_SQL = """
+# Shared dHash-replay CTE prefix (review r06: ONE copy of the
+# resize-mapping/grayscale/bit-pack formulas — the per-query oracles
+# differ only in their final pairing SELECT).
+_IMG_DHASH_CTE = """
 WITH d AS (SELECT doc_id, doc_id - doc_id % 5 AS base FROM documents),
 b AS (SELECT d.doc_id, d.base, octet_length(encode(t.text)) AS bn
       FROM d JOIN documents t ON t.doc_id = d.base),
@@ -5815,6 +5818,9 @@ hs AS (SELECT doc_id,
               + CASE WHEN max(CASE WHEN k = 63 THEN bit ELSE 0 END) = 1
                      THEN -9223372036854775807 - 1 ELSE 0 END AS h
        FROM bits GROUP BY doc_id)
+"""
+
+_IMG_NEARDUP_SQL = _IMG_DHASH_CTE + """
 SELECT a.doc_id AS d1, b.doc_id AS d2,
        CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
 FROM hs a JOIN hs b ON a.doc_id < b.doc_id
@@ -5921,40 +5927,7 @@ def multimodal_stream_image_neardup_q(spark, sf_dir):
     return get_pairs()
 
 
-@_q("multimodal_cross_neardup", """
-WITH d AS (SELECT doc_id, doc_id - doc_id % 5 AS base FROM documents),
-b AS (SELECT d.doc_id, d.base, octet_length(encode(t.text)) AS bn
-      FROM d JOIN documents t ON t.doc_id = d.base),
-dims AS (SELECT doc_id, base,
-                greatest(CAST(floor(sqrt(bn)) AS INT), 1) AS w,
-                greatest(CAST(ceil(bn*1.0/greatest(CAST(floor(sqrt(bn))
-                         AS INT), 1)) AS INT), 1) AS h
-         FROM b),
-px AS (SELECT doc_id, base, c // 9 AS y, c % 9 AS x,
-              ((c // 9 * h // 8) * w + (c % 9 * w // 9)) * 3 AS p0
-       FROM (SELECT *, unnest(range(72)) AS c FROM dims)),
-gray AS (
-  SELECT doc_id, y, x, CAST(sum(v) // 3 AS BIGINT) AS g
-  FROM (SELECT doc_id, y, x,
-               CASE WHEN ((p0 + ch)*31 + doc_id) % 701 = 0
-                    THEN ((base*2654435761 + (p0+ch)*40503) % 256
-                          + 128) % 256
-                    ELSE (base*2654435761 + (p0+ch)*40503) % 256
-               END AS v
-        FROM (SELECT *, unnest(range(3)) AS ch FROM px))
-  GROUP BY doc_id, y, x),
-bits AS (SELECT a.doc_id, (a.y*8 + a.x) AS k,
-                CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
-         FROM gray a JOIN gray b
-              ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
-         WHERE a.x < 8),
-hs AS (SELECT doc_id,
-              CAST(sum(CASE WHEN k < 63
-                            THEN CAST(bit AS BIGINT) << k
-                            ELSE 0 END) AS BIGINT)
-              + CASE WHEN max(CASE WHEN k = 63 THEN bit ELSE 0 END) = 1
-                     THEN -9223372036854775807 - 1 ELSE 0 END AS h
-       FROM bits GROUP BY doc_id)
+@_q("multimodal_cross_neardup", _IMG_DHASH_CTE + """
 SELECT a.doc_id AS d1, b2.doc_id AS d2,
        CAST(bit_count(xor(a.h, b2.h)) AS INT) AS hamming
 FROM hs a JOIN hs b2 ON a.doc_id % 5 <> 0 AND b2.doc_id % 5 = 0
@@ -5971,9 +5944,14 @@ def multimodal_cross_neardup_q(spark, sf_dir):
     cross popcount as the independent check."""
     from incubator_hugegraph_spark.data.dedup import hamming_cross_pairs
     from incubator_hugegraph_spark.data.multimodal import image_dhash
-    assets = _planted_image_assets(spark, sf_dir)
-    train = image_dhash(assets.filter(F.col("asset_id") % 5 != 0))
-    bench = image_dhash(assets.filter(F.col("asset_id") % 5 == 0))
+    from incubator_hugegraph_spark.graph import checkpointed
+    # hash ONCE and split the hash table — Catalyst can't push the
+    # side filters through the render mapInPandas, so filtering the
+    # asset stream would re-render every PNG twice (review r06)
+    hashes = checkpointed(
+        image_dhash(_planted_image_assets(spark, sf_dir)))
+    train = hashes.filter(F.col("asset_id") % 5 != 0)
+    bench = hashes.filter(F.col("asset_id") % 5 == 0)
     return hamming_cross_pairs(train, bench, max_hamming=3,
                                hash_col="dhash", id_col="asset_id")
 
@@ -6543,12 +6521,18 @@ _WINDOW_ORDER = [
     # to the escape set — r05 ADVICE medium)
     "text_cjk_dag", "text_cjk_hmm", "multimodal_features",
     "id_escape_roundtrip",
-    # (g) re-checks of surfaces the r06 code changes touched
-    # (SET pk guard, CREATE rel-var reuse, AUTOMATIC id reseed,
-    # shared escape in file ingestion)
-    "cypher_merge", "cypher_create", "cypher_foreach", "cypher_remove",
-    "graph_load_csv", "vertex_upsert_merge", "vertex_id_lookup",
-    "vertex_id_prefix", "vertex_delete_cascade",
+    # (g) this round's NEW queries (real pixel/sample decode tier,
+    # four-modality near-dup, paragraph dedup). These replaced the
+    # r06-window re-check slots (cypher_merge/create/foreach/remove,
+    # graph_load_csv, vertex_upsert_merge/id_lookup/id_prefix/
+    # delete_cascade — all already driver-green in r02-r05 and still
+    # covered by pytest + the full mirror sweep): a NEW query with no
+    # driver verdict beats a re-check of a green one (review r06 —
+    # the round-1/2 'burned windows' failure mode).
+    "multimodal_decode", "multimodal_resize", "multimodal_frames",
+    "multimodal_image_neardup", "multimodal_audio_neardup",
+    "multimodal_video_neardup", "multimodal_cross_neardup",
+    "multimodal_stream_image_neardup", "doc_paragraph_dedup",
 ]
 
 

@@ -316,6 +316,12 @@ def hamming_cross_pairs(left: DataFrame, right: DataFrame,
     per-side fingerprints + one bucket join: no left×left or
     right×right pairs are ever formed. Returns (d1 from left,
     d2 from right, hamming)."""
+    if max_hamming > 3:
+        # 4-band pigeonhole is only exact to 3 — a larger threshold
+        # would SILENTLY drop pairs spread across all four chunks
+        raise ValueError(
+            f"max_hamming={max_hamming} > 3 breaks the 4-chunk "
+            "pigeonhole (pairs would be silently missed)")
     l = (_hamming_chunks(left, hash_col, id_col, chunk_width)
          .select(F.col("id").alias("d1"), F.col("h").alias("s1"),
                  "chunk", "val"))
@@ -341,6 +347,10 @@ def hamming_near_pairs(hashes: DataFrame, max_hamming: int = 3,
     then verify true hamming via bit_count(xor). Serves SimHash text
     fingerprints and image dHashes alike. Scale: the only shuffle is
     the 4×|rows| chunk-bucket join — no all-pairs anywhere."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} > 3 breaks the 4-chunk "
+            "pigeonhole (pairs would be silently missed)")
     chunks = _hamming_chunks(hashes, hash_col, id_col, chunk_width)
     l = chunks.select(F.col("id").alias("d1"),
                       F.col("h").alias("s1"), "chunk", "val")

@@ -249,60 +249,21 @@ def incremental_neardup_stream(spark: SparkSession, docs_path: str,
     """Structured-Streaming driver: readStream over a documents
     directory, foreachBatch folding each micro-batch into the LSH
     state. Returns (query, get_pairs) — await the query, then read the
-    accumulated near-dup pairs with get_pairs()."""
-    from incubator_hugegraph_spark.graph import checkpointed
+    accumulated near-dup pairs with get_pairs(). Restart-safety
+    (per-batch state+pairs snapshots, _DONE marker written last,
+    replayed batches no-op) lives in the shared
+    _snapshot_fold_stream driver."""
     corpus = spark.read.parquet(docs_path)
-    schema = corpus.schema
-    stream = (spark.readStream.schema(schema)
+    stream = (spark.readStream.schema(corpus.schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(docs_path))
-    # restart-safe like incremental_wcc_stream: BOTH the band-bucket
-    # state and the accumulated pairs snapshot per batch, before the
-    # batch's offsets commit (review r06 — a resumed query skips
-    # committed batches, so memory-only state silently lost them).
-    # One directory per batch holding both tables + a _DONE marker
-    # written LAST, so a crash between the two writes can never leave
-    # a half-snapshot that a restart would trust.
-    import os
-    import shutil
-    snap = f"{checkpoint_dir}/__nd_snapshots"
-    done0 = -1
-    if os.path.isdir(snap):
-        for nm in os.listdir(snap):
-            if (nm.startswith("b") and nm[1:].isdigit()
-                    and os.path.exists(f"{snap}/{nm}/_DONE")):
-                done0 = max(done0, int(nm[1:]))
-    state0 = spark.read.parquet(f"{snap}/b{done0}/state") \
-        if done0 >= 0 else None
-    pairs0 = spark.read.parquet(f"{snap}/b{done0}/pairs") \
-        if done0 >= 0 else None
-    holder = {"state": state0, "pairs": pairs0, "done": done0}
-
-    def step(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= holder["done"]:
-            return  # replay of a batch the loaded snapshot includes
-        prev = holder["done"]
-        st, pairs = incremental_neardup_batch(
-            holder["state"], batch_df, corpus, n, threshold)
-        holder["state"] = st
-        acc = pairs if holder["pairs"] is None \
-            else holder["pairs"].unionByName(pairs)
-        holder["pairs"] = checkpointed(acc)
-        holder["state"].write.mode("overwrite") \
-            .parquet(f"{snap}/b{batch_id}/state")
-        holder["pairs"].write.mode("overwrite") \
-            .parquet(f"{snap}/b{batch_id}/pairs")
-        open(f"{snap}/b{batch_id}/_DONE", "w").close()
-        if prev >= 0:
-            shutil.rmtree(f"{snap}/b{prev}", ignore_errors=True)
-        holder["done"] = batch_id
-
-    q = (stream.writeStream
-         .foreachBatch(step)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True)
-         .start())
-    return q, (lambda: holder["pairs"])
+    id_type = corpus.schema["doc_id"].dataType.simpleString()
+    return _snapshot_fold_stream(
+        spark, stream, checkpoint_dir,
+        lambda st, batch: incremental_neardup_batch(
+            st, batch, corpus, n, threshold),
+        snap_name="__nd_snapshots",
+        pairs_schema=f"d1 {id_type}, d2 {id_type}, jaccard double")
 
 
 def incremental_image_neardup_batch(state: DataFrame | None,
@@ -349,15 +310,18 @@ def incremental_image_neardup_batch(state: DataFrame | None,
 
 
 def _snapshot_fold_stream(spark: SparkSession, stream, checkpoint_dir: str,
-                          fold, snap_name: str):
-    """Generic restart-safe foreachBatch two-table fold (the pattern
-    incremental_neardup_stream hand-rolls): per batch,
+                          fold, snap_name: str,
+                          pairs_schema: str):
+    """Generic restart-safe foreachBatch two-table fold (shared by
+    the text and image incremental dedup drivers): per batch,
     ``fold(prev_state, batch_df) -> (state, pairs_delta)``; both the
     state and the accumulated pairs snapshot to
     {checkpoint_dir}/{snap_name}/b{batch} with a _DONE marker written
     LAST, so a restart never trusts a half-snapshot and replayed
     batches (batch_id <= last done) no-op. Returns (query,
-    get_pairs)."""
+    get_pairs); with zero micro-batches get_pairs() yields an EMPTY
+    DataFrame of ``pairs_schema`` rather than None (review r06 —
+    callers .collect() the result)."""
     import os
     import shutil
 
@@ -398,7 +362,13 @@ def _snapshot_fold_stream(spark: SparkSession, stream, checkpoint_dir: str,
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())
-    return q, (lambda: holder["pairs"])
+
+    def get_pairs():
+        if holder["pairs"] is None:
+            return spark.createDataFrame([], pairs_schema)
+        return holder["pairs"]
+
+    return q, get_pairs
 
 
 def incremental_image_neardup_stream(spark: SparkSession,
@@ -418,4 +388,5 @@ def incremental_image_neardup_stream(spark: SparkSession,
         spark, stream, checkpoint_dir,
         lambda st, batch: incremental_image_neardup_batch(
             st, batch, max_hamming),
-        snap_name="__ind_snapshots")
+        snap_name="__ind_snapshots",
+        pairs_schema="d1 long, d2 long, hamming int")

@@ -466,16 +466,29 @@ def test_incremental_image_neardup_equals_batch(spark, tmp_path):
     """Folding image micro-batches through the streaming dHash state
     accumulates EXACTLY the batch run's pairs — every pair surfaces
     once, when its later member arrives."""
+    import numpy as np
+
     from incubator_hugegraph_spark.data.dedup import hamming_near_pairs
     from incubator_hugegraph_spark.data.multimodal import (
-        image_dhash, render_media_png)
+        encode_png_rgb, image_dhash, synth_media_bytes)
     from incubator_hugegraph_spark.streaming.incremental import (
         incremental_image_neardup_stream)
-    # groups of near-identical images across batches: ids 1/11/21
-    # share stream 1 (different dims -> some hash spread), 2/12 share
+
+    def edited_png(stream_seed, member):
+        # same base stream per group, sparse per-member pixel edits →
+        # NONZERO hamming within groups, so the test exercises the
+        # partial-chunk banding path, not just identical-hash matches
+        # (review r06)
+        raw = synth_media_bytes(stream_seed, 12 * 10 * 3).astype(
+            np.int64)
+        idx = np.arange(raw.size, dtype=np.int64)
+        m = (idx * 31 + member) % 97 == 0
+        raw[m] = (raw[m] + 128) % 256
+        return encode_png_rgb(raw.astype(np.uint8).tobytes(), 12, 10)
+
+    # groups across batches: ids 1/11/21 share stream 1, 2/12 share
     # stream 2; 99 unrelated
-    rows = [(i, "image", render_media_png(i % 10 if i != 99 else 99,
-                                          12, 10))
+    rows = [(i, "image", edited_png(i % 10 if i != 99 else 99, i))
             for i in (1, 11, 21, 2, 12, 99)]
     assets = spark.createDataFrame(
         rows, "asset_id long, modality string, payload binary")
@@ -484,6 +497,7 @@ def test_incremental_image_neardup_equals_batch(spark, tmp_path):
                 image_dhash(assets), 3, hash_col="dhash",
                 id_col="asset_id").collect()}
     assert want  # the fixture must actually contain near-dups
+    assert any(h > 0 for _, _, h in want)  # nonzero-hamming planted
     adir = str(tmp_path / "assets")
     assets.repartition(3).write.parquet(adir)
     q, get_pairs = incremental_image_neardup_stream(
