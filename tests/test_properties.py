@@ -399,3 +399,24 @@ def test_wav_pcm_roundtrip_property(n, seed):
     s = rng.randint(-32768, 32768, n).astype("<i2")
     got = decode_wav_samples(wrap_wav(s.tobytes()))
     assert got is not None and np.array_equal(got, s)
+
+
+@settings(deadline=None)
+@given(st.integers(min_value=1, max_value=20),
+       st.integers(min_value=5, max_value=15),
+       st.integers(min_value=-30, max_value=30),
+       st.integers(min_value=0, max_value=2**31))
+def test_dhash_brightness_invariance(w, h, shift, seed):
+    """dHash is invariant under uniform brightness shifts that don't
+    wrap (the perceptual property the near-dup join relies on):
+    adding a constant to every channel preserves all adjacent-gray
+    comparisons."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.multimodal import (
+        _dhash_of_rgb_array)
+    rng = np.random.RandomState(seed % (2**31))
+    # mid-range pixels so shift in [-30, 30] can never wrap
+    img = rng.randint(64, 192, (h, w, 3)).astype(np.uint8)
+    shifted = (img.astype(np.int64) + shift).astype(np.uint8)
+    assert _dhash_of_rgb_array(img) == _dhash_of_rgb_array(shifted)
