@@ -5956,7 +5956,7 @@ def multimodal_cross_neardup_q(spark, sf_dir):
                                hash_col="dhash", id_col="asset_id")
 
 
-@_q("multimodal_audio_neardup", """
+_AUDIO_NEARDUP_SQL = """
 WITH d AS (SELECT doc_id, doc_id - doc_id % 5 AS base FROM documents),
 b AS (SELECT d.doc_id, d.base,
              greatest(octet_length(encode(t.text)), 1) AS ns
@@ -5989,25 +5989,18 @@ SELECT a.doc_id AS d1, b.doc_id AS d2,
        CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
 FROM hs a JOIN hs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.h, b.h)) <= 3
-""")
-def multimodal_audio_neardup_q(spark, sf_dir):
-    """Perceptual AUDIO near-dup through the real PCM decode — the
-    energy-contour fingerprint (65 index windows, exact integer
-    sum-of-squares energies, adjacent-window comparison bits) over
-    planted groups of lightly-edited copies of the same base signal,
-    paired by the shared chunked-Hamming join. The oracle replays
-    window partition, energies, bit pack and XOR popcount in SQL
-    from the generator formula — the Spark side's RIFF walk and
-    int16 unpack must be byte-perfect. Completes the multimodal
-    dedup story: text (SimHash/MinHash), image (dHash), audio
-    (energy contour) all ride ONE banded-join kernel."""
+"""
+
+
+def _planted_audio_assets(spark, sf_dir):
+    """Shared builder for the audio near-dup queries: groups of 5
+    doc_ids render the SAME base PCM stream at the base's length with
+    a sparse per-member sample perturbation — real WAVs, decodable."""
     import numpy as np
     import pandas as pd_
     from pyspark.sql import types as T_
 
-    from incubator_hugegraph_spark.data.dedup import hamming_near_pairs
     from incubator_hugegraph_spark.data.multimodal import (
-        audio_fingerprints,
         synth_media_samples,
         wrap_wav,
     )
@@ -6032,19 +6025,61 @@ def multimodal_audio_neardup_q(spark, sf_dir):
             for aid, base, ns in zip(pdf["doc_id"], pdf["base"],
                                      pdf["ns"]):
                 aid, base, ns = int(aid), int(base), int(ns)
-                s = synth_media_samples(base, ns).astype(np.int64)
+                smp = synth_media_samples(base, ns).astype(np.int64)
                 idx = np.arange(ns, dtype=np.int64)
                 m = (idx * 31 + aid) % 701 == 0
-                s[m] = ((s[m] + 32768 + 16384) % 65536) - 32768
+                smp[m] = ((smp[m] + 32768 + 16384) % 65536) - 32768
                 rows.append((aid, "audio",
-                             wrap_wav(s.astype("<i2").tobytes())))
+                             wrap_wav(smp.astype("<i2").tobytes())))
             yield pd_.DataFrame(rows,
                                 columns=["asset_id", "modality",
                                          "payload"])
 
-    assets = spec.mapInPandas(wrap, schema)
+    return spec.mapInPandas(wrap, schema)
+
+
+@_q("multimodal_audio_neardup", _AUDIO_NEARDUP_SQL)
+def multimodal_audio_neardup_q(spark, sf_dir):
+    """Perceptual AUDIO near-dup through the real PCM decode — the
+    energy-contour fingerprint (65 index windows, exact integer
+    sum-of-squares energies, adjacent-window comparison bits) over
+    planted groups of lightly-edited copies of the same base signal,
+    paired by the shared chunked-Hamming join. The oracle replays
+    window partition, energies, bit pack and XOR popcount in SQL
+    from the generator formula — the Spark side's RIFF walk and
+    int16 unpack must be byte-perfect. Completes the multimodal
+    dedup story: text (SimHash/MinHash), image (dHash), audio
+    (energy contour) all ride ONE banded-join kernel."""
+    from incubator_hugegraph_spark.data.dedup import hamming_near_pairs
+    from incubator_hugegraph_spark.data.multimodal import (
+        audio_fingerprints)
+    assets = _planted_audio_assets(spark, sf_dir)
     return hamming_near_pairs(audio_fingerprints(assets), max_hamming=3,
                               hash_col="afp", id_col="asset_id")
+
+
+@_q("multimodal_stream_audio_neardup", _AUDIO_NEARDUP_SQL)
+def multimodal_stream_audio_neardup_q(spark, sf_dir):
+    """STREAMING twin of multimodal_audio_neardup (shares its oracle
+    VERBATIM — stream ≡ batch under the gate): the planted WAVs are
+    written as a multi-file parquet directory and each micro-batch
+    folds through incremental_audio_neardup_batch (PCM decode →
+    energy-contour fingerprint → banded join against the persistent
+    band state, batch side broadcast), on the same restart-safe
+    snapshot driver as the image and text twins."""
+    import tempfile
+    import uuid
+
+    from incubator_hugegraph_spark.streaming.incremental import (
+        incremental_audio_neardup_stream)
+    tmp = tempfile.mkdtemp(prefix="aud_nd_")
+    _planted_audio_assets(spark, sf_dir).repartition(4) \
+        .write.mode("overwrite").parquet(f"{tmp}/assets")
+    q, get_pairs = incremental_audio_neardup_stream(
+        spark, f"{tmp}/assets",
+        f"{tmp}/ckpt_{uuid.uuid4().hex[:8]}")
+    q.awaitTermination()
+    return get_pairs()
 
 
 @_q("multimodal_video_neardup", """

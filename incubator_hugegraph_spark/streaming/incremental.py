@@ -390,3 +390,61 @@ def incremental_image_neardup_stream(spark: SparkSession,
             st, batch, max_hamming),
         snap_name="__ind_snapshots",
         pairs_schema="d1 long, d2 long, hamming int")
+
+
+def incremental_audio_neardup_batch(state: DataFrame | None,
+                                    assets_batch: DataFrame,
+                                    max_hamming: int = 3
+                                    ) -> tuple[DataFrame, DataFrame]:
+    """Audio twin of incremental_image_neardup_batch: the energy-
+    contour fingerprint bands into the same persistent (id, h, chunk,
+    val) state; pairs surface when their later member arrives."""
+    from incubator_hugegraph_spark.data.dedup import _hamming_chunks
+    from incubator_hugegraph_spark.data.multimodal import (
+        audio_fingerprints)
+    from incubator_hugegraph_spark.graph import checkpointed
+    chunks = checkpointed(_hamming_chunks(
+        audio_fingerprints(assets_batch), "afp", "asset_id", 16))
+    if state is None:
+        state = assets_batch.sparkSession.createDataFrame(
+            [], "id long, h long, chunk int, val long")
+    all_chunks = state.unionByName(chunks)
+    new = chunks.select(F.col("id").alias("dn"),
+                        F.col("h").alias("hn"), "chunk", "val")
+    cand = (F.broadcast(new)
+            .join(all_chunks
+                  .withColumnRenamed("id", "do")
+                  .withColumnRenamed("h", "ho"),
+                  on=["chunk", "val"])
+            .filter(F.col("do") != F.col("dn"))
+            .select(F.least("do", "dn").alias("d1"),
+                    F.greatest("do", "dn").alias("d2"),
+                    F.when(F.col("do") < F.col("dn"), F.col("ho"))
+                     .otherwise(F.col("hn")).alias("h1"),
+                    F.when(F.col("do") < F.col("dn"), F.col("hn"))
+                     .otherwise(F.col("ho")).alias("h2"))
+            .distinct())
+    pairs = (cand.withColumn("hamming", F.bit_count(
+                 F.col("h1").bitwiseXOR(F.col("h2"))))
+             .filter(F.col("hamming") <= max_hamming)
+             .select("d1", "d2", "hamming"))
+    return checkpointed(all_chunks), pairs
+
+
+def incremental_audio_neardup_stream(spark: SparkSession,
+                                     assets_path: str,
+                                     checkpoint_dir: str,
+                                     max_hamming: int = 3,
+                                     max_files_per_trigger: int = 1):
+    """Streaming driver for perceptual audio dedup — same restart-
+    safe snapshot fold as the image/text twins."""
+    schema = spark.read.parquet(assets_path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(assets_path))
+    return _snapshot_fold_stream(
+        spark, stream, checkpoint_dir,
+        lambda st, batch: incremental_audio_neardup_batch(
+            st, batch, max_hamming),
+        snap_name="__and_snapshots",
+        pairs_schema="d1 long, d2 long, hamming int")
