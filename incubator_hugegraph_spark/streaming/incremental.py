@@ -266,25 +266,26 @@ def incremental_neardup_stream(spark: SparkSession, docs_path: str,
         pairs_schema=f"d1 {id_type}, d2 {id_type}, jaccard double")
 
 
-def incremental_image_neardup_batch(state: DataFrame | None,
-                                    assets_batch: DataFrame,
-                                    max_hamming: int = 3
-                                    ) -> tuple[DataFrame, DataFrame]:
-    """One incremental step of PERCEPTUAL image dedup over an asset
-    stream: state = (id, h, chunk, val) dHash band rows over every
-    image seen; pairs = (d1, d2, hamming) with hamming <= max_hamming
-    and the LATER member in this batch. Same no-cross-batch-dedup
-    argument as the text fold: a pair whose both members predate this
-    batch collided when its second member arrived. Scale: the batch
-    side broadcasts (O(batch)), the O(corpus) state never reshuffles
-    per batch."""
+def _incremental_fp_neardup_batch(state: DataFrame | None,
+                                  fingerprints: DataFrame,
+                                  hash_col: str,
+                                  max_hamming: int
+                                  ) -> tuple[DataFrame, DataFrame]:
+    """THE shared incremental fingerprint-dedup step (image dHash and
+    audio energy contour differ only in the fingerprint kernel):
+    state = (id, h, chunk, val) band rows over every asset seen;
+    pairs = (d1, d2, hamming) with hamming <= max_hamming and the
+    LATER member in this batch. Same no-cross-batch-dedup argument as
+    the text fold: a pair whose both members predate this batch
+    collided when its second member arrived. Scale: the batch side
+    broadcasts (O(batch)), the O(corpus) state never reshuffles per
+    batch."""
     from incubator_hugegraph_spark.data.dedup import _hamming_chunks
-    from incubator_hugegraph_spark.data.multimodal import image_dhash
     from incubator_hugegraph_spark.graph import checkpointed
     chunks = checkpointed(_hamming_chunks(
-        image_dhash(assets_batch), "dhash", "asset_id", 16))
+        fingerprints, hash_col, "asset_id", 16))
     if state is None:
-        state = assets_batch.sparkSession.createDataFrame(
+        state = fingerprints.sparkSession.createDataFrame(
             [], "id long, h long, chunk int, val long")
     all_chunks = state.unionByName(chunks)
     new = chunks.select(F.col("id").alias("dn"),
@@ -307,6 +308,17 @@ def incremental_image_neardup_batch(state: DataFrame | None,
              .filter(F.col("hamming") <= max_hamming)
              .select("d1", "d2", "hamming"))
     return checkpointed(all_chunks), pairs
+
+
+def incremental_image_neardup_batch(state: DataFrame | None,
+                                    assets_batch: DataFrame,
+                                    max_hamming: int = 3
+                                    ) -> tuple[DataFrame, DataFrame]:
+    """One incremental step of PERCEPTUAL image dedup over an asset
+    stream — decode + dHash, then the shared fingerprint fold."""
+    from incubator_hugegraph_spark.data.multimodal import image_dhash
+    return _incremental_fp_neardup_batch(
+        state, image_dhash(assets_batch), "dhash", max_hamming)
 
 
 def _snapshot_fold_stream(spark: SparkSession, stream, checkpoint_dir: str,
@@ -396,39 +408,12 @@ def incremental_audio_neardup_batch(state: DataFrame | None,
                                     assets_batch: DataFrame,
                                     max_hamming: int = 3
                                     ) -> tuple[DataFrame, DataFrame]:
-    """Audio twin of incremental_image_neardup_batch: the energy-
-    contour fingerprint bands into the same persistent (id, h, chunk,
-    val) state; pairs surface when their later member arrives."""
-    from incubator_hugegraph_spark.data.dedup import _hamming_chunks
+    """Audio twin of incremental_image_neardup_batch — PCM decode +
+    energy-contour fingerprint, then the shared fingerprint fold."""
     from incubator_hugegraph_spark.data.multimodal import (
         audio_fingerprints)
-    from incubator_hugegraph_spark.graph import checkpointed
-    chunks = checkpointed(_hamming_chunks(
-        audio_fingerprints(assets_batch), "afp", "asset_id", 16))
-    if state is None:
-        state = assets_batch.sparkSession.createDataFrame(
-            [], "id long, h long, chunk int, val long")
-    all_chunks = state.unionByName(chunks)
-    new = chunks.select(F.col("id").alias("dn"),
-                        F.col("h").alias("hn"), "chunk", "val")
-    cand = (F.broadcast(new)
-            .join(all_chunks
-                  .withColumnRenamed("id", "do")
-                  .withColumnRenamed("h", "ho"),
-                  on=["chunk", "val"])
-            .filter(F.col("do") != F.col("dn"))
-            .select(F.least("do", "dn").alias("d1"),
-                    F.greatest("do", "dn").alias("d2"),
-                    F.when(F.col("do") < F.col("dn"), F.col("ho"))
-                     .otherwise(F.col("hn")).alias("h1"),
-                    F.when(F.col("do") < F.col("dn"), F.col("hn"))
-                     .otherwise(F.col("ho")).alias("h2"))
-            .distinct())
-    pairs = (cand.withColumn("hamming", F.bit_count(
-                 F.col("h1").bitwiseXOR(F.col("h2"))))
-             .filter(F.col("hamming") <= max_hamming)
-             .select("d1", "d2", "hamming"))
-    return checkpointed(all_chunks), pairs
+    return _incremental_fp_neardup_batch(
+        state, audio_fingerprints(assets_batch), "afp", max_hamming)
 
 
 def incremental_audio_neardup_stream(spark: SparkSession,
