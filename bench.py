@@ -23,7 +23,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def _sf(sf_dir: str) -> float:
     import re
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    # anchored numeric form — 'sf0.1.bak'-style names must not feed
+    # float() a two-dot run and kill the final JSON line (infra
+    # review r06)
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     return float(m.group(1)) if m else -1.0
 
 

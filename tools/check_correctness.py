@@ -35,6 +35,11 @@ def canon(v) -> str:
         return "[" + ",".join(canon(x) for x in v.tolist()) + "]"
     if isinstance(v, np.integer):
         return str(int(v))
+    if isinstance(v, bool):
+        # BEFORE the float branch only by luck (bool is not float) but
+        # must stay before str: True/1 collapse is deliberate (DuckDB
+        # and Spark agree on booleans; the driver sees both as 1)
+        return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
             # NULL floats: both sides fetch via pandas (r06 — the
@@ -43,15 +48,36 @@ def canon(v) -> str:
             # NaN to NULL so nullable float columns hash identically
             # (seen: multimodal_features).
             return "\\N"
+        if math.isinf(v):
+            # int(inf) raises OverflowError OUTSIDE any try (infra
+            # review r06) — canonicalize explicitly instead of
+            # aborting the whole sweep
+            return "inf" if v > 0 else "-inf"
         if v == int(v) and abs(v) < 1e15:
+            # deliberate int-valued-float collapse (r03: DuckDB
+            # HUGEINT aggregates surface as float64/object ints)
             return str(int(v))
         return repr(v)
-    if isinstance(v, bool):
-        return str(int(v))
     if isinstance(v, datetime.datetime):
+        # DuckDB DATE columns arrive as midnight Timestamps while
+        # Spark DateType (Arrow-off) gives datetime.date — collapse
+        # exact midnights to the date form so a raw date column can
+        # hash-match (infra review r06); real timestamps keep full
+        # precision
+        if (v.tzinfo is None and v.hour == v.minute == v.second == 0
+                and v.microsecond == 0):
+            return v.strftime("%Y-%m-%d")
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, str):
+        # type-tagged: a digit STRING must not hash-collide with the
+        # number it spells — the schema compare checks names only, so
+        # without this a wrong-typed column passes silently (infra
+        # review r06)
+        return "s:" + v
     return str(v)
 
 
@@ -68,6 +94,22 @@ def driver_sort(pdf):
     than the driver; this function makes the mirror fail first.
     """
     cols = sorted(pdf.columns)
+    # single-column frames take pandas' comparison-sort path, which
+    # does NOT factorize — a lone array<...> column would sort fine
+    # here while the driver's hash step still chokes on the list
+    # cells (infra review r06: the r05 class, 1-column variant).
+    # Reject unhashable cell types explicitly.
+    for c in cols:
+        col = pdf[c]
+        if col.dtype == object:
+            for v in col:
+                if isinstance(v, (list, dict, set, bytearray)) or \
+                        type(v).__module__ == "numpy" and \
+                        getattr(v, "ndim", 0) > 0:
+                    raise TypeError(
+                        f"unhashable type in column {c!r}: "
+                        f"{type(v).__name__} (driver gate cannot "
+                        "hash this cell)")
     body = pdf[cols].sort_values(by=cols)  # raises like the driver does
     return cols, [tuple(r) for r in body.itertuples(index=False, name=None)]
 
@@ -83,9 +125,15 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if "--sf" in sys.argv:
-        globals()["SF_DIR"] = sys.argv[sys.argv.index("--sf") + 1]
+    argv = sys.argv[1:]
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        if i + 1 >= len(argv):
+            print("usage: check_correctness.py [query ...] [--sf DIR]")
+            return 2
+        globals()["SF_DIR"] = argv[i + 1]
+        del argv[i:i + 2]  # strip flag AND value from positionals
+    args = [a for a in argv if not a.startswith("--")]
 
     import duckdb
 
@@ -111,6 +159,15 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     names = args or list(qs)
     failures = 0
+    # rows-only is an EXPLICIT declaration, not a fallback: a typo'd
+    # or renamed oracle key must FAIL, not silently downgrade the
+    # query to an unfailable rows-only check (infra review r06)
+    ROWS_ONLY = {"louvain"}
+    orphans = set(oracles) - set(qs)
+    if orphans:
+        print(f"FAIL  orphaned oracle_sql keys (no matching query): "
+              f"{sorted(orphans)}")
+        failures += 1
     for name in names:
         t0 = time.time()
         try:
@@ -125,6 +182,11 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
+            if name not in ROWS_ONLY:
+                print(f"FAIL  {name}: no oracle_sql entry and not in "
+                      "the declared ROWS_ONLY set")
+                failures += 1
+                continue
             print(f"OK?   {name}: rows-only check, {len(spdf)} rows "
                   f"({time.time()-t0:.1f}s)")
             continue
