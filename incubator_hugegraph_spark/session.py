@@ -43,6 +43,13 @@ def get_spark(app_name: str = "incubator-hugegraph-spark") -> SparkSession:
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Arrow for pandas UDF paths (tokenizers, embedding kernels).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch SIZE is a memory bound, not a speed knob: the
+        # multimodal tier streams binary payloads through mapInPandas,
+        # and the 10000-row default means one in-flight batch of 1 MB
+        # blobs is ~10 GB per task — an OOM at 100 TB asset scale.
+        # 1024 rows keeps a blob batch ~1 GB worst-case while leaving
+        # scalar-column UDF paths (tokenizers) amply batched.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.session.timeZone", "UTC")
         # The driver-generated parquet stores TIMESTAMP(NANOS) which
         # Spark's vectorized reader rejects; read as long and convert
