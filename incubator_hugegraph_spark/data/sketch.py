@@ -138,7 +138,10 @@ def kmv_distinct(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
     md5-prefix hashing keeps it bit-reproducible in a SQL oracle."""
     h = (portable_hash28(F.col(key_col).cast("string"))
          .cast("double") / F.lit(float(1 << 28))).alias("h")
-    mins = (df.select(h).distinct().orderBy("h").limit(k)
+    # NULL keys hash to NULL and would sort FIRST under orderBy asc,
+    # entering the k-min set as a phantom value (streaming review r06)
+    mins = (df.filter(F.col(key_col).isNotNull())
+            .select(h).distinct().orderBy("h").limit(k)
             .agg(F.count(F.lit(1)).alias("k_used"),
                  F.max("h").alias("kth_min")))
     return mins.select(

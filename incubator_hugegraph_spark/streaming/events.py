@@ -29,13 +29,24 @@ def _read_stream(spark: SparkSession, events_path: str,
     nanosAsLong, like the batch path) floor to µs — exact integer div,
     matching DuckDB."""
     import os
+    # session-global on purpose: get_spark() already sets it and the
+    # driver fixture needs it to read at all; setting the SAME value
+    # here only covers sessions built elsewhere (no toggle-back — a
+    # lazy stream would read the conf at execution, after a restore)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # schema is read once per path (a full batch read listed the
-    # directory and parsed footers on EVERY stream start — review r06)
-    schema = _SCHEMA_CACHE.get(events_path)
+    # schema is read once per (path, mtime): keyed on the directory's
+    # mtime so a rewritten/evolved path re-reads footers instead of
+    # silently reusing a stale schema (streaming review r06), while
+    # repeat stream starts over an unchanged path stay cheap
+    try:
+        mtime = os.path.getmtime(events_path)
+    except OSError:
+        mtime = None
+    cache_key = (events_path, mtime)
+    schema = _SCHEMA_CACHE.get(cache_key)
     if schema is None:
         schema = spark.read.parquet(events_path).schema
-        _SCHEMA_CACHE[events_path] = schema
+        _SCHEMA_CACHE[cache_key] = schema
     if os.path.isfile(events_path):
         # FileStreamSource pins basePath to the path when it is not a
         # glob, then rejects it for not being a directory — make the
@@ -176,6 +187,16 @@ def stream_sessionize(spark: SparkSession, events_path: str,
         if whole is not None:
             for ts in whole["ts"]:
                 t = ts.value // 1000  # ns → µs (exact)
+                if last is not None and t < last:
+                    # LATE cross-batch event (the file source orders
+                    # micro-batches by file mtime, not event time): a
+                    # t older than the state frontier would drag
+                    # session_end backwards and corrupt gap decisions
+                    # (review r06) — drop it, the watermark semantic.
+                    # Batch≡stream equality therefore requires input
+                    # files in per-user event-time order (availableNow
+                    # over one file always satisfies this).
+                    continue
                 if last is None or t - last > gap_us:
                     if last is not None:
                         done.append((key[0], sid, n, start, last))
@@ -235,7 +256,9 @@ def stream_events_to_edges(spark: SparkSession, events_path: str,
     applyInPandasWithState carries the last-seen user per event_type,
     so the first event of batch N pairs with the last event of batch
     N-1 — the streamed edge set equals the batch lag-window derivation
-    regardless of how the input is chopped into micro-batches."""
+    for any chop that respects per-key event-time order (cross-batch
+    LATE events are dropped like a watermark would, never mis-paired
+    — review r06)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from incubator_hugegraph_spark.functions.ids import splice_id
@@ -245,7 +268,10 @@ def stream_events_to_edges(spark: SparkSession, events_path: str,
 
     def fold(key, pdf_iter, state):
         import pandas as pd
-        prev = state.get[0] if state.exists else None
+        if state.exists:
+            prev, last_us = state.get
+        else:
+            prev, last_us = None, None
         out = []
         # concat the group's arrow chunks, then ONE global sort (the
         # per-chunk sort was not a global order when a key's batch
@@ -255,14 +281,23 @@ def stream_events_to_edges(spark: SparkSession, events_path: str,
         if chunks:
             whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             whole = whole.sort_values(["ts", "event_id"])
-            for uid, eid in zip(whole["user_id"], whole["event_id"]):
+            for uid, eid, ts in zip(whole["user_id"], whole["event_id"],
+                                    whole["ts"]):
+                t = ts.value // 1000
+                if last_us is not None and t < last_us:
+                    # LATE cross-batch event: pairing it AFTER later
+                    # events produces edges the batch lag-window never
+                    # derives (review r06) — drop, watermark semantic.
+                    # Batch≡stream equality requires files in per-key
+                    # event-time order.
+                    continue
                 if prev is not None and prev != uid:
                     out.append((splice_id("customer", prev),
                                 splice_id("customer", uid),
                                 "interacted", str(eid)))
-                prev = uid
+                prev, last_us = uid, t
         if prev is not None:
-            state.update((int(prev),))
+            state.update((int(prev), int(last_us)))
         yield pd.DataFrame(
             out, columns=["src", "dst", "label", "sort_values"])
 
@@ -270,7 +305,7 @@ def stream_events_to_edges(spark: SparkSession, events_path: str,
         fold,
         outputStructType=("src string, dst string, label string, "
                           "sort_values string"),
-        stateStructType="last_user bigint",
+        stateStructType="last_user bigint, last_us bigint",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
 
@@ -516,10 +551,26 @@ def run_stream_kmv_distinct(spark: SparkSession, events_path: str,
     from incubator_hugegraph_spark.data.dedup import portable_hash28
 
     stream = _read_stream(spark, events_path)
-    hashed = stream.select(
+    hashed = stream.filter(F.col(key_col).isNotNull()).select(
         (portable_hash28(F.col(key_col).cast("string"))
          .cast("double") / F.lit(float(1 << 28))).alias("h"),
         F.lit(1).alias("g"))
+
+    def prereduce(pdf_iter):
+        # map-side k-min BEFORE the single-key shuffle: without it
+        # every row of every micro-batch lands on one state task
+        # (review r06 — the docstring promised per-partition minima
+        # and the code shipped the whole stream). ≤ k rows per arrow
+        # batch leave each partition.
+        import pandas as pd
+        for pdf in pdf_iter:
+            if len(pdf):
+                # k smallest DISTINCT hashes — raw rows repeat hot
+                # keys, and k duplicate rows can cover far fewer than
+                # k distinct values (KMV needs distinct minima)
+                yield pdf.drop_duplicates("h").nsmallest(k, "h")
+
+    hashed = hashed.mapInPandas(prereduce, "h double, g int")
 
     def fold(key, pdf_iter, state):
         import pandas as pd

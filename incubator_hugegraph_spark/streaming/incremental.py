@@ -107,35 +107,6 @@ def incremental_wcc_batch(state: DataFrame | None,
     return out.localCheckpoint()
 
 
-def _latest_snapshot(spark: SparkSession, snap_dir: str):
-    """Newest COMPLETE per-batch state snapshot under snap_dir
-    (completeness = parquet _SUCCESS marker). Returns (df|None, bid)."""
-    import os
-    best = -1
-    if os.path.isdir(snap_dir):
-        for name in os.listdir(snap_dir):
-            if (name.startswith("b") and name[1:].isdigit()
-                    and os.path.exists(os.path.join(snap_dir, name,
-                                                    "_SUCCESS"))):
-                best = max(best, int(name[1:]))
-    if best < 0:
-        return None, -1
-    return spark.read.parquet(f"{snap_dir}/b{best}"), best
-
-
-def _snapshot_state(state: DataFrame, snap_dir: str,
-                    batch_id: int, prev_id: int) -> None:
-    """Persist the fold state for batch_id and drop the superseded
-    snapshot. Written INSIDE foreachBatch, i.e. before the batch's
-    offsets commit — so on restart the loaded snapshot is never
-    behind the offset log (at worst its own batch replays, which the
-    bid<=done guard in step() skips)."""
-    import shutil
-    state.write.mode("overwrite").parquet(f"{snap_dir}/b{batch_id}")
-    if prev_id >= 0:
-        shutil.rmtree(f"{snap_dir}/b{prev_id}", ignore_errors=True)
-
-
 def incremental_wcc_stream(spark: SparkSession, edges_path: str,
                            checkpoint_dir: str,
                            max_files_per_trigger: int = 1):
@@ -144,34 +115,24 @@ def incremental_wcc_stream(spark: SparkSession, edges_path: str,
     Returns (query, get_state) — await the query, then read the final
     components with get_state().
 
-    Restart-safe (code review r06): the durable checkpointLocation
-    makes a restarted query SKIP committed batches, so the fold state
-    must be durable too — each batch's state is snapshotted under the
-    checkpoint dir before its offsets commit, and a restart resumes
-    from the newest complete snapshot instead of silently rebuilding
-    components from only the post-crash batches."""
+    Restart-safe via the ONE shared _snapshot_fold_stream protocol
+    (the hand-rolled _SUCCESS-marker copy had already drifted from it
+    — streaming review r06): each batch's state snapshots under the
+    checkpoint dir with an explicit _DONE marker before its offsets
+    commit, and a restart resumes from the newest complete snapshot
+    instead of silently rebuilding components from only the
+    post-crash batches. With zero micro-batches get_state() returns
+    an EMPTY (id, component) DataFrame, never None."""
     schema = spark.read.parquet(edges_path).schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)
-              .parquet(edges_path))
-    snap_dir = f"{checkpoint_dir}/__wcc_state"
-    state0, done0 = _latest_snapshot(spark, snap_dir)
-    holder = {"state": state0, "done": done0}
-
-    def step(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= holder["done"]:
-            return  # replay of a batch the loaded snapshot includes
-        prev = holder["done"]
-        holder["state"] = incremental_wcc_batch(holder["state"], batch_df)
-        _snapshot_state(holder["state"], snap_dir, batch_id, prev)
-        holder["done"] = batch_id
-
-    q = (stream.select("src", "dst").writeStream
-         .foreachBatch(step)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True)
-         .start())
-    return q, (lambda: holder["state"])
+              .parquet(edges_path)
+              .select("src", "dst"))
+    return _snapshot_fold_stream(
+        spark, stream, checkpoint_dir,
+        incremental_wcc_batch,
+        snap_name="__wcc_state",
+        pairs_schema=None)
 
 # NOTE: the comp-pair collect is bounded by the BATCH edge count (the
 # component graph never exceeds it), so driver memory is governed by
@@ -282,6 +243,12 @@ def _incremental_fp_neardup_batch(state: DataFrame | None,
     batch."""
     from incubator_hugegraph_spark.data.dedup import _hamming_chunks
     from incubator_hugegraph_spark.graph import checkpointed
+    if max_hamming > 3:
+        # the batch twins raise too: 4 bands are pigeonhole-exact
+        # only to hamming 3 — past it pairs are SILENTLY missed
+        raise ValueError(
+            f"max_hamming={max_hamming} > 3 breaks the 4-chunk "
+            "pigeonhole (pairs would be silently missed)")
     chunks = checkpointed(_hamming_chunks(
         fingerprints, hash_col, "asset_id", 16))
     if state is None:
@@ -321,52 +288,83 @@ def incremental_image_neardup_batch(state: DataFrame | None,
         state, image_dhash(assets_batch), "dhash", max_hamming)
 
 
+def _require_local_dir(checkpoint_dir: str) -> None:
+    """The snapshot protocol walks the checkpoint dir with os.listdir
+    and writes its own completion markers with open() — LOCAL
+    filesystem operations. On an object-store/HDFS URI those silently
+    find no snapshot after a restart while the engine still skips
+    committed batches (streaming review r06: silently-wrong state,
+    the exact bug the snapshots exist to prevent). Fail LOUDLY
+    instead; porting means swapping these calls for the Hadoop
+    FileSystem API."""
+    import re
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", checkpoint_dir) and \
+            not checkpoint_dir.startswith("file://"):
+        raise ValueError(
+            f"snapshot checkpoint dir {checkpoint_dir!r} is not a "
+            "local path — the restart-snapshot protocol uses local "
+            "filesystem calls (see _require_local_dir)")
+
+
 def _snapshot_fold_stream(spark: SparkSession, stream, checkpoint_dir: str,
                           fold, snap_name: str,
-                          pairs_schema: str):
-    """Generic restart-safe foreachBatch two-table fold (shared by
-    the text and image incremental dedup drivers): per batch,
-    ``fold(prev_state, batch_df) -> (state, pairs_delta)``; both the
-    state and the accumulated pairs snapshot to
-    {checkpoint_dir}/{snap_name}/b{batch} with a _DONE marker written
-    LAST, so a restart never trusts a half-snapshot and replayed
-    batches (batch_id <= last done) no-op. Returns (query,
-    get_pairs); with zero micro-batches get_pairs() yields an EMPTY
-    DataFrame of ``pairs_schema`` rather than None (review r06 —
-    callers .collect() the result)."""
+                          pairs_schema: str | None):
+    """Generic restart-safe foreachBatch fold (shared by the wcc,
+    text-neardup and media-neardup drivers): per batch,
+    ``fold(prev_state, batch_df) -> (state, pairs_delta)`` (or just
+    the state when ``pairs_schema`` is None). The state snapshots to
+    {checkpoint_dir}/{snap_name}/b{batch} and each batch's PAIRS
+    DELTA (append-only) to .../b{batch}/pairs — rewriting the full
+    accumulated pairs table per batch made snapshot IO quadratic
+    (streaming review r06). The _DONE marker is written LAST, so a
+    restart never trusts a half-snapshot; replayed batches
+    (batch_id <= last done) no-op; superseded STATE dirs are pruned
+    but pairs deltas persist (they are the accumulated result).
+    Returns (query, get_result); with zero micro-batches get_result()
+    yields an EMPTY typed DataFrame rather than None (review r06 —
+    callers .collect() it)."""
     import os
     import shutil
 
-    from incubator_hugegraph_spark.graph import checkpointed
+    _require_local_dir(checkpoint_dir)
     snap = f"{checkpoint_dir}/{snap_name}"
-    done0 = -1
+    done = []
     if os.path.isdir(snap):
         for nm in os.listdir(snap):
             if (nm.startswith("b") and nm[1:].isdigit()
                     and os.path.exists(f"{snap}/{nm}/_DONE")):
-                done0 = max(done0, int(nm[1:]))
+                done.append(int(nm[1:]))
+    done0 = max(done) if done else -1
     state0 = spark.read.parquet(f"{snap}/b{done0}/state") \
         if done0 >= 0 else None
-    pairs0 = spark.read.parquet(f"{snap}/b{done0}/pairs") \
-        if done0 >= 0 else None
+    pairs0 = None
+    if pairs_schema is not None and done0 >= 0:
+        delta_dirs = [f"{snap}/b{b}/pairs" for b in sorted(done)
+                      if os.path.isdir(f"{snap}/b{b}/pairs")]
+        if delta_dirs:
+            pairs0 = spark.read.parquet(*delta_dirs)
     holder = {"state": state0, "pairs": pairs0, "done": done0}
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= holder["done"]:
             return
         prev = holder["done"]
-        st, pairs = fold(holder["state"], batch_df)
-        holder["state"] = st
-        acc = pairs if holder["pairs"] is None \
-            else holder["pairs"].unionByName(pairs)
-        holder["pairs"] = checkpointed(acc)
+        if pairs_schema is None:
+            holder["state"] = fold(holder["state"], batch_df)
+        else:
+            st, pairs = fold(holder["state"], batch_df)
+            holder["state"] = st
+            holder["pairs"] = pairs if holder["pairs"] is None \
+                else holder["pairs"].unionByName(pairs)
+            # write ONLY this batch's delta — linear total IO
+            pairs.write.mode("overwrite") \
+                .parquet(f"{snap}/b{batch_id}/pairs")
         holder["state"].write.mode("overwrite") \
             .parquet(f"{snap}/b{batch_id}/state")
-        holder["pairs"].write.mode("overwrite") \
-            .parquet(f"{snap}/b{batch_id}/pairs")
         open(f"{snap}/b{batch_id}/_DONE", "w").close()
         if prev >= 0:
-            shutil.rmtree(f"{snap}/b{prev}", ignore_errors=True)
+            # prune only the superseded STATE (pairs deltas persist)
+            shutil.rmtree(f"{snap}/b{prev}/state", ignore_errors=True)
         holder["done"] = batch_id
 
     q = (stream.writeStream
@@ -375,12 +373,14 @@ def _snapshot_fold_stream(spark: SparkSession, stream, checkpoint_dir: str,
          .trigger(availableNow=True)
          .start())
 
-    def get_pairs():
-        if holder["pairs"] is None:
-            return spark.createDataFrame([], pairs_schema)
-        return holder["pairs"]
+    def get_result():
+        key = "state" if pairs_schema is None else "pairs"
+        if holder[key] is None:
+            schema = pairs_schema or "id string, component string"
+            return spark.createDataFrame([], schema)
+        return holder[key]
 
-    return q, get_pairs
+    return q, get_result
 
 
 def incremental_image_neardup_stream(spark: SparkSession,
