@@ -4661,8 +4661,8 @@ def doc_token_budget(spark, sf_dir):
 @_q("doc_domain_mix", """
 WITH u AS (
   SELECT source,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
-           / 16777216.0 AS h
+         ('0x' || substr(md5('domain:' || CAST(doc_id AS VARCHAR)),
+                         1, 6))::BIGINT / 16777216.0 AS h
   FROM documents)
 SELECT source, count(*) AS n FROM u
 WHERE h < CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.75
@@ -4984,8 +4984,8 @@ def doc_tfidf_top(spark, sf_dir):
 @_q("doc_hash_split", """
 WITH u AS (
   SELECT doc_id,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
-           / 16777216.0 AS h
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                         1, 6))::BIGINT / 16777216.0 AS h
   FROM documents)
 SELECT CASE WHEN h < 0.9 THEN 'train'
             WHEN h < 0.95 THEN 'val'
@@ -5027,8 +5027,8 @@ def doc_global_shuffle(spark, sf_dir):
 @_q("doc_stratified_sample", """
 WITH u AS (
   SELECT doc_id, lang,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
-           / 16777216.0 AS h
+         ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)),
+                         1, 6))::BIGINT / 16777216.0 AS h
   FROM documents),
 r AS (SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang
@@ -5200,7 +5200,7 @@ def doc_pack_sequences(spark, sf_dir):
     two-phase prefix sum — the oracle is the naive global window."""
     from incubator_hugegraph_spark.data.sample import pack_sequences
     return pack_sequences(_docs(spark, sf_dir), seq_len=512,
-                          bucket_size=64)
+                          n_buckets=64)
 
 
 @_q("doc_dup_spans", """

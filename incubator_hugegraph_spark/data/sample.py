@@ -20,10 +20,27 @@ from pyspark.sql.window import Window
 _HASH_DENOM = float(16 ** 6)
 
 
-def hash_unit(col: Column) -> Column:
-    """md5-derived uniform value in [0, 1) — deterministic per id."""
-    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 6), 16, 10)
+def hash_unit(col: Column, salt: str | None = None) -> Column:
+    """md5-derived uniform value in [0, 1) — deterministic per id.
+    ``salt`` makes families of hash decisions INDEPENDENT: the three
+    sampling primitives previously shared the unsalted digest, so
+    domain_sample(0.5) followed by hash_split left val/test EMPTY
+    (every survivor had u < 0.5 — similarity review r06)."""
+    c = col.cast("string") if salt is None \
+        else F.concat(F.lit(salt + ":"), col.cast("string"))
+    return (F.conv(F.substring(F.md5(c), 1, 6), 16, 10)
             .cast("double") / F.lit(_HASH_DENOM))
+
+
+def _require_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """NULL ids would silently fall through every hash-range compare
+    (all landing in the last split / dropped by filters — review
+    r06): fail loudly at execution instead."""
+    return df.withColumn(
+        "__idck", F.assert_true(
+            F.col(id_col).isNotNull(),
+            F.lit(f"{id_col} must not be NULL for hash sampling"))
+    ).drop("__idck")
 
 
 def hash_split(df: DataFrame, ratios: dict[str, float],
@@ -34,7 +51,8 @@ def hash_split(df: DataFrame, ratios: dict[str, float],
     ~1; the last split absorbs the remainder). Pure projection — no
     shuffle, scales to any size. Returns the input plus `split`."""
     names = list(ratios)
-    u = hash_unit(F.col(id_col))
+    df = _require_ids(df, id_col)
+    u = hash_unit(F.col(id_col), salt="split")
     expr = F.lit(names[-1])
     acc = 0.0
     bounds = []
@@ -53,13 +71,13 @@ def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
     the stratum key; skewed strata cost what their size costs — the
     hash order makes the sample stable under re-partitioning."""
     w = Window.partitionBy(strata_col).orderBy(
-        hash_unit(F.col(id_col)), F.col(id_col))
+        hash_unit(F.col(id_col), salt="strat"), F.col(id_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n_per_stratum).drop("__rn"))
 
 
 def pack_sequences(docs: DataFrame, seq_len: int = 2048,
-                   bucket_size: int = 100_000,
+                   n_buckets: int = 4096,
                    text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Pretraining sequence packing: documents are concatenated in
@@ -77,9 +95,20 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     corpus while producing the exact global cumsum."""
     from incubator_hugegraph_spark.functions.text import token_count
 
+    # bucket by UNIFORM ID RANGES, not id//bucket_size: sparse id
+    # spaces (snowflake/timestamp ids) would otherwise mint ~|N|
+    # buckets and the prefix window would degenerate to the
+    # corpus-scale single-partition sort this design avoids (review
+    # r06). (max-min)/target ranges bound #buckets regardless of id
+    # density; one cheap min/max agg.
+    lo, hi = docs.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        lo, hi = 0, 0
+    span = max(1, int(hi) - int(lo) + 1)
     t = docs.select(F.col(id_col).alias("id"),
                     token_count(F.col(text_col)).alias("n_tokens"),
-                    (F.col(id_col) / F.lit(bucket_size))
+                    ((F.col(id_col) - F.lit(int(lo)))
+                     * F.lit(n_buckets) / F.lit(span))
                     .cast("long").alias("__b"))
     per_bucket = (t.groupBy("__b")
                   .agg(F.sum("n_tokens").alias("__bsum")))
@@ -113,7 +142,8 @@ def domain_sample(df: DataFrame, fractions: dict[str, float],
     (same posture as hash_split: no shuffle, no state). Compute the
     fractions driver-side from target weights w_d and corpus counts
     n_d as f_d = min(1, w_d * N_target / n_d)."""
-    u = hash_unit(F.col(id_col))
+    df = _require_ids(df, id_col)
+    u = hash_unit(F.col(id_col), salt="domain")
     expr = F.lit(1.0)
     for dom, frac in sorted(fractions.items()):
         expr = F.when(F.col(domain_col) == dom,
@@ -148,10 +178,19 @@ def token_budget_sample(docs: DataFrame, budget: int,
     pre-discretize the score)."""
     from incubator_hugegraph_spark.functions.text import token_count
 
-    t = docs.select(F.col(id_col).alias("id"),
-                    token_count(F.col(text_col)).alias("n_tokens"),
-                    F.col(score_col).cast("double").alias("score")) \
-        .filter(F.col("score").isNotNull())  # unscored docs drop
+    allrows = docs.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.col(score_col).cast("double").alias("score"))
+    # UNSCORED docs stay in the output as keep=false / cum_before
+    # null rows — the contract promises EVERY doc so callers can
+    # audit the cut line; silently dropping them miscounted the
+    # rejected set (review r06)
+    unscored = allrows.filter(F.col("score").isNull()).select(
+        "id", "n_tokens", "score",
+        F.lit(None).cast("bigint").alias("cum_before"),
+        F.lit(False).alias("keep"))
+    t = allrows.filter(F.col("score").isNotNull())
     lo, hi = t.agg(F.min("score"), F.max("score")).head()
     if lo is None:
         # empty input (or every score null) — return the empty result
@@ -161,7 +200,7 @@ def token_budget_sample(docs: DataFrame, budget: int,
         return t.select(
             "id", "n_tokens", "score",
             F.lit(0).cast("bigint").alias("cum_before"),
-            F.lit(False).alias("keep"))
+            F.lit(False).alias("keep")).unionByName(unscored)
     width = (hi - lo) / n_bins if hi > lo else 1.0
     # DESCENDING bin index so bin order == score-desc order
     t = t.withColumn(
@@ -182,7 +221,8 @@ def token_budget_sample(docs: DataFrame, budget: int,
                         + F.coalesce(F.sum("n_tokens").over(w_local),
                                      F.lit(0)))
             .select("id", "n_tokens", "score", "cum_before",
-                    (F.col("cum_before") < budget).alias("keep")))
+                    (F.col("cum_before") < budget).alias("keep"))
+            .unionByName(unscored))
 
 
 def global_shuffle(df: DataFrame, n_shards: int = 8,

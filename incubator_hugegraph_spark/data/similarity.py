@@ -72,8 +72,16 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int,
 # A true near neighbor at angle θ shares a table's bucket with
 # probability (1-θ/π)^b; missing ALL L tables has probability
 # (1-(1-θ/π)^b)^L → recall rises with L at linear candidate cost.
-# One table with many planes (the naive layout) has near-zero recall
-# on any realistic corpus — buckets outnumber vectors.
+# THE TRADEOFF IS GOVERNED BY THE TARGET SIMILARITY (similarity
+# review r06): the defaults below are tuned for the low-similarity
+# fixture geometry (top-10 sims 0.24-0.40, where b=4/L=24 gives ~96%
+# recall at a HIGH candidate rate — measured ~78% of the corpus);
+# hyperplane LSH only pays at scale when true neighbors are
+# high-similarity (near-dup: sim ≥ 0.9 → p_bit ≈ 0.86, so b=16/L=32
+# gives ~94% recall while a random pair collides with prob
+# ~0.5^16·32 ≈ 5e-4 — candidates ≈ 0.05% of the corpus). For
+# low-similarity ANN at 100 TB use ivf_topk, which bounds candidates
+# by n_probe/n_cells regardless of the similarity regime.
 _N_PLANES = 4
 _N_TABLES = 24
 
@@ -119,6 +127,12 @@ def lsh_buckets(emb: DataFrame, dim: int, id_col: str = "vec_id",
     query reads L buckets, never the corpus."""
     base = emb.select(F.col(id_col).alias("id"),
                       _to_double(vec_col).alias("v"))
+    row = base.select(F.size("v").alias("n")).first()
+    if row is not None and row["n"] != dim:
+        # a wrong dim would NULL-pad zip_with and silently collapse
+        # every vector into bucket 0 of every table (review r06)
+        raise ValueError(
+            f"lsh dim={dim} but vectors are {row['n']}-dimensional")
     tb = F.explode(F.array(*[
         F.struct(F.lit(t).alias("table"),
                  lsh_signature(F.col("v"), dim, n_planes,
@@ -126,6 +140,31 @@ def lsh_buckets(emb: DataFrame, dim: int, id_col: str = "vec_id",
         for t in range(n_tables)])).alias("tb")
     return base.select("id", "v", tb).select("id", "v", "tb.table",
                                              "tb.bucket")
+
+
+def _topk_per_query(scored: DataFrame, k: int,
+                    id_col: str = "id") -> DataFrame:
+    """Two-phase bounded top-k re-rank (shared by the ANN paths): a
+    salted local rank caps any single task at ~candidates/32 rows,
+    then the final rank sees ≤ 32·k rows per query — never the
+    corpus-sized single-partition sort a plain
+    Window.partitionBy(query_id) becomes when one query's candidate
+    set approaches the corpus (review r06). Same (sim desc, id asc)
+    order in both phases, so the output is bit-identical to the
+    single-window form."""
+    n_salt = 32
+    w1 = Window.partitionBy("query_id", "__salt") \
+        .orderBy(F.desc("sim"), F.asc(id_col))
+    w2 = Window.partitionBy("query_id") \
+        .orderBy(F.desc("sim"), F.asc(id_col))
+    return (scored
+            .withColumn("__salt", F.pmod(F.hash(id_col), F.lit(n_salt)))
+            .withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= k)
+            .withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") <= k)
+            .select("query_id", F.col(id_col).alias("neighbor_id"),
+                    "sim"))
 
 
 def lsh_ann_topk(emb: DataFrame, query_ids: list[int], k: int, dim: int,
@@ -151,10 +190,7 @@ def lsh_ann_topk(emb: DataFrame, query_ids: list[int], k: int, dim: int,
             .dropDuplicates(["query_id", "id"]))
     scored = cand.withColumn(
         "sim", F.round(cosine(F.col("qv"), F.col("v")), 6))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("id"))
-    return (scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k)
-            .select("query_id", F.col("id").alias("neighbor_id"), "sim"))
+    return _topk_per_query(scored, k)
 
 
 def kmeans_centroids(base: DataFrame, n_cells: int, dim: int,
@@ -162,9 +198,14 @@ def kmeans_centroids(base: DataFrame, n_cells: int, dim: int,
     """Lloyd's k-means over (id, v) rows, entirely in Column programs:
     assign = broadcast crossJoin + argmax cosine; update = per-cell
     element-wise mean (one groupBy with ``dim`` avg aggregates —
-    JVM-side, no Python in the row path). Deterministic: seed
-    centroids are the first n_cells vectors by id, ties break on the
-    lower cell id, fixed ``n_iters`` rounds (no convergence RNG).
+    JVM-side, no Python in the row path). Deterministic GIVEN A
+    FIXED INPUT PARTITIONING: seed centroids are the first n_cells
+    vectors by id, ties break on the lower cell id, fixed ``n_iters``
+    rounds (no convergence RNG) — but for n_iters >= 1 the centroid
+    F.avg partial-sum order follows the partitioning, so an
+    assignment whose two best cosines differ by < 1 ulp can flip
+    across different partition layouts (review r06; the oracle pins
+    n_iters=0, which is exactly reproducible).
     Returns (cell, cv). Empty cells keep their previous centroid."""
     cents = (base.orderBy("id").limit(n_cells)
              .select(F.col("id").alias("cell"), F.col("v").alias("cv")))
@@ -221,10 +262,7 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
             .filter(F.col("id") != F.col("query_id")))
     scored = cand.withColumn(
         "sim", F.round(cosine(F.col("qv"), F.col("v")), 6))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("id"))
-    return (scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k)
-            .select("query_id", F.col("id").alias("neighbor_id"), "sim"))
+    return _topk_per_query(scored, k)
 
 
 def kmeans_cluster_stats(emb: DataFrame, n_cells: int = 8,
@@ -284,6 +322,8 @@ def cosine_topk_np(emb: DataFrame, query_ids: list[int], k: int,
     import numpy as np
     import pandas as pd
 
+    from incubator_hugegraph_spark.ram import _round_half_up6
+
     q_rows = (emb.filter(F.col(id_col).isin(query_ids))
               .select(id_col, vec_col).collect())
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
@@ -326,8 +366,8 @@ def cosine_topk_np(emb: DataFrame, query_ids: list[int], k: int,
                 # select on the ROUNDED sim — the global order
                 # tie-breaks equal rounded sims by id asc, so
                 # selecting on raw sims could drop a smaller-id tied
-                # winner (HALF_UP round-6 == F.round, ram.py)
-                from incubator_hugegraph_spark.ram import _round_half_up6
+                # winner (HALF_UP round-6 == F.round, ram.py; import
+                # hoisted out of the per-query loop — review r06)
                 cand_sims = _round_half_up6(cand_sims)
                 take = min(k, len(cand_ids))
                 order = np.lexsort((cand_ids, -cand_sims))[:take]

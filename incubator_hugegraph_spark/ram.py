@@ -491,7 +491,11 @@ def _round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
     diverge on exact next-decimal halves like 1/128). Property-tested
     against decimal.ROUND_HALF_UP (tests/test_properties.py)."""
     scale = 10.0 ** digits
-    return np.floor(x * scale + 0.5) / scale
+    # sign-aware: HALF_UP rounds ties AWAY FROM ZERO (BigDecimal /
+    # DuckDB); plain floor(x*s+0.5) rounds negative ties toward +inf
+    # (-0.0078125 -> -0.007812 instead of -0.007813 — similarity
+    # review r06)
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
 def _round_half_up6(x: np.ndarray) -> np.ndarray:

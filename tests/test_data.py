@@ -1034,11 +1034,11 @@ def test_pack_sequences_two_phase_equals_naive(spark, docs):
                          Window.unboundedPreceding, -1)), F.lit(0))))
     expect = {r.id: (r.start // 100, r.start % 100)
               for r in naive.collect()}
-    for bucket in (7, 64, 10_000):
-        got = pack_sequences(docs, seq_len=100, bucket_size=bucket)
+    for nb in (7, 64, 10_000):
+        got = pack_sequences(docs, seq_len=100, n_buckets=nb)
         rows = got.collect()
         assert all(0 <= r.offset < 100 for r in rows)
-        assert {r.id: (r.seq_id, r.offset) for r in rows} == expect, bucket
+        assert {r.id: (r.seq_id, r.offset) for r in rows} == expect, nb
 
 
 def test_incremental_wcc_equals_batch_fixpoint(spark, tmp_path, graph):
@@ -1351,11 +1351,13 @@ def test_token_budget_sample_exact_prefix(spark):
          (2, "d e", 5.0),          # 2 tokens, tie → id order
          (3, "f g h i", 3.0),      # 4 tokens
          (4, "j", 1.0),            # 1 token, worst
-         (5, "k l", None)],        # unscored → drops
+         (5, "k l", None)],        # unscored → keep=false row
         "doc_id long, text string, score double")
     out = {r.id: r for r in
            token_budget_sample(fixture, budget=6, n_bins=4).collect()}
-    assert 5 not in out
+    # unscored docs stay in the output, marked rejected, so callers
+    # can audit the full cut line (review r06)
+    assert not out[5].keep and out[5].cum_before is None
     assert out[1].cum_before == 0 and out[1].keep
     assert out[2].cum_before == 3 and out[2].keep
     # doc 3 starts at 5 < 6 → included (crossing doc), doc 4 at 9 → out

@@ -53,6 +53,7 @@ def test_segmented_arange_structure(lengths):
                           allow_nan=False, allow_infinity=False),
                 min_size=1, max_size=50))
 def test_round_half_up6_matches_decimal(xs):
+    xs = list(xs) + [-0.0078125, 0.0078125, -1.0000005]  # exact ties
     import decimal
     import numpy as np
     from incubator_hugegraph_spark.ram import _round_half_up6
