@@ -4350,7 +4350,7 @@ def doc_lang_id(spark, sf_dir):
 @_q("doc_gopher_rules", r"""
 WITH w AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(text, '\s+'),
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
                      x -> x <> '') AS words,
          list_filter(string_split(text, chr(10)),
                      x -> trim(x) <> '') AS lines
@@ -4435,13 +4435,13 @@ k AS (
   SELECT doc_id, text, lines,
     COALESCE(array_to_string(list_filter(lines,
       x -> regexp_matches(x, '[.!?"]$')
-        AND len(list_filter(string_split_regex(x, '\s+'),
+        AND len(list_filter(string_split_regex(x, '[ \t\n\r\f\x0B]+'),
                             y -> y <> '')) >= 5
         AND NOT contains(lower(x), 'javascript')), chr(10)),
       '') AS cleaned,
     CAST(len(list_filter(lines,
       x -> regexp_matches(x, '[.!?"]$')
-        AND len(list_filter(string_split_regex(x, '\s+'),
+        AND len(list_filter(string_split_regex(x, '[ \t\n\r\f\x0B]+'),
                             y -> y <> '')) >= 5
         AND NOT contains(lower(x), 'javascript'))) AS BIGINT)
       AS n_kept
@@ -4502,7 +4502,7 @@ def doc_c4_clean(spark, sf_dir):
 @_q("doc_ngram_lm", r"""
 WITH tok AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\s+'),
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
                      x -> x <> '') AS ws
   FROM documents),
 uni AS (
@@ -4541,7 +4541,7 @@ def doc_ngram_lm(spark, sf_dir):
 @_q("doc_ccnet_buckets", r"""
 WITH tok AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\s+'),
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
                      x -> x <> '') AS ws
   FROM documents),
 uni AS (
@@ -4782,13 +4782,19 @@ WITH t AS (
 s AS (
   SELECT doc_id,
          len(toks) AS n_tokens,
-         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-           / length(text) AS alpha_ratio,
-         CAST(len(list_filter(toks, x -> list_contains(
-             ['the','of','and','a','to','in','is'], x))) AS DOUBLE)
-           / len(toks) AS stop_ratio,
-         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-           / len(toks) AS mean_tok
+         -- zero-token / empty-doc guards mirror quality_score's
+         -- explicit 0.0 (DuckDB x/0 -> NULL would hash-diverge on
+         -- junk docs — text-tier review r06)
+         CASE WHEN length(text) > 0 THEN
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_filter(toks, x -> list_contains(
+               ['the','of','and','a','to','in','is'], x))) AS DOUBLE)
+             / len(toks) ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(list_sum(list_transform(toks, x -> length(x)))
+                AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_tok
   FROM t)
 SELECT doc_id AS id, n_tokens,
        ROUND(alpha_ratio, 6) AS alpha_ratio,
@@ -4884,7 +4890,7 @@ WITH d AS (SELECT doc_id,
                        THEN '{_BOILERPLATE_16W} ' || text
                        ELSE text END AS text
            FROM documents),
-w AS (SELECT doc_id, str_split_regex(text, '\\s+') AS ws FROM d),
+w AS (SELECT doc_id, str_split_regex(text, '[ \t\n\r\f\x0B]+') AS ws FROM d),
 paras AS (SELECT doc_id, i AS para_idx,
                  array_to_string(ws[CAST(i*16+1 AS BIGINT)
                                     :CAST(i*16+16 AS BIGINT)], ' ') AS para

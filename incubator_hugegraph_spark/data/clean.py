@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from incubator_hugegraph_spark.data.dedup import word_shingles
+from incubator_hugegraph_spark.functions.text import WS_SPLIT_RE
 
 
 def decontaminate(train: DataFrame, bench: DataFrame, n: int = 3,
@@ -190,12 +191,18 @@ def duplicated_spans(docs: DataFrame, n: int = 3, min_docs: int = 2,
         F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
                     lambda i: F.array_join(F.slice(toks, i, n), " "))
     ).otherwise(F.array().cast("array<string>"))
-    pos_sh = docs.select(F.col(id_col).alias("id"),
-                         F.posexplode(sh).alias("pos", "s"))
+    from incubator_hugegraph_spark.graph import checkpointed
+    # pos_sh is consumed twice (df filter + semi-join back) and dpos
+    # twice (starts + coverage) — checkpoint both so the corpus-token-
+    # sized positional explode runs once, not ~4x (review r06; same
+    # multi-consumer rule as ngram_jaccard_pairs' shingle table)
+    pos_sh = checkpointed(
+        docs.select(F.col(id_col).alias("id"),
+                    F.posexplode(sh).alias("pos", "s")))
     dup_sh = (pos_sh.select("id", "s").distinct()
               .groupBy("s").agg(F.count(F.lit(1)).alias("df"))
               .filter(F.col("df") >= min_docs).select("s"))
-    dpos = pos_sh.join(dup_sh, on="s", how="left_semi")
+    dpos = checkpointed(pos_sh.join(dup_sh, on="s", how="left_semi"))
     starts = dpos.groupBy("id").agg(
         F.countDistinct("pos").alias("dup_spans"))
     cov = (dpos.select("id", F.explode(
@@ -241,7 +248,7 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
     metric and per-rule booleans plus the conjunction ``keep`` so
     downstream filters can relax individual rules without
     recomputing."""
-    words = F.filter(F.split(F.col(text_col), r"\s+"),
+    words = F.filter(F.split(F.col(text_col), WS_SPLIT_RE),
                      lambda x: x != "")
     lines = F.filter(F.split(F.col(text_col), "\n"),
                      lambda x: F.trim(x) != "")
@@ -330,7 +337,7 @@ def c4_clean(docs: DataFrame, text_col: str = "text",
         lambda x: x != "")
 
     def keep_line(x):
-        words = F.filter(F.split(x, r"\s+"), lambda w: w != "")
+        words = F.filter(F.split(x, WS_SPLIT_RE), lambda w: w != "")
         return (x.rlike('[.!?"]$')
                 & (F.size(words) >= min_words_per_line)
                 & ~F.lower(x).contains("javascript"))

@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from incubator_hugegraph_spark.functions.text import tokenize
+from incubator_hugegraph_spark.functions.text import (WS_SPLIT_RE,
+                                                      tokenize)
 
 # 64 minhash permutations h_i(x) = (a_i·x + b_i) mod P (Carter-Wegman).
 # P = 2^31-1 (Mersenne) keeps a·h+b < 2^63 — no int64 overflow under
@@ -606,7 +607,7 @@ def word_window_paragraphs(docs: DataFrame, words: int = 16,
     structure): consecutive fixed-size word windows. One narrow
     JVM-side projection — split → sequence → transform(slice) →
     posexplode — zero Python, zero shuffle."""
-    w = F.split(F.col(text_col), r"\s+")
+    w = F.split(F.col(text_col), WS_SPLIT_RE)
     k = F.greatest(F.ceil(F.size(w) / F.lit(words)).cast("int"),
                    F.lit(1))
     paras = F.transform(

@@ -13,7 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from incubator_hugegraph_spark.data.dedup import normalize_text
-from incubator_hugegraph_spark.functions.text import (token_count,
+from incubator_hugegraph_spark.functions.text import (WS_SPLIT_RE,
+                                                      token_count,
                                                       tokenize)
 
 # language-ID: stopword hit counts (with duplicates) + CJK detection;
@@ -65,19 +66,15 @@ def lang_id_sql(text: str = "text", id_: str = "doc_id") -> str:
     fold = "'und'"
     prev = "0"
     for lang in sorted(STOPWORDS):
-        fold = f"CASE WHEN s_{lang} > {prev_expr(prev)} THEN '{lang}' " \
+        fold = f"CASE WHEN s_{lang} > {prev} THEN '{lang}' " \
                f"ELSE {fold} END"
-        prev = f"greatest({prev_expr(prev)}, s_{lang})"
+        prev = f"greatest({prev}, s_{lang})"
     return f"""
 SELECT {id_} AS id,
        CASE WHEN regexp_matches({text}, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
             ELSE {fold} END AS lang
 FROM (SELECT {id_}, {text}, {score_sel} FROM documents)
 """
-
-
-def prev_expr(p: str) -> str:
-    return p
 
 
 def quality_score(docs: DataFrame, text_col: str = "text",
@@ -149,7 +146,14 @@ def search_rank(docs: DataFrame, words: list[str],
     index gives for free). Pure Column program — the token
     set/intersect runs in codegen; no shuffle at all (scan → filter
     → project)."""
-    qarr = F.array(*[F.lit(w) for w in sorted(set(words))])
+    # the QUERY runs through the same analyzer as the documents
+    # (reference doSearchIndex parity; review r06 — 'Spark' or a
+    # multi-word query silently matched nothing against lowercased
+    # single tokens)
+    import re as _re
+    qtoks = sorted({t for w in words
+                    for t in _re.split(r"[^a-z0-9]+", w.lower()) if t})
+    qarr = F.array(*[F.lit(w) for w in qtoks])
     toks = F.array_distinct(tokenize(F.col(text_col)))
     matches = F.size(F.array_intersect(toks, qarr))
     return (docs.select(F.col(id_col).alias("id"),
@@ -171,7 +175,10 @@ def tfidf_top_terms(docs: DataFrame, top: int = 3,
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.col(id_col)).distinct().count()
-    scored = (tf.join(dfreq, on="term")
+    # df is vocabulary-bound (Zipf) — broadcast it so the hot
+    # stopword keys ride the tf shuffle map-side instead of piling
+    # one corpus-scale key into a single sort-merge task (review r06)
+    scored = (tf.join(F.broadcast(dfreq), on="term")
               .withColumn("score", F.round(
                   F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
                   6)))
@@ -226,7 +233,7 @@ def ngram_lm_score(docs: DataFrame, model_docs: DataFrame | None = None,
     model_docs = docs if model_docs is None else model_docs
 
     def toks(c: Column) -> Column:
-        return F.filter(F.split(F.lower(c), r"\s+"),
+        return F.filter(F.split(F.lower(c), WS_SPLIT_RE),
                         lambda x: x != "")
 
     def bigrams(ws: Column) -> Column:
@@ -237,12 +244,19 @@ def ngram_lm_score(docs: DataFrame, model_docs: DataFrame | None = None,
             .otherwise(F.array().cast(
                 "array<struct<w1:string,w2:string>>"))
 
+    from incubator_hugegraph_spark.graph import checkpointed
     mtoks = model_docs.select(toks(F.col(text_col)).alias("ws"))
-    uni = (mtoks.select(F.explode("ws").alias("w1"))
-           .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
-    big = (mtoks.select(F.explode(bigrams(F.col("ws"))).alias("b"))
-           .select("b.w1", "b.w2")
-           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")))
+    # the model tables are consumed multiple times (vocab count + the
+    # scoring joins) — checkpoint them so the corpus-wide tokenize/
+    # explode/groupBy model pass runs ONCE, not three times (review
+    # r06; they are vocabulary-bound, so the materialization is small)
+    uni = checkpointed(
+        mtoks.select(F.explode("ws").alias("w1"))
+        .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    big = checkpointed(
+        mtoks.select(F.explode(bigrams(F.col("ws"))).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")))
     vocab = uni.count()
 
     if broadcast_model:
@@ -333,9 +347,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 10,
     from incubator_hugegraph_spark.graph import checkpointed
     wc = (docs.select(F.explode(tokenize(F.col(text_col))).alias("w"))
           .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-          .select("w", "c",
-                  F.transform(F.split("w", ""),
-                              lambda ch: ch).alias("symbols")))
+          .select("w", "c", F.split("w", "").alias("symbols")))
     # split('', '') yields a trailing empty string on some Spark
     # versions — normalize defensively
     wc = wc.withColumn(
@@ -406,6 +418,12 @@ def ccnet_buckets(docs: DataFrame, model_docs: DataFrame | None = None,
     cuts = scored.agg(F.expr(
         f"percentile(avg_logp, array({1 / 3!r}D, {2 / 3!r}D))")
         .alias("c")).head()["c"]
+    if cuts is None:
+        # no scorable docs (every doc < 2 tokens, or empty corpus):
+        # empty result with the declared schema, not a TypeError on
+        # the NULL percentile (review r06)
+        return scored.select(id_col, "avg_logp", "ppl",
+                             F.lit("tail").alias("bucket")).limit(0)
     lo, hi = float(cuts[0]), float(cuts[1])
     bucket = (F.when(F.col("avg_logp") >= hi, F.lit("head"))
               .when(F.col("avg_logp") >= lo, F.lit("middle"))

@@ -20,6 +20,14 @@ from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = r"[^a-z0-9]+"
 
+# Whitespace-split regex shared by every \s-style splitter AND its
+# DuckDB oracle twin: Java's \s includes vertical tab (U+000B) while
+# RE2's does not, so the implicit class silently diverged the engines
+# on VT-containing text (text-tier review r06). One explicit class,
+# identical bytes on both sides.
+WS_SPLIT_RE = r"[ \t\n\r\f\x0B]+"
+
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
