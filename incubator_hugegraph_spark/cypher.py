@@ -136,7 +136,7 @@ _TOKEN_RE = re.compile(r"""
               |NULL|COUNT|SUM|AVG|MIN|MAX|ID|LABEL|UNWIND|CREATE|SET|DELETE
               |DETACH|NODES|RELATIONSHIPS|LENGTH|MERGE|ON|CASE|WHEN|THEN
               |ELSE|END|UNION|ALL|REMOVE|COLLECT|FOREACH)\b)
-    | (?P<num>-?\d+(?:\.\d+)?)
+    | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<str>'(?:[^'\\]|\\.)*')
     | (?P<cmp><>|<=|>=|=|<|>|\*|\+|/|\|)
     | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
@@ -909,7 +909,8 @@ class _Parser:
         if t[0] == "num":
             self.next()
             v = t[1]
-            return ("lit", float(v) if "." in v else int(v))
+            is_float = "." in v or "e" in v or "E" in v
+            return ("lit", float(v) if is_float else int(v))
         if t[0] == "str":
             self.next()
             return ("lit", _unescape_str(t[1][1:-1]))
@@ -1353,7 +1354,12 @@ class CypherEngine:
         if kind == "fn":
             return self._fn(expr[1], expr[2])
         if kind == "labels":
-            return F.array(F.col(f"__l_{expr[1][1]}"))
+            # labels(null) is null (openCypher) — wrapping a null
+            # label into [null] made `labels(b) IS NULL` false after
+            # an OPTIONAL MATCH miss (review r06)
+            var = expr[1][1]
+            return F.when(F.col(var).isNotNull(),
+                          F.array(F.col(f"__l_{var}")))
         if kind == "case":
             _, subject, whens, els = expr
             col = None
@@ -1621,6 +1627,11 @@ class CypherEngine:
             from incubator_hugegraph_spark.functions.text import tokenize
             _, l, r = cond
             if r[0] == "lit":
+                if r[1] is None:
+                    # x CONTAINS null is null (openCypher); str(None)
+                    # was the token 'none' and MATCHED rows (review
+                    # r06)
+                    return F.lit(None).cast("boolean")
                 return F.array_contains(tokenize(self._col(l)),
                                         str(r[1]).lower())
             # non-literal operand: compile it (review r06 — str(r[1])
@@ -1630,6 +1641,11 @@ class CypherEngine:
         if kind == "strpred":
             _, which, l, r = cond
             lc = self._col(l)
+            if r[0] == "lit" and r[1] is None:
+                # x STARTS/ENDS WITH null is null (openCypher);
+                # str(None) matched names containing 'None' (review
+                # r06)
+                return F.lit(None).cast("boolean")
             rc = F.lit(str(r[1])) if r[0] == "lit" else self._col(r)
             return lc.startswith(rc) if which == "starts" \
                 else lc.endswith(rc)
@@ -2228,7 +2244,10 @@ class CypherEngine:
                     aggs.append(F.sort_array(agg).alias(a))
                 elif fn in ("STDEV", "STDEVP"):
                     f = F.stddev_samp if fn == "STDEV" else F.stddev_pop
-                    aggs.append(F.round(f(c.cast("double")), 6).alias(a))
+                    # Neo4j returns 0 (not null) for stDev over zero
+                    # rows / a single value (null-semantics review r06)
+                    aggs.append(F.round(F.coalesce(
+                        f(c.cast("double")), F.lit(0.0)), 6).alias(a))
                 elif fn in ("PERCENTILECONT", "PERCENTILEDISC"):
                     pct = float(e[4])
                     cd = c.cast("double")
@@ -2249,7 +2268,14 @@ class CypherEngine:
                 else:
                     f = {"SUM": F.sum, "AVG": F.avg,
                          "MIN": F.min, "MAX": F.max}[fn]
-                    if fn in ("SUM", "AVG"):
+                    if fn == "SUM":
+                        # openCypher: sum() of no values is 0, not
+                        # null (null-semantics review r06); avg/min/
+                        # max of no values stay null per the spec
+                        aggs.append(F.round(F.coalesce(
+                            F.sum(c.cast("double")), F.lit(0.0)), 6)
+                            .alias(a))
+                    elif fn == "AVG":
                         aggs.append(F.round(f(c.cast("double")), 6)
                                     .alias(a))
                     else:
@@ -2314,8 +2340,13 @@ class CypherEngine:
                 if expr[0] == "prop" and f"{expr[1]}_{expr[2]}" in out_names:
                     return F.col(f"{expr[1]}_{expr[2]}")
                 return self._col(expr)
-            df = df.orderBy(*[ocol(e).asc() if asc else ocol(e).desc()
-                              for e, asc in p.order])
+            # openCypher null placement: nulls sort LAST ascending and
+            # FIRST descending — Spark's asc()/desc() defaults are the
+            # exact opposite (null-semantics review r06)
+            df = df.orderBy(*[
+                ocol(e).asc_nulls_last() if asc
+                else ocol(e).desc_nulls_first()
+                for e, asc in p.order])
         if p.skip:
             df = df.offset(p.skip)
         if p.limit is not None:
@@ -2437,7 +2468,26 @@ class CypherEngine:
             seed = (df.select(*cs.imports, *hidden)
                     .dropDuplicates(cs.imports))
             out = eng._run_clauses(seed, cs.query)
-            return df.join(out, on=cs.imports, how="inner")
+            # NULL-SAFE equi-join on the import keys: openCypher runs
+            # the subquery WITH the null binding and keeps the row; a
+            # plain inner join can never match a null key, so
+            # OPTIONAL-MATCH-miss rows silently vanished
+            # (null-semantics review r06). eqNullSafe keeps the inner
+            # semantics for non-null keys bit-for-bit.
+            shared = [c for c in out.columns if c in df.columns
+                      and c not in cs.imports]
+            out2 = out
+            for c in shared:  # defensive: imports are the only
+                out2 = out2.withColumnRenamed(c, f"__cs_{c}")  # overlap
+            cond = None
+            for v in cs.imports:
+                eq = df[v].eqNullSafe(out2[v])
+                cond = eq if cond is None else cond & eq
+            joined = df.join(out2, on=cond, how="inner")
+            # drop the subquery-side duplicate import columns
+            for v in cs.imports:
+                joined = joined.drop(out2[v])
+            return joined
         out = eng._run_clauses(None, cs.query)
         return out if df is None else df.crossJoin(out)
 
@@ -2611,6 +2661,18 @@ class CypherEngine:
                 kvs += [F.lit(k), F.lit(str(v))]
             pm = F.create_map(*kvs) if kvs \
                 else F.create_map().cast("map<string,string>")
+            # a null endpoint (OPTIONAL MATCH miss) must ERROR like
+            # Neo4j, not write an edge with null src/dst — one eager
+            # driver probe per CREATE statement (null-semantics
+            # review r06; writes already pay eager probes)
+            ep_cols = [v for v in (s, d)
+                       if df is not None and v in df.columns]
+            if ep_cols and base.where(reduce(
+                    lambda a, b: a | b,
+                    [F.col(v).isNull() for v in ep_cols])).head(1):
+                raise ValueError(
+                    "cypher: cannot create a relationship with a "
+                    "null node")
             ebatches.append(base.select(
                 endpoint(s).alias("src"), endpoint(d).alias("dst"),
                 F.lit(rel.label).alias("label"),
@@ -2755,6 +2817,11 @@ class CypherEngine:
                     kvs += [F.lit(k), F.lit(str(v))]
                 pm = F.create_map(*kvs) if kvs \
                     else F.create_map().cast("map<string,string>")
+                if df.where(F.col(s).isNull()
+                            | F.col(d).isNull()).head(1):
+                    raise ValueError(
+                        "cypher: cannot MERGE a relationship with a "
+                        "null node")
                 want = (df.select(
                     F.col(s).alias("src"), F.col(d).alias("dst"),
                     F.lit(rel.label).alias("label"),
@@ -3059,7 +3126,8 @@ class CypherEngine:
         for var, keys in removals.items():
             if not keys:
                 continue
-            rm_ids = df.select(F.col(var).alias("__rm_id")).distinct()
+            rm_ids = (df.filter(F.col(var).isNotNull())
+                      .select(F.col(var).alias("__rm_id")).distinct())
             kset = list(dict.fromkeys(keys))
             self.graph.vertices = (
                 self.graph.vertices
@@ -3089,13 +3157,44 @@ class CypherEngine:
             kvs = []
             for prop, expr in pairs:
                 kvs += [F.lit(prop), self._col(expr).cast("string")]
-            # one write per id — last-write-wins across pattern rows
-            delta = df.select(
-                F.col(var).alias("id"),
-                F.col(f"__l_{var}").alias("label"),
-                F.create_map(*kvs).alias("props"),
-                F.lit(None).cast("timestamp").alias("expired_at")) \
-                .dropDuplicates(["id"])
+            # one write per id — last-write-wins across pattern rows.
+            # SET on a NULL var (an OPTIONAL MATCH miss) is silently
+            # skipped per openCypher — without the filter a phantom
+            # null-id vertex row was inserted (null-semantics review
+            # r06)
+            delta_all = (df.filter(F.col(var).isNotNull())
+                         .select(F.col(var).alias("id"),
+                                 F.col(f"__l_{var}").alias("label"),
+                                 F.create_map(*kvs).alias("__m"))
+                         .dropDuplicates(["id"]))
+            # SET n.p = <null expr> REMOVES p (openCypher null-write
+            # semantics — the rel path already did this; the node
+            # upsert's coalesce(new, old) silently kept the old
+            # value): strip each row's null-valued keys from the
+            # canonical map first, then upsert only non-null entries
+            strip = delta_all.select(
+                F.col("id").alias("__rm_id"),
+                F.map_keys(F.map_filter(
+                    "__m", lambda _k, v: v.isNull()))
+                .alias("__nullkeys"))
+            self.graph.vertices = (
+                self.graph.vertices
+                .join(strip, F.col("id") == F.col("__rm_id"), "left")
+                .withColumn(
+                    "props",
+                    F.when(F.col("__rm_id").isNotNull(),
+                           F.map_filter(
+                               "props",
+                               lambda k, _v: ~F.coalesce(
+                                   F.array_contains("__nullkeys", k),
+                                   F.lit(False))))
+                    .otherwise(F.col("props")))
+                .drop("__rm_id", "__nullkeys"))
+            delta = delta_all.select(
+                "id", "label",
+                F.map_filter("__m", lambda _k, v: v.isNotNull())
+                .alias("props"),
+                F.lit(None).cast("timestamp").alias("expired_at"))
             self.graph.vertices = upsert_vertices(self.graph.vertices,
                                                   delta)
             deltas.append(delta.select("id", "label"))
@@ -3161,9 +3260,10 @@ class CypherEngine:
                 lcol = F.regexp_extract(
                     F.col(var),
                     r"^(?:[^\\>]|\\.)*>((?:[^\\>]|\\.)*)>", 1)
-            delta = (df.select(F.col(var).alias("__ek"),
-                               newmap.alias("__newp"),
-                               lcol.alias("__el"))
+            delta = (df.filter(F.col(var).isNotNull())
+                     .select(F.col(var).alias("__ek"),
+                             newmap.alias("__newp"),
+                             lcol.alias("__el"))
                      .dropDuplicates(["__ek"]))
             g = self.graph
             g.edges = (

@@ -35,12 +35,15 @@ def hash_unit(col: Column, salt: str | None = None) -> Column:
 def _require_ids(df: DataFrame, id_col: str) -> DataFrame:
     """NULL ids would silently fall through every hash-range compare
     (all landing in the last split / dropped by filters — review
-    r06): fail loudly at execution instead."""
+    r06): fail loudly at execution instead. The check RIDES the id
+    column itself (when/raise_error) — a separate dropped check
+    column gets pruned by Catalyst and never fires."""
     return df.withColumn(
-        "__idck", F.assert_true(
-            F.col(id_col).isNotNull(),
+        id_col,
+        F.when(F.col(id_col).isNull(), F.raise_error(
             F.lit(f"{id_col} must not be NULL for hash sampling"))
-    ).drop("__idck")
+            .cast(df.schema[id_col].dataType))
+        .otherwise(F.col(id_col)))
 
 
 def hash_split(df: DataFrame, ratios: dict[str, float],

@@ -1014,3 +1014,114 @@ def test_pattern_pred_label_constraints(graph):
                        "WHERE (c:customer)--(n) "
                        "RETURN count(*) AS n").head().n
     assert n2 > 0
+
+
+# ---- openCypher NULL semantics (r06 null-semantics review) -----------
+
+def test_order_by_null_placement(graph):
+    """openCypher: nulls sort LAST ascending, FIRST descending —
+    Spark's defaults are the exact opposite."""
+    from incubator_hugegraph_spark.cypher import cypher
+    rows = cypher(graph, """
+        MATCH (r:region) OPTIONAL MATCH (r)<-[:located_in]-(n:nation)
+        WITH r, count(n) AS cnt
+        RETURN r.name AS nm,
+               CASE WHEN cnt > 100 THEN 1 END AS never
+        ORDER BY never ASC, nm LIMIT 3""").collect()
+    # `never` is null everywhere; the query must still order by nm
+    # (nulls last would put non-null first — all null, so nm rules)
+    assert [r.nm for r in rows] == sorted(r.nm for r in rows)
+    asc = cypher(graph, """
+        UNWIND [3, null, 1] AS x RETURN x ORDER BY x ASC""").collect()
+    assert [r.x for r in asc] == [1, 3, None]
+    desc = cypher(graph, """
+        UNWIND [3, null, 1] AS x RETURN x ORDER BY x DESC""").collect()
+    assert [r.x for r in desc] == [None, 3, 1]
+
+
+def test_sum_and_stdev_of_no_values(graph):
+    """sum() of no values is 0; stDev of fewer than 2 values is 0."""
+    from incubator_hugegraph_spark.cypher import cypher
+    r = cypher(graph, """
+        MATCH (c:customer) WHERE c.acctbal > 1e18
+        RETURN sum(c.acctbal) AS s, stdev(c.acctbal) AS sd""").head()
+    assert r.s == 0.0 and r.sd == 0.0
+
+
+def test_null_string_predicates(graph):
+    """CONTAINS / STARTS WITH / ENDS WITH null evaluate to null —
+    never the string 'None' or token 'none'."""
+    from incubator_hugegraph_spark.cypher import cypher
+    for pred in ("c.mktsegment CONTAINS $q",
+                 "c.mktsegment STARTS WITH $q",
+                 "c.mktsegment ENDS WITH $q"):
+        n = cypher(graph, f"""
+            MATCH (c:customer) WHERE {pred}
+            RETURN count(*) AS n""", params={"q": None}).head().n
+        assert n == 0, pred
+
+
+def test_labels_of_null_node(graph):
+    """labels(null) is null, not [null] (OPTIONAL MATCH miss)."""
+    from incubator_hugegraph_spark.cypher import cypher
+    rows = cypher(graph, """
+        MATCH (r:region) OPTIONAL MATCH (r)-[:located_in]->(x)
+        RETURN r.name AS nm, labels(x) AS lx""").collect()
+    assert rows and all(r.lx is None for r in rows)
+
+
+def test_set_null_semantics(graph):
+    """SET n.p = null removes p; SET on a null var (OPTIONAL MATCH
+    miss) is skipped — never a phantom null-id vertex."""
+    from incubator_hugegraph_spark.cypher import cypher
+    from incubator_hugegraph_spark.graph import PropertyGraph
+    from pyspark.sql import functions as F
+    g = PropertyGraph(graph.spark, graph.vertices, graph.edges,
+                      schema=graph.schema,
+                      vertex_views=dict(graph.vertex_views),
+                      edge_views=dict(graph.edge_views))
+    # regions have no outgoing located_in — x is always null: the SET
+    # must be a no-op, not a null-id insert
+    cypher(g, """
+        MATCH (r:region) OPTIONAL MATCH (r)-[:located_in]->(x)
+        SET x.touched = 'y'""")
+    assert g.vertices.filter(F.col("id").isNull()).count() == 0
+    # SET to null removes the property (mktsegment is declared,
+    # non-pk on customer)
+    pre = cypher(g, "MATCH (c:customer) WHERE c.mktsegment IS NOT NULL "
+                    "RETURN c LIMIT 1").head().c
+    cypher(g, f"MATCH (c:customer) WHERE c = '{pre}' "
+              "SET c.mktsegment = null")
+    got = cypher(g, f"MATCH (c:customer) WHERE c = '{pre}' "
+                    "RETURN c.mktsegment AS m").head()
+    assert got.m is None
+
+
+def test_merge_rel_null_endpoint_errors(graph):
+    """MERGE/CREATE of a relationship with a null endpoint raises
+    like Neo4j instead of writing a null-src/dst edge."""
+    import pytest
+    from incubator_hugegraph_spark.cypher import cypher
+    from incubator_hugegraph_spark.graph import PropertyGraph
+    g = PropertyGraph(graph.spark, graph.vertices, graph.edges,
+                      schema=graph.schema,
+                      vertex_views=dict(graph.vertex_views),
+                      edge_views=dict(graph.edge_views))
+    with pytest.raises(Exception, match="null node"):
+        cypher(g, """
+            MATCH (r:region) OPTIONAL MATCH (r)-[:located_in]->(x)
+            MERGE (r)-[:interacted]->(x)""")
+
+
+def test_call_subquery_null_import(graph):
+    """CALL { WITH n ... } keeps rows whose import is null
+    (null-safe key join; openCypher executes with the null binding)."""
+    from incubator_hugegraph_spark.cypher import cypher
+    rows = cypher(graph, """
+        MATCH (r:region) OPTIONAL MATCH (r)-[:located_in]->(x)
+        CALL { WITH x OPTIONAL MATCH (x)<-[:located_in]-(m)
+               RETURN count(m) AS v }
+        RETURN r.name AS nm, v""").collect()
+    # x is null for every region (no outgoing located_in): the
+    # null-import rows must SURVIVE the subquery join with v = 0
+    assert rows and all(r.v == 0 for r in rows)
