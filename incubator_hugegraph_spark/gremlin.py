@@ -475,10 +475,14 @@ class Traversal:
         return ["__loc"] if "__loc" in self.df.columns else []
 
     def values(self, key: str) -> "Traversal":
-        """Property values, typed through the schema registry."""
+        """Property values, typed through the schema registry.
+        Elements MISSING the property emit no traverser (TinkerPop
+        PropertiesStep; a NULL-valued traverser leaked into counts/
+        dedup/aggregates — semantics review r06)."""
         t = self._elem() if self.kind == "V" else self
         return t._new(t.df.select(t._prop_col(key).alias("value"),
-                                  *t._loc_carry()),
+                                  *t._loc_carry())
+                      .filter(F.col("value").isNotNull()),
                       kind="value", sort=None)
 
     def id_(self) -> "Traversal":
@@ -755,7 +759,14 @@ class Traversal:
             val = t._order_col()
         out = t._new(t.df)
         out._side = dict(t._side)
-        out._side[key] = t.df.select(val.alias("value"))
+        # by(prop) on an element missing the property contributes
+        # nothing to the bag (the values()-emits-nothing rule) — a
+        # NULL row silently vanished at cap()'s collect_list, leaving
+        # the side-effect table and the bag disagreeing on
+        # cardinality (semantics review r06; TinkerPop throws here —
+        # skip is our documented placeholder posture)
+        out._side[key] = (t.df.select(val.alias("value"))
+                          .filter(F.col("value").isNotNull()))
         return out
 
     def aggregate(self, key: str, by: str | None = None) -> "Traversal":
@@ -910,6 +921,11 @@ class Traversal:
         p = F.coalesce(pred(self.df), F.lit(False))
         a = then_step(self._new(self.df.filter(p)))
         b = else_step(self._new(self.df.filter(~p)))
+        # reducing terminals inside a branch yield DataFrames — wrap
+        # like branch()/union() (semantics review r06)
+        a, b = [x if isinstance(x, Traversal) else self._new(
+            x.select(F.col(x.columns[0]).alias("value")),
+            kind="value", attached=False, sort=None) for x in (a, b)]
         if a.kind != b.kind:
             raise TypeError(f"choose branches disagree: {a.kind}/{b.kind}")
         a, b = _align_branches(a, b)
@@ -960,21 +976,52 @@ class Traversal:
 
     def coalesce(self, *steps: Callable[["Traversal"], "Traversal"]
                  ) -> "Traversal":
-        """First branch that yields any traverser (checked in order —
-        each check is one count() action, so use for bounded branch
-        lists, the Gremlin pattern)."""
-        last = None
-        for step in steps:
-            last = step(self)
-            if last.df.limit(1).count() > 0:
-                return last
-        if last is None:
+        """TinkerPop coalesce is PER-TRAVERSER: each incoming
+        traverser takes the FIRST child that yields output FOR IT
+        (the old form picked the first globally-non-empty branch, so
+        one vertex with a 'knows' edge silenced every edge-less
+        vertex's fallback — semantics review r06). Children run on
+        the local() ordinal machinery; unsatisfied traversers
+        anti-join forward to the next child. Fully lazy — no
+        per-branch count() action."""
+        if not steps:
             raise ValueError("coalesce: no branches")
-        return last
+        sort = [*self._sort_cols()]
+        if "path" in self.df.columns:
+            sort.append(F.col("path"))
+        w = Window.orderBy(*sort)
+        remaining = self.df.withColumn("__loc", F.row_number().over(w))
+        parts: list[Traversal] = []
+        for step in steps:
+            lt = _LocalTraversal(self.graph, remaining, self.kind,
+                                 self._attached, self._sort)
+            lt._side = self._side
+            lt._loc_base = remaining.select("__loc").distinct()
+            out = step(lt)
+            if not isinstance(out, Traversal):
+                raise TypeError("coalesce: children must end in a "
+                                "traversal step")
+            parts.append(out)
+            hit = out.df.select("__loc").distinct()
+            remaining = remaining.join(hit, on="__loc",
+                                       how="left_anti")
+        kinds = {p.kind for p in parts}
+        if len(kinds) != 1:
+            raise TypeError(f"coalesce branches disagree on kind: "
+                            f"{kinds}")
+        first = parts[0]
+        for p in parts[1:]:
+            first, p = _align_branches(first, p)
+            first = first._new(first.df.unionByName(p.df))
+        res = Traversal(self.graph, first.df.drop("__loc"), first.kind,
+                        first._attached, first._sort)
+        res._side = first._side
+        return res
 
     def optional(self, step: Callable[["Traversal"], "Traversal"]
                  ) -> "Traversal":
-        """step's result if non-empty, else the incoming traversers."""
+        """Per-traverser: step's result where it yields output, the
+        incoming traverser unchanged where it doesn't."""
         return self.coalesce(step, lambda t: t)
 
     def repeat(self, step: Callable[["Traversal"], "Traversal"],
@@ -1050,12 +1097,17 @@ class Traversal:
             # round's emptiness probe re-executes it from the source
             # (the iterate_hygiene lesson from the BFS kernel)
             t = t._new(checkpointed(t.df))
+            # NULL predicate (missing property) = NOT satisfied →
+            # keep looping; bare filter(p)/filter(~p) dropped such
+            # traversers from BOTH sets (semantics review r06, same
+            # class as the choose() fix)
+            pred = F.coalesce(until(t.df), F.lit(False))
             if emit:
                 done.append(t._new(t.df.drop("__loops")))
             else:
                 done.append(
-                    t._new(t.df.filter(until(t.df)).drop("__loops")))
-            t = t._new(t.df.filter(~until(t.df)))
+                    t._new(t.df.filter(pred).drop("__loops")))
+            t = t._new(t.df.filter(~pred))
             n = t.df.count()
             if n == 0:
                 break
@@ -1078,6 +1130,13 @@ class Traversal:
     def union(self, *steps: Callable[["Traversal"], "Traversal"]
               ) -> "Traversal":
         parts = [step(self) for step in steps]
+        # a reducing terminal inside a branch (count()/sum_()/…)
+        # yields a DataFrame — wrap it back into a value stream, the
+        # same barrier-emits-one-traverser rule branch() applies
+        # (semantics review r06: AttributeError on .kind)
+        parts = [p if isinstance(p, Traversal) else self._new(
+            p.select(F.col(p.columns[0]).alias("value")),
+            kind="value", attached=False, sort=None) for p in parts]
         kinds = {p.kind for p in parts}
         if len(kinds) != 1:
             raise TypeError(f"union branches disagree on kind: {kinds}")
@@ -1101,7 +1160,11 @@ class Traversal:
                  asc: bool = True) -> "Traversal":
         """order().by(...) — typed by the schema registry; the id is
         always the final tie-break so downstream limit/range_/tail
-        stay deterministic."""
+        stay deterministic. Elements MISSING the property sort first
+        ascending (Spark NULLS FIRST) — TinkerPop's
+        ElementValueComparator throws instead; sorting them is the
+        same documented placeholder posture as path().by() (review
+        r06)."""
         return self.order_by_specs([(key, asc)])
 
     def order_by_specs(self, specs: list) -> "Traversal":
@@ -1185,7 +1248,12 @@ class Traversal:
             f = {"sum": F.sum, "mean": F.avg,
                  "min": F.min, "max": F.max}[agg]
             acol = F.round(f(vcol.cast("double")), 6)
-        return (t.df.groupBy(kcol.alias("key"))
+        # elements missing the group-key property are SKIPPED (no
+        # NULL-key group; TinkerPop throws — skip is the documented
+        # placeholder posture, and it keeps count vs collect
+        # cardinalities consistent; semantics review r06)
+        return (t.df.filter(kcol.isNotNull())
+                .groupBy(kcol.alias("key"))
                 .agg(acol.alias("value")))
 
     def groupCount(self, key: str | None = None) -> DataFrame:
@@ -1197,24 +1265,37 @@ class Traversal:
             return self.df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
         t = self._elem() if self.kind == "V" else self
         col = F.col("label") if key == "label" else F.col("props")[key]
-        return (t.df.groupBy(col.alias("key"))
+        # missing-property elements skipped — see group() (review r06)
+        return (t.df.filter(col.isNotNull())
+                .groupBy(col.alias("key"))
                 .agg(F.count(F.lit(1)).alias("cnt")))
 
     def _num(self) -> Column:
         self._require("value")
         return F.col("value").cast("double")
 
+    # the numeric reducers emit NO traverser for an empty stream
+    # (TinkerPop reducing-barrier contract; a phantom one-row NULL
+    # aggregate leaked — semantics review r06). count()/fold() keep
+    # their own defined empty results (0 / []).
+
     def sum_(self) -> DataFrame:
-        return self.df.agg(F.round(F.sum(self._num()), 6).alias("value"))
+        return (self.df.agg(F.round(F.sum(self._num()), 6)
+                            .alias("value"))
+                .filter(F.col("value").isNotNull()))
 
     def mean_(self) -> DataFrame:
-        return self.df.agg(F.round(F.avg(self._num()), 6).alias("value"))
+        return (self.df.agg(F.round(F.avg(self._num()), 6)
+                            .alias("value"))
+                .filter(F.col("value").isNotNull()))
 
     def max_(self) -> DataFrame:
-        return self.df.agg(F.max(self._num()).alias("value"))
+        return (self.df.agg(F.max(self._num()).alias("value"))
+                .filter(F.col("value").isNotNull()))
 
     def min_(self) -> DataFrame:
-        return self.df.agg(F.min(self._num()).alias("value"))
+        return (self.df.agg(F.min(self._num()).alias("value"))
+                .filter(F.col("value").isNotNull()))
 
     def fold(self) -> DataFrame:
         """Single-row sorted array of the current values."""
@@ -1453,6 +1534,13 @@ class _LocalTraversal(Traversal):
     def dedup(self) -> "Traversal":
         if self.kind == "value":
             return self._new(self.df.dropDuplicates(["__loc", "value"]))
+        if self.kind == "prop":
+            # property traverser identity = (element, key) — the
+            # fallback referenced a nonexistent eid/path (semantics
+            # review r06; outer dedup was fixed, the local override
+            # was not)
+            return self._new(
+                self.df.dropDuplicates(["__loc", "id", "key"]))
         key = "id" if self.kind == "V" else "eid"
         w = Window.partitionBy("__loc", key).orderBy("path")
         return self._new(self.df.withColumn("__rn", F.row_number().over(w))

@@ -1029,3 +1029,59 @@ def test_text_numeric_seed_and_group_value_by(graph):
     vals = row[1]
     assert len(vals) == 5 and all(not v.startswith("region!")
                                   for v in vals)
+
+
+# ---- TinkerPop semantics (r06 semantics review) ----------------------
+
+def test_values_missing_property_emits_nothing(graph):
+    """values(k) on elements missing k emits NO traverser (TinkerPop
+    PropertiesStep) — counts/means must not see phantom NULLs."""
+    from incubator_hugegraph_spark.gremlin import G
+    # only customers and suppliers carry acctbal; a V() over
+    # everything must count exactly those
+    n_with = G(graph).V().hasLabel("customer", "supplier") \
+        .count().head().cnt
+    n_all = G(graph).V().count().head().cnt
+    n_vals = G(graph).V().values("acctbal").count().head().cnt
+    assert n_vals == n_with < n_all
+
+
+def test_empty_stream_reducers_emit_nothing(graph):
+    """sum/mean/max/min of an empty value stream emit no traverser."""
+    from incubator_hugegraph_spark.gremlin import G
+    base = G(graph).V().hasLabel("customer").has(
+        "acctbal", GP.gt(1e18)).values("acctbal")
+    for red in ("sum_", "mean_", "max_", "min_"):
+        assert getattr(base, red)().count() == 0, red
+    # count()/fold() keep their defined empty results
+    assert G(graph).V().hasLabel("nope").count().head().cnt == 0
+
+
+def test_coalesce_is_per_traverser(graph):
+    """Each traverser takes the FIRST child yielding output FOR IT —
+    one satisfied traverser must not silence the others' fallback."""
+    from incubator_hugegraph_spark.gremlin import G
+    # regions have no out-edges; nations have located_in. A mixed
+    # stream must give every element a result.
+    t = (G(graph).V().hasLabel("region", "nation")
+         .coalesce(lambda x: x.out("located_in").values("name"),
+                   lambda x: x.constant("fallback")))
+    rows = [r.value for r in t.df.collect()]
+    n_nations = G(graph).V().hasLabel("nation").count().head().cnt
+    n_regions = G(graph).V().hasLabel("region").count().head().cnt
+    assert rows.count("fallback") == n_regions
+    assert len(rows) == n_regions + n_nations
+    # optional(): unsatisfied traversers pass through unchanged
+    opt = (G(graph).V().hasLabel("region")
+           .optional(lambda x: x.out("located_in")))
+    assert opt.count().head().cnt == n_regions
+
+
+def test_group_skips_missing_key_elements(graph):
+    """group/groupCount by a property skip elements missing it — no
+    NULL-key group, count and collect cardinalities consistent."""
+    from incubator_hugegraph_spark.gremlin import G
+    gc = G(graph).V().groupCount("mktsegment").collect()
+    assert all(r.key is not None for r in gc)
+    n_cust = G(graph).V().hasLabel("customer").count().head().cnt
+    assert sum(r.cnt for r in gc) == n_cust
