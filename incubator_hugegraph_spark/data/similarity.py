@@ -142,8 +142,19 @@ def lsh_buckets(emb: DataFrame, dim: int, id_col: str = "vec_id",
                                              "tb.bucket")
 
 
+# Below this many corpus rows the worst-case per-query candidate set
+# (== the corpus) fits one window task comfortably, so the salted
+# pre-phase is pure overhead (A/B at sf0.1, round 7: salted 1.81 s vs
+# plain 1.57 s on x_ann_ivf, bit-identical output).  Above it — the
+# 100 TB regime — the two-phase plan is mandatory: a plain
+# Window.partitionBy(query_id) puts one query's whole candidate set
+# in one task.
+SALT_TOPK_MIN_CORPUS = 1_000_000
+
+
 def _topk_per_query(scored: DataFrame, k: int,
-                    id_col: str = "id") -> DataFrame:
+                    id_col: str = "id",
+                    max_candidates: int | None = None) -> DataFrame:
     """Two-phase bounded top-k re-rank (shared by the ANN paths): a
     salted local rank caps any single task at ~candidates/32 rows,
     then the final rank sees ≤ 32·k rows per query — never the
@@ -151,11 +162,23 @@ def _topk_per_query(scored: DataFrame, k: int,
     Window.partitionBy(query_id) becomes when one query's candidate
     set approaches the corpus (review r06). Same (sim desc, id asc)
     order in both phases, so the output is bit-identical to the
-    single-window form."""
+    single-window form.
+
+    ``max_candidates`` — an upper bound on any single query's
+    candidate count (callers pass the corpus size).  When it is known
+    to be under SALT_TOPK_MIN_CORPUS the salt phase is skipped: one
+    window task over < 1M rows is cheaper than an extra shuffle
+    (A/B-measured r07; output identical either way)."""
+    w2 = Window.partitionBy("query_id") \
+        .orderBy(F.desc("sim"), F.asc(id_col))
+    if max_candidates is not None and max_candidates < SALT_TOPK_MIN_CORPUS:
+        return (scored
+                .withColumn("__rn", F.row_number().over(w2))
+                .filter(F.col("__rn") <= k)
+                .select("query_id", F.col(id_col).alias("neighbor_id"),
+                        "sim"))
     n_salt = 32
     w1 = Window.partitionBy("query_id", "__salt") \
-        .orderBy(F.desc("sim"), F.asc(id_col))
-    w2 = Window.partitionBy("query_id") \
         .orderBy(F.desc("sim"), F.asc(id_col))
     return (scored
             .withColumn("__salt", F.pmod(F.hash(id_col), F.lit(n_salt)))
@@ -190,7 +213,9 @@ def lsh_ann_topk(emb: DataFrame, query_ids: list[int], k: int, dim: int,
             .dropDuplicates(["query_id", "id"]))
     scored = cand.withColumn(
         "sim", F.round(cosine(F.col("qv"), F.col("v")), 6))
-    return _topk_per_query(scored, k)
+    # a query's deduped candidate set is bounded by the corpus; for
+    # parquet sources this count is metadata-only (count-star rewrite)
+    return _topk_per_query(scored, k, max_candidates=emb.count())
 
 
 def kmeans_centroids(base: DataFrame, n_cells: int, dim: int,
@@ -262,7 +287,8 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
             .filter(F.col("id") != F.col("query_id")))
     scored = cand.withColumn(
         "sim", F.round(cosine(F.col("qv"), F.col("v")), 6))
-    return _topk_per_query(scored, k)
+    # candidates per query ≤ corpus; metadata-only count for parquet
+    return _topk_per_query(scored, k, max_candidates=emb.count())
 
 
 def kmeans_cluster_stats(emb: DataFrame, n_cells: int = 8,

@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from incubator_hugegraph_spark.graph import (
     BOTH, NO_LIMIT, OUT, PropertyGraph, checkpointed)
+from incubator_hugegraph_spark.operators import bfs as _bfs
 from incubator_hugegraph_spark.operators.bfs import prepared_adj
 
 
@@ -94,7 +95,17 @@ def jaccard_top_batch(graph: PropertyGraph, sources: list[str], top: int,
     sizes = nbr.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     src_n = (nbr.join(F.broadcast(sdf), on=nbr.src == sdf.source)
              .select("source", F.col("dst").alias("n")))
-    inter = (nbr.join(F.broadcast(src_n), on=nbr.dst == src_n.n)
+    # src_n is |sources|·degree rows: with max_degree=NO_LIMIT and a
+    # supernode source it is NOT broadcastable (review r06 — the REST
+    # door caps degree at 10k, but the direct API must not melt an
+    # executor). Same two-tier gate as bfs.expand: count once against
+    # the checkpointed nbr table (cheap — shallow RDD leaf), broadcast
+    # below BROADCAST_FRONTIER_LIMIT, plain shuffle join past it.
+    src_n_rows = src_n.count()
+    sn = (F.broadcast(src_n)
+          if src_n_rows <= _bfs.BROADCAST_FRONTIER_LIMIT
+          else src_n)
+    inter = (nbr.join(sn, on=nbr.dst == src_n.n)
              .filter(F.col("src") != F.col("source"))
              .groupBy("source", F.col("src").alias("id"))
              .agg(F.count(F.lit(1)).alias("inter")))
@@ -113,9 +124,30 @@ def jaccard_top_batch(graph: PropertyGraph, sources: list[str], top: int,
                       F.round(F.col("inter")
                               / (F.col("deg") + F.col("s_deg")
                                  - F.col("inter")), 6).alias("jaccard")))
-    w = Window.partitionBy("source").orderBy(F.desc("jaccard"), F.asc("id"))
-    return (scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= top).drop("__rn"))
+    # A supernode source's 2-hop candidate set can approach |V|; a
+    # plain Window.partitionBy(source) puts it all in one task. Same
+    # salted two-phase pattern as data/similarity._topk_per_query
+    # (review r06): a salted local rank caps any task at
+    # ~candidates/32, the final rank sees ≤ 32·top rows per source.
+    # Identical (jaccard desc, id asc) order in both phases, so the
+    # result is bit-identical to the single-window form. The salt
+    # phase is skipped below the broadcast gate's threshold — if the
+    # sources' combined neighbor lists fit a broadcast, per-source
+    # candidate sets are nowhere near a task's capacity.
+    w2 = Window.partitionBy("source").orderBy(F.desc("jaccard"),
+                                              F.asc("id"))
+    if src_n_rows <= _bfs.BROADCAST_FRONTIER_LIMIT:
+        return (scored.withColumn("__rn", F.row_number().over(w2))
+                .filter(F.col("__rn") <= top).drop("__rn"))
+    w1 = Window.partitionBy("source", "__salt").orderBy(
+        F.desc("jaccard"), F.asc("id"))
+    return (scored
+            .withColumn("__salt", F.pmod(F.hash("id"), F.lit(32)))
+            .withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= top)
+            .withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") <= top)
+            .drop("__r1", "__rn", "__salt"))
 
 
 def fusiform_similarity(graph: PropertyGraph,

@@ -170,3 +170,23 @@ def test_vector_fallback_trips_production_gates(spark):
                              engine="dist")
     total = ranks.agg(F.sum("rank")).collect()[0][0]
     assert abs(total - 1.0) < 1e-6
+
+
+def test_jaccard_top_batch_shuffle_fallback_equivalent(graph, monkeypatch):
+    """VERDICT r06 item 7: jaccard_top_batch's src_n broadcast and its
+    per-source rank window must degrade gracefully past the frontier
+    gate. Forcing the threshold to 0 flips BOTH (plain shuffle join +
+    salted two-phase top-k); results must be bit-identical to the
+    broadcast/single-window plan, and the fallback plan must not
+    contain a broadcast of src_n."""
+    from incubator_hugegraph_spark.operators.similarity import (
+        jaccard_top_batch)
+    srcs = ["customer!1", "customer!2", "customer!3"]
+    want = jaccard_top_batch(graph, srcs, 10, engine="dist")
+    want_rows = sorted(map(tuple, want.collect()))
+    monkeypatch.setattr(bfs_mod, "BROADCAST_FRONTIER_LIMIT", 0)
+    got = jaccard_top_batch(graph, srcs, 10, engine="dist")
+    assert sorted(map(tuple, got.collect())) == want_rows
+    # the salted pre-rank must be present in the fallback plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
