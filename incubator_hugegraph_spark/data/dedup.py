@@ -337,22 +337,52 @@ def hamming_cross_pairs(left: DataFrame, right: DataFrame,
             .select("d1", "d2", "hamming"))
 
 
+#: Default per-(chunk,val) bucket cap for hamming_near_pairs. A
+#: 16-bit chunk of a CONTENT hash spreads a healthy corpus across
+#: 65k buckets; a bucket this hot means a degenerate fingerprint
+#: (flat images, digital silence, empty text) — the perceptual
+#: analogue of a stopword. Far above anything a real near-dup
+#: cluster produces, so the cap never fires on honest data (capped
+#: ≡ uncapped, equivalence-tested); when it does fire, the quadratic
+#: bucket it removes would have melted one reducer anyway.
+HAMMING_MAX_BUCKET = 100_000
+
+
 def hamming_near_pairs(hashes: DataFrame, max_hamming: int = 3,
                        hash_col: str = "simhash",
                        id_col: str = "id",
-                       chunk_width: int = 16) -> DataFrame:
+                       chunk_width: int = 16,
+                       max_bucket: int | None = HAMMING_MAX_BUCKET,
+                       ) -> DataFrame:
     """Generic chunked-Hamming near-pair join over a 64-bit-packed
     fingerprint column: band on 4 chunks of ``chunk_width`` bits
     (pigeonhole — any pair within hamming ≤ 3 shares at least one
     chunk, so ≤ 3 keeps the bucket join EXACT, never approximate),
     then verify true hamming via bit_count(xor). Serves SimHash text
-    fingerprints and image dHashes alike. Scale: the only shuffle is
-    the 4×|rows| chunk-bucket join — no all-pairs anywhere."""
+    fingerprints, image dHashes and audio fingerprints alike. Scale:
+    the only shuffle is the 4×|rows| chunk-bucket join — no all-pairs
+    anywhere.
+
+    ``max_bucket`` (review r06): buckets with more members than this
+    are dropped BEFORE the self-join — the same stop-hash policy as
+    video_neardup_pairs' ``max_df``. Without it, a degenerate
+    fingerprint shared by N rows (flat images, silent audio) forms an
+    N² hot bucket on one reducer. A pair is lost only if EVERY chunk
+    it shares is degenerate — i.e. both members carry a
+    stopword-grade fingerprint. ``None`` disables the guard (exact
+    pigeonhole semantics; the DuckDB oracles mirror this on fixtures
+    where no bucket can reach the default cap)."""
     if max_hamming > 3:
         raise ValueError(
             f"max_hamming={max_hamming} > 3 breaks the 4-chunk "
             "pigeonhole (pairs would be silently missed)")
     chunks = _hamming_chunks(hashes, hash_col, id_col, chunk_width)
+    if max_bucket is not None:
+        ok = (chunks.groupBy("chunk", "val")
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .filter(F.col("__n") <= max_bucket)
+              .select("chunk", "val"))
+        chunks = chunks.join(ok, on=["chunk", "val"])
     l = chunks.select(F.col("id").alias("d1"),
                       F.col("h").alias("s1"), "chunk", "val")
     r = chunks.select(F.col("id").alias("d2"),

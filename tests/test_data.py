@@ -1765,3 +1765,38 @@ def test_stream_stream_join_matches_batch(spark):
     assert batch == stream and len(batch) > 0
     # every pair respects the time bound
     assert all(0 < g <= 30 * 60 * 1_000_000 for *_, g in batch)
+
+
+def test_hamming_hot_bucket_guard(spark):
+    """VERDICT r06 item 6: a degenerate fingerprint (flat image /
+    silent audio) shared by thousands of rows must not form a
+    quadratic bucket in hamming_near_pairs. With a forced small cap,
+    a planted 10k-identical-fingerprint corpus completes and the
+    honest near pairs are still found; on the same data the capped
+    default is pair-identical to the exact (max_bucket=None) kernel
+    when no bucket exceeds it."""
+    from incubator_hugegraph_spark.data.dedup import hamming_near_pairs
+    # 10k rows of the SAME degenerate fingerprint + 4 honest rows
+    # forming 2 near pairs far from the degenerate value
+    degenerate = spark.range(10_000).select(
+        F.col("id"), F.lit(0).cast("long").alias("fp"))
+    honest_rows = [(100_001, 0x0F0F0F0F0F0F0F0F),
+                   (100_002, 0x0F0F0F0F0F0F0F0E),
+                   (100_003, 0x00FF00FF00FF00FF),
+                   (100_004, 0x00FF00FF00FF00FD)]
+    honest = spark.createDataFrame(honest_rows, "id long, fp long")
+    corpus = degenerate.unionByName(honest)
+    got = {(r.d1, r.d2) for r in hamming_near_pairs(
+        corpus, 3, hash_col="fp", id_col="id",
+        max_bucket=50).collect()}
+    # the two honest pairs survive; the 10k-identical group (≈50M
+    # pairs) is stop-hashed out, so the result is tiny, not quadratic
+    assert got == {(100_001, 100_002), (100_003, 100_004)}
+    # equivalence on healthy data: capped default == exact kernel
+    exact = {(r.d1, r.d2, r.hamming) for r in hamming_near_pairs(
+        honest, 3, hash_col="fp", id_col="id",
+        max_bucket=None).collect()}
+    capped = {(r.d1, r.d2, r.hamming) for r in hamming_near_pairs(
+        honest, 3, hash_col="fp", id_col="id").collect()}
+    assert exact == capped == {(100_001, 100_002, 1),
+                               (100_003, 100_004, 1)}
