@@ -370,6 +370,22 @@ def _one_louvain_pass(graph: PropertyGraph, edges: DataFrame,
     return comm
 
 
+def canonical_communities(part: DataFrame) -> DataFrame:
+    """Relabel a (id, community) partition so each community's label
+    is its lexicographically-smallest MEMBER id (r06 verdict item 4):
+    raw louvain labels are representative-vertex ids, an artifact of
+    contraction order, while the min-member relabeling is a pure
+    function of the partition itself — so the full (id, community)
+    table becomes a stable, hashable value wherever the partition is
+    deterministic (the pinned passes/move_rounds configuration).
+    One groupBy + one join on the community key — no broadcast hint:
+    a mostly-singleton partition makes |communities| ≈ |V|, so AQE
+    picks the strategy from the measured size."""
+    rep = part.groupBy("community").agg(F.min("id").alias("__canon"))
+    return (part.join(rep, on="community")
+            .select("id", F.col("__canon").alias("community")))
+
+
 def modularity(edges: DataFrame, comm: DataFrame) -> float:
     """Q = Σ_c [ in_c/2m - (tot_c/2m)^2 ] over undirected (a,b,w)."""
     adj = (edges.select(F.col("a").alias("id"), F.col("b").alias("nbr"), "w")

@@ -435,3 +435,25 @@ def test_hits_rank(graph):
                or r.id.startswith("order!") or r.id.startswith("customer!")
                for r in top)
     assert top[0].authority > 0
+
+
+def test_canonical_communities_pure_relabel(spark):
+    """canonical_communities (r06 verdict item 4) is a pure function
+    of the PARTITION: relabeling must preserve membership exactly
+    (same groups), label every community by its min member id, and be
+    idempotent — so any two runs that agree as partitions hash-agree
+    as tables regardless of which representative ids contraction
+    picked."""
+    from incubator_hugegraph_spark.algorithms.community import (
+        canonical_communities)
+    part = spark.createDataFrame(
+        [("v!3", "c9"), ("v!1", "c9"), ("v!5", "c9"),
+         ("v!0", "c7"), ("v!4", "c7"), ("v!2", "c2")],
+        "id string, community string")
+    got = sorted(map(tuple, canonical_communities(part).collect()))
+    assert got == [("v!0", "v!0"), ("v!1", "v!1"), ("v!2", "v!2"),
+                   ("v!3", "v!1"), ("v!4", "v!0"), ("v!5", "v!1")]
+    # idempotent: canonical labels are themselves member ids
+    again = sorted(map(tuple, canonical_communities(
+        canonical_communities(part)).collect()))
+    assert again == got
