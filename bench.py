@@ -191,6 +191,30 @@ def main() -> None:
         return decode_media(
             media_docs_as_assets(docs.repartition(nparts))).count()
 
+    def x_paragraph_dedup():
+        # r06 paragraph-dedup kernel (RefinedWeb line-wise policy):
+        # md5-keyed duplicate-paragraph agg + anti-join + per-doc
+        # array_sort reassembly — tracked per-round like the other
+        # dedup kernels (r06 verdict item 8)
+        from incubator_hugegraph_spark.data.dedup import (
+            paragraph_dedup, word_window_paragraphs)
+        paras = word_window_paragraphs(
+            docs.select("doc_id", "text"), words=16)
+        return paragraph_dedup(paras, min_docs=2, sep="|").count()
+
+    def x_image_neardup():
+        # r06 perceptual image near-dup: real PNG render + decode +
+        # dHash + chunked-Hamming bucket join (same planted-group
+        # builder the driver query uses)
+        import __spark_entry__ as _entry
+        from incubator_hugegraph_spark.data.dedup import (
+            hamming_near_pairs)
+        from incubator_hugegraph_spark.data.multimodal import image_dhash
+        assets = _entry._planted_image_assets(spark, SF_DIR)
+        return hamming_near_pairs(image_dhash(assets), max_hamming=3,
+                                  hash_col="dhash",
+                                  id_col="asset_id").count()
+
     def x_stream_window():
         import uuid
         from incubator_hugegraph_spark.streaming.events import (
@@ -268,6 +292,8 @@ def main() -> None:
                      ("x_ann_ivf", x_ann_ivf),
                      ("x_bpe", x_bpe), ("x_chunks", x_chunks),
                      ("x_media_decode", x_media_decode),
+                     ("x_paragraph_dedup", x_paragraph_dedup),
+                     ("x_image_neardup", x_image_neardup),
                      ("x_stream_window", x_stream_window),
                      ("x_stream_cms", x_stream_cms),
                      ("x_stream_wcc", x_stream_wcc),

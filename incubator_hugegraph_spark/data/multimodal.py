@@ -7,16 +7,18 @@ layouts in pure Python — PNG IHDR, JPEG SOFn markers, GIF logical
 screen descriptor, BMP DIB header, WAV fmt/data chunks, AVI avih —
 so width/height/duration come from the actual payload bytes.
 
-PIXEL/SAMPLE decode is REAL too for the formats pure Python + stdlib
-zlib can carry end-to-end (r06): 8-bit RGB PNG (full inflate +
-scanline UN-filtering, all five PNG filter types), 16-bit PCM WAV
-(sample extraction per the fmt chunk), and raw-DIB AVI (per-frame
-'00db' chunks sized by the real strf BITMAPINFOHEADER). `decode_media`
-returns exact integer pixel/sample statistics from the decoded
-values, and `resize_images_real` is a genuine nearest-neighbor
-resample of decoded PNG pixels re-encoded as PNG. Only codec-bound
-formats (JPEG DCT, GIF LZW palettes, compressed video) stay behind
-`_decode_stub`, the documented fallback for unrecognized bytes.
+PIXEL/SAMPLE decode is REAL too for the formats pure Python + numpy
+can carry end-to-end: 8-bit RGB PNG (full inflate + scanline
+UN-filtering, all five PNG filter types), 16-bit PCM WAV (sample
+extraction per the fmt chunk), raw-DIB AVI (per-frame '00db' chunks
+sized by the real strf BITMAPINFOHEADER) — r06 — and baseline JPEG
+(bit-level Huffman + dequantize + IDCT + YCbCr, tables rebuilt from
+the stream; data/jpeg.py) — r07. `decode_media` returns exact
+integer pixel/sample statistics from the decoded values, and
+`resize_images_real` is a genuine nearest-neighbor resample of
+decoded PNG pixels re-encoded as PNG. Only GIF LZW palettes and
+compressed video stay behind `_decode_stub`, the documented fallback
+for unrecognized bytes.
 
 Scale notes: binary payloads dominate partition size — size
 `spark.sql.files.maxPartitionBytes` for ~128 MB of payload per task
@@ -429,6 +431,37 @@ def decode_png_rgb(b: bytes):
         return None
 
 
+def decode_image_rgb(b: bytes):
+    """Dispatch REAL image pixel decode across the supported codecs:
+    8-bit RGB PNG (inflate + unfilter) and baseline JPEG (Huffman +
+    IDCT, data/jpeg.py — r07). Returns (width, height, bytearray of
+    row-major RGB) or None; both legs share the None-not-raise
+    contract."""
+    got = decode_png_rgb(b)
+    if got is not None:
+        return got
+    from incubator_hugegraph_spark.data.jpeg import decode_jpeg_rgb
+    return decode_jpeg_rgb(b)
+
+
+def render_media_jpeg(asset_id: int, blocks_w: int,
+                      blocks_h: int) -> bytes:
+    """Deterministic REAL baseline JPEG: an (8*blocks_w x 8*blocks_h)
+    image, constant gray within each 8x8 block — block (by, bx) has
+    r=g=b = byte(asset_id, by*blocks_w + bx). For block-constant gray
+    the whole encode/decode chain is exactly invertible (data/jpeg.py
+    module docstring), so an oracle recomputes decoded stats from the
+    block formula while the decoder must run real entropy decoding to
+    reproduce them."""
+    import numpy as np
+    vals = synth_media_bytes(asset_id, blocks_w * blocks_h) \
+        .reshape(blocks_h, blocks_w)
+    gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    raw = np.stack([gray] * 3, axis=2).astype(np.uint8).tobytes()
+    from incubator_hugegraph_spark.data.jpeg import encode_jpeg_rgb
+    return encode_jpeg_rgb(raw, blocks_w * 8, blocks_h * 8)
+
+
 def render_media_png(asset_id: int, width: int, height: int) -> bytes:
     """Deterministic RGB image: pixel byte j = byte(asset_id, j)."""
     raw = synth_media_bytes(asset_id, width * height * 3).tobytes()
@@ -641,9 +674,9 @@ def decode_media(assets: DataFrame) -> DataFrame:
                 b = bytes(payload or b"")
                 width = height = n_frames = None
                 vals = None
-                png = decode_png_rgb(b)
-                if png is not None:
-                    width, height, raw = png
+                img = decode_image_rgb(b)
+                if img is not None:
+                    width, height, raw = img
                     vals = np.frombuffer(bytes(raw), dtype=np.uint8)
                 else:
                     pcm = decode_wav_samples(b)
@@ -691,11 +724,12 @@ def _dhash_of_rgb_array(img) -> int:
 
 
 def dhash_rgb(payload: bytes) -> int | None:
-    """Perceptual difference-hash (dHash) of a decodable RGB PNG —
-    robust to resizing/re-encoding: the hash rides pixel STRUCTURE,
-    not bytes. None for undecodable payloads."""
+    """Perceptual difference-hash (dHash) of a decodable image (RGB
+    PNG or baseline JPEG — r07) — robust to resizing/re-encoding:
+    the hash rides pixel STRUCTURE, not bytes. None for undecodable
+    payloads."""
     import numpy as np
-    png = decode_png_rgb(payload or b"")
+    png = decode_image_rgb(payload or b"")
     if png is None:
         return None
     w, h, raw = png

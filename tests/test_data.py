@@ -1800,3 +1800,49 @@ def test_hamming_hot_bucket_guard(spark):
         honest, 3, hash_col="fp", id_col="id").collect()}
     assert exact == capped == {(100_001, 100_002, 1),
                                (100_003, 100_004, 1)}
+
+
+def test_jpeg_decoder_envelope_and_headers():
+    """decode_jpeg_rgb returns None (never raises) outside its
+    documented envelope — progressive SOF2, 2x subsampled SOF0,
+    truncated entropy data — and the shared header parser reads the
+    same dims the pixel decoder produces."""
+    from incubator_hugegraph_spark.data.jpeg import encode_jpeg_rgb
+    from incubator_hugegraph_spark.data.multimodal import (
+        _parse_jpeg, decode_image_rgb)
+    import numpy as np
+    raw = np.arange(16 * 8 * 3, dtype=np.uint8).tobytes()
+    enc = encode_jpeg_rgb(raw, 16, 8)
+    hdr = _parse_jpeg(enc)
+    assert hdr == {"width": 16, "height": 8, "duration_ms": None}
+    got = decode_image_rgb(enc)
+    assert got is not None and (got[0], got[1]) == (16, 8)
+    # progressive: flip SOF0 (C0) to SOF2 (C2)
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_image_rgb(prog) is None
+    # subsampled: SOF0 component 1 sampling 0x11 -> 0x22
+    i = enc.find(b"\xff\xc0")
+    sub = bytearray(enc)
+    sub[i + 11] = 0x22  # comp 1 sampling byte
+    assert decode_image_rgb(bytes(sub)) is None
+    # truncated entropy data
+    assert decode_image_rgb(enc[:len(enc) // 2]) is None
+    # garbage
+    assert decode_image_rgb(b"\xff\xd8\xff\xd9") is None
+
+
+def test_dhash_rides_pixels_across_codecs():
+    """dHash is a PIXEL-structure hash: the same image encoded as
+    PNG (lossless) and baseline JPEG (near-lossless at unit tables)
+    must land within a couple of bits — the property that makes
+    cross-codec near-dup detection work."""
+    import numpy as np
+    from incubator_hugegraph_spark.data.jpeg import encode_jpeg_rgb
+    from incubator_hugegraph_spark.data.multimodal import (
+        dhash_rgb, encode_png_rgb, synth_media_bytes)
+    w, h = 24, 16
+    raw = synth_media_bytes(5, w * h * 3).tobytes()
+    hp = dhash_rgb(encode_png_rgb(raw, w, h))
+    hj = dhash_rgb(encode_jpeg_rgb(raw, w, h))
+    assert hp is not None and hj is not None
+    assert bin((hp ^ hj) & ((1 << 64) - 1)).count("1") <= 2

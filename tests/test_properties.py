@@ -421,3 +421,53 @@ def test_dhash_brightness_invariance(w, h, shift, seed):
     img = rng.randint(64, 192, (h, w, 3)).astype(np.uint8)
     shifted = (img.astype(np.int64) + shift).astype(np.uint8)
     assert _dhash_of_rgb_array(img) == _dhash_of_rgb_array(shifted)
+
+
+@given(st.integers(min_value=1, max_value=30),
+       st.integers(min_value=1, max_value=30),
+       st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_lossy_roundtrip_property(w, h, seed):
+    """encode_jpeg_rgb → decode_jpeg_rgb on ARBITRARY RGB buffers:
+    baseline JPEG with unit quantization tables is near-lossless —
+    dims survive exactly and per-channel error is bounded by the
+    DCT-coefficient rounding (observed ≤4; asserted ≤6 for float
+    headroom). This pins decoder GENERALITY; the exact tier is the
+    block-constant test below."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.jpeg import (
+        decode_jpeg_rgb, encode_jpeg_rgb)
+    rng = np.random.RandomState(seed % (2**31))
+    raw = rng.randint(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+    got = decode_jpeg_rgb(encode_jpeg_rgb(raw, w, h))
+    assert got is not None
+    assert (got[0], got[1]) == (w, h)
+    a = np.frombuffer(bytes(got[2]), dtype=np.uint8).astype(np.int64)
+    b = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    assert np.abs(a - b).max() <= 6
+
+
+@given(st.integers(min_value=1, max_value=5),
+       st.integers(min_value=1, max_value=4),
+       st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_block_constant_exact_property(bw, bh, asset_id):
+    """The oracle's exactness hook (data/jpeg.py module docstring):
+    for images CONSTANT GRAY per 8x8 block, the full baseline chain
+    (BT.601 → FDCT → unit quant → Huffman → inverse everything) is
+    EXACTLY invertible — render_media_jpeg's decoded pixels equal the
+    generator formula bytes bit-for-bit."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.jpeg import decode_jpeg_rgb
+    from incubator_hugegraph_spark.data.multimodal import (
+        render_media_jpeg, synth_media_bytes)
+    got = decode_jpeg_rgb(render_media_jpeg(asset_id, bw, bh))
+    assert got is not None
+    w, h, out = got
+    assert (w, h) == (bw * 8, bh * 8)
+    vals = synth_media_bytes(asset_id, bw * bh).reshape(bh, bw)
+    gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    want = np.stack([gray] * 3, axis=2).astype(np.uint8).tobytes()
+    assert bytes(out) == want
