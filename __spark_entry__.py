@@ -5859,6 +5859,68 @@ def multimodal_jpeg_decode_q(spark, sf_dir):
     return decode_media(docs.mapInPandas(wrap, schema))
 
 
+@_q("multimodal_gif_decode", """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
+           FROM documents),
+dims AS (SELECT doc_id, CAST(3 + n % 13 AS INT) AS w,
+                CAST(2 + n % 11 AS INT) AS h
+         FROM d),
+vals AS (SELECT doc_id, w, h,
+                (doc_id*2654435761 + j*40503) % 256 AS v
+         FROM (SELECT doc_id, w, h, unnest(range(w*h)) AS j
+               FROM dims)),
+agg AS (SELECT doc_id, CAST(3*sum(v) AS BIGINT) AS val_sum,
+               CAST(3*sum(v*v) AS BIGINT) AS val_sumsq,
+               CAST(min(v) AS BIGINT) AS val_min,
+               CAST(max(v) AS BIGINT) AS val_max
+        FROM vals GROUP BY doc_id)
+SELECT dims.doc_id AS asset_id, 'image' AS modality,
+       w AS width, h AS height,
+       CAST(NULL AS BIGINT) AS n_frames,
+       CAST(3*w*h AS BIGINT) AS n_values,
+       a.val_sum, a.val_sumsq, a.val_min, a.val_max
+FROM dims JOIN agg a ON dims.doc_id = a.doc_id
+""")
+def multimodal_gif_decode_q(spark, sf_dir):
+    """REAL GIF pixel decode under the oracle gate (r06 verdict item
+    5 follow-on — the LZW leg; with JPEG this retires every
+    codec-bound IMAGE format from the stub): the planted assets are
+    genuine GIF89a streams — 256-entry gray palette, variable-width
+    LZW with clear/EOI and 4096-entry dictionary growth, sub-block
+    framing (data/gif.py) — rendered from the generator formula.
+    GIF is LOSSLESS, so the oracle recomputes decoded stats from the
+    formula with no special geometry; decode_media must run the real
+    LZW decompression + palette lookup to reproduce them. Spark
+    shape: one Arrow-batched mapInPandas render + one decode pass."""
+    import pandas as pd_
+    from pyspark.sql import types as T_
+
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_media,
+        render_media_gif,
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n"))
+    schema = T_.StructType([
+        T_.StructField("asset_id", T_.LongType(), False),
+        T_.StructField("modality", T_.StringType(), False),
+        T_.StructField("payload", T_.BinaryType(), False),
+    ])
+
+    def wrap(batches):
+        for pdf in batches:
+            rows = []
+            for aid, n in zip(pdf["doc_id"], pdf["n"]):
+                aid, n = int(aid), int(n)
+                rows.append((aid, "image",
+                             render_media_gif(aid, 3 + n % 13,
+                                              2 + n % 11)))
+            yield pd_.DataFrame(rows, columns=["asset_id", "modality",
+                                               "payload"])
+
+    return decode_media(docs.mapInPandas(wrap, schema))
+
+
 @_q("multimodal_resize", """
 WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
            FROM documents WHERE doc_id % 3 = 0),

@@ -1,0 +1,233 @@
+"""GIF codec in pure Python (r06 verdict item 5, optional follow-on).
+
+The LZW leg of the codec-bound tier: a real GIF89a encoder/decoder
+pair — genuine variable-width LZW with clear/EOI codes and 4096-entry
+dictionary growth, sub-block framing, logical screen descriptor and
+color tables parsed from the stream. GIF is LOSSLESS for paletted
+data, so unlike JPEG the oracle needs no special fixture geometry:
+any image whose colors fit the palette round-trips bit-for-bit.
+
+Scope (documented): single-image, non-interlaced GIF87a/89a with a
+global or local color table; extensions are skipped. Interlaced
+images and animations return None (the shared None-not-raise
+contract of decode_png_rgb / decode_jpeg_rgb).
+
+Reference behavior parity: none — the reference (hugegraph) has no
+media tier; this module serves the training-data-pipeline brief.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _lzw_compress(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW: emit CLEAR, build the string table up to
+    4095, re-CLEAR when full, finish with EOI. Variable code width
+    grows at 2^width, capped at 12 bits. LSB-first bit packing."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh_table():
+        return {(i,): i for i in range(clear)}
+
+    table = fresh_table()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prefix: tuple = ()
+    for v in indices:
+        cand = prefix + (int(v),)
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = fresh_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = (int(v),)
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytearray:
+    """Inverse of _lzw_compress per the GIF spec (incl. the KwKwK
+    case: a code one past the table end copies prev + prev[0])."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    pos = 0
+
+    def read(width: int) -> int:
+        nonlocal pos
+        v = 0
+        for k in range(width):
+            byte_i, bit_i = divmod(pos, 8)
+            if byte_i >= len(data):
+                raise ValueError("gif: LZW data exhausted")
+            v |= ((data[byte_i] >> bit_i) & 1) << k
+            pos += 1
+        return v
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        code = read(width)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("gif: bad first code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+            table.append(entry)
+        else:
+            raise ValueError("gif: code beyond table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Frame `data` into <=255-byte GIF sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def _read_sub_blocks(b: bytes, i: int):
+    """Collect sub-block payloads from offset i; returns (data, next
+    offset past the terminator)."""
+    out = bytearray()
+    while True:
+        if i >= len(b):
+            raise ValueError("gif: unterminated sub-blocks")
+        n = b[i]
+        i += 1
+        if n == 0:
+            return bytes(out), i
+        out += b[i:i + n]
+        if len(b) < i + n:
+            raise ValueError("gif: truncated sub-block")
+        i += n
+
+
+def encode_gif_gray(gray: bytes, width: int, height: int) -> bytes:
+    """REAL GIF89a encoder for 8-bit grayscale: a 256-entry global
+    color table with palette[i] = (i, i, i), one non-interlaced image
+    whose pixel indices ARE the gray values, genuine LZW. Lossless:
+    decode returns exactly `gray` replicated to RGB."""
+    assert len(gray) == width * height
+    lsd = struct.pack("<HHBBB", width, height,
+                      0x80 | 0x70 | 0x07,  # GCT, 8-bit color, 256 ent.
+                      0, 0)
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    lzw = _lzw_compress(gray, 8)
+    return (b"GIF89a" + lsd + palette + img_desc + bytes([8])
+            + _sub_blocks(lzw) + b"\x3b")
+
+
+def decode_gif_rgb(b: bytes):
+    """REAL GIF pixel decode: logical screen descriptor, global/local
+    color table, extension skipping, LZW decompress, palette lookup.
+    Returns (width, height, bytearray of row-major RGB) or None for
+    interlaced/malformed streams — the shared None-not-raise
+    contract."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        _w, _h, flags, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+        i = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = b[i:i + 3 * n]
+            if len(gct) < 3 * n:
+                return None
+            i += 3 * n
+        while i < len(b):
+            block = b[i]
+            if block == 0x21:  # extension: label + sub-blocks
+                _data, i = _read_sub_blocks(b, i + 2)
+            elif block == 0x2C:  # image descriptor
+                _x, _y, width, height, iflags = struct.unpack(
+                    "<HHHHB", b[i + 1:i + 10])
+                i += 10
+                if iflags & 0x40:
+                    return None  # interlaced: out of envelope
+                pal = gct
+                if iflags & 0x80:
+                    n = 2 << (iflags & 0x07)
+                    pal = b[i:i + 3 * n]
+                    if len(pal) < 3 * n:
+                        return None
+                    i += 3 * n
+                if pal is None or width < 1 or height < 1:
+                    return None
+                min_code = b[i]
+                i += 1
+                lzw, i = _read_sub_blocks(b, i)
+                idx = _lzw_decompress(lzw, min_code)
+                if len(idx) < width * height:
+                    return None
+                out = bytearray(width * height * 3)
+                npal = len(pal) // 3
+                for j in range(width * height):
+                    p = idx[j]
+                    if p >= npal:
+                        return None
+                    out[3 * j:3 * j + 3] = pal[3 * p:3 * p + 3]
+                return width, height, out
+            elif block == 0x3B:  # trailer before any image
+                return None
+            else:
+                return None
+        return None
+    except (ValueError, struct.error, IndexError):
+        return None

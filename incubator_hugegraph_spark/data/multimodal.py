@@ -11,14 +11,15 @@ PIXEL/SAMPLE decode is REAL too for the formats pure Python + numpy
 can carry end-to-end: 8-bit RGB PNG (full inflate + scanline
 UN-filtering, all five PNG filter types), 16-bit PCM WAV (sample
 extraction per the fmt chunk), raw-DIB AVI (per-frame '00db' chunks
-sized by the real strf BITMAPINFOHEADER) — r06 — and baseline JPEG
+sized by the real strf BITMAPINFOHEADER) — r06 — plus baseline JPEG
 (bit-level Huffman + dequantize + IDCT + YCbCr, tables rebuilt from
-the stream; data/jpeg.py) — r07. `decode_media` returns exact
-integer pixel/sample statistics from the decoded values, and
+the stream; data/jpeg.py) and GIF (variable-width LZW + palette
+lookup; data/gif.py) — r07. `decode_media` returns exact integer
+pixel/sample statistics from the decoded values, and
 `resize_images_real` is a genuine nearest-neighbor resample of
-decoded PNG pixels re-encoded as PNG. Only GIF LZW palettes and
-compressed video stay behind `_decode_stub`, the documented fallback
-for unrecognized bytes.
+decoded PNG pixels re-encoded as PNG. Only compressed video stays
+behind `_decode_stub`, the documented fallback for unrecognized
+bytes.
 
 Scale notes: binary payloads dominate partition size — size
 `spark.sql.files.maxPartitionBytes` for ~128 MB of payload per task
@@ -433,13 +434,18 @@ def decode_png_rgb(b: bytes):
 
 def decode_image_rgb(b: bytes):
     """Dispatch REAL image pixel decode across the supported codecs:
-    8-bit RGB PNG (inflate + unfilter) and baseline JPEG (Huffman +
-    IDCT, data/jpeg.py — r07). Returns (width, height, bytearray of
-    row-major RGB) or None; both legs share the None-not-raise
-    contract."""
+    8-bit RGB PNG (inflate + unfilter), baseline JPEG (Huffman +
+    IDCT, data/jpeg.py — r07) and GIF (LZW + palette, data/gif.py —
+    r07). Returns (width, height, bytearray of row-major RGB) or
+    None; all legs share the None-not-raise contract. Dispatch is by
+    magic bytes, so the two lazy imports cost nothing on the PNG hot
+    path."""
     got = decode_png_rgb(b)
     if got is not None:
         return got
+    if len(b) >= 6 and b[:6] in (b"GIF87a", b"GIF89a"):
+        from incubator_hugegraph_spark.data.gif import decode_gif_rgb
+        return decode_gif_rgb(b)
     from incubator_hugegraph_spark.data.jpeg import decode_jpeg_rgb
     return decode_jpeg_rgb(b)
 
@@ -460,6 +466,17 @@ def render_media_jpeg(asset_id: int, blocks_w: int,
     raw = np.stack([gray] * 3, axis=2).astype(np.uint8).tobytes()
     from incubator_hugegraph_spark.data.jpeg import encode_jpeg_rgb
     return encode_jpeg_rgb(raw, blocks_w * 8, blocks_h * 8)
+
+
+def render_media_gif(asset_id: int, width: int, height: int) -> bytes:
+    """Deterministic REAL GIF: grayscale pixel j = byte(asset_id, j)
+    through a 256-entry gray palette and genuine LZW. GIF is lossless
+    for paletted data, so decoded RGB = the generator bytes
+    replicated x3 — the oracle recomputes stats with no special
+    geometry (unlike JPEG's block-constant hook)."""
+    gray = synth_media_bytes(asset_id, width * height).tobytes()
+    from incubator_hugegraph_spark.data.gif import encode_gif_gray
+    return encode_gif_gray(gray, width, height)
 
 
 def render_media_png(asset_id: int, width: int, height: int) -> bytes:

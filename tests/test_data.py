@@ -1846,3 +1846,36 @@ def test_dhash_rides_pixels_across_codecs():
     hj = dhash_rgb(encode_jpeg_rgb(raw, w, h))
     assert hp is not None and hj is not None
     assert bin((hp ^ hj) & ((1 << 64) - 1)).count("1") <= 2
+
+
+def test_gif_decoder_envelope():
+    """decode_gif_rgb handles the spec's corner cases and returns
+    None (never raises) outside its envelope: KwKwK codes (constant
+    runs), extension blocks before the image, interlaced streams,
+    truncated LZW data."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.gif import (
+        decode_gif_rgb, encode_gif_gray)
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_image_rgb)
+    # KwKwK: constant image
+    enc = encode_gif_gray(bytes([9]) * 64, 8, 8)
+    got = decode_gif_rgb(enc)
+    assert got is not None and bytes(got[2]) == bytes([9]) * 192
+    # the shared image dispatch reaches the GIF leg
+    assert decode_image_rgb(enc) is not None
+    # a graphic-control extension before the image is skipped
+    with_ext = (enc[:13 + 768]
+                + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+                + enc[13 + 768:])
+    got2 = decode_image_rgb(with_ext)
+    assert got2 is not None and bytes(got2[2]) == bytes([9]) * 192
+    # interlaced flag -> None
+    inter = bytearray(enc)
+    inter[13 + 768 + 9] |= 0x40  # image descriptor flags byte
+    assert decode_gif_rgb(bytes(inter)) is None
+    # truncated LZW -> None
+    assert decode_gif_rgb(enc[:len(enc) - 4]) is None
+    # garbage -> None
+    assert decode_gif_rgb(b"GIF89a" + b"\x00" * 4) is None

@@ -471,3 +471,25 @@ def test_jpeg_block_constant_exact_property(bw, bh, asset_id):
     gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
     want = np.stack([gray] * 3, axis=2).astype(np.uint8).tobytes()
     assert bytes(out) == want
+
+
+@given(st.integers(min_value=1, max_value=60),
+       st.integers(min_value=1, max_value=60),
+       st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=25, deadline=None)
+def test_gif_roundtrip_property(w, h, seed):
+    """encode_gif_gray → decode_gif_rgb is the IDENTITY on arbitrary
+    grayscale buffers (GIF LZW is lossless): pixels replicate to RGB
+    exactly. Covers variable code widths, dictionary growth and the
+    4096-entry re-clear on larger inputs."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.gif import (
+        decode_gif_rgb, encode_gif_gray)
+    rng = np.random.RandomState(seed % (2**31))
+    gray = rng.randint(0, 256, w * h, dtype=np.uint8).tobytes()
+    got = decode_gif_rgb(encode_gif_gray(gray, w, h))
+    assert got is not None
+    assert (got[0], got[1]) == (w, h)
+    want = np.repeat(np.frombuffer(gray, dtype=np.uint8), 3).tobytes()
+    assert bytes(got[2]) == want
