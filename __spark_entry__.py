@@ -5921,6 +5921,105 @@ def multimodal_gif_decode_q(spark, sf_dir):
     return decode_media(docs.mapInPandas(wrap, schema))
 
 
+_CROSS_CODEC_SQL = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
+           FROM documents),
+dims AS (SELECT doc_id, CAST(4 + n % 6 AS INT) AS bw,
+                CAST(4 + n % 5 AS INT) AS bh
+         FROM d),
+-- dHash 9x8 sample grid over the BLOCK-CONSTANT image: sample (r,k)
+-- lands in block (ys//8, xs//8) with ys=r*bh (=(r*8*bh)//8) and
+-- xs=(k*8*bw)//9; gray == the block value exactly (r=g=b)
+gray AS (SELECT doc_id, c // 9 AS r, c % 9 AS k,
+                (doc_id*2654435761
+                 + (((c // 9)*bh // 8)*bw
+                    + ((c % 9)*8*bw // 9) // 8)*40503) % 256 AS g
+         FROM (SELECT *, unnest(range(72)) AS c FROM dims)),
+bits AS (SELECT a.doc_id, (a.r*8 + a.k) AS j,
+                CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+         FROM gray a JOIN gray b
+              ON b.doc_id = a.doc_id AND b.r = a.r AND b.k = a.k + 1
+         WHERE a.k < 8),
+hs AS (SELECT doc_id,
+              CAST(sum(CASE WHEN j < 63
+                            THEN CAST(bit AS BIGINT) << j
+                            ELSE 0 END) AS BIGINT)
+              + CASE WHEN max(CASE WHEN j = 63 THEN bit ELSE 0 END) = 1
+                     THEN -9223372036854775807 - 1 ELSE 0 END AS h
+       FROM bits GROUP BY doc_id),
+assets AS (SELECT doc_id*4 + codec AS asset_id, h
+           FROM (SELECT *, unnest(range(3)) AS codec FROM hs))
+SELECT a.asset_id AS d1, b.asset_id AS d2,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM assets a JOIN assets b ON a.asset_id < b.asset_id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+"""
+
+
+@_q("multimodal_cross_codec_neardup", _CROSS_CODEC_SQL)
+def multimodal_cross_codec_neardup_q(spark, sf_dir):
+    """FORMAT-ROBUST near-dup — the r07 codec tier's capstone: every
+    doc renders the SAME block-constant-gray image through THREE real
+    encoders (PNG zlib+filters, GIF LZW, baseline JPEG Huffman+DCT;
+    asset_id = doc_id*4 + codec), then image_dhash decodes each
+    through the shared decode_image_rgb dispatch and the chunked-
+    Hamming kernel pairs them. Because PNG/GIF are lossless and
+    block-constant gray is JPEG-exact (data/jpeg.py), the three
+    decoders MUST converge to identical pixels — every doc yields its
+    3 cross-codec hamming-0 pairs, and any decoder drift in any codec
+    breaks the hash. The oracle computes the dHash straight from the
+    block-value formula and pairs by brute-force popcount (the
+    independent check that the banded join finds the brute set). The
+    'same picture saved as different formats' scenario is the one
+    exact-byte dedup can never catch — THE reason perceptual dedup
+    exists. Scale: hash cardinality is 3 rows/doc; the bucket join is
+    the only shuffle."""
+    import pandas as pd_
+    from pyspark.sql import types as T_
+
+    from incubator_hugegraph_spark.data.dedup import hamming_near_pairs
+    from incubator_hugegraph_spark.data.gif import encode_gif_gray
+    from incubator_hugegraph_spark.data.jpeg import encode_jpeg_rgb
+    from incubator_hugegraph_spark.data.multimodal import (
+        encode_png_rgb,
+        image_dhash,
+        synth_media_bytes,
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n"))
+    schema = T_.StructType([
+        T_.StructField("asset_id", T_.LongType(), False),
+        T_.StructField("modality", T_.StringType(), False),
+        T_.StructField("payload", T_.BinaryType(), False),
+    ])
+
+    def wrap(batches):
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for aid, n in zip(pdf["doc_id"], pdf["n"]):
+                aid, n = int(aid), int(n)
+                bw, bh = 4 + n % 6, 4 + n % 5
+                vals = synth_media_bytes(aid, bw * bh) \
+                    .reshape(bh, bw)
+                gray = np.repeat(np.repeat(vals, 8, axis=0), 8,
+                                 axis=1).astype(np.uint8)
+                rgb = np.stack([gray] * 3, axis=2).tobytes()
+                w, h = bw * 8, bh * 8
+                rows.append((aid * 4, "image",
+                             encode_png_rgb(rgb, w, h)))
+                rows.append((aid * 4 + 1, "image",
+                             encode_gif_gray(gray.tobytes(), w, h)))
+                rows.append((aid * 4 + 2, "image",
+                             encode_jpeg_rgb(rgb, w, h)))
+            yield pd_.DataFrame(rows, columns=["asset_id", "modality",
+                                               "payload"])
+
+    assets = docs.mapInPandas(wrap, schema)
+    return hamming_near_pairs(image_dhash(assets), max_hamming=3,
+                              hash_col="dhash", id_col="asset_id")
+
+
 @_q("multimodal_resize", """
 WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
            FROM documents WHERE doc_id % 3 = 0),
