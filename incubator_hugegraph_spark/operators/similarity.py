@@ -62,7 +62,13 @@ def jaccard_top(graph: PropertyGraph, source: str, top: int,
     sizes = nbr.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     s_size = sizes.filter(F.col("src") == source) \
         .select(F.col("deg").alias("s_deg"))
-    inter = (nbr.join(F.broadcast(src_n), on=nbr.dst == F.col("n"))
+    # same gate as jaccard_top_batch: one supernode source's neighbor
+    # list with max_degree=NO_LIMIT is not broadcastable — count once
+    # against the checkpointed nbr table, shuffle-join past the limit
+    sn = (F.broadcast(src_n)
+          if src_n.count() <= _bfs.BROADCAST_FRONTIER_LIMIT
+          else src_n)
+    inter = (nbr.join(sn, on=nbr.dst == src_n.n)
              .filter(F.col("src") != source)
              .groupBy("src").agg(F.count(F.lit(1)).alias("inter")))
     return (inter.join(sizes, on="src").crossJoin(F.broadcast(s_size))

@@ -190,3 +190,15 @@ def test_jaccard_top_batch_shuffle_fallback_equivalent(graph, monkeypatch):
     # the salted pre-rank must be present in the fallback plan
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
+
+
+def test_jaccard_top_shuffle_fallback_equivalent(graph, monkeypatch):
+    """Single-source jaccard_top has the same src_n broadcast gate."""
+    from incubator_hugegraph_spark.operators.similarity import (
+        jaccard_top)
+    want = sorted(map(tuple, jaccard_top(
+        graph, "customer!1", 10, engine="dist").collect()))
+    monkeypatch.setattr(bfs_mod, "BROADCAST_FRONTIER_LIMIT", 0)
+    got = sorted(map(tuple, jaccard_top(
+        graph, "customer!1", 10, engine="dist").collect()))
+    assert got == want
