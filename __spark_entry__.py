@@ -5335,6 +5335,54 @@ def doc_dup_spans(spark, sf_dir):
     return duplicated_spans(_docs(spark, sf_dir), n=3, min_docs=2)
 
 
+@_q("doc_dedup_substrings", """
+WITH toks AS (SELECT doc_id AS id,
+                     list_filter(string_split_regex(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents),
+pos AS (SELECT id,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                      i -> struct_pack(p := i,
+                                       s := array_to_string(t[i:i+2],
+                                                            ' ')))) AS ps
+        FROM toks),
+pos2 AS (SELECT id, ps.p AS pos, ps.s AS s FROM pos),
+dup AS (SELECT s FROM (SELECT s, count(DISTINCT id) AS df
+                       FROM pos2 GROUP BY s) WHERE df >= 2),
+dpos AS (SELECT id, pos FROM pos2 WHERE s IN (SELECT s FROM dup)),
+cov AS (SELECT DISTINCT id, pos + off AS p
+        FROM dpos, unnest([0, 1, 2]) AS o(off)),
+tok2 AS (SELECT id, tp.p AS p, tp.tok AS tok
+         FROM (SELECT id,
+                      unnest(list_transform(range(1, len(t) + 1),
+                             i -> struct_pack(p := i, tok := t[i])))
+                      AS tp
+               FROM toks)),
+kept AS (SELECT tok2.id, tok2.p, tok2.tok FROM tok2
+         ANTI JOIN cov ON cov.id = tok2.id AND cov.p = tok2.p),
+reb AS (SELECT id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY id)
+SELECT toks.id, COALESCE(reb.clean_text, '') AS clean_text,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
+FROM toks LEFT JOIN reb ON reb.id = toks.id
+""")
+def doc_dedup_substrings_q(spark, sf_dir):
+    """Exact-substring REMOVAL (Lee et al. ExactSubstr — the CUT
+    operation; `doc_dup_spans` is the measurement): every token
+    position covered by a 3-gram appearing in >= 2 distinct docs is
+    removed from every doc, survivors reassembled in original order.
+    Spark shape: positional shingles -> df filter -> left-semi ->
+    per-position anti-join -> per-doc array_sort reassembly (the
+    paragraph_dedup pattern) — corpus-token row volume throughout,
+    no pair join, no corpus window, no global sort. The oracle
+    replays the whole chain in SQL including the rebuilt TEXT, so a
+    single mis-kept or mis-ordered token hash-mismatches."""
+    from incubator_hugegraph_spark.data.clean import dedup_substrings
+    return dedup_substrings(_docs(spark, sf_dir), n=3, min_docs=2)
+
+
 @_q("doc_stream_neardup", _minhash_oracle())
 def doc_stream_neardup(spark, sf_dir):
     """Incremental MinHash-LSH near-dup (streaming/incremental.py):
@@ -6857,7 +6905,7 @@ _WINDOW_ORDER = [
     # canonical min-member relabeling, r06 item 4)
     "multimodal_stream_audio_neardup", "multimodal_jpeg_decode",
     "multimodal_gif_decode", "multimodal_cross_codec_neardup",
-    "louvain",
+    "louvain", "doc_dedup_substrings",
     # (b) surfaces the r07 diff touched: jaccard batch top-k gate,
     # ANN salt-phase gate, chunked-Hamming stop-bucket guard, image
     # decode dispatch, louvain companions
@@ -6880,7 +6928,7 @@ _WINDOW_ORDER = [
     "degree_centrality", "eigenvector_centrality",
     "fusiform_similarity", "k_core", "kout_2", "lpa",
     "multi_node_shortest_path", "page_rank", "rings",
-    "shortest_path", "sssp_weighted",
+    "shortest_path",
 ]
 
 

@@ -226,6 +226,68 @@ def duplicated_spans(docs: DataFrame, n: int = 3, min_docs: int = 2,
                     .alias("dup_token_frac")))
 
 
+def dedup_substrings(docs: DataFrame, n: int = 3, min_docs: int = 2,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring REMOVAL (the cut operation of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" —
+    `duplicated_spans` is the measurement, this is the edit): every
+    token position covered by an n-gram appearing in >= ``min_docs``
+    distinct documents is removed from EVERY document; the surviving
+    tokens reassemble in original order. Token-granularity ExactSubstr
+    (the paper cuts at 50 BPE tokens; the n here is the same knob).
+
+    Returns (id, clean_text, n_tokens, n_removed) — one row per doc,
+    empty clean_text when everything was duplicated.
+
+    Scale shape: positional shingles -> doc-frequency filter ->
+    left-semi back on the shingle -> per-position anti-join -> per-doc
+    array_sort reassembly. Row volume is the corpus token count at
+    every stage; no pair join (hot boilerplate n-grams only mark more
+    positions), no corpus-wide window or global sort (the reassembly
+    sorts WITHIN each doc's collected struct array, exactly like
+    dedup.paragraph_dedup)."""
+    from incubator_hugegraph_spark.functions.text import tokenize
+    from incubator_hugegraph_spark.graph import checkpointed
+    toks = tokenize(F.col(text_col))
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    pos_sh = checkpointed(
+        docs.select(F.col(id_col).alias("id"),
+                    F.posexplode(sh).alias("pos", "s")))
+    dup_sh = (pos_sh.select("id", "s").distinct()
+              .groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+              .filter(F.col("df") >= min_docs).select("s"))
+    covered = (pos_sh.join(dup_sh, on="s", how="left_semi")
+               .select("id", F.explode(
+                   F.sequence(F.col("pos"), F.col("pos") + (n - 1)))
+                   .alias("p"))
+               .distinct())
+    tok_pos = docs.select(F.col(id_col).alias("id"),
+                          F.posexplode(toks).alias("p", "tok"))
+    kept = tok_pos.join(covered, on=["id", "p"], how="left_anti")
+    rebuilt = (kept.groupBy("id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("p"), F.col("tok")))),
+                       lambda x: x["tok"]), " ").alias("clean_text"),
+                   F.count(F.lit(1)).alias("n_kept")))
+    nt = docs.select(F.col(id_col).alias("id"),
+                     F.size(toks).cast("long").alias("n_tokens"))
+    return (nt.join(rebuilt, on="id", how="left")
+            .select("id",
+                    F.coalesce("clean_text", F.lit("")).alias(
+                        "clean_text"),
+                    "n_tokens",
+                    (F.col("n_tokens")
+                     - F.coalesce("n_kept", F.lit(0)).cast("long"))
+                    .alias("n_removed")))
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
                     "with")
 

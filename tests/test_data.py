@@ -1879,3 +1879,24 @@ def test_gif_decoder_envelope():
     assert decode_gif_rgb(enc[:len(enc) - 4]) is None
     # garbage -> None
     assert decode_gif_rgb(b"GIF89a" + b"\x00" * 4) is None
+
+
+def test_dedup_substrings_cuts_planted_boilerplate(spark):
+    """ExactSubstr removal (Lee et al.): a 5-token boilerplate
+    planted in 3 docs is cut from ALL of them (every position under
+    a duplicated 3-gram goes); unique text survives in original
+    order; a doc that IS the boilerplate comes back empty."""
+    from incubator_hugegraph_spark.data.clean import dedup_substrings
+    bp = "all rights reserved contact us"
+    docs = spark.createDataFrame(
+        [(1, f"alpha beta {bp} gamma delta"),
+         (2, f"{bp} epsilon zeta"),
+         (3, bp),
+         (4, "totally unique words here")],
+        "doc_id long, text string")
+    got = {r.id: (r.clean_text, r.n_tokens, r.n_removed)
+           for r in dedup_substrings(docs, n=3, min_docs=2).collect()}
+    assert got[1] == ("alpha beta gamma delta", 9, 5)
+    assert got[2] == ("epsilon zeta", 7, 5)
+    assert got[3] == ("", 5, 5)
+    assert got[4] == ("totally unique words here", 4, 0)
