@@ -5728,6 +5728,65 @@ SELECT d1, d2, ROUND(sim, 6) AS sim FROM pairs WHERE sim >= 0.4
 """
 
 
+def _emb_cross_oracle() -> str:
+    """DuckDB SQL reproducing embedding_cross_neardup: per-side LSH
+    bucket tables (same shared plane constants), candidates joined
+    ONLY across sides, exact fold-cosine at the unrounded threshold,
+    round-6 output."""
+    from incubator_hugegraph_spark.data.similarity import (
+        _N_PLANES, _N_TABLES, plane)
+    sig_cols = []
+    for t in range(_N_TABLES):
+        bits = " + ".join(
+            "(CASE WHEN {d} >= 0 THEN {bit} ELSE 0 END)".format(
+                d=_dot_sql("v", "[" + ",".join(
+                    repr(c) for c in plane(t * _N_PLANES + p, _DIM)) + "]"),
+                bit=1 << p)
+            for p in range(_N_PLANES))
+        sig_cols.append(f"({bits}) AS b{t}")
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT id, side, {t} AS tbl, b{t} AS bucket FROM sig"
+        for t in range(_N_TABLES))
+    return f"""
+WITH e AS (SELECT vec_id AS id,
+                  CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END AS side,
+                  CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+sig AS (SELECT id, side, v,
+        {",        ".join(sig_cols)}
+        FROM e),
+buckets AS ({band_selects}),
+cand AS (SELECT DISTINCT l.id AS train_id, r.id AS bench_id
+         FROM buckets l JOIN buckets r
+           ON l.tbl = r.tbl AND l.bucket = r.bucket
+          AND l.side = 0 AND r.side = 1),
+pairs AS (SELECT c.train_id, c.bench_id,
+                 {_cos_sql("e1.v", "e2.v")} AS sim
+          FROM cand c JOIN e e1 ON e1.id = c.train_id
+                      JOIN e e2 ON e2.id = c.bench_id)
+SELECT train_id, bench_id, ROUND(sim, 6) AS sim
+FROM pairs WHERE sim >= 0.4
+"""
+
+
+@_q("emb_cross_neardup", _emb_cross_oracle())
+def emb_cross_neardup_q(spark, sf_dir):
+    """SEMANTIC train×bench decontamination — the embedding cell of
+    the cross-corpus matrix (text exact `doc_decontaminate`, text
+    fuzzy `doc_cross_neardup`, image `multimodal_cross_neardup`):
+    per-side LSH buckets joined only across sides (no train×train
+    work), exact cosine verify at 0.4 (pinned to the synthetic
+    near-orthogonal corpus; real corpora run 0.9+). Split:
+    vec_id % 10."""
+    from incubator_hugegraph_spark.data.dedup import (
+        embedding_cross_neardup)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_cross_neardup(
+        emb.filter(F.col("vec_id") % 10 != 0),
+        emb.filter(F.col("vec_id") % 10 == 0),
+        threshold=0.4, dim=_DIM)
+
+
 @_q("emb_neardup", _emb_neardup_oracle())
 def emb_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs — the semantic-dedup leg:
@@ -6905,7 +6964,7 @@ _WINDOW_ORDER = [
     # canonical min-member relabeling, r06 item 4)
     "multimodal_stream_audio_neardup", "multimodal_jpeg_decode",
     "multimodal_gif_decode", "multimodal_cross_codec_neardup",
-    "louvain", "doc_dedup_substrings",
+    "louvain", "doc_dedup_substrings", "emb_cross_neardup",
     # (b) surfaces the r07 diff touched: jaccard batch top-k gate,
     # ANN salt-phase gate, chunked-Hamming stop-bucket guard, image
     # decode dispatch, louvain companions
@@ -6927,8 +6986,7 @@ _WINDOW_ORDER = [
     "count_edge", "crosspoints", "customized_paths",
     "degree_centrality", "eigenvector_centrality",
     "fusiform_similarity", "k_core", "kout_2", "lpa",
-    "multi_node_shortest_path", "page_rank", "rings",
-    "shortest_path",
+    "multi_node_shortest_path", "page_rank", "shortest_path",
 ]
 
 

@@ -439,6 +439,36 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
             .select("d1", "d2", F.round("sim", 6).alias("sim")))
 
 
+def embedding_cross_neardup(train: DataFrame, bench: DataFrame,
+                            threshold: float = 0.9, dim: int = 64,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """SEMANTIC train×bench decontamination (r07 — fills the
+    embedding cell of the cross-corpus matrix next to cross_neardup's
+    MinHash text leg and hamming_cross_pairs' fingerprint leg): every
+    (train id, bench id) pair with cosine ≥ ``threshold``, found via
+    per-side LSH bucket tables joined ONLY across sides — no
+    train×train or bench×bench candidates are ever formed, so the
+    work is per-side signatures + one cross bucket join regardless of
+    how internally duplicated the training corpus is. Exact cosine
+    verification on the unrounded value; rounding is output-only.
+    Returns (train_id, bench_id, sim)."""
+    from incubator_hugegraph_spark.data.similarity import (
+        cosine, lsh_buckets)
+    lhs = (lsh_buckets(train, dim, id_col, vec_col)
+           .select(F.col("id").alias("train_id"),
+                   F.col("v").alias("v1"), "table", "bucket"))
+    rhs = (lsh_buckets(bench, dim, id_col, vec_col)
+           .select(F.col("id").alias("bench_id"),
+                   F.col("v").alias("v2"), "table", "bucket"))
+    cand = (lhs.join(rhs, on=["table", "bucket"])
+            .dropDuplicates(["train_id", "bench_id"]))
+    return (cand.withColumn("sim", cosine(F.col("v1"), F.col("v2")))
+            .filter(F.col("sim") >= threshold)
+            .select("train_id", "bench_id",
+                    F.round("sim", 6).alias("sim")))
+
+
 def pair_components(pairs: DataFrame, a: str = "d1",
                     b: str = "d2", max_rounds: int = 50) -> DataFrame:
     """Connected components of an undirected pair set → (id, keeper)
