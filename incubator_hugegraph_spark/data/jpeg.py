@@ -273,12 +273,16 @@ def _dht_segment(tclass: int, tid: int, bits, values) -> bytes:
 
 
 def encode_jpeg_rgb(raw: bytes, width: int, height: int,
-                    quant=None) -> bytes:
+                    quant=None, restart_interval: int = 0) -> bytes:
     """REAL baseline JPEG encoder: 4:4:4 YCbCr, all-ones quantization
     by default (near-lossless — the fixture exactness configuration),
     Annex K Huffman tables, differential DC, run-length AC with
     ZRL/EOB, byte stuffing. `raw` is row-major RGB, len = w*h*3.
-    Edge blocks pad by edge replication (cropped on decode)."""
+    Edge blocks pad by edge replication (cropped on decode).
+    ``restart_interval`` > 0 emits a DRI segment and byte-aligned
+    RSTn markers every that many MCUs with DC predictors reset
+    (T.81 B.2.4.4/E.1.4) — the stream shape parallel decoders rely
+    on, and the exerciser for the decoder's resync path."""
     import numpy as np
     assert len(raw) == width * height * 3
     img = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
@@ -300,8 +304,16 @@ def encode_jpeg_rgb(raw: bytes, width: int, height: int,
 
     w = _BitWriter()
     prev_dc = [0, 0, 0]
+    mcu = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and \
+                    mcu % restart_interval == 0:
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + (mcu // restart_interval
+                                              - 1) % 8])
+                prev_dc = [0, 0, 0]
+            mcu += 1
             for comp in range(3):
                 tbl = 0 if comp == 0 else 1
                 block = padded[by * 8:(by + 1) * 8,
@@ -347,9 +359,11 @@ def encode_jpeg_rgb(raw: bytes, width: int, height: int,
     sos = (b"\xff\xda" + struct.pack(">HB", 6 + 2 * 3, 3)
            + bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11])
            + bytes([0, 63, 0]))
+    dri = (b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+           if restart_interval else b"")
     return (b"\xff\xd8"
             + _dqt_segment(0, q) + _dqt_segment(1, q)
-            + sof
+            + dri + sof
             + _dht_segment(0, 0, *STD_DC_LUMA)
             + _dht_segment(1, 0, *STD_AC_LUMA)
             + _dht_segment(0, 1, *STD_DC_CHROMA)

@@ -883,12 +883,15 @@ def audio_fingerprints(assets: DataFrame) -> DataFrame:
 
 
 def resize_image_rgb(payload: bytes, max_side: int) -> bytes | None:
-    """GENUINE nearest-neighbor resize of a decodable RGB PNG:
-    decode → index-map subsample (src = floor(dst*src_dim/dst_dim),
-    the canonical NN grid) → re-encode as PNG. Images already within
-    max_side pass through unchanged; undecodable payloads → None."""
+    """GENUINE nearest-neighbor resize of any decodable image (RGB
+    PNG / baseline JPEG / GIF — the shared decode_image_rgb dispatch,
+    r07): decode → index-map subsample (src = floor(dst*src_dim/
+    dst_dim), the canonical NN grid) → re-encode as PNG (the
+    normalize-to-one-format step a training pipeline wants anyway).
+    Images already within max_side pass through unchanged;
+    undecodable payloads → None."""
     import numpy as np
-    png = decode_png_rgb(payload or b"")
+    png = decode_image_rgb(payload or b"")
     if png is None:
         return None
     w, h, raw = png

@@ -1900,3 +1900,24 @@ def test_dedup_substrings_cuts_planted_boilerplate(spark):
     assert got[2] == ("epsilon zeta", 7, 5)
     assert got[3] == ("", 5, 5)
     assert got[4] == ("totally unique words here", 4, 0)
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn streams (T.81 B.2.4.4): encoding with a restart
+    interval emits byte-aligned RSTn markers with DC predictors
+    reset, and the decoder's resync path reproduces the plain
+    stream's pixels exactly."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.jpeg import (
+        decode_jpeg_rgb, encode_jpeg_rgb)
+    rng = np.random.RandomState(42)
+    w, h = 33, 21
+    raw = rng.randint(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+    plain = decode_jpeg_rgb(encode_jpeg_rgb(raw, w, h))
+    for ri in (1, 2, 5):
+        enc = encode_jpeg_rgb(raw, w, h, restart_interval=ri)
+        assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
+        got = decode_jpeg_rgb(enc)
+        assert got is not None
+        assert bytes(got[2]) == bytes(plain[2])
