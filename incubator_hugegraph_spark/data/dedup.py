@@ -304,11 +304,25 @@ def _hamming_chunks(hashes: DataFrame, hash_col: str, id_col: str,
         .select("id", "h", "cc.chunk", "cc.val"))
 
 
+#: Default per-(chunk,val) bucket cap shared by hamming_near_pairs
+#: and hamming_cross_pairs. A
+#: 16-bit chunk of a CONTENT hash spreads a healthy corpus across
+#: 65k buckets; a bucket this hot means a degenerate fingerprint
+#: (flat images, digital silence, empty text) — the perceptual
+#: analogue of a stopword. Far above anything a real near-dup
+#: cluster produces, so the cap never fires on honest data (capped
+#: ≡ uncapped, equivalence-tested); when it does fire, the quadratic
+#: bucket it removes would have melted one reducer anyway.
+HAMMING_MAX_BUCKET = 100_000
+
+
 def hamming_cross_pairs(left: DataFrame, right: DataFrame,
                         max_hamming: int = 3,
                         hash_col: str = "simhash",
                         id_col: str = "id",
-                        chunk_width: int = 16) -> DataFrame:
+                        chunk_width: int = 16,
+                        max_bucket: int | None = HAMMING_MAX_BUCKET,
+                        ) -> DataFrame:
     """CROSS-CORPUS Hamming near-pairs (train × bench decontamination
     for fingerprinted media/text): every (left id, right id) pair
     within hamming ≤ max_hamming of their 64-bit fingerprints —
@@ -329,23 +343,31 @@ def hamming_cross_pairs(left: DataFrame, right: DataFrame,
     r = (_hamming_chunks(right, hash_col, id_col, chunk_width)
          .select(F.col("id").alias("d2"), F.col("h").alias("s2"),
                  "chunk", "val"))
+    if max_bucket is not None:
+        # same stop-hash policy as hamming_near_pairs (review r07 —
+        # the guard was self-join-only, leaving the decontamination
+        # leg open to a |train_degenerate| x |bench_degenerate| hot
+        # bucket): drop a (chunk,val) bucket when EITHER side exceeds
+        # the cap; a pair is lost only when every chunk it shares is
+        # degenerate on one of its sides.
+        l_ok = (l.groupBy("chunk", "val")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") <= max_bucket)
+                .select("chunk", "val"))
+        r_ok = (r.groupBy("chunk", "val")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") <= max_bucket)
+                .select("chunk", "val"))
+        l = l.join(l_ok, on=["chunk", "val"]).join(
+            r_ok, on=["chunk", "val"], how="left_semi")
+        r = r.join(r_ok, on=["chunk", "val"]).join(
+            l_ok, on=["chunk", "val"], how="left_semi")
     return (l.join(r, on=["chunk", "val"])
             .select("d1", "d2", "s1", "s2").distinct()
             .withColumn("hamming", F.bit_count(
                 F.col("s1").bitwiseXOR(F.col("s2"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("d1", "d2", "hamming"))
-
-
-#: Default per-(chunk,val) bucket cap for hamming_near_pairs. A
-#: 16-bit chunk of a CONTENT hash spreads a healthy corpus across
-#: 65k buckets; a bucket this hot means a degenerate fingerprint
-#: (flat images, digital silence, empty text) — the perceptual
-#: analogue of a stopword. Far above anything a real near-dup
-#: cluster produces, so the cap never fires on honest data (capped
-#: ≡ uncapped, equivalence-tested); when it does fire, the quadratic
-#: bucket it removes would have melted one reducer anyway.
-HAMMING_MAX_BUCKET = 100_000
 
 
 def hamming_near_pairs(hashes: DataFrame, max_hamming: int = 3,

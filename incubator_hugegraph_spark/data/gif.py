@@ -67,6 +67,16 @@ def _lzw_compress(indices, min_code_size: int) -> bytes:
         prefix = (int(v),)
     if prefix:
         emit(table[prefix], width)
+        # the decoder APPENDS a table entry for this final code too
+        # (its appends lag our adds by one emit) — if that append
+        # lands exactly on the 2^width boundary the decoder grows the
+        # code width before reading EOI, so EOI must be written at
+        # the grown width (review r07: a byte-aligned stream whose
+        # final data code hit the 512-entry boundary lost its EOI and
+        # decoded to None; zero-padding masked every other case)
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)

@@ -891,12 +891,19 @@ def resize_image_rgb(payload: bytes, max_side: int) -> bytes | None:
     Images already within max_side pass through unchanged;
     undecodable payloads → None."""
     import numpy as np
-    png = decode_image_rgb(payload or b"")
+    b = bytes(payload or b"")
+    png = decode_image_rgb(b)
     if png is None:
         return None
     w, h, raw = png
     if max(w, h) <= max_side:
-        return bytes(payload)
+        # already-small images still NORMALIZE to PNG (review r07:
+        # the pass-through leaked JPEG/GIF bytes into the "one
+        # format out" contract once the decode dispatch grew legs);
+        # PNGs pass through byte-identical.
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            return b
+        return encode_png_rgb(bytes(raw), w, h)
     w2 = max(1, w * max_side // max(w, h))
     h2 = max(1, h * max_side // max(w, h))
     img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, 3)

@@ -213,9 +213,12 @@ def lsh_ann_topk(emb: DataFrame, query_ids: list[int], k: int, dim: int,
             .dropDuplicates(["query_id", "id"]))
     scored = cand.withColumn(
         "sim", F.round(cosine(F.col("qv"), F.col("v")), 6))
-    # a query's deduped candidate set is bounded by the corpus; for
-    # parquet sources this count is metadata-only (count-star rewrite)
-    return _topk_per_query(scored, k, max_candidates=emb.count())
+    # a query's deduped candidate set is bounded by the corpus; the
+    # probe is limit-bounded so a derived (non-parquet) frame pays at
+    # most a 1M-row scan, never a full corpus count (review r07) —
+    # the gate only needs the boolean "under the threshold"
+    probe = emb.limit(SALT_TOPK_MIN_CORPUS).count()
+    return _topk_per_query(scored, k, max_candidates=probe)
 
 
 def kmeans_centroids(base: DataFrame, n_cells: int, dim: int,
@@ -287,8 +290,10 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
             .filter(F.col("id") != F.col("query_id")))
     scored = cand.withColumn(
         "sim", F.round(cosine(F.col("qv"), F.col("v")), 6))
-    # candidates per query ≤ corpus; metadata-only count for parquet
-    return _topk_per_query(scored, k, max_candidates=emb.count())
+    # candidates per query ≤ corpus; limit-bounded probe as in
+    # lsh_ann_topk (review r07)
+    probe = emb.limit(SALT_TOPK_MIN_CORPUS).count()
+    return _topk_per_query(scored, k, max_candidates=probe)
 
 
 def kmeans_cluster_stats(emb: DataFrame, n_cells: int = 8,

@@ -1848,6 +1848,51 @@ def test_dhash_rides_pixels_across_codecs():
     assert bin((hp ^ hj) & ((1 << 64) - 1)).count("1") <= 2
 
 
+def test_gif_lzw_boundaries():
+    """LZW code-width boundaries and the 4096-entry re-clear (review
+    r07): the final data code's table append can land exactly on a
+    2^width boundary, growing the DECODER's width before EOI — the
+    encoder must write EOI at the grown width (regression: a
+    byte-aligned de Bruijn stream at the 512-entry boundary decoded
+    to None). High-entropy inputs long enough to force the dictionary
+    re-clear round-trip exactly."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.gif import (
+        decode_gif_rgb, encode_gif_gray)
+
+    def de_bruijn_256_2():
+        import sys as _sys
+        _sys.setrecursionlimit(100_000)
+        a = [0] * 512
+        seq: list = []
+
+        def db(t, p):
+            if t > 2:
+                if 2 % p == 0:
+                    seq.extend(a[1:p + 1])
+            else:
+                a[t] = a[t - p]
+                db(t + 1, p)
+                for j in range(a[t - p] + 1, 256):
+                    a[t] = j
+                    db(t + 1, t)
+
+        db(1, 1)
+        return seq
+
+    base = de_bruijn_256_2() * 3
+    # 4093 = the recorded EOI-boundary repro; 255/1021 sit on earlier
+    # width boundaries; 14400 forces a mid-stream dictionary re-clear
+    for L in (255, 1021, 4093, 14400):
+        data = bytes(base[:L])
+        got = decode_gif_rgb(encode_gif_gray(data, L, 1))
+        assert got is not None, f"len {L} decoded to None"
+        want = np.repeat(np.frombuffer(data, dtype=np.uint8),
+                         3).tobytes()
+        assert bytes(got[2]) == want, f"len {L} pixel mismatch"
+
+
 def test_gif_decoder_envelope():
     """decode_gif_rgb handles the spec's corner cases and returns
     None (never raises) outside its envelope: KwKwK codes (constant
@@ -1921,3 +1966,64 @@ def test_jpeg_restart_markers_roundtrip():
         got = decode_jpeg_rgb(enc)
         assert got is not None
         assert bytes(got[2]) == bytes(plain[2])
+
+
+def test_hamming_cross_hot_bucket_guard(spark):
+    """The stop-hash guard covers the cross-corpus leg too (review
+    r07): a degenerate fingerprint massive on BOTH sides cannot form
+    a |train| x |bench| bucket; honest cross pairs survive, and the
+    capped default equals the exact kernel on healthy data."""
+    from incubator_hugegraph_spark.data.dedup import hamming_cross_pairs
+    left = spark.range(5_000).select(
+        F.col("id"), F.lit(0).cast("long").alias("fp")).unionByName(
+        spark.createDataFrame([(900_001, 0x0F0F0F0F0F0F0F0F)],
+                              "id long, fp long"))
+    right = spark.range(5_000).select(
+        (F.col("id") + 10_000).alias("id"),
+        F.lit(0).cast("long").alias("fp")).unionByName(
+        spark.createDataFrame([(900_002, 0x0F0F0F0F0F0F0F0E)],
+                              "id long, fp long"))
+    got = {(r.d1, r.d2) for r in hamming_cross_pairs(
+        left, right, 3, hash_col="fp", id_col="id",
+        max_bucket=50).collect()}
+    assert got == {(900_001, 900_002)}
+    exact = {(r.d1, r.d2, r.hamming) for r in hamming_cross_pairs(
+        left.filter(F.col("id") > 100_000),
+        right.filter(F.col("id") > 100_000),
+        3, hash_col="fp", id_col="id", max_bucket=None).collect()}
+    capped = {(r.d1, r.d2, r.hamming) for r in hamming_cross_pairs(
+        left.filter(F.col("id") > 100_000),
+        right.filter(F.col("id") > 100_000),
+        3, hash_col="fp", id_col="id").collect()}
+    assert exact == capped == {(900_001, 900_002, 1)}
+
+
+def test_resize_normalizes_all_codecs_to_png():
+    """resize_image_rgb's one-format-out contract (review r07): small
+    JPEG/GIF inputs re-encode to PNG with identical pixels; small
+    PNGs pass through byte-identical; oversized inputs of any codec
+    come out as resized PNGs."""
+    import numpy as np
+    from incubator_hugegraph_spark.data.gif import encode_gif_gray
+    from incubator_hugegraph_spark.data.jpeg import encode_jpeg_rgb
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_png_rgb, encode_png_rgb, resize_image_rgb,
+        synth_media_bytes)
+    gray = synth_media_bytes(3, 8 * 8).reshape(8, 8)
+    rgb = np.stack([gray] * 3, axis=2).astype(np.uint8).tobytes()
+    png = encode_png_rgb(rgb, 8, 8)
+    assert resize_image_rgb(png, 16) == png  # byte-identical
+    for enc, tol in ((encode_jpeg_rgb(rgb, 8, 8), 6),   # lossy codec
+                     (encode_gif_gray(gray.astype(np.uint8).tobytes(),
+                                      8, 8), 0)):        # lossless
+        out = resize_image_rgb(enc, 16)
+        assert out is not None and out[:8] == b"\x89PNG\r\n\x1a\n"
+        got = decode_png_rgb(out)
+        assert got is not None
+        diff = np.abs(
+            np.frombuffer(bytes(got[2]), dtype=np.uint8).astype(int)
+            - np.frombuffer(rgb, dtype=np.uint8).astype(int))
+        assert diff.max() <= tol
+        big = resize_image_rgb(enc, 4)
+        assert big is not None and big[:8] == b"\x89PNG\r\n\x1a\n"
+        assert decode_png_rgb(big)[0] == 4

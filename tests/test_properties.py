@@ -480,8 +480,10 @@ def test_jpeg_block_constant_exact_property(bw, bh, asset_id):
 def test_gif_roundtrip_property(w, h, seed):
     """encode_gif_gray → decode_gif_rgb is the IDENTITY on arbitrary
     grayscale buffers (GIF LZW is lossless): pixels replicate to RGB
-    exactly. Covers variable code widths, dictionary growth and the
-    4096-entry re-clear on larger inputs."""
+    exactly. Covers variable code widths and dictionary growth up to
+    ~3.6k entries; the 4096-entry re-clear and the width-boundary EOI
+    cases live in test_data.test_gif_lzw_boundaries (review r07 —
+    60x60 inputs can never reach the re-clear)."""
     import numpy as np
 
     from incubator_hugegraph_spark.data.gif import (
