@@ -5608,6 +5608,29 @@ def emb_ivf_ann(spark, sf_dir):
     return ivf_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], 10)
 
 
+@_q("emb_ivf_index_ann", _ivf_ann_oracle())
+def emb_ivf_index_ann_q(spark, sf_dir):
+    """The PERSISTED-index ANN path (data/ann_index.py, r07): build
+    the IVF index as parquet partitioned by cell, then answer the
+    same top-10 queries through a partition-pruned read (centroids
+    collect driver-side, probes choose cells there, the scan carries
+    `cell IN (...)` as a PartitionFilter — plan-asserted in pytest).
+    Gated by the SAME oracle as emb_ivf_ann: index + prune + re-rank
+    must reproduce the in-memory kernel row-for-row, which the SQL
+    recomputes from first principles. The index-once/query-many
+    shape is THE 100 TB ANN serving plan."""
+    import tempfile
+
+    from incubator_hugegraph_spark.data.ann_index import (
+        ivf_index_topk,
+        write_ivf_index,
+    )
+    d = tempfile.mkdtemp(prefix="ivf_index_")
+    write_ivf_index(_emb(spark, sf_dir), f"{d}/ivf", n_cells=16)
+    return ivf_index_topk(spark, f"{d}/ivf", [0, 1, 2, 3, 4], 10,
+                          n_probe=4)
+
+
 def _kmeans_stats_oracle(n_cells: int = 8) -> str:
     """DuckDB SQL reproducing kmeans_cluster_stats with n_iters=1:
     seeds = first n_cells ids, assign by fold-cosine argmax (tie →
@@ -6965,6 +6988,7 @@ _WINDOW_ORDER = [
     "multimodal_stream_audio_neardup", "multimodal_jpeg_decode",
     "multimodal_gif_decode", "multimodal_cross_codec_neardup",
     "louvain", "doc_dedup_substrings", "emb_cross_neardup",
+    "emb_ivf_index_ann",
     # (b) surfaces the r07 diff touched: jaccard batch top-k gate,
     # ANN salt-phase gate, chunked-Hamming stop-bucket guard, image
     # decode dispatch, louvain companions
@@ -6986,7 +7010,7 @@ _WINDOW_ORDER = [
     "count_edge", "crosspoints", "customized_paths",
     "degree_centrality", "eigenvector_centrality",
     "fusiform_similarity", "k_core", "kout_2", "lpa",
-    "multi_node_shortest_path", "page_rank", "shortest_path",
+    "multi_node_shortest_path", "page_rank",
 ]
 
 

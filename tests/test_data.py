@@ -2027,3 +2027,42 @@ def test_resize_normalizes_all_codecs_to_png():
         big = resize_image_rgb(enc, 4)
         assert big is not None and big[:8] == b"\x89PNG\r\n\x1a\n"
         assert decode_png_rgb(big)[0] == 4
+
+
+def test_ann_index_pruned_and_row_identical(spark, tmp_path):
+    """Persisted ANN indexes (data/ann_index.py): the write-side
+    counterpart of ivf_topk/lsh_ann_topk. Results must be
+    row-identical to the in-memory kernels (same centroids, planes,
+    rank order), and the query scans must carry PartitionFilters on
+    the bucket key — the index-once/query-many 100 TB shape where a
+    probe reads directories, never the corpus."""
+    from tests.conftest import SF_DIR
+
+    from incubator_hugegraph_spark.data.ann_index import (
+        ivf_index_topk, lsh_index_topk, write_ivf_index,
+        write_lsh_index)
+    from incubator_hugegraph_spark.data.similarity import (
+        ivf_topk, lsh_ann_topk)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 1, 2]
+    base = str(tmp_path)
+
+    import re
+
+    write_ivf_index(emb, f"{base}/ivf", n_cells=16)
+    want = sorted(map(tuple, ivf_topk(emb, qids, 10).collect()))
+    idx = ivf_index_topk(spark, f"{base}/ivf", qids, 10, n_probe=4)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[cell#\d+ (INSET|IN)", plan)
+    assert sorted(map(tuple, idx.collect())) == want
+
+    row = emb.select("embedding").first()
+    dim = len(row[0])
+    write_lsh_index(emb, f"{base}/lsh", dim)
+    qvecs = [(r["vec_id"], list(r["embedding"]))
+             for r in emb.filter(emb.vec_id.isin(qids)).collect()]
+    want = sorted(map(tuple, lsh_ann_topk(emb, qids, 10, dim).collect()))
+    lidx = lsh_index_topk(spark, f"{base}/lsh", dim, qvecs, 10)
+    lplan = lidx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [struct(table" in lplan
+    assert sorted(map(tuple, lidx.collect())) == want
