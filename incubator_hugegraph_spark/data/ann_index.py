@@ -7,12 +7,18 @@ counterpart the similarity-module docstrings promise: the bucket
 table lands as parquet PARTITIONED BY its bucket key, and the query
 path computes the query's buckets DRIVER-SIDE (the centroid table /
 hyperplane signatures are tiny, pure Python) so the scan carries a
-partition filter — Spark reads n_probe cells (IVF) or L buckets
-(LSH) and never the corpus. The pruning is plan-visible
-(`InMemoryFileIndex` selects the matching directories; asserted via
-inputFiles() in tests) and the results are row-identical to the
-in-memory kernels by construction: same centroids, same planes, same
-(sim desc, id asc) re-rank.
+partition filter — Spark reads n_probe cells (IVF) or the queries'
+buckets (LSH) and never the corpus. The pruning is plan-visible
+(PartitionFilters on the scan; asserted in tests) and the results
+are row-identical to the in-memory kernels by construction: the
+SAME _assign_cells/plane functions, the same (sim desc, id asc)
+re-rank.
+
+Index parameters (dim, n_planes, n_tables) persist in a `meta`
+side-file at build time and are REREAD at query time — a query can
+never silently hash with different planes than the index was built
+with (review r07: the in-memory kernel gained exactly this guard in
+r06 for the dim-mismatch silent-collapse failure).
 
 Reference behavior parity: none — the reference (hugegraph) has no
 vector tier; this serves the training-data-pipeline brief.
@@ -26,6 +32,7 @@ from pyspark.sql import functions as F
 from incubator_hugegraph_spark.data.similarity import (
     _N_PLANES,
     _N_TABLES,
+    _assign_cells,
     _to_double,
     _topk_per_query,
     SALT_TOPK_MIN_CORPUS,
@@ -45,9 +52,9 @@ def write_ivf_index(emb: DataFrame, path: str, n_cells: int = 16,
     `cell` (one directory per inverted list — the layout that makes
     a probe a partition-pruned read); centroids land beside them
     (``path``/centroids, n_cells rows — driver-sized forever).
-    Same deterministic centroids as ivf_topk (first n_cells ids +
-    ``n_iters`` Lloyd rounds), so indexed queries reproduce the
-    in-memory kernel row-for-row."""
+    Same deterministic centroids and the SAME _assign_cells kernel
+    as ivf_topk, so indexed queries reproduce the in-memory kernel
+    row-for-row."""
     base = emb.select(F.col(id_col).alias("id"),
                       _to_double(vec_col).alias("v"))
     row = emb.select(vec_col).first()
@@ -55,34 +62,49 @@ def write_ivf_index(emb: DataFrame, path: str, n_cells: int = 16,
         raise ValueError("write_ivf_index: empty corpus")
     dim = len(row[0])
     cents = kmeans_centroids(base, n_cells, dim, n_iters)
-    from pyspark.sql.window import Window
-    assigned = (base.crossJoin(F.broadcast(cents))
-                .withColumn("d", cosine(F.col("v"), F.col("cv"))))
-    w = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("cell"))
-    assigned = (assigned.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1).select("id", "v", "cell"))
+    assigned = _assign_cells(base, cents).select("id", "v", "cell")
     (assigned.write.mode("overwrite").partitionBy("cell")
      .parquet(f"{path}/vectors"))
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    spark = emb.sparkSession
+    spark.createDataFrame([(dim,)], "dim int") \
+        .write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def ivf_index_topk(spark: SparkSession, path: str,
                    query_ids: list[int], k: int,
-                   n_probe: int = 4) -> DataFrame:
+                   n_probe: int = 4,
+                   query_vecs: list[tuple[int, list[float]]]
+                   | None = None) -> DataFrame:
     """Query a persisted IVF index: the centroid table (n_cells rows)
     collects to the driver, each query's n_probe nearest cells are
     chosen THERE, and the vector scan carries
     `cell IN (<probed cells>)` — a PartitionFilter, so Spark lists
     and reads only those directories. Exact cosine re-rank within
     the probed cells; row-identical to ivf_topk under the same
-    build configuration. Returns (query_id, neighbor_id, sim)."""
+    build configuration. Returns (query_id, neighbor_id, sim).
+
+    Pass ``query_vecs`` [(id, vector), ...] to skip the by-id vector
+    lookup — the zero-corpus-IO serving path (review r07: looking
+    ids up in the index itself is one unpruned pass over the
+    vectors, fine for parity checks, wrong as the steady-state
+    100 TB query path)."""
     import math
 
+    meta = spark.read.parquet(f"{path}/meta").first()
+    dim = int(meta["dim"])
     cents = [(r["cell"], list(r["cv"])) for r in
              spark.read.parquet(f"{path}/centroids").collect()]
     vectors = spark.read.parquet(f"{path}/vectors")
-    qrows = (vectors.filter(F.col("id").isin(query_ids))
-             .select("id", "v").collect())
+    if query_vecs is None:
+        query_vecs = [(r["id"], list(r["v"])) for r in
+                      (vectors.filter(F.col("id").isin(query_ids))
+                       .select("id", "v").collect())]
+    for qid, qv in query_vecs:
+        if len(qv) != dim:
+            raise ValueError(
+                f"ivf_index_topk: query {qid} is {len(qv)}-dim but "
+                f"the index was built at dim={dim}")
 
     def cos(a: list[float], b: list[float]) -> float:
         num = sum(x * y for x, y in zip(a, b))
@@ -92,25 +114,29 @@ def ivf_index_topk(spark: SparkSession, path: str,
 
     probe_cells: set = set()
     q_probe = []
-    for r in qrows:
-        qv = list(r["v"])
+    for qid, qv in query_vecs:
+        qv = [float(x) for x in qv]
+        # same tie-break as ivf_topk's F.asc("cell") — raw value,
+        # never a string key (str order would flip numeric ties)
         ranked = sorted(((cos(qv, cv), cell) for cell, cv in cents),
                         key=lambda t: (-t[0], t[1]))[:n_probe]
         cells = [cell for _, cell in ranked]
         probe_cells.update(cells)
-        q_probe.append((r["id"], qv, cells))
+        q_probe.append((qid, qv, cells))
     if not q_probe:
         return (vectors.select(F.col("id").alias("query_id"),
                                F.col("id").alias("neighbor_id"),
                                F.lit(0.0).alias("sim")).limit(0))
     # the IN-list on the PARTITION column is the whole point: the
-    # file index prunes to |probe_cells| directories before any IO
-    pruned = vectors.filter(F.col("cell").isin(*probe_cells))
+    # file index prunes to |probe_cells| directories before any IO.
     # one (query, probed cell) row each → plain equi-join on the
-    # partition column (hash join), not a nested-loop array probe
+    # partition column (hash join), not a nested-loop array probe.
+    # cell rides the id column's type (long — review r07: an int
+    # schema rejected snowflake/hash-style ids at query time).
+    pruned = vectors.filter(F.col("cell").isin(*probe_cells))
     qdf = spark.createDataFrame(
         [(qid, qv, c) for qid, qv, cells in q_probe for c in cells],
-        "query_id long, qv array<double>, cell int")
+        "query_id long, qv array<double>, cell long")
     cand = (pruned.join(F.broadcast(qdf), on="cell")
             .filter(F.col("id") != F.col("query_id")))
     scored = cand.withColumn(
@@ -123,28 +149,63 @@ def write_lsh_index(emb: DataFrame, path: str, dim: int,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     n_planes: int = _N_PLANES,
-                    n_tables: int = _N_TABLES) -> None:
+                    n_tables: int = _N_TABLES,
+                    store_vectors: bool = True) -> None:
     """Persist the hyperplane-LSH bucket table partitioned by
     (table, bucket) — the write-side index lsh_buckets' docstring
-    describes: a query reads L directories, never the corpus. The
-    planes are pure functions of (table, plane, dim) shared with the
-    in-memory kernel, so the driver can recompute any query's bucket
-    without touching the index."""
+    describes: a query reads its buckets' directories, never the
+    corpus. Build parameters land in a `meta` side-file the query
+    path rereads, so query-time plane recomputation can never drift
+    from the build.
+
+    ``store_vectors`` picks the storage/IO tradeoff (review r07:
+    the default duplicates every vector once per table —
+    n_tables × corpus on disk):
+      True  — vectors ride the bucket rows; a query's re-rank reads
+              ONLY the pruned directories (zero extra IO, n_tables×
+              storage).
+      False — buckets store (id, table, bucket) only (≈1× storage)
+              plus one (id, v) side table; the re-rank fetches
+              candidate vectors with an id IN-list semi-filter —
+              one bounded pass over the side table per query batch
+              (parquet row-group stats skip non-matching groups)."""
     sig = lsh_buckets(emb, dim, id_col, vec_col, n_planes, n_tables)
-    (sig.write.mode("overwrite").partitionBy("table", "bucket")
-     .parquet(f"{path}/buckets"))
+    cols = ["id", "v", "table", "bucket"] if store_vectors \
+        else ["id", "table", "bucket"]
+    (sig.select(*cols).write.mode("overwrite")
+     .partitionBy("table", "bucket").parquet(f"{path}/buckets"))
+    if not store_vectors:
+        (emb.select(F.col(id_col).alias("id"),
+                    _to_double(vec_col).alias("v"))
+         .write.mode("overwrite").parquet(f"{path}/vectors"))
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(dim, n_planes, n_tables, store_vectors)],
+        "dim int, n_planes int, n_tables int, store_vectors boolean") \
+        .write.mode("overwrite").parquet(f"{path}/meta")
 
 
-def lsh_index_topk(spark: SparkSession, path: str, dim: int,
-                   query_vecs: list[tuple[int, list[float]]], k: int,
-                   n_planes: int = _N_PLANES,
-                   n_tables: int = _N_TABLES) -> DataFrame:
+def lsh_index_topk(spark: SparkSession, path: str,
+                   query_vecs: list[tuple[int, list[float]]],
+                   k: int) -> DataFrame:
     """Query a persisted LSH index with explicit (query_id, vector)
     pairs: each query's per-table bucket is computed DRIVER-SIDE from
-    the shared plane functions, and the scan filter
+    the plane family recorded in the index's meta file (dim and
+    plane counts are validated against every query vector — a
+    mismatched vector raises instead of silently hashing into the
+    wrong buckets, review r07), and the scan filter
     `(table, bucket) IN (...)` prunes to at most |Q|·L directories.
     Exact cosine re-rank within candidates; same (sim desc, id asc)
     order as lsh_ann_topk. Returns (query_id, neighbor_id, sim)."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    dim, n_planes, n_tables = (int(meta["dim"]), int(meta["n_planes"]),
+                               int(meta["n_tables"]))
+    store_vectors = bool(meta["store_vectors"])
+    for qid, qv in query_vecs:
+        if len(qv) != dim:
+            raise ValueError(
+                f"lsh_index_topk: query {qid} is {len(qv)}-dim but "
+                f"the index was built at dim={dim}")
     planes = [[plane(t * n_planes + p, dim) for p in range(n_planes)]
               for t in range(n_tables)]
 
@@ -176,6 +237,9 @@ def lsh_index_topk(spark: SparkSession, path: str, dim: int,
     cand = (pruned.join(F.broadcast(qdf), on=["table", "bucket"])
             .filter(F.col("id") != F.col("query_id"))
             .dropDuplicates(["query_id", "id"]))
+    if not store_vectors:
+        vectors = spark.read.parquet(f"{path}/vectors")
+        cand = cand.join(vectors, on="id")
     scored = cand.withColumn(
         "sim", F.round(cosine(F.col("qv"), F.col("v")), 6))
     probe = pruned.limit(SALT_TOPK_MIN_CORPUS).count()

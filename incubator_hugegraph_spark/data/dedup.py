@@ -358,10 +358,10 @@ def hamming_cross_pairs(left: DataFrame, right: DataFrame,
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .filter(F.col("__n") <= max_bucket)
                 .select("chunk", "val"))
-        l = l.join(l_ok, on=["chunk", "val"]).join(
-            r_ok, on=["chunk", "val"], how="left_semi")
-        r = r.join(r_ok, on=["chunk", "val"]).join(
-            l_ok, on=["chunk", "val"], how="left_semi")
+        l = (l.join(l_ok, on=["chunk", "val"], how="left_semi")
+             .join(r_ok, on=["chunk", "val"], how="left_semi"))
+        r = (r.join(r_ok, on=["chunk", "val"], how="left_semi")
+             .join(l_ok, on=["chunk", "val"], how="left_semi"))
     return (l.join(r, on=["chunk", "val"])
             .select("d1", "d2", "s1", "s2").distinct()
             .withColumn("hamming", F.bit_count(

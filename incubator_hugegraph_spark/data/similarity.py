@@ -251,6 +251,21 @@ def kmeans_centroids(base: DataFrame, n_cells: int, dim: int,
     return cents
 
 
+def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every (id, v) row to its nearest centroid — THE
+    assignment idiom shared by ivf_topk, kmeans_cluster_stats and
+    ann_index.write_ivf_index (review r07: three verbatim copies
+    meant a tie-break tweak in one would silently break the
+    oracle-gated parity of the others). Broadcast crossJoin +
+    argmax cosine, ties to the lower cell id. Returns
+    (id, v, cell, d) with d = the winning cosine."""
+    assigned = (base.crossJoin(F.broadcast(cents))
+                .withColumn("d", cosine(F.col("v"), F.col("cv"))))
+    w = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("cell"))
+    return (assigned.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).select("id", "v", "cell", "d"))
+
+
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
              n_cells: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -269,14 +284,10 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
                            F.lit(0.0).alias("sim")).limit(0)
     dim = len(row[0])
     cents = kmeans_centroids(base, n_cells, dim, n_iters)
-    assigned = (base.crossJoin(F.broadcast(cents))
-                .withColumn("d", cosine(F.col("v"), F.col("cv"))))
-    w_assign = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("cell"))
     # not checkpointed: the query-side consumer's isin filter pushes
     # below the window (partitioned by id), so its recompute is
     # |Q|-sized — same measured rationale as lsh_ann_topk above
-    assigned = (assigned.withColumn("__rn", F.row_number().over(w_assign))
-                .filter(F.col("__rn") == 1).select("id", "v", "cell"))
+    assigned = _assign_cells(base, cents).select("id", "v", "cell")
     q = (assigned.filter(F.col("id").isin(query_ids))
          .select(F.col("id").alias("query_id"), F.col("v").alias("qv")))
     qcells = (q.crossJoin(F.broadcast(cents))
@@ -319,11 +330,7 @@ def kmeans_cluster_stats(emb: DataFrame, n_cells: int = 8,
                            F.lit(0.0).alias("mean_sim")).limit(0)
     dim = len(row[0])
     cents = kmeans_centroids(base, n_cells, dim, n_iters)
-    assigned = (base.crossJoin(F.broadcast(cents))
-                .withColumn("d", cosine(F.col("v"), F.col("cv"))))
-    w = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("cell"))
-    assigned = (assigned.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1))
+    assigned = _assign_cells(base, cents)
     return (assigned.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("size"),
                  F.round(F.avg(F.round(F.col("d"), 6)), 4)

@@ -2058,11 +2058,23 @@ def test_ann_index_pruned_and_row_identical(spark, tmp_path):
 
     row = emb.select("embedding").first()
     dim = len(row[0])
-    write_lsh_index(emb, f"{base}/lsh", dim)
     qvecs = [(r["vec_id"], list(r["embedding"]))
              for r in emb.filter(emb.vec_id.isin(qids)).collect()]
     want = sorted(map(tuple, lsh_ann_topk(emb, qids, 10, dim).collect()))
-    lidx = lsh_index_topk(spark, f"{base}/lsh", dim, qvecs, 10)
-    lplan = lidx._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [struct(table" in lplan
-    assert sorted(map(tuple, lidx.collect())) == want
+    # both storage modes must agree with the in-memory kernel: the
+    # n_tables-x layout (vectors ride the buckets) and the 1x layout
+    # (id-only buckets + a (id, v) side table fetched at re-rank)
+    for sv, sub in ((True, "lsh"), (False, "lsh1x")):
+        write_lsh_index(emb, f"{base}/{sub}", dim, store_vectors=sv)
+        lidx = lsh_index_topk(spark, f"{base}/{sub}", qvecs, 10)
+        lplan = lidx._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [struct(table" in lplan
+        assert sorted(map(tuple, lidx.collect())) == want
+    # a query vector that disagrees with the build dim raises loudly
+    # instead of silently hashing into the wrong buckets
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dim"):
+        lsh_index_topk(spark, f"{base}/lsh", [(0, [1.0, 2.0])], 10)
+    with _pytest.raises(ValueError, match="dim"):
+        ivf_index_topk(spark, f"{base}/ivf", [0], 10,
+                       query_vecs=[(0, [1.0, 2.0])])
