@@ -244,3 +244,31 @@ def lsh_index_topk(spark: SparkSession, path: str,
         "sim", F.round(cosine(F.col("qv"), F.col("v")), 6))
     probe = pruned.limit(SALT_TOPK_MIN_CORPUS).count()
     return _topk_per_query(scored, k, max_candidates=probe)
+
+
+def append_ivf_index(emb_batch: DataFrame, path: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Fold a batch of NEW vectors into a persisted IVF index —
+    index maintenance under ingest (the foreachBatch body for a
+    streaming corpus): the batch is assigned against the FROZEN
+    persisted centroids (same _assign_cells kernel, so an appended
+    index is bit-identical to one built in a single shot with the
+    same centroid set) and APPENDED to the cell directories.
+    Dynamic-partition append touches only the batch's cells; the
+    centroid and meta side-files are immutable after build. Periodic
+    re-clustering (centroid drift) is a full rebuild by design —
+    cheap relative to the corpus scan it needs anyway."""
+    meta = emb_batch.sparkSession.read.parquet(f"{path}/meta").first()
+    dim = int(meta["dim"])
+    base = emb_batch.select(F.col(id_col).alias("id"),
+                            _to_double(vec_col).alias("v"))
+    row = base.select(F.size("v").alias("n")).first()
+    if row is not None and row["n"] != dim:
+        raise ValueError(
+            f"append_ivf_index: batch vectors are {row['n']}-dim but "
+            f"the index was built at dim={dim}")
+    cents = emb_batch.sparkSession.read.parquet(f"{path}/centroids")
+    assigned = _assign_cells(base, cents).select("id", "v", "cell")
+    (assigned.write.mode("append").partitionBy("cell")
+     .parquet(f"{path}/vectors"))

@@ -2078,3 +2078,37 @@ def test_ann_index_pruned_and_row_identical(spark, tmp_path):
     with _pytest.raises(ValueError, match="dim"):
         ivf_index_topk(spark, f"{base}/ivf", [0], 10,
                        query_vecs=[(0, [1.0, 2.0])])
+
+
+def test_ivf_index_incremental_append(spark, tmp_path):
+    """Index maintenance under ingest: building on a prefix and
+    appending the rest in batches (frozen centroids) must yield a
+    query-identical index to assigning the full corpus against the
+    same centroids in one shot - and the appended vectors must be
+    findable."""
+    from tests.conftest import SF_DIR
+
+    from incubator_hugegraph_spark.data.ann_index import (
+        append_ivf_index, ivf_index_topk, write_ivf_index)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    seed = emb.filter(F.col("vec_id") < 100)
+    rest1 = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 300))
+    rest2 = emb.filter(F.col("vec_id") >= 300)
+    base = str(tmp_path)
+    write_ivf_index(seed, f"{base}/inc", n_cells=8)
+    append_ivf_index(rest1, f"{base}/inc")
+    append_ivf_index(rest2, f"{base}/inc")
+    got = sorted(map(tuple, ivf_index_topk(
+        spark, f"{base}/inc", [0, 1], 5, n_probe=8).collect()))
+    # reference: same frozen centroids (seed-derived — n_cells=8 over
+    # vec_id<100 picks the same seeds), full corpus in one shot
+    write_ivf_index(seed, f"{base}/ref", n_cells=8)
+    append_ivf_index(emb.filter(F.col("vec_id") >= 100), f"{base}/ref")
+    want = sorted(map(tuple, ivf_index_topk(
+        spark, f"{base}/ref", [0, 1], 5, n_probe=8).collect()))
+    assert got == want and len(got) == 10
+    # with n_probe == n_cells the probe covers every cell, so the
+    # result must equal brute-force cosine top-5 over the full corpus
+    from incubator_hugegraph_spark.data.similarity import cosine_topk
+    brute = sorted(map(tuple, cosine_topk(emb, [0, 1], 5).collect()))
+    assert got == brute
