@@ -202,3 +202,26 @@ def test_jaccard_top_shuffle_fallback_equivalent(graph, monkeypatch):
     got = sorted(map(tuple, jaccard_top(
         graph, "customer!1", 10, engine="dist").collect()))
     assert got == want
+
+
+def test_ann_salted_topk_fallback_equivalent(spark, monkeypatch):
+    """The salted two-phase ANN re-rank went dormant at test SFs once
+    the corpus-size gate landed (plain window below 1M candidates).
+    Forcing the threshold to 0 must flip every ANN path onto the
+    salted plan with bit-identical results — the branch that actually
+    runs at 100 TB stays covered."""
+    import incubator_hugegraph_spark.data.similarity as sim
+    from tests.conftest import SF_DIR
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 1, 2]
+    dim = len(emb.select("embedding").first()[0])
+    want_ivf = sorted(map(tuple, sim.ivf_topk(emb, qids, 10).collect()))
+    want_lsh = sorted(map(tuple,
+                          sim.lsh_ann_topk(emb, qids, 10, dim).collect()))
+    monkeypatch.setattr(sim, "SALT_TOPK_MIN_CORPUS", 0)
+    got_ivf = sim.ivf_topk(emb, qids, 10)
+    plan = got_ivf._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    assert sorted(map(tuple, got_ivf.collect())) == want_ivf
+    assert sorted(map(tuple, sim.lsh_ann_topk(
+        emb, qids, 10, dim).collect())) == want_lsh
