@@ -63,7 +63,12 @@ def write_ivf_index(emb: DataFrame, path: str, n_cells: int = 16,
     dim = len(row[0])
     cents = kmeans_centroids(base, n_cells, dim, n_iters)
     assigned = _assign_cells(base, cents).select("id", "v", "cell")
-    (assigned.write.mode("overwrite").partitionBy("cell")
+    # batch=-1 marks the initial build; appends add batch=<id>
+    # partitions at the SAME depth (parquet partition discovery
+    # requires uniform directory structure). cell stays the FIRST
+    # level, so probe pruning is unaffected.
+    (assigned.withColumn("batch", F.lit(-1))
+     .write.mode("overwrite").partitionBy("cell", "batch")
      .parquet(f"{path}/vectors"))
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     spark = emb.sparkSession
@@ -71,8 +76,20 @@ def write_ivf_index(emb: DataFrame, path: str, n_cells: int = 16,
         .write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def _read_meta(spark: SparkSession, path: str) -> dict | None:
+    """Read the index meta side-file; None when absent (an index
+    persisted before the meta file existed — callers fall back to
+    inference/defaults instead of failing with an opaque
+    PATH_NOT_FOUND, review r07)."""
+    try:
+        row = spark.read.parquet(f"{path}/meta").first()
+        return dict(row.asDict()) if row is not None else None
+    except Exception:
+        return None
+
+
 def ivf_index_topk(spark: SparkSession, path: str,
-                   query_ids: list[int], k: int,
+                   query_ids: list[int] | None = None, k: int = 10,
                    n_probe: int = 4,
                    query_vecs: list[tuple[int, list[float]]]
                    | None = None) -> DataFrame:
@@ -84,17 +101,20 @@ def ivf_index_topk(spark: SparkSession, path: str,
     the probed cells; row-identical to ivf_topk under the same
     build configuration. Returns (query_id, neighbor_id, sim).
 
-    Pass ``query_vecs`` [(id, vector), ...] to skip the by-id vector
-    lookup — the zero-corpus-IO serving path (review r07: looking
-    ids up in the index itself is one unpruned pass over the
-    vectors, fine for parity checks, wrong as the steady-state
-    100 TB query path)."""
+    Pass EXACTLY ONE of ``query_ids`` (by-id lookup — one unpruned
+    pass over the vectors, fine for parity checks, wrong as the
+    steady-state serving path) or ``query_vecs`` [(id, vector), ...]
+    (zero corpus IO — the 100 TB query path)."""
     import math
 
-    meta = spark.read.parquet(f"{path}/meta").first()
-    dim = int(meta["dim"])
+    if (query_ids is None) == (query_vecs is None):
+        raise ValueError(
+            "ivf_index_topk: pass exactly one of query_ids/query_vecs")
+    meta = _read_meta(spark, path)
     cents = [(r["cell"], list(r["cv"])) for r in
              spark.read.parquet(f"{path}/centroids").collect()]
+    # meta-less (pre-r07) indexes: the centroid table carries the dim
+    dim = int(meta["dim"]) if meta else len(cents[0][1])
     vectors = spark.read.parquet(f"{path}/vectors")
     if query_vecs is None:
         query_vecs = [(r["id"], list(r["v"])) for r in
@@ -197,7 +217,13 @@ def lsh_index_topk(spark: SparkSession, path: str,
     `(table, bucket) IN (...)` prunes to at most |Q|·L directories.
     Exact cosine re-rank within candidates; same (sim desc, id asc)
     order as lsh_ann_topk. Returns (query_id, neighbor_id, sim)."""
-    meta = spark.read.parquet(f"{path}/meta").first()
+    meta = _read_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"lsh_index_topk: no meta side-file under {path} — "
+            "pre-r07 LSH indexes did not record their plane family; "
+            "rebuild with write_lsh_index (plane drift between build "
+            "and query silently empties results, so no guessing)")
     dim, n_planes, n_tables = (int(meta["dim"]), int(meta["n_planes"]),
                                int(meta["n_tables"]))
     store_vectors = bool(meta["store_vectors"])
@@ -239,6 +265,17 @@ def lsh_index_topk(spark: SparkSession, path: str,
             .dropDuplicates(["query_id", "id"]))
     if not store_vectors:
         vectors = spark.read.parquet(f"{path}/vectors")
+        # the documented id IN-list: candidate ids collect to the
+        # driver while bounded, so the side-table scan carries a
+        # pushed id filter (parquet row-group stats skip) — past the
+        # bound, fall back to the plain join (one full pass over the
+        # 1x side table; review r07: the docstring promised the
+        # IN-list but the code always took the full pass)
+        cand = cand.localCheckpoint()  # consumed twice below
+        cid = [r["id"] for r in
+               cand.select("id").distinct().limit(100_001).collect()]
+        if len(cid) <= 100_000:
+            vectors = vectors.filter(F.col("id").isin(cid))
         cand = cand.join(vectors, on="id")
     scored = cand.withColumn(
         "sim", F.round(cosine(F.col("qv"), F.col("v")), 6))
@@ -248,7 +285,8 @@ def lsh_index_topk(spark: SparkSession, path: str,
 
 def append_ivf_index(emb_batch: DataFrame, path: str,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> None:
+                     vec_col: str = "embedding",
+                     batch_id: int | None = None) -> None:
     """Fold a batch of NEW vectors into a persisted IVF index —
     index maintenance under ingest (the foreachBatch body for a
     streaming corpus): the batch is assigned against the FROZEN
@@ -258,17 +296,38 @@ def append_ivf_index(emb_batch: DataFrame, path: str,
     Dynamic-partition append touches only the batch's cells; the
     centroid and meta side-files are immutable after build. Periodic
     re-clustering (centroid drift) is a full rebuild by design —
-    cheap relative to the corpus scan it needs anyway."""
-    meta = emb_batch.sparkSession.read.parquet(f"{path}/meta").first()
-    dim = int(meta["dim"])
+    cheap relative to the corpus scan it needs anyway.
+
+    ``batch_id`` makes the write IDEMPOTENT under foreachBatch's
+    at-least-once replay (review r07: a plain append duplicates
+    every vector when a batch re-runs after a driver crash, silently
+    corrupting top-k): rows land under an extra batch=<id> partition
+    level and a replayed batch dynamically OVERWRITES only its own
+    partitions. Streaming callers must pass the micro-batch id;
+    None = plain append (one-shot backfills only)."""
+    spark = emb_batch.sparkSession
+    meta = _read_meta(spark, path)
     base = emb_batch.select(F.col(id_col).alias("id"),
                             _to_double(vec_col).alias("v"))
-    row = base.select(F.size("v").alias("n")).first()
-    if row is not None and row["n"] != dim:
+    cents = spark.read.parquet(f"{path}/centroids")
+    dim = int(meta["dim"]) if meta else \
+        len(cents.select("cv").first()[0])
+    # whole-batch guard, not a first-row sample (review r07: a
+    # mixed-dim batch passed the old .first() check and null-padded
+    # its way into the lowest cell)
+    bad = base.filter(F.size("v") != dim).count()
+    if bad:
         raise ValueError(
-            f"append_ivf_index: batch vectors are {row['n']}-dim but "
-            f"the index was built at dim={dim}")
-    cents = emb_batch.sparkSession.read.parquet(f"{path}/centroids")
+            f"append_ivf_index: {bad} batch vectors are not "
+            f"{dim}-dim (index build dim)")
     assigned = _assign_cells(base, cents).select("id", "v", "cell")
-    (assigned.write.mode("append").partitionBy("cell")
-     .parquet(f"{path}/vectors"))
+    if batch_id is None:
+        (assigned.withColumn("batch", F.lit(-1))
+         .write.mode("append").partitionBy("cell", "batch")
+         .parquet(f"{path}/vectors"))
+    else:
+        (assigned.withColumn("batch", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("cell", "batch")
+         .parquet(f"{path}/vectors"))

@@ -2068,24 +2068,32 @@ def test_ann_index_pruned_and_row_identical(spark, tmp_path):
         write_lsh_index(emb, f"{base}/{sub}", dim, store_vectors=sv)
         lidx = lsh_index_topk(spark, f"{base}/{sub}", qvecs, 10)
         lplan = lidx._jdf.queryExecution().executedPlan().toString()
-        assert "PartitionFilters: [struct(table" in lplan
+        if sv:
+            assert "PartitionFilters: [struct(table" in lplan
+        else:
+            # the 1x layout's final plan starts at the candidate
+            # checkpoint; its visible scan is the (id, v) side table
+            # carrying the pushed id IN-list (row-group skipping)
+            assert "PushedFilters: [In(id" in lplan
         assert sorted(map(tuple, lidx.collect())) == want
     # a query vector that disagrees with the build dim raises loudly
     # instead of silently hashing into the wrong buckets
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="dim"):
+    with pytest.raises(ValueError, match="dim"):
         lsh_index_topk(spark, f"{base}/lsh", [(0, [1.0, 2.0])], 10)
-    with _pytest.raises(ValueError, match="dim"):
-        ivf_index_topk(spark, f"{base}/ivf", [0], 10,
+    with pytest.raises(ValueError, match="dim"):
+        ivf_index_topk(spark, f"{base}/ivf", k=10,
                        query_vecs=[(0, [1.0, 2.0])])
 
 
 def test_ivf_index_incremental_append(spark, tmp_path):
     """Index maintenance under ingest: building on a prefix and
-    appending the rest in batches (frozen centroids) must yield a
-    query-identical index to assigning the full corpus against the
-    same centroids in one shot - and the appended vectors must be
-    findable."""
+    appending the rest in batches (frozen centroids) must be
+    query-identical to a TRUE one-shot build over the full corpus —
+    the seeds (first 8 ids) are the same either way — at a
+    discriminating probe width (n_probe < n_cells, review r07: an
+    all-cells probe is assignment-insensitive). Replaying a batch_id
+    must be idempotent (foreachBatch at-least-once), and a mixed-dim
+    batch must be rejected whole-batch."""
     from tests.conftest import SF_DIR
 
     from incubator_hugegraph_spark.data.ann_index import (
@@ -2096,19 +2104,27 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     rest2 = emb.filter(F.col("vec_id") >= 300)
     base = str(tmp_path)
     write_ivf_index(seed, f"{base}/inc", n_cells=8)
-    append_ivf_index(rest1, f"{base}/inc")
-    append_ivf_index(rest2, f"{base}/inc")
-    got = sorted(map(tuple, ivf_index_topk(
-        spark, f"{base}/inc", [0, 1], 5, n_probe=8).collect()))
-    # reference: same frozen centroids (seed-derived — n_cells=8 over
-    # vec_id<100 picks the same seeds), full corpus in one shot
-    write_ivf_index(seed, f"{base}/ref", n_cells=8)
-    append_ivf_index(emb.filter(F.col("vec_id") >= 100), f"{base}/ref")
-    want = sorted(map(tuple, ivf_index_topk(
-        spark, f"{base}/ref", [0, 1], 5, n_probe=8).collect()))
-    assert got == want and len(got) == 10
-    # with n_probe == n_cells the probe covers every cell, so the
-    # result must equal brute-force cosine top-5 over the full corpus
+    append_ivf_index(rest1, f"{base}/inc", batch_id=1)
+    append_ivf_index(rest2, f"{base}/inc", batch_id=2)
+
+    def q(path, np=3):
+        return sorted(map(tuple, ivf_index_topk(
+            spark, path, [0, 1], 5, n_probe=np).collect()))
+
+    got = q(f"{base}/inc")
+    # TRUE one-shot reference: same first-8-id seed centroids
+    write_ivf_index(emb, f"{base}/ref", n_cells=8)
+    assert got == q(f"{base}/ref") and len(got) == 10
+    # at-least-once replay: re-appending the same batch_id must not
+    # duplicate vectors (dynamic overwrite of that batch's partitions)
+    append_ivf_index(rest2, f"{base}/inc", batch_id=2)
+    assert q(f"{base}/inc") == got
+    # whole-batch dim guard: one bad row anywhere rejects the batch
+    bad = spark.createDataFrame([(99_999, [1.0, 2.0])],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        append_ivf_index(bad, f"{base}/inc", batch_id=3)
+    # full probe still equals brute force over the whole corpus
     from incubator_hugegraph_spark.data.similarity import cosine_topk
     brute = sorted(map(tuple, cosine_topk(emb, [0, 1], 5).collect()))
-    assert got == brute
+    assert q(f"{base}/inc", np=8) == brute
