@@ -192,12 +192,20 @@ def write_lsh_index(emb: DataFrame, path: str, dim: int,
     sig = lsh_buckets(emb, dim, id_col, vec_col, n_planes, n_tables)
     cols = ["id", "v", "table", "bucket"] if store_vectors \
         else ["id", "table", "bucket"]
-    (sig.select(*cols).write.mode("overwrite")
-     .partitionBy("table", "bucket").parquet(f"{path}/buckets"))
+    # batch=-1 marks the initial build (same uniform-depth rule as
+    # the IVF layout); appends add batch=<id> at the same level
+    (sig.select(*cols).withColumn("batch", F.lit(-1))
+     .write.mode("overwrite")
+     .partitionBy("table", "bucket", "batch")
+     .parquet(f"{path}/buckets"))
     if not store_vectors:
         (emb.select(F.col(id_col).alias("id"),
                     _to_double(vec_col).alias("v"))
-         .write.mode("overwrite").parquet(f"{path}/vectors"))
+         .withColumn("batch", F.lit(-1))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch")
+         .parquet(f"{path}/vectors"))
     spark = emb.sparkSession
     spark.createDataFrame(
         [(dim, n_planes, n_tables, store_vectors)],
@@ -331,3 +339,55 @@ def append_ivf_index(emb_batch: DataFrame, path: str,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("cell", "batch")
          .parquet(f"{path}/vectors"))
+
+
+def append_lsh_index(emb_batch: DataFrame, path: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     batch_id: int | None = None) -> None:
+    """Fold a batch of NEW vectors into a persisted LSH index — the
+    LSH twin of append_ivf_index: signatures are computed with the
+    plane family recorded in the index's meta file (so an appended
+    index is bit-identical to a one-shot build over the union) and
+    land under the same (table, bucket) partitions. ``batch_id``
+    makes the write idempotent under foreachBatch's at-least-once
+    replay via batch=<id> dynamic partition overwrite; None = plain
+    append (one-shot backfills only)."""
+    spark = emb_batch.sparkSession
+    meta = _read_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"append_lsh_index: no meta side-file under {path} — "
+            "the plane family must come from the build, rebuild with "
+            "write_lsh_index")
+    dim, n_planes, n_tables = (int(meta["dim"]), int(meta["n_planes"]),
+                               int(meta["n_tables"]))
+    store_vectors = bool(meta["store_vectors"])
+    base = emb_batch.select(F.col(id_col).alias("id"),
+                            _to_double(vec_col).alias("v"))
+    bad = base.filter(F.size("v") != dim).count()
+    if bad:
+        raise ValueError(
+            f"append_lsh_index: {bad} batch vectors are not "
+            f"{dim}-dim (index build dim)")
+    sig = lsh_buckets(emb_batch, dim, id_col, vec_col,
+                      n_planes, n_tables)
+    cols = ["id", "v", "table", "bucket"] if store_vectors \
+        else ["id", "table", "bucket"]
+    b = F.lit(-1 if batch_id is None else int(batch_id))
+    writer = (sig.select(*cols).withColumn("batch", b).write
+              .partitionBy("table", "bucket", "batch"))
+    if batch_id is None:
+        writer.mode("append").parquet(f"{path}/buckets")
+    else:
+        (writer.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(f"{path}/buckets"))
+    if not store_vectors:
+        vw = (base.withColumn("batch", b).write.partitionBy("batch"))
+        if batch_id is None:
+            vw.mode("append").parquet(f"{path}/vectors")
+        else:
+            (vw.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(f"{path}/vectors"))

@@ -2128,3 +2128,36 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     from incubator_hugegraph_spark.data.similarity import cosine_topk
     brute = sorted(map(tuple, cosine_topk(emb, [0, 1], 5).collect()))
     assert q(f"{base}/inc", np=8) == brute
+
+
+def test_lsh_index_incremental_append(spark, tmp_path):
+    """LSH twin of the IVF append test: planes are pure functions of
+    (table, plane, dim), so seed-build + appends must be
+    query-identical to a one-shot build over the union; batch_id
+    replay must be idempotent; both storage layouts covered."""
+    from tests.conftest import SF_DIR
+
+    from incubator_hugegraph_spark.data.ann_index import (
+        append_lsh_index, lsh_index_topk, write_lsh_index)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    seed = emb.filter(F.col("vec_id") < 200)
+    rest = emb.filter(F.col("vec_id") >= 200)
+    qvecs = [(r["vec_id"], list(r["embedding"]))
+             for r in emb.filter(emb.vec_id.isin([0, 1])).collect()]
+    base = str(tmp_path)
+    for sv, sub in ((True, "a"), (False, "b")):
+        write_lsh_index(seed, f"{base}/{sub}", dim, store_vectors=sv)
+        append_lsh_index(rest, f"{base}/{sub}", batch_id=1)
+        got = sorted(map(tuple, lsh_index_topk(
+            spark, f"{base}/{sub}", qvecs, 5).collect()))
+        write_lsh_index(emb, f"{base}/{sub}_ref", dim,
+                        store_vectors=sv)
+        want = sorted(map(tuple, lsh_index_topk(
+            spark, f"{base}/{sub}_ref", qvecs, 5).collect()))
+        assert got == want and len(got) == 10
+        # replay: same batch_id overwrites its own partitions only
+        append_lsh_index(rest, f"{base}/{sub}", batch_id=1)
+        again = sorted(map(tuple, lsh_index_topk(
+            spark, f"{base}/{sub}", qvecs, 5).collect()))
+        assert again == got
