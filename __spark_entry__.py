@@ -448,7 +448,7 @@ def kout_2_ram(spark, sf_dir):
                 engine="ram")
 
 
-@_q("text_bigram_contains", """
+@_q("text_bigram_contains", r"""
 SELECT 'part!' || p_partkey AS id, p_name AS name
 FROM part
 WHERE strpos(regexp_replace(lower(p_name), '\s+', '', 'g'), 'ol') > 0

@@ -199,11 +199,16 @@ def write_lsh_index(emb: DataFrame, path: str, dim: int,
      .partitionBy("table", "bucket", "batch")
      .parquet(f"{path}/buckets"))
     if not store_vectors:
+        # static overwrite, like the IVF build (:70-73) — a BUILD must
+        # wipe the whole table. Dynamic overwrite here would keep stale
+        # batch=N vector partitions from a prior append_lsh_index run,
+        # and the re-rank join on id would then duplicate / mis-score
+        # candidates (review r08: found as a rebuild-after-append
+        # hazard; only append_lsh_index may use dynamic mode).
         (emb.select(F.col(id_col).alias("id"),
                     _to_double(vec_col).alias("v"))
          .withColumn("batch", F.lit(-1))
          .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch")
          .parquet(f"{path}/vectors"))
     spark = emb.sparkSession

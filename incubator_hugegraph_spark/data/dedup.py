@@ -467,13 +467,17 @@ def embedding_cross_neardup(train: DataFrame, bench: DataFrame,
                             vec_col: str = "embedding") -> DataFrame:
     """SEMANTIC train×bench decontamination (r07 — fills the
     embedding cell of the cross-corpus matrix next to cross_neardup's
-    MinHash text leg and hamming_cross_pairs' fingerprint leg): every
-    (train id, bench id) pair with cosine ≥ ``threshold``, found via
-    per-side LSH bucket tables joined ONLY across sides — no
-    train×train or bench×bench candidates are ever formed, so the
-    work is per-side signatures + one cross bucket join regardless of
-    how internally duplicated the training corpus is. Exact cosine
-    verification on the unrounded value; rounding is output-only.
+    MinHash text leg and hamming_cross_pairs' fingerprint leg):
+    (train id, bench id) pairs with cosine ≥ ``threshold``, with the
+    LSH recall contract of the in-memory kernels — candidates are
+    limited to pairs colliding in ≥1 (table, bucket) of the shared
+    plane family, so a qualifying pair that shares no bucket is
+    missed (approximate recall < 1 by construction; review r08).
+    Buckets are joined ONLY across sides — no train×train or
+    bench×bench candidates are ever formed, so the work is per-side
+    signatures + one cross bucket join regardless of how internally
+    duplicated the training corpus is. Exact cosine verification on
+    the unrounded value within candidates; rounding is output-only.
     Returns (train_id, bench_id, sim)."""
     from incubator_hugegraph_spark.data.similarity import (
         cosine, lsh_buckets)

@@ -63,10 +63,13 @@ def jaccard_top(graph: PropertyGraph, source: str, top: int,
     s_size = sizes.filter(F.col("src") == source) \
         .select(F.col("deg").alias("s_deg"))
     # same gate as jaccard_top_batch: one supernode source's neighbor
-    # list with max_degree=NO_LIMIT is not broadcastable — count once
-    # against the checkpointed nbr table, shuffle-join past the limit
+    # list with max_degree=NO_LIMIT is not broadcastable. The gate only
+    # needs the boolean "under the limit", so the probe is limit-bounded
+    # (the data/similarity.py:218 idiom) — an unbounded count() here was
+    # a full extra job over the neighbor list per call (review r08).
     sn = (F.broadcast(src_n)
-          if src_n.count() <= _bfs.BROADCAST_FRONTIER_LIMIT
+          if src_n.limit(_bfs.BROADCAST_FRONTIER_LIMIT + 1).count()
+          <= _bfs.BROADCAST_FRONTIER_LIMIT
           else src_n)
     inter = (nbr.join(sn, on=nbr.dst == src_n.n)
              .filter(F.col("src") != source)
@@ -104,10 +107,11 @@ def jaccard_top_batch(graph: PropertyGraph, sources: list[str], top: int,
     # src_n is |sources|·degree rows: with max_degree=NO_LIMIT and a
     # supernode source it is NOT broadcastable (review r06 — the REST
     # door caps degree at 10k, but the direct API must not melt an
-    # executor). Same two-tier gate as bfs.expand: count once against
-    # the checkpointed nbr table (cheap — shallow RDD leaf), broadcast
-    # below BROADCAST_FRONTIER_LIMIT, plain shuffle join past it.
-    src_n_rows = src_n.count()
+    # executor). Same two-tier gate as bfs.expand, but the probe is
+    # limit-bounded (review r08): the gate only needs "≤ limit?", so
+    # scanning stops after BROADCAST_FRONTIER_LIMIT+1 rows instead of
+    # counting all |sources|·degree rows on the hot path.
+    src_n_rows = src_n.limit(_bfs.BROADCAST_FRONTIER_LIMIT + 1).count()
     sn = (F.broadcast(src_n)
           if src_n_rows <= _bfs.BROADCAST_FRONTIER_LIMIT
           else src_n)

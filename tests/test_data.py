@@ -2161,3 +2161,13 @@ def test_lsh_index_incremental_append(spark, tmp_path):
         again = sorted(map(tuple, lsh_index_topk(
             spark, f"{base}/{sub}", qvecs, 5).collect()))
         assert again == got
+        # rebuild-after-append (review r08): a fresh BUILD at a path
+        # that previously received appends must equal a fresh-path
+        # build. The full-corpus rebuild overlaps the stale batch=1
+        # ids, so the store_vectors=False hazard (build-time dynamic
+        # overwrite keeping old batch=N vector partitions, duplicating
+        # re-rank candidates) would be caught here as extra top-k rows.
+        write_lsh_index(emb, f"{base}/{sub}", dim, store_vectors=sv)
+        rebuilt = sorted(map(tuple, lsh_index_topk(
+            spark, f"{base}/{sub}", qvecs, 5).collect()))
+        assert rebuilt == want
