@@ -6051,6 +6051,72 @@ def multimodal_gif_decode_q(spark, sf_dir):
     return decode_media(docs.mapInPandas(wrap, schema))
 
 
+@_q("multimodal_mjpeg_frames", """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
+           FROM documents),
+dims AS (SELECT doc_id, CAST(1 + n % 3 AS BIGINT) AS nf,
+                CAST(1 + n % 4 AS INT) AS bw,
+                CAST(1 + n % 2 AS INT) AS bh
+         FROM d),
+fr AS (SELECT doc_id, nf, bw, bh, unnest(range(nf)) AS f FROM dims),
+vals AS (SELECT doc_id, bw, bh,
+                (doc_id*2654435761 + (f*769 + k)*40503) % 256 AS v
+         FROM (SELECT doc_id, bw, bh, f, unnest(range(bw*bh)) AS k
+               FROM fr)),
+agg AS (SELECT doc_id, CAST(192*sum(v) AS BIGINT) AS val_sum,
+               CAST(192*sum(v*v) AS BIGINT) AS val_sumsq,
+               CAST(min(v) AS BIGINT) AS val_min,
+               CAST(max(v) AS BIGINT) AS val_max
+        FROM vals GROUP BY doc_id)
+SELECT dims.doc_id AS asset_id, 'video' AS modality,
+       8*bw AS width, 8*bh AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(192*bw*bh*nf AS BIGINT) AS n_values,
+       a.val_sum, a.val_sumsq, a.val_min, a.val_max
+FROM dims JOIN agg a ON dims.doc_id = a.doc_id
+""")
+def multimodal_mjpeg_frames_q(spark, sf_dir):
+    """REAL compressed-video decode under the oracle gate (r07
+    verdict item 3 — the last stubbed modality): the planted assets
+    are genuine Motion-JPEG AVIs — each '00dc' movi chunk under the
+    MJPG fourcc is an entire entropy-coded baseline JPEG
+    (render_media_mjpeg), frame f block-constant gray at
+    byte(doc_id, f*FRAME_STRIDE + block) so the lossy per-frame chain
+    is exactly invertible (data/jpeg.py module docstring).
+    decode_media must walk the RIFF movi list, detect the MJPG
+    handler, and run the FULL JPEG decode per frame — Huffman, IDCT,
+    YCbCr→RGB — to reproduce stats the oracle recomputes from the
+    generator formula, per frame. Spark shape: one Arrow-batched
+    mapInPandas render + one decode pass."""
+    import pandas as pd_
+    from pyspark.sql import types as T_
+
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_media,
+        render_media_mjpeg,
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n"))
+    schema = T_.StructType([
+        T_.StructField("asset_id", T_.LongType(), False),
+        T_.StructField("modality", T_.StringType(), False),
+        T_.StructField("payload", T_.BinaryType(), False),
+    ])
+
+    def wrap(batches):
+        for pdf in batches:
+            rows = []
+            for aid, n in zip(pdf["doc_id"], pdf["n"]):
+                aid, n = int(aid), int(n)
+                rows.append((aid, "video",
+                             render_media_mjpeg(aid, 1 + n % 3,
+                                                1 + n % 4, 1 + n % 2)))
+            yield pd_.DataFrame(rows, columns=["asset_id", "modality",
+                                               "payload"])
+
+    return decode_media(docs.mapInPandas(wrap, schema))
+
+
 _CROSS_CODEC_SQL = """
 WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
            FROM documents),

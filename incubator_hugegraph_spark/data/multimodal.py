@@ -14,12 +14,16 @@ extraction per the fmt chunk), raw-DIB AVI (per-frame '00db' chunks
 sized by the real strf BITMAPINFOHEADER) — r06 — plus baseline JPEG
 (bit-level Huffman + dequantize + IDCT + YCbCr, tables rebuilt from
 the stream; data/jpeg.py) and GIF (variable-width LZW + palette
-lookup; data/gif.py) — r07. `decode_media` returns exact integer
-pixel/sample statistics from the decoded values, and
-`resize_images_real` is a genuine nearest-neighbor resample of
-decoded PNG pixels re-encoded as PNG. Only compressed video stays
-behind `_decode_stub`, the documented fallback for unrecognized
-bytes.
+lookup; data/gif.py) — r07 — and Motion-JPEG AVI (each '00dc' chunk
+under the MJPG fourcc is an entire baseline JPEG, decoded by
+data/jpeg.py per frame) — r08, retiring compressed video from the
+stub list. `decode_media` returns exact integer pixel/sample
+statistics from the decoded values, and `resize_images_real` is a
+genuine nearest-neighbor resample of decoded PNG pixels re-encoded
+as PNG. `_decode_stub` remains only as the documented fallback for
+bytes no parser recognizes (declared codec boundaries: progressive/
+subsampled JPEG, interlaced/animated GIF, non-MJPG compressed
+video).
 
 Scale notes: binary payloads dominate partition size — size
 `spark.sql.files.maxPartitionBytes` for ~128 MB of payload per task
@@ -513,29 +517,40 @@ def decode_wav_samples(b: bytes):
 
 
 def build_avi(frames: list[bytes], us_per_frame: int = 40000,
-              width: int = VIDEO_W, height: int = VIDEO_H) -> bytes:
-    """Assemble a REAL raw-video AVI around explicit frame buffers:
-    header list (avih + one strl with strh 'vids'/'DIB ' and a strf
+              width: int = VIDEO_W, height: int = VIDEO_H,
+              codec: bytes = b"DIB ") -> bytes:
+    """Assemble a REAL AVI around explicit frame buffers: header list
+    (avih + one strl with strh 'vids'/<codec> and a strf
     BITMAPINFOHEADER carrying the true frame dims) and a movi list of
-    '00db' chunks. The layout is the uncompressed-DIB AVI every
-    player reads."""
+    per-frame chunks. codec=b"DIB " (default) writes the uncompressed
+    layout every player reads: '00db' chunks, biCompression=0.
+    codec=b"MJPG" writes Motion-JPEG (r08): each frame buffer is an
+    entire baseline JPEG stream carried in a '00dc' chunk, with the
+    'MJPG' fourcc in both strh.fccHandler and strf.biCompression —
+    the standard MJPEG-in-AVI layout (OpenDML / VfW convention)."""
     n_frames = len(frames)
-    frame_bytes = width * height * 3
+    compressed = codec != b"DIB "
+    frame_bytes = (max((len(f) for f in frames), default=0)
+                   if compressed else width * height * 3)
     avih = struct.pack("<14I", us_per_frame, 0, 0, 0, n_frames,
                        0, 1, 0, frame_bytes, 0, 0, 0, 0, 0)
-    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII",
+    strh = (b"vids" + codec + struct.pack("<IHHIIIIIIIII",
             0, 0, 0, 0, 1, 1000000 // us_per_frame if us_per_frame else 25,
             0, n_frames, frame_bytes, 0, 0, 0))
+    bi_compression = struct.unpack("<I", codec)[0] if compressed else 0
     strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
-                       0, frame_bytes, 0, 0, 0, 0)
+                       bi_compression, frame_bytes, 0, 0, 0, 0)
     strl = (b"strl"
             + b"strh" + struct.pack("<I", len(strh)) + strh
             + b"strf" + struct.pack("<I", len(strf)) + strf)
     hdrl = (b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
             + b"LIST" + struct.pack("<I", len(strl)) + strl)
+    chunk_cc = b"00dc" if compressed else b"00db"
     movi = bytearray(b"movi")
     for frame in frames:
-        movi += b"00db" + struct.pack("<I", len(frame)) + frame
+        movi += chunk_cc + struct.pack("<I", len(frame)) + frame
+        if len(frame) % 2:
+            movi += b"\x00"  # RIFF chunks are word-aligned
     riff = (b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
             + b"LIST" + struct.pack("<I", len(movi)) + bytes(movi))
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
@@ -559,20 +574,57 @@ def render_media_avi(asset_id: int, n_frames: int,
     return build_avi(frames, us_per_frame)
 
 
+def render_media_mjpeg(asset_id: int, n_frames: int, blocks_w: int,
+                       blocks_h: int,
+                       us_per_frame: int = 40000) -> bytes:
+    """Deterministic REAL Motion-JPEG AVI (r08): frame f is a genuine
+    baseline JPEG, block-constant gray with block (by, bx) =
+    byte(asset_id, f*FRAME_STRIDE + by*blocks_w + bx) — the same
+    exactly-invertible geometry as render_media_jpeg, shifted per
+    frame by FRAME_STRIDE (≡ 1 mod 256, so frames stay distinct and
+    frame indexing bugs fail the oracle). Each frame rides a '00dc'
+    chunk under the MJPG fourcc."""
+    import numpy as np
+    from incubator_hugegraph_spark.data.jpeg import encode_jpeg_rgb
+    frames = []
+    for f in range(n_frames):
+        vals = synth_media_bytes(asset_id, blocks_w * blocks_h,
+                                 offset=f * FRAME_STRIDE) \
+            .reshape(blocks_h, blocks_w)
+        gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        raw = np.stack([gray] * 3, axis=2).astype(np.uint8).tobytes()
+        frames.append(encode_jpeg_rgb(raw, blocks_w * 8, blocks_h * 8))
+    return build_avi(frames, us_per_frame, width=blocks_w * 8,
+                     height=blocks_h * 8, codec=b"MJPG")
+
+
 def decode_avi_frames(b: bytes):
-    """REAL AVI frame decode for the raw-DIB subset: strf gives the
-    frame dims, the movi list yields one byte buffer per '00db'
-    chunk. Returns (width, height, [frame bytes]) or None. Top-level
-    RIFF iteration rides the shared _riff_chunks walker (review r06)."""
+    """REAL AVI frame decode: strf gives the frame dims, the movi
+    list yields one RAW RGB buffer per frame. Two codecs (r08 —
+    compressed video leaves _decode_stub):
+      raw DIB — '00db' chunk bytes ARE the frame (pass-through);
+      MJPG    — each '00dc' chunk under an 'MJPG' strh handler is an
+                entire baseline JPEG, decoded via decode_jpeg_rgb
+                (data/jpeg.py); a chunk the JPEG decoder rejects or
+                whose dims disagree with strf is skipped, not faked.
+    Returns (width, height, [raw RGB frame bytes]) or None — callers
+    (decode_media / frame_dhashes / streaming) see one uniform raw
+    contract either way. Top-level RIFF iteration rides the shared
+    _riff_chunks walker (review r06)."""
     if len(b) < 64 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         return None
     width = height = None
+    handler = None
     frames = []
     for cc, body in _riff_chunks(b):
         if cc != b"LIST":
             continue
         kind = body[:4]
         if kind == b"hdrl":
+            # strh layout: fourcc(4) size(4) fccType(4) fccHandler(4)
+            j = body.find(b"strh")
+            if j >= 0 and j + 16 <= len(body):
+                handler = body[j + 12:j + 16]
             # strf layout: fourcc(4) size(4) BITMAPINFOHEADER —
             # biWidth/biHeight live at data+4 → j+12..j+20
             j = body.find(b"strf")
@@ -586,6 +638,13 @@ def decode_avi_frames(b: bytes):
                 (fsz,) = struct.unpack("<I", body[k + 4:k + 8])
                 if fcc == b"00db":
                     frames.append(body[k + 8:k + 8 + fsz])
+                elif fcc == b"00dc" and handler == b"MJPG":
+                    from incubator_hugegraph_spark.data.jpeg import \
+                        decode_jpeg_rgb
+                    img = decode_jpeg_rgb(body[k + 8:k + 8 + fsz])
+                    if img is not None and (img[0], img[1]) == (width,
+                                                                height):
+                        frames.append(bytes(img[2]))
                 k += 8 + fsz + (fsz & 1)
     if width is None:
         return None

@@ -624,6 +624,60 @@ def test_media_decode_matches_generator_formula():
     assert frames[0] != frames[1]
 
 
+def test_mjpeg_avi_decode_exact_and_guards():
+    """Motion-JPEG AVI (r08, the last stubbed modality): each '00dc'
+    chunk under the MJPG fourcc is a whole baseline JPEG; with the
+    block-constant-gray geometry the lossy per-frame chain is exactly
+    invertible, so decoded frames equal the generator formula
+    byte-for-byte. Guards: non-MJPG compressed chunks stay
+    undecoded (declared boundary), a corrupt frame is skipped — not
+    faked — and the raw-DIB leg is unchanged by the codec plumbing."""
+    import struct
+
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.multimodal import (
+        FRAME_STRIDE, build_avi, decode_avi_frames, render_media_mjpeg,
+        synth_media_bytes)
+    from incubator_hugegraph_spark.data.jpeg import encode_jpeg_rgb
+    for aid, nf, bw, bh in ((7, 3, 2, 3), (12, 1, 1, 1), (3, 4, 4, 2)):
+        w, h, frames = decode_avi_frames(
+            render_media_mjpeg(aid, nf, bw, bh))
+        assert (w, h, len(frames)) == (bw * 8, bh * 8, nf)
+        for f, frame in enumerate(frames):
+            img = np.frombuffer(frame, np.uint8).reshape(h, w, 3)
+            vals = synth_media_bytes(aid, bw * bh,
+                                     offset=f * FRAME_STRIDE) \
+                .reshape(bh, bw)
+            want = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+            assert (img == want[..., None]).all()
+    # a '00dc' stream under a codec we don't implement decodes no
+    # frames (dims still parse) — the honest None-not-fake boundary
+    jf = encode_jpeg_rgb(bytes(192), 8, 8)
+    w, h, frames = decode_avi_frames(
+        build_avi([jf], width=8, height=8, codec=b"XVID"))
+    assert (w, h, frames) == (8, 8, [])
+    # a corrupt JPEG frame is skipped; the good ones still decode
+    good = render_media_mjpeg(5, 2, 1, 1)
+    corrupt = build_avi([jf[:20], jf], width=8, height=8,
+                        codec=b"MJPG")
+    w, h, frames = decode_avi_frames(corrupt)
+    assert (w, h, len(frames)) == (8, 8, 1)
+    # a frame whose JPEG dims disagree with strf is skipped too
+    mism = build_avi([encode_jpeg_rgb(bytes(16 * 16 * 3), 16, 16)],
+                     width=8, height=8, codec=b"MJPG")
+    assert decode_avi_frames(mism)[2] == []
+    # an odd-length chunk must not desync the word-aligned walker:
+    # the undecodable 7-byte chunk is padded to 8, so the valid JPEG
+    # after it is still found
+    odd = build_avi([b"\xff\xd8\xff\xd9\x00\x00\x00", jf],
+                    width=8, height=8, codec=b"MJPG")
+    w, h, frames = decode_avi_frames(odd)
+    assert (w, h, len(frames)) == (8, 8, 1)
+    w, h, frames = decode_avi_frames(good)
+    assert len(frames) == 2
+
+
 def test_decode_media_dataframe_and_resize(docs):
     """End-to-end through Spark: media_docs_as_assets → decode_media
     stats match a local recompute for a sample; resize_images_real
