@@ -5631,6 +5631,39 @@ def emb_ivf_index_ann_q(spark, sf_dir):
                           n_probe=4)
 
 
+@_q("emb_lsh_index_ann", _lsh_ann_oracle())
+def emb_lsh_index_ann_q(spark, sf_dir):
+    """The persisted-LSH sibling of emb_ivf_index_ann (r08), driving
+    EXACTLY the rebuild-after-append scenario whose hazard this round
+    fixed (data/ann_index.py — a build-time dynamic partition
+    overwrite used to keep stale batch=N vector partitions): build
+    the store_vectors=False layout (1x storage + (id, v) side table)
+    on the even half, append the odd half as an ingest batch, then
+    REBUILD the full index at the same path. Planes are pure
+    functions of (table, plane, dim), so the rebuilt index must
+    answer the same top-10 queries as the in-memory kernel — which
+    the SQL oracle recomputes from the shared plane constants. A
+    stale-vector leak would duplicate re-rank candidates and hash-
+    mismatch here."""
+    import tempfile
+
+    from incubator_hugegraph_spark.data.ann_index import (
+        append_lsh_index,
+        lsh_index_topk,
+        write_lsh_index,
+    )
+    emb = _emb(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="lsh_index_")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    write_lsh_index(even, f"{d}/lsh", dim=64, store_vectors=False)
+    append_lsh_index(odd, f"{d}/lsh", batch_id=1)
+    write_lsh_index(emb, f"{d}/lsh", dim=64, store_vectors=False)
+    qvecs = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in emb.filter(F.col("vec_id") <= 4).collect()]
+    return lsh_index_topk(spark, f"{d}/lsh", qvecs, 10)
+
+
 def _kmeans_stats_oracle(n_cells: int = 8) -> str:
     """DuckDB SQL reproducing kmeans_cluster_stats with n_iters=1:
     seeds = first n_cells ids, assign by fold-cosine argmax (tie →
@@ -5983,6 +6016,71 @@ def multimodal_jpeg_decode_q(spark, sf_dir):
                 rows.append((aid, "image",
                              render_media_jpeg(aid, 1 + n % 4,
                                                1 + n % 3)))
+            yield pd_.DataFrame(rows, columns=["asset_id", "modality",
+                                               "payload"])
+
+    return decode_media(docs.mapInPandas(wrap, schema))
+
+
+@_q("multimodal_jpeg420_decode", """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
+           FROM documents),
+dims AS (SELECT doc_id, CAST(1 + n % 4 AS INT) AS bw,
+                CAST(1 + n % 3 AS INT) AS bh
+         FROM d),
+vals AS (SELECT doc_id, bw, bh,
+                (doc_id*2654435761 + k*40503) % 256 AS v
+         FROM (SELECT doc_id, bw, bh, unnest(range(bw*bh)) AS k
+               FROM dims)),
+agg AS (SELECT doc_id, CAST(192*sum(v) AS BIGINT) AS val_sum,
+               CAST(192*sum(v*v) AS BIGINT) AS val_sumsq,
+               CAST(min(v) AS BIGINT) AS val_min,
+               CAST(max(v) AS BIGINT) AS val_max
+        FROM vals GROUP BY doc_id)
+SELECT dims.doc_id AS asset_id, 'image' AS modality,
+       8*bw AS width, 8*bh AS height,
+       CAST(NULL AS BIGINT) AS n_frames,
+       CAST(192*bw*bh AS BIGINT) AS n_values,
+       a.val_sum, a.val_sumsq, a.val_min, a.val_max
+FROM dims JOIN agg a ON dims.doc_id = a.doc_id
+""")
+def multimodal_jpeg420_decode_q(spark, sf_dir):
+    """4:2:0 CHROMA-SUBSAMPLED baseline JPEG under the SAME oracle as
+    the 4:4:4 row (r08 stretch — the decoder's None-for-subsampled
+    boundary retired): gray keeps both chroma planes at the constant
+    128, which box-mean downsample and replication upsample carry
+    exactly, and Y rides at full resolution — so the 4:2:0 stream of
+    the block-constant fixture decodes to the IDENTICAL stats the
+    4:4:4 oracle recomputes from the generator formula. The decoder
+    must additionally get the T.81 A.2.3 MCU interleave (4 Y + Cb +
+    Cr data units per MCU), edge-MCU padding (odd bw/bh here) and
+    per-plane reassembly right; subsampled GENERALITY beyond gray is
+    pinned by the hypothesis properties. Spark shape: one
+    Arrow-batched mapInPandas render + one decode pass."""
+    import pandas as pd_
+    from pyspark.sql import types as T_
+
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_media,
+        render_media_jpeg,
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n"))
+    schema = T_.StructType([
+        T_.StructField("asset_id", T_.LongType(), False),
+        T_.StructField("modality", T_.StringType(), False),
+        T_.StructField("payload", T_.BinaryType(), False),
+    ])
+
+    def wrap(batches):
+        for pdf in batches:
+            rows = []
+            for aid, n in zip(pdf["doc_id"], pdf["n"]):
+                aid, n = int(aid), int(n)
+                rows.append((aid, "image",
+                             render_media_jpeg(aid, 1 + n % 4,
+                                               1 + n % 3,
+                                               subsampling="4:2:0")))
             yield pd_.DataFrame(rows, columns=["asset_id", "modality",
                                                "payload"])
 

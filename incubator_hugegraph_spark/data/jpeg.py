@@ -4,11 +4,14 @@ The LAST codec-bound image format leaves `_decode_stub`: a genuine
 ITU T.81 baseline sequential DCT encoder/decoder pair — real entropy
 coding (Annex K Huffman tables written as DHT and REBUILT from the
 stream by the decoder, never assumed), real FDCT/IDCT, byte stuffing,
-restart markers, 4:4:4 YCbCr. No codec library anywhere.
+restart markers, YCbCr at 4:4:4, 4:2:2 or 4:2:0 (r08 — MCU-
+interleaved data units per T.81 A.2.3, box-mean chroma downsample on
+encode, replication upsample on decode). No codec library anywhere.
 
-Scope (documented): baseline sequential, 8-bit, 1 or 3 components,
-no chroma subsampling (the encoder never emits it; the decoder
-returns None for subsampled/progressive streams instead of guessing).
+Scope (documented): baseline sequential interleaved, 8-bit, 1 or 3
+components, sampling factors that divide (hmax, vmax); the decoder
+returns None for progressive / 12-bit / arithmetic-coded /
+non-interleaved multi-scan streams instead of guessing.
 
 Oracle strategy (the `multimodal_decode` pattern): JPEG is lossy in
 general, so the fixture generator renders images that are CONSTANT
@@ -272,30 +275,61 @@ def _dht_segment(tclass: int, tid: int, bits, values) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
 
 
+SUBSAMPLING = {  # name -> per-component (h, v) sampling factors
+    "4:4:4": ((1, 1), (1, 1), (1, 1)),
+    "4:2:2": ((2, 1), (1, 1), (1, 1)),
+    "4:2:0": ((2, 2), (1, 1), (1, 1)),
+}
+
+
 def encode_jpeg_rgb(raw: bytes, width: int, height: int,
-                    quant=None, restart_interval: int = 0) -> bytes:
-    """REAL baseline JPEG encoder: 4:4:4 YCbCr, all-ones quantization
-    by default (near-lossless — the fixture exactness configuration),
+                    quant=None, restart_interval: int = 0,
+                    subsampling: str = "4:4:4") -> bytes:
+    """REAL baseline JPEG encoder: YCbCr with 4:4:4 (default), 4:2:2
+    or 4:2:0 chroma subsampling (r08 — box-mean downsample, MCU-
+    interleaved data units per T.81 A.2.3), all-ones quantization by
+    default (near-lossless — the fixture exactness configuration),
     Annex K Huffman tables, differential DC, run-length AC with
     ZRL/EOB, byte stuffing. `raw` is row-major RGB, len = w*h*3.
     Edge blocks pad by edge replication (cropped on decode).
     ``restart_interval`` > 0 emits a DRI segment and byte-aligned
     RSTn markers every that many MCUs with DC predictors reset
     (T.81 B.2.4.4/E.1.4) — the stream shape parallel decoders rely
-    on, and the exerciser for the decoder's resync path."""
+    on, and the exerciser for the decoder's resync path.
+
+    Subsampled-gray exactness hook: for r=g=b inputs both chroma
+    planes are the constant 128, whose box mean IS 128, so the
+    block-constant-gray oracle geometry survives 4:2:0/4:2:2 intact
+    (Y rides at full resolution either way)."""
     import numpy as np
     assert len(raw) == width * height * 3
+    sampling = SUBSAMPLING[subsampling]
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
     img = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
     ycc = _rgb_to_ycbcr(img)
     q = list(quant) if quant is not None else _quant_table_ones()
     qmat = np.asarray(q, dtype=np.float64).reshape(8, 8)
     a = _dct_matrix()
 
-    bw = -(-width // 8)
-    bh = -(-height // 8)
-    # pad to block multiples by edge replication
-    padded = np.pad(ycc, ((0, bh * 8 - height), (0, bw * 8 - width),
-                          (0, 0)), mode="edge")
+    # MCU grid: hmax x vmax luma blocks per MCU
+    mx = -(-width // (8 * hmax))
+    my = -(-height // (8 * vmax))
+    # per-component planes, padded by edge replication to the MCU
+    # grid at that component's resolution; non-full components are
+    # box-mean downsampled from the padded full-res plane
+    full_h, full_w = my * 8 * vmax, mx * 8 * hmax
+    planes = []
+    for ci, (h, v) in enumerate(sampling):
+        comp = np.pad(ycc[:, :, ci].astype(np.float64),
+                      ((0, full_h - height), (0, full_w - width)),
+                      mode="edge")
+        if (h, v) != (hmax, vmax):
+            fy, fx = vmax // v, hmax // h
+            comp = np.rint(
+                comp.reshape(full_h // fy, fy, full_w // fx, fx)
+                .mean(axis=(1, 3)))
+        planes.append(comp)
 
     dc_codes = [_build_huffman_codes(*STD_DC_LUMA),
                 _build_huffman_codes(*STD_DC_CHROMA)]
@@ -304,9 +338,44 @@ def encode_jpeg_rgb(raw: bytes, width: int, height: int,
 
     w = _BitWriter()
     prev_dc = [0, 0, 0]
+
+    def put_block(plane, py, px, comp, tbl):
+        block = plane[py * 8:(py + 1) * 8, px * 8:(px + 1) * 8] - 128.0
+        coef = a @ block @ a.T
+        coef = np.rint(coef / qmat).astype(np.int64)
+        zz = [int(coef.flat[ZIGZAG[k]]) for k in range(64)]
+        # DC: differential
+        diff = zz[0] - prev_dc[comp]
+        prev_dc[comp] = zz[0]
+        size = _bit_size(diff)
+        code, length = dc_codes[tbl][size]
+        w.write(code, length)
+        if size:
+            w.write(diff if diff > 0 else diff + (1 << size) - 1,
+                    size)
+        # AC: run-length
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[tbl][0xF0]  # ZRL
+                w.write(code, length)
+                run -= 16
+            size = _bit_size(v)
+            code, length = ac_codes[tbl][run << 4 | size]
+            w.write(code, length)
+            w.write(v if v > 0 else v + (1 << size) - 1, size)
+            run = 0
+        if run:
+            code, length = ac_codes[tbl][0x00]  # EOB
+            w.write(code, length)
+
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for by in range(my):
+        for bx in range(mx):
             if restart_interval and mcu and \
                     mcu % restart_interval == 0:
                 w.flush()
@@ -314,48 +383,21 @@ def encode_jpeg_rgb(raw: bytes, width: int, height: int,
                                               - 1) % 8])
                 prev_dc = [0, 0, 0]
             mcu += 1
-            for comp in range(3):
-                tbl = 0 if comp == 0 else 1
-                block = padded[by * 8:(by + 1) * 8,
-                               bx * 8:(bx + 1) * 8, comp] \
-                    .astype(np.float64) - 128.0
-                coef = a @ block @ a.T
-                coef = np.rint(coef / qmat).astype(np.int64)
-                zz = [int(coef.flat[ZIGZAG[k]]) for k in range(64)]
-                # DC: differential
-                diff = zz[0] - prev_dc[comp]
-                prev_dc[comp] = zz[0]
-                size = _bit_size(diff)
-                code, length = dc_codes[tbl][size]
-                w.write(code, length)
-                if size:
-                    w.write(diff if diff > 0 else diff + (1 << size) - 1,
-                            size)
-                # AC: run-length
-                run = 0
-                for k in range(1, 64):
-                    v = zz[k]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[tbl][0xF0]  # ZRL
-                        w.write(code, length)
-                        run -= 16
-                    size = _bit_size(v)
-                    code, length = ac_codes[tbl][run << 4 | size]
-                    w.write(code, length)
-                    w.write(v if v > 0 else v + (1 << size) - 1, size)
-                    run = 0
-                if run:
-                    code, length = ac_codes[tbl][0x00]  # EOB
-                    w.write(code, length)
+            # T.81 A.2.3 interleave: each component contributes its
+            # h x v data units per MCU, raster order within the MCU
+            for ci, (h, v) in enumerate(sampling):
+                tbl = 0 if ci == 0 else 1
+                for dv in range(v):
+                    for dh in range(h):
+                        put_block(planes[ci], by * v + dv,
+                                  bx * h + dh, ci, tbl)
     w.flush()
 
     sof = (b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 3, 8,
                                      height, width, 3)
-           + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1])
-           + bytes([3, 0x11, 1]))
+           + bytes([1, sampling[0][0] << 4 | sampling[0][1], 0])
+           + bytes([2, sampling[1][0] << 4 | sampling[1][1], 1])
+           + bytes([3, sampling[2][0] << 4 | sampling[2][1], 1]))
     sos = (b"\xff\xda" + struct.pack(">HB", 6 + 2 * 3, 3)
            + bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11])
            + bytes([0, 63, 0]))
@@ -375,11 +417,13 @@ def decode_jpeg_rgb(b: bytes):
     """REAL baseline JPEG pixel decode: segment walk (DQT/DHT/SOF0/
     DRI/SOS are PARSED from the stream, nothing assumed), bit-level
     Huffman decode with un-stuffing and RSTn handling, dequantize,
-    un-zigzag, IDCT, YCbCr->RGB (or grayscale replication). Returns
-    (width, height, bytearray row-major RGB) or None for anything
-    outside the supported envelope (progressive, subsampled,
-    12-bit, arithmetic-coded) or malformed — same None-not-raise
-    contract as decode_png_rgb."""
+    un-zigzag, IDCT, chroma upsample (pixel replication per the JFIF
+    convention) for subsampled streams (r08 — 4:2:0/4:2:2 and any
+    layout whose factors divide hmax/vmax), YCbCr->RGB (or grayscale
+    replication). Returns (width, height, bytearray row-major RGB)
+    or None for anything outside the supported envelope (progressive,
+    12-bit, arithmetic-coded, non-dividing sampling factors) or
+    malformed — same None-not-raise contract as decode_png_rgb."""
     import numpy as np
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
@@ -388,7 +432,7 @@ def decode_jpeg_rgb(b: bytes):
         huff_dc = {}
         huff_ac = {}
         width = height = None
-        comps = []          # (cid, qid)
+        comps = []          # (cid, qid, h, v)
         scan = []           # (comp index, dc table, ac table)
         restart_interval = 0
         i = 2
@@ -430,9 +474,16 @@ def decode_jpeg_rgb(b: bytes):
                     return None
                 for c in range(nc):
                     cid, sampling, qid = data[6 + c * 3:9 + c * 3]
-                    if sampling != 0x11:
-                        return None  # subsampling: out of envelope
-                    comps.append((cid, qid))
+                    sh, sv = sampling >> 4, sampling & 0x0F
+                    if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                        return None
+                    comps.append((cid, qid, sh, sv))
+                if nc == 1 and (comps[0][2], comps[0][3]) != (1, 1):
+                    # a single-component scan is NON-interleaved
+                    # (T.81 A.2.2: MCU = 1 data unit); the factors
+                    # are meaningless there and we keep the simple
+                    # envelope
+                    return None
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # progressive/extended/arithmetic
@@ -440,11 +491,13 @@ def decode_jpeg_rgb(b: bytes):
                 (restart_interval,) = struct.unpack(">H", data[:2])
             elif marker == 0xDA:  # SOS — entropy data follows
                 ns = data[0]
+                if ns != len(comps):
+                    return None  # non-interleaved multi-scan: out
                 for s in range(ns):
                     cid = data[1 + s * 2]
                     tables = data[2 + s * 2]
-                    ci = next(k for k, (c, _) in enumerate(comps)
-                              if c == cid)
+                    ci = next(k for k, c in enumerate(comps)
+                              if c[0] == cid)
                     scan.append((ci, tables >> 4, tables & 0x0F))
                 i = i + 2 + seg_len
                 break
@@ -454,16 +507,64 @@ def decode_jpeg_rgb(b: bytes):
         if width is None or not scan or width < 1 or height < 1:
             return None
 
-        a = _dct_matrix()
-        bw = -(-width // 8)
-        bh = -(-height // 8)
         nc = len(comps)
-        planes = np.zeros((bh * 8, bw * 8, nc), dtype=np.uint8)
+        hmax = max(c[2] for c in comps)
+        vmax = max(c[3] for c in comps)
+        for _, _, sh, sv in comps:
+            if hmax % sh or vmax % sv:
+                return None  # replication upsample needs divisors
+        a = _dct_matrix()
+        # MCU grid at hmax x vmax luma blocks per MCU
+        mx = -(-width // (8 * hmax))
+        my = -(-height // (8 * vmax))
+        planes = [np.zeros((my * 8 * c[3], mx * 8 * c[2]),
+                           dtype=np.uint8) for c in comps]
         reader = _BitReader(b, i)
         prev_dc = [0] * nc
         mcu = 0
-        for by in range(bh):
-            for bx in range(bw):
+
+        def get_block(ci, dc_t, ac_t, py, px):
+            qtbl = quant[comps[ci][1]]
+            dct = huff_dc[dc_t]
+            act = huff_ac[ac_t]
+            zz = [0] * 64
+            # DC
+            sym = _read_symbol(reader, dct)
+            if sym:
+                diff = _extend(reader.read_bits(sym), sym)
+            else:
+                diff = 0
+            prev_dc[ci] += diff
+            zz[0] = prev_dc[ci]
+            # AC
+            k = 1
+            while k < 64:
+                sym = _read_symbol(reader, act)
+                if sym == 0x00:  # EOB
+                    break
+                run = sym >> 4
+                size = sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("jpeg: bad AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("jpeg: AC index overflow")
+                zz[k] = _extend(reader.read_bits(size), size)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            for k in range(64):
+                coef[ZIGZAG[k]] = zz[k] * qtbl[ZIGZAG[k]]
+            block = a.T @ coef.reshape(8, 8) @ a
+            pix = np.clip(np.rint(block) + 128, 0, 255) \
+                .astype(np.uint8)
+            planes[ci][py * 8:(py + 1) * 8,
+                       px * 8:(px + 1) * 8] = pix
+
+        for by in range(my):
+            for bx in range(mx):
                 if restart_interval and mcu and \
                         mcu % restart_interval == 0:
                     reader.align_to_marker()
@@ -473,50 +574,26 @@ def decode_jpeg_rgb(b: bytes):
                     reader.i += 2
                     prev_dc = [0] * nc
                 mcu += 1
+                # T.81 A.2.3 interleave order within the MCU
                 for ci, dc_t, ac_t in scan:
-                    qtbl = quant[comps[ci][1]]
-                    dct = huff_dc[dc_t]
-                    act = huff_ac[ac_t]
-                    zz = [0] * 64
-                    # DC
-                    sym = _read_symbol(reader, dct)
-                    if sym:
-                        diff = _extend(reader.read_bits(sym), sym)
-                    else:
-                        diff = 0
-                    prev_dc[ci] += diff
-                    zz[0] = prev_dc[ci]
-                    # AC
-                    k = 1
-                    while k < 64:
-                        sym = _read_symbol(reader, act)
-                        if sym == 0x00:  # EOB
-                            break
-                        run = sym >> 4
-                        size = sym & 0x0F
-                        if size == 0:
-                            if run != 15:
-                                raise ValueError("jpeg: bad AC symbol")
-                            k += 16  # ZRL
-                            continue
-                        k += run
-                        if k > 63:
-                            raise ValueError("jpeg: AC index overflow")
-                        zz[k] = _extend(reader.read_bits(size), size)
-                        k += 1
-                    coef = np.zeros(64, dtype=np.float64)
-                    for k in range(64):
-                        coef[ZIGZAG[k]] = zz[k] * qtbl[ZIGZAG[k]]
-                    block = a.T @ coef.reshape(8, 8) @ a
-                    pix = np.clip(np.rint(block) + 128, 0, 255) \
-                        .astype(np.uint8)
-                    planes[by * 8:(by + 1) * 8,
-                           bx * 8:(bx + 1) * 8, ci] = pix
-        planes = planes[:height, :width, :]
+                    sh, sv = comps[ci][2], comps[ci][3]
+                    for dv in range(sv):
+                        for dh in range(sh):
+                            get_block(ci, dc_t, ac_t,
+                                      by * sv + dv, bx * sh + dh)
+        # upsample subsampled planes by pixel replication, crop,
+        # stack to (h, w, nc)
+        out = np.empty((height, width, nc), dtype=np.uint8)
+        for ci, (_, _, sh, sv) in enumerate(comps):
+            p = planes[ci]
+            if (sh, sv) != (hmax, vmax):
+                p = np.repeat(np.repeat(p, vmax // sv, axis=0),
+                              hmax // sh, axis=1)
+            out[:, :, ci] = p[:height, :width]
         if nc == 1:
-            rgb = np.repeat(planes, 3, axis=2)
+            rgb = np.repeat(out, 3, axis=2)
         else:
-            rgb = _ycbcr_to_rgb(planes.astype(np.int16))
+            rgb = _ycbcr_to_rgb(out.astype(np.int16))
         return width, height, bytearray(rgb.tobytes())
     except (ValueError, struct.error, IndexError, KeyError,
             StopIteration):

@@ -454,22 +454,25 @@ def decode_image_rgb(b: bytes):
     return decode_jpeg_rgb(b)
 
 
-def render_media_jpeg(asset_id: int, blocks_w: int,
-                      blocks_h: int) -> bytes:
+def render_media_jpeg(asset_id: int, blocks_w: int, blocks_h: int,
+                      subsampling: str = "4:4:4") -> bytes:
     """Deterministic REAL baseline JPEG: an (8*blocks_w x 8*blocks_h)
     image, constant gray within each 8x8 block — block (by, bx) has
     r=g=b = byte(asset_id, by*blocks_w + bx). For block-constant gray
     the whole encode/decode chain is exactly invertible (data/jpeg.py
-    module docstring), so an oracle recomputes decoded stats from the
-    block formula while the decoder must run real entropy decoding to
-    reproduce them."""
+    module docstring) — including at 4:2:0/4:2:2 (r08: gray keeps
+    both chroma planes at the constant 128, which box-mean +
+    replication carry exactly) — so an oracle recomputes decoded
+    stats from the block formula while the decoder must run real
+    entropy decoding to reproduce them."""
     import numpy as np
     vals = synth_media_bytes(asset_id, blocks_w * blocks_h) \
         .reshape(blocks_h, blocks_w)
     gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
     raw = np.stack([gray] * 3, axis=2).astype(np.uint8).tobytes()
     from incubator_hugegraph_spark.data.jpeg import encode_jpeg_rgb
-    return encode_jpeg_rgb(raw, blocks_w * 8, blocks_h * 8)
+    return encode_jpeg_rgb(raw, blocks_w * 8, blocks_h * 8,
+                           subsampling=subsampling)
 
 
 def render_media_gif(asset_id: int, width: int, height: int) -> bytes:

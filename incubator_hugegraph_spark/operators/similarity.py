@@ -111,6 +111,14 @@ def jaccard_top_batch(graph: PropertyGraph, sources: list[str], top: int,
     # limit-bounded (review r08): the gate only needs "≤ limit?", so
     # scanning stops after BROADCAST_FRONTIER_LIMIT+1 rows instead of
     # counting all |sources|·degree rows on the hot path.
+    # b5_dist drift attribution (r08, the pagerank.py A/B method —
+    # interleaved git-archive trees, sf0.1, best-of-3 × 2 rounds):
+    # r07 tree (unbounded count) 9.81/8.32 s, r06 tree (no gate)
+    # 9.88/9.16 s, current (bounded probe) 8.79/8.25 s — trees are
+    # within noise of each other while ALL sit ~2× above the driver's
+    # r06/r07 readings (4.27/5.46 s), so the +28% r07 drift was host
+    # drift, and the bounded probe leaves the current tree at least
+    # as fast as the pre-gate r06 code.
     src_n_rows = src_n.limit(_bfs.BROADCAST_FRONTIER_LIMIT + 1).count()
     sn = (F.broadcast(src_n)
           if src_n_rows <= _bfs.BROADCAST_FRONTIER_LIMIT

@@ -473,6 +473,66 @@ def test_jpeg_block_constant_exact_property(bw, bh, asset_id):
     assert bytes(out) == want
 
 
+@given(st.integers(min_value=1, max_value=5),
+       st.integers(min_value=1, max_value=4),
+       st.integers(min_value=0, max_value=10_000),
+       st.sampled_from(["4:2:0", "4:2:2"]),
+       st.sampled_from([0, 2]))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_subsampled_block_constant_exact_property(
+        bw, bh, asset_id, ss, dri):
+    """Subsampled JPEG exactness (r08): for block-constant GRAY
+    images both chroma planes are the constant 128, whose box-mean
+    downsample IS 128 and whose replication upsample returns 128 —
+    so the 4:2:0/4:2:2 chain is exactly invertible on the same
+    geometry the 4:4:4 oracle uses (Y rides at full resolution).
+    Odd block counts exercise the MCU edge-padding path; dri=2
+    exercises RSTn resync over multi-block MCUs."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.jpeg import (
+        decode_jpeg_rgb, encode_jpeg_rgb)
+    from incubator_hugegraph_spark.data.multimodal import (
+        synth_media_bytes)
+    vals = synth_media_bytes(asset_id, bw * bh).reshape(bh, bw)
+    gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    raw = np.stack([gray] * 3, axis=2).astype(np.uint8).tobytes()
+    enc = encode_jpeg_rgb(raw, bw * 8, bh * 8, subsampling=ss,
+                          restart_interval=dri)
+    got = decode_jpeg_rgb(enc)
+    assert got is not None
+    assert (got[0], got[1]) == (bw * 8, bh * 8)
+    assert bytes(got[2]) == raw
+
+
+@given(st.integers(min_value=1, max_value=30),
+       st.integers(min_value=1, max_value=30),
+       st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_subsampled_lossy_roundtrip_property(w, h, seed):
+    """4:2:0 on ARBITRARY per-pixel GRAY buffers (r=g=b random, NOT
+    block-constant): luma rides at full resolution and both chroma
+    planes are the constant 128 (loss-free under box-mean +
+    replication), so the roundtrip error equals the 4:4:4 bound —
+    this pins decoder generality (every Huffman/AC/ZRL path, MCU
+    edge padding, plane reassembly) without the genuinely-lossy
+    chroma of saturated color noise, whose clamp interactions admit
+    no useful bound. Dims survive exactly either way."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.jpeg import (
+        decode_jpeg_rgb, encode_jpeg_rgb)
+    rng = np.random.RandomState(seed % (2**31))
+    gray = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    raw = np.stack([gray] * 3, axis=2)
+    got = decode_jpeg_rgb(
+        encode_jpeg_rgb(raw.tobytes(), w, h, subsampling="4:2:0"))
+    assert got is not None
+    assert (got[0], got[1]) == (w, h)
+    a = np.frombuffer(bytes(got[2]), dtype=np.uint8).astype(np.int64)
+    assert np.abs(a - raw.ravel().astype(np.int64)).max() <= 6
+
+
 @given(st.integers(min_value=1, max_value=60),
        st.integers(min_value=1, max_value=60),
        st.integers(min_value=0, max_value=2**31))
