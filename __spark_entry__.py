@@ -7139,42 +7139,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # row-for-row engine-equivalence pytest against its driver-checked dist
 # sibling).
 _WINDOW_ORDER = [
-    # ROUND-7 WINDOW (50 slots, driver records the first 50).
-    # Standing split adopted per VERDICT r06 items 1+3: new/changed
-    # queries first, then re-checks of surfaces THIS round's diff
-    # touched, then re-checks of mutation surfaces whose driver
-    # evidence is aging, then the oldest-evidence greens — so driver
-    # evidence for every surface keeps refreshing instead of aging
-    # indefinitely behind r01/r02 rows.
-    # (a) the ONLY query with zero driver verdicts (r06 item 1) +
-    # this round's new queries + louvain (now hash-gated via
-    # canonical min-member relabeling, r06 item 4)
-    "multimodal_stream_audio_neardup", "multimodal_jpeg_decode",
-    "multimodal_gif_decode", "multimodal_cross_codec_neardup",
-    "louvain", "doc_dedup_substrings", "emb_cross_neardup",
-    "emb_ivf_index_ann",
-    # (b) surfaces the r07 diff touched: jaccard batch top-k gate,
-    # ANN salt-phase gate, chunked-Hamming stop-bucket guard, image
-    # decode dispatch, louvain companions
-    "jaccard_top_batch", "jaccard_top", "jaccard_pair",
-    "emb_ivf_ann", "emb_lsh_ann", "emb_neardup", "emb_semdedup",
-    "doc_simhash", "multimodal_image_neardup",
-    "multimodal_audio_neardup", "multimodal_video_neardup",
-    "multimodal_cross_neardup", "multimodal_decode",
-    "louvain_histogram", "louvain_invariants",
-    # (c) mutation surfaces changed in r06 (pk guards, auto-id
-    # reseed) with only mirror+pytest evidence since r05 (VERDICT
-    # r06 "what's wrong" #3)
-    "cypher_merge", "cypher_create", "cypher_foreach", "cypher_remove",
-    "vertex_upsert_merge", "edge_exist", "vertex_id_lookup",
-    "vertex_id_prefix", "vertex_delete_cascade", "graph_load_csv",
-    # (d) oldest-evidence greens (driver rows from r01/r02 only)
-    "adamic_adar", "agg_pushdown", "all_shortest_paths",
-    "closeness_centrality", "cluster_coefficient", "count_vertex",
-    "count_edge", "crosspoints", "customized_paths",
-    "degree_centrality", "eigenvector_centrality",
-    "fusiform_similarity", "k_core", "kout_2", "lpa",
-    "multi_node_shortest_path", "page_rank",
+    # ROUND-8 WINDOW (50 slots, driver records the first 50).
+    # Standing split per the r06/r07 policy: (a) new queries, (b)
+    # surfaces THIS round's diff touched, (c) aging
+    # mutation/streaming surfaces, (d) oldest-evidence greens — so
+    # driver evidence for every surface keeps refreshing instead of
+    # aging indefinitely.
+    # (a) new in r08: MJPEG-in-AVI compressed video, 4:2:0
+    # subsampled JPEG, and the persisted-LSH rebuild-after-append
+    # gate (the round's fixed hazard, driven end-to-end)
+    "multimodal_mjpeg_frames", "multimodal_jpeg420_decode",
+    "emb_lsh_index_ann",
+    # (b) surfaces the r08 diff touched: jaccard gate probes
+    # (limit-bounded), LSH index build path, JPEG codec (subsampling
+    # generalization), AVI walker (codec dispatch + word alignment),
+    # decode_media consumers, cross-neardup docstring, '\s' raw
+    # string
+    "jaccard_pair", "jaccard_top", "jaccard_top_batch",
+    "emb_ivf_index_ann", "emb_cross_neardup", "emb_lsh_ann",
+    "emb_ivf_ann", "multimodal_jpeg_decode", "multimodal_gif_decode",
+    "multimodal_cross_codec_neardup", "multimodal_video_neardup",
+    "multimodal_frames", "multimodal_decode", "multimodal_resize",
+    "multimodal_features", "text_bigram_contains",
+    # (c) aging streaming (r02-r04 evidence) + mutation surfaces
+    # (r03/r04): the streaming tier's oldest driver rows plus the
+    # TTL/shard/paging scans the r07 verdict named
+    "ttl_live_filter", "shard_scan_union", "paged_scan",
+    "events_incremental_wcc", "events_stream_dedup",
+    "events_stream_window", "events_window_agg", "doc_stream_neardup",
+    "events_distinct_users_kmv", "events_sessionize",
+    "events_stream_sessionize",
+    # (d) oldest-evidence greens: every remaining r01 row, then the
+    # r02 gremlin family and the oldest r02 traversers
+    "customized_crosspoints", "kneighbor_paths", "neighbor_rank",
+    "personal_rank", "rings", "sssp_weighted", "subgraph_stat",
+    "template_paths", "triangle_count", "wcc",
+    "weighted_shortest_path",
+    "gremlin_dsl_filter_hop", "gremlin_dsl_group_count",
+    "gremlin_dsl_path", "gremlin_dsl_select",
+    "gremlin_dsl_values_mean", "gremlin_text_chain",
+    "gremlin_text_group_count", "rays", "count_steps",
 ]
 
 
