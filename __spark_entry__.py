@@ -5957,6 +5957,35 @@ def multimodal_decode_q(spark, sf_dir):
     return decode_media(media_docs_as_assets(_docs(spark, sf_dir)))
 
 
+def _rendered_assets(spark, sf_dir, modality, render, nparts=None):
+    """Shared render adapter for the codec decode queries (review
+    r08 — the JPEG/GIF/4:2:0/MJPEG rows and bench's x_mjpeg_decode
+    each re-declared the same schema + wrap boilerplate): one
+    Arrow-batched mapInPandas pass planting
+    ``render(doc_id, n_text_bytes) -> payload`` per document."""
+    import pandas as pd_
+    from pyspark.sql import types as T_
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n"))
+    if nparts:
+        docs = docs.repartition(nparts)
+    schema = T_.StructType([
+        T_.StructField("asset_id", T_.LongType(), False),
+        T_.StructField("modality", T_.StringType(), False),
+        T_.StructField("payload", T_.BinaryType(), False),
+    ])
+
+    def wrap(batches):
+        for pdf in batches:
+            rows = [(int(aid), modality, render(int(aid), int(n)))
+                    for aid, n in zip(pdf["doc_id"], pdf["n"])]
+            yield pd_.DataFrame(rows, columns=["asset_id", "modality",
+                                               "payload"])
+
+    return docs.mapInPandas(wrap, schema)
+
+
 @_q("multimodal_jpeg_decode", """
 WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
            FROM documents),
@@ -5993,33 +6022,13 @@ def multimodal_jpeg_decode_q(spark, sf_dir):
     recomputes from the block formula; generality beyond the exact
     geometry is pinned by the lossy-roundtrip property tests. Spark
     shape: one Arrow-batched mapInPandas render + one decode pass."""
-    import pandas as pd_
-    from pyspark.sql import types as T_
-
     from incubator_hugegraph_spark.data.multimodal import (
         decode_media,
         render_media_jpeg,
     )
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n"))
-    schema = T_.StructType([
-        T_.StructField("asset_id", T_.LongType(), False),
-        T_.StructField("modality", T_.StringType(), False),
-        T_.StructField("payload", T_.BinaryType(), False),
-    ])
-
-    def wrap(batches):
-        for pdf in batches:
-            rows = []
-            for aid, n in zip(pdf["doc_id"], pdf["n"]):
-                aid, n = int(aid), int(n)
-                rows.append((aid, "image",
-                             render_media_jpeg(aid, 1 + n % 4,
-                                               1 + n % 3)))
-            yield pd_.DataFrame(rows, columns=["asset_id", "modality",
-                                               "payload"])
-
-    return decode_media(docs.mapInPandas(wrap, schema))
+    return decode_media(_rendered_assets(
+        spark, sf_dir, "image",
+        lambda aid, n: render_media_jpeg(aid, 1 + n % 4, 1 + n % 3)))
 
 
 @_q("multimodal_jpeg420_decode", """
@@ -6057,34 +6066,14 @@ def multimodal_jpeg420_decode_q(spark, sf_dir):
     per-plane reassembly right; subsampled GENERALITY beyond gray is
     pinned by the hypothesis properties. Spark shape: one
     Arrow-batched mapInPandas render + one decode pass."""
-    import pandas as pd_
-    from pyspark.sql import types as T_
-
     from incubator_hugegraph_spark.data.multimodal import (
         decode_media,
         render_media_jpeg,
     )
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n"))
-    schema = T_.StructType([
-        T_.StructField("asset_id", T_.LongType(), False),
-        T_.StructField("modality", T_.StringType(), False),
-        T_.StructField("payload", T_.BinaryType(), False),
-    ])
-
-    def wrap(batches):
-        for pdf in batches:
-            rows = []
-            for aid, n in zip(pdf["doc_id"], pdf["n"]):
-                aid, n = int(aid), int(n)
-                rows.append((aid, "image",
-                             render_media_jpeg(aid, 1 + n % 4,
-                                               1 + n % 3,
-                                               subsampling="4:2:0")))
-            yield pd_.DataFrame(rows, columns=["asset_id", "modality",
-                                               "payload"])
-
-    return decode_media(docs.mapInPandas(wrap, schema))
+    return decode_media(_rendered_assets(
+        spark, sf_dir, "image",
+        lambda aid, n: render_media_jpeg(aid, 1 + n % 4, 1 + n % 3,
+                                   subsampling="4:2:0")))
 
 
 @_q("multimodal_gif_decode", """
@@ -6120,33 +6109,13 @@ def multimodal_gif_decode_q(spark, sf_dir):
     formula with no special geometry; decode_media must run the real
     LZW decompression + palette lookup to reproduce them. Spark
     shape: one Arrow-batched mapInPandas render + one decode pass."""
-    import pandas as pd_
-    from pyspark.sql import types as T_
-
     from incubator_hugegraph_spark.data.multimodal import (
         decode_media,
         render_media_gif,
     )
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n"))
-    schema = T_.StructType([
-        T_.StructField("asset_id", T_.LongType(), False),
-        T_.StructField("modality", T_.StringType(), False),
-        T_.StructField("payload", T_.BinaryType(), False),
-    ])
-
-    def wrap(batches):
-        for pdf in batches:
-            rows = []
-            for aid, n in zip(pdf["doc_id"], pdf["n"]):
-                aid, n = int(aid), int(n)
-                rows.append((aid, "image",
-                             render_media_gif(aid, 3 + n % 13,
-                                              2 + n % 11)))
-            yield pd_.DataFrame(rows, columns=["asset_id", "modality",
-                                               "payload"])
-
-    return decode_media(docs.mapInPandas(wrap, schema))
+    return decode_media(_rendered_assets(
+        spark, sf_dir, "image",
+        lambda aid, n: render_media_gif(aid, 3 + n % 13, 2 + n % 11)))
 
 
 @_q("multimodal_mjpeg_frames", """
@@ -6186,33 +6155,14 @@ def multimodal_mjpeg_frames_q(spark, sf_dir):
     YCbCr→RGB — to reproduce stats the oracle recomputes from the
     generator formula, per frame. Spark shape: one Arrow-batched
     mapInPandas render + one decode pass."""
-    import pandas as pd_
-    from pyspark.sql import types as T_
-
     from incubator_hugegraph_spark.data.multimodal import (
         decode_media,
         render_media_mjpeg,
     )
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n"))
-    schema = T_.StructType([
-        T_.StructField("asset_id", T_.LongType(), False),
-        T_.StructField("modality", T_.StringType(), False),
-        T_.StructField("payload", T_.BinaryType(), False),
-    ])
-
-    def wrap(batches):
-        for pdf in batches:
-            rows = []
-            for aid, n in zip(pdf["doc_id"], pdf["n"]):
-                aid, n = int(aid), int(n)
-                rows.append((aid, "video",
-                             render_media_mjpeg(aid, 1 + n % 3,
-                                                1 + n % 4, 1 + n % 2)))
-            yield pd_.DataFrame(rows, columns=["asset_id", "modality",
-                                               "payload"])
-
-    return decode_media(docs.mapInPandas(wrap, schema))
+    return decode_media(_rendered_assets(
+        spark, sf_dir, "video",
+        lambda aid, n: render_media_mjpeg(aid, 1 + n % 3, 1 + n % 4,
+                                    1 + n % 2)))
 
 
 _CROSS_CODEC_SQL = """

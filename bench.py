@@ -201,32 +201,18 @@ def main() -> None:
         # (1-3 baseline-JPEG frames per doc) and decode every frame
         # back to exact pixel stats — the per-frame Huffman+IDCT cost
         # of the last modality to leave the stub, tracked per-round.
-        import pandas as _pd
-        from pyspark.sql import types as _T
-
+        # Rides the same render adapter as the driver query (review
+        # r08 dedup), repartitioned to model a many-split blob store.
+        import __spark_entry__ as _entry
         from incubator_hugegraph_spark.data.multimodal import (
             decode_media, render_media_mjpeg)
         nparts = int(spark.sparkContext.defaultParallelism)
-        d = (docs.select(
-                "doc_id",
-                F.octet_length(F.encode("text", "utf-8")).alias("n"))
-             .repartition(nparts))
-        schema = _T.StructType([
-            _T.StructField("asset_id", _T.LongType(), False),
-            _T.StructField("modality", _T.StringType(), False),
-            _T.StructField("payload", _T.BinaryType(), False)])
-
-        def wrap(batches):
-            for pdf in batches:
-                rows = [(int(a), "video",
-                         render_media_mjpeg(int(a), 1 + int(n) % 3,
-                                            1 + int(n) % 4,
-                                            1 + int(n) % 2))
-                        for a, n in zip(pdf["doc_id"], pdf["n"])]
-                yield _pd.DataFrame(
-                    rows, columns=["asset_id", "modality", "payload"])
-
-        return decode_media(d.mapInPandas(wrap, schema)).count()
+        assets = _entry._rendered_assets(
+            spark, SF_DIR, "video",
+            lambda aid, n: render_media_mjpeg(aid, 1 + n % 3,
+                                              1 + n % 4, 1 + n % 2),
+            nparts=nparts)
+        return decode_media(assets).count()
 
     def x_paragraph_dedup():
         # r06 paragraph-dedup kernel (RefinedWeb line-wise policy):

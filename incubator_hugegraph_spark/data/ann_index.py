@@ -66,9 +66,16 @@ def write_ivf_index(emb: DataFrame, path: str, n_cells: int = 16,
     # batch=-1 marks the initial build; appends add batch=<id>
     # partitions at the SAME depth (parquet partition discovery
     # requires uniform directory structure). cell stays the FIRST
-    # level, so probe pruning is unaffected.
+    # level, so probe pruning is unaffected. Overwrite mode is PINNED
+    # static (review r08): "mode(overwrite)" alone inherits the
+    # session's partitionOverwriteMode, and under a dynamic session
+    # conf (common in insertInto ingest pipelines) a rebuild at a
+    # previously-appended path would keep stale batch=N partitions —
+    # the exact hazard the LSH build fix closed.
     (assigned.withColumn("batch", F.lit(-1))
-     .write.mode("overwrite").partitionBy("cell", "batch")
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "static")
+     .partitionBy("cell", "batch")
      .parquet(f"{path}/vectors"))
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     spark = emb.sparkSession
@@ -194,21 +201,23 @@ def write_lsh_index(emb: DataFrame, path: str, dim: int,
         else ["id", "table", "bucket"]
     # batch=-1 marks the initial build (same uniform-depth rule as
     # the IVF layout); appends add batch=<id> at the same level
+    # Build writes are PINNED to static overwrite (review r08, twice):
+    # a BUILD must wipe the whole table, but "mode(overwrite)" alone
+    # inherits the session's partitionOverwriteMode — under a dynamic
+    # session conf a rebuild at a previously-appended path keeps stale
+    # batch=N partitions, and the re-rank join on id then duplicates /
+    # mis-scores candidates. Only append_* may use dynamic mode.
     (sig.select(*cols).withColumn("batch", F.lit(-1))
      .write.mode("overwrite")
+     .option("partitionOverwriteMode", "static")
      .partitionBy("table", "bucket", "batch")
      .parquet(f"{path}/buckets"))
     if not store_vectors:
-        # static overwrite, like the IVF build (:70-73) — a BUILD must
-        # wipe the whole table. Dynamic overwrite here would keep stale
-        # batch=N vector partitions from a prior append_lsh_index run,
-        # and the re-rank join on id would then duplicate / mis-score
-        # candidates (review r08: found as a rebuild-after-append
-        # hazard; only append_lsh_index may use dynamic mode).
         (emb.select(F.col(id_col).alias("id"),
                     _to_double(vec_col).alias("v"))
          .withColumn("batch", F.lit(-1))
          .write.mode("overwrite")
+         .option("partitionOverwriteMode", "static")
          .partitionBy("batch")
          .parquet(f"{path}/vectors"))
     spark = emb.sparkSession

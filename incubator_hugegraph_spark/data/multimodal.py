@@ -22,8 +22,8 @@ statistics from the decoded values, and `resize_images_real` is a
 genuine nearest-neighbor resample of decoded PNG pixels re-encoded
 as PNG. `_decode_stub` remains only as the documented fallback for
 bytes no parser recognizes (declared codec boundaries: progressive/
-subsampled JPEG, interlaced/animated GIF, non-MJPG compressed
-video).
+12-bit/arithmetic JPEG — 4:2:0/4:2:2 subsampling IS decoded as of
+r08 — interlaced/animated GIF, non-MJPG compressed video).
 
 Scale notes: binary payloads dominate partition size — size
 `spark.sql.files.maxPartitionBytes` for ~128 MB of payload per task
@@ -624,16 +624,26 @@ def decode_avi_frames(b: bytes):
             continue
         kind = body[:4]
         if kind == b"hdrl":
-            # strh layout: fourcc(4) size(4) fccType(4) fccHandler(4)
+            # find the VIDEO stream's strl — a real MJPEG AVI usually
+            # carries an audio strl too, and taking the first
+            # strh/strf blindly would read the 'auds' handler and a
+            # WAVEFORMATEX as dims (review r08). strh layout:
+            # fourcc(4) size(4) fccType(4) fccHandler(4); the paired
+            # strf follows its strh inside the same strl.
             j = body.find(b"strh")
-            if j >= 0 and j + 16 <= len(body):
-                handler = body[j + 12:j + 16]
-            # strf layout: fourcc(4) size(4) BITMAPINFOHEADER —
-            # biWidth/biHeight live at data+4 → j+12..j+20
-            j = body.find(b"strf")
-            if j >= 0 and j + 20 <= len(body):
-                w, h = struct.unpack("<ii", body[j + 12:j + 20])
-                width, height = w, abs(h)
+            while j >= 0 and j + 16 <= len(body):
+                if body[j + 8:j + 12] == b"vids":
+                    handler = body[j + 12:j + 16]
+                    # strf layout: fourcc(4) size(4)
+                    # BITMAPINFOHEADER — biWidth/biHeight at data+4
+                    # → k+12..k+20
+                    k = body.find(b"strf", j)
+                    if k >= 0 and k + 20 <= len(body):
+                        w, h = struct.unpack("<ii",
+                                             body[k + 12:k + 20])
+                        width, height = w, abs(h)
+                    break
+                j = body.find(b"strh", j + 4)
         elif kind == b"movi":
             k = 4
             while k + 8 <= len(body):

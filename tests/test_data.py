@@ -676,6 +676,41 @@ def test_mjpeg_avi_decode_exact_and_guards():
     assert (w, h, len(frames)) == (8, 8, 1)
     w, h, frames = decode_avi_frames(good)
     assert len(frames) == 2
+    # MULTI-STREAM layout (review r08): a real MJPEG AVI usually has
+    # an audio strl BEFORE the video strl — the parser must find the
+    # 'vids' strh (and ITS strf), not the first strh in hdrl, or the
+    # handler reads as the audio codec and zero frames decode
+    single = render_media_mjpeg(9, 2, 1, 1)
+    # splice a minimal auds strl ahead of the vids strl inside hdrl
+    i = single.find(b"strl")
+    assert i > 0
+    auds_strh = (b"auds" + b"\x01\x00\x00\x00"
+                 + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 8000,
+                               0, 0, 0, 0, 0, 0))
+    auds_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    auds_strl = (b"strl"
+                 + b"strh" + struct.pack("<I", len(auds_strh))
+                 + auds_strh
+                 + b"strf" + struct.pack("<I", len(auds_strf))
+                 + auds_strf)
+    spliced = (single[:i - 8]
+               + b"LIST" + struct.pack("<I", len(auds_strl))
+               + auds_strl + single[i - 8:])
+    # fix the sizes of the enclosing hdrl LIST and the RIFF header
+    grown = 8 + len(auds_strl)
+    hd = spliced.find(b"hdrl")
+    (hdrl_sz,) = struct.unpack("<I", spliced[hd - 4:hd])
+    spliced = (spliced[:hd - 4]
+               + struct.pack("<I", hdrl_sz + grown) + spliced[hd:])
+    (riff_sz,) = struct.unpack("<I", spliced[4:8])
+    spliced = spliced[:4] + struct.pack("<I", riff_sz + grown) \
+        + spliced[8:]
+    got = decode_avi_frames(spliced)
+    assert got is not None
+    w, h, frames = got
+    assert (w, h, len(frames)) == (8, 8, 2)
+    ref = decode_avi_frames(single)
+    assert [bytes(f) for f in frames] == [bytes(f) for f in ref[2]]
 
 
 def test_decode_media_dataframe_and_resize(docs):
@@ -2173,6 +2208,17 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     # duplicate vectors (dynamic overwrite of that batch's partitions)
     append_ivf_index(rest2, f"{base}/inc", batch_id=2)
     assert q(f"{base}/inc") == got
+    # rebuild-after-append under a DYNAMIC session overwrite conf
+    # (review r08): the build must pin static mode, or the rebuild
+    # keeps the stale batch=1/2 partitions and duplicates vectors
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old_conf = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        write_ivf_index(emb, f"{base}/inc", n_cells=8)
+    finally:
+        spark.conf.set(conf_key, old_conf)
+    assert q(f"{base}/inc") == got
     # whole-batch dim guard: one bad row anywhere rejects the batch
     bad = spark.createDataFrame([(99_999, [1.0, 2.0])],
                                 "vec_id long, embedding array<double>")
@@ -2220,8 +2266,17 @@ def test_lsh_index_incremental_append(spark, tmp_path):
         # build. The full-corpus rebuild overlaps the stale batch=1
         # ids, so the store_vectors=False hazard (build-time dynamic
         # overwrite keeping old batch=N vector partitions, duplicating
-        # re-rank candidates) would be caught here as extra top-k rows.
-        write_lsh_index(emb, f"{base}/{sub}", dim, store_vectors=sv)
+        # re-rank candidates) would be caught here as extra top-k
+        # rows. Runs under a DYNAMIC session overwrite conf — build
+        # writes must pin static mode explicitly, not inherit it.
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        old_conf = spark.conf.get(conf_key, "static")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            write_lsh_index(emb, f"{base}/{sub}", dim,
+                            store_vectors=sv)
+        finally:
+            spark.conf.set(conf_key, old_conf)
         rebuilt = sorted(map(tuple, lsh_index_topk(
             spark, f"{base}/{sub}", qvecs, 5).collect()))
         assert rebuilt == want

@@ -533,6 +533,40 @@ def test_jpeg_subsampled_lossy_roundtrip_property(w, h, seed):
     assert np.abs(a - raw.ravel().astype(np.int64)).max() <= 6
 
 
+@given(st.integers(min_value=1, max_value=4),
+       st.integers(min_value=1, max_value=3),
+       st.integers(min_value=0, max_value=2**31),
+       st.sampled_from(["4:2:0", "4:2:2"]))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_subsampled_color_geometry_property(tw, th, seed, ss):
+    """Chroma-plane GEOMETRY pin with non-gray pixels (review r08:
+    the gray properties keep Cb=Cr at a constant 128, so an axis swap
+    in the box-mean reshape or the replication-upsample repeat would
+    pass them unseen): random COLOR tiles constant per chroma block
+    footprint (16x16 at 4:2:0, 16x8 at 4:2:2) make every plane
+    constant per 8x8 block — DC-only, exactly carried — so the
+    subsampled decode must be BYTE-IDENTICAL to the 4:4:4 decode of
+    the same image; both share the one lossy step (BT.601 integer
+    rounding). Non-square tile grids catch fy/fx and axis mixups at
+    4:2:2's asymmetric factors."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.jpeg import (
+        SUBSAMPLING, decode_jpeg_rgb, encode_jpeg_rgb)
+    rng = np.random.RandomState(seed % (2**31))
+    hmax, vmax = SUBSAMPLING[ss][0]
+    fw, fh = 8 * hmax, 8 * vmax   # chroma block footprint in pixels
+    w, h = tw * fw, th * fh
+    tiles = rng.randint(0, 256, (th, tw, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, fh, axis=0), fw, axis=1)
+    raw = img.astype(np.uint8).tobytes()
+    ref = decode_jpeg_rgb(encode_jpeg_rgb(raw, w, h))
+    got = decode_jpeg_rgb(encode_jpeg_rgb(raw, w, h, subsampling=ss))
+    assert got is not None and ref is not None
+    assert (got[0], got[1]) == (w, h)
+    assert bytes(got[2]) == bytes(ref[2])
+
+
 @given(st.integers(min_value=1, max_value=60),
        st.integers(min_value=1, max_value=60),
        st.integers(min_value=0, max_value=2**31))
