@@ -6118,6 +6118,50 @@ def multimodal_gif_decode_q(spark, sf_dir):
         lambda aid, n: render_media_gif(aid, 3 + n % 13, 2 + n % 11)))
 
 
+@_q("multimodal_gif_interlaced_decode", """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
+           FROM documents),
+dims AS (SELECT doc_id, CAST(3 + n % 13 AS INT) AS w,
+                CAST(2 + n % 11 AS INT) AS h
+         FROM d),
+vals AS (SELECT doc_id, w, h,
+                (doc_id*2654435761 + j*40503) % 256 AS v
+         FROM (SELECT doc_id, w, h, unnest(range(w*h)) AS j
+               FROM dims)),
+agg AS (SELECT doc_id, CAST(3*sum(v) AS BIGINT) AS val_sum,
+               CAST(3*sum(v*v) AS BIGINT) AS val_sumsq,
+               CAST(min(v) AS BIGINT) AS val_min,
+               CAST(max(v) AS BIGINT) AS val_max
+        FROM vals GROUP BY doc_id)
+SELECT dims.doc_id AS asset_id, 'image' AS modality,
+       w AS width, h AS height,
+       CAST(NULL AS BIGINT) AS n_frames,
+       CAST(3*w*h AS BIGINT) AS n_values,
+       a.val_sum, a.val_sumsq, a.val_min, a.val_max
+FROM dims JOIN agg a ON dims.doc_id = a.doc_id
+""")
+def multimodal_gif_interlaced_decode_q(spark, sf_dir):
+    """INTERLACED GIF decode under the same lossless oracle as the
+    sequential row (r08 — the Appendix E boundary retired): the
+    planted streams store rows in the four-pass interlace order with
+    the flag set, so the decoder must run the deinterlace scatter (an
+    exact permutation inverse) on top of the full LZW chain to
+    reproduce the stats the oracle recomputes from the generator
+    formula. Note sum/min/max are PERMUTATION-INVARIANT — a wrong
+    scatter would still pass this oracle, so the row-order itself is
+    pinned by test_gif_interlaced_roundtrip_property (byte-identity
+    vs the sequential stream); this row gates the envelope
+    end-to-end through Spark."""
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_media,
+        render_media_gif,
+    )
+    return decode_media(_rendered_assets(
+        spark, sf_dir, "image",
+        lambda aid, n: render_media_gif(aid, 3 + n % 13, 2 + n % 11,
+                                        interlace=True)))
+
+
 @_q("multimodal_mjpeg_frames", """
 WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
            FROM documents),
@@ -7099,7 +7143,7 @@ _WINDOW_ORDER = [
     # subsampled JPEG, and the persisted-LSH rebuild-after-append
     # gate (the round's fixed hazard, driven end-to-end)
     "multimodal_mjpeg_frames", "multimodal_jpeg420_decode",
-    "emb_lsh_index_ann",
+    "emb_lsh_index_ann", "multimodal_gif_interlaced_decode",
     # (b) surfaces the r08 diff touched: jaccard gate probes
     # (limit-bounded), LSH index build path, JPEG codec (subsampling
     # generalization), AVI walker (codec dispatch + word alignment),
@@ -7128,7 +7172,7 @@ _WINDOW_ORDER = [
     "gremlin_dsl_filter_hop", "gremlin_dsl_group_count",
     "gremlin_dsl_path", "gremlin_dsl_select",
     "gremlin_dsl_values_mean", "gremlin_text_chain",
-    "gremlin_text_group_count", "rays", "count_steps",
+    "gremlin_text_group_count", "rays",
 ]
 
 

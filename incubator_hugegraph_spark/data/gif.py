@@ -7,10 +7,12 @@ color tables parsed from the stream. GIF is LOSSLESS for paletted
 data, so unlike JPEG the oracle needs no special fixture geometry:
 any image whose colors fit the palette round-trips bit-for-bit.
 
-Scope (documented): single-image, non-interlaced GIF87a/89a with a
-global or local color table; extensions are skipped. Interlaced
-images and animations return None (the shared None-not-raise
-contract of decode_png_rgb / decode_jpeg_rgb).
+Scope (documented): single-image GIF87a/89a with a global or local
+color table, non-interlaced or interlaced (r08 — four-pass Appendix E
+row scatter); extensions are skipped. Animations decode as their
+FIRST frame; there is no multi-frame surface here (the shared
+None-not-raise contract of decode_png_rgb / decode_jpeg_rgb applies
+to malformed streams).
 
 Reference behavior parity: none — the reference (hugegraph) has no
 media tier; this module serves the training-data-pipeline brief.
@@ -167,17 +169,32 @@ def _read_sub_blocks(b: bytes, i: int):
         i += n
 
 
-def encode_gif_gray(gray: bytes, width: int, height: int) -> bytes:
+def _interlace_order(height: int) -> list[int]:
+    """GIF89a Appendix E interlace row sequence: pass 1 rows 0,8,16…,
+    pass 2 rows 4,12…, pass 3 rows 2,6,10…, pass 4 odd rows. The
+    stream stores rows in THIS order; display order is 0..height-1."""
+    return (list(range(0, height, 8)) + list(range(4, height, 8))
+            + list(range(2, height, 4)) + list(range(1, height, 2)))
+
+
+def encode_gif_gray(gray: bytes, width: int, height: int,
+                    interlace: bool = False) -> bytes:
     """REAL GIF89a encoder for 8-bit grayscale: a 256-entry global
-    color table with palette[i] = (i, i, i), one non-interlaced image
-    whose pixel indices ARE the gray values, genuine LZW. Lossless:
-    decode returns exactly `gray` replicated to RGB."""
+    color table with palette[i] = (i, i, i), one image whose pixel
+    indices ARE the gray values, genuine LZW. ``interlace`` stores
+    rows in the four-pass Appendix E order with the interlace flag
+    set (r08). Lossless either way: decode returns exactly `gray`
+    replicated to RGB."""
     assert len(gray) == width * height
     lsd = struct.pack("<HHBBB", width, height,
                       0x80 | 0x70 | 0x07,  # GCT, 8-bit color, 256 ent.
                       0, 0)
     palette = bytes(v for i in range(256) for v in (i, i, i))
-    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height,
+                                     0x40 if interlace else 0)
+    if interlace:
+        rows = _interlace_order(height)
+        gray = b"".join(gray[r * width:(r + 1) * width] for r in rows)
     lzw = _lzw_compress(gray, 8)
     return (b"GIF89a" + lsd + palette + img_desc + bytes([8])
             + _sub_blocks(lzw) + b"\x3b")
@@ -209,8 +226,6 @@ def decode_gif_rgb(b: bytes):
                 _x, _y, width, height, iflags = struct.unpack(
                     "<HHHHB", b[i + 1:i + 10])
                 i += 10
-                if iflags & 0x40:
-                    return None  # interlaced: out of envelope
                 pal = gct
                 if iflags & 0x80:
                     n = 2 << (iflags & 0x07)
@@ -226,6 +241,15 @@ def decode_gif_rgb(b: bytes):
                 idx = _lzw_decompress(lzw, min_code)
                 if len(idx) < width * height:
                     return None
+                if iflags & 0x40:
+                    # deinterlace (r08): the stream's rows arrive in
+                    # the four-pass Appendix E order; scatter them
+                    # back to display order
+                    de = bytearray(width * height)
+                    for src, dst in enumerate(_interlace_order(height)):
+                        de[dst * width:(dst + 1) * width] = \
+                            idx[src * width:(src + 1) * width]
+                    idx = de
                 out = bytearray(width * height * 3)
                 npal = len(pal) // 3
                 for j in range(width * height):

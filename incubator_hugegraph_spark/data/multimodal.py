@@ -475,15 +475,17 @@ def render_media_jpeg(asset_id: int, blocks_w: int, blocks_h: int,
                            subsampling=subsampling)
 
 
-def render_media_gif(asset_id: int, width: int, height: int) -> bytes:
+def render_media_gif(asset_id: int, width: int, height: int,
+                     interlace: bool = False) -> bytes:
     """Deterministic REAL GIF: grayscale pixel j = byte(asset_id, j)
-    through a 256-entry gray palette and genuine LZW. GIF is lossless
-    for paletted data, so decoded RGB = the generator bytes
-    replicated x3 — the oracle recomputes stats with no special
-    geometry (unlike JPEG's block-constant hook)."""
+    through a 256-entry gray palette and genuine LZW, optionally
+    stored in the four-pass interlaced row order (r08). GIF is
+    lossless for paletted data, so decoded RGB = the generator bytes
+    replicated x3 either way — the oracle recomputes stats with no
+    special geometry (unlike JPEG's block-constant hook)."""
     gray = synth_media_bytes(asset_id, width * height).tobytes()
     from incubator_hugegraph_spark.data.gif import encode_gif_gray
-    return encode_gif_gray(gray, width, height)
+    return encode_gif_gray(gray, width, height, interlace=interlace)
 
 
 def render_media_png(asset_id: int, width: int, height: int) -> bytes:

@@ -589,3 +589,30 @@ def test_gif_roundtrip_property(w, h, seed):
     assert (got[0], got[1]) == (w, h)
     want = np.repeat(np.frombuffer(gray, dtype=np.uint8), 3).tobytes()
     assert bytes(got[2]) == want
+
+
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=40),
+       st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=25, deadline=None)
+def test_gif_interlaced_roundtrip_property(w, h, seed):
+    """INTERLACED GIF (r08 — the Appendix E boundary retired):
+    encoding with the four-pass row order + interlace flag must
+    decode back to the IDENTICAL display-order pixels as the
+    non-interlaced stream — the deinterlace scatter is an exact
+    permutation inverse, at every height class (1..40 covers all
+    pass-boundary shapes: heights <2, <3, <5, <9 degenerate
+    different passes to empty)."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.gif import (
+        decode_gif_rgb, encode_gif_gray)
+    rng = np.random.RandomState(seed % (2**31))
+    gray = rng.randint(0, 256, w * h, dtype=np.uint8).tobytes()
+    enc = encode_gif_gray(gray, w, h, interlace=True)
+    assert enc != encode_gif_gray(gray, w, h) or h == 1
+    got = decode_gif_rgb(enc)
+    assert got is not None
+    assert (got[0], got[1]) == (w, h)
+    want = np.repeat(np.frombuffer(gray, dtype=np.uint8), 3).tobytes()
+    assert bytes(got[2]) == want
