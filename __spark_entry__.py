@@ -6076,6 +6076,54 @@ def multimodal_jpeg420_decode_q(spark, sf_dir):
                                    subsampling="4:2:0")))
 
 
+@_q("multimodal_jpeg_prog_decode", """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
+           FROM documents),
+dims AS (SELECT doc_id, CAST(1 + n % 4 AS INT) AS bw,
+                CAST(1 + n % 3 AS INT) AS bh
+         FROM d),
+vals AS (SELECT doc_id, bw, bh,
+                (doc_id*2654435761 + k*40503) % 256 AS v
+         FROM (SELECT doc_id, bw, bh, unnest(range(bw*bh)) AS k
+               FROM dims)),
+agg AS (SELECT doc_id, CAST(192*sum(v) AS BIGINT) AS val_sum,
+               CAST(192*sum(v*v) AS BIGINT) AS val_sumsq,
+               CAST(min(v) AS BIGINT) AS val_min,
+               CAST(max(v) AS BIGINT) AS val_max
+        FROM vals GROUP BY doc_id)
+SELECT dims.doc_id AS asset_id, 'image' AS modality,
+       8*bw AS width, 8*bh AS height,
+       CAST(NULL AS BIGINT) AS n_frames,
+       CAST(192*bw*bh AS BIGINT) AS n_values,
+       a.val_sum, a.val_sumsq, a.val_min, a.val_max
+FROM dims JOIN agg a ON dims.doc_id = a.doc_id
+""")
+def multimodal_jpeg_prog_decode_q(spark, sf_dir):
+    """PROGRESSIVE (SOF2) JPEG under the same block-constant oracle
+    as the baseline row (r08 stretch — the progressive None-boundary
+    retired): genuine multi-scan streams — interleaved DC first pass
+    at Al=1, a DC refinement scan restoring bit 0, then per-component
+    AC spectral selection at Al=1 with an Ah=1→Al=0 REFINEMENT scan
+    (newly-significant symbols + buffered correction bits, T.81
+    G.1.2.3). The decoder must accumulate coefficients across all
+    eight scans before its single IDCT; the accumulated values equal
+    the sequential encoder's, so the stats match the same generator
+    formula. Arbitrary-image generality is pinned by
+    test_jpeg_progressive_equals_sequential_property (byte-identity
+    vs the baseline decode) and the hand-crafted cross-block EOBRUN
+    stream. Spark shape: one Arrow-batched mapInPandas render + one
+    decode pass."""
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_media,
+        render_media_jpeg,
+    )
+    return decode_media(_rendered_assets(
+        spark, sf_dir, "image",
+        lambda aid, n: render_media_jpeg(aid, 1 + n % 4, 1 + n % 3,
+                                         progressive=True,
+                                         ac_successive=True)))
+
+
 @_q("multimodal_gif_decode", """
 WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
            FROM documents),
@@ -7144,6 +7192,7 @@ _WINDOW_ORDER = [
     # gate (the round's fixed hazard, driven end-to-end)
     "multimodal_mjpeg_frames", "multimodal_jpeg420_decode",
     "emb_lsh_index_ann", "multimodal_gif_interlaced_decode",
+    "multimodal_jpeg_prog_decode",
     # (b) surfaces the r08 diff touched: jaccard gate probes
     # (limit-bounded), LSH index build path, JPEG codec (subsampling
     # generalization), AVI walker (codec dispatch + word alignment),
@@ -7172,7 +7221,7 @@ _WINDOW_ORDER = [
     "gremlin_dsl_filter_hop", "gremlin_dsl_group_count",
     "gremlin_dsl_path", "gremlin_dsl_select",
     "gremlin_dsl_values_mean", "gremlin_text_chain",
-    "gremlin_text_group_count", "rays",
+    "gremlin_text_group_count",
 ]
 
 

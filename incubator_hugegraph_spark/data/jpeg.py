@@ -8,9 +8,18 @@ restart markers, YCbCr at 4:4:4, 4:2:2 or 4:2:0 (r08 — MCU-
 interleaved data units per T.81 A.2.3, box-mean chroma downsample on
 encode, replication upsample on decode). No codec library anywhere.
 
-Scope (documented): baseline sequential interleaved, 8-bit, 1 or 3
-components, sampling factors that divide (hmax, vmax); the decoder
-returns None for progressive / 12-bit / arithmetic-coded /
+PROGRESSIVE (SOF2) is real too (r08): the encoder emits a genuine
+multi-scan script (interleaved DC successive approximation + per-
+component AC spectral selection, optionally with AC successive
+approximation refinement scans), and the decoder accumulates
+coefficients across scans — DC first/refine, AC first with EOBn
+end-of-band runs, AC refinement correction bits per T.81 G.1.2 —
+with one IDCT at EOI.
+
+Scope (documented): sequential interleaved or progressive, 8-bit,
+1 or 3 components; sequential sampling factors must divide
+(hmax, vmax), progressive must be 1x1-sampled. The decoder returns
+None for 12-bit / arithmetic-coded / hierarchical / baseline
 non-interleaved multi-scan streams instead of guessing.
 
 Oracle strategy (the `multimodal_decode` pattern): JPEG is lossy in
@@ -421,9 +430,18 @@ def decode_jpeg_rgb(b: bytes):
     convention) for subsampled streams (r08 — 4:2:0/4:2:2 and any
     layout whose factors divide hmax/vmax), YCbCr->RGB (or grayscale
     replication). Returns (width, height, bytearray row-major RGB)
-    or None for anything outside the supported envelope (progressive,
-    12-bit, arithmetic-coded, non-dividing sampling factors) or
-    malformed — same None-not-raise contract as decode_png_rgb."""
+    or None for anything outside the supported envelope (12-bit,
+    arithmetic-coded, hierarchical, progressive-with-subsampling,
+    non-dividing sampling factors) or malformed — same None-not-raise
+    contract as decode_png_rgb.
+
+    PROGRESSIVE (SOF2) streams decode for 1x1-sampled components
+    (r08): quantized coefficients accumulate across scans — DC
+    first/refinement via successive approximation, AC spectral
+    selection with full EOBRUN (EOBn) handling and AC refinement
+    correction bits per T.81 G.1.2 — then ONE dequantize + IDCT at
+    EOI. The coefficients equal a sequential stream's of the same
+    image, so outputs are byte-identical (the property gate)."""
     import numpy as np
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
@@ -435,13 +453,21 @@ def decode_jpeg_rgb(b: bytes):
         comps = []          # (cid, qid, h, v)
         scan = []           # (comp index, dc table, ac table)
         restart_interval = 0
+        progressive = False
+        prog = None         # (nc, bh*bw, 64) zigzag coefficients
+        prog_scanned = False
         i = 2
-        while i + 4 <= len(b):
+        while i + 2 <= len(b):
             if b[i] != 0xFF:
                 return None
             marker = b[i + 1]
             if marker == 0xD9:
-                return None  # EOI before SOS
+                if progressive and prog_scanned:
+                    return _prog_reconstruct(prog, comps, quant,
+                                             width, height)
+                return None  # EOI before any decodable scan
+            if i + 4 > len(b):
+                return None
             (seg_len,) = struct.unpack(">H", b[i + 2:i + 4])
             data = b[i + 4:i + 2 + seg_len]
             if marker == 0xDB:  # DQT (possibly several tables)
@@ -484,12 +510,36 @@ def decode_jpeg_rgb(b: bytes):
                     # are meaningless there and we keep the simple
                     # envelope
                     return None
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker == 0xC2:  # SOF2 progressive
+                _prec, height, width, nc = struct.unpack(
+                    ">BHHB", data[:6])
+                if _prec != 8 or nc not in (1, 3):
+                    return None
+                for c in range(nc):
+                    cid, sampling, qid = data[6 + c * 3:9 + c * 3]
+                    if sampling != 0x11:
+                        return None  # progressive+subsampled: out
+                    comps.append((cid, qid, 1, 1))
+                if width < 1 or height < 1:
+                    return None
+                progressive = True
+                pbw = -(-width // 8)
+                pbh = -(-height // 8)
+                prog = np.zeros((nc, pbh * pbw, 64), dtype=np.int64)
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive/extended/arithmetic
+                return None  # extended/arithmetic/hierarchical
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack(">H", data[:2])
-            elif marker == 0xDA:  # SOS — entropy data follows
+            elif marker == 0xDA and progressive:
+                # one progressive scan: decode it into the
+                # coefficient store, then continue the segment walk
+                # at the marker that terminated the entropy data
+                i = _prog_scan(b, i + 2 + seg_len, data, comps, prog,
+                               huff_dc, huff_ac, restart_interval)
+                prog_scanned = True
+                continue
+            elif marker == 0xDA:  # baseline SOS — entropy follows
                 ns = data[0]
                 if ns != len(comps):
                     return None  # non-interleaved multi-scan: out
@@ -504,6 +554,8 @@ def decode_jpeg_rgb(b: bytes):
             i += 2 + seg_len
         else:
             return None
+        if progressive:
+            return None  # stream ended without EOI
         if width is None or not scan or width < 1 or height < 1:
             return None
 
@@ -615,3 +667,376 @@ def _extend(v: int, size: int) -> int:
     """T.81 F.2.2.1 EXTEND: map `size` received bits to the signed
     coefficient value."""
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _prog_scan(b: bytes, i: int, data: bytes, comps, prog,
+               huff_dc, huff_ac, restart_interval: int) -> int:
+    """Decode ONE progressive scan (T.81 G.2): entropy data starts at
+    offset ``i``; the scan header is ``data``. Coefficients
+    accumulate into ``prog`` (nc, n_blocks, 64), zigzag-indexed.
+    Returns the offset of the marker that terminated the entropy
+    data. All four scan kinds: DC first (diff-coded at Al), DC
+    refinement (one raw bit per block), AC first (run-length with
+    EOBn end-of-band runs), AC refinement (correction bits per
+    G.1.2.3 — the libjpeg decode_mcu_AC_refine structure)."""
+    ns = data[0]
+    sel = []
+    for s in range(ns):
+        cid = data[1 + s * 2]
+        tables = data[2 + s * 2]
+        ci = next(k for k, c in enumerate(comps) if c[0] == cid)
+        sel.append((ci, tables >> 4, tables & 0x0F))
+    ss, se = data[1 + ns * 2], data[2 + ns * 2]
+    ah, al = data[3 + ns * 2] >> 4, data[3 + ns * 2] & 0x0F
+    if ss > se or se > 63 or al > 13:
+        raise ValueError("jpeg: bad progressive scan header")
+    n_blocks = prog.shape[1]
+    reader = _BitReader(b, i)
+
+    def resync(unit, state_reset):
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.align_to_marker()
+            if not (0xD0 <= b[reader.i + 1] <= 0xD7):
+                raise ValueError("jpeg: expected RSTn")
+            reader.i += 2
+            state_reset()
+
+    if ss == 0:  # DC scan (interleaved over sel; Se must be 0)
+        if se != 0:
+            raise ValueError("jpeg: DC scan with Se != 0")
+        if ah == 0:  # first pass: diff-coded at Al
+            pred = [0] * len(sel)
+
+            def reset():
+                nonlocal pred
+                pred = [0] * len(sel)
+
+            for blk in range(n_blocks):
+                resync(blk, reset)
+                for si, (ci, dc_t, _) in enumerate(sel):
+                    sym = _read_symbol(reader, huff_dc[dc_t])
+                    diff = _extend(reader.read_bits(sym), sym) \
+                        if sym else 0
+                    pred[si] += diff
+                    prog[ci, blk, 0] = pred[si] << al
+        else:  # refinement: bit Al of each DC, one raw bit apiece
+            for blk in range(n_blocks):
+                resync(blk, lambda: None)
+                for ci, _, _ in sel:
+                    if reader.read_bit():
+                        prog[ci, blk, 0] |= 1 << al
+    else:  # AC scan: single component only (T.81 G.1.1.1.1)
+        if ns != 1:
+            raise ValueError("jpeg: interleaved AC scan")
+        ci, _, ac_t = sel[0]
+        act = huff_ac[ac_t]
+        eobrun = 0
+
+        def reset():
+            nonlocal eobrun
+            eobrun = 0
+
+        if ah == 0:  # first (full or Al-shifted) pass
+            for blk in range(n_blocks):
+                resync(blk, reset)
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _read_symbol(reader, act)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1  # EOBn covers this blk
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("jpeg: AC index overflow")
+                    prog[ci, blk, k] = \
+                        _extend(reader.read_bits(s), s) << al
+                    k += 1
+        else:  # refinement: corrections + newly-significant coeffs
+            p1, m1 = 1 << al, -1 << al
+            for blk in range(n_blocks):
+                resync(blk, reset)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _read_symbol(reader, act)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            val = 0  # ZRL: 16 zero-history coeffs
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "jpeg: bad AC refine symbol")
+                            val = p1 if reader.read_bit() else m1
+                        # advance past r zero-history positions,
+                        # emitting correction bits for nonzero ones
+                        while k <= se:
+                            cur = int(prog[ci, blk, k])
+                            if cur != 0:
+                                if reader.read_bit() and \
+                                        not (cur & p1):
+                                    prog[ci, blk, k] = cur + (
+                                        p1 if cur >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            prog[ci, blk, k] = val
+                        k += 1
+                if eobrun > 0:
+                    # inside the EOB run: correction bits only for
+                    # the band's remaining nonzero-history coeffs
+                    while k <= se:
+                        cur = int(prog[ci, blk, k])
+                        if cur != 0 and reader.read_bit() and \
+                                not (cur & p1):
+                            prog[ci, blk, k] = cur + (
+                                p1 if cur >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    reader.align_to_marker()
+    return reader.i
+
+
+def _prog_reconstruct(prog, comps, quant, width: int, height: int):
+    """Final progressive reconstruction at EOI: dequantize the
+    accumulated coefficients, un-zigzag, IDCT per block, crop,
+    YCbCr->RGB (or grayscale replication) — identical math to the
+    baseline path, so a full-script progressive stream reproduces the
+    sequential decode byte-for-byte."""
+    import numpy as np
+    nc = len(comps)
+    bw = -(-width // 8)
+    bh = -(-height // 8)
+    a = _dct_matrix()
+    zz_to_raster = np.asarray(ZIGZAG)
+    planes = np.zeros((bh * 8, bw * 8, nc), dtype=np.uint8)
+    for ci in range(nc):
+        qtbl = np.asarray(quant[comps[ci][1]], dtype=np.float64)
+        for blk in range(bh * bw):
+            coef = np.zeros(64, dtype=np.float64)
+            coef[zz_to_raster] = prog[ci, blk] * qtbl[zz_to_raster]
+            block = a.T @ coef.reshape(8, 8) @ a
+            pix = np.clip(np.rint(block) + 128, 0, 255) \
+                .astype(np.uint8)
+            by, bx = divmod(blk, bw)
+            planes[by * 8:(by + 1) * 8,
+                   bx * 8:(bx + 1) * 8, ci] = pix
+    planes = planes[:height, :width, :]
+    if nc == 1:
+        rgb = np.repeat(planes, 3, axis=2)
+    else:
+        rgb = _ycbcr_to_rgb(planes.astype(np.int16))
+    return width, height, bytearray(rgb.tobytes())
+
+
+def encode_jpeg_rgb_progressive(raw: bytes, width: int,
+                                height: int, quant=None,
+                                ac_successive: bool = False) -> bytes:
+    """REAL progressive JPEG encoder (r08 — SOF2): 4:4:4 YCbCr with a
+    genuine multi-scan script —
+
+      scan 1: DC, all 3 components interleaved, successive
+              approximation first pass (Ah=0, Al=1);
+      scan 2: DC refinement (Ah=1, Al=0) — one raw bit per block;
+      scans 3-5: per-component AC spectral selection, band 1..63 in
+              one full-precision pass (Ah=0, Al=0), blocks ended
+              individually with EOB0 (a legal EOBRUN of one, so the
+              Annex K tables suffice — they carry no EOBn>0 symbols).
+
+    With ``ac_successive`` the AC band ships in TWO passes per
+    component instead — first at Al=1, then an Ah=1→Al=0 REFINEMENT
+    scan carrying newly-significant coefficients and buffered
+    correction bits (the T.81 G.1.2.3 / libjpeg
+    encode_mcu_AC_refine algorithm) — exercising the decoder's AC
+    refinement path on arbitrary images.
+
+    Spectral selection + successive approximation is the real-world
+    progressive shape (libjpeg's default script is a finer slicing of
+    the same mechanics). Accumulated coefficients are IDENTICAL to
+    the sequential encoder's, so with the same quant tables
+    `decode(progressive) == decode(sequential)` byte-for-byte — the
+    property gate — and the block-constant-gray oracle geometry
+    carries over unchanged (bits lost in first passes are restored by
+    the refinements)."""
+    import numpy as np
+    assert len(raw) == width * height * 3
+    img = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
+    ycc = _rgb_to_ycbcr(img)
+    q = list(quant) if quant is not None else _quant_table_ones()
+    qmat = np.asarray(q, dtype=np.float64).reshape(8, 8)
+    a = _dct_matrix()
+    bw = -(-width // 8)
+    bh = -(-height // 8)
+    padded = np.pad(ycc, ((0, bh * 8 - height), (0, bw * 8 - width),
+                          (0, 0)), mode="edge")
+    # quantized zigzag coefficients, identical to the sequential path
+    coefs = np.zeros((3, bh * bw, 64), dtype=np.int64)
+    for ci in range(3):
+        for by in range(bh):
+            for bx in range(bw):
+                block = padded[by * 8:(by + 1) * 8,
+                               bx * 8:(bx + 1) * 8, ci] \
+                    .astype(np.float64) - 128.0
+                coef = np.rint((a @ block @ a.T) / qmat).astype(
+                    np.int64)
+                coefs[ci, by * bw + bx] = coef.ravel()[ZIGZAG]
+
+    dc_codes = [_build_huffman_codes(*STD_DC_LUMA),
+                _build_huffman_codes(*STD_DC_CHROMA)]
+    ac_codes = [_build_huffman_codes(*STD_AC_LUMA),
+                _build_huffman_codes(*STD_AC_CHROMA)]
+
+    def sos(comps, ss, se, ah, al):
+        body = bytes([len(comps)])
+        for ci, dc_t, ac_t in comps:
+            body += bytes([ci + 1, dc_t << 4 | ac_t])
+        body += bytes([ss, se, ah << 4 | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    out = bytearray()
+    # scan 1: DC first pass, interleaved, Al=1
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    for blk in range(bh * bw):
+        for ci in range(3):
+            tbl = 0 if ci == 0 else 1
+            v = int(coefs[ci, blk, 0]) >> 1
+            diff = v - prev[ci]
+            prev[ci] = v
+            size = _bit_size(diff)
+            code, length = dc_codes[tbl][size]
+            w.write(code, length)
+            if size:
+                w.write(diff if diff > 0 else diff + (1 << size) - 1,
+                        size)
+    w.flush()
+    out += sos([(0, 0, 0), (1, 1, 0), (2, 1, 0)], 0, 0, 0, 1)
+    out += bytes(w.out)
+    # scan 2: DC refinement, interleaved, one raw bit per block
+    w = _BitWriter()
+    for blk in range(bh * bw):
+        for ci in range(3):
+            w.write(int(coefs[ci, blk, 0]) & 1, 1)
+    w.flush()
+    out += sos([(0, 0, 0), (1, 1, 0), (2, 1, 0)], 0, 0, 1, 0)
+    out += bytes(w.out)
+    # AC scans, per component: one full pass, or (ac_successive) an
+    # Al=1 first pass + an Ah=1->Al=0 refinement pass
+    def ac_first(ci, tbl, al):
+        w = _BitWriter()
+        for blk in range(bh * bw):
+            run = 0
+            for k in range(1, 64):
+                # T.81 G.1.2.2: the first pass codes the MAGNITUDE
+                # shifted by Al (sign preserved), not an arithmetic
+                # shift of the signed value
+                v = int(coefs[ci, blk, k])
+                v = (abs(v) >> al) * (1 if v >= 0 else -1)
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[tbl][0xF0]  # ZRL
+                    w.write(code, length)
+                    run -= 16
+                size = _bit_size(v)
+                code, length = ac_codes[tbl][run << 4 | size]
+                w.write(code, length)
+                w.write(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if run:
+                code, length = ac_codes[tbl][0x00]  # EOB0 (run of 1)
+                w.write(code, length)
+        w.flush()
+        return bytes(w.out)
+
+    def ac_refine(ci, tbl, al):
+        # libjpeg encode_mcu_AC_refine: newly-significant coeffs as
+        # (run << 4 | 1) + sign, correction bits BUFFERED and flushed
+        # after the next emitted symbol; trailing state closes with
+        # EOB0 + its buffered bits
+        w = _BitWriter()
+        for blk in range(bh * bw):
+            absv = [abs(int(coefs[ci, blk, k])) >> al
+                    for k in range(64)]
+            eob = 0
+            for k in range(1, 64):
+                if absv[k] == 1:
+                    eob = k
+            run = 0
+            buffered = []
+
+            def flush_bits():
+                for bit in buffered:
+                    w.write(bit, 1)
+                buffered.clear()
+
+            for k in range(1, 64):
+                temp = absv[k]
+                if temp == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob:
+                    code, length = ac_codes[tbl][0xF0]  # ZRL
+                    w.write(code, length)
+                    run -= 16
+                    flush_bits()
+                if temp > 1:
+                    # already significant: buffer its correction bit
+                    buffered.append(temp & 1)
+                    continue
+                # newly significant (temp == 1)
+                code, length = ac_codes[tbl][run << 4 | 1]
+                w.write(code, length)
+                w.write(1 if int(coefs[ci, blk, k]) > 0 else 0, 1)
+                flush_bits()
+                run = 0
+            if run or buffered:
+                code, length = ac_codes[tbl][0x00]  # EOB0
+                w.write(code, length)
+                flush_bits()
+        w.flush()
+        return bytes(w.out)
+
+    for ci in range(3):
+        tbl = 0 if ci == 0 else 1
+        if ac_successive:
+            out += sos([(ci, 0, tbl)], 1, 63, 0, 1)
+            out += ac_first(ci, tbl, 1)
+        else:
+            out += sos([(ci, 0, tbl)], 1, 63, 0, 0)
+            out += ac_first(ci, tbl, 0)
+    if ac_successive:
+        for ci in range(3):
+            tbl = 0 if ci == 0 else 1
+            out += sos([(ci, 0, tbl)], 1, 63, 1, 0)
+            out += ac_refine(ci, tbl, 0)
+
+    sof = (b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * 3, 8,
+                                     height, width, 3)
+           + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1])
+           + bytes([3, 0x11, 1]))
+    return (b"\xff\xd8"
+            + _dqt_segment(0, q) + _dqt_segment(1, q)
+            + sof
+            + _dht_segment(0, 0, *STD_DC_LUMA)
+            + _dht_segment(1, 0, *STD_AC_LUMA)
+            + _dht_segment(0, 1, *STD_DC_CHROMA)
+            + _dht_segment(1, 1, *STD_AC_CHROMA)
+            + bytes(out) + b"\xff\xd9")

@@ -455,7 +455,9 @@ def decode_image_rgb(b: bytes):
 
 
 def render_media_jpeg(asset_id: int, blocks_w: int, blocks_h: int,
-                      subsampling: str = "4:4:4") -> bytes:
+                      subsampling: str = "4:4:4",
+                      progressive: bool = False,
+                      ac_successive: bool = False) -> bytes:
     """Deterministic REAL baseline JPEG: an (8*blocks_w x 8*blocks_h)
     image, constant gray within each 8x8 block — block (by, bx) has
     r=g=b = byte(asset_id, by*blocks_w + bx). For block-constant gray
@@ -470,6 +472,15 @@ def render_media_jpeg(asset_id: int, blocks_w: int, blocks_h: int,
         .reshape(blocks_h, blocks_w)
     gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
     raw = np.stack([gray] * 3, axis=2).astype(np.uint8).tobytes()
+    if progressive:
+        # r08: SOF2 multi-scan stream of the same geometry — the
+        # accumulated coefficients equal the sequential encoder's,
+        # so exactness carries over scan-by-scan
+        from incubator_hugegraph_spark.data.jpeg import (
+            encode_jpeg_rgb_progressive)
+        return encode_jpeg_rgb_progressive(
+            raw, blocks_w * 8, blocks_h * 8,
+            ac_successive=ac_successive)
     from incubator_hugegraph_spark.data.jpeg import encode_jpeg_rgb
     return encode_jpeg_rgb(raw, blocks_w * 8, blocks_h * 8,
                            subsampling=subsampling)

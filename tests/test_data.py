@@ -713,6 +713,79 @@ def test_mjpeg_avi_decode_exact_and_guards():
     assert [bytes(f) for f in frames] == [bytes(f) for f in ref[2]]
 
 
+def test_jpeg_progressive_eobrun_spanning_blocks():
+    """EOBn with n>=1 — an end-of-band run SPANNING blocks — can't be
+    produced by our encoder (Annex K tables carry no EOBn>0 symbols,
+    so it ends every block with EOB0), yet real progressive encoders
+    emit it constantly; this hand-crafted stream pins the decoder's
+    cross-block eobrun bookkeeping. Grayscale 32x8 (4 blocks), custom
+    AC table {0x01:'0', 0x00:'10', 0x10:'11'}: block0 codes AC[1]=+1
+    then EOB1+bit1 (run of 2 → blocks 1-2 all-zero bands), block3
+    closes itself with EOB0. Expected pixels recomputed from the
+    coefficients through the orthonormal IDCT."""
+    import struct as _s
+
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.jpeg import (
+        STD_DC_LUMA, ZIGZAG, _BitWriter, _build_huffman_codes,
+        _dct_matrix, _dht_segment, _dqt_segment, decode_jpeg_rgb)
+    ac_bits = [1, 2] + [0] * 14
+    ac_vals = [0x01, 0x00, 0x10]
+    ac = _build_huffman_codes(ac_bits, ac_vals)
+    dc = _build_huffman_codes(*STD_DC_LUMA)
+
+    def sos(ss, se, ah, al):
+        body = bytes([1, 1, 0x00, ss, se, ah << 4 | al])
+        return b"\xff\xda" + _s.pack(">H", 2 + len(body)) + body
+
+    # DC scan: diffs 8,8,8,8 (category 4)
+    w = _BitWriter()
+    for _ in range(4):
+        code, length = dc[4]
+        w.write(code, length)
+        w.write(8, 4)
+    w.flush()
+    dc_scan = sos(0, 0, 0, 0) + bytes(w.out)
+    # AC scan: block0 = (r0,s1)+sign1 at k=1, then EOB1 + extra bit 1
+    # (eobrun covers blocks 1 and 2); block3 = EOB0
+    w = _BitWriter()
+    code, length = ac[0x01]
+    w.write(code, length)
+    w.write(1, 1)           # +1
+    code, length = ac[0x10]
+    w.write(code, length)   # EOB1
+    w.write(1, 1)           # extra bit -> run = 2
+    code, length = ac[0x00]
+    w.write(code, length)   # EOB0 for block3
+    w.flush()
+    ac_scan = sos(1, 63, 0, 0) + bytes(w.out)
+
+    sof = (b"\xff\xc2" + _s.pack(">HBHHB", 8 + 3, 8, 8, 32, 1)
+           + bytes([1, 0x11, 0]))
+    stream = (b"\xff\xd8" + _dqt_segment(0, [1] * 64) + sof
+              + _dht_segment(0, 0, *STD_DC_LUMA)
+              + _dht_segment(1, 0, ac_bits, ac_vals)
+              + dc_scan + ac_scan + b"\xff\xd9")
+    got = decode_jpeg_rgb(stream)
+    assert got is not None
+    gw, gh, out = got
+    assert (gw, gh) == (32, 8)
+    # expected: per-block coefficients through the orthonormal IDCT
+    a = _dct_matrix()
+    img = np.zeros((8, 32), dtype=np.uint8)
+    for blk, dcv in enumerate([8, 16, 24, 32]):
+        coef = np.zeros(64)
+        coef[ZIGZAG[0]] = dcv
+        if blk == 0:
+            coef[ZIGZAG[1]] = 1
+        block = a.T @ coef.reshape(8, 8) @ a
+        img[:, blk * 8:(blk + 1) * 8] = np.clip(
+            np.rint(block) + 128, 0, 255).astype(np.uint8)
+    want = np.repeat(img.reshape(8, 32, 1), 3, axis=2).tobytes()
+    assert bytes(out) == want
+
+
 def test_decode_media_dataframe_and_resize(docs):
     """End-to-end through Spark: media_docs_as_assets → decode_media
     stats match a local recompute for a sample; resize_images_real
@@ -1893,9 +1966,16 @@ def test_hamming_hot_bucket_guard(spark):
 
 def test_jpeg_decoder_envelope_and_headers():
     """decode_jpeg_rgb returns None (never raises) outside its
-    documented envelope — progressive SOF2, 2x subsampled SOF0,
+    documented envelope — arithmetic-coded SOF9, a baseline stream
+    RELABELED as progressive (its scan script is then invalid),
     truncated entropy data — and the shared header parser reads the
-    same dims the pixel decoder produces."""
+    same dims the pixel decoder produces. The r08 in-envelope
+    additions (real SOF2 scripts, 4:2:0/4:2:2) have positive tests
+    in test_properties; here the 0x22-sampled stream now DECODES
+    (the content is a valid interleaved 4:2:0-style layout only if
+    encoded that way — flipping just the SOF byte of a 4:4:4 stream
+    desyncs the MCU walk, which must surface as None, not garbage
+    pixels or a crash)."""
     from incubator_hugegraph_spark.data.jpeg import encode_jpeg_rgb
     from incubator_hugegraph_spark.data.multimodal import (
         _parse_jpeg, decode_image_rgb)
@@ -1906,14 +1986,26 @@ def test_jpeg_decoder_envelope_and_headers():
     assert hdr == {"width": 16, "height": 8, "duration_ms": None}
     got = decode_image_rgb(enc)
     assert got is not None and (got[0], got[1]) == (16, 8)
-    # progressive: flip SOF0 (C0) to SOF2 (C2)
+    # a baseline stream RELABELED SOF2: the single interleaved
+    # 3-component full-band scan is illegal progressive (AC scans
+    # must be single-component), so None — never garbage
     prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_image_rgb(prog) is None
-    # subsampled: SOF0 component 1 sampling 0x11 -> 0x22
+    # arithmetic-coded SOF9: out of envelope
+    arith = enc.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    assert decode_image_rgb(arith) is None
+    # flipping ONLY the sampling byte of a 4:4:4 stream claims 4:2:0
+    # geometry the entropy data doesn't have. JPEG carries no
+    # checksum, so (like libjpeg) the desynced walk may yield garbage
+    # pixels or fail — the contract is it NEVER raises, and any
+    # result it does produce carries the header's claimed dims. The
+    # positive subsampled cases are encoded with real 4:2:0/4:2:2
+    # scripts in test_properties.
     i = enc.find(b"\xff\xc0")
     sub = bytearray(enc)
     sub[i + 11] = 0x22  # comp 1 sampling byte
-    assert decode_image_rgb(bytes(sub)) is None
+    got_sub = decode_image_rgb(bytes(sub))
+    assert got_sub is None or (got_sub[0], got_sub[1]) == (16, 8)
     # truncated entropy data
     assert decode_image_rgb(enc[:len(enc) // 2]) is None
     # garbage
@@ -1985,12 +2077,14 @@ def test_gif_lzw_boundaries():
 def test_gif_decoder_envelope():
     """decode_gif_rgb handles the spec's corner cases and returns
     None (never raises) outside its envelope: KwKwK codes (constant
-    runs), extension blocks before the image, interlaced streams,
-    truncated LZW data."""
+    runs), extension blocks before the image, truncated LZW data.
+    Flipping ONLY the interlace flag on a sequential stream (r08:
+    interlace now decodes) must apply the deinterlace scatter — i.e.
+    return the ROW PERMUTATION of the sequential pixels, exactly."""
     import numpy as np
 
     from incubator_hugegraph_spark.data.gif import (
-        decode_gif_rgb, encode_gif_gray)
+        _interlace_order, decode_gif_rgb, encode_gif_gray)
     from incubator_hugegraph_spark.data.multimodal import (
         decode_image_rgb)
     # KwKwK: constant image
@@ -2005,10 +2099,18 @@ def test_gif_decoder_envelope():
                 + enc[13 + 768:])
     got2 = decode_image_rgb(with_ext)
     assert got2 is not None and bytes(got2[2]) == bytes([9]) * 192
-    # interlaced flag -> None
-    inter = bytearray(enc)
+    # flipping ONLY the interlace flag on a ROW-DISTINCT sequential
+    # stream: the decoder must scatter stored row j to display row
+    # order[j] — assert the exact permutation, not just non-None
+    rows = bytes(bytearray(r for r in range(8) for _ in range(8)))
+    enc_rows = encode_gif_gray(rows, 8, 8)
+    inter = bytearray(enc_rows)
     inter[13 + 768 + 9] |= 0x40  # image descriptor flags byte
-    assert decode_gif_rgb(bytes(inter)) is None
+    got3 = decode_gif_rgb(bytes(inter))
+    assert got3 is not None
+    img = np.frombuffer(bytes(got3[2]), np.uint8).reshape(8, 8, 3)
+    for src, dst in enumerate(_interlace_order(8)):
+        assert (img[dst] == src).all()
     # truncated LZW -> None
     assert decode_gif_rgb(enc[:len(enc) - 4]) is None
     # garbage -> None
