@@ -847,7 +847,8 @@ def _prog_reconstruct(prog, comps, quant, width: int, height: int):
 
 def encode_jpeg_rgb_progressive(raw: bytes, width: int,
                                 height: int, quant=None,
-                                ac_successive: bool = False) -> bytes:
+                                ac_successive: bool = False,
+                                restart_interval: int = 0) -> bytes:
     """REAL progressive JPEG encoder (r08 — SOF2): 4:4:4 YCbCr with a
     genuine multi-scan script —
 
@@ -909,11 +910,28 @@ def encode_jpeg_rgb_progressive(raw: bytes, width: int,
         body += bytes([ss, se, ah << 4 | al])
         return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
 
+    def rst(w, blk, state_reset=None):
+        """Emit a byte-aligned RSTn before block ``blk`` when the
+        restart interval says so (T.81 E.1.4 — same cadence as the
+        decoder's resync expectations)."""
+        if restart_interval and blk and blk % restart_interval == 0:
+            w.flush()
+            w.out += bytes([0xFF, 0xD0 + (blk // restart_interval
+                                          - 1) % 8])
+            if state_reset:
+                state_reset()
+
     out = bytearray()
     # scan 1: DC first pass, interleaved, Al=1
     w = _BitWriter()
     prev = [0, 0, 0]
+
+    def reset_prev():
+        nonlocal prev
+        prev = [0, 0, 0]
+
     for blk in range(bh * bw):
+        rst(w, blk, reset_prev)
         for ci in range(3):
             tbl = 0 if ci == 0 else 1
             v = int(coefs[ci, blk, 0]) >> 1
@@ -931,6 +949,7 @@ def encode_jpeg_rgb_progressive(raw: bytes, width: int,
     # scan 2: DC refinement, interleaved, one raw bit per block
     w = _BitWriter()
     for blk in range(bh * bw):
+        rst(w, blk)
         for ci in range(3):
             w.write(int(coefs[ci, blk, 0]) & 1, 1)
     w.flush()
@@ -941,6 +960,7 @@ def encode_jpeg_rgb_progressive(raw: bytes, width: int,
     def ac_first(ci, tbl, al):
         w = _BitWriter()
         for blk in range(bh * bw):
+            rst(w, blk)
             run = 0
             for k in range(1, 64):
                 # T.81 G.1.2.2: the first pass codes the MAGNITUDE
@@ -973,6 +993,7 @@ def encode_jpeg_rgb_progressive(raw: bytes, width: int,
         # EOB0 + its buffered bits
         w = _BitWriter()
         for blk in range(bh * bw):
+            rst(w, blk)
             absv = [abs(int(coefs[ci, blk, k])) >> al
                     for k in range(64)]
             eob = 0
@@ -1032,9 +1053,11 @@ def encode_jpeg_rgb_progressive(raw: bytes, width: int,
                                      height, width, 3)
            + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1])
            + bytes([3, 0x11, 1]))
+    dri = (b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+           if restart_interval else b"")
     return (b"\xff\xd8"
             + _dqt_segment(0, q) + _dqt_segment(1, q)
-            + sof
+            + dri + sof
             + _dht_segment(0, 0, *STD_DC_LUMA)
             + _dht_segment(1, 0, *STD_AC_LUMA)
             + _dht_segment(0, 1, *STD_DC_CHROMA)

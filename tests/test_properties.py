@@ -594,19 +594,21 @@ def test_gif_roundtrip_property(w, h, seed):
 @given(st.integers(min_value=1, max_value=30),
        st.integers(min_value=1, max_value=30),
        st.integers(min_value=0, max_value=2**31),
-       st.booleans())
+       st.booleans(),
+       st.sampled_from([0, 1, 3]))
 @settings(max_examples=25, deadline=None)
 def test_jpeg_progressive_equals_sequential_property(
-        w, h, seed, ac_successive):
+        w, h, seed, ac_successive, dri):
     """PROGRESSIVE JPEG (r08 — SOF2 retired from the None-envelope):
     a full-script progressive stream accumulates the SAME quantized
     coefficients a sequential stream carries, so on ARBITRARY RGB
     buffers the two decodes must be byte-identical — pinning DC
     successive approximation (first + refinement bit), AC spectral
-    selection with EOB runs, and (ac_successive=True) the AC
-    refinement path's newly-significant symbols, buffered correction
-    bits and ZRL-with-corrections, against the long-established
-    baseline decoder as the oracle."""
+    selection with EOB runs, (ac_successive=True) the AC refinement
+    path's newly-significant symbols, buffered correction bits and
+    ZRL-with-corrections, and (dri>0) per-scan RSTn resync with DC
+    predictor resets, against the long-established baseline decoder
+    as the oracle."""
     import numpy as np
 
     from incubator_hugegraph_spark.data.jpeg import (
@@ -615,7 +617,7 @@ def test_jpeg_progressive_equals_sequential_property(
     raw = rng.randint(0, 256, w * h * 3, dtype=np.uint8).tobytes()
     ref = decode_jpeg_rgb(encode_jpeg_rgb(raw, w, h))
     got = decode_jpeg_rgb(encode_jpeg_rgb_progressive(
-        raw, w, h, ac_successive=ac_successive))
+        raw, w, h, ac_successive=ac_successive, restart_interval=dri))
     assert got is not None and ref is not None
     assert (got[0], got[1]) == (w, h)
     assert bytes(got[2]) == bytes(ref[2])
