@@ -6076,6 +6076,91 @@ def multimodal_jpeg420_decode_q(spark, sf_dir):
                                    subsampling="4:2:0")))
 
 
+@_q("multimodal_gif_anim_frames", """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
+           FROM documents),
+dims AS (SELECT doc_id, CAST(1 + n % 3 AS BIGINT) AS nf,
+                CAST(3 + n % 9 AS INT) AS w,
+                CAST(2 + n % 5 AS INT) AS h
+         FROM d),
+fr AS (SELECT doc_id, nf, w, h, unnest(range(nf)) AS f FROM dims),
+vals AS (SELECT doc_id, w, h,
+                (doc_id*2654435761 + (f*769 + j)*40503) % 256 AS v
+         FROM (SELECT doc_id, w, h, f, unnest(range(w*h)) AS j
+               FROM fr)),
+agg AS (SELECT doc_id, CAST(3*sum(v) AS BIGINT) AS val_sum,
+               CAST(3*sum(v*v) AS BIGINT) AS val_sumsq,
+               CAST(min(v) AS BIGINT) AS val_min,
+               CAST(max(v) AS BIGINT) AS val_max
+        FROM vals GROUP BY doc_id)
+SELECT dims.doc_id AS asset_id, 'video' AS modality,
+       w AS width, h AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(3*w*h*nf AS BIGINT) AS n_values,
+       a.val_sum, a.val_sumsq, a.val_min, a.val_max
+FROM dims JOIN agg a ON dims.doc_id = a.doc_id
+""")
+def multimodal_gif_anim_frames_q(spark, sf_dir):
+    """ANIMATED GIF as a video modality (r08): the planted streams
+    are genuine multi-image GIF89a animations — one GCE + image
+    block per frame, per-frame LZW — and decode_media must run
+    decode_gif_frames' viewer-faithful compositing walk (every frame
+    snapshot stat'd, frames offset by FRAME_STRIDE so indexing bugs
+    change the stats) rather than the still-image first-frame path.
+    GIF is lossless and the fixture frames are full-screen, so the
+    oracle recomputes per-frame stats straight from the generator
+    formula. Compositing generality (sub-rectangles, transparency,
+    disposal-2 restore) is pinned by pytest. Spark shape: one
+    Arrow-batched mapInPandas render + one decode pass."""
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_media,
+        render_media_gif_anim,
+    )
+    return decode_media(_rendered_assets(
+        spark, sf_dir, "video",
+        lambda aid, n: render_media_gif_anim(aid, 1 + n % 3,
+                                             3 + n % 9, 2 + n % 5)))
+
+
+@_q("multimodal_bmp_decode", """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
+           FROM documents),
+dims AS (SELECT doc_id, CAST(1 + n % 17 AS INT) AS w,
+                CAST(1 + n % 7 AS INT) AS h
+         FROM d),
+vals AS (SELECT doc_id, w, h,
+                (doc_id*2654435761 + j*40503) % 256 AS v
+         FROM (SELECT doc_id, w, h, unnest(range(3*w*h)) AS j
+               FROM dims)),
+agg AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS val_sum,
+               CAST(sum(v*v) AS BIGINT) AS val_sumsq,
+               CAST(min(v) AS BIGINT) AS val_min,
+               CAST(max(v) AS BIGINT) AS val_max
+        FROM vals GROUP BY doc_id)
+SELECT dims.doc_id AS asset_id, 'image' AS modality,
+       w AS width, h AS height,
+       CAST(NULL AS BIGINT) AS n_frames,
+       CAST(3*w*h AS BIGINT) AS n_values,
+       a.val_sum, a.val_sumsq, a.val_min, a.val_max
+FROM dims JOIN agg a ON dims.doc_id = a.doc_id
+""")
+def multimodal_bmp_decode_q(spark, sf_dir):
+    """Uncompressed 24-bit BMP pixel decode (r08 — the last header-
+    only image format gets a real pixel path): bottom-up 4-byte-
+    aligned BGR rows un-shuffled back to row-major RGB. BMP is
+    lossless, so the oracle recomputes decoded stats straight from
+    the generator formula; widths 1..17 sweep every row-padding
+    class (stride % 4 in all states). Spark shape: one Arrow-batched
+    mapInPandas render + one decode pass."""
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_media,
+        render_media_bmp,
+    )
+    return decode_media(_rendered_assets(
+        spark, sf_dir, "image",
+        lambda aid, n: render_media_bmp(aid, 1 + n % 17, 1 + n % 7)))
+
+
 @_q("multimodal_jpeg_prog_decode", """
 WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
            FROM documents),
@@ -7192,7 +7277,8 @@ _WINDOW_ORDER = [
     # gate (the round's fixed hazard, driven end-to-end)
     "multimodal_mjpeg_frames", "multimodal_jpeg420_decode",
     "emb_lsh_index_ann", "multimodal_gif_interlaced_decode",
-    "multimodal_jpeg_prog_decode",
+    "multimodal_jpeg_prog_decode", "multimodal_gif_anim_frames",
+    "multimodal_bmp_decode",
     # (b) surfaces the r08 diff touched: jaccard gate probes
     # (limit-bounded), LSH index build path, JPEG codec (subsampling
     # generalization), AVI walker (codec dispatch + word alignment),
@@ -7219,9 +7305,8 @@ _WINDOW_ORDER = [
     "template_paths", "triangle_count", "wcc",
     "weighted_shortest_path",
     "gremlin_dsl_filter_hop", "gremlin_dsl_group_count",
-    "gremlin_dsl_path", "gremlin_dsl_select",
-    "gremlin_dsl_values_mean", "gremlin_text_chain",
-    "gremlin_text_group_count",
+    "gremlin_dsl_path", "gremlin_dsl_values_mean",
+    "gremlin_text_chain",
 ]
 
 

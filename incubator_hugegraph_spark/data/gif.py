@@ -7,12 +7,16 @@ color tables parsed from the stream. GIF is LOSSLESS for paletted
 data, so unlike JPEG the oracle needs no special fixture geometry:
 any image whose colors fit the palette round-trips bit-for-bit.
 
-Scope (documented): single-image GIF87a/89a with a global or local
-color table, non-interlaced or interlaced (r08 — four-pass Appendix E
-row scatter); extensions are skipped. Animations decode as their
-FIRST frame; there is no multi-frame surface here (the shared
-None-not-raise contract of decode_png_rgb / decode_jpeg_rgb applies
-to malformed streams).
+Scope (documented): GIF87a/89a with a global or local color table,
+non-interlaced or interlaced (r08 — four-pass Appendix E row
+scatter). `decode_gif_rgb` returns the FIRST frame (the still-image
+contract of the decode_image_rgb dispatch); `decode_gif_frames`
+(r08) decodes ANIMATIONS — per-frame LZW, sub-rectangle compositing
+at (left, top), transparent-index passthrough, disposal 0/1/2 —
+returning one logical-screen snapshot per image block (the AVI
+frames contract, so the same dHash kernels apply). Disposal 3
+(restore-previous) returns None; the shared None-not-raise contract
+of decode_png_rgb / decode_jpeg_rgb applies to malformed streams.
 
 Reference behavior parity: none — the reference (hugegraph) has no
 media tier; this module serves the training-data-pipeline brief.
@@ -198,6 +202,139 @@ def encode_gif_gray(gray: bytes, width: int, height: int,
     lzw = _lzw_compress(gray, 8)
     return (b"GIF89a" + lsd + palette + img_desc + bytes([8])
             + _sub_blocks(lzw) + b"\x3b")
+
+
+def _gif_blocks(b: bytes):
+    """Parse a GIF stream into (logical screen, global palette,
+    [(gce, image)]) — the shared walk under decode_gif_rgb (first
+    frame) and decode_gif_frames (animation, r08). Each image is
+    (x, y, w, h, iflags, palette, index bytearray); gce is the
+    Graphic Control Extension state (disposal, transparent index)
+    in force for that image, or None. Raises on malformed input —
+    the public doors catch and return None."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    sw, sh, flags, bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = b[i:i + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("gif: truncated GCT")
+        i += 3 * n
+    images = []
+    gce = None
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:  # extension
+            label = b[i + 1] if i + 1 < len(b) else 0
+            data, i = _read_sub_blocks(b, i + 2)
+            if label == 0xF9 and len(data) >= 4:
+                packed = data[0]
+                gce = {"disposal": (packed >> 2) & 0x07,
+                       "transparent": data[3]
+                       if packed & 0x01 else None}
+        elif block == 0x2C:  # image descriptor
+            x, y, w, h, iflags = struct.unpack("<HHHHB",
+                                               b[i + 1:i + 10])
+            i += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = b[i:i + 3 * n]
+                if len(pal) < 3 * n:
+                    raise ValueError("gif: truncated LCT")
+                i += 3 * n
+            if pal is None or w < 1 or h < 1:
+                raise ValueError("gif: no palette / degenerate dims")
+            min_code = b[i]
+            i += 1
+            lzw, i = _read_sub_blocks(b, i)
+            idx = _lzw_decompress(lzw, min_code)
+            if len(idx) < w * h:
+                raise ValueError("gif: short pixel data")
+            if iflags & 0x40:
+                de = bytearray(w * h)
+                for src, dst in enumerate(_interlace_order(h)):
+                    de[dst * w:(dst + 1) * w] = \
+                        idx[src * w:(src + 1) * w]
+                idx = de
+            images.append((x, y, w, h, pal, gce, idx))
+            gce = None  # a GCE governs exactly one rendering block
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError("gif: unknown block")
+    return sw, sh, bg, gct, images
+
+
+def decode_gif_frames(b: bytes):
+    """REAL animated-GIF frame decode (r08): every image block is
+    LZW-decoded and COMPOSITED onto the logical screen the way a
+    viewer renders it — sub-rectangle placement at (left, top),
+    transparent-index pixels leaving the canvas unchanged, disposal
+    0/1 (leave in place) and 2 (restore the region to the background
+    color). Returns (width, height, [row-major RGB frame bytes]) —
+    one canvas snapshot per image block — or None for malformed
+    streams / disposal 3 (restore-previous; rare, declared out of
+    envelope). Feed the frames to the same dHash kernels the AVI
+    path uses."""
+    try:
+        sw, sh, bg, gct, images = _gif_blocks(b)
+        if not images or sw < 1 or sh < 1:
+            return None
+        bg_rgb = bytes(gct[3 * bg:3 * bg + 3]) if gct is not None \
+            and 3 * bg + 3 <= len(gct) else b"\x00\x00\x00"
+        canvas = bytearray(bg_rgb * (sw * sh))
+        frames = []
+        for x, y, w, h, pal, gce, idx in images:
+            disposal = gce["disposal"] if gce else 0
+            transparent = gce["transparent"] if gce else None
+            if disposal == 3:
+                return None  # restore-previous: out of envelope
+            if x + w > sw or y + h > sh:
+                return None
+            npal = len(pal) // 3
+            for r in range(h):
+                base = ((y + r) * sw + x) * 3
+                for c in range(w):
+                    p = idx[r * w + c]
+                    if p == transparent:
+                        continue
+                    if p >= npal:
+                        return None
+                    o = base + 3 * c
+                    canvas[o:o + 3] = pal[3 * p:3 * p + 3]
+            frames.append(bytes(canvas))
+            if disposal == 2:
+                for r in range(h):
+                    base = ((y + r) * sw + x) * 3
+                    canvas[base:base + 3 * w] = bg_rgb * w
+        return sw, sh, frames
+    except (ValueError, struct.error, IndexError):
+        return None
+
+
+def encode_gif_gray_frames(frames: list[bytes], width: int,
+                           height: int,
+                           delay_cs: int = 4) -> bytes:
+    """REAL animated GIF89a writer: full-screen grayscale frames,
+    one GCE (disposal=1, no transparency, ``delay_cs`` hundredths)
+    per image block, shared 256-entry gray global palette, genuine
+    LZW per frame — the fixture twin of decode_gif_frames."""
+    assert all(len(f) == width * height for f in frames)
+    lsd = struct.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x07,
+                      0, 0)
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    out = bytearray(b"GIF89a" + lsd + palette)
+    for f in frames:
+        out += (b"\x21\xf9\x04" + bytes([0x04])  # disposal=1
+                + struct.pack("<H", delay_cs) + b"\x00\x00")
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += bytes([8]) + _sub_blocks(_lzw_compress(f, 8))
+    out += b"\x3b"
+    return bytes(out)
 
 
 def decode_gif_rgb(b: bytes):

@@ -436,20 +436,80 @@ def decode_png_rgb(b: bytes):
         return None
 
 
+def decode_bmp_rgb(b: bytes):
+    """REAL BMP pixel decode (r08): uncompressed 24-bit
+    BITMAPINFOHEADER DIBs — the Windows interchange format blob
+    stores actually contain. Rows are 4-byte aligned BGR, bottom-up
+    for positive heights (top-down for negative). Returns (width,
+    height, bytearray row-major RGB) or None outside the envelope
+    (palettized/16-bit/32-bit/RLE) — the shared None-not-raise
+    contract."""
+    import numpy as np
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    try:
+        (data_off,) = struct.unpack("<I", b[10:14])
+        (hdr_size,) = struct.unpack("<I", b[14:18])
+        if hdr_size < 40:
+            return None  # BITMAPCOREHEADER: out of envelope
+        w, h = struct.unpack("<ii", b[18:26])
+        planes, bpp = struct.unpack("<HH", b[26:30])
+        (compression,) = struct.unpack("<I", b[30:34])
+        if planes != 1 or bpp != 24 or compression != 0:
+            return None
+        top_down = h < 0
+        h = abs(h)
+        if w < 1 or h < 1:
+            return None
+        stride = (w * 3 + 3) & ~3
+        need = data_off + stride * h
+        if len(b) < need:
+            return None
+        rows = np.frombuffer(b, dtype=np.uint8,
+                             count=stride * h, offset=data_off) \
+            .reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]
+        return w, h, bytearray(rows[:, :, ::-1].tobytes())  # BGR→RGB
+    except (struct.error, ValueError):
+        return None
+
+
+def encode_bmp_rgb(raw: bytes, width: int, height: int) -> bytes:
+    """REAL 24-bit BMP writer (bottom-up, 4-byte aligned BGR rows) —
+    the fixture twin of decode_bmp_rgb."""
+    import numpy as np
+    assert len(raw) == width * height * 3
+    stride = (width * 3 + 3) & ~3
+    img = np.frombuffer(raw, dtype=np.uint8) \
+        .reshape(height, width, 3)[::-1, :, ::-1]  # bottom-up BGR
+    body = bytearray()
+    pad = b"\x00" * (stride - width * 3)
+    for r in range(height):
+        body += img[r].tobytes() + pad
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                       0, len(body), 0, 0, 0, 0)
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0,
+                              14 + 40)
+    return hdr + info + bytes(body)
+
+
 def decode_image_rgb(b: bytes):
     """Dispatch REAL image pixel decode across the supported codecs:
-    8-bit RGB PNG (inflate + unfilter), baseline JPEG (Huffman +
-    IDCT, data/jpeg.py — r07) and GIF (LZW + palette, data/gif.py —
-    r07). Returns (width, height, bytearray of row-major RGB) or
-    None; all legs share the None-not-raise contract. Dispatch is by
-    magic bytes, so the two lazy imports cost nothing on the PNG hot
-    path."""
+    8-bit RGB PNG (inflate + unfilter), baseline/progressive JPEG
+    (Huffman + IDCT, data/jpeg.py — r07/r08), GIF (LZW + palette,
+    data/gif.py — r07) and uncompressed 24-bit BMP (r08). Returns
+    (width, height, bytearray of row-major RGB) or None; all legs
+    share the None-not-raise contract. Dispatch is by magic bytes,
+    so the lazy imports cost nothing on the PNG hot path."""
     got = decode_png_rgb(b)
     if got is not None:
         return got
     if len(b) >= 6 and b[:6] in (b"GIF87a", b"GIF89a"):
         from incubator_hugegraph_spark.data.gif import decode_gif_rgb
         return decode_gif_rgb(b)
+    if len(b) >= 2 and b[:2] == b"BM":
+        return decode_bmp_rgb(b)
     from incubator_hugegraph_spark.data.jpeg import decode_jpeg_rgb
     return decode_jpeg_rgb(b)
 
@@ -503,6 +563,30 @@ def render_media_png(asset_id: int, width: int, height: int) -> bytes:
     """Deterministic RGB image: pixel byte j = byte(asset_id, j)."""
     raw = synth_media_bytes(asset_id, width * height * 3).tobytes()
     return encode_png_rgb(raw, width, height)
+
+
+def render_media_gif_anim(asset_id: int, n_frames: int, width: int,
+                          height: int) -> bytes:
+    """Deterministic REAL animated GIF (r08): full-screen grayscale
+    frame f, pixel j = byte(asset_id, f*FRAME_STRIDE + j), one GCE
+    (disposal=1) per image block, genuine per-frame LZW. Lossless and
+    full-screen, so composited frame f IS the generator bytes
+    replicated x3 — the oracle recomputes per-frame stats with no
+    special geometry."""
+    from incubator_hugegraph_spark.data.gif import (
+        encode_gif_gray_frames)
+    frames = [synth_media_bytes(asset_id, width * height,
+                                offset=f * FRAME_STRIDE).tobytes()
+              for f in range(n_frames)]
+    return encode_gif_gray_frames(frames, width, height)
+
+
+def render_media_bmp(asset_id: int, width: int, height: int) -> bytes:
+    """Deterministic 24-bit BMP: pixel byte j = byte(asset_id, j) —
+    lossless like PNG/GIF, so the oracle needs no special geometry
+    (the row padding + bottom-up + BGR shuffle is all on the codec)."""
+    raw = synth_media_bytes(asset_id, width * height * 3).tobytes()
+    return encode_bmp_rgb(raw, width, height)
 
 
 def render_media_wav(asset_id: int, n_samples: int,
@@ -776,11 +860,26 @@ def decode_media(assets: DataFrame) -> DataFrame:
                 b = bytes(payload or b"")
                 width = height = n_frames = None
                 vals = None
-                img = decode_image_rgb(b)
+                # a GIF under the VIDEO modality is an animation —
+                # stat every composited frame (r08), not just the
+                # first image the still-image dispatch would return
+                gif_anim = None
+                if mod == "video" and b[:6] in (b"GIF87a", b"GIF89a"):
+                    from incubator_hugegraph_spark.data.gif import \
+                        decode_gif_frames
+                    gif_anim = decode_gif_frames(b)
+                if gif_anim is not None:
+                    width, height, frames = gif_anim
+                    n_frames = len(frames)
+                    vals = np.frombuffer(b"".join(frames),
+                                         dtype=np.uint8)
+                    img = None
+                else:
+                    img = decode_image_rgb(b)
                 if img is not None:
                     width, height, raw = img
                     vals = np.frombuffer(bytes(raw), dtype=np.uint8)
-                else:
+                elif gif_anim is None:
                     pcm = decode_wav_samples(b)
                     if pcm is not None:
                         vals = pcm
@@ -863,10 +962,11 @@ def image_dhash(assets: DataFrame) -> DataFrame:
 
 
 def frame_dhashes(assets: DataFrame) -> DataFrame:
-    """Per-frame perceptual hashes of decodable raw-DIB AVIs:
-    (asset_id, frame_idx, fhash long) — one dHash per ACTUAL decoded
-    frame. Feed to dedup-style joins (video_neardup_pairs) for
-    shared-frame video near-dup."""
+    """Per-frame perceptual hashes of decodable video payloads —
+    raw-DIB / MJPEG AVIs and (r08) animated GIFs, composited the way
+    a viewer renders them: (asset_id, frame_idx, fhash long), one
+    dHash per ACTUAL decoded frame. Feed to dedup-style joins
+    (video_neardup_pairs) for shared-frame video near-dup."""
     import numpy as np
     schema = T.StructType([
         T.StructField("asset_id", T.LongType(), False),
@@ -878,7 +978,13 @@ def frame_dhashes(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                avi = decode_avi_frames(bytes(payload or b""))
+                b = bytes(payload or b"")
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    from incubator_hugegraph_spark.data.gif import \
+                        decode_gif_frames
+                    avi = decode_gif_frames(b)
+                else:
+                    avi = decode_avi_frames(b)
                 if avi is None:
                     continue
                 w, h, frames = avi

@@ -713,6 +713,84 @@ def test_mjpeg_avi_decode_exact_and_guards():
     assert [bytes(f) for f in frames] == [bytes(f) for f in ref[2]]
 
 
+def test_gif_animation_compositing():
+    """decode_gif_frames renders animations the way a viewer does
+    (r08): full-screen frames round-trip the generator bytes; a
+    sub-rectangle patch with a transparent index leaves the
+    underlying canvas visible; disposal 2 restores its region to the
+    background color before the NEXT frame; disposal 3 is the
+    declared None boundary; and frame_dhashes hashes every composited
+    frame so animated GIFs ride the same near-dup kernels as AVIs."""
+    import struct as _s
+
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.gif import (
+        _lzw_compress, _sub_blocks, decode_gif_frames,
+        decode_gif_rgb, encode_gif_gray, encode_gif_gray_frames)
+    rng = np.random.RandomState(3)
+    w, h, nf = 13, 7, 4
+    frames = [rng.randint(0, 256, w * h).astype(np.uint8).tobytes()
+              for _ in range(nf)]
+    enc = encode_gif_gray_frames(frames, w, h)
+    got = decode_gif_frames(enc)
+    assert got is not None and (got[0], got[1], len(got[2])) \
+        == (w, h, nf)
+    for f, fr in zip(frames, got[2]):
+        assert fr == np.repeat(np.frombuffer(f, np.uint8), 3).tobytes()
+    # a single-image GIF is a 1-frame animation; frame 0 == the
+    # still-image decode
+    single = encode_gif_gray(frames[0], w, h)
+    one = decode_gif_frames(single)
+    assert len(one[2]) == 1 and one[2][0] == bytes(
+        decode_gif_rgb(single)[2])
+
+    def gce(disposal, transparent=None):
+        packed = disposal << 2 | (1 if transparent is not None else 0)
+        return (b"\x21\xf9\x04" + bytes([packed]) + _s.pack("<H", 4)
+                + bytes([transparent or 0]) + b"\x00")
+
+    def sub_image(x, y, sw, sh, idx):
+        return (b"\x2c" + _s.pack("<HHHHB", x, y, sw, sh, 0)
+                + bytes([8]) + _sub_blocks(_lzw_compress(idx, 8)))
+
+    # frame 2 patches a 2x2 area at (1,1); index 255 is transparent
+    base = encode_gif_gray(frames[0], w, h)[:-1]  # strip trailer
+    anim = (base + gce(1, transparent=255)
+            + sub_image(1, 1, 2, 2, bytes([10, 255, 11, 12]))
+            + b"\x3b")
+    f0, f1 = decode_gif_frames(anim)[2]
+    a0 = np.frombuffer(f0, np.uint8).reshape(h, w, 3)
+    a1 = np.frombuffer(f1, np.uint8).reshape(h, w, 3)
+    assert (a1[1, 1] == 10).all() and (a1[2, 1] == 11).all() \
+        and (a1[2, 2] == 12).all()
+    assert (a1[1, 2] == a0[1, 2]).all()      # transparent: untouched
+    assert (np.delete(a1.reshape(-1, 3),
+                      [1 * w + 1, 1 * w + 2, 2 * w + 1, 2 * w + 2],
+                      axis=0)
+            == np.delete(a0.reshape(-1, 3),
+                         [1 * w + 1, 1 * w + 2, 2 * w + 1, 2 * w + 2],
+                         axis=0)).all()
+    # disposal 2: the patch region resets to the BACKGROUND (palette
+    # entry 0 = black here) before the next frame composites
+    anim2 = (base + gce(2) + sub_image(1, 1, 2, 2, bytes([10] * 4))
+             + gce(1, transparent=255)
+             + sub_image(0, 0, 1, 1, bytes([255]))  # no-op patch
+             + b"\x3b")
+    fr = decode_gif_frames(anim2)[2]
+    assert len(fr) == 3
+    a2 = np.frombuffer(fr[2], np.uint8).reshape(h, w, 3)
+    assert (a2[1, 1] == 0).all() and (a2[2, 2] == 0).all()
+    assert (a2[0, 0] == a0[0, 0]).all()
+    # disposal 3 -> None (declared boundary)
+    anim3 = base + gce(3) + sub_image(0, 0, 1, 1, bytes([1])) + b"\x3b"
+    assert decode_gif_frames(anim3) is None
+    # an out-of-bounds sub-rectangle -> None, not a corrupt canvas
+    oob = base + gce(1) + sub_image(w - 1, 0, 2, 1, bytes([1, 2])) \
+        + b"\x3b"
+    assert decode_gif_frames(oob) is None
+
+
 def test_jpeg_progressive_eobrun_spanning_blocks():
     """EOBn with n>=1 — an end-of-band run SPANNING blocks — can't be
     produced by our encoder (Annex K tables carry no EOBn>0 symbols,

@@ -571,6 +571,27 @@ def test_jpeg_subsampled_color_geometry_property(tw, th, seed, ss):
        st.integers(min_value=1, max_value=60),
        st.integers(min_value=0, max_value=2**31))
 @settings(max_examples=25, deadline=None)
+def test_bmp_roundtrip_property(w, h, seed):
+    """encode_bmp_rgb → decode_bmp_rgb is the IDENTITY on arbitrary
+    RGB buffers (r08): the bottom-up row order, per-row 4-byte
+    padding (w sweeps every stride class) and BGR↔RGB shuffle must
+    all invert exactly."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_bmp_rgb, encode_bmp_rgb)
+    rng = np.random.RandomState(seed % (2**31))
+    raw = rng.randint(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+    got = decode_bmp_rgb(encode_bmp_rgb(raw, w, h))
+    assert got is not None
+    assert (got[0], got[1]) == (w, h)
+    assert bytes(got[2]) == raw
+
+
+@given(st.integers(min_value=1, max_value=60),
+       st.integers(min_value=1, max_value=60),
+       st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=25, deadline=None)
 def test_gif_roundtrip_property(w, h, seed):
     """encode_gif_gray → decode_gif_rgb is the IDENTITY on arbitrary
     grayscale buffers (GIF LZW is lossless): pixels replicate to RGB
