@@ -6076,6 +6076,54 @@ def multimodal_jpeg420_decode_q(spark, sf_dir):
                                    subsampling="4:2:0")))
 
 
+@_q("multimodal_png_adam7_decode", """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
+           FROM documents),
+dims AS (SELECT doc_id, CAST(1 + n % 19 AS INT) AS w,
+                CAST(1 + n % 11 AS INT) AS h
+         FROM d),
+vals AS (SELECT doc_id, w, h,
+                (doc_id*2654435761 + j*40503) % 256 AS v
+         FROM (SELECT doc_id, w, h, unnest(range(3*w*h)) AS j
+               FROM dims)),
+agg AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS val_sum,
+               CAST(sum(v*v) AS BIGINT) AS val_sumsq,
+               CAST(min(v) AS BIGINT) AS val_min,
+               CAST(max(v) AS BIGINT) AS val_max
+        FROM vals GROUP BY doc_id)
+SELECT dims.doc_id AS asset_id, 'image' AS modality,
+       w AS width, h AS height,
+       CAST(NULL AS BIGINT) AS n_frames,
+       CAST(3*w*h AS BIGINT) AS n_values,
+       a.val_sum, a.val_sumsq, a.val_min, a.val_max
+FROM dims JOIN agg a ON dims.doc_id = a.doc_id
+""")
+def multimodal_png_adam7_decode_q(spark, sf_dir):
+    """Adam7 INTERLACED PNG under the same lossless oracle as the
+    sequential row (r08 — the last PNG envelope gate retired): the
+    planted streams store the image as seven independent sub-images,
+    each with its own rotating filter chain, so the decoder must run
+    the per-pass unfilter + pixel scatter to reproduce the stats the
+    oracle recomputes from the generator formula. Dims 1..19 x 1..11
+    sweep every empty-pass shape. Sum/min/max are permutation-
+    invariant, so the scatter GRID itself is pinned by
+    test_png_adam7_roundtrip_property (exact byte identity); this
+    row gates the envelope end-to-end through Spark."""
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_media,
+        encode_png_rgb,
+        synth_media_bytes,
+    )
+
+    def render(aid, n):
+        w, h = 1 + n % 19, 1 + n % 11
+        raw = synth_media_bytes(aid, w * h * 3).tobytes()
+        return encode_png_rgb(raw, w, h, interlace=True)
+
+    return decode_media(_rendered_assets(spark, sf_dir, "image",
+                                         render))
+
+
 @_q("multimodal_gif_anim_frames", """
 WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
            FROM documents),
@@ -7278,7 +7326,7 @@ _WINDOW_ORDER = [
     "multimodal_mjpeg_frames", "multimodal_jpeg420_decode",
     "emb_lsh_index_ann", "multimodal_gif_interlaced_decode",
     "multimodal_jpeg_prog_decode", "multimodal_gif_anim_frames",
-    "multimodal_bmp_decode",
+    "multimodal_bmp_decode", "multimodal_png_adam7_decode",
     # (b) surfaces the r08 diff touched: jaccard gate probes
     # (limit-bounded), LSH index build path, JPEG codec (subsampling
     # generalization), AVI walker (codec dispatch + word alignment),
@@ -7297,7 +7345,6 @@ _WINDOW_ORDER = [
     "events_incremental_wcc", "events_stream_dedup",
     "events_stream_window", "events_window_agg", "doc_stream_neardup",
     "events_distinct_users_kmv", "events_sessionize",
-    "events_stream_sessionize",
     # (d) oldest-evidence greens: every remaining r01 row, then the
     # r02 gremlin family and the oldest r02 traversers
     "customized_crosspoints", "kneighbor_paths", "neighbor_rank",

@@ -364,23 +364,49 @@ def _png_unfilter_row(ftype: int, row: bytearray, prior, bpp: int = 3):
             row[x] = (row[x] + _paeth(left, up, ul)) & 0xFF
 
 
-def encode_png_rgb(raw: bytes, width: int, height: int) -> bytes:
+# Adam7 pass geometry (RFC 2083 §2.6): (x0, y0, dx, dy). Each pass
+# is an INDEPENDENT sub-image — its own scanlines, its own filter
+# chain with a fresh zero prior; empty passes have no scanlines.
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def encode_png_rgb(raw: bytes, width: int, height: int,
+                   interlace: bool = False) -> bytes:
     """REAL 8-bit RGB PNG encoder: scanlines filtered with a rotating
     filter type (row % 5 — every one of the five PNG filters appears
     on any image ≥5 rows, so a decoder must invert them all), zlib-
-    compressed into one IDAT. `raw` is row-major RGB, len = w*h*3."""
+    compressed into one IDAT. `raw` is row-major RGB, len = w*h*3.
+    ``interlace`` (r08) stores the image as the seven Adam7 passes —
+    each pass an independent sub-image with its own filter chain."""
     stride = width * 3
     assert len(raw) == stride * height
-    prior = bytes(stride)
     parts = []
-    for r in range(height):
-        row = raw[r * stride:(r + 1) * stride]
-        ftype = r % 5
-        parts.append(bytes([ftype]))
-        parts.append(_png_filter_row(ftype, row, prior))
-        prior = row
+
+    def filter_rows(rows):
+        prior = bytes(len(rows[0])) if rows else b""
+        for r, row in enumerate(rows):
+            ftype = r % 5
+            parts.append(bytes([ftype]))
+            parts.append(_png_filter_row(ftype, row, prior))
+            prior = row
+
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            rows = []
+            for y in range(y0, height, dy):
+                row = b"".join(
+                    raw[(y * width + x) * 3:(y * width + x) * 3 + 3]
+                    for x in range(x0, width, dx))
+                if row:
+                    rows.append(row)
+            filter_rows(rows)
+    else:
+        filter_rows([raw[r * stride:(r + 1) * stride]
+                     for r in range(height)])
     idat = zlib.compress(b"".join(parts), 6)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0,
+                       1 if interlace else 0)
     return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
 
@@ -405,7 +431,8 @@ def decode_png_rgb(b: bytes):
             if cc == b"IHDR":
                 width, height, depth, ctype, comp, filt, ilace = \
                     struct.unpack(">IIBBBBB", data[:13])
-                if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                if (depth, ctype, comp, filt) != (8, 2, 0, 0) \
+                        or ilace not in (0, 1):
                     return None
                 if width < 1 or height < 1:
                     # structurally valid but degenerate (review r06:
@@ -420,17 +447,44 @@ def decode_png_rgb(b: bytes):
             return None
         seq = zlib.decompress(b"".join(idat))
         stride = width * 3
-        if len(seq) != (stride + 1) * height:
-            return None
         out = bytearray(stride * height)
-        prior = bytearray(stride)
-        for r in range(height):
-            ftype = seq[r * (stride + 1)]
-            row = bytearray(seq[r * (stride + 1) + 1:
-                                (r + 1) * (stride + 1)])
-            _png_unfilter_row(ftype, row, prior)
-            out[r * stride:(r + 1) * stride] = row
-            prior = row
+        if ilace:
+            # Adam7 (r08): seven independent sub-images, each with
+            # its own scanline/filter chain; pixels scatter back on
+            # the pass grid
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                xs = range(x0, width, dx)
+                ys = range(y0, height, dy)
+                pw = len(xs)
+                if pw == 0:
+                    continue
+                pstride = pw * 3
+                prior = bytearray(pstride)
+                for y in ys:
+                    if pos + 1 + pstride > len(seq):
+                        return None
+                    ftype = seq[pos]
+                    row = bytearray(seq[pos + 1:pos + 1 + pstride])
+                    pos += 1 + pstride
+                    _png_unfilter_row(ftype, row, prior)
+                    for c, x in enumerate(xs):
+                        o = (y * width + x) * 3
+                        out[o:o + 3] = row[3 * c:3 * c + 3]
+                    prior = row
+            if pos != len(seq):
+                return None
+        else:
+            if len(seq) != (stride + 1) * height:
+                return None
+            prior = bytearray(stride)
+            for r in range(height):
+                ftype = seq[r * (stride + 1)]
+                row = bytearray(seq[r * (stride + 1) + 1:
+                                    (r + 1) * (stride + 1)])
+                _png_unfilter_row(ftype, row, prior)
+                out[r * stride:(r + 1) * stride] = row
+                prior = row
         return width, height, out
     except (zlib.error, struct.error, ValueError):
         return None

@@ -567,6 +567,28 @@ def test_jpeg_subsampled_color_geometry_property(tw, th, seed, ss):
     assert bytes(got[2]) == bytes(ref[2])
 
 
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=40),
+       st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=25, deadline=None)
+def test_png_adam7_roundtrip_property(w, h, seed):
+    """Adam7 interlaced PNG (r08): seven independent sub-images,
+    each with its own scanline filter chain and fresh prior, scatter
+    back to the exact original pixels — at every dims class
+    (1..40 covers all empty-pass shapes: a 1-wide image has empty
+    passes 2/4/6, a 1-tall image empty 3/5/7)."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_png_rgb, encode_png_rgb)
+    rng = np.random.RandomState(seed % (2**31))
+    raw = rng.randint(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+    got = decode_png_rgb(encode_png_rgb(raw, w, h, interlace=True))
+    assert got is not None
+    assert (got[0], got[1]) == (w, h)
+    assert bytes(got[2]) == raw
+
+
 @given(st.integers(min_value=1, max_value=60),
        st.integers(min_value=1, max_value=60),
        st.integers(min_value=0, max_value=2**31))
