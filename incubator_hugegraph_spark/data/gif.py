@@ -89,9 +89,15 @@ def _lzw_compress(indices, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def _lzw_decompress(data: bytes, min_code_size: int) -> bytearray:
+def _lzw_decompress(data: bytes, min_code_size: int,
+                    max_out: int | None = None) -> bytearray:
     """Inverse of _lzw_compress per the GIF spec (incl. the KwKwK
-    case: a code one past the table end copies prev + prev[0])."""
+    case: a code one past the table end copies prev + prev[0]).
+    ``max_out`` stops decompression once that many bytes are out —
+    callers know the pixel count, and without the bound a crafted
+    stream could inflate far past it before the caller's dims check
+    (r08 review: None-contract hardening, not a spec deviation —
+    trailing data after the pixel area is ignored anyway)."""
     clear = 1 << min_code_size
     eoi = clear + 1
 
@@ -121,6 +127,8 @@ def _lzw_decompress(data: bytes, min_code_size: int) -> bytearray:
 
     reset()
     while True:
+        if max_out is not None and len(out) >= max_out:
+            return out
         code = read(width)
         if code == clear:
             reset()
@@ -204,14 +212,21 @@ def encode_gif_gray(gray: bytes, width: int, height: int,
             + _sub_blocks(lzw) + b"\x3b")
 
 
-def _gif_blocks(b: bytes):
-    """Parse a GIF stream into (logical screen, global palette,
-    [(gce, image)]) — the shared walk under decode_gif_rgb (first
-    frame) and decode_gif_frames (animation, r08). Each image is
-    (x, y, w, h, iflags, palette, index bytearray); gce is the
-    Graphic Control Extension state (disposal, transparent index)
-    in force for that image, or None. Raises on malformed input —
-    the public doors catch and return None."""
+# envelope bound on decoded pixel counts (r08 review): header-lie
+# streams (tiny bytes, 65535x65535 claimed dims) must map to None,
+# not a multi-GB allocation / MemoryError escaping the None contract
+MAX_PIXELS = 1 << 24  # 16.7M px — a 4096x4096 frame
+
+
+def _gif_blocks(b: bytes, max_images: int | None = None):
+    """Parse a GIF stream into (screen w, screen h, background
+    index, global palette, images) — the shared walk under
+    decode_gif_rgb (max_images=1) and decode_gif_frames (animation,
+    r08). Each image is (x, y, w, h, palette, gce, index bytearray)
+    with interlaced rows already scattered to display order; gce is
+    the Graphic Control Extension state (disposal, transparent
+    index) in force for that image, or None. Raises on malformed
+    input — the public doors catch and return None."""
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad signature")
     sw, sh, flags, bg, _ar = struct.unpack("<HHBBB", b[6:13])
@@ -246,12 +261,14 @@ def _gif_blocks(b: bytes):
                 if len(pal) < 3 * n:
                     raise ValueError("gif: truncated LCT")
                 i += 3 * n
-            if pal is None or w < 1 or h < 1:
-                raise ValueError("gif: no palette / degenerate dims")
+            if pal is None or w < 1 or h < 1 or w * h > MAX_PIXELS:
+                raise ValueError("gif: no palette / bad dims")
             min_code = b[i]
             i += 1
             lzw, i = _read_sub_blocks(b, i)
-            idx = _lzw_decompress(lzw, min_code)
+            # cap the inflation at the pixels we need — a crafted
+            # LZW bomb must not out-allocate the dims check
+            idx = _lzw_decompress(lzw, min_code, max_out=w * h)
             if len(idx) < w * h:
                 raise ValueError("gif: short pixel data")
             if iflags & 0x40:
@@ -262,6 +279,8 @@ def _gif_blocks(b: bytes):
                 idx = de
             images.append((x, y, w, h, pal, gce, idx))
             gce = None  # a GCE governs exactly one rendering block
+            if max_images is not None and len(images) >= max_images:
+                break
         elif block == 0x3B:  # trailer
             break
         else:
@@ -280,13 +299,15 @@ def decode_gif_frames(b: bytes):
     streams / disposal 3 (restore-previous; rare, declared out of
     envelope). Feed the frames to the same dHash kernels the AVI
     path uses."""
+    import numpy as np
     try:
         sw, sh, bg, gct, images = _gif_blocks(b)
-        if not images or sw < 1 or sh < 1:
+        if not images or sw < 1 or sh < 1 or sw * sh > MAX_PIXELS:
             return None
-        bg_rgb = bytes(gct[3 * bg:3 * bg + 3]) if gct is not None \
+        bg_rgb = gct[3 * bg:3 * bg + 3] if gct is not None \
             and 3 * bg + 3 <= len(gct) else b"\x00\x00\x00"
-        canvas = bytearray(bg_rgb * (sw * sh))
+        canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+        canvas[:] = np.frombuffer(bg_rgb, np.uint8)
         frames = []
         for x, y, w, h, pal, gce, idx in images:
             disposal = gce["disposal"] if gce else 0
@@ -295,22 +316,26 @@ def decode_gif_frames(b: bytes):
                 return None  # restore-previous: out of envelope
             if x + w > sw or y + h > sh:
                 return None
+            # vectorized compositing (r08 review: the per-pixel
+            # Python loop cost O(frames*w*h) interpreter iterations
+            # on the Spark video path): palette gather in one shot,
+            # transparent pixels masked out of the scatter
+            pidx = np.frombuffer(bytes(idx[:w * h]),
+                                 np.uint8).reshape(h, w)
             npal = len(pal) // 3
-            for r in range(h):
-                base = ((y + r) * sw + x) * 3
-                for c in range(w):
-                    p = idx[r * w + c]
-                    if p == transparent:
-                        continue
-                    if p >= npal:
-                        return None
-                    o = base + 3 * c
-                    canvas[o:o + 3] = pal[3 * p:3 * p + 3]
-            frames.append(bytes(canvas))
+            if int(pidx.max()) >= npal:
+                return None
+            rgb = np.frombuffer(pal, np.uint8)[:3 * npal] \
+                .reshape(npal, 3)[pidx]
+            region = canvas[y:y + h, x:x + w]
+            if transparent is None:
+                region[:] = rgb
+            else:
+                mask = pidx != transparent
+                region[mask] = rgb[mask]
+            frames.append(canvas.tobytes())
             if disposal == 2:
-                for r in range(h):
-                    base = ((y + r) * sw + x) * 3
-                    canvas[base:base + 3 * w] = bg_rgb * w
+                region[:] = np.frombuffer(bg_rgb, np.uint8)
         return sw, sh, frames
     except (ValueError, struct.error, IndexError):
         return None
@@ -338,67 +363,27 @@ def encode_gif_gray_frames(frames: list[bytes], width: int,
 
 
 def decode_gif_rgb(b: bytes):
-    """REAL GIF pixel decode: logical screen descriptor, global/local
-    color table, extension skipping, LZW decompress, palette lookup.
-    Returns (width, height, bytearray of row-major RGB) or None for
-    interlaced/malformed streams — the shared None-not-raise
-    contract."""
-    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
-        return None
+    """REAL GIF still-image decode — the FIRST image block of the
+    stream (the decode_image_rgb contract; animations get every
+    composited frame via decode_gif_frames): logical screen
+    descriptor, global/local color table, extension skipping, LZW
+    decompress, deinterlace when flagged (r08), vectorized palette
+    lookup. Returns (width, height, bytearray of row-major RGB) or
+    None for malformed streams — the shared None-not-raise contract.
+    A thin adapter over the _gif_blocks walk (r08 review: the walk
+    previously existed twice, drifting was only a matter of time)."""
+    import numpy as np
     try:
-        _w, _h, flags, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
-        i = 13
-        gct = None
-        if flags & 0x80:
-            n = 2 << (flags & 0x07)
-            gct = b[i:i + 3 * n]
-            if len(gct) < 3 * n:
-                return None
-            i += 3 * n
-        while i < len(b):
-            block = b[i]
-            if block == 0x21:  # extension: label + sub-blocks
-                _data, i = _read_sub_blocks(b, i + 2)
-            elif block == 0x2C:  # image descriptor
-                _x, _y, width, height, iflags = struct.unpack(
-                    "<HHHHB", b[i + 1:i + 10])
-                i += 10
-                pal = gct
-                if iflags & 0x80:
-                    n = 2 << (iflags & 0x07)
-                    pal = b[i:i + 3 * n]
-                    if len(pal) < 3 * n:
-                        return None
-                    i += 3 * n
-                if pal is None or width < 1 or height < 1:
-                    return None
-                min_code = b[i]
-                i += 1
-                lzw, i = _read_sub_blocks(b, i)
-                idx = _lzw_decompress(lzw, min_code)
-                if len(idx) < width * height:
-                    return None
-                if iflags & 0x40:
-                    # deinterlace (r08): the stream's rows arrive in
-                    # the four-pass Appendix E order; scatter them
-                    # back to display order
-                    de = bytearray(width * height)
-                    for src, dst in enumerate(_interlace_order(height)):
-                        de[dst * width:(dst + 1) * width] = \
-                            idx[src * width:(src + 1) * width]
-                    idx = de
-                out = bytearray(width * height * 3)
-                npal = len(pal) // 3
-                for j in range(width * height):
-                    p = idx[j]
-                    if p >= npal:
-                        return None
-                    out[3 * j:3 * j + 3] = pal[3 * p:3 * p + 3]
-                return width, height, out
-            elif block == 0x3B:  # trailer before any image
-                return None
-            else:
-                return None
-        return None
+        _sw, _sh, _bg, _gct, images = _gif_blocks(b, max_images=1)
+        if not images:
+            return None
+        _x, _y, w, h, pal, _gce, idx = images[0]
+        pidx = np.frombuffer(bytes(idx[:w * h]), np.uint8)
+        npal = len(pal) // 3
+        if int(pidx.max()) >= npal:
+            return None
+        rgb = np.frombuffer(pal, np.uint8)[:3 * npal] \
+            .reshape(npal, 3)[pidx]
+        return w, h, bytearray(rgb.tobytes())
     except (ValueError, struct.error, IndexError):
         return None

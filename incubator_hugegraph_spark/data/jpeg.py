@@ -118,6 +118,12 @@ ZIGZAG = [
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
 
+# envelope bound on decoded pixel counts (r08 review): a header-lie
+# stream (tiny bytes, 65535x65535 claimed SOF dims) must map to None
+# BEFORE the plane / coefficient-store allocation — never a
+# MemoryError escaping the None contract. 16.7M px = 4096x4096.
+MAX_PIXELS = 1 << 24
+
 
 def _dct_matrix():
     """Orthonormal 8x8 DCT-II matrix A: FDCT = A @ X @ A.T, IDCT =
@@ -496,7 +502,8 @@ def decode_jpeg_rgb(b: bytes):
             elif marker == 0xC0:  # SOF0 baseline
                 _prec, height, width, nc = struct.unpack(
                     ">BHHB", data[:6])
-                if _prec != 8 or nc not in (1, 3):
+                if _prec != 8 or nc not in (1, 3) \
+                        or width * height > MAX_PIXELS:
                     return None
                 for c in range(nc):
                     cid, sampling, qid = data[6 + c * 3:9 + c * 3]
@@ -513,7 +520,8 @@ def decode_jpeg_rgb(b: bytes):
             elif marker == 0xC2:  # SOF2 progressive
                 _prec, height, width, nc = struct.unpack(
                     ">BHHB", data[:6])
-                if _prec != 8 or nc not in (1, 3):
+                if _prec != 8 or nc not in (1, 3) \
+                        or width * height > MAX_PIXELS:
                     return None
                 for c in range(nc):
                     cid, sampling, qid = data[6 + c * 3:9 + c * 3]
@@ -525,7 +533,11 @@ def decode_jpeg_rgb(b: bytes):
                 progressive = True
                 pbw = -(-width // 8)
                 pbh = -(-height // 8)
-                prog = np.zeros((nc, pbh * pbw, 64), dtype=np.int64)
+                # int32: quantized coefficients are < 2^11 and the
+                # successive-approximation shift is <= 13 bits, so
+                # the store stays well inside int32 at a quarter of
+                # the int64 footprint (<= ~200 MB at MAX_PIXELS)
+                prog = np.zeros((nc, pbh * pbw, 64), dtype=np.int32)
             elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # extended/arithmetic/hierarchical

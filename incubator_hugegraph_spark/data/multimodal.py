@@ -370,6 +370,12 @@ def _png_unfilter_row(ftype: int, row: bytearray, prior, bpp: int = 3):
 _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
+# envelope bound on decoded pixel counts (r08 review): header-lie
+# streams (tiny bytes, 2^30-pixel claimed dims) must map to None
+# BEFORE any allocation — never a MemoryError escaping the
+# None-not-raise contract. 16.7M px = a 4096x4096 image.
+MAX_DECODE_PIXELS = 1 << 24
+
 
 def encode_png_rgb(raw: bytes, width: int, height: int,
                    interlace: bool = False) -> bytes:
@@ -434,9 +440,12 @@ def decode_png_rgb(b: bytes):
                 if (depth, ctype, comp, filt) != (8, 2, 0, 0) \
                         or ilace not in (0, 1):
                     return None
-                if width < 1 or height < 1:
-                    # structurally valid but degenerate (review r06:
-                    # a 0-wide image crashed the downstream hash grid)
+                if width < 1 or height < 1 \
+                        or width * height > MAX_DECODE_PIXELS:
+                    # degenerate (review r06: a 0-wide image crashed
+                    # the hash grid) or header-lie dims (review r08:
+                    # a 60-byte stream claiming 2^30 px must be None
+                    # BEFORE any allocation, never a MemoryError)
                     return None
             elif cc == b"IDAT":
                 idat.append(data)
@@ -445,13 +454,29 @@ def decode_png_rgb(b: bytes):
             i += 12 + size
         if width is None or not idat:
             return None
-        seq = zlib.decompress(b"".join(idat))
         stride = width * 3
-        out = bytearray(stride * height)
+        if ilace:
+            expected = sum(
+                len(range(y0, height, dy))
+                * (1 + 3 * len(range(x0, width, dx)))
+                for x0, y0, dx, dy in _ADAM7
+                if len(range(x0, width, dx)) > 0)
+        else:
+            expected = (stride + 1) * height
+        # cap the inflation at the scanline bytes the dims imply — a
+        # deflate bomb must not out-allocate the header checks
+        # (review r08); over-long output shows as len != expected
+        seq = zlib.decompressobj().decompress(b"".join(idat),
+                                              expected + 1)
+        if len(seq) != expected:
+            return None
         if ilace:
             # Adam7 (r08): seven independent sub-images, each with
             # its own scanline/filter chain; pixels scatter back on
-            # the pass grid
+            # the pass grid. Length was validated against the full
+            # pass geometry BEFORE the output allocation (review
+            # r08: the allocation must stay data-bounded).
+            out = bytearray(stride * height)
             pos = 0
             for x0, y0, dx, dy in _ADAM7:
                 xs = range(x0, width, dx)
@@ -462,8 +487,6 @@ def decode_png_rgb(b: bytes):
                 pstride = pw * 3
                 prior = bytearray(pstride)
                 for y in ys:
-                    if pos + 1 + pstride > len(seq):
-                        return None
                     ftype = seq[pos]
                     row = bytearray(seq[pos + 1:pos + 1 + pstride])
                     pos += 1 + pstride
@@ -472,11 +495,8 @@ def decode_png_rgb(b: bytes):
                         o = (y * width + x) * 3
                         out[o:o + 3] = row[3 * c:3 * c + 3]
                     prior = row
-            if pos != len(seq):
-                return None
         else:
-            if len(seq) != (stride + 1) * height:
-                return None
+            out = bytearray(stride * height)
             prior = bytearray(stride)
             for r in range(height):
                 ftype = seq[r * (stride + 1)]

@@ -713,6 +713,49 @@ def test_mjpeg_avi_decode_exact_and_guards():
     assert [bytes(f) for f in frames] == [bytes(f) for f in ref[2]]
 
 
+def test_decoders_reject_header_lie_dims_without_allocating():
+    """None-contract hardening (r08 review): a tiny stream whose
+    header claims astronomic dims must return None fast — never
+    attempt the multi-GB allocation the lie implies (MemoryError is
+    not in any decoder's except tuple, by design: it must be
+    unreachable). Covers PNG (IHDR lie + deflate bomb), GIF (logical
+    screen lie + LZW inflation cap), progressive and baseline JPEG
+    (SOF lie before the coefficient-store / plane allocation)."""
+    import struct as _s
+    import zlib as _z
+
+    from incubator_hugegraph_spark.data.gif import (
+        decode_gif_frames, encode_gif_gray)
+    from incubator_hugegraph_spark.data.jpeg import (
+        encode_jpeg_rgb, encode_jpeg_rgb_progressive)
+    from incubator_hugegraph_spark.data.multimodal import (
+        _png_chunk, decode_image_rgb, decode_png_rgb)
+    # PNG: 2^30 x 1024 claimed in a ~70-byte stream
+    ihdr = _s.pack(">IIBBBBB", 1 << 30, 1024, 8, 2, 0, 0, 0)
+    tiny = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(b"\x00" * 16))
+            + _png_chunk(b"IEND", b""))
+    assert decode_png_rgb(tiny) is None
+    # PNG deflate bomb: sane dims, IDAT inflating way past them
+    ihdr2 = _s.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr2)
+            + _png_chunk(b"IDAT", _z.compress(b"\x00" * (1 << 22)))
+            + _png_chunk(b"IEND", b""))
+    assert decode_png_rgb(bomb) is None
+    # GIF: 65535x65535 logical screen around one real 1x1 image
+    real = encode_gif_gray(b"\x07", 1, 1)
+    lied = real[:6] + _s.pack("<HH", 65535, 65535) + real[10:]
+    assert decode_gif_frames(lied) is None
+    # JPEG: flip a real stream's SOF dims to 65535x65535
+    enc = encode_jpeg_rgb(bytes(192), 8, 8)
+    prog = encode_jpeg_rgb_progressive(bytes(192), 8, 8)
+    for stream, sof in ((enc, b"\xff\xc0"), (prog, b"\xff\xc2")):
+        i = stream.find(sof)
+        lie = bytearray(stream)
+        lie[i + 5:i + 9] = _s.pack(">HH", 65535, 65535)
+        assert decode_image_rgb(bytes(lie)) is None
+
+
 def test_gif_animation_compositing():
     """decode_gif_frames renders animations the way a viewer does
     (r08): full-screen frames round-trip the generator bytes; a
