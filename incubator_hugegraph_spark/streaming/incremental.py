@@ -308,7 +308,8 @@ def _require_local_dir(checkpoint_dir: str) -> None:
 
 def _snapshot_fold_stream(spark: SparkSession, stream, checkpoint_dir: str,
                           fold, snap_name: str,
-                          pairs_schema: str | None):
+                          pairs_schema: str | None,
+                          state_schema: str | None = None):
     """Generic restart-safe foreachBatch fold (shared by the wcc,
     text-neardup and media-neardup drivers): per batch,
     ``fold(prev_state, batch_df) -> (state, pairs_delta)`` (or just
@@ -376,7 +377,11 @@ def _snapshot_fold_stream(spark: SparkSession, stream, checkpoint_dir: str,
     def get_result():
         key = "state" if pairs_schema is None else "pairs"
         if holder[key] is None:
-            schema = pairs_schema or "id string, component string"
+            # state-only folds declare their empty schema (r08: the
+            # wcc default was hardcoded here and mis-typed any other
+            # state-only caller's zero-batch result)
+            schema = (pairs_schema or state_schema
+                      or "id string, component string")
             return spark.createDataFrame([], schema)
         return holder[key]
 
@@ -402,6 +407,51 @@ def incremental_image_neardup_stream(spark: SparkSession,
             st, batch, max_hamming),
         snap_name="__ind_snapshots",
         pairs_schema="d1 long, d2 long, hamming int")
+
+
+def incremental_video_frames_batch(state: DataFrame | None,
+                                   assets_batch: DataFrame
+                                   ) -> DataFrame:
+    """One incremental step of the VIDEO frame-hash index (r08):
+    decode the batch's videos (raw-DIB / MJPEG AVIs, animated GIFs),
+    dHash every frame, and fold the DISTINCT (asset_id, fhash) rows
+    into the accumulated index. State-only — unlike the image/audio
+    folds, video near-dup is a per-PAIR aggregate (count of shared
+    frame hashes vs min_shared) whose threshold crossings cannot be
+    emitted as clean per-batch deltas, and the stop-hash (max_df)
+    filter is a global property of the corpus; so the fold maintains
+    the frame-hash INDEX under ingest and video_neardup_pairs runs
+    ONCE over the accumulated index at read time — exactly the batch
+    kernel on exactly the batch state, stream ≡ batch by
+    construction (the ANN index-append shape, not the banded-delta
+    shape)."""
+    from incubator_hugegraph_spark.data.multimodal import frame_dhashes
+    from incubator_hugegraph_spark.graph import checkpointed
+    fh = (frame_dhashes(assets_batch)
+          .select("asset_id", "fhash").distinct())
+    if state is not None:
+        fh = state.unionByName(fh).distinct()
+    return checkpointed(fh)
+
+
+def incremental_video_neardup_stream(spark: SparkSession,
+                                     assets_path: str,
+                                     checkpoint_dir: str,
+                                     max_files_per_trigger: int = 1):
+    """Streaming driver for the video frame-hash index — same
+    restart-safe snapshot fold as the wcc twin (state-only). Returns
+    (query, get_state); feed get_state() to video_neardup_pairs for
+    the shared-frame near-dup result."""
+    schema = spark.read.parquet(assets_path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(assets_path))
+    return _snapshot_fold_stream(
+        spark, stream, checkpoint_dir,
+        incremental_video_frames_batch,
+        snap_name="__vnd_snapshots",
+        pairs_schema=None,
+        state_schema="asset_id long, fhash long")
 
 
 def incremental_audio_neardup_batch(state: DataFrame | None,

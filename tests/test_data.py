@@ -462,6 +462,58 @@ def test_video_neardup_shared_frames(spark):
         and got2[(2, 3)] == 2 and (1, 4) not in got2
 
 
+def test_incremental_video_frames_equals_batch(spark, tmp_path):
+    """Streaming video twin (r08): folding the asset files through
+    incremental_video_frames_batch accumulates EXACTLY the frame-hash
+    index a one-shot frame_dhashes produces, so video_neardup_pairs
+    over the streamed state equals the batch kernel row-for-row —
+    including MIXED codecs (raw-DIB AVI and animated GIF in the same
+    stream, both riding the shared decode)."""
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.gif import (
+        encode_gif_gray_frames)
+    from incubator_hugegraph_spark.data.multimodal import (
+        build_avi, frame_dhashes, video_neardup_pairs)
+    from incubator_hugegraph_spark.streaming.incremental import (
+        incremental_video_neardup_stream)
+
+    def frame(seed):
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, 768, dtype=np.uint8).tobytes()
+
+    def gray(seed):
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, 256, dtype=np.uint8).tobytes()
+
+    shared = frame(1), frame(2)
+    g_shared = gray(7), gray(8)
+    rows = [
+        (1, "video", build_avi([shared[0], shared[1], frame(30)])),
+        (2, "video", build_avi([shared[0], shared[1]])),
+        (3, "video", build_avi([shared[0], frame(31)])),
+        # animated GIFs sharing frames with each other
+        (4, "video", encode_gif_gray_frames(
+            [g_shared[0], g_shared[1]], 16, 16)),
+        (5, "video", encode_gif_gray_frames(
+            [g_shared[0], g_shared[1], gray(9)], 16, 16)),
+        (6, "video", build_avi([frame(50)])),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, modality string, payload binary")
+    want = sorted(map(tuple, video_neardup_pairs(
+        frame_dhashes(assets), min_shared=2, max_df=10).collect()))
+    assert want and (4, 5) in {(a, b) for a, b, _ in want}
+    adir = str(tmp_path / "assets")
+    assets.repartition(3).write.parquet(adir)
+    q, get_state = incremental_video_neardup_stream(
+        spark, adir, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.awaitTermination()
+    got = sorted(map(tuple, video_neardup_pairs(
+        get_state(), min_shared=2, max_df=10).collect()))
+    assert got == want
+
+
 def test_incremental_image_neardup_equals_batch(spark, tmp_path):
     """Folding image micro-batches through the streaming dHash state
     accumulates EXACTLY the batch run's pairs — every pair surfaces
