@@ -6170,6 +6170,58 @@ def multimodal_gif_anim_frames_q(spark, sf_dir):
                                              3 + n % 9, 2 + n % 5)))
 
 
+@_q("multimodal_gif_disposal3_frames", """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
+           FROM documents),
+dims AS (SELECT doc_id, CAST(1 + n % 3 AS BIGINT) AS nf,
+                CAST(3 + n % 9 AS INT) AS w,
+                CAST(2 + n % 5 AS INT) AS h
+         FROM d),
+fr AS (SELECT doc_id, nf, w, h, unnest(range(nf)) AS f FROM dims),
+vals AS (SELECT doc_id, w, h,
+                (doc_id*2654435761 + (f*769 + j)*40503) % 256 AS v
+         FROM (SELECT doc_id, w, h, f, unnest(range(w*h)) AS j
+               FROM fr)),
+probe AS (SELECT doc_id, w, h, 7 AS v
+          FROM (SELECT doc_id, w, h, unnest(range(w*h)) AS j
+                FROM dims)),
+allv AS (SELECT * FROM vals UNION ALL SELECT * FROM probe),
+agg AS (SELECT doc_id, CAST(3*sum(v) AS BIGINT) AS val_sum,
+               CAST(3*sum(v*v) AS BIGINT) AS val_sumsq,
+               CAST(min(v) AS BIGINT) AS val_min,
+               CAST(max(v) AS BIGINT) AS val_max
+        FROM allv GROUP BY doc_id)
+SELECT dims.doc_id AS asset_id, 'video' AS modality,
+       w AS width, h AS height,
+       CAST(nf + 1 AS BIGINT) AS n_frames,
+       CAST(3*w*h*(nf + 1) AS BIGINT) AS n_values,
+       a.val_sum, a.val_sumsq, a.val_min, a.val_max
+FROM dims JOIN agg a ON dims.doc_id = a.doc_id
+""")
+def multimodal_gif_disposal3_frames_q(spark, sf_dir):
+    """GIF DISPOSAL 3 — restore-to-previous — through the full Spark
+    decode path (r09, retiring the last animation boundary): the
+    planted streams draw nf full-screen frames each flagged
+    disposal=3, then a fully-transparent probe frame. Each restore
+    reverts the canvas to the background color (index 7), so the
+    probe's composited snapshot is a bg-valued canvas — the oracle
+    adds exactly one bg=7 frame to the generator arithmetic, and a
+    decoder that left the last draw in place (disposal-1 semantics)
+    would shift sum/sumsq and usually min. Byte-exact restore
+    semantics are additionally pinned by
+    test_gif_animation_compositing. Spark shape: one Arrow-batched
+    mapInPandas render + one decode pass."""
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_media,
+        render_media_gif_disposal3,
+    )
+    return decode_media(_rendered_assets(
+        spark, sf_dir, "video",
+        lambda aid, n: render_media_gif_disposal3(aid, 1 + n % 3,
+                                                  3 + n % 9,
+                                                  2 + n % 5)))
+
+
 @_q("multimodal_bmp_decode", """
 WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
            FROM documents),

@@ -12,11 +12,11 @@ non-interlaced or interlaced (r08 — four-pass Appendix E row
 scatter). `decode_gif_rgb` returns the FIRST frame (the still-image
 contract of the decode_image_rgb dispatch); `decode_gif_frames`
 (r08) decodes ANIMATIONS — per-frame LZW, sub-rectangle compositing
-at (left, top), transparent-index passthrough, disposal 0/1/2 —
-returning one logical-screen snapshot per image block (the AVI
-frames contract, so the same dHash kernels apply). Disposal 3
-(restore-previous) returns None; the shared None-not-raise contract
-of decode_png_rgb / decode_jpeg_rgb applies to malformed streams.
+at (left, top), transparent-index passthrough, disposal 0/1/2 and
+(r09) 3 (restore-to-previous) — returning one logical-screen
+snapshot per image block (the AVI frames contract, so the same
+dHash kernels apply). The shared None-not-raise contract of
+decode_png_rgb / decode_jpeg_rgb applies to malformed streams.
 
 Reference behavior parity: none — the reference (hugegraph) has no
 media tier; this module serves the training-data-pipeline brief.
@@ -217,6 +217,19 @@ def encode_gif_gray(gray: bytes, width: int, height: int,
 # not a multi-GB allocation / MemoryError escaping the None contract
 MAX_PIXELS = 1 << 24  # 16.7M px — a 4096x4096 frame
 
+# cumulative bound across an ANIMATION (r09 review): every image
+# block costs w*h index bytes at parse plus a full sw*sh*3 canvas
+# snapshot at composite, so forty 1x1 blocks on a 2048x2048 screen
+# would decode ~500 MB without a cumulative cap — linear to executor
+# OOM from a ~100 KB crafted stream. The parse walk charges
+# w*h + sw*sh per image block against this budget and rejects BEFORE
+# any canvas allocation; past it the stream maps to None. 2x
+# MAX_PIXELS so a single max-size still (which charges w*h == sw*sh
+# == MAX_PIXELS once) stays inside the r08 envelope; composited
+# frame bytes are bounded at <= ~100 MB, same order as one max-size
+# decoded PNG.
+MAX_TOTAL_PIXELS = 2 * MAX_PIXELS
+
 
 def _gif_blocks(b: bytes, max_images: int | None = None):
     """Parse a GIF stream into (screen w, screen h, background
@@ -240,6 +253,7 @@ def _gif_blocks(b: bytes, max_images: int | None = None):
         i += 3 * n
     images = []
     gce = None
+    total_px = 0  # cumulative w*h + sw*sh budget (r09: OOM cap)
     while i < len(b):
         block = b[i]
         if block == 0x21:  # extension
@@ -263,6 +277,13 @@ def _gif_blocks(b: bytes, max_images: int | None = None):
                 i += 3 * n
             if pal is None or w < 1 or h < 1 or w * h > MAX_PIXELS:
                 raise ValueError("gif: no palette / bad dims")
+            # charge this block's index bytes AND its eventual canvas
+            # snapshot against the cumulative budget BEFORE decoding
+            # (r09 review: many tiny blocks on a huge logical screen
+            # must not out-allocate the per-frame dims check)
+            total_px += w * h + sw * sh
+            if total_px > MAX_TOTAL_PIXELS:
+                raise ValueError("gif: cumulative output cap")
             min_code = b[i]
             i += 1
             lzw, i = _read_sub_blocks(b, i)
@@ -293,11 +314,11 @@ def decode_gif_frames(b: bytes):
     LZW-decoded and COMPOSITED onto the logical screen the way a
     viewer renders it — sub-rectangle placement at (left, top),
     transparent-index pixels leaving the canvas unchanged, disposal
-    0/1 (leave in place) and 2 (restore the region to the background
-    color). Returns (width, height, [row-major RGB frame bytes]) —
+    0/1 (leave in place), 2 (restore the region to the background
+    color) and 3 (restore the whole canvas to its pre-draw state,
+    r09). Returns (width, height, [row-major RGB frame bytes]) —
     one canvas snapshot per image block — or None for malformed
-    streams / disposal 3 (restore-previous; rare, declared out of
-    envelope). Feed the frames to the same dHash kernels the AVI
+    streams. Feed the frames to the same dHash kernels the AVI
     path uses."""
     import numpy as np
     try:
@@ -312,10 +333,15 @@ def decode_gif_frames(b: bytes):
         for x, y, w, h, pal, gce, idx in images:
             disposal = gce["disposal"] if gce else 0
             transparent = gce["transparent"] if gce else None
-            if disposal == 3:
-                return None  # restore-previous: out of envelope
+            if disposal > 3:
+                return None  # 4..7 are reserved in GIF89a
             if x + w > sw or y + h > sh:
                 return None
+            # disposal 3 = restore-to-previous (r09): snapshot the
+            # canvas BEFORE this frame draws; after emitting the
+            # composited frame, the canvas reverts so the next frame
+            # composes over the pre-draw state (GIF89a §23(iv))
+            before = canvas.copy() if disposal == 3 else None
             # vectorized compositing (r08 review: the per-pixel
             # Python loop cost O(frames*w*h) interpreter iterations
             # on the Spark video path): palette gather in one shot,
@@ -336,6 +362,8 @@ def decode_gif_frames(b: bytes):
             frames.append(canvas.tobytes())
             if disposal == 2:
                 region[:] = np.frombuffer(bg_rgb, np.uint8)
+            elif disposal == 3:
+                canvas = before
         return sw, sh, frames
     except (ValueError, struct.error, IndexError):
         return None
@@ -343,18 +371,22 @@ def decode_gif_frames(b: bytes):
 
 def encode_gif_gray_frames(frames: list[bytes], width: int,
                            height: int,
-                           delay_cs: int = 4) -> bytes:
+                           delay_cs: int = 4,
+                           disposals: list[int] | None = None
+                           ) -> bytes:
     """REAL animated GIF89a writer: full-screen grayscale frames,
-    one GCE (disposal=1, no transparency, ``delay_cs`` hundredths)
-    per image block, shared 256-entry gray global palette, genuine
-    LZW per frame — the fixture twin of decode_gif_frames."""
+    one GCE per image block (``disposals[i]`` or disposal=1, no
+    transparency, ``delay_cs`` hundredths), shared 256-entry gray
+    global palette, genuine LZW per frame — the fixture twin of
+    decode_gif_frames."""
     assert all(len(f) == width * height for f in frames)
     lsd = struct.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x07,
                       0, 0)
     palette = bytes(v for i in range(256) for v in (i, i, i))
     out = bytearray(b"GIF89a" + lsd + palette)
-    for f in frames:
-        out += (b"\x21\xf9\x04" + bytes([0x04])  # disposal=1
+    for fi, f in enumerate(frames):
+        disp = disposals[fi] if disposals is not None else 1
+        out += (b"\x21\xf9\x04" + bytes([disp << 2])
                 + struct.pack("<H", delay_cs) + b"\x00\x00")
         out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
         out += bytes([8]) + _sub_blocks(_lzw_compress(f, 8))

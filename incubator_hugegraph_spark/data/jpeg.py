@@ -124,6 +124,14 @@ ZIGZAG = [
 # MemoryError escaping the None contract. 16.7M px = 4096x4096.
 MAX_PIXELS = 1 << 24
 
+# tighter progressive-specific cap (r09 review): the SOF2 coefficient
+# store is int32 x 64 per block (~12 bytes/px for 3 components), so a
+# header-lie SOF2 near MAX_PIXELS would still pin ~200 MB per asset
+# inside an Arrow batch. 4.2M px = 2048x2048 bounds the store at
+# ~50 MB; allocation is additionally deferred until the first scan
+# header PARSES (see _prog_scan).
+MAX_PROG_PIXELS = 1 << 22
+
 
 def _dct_matrix():
     """Orthonormal 8x8 DCT-II matrix A: FDCT = A @ X @ A.T, IDCT =
@@ -447,7 +455,10 @@ def decode_jpeg_rgb(b: bytes):
     selection with full EOBRUN (EOBn) handling and AC refinement
     correction bits per T.81 G.1.2 — then ONE dequantize + IDCT at
     EOI. The coefficients equal a sequential stream's of the same
-    image, so outputs are byte-identical (the property gate)."""
+    image, so outputs are byte-identical (the property gate).
+    Progressive dims are capped at MAX_PROG_PIXELS (2048x2048; the
+    int32 coefficient store costs ~12 bytes/px) vs MAX_PIXELS for
+    baseline."""
     import numpy as np
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
@@ -521,7 +532,7 @@ def decode_jpeg_rgb(b: bytes):
                 _prec, height, width, nc = struct.unpack(
                     ">BHHB", data[:6])
                 if _prec != 8 or nc not in (1, 3) \
-                        or width * height > MAX_PIXELS:
+                        or width * height > MAX_PROG_PIXELS:
                     return None
                 for c in range(nc):
                     cid, sampling, qid = data[6 + c * 3:9 + c * 3]
@@ -533,11 +544,6 @@ def decode_jpeg_rgb(b: bytes):
                 progressive = True
                 pbw = -(-width // 8)
                 pbh = -(-height // 8)
-                # int32: quantized coefficients are < 2^11 and the
-                # successive-approximation shift is <= 13 bits, so
-                # the store stays well inside int32 at a quarter of
-                # the int64 footprint (<= ~200 MB at MAX_PIXELS)
-                prog = np.zeros((nc, pbh * pbw, 64), dtype=np.int32)
             elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # extended/arithmetic/hierarchical
@@ -546,9 +552,13 @@ def decode_jpeg_rgb(b: bytes):
             elif marker == 0xDA and progressive:
                 # one progressive scan: decode it into the
                 # coefficient store, then continue the segment walk
-                # at the marker that terminated the entropy data
-                i = _prog_scan(b, i + 2 + seg_len, data, comps, prog,
-                               huff_dc, huff_ac, restart_interval)
+                # at the marker that terminated the entropy data.
+                # _prog_scan allocates the store lazily AFTER the
+                # scan header validates (r09: a header-lie SOF2
+                # prefix must not trigger the allocation)
+                i, prog = _prog_scan(b, i + 2 + seg_len, data, comps,
+                                     prog, huff_dc, huff_ac,
+                                     restart_interval, pbh * pbw)
                 prog_scanned = True
                 continue
             elif marker == 0xDA:  # baseline SOS — entropy follows
@@ -594,6 +604,8 @@ def decode_jpeg_rgb(b: bytes):
             zz = [0] * 64
             # DC
             sym = _read_symbol(reader, dct)
+            if sym > 11:
+                raise ValueError("jpeg: DC category > 11")  # T.81 F.1
             if sym:
                 diff = _extend(reader.read_bits(sym), sym)
             else:
@@ -660,7 +672,10 @@ def decode_jpeg_rgb(b: bytes):
             rgb = _ycbcr_to_rgb(out.astype(np.int16))
         return width, height, bytearray(rgb.tobytes())
     except (ValueError, struct.error, IndexError, KeyError,
-            StopIteration):
+            StopIteration, OverflowError):
+        # OverflowError (r09 review): numpy >= 2.0 raises on an
+        # out-of-int32 assignment (hostile DC accumulation) where
+        # 1.x only wrapped — both must resolve to None, not raise
         return None
 
 
@@ -682,15 +697,20 @@ def _extend(v: int, size: int) -> int:
 
 
 def _prog_scan(b: bytes, i: int, data: bytes, comps, prog,
-               huff_dc, huff_ac, restart_interval: int) -> int:
+               huff_dc, huff_ac, restart_interval: int,
+               n_blocks: int):
     """Decode ONE progressive scan (T.81 G.2): entropy data starts at
     offset ``i``; the scan header is ``data``. Coefficients
-    accumulate into ``prog`` (nc, n_blocks, 64), zigzag-indexed.
-    Returns the offset of the marker that terminated the entropy
-    data. All four scan kinds: DC first (diff-coded at Al), DC
+    accumulate into ``prog`` (nc, n_blocks, 64), zigzag-indexed —
+    allocated HERE on the first scan, after the scan header has
+    validated (r09 review: a ~30-byte SOF2 header-lie prefix must
+    fail before the coefficient-store allocation, not after).
+    Returns (offset of the marker that terminated the entropy data,
+    prog). All four scan kinds: DC first (diff-coded at Al), DC
     refinement (one raw bit per block), AC first (run-length with
     EOBn end-of-band runs), AC refinement (correction bits per
     G.1.2.3 — the libjpeg decode_mcu_AC_refine structure)."""
+    import numpy as np
     ns = data[0]
     sel = []
     for s in range(ns):
@@ -702,7 +722,8 @@ def _prog_scan(b: bytes, i: int, data: bytes, comps, prog,
     ah, al = data[3 + ns * 2] >> 4, data[3 + ns * 2] & 0x0F
     if ss > se or se > 63 or al > 13:
         raise ValueError("jpeg: bad progressive scan header")
-    n_blocks = prog.shape[1]
+    if prog is None:
+        prog = np.zeros((len(comps), n_blocks, 64), dtype=np.int32)
     reader = _BitReader(b, i)
 
     def resync(unit, state_reset):
@@ -727,6 +748,12 @@ def _prog_scan(b: bytes, i: int, data: bytes, comps, prog,
                 resync(blk, reset)
                 for si, (ci, dc_t, _) in enumerate(sel):
                     sym = _read_symbol(reader, huff_dc[dc_t])
+                    if sym > 11:
+                        # T.81 Table F.1: 8-bit DC difference
+                        # categories are 0..11; a hostile DHT can
+                        # carry values up to 255, which would read
+                        # 255 raw bits and overflow the int32 store
+                        raise ValueError("jpeg: DC category > 11")
                     diff = _extend(reader.read_bits(sym), sym) \
                         if sym else 0
                     pred[si] += diff
@@ -822,7 +849,7 @@ def _prog_scan(b: bytes, i: int, data: bytes, comps, prog,
                         k += 1
                     eobrun -= 1
     reader.align_to_marker()
-    return reader.i
+    return reader.i, prog
 
 
 def _prog_reconstruct(prog, comps, quant, width: int, height: int):

@@ -21,9 +21,15 @@ stub list. `decode_media` returns exact integer pixel/sample
 statistics from the decoded values, and `resize_images_real` is a
 genuine nearest-neighbor resample of decoded PNG pixels re-encoded
 as PNG. `_decode_stub` remains only as the documented fallback for
-bytes no parser recognizes (declared codec boundaries: progressive/
-12-bit/arithmetic JPEG — 4:2:0/4:2:2 subsampling IS decoded as of
-r08 — interlaced/animated GIF, non-MJPG compressed video).
+bytes no parser recognizes. r08 widened the tier to progressive
+(SOF2) JPEG, 4:2:0/4:2:2 subsampling, interlaced + animated GIF,
+24-bit BMP and Adam7 PNG; r09 added GIF disposal-3
+(restore-to-previous) compositing. Remaining declared codec
+boundaries: 12-bit/arithmetic/hierarchical JPEG,
+progressive+subsampled JPEG, non-MJPG compressed video (H.26x etc.
+— out of pure-Python scope), frames past the decode pixel caps
+(MAX_PIXELS per frame, MAX_TOTAL_PIXELS per animation,
+MAX_PROG_PIXELS for SOF2).
 
 Scale notes: binary payloads dominate partition size — size
 `spark.sql.files.maxPartitionBytes` for ~128 MB of payload per task
@@ -653,6 +659,44 @@ def render_media_gif_anim(asset_id: int, n_frames: int, width: int,
                                 offset=f * FRAME_STRIDE).tobytes()
               for f in range(n_frames)]
     return encode_gif_gray_frames(frames, width, height)
+
+
+def render_media_gif_disposal3(asset_id: int, n_frames: int,
+                               width: int, height: int) -> bytes:
+    """Deterministic animated GIF exercising DISPOSAL 3 (r09,
+    restore-to-previous) end-to-end: ``n_frames`` full-screen draws
+    (frame f pixel j = byte(asset_id, f*FRAME_STRIDE + j)) each
+    carry disposal=3, then a final full-screen fully-TRANSPARENT
+    probe frame. Every disposal-3 restore puts the canvas back to
+    the background color (index 7 here), so the probe's composited
+    snapshot is a bg-valued canvas — a decoder that treated
+    disposal 3 as leave-in-place would snapshot the LAST draw
+    instead, shifting sum/sumsq/min/max. The oracle adds exactly one
+    bg-valued frame to the generator arithmetic."""
+    import struct as _s
+
+    from incubator_hugegraph_spark.data.gif import (_lzw_compress,
+                                                    _sub_blocks)
+    bg = 7
+    lsd = _s.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x07, bg, 0)
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    out = bytearray(b"GIF89a" + lsd + palette)
+
+    def image(gray: bytes, disposal: int, transparent=None):
+        packed = disposal << 2 | (1 if transparent is not None else 0)
+        out.extend(b"\x21\xf9\x04" + bytes([packed]) + _s.pack("<H", 4)
+                   + bytes([transparent or 0]) + b"\x00")
+        out.extend(b"\x2c" + _s.pack("<HHHHB", 0, 0, width, height, 0))
+        out.extend(bytes([8]) + _sub_blocks(_lzw_compress(gray, 8)))
+
+    for f in range(n_frames):
+        image(synth_media_bytes(asset_id, width * height,
+                                offset=f * FRAME_STRIDE).tobytes(),
+              disposal=3)
+    image(bytes([255]) * (width * height), disposal=1,
+          transparent=255)
+    out.extend(b"\x3b")
+    return bytes(out)
 
 
 def render_media_bmp(asset_id: int, width: int, height: int) -> bytes:

@@ -877,13 +877,68 @@ def test_gif_animation_compositing():
     a2 = np.frombuffer(fr[2], np.uint8).reshape(h, w, 3)
     assert (a2[1, 1] == 0).all() and (a2[2, 2] == 0).all()
     assert (a2[0, 0] == a0[0, 0]).all()
-    # disposal 3 -> None (declared boundary)
-    anim3 = base + gce(3) + sub_image(0, 0, 1, 1, bytes([1])) + b"\x3b"
-    assert decode_gif_frames(anim3) is None
+    # disposal 3 (r09): restore-to-previous — the patch is visible in
+    # ITS frame, then the canvas reverts, so a following transparent
+    # no-op frame reproduces frame 0 byte-for-byte
+    anim3 = (base + gce(3) + sub_image(1, 1, 2, 2, bytes([10] * 4))
+             + gce(1, transparent=255)
+             + sub_image(0, 0, 1, 1, bytes([255]))
+             + b"\x3b")
+    fr3 = decode_gif_frames(anim3)[2]
+    assert len(fr3) == 3
+    b1 = np.frombuffer(fr3[1], np.uint8).reshape(h, w, 3)
+    assert (b1[1, 1] == 10).all() and (b1[2, 2] == 10).all()
+    assert fr3[2] == fr3[0]
+    # the generator path pins the same property: draw, restore, then
+    # a full-screen redraw of frame 0 must equal frame 0's snapshot
+    anim3b = encode_gif_gray_frames(
+        [frames[0], frames[1], frames[0]], w, h, disposals=[1, 3, 1])
+    fr3b = decode_gif_frames(anim3b)[2]
+    assert fr3b[2] == fr3b[0]
+    # reserved disposal values (4..7) stay None
+    anim4 = base + gce(4) + sub_image(0, 0, 1, 1, bytes([1])) + b"\x3b"
+    assert decode_gif_frames(anim4) is None
     # an out-of-bounds sub-rectangle -> None, not a corrupt canvas
     oob = base + gce(1) + sub_image(w - 1, 0, 2, 1, bytes([1, 2])) \
         + b"\x3b"
     assert decode_gif_frames(oob) is None
+
+
+def test_gif_cumulative_output_cap():
+    """r09 hardening (review): MANY tiny image blocks on a huge
+    logical screen must map to None during the PARSE walk — each
+    block would otherwise snapshot the full canvas, so forty 1x1
+    blocks on a 2048x2048 screen decode to ~500 MB without a
+    cumulative budget. The per-frame dims check cannot see this
+    (every frame is individually tiny)."""
+    import struct as _s
+
+    from incubator_hugegraph_spark.data.gif import (
+        MAX_TOTAL_PIXELS, _lzw_compress, _sub_blocks,
+        decode_gif_frames, encode_gif_gray, encode_gif_gray_frames)
+
+    def sub_image(x, y, sw, sh, idx):
+        return (b"\x2c" + _s.pack("<HHHHB", x, y, sw, sh, 0)
+                + bytes([8]) + _sub_blocks(_lzw_compress(idx, 8)))
+
+    lsd = _s.pack("<HHBBB", 2048, 2048, 0x80 | 0x07, 0, 0)
+    evil = (b"GIF89a" + lsd + bytes(768)
+            + b"".join(sub_image(0, 0, 1, 1, bytes([0]))
+                       for _ in range(40))
+            + b"\x3b")
+    assert len(evil) < 2048  # the ~500 MB-from-sub-KB attack shape
+    assert decode_gif_frames(evil) is None
+    # a max-size STILL stays inside the envelope (budget = 2x
+    # MAX_PIXELS covers one w*h == sw*sh == MAX_PIXELS block) —
+    # assert on the budget arithmetic, not a 50 MB decode
+    assert 2 * 4096 * 4096 <= MAX_TOTAL_PIXELS
+    # legitimate small animations are nowhere near the cap
+    frames = [bytes(16 * 16) for _ in range(8)]
+    got = decode_gif_frames(encode_gif_gray_frames(frames, 16, 16))
+    assert got is not None and len(got[2]) == 8
+    # and a single large-screen frame still decodes (per-frame path)
+    big = encode_gif_gray(bytes(512 * 512), 512, 512)
+    assert decode_gif_frames(big) is not None
 
 
 def test_jpeg_progressive_eobrun_spanning_blocks():
@@ -957,6 +1012,45 @@ def test_jpeg_progressive_eobrun_spanning_blocks():
             np.rint(block) + 128, 0, 255).astype(np.uint8)
     want = np.repeat(img.reshape(8, 32, 1), 3, axis=2).tobytes()
     assert bytes(out) == want
+
+
+def test_jpeg_progressive_hardening_r09():
+    """r09 review hardening: (a) a SOF2 stream lying its dims to just
+    under the BASELINE pixel cap maps to None — progressive has its
+    own tighter MAX_PROG_PIXELS because the int32 coefficient store
+    costs ~12 bytes/px and would otherwise pin ~200 MB per asset off
+    a ~30-byte prefix; (b) a hostile DHT whose DC table carries a
+    magnitude category > 11 (T.81 Table F.1 caps 8-bit DC categories
+    at 11) rejects as None instead of reading up to 255 raw bits
+    whose value overflows the int32 store (OverflowError on
+    numpy >= 2, silent wraparound on 1.x)."""
+    import struct as _s
+
+    from incubator_hugegraph_spark.data.jpeg import (
+        MAX_PIXELS, MAX_PROG_PIXELS, _BitWriter, _dht_segment,
+        _dqt_segment, decode_jpeg_rgb, encode_jpeg_rgb_progressive)
+    # (a) tighter progressive cap: 4000x4000 = 16M px passes the
+    # baseline MAX_PIXELS check but not MAX_PROG_PIXELS
+    assert MAX_PROG_PIXELS < 4000 * 4000 <= MAX_PIXELS
+    prog = encode_jpeg_rgb_progressive(bytes(192), 8, 8)
+    i = prog.find(b"\xff\xc2")
+    lie = bytearray(prog)
+    lie[i + 5:i + 9] = _s.pack(">HH", 4000, 4000)
+    assert decode_jpeg_rgb(bytes(lie)) is None
+    # (b) DC category 16 selected by a single-entry hostile DC table
+    dc_bits = [1] + [0] * 15
+    dc_vals = [16]
+    sof = (b"\xff\xc2" + _s.pack(">HBHHB", 8 + 3, 8, 8, 8, 1)
+           + bytes([1, 0x11, 0]))
+    sos = b"\xff\xda" + _s.pack(">H", 8) + bytes([1, 1, 0x00, 0, 0, 0])
+    w = _BitWriter()
+    w.write(0, 1)         # the lone code -> symbol 16
+    w.write(0xFFFF, 16)   # 16 magnitude bits the decoder must refuse
+    w.flush()
+    evil = (b"\xff\xd8" + _dqt_segment(0, [1] * 64) + sof
+            + _dht_segment(0, 0, dc_bits, dc_vals)
+            + sos + bytes(w.out) + b"\xff\xd9")
+    assert decode_jpeg_rgb(evil) is None
 
 
 def test_decode_media_dataframe_and_resize(docs):
