@@ -167,13 +167,21 @@ def incremental_neardup_batch(state: DataFrame | None,
                               n: int = 3, threshold: float = 0.3,
                               text_col: str = "text",
                               id_col: str = "doc_id",
-                              portable: bool = False
+                              portable: bool = False,
+                              return_delta: bool = False
                               ) -> tuple[DataFrame, DataFrame]:
     """One incremental step. Returns (new_state, pairs):
     state = (id, band, bucket) LSH index over every doc seen;
     pairs = exact-verified (d1, d2, jaccard), d1 < d2, second member
     in this batch. ``corpus`` is the id→text table backing the stream
-    (verification fetches only candidate docs from it)."""
+    (verification fetches only candidate docs from it).
+
+    With ``return_delta`` the first element is the batch's band rows
+    ONLY (the state is append-only — a doc arrives in exactly one
+    micro-batch, so the batch rows ARE the new rows): the streaming
+    driver persists per-batch deltas and reconstructs the index as
+    their union, keeping snapshot IO O(batch) instead of O(|state|)
+    per batch (r08 verdict item 1)."""
     from incubator_hugegraph_spark.data.dedup import (
         band_rows, minhash_signatures, verify_pairs)
     from incubator_hugegraph_spark.graph import checkpointed
@@ -200,6 +208,8 @@ def incremental_neardup_batch(state: DataFrame | None,
     # the (do ∈ state, dn ∈ batch) ∪ (batch × batch) join above can't
     # produce them, so no cross-batch dedup is needed.
     pairs = verify_pairs(cand, corpus, n, threshold, text_col, id_col)
+    if return_delta:
+        return bands_batch, pairs
     return checkpointed(all_bands), pairs
 
 
@@ -222,15 +232,17 @@ def incremental_neardup_stream(spark: SparkSession, docs_path: str,
     return _snapshot_fold_stream(
         spark, stream, checkpoint_dir,
         lambda st, batch: incremental_neardup_batch(
-            st, batch, corpus, n, threshold),
+            st, batch, corpus, n, threshold, return_delta=True),
         snap_name="__nd_snapshots",
-        pairs_schema=f"d1 {id_type}, d2 {id_type}, jaccard double")
+        pairs_schema=f"d1 {id_type}, d2 {id_type}, jaccard double",
+        delta_state=True)
 
 
 def _incremental_fp_neardup_batch(state: DataFrame | None,
                                   fingerprints: DataFrame,
                                   hash_col: str,
-                                  max_hamming: int
+                                  max_hamming: int,
+                                  return_delta: bool = False
                                   ) -> tuple[DataFrame, DataFrame]:
     """THE shared incremental fingerprint-dedup step (image dHash and
     audio energy contour differ only in the fingerprint kernel):
@@ -240,7 +252,9 @@ def _incremental_fp_neardup_batch(state: DataFrame | None,
     the text fold: a pair whose both members predate this batch
     collided when its second member arrived. Scale: the batch side
     broadcasts (O(batch)), the O(corpus) state never reshuffles per
-    batch."""
+    batch. ``return_delta`` returns the batch's chunk rows as the
+    state element (append-only state; see incremental_neardup_batch)
+    so the streaming driver writes O(batch) per batch."""
     from incubator_hugegraph_spark.data.dedup import _hamming_chunks
     from incubator_hugegraph_spark.graph import checkpointed
     if max_hamming > 3:
@@ -274,18 +288,22 @@ def _incremental_fp_neardup_batch(state: DataFrame | None,
                  F.col("h1").bitwiseXOR(F.col("h2"))))
              .filter(F.col("hamming") <= max_hamming)
              .select("d1", "d2", "hamming"))
+    if return_delta:
+        return chunks, pairs
     return checkpointed(all_chunks), pairs
 
 
 def incremental_image_neardup_batch(state: DataFrame | None,
                                     assets_batch: DataFrame,
-                                    max_hamming: int = 3
+                                    max_hamming: int = 3,
+                                    return_delta: bool = False
                                     ) -> tuple[DataFrame, DataFrame]:
     """One incremental step of PERCEPTUAL image dedup over an asset
     stream — decode + dHash, then the shared fingerprint fold."""
     from incubator_hugegraph_spark.data.multimodal import image_dhash
     return _incremental_fp_neardup_batch(
-        state, image_dhash(assets_batch), "dhash", max_hamming)
+        state, image_dhash(assets_batch), "dhash", max_hamming,
+        return_delta=return_delta)
 
 
 def _require_local_dir(checkpoint_dir: str) -> None:
@@ -309,7 +327,8 @@ def _require_local_dir(checkpoint_dir: str) -> None:
 def _snapshot_fold_stream(spark: SparkSession, stream, checkpoint_dir: str,
                           fold, snap_name: str,
                           pairs_schema: str | None,
-                          state_schema: str | None = None):
+                          state_schema: str | None = None,
+                          delta_state: bool = False):
     """Generic restart-safe foreachBatch fold (shared by the wcc,
     text-neardup and media-neardup drivers): per batch,
     ``fold(prev_state, batch_df) -> (state, pairs_delta)`` (or just
@@ -323,7 +342,21 @@ def _snapshot_fold_stream(spark: SparkSession, stream, checkpoint_dir: str,
     but pairs deltas persist (they are the accumulated result).
     Returns (query, get_result); with zero micro-batches get_result()
     yields an EMPTY typed DataFrame rather than None (review r06 —
-    callers .collect() it)."""
+    callers .collect() it).
+
+    ``delta_state`` (r09, the r08 verdict's scale finding): for
+    APPEND-ONLY states (LSH band rows, fingerprint chunks, video
+    frame hashes — rows are added, never mutated) the fold returns
+    only the batch's NEW state rows, persisted to
+    .../b{batch}/state_delta; the accumulated state is reconstructed
+    as the multi-path parquet read of every committed delta — one
+    scan relation, no per-batch plan growth. Snapshot IO per batch
+    is O(batch) instead of O(|state|) (the full-snapshot shape made
+    total state IO O(B·|state|), quadratic under
+    maxFilesPerTrigger=1); total storage is O(|state|), the
+    data/ann_index.py batch=N append shape. wcc keeps
+    delta_state=False — its component labels genuinely MUTATE per
+    batch, so a full snapshot is the correct shape there."""
     import os
     import shutil
 
@@ -336,34 +369,52 @@ def _snapshot_fold_stream(spark: SparkSession, stream, checkpoint_dir: str,
                     and os.path.exists(f"{snap}/{nm}/_DONE")):
                 done.append(int(nm[1:]))
     done0 = max(done) if done else -1
-    state0 = spark.read.parquet(f"{snap}/b{done0}/state") \
-        if done0 >= 0 else None
+
+    def _read_deltas(sub: str):
+        dirs = [f"{snap}/b{b}/{sub}" for b in sorted(done)
+                if os.path.isdir(f"{snap}/b{b}/{sub}")]
+        return (spark.read.parquet(*dirs) if dirs else None), dirs
+
+    if delta_state:
+        state0, state_dirs = _read_deltas("state_delta")
+    else:
+        state0 = spark.read.parquet(f"{snap}/b{done0}/state") \
+            if done0 >= 0 else None
+        state_dirs = []
     pairs0 = None
     if pairs_schema is not None and done0 >= 0:
-        delta_dirs = [f"{snap}/b{b}/pairs" for b in sorted(done)
-                      if os.path.isdir(f"{snap}/b{b}/pairs")]
-        if delta_dirs:
-            pairs0 = spark.read.parquet(*delta_dirs)
-    holder = {"state": state0, "pairs": pairs0, "done": done0}
+        pairs0, _ = _read_deltas("pairs")
+    holder = {"state": state0, "pairs": pairs0, "done": done0,
+              "state_dirs": state_dirs}
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= holder["done"]:
             return
         prev = holder["done"]
         if pairs_schema is None:
-            holder["state"] = fold(holder["state"], batch_df)
+            st = fold(holder["state"], batch_df)
         else:
             st, pairs = fold(holder["state"], batch_df)
-            holder["state"] = st
             holder["pairs"] = pairs if holder["pairs"] is None \
                 else holder["pairs"].unionByName(pairs)
             # write ONLY this batch's delta — linear total IO
             pairs.write.mode("overwrite") \
                 .parquet(f"{snap}/b{batch_id}/pairs")
-        holder["state"].write.mode("overwrite") \
-            .parquet(f"{snap}/b{batch_id}/state")
+        if delta_state:
+            # st is the batch's NEW rows only — O(batch) write; the
+            # accumulated state becomes one parquet scan over every
+            # committed delta (never a deep union plan)
+            d = f"{snap}/b{batch_id}/state_delta"
+            st.write.mode("overwrite").parquet(d)
+            holder["state_dirs"].append(d)
+            holder["state"] = spark.read.parquet(
+                *holder["state_dirs"])
+        else:
+            holder["state"] = st
+            holder["state"].write.mode("overwrite") \
+                .parquet(f"{snap}/b{batch_id}/state")
         open(f"{snap}/b{batch_id}/_DONE", "w").close()
-        if prev >= 0:
+        if prev >= 0 and not delta_state:
             # prune only the superseded STATE (pairs deltas persist)
             shutil.rmtree(f"{snap}/b{prev}/state", ignore_errors=True)
         holder["done"] = batch_id
@@ -404,13 +455,15 @@ def incremental_image_neardup_stream(spark: SparkSession,
     return _snapshot_fold_stream(
         spark, stream, checkpoint_dir,
         lambda st, batch: incremental_image_neardup_batch(
-            st, batch, max_hamming),
+            st, batch, max_hamming, return_delta=True),
         snap_name="__ind_snapshots",
-        pairs_schema="d1 long, d2 long, hamming int")
+        pairs_schema="d1 long, d2 long, hamming int",
+        delta_state=True)
 
 
 def incremental_video_frames_batch(state: DataFrame | None,
-                                   assets_batch: DataFrame
+                                   assets_batch: DataFrame,
+                                   return_delta: bool = False
                                    ) -> DataFrame:
     """One incremental step of the VIDEO frame-hash index (r08):
     decode the batch's videos (raw-DIB / MJPEG AVIs, animated GIFs),
@@ -424,11 +477,21 @@ def incremental_video_frames_batch(state: DataFrame | None,
     ONCE over the accumulated index at read time — exactly the batch
     kernel on exactly the batch state, stream ≡ batch by
     construction (the ANN index-append shape, not the banded-delta
-    shape)."""
+    shape).
+
+    ``return_delta`` (r09, the streaming driver's mode) returns only
+    the batch's distinct rows: an asset arrives in exactly one
+    micro-batch, so (asset_id, fhash) rows never repeat ACROSS
+    batches and the union-then-re-distinct over the accumulated
+    index (O(B·|index|) compute, the r08 verdict's scale finding) is
+    unnecessary — the per-batch distinct alone reproduces the same
+    index."""
     from incubator_hugegraph_spark.data.multimodal import frame_dhashes
     from incubator_hugegraph_spark.graph import checkpointed
     fh = (frame_dhashes(assets_batch)
           .select("asset_id", "fhash").distinct())
+    if return_delta:
+        return fh
     if state is not None:
         fh = state.unionByName(fh).distinct()
     return checkpointed(fh)
@@ -448,22 +511,26 @@ def incremental_video_neardup_stream(spark: SparkSession,
               .parquet(assets_path))
     return _snapshot_fold_stream(
         spark, stream, checkpoint_dir,
-        incremental_video_frames_batch,
+        lambda st, batch: incremental_video_frames_batch(
+            st, batch, return_delta=True),
         snap_name="__vnd_snapshots",
         pairs_schema=None,
-        state_schema="asset_id long, fhash long")
+        state_schema="asset_id long, fhash long",
+        delta_state=True)
 
 
 def incremental_audio_neardup_batch(state: DataFrame | None,
                                     assets_batch: DataFrame,
-                                    max_hamming: int = 3
+                                    max_hamming: int = 3,
+                                    return_delta: bool = False
                                     ) -> tuple[DataFrame, DataFrame]:
     """Audio twin of incremental_image_neardup_batch — PCM decode +
     energy-contour fingerprint, then the shared fingerprint fold."""
     from incubator_hugegraph_spark.data.multimodal import (
         audio_fingerprints)
     return _incremental_fp_neardup_batch(
-        state, audio_fingerprints(assets_batch), "afp", max_hamming)
+        state, audio_fingerprints(assets_batch), "afp", max_hamming,
+        return_delta=return_delta)
 
 
 def incremental_audio_neardup_stream(spark: SparkSession,
@@ -480,6 +547,7 @@ def incremental_audio_neardup_stream(spark: SparkSession,
     return _snapshot_fold_stream(
         spark, stream, checkpoint_dir,
         lambda st, batch: incremental_audio_neardup_batch(
-            st, batch, max_hamming),
+            st, batch, max_hamming, return_delta=True),
         snap_name="__and_snapshots",
-        pairs_schema="d1 long, d2 long, hamming int")
+        pairs_schema="d1 long, d2 long, hamming int",
+        delta_state=True)
