@@ -5631,6 +5631,41 @@ def emb_ivf_index_ann_q(spark, sf_dir):
                           n_probe=4)
 
 
+@_q("emb_ivf_pq_ann", _ivf_ann_oracle())
+def emb_ivf_pq_ann_q(spark, sf_dir):
+    """PRODUCT-QUANTIZATION tier on the persisted IVF index (r09
+    stretch — the memory-bounded candidate-scoring pass a 100 TB
+    embedding store wants between partition pruning and exact
+    re-rank, Jégou et al. TPAMI 2011): build writes per-vector codes
+    (m_sub=8 ints + the exact norm, vs 64 doubles) partitioned by
+    cell; the query probes cells driver-side, scores candidates
+    ASYMMETRICALLY from the codes scan alone (per-query lookup table
+    folded JVM-side via zip_with/aggregate — no Python in the row
+    path), shortlists the top-96 by approximate cosine, then
+    re-ranks EXACTLY against the full vectors. Gated by the SAME
+    oracle as emb_ivf_ann/emb_ivf_index_ann: the PQ probe + exact
+    re-rank must reproduce the unquantized top-10 row-for-row (the
+    shortlist provably covers the true top-10 on this corpus; ADC
+    ordering quality is pinned separately in pytest at rerank=32).
+    Spark shape: codes scan carries `cell IN (...)` as a
+    PartitionFilter (plan-asserted in pytest), candidate IO is
+    m_sub ints + one double per row."""
+    import tempfile
+
+    from incubator_hugegraph_spark.data.ann_index import (
+        ivf_pq_index_topk,
+        write_ivf_pq_index,
+    )
+    emb = _emb(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="ivf_pq_index_")
+    write_ivf_pq_index(emb, f"{d}/pq", n_cells=16, m_sub=8,
+                       n_codes=16)
+    qvecs = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in emb.filter(F.col("vec_id") <= 4).collect()]
+    return ivf_pq_index_topk(spark, f"{d}/pq", qvecs, 10,
+                             n_probe=4, rerank=96)
+
+
 @_q("emb_lsh_index_ann", _lsh_ann_oracle())
 def emb_lsh_index_ann_q(spark, sf_dir):
     """The persisted-LSH sibling of emb_ivf_index_ann (r08), driving

@@ -20,6 +20,14 @@ never silently hash with different planes than the index was built
 with (review r07: the in-memory kernel gained exactly this guard in
 r06 for the dim-mismatch silent-collapse failure).
 
+r09 adds the PRODUCT-QUANTIZATION tier on top of IVF
+(write_ivf_pq_index / ivf_pq_index_topk): candidates in the probed
+cells are scored from m_sub-byte codes + a per-query driver-side
+lookup table (asymmetric distance, Jégou et al. TPAMI 2011) before
+the exact re-rank touches any full vector — the memory-bounded
+candidate-scoring shape a 100 TB embedding store needs between
+partition pruning and exact re-rank.
+
 Reference behavior parity: none — the reference (hugegraph) has no
 vector tier; this serves the training-data-pipeline brief.
 """
@@ -28,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from incubator_hugegraph_spark.data.similarity import (
     _N_PLANES,
@@ -353,6 +362,208 @@ def append_ivf_index(emb_batch: DataFrame, path: str,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("cell", "batch")
          .parquet(f"{path}/vectors"))
+
+
+def write_ivf_pq_index(emb: DataFrame, path: str, n_cells: int = 16,
+                       m_sub: int = 8, n_codes: int = 16,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       n_iters: int = 0) -> None:
+    """Build and persist an IVF index with PRODUCT-QUANTIZATION codes
+    (r09, the memory-bounded candidate-scoring tier a 100 TB
+    embedding store wants between the partition-pruned probe and the
+    exact re-rank): alongside the full vectors (same layout as
+    write_ivf_index — ``path``/vectors partitioned by cell), each
+    vector's dim is split into ``m_sub`` contiguous subspaces and
+    each subvector is quantized to its nearest entry of a per-
+    subspace ``n_codes``-entry codebook (trained with the SAME
+    deterministic kmeans_centroids kernel, per subspace, on the
+    subvectors). The codes table (``path``/codes: id, codes
+    array<int>, vnorm — m_sub smallints + one double per vector, vs
+    dim doubles) is ALSO partitioned by cell, so a probe scores its
+    candidates from a table ~dim/m_sub× smaller than the vectors —
+    the asymmetric-distance (ADC) pass of Jégou et al., "Product
+    Quantization for Nearest Neighbor Search" (TPAMI 2011). The
+    exact per-vector norm rides the code row, so the approximate
+    cosine is adot/(|q|·|v|) with only the dot approximated.
+    Codebooks (m_sub × n_codes rows) and meta land beside the data,
+    driver-sized forever."""
+    if m_sub < 1 or n_codes < 1:
+        raise ValueError("write_ivf_pq_index: m_sub/n_codes >= 1")
+    base = emb.select(F.col(id_col).alias("id"),
+                      _to_double(vec_col).alias("v"))
+    row = emb.select(vec_col).first()
+    if row is None:
+        raise ValueError("write_ivf_pq_index: empty corpus")
+    dim = len(row[0])
+    if dim % m_sub:
+        raise ValueError(
+            f"write_ivf_pq_index: dim={dim} not divisible by "
+            f"m_sub={m_sub}")
+    d_sub = dim // m_sub
+    cents = kmeans_centroids(base, n_cells, dim, n_iters)
+    assigned = _assign_cells(base, cents).select("id", "v", "cell")
+    (assigned.withColumn("batch", F.lit(-1))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "static")
+     .partitionBy("cell", "batch")
+     .parquet(f"{path}/vectors"))
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    spark = emb.sparkSession
+    # per-subspace codebooks: the SAME deterministic kmeans kernel as
+    # the cell layer, applied to the F.slice'd subvectors (n_iters=0
+    # = first n_codes ids' subvectors, the oracle-reproducible
+    # config); books are driver-sized (m_sub x n_codes rows)
+    assigned = assigned.localCheckpoint()  # consumed m_sub + 2 times
+    import functools
+    books = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [kmeans_centroids(
+            assigned.select("id",
+                            F.slice("v", s * d_sub + 1, d_sub)
+                            .alias("v")),
+            n_codes, d_sub, n_iters)
+         .select(F.lit(s).alias("s"), F.col("cell").alias("code"),
+                 "cv")
+         for s in range(m_sub)]).localCheckpoint()
+    # code assignment in ONE exploded pass (not m_sub sequential
+    # id-joins): (id, s, subvector) rows x broadcast books, argmax
+    # cosine per (id, s) with the _assign_cells tie-break (best
+    # similarity, then lowest code), then fold back to one codes
+    # array per vector. One shuffle regardless of m_sub.
+    sub_all = assigned.select(
+        "id", "cell",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
+                           F.lit(0.0), lambda a, x: a + x))
+        .alias("vnorm"),
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.slice("v", s * d_sub + 1, d_sub).alias("sv"))
+            for s in range(m_sub)])).alias("x")) \
+        .select("id", "cell", "vnorm", "x.s",
+                F.col("x.sv").alias("sv"))
+    asg = (sub_all.join(F.broadcast(books), on="s")
+           .withColumn("d", cosine(F.col("sv"), F.col("cv"))))
+    w = Window.partitionBy("id", "s").orderBy(F.desc("d"),
+                                              F.asc("code"))
+    picked = (asg.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1)
+              .select("id", "cell", "vnorm", "s", "code"))
+    codes = (picked.groupBy("id", "cell")
+             .agg(F.first("vnorm").alias("vnorm"),
+                  F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct("s", "code"))),
+                      lambda x: x["code"].cast("int")).alias("codes"))
+             .select("id", "codes", "vnorm", "cell"))
+    (codes.withColumn("batch", F.lit(-1))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "static")
+     .partitionBy("cell", "batch")
+     .parquet(f"{path}/codes"))
+    books.write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(dim, m_sub, n_codes, n_cells)],
+        "dim int, m_sub int, n_codes int, n_cells int") \
+        .write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ivf_pq_index_topk(spark: SparkSession, path: str,
+                      query_vecs: list[tuple[int, list[float]]],
+                      k: int = 10, n_probe: int = 4,
+                      rerank: int = 64) -> DataFrame:
+    """Query a persisted IVF+PQ index: probe cells are chosen
+    driver-side from the centroid table (same partition-pruned
+    `cell IN (...)` scan as ivf_index_topk), then candidates are
+    scored ASYMMETRICALLY from the codes table alone — per query a
+    (m_sub × n_codes) lookup table lut[s][c] = dot(q_s, codebook
+    [s][c]) is computed on the driver (tiny, pure Python) and the
+    approximate cosine is a JVM-side array program:
+    aggregate(zip_with(codes, lut, (c, l) -> l[c])) / (|q|·vnorm) —
+    no Python in the row path, and the scan reads m_sub ints + one
+    double per candidate instead of dim doubles. The top ``rerank``
+    per query by approximate score then re-rank EXACTLY against the
+    full vectors (id-join restricted to the probed cells), rounded
+    and ordered exactly like ivf_index_topk — so with ``rerank``
+    covering the true top-k the result is row-identical to the
+    unquantized probe (the oracle gate), while the candidate-scoring
+    memory/IO is bounded by the code size, not the vector size.
+    Returns (query_id, neighbor_id, sim)."""
+    import math
+
+    meta = _read_meta(spark, path)
+    if meta is None or "m_sub" not in meta:
+        raise ValueError(
+            f"ivf_pq_index_topk: {path} has no PQ meta — build with "
+            "write_ivf_pq_index")
+    dim, m_sub = int(meta["dim"]), int(meta["m_sub"])
+    d_sub = dim // m_sub
+    cents = [(r["cell"], list(r["cv"])) for r in
+             spark.read.parquet(f"{path}/centroids").collect()]
+    books: dict[tuple[int, int], list[float]] = {
+        (int(r["s"]), int(r["code"])): list(r["cv"])
+        for r in spark.read.parquet(f"{path}/codebooks").collect()}
+    n_codes = 1 + max(c for _, c in books)
+    for qid, qv in query_vecs:
+        if len(qv) != dim:
+            raise ValueError(
+                f"ivf_pq_index_topk: query {qid} is {len(qv)}-dim "
+                f"but the index was built at dim={dim}")
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) \
+            * math.sqrt(sum(x * x for x in b))
+        return num / den if den > 0 else 0.0
+
+    rows = []
+    probe_cells: set = set()
+    for qid, qv in query_vecs:
+        qv = [float(x) for x in qv]
+        ranked = sorted(((cos(qv, cv), cell) for cell, cv in cents),
+                        key=lambda t: (-t[0], t[1]))[:n_probe]
+        cells = [cell for _, cell in ranked]
+        probe_cells.update(cells)
+        qnorm = math.sqrt(sum(x * x for x in qv))
+        lut = [[sum(x * y for x, y in
+                    zip(qv[s * d_sub:(s + 1) * d_sub], books[(s, c)]))
+                for c in range(n_codes)] for s in range(m_sub)]
+        for c in cells:
+            rows.append((qid, qv, lut, qnorm, c))
+    codes = spark.read.parquet(f"{path}/codes")
+    vectors = spark.read.parquet(f"{path}/vectors")
+    if not rows:
+        return (vectors.select(F.col("id").alias("query_id"),
+                               F.col("id").alias("neighbor_id"),
+                               F.lit(0.0).alias("sim")).limit(0))
+    qdf = spark.createDataFrame(
+        rows, "query_id long, qv array<double>, "
+              "lut array<array<double>>, qnorm double, cell long")
+    pruned_codes = codes.filter(F.col("cell").isin(*probe_cells))
+    # ADC: one element_at per subspace, folded JVM-side
+    adot = F.aggregate(
+        F.zip_with("codes", "lut",
+                   lambda c, l: F.element_at(l, c + F.lit(1))),
+        F.lit(0.0), lambda a, x: a + x)
+    approx = (pruned_codes.join(F.broadcast(qdf), on="cell")
+              .filter(F.col("id") != F.col("query_id"))
+              .withColumn("sim", adot / (F.col("qnorm")
+                                         * F.col("vnorm"))))
+    probe = pruned_codes.limit(SALT_TOPK_MIN_CORPUS).count()
+    # the shortlist rides the SAME salted two-phase top-k as the
+    # final rank — one query's candidate set approaching the corpus
+    # must never become a single-partition sort here either
+    shortlist = (_topk_per_query(approx, rerank, max_candidates=probe)
+                 .select("query_id",
+                         F.col("neighbor_id").alias("id")))
+    qmap = qdf.select("query_id", "qv").dropDuplicates(["query_id"])
+    pruned_vecs = vectors.filter(F.col("cell").isin(*probe_cells)) \
+        .select("id", "v")
+    cand = (shortlist.join(F.broadcast(qmap), on="query_id")
+            .join(pruned_vecs, on="id"))
+    scored = cand.withColumn(
+        "sim", F.round(cosine(F.col("qv"), F.col("v")), 6))
+    return _topk_per_query(scored, k, max_candidates=probe)
 
 
 def append_lsh_index(emb_batch: DataFrame, path: str,

@@ -2650,6 +2650,63 @@ def test_ann_index_pruned_and_row_identical(spark, tmp_path):
                        query_vecs=[(0, [1.0, 2.0])])
 
 
+def test_ivf_pq_index_adc_shortlist_and_parity(spark, tmp_path):
+    """PQ tier on IVF (r09): the build persists per-vector codes
+    (m_sub small ints + the exact norm) partitioned by cell; the
+    query scores candidates ASYMMETRICALLY from the codes scan alone
+    (driver-side lookup table, JVM-side zip_with/aggregate fold),
+    shortlists, then exact-re-ranks against the full vectors.
+    Asserts: (a) with rerank covering the candidate pool the result
+    is ROW-IDENTICAL to the unquantized ivf_index_topk; (b) the ADC
+    ordering is informative — a tight shortlist (rerank=32 over a
+    ~120-vector pool) still recovers most of the true top-10; (c)
+    the codes scan carries PartitionFilters on cell; (d) codes rows
+    are genuinely compact (m_sub entries < n_codes); (e) misuse
+    doors raise (dim mismatch, non-dividing m_sub, non-PQ path)."""
+    import re
+
+    from tests.conftest import SF_DIR
+
+    from incubator_hugegraph_spark.data.ann_index import (
+        ivf_index_topk, ivf_pq_index_topk, write_ivf_index,
+        write_ivf_pq_index)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = str(tmp_path)
+    write_ivf_index(emb, f"{base}/ivf", n_cells=16)
+    write_ivf_pq_index(emb, f"{base}/pq", n_cells=16, m_sub=8,
+                       n_codes=16)
+    qvecs = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in emb.filter(F.col("vec_id") <= 4).collect()]
+    want = sorted(map(tuple, ivf_index_topk(
+        spark, f"{base}/ivf", query_vecs=qvecs, k=10,
+        n_probe=4).collect()))
+    pq = ivf_pq_index_topk(spark, f"{base}/pq", qvecs, k=10,
+                           n_probe=4, rerank=10_000)
+    plan = pq._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[cell#\d+ (INSET|IN)", plan)
+    assert sorted(map(tuple, pq.collect())) == want
+    # tight shortlist: the ADC ordering must be informative, not a
+    # coin flip — deterministic corpus, so the recall is a constant
+    tight = ivf_pq_index_topk(spark, f"{base}/pq", qvecs, k=10,
+                              n_probe=4, rerank=32)
+    hits = len(set(map(tuple, tight.collect())) & set(want))
+    assert hits >= int(0.6 * len(want))
+    # codes are compact: exactly m_sub entries, every code < n_codes
+    codes = spark.read.parquet(f"{base}/pq/codes")
+    bad = codes.filter(
+        (F.size("codes") != 8)
+        | (F.array_max("codes") >= 16)
+        | (F.array_min("codes") < 0)
+        | F.col("vnorm").isNull()).count()
+    assert bad == 0
+    with pytest.raises(ValueError, match="dim"):
+        ivf_pq_index_topk(spark, f"{base}/pq", [(0, [1.0])], k=10)
+    with pytest.raises(ValueError, match="m_sub"):
+        write_ivf_pq_index(emb, f"{base}/bad", m_sub=7)
+    with pytest.raises(ValueError, match="PQ meta"):
+        ivf_pq_index_topk(spark, f"{base}/ivf", qvecs, k=10)
+
+
 def test_ivf_index_incremental_append(spark, tmp_path):
     """Index maintenance under ingest: building on a prefix and
     appending the rest in batches (frozen centroids) must be
