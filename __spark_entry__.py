@@ -7444,46 +7444,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # row-for-row engine-equivalence pytest against its driver-checked dist
 # sibling).
 _WINDOW_ORDER = [
-    # ROUND-8 WINDOW (50 slots, driver records the first 50).
+    # ROUND-9 WINDOW (50 slots, driver records the first 50).
     # Standing split per the r06/r07 policy: (a) new queries, (b)
-    # surfaces THIS round's diff touched, (c) aging
-    # mutation/streaming surfaces, (d) oldest-evidence greens — so
-    # driver evidence for every surface keeps refreshing instead of
-    # aging indefinitely.
-    # (a) new in r08: MJPEG-in-AVI compressed video, 4:2:0
-    # subsampled JPEG, and the persisted-LSH rebuild-after-append
-    # gate (the round's fixed hazard, driven end-to-end)
-    "multimodal_mjpeg_frames", "multimodal_jpeg420_decode",
-    "emb_lsh_index_ann", "multimodal_gif_interlaced_decode",
-    "multimodal_jpeg_prog_decode", "multimodal_gif_anim_frames",
-    "multimodal_bmp_decode", "multimodal_png_adam7_decode",
-    "multimodal_stream_video_neardup",
-    # (b) surfaces the r08 diff touched: jaccard gate probes
-    # (limit-bounded), LSH index build path, JPEG codec (subsampling
-    # generalization), AVI walker (codec dispatch + word alignment),
-    # decode_media consumers, cross-neardup docstring, '\s' raw
-    # string
-    "jaccard_pair", "jaccard_top", "jaccard_top_batch",
-    "emb_ivf_index_ann", "emb_cross_neardup", "emb_lsh_ann",
-    "emb_ivf_ann", "multimodal_jpeg_decode", "multimodal_gif_decode",
+    # surfaces THIS round's diff touched, (c)/(d) oldest-evidence
+    # greens — this round DRAINS the r02 tier whole (33 rows, the
+    # r08 verdict's item 2) so no query's driver evidence is older
+    # than r03 afterwards.
+    # (a) new in r09: GIF disposal-3 compositing (bg-probe oracle)
+    # and the IVF+PQ asymmetric-distance serving tier
+    "multimodal_gif_disposal3_frames", "emb_ivf_pq_ann",
+    # (b) surfaces the r09 diff touched: the delta-ized streaming
+    # folds (state now persists as per-batch b{N}/state_delta
+    # parquet) and the codec paths the hardening + disposal work
+    # touched (GIF compositing/budget walk, JPEG progressive
+    # alloc/DC-category guard rides baseline + MJPEG too)
+    "multimodal_stream_image_neardup", "multimodal_stream_audio_neardup",
+    "multimodal_stream_video_neardup", "doc_stream_neardup",
+    "events_incremental_wcc",
+    "multimodal_gif_anim_frames", "multimodal_gif_decode",
+    "multimodal_gif_interlaced_decode", "multimodal_jpeg_prog_decode",
+    "multimodal_jpeg_decode", "multimodal_mjpeg_frames",
     "multimodal_cross_codec_neardup", "multimodal_video_neardup",
-    "multimodal_frames", "multimodal_decode", "multimodal_resize",
-    "multimodal_features", "text_bigram_contains",
-    # (c) aging streaming (r02-r04 evidence) + mutation surfaces
-    # (r03/r04): the streaming tier's oldest driver rows plus the
-    # TTL/shard/paging scans the r07 verdict named
-    "ttl_live_filter", "shard_scan_union", "paged_scan",
-    "events_incremental_wcc", "events_stream_dedup",
-    "events_stream_window", "events_window_agg", "doc_stream_neardup",
-    "events_distinct_users_kmv", "events_sessionize",
-    # (d) oldest-evidence greens: every remaining r01 row, then the
-    # r02 gremlin family and the oldest r02 traversers
-    "customized_crosspoints", "kneighbor_paths", "neighbor_rank",
-    "personal_rank", "rings", "sssp_weighted", "subgraph_stat",
-    "template_paths", "triangle_count", "wcc",
-    "weighted_shortest_path",
-    "gremlin_dsl_filter_hop", "gremlin_dsl_group_count",
-    "gremlin_dsl_path", "gremlin_text_chain",
+    # (c)/(d) the ENTIRE r02-evidence tier (33 rows, judge histogram
+    # r08), then the two oldest r03 centralities the verdict named
+    "all_shortest_paths_ram", "count_steps", "count_steps_dedup",
+    "cypher_match_agg", "cypher_multi_hop", "cypher_undirected",
+    "edge_props_scan", "gremlin_dsl_select",
+    "gremlin_dsl_values_mean", "gremlin_text_group_count",
+    "kneighbor_2", "kneighbor_edges", "kneighbor_steps",
+    "kneighbor_steps_ram", "kout_2_ram", "kout_in_2", "kout_steps",
+    "kout_steps_ram", "paths_depth3", "paths_depth3_ram",
+    "props_map_group", "rays", "resource_allocation",
+    "rest_kneighbor", "same_neighbors", "same_neighbors_multi",
+    "shortest_path", "shortest_path_ram", "sort_limit_topk",
+    "sql_match_pattern", "text_contains", "text_contains_any",
+    "vertex_filter_range",
+    "betweenness_centrality", "stress_centrality",
 ]
 
 
