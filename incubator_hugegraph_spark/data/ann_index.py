@@ -52,6 +52,45 @@ from incubator_hugegraph_spark.data.similarity import (
 )
 
 
+def _write_ivf_base(emb: DataFrame, path: str, n_cells: int,
+                    id_col: str, vec_col: str, n_iters: int,
+                    caller: str, checkpoint: bool = False):
+    """THE shared vectors/centroids persist block of write_ivf_index
+    and write_ivf_pq_index (r09 review: the batch=-1 layout and the
+    PINNED static overwrite — the subtle r08 stale-partition fix —
+    must exist exactly once). Returns (assigned, cents, dim);
+    ``checkpoint`` materializes the corpus-wide cell assignment
+    BEFORE the vectors write so a caller that consumes it again
+    (the PQ code pass) computes it once.
+
+    batch=-1 marks the initial build; appends add batch=<id>
+    partitions at the SAME depth (parquet partition discovery
+    requires uniform directory structure). cell stays the FIRST
+    level, so probe pruning is unaffected. Overwrite mode is PINNED
+    static (review r08): "mode(overwrite)" alone inherits the
+    session's partitionOverwriteMode, and under a dynamic session
+    conf (common in insertInto ingest pipelines) a rebuild at a
+    previously-appended path would keep stale batch=N partitions —
+    the exact hazard the LSH build fix closed."""
+    base = emb.select(F.col(id_col).alias("id"),
+                      _to_double(vec_col).alias("v"))
+    row = emb.select(vec_col).first()
+    if row is None:
+        raise ValueError(f"{caller}: empty corpus")
+    dim = len(row[0])
+    cents = kmeans_centroids(base, n_cells, dim, n_iters)
+    assigned = _assign_cells(base, cents).select("id", "v", "cell")
+    if checkpoint:
+        assigned = assigned.localCheckpoint()
+    (assigned.withColumn("batch", F.lit(-1))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "static")
+     .partitionBy("cell", "batch")
+     .parquet(f"{path}/vectors"))
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    return assigned, cents, dim
+
+
 def write_ivf_index(emb: DataFrame, path: str, n_cells: int = 16,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
@@ -64,31 +103,9 @@ def write_ivf_index(emb: DataFrame, path: str, n_cells: int = 16,
     Same deterministic centroids and the SAME _assign_cells kernel
     as ivf_topk, so indexed queries reproduce the in-memory kernel
     row-for-row."""
-    base = emb.select(F.col(id_col).alias("id"),
-                      _to_double(vec_col).alias("v"))
-    row = emb.select(vec_col).first()
-    if row is None:
-        raise ValueError("write_ivf_index: empty corpus")
-    dim = len(row[0])
-    cents = kmeans_centroids(base, n_cells, dim, n_iters)
-    assigned = _assign_cells(base, cents).select("id", "v", "cell")
-    # batch=-1 marks the initial build; appends add batch=<id>
-    # partitions at the SAME depth (parquet partition discovery
-    # requires uniform directory structure). cell stays the FIRST
-    # level, so probe pruning is unaffected. Overwrite mode is PINNED
-    # static (review r08): "mode(overwrite)" alone inherits the
-    # session's partitionOverwriteMode, and under a dynamic session
-    # conf (common in insertInto ingest pipelines) a rebuild at a
-    # previously-appended path would keep stale batch=N partitions —
-    # the exact hazard the LSH build fix closed.
-    (assigned.withColumn("batch", F.lit(-1))
-     .write.mode("overwrite")
-     .option("partitionOverwriteMode", "static")
-     .partitionBy("cell", "batch")
-     .parquet(f"{path}/vectors"))
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    spark = emb.sparkSession
-    spark.createDataFrame([(dim,)], "dim int") \
+    _, _, dim = _write_ivf_base(emb, path, n_cells, id_col, vec_col,
+                                n_iters, "write_ivf_index")
+    emb.sparkSession.createDataFrame([(dim,)], "dim int") \
         .write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -102,6 +119,34 @@ def _read_meta(spark: SparkSession, path: str) -> dict | None:
         return dict(row.asDict()) if row is not None else None
     except Exception:
         return None
+
+
+def _cos_py(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine, shared by every probe path (r09 review:
+    the tie-break-sensitive probe idiom must not fork)."""
+    import math
+    num = sum(x * y for x, y in zip(a, b))
+    den = math.sqrt(sum(x * x for x in a)) \
+        * math.sqrt(sum(x * x for x in b))
+    return num / den if den > 0 else 0.0
+
+
+def _probe_cells_driver(cents: list, query_vecs: list,
+                        n_probe: int):
+    """Rank every query's n_probe nearest cells DRIVER-SIDE — the
+    shared probe of ivf_index_topk and ivf_pq_index_topk (same
+    tie-break as ivf_topk's F.asc("cell"): raw cell value, never a
+    string key). Returns (probe_cells set, [(qid, qv, cells)])."""
+    probe_cells: set = set()
+    q_probe = []
+    for qid, qv in query_vecs:
+        qv = [float(x) for x in qv]
+        ranked = sorted(((_cos_py(qv, cv), cell) for cell, cv in cents),
+                        key=lambda t: (-t[0], t[1]))[:n_probe]
+        cells = [cell for _, cell in ranked]
+        probe_cells.update(cells)
+        q_probe.append((qid, qv, cells))
+    return probe_cells, q_probe
 
 
 def ivf_index_topk(spark: SparkSession, path: str,
@@ -121,8 +166,6 @@ def ivf_index_topk(spark: SparkSession, path: str,
     pass over the vectors, fine for parity checks, wrong as the
     steady-state serving path) or ``query_vecs`` [(id, vector), ...]
     (zero corpus IO — the 100 TB query path)."""
-    import math
-
     if (query_ids is None) == (query_vecs is None):
         raise ValueError(
             "ivf_index_topk: pass exactly one of query_ids/query_vecs")
@@ -141,24 +184,8 @@ def ivf_index_topk(spark: SparkSession, path: str,
             raise ValueError(
                 f"ivf_index_topk: query {qid} is {len(qv)}-dim but "
                 f"the index was built at dim={dim}")
-
-    def cos(a: list[float], b: list[float]) -> float:
-        num = sum(x * y for x, y in zip(a, b))
-        den = math.sqrt(sum(x * x for x in a)) \
-            * math.sqrt(sum(x * x for x in b))
-        return num / den if den > 0 else 0.0
-
-    probe_cells: set = set()
-    q_probe = []
-    for qid, qv in query_vecs:
-        qv = [float(x) for x in qv]
-        # same tie-break as ivf_topk's F.asc("cell") — raw value,
-        # never a string key (str order would flip numeric ties)
-        ranked = sorted(((cos(qv, cv), cell) for cell, cv in cents),
-                        key=lambda t: (-t[0], t[1]))[:n_probe]
-        cells = [cell for _, cell in ranked]
-        probe_cells.update(cells)
-        q_probe.append((qid, qv, cells))
+    probe_cells, q_probe = _probe_cells_driver(cents, query_vecs,
+                                               n_probe)
     if not q_probe:
         return (vectors.select(F.col("id").alias("query_id"),
                                F.col("id").alias("neighbor_id"),
@@ -390,8 +417,6 @@ def write_ivf_pq_index(emb: DataFrame, path: str, n_cells: int = 16,
     driver-sized forever."""
     if m_sub < 1 or n_codes < 1:
         raise ValueError("write_ivf_pq_index: m_sub/n_codes >= 1")
-    base = emb.select(F.col(id_col).alias("id"),
-                      _to_double(vec_col).alias("v"))
     row = emb.select(vec_col).first()
     if row is None:
         raise ValueError("write_ivf_pq_index: empty corpus")
@@ -401,20 +426,21 @@ def write_ivf_pq_index(emb: DataFrame, path: str, n_cells: int = 16,
             f"write_ivf_pq_index: dim={dim} not divisible by "
             f"m_sub={m_sub}")
     d_sub = dim // m_sub
-    cents = kmeans_centroids(base, n_cells, dim, n_iters)
-    assigned = _assign_cells(base, cents).select("id", "v", "cell")
-    (assigned.withColumn("batch", F.lit(-1))
-     .write.mode("overwrite")
-     .option("partitionOverwriteMode", "static")
-     .partitionBy("cell", "batch")
-     .parquet(f"{path}/vectors"))
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    # checkpoint=True: the corpus-wide cell assignment is consumed
+    # by the vectors write AND the code pass below — materialize it
+    # once, BEFORE the write (r09 review)
+    assigned, _cents, _ = _write_ivf_base(
+        emb, path, n_cells, id_col, vec_col, n_iters,
+        "write_ivf_pq_index", checkpoint=True)
     spark = emb.sparkSession
     # per-subspace codebooks: the SAME deterministic kmeans kernel as
     # the cell layer, applied to the F.slice'd subvectors (n_iters=0
     # = first n_codes ids' subvectors, the oracle-reproducible
-    # config); books are driver-sized (m_sub x n_codes rows)
-    assigned = assigned.localCheckpoint()  # consumed m_sub + 2 times
+    # config); books are driver-sized (m_sub x n_codes rows). Codes
+    # are DENSIFIED to 0..n-1 per subspace (r09 review: the kernel
+    # labels centroids with seed-row IDS — dense only when vec_ids
+    # start at 0 with no gaps; snowflake-style ids would truncate in
+    # the int cast below and blow the query-side lookup range)
     import functools
     books = functools.reduce(
         lambda a, b: a.unionByName(b),
@@ -423,7 +449,9 @@ def write_ivf_pq_index(emb: DataFrame, path: str, n_cells: int = 16,
                             F.slice("v", s * d_sub + 1, d_sub)
                             .alias("v")),
             n_codes, d_sub, n_iters)
-         .select(F.lit(s).alias("s"), F.col("cell").alias("code"),
+         .select(F.lit(s).alias("s"),
+                 (F.row_number().over(Window.orderBy("cell")) - 1)
+                 .alias("code"),
                  "cv")
          for s in range(m_sub)]).localCheckpoint()
     # code assignment in ONE exploded pass (not m_sub sequential
@@ -503,27 +531,22 @@ def ivf_pq_index_topk(spark: SparkSession, path: str,
     books: dict[tuple[int, int], list[float]] = {
         (int(r["s"]), int(r["code"])): list(r["cv"])
         for r in spark.read.parquet(f"{path}/codebooks").collect()}
+    # codes are DENSIFIED 0..n-1 per subspace at build (r09 review:
+    # the kmeans kernel labels centroids with seed-row IDS, which are
+    # dense only by fixture luck — snowflake-style ids would blow the
+    # range() below and truncate in the persisted int codes), so
+    # 1+max is the actual book size even when the corpus had fewer
+    # vectors than the requested n_codes
     n_codes = 1 + max(c for _, c in books)
     for qid, qv in query_vecs:
         if len(qv) != dim:
             raise ValueError(
                 f"ivf_pq_index_topk: query {qid} is {len(qv)}-dim "
                 f"but the index was built at dim={dim}")
-
-    def cos(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        den = math.sqrt(sum(x * x for x in a)) \
-            * math.sqrt(sum(x * x for x in b))
-        return num / den if den > 0 else 0.0
-
+    probe_cells, q_probe = _probe_cells_driver(cents, query_vecs,
+                                               n_probe)
     rows = []
-    probe_cells: set = set()
-    for qid, qv in query_vecs:
-        qv = [float(x) for x in qv]
-        ranked = sorted(((cos(qv, cv), cell) for cell, cv in cents),
-                        key=lambda t: (-t[0], t[1]))[:n_probe]
-        cells = [cell for _, cell in ranked]
-        probe_cells.update(cells)
+    for qid, qv, cells in q_probe:
         qnorm = math.sqrt(sum(x * x for x in qv))
         lut = [[sum(x * y for x, y in
                     zip(qv[s * d_sub:(s + 1) * d_sub], books[(s, c)]))

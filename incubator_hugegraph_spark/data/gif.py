@@ -277,11 +277,15 @@ def _gif_blocks(b: bytes, max_images: int | None = None):
                 i += 3 * n
             if pal is None or w < 1 or h < 1 or w * h > MAX_PIXELS:
                 raise ValueError("gif: no palette / bad dims")
-            # charge this block's index bytes AND its eventual canvas
-            # snapshot against the cumulative budget BEFORE decoding
-            # (r09 review: many tiny blocks on a huge logical screen
-            # must not out-allocate the per-frame dims check)
-            total_px += w * h + sw * sh
+            # charge this block's index bytes AND — on the ANIMATION
+            # walk only — its eventual sw*sh canvas snapshot against
+            # the cumulative budget BEFORE decoding (r09 review: many
+            # tiny blocks on a huge logical screen must not
+            # out-allocate the per-frame dims check). The still path
+            # (max_images=1) never materializes the screen canvas,
+            # so a large DECLARED screen must not reject a small
+            # first image there (second r09 review wave).
+            total_px += w * h + (sw * sh if max_images is None else 0)
             if total_px > MAX_TOTAL_PIXELS:
                 raise ValueError("gif: cumulative output cap")
             min_code = b[i]

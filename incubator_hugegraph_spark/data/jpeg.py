@@ -511,6 +511,13 @@ def decode_jpeg_rgb(b: bytes):
                     (huff_dc if tclass == 0 else huff_ac)[tid] = dec
                     j += 17 + n
             elif marker == 0xC0:  # SOF0 baseline
+                if comps:
+                    # a second SOF in one stream is malformed (T.81
+                    # B.2.2 allows exactly one frame header) — and
+                    # repeated SOF2 headers would each grow `comps`,
+                    # multiplying the lazily-sized progressive store
+                    # unboundedly (r09 review wave 2)
+                    return None
                 _prec, height, width, nc = struct.unpack(
                     ">BHHB", data[:6])
                 if _prec != 8 or nc not in (1, 3) \
@@ -529,6 +536,8 @@ def decode_jpeg_rgb(b: bytes):
                     # envelope
                     return None
             elif marker == 0xC2:  # SOF2 progressive
+                if comps:
+                    return None  # one frame header per stream (above)
                 _prec, height, width, nc = struct.unpack(
                     ">BHHB", data[:6])
                 if _prec != 8 or nc not in (1, 3) \
@@ -672,10 +681,13 @@ def decode_jpeg_rgb(b: bytes):
             rgb = _ycbcr_to_rgb(out.astype(np.int16))
         return width, height, bytearray(rgb.tobytes())
     except (ValueError, struct.error, IndexError, KeyError,
-            StopIteration, OverflowError):
+            StopIteration, OverflowError, MemoryError):
         # OverflowError (r09 review): numpy >= 2.0 raises on an
         # out-of-int32 assignment (hostile DC accumulation) where
-        # 1.x only wrapped — both must resolve to None, not raise
+        # 1.x only wrapped — both must resolve to None, not raise.
+        # MemoryError is belt-and-braces behind the single-SOF +
+        # MAX_PROG_PIXELS caps: a hostile stream must map to None,
+        # never kill the Spark task.
         return None
 
 

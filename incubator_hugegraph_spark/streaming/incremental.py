@@ -377,6 +377,24 @@ def _snapshot_fold_stream(spark: SparkSession, stream, checkpoint_dir: str,
 
     if delta_state:
         state0, state_dirs = _read_deltas("state_delta")
+        # MIGRATION (r09 review): a checkpoint written by the
+        # pre-delta full-snapshot protocol has b*/state dirs instead
+        # — the engine's offset log will still skip its committed
+        # batches, so silently starting from state0=None would drop
+        # the whole accumulated index (pairs spanning the upgrade
+        # boundary would vanish). For an APPEND-ONLY state the
+        # newest full snapshot IS the union of all rows so far, so
+        # it slots in as the base "delta"; any state_delta dirs from
+        # later (post-upgrade) batches stack on top.
+        legacy = [b for b in done
+                  if os.path.isdir(f"{snap}/b{b}/state")]
+        if legacy:
+            base_b = max(legacy)
+            state_dirs = [f"{snap}/b{base_b}/state"] + [
+                f"{snap}/b{b}/state_delta" for b in sorted(done)
+                if b > base_b
+                and os.path.isdir(f"{snap}/b{b}/state_delta")]
+            state0 = spark.read.parquet(*state_dirs)
     else:
         state0 = spark.read.parquet(f"{snap}/b{done0}/state") \
             if done0 >= 0 else None

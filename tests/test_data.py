@@ -621,6 +621,72 @@ def test_delta_state_pairs_fold_restart(spark, tmp_path):
             for r in get_pairs().collect()} == want
 
 
+def test_delta_state_legacy_snapshot_migration(spark, tmp_path):
+    """r09 review: a checkpoint written by the PRE-delta protocol
+    (full b*/state snapshots) resumed under delta_state must NOT
+    silently start from an empty index — the engine's offset log
+    still skips the committed batches, so dropped state would lose
+    every pair spanning the upgrade boundary. The newest full
+    snapshot is the union of all rows so far (append-only state), so
+    it slots in as the base delta. Simulated by converting a
+    delta-format checkpoint to the legacy layout in place."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from incubator_hugegraph_spark.data.dedup import hamming_near_pairs
+    from incubator_hugegraph_spark.data.multimodal import (
+        encode_png_rgb, image_dhash, synth_media_bytes)
+    from incubator_hugegraph_spark.streaming.incremental import (
+        incremental_image_neardup_stream)
+
+    def edited_png(stream_seed, member):
+        raw = synth_media_bytes(stream_seed, 12 * 10 * 3).astype(
+            np.int64)
+        idx = np.arange(raw.size, dtype=np.int64)
+        m = (idx * 31 + member) % 97 == 0
+        raw[m] = (raw[m] + 128) % 256
+        return encode_png_rgb(raw.astype(np.uint8).tobytes(), 12, 10)
+
+    def assets_df(ids):
+        rows = [(i, "image", edited_png(i % 10 if i != 99 else 99, i))
+                for i in ids]
+        return spark.createDataFrame(
+            rows, "asset_id long, modality string, payload binary")
+
+    adir, ckpt = str(tmp_path / "assets"), str(tmp_path / "ckpt")
+    assets_df([1, 11, 99]).repartition(2).write.parquet(adir)
+    q1, _ = incremental_image_neardup_stream(
+        spark, adir, ckpt, max_files_per_trigger=1)
+    q1.awaitTermination()
+    # convert the snapshot dirs to the LEGACY layout: accumulated
+    # state as one b{last}/state snapshot, no state_delta dirs
+    snap = f"{ckpt}/__ind_snapshots"
+    bdirs = sorted((int(d[1:]) for d in os.listdir(snap)
+                    if d.startswith("b")))
+    deltas = [f"{snap}/b{b}/state_delta" for b in bdirs
+              if os.path.isdir(f"{snap}/b{b}/state_delta")]
+    full = spark.read.parquet(*deltas).localCheckpoint()
+    for d in deltas:
+        shutil.rmtree(d)
+    full.write.parquet(f"{snap}/b{bdirs[-1]}/state")
+    # upgrade-boundary member 21 arrives; the resumed stream must
+    # see the legacy state
+    assets_df([21, 2]).repartition(1).write.parquet(
+        adir, mode="append")
+    q2, get_pairs = incremental_image_neardup_stream(
+        spark, adir, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination()
+    want = {(r.d1, r.d2, r.hamming)
+            for r in hamming_near_pairs(
+                image_dhash(assets_df([1, 11, 99, 21, 2])), 3,
+                hash_col="dhash", id_col="asset_id").collect()}
+    assert any(d2 == 21 for _, d2, _ in want)
+    assert {(r.d1, r.d2, r.hamming)
+            for r in get_pairs().collect()} == want
+
+
 def test_incremental_image_neardup_equals_batch(spark, tmp_path):
     """Folding image micro-batches through the streaming dHash state
     accumulates EXACTLY the batch run's pairs — every pair surfaces
@@ -1046,6 +1112,17 @@ def test_gif_cumulative_output_cap():
     # and a single large-screen frame still decodes (per-frame path)
     big = encode_gif_gray(bytes(512 * 512), 512, 512)
     assert decode_gif_frames(big) is not None
+    # STILL path (r09 review wave 2): decode_gif_rgb never allocates
+    # the screen canvas, so a large DECLARED logical screen must not
+    # reject a small first image there (the budget charges sw*sh on
+    # the animation walk only)
+    from incubator_hugegraph_spark.data.multimodal import \
+        decode_image_rgb
+    small = encode_gif_gray(bytes(range(100)) * 100, 100, 100)
+    wide = bytearray(small)
+    wide[6:10] = _s.pack("<HH", 8192, 8192)  # lie the screen only
+    got_still = decode_image_rgb(bytes(wide))
+    assert got_still is not None and got_still[0] == 100
 
 
 def test_jpeg_progressive_eobrun_spanning_blocks():
@@ -1158,6 +1235,17 @@ def test_jpeg_progressive_hardening_r09():
             + _dht_segment(0, 0, dc_bits, dc_vals)
             + sos + bytes(w.out) + b"\xff\xd9")
     assert decode_jpeg_rgb(evil) is None
+    # (c) REPEATED SOF headers (r09 review wave 2): comps grows per
+    # SOF segment and sizes the lazy progressive store, so K headers
+    # near the cap would request K x ~50 MB at the first scan; one
+    # frame header per stream (T.81 B.2.2), extras map to None
+    big_sof = (b"\xff\xc2" + _s.pack(">HBHHB", 8 + 3 * 3, 8,
+                                     2048, 2048, 3)
+               + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0])
+               + bytes([3, 0x11, 0]))
+    multi = (b"\xff\xd8" + _dqt_segment(0, [1] * 64)
+             + big_sof * 40 + sos + b"\x00" + b"\xff\xd9")
+    assert decode_jpeg_rgb(multi) is None
 
 
 def test_decode_media_dataframe_and_resize(docs):
@@ -2705,6 +2793,22 @@ def test_ivf_pq_index_adc_shortlist_and_parity(spark, tmp_path):
         write_ivf_pq_index(emb, f"{base}/bad", m_sub=7)
     with pytest.raises(ValueError, match="PQ meta"):
         ivf_pq_index_topk(spark, f"{base}/ivf", qvecs, k=10)
+    # NON-DENSE ids (r09 review: codebook codes must be densified at
+    # build — the kmeans kernel labels centroids with seed-row IDS,
+    # dense only by fixture luck): shift every vec_id by 10_007 and
+    # the PQ path must still agree with the unquantized probe
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 10_007)
+    write_ivf_index(shifted, f"{base}/sivf", n_cells=16)
+    write_ivf_pq_index(shifted, f"{base}/spq", n_cells=16, m_sub=8,
+                       n_codes=16)
+    sqvecs = [(qid + 10_007, qv) for qid, qv in qvecs]
+    swant = sorted(map(tuple, ivf_index_topk(
+        spark, f"{base}/sivf", query_vecs=sqvecs, k=10,
+        n_probe=4).collect()))
+    sgot = sorted(map(tuple, ivf_pq_index_topk(
+        spark, f"{base}/spq", sqvecs, k=10, n_probe=4,
+        rerank=10_000).collect()))
+    assert sgot == swant
 
 
 def test_ivf_index_incremental_append(spark, tmp_path):
