@@ -395,7 +395,8 @@ def write_ivf_pq_index(emb: DataFrame, path: str, n_cells: int = 16,
                        m_sub: int = 8, n_codes: int = 16,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       n_iters: int = 0) -> None:
+                       n_iters: int = 0,
+                       residual: bool = False) -> None:
     """Build and persist an IVF index with PRODUCT-QUANTIZATION codes
     (r09, the memory-bounded candidate-scoring tier a 100 TB
     embedding store wants between the partition-pruned probe and the
@@ -414,7 +415,17 @@ def write_ivf_pq_index(emb: DataFrame, path: str, n_cells: int = 16,
     exact per-vector norm rides the code row, so the approximate
     cosine is adot/(|q|·|v|) with only the dot approximated.
     Codebooks (m_sub × n_codes rows) and meta land beside the data,
-    driver-sized forever."""
+    driver-sized forever.
+
+    ``residual`` (r09, the IVF-ADC scheme of the same paper §IV):
+    codes quantize the RESIDUAL v − centroid[cell] instead of v.
+    dot(q, v) = dot(q, c_cell) + dot(q, r); the first term is exact
+    (computed driver-side per probed cell from the tiny centroid
+    table) and only the residual dot is table-approximated, so the
+    approximation error drops by roughly the energy the centroid
+    explains. Residual codebooks are shared across cells (standard
+    IVF-PQ). Recorded in meta; the query path follows it
+    automatically."""
     if m_sub < 1 or n_codes < 1:
         raise ValueError("write_ivf_pq_index: m_sub/n_codes >= 1")
     row = emb.select(vec_col).first()
@@ -441,13 +452,24 @@ def write_ivf_pq_index(emb: DataFrame, path: str, n_cells: int = 16,
     # labels centroids with seed-row IDS — dense only when vec_ids
     # start at 0 with no gaps; snowflake-style ids would truncate in
     # the int cast below and blow the query-side lookup range)
+    # quantization target: the vector itself, or (residual scheme)
+    # v − centroid[cell] — elementwise zip_with against the broadcast
+    # centroid table, exact dot(q, centroid) added back at query time
+    if residual:
+        quant = (assigned.join(F.broadcast(_cents), on="cell")
+                 .select("id", "cell", "v",
+                         F.zip_with("v", "cv", lambda a, b: a - b)
+                         .alias("q")))
+    else:
+        quant = assigned.select("id", "cell", "v",
+                                F.col("v").alias("q"))
     import functools
     books = functools.reduce(
         lambda a, b: a.unionByName(b),
         [kmeans_centroids(
-            assigned.select("id",
-                            F.slice("v", s * d_sub + 1, d_sub)
-                            .alias("v")),
+            quant.select("id",
+                         F.slice("q", s * d_sub + 1, d_sub)
+                         .alias("v")),
             n_codes, d_sub, n_iters)
          .select(F.lit(s).alias("s"),
                  (F.row_number().over(Window.orderBy("cell")) - 1)
@@ -459,14 +481,14 @@ def write_ivf_pq_index(emb: DataFrame, path: str, n_cells: int = 16,
     # cosine per (id, s) with the _assign_cells tie-break (best
     # similarity, then lowest code), then fold back to one codes
     # array per vector. One shuffle regardless of m_sub.
-    sub_all = assigned.select(
+    sub_all = quant.select(
         "id", "cell",
         F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
                            F.lit(0.0), lambda a, x: a + x))
         .alias("vnorm"),
         F.explode(F.array(*[
             F.struct(F.lit(s).alias("s"),
-                     F.slice("v", s * d_sub + 1, d_sub).alias("sv"))
+                     F.slice("q", s * d_sub + 1, d_sub).alias("sv"))
             for s in range(m_sub)])).alias("x")) \
         .select("id", "cell", "vnorm", "x.s",
                 F.col("x.sv").alias("sv"))
@@ -491,8 +513,9 @@ def write_ivf_pq_index(emb: DataFrame, path: str, n_cells: int = 16,
      .parquet(f"{path}/codes"))
     books.write.mode("overwrite").parquet(f"{path}/codebooks")
     spark.createDataFrame(
-        [(dim, m_sub, n_codes, n_cells)],
-        "dim int, m_sub int, n_codes int, n_cells int") \
+        [(dim, m_sub, n_codes, n_cells, residual)],
+        "dim int, m_sub int, n_codes int, n_cells int, "
+        "residual boolean") \
         .write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -543,6 +566,8 @@ def ivf_pq_index_topk(spark: SparkSession, path: str,
             raise ValueError(
                 f"ivf_pq_index_topk: query {qid} is {len(qv)}-dim "
                 f"but the index was built at dim={dim}")
+    residual = bool(meta.get("residual") or False)
+    cent_of = dict(cents)
     probe_cells, q_probe = _probe_cells_driver(cents, query_vecs,
                                                n_probe)
     rows = []
@@ -552,7 +577,12 @@ def ivf_pq_index_topk(spark: SparkSession, path: str,
                     zip(qv[s * d_sub:(s + 1) * d_sub], books[(s, c)]))
                 for c in range(n_codes)] for s in range(m_sub)]
         for c in cells:
-            rows.append((qid, qv, lut, qnorm, c))
+            # residual scheme: dot(q, v) = dot(q, centroid[cell])
+            # (EXACT, driver-side) + the table-approximated residual
+            # dot — per (query, probed cell), one scalar
+            qcdot = sum(x * y for x, y in zip(qv, cent_of[c])) \
+                if residual else 0.0
+            rows.append((qid, qv, lut, qnorm, qcdot, c))
     codes = spark.read.parquet(f"{path}/codes")
     vectors = spark.read.parquet(f"{path}/vectors")
     if not rows:
@@ -561,17 +591,20 @@ def ivf_pq_index_topk(spark: SparkSession, path: str,
                                F.lit(0.0).alias("sim")).limit(0))
     qdf = spark.createDataFrame(
         rows, "query_id long, qv array<double>, "
-              "lut array<array<double>>, qnorm double, cell long")
+              "lut array<array<double>>, qnorm double, "
+              "qcdot double, cell long")
     pruned_codes = codes.filter(F.col("cell").isin(*probe_cells))
-    # ADC: one element_at per subspace, folded JVM-side
+    # ADC: one element_at per subspace, folded JVM-side; qcdot is 0
+    # for the plain scheme and the exact query-centroid dot for the
+    # residual scheme
     adot = F.aggregate(
         F.zip_with("codes", "lut",
                    lambda c, l: F.element_at(l, c + F.lit(1))),
         F.lit(0.0), lambda a, x: a + x)
     approx = (pruned_codes.join(F.broadcast(qdf), on="cell")
               .filter(F.col("id") != F.col("query_id"))
-              .withColumn("sim", adot / (F.col("qnorm")
-                                         * F.col("vnorm"))))
+              .withColumn("sim", (F.col("qcdot") + adot)
+                          / (F.col("qnorm") * F.col("vnorm"))))
     probe = pruned_codes.limit(SALT_TOPK_MIN_CORPUS).count()
     # the shortlist rides the SAME salted two-phase top-k as the
     # final rank — one query's candidate set approaching the corpus

@@ -2793,6 +2793,21 @@ def test_ivf_pq_index_adc_shortlist_and_parity(spark, tmp_path):
         write_ivf_pq_index(emb, f"{base}/bad", m_sub=7)
     with pytest.raises(ValueError, match="PQ meta"):
         ivf_pq_index_topk(spark, f"{base}/ivf", qvecs, k=10)
+    # RESIDUAL scheme (IVF-ADC, Jégou et al. §IV): codes quantize
+    # v − centroid[cell], the exact dot(q, centroid) re-enters
+    # driver-side. Parity with the unquantized probe pins the whole
+    # qcdot + residual-LUT arithmetic; at a tight shortlist the
+    # residual ADC must beat the fixture's 0.6 floor too (measured:
+    # 43/50 vs plain's 40/50 at rerank=32 — tighter residual energy)
+    write_ivf_pq_index(emb, f"{base}/pqr", n_cells=16, m_sub=8,
+                       n_codes=16, residual=True)
+    resid = ivf_pq_index_topk(spark, f"{base}/pqr", qvecs, k=10,
+                              n_probe=4, rerank=10_000)
+    assert sorted(map(tuple, resid.collect())) == want
+    rtight = ivf_pq_index_topk(spark, f"{base}/pqr", qvecs, k=10,
+                               n_probe=4, rerank=32)
+    rhits = len(set(map(tuple, rtight.collect())) & set(want))
+    assert rhits >= int(0.6 * len(want))
     # NON-DENSE ids (r09 review: codebook codes must be densified at
     # build — the kmeans kernel labels centroids with seed-row IDS,
     # dense only by fixture luck): shift every vec_id by 10_007 and
