@@ -365,6 +365,16 @@ def append_ivf_index(emb_batch: DataFrame, path: str,
     None = plain append (one-shot backfills only)."""
     spark = emb_batch.sparkSession
     meta = _read_meta(spark, path)
+    if meta and "m_sub" in meta:
+        # misuse door (r09 review wave 2): this append writes only
+        # vectors/, but a PQ index's shortlist reads codes/ — the
+        # appended vectors would be PERMANENTLY invisible to
+        # ivf_pq_index_topk while ivf_index_topk still returned
+        # them: silently wrong top-k, the worst failure shape
+        raise ValueError(
+            f"append_ivf_index: {path} is a PQ index (codes would "
+            "desynchronize from vectors) — rebuild with "
+            "write_ivf_pq_index; no codes-aware append exists yet")
     base = emb_batch.select(F.col(id_col).alias("id"),
                             _to_double(vec_col).alias("v"))
     cents = spark.read.parquet(f"{path}/centroids")
@@ -566,45 +576,61 @@ def ivf_pq_index_topk(spark: SparkSession, path: str,
             raise ValueError(
                 f"ivf_pq_index_topk: query {qid} is {len(qv)}-dim "
                 f"but the index was built at dim={dim}")
+    if rerank < k:
+        raise ValueError(
+            f"ivf_pq_index_topk: rerank={rerank} < k={k} would "
+            "silently truncate every query's result")
     residual = bool(meta.get("residual") or False)
     cent_of = dict(cents)
     probe_cells, q_probe = _probe_cells_driver(cents, query_vecs,
                                                n_probe)
-    rows = []
+    cell_rows = []
+    meta_rows = []
     for qid, qv, cells in q_probe:
         qnorm = math.sqrt(sum(x * x for x in qv))
         lut = [[sum(x * y for x, y in
                     zip(qv[s * d_sub:(s + 1) * d_sub], books[(s, c)]))
                 for c in range(n_codes)] for s in range(m_sub)]
+        meta_rows.append((qid, qv, lut, qnorm))
         for c in cells:
             # residual scheme: dot(q, v) = dot(q, centroid[cell])
             # (EXACT, driver-side) + the table-approximated residual
             # dot — per (query, probed cell), one scalar
             qcdot = sum(x * y for x, y in zip(qv, cent_of[c])) \
                 if residual else 0.0
-            rows.append((qid, qv, lut, qnorm, qcdot, c))
+            cell_rows.append((qid, c, qcdot))
     codes = spark.read.parquet(f"{path}/codes")
     vectors = spark.read.parquet(f"{path}/vectors")
-    if not rows:
+    if not cell_rows:
         return (vectors.select(F.col("id").alias("query_id"),
                                F.col("id").alias("neighbor_id"),
                                F.lit(0.0).alias("sim")).limit(0))
-    qdf = spark.createDataFrame(
-        rows, "query_id long, qv array<double>, "
-              "lut array<array<double>>, qnorm double, "
-              "qcdot double, cell long")
+    # two broadcast tables (r09 review wave 2): the (m_sub x n_codes)
+    # LUT and qv ride ONCE per query in qmeta; the per-(query, cell)
+    # table carries only the probe scalar — not n_probe duplicated
+    # LUT copies (at m_sub=32/n_codes=256/n_probe=32 that redundancy
+    # alone is ~2 MB per query)
+    qcells = spark.createDataFrame(
+        cell_rows, "query_id long, cell long, qcdot double")
+    qmeta = spark.createDataFrame(
+        meta_rows, "query_id long, qv array<double>, "
+                   "lut array<array<double>>, qnorm double")
     pruned_codes = codes.filter(F.col("cell").isin(*probe_cells))
     # ADC: one element_at per subspace, folded JVM-side; qcdot is 0
     # for the plain scheme and the exact query-centroid dot for the
-    # residual scheme
+    # residual scheme. Zero-norm rows score 0.0, never DIVIDE_BY_ZERO
+    # (the r06 zero-norm convention every scoring path follows).
     adot = F.aggregate(
         F.zip_with("codes", "lut",
                    lambda c, l: F.element_at(l, c + F.lit(1))),
         F.lit(0.0), lambda a, x: a + x)
-    approx = (pruned_codes.join(F.broadcast(qdf), on="cell")
+    den = F.col("qnorm") * F.col("vnorm")
+    approx = (pruned_codes.join(F.broadcast(qcells), on="cell")
+              .join(F.broadcast(qmeta), on="query_id")
               .filter(F.col("id") != F.col("query_id"))
-              .withColumn("sim", (F.col("qcdot") + adot)
-                          / (F.col("qnorm") * F.col("vnorm"))))
+              .withColumn("sim", F.when(
+                  den > 0, (F.col("qcdot") + adot) / den)
+                  .otherwise(F.lit(0.0))))
     probe = pruned_codes.limit(SALT_TOPK_MIN_CORPUS).count()
     # the shortlist rides the SAME salted two-phase top-k as the
     # final rank — one query's candidate set approaching the corpus
@@ -612,7 +638,7 @@ def ivf_pq_index_topk(spark: SparkSession, path: str,
     shortlist = (_topk_per_query(approx, rerank, max_candidates=probe)
                  .select("query_id",
                          F.col("neighbor_id").alias("id")))
-    qmap = qdf.select("query_id", "qv").dropDuplicates(["query_id"])
+    qmap = qmeta.select("query_id", "qv")
     pruned_vecs = vectors.filter(F.col("cell").isin(*probe_cells)) \
         .select("id", "v")
     cand = (shortlist.join(F.broadcast(qmap), on="query_id")

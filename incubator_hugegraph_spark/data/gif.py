@@ -376,22 +376,29 @@ def decode_gif_frames(b: bytes):
 def encode_gif_gray_frames(frames: list[bytes], width: int,
                            height: int,
                            delay_cs: int = 4,
-                           disposals: list[int] | None = None
-                           ) -> bytes:
+                           disposals: list[int] | None = None,
+                           bg: int = 0,
+                           transparents: list[int | None] | None
+                           = None) -> bytes:
     """REAL animated GIF89a writer: full-screen grayscale frames,
-    one GCE per image block (``disposals[i]`` or disposal=1, no
-    transparency, ``delay_cs`` hundredths), shared 256-entry gray
-    global palette, genuine LZW per frame — the fixture twin of
-    decode_gif_frames."""
+    one GCE per image block (``disposals[i]`` or disposal=1,
+    ``transparents[i]`` or no transparency, ``delay_cs``
+    hundredths), background index ``bg``, shared 256-entry gray
+    global palette, genuine LZW per frame — THE fixture writer of
+    decode_gif_frames (r09 review: a second hand-rolled writer in
+    multimodal.py drifted from this one; keep exactly one)."""
     assert all(len(f) == width * height for f in frames)
     lsd = struct.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x07,
-                      0, 0)
+                      bg, 0)
     palette = bytes(v for i in range(256) for v in (i, i, i))
     out = bytearray(b"GIF89a" + lsd + palette)
     for fi, f in enumerate(frames):
         disp = disposals[fi] if disposals is not None else 1
-        out += (b"\x21\xf9\x04" + bytes([disp << 2])
-                + struct.pack("<H", delay_cs) + b"\x00\x00")
+        tr = transparents[fi] if transparents is not None else None
+        packed = disp << 2 | (1 if tr is not None else 0)
+        out += (b"\x21\xf9\x04" + bytes([packed])
+                + struct.pack("<H", delay_cs)
+                + bytes([tr or 0]) + b"\x00")
         out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
         out += bytes([8]) + _sub_blocks(_lzw_compress(f, 8))
     out += b"\x3b"

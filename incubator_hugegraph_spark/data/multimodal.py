@@ -672,31 +672,19 @@ def render_media_gif_disposal3(asset_id: int, n_frames: int,
     snapshot is a bg-valued canvas — a decoder that treated
     disposal 3 as leave-in-place would snapshot the LAST draw
     instead, shifting sum/sumsq/min/max. The oracle adds exactly one
-    bg-valued frame to the generator arithmetic."""
-    import struct as _s
-
-    from incubator_hugegraph_spark.data.gif import (_lzw_compress,
-                                                    _sub_blocks)
-    bg = 7
-    lsd = _s.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x07, bg, 0)
-    palette = bytes(v for i in range(256) for v in (i, i, i))
-    out = bytearray(b"GIF89a" + lsd + palette)
-
-    def image(gray: bytes, disposal: int, transparent=None):
-        packed = disposal << 2 | (1 if transparent is not None else 0)
-        out.extend(b"\x21\xf9\x04" + bytes([packed]) + _s.pack("<H", 4)
-                   + bytes([transparent or 0]) + b"\x00")
-        out.extend(b"\x2c" + _s.pack("<HHHHB", 0, 0, width, height, 0))
-        out.extend(bytes([8]) + _sub_blocks(_lzw_compress(gray, 8)))
-
-    for f in range(n_frames):
-        image(synth_media_bytes(asset_id, width * height,
-                                offset=f * FRAME_STRIDE).tobytes(),
-              disposal=3)
-    image(bytes([255]) * (width * height), disposal=1,
-          transparent=255)
-    out.extend(b"\x3b")
-    return bytes(out)
+    bg-valued frame to the generator arithmetic. Delegates to THE
+    gif.py fixture writer (r09 review: no second hand-rolled GIF
+    assembler to drift)."""
+    from incubator_hugegraph_spark.data.gif import (
+        encode_gif_gray_frames)
+    frames = [synth_media_bytes(asset_id, width * height,
+                                offset=f * FRAME_STRIDE).tobytes()
+              for f in range(n_frames)]
+    frames.append(bytes([255]) * (width * height))
+    return encode_gif_gray_frames(
+        frames, width, height, bg=7,
+        disposals=[3] * n_frames + [1],
+        transparents=[None] * n_frames + [255])
 
 
 def render_media_bmp(asset_id: int, width: int, height: int) -> bytes:

@@ -2793,6 +2793,14 @@ def test_ivf_pq_index_adc_shortlist_and_parity(spark, tmp_path):
         write_ivf_pq_index(emb, f"{base}/bad", m_sub=7)
     with pytest.raises(ValueError, match="PQ meta"):
         ivf_pq_index_topk(spark, f"{base}/ivf", qvecs, k=10)
+    with pytest.raises(ValueError, match="rerank"):
+        ivf_pq_index_topk(spark, f"{base}/pq", qvecs, k=10, rerank=5)
+    # appending to a PQ index would desynchronize codes from vectors
+    # (the shortlist reads codes only) — hard misuse door
+    from incubator_hugegraph_spark.data.ann_index import \
+        append_ivf_index
+    with pytest.raises(ValueError, match="PQ index"):
+        append_ivf_index(emb, f"{base}/pq", batch_id=1)
     # RESIDUAL scheme (IVF-ADC, Jégou et al. §IV): codes quantize
     # v − centroid[cell], the exact dot(q, centroid) re-enters
     # driver-side. Parity with the unquantized probe pins the whole
