@@ -5647,19 +5647,28 @@ def emb_ivf_pq_ann_q(spark, sf_dir):
     re-rank must reproduce the unquantized top-10 row-for-row (the
     shortlist provably covers the true top-10 on this corpus; ADC
     ordering quality is pinned separately in pytest at rerank=32).
-    Spark shape: codes scan carries `cell IN (...)` as a
-    PartitionFilter (plan-asserted in pytest), candidate IO is
-    m_sub ints + one double per row."""
+    The row drives the MAINTENANCE path too: build on the first half
+    (which contains the seed ids, so centroids and codebooks equal
+    the one-shot build's), then append_ivf_pq_index folds the rest
+    against the frozen centroids AND codebooks — a desynchronized
+    codes/ table (the hazard the codes-aware append exists for)
+    would leave appended vectors invisible to the shortlist and
+    hash-mismatch here. Spark shape: codes scan carries
+    `cell IN (...)` as a PartitionFilter (plan-asserted in pytest),
+    candidate IO is m_sub ints + one double per row."""
     import tempfile
 
     from incubator_hugegraph_spark.data.ann_index import (
+        append_ivf_pq_index,
         ivf_pq_index_topk,
         write_ivf_pq_index,
     )
     emb = _emb(spark, sf_dir)
     d = tempfile.mkdtemp(prefix="ivf_pq_index_")
-    write_ivf_pq_index(emb, f"{d}/pq", n_cells=16, m_sub=8,
-                       n_codes=16)
+    write_ivf_pq_index(emb.filter(F.col("vec_id") < 250), f"{d}/pq",
+                       n_cells=16, m_sub=8, n_codes=16)
+    append_ivf_pq_index(emb.filter(F.col("vec_id") >= 250),
+                        f"{d}/pq", batch_id=1)
     qvecs = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
              for r in emb.filter(F.col("vec_id") <= 4).collect()]
     return ivf_pq_index_topk(spark, f"{d}/pq", qvecs, 10,

@@ -373,8 +373,8 @@ def append_ivf_index(emb_batch: DataFrame, path: str,
         # them: silently wrong top-k, the worst failure shape
         raise ValueError(
             f"append_ivf_index: {path} is a PQ index (codes would "
-            "desynchronize from vectors) — rebuild with "
-            "write_ivf_pq_index; no codes-aware append exists yet")
+            "desynchronize from vectors) — use append_ivf_pq_index, "
+            "the codes-aware append")
     base = emb_batch.select(F.col(id_col).alias("id"),
                             _to_double(vec_col).alias("v"))
     cents = spark.read.parquet(f"{path}/centroids")
@@ -389,16 +389,119 @@ def append_ivf_index(emb_batch: DataFrame, path: str,
             f"append_ivf_index: {bad} batch vectors are not "
             f"{dim}-dim (index build dim)")
     assigned = _assign_cells(base, cents).select("id", "v", "cell")
+    _append_partitioned(assigned, f"{path}/vectors", ["cell"],
+                        batch_id)
+
+
+def append_ivf_pq_index(emb_batch: DataFrame, path: str,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        batch_id: int | None = None) -> None:
+    """Fold a batch of NEW vectors into a persisted IVF+PQ index —
+    the codes-aware append (r09): the batch is assigned against the
+    FROZEN persisted centroids AND encoded against the FROZEN
+    persisted codebooks (the same _pq_encode kernel the build uses),
+    so vectors/ and codes/ stay synchronized and an appended index
+    answers queries identically to a one-shot build with the same
+    centroid/codebook set. Same ``batch_id`` idempotence contract as
+    append_ivf_index (batch=<id> dynamic partition overwrite under
+    foreachBatch's at-least-once replay); codebook drift is a full
+    rebuild by design, like centroid drift."""
+    spark = emb_batch.sparkSession
+    meta = _read_meta(spark, path)
+    if not meta or "m_sub" not in meta:
+        raise ValueError(
+            f"append_ivf_pq_index: {path} is not a PQ index — use "
+            "append_ivf_index, or build with write_ivf_pq_index")
+    dim, m_sub = int(meta["dim"]), int(meta["m_sub"])
+    residual = bool(meta.get("residual") or False)
+    d_sub = dim // m_sub
+    base = emb_batch.select(F.col(id_col).alias("id"),
+                            _to_double(vec_col).alias("v"))
+    bad = base.filter(F.size("v") != dim).count()
+    if bad:
+        raise ValueError(
+            f"append_ivf_pq_index: {bad} batch vectors are not "
+            f"{dim}-dim (index build dim)")
+    cents = spark.read.parquet(f"{path}/centroids")
+    books = spark.read.parquet(f"{path}/codebooks")
+    assigned = _assign_cells(base, cents) \
+        .select("id", "v", "cell").localCheckpoint()
+    _append_partitioned(assigned, f"{path}/vectors", ["cell"],
+                        batch_id)
+    codes = _pq_encode(_pq_quant_target(assigned, cents, residual),
+                       books, m_sub, d_sub)
+    _append_partitioned(codes, f"{path}/codes", ["cell"], batch_id)
+
+
+def _pq_quant_target(assigned: DataFrame, cents: DataFrame,
+                     residual: bool) -> DataFrame:
+    """Quantization target per vector: the vector itself, or
+    (residual scheme) v − centroid[cell] — elementwise zip_with
+    against the broadcast centroid table, the exact dot(q, centroid)
+    re-entering at query time. Shared by build and append so the two
+    can never quantize differently."""
+    if residual:
+        return (assigned.join(F.broadcast(cents), on="cell")
+                .select("id", "cell", "v",
+                        F.zip_with("v", "cv", lambda a, b: a - b)
+                        .alias("q")))
+    return assigned.select("id", "cell", "v", F.col("v").alias("q"))
+
+
+def _pq_encode(quant: DataFrame, books: DataFrame, m_sub: int,
+               d_sub: int) -> DataFrame:
+    """Code assignment in ONE exploded pass (not m_sub sequential
+    id-joins): (id, s, subvector) rows x broadcast books, argmax
+    cosine per (id, s) with the _assign_cells tie-break (best
+    similarity, then lowest code), then fold back to one codes array
+    per vector. One shuffle regardless of m_sub. Shared by
+    write_ivf_pq_index and append_ivf_pq_index — an appended index
+    must encode bit-identically to a one-shot build."""
+    sub_all = quant.select(
+        "id", "cell",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
+                           F.lit(0.0), lambda a, x: a + x))
+        .alias("vnorm"),
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.slice("q", s * d_sub + 1, d_sub).alias("sv"))
+            for s in range(m_sub)])).alias("x")) \
+        .select("id", "cell", "vnorm", "x.s",
+                F.col("x.sv").alias("sv"))
+    asg = (sub_all.join(F.broadcast(books), on="s")
+           .withColumn("d", cosine(F.col("sv"), F.col("cv"))))
+    w = Window.partitionBy("id", "s").orderBy(F.desc("d"),
+                                              F.asc("code"))
+    picked = (asg.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1)
+              .select("id", "cell", "vnorm", "s", "code"))
+    return (picked.groupBy("id", "cell")
+            .agg(F.first("vnorm").alias("vnorm"),
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("s", "code"))),
+                     lambda x: x["code"].cast("int")).alias("codes"))
+            .select("id", "codes", "vnorm", "cell"))
+
+
+def _append_partitioned(df: DataFrame, path: str, parts: list[str],
+                        batch_id: int | None) -> None:
+    """THE shared batch-append write (r09: four verbatim copies
+    across the IVF/LSH/PQ appends risked the same drift the build
+    writes had): batch=-1 plain append for one-shot backfills, or
+    batch=<id> DYNAMIC partition overwrite so a replayed foreachBatch
+    id idempotently overwrites only its own partitions (at-least-once
+    delivery, review r07). Builds must NOT use this — they pin
+    static overwrite (see _write_ivf_base)."""
+    b = F.lit(-1 if batch_id is None else int(batch_id))
+    w = df.withColumn("batch", b).write.partitionBy(*parts, "batch")
     if batch_id is None:
-        (assigned.withColumn("batch", F.lit(-1))
-         .write.mode("append").partitionBy("cell", "batch")
-         .parquet(f"{path}/vectors"))
+        w.mode("append").parquet(path)
     else:
-        (assigned.withColumn("batch", F.lit(int(batch_id)))
-         .write.mode("overwrite")
+        (w.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("cell", "batch")
-         .parquet(f"{path}/vectors"))
+         .parquet(path))
 
 
 def write_ivf_pq_index(emb: DataFrame, path: str, n_cells: int = 16,
@@ -462,17 +565,7 @@ def write_ivf_pq_index(emb: DataFrame, path: str, n_cells: int = 16,
     # labels centroids with seed-row IDS — dense only when vec_ids
     # start at 0 with no gaps; snowflake-style ids would truncate in
     # the int cast below and blow the query-side lookup range)
-    # quantization target: the vector itself, or (residual scheme)
-    # v − centroid[cell] — elementwise zip_with against the broadcast
-    # centroid table, exact dot(q, centroid) added back at query time
-    if residual:
-        quant = (assigned.join(F.broadcast(_cents), on="cell")
-                 .select("id", "cell", "v",
-                         F.zip_with("v", "cv", lambda a, b: a - b)
-                         .alias("q")))
-    else:
-        quant = assigned.select("id", "cell", "v",
-                                F.col("v").alias("q"))
+    quant = _pq_quant_target(assigned, _cents, residual)
     import functools
     books = functools.reduce(
         lambda a, b: a.unionByName(b),
@@ -486,36 +579,7 @@ def write_ivf_pq_index(emb: DataFrame, path: str, n_cells: int = 16,
                  .alias("code"),
                  "cv")
          for s in range(m_sub)]).localCheckpoint()
-    # code assignment in ONE exploded pass (not m_sub sequential
-    # id-joins): (id, s, subvector) rows x broadcast books, argmax
-    # cosine per (id, s) with the _assign_cells tie-break (best
-    # similarity, then lowest code), then fold back to one codes
-    # array per vector. One shuffle regardless of m_sub.
-    sub_all = quant.select(
-        "id", "cell",
-        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
-                           F.lit(0.0), lambda a, x: a + x))
-        .alias("vnorm"),
-        F.explode(F.array(*[
-            F.struct(F.lit(s).alias("s"),
-                     F.slice("q", s * d_sub + 1, d_sub).alias("sv"))
-            for s in range(m_sub)])).alias("x")) \
-        .select("id", "cell", "vnorm", "x.s",
-                F.col("x.sv").alias("sv"))
-    asg = (sub_all.join(F.broadcast(books), on="s")
-           .withColumn("d", cosine(F.col("sv"), F.col("cv"))))
-    w = Window.partitionBy("id", "s").orderBy(F.desc("d"),
-                                              F.asc("code"))
-    picked = (asg.withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") == 1)
-              .select("id", "cell", "vnorm", "s", "code"))
-    codes = (picked.groupBy("id", "cell")
-             .agg(F.first("vnorm").alias("vnorm"),
-                  F.transform(
-                      F.array_sort(F.collect_list(
-                          F.struct("s", "code"))),
-                      lambda x: x["code"].cast("int")).alias("codes"))
-             .select("id", "codes", "vnorm", "cell"))
+    codes = _pq_encode(quant, books, m_sub, d_sub)
     (codes.withColumn("batch", F.lit(-1))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "static")
@@ -681,20 +745,7 @@ def append_lsh_index(emb_batch: DataFrame, path: str,
                       n_planes, n_tables)
     cols = ["id", "v", "table", "bucket"] if store_vectors \
         else ["id", "table", "bucket"]
-    b = F.lit(-1 if batch_id is None else int(batch_id))
-    writer = (sig.select(*cols).withColumn("batch", b).write
-              .partitionBy("table", "bucket", "batch"))
-    if batch_id is None:
-        writer.mode("append").parquet(f"{path}/buckets")
-    else:
-        (writer.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .parquet(f"{path}/buckets"))
+    _append_partitioned(sig.select(*cols), f"{path}/buckets",
+                        ["table", "bucket"], batch_id)
     if not store_vectors:
-        vw = (base.withColumn("batch", b).write.partitionBy("batch"))
-        if batch_id is None:
-            vw.mode("append").parquet(f"{path}/vectors")
-        else:
-            (vw.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .parquet(f"{path}/vectors"))
+        _append_partitioned(base, f"{path}/vectors", [], batch_id)

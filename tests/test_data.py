@@ -2834,6 +2834,56 @@ def test_ivf_pq_index_adc_shortlist_and_parity(spark, tmp_path):
     assert sgot == swant
 
 
+def test_ivf_pq_index_append_codes_aware(spark, tmp_path):
+    """append_ivf_pq_index (r09): appending against the FROZEN
+    centroids AND codebooks must be query-identical to a one-shot
+    build over the full corpus (seeds/codebooks derive from the
+    first ids, present in the prefix either way) — for the plain AND
+    residual schemes, at a discriminating probe width. Replaying a
+    batch_id is idempotent for BOTH vectors/ and codes/; mixed-dim
+    batches reject whole-batch; a non-PQ path raises."""
+    from tests.conftest import SF_DIR
+
+    from incubator_hugegraph_spark.data.ann_index import (
+        append_ivf_pq_index, ivf_pq_index_topk, write_ivf_index,
+        write_ivf_pq_index)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    prefix = emb.filter(F.col("vec_id") < 250)
+    rest = emb.filter(F.col("vec_id") >= 250)
+    base = str(tmp_path)
+    qvecs = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in emb.filter(F.col("vec_id") <= 2).collect()]
+
+    def q(path):
+        return sorted(map(tuple, ivf_pq_index_topk(
+            spark, path, qvecs, k=5, n_probe=3,
+            rerank=64).collect()))
+
+    for scheme, res in (("plain", False), ("resid", True)):
+        inc, ref = f"{base}/{scheme}_inc", f"{base}/{scheme}_ref"
+        write_ivf_pq_index(prefix, inc, n_cells=16, m_sub=8,
+                           n_codes=16, residual=res)
+        append_ivf_pq_index(rest, inc, batch_id=1)
+        write_ivf_pq_index(emb, ref, n_cells=16, m_sub=8,
+                           n_codes=16, residual=res)
+        got = q(inc)
+        assert got == q(ref) and len(got) == 15
+        # the appended half must actually be reachable (not just the
+        # prefix re-ranked): at least one neighbor id >= 250
+        assert any(nid >= 250 for _, nid, _ in got)
+        # at-least-once replay: both vectors/ AND codes/ overwrite
+        # only their own batch partitions
+        append_ivf_pq_index(rest, inc, batch_id=1)
+        assert q(inc) == got
+    bad = spark.createDataFrame([(99_999, [1.0, 2.0])],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        append_ivf_pq_index(bad, f"{base}/plain_inc", batch_id=2)
+    write_ivf_index(emb, f"{base}/plainivf", n_cells=8)
+    with pytest.raises(ValueError, match="not a PQ index"):
+        append_ivf_pq_index(rest, f"{base}/plainivf", batch_id=1)
+
+
 def test_ivf_index_incremental_append(spark, tmp_path):
     """Index maintenance under ingest: building on a prefix and
     appending the rest in batches (frozen centroids) must be
