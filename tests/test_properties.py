@@ -6,6 +6,68 @@ from __future__ import annotations
 
 from hypothesis import given, settings, strategies as st
 
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_decoder_none_contract_under_random_mutation(data):
+    """MUTATION FUZZ of the whole codec tier (r09): take a VALID
+    stream of every supported container (PNG incl. Adam7, baseline +
+    progressive JPEG, GIF still/interlaced/animated incl.
+    disposal-3, BMP, WAV, raw-DIB AVI, MJPEG AVI), apply random
+    byte flips / truncations / slice duplications, and feed the
+    result to EVERY pure decoder door. The contract under test is
+    the one the whole Spark tier leans on: malformed bytes map to
+    None (or a well-formed result when the mutation lands in slack),
+    NEVER an exception escaping to kill an executor task — the
+    hazard class every r07-r09 review wave found instances of."""
+    from incubator_hugegraph_spark.data.gif import decode_gif_frames
+    from incubator_hugegraph_spark.data.jpeg import decode_jpeg_rgb
+    from incubator_hugegraph_spark.data.multimodal import (
+        decode_avi_frames, decode_bmp_rgb, decode_header,
+        decode_image_rgb, decode_png_rgb, decode_wav_samples,
+        render_media_avi, render_media_bmp, render_media_gif,
+        render_media_gif_anim, render_media_gif_disposal3,
+        render_media_jpeg, render_media_mjpeg, render_media_png,
+        render_media_wav)
+
+    builders = [
+        lambda: render_media_png(7, 9, 5),
+        lambda: render_media_jpeg(7, 2, 2),
+        lambda: render_media_gif(7, 9, 5),
+        lambda: render_media_gif(7, 9, 5, interlace=True),
+        lambda: render_media_gif_anim(7, 3, 6, 4),
+        lambda: render_media_gif_disposal3(7, 2, 6, 4),
+        lambda: render_media_bmp(7, 9, 5),
+        lambda: render_media_wav(7, 64),
+        lambda: render_media_avi(7, 2),
+        lambda: render_media_mjpeg(7, 2, 2, 2),
+        lambda: render_media_jpeg(7, 2, 2, progressive=True),
+        lambda: render_media_jpeg(7, 2, 2, subsampling="4:2:0"),
+    ]
+    b = bytearray(builders[data.draw(
+        st.integers(0, len(builders) - 1), label="format")]())
+    n_mut = data.draw(st.integers(1, 6), label="n_mutations")
+    for _ in range(n_mut):
+        op = data.draw(st.integers(0, 3), label="op")
+        pos = data.draw(st.integers(0, max(0, len(b) - 1)),
+                        label="pos")
+        if op == 0 and b:                 # flip one byte
+            b[pos] ^= data.draw(st.integers(1, 255))
+        elif op == 1:                     # truncate
+            b = b[:pos]
+        elif op == 2 and b:               # overwrite with a run
+            v = data.draw(st.integers(0, 255))
+            b[pos:pos + 16] = bytes([v]) * min(16, len(b) - pos)
+        elif op == 3 and b:               # duplicate a slice
+            b = b[:pos] + b[pos:pos + 32] + b[pos:]
+    blob = bytes(b)
+    for door in (decode_image_rgb, decode_png_rgb, decode_jpeg_rgb,
+                 decode_bmp_rgb, decode_gif_frames,
+                 decode_wav_samples, decode_avi_frames):
+        door(blob)  # must not raise; None or a result both fine
+    for modality in ("image", "audio", "video"):
+        decode_header(blob, modality)
+
 from incubator_hugegraph_spark.data.dedup import _COEFFS, _P, _det_coeffs
 from incubator_hugegraph_spark.data.similarity import plane_component
 from incubator_hugegraph_spark.functions.ids import splice_id
