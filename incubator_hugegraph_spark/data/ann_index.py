@@ -54,7 +54,8 @@ from incubator_hugegraph_spark.data.similarity import (
 
 def _write_ivf_base(emb: DataFrame, path: str, n_cells: int,
                     id_col: str, vec_col: str, n_iters: int,
-                    caller: str, checkpoint: bool = False):
+                    caller: str, checkpoint: bool = False,
+                    dim: int | None = None):
     """THE shared vectors/centroids persist block of write_ivf_index
     and write_ivf_pq_index (r09 review: the batch=-1 layout and the
     PINNED static overwrite — the subtle r08 stale-partition fix —
@@ -74,10 +75,13 @@ def _write_ivf_base(emb: DataFrame, path: str, n_cells: int,
     the exact hazard the LSH build fix closed."""
     base = emb.select(F.col(id_col).alias("id"),
                       _to_double(vec_col).alias("v"))
-    row = emb.select(vec_col).first()
-    if row is None:
-        raise ValueError(f"{caller}: empty corpus")
-    dim = len(row[0])
+    if dim is None:
+        # callers that already probed the corpus (PQ's divisibility
+        # check) pass dim in — no second first() job (r09 review)
+        row = emb.select(vec_col).first()
+        if row is None:
+            raise ValueError(f"{caller}: empty corpus")
+        dim = len(row[0])
     cents = kmeans_centroids(base, n_cells, dim, n_iters)
     assigned = _assign_cells(base, cents).select("id", "v", "cell")
     if checkpoint:
@@ -427,11 +431,19 @@ def append_ivf_pq_index(emb_batch: DataFrame, path: str,
     books = spark.read.parquet(f"{path}/codebooks")
     assigned = _assign_cells(base, cents) \
         .select("id", "v", "cell").localCheckpoint()
-    _append_partitioned(assigned, f"{path}/vectors", ["cell"],
-                        batch_id)
+    # codes FIRST (r09 review wave 3): the two writes are not
+    # atomic, and the failure modes are asymmetric — an orphan codes
+    # row (crash before the vectors write) drops harmlessly at the
+    # exact re-rank's inner join on id, while an orphan VECTORS row
+    # would be permanently invisible to the codes-driven shortlist
+    # (silently wrong top-k). With batch_id the replay overwrites
+    # both partitions anyway; batch_id=None (one-shot backfills)
+    # relies on this ordering alone, so it fails safe.
     codes = _pq_encode(_pq_quant_target(assigned, cents, residual),
                        books, m_sub, d_sub)
     _append_partitioned(codes, f"{path}/codes", ["cell"], batch_id)
+    _append_partitioned(assigned, f"{path}/vectors", ["cell"],
+                        batch_id)
 
 
 def _pq_quant_target(assigned: DataFrame, cents: DataFrame,
@@ -555,7 +567,7 @@ def write_ivf_pq_index(emb: DataFrame, path: str, n_cells: int = 16,
     # once, BEFORE the write (r09 review)
     assigned, _cents, _ = _write_ivf_base(
         emb, path, n_cells, id_col, vec_col, n_iters,
-        "write_ivf_pq_index", checkpoint=True)
+        "write_ivf_pq_index", checkpoint=True, dim=dim)
     spark = emb.sparkSession
     # per-subspace codebooks: the SAME deterministic kmeans kernel as
     # the cell layer, applied to the F.slice'd subvectors (n_iters=0
@@ -566,19 +578,32 @@ def write_ivf_pq_index(emb: DataFrame, path: str, n_cells: int = 16,
     # start at 0 with no gaps; snowflake-style ids would truncate in
     # the int cast below and blow the query-side lookup range)
     quant = _pq_quant_target(assigned, _cents, residual)
-    import functools
-    books = functools.reduce(
-        lambda a, b: a.unionByName(b),
-        [kmeans_centroids(
-            quant.select("id",
-                         F.slice("q", s * d_sub + 1, d_sub)
-                         .alias("v")),
-            n_codes, d_sub, n_iters)
-         .select(F.lit(s).alias("s"),
-                 (F.row_number().over(Window.orderBy("cell")) - 1)
-                 .alias("code"),
-                 "cv")
-         for s in range(m_sub)]).localCheckpoint()
+    if n_iters == 0:
+        # the n_iters=0 codebook is EXACTLY the first n_codes ids'
+        # (residual) subvectors — one TakeOrdered + driver-side
+        # slicing instead of m_sub corpus-wide jobs fetching the
+        # same rows (r09 review wave 3); bit-identical to the
+        # kmeans_centroids path below by construction
+        seeds = (quant.orderBy("id").limit(n_codes)
+                 .select("q").collect())
+        books = spark.createDataFrame(
+            [(s, c, list(r["q"][s * d_sub:(s + 1) * d_sub]))
+             for s in range(m_sub) for c, r in enumerate(seeds)],
+            "s int, code int, cv array<double>")
+    else:
+        import functools
+        books = functools.reduce(
+            lambda a, b: a.unionByName(b),
+            [kmeans_centroids(
+                quant.select("id",
+                             F.slice("q", s * d_sub + 1, d_sub)
+                             .alias("v")),
+                n_codes, d_sub, n_iters)
+             .select(F.lit(s).alias("s"),
+                     (F.row_number().over(Window.orderBy("cell")) - 1)
+                     .alias("code"),
+                     "cv")
+             for s in range(m_sub)]).localCheckpoint()
     codes = _pq_encode(quant, books, m_sub, d_sub)
     (codes.withColumn("batch", F.lit(-1))
      .write.mode("overwrite")

@@ -284,9 +284,18 @@ def _gif_blocks(b: bytes, max_images: int | None = None):
             # out-allocate the per-frame dims check). The still path
             # (max_images=1) never materializes the screen canvas,
             # so a large DECLARED screen must not reject a small
-            # first image there (second r09 review wave).
+            # first image there (second r09 review wave). Past the
+            # budget the walk TRUNCATES — returns the frames already
+            # decoded — instead of rejecting the stream (third r09
+            # wave: a legitimate ~35-frame 800x600 animation must
+            # not regress to None; partial frames still feed the
+            # near-dup index, while the crafted
+            # forty-1x1-blocks-on-2048x2048 stream is cut off after
+            # ~8 frames, bounding composited output at ~100 MB).
             total_px += w * h + (sw * sh if max_images is None else 0)
             if total_px > MAX_TOTAL_PIXELS:
+                if images:
+                    break
                 raise ValueError("gif: cumulative output cap")
             min_code = b[i]
             i += 1
@@ -322,8 +331,11 @@ def decode_gif_frames(b: bytes):
     color) and 3 (restore the whole canvas to its pre-draw state,
     r09). Returns (width, height, [row-major RGB frame bytes]) —
     one canvas snapshot per image block — or None for malformed
-    streams. Feed the frames to the same dHash kernels the AVI
-    path uses."""
+    streams. Animations whose cumulative output exceeds
+    MAX_TOTAL_PIXELS TRUNCATE to the frames inside the budget (r09:
+    bounded decode cost for crafted many-block streams without
+    rejecting ordinary long animations to None). Feed the frames to
+    the same dHash kernels the AVI path uses."""
     import numpy as np
     try:
         sw, sh, bg, gct, images = _gif_blocks(b)

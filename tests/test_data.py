@@ -1079,11 +1079,13 @@ def test_gif_animation_compositing():
 
 def test_gif_cumulative_output_cap():
     """r09 hardening (review): MANY tiny image blocks on a huge
-    logical screen must map to None during the PARSE walk — each
-    block would otherwise snapshot the full canvas, so forty 1x1
-    blocks on a 2048x2048 screen decode to ~500 MB without a
-    cumulative budget. The per-frame dims check cannot see this
-    (every frame is individually tiny)."""
+    logical screen must be BOUNDED during the PARSE walk — each
+    block snapshots the full canvas, so forty 1x1 blocks on a
+    2048x2048 screen would decode to ~500 MB without a cumulative
+    budget (the per-frame dims check cannot see this: every frame
+    is individually tiny). Past the budget the animation TRUNCATES
+    (third review wave: ordinary long animations keep their
+    in-budget frames instead of regressing to None)."""
     import struct as _s
 
     from incubator_hugegraph_spark.data.gif import (
@@ -1100,7 +1102,18 @@ def test_gif_cumulative_output_cap():
                        for _ in range(40))
             + b"\x3b")
     assert len(evil) < 2048  # the ~500 MB-from-sub-KB attack shape
-    assert decode_gif_frames(evil) is None
+    got = decode_gif_frames(evil)
+    assert got is not None and len(got[2]) < 40
+    assert len(got[2]) * 2048 * 2048 <= MAX_TOTAL_PIXELS
+    # a long MODERATE animation keeps its in-budget frame prefix
+    # (frames are full-screen here, so each charges 2*w*h)
+    frames40 = [bytes([f]) * (400 * 300) for f in range(40)]
+    mod = decode_gif_frames(
+        encode_gif_gray_frames(frames40, 400, 300))
+    keep = MAX_TOTAL_PIXELS // (2 * 400 * 300)
+    assert mod is not None and len(mod[2]) == min(40, keep)
+    for f, fr in zip(frames40, mod[2]):
+        assert fr[:3] == bytes([f[0]]) * 3  # prefix frames intact
     # a max-size STILL stays inside the envelope (budget = 2x
     # MAX_PIXELS covers one w*h == sw*sh == MAX_PIXELS block) —
     # assert on the budget arithmetic, not a 50 MB decode
