@@ -17,7 +17,8 @@ def test_decoder_none_contract_under_random_mutation(data):
     byte flips / truncations / slice duplications, and feed the
     result to EVERY pure decoder door. The contract under test is
     the one the whole Spark tier leans on: malformed bytes map to
-    None (or a well-formed result when the mutation lands in slack),
+    None (or a well-formed result when the mutation lands in unused
+    padding bytes),
     NEVER an exception escaping to kill an executor task — the
     hazard class every r07-r09 review wave found instances of."""
     from incubator_hugegraph_spark.data.gif import decode_gif_frames
