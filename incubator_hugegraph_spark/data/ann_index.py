@@ -379,6 +379,8 @@ def append_ivf_index(emb_batch: DataFrame, path: str,
             f"append_ivf_index: {path} is a PQ index (codes would "
             "desynchronize from vectors) — use append_ivf_pq_index, "
             "the codes-aware append")
+    if _replay_of_compacted(spark, path, batch_id):
+        return  # batch already folded into the base by compact_index
     base = emb_batch.select(F.col(id_col).alias("id"),
                             _to_double(vec_col).alias("v"))
     cents = spark.read.parquet(f"{path}/centroids")
@@ -417,6 +419,8 @@ def append_ivf_pq_index(emb_batch: DataFrame, path: str,
         raise ValueError(
             f"append_ivf_pq_index: {path} is not a PQ index — use "
             "append_ivf_index, or build with write_ivf_pq_index")
+    if _replay_of_compacted(spark, path, batch_id):
+        return  # batch already folded into the base by compact_index
     dim, m_sub = int(meta["dim"]), int(meta["m_sub"])
     residual = bool(meta.get("residual") or False)
     d_sub = dim // m_sub
@@ -495,6 +499,97 @@ def _pq_encode(quant: DataFrame, books: DataFrame, m_sub: int,
                          F.struct("s", "code"))),
                      lambda x: x["code"].cast("int")).alias("codes"))
             .select("id", "codes", "vnorm", "cell"))
+
+
+def _compacted_batches(spark: SparkSession, path: str) -> set[int]:
+    """Batch ids already folded into the batch=-1 base by
+    compact_index — recorded so a replayed foreachBatch id cannot
+    re-append rows the base now holds (dynamic overwrite of batch=N
+    would no longer be idempotent once N's rows live under
+    batch=-1). Cheap: existence check first, one tiny parquet read
+    only on indexes that were ever compacted."""
+    import os
+    p = f"{path}/compacted"
+    if not os.path.isdir(p):
+        return set()
+    return {int(r["batch"]) for r in spark.read.parquet(p).collect()}
+
+
+def _replay_of_compacted(spark: SparkSession, path: str,
+                         batch_id: int | None) -> bool:
+    return batch_id is not None and \
+        int(batch_id) in _compacted_batches(spark, path)
+
+
+def compact_index(spark: SparkSession, path: str) -> None:
+    """Rewrite accumulated ``batch=N`` append partitions into the
+    static ``batch=-1`` base (optimization r10; the r09 verdict's
+    remaining ANN scale finding): every append adds one partition
+    per cell (IVF/PQ) or per (table, bucket) (LSH) per batch, so a
+    long ingest leaves cells × batches small files — double
+    listing/open cost on every probe (guide §6). Compaction reads
+    each table once and rewrites it as one file set under batch=-1,
+    preserving the partition layout the probe pruning depends on;
+    query results are row-identical (same rows, same columns — the
+    probe filters on cell/table/bucket, never on batch). Handles all
+    three index kinds: IVF (vectors), PQ (codes AND vectors), LSH
+    (buckets + the store_vectors=False side table).
+
+    The folded batch ids are recorded in a ``compacted`` side-file
+    and the append_* doors no-op on a replayed compacted id, so
+    foreachBatch's at-least-once replay stays idempotent across a
+    compaction. Each table is rewritten to a sibling dir and swapped
+    in with two renames (local fs — same contract as the streaming
+    snapshot protocol): a crash before the first rename leaves the
+    index untouched; the window between the renames is the
+    non-atomicity any bare-parquet rewrite has — run compaction in a
+    maintenance window, or use a table format with atomic commit
+    (Iceberg/Delta rewrite_data_files) at production scale."""
+    import os
+    import shutil
+
+    meta = _read_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"compact_index: no meta side-file under {path} — not a "
+            "persisted index (or built before the meta protocol)")
+    if "m_sub" in meta:
+        # PQ: codes first — mirrors the append's fail-safe write
+        # order (an orphan codes row drops at the re-rank id-join; an
+        # orphan vectors row would be invisible to the shortlist)
+        tables = [("codes", ["cell"]), ("vectors", ["cell"])]
+    elif "n_planes" in meta:
+        tables = [("buckets", ["table", "bucket"])]
+        if not bool(meta.get("store_vectors", True)):
+            tables.append(("vectors", []))
+    else:
+        tables = [("vectors", ["cell"])]
+    folded: set[int] = set()
+    for sub, _ in tables:
+        df = spark.read.parquet(f"{path}/{sub}")
+        folded |= {int(r["batch"])
+                   for r in df.select("batch").distinct().collect()
+                   if int(r["batch"]) >= 0}
+    if not folded:
+        return
+    for sub, parts in tables:
+        p = f"{path}/{sub}"
+        tmp, old = p + ".compact", p + ".old"
+        df = spark.read.parquet(p)
+        cols = [c for c in df.columns if c != "batch"]
+        (df.select(*cols).withColumn("batch", F.lit(-1))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "static")
+         .partitionBy(*parts, "batch")
+         .parquet(tmp))
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(p, old)
+        os.rename(tmp, p)
+        shutil.rmtree(old)
+    all_ids = _compacted_batches(spark, path) | folded
+    spark.createDataFrame([(b,) for b in sorted(all_ids)],
+                          "batch int") \
+        .write.mode("overwrite").parquet(f"{path}/compacted")
 
 
 def _append_partitioned(df: DataFrame, path: str, parts: list[str],
@@ -756,6 +851,8 @@ def append_lsh_index(emb_batch: DataFrame, path: str,
             f"append_lsh_index: no meta side-file under {path} — "
             "the plane family must come from the build, rebuild with "
             "write_lsh_index")
+    if _replay_of_compacted(spark, path, batch_id):
+        return  # batch already folded into the base by compact_index
     dim, n_planes, n_tables = (int(meta["dim"]), int(meta["n_planes"]),
                                int(meta["n_tables"]))
     store_vectors = bool(meta["store_vectors"])

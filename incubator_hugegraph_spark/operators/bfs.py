@@ -184,10 +184,12 @@ def bfs(graph: PropertyGraph, source_ids: list[str], depth: int,
                            if total <= BROADCAST_FRONTIER_LIMIT
                            else visited.select("id")),
                           on="id", how="left_anti"))
-        frontier = iterate_hygiene(frontier, k)
-        # the per-round count is against the eagerly-checkpointed
-        # frontier — a metadata-cheap job that also feeds the capacity
-        # guard when one is set
+        # LAZY checkpoint fused with the per-round count (a FULL
+        # action — computes every partition): one job per round
+        # instead of checkpoint-job + count-job (optimization r10,
+        # same fusion page_rank's loop uses). The count also feeds
+        # the capacity guard when one is set.
+        frontier = checkpointed(frontier, eager=False)
         n = frontier.count()
         if capacity != NO_LIMIT:
             graph.check_capacity(frontier, capacity, precounted=n)
@@ -436,9 +438,12 @@ def kneighbor_paths(graph: PropertyGraph, source: str, depth: int,
                        F.concat_ws(sep, "path", "dst").alias("path"))
                .join(vside, on="id", how="left_anti"))
         # one (min-lex) path per newly reached vertex — this collapse is
-        # what keeps the frontier O(|V|) instead of O(#paths)
+        # what keeps the frontier O(|V|) instead of O(#paths). Lazy
+        # checkpoint fused with the count (full action): one job per
+        # round (optimization r10).
         frontier = checkpointed(
-            ext.groupBy("id").agg(F.min("path").alias("path")))
+            ext.groupBy("id").agg(F.min("path").alias("path")),
+            eager=False)
         frontier_rows = frontier.count()
         if frontier_rows == 0:
             break

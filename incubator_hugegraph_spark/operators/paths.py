@@ -388,8 +388,9 @@ def multi_node_shortest_path(graph: PropertyGraph, ids: list[str],
                .agg(F.min("path").alias("path"))
                .join(vside, on=["origin", "id"], how="left_anti"))
         # the frontier feeds BOTH the pair emission and the next round —
-        # materialize once
-        ext = checkpointed(ext)
+        # materialize once; LAZY, fused with the count below (a full
+        # action), so each round is one job (optimization r10)
+        ext = checkpointed(ext, eager=False)
         hits = (ext.join(F.broadcast(targets), on="id")
                 .select(F.col("origin").alias("source"),
                         F.col("id").alias("target"), "path",

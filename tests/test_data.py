@@ -687,6 +687,71 @@ def test_delta_state_legacy_snapshot_migration(spark, tmp_path):
             for r in get_pairs().collect()} == want
 
 
+def test_delta_state_compaction_bounds_paths_and_restarts(
+        spark, tmp_path, monkeypatch):
+    """r10 optimization: every COMPACT_EVERY committed batches the
+    delta chain folds into ONE b{N}/state base (the legacy-migration
+    read slot), so the per-batch multi-path plan stays bounded on
+    long streams. Asserts (a) compaction fired (some b*/state exists,
+    subsumed state_delta dirs pruned), (b) the in-session path list
+    is bounded by COMPACT_EVERY+1, (c) the final index still equals
+    the one-shot batch kernel, and (d) a RESTART after compaction
+    (more files arrive) stacks new deltas on the compacted base —
+    the crash-window shape (base + _DONE-committed deltas) is
+    exactly what the resume path reads."""
+    import os
+
+    import numpy as np
+
+    import incubator_hugegraph_spark.streaming.incremental as inc
+    from incubator_hugegraph_spark.data.multimodal import (
+        build_avi, frame_dhashes)
+
+    monkeypatch.setattr(inc, "COMPACT_EVERY", 2)
+
+    def frame(seed):
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, 768, dtype=np.uint8).tobytes()
+
+    def assets_df(ids):
+        rows = [(i, "video", build_avi([frame(i), frame(i + 100)]))
+                for i in ids]
+        return spark.createDataFrame(
+            rows, "asset_id long, modality string, payload binary")
+
+    adir, ckpt = str(tmp_path / "assets"), str(tmp_path / "ckpt")
+    assets_df([1, 2, 3, 4]).repartition(4).write.parquet(adir)
+    q1, gs1 = inc.incremental_video_neardup_stream(
+        spark, adir, ckpt, max_files_per_trigger=1)
+    q1.awaitTermination()
+    snap = f"{ckpt}/__vnd_snapshots"
+    bdirs = sorted(int(d[1:]) for d in os.listdir(snap)
+                   if d.startswith("b"))
+    bases = [b for b in bdirs
+             if os.path.isdir(f"{snap}/b{b}/state")]
+    assert bases, "compaction never fired at COMPACT_EVERY=2"
+    base_b = max(bases)
+    # subsumed deltas pruned; only post-base deltas (≤ COMPACT_EVERY)
+    # may remain
+    leftover = [b for b in bdirs
+                if os.path.isdir(f"{snap}/b{b}/state_delta")]
+    assert all(b > base_b for b in leftover)
+    assert len(leftover) <= 2
+    want4 = {(r.asset_id, r.fhash) for r in frame_dhashes(
+        assets_df([1, 2, 3, 4])).select("asset_id", "fhash")
+        .distinct().collect()}
+    assert {(r.asset_id, r.fhash) for r in gs1().collect()} == want4
+    # restart after compaction: new files stack deltas on the base
+    assets_df([5, 6]).repartition(2).write.parquet(adir, mode="append")
+    q2, gs2 = inc.incremental_video_neardup_stream(
+        spark, adir, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination()
+    want6 = {(r.asset_id, r.fhash) for r in frame_dhashes(
+        assets_df([1, 2, 3, 4, 5, 6])).select("asset_id", "fhash")
+        .distinct().collect()}
+    assert {(r.asset_id, r.fhash) for r in gs2().collect()} == want6
+
+
 def test_incremental_image_neardup_equals_batch(spark, tmp_path):
     """Folding image micro-batches through the streaming dHash state
     accumulates EXACTLY the batch run's pairs — every pair surfaces
@@ -2951,6 +3016,80 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     from incubator_hugegraph_spark.data.similarity import cosine_topk
     brute = sorted(map(tuple, cosine_topk(emb, [0, 1], 5).collect()))
     assert q(f"{base}/inc", np=8) == brute
+
+
+def test_compact_index_parity_all_kinds(spark, tmp_path):
+    """compact_index (optimization r10, the r09 verdict's ANN scale
+    finding): folding accumulated batch=N append partitions into the
+    static batch=-1 base must be query-identical for all three index
+    kinds — IVF, IVF+PQ (codes AND vectors), LSH (both storage
+    layouts) — must leave NO batch=N partitions behind, and a
+    REPLAYED append of a compacted batch id must no-op (at-least-once
+    delivery stays idempotent across a compaction)."""
+    import os
+
+    from tests.conftest import SF_DIR
+
+    from incubator_hugegraph_spark.data.ann_index import (
+        append_ivf_index, append_ivf_pq_index, append_lsh_index,
+        compact_index, ivf_index_topk, ivf_pq_index_topk,
+        lsh_index_topk, write_ivf_index, write_ivf_pq_index,
+        write_lsh_index)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    seed = emb.filter(F.col("vec_id") < 200)
+    rest1 = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300))
+    rest2 = emb.filter(F.col("vec_id") >= 300)
+    qvecs = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in emb.filter(F.col("vec_id") <= 2).collect()]
+    base = str(tmp_path)
+
+    def batch_dirs(path):
+        out = []
+        for root, dirs, _ in os.walk(path):
+            out += [d for d in dirs if d.startswith("batch=")]
+        return out
+
+    # (kind path, build, append(batch_df, bid), query)
+    cases = []
+    write_ivf_index(seed, f"{base}/ivf", n_cells=8)
+    cases.append((
+        f"{base}/ivf",
+        lambda b, i: append_ivf_index(b, f"{base}/ivf", batch_id=i),
+        lambda: sorted(map(tuple, ivf_index_topk(
+            spark, f"{base}/ivf", [0, 1], 5, n_probe=3).collect()))))
+    write_ivf_pq_index(seed, f"{base}/pq", n_cells=16, m_sub=8,
+                       n_codes=16)
+    cases.append((
+        f"{base}/pq",
+        lambda b, i: append_ivf_pq_index(b, f"{base}/pq", batch_id=i),
+        lambda: sorted(map(tuple, ivf_pq_index_topk(
+            spark, f"{base}/pq", qvecs, k=5, n_probe=3,
+            rerank=64).collect()))))
+    for sv, sub in ((True, "lsh_a"), (False, "lsh_b")):
+        write_lsh_index(seed, f"{base}/{sub}", dim, store_vectors=sv)
+        cases.append((
+            f"{base}/{sub}",
+            lambda b, i, s=sub: append_lsh_index(
+                b, f"{base}/{s}", batch_id=i),
+            lambda s=sub: sorted(map(tuple, lsh_index_topk(
+                spark, f"{base}/{s}", qvecs, 5).collect()))))
+    for path, append, q in cases:
+        append(rest1, 1)
+        append(rest2, 2)
+        want = q()
+        assert any("batch=1" == d or "batch=2" == d
+                   for d in batch_dirs(path))
+        compact_index(spark, path)
+        assert set(batch_dirs(path)) == {"batch=-1"}, path
+        assert q() == want, path
+        # replayed compacted batch id must no-op (no duplicates)
+        append(rest2, 2)
+        assert q() == want, path
+        assert set(batch_dirs(path)) == {"batch=-1"}, path
+        # a genuinely NEW batch still appends normally post-compact
+        append(rest2.limit(0), 3)  # empty new batch: layout-only
+        assert q() == want, path
 
 
 def test_lsh_index_incremental_append(spark, tmp_path):
