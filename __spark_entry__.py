@@ -6010,10 +6010,16 @@ def _rendered_assets(spark, sf_dir, modality, render, nparts=None):
     import pandas as pd_
     from pyspark.sql import types as T_
 
+    from incubator_hugegraph_spark.data.dedup import _spread_small_input
+
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n"))
-    if nparts:
-        docs = docs.repartition(nparts)
+    # explicit nparts keeps the bench's many-split blob-store model;
+    # otherwise spread a single-split input so the CPU-bound
+    # render+decode pass uses every core (guide §2.5 input skew, the
+    # minhash fix) — identity at real scale
+    docs = docs.repartition(nparts) if nparts \
+        else _spread_small_input(docs)
     schema = T_.StructType([
         T_.StructField("asset_id", T_.LongType(), False),
         T_.StructField("modality", T_.StringType(), False),

@@ -133,20 +133,35 @@ MAX_PIXELS = 1 << 24
 MAX_PROG_PIXELS = 1 << 22
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _dct_matrix():
     """Orthonormal 8x8 DCT-II matrix A: FDCT = A @ X @ A.T, IDCT =
     A.T @ F @ A. A[0] rows give F(0,0) = 8 * mean-shifted value for a
-    constant block — the exactness hook the oracle leans on."""
+    constant block — the exactness hook the oracle leans on. Cached
+    (it is a pure constant, was rebuilt per frame — MJPEG profiling
+    r10) and frozen so an accidental in-place edit raises instead of
+    corrupting every later decode."""
     import numpy as np
     u = np.arange(8).reshape(8, 1)
     x = np.arange(8).reshape(1, 8)
     a = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
     a[0, :] *= 1.0 / np.sqrt(2.0)
+    a.setflags(write=False)
     return a
 
 
-def _build_huffman_codes(bits, values):
-    """(bits, values) -> {symbol: (code, length)} per T.81 Annex C."""
+# Huffman table construction is a pure function of the DHT segment's
+# (bits, values); MJPEG streams re-declare the same standard tables
+# every frame, so the build cost was paid per frame (profiled ~10% of
+# MJPEG decode CPU, r10). Bounded caches (hostile streams can declare
+# many distinct tables); call sites pass lists, the cached core keys
+# on tuples. The returned dicts are read-only by convention
+# (_read_symbol / encoder lookups only).
+@functools.lru_cache(maxsize=256)
+def _build_huffman_codes_cached(bits, values):
     codes = {}
     code = 0
     k = 0
@@ -159,9 +174,13 @@ def _build_huffman_codes(bits, values):
     return codes
 
 
-def _build_huffman_decoder(bits, values):
-    """(bits, values) -> {(length, code): symbol} for MSB-first
-    bit-at-a-time decoding."""
+def _build_huffman_codes(bits, values):
+    """(bits, values) -> {symbol: (code, length)} per T.81 Annex C."""
+    return _build_huffman_codes_cached(tuple(bits), tuple(values))
+
+
+@functools.lru_cache(maxsize=256)
+def _build_huffman_decoder_cached(bits, values):
     table = {}
     code = 0
     k = 0
@@ -172,6 +191,12 @@ def _build_huffman_decoder(bits, values):
             k += 1
         code <<= 1
     return table
+
+
+def _build_huffman_decoder(bits, values):
+    """(bits, values) -> {(length, code): symbol} for MSB-first
+    bit-at-a-time decoding."""
+    return _build_huffman_decoder_cached(tuple(bits), tuple(values))
 
 
 class _BitWriter:

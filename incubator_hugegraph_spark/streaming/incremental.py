@@ -320,8 +320,9 @@ def incremental_image_neardup_batch(state: DataFrame | None,
         return_delta=return_delta)
 
 
-#: Delta-state folds compact their b{N}/state_delta chain into one
-#: base dir every this many committed batches (see _compact_state
+#: Delta-state folds compact their b{N}/state_delta chain — and every
+#: pairs-emitting fold its b{N}/pairs chain — into one base dir every
+#: this many committed batches (see _compact_state / _compact_pairs
 #: inside _snapshot_fold_stream): bounds the per-batch multi-path
 #: plan at COMPACT_EVERY+1 paths and keeps file counts flat on
 #: long-running streams. Sized so compaction IO (one O(|state|)
@@ -426,7 +427,23 @@ def _snapshot_fold_stream(spark: SparkSession, stream, checkpoint_dir: str,
     pairs0 = None
     pairs_dirs: list[str] = []
     if pairs_schema is not None and done0 >= 0:
-        pairs0, pairs_dirs = _read_deltas("pairs")
+        # pairs COMPACTION read slot (optimization r10): the newest
+        # b{N}/pairs_base subsumes every pairs delta ≤ N — stack only
+        # NEWER deltas on it, so a crash between the base rename and
+        # the prune (or leftover un-pruned dirs) never double-counts
+        # a pair. Without a base, every committed delta is read — the
+        # pre-compaction layout.
+        pbases = [b for b in done
+                  if os.path.isdir(f"{snap}/b{b}/pairs_base")]
+        if pbases:
+            pbase_b = max(pbases)
+            pairs_dirs = [f"{snap}/b{pbase_b}/pairs_base"] + [
+                f"{snap}/b{b}/pairs" for b in sorted(done)
+                if b > pbase_b
+                and os.path.isdir(f"{snap}/b{b}/pairs")]
+            pairs0 = spark.read.parquet(*pairs_dirs)
+        else:
+            pairs0, pairs_dirs = _read_deltas("pairs")
     holder = {"state": state0, "pairs": pairs0, "done": done0,
               "state_dirs": state_dirs, "pairs_dirs": pairs_dirs}
 
@@ -474,6 +491,9 @@ def _snapshot_fold_stream(spark: SparkSession, stream, checkpoint_dir: str,
         holder["done"] = batch_id
         if delta_state and len(holder["state_dirs"]) > COMPACT_EVERY:
             _compact_state(batch_id)
+        if pairs_schema is not None and \
+                len(holder["pairs_dirs"]) > COMPACT_EVERY:
+            _compact_pairs(batch_id)
 
     def _compact_state(batch_id: int) -> None:
         # Delta-chain COMPACTION (optimization r10; the r09 verdict's
@@ -503,6 +523,31 @@ def _snapshot_fold_stream(spark: SparkSession, stream, checkpoint_dir: str,
             shutil.rmtree(d, ignore_errors=True)
         holder["state_dirs"] = [base]
         holder["state"] = spark.read.parquet(base)
+
+    def _compact_pairs(batch_id: int) -> None:
+        # Pairs twin of _compact_state (optimization r10; the last
+        # O(B) growth in this driver): one pairs-delta dir per
+        # committed batch made the accumulated-pairs scan's path list
+        # grow with stream lifetime. Every COMPACT_EVERY batches,
+        # fold every current pairs dir into ONE b{batch_id}/pairs_base
+        # (tmp write + atomic rename, same crash windows as the state
+        # base: a crash before the rename leaves the old dirs
+        # standing; after it, the reader keys on the NEWEST base and
+        # stacks only newer deltas, so un-pruned older dirs are
+        # ignored, never double-counted). Pairs are the accumulated
+        # RESULT — the base holds every pair ever emitted; nothing is
+        # lost by pruning the subsumed deltas.
+        tmp = f"{snap}/b{batch_id}/pairs_base_tmp"
+        base = f"{snap}/b{batch_id}/pairs_base"
+        spark.read.parquet(*holder["pairs_dirs"]) \
+            .write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(base):
+            shutil.rmtree(base)
+        os.rename(tmp, base)
+        for d in holder["pairs_dirs"]:
+            shutil.rmtree(d, ignore_errors=True)
+        holder["pairs_dirs"] = [base]
+        holder["pairs"] = spark.read.parquet(base)
 
     q = (stream.writeStream
          .foreachBatch(step)

@@ -752,6 +752,85 @@ def test_delta_state_compaction_bounds_paths_and_restarts(
     assert {(r.asset_id, r.fhash) for r in gs2().collect()} == want6
 
 
+def test_pairs_delta_compaction_bounds_paths_and_restarts(
+        spark, tmp_path, monkeypatch):
+    """r10 optimization, pairs twin of the state-compaction test: the
+    accumulated near-dup pairs are one delta dir per committed batch,
+    so their multi-path scan grew O(B) with stream lifetime. Every
+    COMPACT_EVERY batches they fold into ONE b{N}/pairs_base. Asserts
+    (a) compaction fired and subsumed pairs deltas were pruned,
+    (b) the in-session path list stays bounded, (c) NO pair is lost
+    across compaction (pairs are the accumulated result — the base
+    must hold every pair ever emitted), and (d) a restart after
+    compaction resumes from base + newer deltas and still matches the
+    one-shot batch kernel, including pairs whose members span the
+    compaction boundary."""
+    import os
+
+    import numpy as np
+
+    import incubator_hugegraph_spark.streaming.incremental as inc
+    from incubator_hugegraph_spark.data.dedup import hamming_near_pairs
+    from incubator_hugegraph_spark.data.multimodal import (
+        encode_png_rgb, image_dhash, synth_media_bytes)
+
+    monkeypatch.setattr(inc, "COMPACT_EVERY", 2)
+
+    def edited_png(stream_seed, member):
+        raw = synth_media_bytes(stream_seed, 12 * 10 * 3).astype(
+            np.int64)
+        idx = np.arange(raw.size, dtype=np.int64)
+        m = (idx * 31 + member) % 97 == 0
+        raw[m] = (raw[m] + 128) % 256
+        return encode_png_rgb(raw.astype(np.uint8).tobytes(), 12, 10)
+
+    def assets_df(ids):
+        rows = [(i, "image", edited_png(i % 10 if i != 99 else 99, i))
+                for i in ids]
+        return spark.createDataFrame(
+            rows, "asset_id long, modality string, payload binary")
+
+    adir, ckpt = str(tmp_path / "assets"), str(tmp_path / "ckpt")
+    # 4 single-file batches; 1/11 are near-dups (pair emitted in an
+    # EARLY batch, i.e. before compaction fires at COMPACT_EVERY=2)
+    assets_df([1, 11, 99, 2]).repartition(4).write.parquet(adir)
+    q1, gp1 = inc.incremental_image_neardup_stream(
+        spark, adir, ckpt, max_files_per_trigger=1)
+    q1.awaitTermination()
+    snap = f"{ckpt}/__ind_snapshots"
+    bdirs = sorted(int(d[1:]) for d in os.listdir(snap)
+                   if d.startswith("b"))
+    pbases = [b for b in bdirs
+              if os.path.isdir(f"{snap}/b{b}/pairs_base")]
+    assert pbases, "pairs compaction never fired at COMPACT_EVERY=2"
+    pbase_b = max(pbases)
+    leftover = [b for b in bdirs
+                if os.path.isdir(f"{snap}/b{b}/pairs")]
+    assert all(b > pbase_b for b in leftover)
+    assert len(leftover) <= 2
+    want4 = {(r.d1, r.d2, r.hamming)
+             for r in hamming_near_pairs(
+                 image_dhash(assets_df([1, 11, 99, 2])), 3,
+                 hash_col="dhash", id_col="asset_id").collect()}
+    assert want4, "no pre-compaction pair planted"
+    assert {(r.d1, r.d2, r.hamming)
+            for r in gp1().collect()} == want4
+    # restart after compaction: 21 joins the 1/11 group — its pairs
+    # need band rows from the compacted base AND the post-base deltas
+    assets_df([21, 3]).repartition(2).write.parquet(
+        adir, mode="append")
+    q2, gp2 = inc.incremental_image_neardup_stream(
+        spark, adir, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination()
+    want6 = {(r.d1, r.d2, r.hamming)
+             for r in hamming_near_pairs(
+                 image_dhash(assets_df([1, 11, 99, 2, 21, 3])), 3,
+                 hash_col="dhash", id_col="asset_id").collect()}
+    assert any(d2 == 21 for _, d2, _ in want6)
+    assert {(r.d1, r.d2, r.hamming)
+            for r in gp2().collect()} == want6
+
+
 def test_incremental_image_neardup_equals_batch(spark, tmp_path):
     """Folding image micro-batches through the streaming dHash state
     accumulates EXACTLY the batch run's pairs — every pair surfaces
