@@ -6010,7 +6010,7 @@ def _rendered_assets(spark, sf_dir, modality, render, nparts=None):
     import pandas as pd_
     from pyspark.sql import types as T_
 
-    from incubator_hugegraph_spark.data.dedup import _spread_small_input
+    from incubator_hugegraph_spark.graph import spread_small_input
 
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n"))
@@ -6019,7 +6019,7 @@ def _rendered_assets(spark, sf_dir, modality, render, nparts=None):
     # render+decode pass uses every core (guide §2.5 input skew, the
     # minhash fix) — identity at real scale
     docs = docs.repartition(nparts) if nparts \
-        else _spread_small_input(docs)
+        else spread_small_input(docs)
     schema = T_.StructType([
         T_.StructField("asset_id", T_.LongType(), False),
         T_.StructField("modality", T_.StringType(), False),

@@ -538,16 +538,42 @@ def compact_index(spark: SparkSession, path: str) -> None:
     The folded batch ids are recorded in a ``compacted`` side-file
     and the append_* doors no-op on a replayed compacted id, so
     foreachBatch's at-least-once replay stays idempotent across a
-    compaction. Each table is rewritten to a sibling dir and swapped
-    in with two renames (local fs — same contract as the streaming
-    snapshot protocol): a crash before the first rename leaves the
-    index untouched; the window between the renames is the
-    non-atomicity any bare-parquet rewrite has — run compaction in a
-    maintenance window, or use a table format with atomic commit
-    (Iceberg/Delta rewrite_data_files) at production scale."""
+    compaction. Crash-window design (review r10 — the first cut had
+    two holes here):
+
+    - Only batch ids present in EVERY table of the index are folded
+      and marked. A half-appended batch (crash between the codes and
+      vectors writes — the exact window the codes-first append order
+      exists for) keeps its batch=N partitions and stays unmarked,
+      so the healing replay still overwrites them and completes the
+      missing table; marking it would have turned that replay into a
+      no-op and lost the batch's vectors permanently.
+    - The side-file is APPENDED (new ids as a new parquet file, old
+      files untouched) BEFORE any table swap. Every interleaving is
+      then safe: marked-but-not-yet-folded rows still live under
+      their batch=N partitions (read path unions all batches — no
+      loss, and the no-op replay is correct because the rows exist);
+      a crash between the two PQ table swaps leaves codes folded and
+      vectors under batch=N — no duplicate, because the replay
+      already no-ops. A later compaction folds whatever remains.
+
+    Each table is rewritten to a sibling dir and swapped in with two
+    renames (local fs, checked up front — same contract as the
+    streaming snapshot protocol); run compaction in a maintenance
+    window, or use a table format with atomic commit (Iceberg/Delta
+    rewrite_data_files) at production scale."""
     import os
+    import re
     import shutil
 
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) and \
+            not path.startswith("file://"):
+        # same fail-LOUD rule as streaming's _require_local_dir: the
+        # swap below is os.rename, which would die midway on an
+        # object-store URI after the expensive rewrite already ran
+        raise ValueError(
+            f"compact_index: {path!r} is not a local path — the "
+            "table swap uses local filesystem renames")
     meta = _read_meta(spark, path)
     if meta is None:
         raise ValueError(
@@ -564,20 +590,38 @@ def compact_index(spark: SparkSession, path: str) -> None:
             tables.append(("vectors", []))
     else:
         tables = [("vectors", ["cell"])]
-    folded: set[int] = set()
+    per_table: list[set[int]] = []
     for sub, _ in tables:
         df = spark.read.parquet(f"{path}/{sub}")
-        folded |= {int(r["batch"])
-                   for r in df.select("batch").distinct().collect()
-                   if int(r["batch"]) >= 0}
-    if not folded:
+        per_table.append(
+            {int(r["batch"])
+             for r in df.select("batch").distinct().collect()
+             if int(r["batch"]) >= 0})
+    complete = set.intersection(*per_table)
+    if not complete:
         return
+    already = _compacted_batches(spark, path)
+    new_ids = sorted(complete - already)
+    if new_ids:
+        # side-file FIRST, append-only: committed part files are
+        # never rewritten, so a crash anywhere after this leaves the
+        # replay guard intact (duplicate ids across files collapse in
+        # the set read)
+        spark.createDataFrame([(b,) for b in new_ids], "batch int") \
+            .write.mode("append").parquet(f"{path}/compacted")
+    fold = sorted(complete)
     for sub, parts in tables:
         p = f"{path}/{sub}"
         tmp, old = p + ".compact", p + ".old"
         df = spark.read.parquet(p)
         cols = [c for c in df.columns if c != "batch"]
-        (df.select(*cols).withColumn("batch", F.lit(-1))
+        folded_rows = (df.filter(F.col("batch").isin([-1] + fold))
+                       .select(*cols).withColumn("batch", F.lit(-1)))
+        # incomplete batches keep their batch=N partitions so the
+        # healing replay's dynamic overwrite stays idempotent
+        kept_rows = df.filter(~F.col("batch").isin([-1] + fold)) \
+            .select(*cols, "batch")
+        (folded_rows.unionByName(kept_rows)
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "static")
          .partitionBy(*parts, "batch")
@@ -586,10 +630,6 @@ def compact_index(spark: SparkSession, path: str) -> None:
         os.rename(p, old)
         os.rename(tmp, p)
         shutil.rmtree(old)
-    all_ids = _compacted_batches(spark, path) | folded
-    spark.createDataFrame([(b,) for b in sorted(all_ids)],
-                          "batch int") \
-        .write.mode("overwrite").parquet(f"{path}/compacted")
 
 
 def _append_partitioned(df: DataFrame, path: str, parts: list[str],

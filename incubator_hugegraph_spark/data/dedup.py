@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from incubator_hugegraph_spark.functions.text import (WS_SPLIT_RE,
                                                       tokenize)
+from incubator_hugegraph_spark.graph import spread_small_input
 
 # 64 minhash permutations h_i(x) = (a_i·x + b_i) mod P (Carter-Wegman).
 # P = 2^31-1 (Mersenne) keeps a·h+b < 2^63 — no int64 overflow under
@@ -235,28 +236,6 @@ def verify_pairs(cand: DataFrame, docs: DataFrame, n: int = 3,
             .select("d1", "d2", F.round("jaccard", 6).alias("jaccard")))
 
 
-def _spread_small_input(df: DataFrame) -> DataFrame:
-    """Parallelism guard for kernels whose first pass is CPU-heavy
-    (tokenize + explode + the 64 permutation mins): a small corpus
-    arrives as ONE parquet split, which serializes that whole pass on
-    a single core no matter how many sit idle. When the scan has
-    fewer partitions than the session has slots, one round-robin
-    repartition buys slots× parallelism for every downstream pass; at
-    real scale the input already has more splits than cores and this
-    is the identity — scale-adaptive, not a local[32] constant.
-    Results are unchanged (signatures are per-doc deterministic).
-
-    Measured (r10, sf0.1, interleaved best-of-3): end-to-end
-    minhash_lsh_pairs 10.1/10.9/12.4 s plain vs 5.4/8.0/6.4 s spread
-    — ~2x, identical 256 output rows. This supersedes the r03 NOTE in
-    word_shingles (repartition then cost 25% end-to-end): since r07
-    the signature table is checkpointed, so the shingle pass runs
-    once per pipeline and the one-time shuffle now wins."""
-    sc = df.sparkSession.sparkContext
-    cap = int(sc.defaultParallelism)
-    if df.rdd.getNumPartitions() >= cap:
-        return df
-    return df.repartition(cap)
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
@@ -272,8 +251,8 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
     from incubator_hugegraph_spark.graph import checkpointed
     # one round-robin spread of a too-few-splits input parallelizes
     # BOTH CPU-heavy shingle passes (signatures here, the candidate
-    # re-shingle in verify_pairs) — see _spread_small_input
-    docs = _spread_small_input(docs)
+    # re-shingle in verify_pairs) — see graph.spread_small_input
+    docs = spread_small_input(docs)
     # the band table self-joins (l × r): without materialization the
     # whole shingle→minhash chain executes once PER SIDE. One eager
     # checkpoint of the signature table (|docs| rows × 64 longs —

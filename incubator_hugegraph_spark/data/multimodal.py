@@ -914,12 +914,12 @@ def _assets_adapter(docs: DataFrame, render) -> DataFrame:
     previously two copy-pasted ~45-line bodies): modality by
     doc_id % 3, one Arrow-batched mapInPandas pass over
     ``render(asset_id, modality, body) -> (payload, mime)``."""
-    from incubator_hugegraph_spark.data.dedup import _spread_small_input
+    from incubator_hugegraph_spark.graph import spread_small_input
     # render + decode are CPU-bound per row: a small corpus arriving
     # as ONE parquet split would serialize the whole codec pass on a
     # single core (guide §2.5 input skew — the same fix measured 2x
     # on minhash_lsh_pairs, r10). Identity at real scale.
-    base = _spread_small_input(docs).select(
+    base = spread_small_input(docs).select(
         F.col("doc_id").alias("asset_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
          .when(F.col("doc_id") % 3 == 1, "audio")

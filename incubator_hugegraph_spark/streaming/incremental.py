@@ -390,8 +390,16 @@ def _snapshot_fold_stream(spark: SparkSession, stream, checkpoint_dir: str,
     done = []
     if os.path.isdir(snap):
         for nm in os.listdir(snap):
-            if (nm.startswith("b") and nm[1:].isdigit()
-                    and os.path.exists(f"{snap}/{nm}/_DONE")):
+            if not (nm.startswith("b") and nm[1:].isdigit()):
+                continue
+            # a crash mid-compaction leaves a half-written tmp dir at
+            # a batch-id-unique path no later compaction revisits —
+            # reclaim it here (review r10: an O(|state|) blob leaked
+            # per crashed compaction); the rename in _compact_* is
+            # what commits, so a tmp dir is never live state
+            for t in ("state_tmp", "pairs_base_tmp"):
+                shutil.rmtree(f"{snap}/{nm}/{t}", ignore_errors=True)
+            if os.path.exists(f"{snap}/{nm}/_DONE"):
                 done.append(int(nm[1:]))
     done0 = max(done) if done else -1
 

@@ -3171,6 +3171,73 @@ def test_compact_index_parity_all_kinds(spark, tmp_path):
         assert q() == want, path
 
 
+def test_compact_index_skips_half_appended_batch(spark, tmp_path):
+    """Review r10: a batch that crashed between the PQ codes and
+    vectors writes (the exact window the codes-first order exists
+    for) must NOT be folded or marked compacted — marking it would
+    turn the healing replay into a no-op and lose the batch's
+    vectors permanently. Compaction must fold only batches present
+    in EVERY table, leave the half batch's partitions in place, and
+    let the replay overwrite them; a later compaction then folds the
+    healed batch."""
+    import os
+    import shutil
+
+    from tests.conftest import SF_DIR
+
+    from incubator_hugegraph_spark.data.ann_index import (
+        _compacted_batches, append_ivf_pq_index, compact_index,
+        ivf_pq_index_topk, write_ivf_pq_index)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    seed = emb.filter(F.col("vec_id") < 200)
+    rest1 = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300))
+    rest2 = emb.filter(F.col("vec_id") >= 300)
+    qvecs = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in emb.filter(F.col("vec_id") <= 2).collect()]
+    path = f"{tmp_path}/pq"
+    ref = f"{tmp_path}/pq_ref"
+
+    def q(p):
+        return sorted(map(tuple, ivf_pq_index_topk(
+            spark, p, qvecs, k=5, n_probe=3, rerank=64).collect()))
+
+    def batch_dirs(sub):
+        out = set()
+        for root, dirs, _ in os.walk(f"{path}/{sub}"):
+            out |= {d for d in dirs if d.startswith("batch=")}
+        return out
+
+    write_ivf_pq_index(seed, path, n_cells=16, m_sub=8, n_codes=16)
+    append_ivf_pq_index(rest1, path, batch_id=1)
+    append_ivf_pq_index(rest2, path, batch_id=2)
+    # simulate the crash window: batch 2's codes landed, vectors
+    # didn't
+    for root, dirs, _ in os.walk(f"{path}/vectors"):
+        for d in dirs:
+            if d == "batch=2":
+                shutil.rmtree(os.path.join(root, d))
+    compact_index(spark, path)
+    assert _compacted_batches(spark, path) == {1}
+    assert "batch=2" in batch_dirs("codes")      # NOT folded
+    assert "batch=2" not in batch_dirs("vectors")
+    # the healing replay is NOT a no-op: it completes the batch
+    append_ivf_pq_index(rest2, path, batch_id=2)
+    # reference: the same seed-build + appends, no crash (a one-shot
+    # build over the union would train different codebooks)
+    write_ivf_pq_index(seed, ref, n_cells=16, m_sub=8, n_codes=16)
+    append_ivf_pq_index(rest1, ref, batch_id=1)
+    append_ivf_pq_index(rest2, ref, batch_id=2)
+    assert q(path) == q(ref)
+    # and a later compaction folds the healed batch
+    compact_index(spark, path)
+    assert _compacted_batches(spark, path) == {1, 2}
+    assert batch_dirs("codes") == {"batch=-1"}
+    assert batch_dirs("vectors") == {"batch=-1"}
+    assert q(path) == q(ref)
+    append_ivf_pq_index(rest2, path, batch_id=2)  # replay now no-ops
+    assert q(path) == q(ref)
+
+
 def test_lsh_index_incremental_append(spark, tmp_path):
     """LSH twin of the IVF append test: planes are pure functions of
     (table, plane, dim), so seed-build + appends must be
