@@ -48,23 +48,13 @@ def _union_find_pairs(pairs: list[tuple[str, str]]) -> dict[str, str]:
     return {x: find(x) for x in parent}
 
 
-def _component_pairs(state: DataFrame, e: DataFrame) -> DataFrame:
-    """Component pairs (cs, cd) induced by a batch of edges: map each
-    batch endpoint to its current component. The BATCH is the broadcast
-    side in both joins; the O(|V|) state streams through partition-local
-    (round-2 verdict: broadcasting the state ships every vertex's
-    component to every executor — fatal at 100 TB). Plan-asserted in
+def _endpoint_components(state: DataFrame, vdf: DataFrame) -> DataFrame:
+    """Components of the batch's endpoints: the O(batch) vertex list
+    broadcasts, the O(|V|) state streams partition-local (round-2
+    verdict: broadcasting the state ships every vertex's component to
+    every executor — fatal at 100 TB). Plan-asserted in
     tests/test_plans.py::test_incremental_wcc_broadcasts_batch."""
-    comp = state.select("id", "component")
-    e_cs = (F.broadcast(e)
-            .join(comp.withColumnRenamed("id", "src")
-                  .withColumnRenamed("component", "cs"), on="src")
-            .select("dst", "cs"))
-    return (F.broadcast(e_cs)
-            .join(comp.withColumnRenamed("id", "dst")
-                  .withColumnRenamed("component", "cd"), on="dst")
-            .select("cs", "cd").filter(F.col("cs") != F.col("cd"))
-            .distinct())
+    return state.join(F.broadcast(vdf), on="id")
 
 
 def incremental_wcc_batch(state: DataFrame | None,
@@ -73,11 +63,20 @@ def incremental_wcc_batch(state: DataFrame | None,
     """One incremental step: fold a batch of (src, dst) edges into the
     component table. Returns the new state (id, component).
 
-    Plan shape per batch: two broadcast joins against the batch (map
-    the batch endpoints to their current components), one driver
-    union-find over ≤|batch| component pairs, one broadcast-mapping
-    join to remap the state. The edge batch is consumed once;
-    historical edges are never re-read.
+    Plan shape per batch (restructured, optimization r10): collect
+    the batch's distinct edges (O(batch) — the same driver bound the
+    comp-pair collect always had, see NOTE below), ONE broadcast
+    lookup join for the endpoints' current components (state streams
+    partition-local), the component graph + union-find + new-vertex
+    set computed driver-side from those two bounded collections, one
+    broadcast-mapping join to remap the state. Two jobs per batch
+    where the previous shape ran ~6 (each nested F.broadcast(...)
+    built its own sub-job: batch collect, e_cs build, pairs collect,
+    verts build, known build, state write) — the per-batch
+    orchestration cost the r09 profile attributed x_stream_wcc to.
+    The edge batch is consumed once; historical edges are never
+    re-read. Results are identical: the component graph and
+    union-find are order-independent (min of each merged group).
 
     ``ckpt=False`` (optimization r10) skips the localCheckpoint for
     callers that MATERIALIZE the returned state themselves — the
@@ -89,21 +88,23 @@ def incremental_wcc_batch(state: DataFrame | None,
     spark = edges_batch.sparkSession
     e = edges_batch.select(F.col("src").cast("string"),
                            F.col("dst").cast("string")).distinct()
-    verts = (e.select(F.col("src").alias("id"))
-             .union(e.select(F.col("dst").alias("id"))).distinct())
+    edges = [(r["src"], r["dst"]) for r in e.collect()]
     if state is None:
         state = spark.createDataFrame([], "id string, component string")
-    # New vertices enter as their own component. Broadcast the O(batch)
-    # vertex list, never the O(|V|) state: semi-join state against the
-    # batch first (result is O(batch)), then anti-join the batch against
-    # that small hit set.
-    known = (state.select("id")
-             .join(F.broadcast(verts), on="id", how="left_semi"))
-    newv = (verts.join(F.broadcast(known), on="id", how="left_anti")
-            .select("id", F.col("id").alias("component")))
-    state = state.unionByName(newv)
-    pairs_df = _component_pairs(state, e)
-    pairs = [(r.cs, r.cd) for r in pairs_df.collect()]
+    verts = sorted({x for pair in edges for x in pair})
+    if not verts:
+        return state.localCheckpoint() if ckpt else state
+    vdf = spark.createDataFrame([(v,) for v in verts], "id string")
+    comp = {r["id"]: r["component"]
+            for r in _endpoint_components(state, vdf).collect()}
+    # new vertices enter as their own component
+    newv = [v for v in verts if v not in comp]
+    if newv:
+        state = state.unionByName(spark.createDataFrame(
+            [(v, v) for v in newv], "id string, component string"))
+        comp.update({v: v for v in newv})
+    pairs = sorted({(comp[s], comp[d])
+                    for s, d in edges if comp[s] != comp[d]})
     if not pairs:
         return state.localCheckpoint() if ckpt else state
     mapping = _union_find_pairs(pairs)
@@ -143,11 +144,12 @@ def incremental_wcc_stream(spark: SparkSession, edges_path: str,
         snap_name="__wcc_state",
         pairs_schema=None)
 
-# NOTE: the comp-pair collect is bounded by the BATCH edge count (the
-# component graph never exceeds it), so driver memory is governed by
-# trigger sizing — the same admission-control knob any streaming job
-# already tunes. A 100 TB backfill streams through the same code with
-# maxFilesPerTrigger sized to keep batches in the tens of millions.
+# NOTE: the edge-list and endpoint-component collects are bounded by
+# the BATCH edge count (the component graph never exceeds it), so
+# driver memory is governed by trigger sizing — the same
+# admission-control knob any streaming job already tunes. A 100 TB
+# backfill streams through the same code with maxFilesPerTrigger
+# sized to keep batches in the tens of millions.
 
 
 # ---------------------------------------------------------------------------

@@ -76,21 +76,23 @@ def test_bfs_frontier_shuffle_fallback(graph, monkeypatch):
 
 
 def test_incremental_wcc_broadcasts_batch(spark):
-    """Round-3 scale fix guard: the component-pair joins must broadcast
-    the O(batch) edge side (BuildLeft — batch is the left operand), never
-    the O(|V|) component state (which would be BuildRight)."""
+    """Round-3 scale fix guard (r10: the pair computation moved
+    driver-side, so the guarded join is now the endpoint-component
+    lookup): the lookup must broadcast the O(batch) vertex list
+    (BuildRight — the vertex list is the right operand), never the
+    O(|V|) component state (which would be BuildLeft)."""
     from incubator_hugegraph_spark.streaming.incremental import (
-        _component_pairs)
+        _endpoint_components)
     state = (spark.read.parquet(f"{SF_DIR}/customer.parquet")
              .select(F.concat(F.lit("customer!"), "c_custkey").alias("id"))
              .withColumn("component", F.col("id")))
-    batch = spark.createDataFrame(
-        [("customer!1", "customer!2"), ("customer!3", "customer!4")],
-        "src string, dst string")
-    plan = _plan(_component_pairs(state, batch))
+    vdf = spark.createDataFrame(
+        [("customer!1",), ("customer!2",), ("customer!3",)],
+        "id string")
+    plan = _plan(_endpoint_components(state, vdf))
     joins = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
-    assert len(joins) == 2, plan
-    assert all("BuildLeft" in l for l in joins), plan
+    assert len(joins) == 1, plan
+    assert all("BuildRight" in l for l in joins), plan
 
 
 def test_jaccard_top_batch_filters_degree_before_broadcast(graph):
