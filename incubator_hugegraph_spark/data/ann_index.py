@@ -566,14 +566,14 @@ def compact_index(spark: SparkSession, path: str) -> None:
     import re
     import shutil
 
-    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) and \
-            not path.startswith("file://"):
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path):
         # same fail-LOUD rule as streaming's _require_local_dir: the
-        # swap below is os.rename, which would die midway on an
-        # object-store URI after the expensive rewrite already ran
+        # swap below is os.rename, which would die midway on ANY URI
+        # (os.* does not resolve even file:// schemes — review r10)
+        # after the expensive rewrite already ran
         raise ValueError(
-            f"compact_index: {path!r} is not a local path — the "
-            "table swap uses local filesystem renames")
+            f"compact_index: {path!r} is not a plain local path — "
+            "the table swap uses local filesystem renames")
     meta = _read_meta(spark, path)
     if meta is None:
         raise ValueError(
@@ -590,17 +590,29 @@ def compact_index(spark: SparkSession, path: str) -> None:
             tables.append(("vectors", []))
     else:
         tables = [("vectors", ["cell"])]
-    per_table: list[set[int]] = []
-    for sub, _ in tables:
-        df = spark.read.parquet(f"{path}/{sub}")
-        per_table.append(
-            {int(r["batch"])
-             for r in df.select("batch").distinct().collect()
-             if int(r["batch"]) >= 0})
-    complete = set.intersection(*per_table)
-    if not complete:
-        return
+
+    def _batch_ids(sub: str) -> set[int]:
+        # partition values are directory names on the (guaranteed
+        # local) index — a filesystem walk, not a Spark scan of the
+        # very small files compaction exists to reduce (review r10)
+        out: set[int] = set()
+        for root, dirs, _ in os.walk(f"{path}/{sub}"):
+            out |= {int(d[6:]) for d in dirs
+                    if d.startswith("batch=") and d[6:].lstrip("-")
+                    .isdigit() and int(d[6:]) >= 0}
+        return out
+
+    per_table = [_batch_ids(sub) for sub, _ in tables]
     already = _compacted_batches(spark, path)
+    complete = set.intersection(*per_table)
+    # residue of an earlier crash between two table swaps: a batch
+    # already marked compacted (i.e. it WAS complete when marked) may
+    # survive as batch=N in only one table — safe to fold, and
+    # required, or it would never leave the intersection-gated path
+    # (review r10)
+    fold_ids = complete | (already & set.union(*per_table))
+    if not fold_ids:
+        return
     new_ids = sorted(complete - already)
     if new_ids:
         # side-file FIRST, append-only: committed part files are
@@ -609,8 +621,10 @@ def compact_index(spark: SparkSession, path: str) -> None:
         # the set read)
         spark.createDataFrame([(b,) for b in new_ids], "batch int") \
             .write.mode("append").parquet(f"{path}/compacted")
-    fold = sorted(complete)
-    for sub, parts in tables:
+    fold = sorted(fold_ids)
+    for (sub, parts), tbl_ids in zip(tables, per_table):
+        if not (tbl_ids & fold_ids):
+            continue  # nothing of this table folds — skip the rewrite
         p = f"{path}/{sub}"
         tmp, old = p + ".compact", p + ".old"
         df = spark.read.parquet(p)

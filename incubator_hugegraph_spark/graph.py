@@ -472,17 +472,22 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     is the identity — scale-adaptive, not a local[32] constant.
     Results are unchanged (the kernels are per-row deterministic).
 
-    Shuffle-derived inputs are returned untouched (review r10): the
+    SHUFFLE-derived inputs are returned untouched (review r10): the
     partition-count probe is ``df.rdd``, and under AQE that eagerly
     materializes every upstream query stage — real jobs whose work
-    the actual pipeline then re-runs. A plan that already contains an
-    Exchange has shuffle-sized partitioning anyway, so the guard has
-    nothing to fix there. The probe inspects ``executedPlan``'s
-    STRING — under AQE that is the un-executed AdaptiveSparkPlanExec
-    whose initial plan (exchanges included, isFinalPlan=false) prints
-    without running anything; the pre-adaptive ``sparkPlan`` would
-    NOT work here, AQE inserts exchanges only inside the adaptive
-    wrapper (verified against Spark 4.1).
+    the actual pipeline then re-runs. A plan that already contains a
+    shuffle Exchange has shuffle-sized partitioning anyway, so the
+    guard has nothing to fix there. BroadcastExchange does NOT trip
+    the skip (review r10 second wave: a scan semi-joined against a
+    broadcast id-list still has single-split partitioning — exactly
+    what the spread exists to fix; the probe's pre-execution of the
+    broadcast build is a small job over the SMALL side, re-run cheap).
+    The probe inspects ``executedPlan``'s STRING — under AQE that is
+    the un-executed AdaptiveSparkPlanExec whose initial plan
+    (exchanges included, isFinalPlan=false) prints without running
+    anything; the pre-adaptive ``sparkPlan`` would NOT work here, AQE
+    inserts exchanges only inside the adaptive wrapper (verified
+    against Spark 4.1).
 
     Measured (r10, sf0.1, interleaved best-of-3): end-to-end
     minhash_lsh_pairs 10.1/10.9/12.4 s plain vs 5.4/8.0/6.4 s spread
@@ -490,7 +495,9 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     word_shingles (repartition then cost 25% end-to-end): since r07
     the signature table is checkpointed, so the shingle pass runs
     once per pipeline and the one-time shuffle now wins."""
-    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+    import re
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if re.search(r"(?<!Broadcast)(?<!Reused)Exchange\s", plan):
         return df
     sc = df.sparkSession.sparkContext
     cap = int(sc.defaultParallelism)

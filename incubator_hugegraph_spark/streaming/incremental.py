@@ -57,6 +57,34 @@ def _endpoint_components(state: DataFrame, vdf: DataFrame) -> DataFrame:
     return state.join(F.broadcast(vdf), on="id")
 
 
+#: Above this many distinct batch edges the WCC fold keeps the pair
+#: computation DISTRIBUTED (the pre-r10 join shape below) instead of
+#: collecting the edge list: the driver-side path trades ~4 job waves
+#: per batch for an O(batch) collect, which is the right trade at
+#: stream-trigger sizes but not for a backfill batch of tens of
+#:  millions of edges (review r10 — GBs of Row objects + py4j
+#: round-trips per batch). Both tiers compute identical results.
+WCC_DRIVER_FOLD_EDGES = 1_000_000
+
+
+def _component_pairs(state: DataFrame, e: DataFrame) -> DataFrame:
+    """Distributed component pairs (cs, cd) induced by a batch of
+    edges — the big-batch tier of incremental_wcc_batch: map each
+    batch endpoint to its current component. The BATCH is the
+    broadcast side in both joins; the O(|V|) state streams
+    partition-local."""
+    comp = state.select("id", "component")
+    e_cs = (F.broadcast(e)
+            .join(comp.withColumnRenamed("id", "src")
+                  .withColumnRenamed("component", "cs"), on="src")
+            .select("dst", "cs"))
+    return (F.broadcast(e_cs)
+            .join(comp.withColumnRenamed("id", "dst")
+                  .withColumnRenamed("component", "cd"), on="dst")
+            .select("cs", "cd").filter(F.col("cs") != F.col("cd"))
+            .distinct())
+
+
 def incremental_wcc_batch(state: DataFrame | None,
                           edges_batch: DataFrame,
                           ckpt: bool = True) -> DataFrame:
@@ -64,19 +92,29 @@ def incremental_wcc_batch(state: DataFrame | None,
     component table. Returns the new state (id, component).
 
     Plan shape per batch (restructured, optimization r10): collect
-    the batch's distinct edges (O(batch) — the same driver bound the
-    comp-pair collect always had, see NOTE below), ONE broadcast
-    lookup join for the endpoints' current components (state streams
-    partition-local), the component graph + union-find + new-vertex
-    set computed driver-side from those two bounded collections, one
-    broadcast-mapping join to remap the state. Two jobs per batch
-    where the previous shape ran ~6 (each nested F.broadcast(...)
-    built its own sub-job: batch collect, e_cs build, pairs collect,
-    verts build, known build, state write) — the per-batch
-    orchestration cost the r09 profile attributed x_stream_wcc to.
-    The edge batch is consumed once; historical edges are never
-    re-read. Results are identical: the component graph and
-    union-find are order-independent (min of each merged group).
+    the batch's distinct edges (O(batch), gated — see below), ONE
+    broadcast lookup join for the endpoints' current components
+    (state streams partition-local), the component graph +
+    union-find + new-vertex set computed driver-side from those two
+    bounded collections, one broadcast-mapping join to remap the
+    state. Three jobs per batch (tier-gate count, endpoint lookup,
+    state write) where the previous shape ran ~6 (each nested
+    F.broadcast(...) built its own sub-job: batch collect, e_cs
+    build, pairs collect, verts build, known build, state write) —
+    the per-batch orchestration cost the r09 profile attributed
+    x_stream_wcc to. Measured (interleaved A/B, sf0.1, gate
+    included): jobs per 4-batch stream 83 → 36, process-tree CPU
+    lower in every pair.
+
+    Past WCC_DRIVER_FOLD_EDGES distinct batch edges the fold falls
+    back to the previous fully-distributed pair computation
+    (_component_pairs): a backfill batch of tens of millions of edges
+    should not materialize as driver Row objects just to save job
+    waves (review r10). Both tiers compute identical results — the
+    component graph and the min-based union-find are
+    order-independent. Edges with a NULL endpoint are dropped up
+    front (review r10: the old join-based path silently never matched
+    them; the driver-side sort would have raised on None).
 
     ``ckpt=False`` (optimization r10) skips the localCheckpoint for
     callers that MATERIALIZE the returned state themselves — the
@@ -86,25 +124,47 @@ def incremental_wcc_batch(state: DataFrame | None,
     rows. Direct callers chaining batches in memory keep the default
     (the checkpoint is what stops the per-batch plan growth)."""
     spark = edges_batch.sparkSession
-    e = edges_batch.select(F.col("src").cast("string"),
-                           F.col("dst").cast("string")).distinct()
-    edges = [(r["src"], r["dst"]) for r in e.collect()]
+    e = (edges_batch.select(F.col("src").cast("string"),
+                            F.col("dst").cast("string"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct())
     if state is None:
         state = spark.createDataFrame([], "id string, component string")
-    verts = sorted({x for pair in edges for x in pair})
-    if not verts:
-        return state.localCheckpoint() if ckpt else state
-    vdf = spark.createDataFrame([(v,) for v in verts], "id string")
-    comp = {r["id"]: r["component"]
-            for r in _endpoint_components(state, vdf).collect()}
-    # new vertices enter as their own component
-    newv = [v for v in verts if v not in comp]
-    if newv:
-        state = state.unionByName(spark.createDataFrame(
-            [(v, v) for v in newv], "id string, component string"))
-        comp.update({v: v for v in newv})
-    pairs = sorted({(comp[s], comp[d])
-                    for s, d in edges if comp[s] != comp[d]})
+    # tier gate: one count job (no rows cross to the driver) — the
+    # driver tier then collects; the big tier never does. The lazy
+    # checkpoint is materialized BY the count (a full action), so the
+    # batch distinct computes exactly once for gate + tier.
+    e = e.localCheckpoint(eager=False)
+    if e.count() <= WCC_DRIVER_FOLD_EDGES:
+        edges = [(r["src"], r["dst"]) for r in e.collect()]
+        verts = sorted({x for pair in edges for x in pair})
+        if not verts:
+            return state.localCheckpoint() if ckpt else state
+        vdf = spark.createDataFrame([(v,) for v in verts], "id string")
+        comp = {r["id"]: r["component"]
+                for r in _endpoint_components(state, vdf).collect()}
+        # new vertices enter as their own component
+        newv = [v for v in verts if v not in comp]
+        if newv:
+            state = state.unionByName(spark.createDataFrame(
+                [(v, v) for v in newv], "id string, component string"))
+            comp.update({v: v for v in newv})
+        pairs = sorted({(comp[s], comp[d])
+                        for s, d in edges if comp[s] != comp[d]})
+    else:
+        # big-batch tier: everything stays distributed, the driver
+        # sees only the deduped component pairs
+        verts_df = (e.select(F.col("src").alias("id"))
+                    .union(e.select(F.col("dst").alias("id")))
+                    .distinct())
+        known = (state.select("id")
+                 .join(F.broadcast(verts_df), on="id", how="left_semi"))
+        newv_df = (verts_df.join(F.broadcast(known), on="id",
+                                 how="left_anti")
+                   .select("id", F.col("id").alias("component")))
+        state = state.unionByName(newv_df)
+        pairs = [(r.cs, r.cd)
+                 for r in _component_pairs(state, e).collect()]
     if not pairs:
         return state.localCheckpoint() if ckpt else state
     mapping = _union_find_pairs(pairs)

@@ -1854,6 +1854,30 @@ def test_incremental_wcc_equals_batch_fixpoint(spark, tmp_path, graph):
     assert sgot == got
 
 
+def test_incremental_wcc_big_batch_tier_equals_driver_tier(
+        spark, graph, monkeypatch):
+    """r10: past WCC_DRIVER_FOLD_EDGES the fold keeps the pair
+    computation distributed instead of collecting the edge list.
+    Forcing the big-batch tier (gate monkeypatched to 0) must yield
+    exactly the driver tier's fold across the same uneven chunks."""
+    import incubator_hugegraph_spark.streaming.incremental as inc
+
+    edges = (graph.adj("OUT", ["interacted"])
+             .select("src", "dst").distinct())
+
+    def fold_all():
+        state = None
+        for k in range(3):
+            chunk = edges.filter(F.abs(F.hash("src")) % 3 == k)
+            state = inc.incremental_wcc_batch(state, chunk)
+        return {(r.id, r.component) for r in state.collect()}
+
+    want = fold_all()  # driver tier (default gate)
+    monkeypatch.setattr(inc, "WCC_DRIVER_FOLD_EDGES", 0)
+    assert fold_all() == want
+    assert len(want) > 0
+
+
 def test_incremental_wcc_stream_restart_resumes_state(spark, tmp_path,
                                                       graph):
     """Streaming review r06: a restarted query SKIPS batches the

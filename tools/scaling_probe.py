@@ -72,6 +72,8 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
+    if args.mult < 2:
+        ap.error("--mult must be >= 2 (the exponent needs a decade)")
 
     from incubator_hugegraph_spark.session import get_spark
     spark = get_spark("scaling_probe")
