@@ -14,6 +14,13 @@ iterative graph algorithms are driver-side loops over joins with
 checkpoint hygiene (the GraphFrames pattern).
 """
 
+# Memory-residency tuning must run in EVERY process that imports the
+# package — the driver and each forked Python worker (codec/udf paths
+# import their module, which imports the package): freed pages are
+# discarded host-side on this host class and refault at 7-11 MB/s
+# under pressure (see _alloc.py).
+import incubator_hugegraph_spark._alloc  # noqa: F401  (side effect)
+
 from incubator_hugegraph_spark.cypher import cypher
 from incubator_hugegraph_spark.graph import PropertyGraph
 from incubator_hugegraph_spark.gremlin import G, GP

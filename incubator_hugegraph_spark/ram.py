@@ -36,25 +36,13 @@ from pyspark.sql import DataFrame
 from incubator_hugegraph_spark.graph import BOTH, OUT, PropertyGraph
 
 
-def _tune_allocator() -> None:
-    """Keep kernel scratch buffers on the reusable heap.
-
-    glibc serves >128 KB allocations via mmap and returns them to the
-    OS on free, so EVERY kernel invocation first-touch page-faults its
-    working set from scratch — measured at ~20 MB/s on constrained
-    hosts (11 s for 700 MB), dwarfing the compute. Raising
-    M_MMAP_THRESHOLD/M_TRIM_THRESHOLD keeps the arena allocated: the
-    first kernel pays the fault once, every later call reuses warm
-    pages. Process-wide and safe — it only trades RSS headroom
-    (bounded by RAM_EDGE_LIMIT sizing) for allocation latency."""
-    try:
-        import ctypes
-        libc = ctypes.CDLL("libc.so.6", use_errno=True)
-        libc.mallopt(-3, 1 << 30)   # M_MMAP_THRESHOLD
-        libc.mallopt(-1, 1 << 30)   # M_TRIM_THRESHOLD
-    except Exception:
-        pass  # non-glibc platform: default allocator behavior
-
+# Keep kernel scratch buffers on the reusable heap: the host class
+# discards pages a process gives back (virtio free-page reporting) and
+# re-provides them at 7-11 MB/s under pressure — see _alloc.py for the
+# measurements. The shared tune runs at package import (driver and
+# Python workers alike); repeated here for direct ram.py importers.
+from incubator_hugegraph_spark._alloc import tune_allocator as \
+    _tune_allocator
 
 _tune_allocator()
 

@@ -9,9 +9,31 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+# Route pyarrow through glibc malloc BEFORE anything imports pyarrow:
+# its bundled jemalloc decays freed Arrow-collect buffers back to the
+# OS within seconds, and on this host class returned pages are
+# discarded host-side and refault at 7-11 MB/s under pressure (the
+# measured "burst windows" — see _alloc.py). The system pool's pages
+# are retained by the raised glibc thresholds instead. setdefault: an
+# explicit operator choice wins. The env var is inherited by the JVM
+# (spawned by getOrCreate) and from it by every Python worker.
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
+from incubator_hugegraph_spark._alloc import tune_allocator  # noqa: E402
+
+tune_allocator()
+
+from pyspark.sql import SparkSession  # noqa: E402
 
 DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+# G1 uncommits committed heap above MaxHeapFreeRatio after a GC cycle;
+# on this host class every uncommitted page is discarded host-side and
+# refaults at 7-11 MB/s under pressure (_alloc.py), so the JVM must
+# keep what it has committed. 100 = never shrink — committed heap is a
+# high-water mark bounded by spark.driver.memory, the standard
+# dedicated-host posture (clusters run Xms=Xmx for the same reason).
+DEFAULT_DRIVER_JAVA_OPTS = "-XX:MaxHeapFreeRatio=100"
 
 
 def get_spark(app_name: str = "incubator-hugegraph-spark") -> SparkSession:
@@ -31,6 +53,9 @@ def get_spark(app_name: str = "incubator-hugegraph-spark") -> SparkSession:
         # spark.executor.memory and the driver shrinks.
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                               DEFAULT_DRIVER_JAVA_OPTS))
         .config("spark.sql.shuffle.partitions", os.environ.get(
             "SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS))
         # AQE: runtime re-plan — coalesce tiny shuffle partitions,
