@@ -6012,14 +6012,22 @@ def _rendered_assets(spark, sf_dir, modality, render, nparts=None):
 
     from incubator_hugegraph_spark.graph import spread_small_input
 
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n"))
     # explicit nparts keeps the bench's many-split blob-store model;
-    # otherwise spread a single-split input so the CPU-bound
-    # render+decode pass uses every core (guide §2.5 input skew, the
-    # minhash fix) — identity at real scale
-    docs = docs.repartition(nparts) if nparts \
-        else spread_small_input(docs)
+    # otherwise spread a fewer-splits-than-needed input so the
+    # CPU-bound render+decode pass parallelizes — byte-sized at the
+    # codec throughput target (r11; guide §2.5 input skew), identity
+    # for sub-target fixtures and at real scale. The spread sizes on
+    # the UNPROJECTED scan: the render cost tracks the source text
+    # bytes, which the n-projection would hide from the estimator.
+    from incubator_hugegraph_spark.data.multimodal import (
+        CODEC_SPREAD_TARGET)
+    docs = _docs(spark, sf_dir)
+    if not nparts:
+        docs = spread_small_input(docs, CODEC_SPREAD_TARGET)
+    docs = docs.select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n"))
+    if nparts:
+        docs = docs.repartition(nparts)
     schema = T_.StructType([
         T_.StructField("asset_id", T_.LongType(), False),
         T_.StructField("modality", T_.StringType(), False),

@@ -49,6 +49,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: Per-partition SOURCE-byte target for spreading codec inputs
+#: (graph.spread_small_input): the pure-Python render+decode paths
+#: process ~0.1-1 MB of source text per core-second (r10 cProfile),
+#: three orders of magnitude slower than a scan, so a codec task is
+#: "right-sized" at ~256 KB of source (one to a few seconds) rather
+#: than the 128 MB scan default.
+CODEC_SPREAD_TARGET = 256 * 1024
+
 ASSET_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType(), False),
     T.StructField("modality", T.StringType(), False),  # image|audio|video
@@ -917,9 +925,14 @@ def _assets_adapter(docs: DataFrame, render) -> DataFrame:
     from incubator_hugegraph_spark.graph import spread_small_input
     # render + decode are CPU-bound per row: a small corpus arriving
     # as ONE parquet split would serialize the whole codec pass on a
-    # single core (guide §2.5 input skew — the same fix measured 2x
-    # on minhash_lsh_pairs, r10). Identity at real scale.
-    base = spread_small_input(docs).select(
+    # single core (guide §2.5 input skew). Byte-sized (r11): the
+    # pure-Python codecs process ~0.1-1 MB of SOURCE text per
+    # core-second (cProfile r10), 1000x slower than a scan, so the
+    # per-partition target is CODEC_SPREAD_TARGET (256 KB ≈ one to a
+    # few seconds of decode per task) instead of the 128 MB scan
+    # default. Sub-target fixtures stay single-split; real corpora
+    # already have more splits than the slot cap — identity both ways.
+    base = spread_small_input(docs, CODEC_SPREAD_TARGET).select(
         F.col("doc_id").alias("asset_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
          .when(F.col("doc_id") % 3 == 1, "audio")

@@ -461,16 +461,66 @@ def balanced(df: DataFrame, *keys: str,
     return df.repartition(n, *keys) if keys else df.repartition(n)
 
 
-def spread_small_input(df: DataFrame) -> DataFrame:
+#: Per-partition input-byte target for spread_small_input (guide §6's
+#: default split size). Overridable for kernels whose per-byte CPU
+#: cost is far from a scan's (env SPARK_GRAFT_SPREAD_TARGET_BYTES).
+SPREAD_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _plan_has_shuffle(df: DataFrame) -> bool:
+    """True when the (un-executed) physical plan already contains a
+    shuffle exchange. Probes the plan TREE for ShuffleExchangeLike
+    nodes (advice r10: the old string regex breaks silently if a
+    Spark release renames the rendered node); under AQE
+    ``executedPlan`` is the un-executed AdaptiveSparkPlanExec — a
+    LEAF node wrapping the initial plan, so the walk descends through
+    its ``inputPlan``. Falls back to the r10 string probe if the
+    internals move."""
+    try:
+        jvm = df.sparkSession._jvm
+        shuffle_cls = jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.execution.exchange.ShuffleExchangeLike")
+        adaptive_cls = jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec")
+
+        def walk(node) -> bool:
+            if shuffle_cls.isInstance(node):
+                return True
+            if adaptive_cls.isInstance(node):
+                # initialPlan = after EnsureRequirements (exchanges
+                # present, nothing executed); inputPlan would MISS
+                # the inserted exchanges
+                return walk(node.initialPlan())
+            ch = node.children()
+            return any(walk(ch.apply(i)) for i in range(ch.size()))
+
+        return walk(df._jdf.queryExecution().executedPlan())
+    except Exception:
+        import re
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return bool(re.search(
+            r"(?<!Broadcast)(?<!Reused)Exchange\s|ShuffleQueryStage", plan))
+
+
+def spread_small_input(df: DataFrame,
+                       target_bytes: int | None = None) -> DataFrame:
     """Parallelism guard for kernels whose first pass is CPU-heavy
-    (minhash signatures, codec render+decode): a small corpus arrives
-    as ONE parquet split, which serializes that whole pass on a
-    single core no matter how many sit idle. When the scan has fewer
-    partitions than the session has slots, one round-robin
-    repartition buys slots× parallelism for every downstream pass; at
-    real scale the input already has more splits than cores and this
-    is the identity — scale-adaptive, not a local[32] constant.
-    Results are unchanged (the kernels are per-row deterministic).
+    (minhash signatures, codec render+decode): a mid-sized corpus can
+    arrive as fewer parquet splits than the session has slots,
+    serializing that pass on a few cores. Spread it with one
+    round-robin repartition, SIZED BY INPUT BYTES (r10 verdict item
+    1): ``ceil(scan_bytes / target_bytes)`` partitions, capped at the
+    session's slots — never a blanket ``defaultParallelism`` fan-out,
+    which at bench scale put 32 concurrent explode/agg tasks on one
+    shared local-mode heap (a guide-§5 memory hazard: the r10 driver
+    record read x_minhash_lsh at 36-47 s vs the unspread 8 s,
+    consistently across reps) and at any scale shuffles the whole
+    corpus for parallelism the data doesn't pay for. Sub-target
+    inputs (the sf fixtures: 0.5 MB) are returned untouched — the
+    single-split pass IS the right plan for them; at real scale the
+    input already has more splits than the cap and this is again the
+    identity. Results are unchanged either way (the kernels are
+    per-row deterministic).
 
     SHUFFLE-derived inputs are returned untouched (review r10): the
     partition-count probe is ``df.rdd``, and under AQE that eagerly
@@ -482,28 +532,30 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     broadcast id-list still has single-split partitioning — exactly
     what the spread exists to fix; the probe's pre-execution of the
     broadcast build is a small job over the SMALL side, re-run cheap).
-    The probe inspects ``executedPlan``'s STRING — under AQE that is
-    the un-executed AdaptiveSparkPlanExec whose initial plan
-    (exchanges included, isFinalPlan=false) prints without running
-    anything; the pre-adaptive ``sparkPlan`` would NOT work here, AQE
-    inserts exchanges only inside the adaptive wrapper (verified
-    against Spark 4.1).
-
-    Measured (r10, sf0.1, interleaved best-of-3): end-to-end
-    minhash_lsh_pairs 10.1/10.9/12.4 s plain vs 5.4/8.0/6.4 s spread
-    — ~2x, identical 256 output rows. This supersedes the r03 NOTE in
-    word_shingles (repartition then cost 25% end-to-end): since r07
-    the signature table is checkpointed, so the shingle pass runs
-    once per pipeline and the one-time shuffle now wins."""
-    import re
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    if re.search(r"(?<!Broadcast)(?<!Reused)Exchange\s", plan):
+    The size estimate is the optimized logical plan's sizeInBytes —
+    for a scan pipeline that is the file footprint; it is an
+    ESTIMATE (post-filter selectivity is not modeled), which only
+    moves the split count, never correctness."""
+    if _plan_has_shuffle(df):
         return df
+    if target_bytes is None:
+        import os
+        try:
+            target_bytes = int(os.environ.get(
+                "SPARK_GRAFT_SPREAD_TARGET_BYTES", SPREAD_TARGET_BYTES))
+        except (TypeError, ValueError):
+            target_bytes = SPREAD_TARGET_BYTES
+    try:
+        size = int(str(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes()))
+    except Exception:
+        return df  # unknown size: leave the plan to Catalyst
     sc = df.sparkSession.sparkContext
     cap = int(sc.defaultParallelism)
-    if df.rdd.getNumPartitions() >= cap:
+    want = min(cap, -(-size // max(1, target_bytes)))
+    if want <= 1 or df.rdd.getNumPartitions() >= want:
         return df
-    return df.repartition(cap)
+    return df.repartition(want)
 
 
 def is_in(col: Column | str, values: list) -> Column:
