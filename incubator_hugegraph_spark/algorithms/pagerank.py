@@ -116,15 +116,17 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
     # (id, deg, rank): the out-degree is a rider column on the rank
     # vector, carried through every checkpoint — the per-round message
     # join needs only ONE broadcast (vector ⊗ edges), and the division
-    # rank/deg is unchanged bit-for-bit.
+    # rank/deg is unchanged bit-for-bit. `old` (the convergence path's
+    # rider, see below) starts undefined: no previous round exists.
     ranks = checkpointed(
         graph.vertices.select("id")
         .join(deg.withColumnRenamed("src", "id"), on="id", how="left")
         .withColumn("rank", F.lit(1.0 / n))
+        .withColumn("old", F.lit(None).cast("double"))
         .repartition(vector_partitions(n, graph.spark)))
     rounds = fixed_rounds if fixed_rounds is not None else max_times
     # one JOB per round: the rank vector is LAZY-checkpointed and the
-    # convergence/mass agg below (a full-vector scan) is the action
+    # mass/convergence agg below (a full-vector scan) is the action
     # that materializes it — join+agg compute exactly ONCE and the
     # driver-side scalars read the materialized vector. On the
     # broadcast path the round plan's only exchanges are broadcasts,
@@ -136,46 +138,87 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
                        .select(F.col("dst").alias("id"),
                                (F.col("rank") / F.col("deg")).alias("msg")))
             incoming = contrib.groupBy("id").agg(F.sum("msg").alias("inc"))
-            # build the new vector FROM the old one (it already holds
-            # every vertex id — the rank vector is total): a single
-            # left join against the aggregated messages, with the small
-            # aggregate on the broadcastable right side. Carrying the
-            # previous rank as `old` makes the convergence check a
-            # column agg over the checkpointed vector, not another join.
-            new = (ranks.select("id", "deg", F.col("rank").alias("old"))
-                   .join(_r(incoming), on="id", how="left")
-                   .select("id", "deg", "old",
-                           (F.lit(alpha / n) + F.lit(1.0 - alpha)
-                            * F.coalesce(F.col("inc"), F.lit(0.0)))
-                           .alias("rank")))
-            new = checkpointed(new, eager=False)
             if fixed_rounds is None:
-                # mass total and L1 delta in ONE action: the total
-                # rides a broadcast scalar subquery, and the JVM-side
-                # (1 - total)/n reproduces the Python comp bit-for-bit
-                # (same IEEE ops, same order)
-                tot = new.agg(F.sum("rank").alias("total"))
-                row = (new.crossJoin(F.broadcast(tot))
-                       .agg(F.first("total").alias("total"),
-                            F.sum(F.abs(
-                                F.col("rank")
-                                + (F.lit(1.0) - F.col("total"))
-                                / F.lit(float(n))
-                                - F.col("old"))).alias("changed"))
-                       .collect()[0])
+                # Round-t action = ONE flat aggregation collecting the
+                # mass total AND the PREVIOUS round's L1 delta
+                # (optimization r11; r10 verdict item 3). The old shape
+                # computed the delta in the same round it belonged to,
+                # which needs comp = (1-total)/n and therefore a
+                # broadcast scalar subquery over `new` — one extra
+                # sequential broadcast-build job per round. Instead the
+                # vector carries BOTH folded predecessors as riders
+                # (r1 = rank''_{t-1}, r2 = rank''_{t-2}, already
+                # comp-folded), so changed_{t-1} = Σ|r1 - r2| needs no
+                # scalar subquery and rides the total's aggregation.
+                # The check thus lags one round: on convergence at
+                # round t-1 the loop has speculatively computed round
+                # t's messages (one O(|E|) job, only on early exit) and
+                # RETURNS the round-(t-1) vector — the identical
+                # expression the eager check returned, bit for bit.
+                # Jobs per round: 4 -> 3 (measured: 91 -> ~65 per
+                # 20-round b6_dist run).
+                vec = ranks.select("id", "deg",
+                                   F.col("rank").alias("r1"),
+                                   F.col("old").alias("r2"))
+                if bcast:
+                    # assembly as a RIGHT join with the VECTOR on the
+                    # broadcast side: the round's two broadcasts are
+                    # then the SAME exchange (ReuseExchange dedupes
+                    # them) and `incoming` streams instead of being
+                    # built into its own broadcast — one sub-job per
+                    # round gone (jobs/20-round run: 71 -> 51
+                    # measured). Convergence path only: the streamed
+                    # side's partitioning changes the float-sum order
+                    # of total/changed by ~1 ULP, fine for the
+                    # count-shaped bench queries but not for the
+                    # hash-gated fixed-rounds path below, which keeps
+                    # the vector-streamed shape.
+                    new = (incoming.join(F.broadcast(vec), on="id",
+                                         how="right")
+                           .select("id", "deg", "r1", "r2",
+                                   (F.lit(alpha / n) + F.lit(1.0 - alpha)
+                                    * F.coalesce(F.col("inc"), F.lit(0.0)))
+                                   .alias("rank")))
+                else:
+                    new = (vec.join(incoming, on="id", how="left")
+                           .select("id", "deg", "r1", "r2",
+                                   (F.lit(alpha / n) + F.lit(1.0 - alpha)
+                                    * F.coalesce(F.col("inc"), F.lit(0.0)))
+                                   .alias("rank")))
+                new = checkpointed(new, eager=False)
+                row = (new.agg(
+                    F.sum("rank").alias("total"),
+                    F.sum(F.abs(F.col("r1") - F.col("r2")))
+                    .alias("changed")).collect()[0])
                 total, changed = row["total"], row["changed"]
+                if changed is not None and changed < precision:
+                    # converged at round t-1: `ranks` (built from
+                    # prev's checkpoint) IS the result; drop the
+                    # speculative round's blocks
+                    release_ckpt(new)
+                    break
+                # comp in Python doubles == the JVM's (1-total)/n
+                # (same IEEE-754 ops); the fold rank+comp is the same
+                # expression the eager check used
                 comp = (1.0 - total) / n
                 ranks = new.select(
-                    "id", "deg", (F.col("rank") + F.lit(comp)).alias("rank"))
+                    "id", "deg",
+                    (F.col("rank") + F.lit(comp)).alias("rank"),
+                    F.col("r1").alias("old"))
                 # round t is materialized — round t-1's checkpoint
                 # blocks are dead; free them now instead of waiting
                 # for JVM GC to notice (keeps 20-round loops flat and
                 # leaves no residue for the next query)
                 release_ckpt(prev)
                 prev = new
-                if changed is not None and changed < precision:
-                    break
             else:
+                new = (ranks.select("id", "deg")
+                       .join(_r(incoming), on="id", how="left")
+                       .select("id", "deg",
+                               (F.lit(alpha / n) + F.lit(1.0 - alpha)
+                                * F.coalesce(F.col("inc"), F.lit(0.0)))
+                               .alias("rank")))
+                new = checkpointed(new, eager=False)
                 total = new.agg(F.sum("rank")).collect()[0][0]
                 comp = (1.0 - total) / n
                 ranks = new.select(

@@ -379,8 +379,8 @@ def append_ivf_index(emb_batch: DataFrame, path: str,
             f"append_ivf_index: {path} is a PQ index (codes would "
             "desynchronize from vectors) — use append_ivf_pq_index, "
             "the codes-aware append")
-    if _replay_of_compacted(spark, path, batch_id):
-        return  # batch already folded into the base by compact_index
+    if _replay_of_compacted(spark, path, batch_id, emb_batch, id_col):
+        return  # genuine replay of a batch compact_index folded
     base = emb_batch.select(F.col(id_col).alias("id"),
                             _to_double(vec_col).alias("v"))
     cents = spark.read.parquet(f"{path}/centroids")
@@ -419,8 +419,8 @@ def append_ivf_pq_index(emb_batch: DataFrame, path: str,
         raise ValueError(
             f"append_ivf_pq_index: {path} is not a PQ index — use "
             "append_ivf_index, or build with write_ivf_pq_index")
-    if _replay_of_compacted(spark, path, batch_id):
-        return  # batch already folded into the base by compact_index
+    if _replay_of_compacted(spark, path, batch_id, emb_batch, id_col):
+        return  # genuine replay of a batch compact_index folded
     dim, m_sub = int(meta["dim"]), int(meta["m_sub"])
     residual = bool(meta.get("residual") or False)
     d_sub = dim // m_sub
@@ -515,10 +515,93 @@ def _compacted_batches(spark: SparkSession, path: str) -> set[int]:
     return {int(r["batch"]) for r in spark.read.parquet(p).collect()}
 
 
+def _batch_fingerprint(df: DataFrame, id_col: str) -> tuple[int, int]:
+    """Order-independent content fingerprint of a batch's id set:
+    (distinct-id count, bitwise XOR of xxhash64(id)). XOR, not sum —
+    overflow-free under ANSI mode and partitioning-independent."""
+    row = (df.select(F.col(id_col).cast("string").alias("i")).distinct()
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("i")).alias("h")).collect()[0])
+    return int(row["n"] or 0), int(row["h"] or 0)
+
+
 def _replay_of_compacted(spark: SparkSession, path: str,
-                         batch_id: int | None) -> bool:
-    return batch_id is not None and \
-        int(batch_id) in _compacted_batches(spark, path)
+                         batch_id: int | None,
+                         batch_df: DataFrame | None = None,
+                         id_col: str = "vec_id") -> bool:
+    """True = this append is a genuine REPLAY of a batch compact_index
+    already folded — skip it (the base holds its rows). Advice r10:
+    id membership alone cannot tell a replay from batch-id REUSE (a
+    fresh stream checkpoint restarts ids at 0; its first appends
+    would be silently discarded), so compact_index records a content
+    fingerprint per folded batch (``compacted_fp`` side-file) and
+    this guard compares the incoming batch against it — mismatch
+    RAISES instead of dropping data. Indexes compacted before the
+    fingerprint protocol warn and keep the skip (such an index is
+    bound to one stream checkpoint lineage)."""
+    if batch_id is None or \
+            int(batch_id) not in _compacted_batches(spark, path):
+        return False
+    import os
+    import warnings
+    rec = None
+    fp_dir = f"{path}/compacted_fp"
+    if os.path.isdir(fp_dir):
+        rows = (spark.read.parquet(fp_dir)
+                .filter(F.col("batch") == int(batch_id)).collect())
+        if rows:
+            rec = (int(rows[0]["n"]), int(rows[0]["h"]))
+    if rec is None:
+        warnings.warn(
+            f"append to {path}: batch_id {batch_id} is marked "
+            "compacted but carries no content fingerprint (index "
+            "compacted before the fingerprint protocol) — treating "
+            "it as an engine replay and skipping; this index is "
+            "bound to one stream checkpoint lineage",
+            stacklevel=3)
+        return True
+    if batch_df is None:
+        return True
+    got = _batch_fingerprint(batch_df, id_col)
+    if got != rec:
+        raise ValueError(
+            f"append to {path}: batch_id {batch_id} was already "
+            f"folded by compact_index but the incoming batch differs "
+            f"(fingerprint {got} != recorded {rec}) — this is "
+            "batch-id REUSE (e.g. a new stream checkpoint restarting "
+            "at 0), and skipping it would silently discard the "
+            "batch; use fresh batch ids or a new index path")
+    return True
+
+
+def _heal_swap(path: str, sub: str) -> None:
+    """Complete or roll back a crashed two-rename table swap (advice
+    r10): compact_index swaps ``{sub}`` via ``{sub}.compact`` →
+    rename({sub}, {sub}.old) → rename({sub}.compact, {sub}) →
+    rm({sub}.old). A crash between the two renames leaves NO live
+    table — every query fails and a naive re-run of compact_index
+    would skip the table (no batch dirs found). Run at the top of
+    compact_index: roll FORWARD when the rewritten table exists (it
+    was fully written before the first rename), roll BACK otherwise,
+    and clear stale siblings when the live table is present."""
+    import os
+    import shutil
+    p = f"{path}/{sub}"
+    tmp, old = p + ".compact", p + ".old"
+    if os.path.isdir(p):
+        # live table present: siblings are stale (a superseded .old
+        # after a crash before its rm, or a .compact from a crash
+        # before the first rename — re-derived by this run anyway)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    if os.path.isdir(tmp):
+        # crash between the two renames: the rewrite was complete
+        os.rename(tmp, p)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.isdir(old):
+        # defensive: no rewritten table to roll forward to
+        os.rename(old, p)
 
 
 def compact_index(spark: SparkSession, path: str) -> None:
@@ -591,6 +674,12 @@ def compact_index(spark: SparkSession, path: str) -> None:
     else:
         tables = [("vectors", ["cell"])]
 
+    # heal a crashed previous swap FIRST (advice r10): a crash
+    # between the two renames leaves no live {sub} dir — queries fail
+    # and the batch walk below would silently skip the table
+    for sub, _ in tables:
+        _heal_swap(path, sub)
+
     def _batch_ids(sub: str) -> set[int]:
         # partition values are directory names on the (guaranteed
         # local) index — a filesystem walk, not a Spark scan of the
@@ -615,10 +704,21 @@ def compact_index(spark: SparkSession, path: str) -> None:
         return
     new_ids = sorted(complete - already)
     if new_ids:
-        # side-file FIRST, append-only: committed part files are
-        # never rewritten, so a crash anywhere after this leaves the
-        # replay guard intact (duplicate ids across files collapse in
-        # the set read)
+        # content fingerprints FIRST (advice r10: they let the append
+        # doors tell a genuine replay from batch-id reuse), then the
+        # replay-guard marker; both append-only — committed part
+        # files are never rewritten, so a crash anywhere after leaves
+        # the guards intact (duplicate ids collapse in the set read;
+        # a marker without a fingerprint degrades to the warn path)
+        sub0 = tables[0][0]
+        (spark.read.parquet(f"{path}/{sub0}")
+         .filter(F.col("batch").isin(new_ids))
+         .select("batch", F.col("id").cast("string").alias("i"))
+         .distinct()
+         .groupBy("batch")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.bit_xor(F.xxhash64("i")).alias("h"))
+         .write.mode("append").parquet(f"{path}/compacted_fp"))
         spark.createDataFrame([(b,) for b in new_ids], "batch int") \
             .write.mode("append").parquet(f"{path}/compacted")
     fold = sorted(fold_ids)
@@ -905,8 +1005,8 @@ def append_lsh_index(emb_batch: DataFrame, path: str,
             f"append_lsh_index: no meta side-file under {path} — "
             "the plane family must come from the build, rebuild with "
             "write_lsh_index")
-    if _replay_of_compacted(spark, path, batch_id):
-        return  # batch already folded into the base by compact_index
+    if _replay_of_compacted(spark, path, batch_id, emb_batch, id_col):
+        return  # genuine replay of a batch compact_index folded
     dim, n_planes, n_tables = (int(meta["dim"]), int(meta["n_planes"]),
                                int(meta["n_tables"]))
     store_vectors = bool(meta["store_vectors"])

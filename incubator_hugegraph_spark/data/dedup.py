@@ -225,15 +225,23 @@ def verify_pairs(cand: DataFrame, docs: DataFrame, n: int = 3,
     inter = (cand.join(s1, on="d1")
              .join(s2, on=["d2", "shingle"], how="left_semi")
              .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("inter")))
-    return (inter
-            .join(cnt.select(F.col("id").alias("d1"),
-                             F.col("n_sh").alias("n1")), on="d1")
-            .join(cnt.select(F.col("id").alias("d2"),
-                             F.col("n_sh").alias("n2")), on="d2")
-            .withColumn("jaccard", F.col("inter")
-                        / (F.col("n1") + F.col("n2") - F.col("inter")))
-            .filter(F.col("jaccard") >= threshold)
-            .select("d1", "d2", F.round("jaccard", 6).alias("jaccard")))
+    out = (inter
+           .join(cnt.select(F.col("id").alias("d1"),
+                            F.col("n_sh").alias("n1")), on="d1")
+           .join(cnt.select(F.col("id").alias("d2"),
+                            F.col("n_sh").alias("n2")), on="d2")
+           .withColumn("jaccard", F.col("inter")
+                       / (F.col("n1") + F.col("n2") - F.col("inter")))
+           .filter(F.col("jaccard") >= threshold)
+           .select("d1", "d2", F.round("jaccard", 6).alias("jaccard")))
+    # expose the verify-side checkpoint handle so long-running callers
+    # (the streaming snapshot driver) can free it once the result is
+    # materialized — a localCheckpoint's blocks otherwise linger until
+    # JVM GC notices (r11; one leaked per micro-batch on the neardup
+    # streams). Batch callers may ignore it: GC reclamation is the
+    # pre-r11 behavior.
+    out._fold_scratch = [sh]
+    return out
 
 
 

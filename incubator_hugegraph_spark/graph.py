@@ -309,7 +309,13 @@ def checkpointed(df: DataFrame, eager: bool = True) -> DataFrame:
     spark = df.sparkSession
     try:
         jdf = d._jdf
-        jrdd = jdf.queryExecution().toRdd()
+        # the PERSISTED checkpoint RDD is the analyzed LogicalRDD's
+        # own rdd — NOT queryExecution().toRdd(), which wraps it in a
+        # fresh MapPartitionsRDD whose unpersist() is a silent no-op
+        # (found r11: every release_ckpt/free_scratch since r07 was
+        # releasing the wrapper, so dead frontier/vector blocks only
+        # ever left storage via the slow JVM-GC → ContextCleaner path)
+        jrdd = jdf.queryExecution().analyzed().rdd()
         jnew = spark._jsparkSession.internalCreateDataFrame(
             jrdd, jdf.schema(), False)
         out = DataFrame(jnew, spark)
@@ -319,7 +325,10 @@ def checkpointed(df: DataFrame, eager: bool = True) -> DataFrame:
         # gigabytes of dead frontier/vector blocks into the executors
         # and slows every later query. Loops release the previous
         # round's vector via release_ckpt(); callers drop a finished
-        # query's scratch with free_scratch().
+        # query's scratch with free_scratch(). A released checkpoint
+        # CANNOT be recomputed (lineage truncated) — the call sites'
+        # provably-dead discipline is load-bearing, test-pinned in
+        # tests/test_stream_scratch.py and the algorithm suites.
         out._ckpt_jrdd = jrdd
         _SCRATCH.append(jrdd)
         return out

@@ -164,6 +164,33 @@ def test_ram_page_rank_convergence_semantics(graph):
     assert a.join(b, on="id").filter(F.col("r") != F.col("r2")).count() == 0
 
 
+def test_dist_pagerank_piggyback_convergence(graph):
+    """The r11 convergence path folds the L1-delta check into the next
+    round's mass aggregation (one flat action/round) and flips the
+    assembly join so the round's two broadcasts are one reused
+    exchange. Semantics pinned: (a) an impossible precision runs all
+    max_times rounds and equals the fixed-rounds vector (to the ~1 ULP
+    the changed float-sum order allows); (b) an immediately-satisfied
+    precision returns the FIRST round's vector — the lagged check must
+    return the converged round's vector, not the speculative next
+    round's."""
+    from incubator_hugegraph_spark.algorithms.pagerank import page_rank
+
+    def close(x, y):
+        j = (x.withColumnRenamed("rank", "ra")
+             .join(y.withColumnRenamed("rank", "rb"), on="id"))
+        assert j.count() == x.count()
+        assert j.filter(F.abs(F.col("ra") - F.col("rb")) > 1e-12) \
+            .count() == 0
+
+    close(page_rank(graph, alpha=0.15, max_times=3, precision=0.0,
+                    engine="dist"),
+          page_rank(graph, alpha=0.15, fixed_rounds=3, engine="dist"))
+    close(page_rank(graph, alpha=0.15, max_times=5, precision=1e9,
+                    engine="dist"),
+          page_rank(graph, alpha=0.15, fixed_rounds=1, engine="dist"))
+
+
 def test_ram_triangles_match_distributed(graph):
     """In-memory wedge kernel equals the distributed oriented-wedge
     plan: total and per-vertex."""

@@ -96,6 +96,7 @@ def test_rel_set_refreshes_typed_edge_view(rgraph):
                  .head().weight) == 0.9
 
 
+@pytest.mark.slow  # verify-budget tier (r11): see pytest.ini
 def test_merge_rel_on_create_on_match_set(rgraph):
     """ON CREATE / ON MATCH SET on a relationship MERGE: the created
     edge gets the ON CREATE write, a re-merge of the now-existing

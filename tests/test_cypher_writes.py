@@ -218,6 +218,7 @@ def test_merge_is_idempotent(wgraph):
     assert len(rows) == 1
 
 
+@pytest.mark.slow  # verify-budget tier (r11): see pytest.ini
 def test_merge_relationship_inserts_only_missing(wgraph):
     q = ("MATCH (a:person {name: 'marko'}), (b:person {name: 'vadas'}) "
          "MERGE (a)-[:knows]->(b)")

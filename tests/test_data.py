@@ -2502,6 +2502,7 @@ def test_label_centroid_stats(spark):
     assert "ResolvedHint" in plan, plan
 
 
+@pytest.mark.slow  # verify-budget tier (r11): see pytest.ini
 def test_stream_kmv_matches_batch(spark, tmp_path):
     import uuid
     from incubator_hugegraph_spark.data.sketch import kmv_distinct
@@ -2863,6 +2864,7 @@ def test_resize_normalizes_all_codecs_to_png():
         assert decode_png_rgb(big)[0] == 4
 
 
+@pytest.mark.slow  # verify-budget tier (r11): see pytest.ini
 def test_ann_index_pruned_and_row_identical(spark, tmp_path):
     """Persisted ANN indexes (data/ann_index.py): the write-side
     counterpart of ivf_topk/lsh_ann_topk. Results must be
@@ -2919,6 +2921,7 @@ def test_ann_index_pruned_and_row_identical(spark, tmp_path):
                        query_vecs=[(0, [1.0, 2.0])])
 
 
+@pytest.mark.slow  # verify-budget tier (r11): see pytest.ini
 def test_ivf_pq_index_adc_shortlist_and_parity(spark, tmp_path):
     """PQ tier on IVF (r09): the build persists per-vector codes
     (m_sub small ints + the exact norm) partitioned by cell; the
@@ -3015,6 +3018,7 @@ def test_ivf_pq_index_adc_shortlist_and_parity(spark, tmp_path):
     assert sgot == swant
 
 
+@pytest.mark.slow  # verify-budget tier (r11): see pytest.ini
 def test_ivf_pq_index_append_codes_aware(spark, tmp_path):
     """append_ivf_pq_index (r09): appending against the FROZEN
     centroids AND codebooks must be query-identical to a one-shot
@@ -3121,6 +3125,7 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     assert q(f"{base}/inc", np=8) == brute
 
 
+@pytest.mark.slow  # verify-budget tier (r11): see pytest.ini
 def test_compact_index_parity_all_kinds(spark, tmp_path):
     """compact_index (optimization r10, the r09 verdict's ANN scale
     finding): folding accumulated batch=N append partitions into the
@@ -3195,6 +3200,7 @@ def test_compact_index_parity_all_kinds(spark, tmp_path):
         assert q() == want, path
 
 
+@pytest.mark.slow  # verify-budget tier (r11): see pytest.ini
 def test_compact_index_skips_half_appended_batch(spark, tmp_path):
     """Review r10: a batch that crashed between the PQ codes and
     vectors writes (the exact window the codes-first order exists
@@ -3262,6 +3268,7 @@ def test_compact_index_skips_half_appended_batch(spark, tmp_path):
     assert q(path) == q(ref)
 
 
+@pytest.mark.slow  # verify-budget tier (r11): see pytest.ini
 def test_lsh_index_incremental_append(spark, tmp_path):
     """LSH twin of the IVF append test: planes are pure functions of
     (table, plane, dim), so seed-build + appends must be

@@ -47,6 +47,7 @@ def _sort_values(g):
             g.edges.filter("label = 'met'").collect()]
 
 
+@pytest.mark.slow  # verify-budget tier (r11): see pytest.ini
 def test_rest_cypher_gremlin_encode_identically(mgraph):
     from incubator_hugegraph_spark.cypher import cypher
     from incubator_hugegraph_spark.gremlin import G

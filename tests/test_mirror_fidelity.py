@@ -62,6 +62,7 @@ def test_driver_sort_accepts_nan_floats():
     assert rows[0] == (0.5,)
 
 
+@pytest.mark.slow  # verify-budget tier (r11): see pytest.ini
 def test_all_driver_queries_canonicalizable(spark):
     """Every queries() entry the driver will ever window must produce
     an output pandas can sort_values — i.e. no list/map/struct cells

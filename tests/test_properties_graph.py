@@ -51,6 +51,7 @@ def test_kout_layers_partition_kneighbor(spark, graph, edges):
 
 @settings(**_SETTINGS)
 @given(edges=_EDGES)
+@pytest.mark.slow  # verify-budget tier (r11): see pytest.ini
 def test_wcc_star_equivalence_random(spark, graph, edges):
     from incubator_hugegraph_spark.algorithms.wcc import wcc, wcc_star
     g = _mk_graph(spark, graph, edges)

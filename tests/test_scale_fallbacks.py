@@ -204,6 +204,7 @@ def test_jaccard_top_shuffle_fallback_equivalent(graph, monkeypatch):
     assert got == want
 
 
+@pytest.mark.slow  # verify-budget tier (r11): see pytest.ini
 def test_ann_salted_topk_fallback_equivalent(spark, monkeypatch):
     """The salted two-phase ANN re-rank went dormant at test SFs once
     the corpus-size gate landed (plain window below 1M candidates).

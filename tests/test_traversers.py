@@ -500,6 +500,7 @@ def test_ram_bfs_matches_distributed(graph):
                 engine=engine).count()
 
 
+@pytest.mark.slow  # verify-budget tier (r11): see pytest.ini
 def test_ram_mnsp_matches_distributed(graph):
     """CSR multi-node-shortest-path kernel equals the distributed
     min-lex frontier loop — path STRINGS bit-identical (the min-lex
@@ -540,6 +541,7 @@ def test_ram_jaccard_matches_distributed(graph):
                     != F.coalesce("j2", F.lit(-2))).count() == 0
 
 
+@pytest.mark.slow  # verify-budget tier (r11): see pytest.ini
 def test_ram_fusiform_matches_distributed(graph):
     """In-memory fusiform pair-count kernel equals the hub-split
     distributed plan across parameter shapes."""
@@ -561,6 +563,7 @@ def test_ram_fusiform_matches_distributed(graph):
                         != F.coalesce("s2", F.lit(-2))).count() == 0, kw
 
 
+@pytest.mark.slow  # verify-budget tier (r11): see pytest.ini
 def test_ram_neighbor_ops_match_distributed(graph):
     """Set-algebra kernels equal the distributed neighbor operators
     across directions, labels, limits, and absent vertices."""
@@ -591,6 +594,7 @@ def test_ram_neighbor_ops_match_distributed(graph):
         assert x == y, (ids, kw)
 
 
+@pytest.mark.slow  # verify-budget tier (r11): see pytest.ini
 def test_ram_count_steps_matches_distributed(marko_graph, graph):
     """Vector-count kernel equals the distributed multi-step count —
     incl. the marko-fixture dedup_size / contains_traversed scenarios
