@@ -73,16 +73,32 @@ def wcc(graph: PropertyGraph, labels: list[str] | None = None,
                        .agg(F.min("component").alias("nbr_comp"))
                        .withColumnRenamed("src", "id"))
             # the component vector is total (every vertex id) — build
-            # the new vector from it with one left join; the aggregated
-            # neighbor-min table rides the broadcastable right side.
-            # The previous component is carried as `old` so the
-            # fixpoint probe is a column agg over the checkpointed
-            # vector, not another join.
-            new = (comp.withColumnRenamed("component", "old")
-                   .join(_b(nbr_min), on="id", how="left")
-                   .select("id", F.col("old"),
-                           F.least("old", F.coalesce("nbr_comp", "old"))
-                           .alias("component")))
+            # the new vector from it with one outer join against the
+            # aggregated neighbor-min table. The previous component is
+            # carried as `old` so the fixpoint probe is a column agg
+            # over the checkpointed vector, not another join. On the
+            # broadcast tier the VECTOR rides the broadcast side of a
+            # RIGHT join (r11, the page_rank finding): the round's two
+            # broadcasts are then the SAME exchange (ReuseExchange)
+            # and nbr_min streams instead of being built into its own
+            # broadcast — one sub-job per round gone. Unlike
+            # page_rank's float sums, components are strings and the
+            # delta is an integer count, so the shape is exact on
+            # BOTH paths.
+            vec = comp.withColumnRenamed("component", "old")
+            if bcast:
+                new = (nbr_min.join(F.broadcast(vec), on="id",
+                                    how="right")
+                       .select("id", F.col("old"),
+                               F.least("old",
+                                       F.coalesce("nbr_comp", "old"))
+                               .alias("component")))
+            else:
+                new = (vec.join(nbr_min, on="id", how="left")
+                       .select("id", F.col("old"),
+                               F.least("old",
+                                       F.coalesce("nbr_comp", "old"))
+                               .alias("component")))
             if fixed_rounds is None:
                 # lazy checkpoint: the delta agg scans EVERY partition
                 # (a limit-probe would materialize only some), so the
