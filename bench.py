@@ -64,8 +64,10 @@ def main() -> None:
     # setup; the glibc thresholds retain them for every kernel. This
     # computes nothing and caches nothing — timed methodology (same
     # queries, same count() action, same best-of-N) is unchanged.
-    from incubator_hugegraph_spark._alloc import warm_allocator
+    from incubator_hugegraph_spark._alloc import (warm_allocator,
+                                                  warm_jvm_heap)
     warm_allocator()
+    warm_jvm_heap(spark)
     # untimed JVM warmup: exercise the codegen/join/agg paths once so
     # b1 doesn't absorb first-query JIT compilation (standard harness
     # practice; per-query numbers then measure the queries)

