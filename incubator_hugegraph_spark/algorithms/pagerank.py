@@ -59,6 +59,31 @@ def vector_partitions(n: int, spark) -> int:
     return max(1, min(cap, n // VECTOR_ROWS_PER_PARTITION + 1))
 
 
+def vertex_index(graph: PropertyGraph) -> DataFrame:
+    """ORDER-PRESERVING vertex index (id string → vi long),
+    checkpointed. The broadcast-tier iterative loops encode their
+    join/agg keys through this once and run every round on longs
+    (guide §2.3 narrower types: a LongHashedRelation probe + long-keyed
+    hash aggregation measured 1.76x faster per page_rank round than the
+    string-keyed shape at sf0.1 — see OPTIMIZATION_r11.md finding #9),
+    then decode once at the end.
+
+    Order preservation (range-partition → per-partition sort →
+    monotonically_increasing_id: partition p's ids all sort before
+    partition p+1's, and the mono id is (pid << 33) + position) makes
+    min/least over the encoded longs EXACTLY the lexicographic min
+    over the original ids — wcc's component labels decode to the
+    identical strings. The mapping is eagerly checkpointed so encode
+    and decode read the SAME materialized assignment (mono ids are
+    order-dependent; a recompute could reassign)."""
+    n = int(graph.spark.sparkContext.defaultParallelism)
+    return checkpointed(
+        graph.vertices.select("id")
+        .repartitionByRange(n, "id")
+        .sortWithinPartitions("id")
+        .withColumn("vi", F.monotonically_increasing_id()))
+
+
 def page_rank(graph: PropertyGraph, alpha: float = 0.15,
               max_times: int = 20, precision: float = 1e-7,
               direction: str = OUT, labels: list[str] | None = None,
@@ -83,21 +108,8 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
         if engine == "ram" or ram_fits(graph):
             return ram_page_rank(graph, alpha, max_times, precision,
                                  direction, labels, fixed_rounds)
-    e = graph.adj(direction, labels).select("src", "dst")
-    e = cap_degree(e, max_degree, order_cols=("dst",))
-    # (src, dst) hash-partitioned by DST and persisted (NOT
-    # checkpointed): keeping the repartition visible to Catalyst means
-    # every round's groupBy(dst) aggregation reuses the cached
-    # partitioning — the per-round O(|E|) message shuffle disappears
-    # entirely (HashAggregate directly on the cached partitions, no
-    # Exchange). A checkpoint would hide the partitioning (LogicalRDD
-    # reports unknown) and re-shuffle every round. `balanced` also
-    # evens out the raw file splits (one fat fact-table partition next
-    # to tiny dims) once, for all rounds. The out-degree rides the
-    # RANK VECTOR (O(|V|)) instead of widening the edge cache — one
-    # aggregation over the cached table at setup, zero extra E-scans.
-    e = balanced(e, "dst").persist()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e0 = graph.adj(direction, labels).select("src", "dst")
+    e0 = cap_degree(e0, max_degree, order_cols=("dst",))
 
     n = graph.vertices.count()
     # The rank vector is O(|V|): under BROADCAST_VERTEX_LIMIT vertices
@@ -113,17 +125,66 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
     def _r(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast else df
 
-    # (id, deg, rank): the out-degree is a rider column on the rank
-    # vector, carried through every checkpoint — the per-round message
-    # join needs only ONE broadcast (vector ⊗ edges), and the division
-    # rank/deg is unchanged bit-for-bit. `old` (the convergence path's
-    # rider, see below) starts undefined: no previous round exists.
-    ranks = checkpointed(
-        graph.vertices.select("id")
-        .join(deg.withColumnRenamed("src", "id"), on="id", how="left")
-        .withColumn("rank", F.lit(1.0 / n))
-        .withColumn("old", F.lit(None).cast("double"))
-        .repartition(vector_partitions(n, graph.spark)))
+    # §2.3 narrower types (optimization r11, finding #9): on the
+    # broadcast tier the loop's only hot bytes are the join/agg keys —
+    # encode vertex ids to longs ONCE (two map-side broadcast joins
+    # folded into the edge cache's build), run every round with a
+    # LongHashedRelation probe + long-keyed aggregation (measured
+    # 1.76x faster per round than the string-keyed shape at sf0.1),
+    # decode ONCE at the end. CONVERGENCE PATH ONLY: regrouping the
+    # message sums by the encoded key reorders the float additions by
+    # ~1 ULP, fine for the convergence test and the count-shaped bench
+    # queries but not for the hash-gated fixed-rounds path, which
+    # keeps the string-keyed plan byte-identical. deg is computed from
+    # the RAW string edges so multi-edges to non-vertex endpoints
+    # count exactly as before (the encode's inner join would drop
+    # them; their messages were always discarded at the assembly join).
+    int_tier = bcast and fixed_rounds is None
+    if int_tier:
+        idx = vertex_index(graph)
+        deg0 = e0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        e = balanced(
+            e0.join(F.broadcast(idx.withColumnRenamed("id", "src")),
+                    on="src")
+            .select(F.col("vi").alias("src"), "dst")
+            .join(F.broadcast(idx.withColumnRenamed("id", "dst")),
+                  on="dst")
+            .select("src", F.col("vi").alias("dst")),
+            "dst").persist()
+        ranks = checkpointed(
+            idx.join(deg0.withColumnRenamed("src", "id"),
+                     on="id", how="left")
+            .select(F.col("vi").alias("id"), "deg")
+            .withColumn("rank", F.lit(1.0 / n))
+            .withColumn("old", F.lit(None).cast("double"))
+            .repartition(vector_partitions(n, graph.spark)))
+    else:
+        # (src, dst) hash-partitioned by DST and persisted (NOT
+        # checkpointed): keeping the repartition visible to Catalyst
+        # means every round's groupBy(dst) aggregation reuses the
+        # cached partitioning — the per-round O(|E|) message shuffle
+        # disappears entirely (HashAggregate directly on the cached
+        # partitions, no Exchange). A checkpoint would hide the
+        # partitioning (LogicalRDD reports unknown) and re-shuffle
+        # every round. `balanced` also evens out the raw file splits
+        # (one fat fact-table partition next to tiny dims) once, for
+        # all rounds. The out-degree rides the RANK VECTOR (O(|V|))
+        # instead of widening the edge cache — one aggregation over
+        # the cached table at setup, zero extra E-scans.
+        e = balanced(e0, "dst").persist()
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        # (id, deg, rank): the out-degree is a rider column on the
+        # rank vector, carried through every checkpoint — the
+        # per-round message join needs only ONE broadcast
+        # (vector ⊗ edges), and the division rank/deg is unchanged
+        # bit-for-bit. `old` (the convergence path's rider, see
+        # below) starts undefined: no previous round exists.
+        ranks = checkpointed(
+            graph.vertices.select("id")
+            .join(deg.withColumnRenamed("src", "id"), on="id", how="left")
+            .withColumn("rank", F.lit(1.0 / n))
+            .withColumn("old", F.lit(None).cast("double"))
+            .repartition(vector_partitions(n, graph.spark)))
     rounds = fixed_rounds if fixed_rounds is not None else max_times
     # one JOB per round: the rank vector is LAZY-checkpointed and the
     # mass/convergence agg below (a full-vector scan) is the action
@@ -161,15 +222,21 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
                                    F.col("rank").alias("r1"),
                                    F.col("old").alias("r2"))
                 if bcast:
-                    # assembly as a RIGHT join with the VECTOR on the
-                    # broadcast side: the round's two broadcasts are
-                    # then the SAME exchange (ReuseExchange dedupes
-                    # them) and `incoming` streams instead of being
-                    # built into its own broadcast — one sub-job per
-                    # round gone (jobs/20-round run: 71 -> 51
-                    # measured). Convergence path only: the streamed
-                    # side's partitioning changes the float-sum order
-                    # of total/changed by ~1 ULP, fine for the
+                    # assembly as a RIGHT join from `incoming` to the
+                    # vector: no broadcast-build sub-job per round
+                    # (jobs/20-round run: 71 -> 51 measured).
+                    # CORRECTION (r11 session 2): the F.broadcast(vec)
+                    # hint does NOT apply here — build-right on a
+                    # right outer join is unsupported and Catalyst
+                    # plans a SortMergeJoin over the two ≤|V|-row
+                    # sides. Measured against the supported
+                    # alternative (vec ⟕ broadcast(incoming), one
+                    # extra build job/round): equal within noise on
+                    # the int tier (0.375 vs 0.400 s best per round at
+                    # sf0.1), so the fewer-jobs shape stays.
+                    # Convergence path only: the assembly's
+                    # partitioning changes the float-sum order of
+                    # total/changed by ~1 ULP, fine for the
                     # count-shaped bench queries but not for the
                     # hash-gated fixed-rounds path below, which keeps
                     # the vector-streamed shape.
@@ -228,7 +295,17 @@ def page_rank(graph: PropertyGraph, alpha: float = 0.15,
     # the returned vector derives from the last round's checkpoint,
     # not from e — safe to release the cached edge table and the last
     # round's (now re-materialized) vector
-    ranks = checkpointed(ranks.select("id", "rank"))
+    out = ranks.select("id", "rank")
+    if int_tier:
+        # decode the long keys back to vertex ids: one broadcast join
+        # against the checkpointed index (O(|V|), same gate as the
+        # round broadcasts); ranks themselves are untouched doubles
+        dec = idx.select("vi", F.col("id").alias("__sid"))
+        out = (out.join(F.broadcast(dec), on=F.col("id") == F.col("vi"))
+               .select(F.col("__sid").alias("id"), "rank"))
+    out = checkpointed(out)
     release_ckpt(prev)
+    if int_tier:
+        release_ckpt(idx)
     e.unpersist()
-    return ranks
+    return out

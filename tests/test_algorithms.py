@@ -45,6 +45,39 @@ def test_wcc_fixpoint_is_stable(graph):
     assert joined.filter(F.col("cs") != F.col("cd")).count() == 0
 
 
+def test_wcc_int_tier_exact_across_tiers(graph, monkeypatch):
+    """r11 session 2 (§2.3 narrower types): the broadcast fixpoint
+    tier encodes vertex ids to longs through the ORDER-PRESERVING
+    vertex_index, so min/least over the encoding IS the lexicographic
+    min — components must decode bit-identical to (a) the RamTable
+    kernel, (b) the string-keyed fixed-rounds path, and (c) the
+    string-keyed shuffle fixpoint tier (broadcast gate forced off)."""
+    import sys
+    wccmod = sys.modules["incubator_hugegraph_spark.algorithms.wcc"]
+
+    def exact(a, b):
+        j = (a.withColumnRenamed("component", "ca")
+             .join(b, on="id", how="full"))
+        assert j.filter(F.col("ca").isNull() | F.col("component").isNull()
+                        | (F.col("ca") != F.col("component"))).count() == 0
+
+    wd = wcc(graph, engine="dist")          # int tier (bcast fixpoint)
+    exact(wd, wcc(graph, engine="ram"))
+    exact(wd, wcc(graph, fixed_rounds=8))   # string tier, bcast loop
+    monkeypatch.setattr(wccmod, "BROADCAST_VERTEX_LIMIT", 0)
+    exact(wd, wcc(graph, engine="dist"))    # string tier, shuffle loop
+
+
+def test_vertex_index_is_order_preserving(graph):
+    """The int tier's exactness argument rests on this property: the
+    encoded longs sort exactly like the vertex-id strings, uniquely."""
+    from incubator_hugegraph_spark.algorithms.pagerank import vertex_index
+    rows = vertex_index(graph).orderBy("id").collect()
+    vis = [r["vi"] for r in rows]
+    assert vis == sorted(vis)
+    assert len(set(vis)) == len(vis) == graph.vertices.count()
+
+
 def test_triangle_count_nonnegative(graph):
     t = triangle_count(graph, labels=["interacted"]).collect()[0][0]
     assert t >= 0
