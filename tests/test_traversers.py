@@ -541,6 +541,22 @@ def test_ram_jaccard_matches_distributed(graph):
                     != F.coalesce("j2", F.lit(-2))).count() == 0
 
 
+def test_jaccard_int_tier_matches_string_tier(graph, monkeypatch):
+    """r11 session 2 (§2.3 narrower types): the broadcast-gated long-
+    keyed jaccard_top_batch must be ROW-IDENTICAL to the string-keyed
+    tier — jaccard is an integer-count ratio and the rank tie-breaks
+    run on the order-preserving encoding."""
+    import incubator_hugegraph_spark.algorithms.pagerank as prmod
+    from incubator_hugegraph_spark.operators.similarity import (
+        jaccard_top_batch)
+    srcs = [f"customer!{i}" for i in range(30)] + ["missing!7"]
+    a = jaccard_top_batch(graph, srcs, 10, engine="dist")   # int tier
+    monkeypatch.setattr(prmod, "BROADCAST_VERTEX_LIMIT", 0)
+    b = jaccard_top_batch(graph, srcs, 10, engine="dist")   # string tier
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 @pytest.mark.slow  # verify-budget tier (r11): see pytest.ini
 def test_ram_fusiform_matches_distributed(graph):
     """In-memory fusiform pair-count kernel equals the hub-split
